@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship fact rollup at sf0.001;
+``queries()`` exposes every implemented operator from SURVEY.md §2 as a
+``(spark, sf_dir) -> DataFrame`` builder; ``oracle_sql()`` gives the
+DuckDB-equivalent ANSI SQL for each hash-checked query.
 """
 
 from __future__ import annotations
@@ -16,23 +15,27 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from ringo_spark.testbed import fact_events_by_minute_df
+
+    return fact_events_by_minute_df(spark, "/root/testdata/sf0.001")
+
+
+def _registry() -> dict[str, tuple]:
+    from ringo_spark.testbed import CORE_QUERIES
+
+    reg = dict(CORE_QUERIES)
+    try:
+        from ringo_spark.operators.registry import OPERATOR_QUERIES
+
+        reg.update(OPERATOR_QUERIES)
+    except ImportError:
+        pass
+    return reg
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: builder for name, (builder, _) in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_, sql) in _registry().items() if sql is not None}

@@ -1,0 +1,62 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": "total_runtime", "value": N, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is forced with a no-op sink write (full compute, no driver-side
+collect serialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+HEADLINE = [
+    "fact_events_by_minute",
+    "fact_events_by_minute_approx",
+    "fact_orders_by_day",
+    "fact_lineitem_by_day",
+    "dim_event_type_incremental",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_quality",
+]
+
+
+def main():
+    from ringo_spark.catalog import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("ringo-bench", CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs] or list(qs)
+    timings = {}
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    print(json.dumps({
+        "metric": "total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(m.group(1).rstrip(".")) if m else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

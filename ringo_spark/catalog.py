@@ -1,0 +1,78 @@
+"""Source catalog: named tables -> DataFrames, cast to declared schemas.
+
+The reference's generated SQL runs against Postgres tables whose types are
+declared in the YAML input; our equivalent is loading Parquet (or any Spark
+source) and casting each declared column to its declared type
+(SURVEY.md §1.3: explicit StructType per source table, validated against
+the actual DataFrame schema at load time).
+
+Scale notes: the cast-select is a narrow projection that Catalyst pushes
+into the scan (column pruning reaches the Parquet reader); unreferenced
+parquet columns are never read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .model import Env, Table
+from .sparktypes import pg_type_to_spark
+
+
+def cast_to_declared(df: DataFrame, table: Table) -> DataFrame:
+    """Project the declared columns, casting to declared types."""
+    from pyspark.sql import types as T
+
+    missing = [c.name for c in table.columns if c.name not in df.columns]
+    if missing:
+        raise ValueError(f"table {table.name}: source is missing columns {missing}")
+    actual = {f.name: f.dataType for f in df.schema.fields}
+    exprs = []
+    for c in table.columns:
+        target = pg_type_to_spark(c.type)
+        col = F.col(c.name)
+        if (isinstance(target, T.TimestampType)
+                and isinstance(actual[c.name], T.LongType)):
+            # Parquet TIMESTAMP(NANOS) read as long via
+            # spark.sql.legacy.parquet.nanosAsLong (Spark rejects the nanos
+            # logical type otherwise); truncate to microseconds.  Truncation
+            # never moves a value across a micro-aligned boundary, so time
+            # filters and bucket floors are unaffected.
+            col = F.timestamp_micros(F.floor(col / F.lit(1000)).cast("long"))
+        exprs.append(col.cast(target).alias(c.name))
+    return df.select(*exprs)
+
+
+def load_catalog(spark: SparkSession, sf_dir: str, tables) -> dict[str, DataFrame]:
+    """Load ``<sf_dir>/<table>.parquet`` for each declared table, cast to the
+    declared schema."""
+    # Runtime confs the engine depends on, set here so an externally built
+    # session (e.g. the driver's) works too: nanos timestamps readable, and
+    # UTC epoch bucketing regardless of machine timezone.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = {}
+    for t in tables:
+        df = spark.read.parquet(f"{sf_dir}/{t.name}.parquet")
+        out[t.name] = cast_to_declared(df, t)
+    return out
+
+
+def get_spark(app_name: str = "ringo-spark", cpus: str | int = "*") -> SparkSession:
+    """Session tuned for the local test harness; on a real cluster these
+    come from spark-submit conf.  AQE handles runtime re-planning (skew
+    joins, dynamic coalescing); session TZ pinned UTC so epoch bucketing is
+    deterministic."""
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )

@@ -1,0 +1,89 @@
+"""Shared expression builders for the population executors.
+
+Mirrors ``/root/reference/src/Ringo/Generator/Internal.hs``:
+- ``dim_column_mapping``  -> Generator/Internal.hs:18-22
+- ``coalesce_column``     -> Generator/Internal.hs:24-36 (type-prefix default
+  lookup; fail-fast when no default is known)
+
+The reference emits SQL text with Postgres literals for the defaults; we
+parse those literals into Spark ``Column`` literals once, here.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column as SparkColumn, DataFrame
+from pyspark.sql import functions as F
+
+from ..model import Column, DimVal, Env, Fact, Nullable, Table
+
+_CAST_RE = re.compile(r"^(.*?)::[\w ]+$")  # strip Postgres '...'::type casts
+
+
+def default_literal(env: Env, column_type: str) -> SparkColumn:
+    """Spark literal for the type default of ``column_type``.
+
+    Defaults are stored as SQL literal text (e.g. ``'__UNKNOWN_VAL__'``,
+    ``-1``, ``false``, ``'00...'::uuid``) for parity with the reference's
+    YAML input; we interpret the common literal shapes.
+    """
+    raw = env.type_default_for(column_type).strip()
+    m = _CAST_RE.match(raw)
+    if m:
+        raw = m.group(1).strip()
+    if raw.startswith("'") and raw.endswith("'"):
+        return F.lit(raw[1:-1])
+    if raw.lower() in ("true", "false"):
+        return F.lit(raw.lower() == "true")
+    try:
+        return F.lit(int(raw))
+    except ValueError:
+        pass
+    try:
+        return F.lit(float(raw))
+    except ValueError:
+        pass
+    return F.lit(raw)
+
+
+def qcol(qualifier: str | None, name: str) -> SparkColumn:
+    return F.col(f"{qualifier}.{name}") if qualifier else F.col(name)
+
+
+def coalesce_column(env: Env, table: Table, col: Column,
+                    qualifier: str | None = None) -> SparkColumn:
+    """``coalesce(t.col, <type default>)`` for nullable columns, else the
+    raw column (Generator/Internal.hs:24-36)."""
+    expr = qcol(qualifier, col.name)
+    if col.nullable == Nullable.NULL:
+        return F.coalesce(expr, default_literal(env, col.type))
+    return expr
+
+
+def dim_column_mapping(dim_prefix: str, fact: Fact, dim_table_name: str
+                       ) -> list[tuple[str, str]]:
+    """[(dim column name, source column name)] for one derived dimension."""
+    from ..extractor import dim_column_name
+
+    return [
+        (dim_column_name(fc.type.table, fc.target_column), fc.target_column)
+        for fc in fact.columns
+        if isinstance(fc.type, DimVal) and dim_prefix + fc.type.table == dim_table_name
+    ]
+
+
+def time_column_name(fact: Fact) -> str:
+    from ..model import DimTime
+
+    for fc in fact.columns:
+        if isinstance(fc.type, DimTime):
+            return fc.target_column
+    raise ValueError(f"fact {fact.name} has no DimTime column")
+
+
+def time_bucket_expr(col: SparkColumn, unit_seconds: int) -> SparkColumn:
+    """``cast(floor(extract(epoch from ts) / secs) as bigint)``
+    (Populate/Fact.hs:141-148).  ``unix_timestamp`` evaluates JVM-side and
+    stays inside whole-stage codegen."""
+    return F.floor(F.unix_timestamp(col) / F.lit(unit_seconds)).cast("long")

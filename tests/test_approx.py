@@ -1,0 +1,48 @@
+"""Approximate count-distinct: HLL++ estimate within the configured
+relative error vs exact COUNT(DISTINCT) (BASELINE.md: checked within
+ε=0.05, not by value hash)."""
+
+import pytest
+
+from ringo_spark.testbed import (
+    EVENTS, EVENTS_ENV, EVENTS_FACT, T_FAR, dim_event_type_df,
+)
+from ringo_spark.catalog import load_catalog
+from ringo_spark.populate.fact import fact_population_df
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_approx_count_distinct_within_epsilon(spark):
+    cat = load_catalog(spark, SF_DIR, [EVENTS])
+    dim = dim_event_type_df(spark, SF_DIR)
+    approx = fact_population_df(EVENTS_ENV, EVENTS_FACT, cat,
+                                dims={"dim_event_type": dim}, time_upper=T_FAR,
+                                count_distinct_mode="approx")
+    exact = fact_population_df(EVENTS_ENV, EVENTS_FACT, cat,
+                               dims={"dim_event_type": dim}, time_upper=T_FAR,
+                               count_distinct_mode="exact")
+    keys = ["ts_minute_id", "user_id", "event_type_id"]
+    a = {tuple(r[k] for k in keys): r.user_count for r in approx.collect()}
+    e = {tuple(r[k] for k in keys): r.user_count for r in exact.collect()}
+    assert a.keys() == e.keys()
+    # HLL++ rsd=0.05 → allow 3 sigma plus integer slack on tiny groups
+    for k, exact_n in e.items():
+        assert abs(a[k] - exact_n) <= max(2, 0.15 * exact_n), (k, a[k], exact_n)
+
+
+def test_sketch_mode_produces_mergeable_state(spark):
+    from pyspark.sql import functions as F
+
+    cat = load_catalog(spark, SF_DIR, [EVENTS])
+    dim = dim_event_type_df(spark, SF_DIR)
+    sk = fact_population_df(EVENTS_ENV, EVENTS_FACT, cat,
+                            dims={"dim_event_type": dim}, time_upper=T_FAR,
+                            count_distinct_mode="sketch")
+    # registers are opaque binary; merging all groups' sketches re-estimates
+    # the global distinct count (the reference's re-rollup motive, §2.6)
+    merged = sk.agg(F.hll_sketch_estimate(F.hll_union_agg("user_count"))
+                    .alias("users"))
+    total = merged.collect()[0].users
+    exact = cat["events"].select("user_id").distinct().count()
+    assert abs(total - exact) <= max(2, 0.15 * exact)

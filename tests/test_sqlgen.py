@@ -1,0 +1,72 @@
+"""SQL-text generation parity: the emitted Spark SQL must be *executable*
+(via spark.sql over temp views) and agree with the DataFrame executors."""
+
+import datetime as dt
+
+import pytest
+
+from ringo_spark.generator.sqlgen import (
+    dimension_table_defn_sql, dimension_table_populate_sql,
+    fact_table_defn_sql, fact_table_populate_sql,
+)
+from ringo_spark.model import PopulationMode, Settings, TimeUnit
+from ringo_spark.populate.dimension import dimension_population_df
+from ringo_spark.populate.fact import fact_population_df
+from ringo_spark.validator import make_env
+
+from .test_populate_exec import DEFAULTS, FACT, SRC, mk_catalog
+
+ENV = make_env([SRC], [FACT],
+               Settings(time_unit=TimeUnit.HOUR, table_name_suffix_template=""),
+               DEFAULTS)
+T_HI = dt.datetime(2030, 1, 1)
+
+
+def _select_of(insert_sql: str) -> str:
+    # strip the INSERT INTO header and trailing ';'
+    body = insert_sql.split("\n", 1)[1].rstrip().rstrip(";")
+    return body
+
+
+def test_ddl_contains_schema_and_constraints():
+    from ringo_spark.extractor import extract_dimension_tables
+
+    dim = extract_dimension_tables(ENV, FACT)[0]
+    ddl = dimension_table_defn_sql(ENV, dim)
+    assert "CREATE TABLE dim_browser" in ddl
+    assert "name STRING NOT NULL" in ddl
+    assert "UNIQUE (name, version)" in ddl
+    fddl = fact_table_defn_sql(ENV, FACT)
+    assert "CREATE TABLE fact_clicks_by_hour" in fddl
+    assert "at_hour_id BIGINT NOT NULL" in fddl
+    assert "PARTITIONED BY" in fddl
+
+
+def test_dim_populate_sql_executes_and_matches_executor(spark):
+    cat = mk_catalog(spark)
+    cat["clicks"].createOrReplaceTempView("clicks")
+    sql = dimension_table_populate_sql(ENV, FACT, "dim_browser")
+    rows = spark.sql(_select_of(sql), args={"time_upper": T_HI}).collect()
+    exec_rows = dimension_population_df(ENV, FACT, "dim_browser", cat,
+                                        time_upper=T_HI).drop("id").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, exec_rows))
+
+
+def test_fact_populate_sql_executes_and_matches_executor(spark):
+    cat = mk_catalog(spark)
+    cat["clicks"].createOrReplaceTempView("clicks")
+    dim = dimension_population_df(ENV, FACT, "dim_browser", cat, time_upper=T_HI)
+    dim.createOrReplaceTempView("dim_browser")
+    sql = fact_table_populate_sql(ENV, FACT)
+    got = spark.sql(_select_of(sql), args={"time_upper": T_HI}).collect()
+    want = fact_population_df(ENV, FACT, cat, dims={"dim_browser": dim},
+                              time_upper=T_HI).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_incremental_sql_has_anti_join_and_lower_bound():
+    sql = dimension_table_populate_sql(ENV, FACT, "dim_browser",
+                                       PopulationMode.INCREMENTAL)
+    assert "LEFT ANTI JOIN dim_browser" in sql and ":time_lower" in sql
+    fsql = fact_table_populate_sql(ENV, FACT, PopulationMode.INCREMENTAL)
+    assert ":time_lower" in fsql

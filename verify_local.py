@@ -1,0 +1,106 @@
+"""Local approximation of the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry at a given scale factor, runs the matching
+``oracle_sql()`` in DuckDB over the same parquet files, and compares
+row count, column names, and (order-insensitively) the values themselves.
+Stricter than a value hash: exact equality cell by cell.
+
+Usage:  python verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+import __spark_entry__ as entrymod
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def duck_connection(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if hasattr(v, "hex") and not isinstance(v, (int, float)):
+        return v
+    return v
+
+
+def canon_rows(cols, rows):
+    out = []
+    for row in rows:
+        d = dict(zip(cols, row))
+        out.append(tuple(canon(d[c]) for c in sorted(cols)))
+    return sorted(out, key=lambda r: tuple(str(x) for x in r))
+
+
+def compare(name, spark_df, con, sql) -> list[str]:
+    problems = []
+    s_cols = spark_df.columns
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    res = con.execute(sql)
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+    if sorted(s_cols) != sorted(d_cols):
+        problems.append(f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        return problems
+    if len(s_rows) != len(d_rows):
+        problems.append(f"row count differs: spark={len(s_rows)} duck={len(d_rows)}")
+    sc, dc = canon_rows(s_cols, s_rows), canon_rows(d_cols, d_rows)
+    if sc != dc:
+        diffs = [i for i, (a, b) in enumerate(zip(sc, dc)) if a != b]
+        problems.append(f"values differ in {len(diffs)}+ rows")
+        for i in diffs[:3]:
+            problems.append(f"  row {i}: spark={sc[i]} duck={dc[i]}")
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    from ringo_spark.catalog import get_spark
+
+    spark = get_spark("verify-local")
+    con = duck_connection(sf_dir)
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failed = []
+    for name, builder in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = builder(spark, sf_dir)
+            if name in oracles:
+                problems = compare(name, df, con, oracles[name])
+            else:
+                n = df.count()
+                problems = [] if n >= 0 else ["negative count?"]
+                print(f"  (rows-only: {n} rows)")
+        except Exception as e:  # noqa: BLE001
+            problems = [f"EXCEPTION: {type(e).__name__}: {e}"]
+        dt = time.time() - t0
+        status = "OK " if not problems else "FAIL"
+        print(f"[{status}] {name:45s} {dt:6.1f}s")
+        for p in problems:
+            print(f"       {p}")
+        if problems:
+            failed.append(name)
+    print(f"\n{len(qs) - len(failed)}/{len([n for n in qs if not only or n in only])} passed")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
