@@ -1,0 +1,232 @@
+"""Deduplication operators over the ``documents`` table.
+
+Five strategies, all JVM-side (no Python UDFs), each with an exact DuckDB
+oracle (see textfn.py for the portable-hash trick that makes the
+randomized-looking ones deterministic across engines):
+
+- exact           — hash-groupBy on full text
+- minhash_lsh     — shingle → seeded min-hashes → banded buckets →
+                    bucket-join candidates → exact-Jaccard verification
+- simhash         — 60-bit frequency-weighted sign fingerprint
+- ngram_jaccard   — exact all-pairs Jaccard via a shingle inverted index
+- embedding       — cosine near-dup pairs over the embeddings table
+
+Scale notes (100 TB):
+- exact: single hash-shuffle on a 16-byte key; map-side partial combine.
+- minhash_lsh: the *only* shuffle of the big side is on band keys (bounded
+  per doc: BANDS rows); candidate verification joins doc shingle sets only
+  for candidate pairs.  This is the standard linear-scaling LSH layout.
+- ngram_jaccard: the inverted-index self-join is quadratic in posting-list
+  length per shingle — correct as a small-scale oracle/baseline; use
+  minhash_lsh at scale.
+- embedding: quadratic crossJoin baseline; use similarity.ann_lsh_bucketed
+  as the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .textfn import (
+    cosine, minhash_signature, phash, shingles, sql_cosine,
+    sql_minhash_signature, sql_phash, sql_shingles, sql_tokens, tokens,
+)
+
+NUM_PERM = 12
+BANDS = 6          # rows per band = NUM_PERM // BANDS = 2
+SHINGLE_N = 3
+JACCARD_THRESHOLD = 0.5
+COSINE_THRESHOLD = 0.4
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_docs(spark, sf_dir)
+            .select("doc_id", shingles(tokens(F.col("text")), SHINGLE_N).alias("sh"))
+            .where(F.size("sh") > 0))
+
+
+# --- exact ------------------------------------------------------------------
+
+
+def dedup_exact_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per distinct text: representative doc (min id) + group size."""
+    return (_docs(spark, sf_dir)
+            .groupBy(F.md5("text").alias("text_hash"))
+            .agg(F.min("doc_id").alias("rep_doc_id"),
+                 F.count(F.lit(1)).alias("dup_count")))
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash,
+       min(doc_id) AS rep_doc_id,
+       count(*) AS dup_count
+FROM documents
+GROUP BY 1
+"""
+
+
+# --- minhash + LSH ----------------------------------------------------------
+
+
+def dedup_minhash_lsh_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs: banded-MinHash candidates, verified by exact
+    Jaccard over distinct shingle sets.  Returns (doc_a, doc_b, jaccard)."""
+    rows_per_band = NUM_PERM // BANDS
+    base = (_shingled(spark, sf_dir)
+            .withColumn("sig", minhash_signature(F.col("sh"), NUM_PERM)))
+
+    band_key = F.concat_ws(
+        ":", F.col("b").cast("string"),
+        *[F.get("sig", F.col("b") * rows_per_band + i).cast("string")
+          for i in range(rows_per_band)])
+    bands = (base
+             .select("doc_id", "sh",
+                     F.explode(F.sequence(F.lit(0), F.lit(BANDS - 1))).alias("b"),
+                     "sig")
+             .select("doc_id", "sh", band_key.alias("band_key")))
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
+            .dropDuplicates(["doc_a", "doc_b"]))
+
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (cand.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+            .where(F.col("jaccard") >= JACCARD_THRESHOLD))
+
+
+_SHINGLE_BASE_CTE = f"""
+base AS (
+  SELECT doc_id, {sql_shingles('t', SHINGLE_N)} AS sh
+  FROM (SELECT doc_id, {sql_tokens('text')} AS t FROM documents)
+  WHERE len(t) >= {SHINGLE_N})
+"""
+
+DEDUP_MINHASH_LSH_SQL = f"""
+WITH {_SHINGLE_BASE_CTE},
+sigs AS (
+  SELECT doc_id, sh, {sql_minhash_signature('sh', NUM_PERM)} AS sig FROM base),
+bands AS (
+  SELECT doc_id, sh,
+         b::VARCHAR || ':' || sig[2*b + 1]::VARCHAR || ':' || sig[2*b + 2]::VARCHAR
+           AS band_key
+  FROM sigs, generate_series(0, {BANDS - 1}) g(b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+verified AS (
+  SELECT doc_a, doc_b,
+         len(list_filter(x.sh, e -> list_contains(y.sh, e)))
+           * 1.0 / (len(x.sh) + len(y.sh)
+                    - len(list_filter(x.sh, e -> list_contains(y.sh, e)))) AS jac
+  FROM cand
+  JOIN base x ON x.doc_id = cand.doc_a
+  JOIN base y ON y.doc_id = cand.doc_b)
+SELECT doc_a, doc_b, round(jac, 6) AS jaccard
+FROM verified WHERE round(jac, 6) >= {JACCARD_THRESHOLD}
+"""
+
+# NB: the Spark band key uses separator ':' between b and each signature
+# value — the SQL above concatenates identically (b:sig1:sig2).
+
+
+# --- simhash ----------------------------------------------------------------
+
+
+def dedup_simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprint per document (frequency-weighted token
+    sign bits).  Near-dup = small Hamming distance; the fingerprint itself
+    is the oracle-checked output."""
+    toks_h = F.transform(tokens(F.col("text")), lambda t: phash(t, 0))
+    return (_docs(spark, sf_dir)
+            .select("doc_id", toks_h.alias("hs"))
+            .select("doc_id", F.expr("""
+aggregate(sequence(0, 59), 0L, (acc, b) -> acc + IF(
+  aggregate(hs, 0, (a, h) -> a + IF(shiftright(h, b) & 1 = 1, 1, -1)) > 0,
+  shiftleft(1L, b), 0L))""").alias("simhash")))
+
+
+DEDUP_SIMHASH_SQL = f"""
+SELECT doc_id,
+       list_sum([CASE WHEN list_sum(
+           [CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END for h in hs]) > 0
+         THEN (1::BIGINT << b) ELSE 0::BIGINT END
+         for b in generate_series(0, 59)]) AS simhash
+FROM (SELECT doc_id,
+             [{sql_phash('t', 0)} for t in {sql_tokens('text')}] AS hs
+      FROM documents)
+"""
+
+
+# --- exact n-gram Jaccard ---------------------------------------------------
+
+
+def dedup_ngram_jaccard_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs Jaccard >= threshold via a shingle inverted index
+    (pairs must share at least one shingle)."""
+    base = _shingled(spark, sf_dir)
+    sizes = base.select("doc_id", F.size("sh").alias("n"))
+    e = base.select("doc_id", F.explode("sh").alias("g"))
+    a, b = e.alias("a"), e.alias("b")
+    inter = (a.join(b, (F.col("a.g") == F.col("b.g"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("i")))
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("i") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (inter
+            .join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+            .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+            .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+            .where(F.col("jaccard") >= JACCARD_THRESHOLD))
+
+
+DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH {_SHINGLE_BASE_CTE},
+e AS (SELECT doc_id, unnest(sh) AS g FROM base),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(i * 1.0 / (len(x.sh) + len(y.sh) - i), 6) AS jaccard
+FROM inter
+JOIN base x ON x.doc_id = doc_a
+JOIN base y ON y.doc_id = doc_b
+WHERE round(i * 1.0 / (len(x.sh) + len(y.sh) - i), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- embedding cosine near-dup ----------------------------------------------
+
+
+def dedup_embedding_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-similar pairs over the embeddings table (brute-force
+    baseline; similarity.ann_lsh_bucketed is the sub-quadratic path)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    return (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"),
+                    cos.alias("cosine"))
+            .where(F.col("cosine") >= COSINE_THRESHOLD))
+
+
+DEDUP_EMBEDDING_SQL = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({sql_cosine('a.embedding', 'b.embedding')}, 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({sql_cosine('a.embedding', 'b.embedding')}, 6) >= {COSINE_THRESHOLD}
+"""

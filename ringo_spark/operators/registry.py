@@ -1,0 +1,33 @@
+"""Registry of data-pipeline operator queries for the driver contract
+(merged into ``__spark_entry__.queries()`` / ``oracle_sql()``)."""
+
+from .dedup import (
+    DEDUP_EMBEDDING_SQL, DEDUP_EXACT_SQL, DEDUP_MINHASH_LSH_SQL,
+    DEDUP_NGRAM_JACCARD_SQL, DEDUP_SIMHASH_SQL, dedup_embedding_df,
+    dedup_exact_df, dedup_minhash_lsh_df, dedup_ngram_jaccard_df,
+    dedup_simhash_df,
+)
+from .multimodal import MULTIMODAL_FEATURES_SQL, multimodal_features_df
+from .similarity import (
+    ANN_COSINE_TOPK_SQL, ANN_LSH_BUCKETED_SQL, ann_cosine_topk_df,
+    ann_lsh_bucketed_df,
+)
+from .text import (
+    DOC_FINGERPRINT_SQL, LANG_ID_SQL, TEXT_QUALITY_SQL, TOKEN_COUNT_SQL,
+    doc_fingerprint_df, lang_id_df, text_quality_df, token_count_df,
+)
+
+OPERATOR_QUERIES: dict[str, tuple] = {
+    "dedup_exact": (dedup_exact_df, DEDUP_EXACT_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh_df, DEDUP_MINHASH_LSH_SQL),
+    "dedup_simhash": (dedup_simhash_df, DEDUP_SIMHASH_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard_df, DEDUP_NGRAM_JACCARD_SQL),
+    "dedup_embedding": (dedup_embedding_df, DEDUP_EMBEDDING_SQL),
+    "ann_cosine_topk": (ann_cosine_topk_df, ANN_COSINE_TOPK_SQL),
+    "ann_lsh_bucketed": (ann_lsh_bucketed_df, ANN_LSH_BUCKETED_SQL),
+    "text_quality": (text_quality_df, TEXT_QUALITY_SQL),
+    "lang_id": (lang_id_df, LANG_ID_SQL),
+    "token_count": (token_count_df, TOKEN_COUNT_SQL),
+    "doc_fingerprint": (doc_fingerprint_df, DOC_FINGERPRINT_SQL),
+    "multimodal_features": (multimodal_features_df, MULTIMODAL_FEATURES_SQL),
+}

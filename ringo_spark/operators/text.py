@@ -1,0 +1,157 @@
+"""Text-analysis operators over the ``documents`` table: quality scoring,
+language ID, token counting, document fingerprinting.  All JVM-side
+expressions with exact DuckDB oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .textfn import sql_tokens, tokens
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+# marker words per language for the n-gram/stopword language-ID heuristic;
+# languages checked in sorted order, ties -> 'unknown' when max score is 0,
+# else first language (sorted) with the max score.
+LANG_MARKERS = {
+    "de": ["der", "die", "und", "das", "ist"],
+    "en": ["the", "a", "of", "and", "is"],
+    "es": ["el", "la", "de", "y", "es"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "zh": ["de", "shi", "le", "zai", "he"],
+}
+
+BPE_ISH = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _count_in(toks, words) -> F.Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def text_quality_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics: length, word count, average word
+    length, punctuation ratio, stopword ratio, and a composite score."""
+    t = tokens(F.col("text"))
+    n_chars = F.length("text")
+    n_words = F.size(t)  # split("") -> [""], so never 0
+    word_chars = F.length(F.regexp_replace("text", "\\s", ""))
+    punct = F.length(F.regexp_replace("text", "[a-z0-9\\s]", ""))
+    stop = _count_in(t, STOPWORDS)
+    # empty document guard: ANSI mode makes x/0 an error, not NULL
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = stop / n_words
+    score = (F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
+             + (1 - punct_ratio) * 0.3 + stop_ratio * 0.3)
+    return _docs(spark, sf_dir).select(
+        "doc_id", n_chars.alias("n_chars"), n_words.alias("n_words"),
+        F.round(word_chars / n_words, 6).alias("avg_word_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"))
+
+
+_SQL_STOP = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+TEXT_QUALITY_SQL = f"""
+WITH d AS (SELECT doc_id, text, {sql_tokens('text')} AS t FROM documents),
+m AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(t) AS n_words,
+         length(regexp_replace(text, '\\s', '', 'g')) AS word_chars,
+         length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS punct,
+         len(list_filter(t, x -> list_contains([{_SQL_STOP}], x))) AS stop
+  FROM d)
+SELECT doc_id, n_chars, n_words,
+       round(word_chars * 1.0 / n_words, 6) AS avg_word_len,
+       round(CASE WHEN n_chars > 0 THEN punct * 1.0 / n_chars ELSE 0.0 END, 6)
+         AS punct_ratio,
+       round(stop * 1.0 / n_words, 6) AS stopword_ratio,
+       round(least(n_words / 100.0, 1.0) * 0.4
+             + (1 - CASE WHEN n_chars > 0 THEN punct * 1.0 / n_chars ELSE 0.0 END) * 0.3
+             + (stop * 1.0 / n_words) * 0.3, 6) AS quality_score
+FROM m
+"""
+
+
+def lang_id_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: per-language marker hit count, argmax with
+    deterministic tie-break (sorted language order); 'unknown' when no
+    marker hits at all.  Output keeps the actual label for evaluation."""
+    t = tokens(F.col("text"))
+    langs = sorted(LANG_MARKERS)
+    scores = {lang: _count_in(t, LANG_MARKERS[lang]) for lang in langs}
+    best = F.greatest(*[scores[lang] for lang in langs])
+    pred = F.when(best == 0, F.lit("unknown"))
+    for lang in langs:
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        *[scores[lang].alias(f"score_{lang}") for lang in langs],
+        pred.alias("predicted_lang"), F.col("lang").alias("actual_lang"))
+
+
+def _sql_score(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return f"len(list_filter(t, x -> list_contains([{words}], x)))"
+
+
+_LANGS = sorted(LANG_MARKERS)
+_SQL_SCORES = ",\n       ".join(f"{_sql_score(lang)} AS score_{lang}" for lang in _LANGS)
+_SQL_BEST = "greatest(" + ", ".join(f"score_{lang}" for lang in _LANGS) + ")"
+_SQL_PRED = ("CASE WHEN " + _SQL_BEST + " = 0 THEN 'unknown' "
+             + " ".join(f"WHEN score_{lang} = {_SQL_BEST} THEN '{lang}'"
+                        for lang in _LANGS)
+             + " END")
+
+LANG_ID_SQL = f"""
+WITH d AS (SELECT doc_id, lang, {sql_tokens('text')} AS t FROM documents),
+s AS (SELECT doc_id, lang,
+       {_SQL_SCORES}
+      FROM d)
+SELECT doc_id, score_de, score_en, score_es, score_fr, score_zh,
+       {_SQL_PRED} AS predicted_lang,
+       lang AS actual_lang
+FROM s
+"""
+
+
+def token_count_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + a BPE-ish regex token count
+    (letter runs / single digits / single punctuation)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_ISH), 0)).alias("bpe_tokens"))
+
+
+TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       len({sql_tokens('text')}) AS ws_tokens,
+       len(regexp_extract_all(text, '{BPE_ISH}')) AS bpe_tokens
+FROM documents
+"""
+
+
+def doc_fingerprint_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint: md5 over the sorted distinct
+    token set (robust to token shuffling, the classic near-dup probe)."""
+    t = tokens(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(t))))
+        .alias("fingerprint"))
+
+
+DOC_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct({sql_tokens('text')})), ' '))
+         AS fingerprint
+FROM documents
+"""

@@ -1,0 +1,105 @@
+"""Data-pipeline operator tests on sf0.001 testdata: planted near-dups are
+found, fingerprints behave, ANN ranks correctly, multimodal stubs keep
+their plumbing contracts."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ringo_spark.operators.dedup import (
+    dedup_exact_df, dedup_minhash_lsh_df, dedup_ngram_jaccard_df,
+    dedup_simhash_df,
+)
+from ringo_spark.operators.multimodal import (
+    frame_sample_stub, media_table, multimodal_features_df, resize_stub,
+)
+from ringo_spark.operators.similarity import ann_cosine_topk_df
+from ringo_spark.operators.text import doc_fingerprint_df, text_quality_df
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_exact_dedup_groups(spark):
+    out = dedup_exact_df(spark, SF)
+    total = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert out.agg(F.sum("dup_count")).collect()[0][0] == total
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    pairs = {(r.doc_a, r.doc_b) for r in dedup_minhash_lsh_df(spark, SF).collect()}
+    exact = {(r.doc_a, r.doc_b) for r in dedup_ngram_jaccard_df(spark, SF).collect()}
+    assert exact, "testdata should contain planted near-duplicate pairs"
+    # LSH candidates are a subset of exact pairs after verification...
+    assert pairs <= exact
+    # ...and with 6 bands x 2 rows recall at j>=0.5 is high: expect most found
+    assert len(pairs) >= len(exact) * 0.8
+
+
+def test_simhash_near_dups_have_small_hamming_distance(spark):
+    sim = {r.doc_id: r.simhash for r in dedup_simhash_df(spark, SF).collect()}
+    exact = [(r.doc_a, r.doc_b) for r in dedup_ngram_jaccard_df(spark, SF).collect()]
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    near = [hamming(sim[a], sim[b]) for a, b in exact]
+    ids = sorted(sim)
+    far = [hamming(sim[ids[i]], sim[ids[i + 50]]) for i in range(0, 100, 10)]
+    # Docs share a tiny vocabulary (~31 words), so even unrelated docs'
+    # simhashes correlate (far-avg ~18, not the ~30 of independent bits);
+    # near-dups must still sit well below the background distance.
+    near_avg, far_avg = sum(near) / len(near), sum(far) / len(far)
+    assert near_avg < far_avg - 5, (near, far)
+    assert max(near) < 18, near
+
+
+def test_ann_topk_rank1_is_best(spark):
+    rows = ann_cosine_topk_df(spark, SF).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r.rank)
+        assert len(rs) == 10
+        assert all(rs[i].cosine >= rs[i + 1].cosine for i in range(9))
+
+
+def test_fingerprint_is_token_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha beta")],
+        "doc_id long, text string")
+    df.createOrReplaceTempView("ignored")
+    from ringo_spark.operators.textfn import tokens
+
+    fp = df.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.col("text"))))))
+        .alias("fingerprint")).collect()
+    assert fp[0].fingerprint == fp[1].fingerprint
+
+
+def test_quality_metrics_ranges(spark):
+    rows = text_quality_df(spark, SF).collect()
+    for r in rows:
+        assert r.n_words > 0 and 0 <= r.punct_ratio <= 1
+        assert 0 <= r.stopword_ratio <= 1 and 0 <= r.quality_score <= 1
+
+
+def test_multimodal_features_deterministic(spark):
+    rows = multimodal_features_df(spark, SF).collect()
+    for r in rows[:20]:
+        assert r.width == r.n_bytes % 640 + 1
+        assert r.height == (r.n_bytes * 7) % 480 + 1
+        assert r.n_frames == r.n_bytes % 16 + 1
+
+
+def test_multimodal_stub_plumbing(spark):
+    media = media_table(spark, SF).limit(10)
+    resized = resize_stub(media, 224, 224)
+    assert resized.columns[-2:] == ["resized_width", "resized_height"]
+    assert resized.select("resized_width").distinct().collect()[0][0] == 224
+    frames = frame_sample_stub(media, every_n=4)
+    assert frames.columns == ["doc_id", "frame_idx", "frame_payload"]
+    got = frames.collect()
+    assert got and all(r.frame_idx % 4 == 0 for r in got)
+    assert all(isinstance(r.frame_payload, (bytes, bytearray)) for r in got)

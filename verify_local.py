@@ -98,7 +98,8 @@ def main():
             print(f"       {p}")
         if problems:
             failed.append(name)
-    print(f"\n{len(qs) - len(failed)}/{len([n for n in qs if not only or n in only])} passed")
+    ran = [n for n in qs if not only or n in only]
+    print(f"\n{len(ran) - len(failed)}/{len(ran)} passed")
     sys.exit(1 if failed else 0)
 
 
