@@ -1,0 +1,296 @@
+"""Engine driver: run the derived star schema end-to-end.
+
+Where the reference's ``writeFiles`` (``app/Main.hs:35-83``) emits SQL text
+for Postgres to run later, this engine *executes* the population dataflows
+in dependency order and persists the results, while still emitting the
+same artifacts for orchestration parity:
+
+- ``dependencies.json`` — union of every fact's DAG (Main.hs:43-46)
+- ``dimensions.json``   — derived dimension table names (Main.hs:48-49)
+- ``facts.json``        — extracted fact table names (Main.hs:51-52)
+- ``create/ fullrefresh/ increfresh/`` SQL files via :mod:`generator.sqlgen`
+
+Execution model (Spark-first):
+
+- Dimensions first (topo order), then facts; a fact re-reads its persisted
+  dimensions so surrogate keys are consistent across facts sharing a dim.
+- Full refresh writes to a staging directory then atomically renames over
+  the live one (the reference's ``{{suff}}`` staging-table swap,
+  Generator/Internal.hs:38-41).
+- Incremental refresh appends the watermark window; the watermark store is
+  a JSON file next to the tables.  Dimension increments anti-join the
+  existing table and offset surrogate ids.
+- Fact tables are written partitioned by a derived day column
+  (``<time>_day``) when ``partition_facts`` — the Spark analogue of the
+  reference's time-column index (Create.hs:87-98): partition pruning at
+  read time.  TenantId columns are appended to the partition spec, the
+  analogue of the (tenant, time) composite index (Create.hs:96-98).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import cast_to_declared
+from .extractor import (
+    extract_dependencies, extract_dimension_tables, extract_fact_table,
+    topo_order,
+)
+from .generator import sqlgen
+from .model import DimTime, Env, Fact, PopulationMode, TenantId
+from .populate.dimension import dimension_population_df
+from .populate.fact import fact_population_df
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, env: Env, storage_path: str,
+                 partition_facts: bool = False,
+                 count_distinct_mode: str = "sketch"):
+        # count_distinct_mode defaults to "sketch" for persisted tables:
+        # the reference stores mergeable HLL register state in the fact
+        # table (Populate/Fact.hs:60-120) precisely so coarser rollups can
+        # re-aggregate it — hll_sketch_agg/hll_union is our equivalent.
+        self.spark = spark
+        self.env = env
+        self.storage = storage_path
+        self.partition_facts = partition_facts
+        self.count_distinct_mode = count_distinct_mode
+        self.sources: dict[str, DataFrame] = {}
+        os.makedirs(storage_path, exist_ok=True)
+
+    # --- sources -----------------------------------------------------------
+
+    def register_source(self, name: str, df: DataFrame) -> None:
+        table = self.env.find_table(name)
+        self.sources[name] = cast_to_declared(df, table) if table else df
+
+    def load_sources(self, sf_dir: str) -> None:
+        for t in self.env.tables:
+            path = f"{sf_dir}/{t.name}.parquet"
+            if os.path.exists(path):
+                self.register_source(t.name, self.spark.read.parquet(path))
+
+    # --- storage -----------------------------------------------------------
+
+    def _path(self, table: str, staging: bool = False) -> str:
+        return os.path.join(self.storage, table + ("__staging" if staging else ""))
+
+    def read_table(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self._path(table))
+
+    def _write_full(self, df: DataFrame, table: str, partition_by=()) -> None:
+        """Staging write + atomic directory swap."""
+        staging, live = self._path(table, True), self._path(table)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(staging)
+        if os.path.exists(live):
+            shutil.rmtree(live)
+        os.rename(staging, live)
+
+    def _write_append(self, df: DataFrame, table: str, partition_by=()) -> None:
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self._path(table))
+
+    # --- watermarks --------------------------------------------------------
+
+    @property
+    def _wm_path(self) -> str:
+        return os.path.join(self.storage, "_watermarks.json")
+
+    def watermarks(self) -> dict:
+        if os.path.exists(self._wm_path):
+            with open(self._wm_path) as fh:
+                return json.load(fh)
+        return {}
+
+    def _store_watermark(self, table: str, upper) -> None:
+        wm = self.watermarks()
+        wm[table] = str(upper)
+        with open(self._wm_path, "w") as fh:
+            json.dump(wm, fh, indent=2)
+
+    # --- execution ---------------------------------------------------------
+
+    def _fact_partition_cols(self, fact: Fact) -> list[str]:
+        return [fc.target_column for fc in fact.columns
+                if isinstance(fc.type, TenantId)]
+
+    def run_fact(self, fact: Fact, mode: PopulationMode, time_upper,
+                 time_lower=None) -> str:
+        """Populate one fact and every dimension it (recursively) needs;
+        returns the extracted fact table name."""
+        if not hasattr(self, "_populated_this_run"):
+            self._populated_this_run = set()
+        from .extractor import extract_all_dimension_tables
+
+        for dim_fact, dim_table in extract_all_dimension_tables(self.env, fact):
+            if self.env.find_table(dim_table.name) is not None:
+                continue  # pre-existing (DimId) table, not ours to build
+            if dim_table.name in self._populated_this_run:
+                continue
+            self._run_dimension(dim_fact, dim_table.name, mode,
+                                time_upper, time_lower)
+            self._populated_this_run.add(dim_table.name)
+        produced = self._run_fact_table(fact, mode, time_upper, time_lower)
+        self._store_watermark(produced, time_upper)
+        return produced
+
+    def _run_dimension(self, fact: Fact, dim_table: str, mode: PopulationMode,
+                       time_upper, time_lower) -> None:
+        exists = os.path.exists(self._path(dim_table))
+        if mode == PopulationMode.INCREMENTAL and exists:
+            existing = self.read_table(dim_table)
+            new_rows = dimension_population_df(
+                self.env, fact, dim_table, self.sources,
+                mode=PopulationMode.INCREMENTAL, time_upper=time_upper,
+                time_lower=time_lower, existing_dim=existing)
+            self._write_append(new_rows, dim_table)
+        else:
+            df = dimension_population_df(
+                self.env, fact, dim_table, self.sources,
+                mode=PopulationMode.FULL, time_upper=time_upper)
+            self._write_full(df, dim_table)
+        self._store_watermark(dim_table, time_upper)
+
+    def _run_fact_table(self, fact: Fact, mode: PopulationMode,
+                        time_upper, time_lower) -> str:
+        from .extractor import extract_all_dimension_tables
+
+        s = self.env.settings
+        derived = extract_fact_table(self.env, fact)
+        dim_names = {t.name for _, t in extract_all_dimension_tables(self.env, fact)
+                     if self.env.find_table(t.name) is None}
+        dims = {name: self.read_table(name) for name in dim_names}
+        df = fact_population_df(self.env, fact, self.sources, dims=dims,
+                                mode=mode, time_upper=time_upper,
+                                time_lower=time_lower,
+                                count_distinct_mode=self.count_distinct_mode)
+        partition_by = []
+        if self.partition_facts:
+            for fc in fact.columns:
+                if isinstance(fc.type, DimTime):
+                    from .extractor import time_unit_column_name
+
+                    tid = time_unit_column_name(
+                        s.dim_table_id_column_name, fc.target_column, s.time_unit)
+                    day = f"{fc.target_column}_day"
+                    df = df.withColumn(
+                        day, F.floor(F.col(tid) * s.time_unit.seconds / 86400))
+                    partition_by.append(day)
+                    break
+            partition_by += self._fact_partition_cols(fact)
+        if mode == PopulationMode.INCREMENTAL and os.path.exists(self._path(derived.name)):
+            self._write_append(df, derived.name, partition_by)
+        else:
+            self._write_full(df, derived.name, partition_by)
+        return derived.name
+
+    def run(self, mode: PopulationMode = PopulationMode.FULL, time_upper=None,
+            time_lower=None) -> list[str]:
+        """Populate every persistent fact (and all dimensions) in topo order."""
+        self._populated_this_run = set()
+        out = []
+        for fact in self.env.facts:
+            if fact.persistent:
+                out.append(self.run_fact(fact, mode, time_upper, time_lower))
+        return out
+
+    def compact_fact(self, fact: Fact) -> None:
+        """Re-aggregate the persisted fact table to one row per grain key.
+
+        Incremental appends (and streaming micro-batches) may write partial
+        rows for the same grain; every measure is mergeable by design —
+        counts/sums add, min/min, max/max, avg stays a (count,sum) pair,
+        count-distinct sketches union (this is the reference's motive for
+        storing partial-aggregate state, Extractor.hs:48-51 + §2.6)."""
+        from .model import (
+            FactAverage, FactCount, FactCountDistinct, FactMax, FactMin,
+            FactSum,
+        )
+
+        s = self.env.settings
+        derived = extract_fact_table(self.env, fact)
+        df = self.read_table(derived.name)
+        measure_aggs, measures = [], set()
+        for fc in fact.columns:
+            c, t = fc.target_column, fc.type
+            if isinstance(t, (FactCount, FactSum)):
+                measure_aggs.append(F.sum(c).alias(c))
+                measures.add(c)
+            elif isinstance(t, FactMax):
+                measure_aggs.append(F.max(c).alias(c))
+                measures.add(c)
+            elif isinstance(t, FactMin):
+                measure_aggs.append(F.min(c).alias(c))
+                measures.add(c)
+            elif isinstance(t, FactAverage):
+                for suf in (s.avg_count_column_suffix, s.avg_sum_column_suffix):
+                    measure_aggs.append(F.sum(c + suf).alias(c + suf))
+                    measures.add(c + suf)
+            elif isinstance(t, FactCountDistinct):
+                if self.count_distinct_mode != "sketch":
+                    raise ValueError(
+                        "compaction of count-distinct requires sketch mode "
+                        "(estimates are not mergeable)")
+                measure_aggs.append(F.hll_union_agg(c).alias(c))
+                measures.add(c)
+        keys = [c for c in df.columns if c not in measures]
+        out = df.groupBy(*keys).agg(*measure_aggs).select(*df.columns)
+        # safe: _write_full materializes into the staging dir before the
+        # live dir (our input) is replaced
+        self._write_full(out, derived.name)
+
+    # --- artifacts (writeFiles parity, Main.hs:35-83) ----------------------
+
+    def write_artifacts(self, out_dir: str) -> None:
+        env, s = self.env, self.env.settings
+        os.makedirs(out_dir, exist_ok=True)
+
+        deps: dict[str, list[str]] = {}
+        for fact in env.facts:
+            deps.update(extract_dependencies(env, fact))
+        with open(os.path.join(out_dir, s.dependencies_json_file_name), "w") as fh:
+            json.dump(deps, fh, indent=2, sort_keys=True)
+
+        dim_tables = [(f, extract_dimension_tables(env, f)) for f in env.facts]
+        derived_dims = [t.name for _, tabs in dim_tables for t in tabs
+                        if env.find_table(t.name) is None]
+        with open(os.path.join(out_dir, s.dimension_json_file_name), "w") as fh:
+            json.dump(derived_dims, fh, indent=2)
+
+        fact_tables = [(f, extract_fact_table(env, f))
+                       for f in env.facts if f.persistent]
+        with open(os.path.join(out_dir, s.facts_json_file_name), "w") as fh:
+            json.dump([t.name for _, t in fact_tables], fh, indent=2)
+
+        for sub in ("create", "fullrefresh", "increfresh"):
+            os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+
+        def write(sub: str, table: str, text: str) -> None:
+            with open(os.path.join(out_dir, sub, table + ".sql"), "w") as fh:
+                fh.write(text)
+
+        for fact, tabs in dim_tables:
+            for t in tabs:
+                if env.find_table(t.name) is not None:
+                    continue
+                write("create", t.name, sqlgen.dimension_table_defn_sql(env, t))
+                write("fullrefresh", t.name, sqlgen.dimension_table_populate_sql(
+                    env, fact, t.name, PopulationMode.FULL))
+                write("increfresh", t.name, sqlgen.dimension_table_populate_sql(
+                    env, fact, t.name, PopulationMode.INCREMENTAL))
+        for fact, table in fact_tables:
+            write("create", table.name, sqlgen.fact_table_defn_sql(env, fact))
+            write("fullrefresh", table.name,
+                  sqlgen.fact_table_populate_sql(env, fact, PopulationMode.FULL))
+            write("increfresh", table.name,
+                  sqlgen.fact_table_populate_sql(env, fact, PopulationMode.INCREMENTAL))

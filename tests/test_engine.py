@@ -1,0 +1,84 @@
+"""Engine driver tests: full run, incremental run, staging swap, watermark
+store, artifact parity (dependencies/dimensions/facts JSON + SQL files)."""
+
+import datetime as dt
+import json
+import os
+
+import pytest
+
+from ringo_spark.engine import Engine
+from ringo_spark.model import PopulationMode
+from ringo_spark.testbed import (
+    CUSTOMER, LINEITEM, ORDERS, ORDERS_ENV, T_FAR, T_ORDERS_MID,
+)
+
+
+@pytest.fixture
+def engine(spark, tmp_path):
+    eng = Engine(spark, ORDERS_ENV, str(tmp_path / "warehouse"))
+    eng.load_sources("/root/testdata/sf0.001")
+    return eng
+
+
+def test_full_run_populates_all_tables(engine):
+    produced = engine.run(PopulationMode.FULL, T_FAR)
+    assert produced == ["fact_orders_by_day", "fact_lineitem_by_day"]
+    for t in ["dim_order_status", "dim_order_priority", "dim_line_status",
+              "fact_orders_by_day", "fact_lineitem_by_day"]:
+        assert engine.read_table(t).count() > 0, t
+    # watermarks recorded per table
+    wm = engine.watermarks()
+    assert wm["fact_orders_by_day"] == str(T_FAR)
+    # lineitem fact carries inherited dims: orders dims via FK join
+    li = engine.read_table("fact_lineitem_by_day")
+    assert {"order_status_id", "order_priority_id", "o_custkey",
+            "line_status_id"} <= set(li.columns)
+
+
+def test_incremental_run_appends_window(engine):
+    engine.run(PopulationMode.FULL, T_ORDERS_MID)
+    n1 = engine.read_table("fact_orders_by_day").count()
+    engine.run(PopulationMode.INCREMENTAL, T_FAR, T_ORDERS_MID)
+    n2 = engine.read_table("fact_orders_by_day").count()
+    assert n2 > n1
+    # incremental dim append kept ids unique
+    dim = engine.read_table("dim_order_status")
+    assert dim.count() == dim.select("id").distinct().count()
+
+
+def test_full_refresh_swaps_atomically(engine, tmp_path):
+    engine.run(PopulationMode.FULL, T_FAR)
+    before = engine.read_table("fact_orders_by_day").count()
+    engine.run(PopulationMode.FULL, T_FAR)  # second full refresh: swap, not append
+    after = engine.read_table("fact_orders_by_day").count()
+    assert before == after
+    assert not os.path.exists(
+        os.path.join(engine.storage, "fact_orders_by_day__staging"))
+
+
+def test_artifacts(engine, tmp_path):
+    out = str(tmp_path / "artifacts")
+    engine.write_artifacts(out)
+    deps = json.load(open(os.path.join(out, "dependencies.json")))
+    assert deps["fact_lineitem_by_day"][:2] == ["lineitem", "orders"]
+    dims = json.load(open(os.path.join(out, "dimensions.json")))
+    assert set(dims) == {"dim_order_status", "dim_order_priority",
+                         "dim_line_status"}
+    facts = json.load(open(os.path.join(out, "facts.json")))
+    assert facts == ["fact_orders_by_day", "fact_lineitem_by_day"]
+    # one SQL file per table per mode; pre-existing dim (customer) excluded
+    for sub in ("create", "fullrefresh", "increfresh"):
+        files = sorted(os.listdir(os.path.join(out, sub)))
+        assert "dim_order_status.sql" in files
+        assert "fact_lineitem_by_day.sql" in files
+        assert "customer.sql" not in files
+
+
+def test_partitioned_fact_write(spark, tmp_path):
+    eng = Engine(spark, ORDERS_ENV, str(tmp_path / "w2"), partition_facts=True)
+    eng.load_sources("/root/testdata/sf0.001")
+    eng.run_fact(ORDERS_ENV.find_fact("orders"), PopulationMode.FULL, T_FAR)
+    base = os.path.join(eng.storage, "fact_orders_by_day")
+    # hive-style day partitions on disk -> partition pruning at read time
+    assert any(d.startswith("o_orderdate_day=") for d in os.listdir(base))

@@ -1,0 +1,81 @@
+"""Structured Streaming tests: windowed rollup equivalence with the batch
+engine, and the foreachBatch pipeline with mergeable compaction."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ringo_spark.engine import Engine
+from ringo_spark.model import PopulationMode
+from ringo_spark.streaming.incremental import (
+    StreamingPipeline, streaming_fact_rollup,
+)
+from ringo_spark.testbed import EVENTS, EVENTS_ENV, EVENTS_FACT, T_FAR
+from ringo_spark.catalog import load_catalog
+from ringo_spark.populate.fact import fact_population_df
+from ringo_spark.populate.dimension import dimension_population_df
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events_schema(spark):
+    return load_catalog(spark, SF, [EVENTS])["events"].schema
+
+
+def test_streaming_rollup_matches_batch(spark, tmp_path):
+    cat = load_catalog(spark, SF, [EVENTS])
+    dim = dimension_population_df(EVENTS_ENV, EVENTS_FACT, "dim_event_type",
+                                  cat, time_upper=T_FAR)
+    # stream the same parquet data as a file source
+    src = str(tmp_path / "stream-src")
+    cat["events"].write.parquet(src)
+    stream = spark.readStream.schema(_events_schema(spark)).parquet(src)
+    rolled = streaming_fact_rollup(EVENTS_ENV, EVENTS_FACT, stream,
+                                   dims={"dim_event_type": dim})
+    q = (rolled.writeStream.format("memory").queryName("rollup")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("select * from rollup").collect()}
+    want = {tuple(r) for r in fact_population_df(
+        EVENTS_ENV, EVENTS_FACT, cat, dims={"dim_event_type": dim},
+        time_upper=T_FAR, count_distinct_mode="approx").collect()}
+    assert got == want
+
+
+def test_foreachbatch_pipeline_and_compaction(spark, tmp_path):
+    cat = load_catalog(spark, SF, [EVENTS])
+    # two files -> two micro-batches (deliberately NOT bucket-aligned:
+    # compaction must merge partial rows per grain)
+    src = str(tmp_path / "src")
+    n = cat["events"].count()
+    half = cat["events"].limit(n // 2)
+    rest = cat["events"].subtract(half)
+    half.coalesce(1).write.parquet(src)
+    rest.coalesce(1).write.mode("append").parquet(src)
+
+    eng = Engine(spark, EVENTS_ENV, str(tmp_path / "wh"))
+    eng.load_sources(SF)
+    pipe = StreamingPipeline(eng, EVENTS_FACT)
+    stream = (spark.readStream.schema(_events_schema(spark))
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = pipe.start(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    fact_table = "fact_events_by_minute"
+    before = eng.read_table(fact_table).count()
+    eng.compact_fact(EVENTS_FACT)
+    after_df = eng.read_table(fact_table)
+    after = after_df.count()
+    assert after <= before
+    # one row per grain after compaction
+    keys = ["ts_minute_id", "user_id", "event_type_id"]
+    assert after == after_df.select(*keys).distinct().count()
+    # measures merged losslessly
+    assert after_df.agg(F.sum("event_count")).collect()[0][0] == n
+    # sketch state is mergeable end-to-end: global estimate ~= exact
+    est = after_df.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("user_count"))).collect()[0][0]
+    exact = cat["events"].select("user_id").distinct().count()
+    assert abs(est - exact) <= max(2, 0.15 * exact)
