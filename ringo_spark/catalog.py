@@ -19,6 +19,9 @@ from pyspark.sql import functions as F
 from .model import Env, Table
 from .sparktypes import pg_type_to_spark
 
+# reserved prefix for pushdown shadow columns of nanos-encoded timestamps
+RAW_NS_PREFIX = "__raw_ns_"
+
 
 def cast_to_declared(df: DataFrame, table: Table) -> DataFrame:
     """Project the declared columns, casting to declared types."""
@@ -39,6 +42,15 @@ def cast_to_declared(df: DataFrame, table: Table) -> DataFrame:
             # logical type otherwise); truncate to microseconds.  Truncation
             # never moves a value across a micro-aligned boundary, so time
             # filters and bucket floors are unaffected.
+            #
+            # Predicates on the converted expression can NOT be pushed to
+            # the parquet scan (the scan column is the raw long), which
+            # would kill row-group/partition pruning on the watermark
+            # column at scale — so the raw nanos column is kept alongside
+            # under a reserved name; the populate executors add an
+            # equivalent pushable predicate on it (populate.common
+            # raw_time_filter) and it never reaches any output projection.
+            exprs.append(F.col(c.name).alias(RAW_NS_PREFIX + c.name))
             col = F.timestamp_micros(F.floor(col / F.lit(1000)).cast("long"))
         exprs.append(col.cast(target).alias(c.name))
     return df.select(*exprs)

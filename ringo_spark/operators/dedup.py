@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .textfn import (
-    cosine, minhash_signature, phash, shingles, sql_cosine,
+    cosine, minhash_signature, phash, shingle_hashes, shingles, sql_cosine,
     sql_minhash_signature, sql_phash, sql_shingles, sql_tokens, tokens,
 )
 
@@ -78,7 +78,8 @@ def dedup_minhash_lsh_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard over distinct shingle sets.  Returns (doc_a, doc_b, jaccard)."""
     rows_per_band = NUM_PERM // BANDS
     base = (_shingled(spark, sf_dir)
-            .withColumn("sig", minhash_signature(F.col("sh"), NUM_PERM)))
+            .withColumn("hs", shingle_hashes(F.col("sh")))
+            .withColumn("sig", minhash_signature(F.col("hs"), NUM_PERM)))
 
     band_key = F.concat_ws(
         ":", F.col("b").cast("string"),
@@ -88,7 +89,11 @@ def dedup_minhash_lsh_df(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("doc_id", "sh",
                      F.explode(F.sequence(F.lit(0), F.lit(BANDS - 1))).alias("b"),
                      "sig")
-             .select("doc_id", "sh", band_key.alias("band_key")))
+             .select("doc_id", "sh", band_key.alias("band_key"))
+             # materialized once: the self-join would otherwise recompute
+             # shingling + signatures for both sides (at scale: persist or
+             # checkpoint the signature table before LSH joins)
+             .persist())
 
     a, b = bands.alias("a"), bands.alias("b")
     cand = (a.join(b, (F.col("a.band_key") == F.col("b.band_key"))

@@ -87,3 +87,28 @@ def time_bucket_expr(col: SparkColumn, unit_seconds: int) -> SparkColumn:
     (Populate/Fact.hs:141-148).  ``unix_timestamp`` evaluates JVM-side and
     stays inside whole-stage codegen."""
     return F.floor(F.unix_timestamp(col) / F.lit(unit_seconds)).cast("long")
+
+
+def time_filter(df: DataFrame, tcol: str, op: str, bound,
+                qualifier: str | None = None) -> SparkColumn:
+    """Time-bound predicate that reaches the parquet scan.
+
+    For plainly-typed timestamp columns the predicate on ``tcol`` itself is
+    pushable.  For nanos-encoded sources (read as long, converted in
+    :func:`ringo_spark.catalog.cast_to_declared`) the conversion blocks
+    pushdown, so when the reserved raw shadow column is present an
+    equivalent predicate on raw nanoseconds is AND-ed in — that one the
+    scanner can prune row groups (and partitions) with."""
+    import datetime as dt
+
+    from ..catalog import RAW_NS_PREFIX
+
+    cols = df.columns if qualifier is None else df.select(f"{qualifier}.*").columns
+    expr = qcol(qualifier, tcol) < F.lit(bound) if op == "<" \
+        else qcol(qualifier, tcol) >= F.lit(bound)
+    raw_name = RAW_NS_PREFIX + tcol
+    if raw_name in cols and isinstance(bound, dt.datetime):
+        ns = int(bound.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000) * 1000
+        raw = qcol(qualifier, raw_name)
+        expr = expr & (raw < F.lit(ns) if op == "<" else raw >= F.lit(ns))
+    return expr

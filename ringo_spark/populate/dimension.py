@@ -35,7 +35,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..model import Env, Fact, PopulationMode
-from .common import coalesce_column, dim_column_mapping, time_column_name
+from .common import (
+    coalesce_column, dim_column_mapping, time_column_name, time_filter,
+)
 
 
 def dimension_population_df(
@@ -69,9 +71,9 @@ def dimension_population_df(
     cond = not_null
     tcol = time_column_name(fact)
     if time_upper is not None:
-        cond = cond & (F.col(tcol) < F.lit(time_upper))
+        cond = cond & time_filter(src, tcol, "<", time_upper)
     if mode == PopulationMode.INCREMENTAL and time_lower is not None:
-        cond = cond & (F.col(tcol) >= F.lit(time_lower))
+        cond = cond & time_filter(src, tcol, ">=", time_lower)
 
     rows = (
         src.where(cond)

@@ -172,14 +172,14 @@ def fact_population_df(
     for dim_df, cond, alias, _ in dim_joins:
         df = df.join(F.broadcast(dim_df.alias(alias)), cond, "left")
 
-    # --- time window filter ------------------------------------------------
-    from .common import time_column_name
+    # --- time window filter (scan-pushable, see common.time_filter) --------
+    from .common import time_column_name, time_filter
 
-    tcol = qcol(f_name, time_column_name(fact))
+    tcol = time_column_name(fact)
     if time_upper is not None:
-        df = df.where(tcol < F.lit(time_upper))
+        df = df.where(time_filter(df, tcol, "<", time_upper, f_name))
     if mode == PopulationMode.INCREMENTAL and time_lower is not None:
-        df = df.where(tcol >= F.lit(time_lower))
+        df = df.where(time_filter(df, tcol, ">=", time_lower, f_name))
 
     # --- project narrow, then hash-aggregate (map-side partials are free) --
     key_names = [name for name, _ in group_exprs]
