@@ -12,6 +12,7 @@ from .similarity import (
     ANN_COSINE_TOPK_SQL, ANN_LSH_BUCKETED_SQL, ann_cosine_topk_df,
     ann_lsh_bucketed_df,
 )
+from .relational import RELATIONAL_QUERIES
 from .text import (
     DOC_FINGERPRINT_SQL, LANG_ID_SQL, TEXT_QUALITY_SQL, TOKEN_COUNT_SQL,
     doc_fingerprint_df, lang_id_df, text_quality_df, token_count_df,
@@ -30,4 +31,5 @@ OPERATOR_QUERIES: dict[str, tuple] = {
     "token_count": (token_count_df, TOKEN_COUNT_SQL),
     "doc_fingerprint": (doc_fingerprint_df, DOC_FINGERPRINT_SQL),
     "multimodal_features": (multimodal_features_df, MULTIMODAL_FEATURES_SQL),
+    **RELATIONAL_QUERIES,
 }

@@ -1,0 +1,323 @@
+"""Relational-operator coverage queries (SURVEY.md §2.7 checklist).
+
+The reference's generated SQL exercises only a narrow relational core
+(outer/anti joins, filters, grouped aggregation, distinct).  Everything
+else in the standard catalog comes free with Spark; each query here
+demonstrates one such category over the TPC-H-ish testdata with an exact
+DuckDB oracle — inner/semi/anti joins, window functions (rank, lag),
+rollup, set ops, sorts/top-k, string/date/conditional functions, scalar
+subqueries.
+
+Sums follow the decimal-determinism rule (testbed.py): aggregate in
+DECIMAL(18,2), present as DOUBLE — partition-order independent in both
+engines.  Some queries use ``spark.sql`` over temp views deliberately:
+the engine's SQL surface is as supported as the DataFrame surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec_sum(col: str, alias: str):
+    return F.sum(F.col(col).cast("decimal(18,2)")).cast("double").alias(alias)
+
+
+# --- joins ------------------------------------------------------------------
+
+
+def join_inner_agg_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join + grouped aggregation (TPC-H Q3 flavor): revenue by
+    market segment.  Catalyst broadcasts the small build side."""
+    orders, cust = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    return (orders.join(cust, orders.o_custkey == cust.c_custkey, "inner")
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("order_count"),
+                 _dec_sum("o_totalprice", "revenue")))
+
+
+JOIN_INNER_AGG_SQL = """
+SELECT c_mktsegment,
+       count(*) AS order_count,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
+def join_semi_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers having at least one late-epoch order."""
+    orders, cust = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    recent = orders.where(F.col("o_orderdate") >= F.lit("2000-01-01"))
+    return (cust.join(recent, cust.c_custkey == recent.o_custkey, "left_semi")
+            .select("c_custkey", "c_mktsegment"))
+
+
+JOIN_SEMI_SQL = """
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+"""
+
+
+def join_anti_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders at all."""
+    orders, cust = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+JOIN_ANTI_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# --- window functions -------------------------------------------------------
+
+
+def window_rank_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer by price (row_number, deterministic
+    tie-break on key)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (orders.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 2)
+            .select("o_custkey", "o_orderkey", F.col("rn").cast("int").alias("rn"),
+                    F.col("o_totalprice").cast("decimal(18,2)").cast("double")
+                    .alias("price")))
+
+
+WINDOW_RANK_SQL = """
+SELECT o_custkey, o_orderkey, CAST(rn AS INT) AS rn,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+WHERE rn <= 2
+"""
+
+
+def window_lag_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame navigation: month-over-month revenue delta (lag over an
+    aggregated series)."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = (orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+               .agg(_dec_sum("o_totalprice", "revenue")))
+    w = Window.orderBy("month")
+    return (monthly
+            .withColumn("prev_revenue", F.lag("revenue").over(w))
+            .select(F.date_format("month", "yyyy-MM").alias("month"),
+                    "revenue", "prev_revenue"))
+
+
+WINDOW_LAG_SQL = """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1)
+SELECT strftime(month, '%Y-%m') AS month, revenue,
+       lag(revenue) OVER (ORDER BY month) AS prev_revenue
+FROM monthly
+"""
+
+
+# --- grouping sets / rollup -------------------------------------------------
+
+
+def rollup_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): per-group, per-flag subtotal,
+    and grand total rows (NULL-marked, as in SQL)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("row_count"),
+                 _dec_sum("l_quantity", "qty_sum")))
+
+
+ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS row_count,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# --- set operations ---------------------------------------------------------
+
+
+def set_ops_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT + EXCEPT: nations present among customers vs suppliers."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")).distinct()
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")).distinct()
+    both = cust.intersect(supp).withColumn("membership", F.lit("both"))
+    cust_only = cust.exceptAll(supp).withColumn("membership", F.lit("customer_only"))
+    return both.unionByName(cust_only)
+
+
+SET_OPS_SQL = """
+SELECT nationkey, 'both' AS membership
+FROM (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      INTERSECT
+      SELECT DISTINCT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'customer_only' AS membership
+FROM (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      EXCEPT
+      SELECT DISTINCT s_nationkey FROM supplier)
+"""
+
+
+# --- sorts / top-k ----------------------------------------------------------
+
+
+def topk_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 by price with deterministic tie-break; Spark plans
+    this as TakeOrderedAndProject (no full sort at scale)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(10)
+            .select("o_orderkey",
+                    F.col("o_totalprice").cast("decimal(18,2)").cast("double")
+                    .alias("price")))
+
+
+TOPK_SQL = """
+SELECT o_orderkey,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# --- string functions -------------------------------------------------------
+
+
+def string_funcs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 12)).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_brand"), F.lit("#"), F.lit("_")).alias("brand_clean"),
+        F.size(F.split("p_name", " ")).alias("name_words"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"))
+
+
+STRING_FUNCS_SQL = """
+SELECT p_partkey,
+       upper(substr(p_name, 1, 12)) AS name_prefix,
+       length(p_name) AS name_len,
+       replace(p_brand, '#', '_') AS brand_clean,
+       len(string_split(p_name, ' ')) AS name_words,
+       p_brand || '|' || p_type AS brand_type
+FROM part
+"""
+
+
+# --- date/time functions ----------------------------------------------------
+
+
+def date_funcs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.groupBy(
+        F.year("o_orderdate").alias("y"),
+        F.quarter("o_orderdate").alias("q"),
+        F.month("o_orderdate").alias("m"))
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .select(F.col("y").cast("int"), F.col("q").cast("int"),
+                F.col("m").cast("int"), "order_count"))
+
+
+DATE_FUNCS_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS y,
+       CAST(quarter(o_orderdate) AS INT) AS q,
+       CAST(month(o_orderdate) AS INT) AS m,
+       count(*) AS order_count
+FROM orders
+GROUP BY 1, 2, 3
+"""
+
+
+# --- conditional / null functions ------------------------------------------
+
+
+def conditional_funcs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    band = (F.when(F.col("l_quantity") < 10, "small")
+            .when(F.col("l_quantity") < 30, "medium")
+            .otherwise("large"))
+    return (li.groupBy(band.alias("qty_band"),
+                       F.coalesce(F.nullif("l_returnflag", F.lit("N")),
+                                  F.lit("unreturned")).alias("flag"))
+            .agg(F.count(F.lit(1)).alias("row_count"),
+                 F.greatest(F.max("l_tax"), F.max("l_discount"))
+                 .cast("decimal(18,4)").cast("double").alias("max_rate")))
+
+
+CONDITIONAL_FUNCS_SQL = """
+SELECT CASE WHEN l_quantity < 10 THEN 'small'
+            WHEN l_quantity < 30 THEN 'medium'
+            ELSE 'large' END AS qty_band,
+       coalesce(nullif(l_returnflag, 'N'), 'unreturned') AS flag,
+       count(*) AS row_count,
+       CAST(CAST(greatest(max(l_tax), max(l_discount)) AS DECIMAL(18,4))
+            AS DOUBLE) AS max_rate
+FROM lineitem
+GROUP BY 1, 2
+"""
+
+
+# --- scalar subquery (SQL surface) ------------------------------------------
+
+
+def scalar_subquery_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery through the engine's SQL surface (Catalyst plans the
+    subquery as a broadcast-exchanged single-row relation)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql("""
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders_v
+        WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
+              (SELECT CAST(max(o_totalprice) AS DECIMAL(18,2)) * 0.9
+               FROM orders_v)
+        GROUP BY o_orderpriority
+    """)
+
+
+SCALAR_SUBQUERY_SQL = """
+SELECT o_orderpriority, count(*) AS n
+FROM orders
+WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
+      (SELECT CAST(max(o_totalprice) AS DECIMAL(18,2)) * 0.9 FROM orders)
+GROUP BY o_orderpriority
+"""
+
+
+RELATIONAL_QUERIES: dict[str, tuple] = {
+    "join_inner_agg": (join_inner_agg_df, JOIN_INNER_AGG_SQL),
+    "join_semi": (join_semi_df, JOIN_SEMI_SQL),
+    "join_anti": (join_anti_df, JOIN_ANTI_SQL),
+    "window_rank": (window_rank_df, WINDOW_RANK_SQL),
+    "window_lag": (window_lag_df, WINDOW_LAG_SQL),
+    "rollup_agg": (rollup_df, ROLLUP_SQL),
+    "set_ops": (set_ops_df, SET_OPS_SQL),
+    "topk": (topk_df, TOPK_SQL),
+    "string_funcs": (string_funcs_df, STRING_FUNCS_SQL),
+    "date_funcs": (date_funcs_df, DATE_FUNCS_SQL),
+    "conditional_funcs": (conditional_funcs_df, CONDITIONAL_FUNCS_SQL),
+    "scalar_subquery": (scalar_subquery_df, SCALAR_SUBQUERY_SQL),
+}
