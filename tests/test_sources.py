@@ -1,0 +1,66 @@
+"""Source connectors: CSV/JSON land on the same declared-schema catalog
+cast as Parquet, so population results are identical across formats."""
+
+import pytest
+
+from ringo_spark.catalog import load_catalog
+from ringo_spark.model import PopulationMode
+from ringo_spark.populate.dimension import dimension_population_df
+from ringo_spark.sources.readers import load_mixed_catalog, read_source
+from ringo_spark.testbed import EVENTS, EVENTS_ENV, EVENTS_FACT, T_FAR
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def csv_json_dirs(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("srcfmt")
+    pq = load_catalog(spark, SF, [EVENTS])["events"]
+    # write without the internal shadow column; timestamps serialize as text
+    clean = pq.select(*[c.name for c in EVENTS.columns])
+    csv_dir, json_dir = str(base / "events_csv"), str(base / "events_json")
+    clean.coalesce(1).write.option("header", True).option(
+        "timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS").csv(csv_dir)
+    clean.coalesce(1).write.option(
+        "timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS").json(json_dir)
+    return csv_dir, json_dir
+
+
+def test_csv_json_match_parquet(spark, csv_json_dirs):
+    csv_dir, json_dir = csv_json_dirs
+    pq = load_catalog(spark, SF, [EVENTS])["events"]
+    want = {tuple(r) for r in pq.select("event_id", "user_id", "event_type",
+                                        "value").collect()}
+    for fmt, path in (("csv", csv_dir), ("json", json_dir)):
+        df = read_source(spark, EVENTS, path, fmt,
+                         options={"timestampFormat":
+                                  "yyyy-MM-dd HH:mm:ss.SSSSSS"})
+        got = {tuple(r) for r in df.select("event_id", "user_id", "event_type",
+                                           "value").collect()}
+        assert got == want, fmt
+        # timestamps survive the round trip at second granularity
+        assert df.schema["ts"].dataType.typeName() == "timestamp"
+
+
+def test_population_source_agnostic(spark, csv_json_dirs):
+    csv_dir, _ = csv_json_dirs
+    cat = load_mixed_catalog(
+        spark,
+        {"events": {"path": csv_dir, "fmt": "csv",
+                    "options": {"timestampFormat":
+                                "yyyy-MM-dd HH:mm:ss.SSSSSS"}}},
+        [EVENTS])
+    dim_csv = dimension_population_df(EVENTS_ENV, EVENTS_FACT,
+                                      "dim_event_type", cat, time_upper=T_FAR)
+    pq_cat = load_catalog(spark, SF, [EVENTS])
+    dim_pq = dimension_population_df(EVENTS_ENV, EVENTS_FACT,
+                                     "dim_event_type", pq_cat, time_upper=T_FAR)
+    assert sorted(map(tuple, dim_csv.collect())) == \
+        sorted(map(tuple, dim_pq.collect()))
+
+
+def test_unsupported_format_rejected(spark):
+    with pytest.raises(ValueError, match="unsupported source format"):
+        read_source(spark, EVENTS, "/nope", "avro")
+    with pytest.raises(ValueError, match="jdbc_url"):
+        read_source(spark, EVENTS, "events", "jdbc")
