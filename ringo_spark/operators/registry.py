@@ -13,6 +13,7 @@ from .similarity import (
     ann_lsh_bucketed_df,
 )
 from .relational import RELATIONAL_QUERIES
+from .rollup_grain import GRAIN_QUERIES
 from .text import (
     DOC_FINGERPRINT_SQL, LANG_ID_SQL, TEXT_QUALITY_SQL, TOKEN_COUNT_SQL,
     doc_fingerprint_df, lang_id_df, text_quality_df, token_count_df,
@@ -32,4 +33,5 @@ OPERATOR_QUERIES: dict[str, tuple] = {
     "doc_fingerprint": (doc_fingerprint_df, DOC_FINGERPRINT_SQL),
     "multimodal_features": (multimodal_features_df, MULTIMODAL_FEATURES_SQL),
     **RELATIONAL_QUERIES,
+    **GRAIN_QUERIES,
 }

@@ -1,0 +1,141 @@
+"""Tenant-keyed facts and multi-grain re-rollup.
+
+Covers the two remaining FactColumnType paths not exercised by the core
+testbed specs — ``TenantId`` (multi-tenant grouping + storage partition
+key) and ``FactCount(source)`` (non-null counts) — and demonstrates the
+reference's central physical-design idea: persisted fact measures are
+*mergeable partial aggregates* (avg = (count, sum) pair, Extractor.hs:48-51),
+so a coarser grain is a re-aggregation of the stored fact table, never a
+rescan of the OLTP source.
+
+``fact_events_hour_regrain`` re-rolls the minute-grain fact to hour grain
+purely from the minute fact's columns; its oracle computes the hour rollup
+directly from the raw events — equality proves the partial-aggregate
+design is lossless.  At 100 TB the minute fact is orders of magnitude
+smaller than the source, so the re-grain touches a fraction of the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_catalog
+from ..model import (
+    DimTime, DimVal, Fact, FactAverage, FactColumn, FactCount, FactMax,
+    FactMin, FactSum, Settings, TenantId, TimeUnit,
+)
+from ..populate.dimension import dimension_population_df
+from ..populate.fact import fact_population_df
+from ..validator import make_env
+from ..testbed import EVENTS, T_FAR, TYPE_DEFAULTS, SQL_FAR, _dbl
+
+# tenant-style fact: user_id is the tenant partition key; value_count
+# exercises count(<source column>) (non-null count, Populate/Fact.hs:160-161)
+EVENTS_TENANT_FACT = Fact("events_tenant", "events", [
+    FactColumn("ts", DimTime()),
+    FactColumn("user_id", TenantId()),
+    FactColumn("event_type", DimVal("event_type")),
+    FactColumn("value_count", FactCount("value")),
+    FactColumn("value_sum", FactSum("value")),
+    FactColumn("value_avg", FactAverage("value")),
+    FactColumn("value_max", FactMax("value")),
+    FactColumn("value_min", FactMin("value")),
+])
+
+TENANT_ENV = make_env([EVENTS], [EVENTS_TENANT_FACT],
+                      Settings(time_unit=TimeUnit.HOUR), TYPE_DEFAULTS)
+
+
+def _minute_env():
+    from ..testbed import EVENTS_ENV, EVENTS_FACT
+
+    return EVENTS_ENV, EVENTS_FACT
+
+
+def fact_events_tenant_by_hour_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_catalog(spark, sf_dir, [EVENTS])
+    dim = dimension_population_df(TENANT_ENV, EVENTS_TENANT_FACT,
+                                  "dim_event_type", cat, time_upper=T_FAR)
+    out = fact_population_df(TENANT_ENV, EVENTS_TENANT_FACT, cat,
+                             dims={"dim_event_type": dim}, time_upper=T_FAR)
+    return out.select("ts_hour_id", "user_id", "value_count",
+                      _dbl("value_sum"), "value_avg_count",
+                      _dbl("value_avg_sum"), _dbl("value_max"),
+                      _dbl("value_min"), "event_type_id")
+
+
+FACT_EVENTS_TENANT_BY_HOUR_SQL = f"""
+WITH dim_event_type AS (
+  SELECT CAST(row_number() OVER (ORDER BY event_type) AS INT) AS id, event_type
+  FROM (SELECT DISTINCT coalesce(event_type, '__UNKNOWN_VAL__') AS event_type
+        FROM events WHERE event_type IS NOT NULL AND ts < {SQL_FAR}))
+SELECT CAST(floor(epoch(e.ts) / 3600) AS BIGINT)                  AS ts_hour_id,
+       coalesce(e.user_id, -1)                                    AS user_id,
+       count(e.value)                                             AS value_count,
+       CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)        AS value_sum,
+       count(e.value)                                             AS value_avg_count,
+       CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)        AS value_avg_sum,
+       CAST(max(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)        AS value_max,
+       CAST(min(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)        AS value_min,
+       CAST(coalesce(d.id, -1) AS INT)                            AS event_type_id
+FROM events e
+LEFT JOIN dim_event_type d
+       ON d.event_type = coalesce(e.event_type, '__UNKNOWN_VAL__')
+WHERE e.ts < {SQL_FAR}
+GROUP BY 1, 2, 9
+"""
+
+
+def fact_events_hour_regrain_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-grain rollup computed by re-aggregating the minute-grain fact's
+    mergeable partial state (never rescanning raw events)."""
+    env, fact = _minute_env()
+    cat = load_catalog(spark, sf_dir, [EVENTS])
+    dim = dimension_population_df(env, fact, "dim_event_type", cat,
+                                  time_upper=T_FAR)
+    minute = fact_population_df(env, fact, cat, dims={"dim_event_type": dim},
+                                time_upper=T_FAR, count_distinct_mode="exact")
+    return (minute
+            .groupBy(F.floor(F.col("ts_minute_id") / 60).alias("ts_hour_id"),
+                     "user_id", "event_type_id")
+            .agg(F.sum("event_count").alias("event_count"),
+                 F.sum("value_sum").alias("value_sum"),
+                 F.sum("value_avg_count").alias("value_avg_count"),
+                 F.sum("value_avg_sum").alias("value_avg_sum"),
+                 F.max("value_max").alias("value_max"),
+                 F.min("value_min").alias("value_min"))
+            .select("ts_hour_id", "user_id", "event_type_id", "event_count",
+                    _dbl("value_sum"), "value_avg_count", _dbl("value_avg_sum"),
+                    _dbl("value_max"), _dbl("value_min")))
+
+
+# oracle computes the hour grain DIRECTLY from raw events: equality proves
+# the minute fact's partial aggregates re-roll losslessly
+FACT_EVENTS_HOUR_REGRAIN_SQL = f"""
+WITH dim_event_type AS (
+  SELECT CAST(row_number() OVER (ORDER BY event_type) AS INT) AS id, event_type
+  FROM (SELECT DISTINCT coalesce(event_type, '__UNKNOWN_VAL__') AS event_type
+        FROM events WHERE event_type IS NOT NULL AND ts < {SQL_FAR}))
+SELECT CAST(floor(epoch(e.ts) / 3600) AS BIGINT)                  AS ts_hour_id,
+       coalesce(e.user_id, -1)                                    AS user_id,
+       CAST(coalesce(d.id, -1) AS INT)                            AS event_type_id,
+       count(*)                                                   AS event_count,
+       CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)        AS value_sum,
+       count(e.value)                                             AS value_avg_count,
+       CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)        AS value_avg_sum,
+       CAST(max(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)        AS value_max,
+       CAST(min(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)        AS value_min
+FROM events e
+LEFT JOIN dim_event_type d
+       ON d.event_type = coalesce(e.event_type, '__UNKNOWN_VAL__')
+WHERE e.ts < {SQL_FAR}
+GROUP BY 1, 2, 3
+"""
+
+GRAIN_QUERIES: dict[str, tuple] = {
+    "fact_events_tenant_by_hour": (fact_events_tenant_by_hour_df,
+                                   FACT_EVENTS_TENANT_BY_HOUR_SQL),
+    "fact_events_hour_regrain": (fact_events_hour_regrain_df,
+                                 FACT_EVENTS_HOUR_REGRAIN_SQL),
+}

@@ -1,0 +1,60 @@
+"""Physical-plan regression tests: the properties that make these
+pipelines scale must stay visible in the plan — time predicates pushed to
+the parquet scan, dimension lookups as broadcast joins (never sort-merge),
+top-k as TakeOrderedAndProject, and no Python UDFs in the core path."""
+
+import pytest
+
+from ringo_spark.testbed import (
+    fact_events_by_minute_df, fact_lineitem_by_day_df,
+)
+from ringo_spark.operators.relational import topk_df
+from ringo_spark.operators.dedup import dedup_exact_df
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, df, mode="formatted"):
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode))
+
+
+def test_time_filter_pushed_to_scan(spark):
+    plan = plan_of(spark, fact_events_by_minute_df(spark, SF))
+    # nanos-encoded ts: the raw-shadow predicate must reach PushedFilters
+    assert "LessThan(ts," in plan
+    # declared-schema projection prunes unused source columns at the scan
+    assert "props" not in plan
+
+
+def test_dim_lookup_is_broadcast_not_sortmerge(spark):
+    plan = plan_of(spark, fact_lineitem_by_day_df(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # dim lookups must never degrade to a shuffle of the big side
+    assert "SortMergeJoin" not in plan
+
+
+def test_pushdown_on_plain_timestamp_scan(spark):
+    plan = plan_of(spark, fact_lineitem_by_day_df(spark, SF))
+    assert "LessThan(l_shipdate" in plan
+
+
+def test_topk_is_take_ordered(spark):
+    plan = plan_of(spark, topk_df(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_core_path_has_no_python_udfs(spark):
+    for df in (fact_events_by_minute_df(spark, SF),
+               fact_lineitem_by_day_df(spark, SF),
+               dedup_exact_df(spark, SF)):
+        plan = plan_of(spark, df)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+
+def test_aggregation_has_partial_and_final(spark):
+    # map-side partial aggregation must precede the exchange
+    plan = plan_of(spark, fact_events_by_minute_df(spark, SF), "simple")
+    before_exchange = plan.split("Exchange")[-1]
+    assert "HashAggregate" in before_exchange
