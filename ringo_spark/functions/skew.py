@@ -1,0 +1,68 @@
+"""Skew-mitigation helpers.
+
+AQE (enabled by the engine session) already splits skewed *join*
+partitions at runtime; these helpers cover the two cases AQE does not:
+
+- :func:`salted_aggregate` — two-phase aggregation for heavy-hitter group
+  keys.  Spark's hash aggregate does map-side partial aggregation, which
+  handles most skew; but when a single key dominates AND the aggregation
+  buffer spills (or the agg is not partially-aggregable, e.g. exact
+  count_distinct), salting spreads one key over N reducers, then a second
+  tiny aggregation merges the N partials.
+- :func:`salted_broadcast_left_join` — replicate-and-salt for joining a
+  big skewed left side against a *medium* right side that cannot be
+  broadcast whole: the right side is exploded N ways so the shuffle key
+  (key, salt) spreads the hot key's rows over N partitions.
+
+Both are deterministic: the salt is a hash of stable columns, not random.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, Column],
+    salt_col: str | Column,
+    buckets: int = 16,
+    merges: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Two-phase (salted) aggregation.
+
+    ``aggs``: output name -> aggregate over the raw rows (phase 1).
+    ``merges``: output name -> aggregate over phase-1 partials that merges
+    them (defaults to sum — correct for count/sum; pass min/max etc. for
+    others).  ``salt_col``: any stable column (hashed into ``buckets``).
+    """
+    salt = (F.abs(F.hash(F.col(salt_col) if isinstance(salt_col, str)
+                         else salt_col)) % buckets).alias("__salt")
+    phase1 = (df.groupBy(*keys, salt)
+              .agg(*[a.alias(n) for n, a in aggs.items()]))
+    merges = merges or {}
+    phase2 = phase1.groupBy(*keys).agg(*[
+        (merges[n] if n in merges else F.sum(F.col(n))).alias(n)
+        for n in aggs
+    ])
+    return phase2
+
+
+def salted_broadcast_left_join(
+    big: DataFrame,
+    medium: DataFrame,
+    on: list[str],
+    buckets: int = 8,
+    how: str = "left",
+) -> DataFrame:
+    """Join a skewed big side to a medium side by replicating the medium
+    side ``buckets`` times and salting the big side's key — the shuffle
+    spreads each hot key over ``buckets`` partitions."""
+    salt = (F.abs(F.hash(*[F.col(c) for c in big.columns])) % buckets)
+    big_s = big.withColumn("__salt", salt)
+    medium_s = medium.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))))
+    out = big_s.join(medium_s, on=[*on, "__salt"], how=how)
+    return out.drop("__salt")

@@ -1,0 +1,124 @@
+"""Property-based tests (hypothesis) over the pure schema layer — the
+reference pins behavior with a single doctest fixture; these check the
+derivation rules hold for arbitrary well-formed inputs."""
+
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from ringo_spark.extractor import (
+    dim_column_name, extract_dependencies, extract_dimension_tables,
+    extract_fact_table, extracted_fact_table_name, topo_order,
+)
+from ringo_spark.model import (
+    Column, DimTime, DimVal, Fact, FactColumn, FactCount, FactSum, NoDimId,
+    Nullable, Settings, Table, TimeUnit, UniqueKey,
+)
+from ringo_spark.validator import make_env, validate_env
+
+ident = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=8)
+
+
+@st.composite
+def envs(draw):
+    """A well-formed (table, fact) pair: a time column, K dim-value columns
+    spread over D dims, M measure columns."""
+    n_dims = draw(st.integers(1, 3))
+    dims = draw(st.lists(ident, min_size=n_dims, max_size=n_dims, unique=True))
+    dim_cols = []
+    fact_cols = [FactColumn("at", DimTime()), FactColumn("site", NoDimId())]
+    for d in dims:
+        for i in range(draw(st.integers(1, 3))):
+            cname = f"{d}_c{i}"
+            dim_cols.append(Column(cname, "text"))
+            fact_cols.append(FactColumn(cname, DimVal(d)))
+    n_measures = draw(st.integers(0, 2))
+    measure_cols = [Column(f"m{i}", "integer") for i in range(n_measures)]
+    fact_cols += [FactColumn(f"m{i}_sum", FactSum(f"m{i}"))
+                  for i in range(n_measures)]
+    fact_cols.append(FactColumn("n", FactCount()))
+    table = Table("src", [Column("at", "timestamp", Nullable.NOT_NULL),
+                          Column("site", "integer", Nullable.NOT_NULL)]
+                  + dim_cols + measure_cols)
+    unit = draw(st.sampled_from(list(TimeUnit)))
+    fact = Fact("f", "src", fact_cols)
+    env = make_env([table], [fact], Settings(time_unit=unit),
+                   {"text": "'x'", "integer": "-1", "timestamp": "'e'"})
+    return env, fact, dims, unit
+
+
+@given(envs())
+@settings(max_examples=50, deadline=None)
+def test_dimension_tables_invariants(case):
+    env, fact, dims, _ = case
+    tables = extract_dimension_tables(env, fact)
+    assert [t.name for t in tables] == sorted(f"dim_{d}" for d in dims)
+    for t in tables:
+        # surrogate key first, everything NOT NULL, PK + natural unique key
+        assert t.columns[0].name == "id" and t.columns[0].type == "serial"
+        assert all(c.nullable == Nullable.NOT_NULL for c in t.columns)
+        uk = [c for c in t.constraints if isinstance(c, UniqueKey)][0]
+        assert list(uk.columns) == [c.name for c in t.columns[1:]]
+
+
+@given(envs())
+@settings(max_examples=50, deadline=None)
+def test_fact_table_invariants(case):
+    env, fact, dims, unit = case
+    t = extract_fact_table(env, fact)
+    assert t.name == f"fact_f_by_{unit.unit_name}"
+    names = [c.name for c in t.columns]
+    # time id first, one FK per dim, grain unique key covers time+site+FKs
+    assert names[0] == f"at_{unit.unit_name}_id"
+    for d in dims:
+        assert f"{d}_id" in names
+    uk = [c for c in t.constraints if isinstance(c, UniqueKey)][0]
+    assert set(uk.columns) == {names[0], "site"} | {f"{d}_id" for d in dims}
+    assert all(c.nullable == Nullable.NOT_NULL for c in t.columns)
+
+
+@given(envs())
+@settings(max_examples=50, deadline=None)
+def test_dependencies_topo_consistency(case):
+    env, fact, dims, unit = case
+    deps = extract_dependencies(env, fact)
+    fact_table = f"fact_f_by_{unit.unit_name}"
+    assert set(deps) == {fact_table} | {f"dim_{d}" for d in dims}
+    order = topo_order(deps)
+    for d in dims:
+        assert order.index(f"dim_{d}") < order.index(fact_table)
+
+
+@given(ident, ident)
+def test_dim_column_name_strip(dim, rest):
+    # strips exactly one leading "<dim>_": round-trips for prefixed names
+    assert dim_column_name(dim, f"{dim}_{rest}") == rest
+    # names not carrying the prefix pass through unchanged
+    if not rest.startswith(dim + "_"):
+        assert dim_column_name(dim, rest) == rest
+
+
+@given(st.dictionaries(ident, ident, min_size=1, max_size=5), ident)
+def test_type_default_prefix_lookup(defaults, coltype):
+    from ringo_spark.model import Env
+
+    env = Env([], [], Settings(), defaults)
+    matching = sorted(k for k in defaults if coltype.startswith(k))
+    try:
+        got = env.type_default_for(coltype)
+        assert matching and got == defaults[matching[0]]
+    except KeyError:
+        assert not matching
+
+
+@given(st.lists(st.tuples(ident, st.lists(ident, max_size=3)), max_size=6))
+def test_topo_order_is_valid(pairs):
+    deps = {name: list(ds) for name, ds in pairs}
+    try:
+        order = topo_order(deps)
+    except ValueError:
+        return  # cycles are allowed to raise
+    for name, ds in deps.items():
+        for d in ds:
+            if d in deps:
+                assert order.index(d) < order.index(name)
