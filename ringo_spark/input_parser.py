@@ -53,7 +53,17 @@ def _parse_column(spec) -> Column:
     if not isinstance(spec, (list, tuple)) or len(spec) < 2:
         raise ValueError(f"Column needs at least two elements: name and type: {spec!r}")
     name, ctype = spec[0], spec[1]
-    nullable = _parse_nullable(spec[2]) if len(spec) > 2 else Nullable.NULL
+    try:
+        nullable = _parse_nullable(spec[2]) if len(spec) > 2 else Nullable.NULL
+    except ValueError as e:
+        if "(" in str(ctype) and ")" not in str(ctype):
+            # classic YAML flow-list trap: [value, numeric(18,2)] splits the
+            # type on its comma; point the user at the real problem
+            raise ValueError(
+                f"Column {name!r}: type {ctype!r} looks truncated at a comma "
+                f"— quote parameterized types in YAML flow lists, e.g. "
+                f'[{name}, "numeric(18,2)"]') from e
+        raise
     return Column(str(name), str(ctype), nullable)
 
 

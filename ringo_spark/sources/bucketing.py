@@ -1,0 +1,49 @@
+"""Bucketed storage for co-located joins.
+
+The reference's one potentially-large join is the parent-fact source join
+(e.g. lineitem ⋈ orders on the declared FK, Populate/Fact.hs:212).  Dims
+broadcast; this one doesn't.  At 100 TB that's the single biggest shuffle
+in the pipeline — unless both sources are stored bucketed by the join key,
+in which case Spark's bucketed scan lines partitions up and the sort-merge
+join runs with **no Exchange on either side**.
+
+Bucket count sizing: target ~128-256 MB of post-pruning data per bucket
+per side; for a 100 TB lineitem that's O(100k) buckets — pick a power of
+two so a later re-bucketing can split/merge cleanly.
+
+``tests/test_bucketing.py`` proves the exchange elimination on the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(df: DataFrame, table_name: str, bucket_cols: list[str],
+                   num_buckets: int, path: str | None = None,
+                   sort_cols: list[str] | None = None) -> None:
+    """Persist a source bucketed (and sorted) by its join key."""
+    w = (df.write.mode("overwrite").format("parquet")
+         .bucketBy(num_buckets, *bucket_cols)
+         .sortBy(*(sort_cols or bucket_cols)))
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)
+
+
+def bucketize_for_fact_join(spark: SparkSession, catalog: dict[str, DataFrame],
+                            pairs: list[tuple[str, str, str, str]],
+                            num_buckets: int = 8,
+                            prefix: str = "bkt_") -> dict[str, DataFrame]:
+    """Bucket both sides of each (left_table, left_col, right_table,
+    right_col) join pair; returns a catalog of the bucketed tables."""
+    out = dict(catalog)
+    done = set()
+    for lt, lc, rt, rc in pairs:
+        for name, col in ((lt, lc), (rt, rc)):
+            if name in done:
+                continue
+            write_bucketed(catalog[name], prefix + name, [col], num_buckets)
+            out[name] = spark.table(prefix + name)
+            done.add(name)
+    return out
