@@ -14,6 +14,7 @@ from .similarity import (
 )
 from .relational import RELATIONAL_QUERIES
 from .rollup_grain import GRAIN_QUERIES
+from .session import SESSION_QUERIES
 from .text import (
     DOC_FINGERPRINT_SQL, LANG_ID_SQL, TEXT_QUALITY_SQL, TOKEN_COUNT_SQL,
     doc_fingerprint_df, lang_id_df, text_quality_df, token_count_df,
@@ -34,4 +35,5 @@ OPERATOR_QUERIES: dict[str, tuple] = {
     "multimodal_features": (multimodal_features_df, MULTIMODAL_FEATURES_SQL),
     **RELATIONAL_QUERIES,
     **GRAIN_QUERIES,
+    **SESSION_QUERIES,
 }

@@ -1,0 +1,79 @@
+"""Sessionization: gap-based user sessions over the events stream.
+
+Batch form: the classic two-window formulation — flag rows whose gap from
+the previous event exceeds the timeout, running-sum the flags into a
+session index, aggregate per (user, session).  All JVM-side window
+functions; one shuffle on user_id that both windows and the final
+aggregation reuse (same partitioning ⇒ no second exchange).
+
+Timestamps compare on second-truncated epochs in both engines, so the
+nanos-vs-micros encoding difference cannot flip a gap decision.
+
+The true-streaming form of this operator (arbitrary stateful processing
+with ``applyInPandasWithState``) lives in
+:mod:`ringo_spark.streaming.sessionize`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_SECONDS = 1800
+
+
+def sessionize_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_catalog
+    from ..testbed import EVENTS
+
+    ev = (load_catalog(spark, sf_dir, [EVENTS])["events"]
+          .select("user_id",
+                  F.unix_timestamp("ts").alias("sec"),
+                  F.col("value").cast("decimal(18,2)").alias("value")))
+    w = Window.partitionBy("user_id").orderBy("sec", "value")
+    new_session = F.when(
+        (F.col("sec") - F.lag("sec").over(w)) > SESSION_GAP_SECONDS, 1) \
+        .when(F.lag("sec").over(w).isNull(), 1).otherwise(0)
+    with_idx = (ev.withColumn("new_s", new_session)
+                .withColumn("session_idx",
+                            F.sum("new_s").over(
+                                w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (with_idx.groupBy("user_id", "session_idx")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("sec").alias("session_start_sec"),
+                 F.max("sec").alias("session_end_sec"),
+                 F.sum("value").cast("double").alias("value_sum"))
+            .select("user_id", F.col("session_idx").cast("long"),
+                    "n_events", "session_start_sec", "session_end_sec",
+                    (F.col("session_end_sec") - F.col("session_start_sec"))
+                    .alias("duration_sec"), "value_sum"))
+
+
+SESSIONIZE_SQL = f"""
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CAST(value AS DECIMAL(18,2)) AS value
+  FROM events),
+flagged AS (
+  SELECT user_id, sec, value,
+         CASE WHEN lag(sec) OVER w IS NULL THEN 1
+              WHEN sec - lag(sec) OVER w > {SESSION_GAP_SECONDS} THEN 1
+              ELSE 0 END AS new_s
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY sec, value)),
+indexed AS (
+  SELECT user_id, sec, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY sec, value
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       count(*) AS n_events,
+       min(sec) AS session_start_sec,
+       max(sec) AS session_end_sec,
+       max(sec) - min(sec) AS duration_sec,
+       CAST(sum(value) AS DOUBLE) AS value_sum
+FROM indexed
+GROUP BY 1, 2
+"""
+
+SESSION_QUERIES = {"sessionize": (sessionize_df, SESSIONIZE_SQL)}
