@@ -133,9 +133,57 @@ WHERE e.ts < {SQL_FAR}
 GROUP BY 1, 2, 3
 """
 
+def fact_orders_by_week_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-grain rollup (TimeUnit.WEEK, 604800-second epoch buckets) of
+    the orders fact — same spec as the day-grain testbed fact, coarser
+    grain, exercising the remaining time unit."""
+    from ..testbed import CUSTOMER, LINEITEM, ORDERS, ORDERS_FACT
+
+    week_env = make_env([ORDERS, LINEITEM, CUSTOMER], [ORDERS_FACT],
+                        Settings(time_unit=TimeUnit.WEEK), TYPE_DEFAULTS)
+    cat = load_catalog(spark, sf_dir, [ORDERS])
+    dims = {
+        name: dimension_population_df(week_env, ORDERS_FACT, name, cat,
+                                      time_upper=T_FAR)
+        for name in ("dim_order_status", "dim_order_priority")
+    }
+    out = fact_population_df(week_env, ORDERS_FACT, cat, dims=dims,
+                             time_upper=T_FAR)
+    return out.select("o_orderdate_week_id", "order_count", _dbl("price_sum"),
+                      "o_custkey", "order_priority_id", "order_status_id")
+
+
+FACT_ORDERS_BY_WEEK_SQL = f"""
+WITH dim_order_status AS (
+  SELECT CAST(row_number() OVER (ORDER BY o_orderstatus) AS INT) AS id, o_orderstatus
+  FROM (SELECT DISTINCT coalesce(o_orderstatus, '__UNKNOWN_VAL__') AS o_orderstatus
+        FROM orders
+        WHERE o_orderstatus IS NOT NULL AND o_orderdate < {SQL_FAR})),
+dim_order_priority AS (
+  SELECT CAST(row_number() OVER (ORDER BY o_orderpriority) AS INT) AS id, o_orderpriority
+  FROM (SELECT DISTINCT coalesce(o_orderpriority, '__UNKNOWN_VAL__') AS o_orderpriority
+        FROM orders
+        WHERE o_orderpriority IS NOT NULL AND o_orderdate < {SQL_FAR}))
+SELECT CAST(floor(epoch(o.o_orderdate) / 604800) AS BIGINT)       AS o_orderdate_week_id,
+       count(*)                                                   AS order_count,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+       coalesce(o.o_custkey, -1)                                  AS o_custkey,
+       CAST(coalesce(dp.id, -1) AS INT)                           AS order_priority_id,
+       CAST(coalesce(ds.id, -1) AS INT)                           AS order_status_id
+FROM orders o
+LEFT JOIN dim_order_status ds
+       ON ds.o_orderstatus = coalesce(o.o_orderstatus, '__UNKNOWN_VAL__')
+LEFT JOIN dim_order_priority dp
+       ON dp.o_orderpriority = coalesce(o.o_orderpriority, '__UNKNOWN_VAL__')
+WHERE o.o_orderdate < {SQL_FAR}
+GROUP BY 1, 4, 5, 6
+"""
+
+
 GRAIN_QUERIES: dict[str, tuple] = {
     "fact_events_tenant_by_hour": (fact_events_tenant_by_hour_df,
                                    FACT_EVENTS_TENANT_BY_HOUR_SQL),
     "fact_events_hour_regrain": (fact_events_hour_regrain_df,
                                  FACT_EVENTS_HOUR_REGRAIN_SQL),
+    "fact_orders_by_week": (fact_orders_by_week_df, FACT_ORDERS_BY_WEEK_SQL),
 }
