@@ -45,7 +45,13 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The testdata ships one parquet file per table -> one input split; the
+    # shingling expressions are interpreted (higher-order) and CPU-bound,
+    # so spread rows across cores first.  At real scale the source has
+    # many splits and this repartition is a no-op cost-wise.
+    par = spark.sparkContext.defaultParallelism
     return (_docs(spark, sf_dir)
+            .repartition(par)
             .select("doc_id", shingles(tokens(F.col("text")), SHINGLE_N).alias("sh"))
             .where(F.size("sh") > 0))
 
@@ -154,6 +160,7 @@ def dedup_simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the oracle-checked output."""
     toks_h = F.transform(tokens(F.col("text")), lambda t: phash(t, 0))
     return (_docs(spark, sf_dir)
+            .repartition(spark.sparkContext.defaultParallelism)
             .select("doc_id", toks_h.alias("hs"))
             .select("doc_id", F.expr("""
 aggregate(sequence(0, 59), 0L, (acc, b) -> acc + IF(
