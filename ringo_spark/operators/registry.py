@@ -16,8 +16,9 @@ from .relational import RELATIONAL_QUERIES
 from .rollup_grain import GRAIN_QUERIES
 from .session import SESSION_QUERIES
 from .text import (
-    DOC_FINGERPRINT_SQL, LANG_ID_SQL, TEXT_QUALITY_SQL, TOKEN_COUNT_SQL,
-    doc_fingerprint_df, lang_id_df, text_quality_df, token_count_df,
+    DOC_FINGERPRINT_SQL, DOC_ROLLING_HASH_SQL, LANG_ID_SQL, TEXT_QUALITY_SQL,
+    TOKEN_COUNT_SQL, doc_fingerprint_df, doc_rolling_hash_df, lang_id_df,
+    text_quality_df, token_count_df,
 )
 
 OPERATOR_QUERIES: dict[str, tuple] = {
@@ -32,6 +33,7 @@ OPERATOR_QUERIES: dict[str, tuple] = {
     "lang_id": (lang_id_df, LANG_ID_SQL),
     "token_count": (token_count_df, TOKEN_COUNT_SQL),
     "doc_fingerprint": (doc_fingerprint_df, DOC_FINGERPRINT_SQL),
+    "doc_rolling_hash": (doc_rolling_hash_df, DOC_ROLLING_HASH_SQL),
     "multimodal_features": (multimodal_features_df, MULTIMODAL_FEATURES_SQL),
     **RELATIONAL_QUERIES,
     **GRAIN_QUERIES,

@@ -153,6 +153,20 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def cube_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^n grouping combinations in one pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("row_count")))
+
+
+CUBE_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS row_count
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 # --- set operations ---------------------------------------------------------
 
 
@@ -314,6 +328,7 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "window_rank": (window_rank_df, WINDOW_RANK_SQL),
     "window_lag": (window_lag_df, WINDOW_LAG_SQL),
     "rollup_agg": (rollup_df, ROLLUP_SQL),
+    "cube_agg": (cube_df, CUBE_SQL),
     "set_ops": (set_ops_df, SET_OPS_SQL),
     "topk": (topk_df, TOPK_SQL),
     "string_funcs": (string_funcs_df, STRING_FUNCS_SQL),

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .textfn import sql_tokens, tokens
+from .textfn import sql_phash, sql_tokens, tokens
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in"]
 
@@ -153,5 +153,32 @@ DOC_FINGERPRINT_SQL = f"""
 SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct({sql_tokens('text')})), ' '))
          AS fingerprint
+FROM documents
+"""
+
+ROLL_B, ROLL_P = 131, 2_147_483_647
+
+
+def doc_rolling_hash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive Karp-Rabin fingerprint: polynomial rolling hash over
+    the token-hash sequence, h = fold(h*B + t mod P).  Complements the
+    order-insensitive sorted-set fingerprint — equal only for documents
+    with identical token sequences."""
+    from .textfn import MINHASH_P, phash
+
+    hs = F.transform(tokens(F.col("text")),
+                     lambda t: phash(t) % F.lit(ROLL_P))
+    roll = F.aggregate(hs, F.lit(0).cast("long"),
+                       lambda acc, t: (acc * ROLL_B + t) % ROLL_P)
+    return _docs(spark, sf_dir).select("doc_id", roll.alias("rolling_hash"))
+
+
+DOC_ROLLING_HASH_SQL = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           [{sql_phash('t')} % {ROLL_P}
+            for t in {sql_tokens('text')}]),
+         (acc, t) -> (acc * {ROLL_B} + t) % {ROLL_P}) AS rolling_hash
 FROM documents
 """
