@@ -92,6 +92,54 @@ def ann_lsh_bucketed_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("q_id", "n_id", "rank", "cosine"))
 
 
+def ann_cosine_topk_arrow_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized-Python variant of the brute-force top-k: cosine scored in
+    numpy over Arrow batches (``mapInPandas``).  Same join/rank shape as
+    the JVM version; numpy's SIMD/pairwise summation means the last float
+    ulp can differ from strict left-to-right folds, so this variant is
+    checked rows-only by the driver and against the JVM version within
+    1e-9 in tests.  It exists as the template for embedding kernels that
+    genuinely need numpy (PCA whitening, quantization, learned indexes) —
+    batch-columnar, no per-row Python."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    emb = _emb(spark, sf_dir)
+    q_rows = (emb.where(F.col("vec_id") < N_QUERIES)
+              .select("vec_id", "embedding").collect())
+    q_ids = np.array([r.vec_id for r in q_rows])
+    q_mat = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    schema = T.StructType([
+        T.StructField("q_id", T.LongType()),
+        T.StructField("n_id", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+
+    def score(batches):
+        ids, mat = bc.value
+        for pdf in batches:
+            n_ids = pdf["vec_id"].to_numpy()
+            c = np.array(list(pdf["embedding"]), dtype=np.float64)
+            c /= np.linalg.norm(c, axis=1, keepdims=True)
+            sims = c @ mat.T  # (batch, n_queries)
+            out = pd.DataFrame({
+                "q_id": np.repeat(ids, len(n_ids)),
+                "n_id": np.tile(n_ids, len(ids)),
+                "cosine": np.round(sims.T.ravel(), 6),
+            })
+            yield out[out.q_id != out.n_id]
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(score, schema)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= TOP_K)
+            .select("q_id", "n_id", "rank", "cosine"))
+
+
 _SQL_BUCKET = " + ".join(
     f"(CASE WHEN embedding[{d}]::DOUBLE > 0 THEN {1 << j} ELSE 0 END)"
     for j, d in enumerate(BUCKET_DIMS))

@@ -103,3 +103,16 @@ def test_multimodal_stub_plumbing(spark):
     got = frames.collect()
     assert got and all(r.frame_idx % 4 == 0 for r in got)
     assert all(isinstance(r.frame_payload, (bytes, bytearray)) for r in got)
+
+
+def test_arrow_ann_matches_jvm_within_tolerance(spark):
+    from ringo_spark.operators.similarity import ann_cosine_topk_arrow_df
+
+    jvm = {(r.q_id, r.n_id): (r.rank, r.cosine)
+           for r in ann_cosine_topk_df(spark, SF).collect()}
+    arrow = {(r.q_id, r.n_id): (r.rank, r.cosine)
+             for r in ann_cosine_topk_arrow_df(spark, SF).collect()}
+    assert set(jvm) == set(arrow)
+    for k, (rk, cos) in jvm.items():
+        ark, acos = arrow[k]
+        assert rk == ark and abs(cos - acos) < 1e-9, (k, cos, acos)
