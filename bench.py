@@ -29,7 +29,11 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    "ann_lsh_bucketed",
     "text_quality",
+    "sessionize",
+    "fact_events_hour_regrain",
+    "multimodal_features",
 ]
 
 
