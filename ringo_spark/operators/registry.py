@@ -15,6 +15,7 @@ from .similarity import (
 from .relational import RELATIONAL_QUERIES
 from .rollup_grain import GRAIN_QUERIES
 from .session import SESSION_QUERIES
+from .tpch import TPCH_QUERIES
 from .text import (
     DOC_FINGERPRINT_SQL, DOC_ROLLING_HASH_SQL, LANG_ID_SQL, TEXT_QUALITY_SQL,
     TOKEN_COUNT_SQL, doc_fingerprint_df, doc_rolling_hash_df, lang_id_df,
@@ -39,4 +40,5 @@ OPERATOR_QUERIES: dict[str, tuple] = {
     **RELATIONAL_QUERIES,
     **GRAIN_QUERIES,
     **SESSION_QUERIES,
+    **TPCH_QUERIES,
 }

@@ -1,0 +1,128 @@
+"""TPC-H-style reference queries over the testdata (adapted to its
+schema), plus a per-key ordered-fold analytic.
+
+- ``q1_pricing_summary`` — the classic multi-aggregate scan (TPC-H Q1
+  shape): one pass, map-side partials, every derived measure in exact
+  decimal arithmetic.
+- ``q6_forecast_revenue`` — the classic selective-scan aggregate (Q6
+  shape): all predicates reach the parquet scan.
+- ``user_value_ema`` — exponential moving average of ``value`` per user in
+  event order: a recursive (order-sensitive) analytic no plain aggregate
+  expresses.  Implemented as sort_array(collect_list(struct)) + a
+  higher-order fold — identical left-to-right double arithmetic in
+  DuckDB's ``list_reduce``, so even this is hash-checked exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def q1_pricing_summary_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    # factors kept narrow so the triple product stays under decimal
+    # precision 38 in BOTH engines (Spark would otherwise reduce scale
+    # lossily on overflow and diverge from DuckDB)
+    disc_f = (1 - F.col("l_discount").cast("decimal(18,4)")).cast("decimal(8,4)")
+    tax_f = (1 + F.col("l_tax").cast("decimal(18,4)")).cast("decimal(8,4)")
+    disc_price = price * disc_f            # decimal(27,6), exact
+    charge = price * disc_f * tax_f        # decimal(36,10), exact
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(qty).cast("double").alias("sum_qty"),
+                 F.sum(price).cast("double").alias("sum_base_price"),
+                 # rounded to 2 before the double cast: >15-significant-digit
+                 # decimals convert to double with double-rounding in DuckDB
+                 # but correct rounding in Spark; at scale 2 both are exact
+                 F.round(F.sum(disc_price), 2).cast("double")
+                 .alias("sum_disc_price"),
+                 F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+Q1_PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(8,4))), 2)
+            AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(8,4))
+                * CAST(1 + CAST(l_tax AS DECIMAL(18,4)) AS DECIMAL(8,4))), 2)
+            AS DOUBLE) AS sum_charge,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+def q6_forecast_revenue_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    return (li.where((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                     & (F.col("l_shipdate") < F.lit("1997-01-01"))
+                     & (F.col("l_discount").cast("decimal(18,4)")
+                        .between(0.05, 0.07))
+                     & (F.col("l_quantity") < 24))
+            .agg(F.sum((price * disc).cast("decimal(28,6)"))
+                 .cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_rows")))
+
+
+Q6_FORECAST_REVENUE_SQL = """
+SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * CAST(l_discount AS DECIMAL(18,4))
+                     AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND CAST(l_discount AS DECIMAL(18,4)) BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+EMA_ALPHA = 0.5
+
+
+def user_value_ema_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EMA of value in (second, event_id) order — an inherently
+    sequential fold executed as a JVM higher-order aggregate."""
+    from ..catalog import load_catalog
+    from ..testbed import EVENTS
+
+    ev = (load_catalog(spark, sf_dir, [EVENTS])["events"]
+          .select("user_id", "event_id",
+                  F.unix_timestamp("ts").alias("sec"),
+                  F.col("value").cast("double").alias("v")))
+    per_user = (ev.groupBy("user_id")
+                .agg(F.sort_array(F.collect_list(
+                    F.struct("sec", "event_id", "v"))).alias("seq")))
+    ema = F.aggregate(
+        F.col("seq"), F.lit(0.0),
+        lambda acc, x: acc * (1 - EMA_ALPHA) + x["v"] * EMA_ALPHA)
+    return per_user.select("user_id", F.size("seq").alias("n_events"),
+                           F.round(ema, 6).alias("ema"))
+
+
+USER_VALUE_EMA_SQL = f"""
+SELECT user_id, CAST(len(seq) AS INT) AS n_events,
+       round(list_reduce(list_prepend(0.0, seq),
+                         (acc, v) -> acc * {1 - EMA_ALPHA} + v * {EMA_ALPHA}),
+             6) AS ema
+FROM (SELECT user_id,
+             list(value ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+               AS seq
+      FROM events GROUP BY user_id)
+"""
+
+TPCH_QUERIES: dict[str, tuple] = {
+    "q1_pricing_summary": (q1_pricing_summary_df, Q1_PRICING_SUMMARY_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue_df, Q6_FORECAST_REVENUE_SQL),
+    "user_value_ema": (user_value_ema_df, USER_VALUE_EMA_SQL),
+}
