@@ -81,37 +81,61 @@ GROUP BY 1
 
 def dedup_minhash_lsh_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs: banded-MinHash candidates, verified by exact
-    Jaccard over distinct shingle sets.  Returns (doc_a, doc_b, jaccard)."""
+    Jaccard over distinct shingle sets.  Returns (doc_a, doc_b, jaccard).
+
+    Scale layout: band rows carry (doc_id, band_key) ONLY — the shingle
+    arrays (the heaviest column) never enter the band explode or the
+    LSH self-join shuffle.  Candidate pairs are materialized (tiny:
+    collision pairs only), the signature cache is released, and exact
+    Jaccard verification joins the pair list back to the shingle table —
+    the same layout as the DuckDB oracle below.
+    """
     rows_per_band = NUM_PERM // BANDS
-    base = (_shingled(spark, sf_dir)
-            .withColumn("hs", shingle_hashes(F.col("sh")))
-            .withColumn("sig", minhash_signature(F.col("hs"), NUM_PERM)))
+    shingled = _shingled(spark, sf_dir)
+    # Persist the 12-int signatures (no shingle arrays): the LSH self-join
+    # reads this twice; everything cached here is ~100 bytes/doc.
+    sigs = (shingled
+            .select("doc_id",
+                    minhash_signature(shingle_hashes(F.col("sh")),
+                                      NUM_PERM).alias("sig"))
+            .persist())
 
     band_key = F.concat_ws(
         ":", F.col("b").cast("string"),
         *[F.get("sig", F.col("b") * rows_per_band + i).cast("string")
           for i in range(rows_per_band)])
-    bands = (base
-             .select("doc_id", "sh",
+    bands = (sigs
+             .select("doc_id",
                      F.explode(F.sequence(F.lit(0), F.lit(BANDS - 1))).alias("b"),
                      "sig")
-             .select("doc_id", "sh", band_key.alias("band_key"))
-             # materialized once: the self-join would otherwise recompute
-             # shingling + signatures for both sides (at scale: persist or
-             # checkpoint the signature table before LSH joins)
-             .persist())
+             .select("doc_id", band_key.alias("band_key")))
 
     a, b = bands.alias("a"), bands.alias("b")
     cand = (a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"),
-                    F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
-            .dropDuplicates(["doc_a", "doc_b"]))
+                    F.col("b.doc_id").alias("doc_b"))
+            .dropDuplicates(["doc_a", "doc_b"])
+            # Materialize the (small) pair list so the signature cache can
+            # be released before the verification joins.  On a cluster,
+            # swap for .checkpoint() to reliable storage if executor loss
+            # during verification matters.
+            .localCheckpoint(eager=True))
+    sigs.unpersist()
+
+    # Verification: join candidates back to the shingle table.  `cand` is
+    # tiny relative to the corpus, so AQE turns these into broadcast joins
+    # of the pair list against a map-side scan — shingle arrays never
+    # shuffle.
+    sh_a = shingled.select(F.col("doc_id").alias("doc_a"),
+                           F.col("sh").alias("sh_a"))
+    sh_b = shingled.select(F.col("doc_id").alias("doc_b"),
+                           F.col("sh").alias("sh_b"))
+    ver = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
 
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
-    return (cand.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    return (ver.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
             .where(F.col("jaccard") >= JACCARD_THRESHOLD))
 
 
@@ -170,10 +194,10 @@ aggregate(sequence(0, 59), 0L, (acc, b) -> acc + IF(
 
 DEDUP_SIMHASH_SQL = f"""
 SELECT doc_id,
-       list_sum([CASE WHEN list_sum(
+       CAST(list_sum([CASE WHEN list_sum(
            [CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END for h in hs]) > 0
          THEN (1::BIGINT << b) ELSE 0::BIGINT END
-         for b in generate_series(0, 59)]) AS simhash
+         for b in generate_series(0, 59)]) AS BIGINT) AS simhash
 FROM (SELECT doc_id,
              [{sql_phash('t', 0)} for t in {sql_tokens('text')}] AS hs
       FROM documents)
