@@ -80,19 +80,40 @@ class Engine:
     def _path(self, table: str, staging: bool = False) -> str:
         return os.path.join(self.storage, table + ("__staging" if staging else ""))
 
+    def _recover_swap(self, table: str) -> None:
+        """Heal a swap that crashed between rename-aside and rename-in:
+        the previous table sits at ``<table>__old`` with no live dir."""
+        live = self._path(table)
+        old = live + "__old"
+        if not os.path.exists(live) and os.path.exists(old):
+            os.rename(old, live)
+
     def read_table(self, table: str) -> DataFrame:
+        self._recover_swap(table)
         return self.spark.read.parquet(self._path(table))
 
     def _write_full(self, df: DataFrame, table: str, partition_by=()) -> None:
-        """Staging write + atomic directory swap."""
+        """Staging write + crash-safe directory swap.
+
+        Order matters: the previous live directory is renamed *aside*
+        before staging is renamed in, so a crash at any point leaves either
+        the old table or the new one readable — never neither.  The aside
+        copy is deleted last (and reclaimed on the next swap if the delete
+        itself crashed)."""
         staging, live = self._path(table, True), self._path(table)
+        old = live + "__old"
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(staging)
+        self._recover_swap(table)     # heal a swap crashed before rename-in
+        if os.path.exists(old):       # leftover from a crash mid-delete
+            shutil.rmtree(old)
         if os.path.exists(live):
-            shutil.rmtree(live)
+            os.rename(live, old)
         os.rename(staging, live)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
     def _write_append(self, df: DataFrame, table: str, partition_by=()) -> None:
         w = df.write.mode("append")
@@ -113,8 +134,13 @@ class Engine:
         return {}
 
     def _store_watermark(self, table: str, upper) -> None:
+        """Record the exclusive upper bound of the last refresh as an ISO
+        timestamp — the resume point for the next incremental run (see
+        run_fact).  Unbounded refreshes (upper=None) store nothing."""
+        if upper is None:
+            return
         wm = self.watermarks()
-        wm[table] = str(upper)
+        wm[table] = upper.isoformat() if hasattr(upper, "isoformat") else str(upper)
         with open(self._wm_path, "w") as fh:
             json.dump(wm, fh, indent=2)
 
@@ -124,13 +150,49 @@ class Engine:
         return [fc.target_column for fc in fact.columns
                 if isinstance(fc.type, TenantId)]
 
+    def _with_fact_partitioning(self, fact: Fact, df: DataFrame
+                                ) -> tuple[DataFrame, list[str]]:
+        """(df with derived day column, partition column list) when
+        partition_facts is on — shared by initial writes and compaction so
+        re-writes never silently drop the directory layout."""
+        if not self.partition_facts:
+            return df, []
+        s = self.env.settings
+        partition_by = []
+        for fc in fact.columns:
+            if isinstance(fc.type, DimTime):
+                from .extractor import time_unit_column_name
+
+                tid = time_unit_column_name(
+                    s.dim_table_id_column_name, fc.target_column, s.time_unit)
+                day = f"{fc.target_column}_day"
+                if day not in df.columns:
+                    df = df.withColumn(
+                        day, F.floor(F.col(tid) * s.time_unit.seconds / 86400))
+                partition_by.append(day)
+                break
+        partition_by += self._fact_partition_cols(fact)
+        return df, partition_by
+
     def run_fact(self, fact: Fact, mode: PopulationMode, time_upper,
-                 time_lower=None) -> str:
+                 time_lower=None, resume: bool = True) -> str:
         """Populate one fact and every dimension it (recursively) needs;
-        returns the extracted fact table name."""
+        returns the extracted fact table name.
+
+        Incremental runs with no explicit lower bound resume from the
+        stored watermark (the previous run's upper bound); pass
+        ``resume=False`` to process an unbounded window instead (the
+        streaming pipeline does — its micro-batches are already bounded)."""
         if not hasattr(self, "_populated_this_run"):
             self._populated_this_run = set()
         from .extractor import extract_all_dimension_tables
+
+        if resume and mode == PopulationMode.INCREMENTAL and time_lower is None:
+            stored = self.watermarks().get(extract_fact_table(self.env, fact).name)
+            if stored is not None:
+                import datetime as _dt
+
+                time_lower = _dt.datetime.fromisoformat(stored)
 
         for dim_fact, dim_table in extract_all_dimension_tables(self.env, fact):
             if self.env.find_table(dim_table.name) is not None:
@@ -165,7 +227,6 @@ class Engine:
                         time_upper, time_lower) -> str:
         from .extractor import extract_all_dimension_tables
 
-        s = self.env.settings
         derived = extract_fact_table(self.env, fact)
         dim_names = {t.name for _, t in extract_all_dimension_tables(self.env, fact)
                      if self.env.find_table(t.name) is None}
@@ -174,20 +235,7 @@ class Engine:
                                 mode=mode, time_upper=time_upper,
                                 time_lower=time_lower,
                                 count_distinct_mode=self.count_distinct_mode)
-        partition_by = []
-        if self.partition_facts:
-            for fc in fact.columns:
-                if isinstance(fc.type, DimTime):
-                    from .extractor import time_unit_column_name
-
-                    tid = time_unit_column_name(
-                        s.dim_table_id_column_name, fc.target_column, s.time_unit)
-                    day = f"{fc.target_column}_day"
-                    df = df.withColumn(
-                        day, F.floor(F.col(tid) * s.time_unit.seconds / 86400))
-                    partition_by.append(day)
-                    break
-            partition_by += self._fact_partition_cols(fact)
+        df, partition_by = self._with_fact_partitioning(fact, df)
         if mode == PopulationMode.INCREMENTAL and os.path.exists(self._path(derived.name)):
             self._write_append(df, derived.name, partition_by)
         else:
@@ -246,8 +294,10 @@ class Engine:
         keys = [c for c in df.columns if c not in measures]
         out = df.groupBy(*keys).agg(*measure_aggs).select(*df.columns)
         # safe: _write_full materializes into the staging dir before the
-        # live dir (our input) is replaced
-        self._write_full(out, derived.name)
+        # live dir (our input) is replaced; re-applying the partitioning
+        # keeps the day/tenant directory layout through compaction
+        out, partition_by = self._with_fact_partitioning(fact, out)
+        self._write_full(out, derived.name, partition_by)
 
     # --- artifacts (writeFiles parity, Main.hs:35-83) ----------------------
 

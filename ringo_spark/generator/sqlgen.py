@@ -29,7 +29,7 @@ from ..model import (
     FactCountDistinct, FactMax, FactMin, FactSum, ForeignKey, NoDimId,
     Nullable, PopulationMode, PrimaryKey, Table, TenantId, UniqueKey,
 )
-from ..populate.common import dim_column_mapping
+from ..populate.common import dim_column_mapping, table_pk_column
 from ..sparktypes import pg_type_to_spark
 
 
@@ -81,7 +81,10 @@ def fact_table_defn_sql(env: Env, fact: Fact) -> str:
         + (" NOT NULL" if c.nullable == Nullable.NOT_NULL else "")
         for c in table.columns)
     comments = "\n".join(_constraint_comment(c) for c in table.constraints)
-    part = (f"\nPARTITIONED BY (FLOOR({time_cols[0]} / 1440))  "
+    # buckets-per-day depends on the time grain; at week grain the bucket is
+    # already coarser than a day, so partition by the column itself (div 1)
+    day_div = max(1, 86400 // s.time_unit.seconds)
+    part = (f"\nPARTITIONED BY (FLOOR({time_cols[0]} / {day_div}))  "
             f"-- daily partitions of {time_cols[0]}" if time_cols else "")
     return (f"CREATE TABLE {table.name} (\n{cols}\n) USING PARQUET{part};\n"
             + comments + "\n")
@@ -159,7 +162,8 @@ def fact_table_populate_sql(env: Env, fact: Fact,
             src = f"{f_name}.{t.source_column}" if t.source_column else "*"
             select_items.append(f"count({src}) AS {cname}")
         elif isinstance(t, FactCountDistinct):
-            src = f"{f_name}.{t.source_column}" if t.source_column else f"{f_name}.{cname}"
+            # no source column -> source table PK (Populate/Fact.hs:75)
+            src = f"{f_name}.{t.source_column or table_pk_column(f_table)}"
             select_items.append(
                 f"approx_count_distinct({src}, {s.fact_count_distinct_error_rate})"
                 f" AS {cname}")

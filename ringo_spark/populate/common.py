@@ -73,6 +73,34 @@ def dim_column_mapping(dim_prefix: str, fact: Fact, dim_table_name: str
     ]
 
 
+def fk_spark_type(settings) -> str:
+    """Spark cast target for surrogate ids / dim FK columns, derived from
+    ``settings.dim_table_id_column_type`` ('serial' -> int, 'bigserial' ->
+    bigint) via the same mapping the extracted schema uses
+    (Extractor/Internal.hs:54-59)."""
+    from ..extractor import id_col_type_to_fk_id_col_type
+    from ..sparktypes import pg_type_to_spark
+
+    return pg_type_to_spark(
+        id_col_type_to_fk_id_col_type(settings.dim_table_id_column_type)
+    ).simpleString()
+
+
+def table_pk_column(table: Table) -> str | None:
+    """The table's PrimaryKey column name, if declared.
+
+    The reference counts distinct over the source table's primary key when
+    FactCountDistinct names no source column (Populate/Fact.hs:75,
+    ``fromMaybe tablePKColName scName``) — it crashes via ``head`` when the
+    table has no PK; we validate instead (validator.MissingPrimaryKey)."""
+    from ..model import PrimaryKey
+
+    for c in table.constraints:
+        if isinstance(c, PrimaryKey):
+            return c.column
+    return None
+
+
 def time_column_name(fact: Fact) -> str:
     from ..model import DimTime
 

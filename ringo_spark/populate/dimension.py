@@ -36,7 +36,8 @@ from pyspark.sql import functions as F
 
 from ..model import Env, Fact, PopulationMode
 from .common import (
-    coalesce_column, dim_column_mapping, time_column_name, time_filter,
+    coalesce_column, dim_column_mapping, fk_spark_type, time_column_name,
+    time_filter,
 )
 
 
@@ -99,6 +100,7 @@ def dimension_population_df(
     if not assign_ids:
         return rows
 
+    id_type = fk_spark_type(s)  # serial -> int, bigserial -> bigint
     w = Window.orderBy(*[F.col(c) for c in dim_cols])
     with_id = rows.withColumn(id_col, F.row_number().over(w))
     if mode == PopulationMode.INCREMENTAL:
@@ -106,8 +108,8 @@ def dimension_population_df(
             existing_dim.agg(F.coalesce(F.max(id_col), F.lit(0)).alias("__id_offset")))
         with_id = (with_id.crossJoin(offset)
                    .withColumn(id_col, (F.col(id_col) + F.col("__id_offset"))
-                               .cast("int"))
+                               .cast(id_type))
                    .drop("__id_offset"))
     else:
-        with_id = with_id.withColumn(id_col, F.col(id_col).cast("int"))
+        with_id = with_id.withColumn(id_col, F.col(id_col).cast(id_type))
     return with_id.select(id_col, *dim_cols)

@@ -41,7 +41,10 @@ from ..model import (
     FactCountDistinct, FactMax, FactMin, FactSum, NoDimId, Nullable,
     PopulationMode, TenantId, ForeignKey,
 )
-from .common import coalesce_column, dim_column_mapping, qcol, time_bucket_expr
+from .common import (
+    coalesce_column, dim_column_mapping, fk_spark_type as _fk_spark_type,
+    qcol, table_pk_column, time_bucket_expr,
+)
 
 
 def _fk_join_condition(env: Env, fact_table, other_table_name: str):
@@ -123,8 +126,14 @@ def fact_population_df(
             src = qcol(f_name, t.source_column) if t.source_column else F.lit(1)
             agg_exprs.append(F.count(src).alias(cname))
         elif isinstance(t, FactCountDistinct):
-            src = qcol(f_name, t.source_column) if t.source_column else qcol(f_name, cname)
-            agg_exprs.append(count_distinct(src, cname))
+            # no source column -> the source table's primary key
+            # (Populate/Fact.hs:75); validated in validator._validate_fact
+            src_name = t.source_column or table_pk_column(f_table)
+            if src_name is None:
+                raise ValueError(
+                    f"FactCountDistinct {fact.name}.{cname} has no source "
+                    f"column and table {f_name} has no primary key")
+            agg_exprs.append(count_distinct(qcol(f_name, src_name), cname))
         elif isinstance(t, FactSum):
             agg_exprs.append(F.sum(qcol(f_name, t.source_column)).alias(cname))
         elif isinstance(t, FactMax):
@@ -167,7 +176,8 @@ def fact_population_df(
             dim_joins.append((dim_df, cond, alias, fk_name))
             group_exprs.append(
                 (fk_name,
-                 coalesce_fk(qcol(alias, s.dim_table_id_column_name)).cast("int")))
+                 coalesce_fk(qcol(alias, s.dim_table_id_column_name))
+                 .cast(_fk_spark_type(s))))
 
     for dim_df, cond, alias, _ in dim_joins:
         df = df.join(F.broadcast(dim_df.alias(alias)), cond, "left")

@@ -38,7 +38,8 @@ from ..model import (
     FactMax, FactMin, FactSum, NoDimId, Nullable, PopulationMode, TenantId,
 )
 from ..populate.common import (
-    coalesce_column, dim_column_mapping, qcol, time_column_name,
+    coalesce_column, dim_column_mapping, qcol, table_pk_column,
+    time_column_name,
 )
 
 
@@ -88,7 +89,8 @@ def streaming_fact_rollup(
             aggs.append(F.count(src).alias(cname))
             post.append(F.col(cname))
         elif isinstance(t, FactCountDistinct):
-            src = qcol(f_name, t.source_column or cname)
+            # no source column -> source table PK (Populate/Fact.hs:75)
+            src = qcol(f_name, t.source_column or table_pk_column(f_table))
             aggs.append(F.approx_count_distinct(
                 src, rsd=s.fact_count_distinct_error_rate).alias(cname))
             post.append(F.col(cname))
@@ -156,7 +158,7 @@ class StreamingPipeline:
         # upstream in the stream); use open bounds
         eng._populated_this_run = set()
         eng.run_fact(fact, PopulationMode.INCREMENTAL,
-                     time_upper=None, time_lower=None)
+                     time_upper=None, time_lower=None, resume=False)
 
     def start(self, stream_df: DataFrame, checkpoint: str,
               trigger_once: bool = True):

@@ -11,9 +11,9 @@ from __future__ import annotations
 from collections import Counter
 
 from .model import (
-    DimId, DimTime, DimVal, Env, Fact, ForeignKey, NoDimId, Nullable,
-    PrimaryKey, Settings, Table, TenantId, TypeDefaults, UniqueKey,
-    ValidationError, ValidationFailed,
+    DimId, DimTime, DimVal, Env, Fact, FactCountDistinct, ForeignKey,
+    NoDimId, Nullable, PrimaryKey, Settings, Table, TenantId, TypeDefaults,
+    UniqueKey, ValidationError, ValidationFailed,
 )
 
 
@@ -62,6 +62,16 @@ def _validate_fact(tables, facts, type_defaults: TypeDefaults, fact: Fact) -> li
         if isinstance(fc.type, DimId):
             if not any(t.name == fc.type.table for t in tables):
                 errors.append(ValidationError("MissingTable", fc.type.table))
+        if isinstance(fc.type, FactCountDistinct) and fc.type.source_column is None:
+            # count-distinct defaults to the source table's primary key
+            # (Populate/Fact.hs:75 uses `head` and crashes when absent —
+            # we surface it as a 10th error kind instead)
+            has_pk = any(isinstance(c, PrimaryKey) for c in table.constraints)
+            if not has_pk:
+                errors.append(ValidationError(
+                    "MissingPrimaryKey", fact.table_name,
+                    f"FactCountDistinct {fc.target_column} needs a source "
+                    f"column or a primary key"))
 
     time_cols = [fc.target_column for fc in fact.columns if isinstance(fc.type, DimTime)]
     if not time_cols:

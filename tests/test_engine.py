@@ -27,9 +27,9 @@ def test_full_run_populates_all_tables(engine):
     for t in ["dim_order_status", "dim_order_priority", "dim_line_status",
               "fact_orders_by_day", "fact_lineitem_by_day"]:
         assert engine.read_table(t).count() > 0, t
-    # watermarks recorded per table
+    # watermarks recorded per table as ISO timestamps (resume points)
     wm = engine.watermarks()
-    assert wm["fact_orders_by_day"] == str(T_FAR)
+    assert dt.datetime.fromisoformat(wm["fact_orders_by_day"]) == T_FAR
     # lineitem fact carries inherited dims: orders dims via FK join
     li = engine.read_table("fact_lineitem_by_day")
     assert {"order_status_id", "order_priority_id", "o_custkey",
@@ -82,3 +82,61 @@ def test_partitioned_fact_write(spark, tmp_path):
     base = os.path.join(eng.storage, "fact_orders_by_day")
     # hive-style day partitions on disk -> partition pruning at read time
     assert any(d.startswith("o_orderdate_day=") for d in os.listdir(base))
+
+
+def test_compact_preserves_partitioning(spark, tmp_path):
+    eng = Engine(spark, ORDERS_ENV, str(tmp_path / "w3"), partition_facts=True)
+    eng.load_sources("/root/testdata/sf0.001")
+    fact = ORDERS_ENV.find_fact("orders")
+    eng.run_fact(fact, PopulationMode.FULL, T_FAR)
+    before = eng.read_table("fact_orders_by_day").count()
+    eng.compact_fact(fact)
+    after = eng.read_table("fact_orders_by_day")
+    assert after.count() == before  # full refresh was already one-row-per-grain
+    base = os.path.join(eng.storage, "fact_orders_by_day")
+    assert any(d.startswith("o_orderdate_day=") for d in os.listdir(base)), \
+        "compaction dropped the day directory partitioning"
+
+
+def test_crash_during_swap_leaves_readable_table(engine, monkeypatch):
+    """Kill the swap between rename-aside and rename-in: the previous table
+    must stay recoverable, and the next write must heal it."""
+    import ringo_spark.engine as engmod
+
+    engine.run(PopulationMode.FULL, T_ORDERS_MID)
+    before = engine.read_table("fact_orders_by_day").count()
+
+    real_rename = os.rename
+
+    def crashing_rename(src, dst):
+        # crash exactly at the fact table's rename-in step (dims already
+        # swapped), after live was renamed aside
+        if src.endswith("__staging") and "fact_orders_by_day" in src:
+            raise RuntimeError("simulated crash mid-swap")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(engmod.os, "rename", crashing_rename)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        engine.run(PopulationMode.FULL, T_FAR)
+    monkeypatch.undo()
+
+    # crashed between live->old and staging->live: read recovers from old
+    assert engine.read_table("fact_orders_by_day").count() == before
+    # and a clean re-run completes the refresh
+    engine.run(PopulationMode.FULL, T_FAR)
+    assert engine.read_table("fact_orders_by_day").count() >= before
+    assert not os.path.exists(
+        os.path.join(engine.storage, "fact_orders_by_day__old"))
+
+
+def test_incremental_resumes_from_stored_watermark(engine):
+    engine.run(PopulationMode.FULL, T_ORDERS_MID)
+    n1 = engine.read_table("fact_orders_by_day").count()
+    # no explicit lower bound: resume from the stored T_ORDERS_MID watermark
+    engine.run(PopulationMode.INCREMENTAL, T_FAR)
+    df = engine.read_table("fact_orders_by_day")
+    assert df.count() > n1
+    # windows were disjoint (watermark == previous upper): no grain-key dupes
+    keys = ["o_orderdate_day_id", "o_custkey", "order_priority_id",
+            "order_status_id"]
+    assert df.count() == df.select(*keys).distinct().count()

@@ -127,3 +127,38 @@ def test_fact_population_incremental_window(spark):
                              time_upper=dt.datetime(2030, 1, 1),
                              time_lower=dt.datetime(2024, 6, 2))
     assert out.count() == 1  # only row 5 in the window
+
+
+def test_count_distinct_defaults_to_primary_key(spark):
+    """FactCountDistinct with no source column counts the source table's PK
+    (Populate/Fact.hs:75) — not a column named after the target."""
+    from ringo_spark.model import FactCountDistinct
+
+    fact = Fact("clicks", "clicks", [
+        FactColumn("at", DimTime()),
+        FactColumn("uniq", FactCountDistinct()),   # no such column 'uniq'
+    ])
+    env = make_env([SRC], [fact], Settings(time_unit=TimeUnit.HOUR), DEFAULTS)
+    out = fact_population_df(env, fact, mk_catalog(spark),
+                             time_upper=dt.datetime(2030, 1, 1),
+                             count_distinct_mode="exact")
+    got = {(r.at_hour_id, r.uniq) for r in out.collect()}
+    hour1 = int(T0.replace(tzinfo=dt.timezone.utc).timestamp()) // 3600
+    hour2 = int(dt.datetime(2024, 6, 2, 11, 0, tzinfo=dt.timezone.utc)
+                .timestamp()) // 3600
+    assert got == {(hour1, 4), (hour2, 1)}  # distinct ids, hour buckets
+
+
+def test_bigserial_id_type(spark):
+    """dim_table_id_column_type drives the surrogate-id / FK cast: bigserial
+    ids must come out as bigint, not int."""
+    env = make_env([SRC], [FACT],
+                   Settings(time_unit=TimeUnit.HOUR,
+                            dim_table_id_column_type="bigserial"), DEFAULTS)
+    cat = mk_catalog(spark)
+    dim = dimension_population_df(env, FACT, "dim_browser", cat,
+                                  time_upper=dt.datetime(2030, 1, 1))
+    assert dict(dim.dtypes)["id"] == "bigint"
+    out = fact_population_df(env, FACT, cat, dims={"dim_browser": dim},
+                             time_upper=dt.datetime(2030, 1, 1))
+    assert dict(out.dtypes)["browser_id"] == "bigint"

@@ -84,3 +84,18 @@ def test_missing_type_default():
 def test_dimid_missing_target_table():
     f = Fact("f", "t", [FactColumn("at", DimTime()), FactColumn("k", DimId("ghost"))])
     assert "MissingTable" in errs([tbl()], [f])
+
+
+def test_count_distinct_without_source_needs_pk():
+    """FactCountDistinct with no source column counts the table PK
+    (Populate/Fact.hs:75) — a 10th error kind where the reference crashes."""
+    from ringo_spark.model import FactCountDistinct
+
+    f = Fact("f", "t", [FactColumn("at", DimTime()),
+                        FactColumn("uniq", FactCountDistinct())])
+    assert "MissingPrimaryKey" in errs([tbl()], [f])          # no PK declared
+    assert "MissingPrimaryKey" not in errs(
+        [tbl(cons=[PrimaryKey("id")])], [f])                  # PK satisfies it
+    g = Fact("f", "t", [FactColumn("at", DimTime()),
+                        FactColumn("uniq", FactCountDistinct("k"))])
+    assert "MissingPrimaryKey" not in errs([tbl()], [g])      # explicit source
