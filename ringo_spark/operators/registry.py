@@ -9,8 +9,9 @@ from .dedup import (
 )
 from .multimodal import MULTIMODAL_FEATURES_SQL, multimodal_features_df
 from .similarity import (
-    ANN_COSINE_TOPK_SQL, ANN_LSH_BUCKETED_SQL, ann_cosine_topk_arrow_df,
-    ann_cosine_topk_df, ann_lsh_bucketed_df,
+    ANN_COSINE_TOPK_SQL, ANN_LSH_BUCKETED12_SQL, ANN_LSH_BUCKETED_SQL,
+    ANN_LSH_MULTIPROBE_SQL, ann_cosine_topk_arrow_df, ann_cosine_topk_df,
+    ann_lsh_bucketed12_df, ann_lsh_bucketed_df, ann_lsh_multiprobe_df,
 )
 from .relational import RELATIONAL_QUERIES
 from .rollup_grain import GRAIN_QUERIES
@@ -30,6 +31,8 @@ OPERATOR_QUERIES: dict[str, tuple] = {
     "dedup_embedding": (dedup_embedding_df, DEDUP_EMBEDDING_SQL),
     "ann_cosine_topk": (ann_cosine_topk_df, ANN_COSINE_TOPK_SQL),
     "ann_lsh_bucketed": (ann_lsh_bucketed_df, ANN_LSH_BUCKETED_SQL),
+    "ann_lsh_bucketed12": (ann_lsh_bucketed12_df, ANN_LSH_BUCKETED12_SQL),
+    "ann_lsh_multiprobe": (ann_lsh_multiprobe_df, ANN_LSH_MULTIPROBE_SQL),
     "ann_cosine_topk_arrow": (ann_cosine_topk_arrow_df, None),  # numpy summation order; rows-only
     "text_quality": (text_quality_df, TEXT_QUALITY_SQL),
     "lang_id": (lang_id_df, LANG_ID_SQL),

@@ -5,14 +5,27 @@
   the corpus scan is embarrassingly parallel and shuffle-free until the
   final per-query top-k (tiny).
 - ``ann_lsh_bucketed``  — the sub-quadratic scale path: deterministic
-  axis-aligned projection LSH (sign bits of 8 fixed coordinates ⇒ 256
-  buckets).  Both queries and corpus hash to buckets; candidates are
-  searched only within the query's bucket.  The bucket join shuffles on an
-  8-bit key instead of crossJoining, turning O(N·Q) into O(N·Q/256) with
-  per-bucket locality.  (A production IVF would learn centroids; the fixed
-  projection keeps the operator deterministic and oracle-checkable.)
+  axis-aligned projection LSH (sign bits of ``bits`` evenly-strided
+  coordinates ⇒ ``2**bits`` buckets).  Both queries and corpus hash to
+  buckets; candidates are searched only within the query's bucket.  The
+  bucket join shuffles on a ``bits``-bit key instead of crossJoining,
+  turning O(N·Q) into O(N·Q/2**bits) with per-bucket locality.
 
-Both deterministic ⇒ both hash-checked against DuckDB.
+  **Sizing at scale**: ``bits`` is a parameter precisely because the
+  bucket count must grow with the corpus — target ``2**bits ≈ N /
+  desired_bucket_size`` (e.g. 10⁹ vectors, 10⁴-vector buckets ⇒ bits≈17).
+  The driver-registered entries pin two configurations (8 and 12 bits)
+  to prove the operator is correct across bucket counts.  (A production
+  IVF would learn centroids; the fixed projection keeps the operator
+  deterministic and oracle-checkable.)
+
+- ``ann_lsh_multiprobe`` — same index, higher recall: each query also
+  probes the ``bits`` Hamming-distance-1 buckets (flip one sign bit).
+  Probe expansion happens on the (tiny, broadcast) query side only — the
+  corpus still stores exactly one row per vector, so the scan cost is
+  unchanged and recall loss from near-hyperplane points is recovered.
+
+All deterministic ⇒ all hash-checked against DuckDB.
 """
 
 from __future__ import annotations
@@ -26,7 +39,17 @@ TOP_K = 10
 N_QUERIES = 5
 LSH_TOP_K = 5
 LSH_N_QUERIES = 20
-BUCKET_DIMS = [1, 9, 17, 25, 33, 41, 49, 57]  # 1-based coordinate picks
+LSH_BITS = 8         # default projection width: 2^8 = 256 buckets
+EMB_DIM = 64         # testdata embedding dimensionality
+
+
+def bucket_coordinates(bits: int, dim: int = EMB_DIM) -> list[int]:
+    """``bits`` 1-based coordinate picks, evenly strided across the vector
+    (bits=8, dim=64 -> [1, 9, 17, ..., 57])."""
+    if not 1 <= bits <= dim:
+        raise ValueError(f"bits must be in [1, {dim}], got {bits}")
+    stride = dim // bits
+    return [1 + j * stride for j in range(bits)]
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -64,21 +87,56 @@ QUALIFY rank <= {TOP_K}
 """
 
 
-def _bucket_expr(col):
-    """8 sign bits of fixed coordinates -> bucket id in [0, 255]."""
+def _bucket_expr(col, bits: int = LSH_BITS):
+    """Sign bits of ``bits`` strided coordinates -> bucket in [0, 2^bits)."""
     expr = F.lit(0)
-    for j, d in enumerate(BUCKET_DIMS):
+    for j, d in enumerate(bucket_coordinates(bits)):
         expr = expr + F.when(
             F.element_at(col, d).cast("double") > 0, F.lit(1 << j)).otherwise(0)
     return expr
 
 
-def ann_lsh_bucketed_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_lsh_bucketed_df(spark: SparkSession, sf_dir: str,
+                        bits: int = LSH_BITS) -> DataFrame:
     """Top-5 neighbors within the query's LSH bucket, first 20 queries."""
-    emb = _emb(spark, sf_dir).withColumn("bucket", _bucket_expr(F.col("embedding")))
+    emb = _emb(spark, sf_dir).withColumn(
+        "bucket", _bucket_expr(F.col("embedding"), bits))
     q = emb.where(F.col("vec_id") < LSH_N_QUERIES) \
            .select(F.col("vec_id").alias("q_id"),
                    F.col("embedding").alias("q_emb"), "bucket")
+    c = emb.select(F.col("vec_id").alias("n_id"),
+                   F.col("embedding").alias("n_emb"), "bucket")
+    scored = (c.join(F.broadcast(q), ["bucket"])
+              .where(F.col("q_id") != F.col("n_id"))
+              .select("q_id", "n_id",
+                      F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6)
+                      .alias("cosine")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= LSH_TOP_K)
+            .select("q_id", "n_id", "rank", "cosine"))
+
+
+def ann_lsh_bucketed12_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 12-bit (4096-bucket) configuration of the same index —
+    registered separately so correctness is proven at two bucket counts."""
+    return ann_lsh_bucketed_df(spark, sf_dir, bits=12)
+
+
+def ann_lsh_multiprobe_df(spark: SparkSession, sf_dir: str,
+                          bits: int = LSH_BITS) -> DataFrame:
+    """Multi-probe LSH: each query searches its own bucket plus every
+    Hamming-distance-1 bucket.  A corpus vector matches at most one probe
+    key (its single bucket), so no candidate dedup is needed."""
+    emb = _emb(spark, sf_dir).withColumn(
+        "bucket", _bucket_expr(F.col("embedding"), bits))
+    probes = F.array(F.col("bucket"),
+                     *[F.col("bucket").bitwiseXOR(F.lit(1 << j))
+                       for j in range(bits)])
+    q = (emb.where(F.col("vec_id") < LSH_N_QUERIES)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_emb"),
+                 F.explode(probes).alias("bucket")))
     c = emb.select(F.col("vec_id").alias("n_id"),
                    F.col("embedding").alias("n_emb"), "bucket")
     scored = (c.join(F.broadcast(q), ["bucket"])
@@ -140,12 +198,15 @@ def ann_cosine_topk_arrow_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("q_id", "n_id", "rank", "cosine"))
 
 
-_SQL_BUCKET = " + ".join(
-    f"(CASE WHEN embedding[{d}]::DOUBLE > 0 THEN {1 << j} ELSE 0 END)"
-    for j, d in enumerate(BUCKET_DIMS))
+def _sql_bucket(bits: int = LSH_BITS) -> str:
+    return " + ".join(
+        f"(CASE WHEN embedding[{d}]::DOUBLE > 0 THEN {1 << j} ELSE 0 END)"
+        for j, d in enumerate(bucket_coordinates(bits)))
 
-ANN_LSH_BUCKETED_SQL = f"""
-WITH b AS (SELECT vec_id, embedding, {_SQL_BUCKET} AS bucket FROM embeddings),
+
+def _lsh_bucketed_sql(bits: int = LSH_BITS) -> str:
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {_sql_bucket(bits)} AS bucket FROM embeddings),
 scored AS (
   SELECT q.vec_id AS q_id, c.vec_id AS n_id,
          round({sql_cosine('q.embedding', 'c.embedding')}, 6) AS cosine
@@ -158,3 +219,31 @@ SELECT q_id, n_id,
 FROM scored
 QUALIFY rank <= {LSH_TOP_K}
 """
+
+
+ANN_LSH_BUCKETED_SQL = _lsh_bucketed_sql(LSH_BITS)
+ANN_LSH_BUCKETED12_SQL = _lsh_bucketed_sql(12)
+
+
+def _lsh_multiprobe_sql(bits: int = LSH_BITS) -> str:
+    probe_list = ", ".join(["bucket"] + [f"xor(bucket, {1 << j})"
+                                         for j in range(bits)])
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {_sql_bucket(bits)} AS bucket FROM embeddings),
+probes AS (
+  SELECT vec_id, embedding, unnest([{probe_list}]) AS bucket
+  FROM b WHERE vec_id < {LSH_N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         round({sql_cosine('q.embedding', 'c.embedding')}, 6) AS cosine
+  FROM probes q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id)
+SELECT q_id, n_id,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id)
+            AS INT) AS rank,
+       cosine
+FROM scored
+QUALIFY rank <= {LSH_TOP_K}
+"""
+
+
+ANN_LSH_MULTIPROBE_SQL = _lsh_multiprobe_sql(LSH_BITS)

@@ -58,3 +58,20 @@ def test_aggregation_has_partial_and_final(spark):
     plan = plan_of(spark, fact_events_by_minute_df(spark, SF), "simple")
     before_exchange = plan.split("Exchange")[-1]
     assert "HashAggregate" in before_exchange
+
+
+def test_ann_lsh_is_bucket_equijoin(spark):
+    """Every LSH configuration must plan the candidate search as an
+    equi-join on the bucket key (broadcast of the tiny query side), never
+    a cross/nested-loop join of the corpus."""
+    from ringo_spark.operators.similarity import (
+        ann_lsh_bucketed_df, ann_lsh_multiprobe_df,
+    )
+
+    for df in (ann_lsh_bucketed_df(spark, SF),
+               ann_lsh_bucketed_df(spark, SF, bits=12),
+               ann_lsh_multiprobe_df(spark, SF)):
+        plan = plan_of(spark, df, "simple")
+        assert "BroadcastHashJoin [bucket" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
