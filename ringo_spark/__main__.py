@@ -1,7 +1,11 @@
 """CLI — parity with the reference's ``ringo [flags] INPUT OUTPUT``
-(``app/Ringo/ArgParser.hs:92-119``), extended with an ``--execute`` mode
+(``app/Ringo/ArgParser.hs:23-119``), extended with an ``--execute`` mode
 that actually runs the derived pipelines on Spark (the reference only
 emits SQL files).
+
+Every reference settings flag is exposed under the same long name (plus
+the same ``-d/-f/-t`` shorts); earlier spellings of the renamed flags are
+kept as hidden aliases.
 
 Generate artifacts (reference behavior)::
 
@@ -25,14 +29,71 @@ from .model import PopulationMode, Settings, TimeUnit
 from .validator import ValidationFailed, make_env
 
 
+def add_settings_flags(p: argparse.ArgumentParser) -> None:
+    """One flag per reference Settings field (ArgParser.hs:23-88).
+    Defaults mirror defSettings (Types/Internal.hs:152-169)."""
+    d = Settings()
+    p.add_argument("-d", "--dim-prefix", default=d.dim_prefix,
+                   help="Prefix for dimension tables")
+    p.add_argument("-f", "--fact-prefix", default=d.fact_prefix,
+                   help="Prefix for fact tables")
+    p.add_argument("-t", "--timeunit", "--time-unit", dest="timeunit",
+                   default=d.time_unit.unit_name,
+                   type=str.lower,
+                   choices=["second", "minute", "hour", "day", "week"],
+                   help="Time unit granularity for fact tables")
+    p.add_argument("--avg-count-col-suffix", default=d.avg_count_column_suffix,
+                   help="Suffix for average count columns")
+    p.add_argument("--avg-sum-col-suffix", default=d.avg_sum_column_suffix,
+                   help="Suffix for average sum columns")
+    p.add_argument("--dim-id-col-name", default=d.dim_table_id_column_name,
+                   help="Name of dimension table id columns")
+    p.add_argument("--dim-id-col-type", default=d.dim_table_id_column_type,
+                   help="Type of dimension table id columns")
+    p.add_argument("--fact-count-col-type", default=d.fact_count_column_type,
+                   help="Type of fact table count columns")
+    p.add_argument("--fact-count-distinct-error-rate",
+                   "--count-distinct-error-rate",
+                   dest="fact_count_distinct_error_rate",
+                   type=float, default=d.fact_count_distinct_error_rate,
+                   help="Error rate for count distinct calculations")
+    p.add_argument("--fact-infix", default=d.fact_infix,
+                   help="Infix for fact tables")
+    p.add_argument("--dependencies-json-file",
+                   default=d.dependencies_json_file_name,
+                   help="Name of the output dependencies json file")
+    p.add_argument("--facts-json-file", default=d.facts_json_file_name,
+                   help="Name of the output facts json file")
+    p.add_argument("--dimensions-json-file",
+                   default=d.dimension_json_file_name,
+                   help="Name of the output dimensions json file")
+    p.add_argument("--foreign-key-id-coalesce-val", "--fk-coalesce-value",
+                   dest="foreign_key_id_coalesce_val",
+                   type=int, default=d.foreign_key_id_coalesce_value,
+                   help="Value to coalesce missing foreign key ids to")
+    p.add_argument("--tablename-suffix-template", "--suffix-template",
+                   dest="tablename_suffix_template",
+                   default=d.table_name_suffix_template,
+                   help="Suffix template for table names in SQL")
+
+
 def build_settings(args) -> Settings:
     return Settings(
         dim_prefix=args.dim_prefix,
         fact_prefix=args.fact_prefix,
-        time_unit=TimeUnit[args.time_unit.upper()],
-        fact_count_distinct_error_rate=args.count_distinct_error_rate,
-        foreign_key_id_coalesce_value=args.fk_coalesce_value,
-        table_name_suffix_template=args.suffix_template,
+        time_unit=TimeUnit[args.timeunit.upper()],
+        avg_count_column_suffix=args.avg_count_col_suffix,
+        avg_sum_column_suffix=args.avg_sum_col_suffix,
+        dim_table_id_column_name=args.dim_id_col_name,
+        dim_table_id_column_type=args.dim_id_col_type,
+        fact_count_column_type=args.fact_count_col_type,
+        fact_count_distinct_error_rate=args.fact_count_distinct_error_rate,
+        fact_infix=args.fact_infix,
+        dependencies_json_file_name=args.dependencies_json_file,
+        facts_json_file_name=args.facts_json_file,
+        dimension_json_file_name=args.dimensions_json_file,
+        foreign_key_id_coalesce_value=args.foreign_key_id_coalesce_val,
+        table_name_suffix_template=args.tablename_suffix_template,
     )
 
 
@@ -40,13 +101,7 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="ringo_spark")
     p.add_argument("input", help="YAML schema+facts input file")
     p.add_argument("output", help="artifact output directory")
-    p.add_argument("--dim-prefix", default="dim_")
-    p.add_argument("--fact-prefix", default="fact_")
-    p.add_argument("--time-unit", default="minute",
-                   choices=["second", "minute", "hour", "day", "week"])
-    p.add_argument("--count-distinct-error-rate", type=float, default=0.05)
-    p.add_argument("--fk-coalesce-value", type=int, default=-1)
-    p.add_argument("--suffix-template", default="{{suff}}")
+    add_settings_flags(p)
     p.add_argument("--execute", action="store_true",
                    help="run the pipelines on Spark instead of only "
                         "emitting artifacts")
@@ -65,25 +120,18 @@ def main(argv=None) -> int:
             print(e, file=sys.stderr)
         return 1
 
-    from .engine import Engine
-
     if not args.execute:
-        # artifacts only — no Spark session needed for schemas + SQL, but
-        # Engine wants one; generate via a slim path instead
-        from .engine import Engine as _E
+        # artifact generation is Spark-free (reference behavior)
+        from .engine import write_artifacts
 
-        class _NoSpark(_E):
-            def __init__(self, env_, out):
-                self.env = env_
-                self.storage = out
-
-        _NoSpark(env, args.output).write_artifacts(args.output)
+        write_artifacts(env, args.output)
         print(f"artifacts written to {args.output}")
         return 0
 
     if not (args.data and args.storage and args.time_upper):
         p.error("--execute requires --data, --storage and --time-upper")
     from .catalog import get_spark
+    from .engine import Engine
 
     spark = get_spark("ringo-cli")
     eng = Engine(spark, env, args.storage)

@@ -302,45 +302,52 @@ class Engine:
     # --- artifacts (writeFiles parity, Main.hs:35-83) ----------------------
 
     def write_artifacts(self, out_dir: str) -> None:
-        env, s = self.env, self.env.settings
-        os.makedirs(out_dir, exist_ok=True)
+        write_artifacts(self.env, out_dir)
 
-        deps: dict[str, list[str]] = {}
-        for fact in env.facts:
-            deps.update(extract_dependencies(env, fact))
-        with open(os.path.join(out_dir, s.dependencies_json_file_name), "w") as fh:
-            json.dump(deps, fh, indent=2, sort_keys=True)
 
-        dim_tables = [(f, extract_dimension_tables(env, f)) for f in env.facts]
-        derived_dims = [t.name for _, tabs in dim_tables for t in tabs
-                        if env.find_table(t.name) is None]
-        with open(os.path.join(out_dir, s.dimension_json_file_name), "w") as fh:
-            json.dump(derived_dims, fh, indent=2)
+def write_artifacts(env: Env, out_dir: str) -> None:
+    """Emit the reference's orchestration artifacts (Main.hs:35-83):
+    dependencies/dimensions/facts JSON + create/fullrefresh/increfresh SQL.
+    Spark-free — artifact-only CLI runs need no session."""
+    s = env.settings
+    os.makedirs(out_dir, exist_ok=True)
 
-        fact_tables = [(f, extract_fact_table(env, f))
-                       for f in env.facts if f.persistent]
-        with open(os.path.join(out_dir, s.facts_json_file_name), "w") as fh:
-            json.dump([t.name for _, t in fact_tables], fh, indent=2)
+    deps: dict[str, list[str]] = {}
+    for fact in env.facts:
+        deps.update(extract_dependencies(env, fact))
+    with open(os.path.join(out_dir, s.dependencies_json_file_name), "w") as fh:
+        json.dump(deps, fh, indent=2, sort_keys=True)
 
-        for sub in ("create", "fullrefresh", "increfresh"):
-            os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+    dim_tables = [(f, extract_dimension_tables(env, f)) for f in env.facts]
+    derived_dims = [t.name for _, tabs in dim_tables for t in tabs
+                    if env.find_table(t.name) is None]
+    with open(os.path.join(out_dir, s.dimension_json_file_name), "w") as fh:
+        json.dump(derived_dims, fh, indent=2)
 
-        def write(sub: str, table: str, text: str) -> None:
-            with open(os.path.join(out_dir, sub, table + ".sql"), "w") as fh:
-                fh.write(text)
+    fact_tables = [(f, extract_fact_table(env, f))
+                   for f in env.facts if f.persistent]
+    with open(os.path.join(out_dir, s.facts_json_file_name), "w") as fh:
+        json.dump([t.name for _, t in fact_tables], fh, indent=2)
 
-        for fact, tabs in dim_tables:
-            for t in tabs:
-                if env.find_table(t.name) is not None:
-                    continue
-                write("create", t.name, sqlgen.dimension_table_defn_sql(env, t))
-                write("fullrefresh", t.name, sqlgen.dimension_table_populate_sql(
-                    env, fact, t.name, PopulationMode.FULL))
-                write("increfresh", t.name, sqlgen.dimension_table_populate_sql(
-                    env, fact, t.name, PopulationMode.INCREMENTAL))
-        for fact, table in fact_tables:
-            write("create", table.name, sqlgen.fact_table_defn_sql(env, fact))
-            write("fullrefresh", table.name,
-                  sqlgen.fact_table_populate_sql(env, fact, PopulationMode.FULL))
-            write("increfresh", table.name,
-                  sqlgen.fact_table_populate_sql(env, fact, PopulationMode.INCREMENTAL))
+    for sub in ("create", "fullrefresh", "increfresh"):
+        os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+
+    def write(sub: str, table: str, text: str) -> None:
+        with open(os.path.join(out_dir, sub, table + ".sql"), "w") as fh:
+            fh.write(text)
+
+    for fact, tabs in dim_tables:
+        for t in tabs:
+            if env.find_table(t.name) is not None:
+                continue
+            write("create", t.name, sqlgen.dimension_table_defn_sql(env, t))
+            write("fullrefresh", t.name, sqlgen.dimension_table_populate_sql(
+                env, fact, t.name, PopulationMode.FULL))
+            write("increfresh", t.name, sqlgen.dimension_table_populate_sql(
+                env, fact, t.name, PopulationMode.INCREMENTAL))
+    for fact, table in fact_tables:
+        write("create", table.name, sqlgen.fact_table_defn_sql(env, fact))
+        write("fullrefresh", table.name,
+              sqlgen.fact_table_populate_sql(env, fact, PopulationMode.FULL))
+        write("increfresh", table.name,
+              sqlgen.fact_table_populate_sql(env, fact, PopulationMode.INCREMENTAL))

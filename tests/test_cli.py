@@ -44,6 +44,59 @@ def input_yaml(tmp_path):
     return str(p)
 
 
+def test_cli_settings_flag_parity(input_yaml, tmp_path):
+    """Round-trip every reference settings flag (ArgParser.hs:23-88) into
+    the Settings it should produce."""
+    import argparse
+
+    from ringo_spark.__main__ import add_settings_flags, build_settings
+    from ringo_spark.model import Settings, TimeUnit
+
+    p = argparse.ArgumentParser()
+    add_settings_flags(p)
+    # one value per reference flag, all non-default
+    argv = ["--dim-prefix", "d_", "--fact-prefix", "f_",
+            "--timeunit", "hour",
+            "--avg-count-col-suffix", "_cnt",
+            "--avg-sum-col-suffix", "_tot",
+            "--dim-id-col-name", "pk",
+            "--dim-id-col-type", "bigserial",
+            "--fact-count-col-type", "bigint",
+            "--fact-count-distinct-error-rate", "0.1",
+            "--fact-infix", "_per_",
+            "--dependencies-json-file", "deps.json",
+            "--facts-json-file", "fs.json",
+            "--dimensions-json-file", "ds.json",
+            "--foreign-key-id-coalesce-val", "-9",
+            "--tablename-suffix-template", "{{x}}"]
+    s = build_settings(p.parse_args(argv))
+    assert s == Settings(
+        dim_prefix="d_", fact_prefix="f_", time_unit=TimeUnit.HOUR,
+        avg_count_column_suffix="_cnt", avg_sum_column_suffix="_tot",
+        dim_table_id_column_name="pk", dim_table_id_column_type="bigserial",
+        fact_count_column_type="bigint", fact_count_distinct_error_rate=0.1,
+        fact_infix="_per_", dependencies_json_file_name="deps.json",
+        facts_json_file_name="fs.json", dimension_json_file_name="ds.json",
+        foreign_key_id_coalesce_value=-9,
+        table_name_suffix_template="{{x}}")
+    # no flags -> the reference's defSettings
+    assert build_settings(p.parse_args([])) == Settings()
+    # shorts and legacy aliases still resolve
+    s2 = build_settings(p.parse_args(
+        ["-d", "x_", "-f", "y_", "-t", "Week", "--fk-coalesce-value", "-2"]))
+    assert (s2.dim_prefix, s2.fact_prefix, s2.time_unit,
+            s2.foreign_key_id_coalesce_value) == ("x_", "y_", TimeUnit.WEEK, -2)
+
+
+def test_cli_settings_flags_reach_artifacts(input_yaml, tmp_path):
+    out = str(tmp_path / "custom")
+    assert main([input_yaml, out, "--timeunit", "hour",
+                 "--dependencies-json-file", "deps_custom.json",
+                 "--fact-infix", "_per_"]) == 0
+    deps = json.load(open(os.path.join(out, "deps_custom.json")))
+    assert "fact_events_per_hour" in deps
+
+
 def test_cli_artifacts_mode(input_yaml, tmp_path):
     out = str(tmp_path / "out")
     assert main([input_yaml, out]) == 0
