@@ -321,6 +321,44 @@ GROUP BY o_orderpriority
 """
 
 
+def json_funcs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON functions over ``events.props`` — both extraction paths
+    (``get_json_object`` path strings and ``from_json`` schema parse) and
+    JSON generation (``to_json``), the Spark equivalents of the
+    reference's json operators (Populate/Fact.hs:102-103,162).  Identical
+    sums from both paths prove the parsers agree."""
+    from ..catalog import load_catalog
+    from ..testbed import EVENTS
+
+    ev = load_catalog(spark, sf_dir, [EVENTS])["events"]
+    parsed = F.from_json("props", "k INT")
+    base = ev.select(
+        F.coalesce("event_type", F.lit("__UNKNOWN_VAL__")).alias("event_type"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k1"),
+        parsed.getField("k").cast("bigint").alias("k2"))
+    return (base.groupBy("event_type")
+            .agg(F.count("k1").alias("n_with_k"),
+                 F.sum("k1").alias("k_sum"),
+                 F.sum("k2").alias("k_sum_parsed"),
+                 F.max("k1").alias("k_max"))
+            .withColumn("jdoc", F.to_json(F.struct("event_type", "k_max"))))
+
+
+JSON_FUNCS_SQL = """
+SELECT coalesce(event_type, '__UNKNOWN_VAL__') AS event_type,
+       count(CAST(props->>'$.k' AS BIGINT)) AS n_with_k,
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS k_sum_parsed,
+       max(CAST(props->>'$.k' AS BIGINT)) AS k_max,
+       CAST(json_object('event_type', coalesce(event_type, '__UNKNOWN_VAL__'),
+                        'k_max', max(CAST(props->>'$.k' AS BIGINT)))
+            AS VARCHAR) AS jdoc
+FROM events
+GROUP BY 1
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "join_inner_agg": (join_inner_agg_df, JOIN_INNER_AGG_SQL),
     "join_semi": (join_semi_df, JOIN_SEMI_SQL),
@@ -335,4 +373,5 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "date_funcs": (date_funcs_df, DATE_FUNCS_SQL),
     "conditional_funcs": (conditional_funcs_df, CONDITIONAL_FUNCS_SQL),
     "scalar_subquery": (scalar_subquery_df, SCALAR_SUBQUERY_SQL),
+    "json_funcs": (json_funcs_df, JSON_FUNCS_SQL),
 }

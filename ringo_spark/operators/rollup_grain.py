@@ -180,10 +180,128 @@ GROUP BY 1, 4, 5, 6
 """
 
 
+def fact_events_by_second_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-grain rollup (TimeUnit.SECOND, epoch buckets) — the finest
+    time unit (Types/Internal.hs:61-72), completing grain coverage."""
+    from ..model import NoDimId
+    from ..testbed import EVENTS
+
+    sec_fact = Fact("events", "events", [
+        FactColumn("ts", DimTime()),
+        FactColumn("user_id", NoDimId()),
+        FactColumn("event_count", FactCount()),
+        FactColumn("value_sum", FactSum("value")),
+    ])
+    sec_env = make_env([EVENTS], [sec_fact],
+                       Settings(time_unit=TimeUnit.SECOND), TYPE_DEFAULTS)
+    cat = load_catalog(spark, sf_dir, [EVENTS])
+    out = fact_population_df(sec_env, sec_fact, cat, time_upper=T_FAR)
+    return out.select("ts_second_id", "user_id", "event_count",
+                      _dbl("value_sum"))
+
+
+FACT_EVENTS_BY_SECOND_SQL = f"""
+SELECT CAST(floor(epoch(e.ts)) AS BIGINT)                          AS ts_second_id,
+       coalesce(e.user_id, -1)                                     AS user_id,
+       count(*)                                                    AS event_count,
+       CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)         AS value_sum
+FROM events e
+WHERE e.ts < {SQL_FAR}
+GROUP BY 1, 2
+"""
+
+
+def fact_lineitem_chain_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-level parent-fact chain: a shipping fact on lineitem whose
+    parent is the lineitem fact, whose parent is the orders fact — the
+    grandchild inherits the parent's dim (line_status), the grandparent's
+    derived dims (order_status, order_priority) and DimId (customer)
+    through two levels of ``extractAllDimensionTables`` recursion
+    (Extractor/Internal.hs:96-103), with the reference's join rule: the
+    child's own FK reaches every ancestor source directly."""
+    from ..testbed import (
+        CUSTOMER, LINEITEM, LINEITEM_FACT, ORDERS, ORDERS_FACT,
+    )
+
+    ship_fact = Fact("lineitem_ship", "lineitem", [
+        FactColumn("l_shipdate", DimTime()),
+        FactColumn("l_linestatus", DimVal("ship_status")),
+        FactColumn("ship_count", FactCount()),
+    ], parent_names=["lineitem"])
+    chain_env = make_env([ORDERS, LINEITEM, CUSTOMER],
+                         [ORDERS_FACT, LINEITEM_FACT, ship_fact],
+                         Settings(time_unit=TimeUnit.DAY), TYPE_DEFAULTS)
+    cat = load_catalog(spark, sf_dir, [LINEITEM, ORDERS])
+    dims = {
+        "dim_ship_status": dimension_population_df(
+            chain_env, ship_fact, "dim_ship_status", cat, time_upper=T_FAR),
+        "dim_line_status": dimension_population_df(
+            chain_env, LINEITEM_FACT, "dim_line_status", cat, time_upper=T_FAR),
+    }
+    for name in ("dim_order_status", "dim_order_priority"):
+        dims[name] = dimension_population_df(chain_env, ORDERS_FACT, name,
+                                             cat, time_upper=T_FAR)
+    out = fact_population_df(chain_env, ship_fact, cat, dims=dims,
+                             time_upper=T_FAR)
+    return out.select("l_shipdate_day_id", "ship_count", "ship_status_id",
+                      "line_status_id", "o_custkey", "order_status_id",
+                      "order_priority_id")
+
+
+FACT_LINEITEM_CHAIN_SQL = f"""
+WITH dim_order_status AS (
+  SELECT CAST(row_number() OVER (ORDER BY o_orderstatus) AS INT) AS id, o_orderstatus
+  FROM (SELECT DISTINCT coalesce(o_orderstatus, '__UNKNOWN_VAL__') AS o_orderstatus
+        FROM orders
+        WHERE o_orderstatus IS NOT NULL AND o_orderdate < {SQL_FAR})),
+dim_order_priority AS (
+  SELECT CAST(row_number() OVER (ORDER BY o_orderpriority) AS INT) AS id, o_orderpriority
+  FROM (SELECT DISTINCT coalesce(o_orderpriority, '__UNKNOWN_VAL__') AS o_orderpriority
+        FROM orders
+        WHERE o_orderpriority IS NOT NULL AND o_orderdate < {SQL_FAR})),
+dim_line_status AS (
+  SELECT CAST(row_number() OVER (ORDER BY l_returnflag, l_linestatus) AS INT) AS id,
+         l_returnflag, l_linestatus
+  FROM (SELECT DISTINCT coalesce(l_returnflag, '__UNKNOWN_VAL__') AS l_returnflag,
+                        coalesce(l_linestatus, '__UNKNOWN_VAL__') AS l_linestatus
+        FROM lineitem
+        WHERE (l_returnflag IS NOT NULL OR l_linestatus IS NOT NULL)
+          AND l_shipdate < {SQL_FAR})),
+dim_ship_status AS (
+  SELECT CAST(row_number() OVER (ORDER BY l_linestatus) AS INT) AS id, l_linestatus
+  FROM (SELECT DISTINCT coalesce(l_linestatus, '__UNKNOWN_VAL__') AS l_linestatus
+        FROM lineitem
+        WHERE l_linestatus IS NOT NULL AND l_shipdate < {SQL_FAR}))
+SELECT CAST(floor(epoch(l.l_shipdate) / 86400) AS BIGINT)         AS l_shipdate_day_id,
+       count(*)                                                   AS ship_count,
+       CAST(coalesce(dss.id, -1) AS INT)                          AS ship_status_id,
+       CAST(coalesce(dls.id, -1) AS INT)                          AS line_status_id,
+       coalesce(o.o_custkey, -1)                                  AS o_custkey,
+       CAST(coalesce(ds.id, -1) AS INT)                           AS order_status_id,
+       CAST(coalesce(dp.id, -1) AS INT)                           AS order_priority_id
+FROM lineitem l
+LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+LEFT JOIN dim_ship_status dss
+       ON dss.l_linestatus = coalesce(l.l_linestatus, '__UNKNOWN_VAL__')
+LEFT JOIN dim_line_status dls
+       ON dls.l_returnflag = coalesce(l.l_returnflag, '__UNKNOWN_VAL__')
+      AND dls.l_linestatus = coalesce(l.l_linestatus, '__UNKNOWN_VAL__')
+LEFT JOIN dim_order_status ds
+       ON ds.o_orderstatus = coalesce(o.o_orderstatus, '__UNKNOWN_VAL__')
+LEFT JOIN dim_order_priority dp
+       ON dp.o_orderpriority = coalesce(o.o_orderpriority, '__UNKNOWN_VAL__')
+WHERE l.l_shipdate < {SQL_FAR}
+GROUP BY 1, 3, 4, 5, 6, 7
+"""
+
+
 GRAIN_QUERIES: dict[str, tuple] = {
     "fact_events_tenant_by_hour": (fact_events_tenant_by_hour_df,
                                    FACT_EVENTS_TENANT_BY_HOUR_SQL),
     "fact_events_hour_regrain": (fact_events_hour_regrain_df,
                                  FACT_EVENTS_HOUR_REGRAIN_SQL),
     "fact_orders_by_week": (fact_orders_by_week_df, FACT_ORDERS_BY_WEEK_SQL),
+    "fact_events_by_second": (fact_events_by_second_df,
+                              FACT_EVENTS_BY_SECOND_SQL),
+    "fact_lineitem_chain": (fact_lineitem_chain_df, FACT_LINEITEM_CHAIN_SQL),
 }

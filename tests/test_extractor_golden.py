@@ -125,3 +125,38 @@ def test_topo_order():
     deps = extract_dependencies(env, page_view_fact)
     order = topo_order(deps)
     assert order.index("dim_page_type") < order.index("fact_page_view_by_minute")
+
+
+def test_extract_all_dimension_tables_grandparent_chain():
+    """Dims flow through TWO levels of parent recursion
+    (Extractor/Internal.hs:96-103): grandchild -> page_view -> session."""
+    from ringo_spark.model import DimTime, Fact, FactColumn, FactCount, ForeignKey, Table
+
+    click_table = Table("click_events", [
+        Column("id", "uuid", NN),
+        Column("created_at", "timestamp without time zone", NN),
+        Column("page_view_event_id", "uuid"),
+        Column("publisher_id", "integer", NN),
+    ], [PrimaryKey("id"),
+        ForeignKey("page_view_events", [("page_view_event_id", "id")]),
+        ForeignKey("session_events", [("publisher_id", "publisher_id")])])
+    click_fact = Fact("click", "click_events", [
+        FactColumn("created_at", DimTime()),
+        FactColumn("click_count", FactCount()),
+    ], parent_names=["page_view"])
+    env3 = make_env(list(tables) + [click_table], list(facts) + [click_fact],
+                    settings, type_defaults)
+    pairs = extract_all_dimension_tables(env3, click_fact)
+    # own dims: none; parent (page_view): referrers + page_type;
+    # grandparent (session): geo + user_agent
+    assert [(f.name, t.name) for f, t in pairs] == [
+        ("page_view", "referrers"),
+        ("page_view", "dim_page_type"),
+        ("session", "dim_geo"),
+        ("session", "dim_user_agent"),
+    ]
+    # the derived grandchild fact table carries all four FK id columns
+    t = extract_fact_table(env3, click_fact)
+    assert [c.name for c in t.columns] == [
+        "created_at_minute_id", "click_count", "referrer_id",
+        "page_type_id", "geo_id", "user_agent_id"]

@@ -33,7 +33,7 @@ def test_streaming_stateful_matches_batch_closed_sessions(spark, tmp_path):
     ev.coalesce(1).write.parquet(src)
 
     stream = spark.readStream.schema(ev.schema).parquet(src)
-    q = (streaming_sessionize(stream)
+    q = (streaming_sessionize(stream, watermark_delay=None)
          .writeStream.format("memory").queryName("sessions")
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination(120)
@@ -51,3 +51,45 @@ def test_streaming_stateful_matches_batch_closed_sessions(spark, tmp_path):
     expect = {(r.user_id, r.session_start_sec, r.session_end_sec, r.n_events)
               for r in batch if last_per_user[r.user_id].session_idx != r.session_idx}
     assert got == expect
+
+
+def test_streaming_idle_sessions_flush_and_state_is_dropped(spark, tmp_path):
+    """EventTimeTimeout: when the watermark passes last_seen + gap, the idle
+    session flushes and its state is removed; still-active keys stay."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    # user 1: session A (0s, 100s), then gap, session B (10_000s) -> idle
+    # user 2: event at 20_000s -> advances the watermark; stays active
+    rows = [(1, at(0), 1.0), (1, at(100), 2.0), (1, at(10_000), 3.0),
+            (2, at(20_000), 4.0)]
+    src = str(tmp_path / "expiry_src")
+    spark.createDataFrame(rows, "user_id long, ts timestamp, value double") \
+        .coalesce(1).write.parquet(src)
+
+    stream = (spark.readStream
+              .schema("user_id long, ts timestamp, value double").parquet(src))
+    q = (streaming_sessionize(stream, watermark_delay="60 seconds")
+         .writeStream.format("memory").queryName("expiry_sessions")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.user_id, r.session_start_sec, r.session_end_sec, r.n_events,
+            r.value_sum)
+           for r in spark.sql("select * from expiry_sessions").collect()}
+
+    base = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
+    assert got == {
+        # session A closed in-batch by the gap rule
+        (1, base, base + 100, 2, 3.0),
+        # session B flushed by the event-time timeout (watermark 19940s
+        # passed 10_000 + 1800), state removed
+        (1, base + 10_000, base + 10_000, 1, 3.0),
+        # user 2's open session (timeout 21_800 > watermark) is NOT emitted
+    }
+    # state store retains only the still-active key (user 2)
+    progress = q.lastProgress
+    assert progress["stateOperators"][0]["numRowsTotal"] == 1
