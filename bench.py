@@ -57,13 +57,26 @@ def main():
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
     m = re.search(r"sf([0-9.]+)", SF_DIR)
-    print(json.dumps({
+    out = {
         "metric": "total_runtime",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(m.group(1).rstrip(".")) if m else None,
-    }))
+    }
+    # round-over-round comparison: BENCH_BASELINE.json pins the round-1
+    # per-query timings (sf0.1); emit deltas when comparing like-for-like
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_BASELINE.json")
+    if os.path.exists(base_path):
+        base = json.load(open(base_path))
+        if base.get("sf") == out["sf"]:
+            out["baseline_total"] = base["total"]
+            out["deltas"] = {
+                n: round(t - base["queries"][n], 3)
+                for n, t in timings.items() if n in base["queries"]
+            }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -91,9 +91,11 @@ def dedup_minhash_lsh_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same layout as the DuckDB oracle below.
     """
     rows_per_band = NUM_PERM // BANDS
-    shingled = _shingled(spark, sf_dir)
-    # Persist the 12-int signatures (no shingle arrays): the LSH self-join
-    # reads this twice; everything cached here is ~100 bytes/doc.
+    # Cache the shingle table once (shingling is the CPU-heavy step and is
+    # read by signature generation AND both verification joins) and the
+    # 12-int signatures (read by both sides of the LSH self-join).  Both
+    # caches are node-local — neither ever enters a shuffle.
+    shingled = _shingled(spark, sf_dir).persist()
     sigs = (shingled
             .select("doc_id",
                     minhash_signature(shingle_hashes(F.col("sh")),
@@ -135,8 +137,13 @@ def dedup_minhash_lsh_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
-    return (ver.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-            .where(F.col("jaccard") >= JACCARD_THRESHOLD))
+    out = (ver.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+           .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+           # materialize the (tiny) verified-pair result so every cache
+           # above can be released before returning
+           .localCheckpoint(eager=True))
+    shingled.unpersist()
+    return out
 
 
 _SHINGLE_BASE_CTE = f"""

@@ -92,7 +92,13 @@ EMA_ALPHA = 0.5
 
 def user_value_ema_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EMA of value in (second, event_id) order — an inherently
-    sequential fold executed as a JVM higher-order aggregate."""
+    sequential fold executed as a JVM higher-order aggregate.
+
+    Bound: collects each user's full sequence into one row — fine while
+    max-events-per-user × struct size fits an executor's row budget (the
+    testdata's worst key is ~10² events).  For skewed corpora use
+    :func:`user_value_ema_segmented_df`, which never materializes more
+    than one time-segment of one user per row."""
     from ..catalog import load_catalog
     from ..testbed import EVENTS
 
@@ -121,8 +127,73 @@ FROM (SELECT user_id,
       FROM events GROUP BY user_id)
 """
 
+def user_value_ema_segmented_df(spark: SparkSession, sf_dir: str,
+                                segment_seconds: int = 86400) -> DataFrame:
+    """Skew-bounded EMA: the same fold as :func:`user_value_ema_df`, but no
+    row ever holds a user's full history.
+
+    An EMA segment is an affine map ``acc -> acc*m + c`` with
+    ``m = (1-α)^k`` and ``c`` the fold of the segment from 0 — and affine
+    maps compose.  So: fold each (user, time-segment) group's bounded
+    event list into (m, c), then fold the per-segment coefficients in
+    segment order.  The first level bounds rows by events-per-segment
+    (tune ``segment_seconds``); the second by the time range, independent
+    of how hot a user is.  A hot key costs many small rows across
+    partitions instead of one giant row on one executor."""
+    from ..catalog import load_catalog
+    from ..testbed import EVENTS
+
+    ev = (load_catalog(spark, sf_dir, [EVENTS])["events"]
+          .select("user_id", "event_id",
+                  F.unix_timestamp("ts").alias("sec"),
+                  F.col("value").cast("double").alias("v")))
+    ev = ev.withColumn("seg", F.floor(F.col("sec") / segment_seconds))
+    per_seg = (ev.groupBy("user_id", "seg")
+               .agg(F.sort_array(F.collect_list(
+                   F.struct("sec", "event_id", "v"))).alias("seq")))
+    c = F.aggregate(
+        F.col("seq"), F.lit(0.0),
+        lambda acc, x: acc * (1 - EMA_ALPHA) + x["v"] * EMA_ALPHA)
+    per_seg = per_seg.select(
+        "user_id", "seg", F.size("seq").alias("n"), c.alias("c"),
+        F.pow(F.lit(1 - EMA_ALPHA), F.size("seq")).alias("m"))
+    per_user = (per_seg.groupBy("user_id")
+                .agg(F.sum("n").alias("n_events"),
+                     F.sort_array(F.collect_list(
+                         F.struct("seg", "m", "c"))).alias("parts")))
+    ema = F.aggregate(F.col("parts"), F.lit(0.0),
+                      lambda acc, p: acc * p["m"] + p["c"])
+    return per_user.select("user_id", "n_events", F.round(ema, 6).alias("ema"))
+
+
+# the oracle mirrors the two-level fold exactly (same operation order =>
+# identical IEEE doubles); the struct accumulator carries a dummy 'm'
+USER_VALUE_EMA_SEGMENTED_SQL = f"""
+WITH seg AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS seg,
+         list(value ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS seq
+  FROM events GROUP BY 1, 2),
+parts AS (
+  SELECT user_id, seg, len(seq) AS n,
+         list_reduce(list_prepend(0.0, seq),
+                     (acc, v) -> acc * {1 - EMA_ALPHA} + v * {EMA_ALPHA}) AS c,
+         pow({1 - EMA_ALPHA}, len(seq)) AS m
+  FROM seg),
+folded AS (
+  SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+         list_reduce(
+           list_prepend({{'m': 1.0::DOUBLE, 'c': 0.0::DOUBLE}},
+                        list({{'m': m, 'c': c}} ORDER BY seg)),
+           (acc, x) -> {{'m': 1.0::DOUBLE, 'c': acc.c * x.m + x.c}}).c AS raw
+  FROM parts GROUP BY user_id)
+SELECT user_id, n_events, round(raw, 6) AS ema FROM folded
+"""
+
+
 TPCH_QUERIES: dict[str, tuple] = {
     "q1_pricing_summary": (q1_pricing_summary_df, Q1_PRICING_SUMMARY_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue_df, Q6_FORECAST_REVENUE_SQL),
     "user_value_ema": (user_value_ema_df, USER_VALUE_EMA_SQL),
+    "user_value_ema_segmented": (user_value_ema_segmented_df,
+                                 USER_VALUE_EMA_SEGMENTED_SQL),
 }

