@@ -251,6 +251,64 @@ WHERE round(i * 1.0 / (len(x.sh) + len(y.sh) - i), 6) >= {JACCARD_THRESHOLD}
 """
 
 
+# --- near-dup clusters (connected components) -------------------------------
+
+
+def dedup_clusters_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve the verified near-dup pairs into clusters: every clustered
+    doc labeled with the minimum doc_id of its connected component (the
+    canonical representative a dedup pass would keep).
+
+    Implementation: iterative min-label propagation over the (tiny
+    relative to the corpus) pair graph — label := min(label, neighbors'
+    labels) until fixpoint, O(component diameter) rounds.  The driver
+    loop only checks a per-round convergence count; all data stays
+    distributed.  Near-dup components are overwhelmingly small (dup
+    chains, not social graphs), so rounds ≈ 2-3 in practice; each round
+    is one shuffle of the pair-graph edges, never of the corpus."""
+    pairs = dedup_minhash_lsh_df(spark, sf_dir).select("doc_a", "doc_b")
+    sym = (pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+           .union(pairs.selectExpr("doc_b AS src", "doc_a AS dst")))
+    sym = sym.localCheckpoint(eager=True)          # reused every round
+    labels = (sym.select(F.col("src").alias("doc_id"))
+              .distinct()
+              .withColumn("label", F.col("doc_id")))
+    for _ in range(50):                            # diameter backstop
+        neigh = (sym.join(labels, sym.src == labels.doc_id)
+                 .groupBy(F.col("dst").alias("doc_id"))
+                 .agg(F.min("label").alias("nlabel")))
+        updated = (labels.join(neigh, "doc_id", "left")
+                   .select("doc_id",
+                           F.least("label", F.coalesce("nlabel", "label"))
+                           .alias("label"))
+                   .localCheckpoint(eager=True))   # cut lineage per round
+        changed = (updated.alias("u")
+                   .join(labels.alias("l"), "doc_id")
+                   .where(F.col("u.label") != F.col("l.label")).count())
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+# oracle: recursive-CTE transitive closure with min-label aggregation over
+# the same verified pair list
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({DEDUP_MINHASH_LSH_SQL})),
+sym AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM pairs),
+reach AS (
+  SELECT s AS doc, s AS r FROM sym
+  UNION
+  SELECT reach.doc, sym.d FROM reach JOIN sym ON reach.r = sym.s)
+SELECT doc AS doc_id, min(r) AS cluster_id
+FROM reach GROUP BY doc
+"""
+
+
 # --- embedding cosine near-dup ----------------------------------------------
 
 

@@ -1,0 +1,125 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Every large-scale corpus build needs reproducible subset selection:
+train/val/test splits that never leak across reruns, per-source quotas
+(cap any one crawl domain), and mixture reweighting (up/down-sample
+languages or sources to a target distribution).  Random sampling is the
+wrong tool at 100 TB — it is neither reproducible across engines nor
+stable under retries — so every operator here keys off a portable
+content hash (textfn.phash: md5-derived 60-bit, identical in Spark and
+DuckDB), making results engine-independent and oracle-checkable.
+
+Scale notes: hash-split and mixture are pure map-side projections (no
+shuffle at all — the selection predicate evaluates per row and pushes
+through whole-stage codegen).  The per-source quota is one shuffle on
+the source key; Spark 4's WindowGroupLimit pushes the rank bound
+map-side, so only ~quota rows per source survive each partial sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .textfn import phash, sql_phash
+
+HASH_MOD = 10_000        # selection resolution: 0.01%
+SPLIT_SEED = 42
+TRAIN_PCT, VAL_PCT = 80, 10          # test = remainder
+QUOTA_PER_SOURCE = 20
+# target mixture: keep-rate per language (unlisted -> DEFAULT_RATE)
+MIXTURE_RATES = {"en": 1.0, "zh": 0.5, "es": 0.25}
+DEFAULT_RATE = 0.1
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _bucket(col) -> F.Column:
+    """Deterministic bucket in [0, HASH_MOD) from the doc id."""
+    return F.pmod(phash(col.cast("string"), SPLIT_SEED), HASH_MOD)
+
+
+def sample_hash_split_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document a stable train/val/test split (80/10/10).
+    Reruns, engine changes, and data re-partitioning never move a doc
+    between splits — the property that prevents eval-set leakage."""
+    bucket = _bucket(F.col("doc_id"))
+    pct = F.floor(bucket / (HASH_MOD / 100))
+    split = (F.when(pct < TRAIN_PCT, "train")
+             .when(pct < TRAIN_PCT + VAL_PCT, "val")
+             .otherwise("test"))
+    return (_docs(spark, sf_dir)
+            .select("doc_id", "source", bucket.alias("bucket"),
+                    split.alias("split")))
+
+
+SAMPLE_HASH_SPLIT_SQL = f"""
+SELECT doc_id, source,
+       {sql_phash("doc_id::VARCHAR", SPLIT_SEED)} % {HASH_MOD} AS bucket,
+       CASE WHEN floor(({sql_phash("doc_id::VARCHAR", SPLIT_SEED)} % {HASH_MOD})
+                       / {HASH_MOD // 100}) < {TRAIN_PCT} THEN 'train'
+            WHEN floor(({sql_phash("doc_id::VARCHAR", SPLIT_SEED)} % {HASH_MOD})
+                       / {HASH_MOD // 100}) < {TRAIN_PCT + VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def sample_per_source_quota_df(spark: SparkSession, sf_dir: str,
+                               quota: int = QUOTA_PER_SOURCE) -> DataFrame:
+    """Cap documents per source at ``quota``, selecting by hash order —
+    the dedup-adjacent 'no single domain dominates the corpus' filter.
+    Deterministic: the kept set is a pure function of doc ids."""
+    w = Window.partitionBy("source").orderBy(_bucket(F.col("doc_id")),
+                                             F.col("doc_id"))
+    return (_docs(spark, sf_dir)
+            .select("doc_id", "source",
+                    F.row_number().over(w).alias("rk"))
+            .where(F.col("rk") <= quota))
+
+
+SAMPLE_PER_SOURCE_QUOTA_SQL = f"""
+SELECT doc_id, source,
+       CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY {sql_phash("doc_id::VARCHAR", SPLIT_SEED)} % {HASH_MOD},
+                    doc_id) AS INT) AS rk
+FROM documents
+QUALIFY rk <= {QUOTA_PER_SOURCE}
+"""
+
+
+def sample_mixture_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reweight the corpus to a target language mixture by hash-threshold
+    down-sampling: keep a doc iff its bucket falls under its language's
+    keep-rate.  Map-only; the realized rate converges to the target."""
+    rate = F.lit(DEFAULT_RATE)
+    for lang, r in sorted(MIXTURE_RATES.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return (_docs(spark, sf_dir)
+            .select("doc_id", "lang", _bucket(F.col("doc_id")).alias("bucket"),
+                    rate.alias("keep_rate"))
+            .where(F.col("bucket") < F.col("keep_rate") * HASH_MOD)
+            .select("doc_id", "lang", "keep_rate"))
+
+
+_SQL_RATE = "CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN {r}"
+    for lang, r in sorted(MIXTURE_RATES.items())) + f" ELSE {DEFAULT_RATE} END"
+
+SAMPLE_MIXTURE_SQL = f"""
+SELECT doc_id, lang, CAST({_SQL_RATE} AS DOUBLE) AS keep_rate
+FROM documents
+WHERE {sql_phash("doc_id::VARCHAR", SPLIT_SEED)} % {HASH_MOD}
+      < ({_SQL_RATE}) * {HASH_MOD}
+"""
+
+
+SAMPLING_QUERIES: dict[str, tuple] = {
+    "sample_hash_split": (sample_hash_split_df, SAMPLE_HASH_SPLIT_SQL),
+    "sample_per_source_quota": (sample_per_source_quota_df,
+                                SAMPLE_PER_SOURCE_QUOTA_SQL),
+    "sample_mixture": (sample_mixture_df, SAMPLE_MIXTURE_SQL),
+}

@@ -118,6 +118,38 @@ def test_arrow_ann_matches_jvm_within_tolerance(spark):
         assert rk == ark and abs(cos - acos) < 1e-9, (k, cos, acos)
 
 
+def test_sampling_operators_semantics(spark):
+    from ringo_spark.operators.sampling import (
+        MIXTURE_RATES, QUOTA_PER_SOURCE, sample_hash_split_df,
+        sample_mixture_df, sample_per_source_quota_df,
+    )
+
+    split = sample_hash_split_df(spark, SF)
+    total = split.count()
+    by_split = dict(split.groupBy("split").count().collect())
+    # every doc gets exactly one split; proportions near 80/10/10
+    assert sum(by_split.values()) == total
+    assert 0.7 < by_split["train"] / total < 0.9
+    # determinism: re-evaluation yields the identical assignment
+    again = {r.doc_id: r.split for r in sample_hash_split_df(spark, SF).collect()}
+    assert all(again[r.doc_id] == r.split for r in split.collect())
+
+    quota = sample_per_source_quota_df(spark, SF)
+    per_src = quota.groupBy("source").count().collect()
+    assert all(r["count"] <= QUOTA_PER_SOURCE for r in per_src)
+
+    mix = sample_mixture_df(spark, SF)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_en = docs.where(F.col("lang") == "en").count()
+    kept_en = mix.where(F.col("lang") == "en").count()
+    assert kept_en == n_en  # rate 1.0 keeps everything
+    for lang, rate in MIXTURE_RATES.items():
+        n = docs.where(F.col("lang") == lang).count()
+        kept = mix.where(F.col("lang") == lang).count()
+        if n >= 20:  # enough mass for the rate to be visible
+            assert abs(kept / n - rate) < 0.25, (lang, kept, n)
+
+
 def test_segmented_ema_handles_hot_user(spark, tmp_path):
     """One user with 1e5 events (every other user ~10): the segmented fold
     must agree with the monolithic fold without any row holding the hot

@@ -79,3 +79,36 @@ def test_foreachbatch_pipeline_and_compaction(spark, tmp_path):
         F.hll_sketch_estimate(F.hll_union_agg("user_count"))).collect()[0][0]
     exact = cat["events"].select("user_id").distinct().count()
     assert abs(est - exact) <= max(2, 0.15 * exact)
+
+
+def test_streaming_exact_dedup_drops_replays_and_expires_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: replayed texts within the horizon are
+    dropped; state is keyed on the md5 hash and expires with the watermark."""
+    import datetime as dt
+
+    from ringo_spark.streaming.dedup import streaming_exact_dedup
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, "alpha doc"),
+        (2, t0 + dt.timedelta(seconds=5), "beta doc"),
+        (3, t0 + dt.timedelta(seconds=10), "alpha doc"),     # replay -> drop
+        (4, t0 + dt.timedelta(seconds=3600), "gamma doc"),   # advances wm
+    ]
+    src = str(tmp_path / "dedup_src")
+    spark.createDataFrame(rows, "doc_id long, ts timestamp, text string") \
+        .coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, ts timestamp, text string") \
+        .parquet(src)
+    q = (streaming_exact_dedup(stream, watermark_delay="60 seconds")
+         .writeStream.format("memory").queryName("dedup_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    kept = {r.doc_id for r in spark.sql("select * from dedup_out").collect()}
+    assert kept == {1, 2, 4}
+    # watermark (3600 - 60) passed alpha/beta event times + delay: their
+    # keys are expired; only gamma's key can remain in state
+    progress = q.lastProgress
+    assert progress["stateOperators"][0]["numRowsTotal"] <= 1
