@@ -321,6 +321,92 @@ GROUP BY o_orderpriority
 """
 
 
+RANGE_TIERS = [(0, 100, "low"), (100, 200, "mid"),
+               (200, 300, "high"), (300, 10**9, "top")]
+
+
+def range_join_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join: events banded into value tiers via a non-equi
+    join against a (tiny, broadcast) bounds table.  The scale shape for
+    range joins is exactly this — small side broadcast, big side streamed
+    map-side through a nested-loop probe of a handful of intervals; a
+    big-big range join would instead bucketize both sides to an equi-join
+    (the ann_lsh pattern)."""
+    from ..catalog import load_catalog
+    from ..testbed import EVENTS
+
+    tiers = spark.createDataFrame(RANGE_TIERS, "lo INT, hi INT, tier STRING")
+    ev = load_catalog(spark, sf_dir, [EVENTS])["events"].select(
+        F.col("value").cast("decimal(18,2)").alias("value"))
+    joined = ev.join(F.broadcast(tiers),
+                     (ev.value >= tiers.lo) & (ev.value < tiers.hi))
+    return (joined.groupBy("tier")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("value").cast("double").alias("value_sum")))
+
+
+_SQL_TIERS = ", ".join(f"({lo}, {hi}, '{t}')" for lo, hi, t in RANGE_TIERS)
+
+RANGE_JOIN_SQL = f"""
+SELECT tier, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM events
+JOIN (VALUES {_SQL_TIERS}) tiers(lo, hi, tier)
+  ON CAST(value AS DECIMAL(18,2)) >= lo AND CAST(value AS DECIMAL(18,2)) < hi
+GROUP BY 1
+"""
+
+
+def asof_join_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, the union + carry-forward window trick: for every
+    order, the customer's most recent completed ('F') order total at or
+    before its date.  One shuffle on (custkey), no range explosion —
+    the distributed shape DuckDB's native ASOF JOIN (the oracle) picks
+    on one node."""
+    orders = _t(spark, sf_dir, "orders")
+    day = F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long")
+    probe = orders.select(F.col("o_custkey").alias("k"),
+                          day.alias("t"), "o_orderkey")
+    # one ref row per (customer, day): deterministic under date ties
+    ref = (orders.where(F.col("o_orderstatus") == "F")
+           .select(F.col("o_custkey").alias("k"), day.alias("t"),
+                   F.col("o_totalprice").cast("decimal(18,2)").alias("price"))
+           .groupBy("k", "t").agg(F.max("price").alias("ref_price")))
+    u = (probe.select("k", "t", "o_orderkey", F.lit(None).cast("decimal(18,2)")
+                      .alias("ref_price"), F.lit(1).alias("tag"))
+         .unionByName(ref.select("k", "t", F.lit(None).cast("long")
+                                 .alias("o_orderkey"), "ref_price",
+                                 F.lit(0).alias("tag"))))
+    w = (Window.partitionBy("k").orderBy("t", "tag")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    carried = (u.withColumn("asof_price",
+                            F.last("ref_price", ignorenulls=True).over(w))
+               .withColumn("asof_day",
+                           F.last(F.when(F.col("tag") == 0, F.col("t")),
+                                  ignorenulls=True).over(w)))
+    return (carried.where(F.col("tag") == 1)
+            .select(F.col("k").alias("o_custkey"), "o_orderkey",
+                    F.col("t").alias("order_day"),
+                    F.col("asof_price").cast("double").alias("asof_price"),
+                    "asof_day"))
+
+
+ASOF_JOIN_SQL = """
+WITH probe AS (
+  SELECT o_custkey AS k, CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS t,
+         o_orderkey
+  FROM orders),
+ref AS (
+  SELECT o_custkey AS k, CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS t,
+         max(CAST(o_totalprice AS DECIMAL(18,2))) AS ref_price
+  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1, 2)
+SELECT probe.k AS o_custkey, probe.o_orderkey, probe.t AS order_day,
+       CAST(ref.ref_price AS DOUBLE) AS asof_price,
+       ref.t AS asof_day
+FROM probe ASOF LEFT JOIN ref ON probe.k = ref.k AND probe.t >= ref.t
+"""
+
+
 def json_funcs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON functions over ``events.props`` — both extraction paths
     (``get_json_object`` path strings and ``from_json`` schema parse) and
@@ -374,4 +460,6 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "conditional_funcs": (conditional_funcs_df, CONDITIONAL_FUNCS_SQL),
     "scalar_subquery": (scalar_subquery_df, SCALAR_SUBQUERY_SQL),
     "json_funcs": (json_funcs_df, JSON_FUNCS_SQL),
+    "range_join": (range_join_df, RANGE_JOIN_SQL),
+    "asof_join": (asof_join_df, ASOF_JOIN_SQL),
 }
