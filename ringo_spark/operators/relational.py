@@ -367,17 +367,19 @@ def asof_join_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     day = F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long")
     probe = orders.select(F.col("o_custkey").alias("k"),
                           day.alias("t"), "o_orderkey")
-    # one ref row per (customer, day): deterministic under date ties
     ref = (orders.where(F.col("o_orderstatus") == "F")
            .select(F.col("o_custkey").alias("k"), day.alias("t"),
-                   F.col("o_totalprice").cast("decimal(18,2)").alias("price"))
-           .groupBy("k", "t").agg(F.max("price").alias("ref_price")))
+                   F.col("o_totalprice").cast("decimal(18,2)")
+                   .alias("ref_price")))
     u = (probe.select("k", "t", "o_orderkey", F.lit(None).cast("decimal(18,2)")
                       .alias("ref_price"), F.lit(1).alias("tag"))
          .unionByName(ref.select("k", "t", F.lit(None).cast("long")
                                  .alias("o_orderkey"), "ref_price",
                                  F.lit(0).alias("tag"))))
-    w = (Window.partitionBy("k").orderBy("t", "tag")
+    # ordering ties by ref_price makes carry-forward pick the max-price row
+    # of a tied date — the oracle's GROUP BY max(...) — without a separate
+    # pre-aggregation shuffle; the whole as-of is ONE exchange on k
+    w = (Window.partitionBy("k").orderBy("t", "tag", "ref_price")
          .rowsBetween(Window.unboundedPreceding, 0))
     carried = (u.withColumn("asof_price",
                             F.last("ref_price", ignorenulls=True).over(w))
