@@ -9,9 +9,10 @@ from .dedup import (
 )
 from .multimodal import MULTIMODAL_FEATURES_SQL, multimodal_features_df
 from .similarity import (
-    ANN_COSINE_TOPK_SQL, ANN_LSH_BUCKETED12_SQL, ANN_LSH_BUCKETED_SQL,
-    ANN_LSH_MULTIPROBE_SQL, ann_cosine_topk_arrow_df, ann_cosine_topk_df,
-    ann_lsh_bucketed12_df, ann_lsh_bucketed_df, ann_lsh_multiprobe_df,
+    ANN_COSINE_TOPK_SQL, ANN_IVF_SQL, ANN_LSH_BUCKETED12_SQL,
+    ANN_LSH_BUCKETED_SQL, ANN_LSH_MULTIPROBE_SQL, ann_cosine_topk_arrow_df,
+    ann_cosine_topk_df, ann_ivf_df, ann_lsh_bucketed12_df,
+    ann_lsh_bucketed_df, ann_lsh_multiprobe_df,
 )
 from .relational import RELATIONAL_QUERIES
 from .sampling import SAMPLING_QUERIES
@@ -20,8 +21,9 @@ from .session import SESSION_QUERIES
 from .tpch import TPCH_QUERIES
 from .text import (
     DOC_FINGERPRINT_SQL, DOC_ROLLING_HASH_SQL, LANG_ID_SQL, TEXT_QUALITY_SQL,
-    TOKEN_COUNT_SQL, doc_fingerprint_df, doc_rolling_hash_df, lang_id_df,
-    text_quality_df, token_count_df,
+    TFIDF_BM25_SQL, TOKEN_COUNT_SQL, VOCAB_TOPK_SQL, doc_fingerprint_df,
+    doc_rolling_hash_df, lang_id_df, text_quality_df, tfidf_bm25_df,
+    token_count_df, vocab_topk_df,
 )
 
 OPERATOR_QUERIES: dict[str, tuple] = {
@@ -35,12 +37,15 @@ OPERATOR_QUERIES: dict[str, tuple] = {
     "ann_lsh_bucketed": (ann_lsh_bucketed_df, ANN_LSH_BUCKETED_SQL),
     "ann_lsh_bucketed12": (ann_lsh_bucketed12_df, ANN_LSH_BUCKETED12_SQL),
     "ann_lsh_multiprobe": (ann_lsh_multiprobe_df, ANN_LSH_MULTIPROBE_SQL),
+    "ann_ivf": (ann_ivf_df, ANN_IVF_SQL),
     "ann_cosine_topk_arrow": (ann_cosine_topk_arrow_df, None),  # numpy summation order; rows-only
     "text_quality": (text_quality_df, TEXT_QUALITY_SQL),
     "lang_id": (lang_id_df, LANG_ID_SQL),
     "token_count": (token_count_df, TOKEN_COUNT_SQL),
     "doc_fingerprint": (doc_fingerprint_df, DOC_FINGERPRINT_SQL),
     "doc_rolling_hash": (doc_rolling_hash_df, DOC_ROLLING_HASH_SQL),
+    "vocab_topk": (vocab_topk_df, VOCAB_TOPK_SQL),
+    "tfidf_bm25": (tfidf_bm25_df, TFIDF_BM25_SQL),
     "multimodal_features": (multimodal_features_df, MULTIMODAL_FEATURES_SQL),
     **RELATIONAL_QUERIES,
     **GRAIN_QUERIES,

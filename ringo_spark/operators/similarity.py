@@ -150,6 +150,100 @@ def ann_lsh_multiprobe_df(spark: SparkSession, sf_dir: str,
             .select("q_id", "n_id", "rank", "cosine"))
 
 
+IVF_K = 16          # centroid count; production: ~sqrt(N) learned by k-means
+IVF_NPROBE = 2      # cells searched per query
+
+
+def ann_ivf_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: partition the corpus into K centroid cells, search
+    only the query's IVF_NPROBE nearest cells.  Centroids here are
+    deterministic seeds (the first K vectors) so the whole index is a
+    pure function of the data and oracle-checkable; production swaps in
+    k-means centroids — every other step is unchanged.
+
+    Scale shape: cell assignment is a broadcast of K centroids against a
+    map-side corpus scan with a partial-aggregate argmax (one shuffle of
+    (vec_id, cell) pairs, never of vectors); at scale the assignment is
+    written once with ``cell`` as the partition column so queries prune
+    straight to their probed cells."""
+    emb = _emb(spark, sf_dir)
+    cent = (emb.where(F.col("vec_id") < IVF_K)
+            .select(F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("cvec")))
+    sim = F.round(cosine(F.col("embedding"), F.col("cvec")), 6)
+    scored_cells = (emb.crossJoin(F.broadcast(cent))
+                    .select("vec_id", F.struct(sim.alias("s"),
+                                               F.col("cid").alias("cid"))
+                            .alias("sc")))
+    # argmax(sim) with deterministic ties (max cid) via lexicographic
+    # struct max — map-side combine keeps the shuffle to one row per vector
+    cells = (scored_cells.groupBy("vec_id")
+             .agg(F.max("sc").alias("b"))
+             .select("vec_id", F.col("b.cid").alias("cell")))
+
+    q = emb.where(F.col("vec_id") < LSH_N_QUERIES) \
+           .select(F.col("vec_id").alias("q_id"),
+                   F.col("embedding").alias("q_emb"))
+    qsim = F.round(cosine(F.col("q_emb"), F.col("cvec")), 6)
+    qw = Window.partitionBy("q_id").orderBy(F.desc("qs"), F.desc("cell"))
+    probes = (q.crossJoin(F.broadcast(cent))
+              .select("q_id", "q_emb", F.col("cid").alias("cell"),
+                      qsim.alias("qs"))
+              .withColumn("pr", F.row_number().over(qw))
+              .where(F.col("pr") <= IVF_NPROBE)
+              .select("q_id", "q_emb", "cell"))
+
+    cand = (cells.join(emb, "vec_id")
+            .select(F.col("vec_id").alias("n_id"),
+                    F.col("embedding").alias("n_emb"), "cell")
+            .join(F.broadcast(probes), "cell")
+            .where(F.col("q_id") != F.col("n_id")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (cand.select("q_id", "n_id",
+                        F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6)
+                        .alias("cosine"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= LSH_TOP_K)
+            .select("q_id", "n_id", "rank", "cosine"))
+
+
+ANN_IVF_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  WHERE vec_id < {IVF_K}),
+cells AS (
+  SELECT vec_id,
+         max({{'s': round({sql_cosine('e.embedding', 'c.cvec')}, 6),
+              'cid': c.cid}}).cid AS cell
+  FROM embeddings e CROSS JOIN cent c
+  GROUP BY vec_id),
+probes AS (
+  SELECT q_id, cell FROM (
+    SELECT q.vec_id AS q_id, c.cid AS cell,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round({sql_cosine('q.embedding', 'c.cvec')}, 6) DESC,
+                      c.cid DESC) AS pr
+    FROM embeddings q CROSS JOIN cent c
+    WHERE q.vec_id < {LSH_N_QUERIES})
+  WHERE pr <= {IVF_NPROBE}),
+cand AS (
+  SELECT p.q_id, e.vec_id AS n_id,
+         round({sql_cosine('qe.embedding', 'e.embedding')}, 6) AS cosine
+  FROM probes p
+  JOIN cells ON cells.cell = p.cell
+  JOIN embeddings e ON e.vec_id = cells.vec_id
+  JOIN embeddings qe ON qe.vec_id = p.q_id
+  WHERE p.q_id != e.vec_id)
+SELECT q_id, n_id,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id)
+            AS INT) AS rank,
+       cosine
+FROM cand
+QUALIFY rank <= {LSH_TOP_K}
+"""
+
+
 def ann_cosine_topk_arrow_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized-Python variant of the brute-force top-k: cosine scored in
     numpy over Arrow batches (``mapInPandas``).  Same join/rank shape as

@@ -182,3 +182,89 @@ SELECT doc_id,
          (acc, t) -> (acc * {ROLL_B} + t) % {ROLL_P}) AS rolling_hash
 FROM documents
 """
+
+
+VOCAB_TOP_N = 100
+
+
+def vocab_topk_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-frequency table (the vocabulary-building pass every
+    tokenizer training run starts with): top-N tokens by total count with
+    document frequency.  One explode + one map-side-combining aggregation;
+    the top-N is a TakeOrdered, never a full sort."""
+    t = (_docs(spark, sf_dir)
+         .select("doc_id", F.explode(tokens(F.col("text"))).alias("token")))
+    return (t.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("freq"),
+                 F.count_distinct("doc_id").alias("doc_freq"))
+            .orderBy(F.desc("freq"), F.asc("token"))
+            .limit(VOCAB_TOP_N))
+
+
+VOCAB_TOPK_SQL = f"""
+SELECT token, count(*) AS freq, count(DISTINCT doc_id) AS doc_freq
+FROM (SELECT doc_id, unnest({sql_tokens('text')}) AS token FROM documents)
+GROUP BY token
+ORDER BY freq DESC, token
+LIMIT {VOCAB_TOP_N}
+"""
+
+
+BM25_TERMS = ("spark", "query", "join")
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def tfidf_bm25_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against a fixed term set — the
+    score behind retrieval-based data curation (select corpus slices
+    relevant to a topic).  Corpus statistics (N, avgdl, per-term df) are
+    tiny aggregates broadcast against a single token-explode pass; docs
+    matching no term drop out via the inner join."""
+    docs = _docs(spark, sf_dir)
+    dl = docs.select("doc_id", F.size(tokens(F.col("text"))).alias("dl"))
+    stats = F.broadcast(dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl")))
+    toks = (docs.select("doc_id",
+                        F.explode(tokens(F.col("text"))).alias("token"))
+            .where(F.col("token").isin(*BM25_TERMS)))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = F.broadcast(tf.groupBy("token")
+                       .agg(F.count_distinct("doc_id").alias("df")))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = (F.col("tf")
+             + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+    contrib = idf * F.col("tf") * (BM25_K1 + 1) / denom
+    return (tf.join(df_t, "token").join(dl, "doc_id").crossJoin(stats)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("terms_matched"),
+                 F.round(F.sum(contrib), 6).alias("bm25")))
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+TFIDF_BM25_SQL = f"""
+WITH dl AS (
+  SELECT doc_id, len({sql_tokens('text')}) AS dl FROM documents),
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM (SELECT doc_id, unnest({sql_tokens('text')}) AS token FROM documents)
+  WHERE token IN ({_BM25_TERMS_SQL})
+  GROUP BY doc_id, token),
+df_t AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token)
+SELECT tf.doc_id,
+       count(*) AS terms_matched,
+       round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * tf * ({BM25_K1} + 1)
+                 / (tf + {BM25_K1} * (1 - {BM25_B}
+                                      + {BM25_B} * dl.dl / avgdl))), 6) AS bm25
+FROM tf
+JOIN df_t USING (token)
+JOIN dl ON dl.doc_id = tf.doc_id
+CROSS JOIN stats
+GROUP BY tf.doc_id
+"""
