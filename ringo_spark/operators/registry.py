@@ -14,6 +14,7 @@ from .similarity import (
     ann_cosine_topk_df, ann_ivf_df, ann_lsh_bucketed12_df,
     ann_lsh_bucketed_df, ann_lsh_multiprobe_df,
 )
+from .pipeline import PIPELINE_QUERIES
 from .relational import RELATIONAL_QUERIES
 from .sampling import SAMPLING_QUERIES
 from .rollup_grain import GRAIN_QUERIES
@@ -52,4 +53,5 @@ OPERATOR_QUERIES: dict[str, tuple] = {
     **SESSION_QUERIES,
     **TPCH_QUERIES,
     **SAMPLING_QUERIES,
+    **PIPELINE_QUERIES,
 }

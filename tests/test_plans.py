@@ -60,6 +60,19 @@ def test_aggregation_has_partial_and_final(spark):
     assert "HashAggregate" in before_exchange
 
 
+def test_corpus_curation_is_one_fused_plan(spark):
+    """The composed curation pipeline must stay one Catalyst plan: lang
+    filter pushed to the scan, no Python, and exactly two exchanges (the
+    dedup hash partition + the final accounting agg)."""
+    from ringo_spark.operators.pipeline import corpus_curation_df
+
+    plan = plan_of(spark, corpus_curation_df(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "In(lang" in plan  # language IN-filter reaches PushedFilters
+    simple = plan_of(spark, corpus_curation_df(spark, SF), "simple")
+    assert simple.count("Exchange") == 2
+
+
 def test_ann_lsh_is_bucket_equijoin(spark):
     """Every LSH configuration must plan the candidate search as an
     equi-join on the bucket key (broadcast of the tiny query side), never
