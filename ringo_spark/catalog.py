@@ -75,7 +75,17 @@ def get_spark(app_name: str = "ringo-spark", cpus: str | int = "*") -> SparkSess
     """Session tuned for the local test harness; on a real cluster these
     come from spark-submit conf.  AQE handles runtime re-planning (skew
     joins, dynamic coalescing); session TZ pinned UTC so epoch bucketing is
-    deterministic."""
+    deterministic.
+
+    maxPartitionBytes: the testdata ships ONE parquet file per table, so
+    the default 128m would run every scan (and its map-side partial
+    aggregation) as a single task.  8m splits the file across cores —
+    the local analogue of the many-split layout a real corpus has.  At
+    cluster scale leave the default (or size to executor memory) via
+    SPARK_GRAFT_MAX_PARTITION_BYTES."""
+    import os
+
+    mpb = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m")
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -83,6 +93,7 @@ def get_spark(app_name: str = "ringo-spark", cpus: str | int = "*") -> SparkSess
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", mpb)
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", "8g")
