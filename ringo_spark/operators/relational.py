@@ -447,6 +447,37 @@ GROUP BY 1
 """
 
 
+def quantiles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ordered-set aggregates: p50/p90/p99 of event value per event
+    type (linear interpolation — identical in Spark's `percentile` and
+    DuckDB's `quantile_cont`).  Exact percentiles need the full sorted
+    group; at 100 TB swap in `approx_percentile` (KLL/GK sketch, mergeable
+    map-side) — same query shape, ε contract instead of exactness."""
+    from ..catalog import load_catalog
+    from ..testbed import EVENTS
+
+    ev = load_catalog(spark, sf_dir, [EVENTS])["events"]
+    q = F.expr("percentile(CAST(value AS DOUBLE), array(0.5D, 0.9D, 0.99D))")
+    return (ev.groupBy(F.coalesce("event_type", F.lit("__UNKNOWN_VAL__"))
+                       .alias("event_type"))
+            .agg(F.count("value").alias("n"), q.alias("qs"))
+            .select("event_type", "n",
+                    F.round(F.element_at("qs", 1), 6).alias("p50"),
+                    F.round(F.element_at("qs", 2), 6).alias("p90"),
+                    F.round(F.element_at("qs", 3), 6).alias("p99")))
+
+
+QUANTILES_SQL = """
+SELECT coalesce(event_type, '__UNKNOWN_VAL__') AS event_type,
+       count(value) AS n,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY 1
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "join_inner_agg": (join_inner_agg_df, JOIN_INNER_AGG_SQL),
     "join_semi": (join_semi_df, JOIN_SEMI_SQL),
@@ -464,4 +495,5 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "json_funcs": (json_funcs_df, JSON_FUNCS_SQL),
     "range_join": (range_join_df, RANGE_JOIN_SQL),
     "asof_join": (asof_join_df, ASOF_JOIN_SQL),
+    "quantiles": (quantiles_df, QUANTILES_SQL),
 }
