@@ -60,6 +60,25 @@ def test_aggregation_has_partial_and_final(spark):
     assert "HashAggregate" in before_exchange
 
 
+def test_chain_fact_keeps_core_plan_shape(spark):
+    """The two-level parent chain must keep the core guarantees: every
+    dim lookup broadcast (no sort-merge anywhere), the time filter pushed
+    to the lineitem scan, no Python."""
+    from ringo_spark.operators.rollup_grain import (
+        fact_events_by_second_df, fact_lineitem_chain_df,
+    )
+
+    plan = plan_of(spark, fact_lineitem_chain_df(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "LessThan(l_shipdate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    sec = plan_of(spark, fact_events_by_second_df(spark, SF))
+    assert "LessThan(ts," in sec  # raw-nanos shadow predicate at the scan
+    assert "BatchEvalPython" not in sec
+
+
 def test_corpus_curation_is_one_fused_plan(spark):
     """The composed curation pipeline must stay one Catalyst plan: lang
     filter pushed to the scan, no Python, and exactly two exchanges (the

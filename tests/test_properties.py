@@ -122,3 +122,44 @@ def test_topo_order_is_valid(pairs):
         for d in ds:
             if d in deps:
                 assert order.index(d) < order.index(name)
+
+
+def test_segmented_ema_equals_monolithic_fold_on_random_data(spark, tmp_path):
+    """Property: the segmented affine fold equals the monolithic EMA for
+    arbitrary event layouts (random users, times spanning many segments,
+    duplicate timestamps)."""
+    import datetime as dt
+    import math
+    import random
+
+    from ringo_spark.operators.tpch import (
+        user_value_ema_df, user_value_ema_segmented_df,
+    )
+
+    rng = random.Random(20260813)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for uid in range(1, 8):
+        for _ in range(rng.randint(1, 60)):
+            sec = rng.randint(0, 86400 * 20)       # spans ~20 day-segments
+            rows.append((eid, t0 + dt.timedelta(seconds=sec), uid,
+                         "E", round(rng.uniform(0, 100), 2), "{}"))
+            eid += 1
+    sf = str(tmp_path / "ema_prop")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string").write.parquet(f"{sf}/events.parquet")
+
+    plain = {r.user_id: (r.n_events, r.ema)
+             for r in user_value_ema_df(spark, sf).collect()}
+    seg = {r.user_id: (r.n_events, r.ema)
+           for r in user_value_ema_segmented_df(spark, sf).collect()}
+    assert set(plain) == set(seg)
+    for uid in plain:
+        assert plain[uid][0] == seg[uid][0]
+        assert math.isclose(plain[uid][1], seg[uid][1],
+                            rel_tol=1e-9, abs_tol=1e-6), uid
