@@ -21,10 +21,11 @@ from .rollup_grain import GRAIN_QUERIES
 from .session import SESSION_QUERIES
 from .tpch import TPCH_QUERIES
 from .text import (
-    DOC_FINGERPRINT_SQL, DOC_ROLLING_HASH_SQL, LANG_ID_SQL, TEXT_QUALITY_SQL,
-    TFIDF_BM25_SQL, TOKEN_COUNT_SQL, VOCAB_TOPK_SQL, doc_fingerprint_df,
-    doc_rolling_hash_df, lang_id_df, text_quality_df, tfidf_bm25_df,
-    token_count_df, vocab_topk_df,
+    DOC_FINGERPRINT_SQL, DOC_ROLLING_HASH_SQL, LANG_CONFUSION_SQL,
+    LANG_ID_SQL, METRICS_UNPIVOT_SQL, TEXT_QUALITY_SQL, TFIDF_BM25_SQL,
+    TOKEN_COUNT_SQL, VOCAB_TOPK_SQL, doc_fingerprint_df, doc_rolling_hash_df,
+    lang_confusion_df, lang_id_df, metrics_unpivot_df, text_quality_df,
+    tfidf_bm25_df, token_count_df, vocab_topk_df,
 )
 
 OPERATOR_QUERIES: dict[str, tuple] = {
@@ -47,6 +48,8 @@ OPERATOR_QUERIES: dict[str, tuple] = {
     "doc_rolling_hash": (doc_rolling_hash_df, DOC_ROLLING_HASH_SQL),
     "vocab_topk": (vocab_topk_df, VOCAB_TOPK_SQL),
     "tfidf_bm25": (tfidf_bm25_df, TFIDF_BM25_SQL),
+    "lang_confusion": (lang_confusion_df, LANG_CONFUSION_SQL),
+    "metrics_unpivot": (metrics_unpivot_df, METRICS_UNPIVOT_SQL),
     "multimodal_features": (multimodal_features_df, MULTIMODAL_FEATURES_SQL),
     **RELATIONAL_QUERIES,
     **GRAIN_QUERIES,

@@ -268,3 +268,59 @@ JOIN dl ON dl.doc_id = tf.doc_id
 CROSS JOIN stats
 GROUP BY tf.doc_id
 """
+
+
+_LANG_COLS = sorted(LANG_MARKERS) + ["unknown"]
+
+
+def lang_confusion_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix via groupBy().pivot(): one row per
+    actual language, one column per predicted language.  Pivot over a
+    *declared* value list compiles to conditional aggregation — one
+    map-side-combining shuffle, no second pass to discover columns."""
+    pred = lang_id_df(spark, sf_dir).select("actual_lang", "predicted_lang")
+    return (pred.groupBy("actual_lang")
+            .pivot("predicted_lang", _LANG_COLS)
+            .count()
+            .na.fill(0, _LANG_COLS)
+            .orderBy("actual_lang"))
+
+
+_SQL_CONF_COLS = ",\n       ".join(
+    f"""CAST(count(*) FILTER (predicted_lang = '{lang}') AS BIGINT) AS "{lang}" """
+    for lang in _LANG_COLS)
+
+LANG_CONFUSION_SQL = f"""
+SELECT actual_lang,
+       {_SQL_CONF_COLS}
+FROM ({LANG_ID_SQL})
+GROUP BY actual_lang
+"""
+
+
+_UNPIVOT_METRICS = ["n_chars", "n_words", "avg_word_len", "punct_ratio",
+                    "stopword_ratio", "quality_score"]
+
+
+def metrics_unpivot_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) the per-document quality metrics to long form —
+    the wide→long reshape feature stores and metric pipelines need.
+    ``unpivot`` is pure row expansion: map-side, no shuffle."""
+    wide = text_quality_df(spark, sf_dir)
+    cast = [F.col(c).cast("double").alias(c) for c in _UNPIVOT_METRICS]
+    return (wide.select("doc_id", *cast)
+            .unpivot("doc_id", _UNPIVOT_METRICS, "metric", "value")
+            .where(F.col("doc_id") < 50))
+
+
+_SQL_UNPIVOT_COLS = ", ".join(_UNPIVOT_METRICS)
+
+METRICS_UNPIVOT_SQL = f"""
+SELECT doc_id, metric, value FROM (
+  UNPIVOT (SELECT doc_id,
+                  {", ".join(f"CAST({c} AS DOUBLE) AS {c}" for c in _UNPIVOT_METRICS)}
+           FROM ({TEXT_QUALITY_SQL}))
+  ON {_SQL_UNPIVOT_COLS}
+  INTO NAME metric VALUE value)
+WHERE doc_id < 50
+"""
