@@ -251,6 +251,50 @@ WHERE round(i * 1.0 / (len(x.sh) + len(y.sh) - i), 6) >= {JACCARD_THRESHOLD}
 """
 
 
+INGESTED_BELOW = 250   # docs below this id play the already-ingested corpus
+
+
+def dedup_incremental_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time dedup: an incoming batch keeps only documents whose
+    content hash is new — not present in the already-ingested corpus
+    (left-anti join against the persisted hash set) and not duplicated
+    within the batch itself (keep the lowest doc_id).
+
+    Scale: the corpus side is only its 16-byte hash column (at scale, a
+    persisted hash index — never the corpus itself); one equi-shuffle
+    each for the in-batch window and the anti-join, both on the hash.
+    The streaming twin is streaming/dedup.py."""
+    docs = _docs(spark, sf_dir)
+    seen = (docs.where(F.col("doc_id") < INGESTED_BELOW)
+            .select(F.md5("text").alias("h")).distinct())
+    incoming = (docs.where(F.col("doc_id") >= INGESTED_BELOW)
+                .select("doc_id", F.md5("text").alias("h")))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("h").orderBy("doc_id")
+    batch_first = (incoming.withColumn("rk", F.row_number().over(w))
+                   .where(F.col("rk") == 1))
+    return (batch_first.join(seen, "h", "left_anti")
+            .select("doc_id", F.col("h").alias("text_hash")))
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH seen AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < {INGESTED_BELOW}),
+incoming AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+  WHERE doc_id >= {INGESTED_BELOW}),
+batch_first AS (
+  SELECT doc_id, h FROM (
+    SELECT doc_id, h, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rk
+    FROM incoming)
+  WHERE rk = 1)
+SELECT doc_id, h AS text_hash
+FROM batch_first
+WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.h = batch_first.h)
+"""
+
+
 # --- near-dup clusters (connected components) -------------------------------
 
 

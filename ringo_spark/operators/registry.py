@@ -3,9 +3,10 @@
 
 from .dedup import (
     DEDUP_CLUSTERS_SQL, DEDUP_EMBEDDING_SQL, DEDUP_EXACT_SQL,
-    DEDUP_MINHASH_LSH_SQL, DEDUP_NGRAM_JACCARD_SQL, DEDUP_SIMHASH_SQL,
-    dedup_clusters_df, dedup_embedding_df, dedup_exact_df,
-    dedup_minhash_lsh_df, dedup_ngram_jaccard_df, dedup_simhash_df,
+    DEDUP_INCREMENTAL_SQL, DEDUP_MINHASH_LSH_SQL, DEDUP_NGRAM_JACCARD_SQL,
+    DEDUP_SIMHASH_SQL, dedup_clusters_df, dedup_embedding_df, dedup_exact_df,
+    dedup_incremental_df, dedup_minhash_lsh_df, dedup_ngram_jaccard_df,
+    dedup_simhash_df,
 )
 from .multimodal import MULTIMODAL_FEATURES_SQL, multimodal_features_df
 from .similarity import (
@@ -35,6 +36,7 @@ OPERATOR_QUERIES: dict[str, tuple] = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard_df, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_embedding": (dedup_embedding_df, DEDUP_EMBEDDING_SQL),
     "dedup_clusters": (dedup_clusters_df, DEDUP_CLUSTERS_SQL),
+    "dedup_incremental": (dedup_incremental_df, DEDUP_INCREMENTAL_SQL),
     "ann_cosine_topk": (ann_cosine_topk_df, ANN_COSINE_TOPK_SQL),
     "ann_lsh_bucketed": (ann_lsh_bucketed_df, ANN_LSH_BUCKETED_SQL),
     "ann_lsh_bucketed12": (ann_lsh_bucketed12_df, ANN_LSH_BUCKETED12_SQL),
