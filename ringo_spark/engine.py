@@ -144,6 +144,28 @@ class Engine:
         with open(self._wm_path, "w") as fh:
             json.dump(wm, fh, indent=2)
 
+    # Incremental fact appends are not atomic with the watermark update:
+    # a crash between the append's job commit and _store_watermark would
+    # make a watermark-resumed rerun append the same window twice — and
+    # doubled counts/sums are indistinguishable from legitimate mergeable
+    # partials, so compaction cannot heal them.  An in-flight marker
+    # brackets the append; finding a stale one fails loudly instead.
+    # (Incremental DIMENSION appends are replay-idempotent — the anti-join
+    # drops already-present rows — so only facts are journaled.)
+
+    def _inflight(self) -> dict:
+        return self.watermarks().get("__inflight__", {})
+
+    def _mark_inflight(self, table: str, clear: bool = False) -> None:
+        wm = self.watermarks()
+        inf = wm.setdefault("__inflight__", {})
+        if clear:
+            inf.pop(table, None)
+        else:
+            inf[table] = True
+        with open(self._wm_path, "w") as fh:
+            json.dump(wm, fh, indent=2)
+
     # --- execution ---------------------------------------------------------
 
     def _fact_partition_cols(self, fact: Fact) -> list[str]:
@@ -204,6 +226,7 @@ class Engine:
             self._populated_this_run.add(dim_table.name)
         produced = self._run_fact_table(fact, mode, time_upper, time_lower)
         self._store_watermark(produced, time_upper)
+        self._mark_inflight(produced, clear=True)   # append + watermark done
         return produced
 
     def _run_dimension(self, fact: Fact, dim_table: str, mode: PopulationMode,
@@ -237,9 +260,18 @@ class Engine:
                                 count_distinct_mode=self.count_distinct_mode)
         df, partition_by = self._with_fact_partitioning(fact, df)
         if mode == PopulationMode.INCREMENTAL and os.path.exists(self._path(derived.name)):
+            if derived.name in self._inflight():
+                raise RuntimeError(
+                    f"previous incremental append to {derived.name} did not "
+                    f"complete (crash between append and watermark update); "
+                    f"the window may be partially committed — run a full "
+                    f"refresh, or verify the table and clear the "
+                    f"'__inflight__' entry in _watermarks.json")
+            self._mark_inflight(derived.name)
             self._write_append(df, derived.name, partition_by)
         else:
             self._write_full(df, derived.name, partition_by)
+            self._mark_inflight(derived.name, clear=True)  # full run heals
         return derived.name
 
     def run(self, mode: PopulationMode = PopulationMode.FULL, time_upper=None,

@@ -163,10 +163,14 @@ def fact_table_populate_sql(env: Env, fact: Fact,
             select_items.append(f"count({src}) AS {cname}")
         elif isinstance(t, FactCountDistinct):
             # no source column -> source table PK (Populate/Fact.hs:75)
-            src = f"{f_name}.{t.source_column or table_pk_column(f_table)}"
+            src_name = t.source_column or table_pk_column(f_table)
+            if src_name is None:
+                raise ValueError(
+                    f"FactCountDistinct {fact.name}.{cname} has no source "
+                    f"column and table {f_name} has no primary key")
             select_items.append(
-                f"approx_count_distinct({src}, {s.fact_count_distinct_error_rate})"
-                f" AS {cname}")
+                f"approx_count_distinct({f_name}.{src_name}, "
+                f"{s.fact_count_distinct_error_rate}) AS {cname}")
         elif isinstance(t, FactSum):
             select_items.append(f"sum({f_name}.{t.source_column}) AS {cname}")
         elif isinstance(t, FactMax):

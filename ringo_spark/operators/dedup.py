@@ -303,13 +303,14 @@ def dedup_clusters_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc labeled with the minimum doc_id of its connected component (the
     canonical representative a dedup pass would keep).
 
-    Implementation: iterative min-label propagation over the (tiny
-    relative to the corpus) pair graph — label := min(label, neighbors'
-    labels) until fixpoint, O(component diameter) rounds.  The driver
+    Implementation: iterative min-label propagation with pointer jumping
+    over the (tiny relative to the corpus) pair graph — each round takes
+    the min of the own label, the neighbors' labels, AND the label's own
+    label (path halving), converging in O(log diameter) rounds, so even a
+    million-doc duplication chain fits the 50-round bound; exhausting the
+    bound raises instead of returning unconverged labels.  The driver
     loop only checks a per-round convergence count; all data stays
-    distributed.  Near-dup components are overwhelmingly small (dup
-    chains, not social graphs), so rounds ≈ 2-3 in practice; each round
-    is one shuffle of the pair-graph edges, never of the corpus."""
+    distributed.  Each round shuffles pair-graph edges, never the corpus."""
     pairs = dedup_minhash_lsh_df(spark, sf_dir).select("doc_a", "doc_b")
     sym = (pairs.selectExpr("doc_a AS src", "doc_b AS dst")
            .union(pairs.selectExpr("doc_b AS src", "doc_a AS dst")))
@@ -317,13 +318,18 @@ def dedup_clusters_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = (sym.select(F.col("src").alias("doc_id"))
               .distinct()
               .withColumn("label", F.col("doc_id")))
-    for _ in range(50):                            # diameter backstop
+    for _ in range(50):                            # >= log2(any real chain)
         neigh = (sym.join(labels, sym.src == labels.doc_id)
                  .groupBy(F.col("dst").alias("doc_id"))
                  .agg(F.min("label").alias("nlabel")))
+        jump = labels.select(F.col("doc_id").alias("label"),
+                             F.col("label").alias("jlabel"))
         updated = (labels.join(neigh, "doc_id", "left")
+                   .join(jump, "label", "left")
                    .select("doc_id",
-                           F.least("label", F.coalesce("nlabel", "label"))
+                           F.least("label",
+                                   F.coalesce("nlabel", "label"),
+                                   F.coalesce("jlabel", "label"))
                            .alias("label"))
                    .localCheckpoint(eager=True))   # cut lineage per round
         changed = (updated.alias("u")
@@ -332,6 +338,10 @@ def dedup_clusters_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = updated
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            "dedup_clusters did not converge within 50 rounds — "
+            "pathological component structure; inspect the pair graph")
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 

@@ -470,9 +470,9 @@ def quantiles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUANTILES_SQL = """
 SELECT coalesce(event_type, '__UNKNOWN_VAL__') AS event_type,
        count(value) AS n,
-       round(quantile_cont(value, 0.5), 6) AS p50,
-       round(quantile_cont(value, 0.9), 6) AS p90,
-       round(quantile_cont(value, 0.99), 6) AS p99
+       round(quantile_cont(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 0.5), 6) AS p50,
+       round(quantile_cont(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 0.9), 6) AS p90,
+       round(quantile_cont(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 0.99), 6) AS p99
 FROM events
 GROUP BY 1
 """

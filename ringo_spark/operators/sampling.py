@@ -41,28 +41,38 @@ def _bucket(col) -> F.Column:
     return F.pmod(phash(col.cast("string"), SPLIT_SEED), HASH_MOD)
 
 
+def split_expr(id_col) -> F.Column:
+    """train/val/test label from the id's hash bucket — the single
+    definition shared by `sample_hash_split` and the curation pipeline
+    (SQL twin: :func:`sql_split`)."""
+    pct = F.floor(_bucket(id_col) / (HASH_MOD / 100))
+    return (F.when(pct < TRAIN_PCT, "train")
+            .when(pct < TRAIN_PCT + VAL_PCT, "val")
+            .otherwise("test"))
+
+
+def sql_split(id_sql: str = "doc_id::VARCHAR") -> str:
+    pct = (f"floor(({sql_phash(id_sql, SPLIT_SEED)} % {HASH_MOD})"
+           f" / {HASH_MOD // 100})")
+    return (f"CASE WHEN {pct} < {TRAIN_PCT} THEN 'train'"
+            f" WHEN {pct} < {TRAIN_PCT + VAL_PCT} THEN 'val'"
+            f" ELSE 'test' END")
+
+
 def sample_hash_split_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assign every document a stable train/val/test split (80/10/10).
     Reruns, engine changes, and data re-partitioning never move a doc
     between splits — the property that prevents eval-set leakage."""
-    bucket = _bucket(F.col("doc_id"))
-    pct = F.floor(bucket / (HASH_MOD / 100))
-    split = (F.when(pct < TRAIN_PCT, "train")
-             .when(pct < TRAIN_PCT + VAL_PCT, "val")
-             .otherwise("test"))
     return (_docs(spark, sf_dir)
-            .select("doc_id", "source", bucket.alias("bucket"),
-                    split.alias("split")))
+            .select("doc_id", "source",
+                    _bucket(F.col("doc_id")).alias("bucket"),
+                    split_expr(F.col("doc_id")).alias("split")))
 
 
 SAMPLE_HASH_SPLIT_SQL = f"""
 SELECT doc_id, source,
        {sql_phash("doc_id::VARCHAR", SPLIT_SEED)} % {HASH_MOD} AS bucket,
-       CASE WHEN floor(({sql_phash("doc_id::VARCHAR", SPLIT_SEED)} % {HASH_MOD})
-                       / {HASH_MOD // 100}) < {TRAIN_PCT} THEN 'train'
-            WHEN floor(({sql_phash("doc_id::VARCHAR", SPLIT_SEED)} % {HASH_MOD})
-                       / {HASH_MOD // 100}) < {TRAIN_PCT + VAL_PCT} THEN 'val'
-            ELSE 'test' END AS split
+       {sql_split()} AS split
 FROM documents
 """
 

@@ -34,49 +34,76 @@ def _count_in(toks, words) -> F.Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
 
+def punct_ratio_expr(text: str = "text") -> F.Column:
+    """Punctuation/char ratio with the empty-doc guard (ANSI mode makes
+    x/0 an error, not NULL)."""
+    n_chars = F.length(text)
+    punct = F.length(F.regexp_replace(text, "[a-z0-9\\s]", ""))
+    return F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+
+
+def stopword_ratio_expr(text: str = "text") -> F.Column:
+    t = tokens(F.col(text))
+    return _count_in(t, STOPWORDS) / F.size(t)  # split("")->[""], never 0
+
+
+def quality_score_expr(text: str = "text") -> F.Column:
+    """The composite quality score — the single definition shared by
+    `text_quality` and the curation pipeline (SQL twin:
+    :func:`sql_quality_score`)."""
+    n_words = F.size(tokens(F.col(text)))
+    return (F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
+            + (1 - punct_ratio_expr(text)) * 0.3
+            + stopword_ratio_expr(text) * 0.3)
+
+
 def text_quality_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality metrics: length, word count, average word
     length, punctuation ratio, stopword ratio, and a composite score."""
     t = tokens(F.col("text"))
     n_chars = F.length("text")
-    n_words = F.size(t)  # split("") -> [""], so never 0
+    n_words = F.size(t)
     word_chars = F.length(F.regexp_replace("text", "\\s", ""))
-    punct = F.length(F.regexp_replace("text", "[a-z0-9\\s]", ""))
-    stop = _count_in(t, STOPWORDS)
-    # empty document guard: ANSI mode makes x/0 an error, not NULL
-    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
-    stop_ratio = stop / n_words
-    score = (F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
-             + (1 - punct_ratio) * 0.3 + stop_ratio * 0.3)
     return _docs(spark, sf_dir).select(
         "doc_id", n_chars.alias("n_chars"), n_words.alias("n_words"),
         F.round(word_chars / n_words, 6).alias("avg_word_len"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(score, 6).alias("quality_score"))
+        F.round(punct_ratio_expr(), 6).alias("punct_ratio"),
+        F.round(stopword_ratio_expr(), 6).alias("stopword_ratio"),
+        F.round(quality_score_expr(), 6).alias("quality_score"))
 
 
 _SQL_STOP = ", ".join(f"'{w}'" for w in STOPWORDS)
 
+
+def sql_punct_ratio(text: str = "text") -> str:
+    return (f"CASE WHEN length({text}) > 0 THEN "
+            f"length(regexp_replace({text}, '[a-z0-9\\s]', '', 'g')) "
+            f"* 1.0 / length({text}) ELSE 0.0 END")
+
+
+def sql_stopword_ratio(text: str = "text") -> str:
+    return (f"len(list_filter({sql_tokens(text)}, "
+            f"x -> list_contains([{_SQL_STOP}], x))) "
+            f"* 1.0 / len({sql_tokens(text)})")
+
+
+def sql_quality_score(text: str = "text") -> str:
+    """DuckDB twin of :func:`quality_score_expr` — generated from the same
+    components so the two cannot drift."""
+    return (f"least(len({sql_tokens(text)}) / 100.0, 1.0) * 0.4 "
+            f"+ (1 - {sql_punct_ratio(text)}) * 0.3 "
+            f"+ ({sql_stopword_ratio(text)}) * 0.3")
+
 TEXT_QUALITY_SQL = f"""
-WITH d AS (SELECT doc_id, text, {sql_tokens('text')} AS t FROM documents),
-m AS (
-  SELECT doc_id,
-         length(text) AS n_chars,
-         len(t) AS n_words,
-         length(regexp_replace(text, '\\s', '', 'g')) AS word_chars,
-         length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS punct,
-         len(list_filter(t, x -> list_contains([{_SQL_STOP}], x))) AS stop
-  FROM d)
-SELECT doc_id, n_chars, n_words,
-       round(word_chars * 1.0 / n_words, 6) AS avg_word_len,
-       round(CASE WHEN n_chars > 0 THEN punct * 1.0 / n_chars ELSE 0.0 END, 6)
-         AS punct_ratio,
-       round(stop * 1.0 / n_words, 6) AS stopword_ratio,
-       round(least(n_words / 100.0, 1.0) * 0.4
-             + (1 - CASE WHEN n_chars > 0 THEN punct * 1.0 / n_chars ELSE 0.0 END) * 0.3
-             + (stop * 1.0 / n_words) * 0.3, 6) AS quality_score
-FROM m
+SELECT doc_id,
+       length(text) AS n_chars,
+       len({sql_tokens('text')}) AS n_words,
+       round(length(regexp_replace(text, '\\s', '', 'g')) * 1.0
+             / len({sql_tokens('text')}), 6) AS avg_word_len,
+       round({sql_punct_ratio('text')}, 6) AS punct_ratio,
+       round({sql_stopword_ratio('text')}, 6) AS stopword_ratio,
+       round({sql_quality_score('text')}, 6) AS quality_score
+FROM documents
 """
 
 
@@ -235,10 +262,17 @@ def tfidf_bm25_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     denom = (F.col("tf")
              + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
     contrib = idf * F.col("tf") * (BM25_K1 + 1) / denom
+    # per-doc total folded in token order: double addition is
+    # order-sensitive, and a plain sum() would add in partition order —
+    # nondeterministic vs the oracle's scan order
+    ordered_sum = F.aggregate(
+        F.sort_array(F.collect_list(F.struct(F.col("token"),
+                                             contrib.alias("c")))),
+        F.lit(0.0), lambda acc, x: acc + x["c"])
     return (tf.join(df_t, "token").join(dl, "doc_id").crossJoin(stats)
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("terms_matched"),
-                 F.round(F.sum(contrib), 6).alias("bm25")))
+                 F.round(ordered_sum, 6).alias("bm25")))
 
 
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
@@ -258,10 +292,13 @@ df_t AS (
   SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token)
 SELECT tf.doc_id,
        count(*) AS terms_matched,
-       round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-                 * tf * ({BM25_K1} + 1)
-                 / (tf + {BM25_K1} * (1 - {BM25_B}
-                                      + {BM25_B} * dl.dl / avgdl))), 6) AS bm25
+       round(list_reduce(list_prepend(0.0,
+                 list(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                      * tf * ({BM25_K1} + 1)
+                      / (tf + {BM25_K1} * (1 - {BM25_B}
+                                           + {BM25_B} * dl.dl / avgdl))
+                      ORDER BY token)),
+             (acc, c) -> acc + c), 6) AS bm25
 FROM tf
 JOIN df_t USING (token)
 JOIN dl ON dl.doc_id = tf.doc_id

@@ -90,7 +90,12 @@ def streaming_fact_rollup(
             post.append(F.col(cname))
         elif isinstance(t, FactCountDistinct):
             # no source column -> source table PK (Populate/Fact.hs:75)
-            src = qcol(f_name, t.source_column or table_pk_column(f_table))
+            src_name = t.source_column or table_pk_column(f_table)
+            if src_name is None:
+                raise ValueError(
+                    f"FactCountDistinct {fact.name}.{cname} has no source "
+                    f"column and table {f_name} has no primary key")
+            src = qcol(f_name, src_name)
             aggs.append(F.approx_count_distinct(
                 src, rsd=s.fact_count_distinct_error_rate).alias(cname))
             post.append(F.col(cname))

@@ -129,6 +129,38 @@ def test_crash_during_swap_leaves_readable_table(engine, monkeypatch):
         os.path.join(engine.storage, "fact_orders_by_day__old"))
 
 
+def test_resume_refuses_after_unclean_incremental_append(engine, monkeypatch):
+    """A crash between an incremental fact append and its watermark update
+    must NOT lead to a silent double-append on resume (doubled counts are
+    indistinguishable from mergeable partials) — the engine fails loudly;
+    a full refresh heals."""
+    engine.run(PopulationMode.FULL, T_ORDERS_MID)
+
+    orig = Engine._store_watermark
+
+    def crashing_store(self, table, upper):
+        if table.startswith("fact_"):
+            raise RuntimeError("simulated crash before watermark")
+        return orig(self, table, upper)
+
+    monkeypatch.setattr(Engine, "_store_watermark", crashing_store)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        engine.run(PopulationMode.INCREMENTAL, T_FAR)
+    monkeypatch.undo()
+
+    # the append committed but the watermark didn't: resume refuses
+    with pytest.raises(RuntimeError, match="did not complete"):
+        engine.run(PopulationMode.INCREMENTAL, T_FAR)
+
+    # full refresh heals the table and clears the in-flight marker
+    engine.run(PopulationMode.FULL, T_FAR)
+    df = engine.read_table("fact_orders_by_day")
+    keys = ["o_orderdate_day_id", "o_custkey", "order_priority_id",
+            "order_status_id"]
+    assert df.count() == df.select(*keys).distinct().count()
+    engine.run(PopulationMode.INCREMENTAL, T_FAR)  # clean incrementals again
+
+
 def test_incremental_resumes_from_stored_watermark(engine):
     engine.run(PopulationMode.FULL, T_ORDERS_MID)
     n1 = engine.read_table("fact_orders_by_day").count()
