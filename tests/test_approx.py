@@ -46,3 +46,27 @@ def test_sketch_mode_produces_mergeable_state(spark):
     total = merged.collect()[0].users
     exact = cat["events"].select("user_id").distinct().count()
     assert abs(total - exact) <= max(2, 0.15 * exact)
+
+
+def test_approx_percentile_within_tolerance_of_exact(spark):
+    """The sketch swap named in quantiles_df's docstring is real:
+    approx_percentile tracks the exact percentile within the accuracy
+    parameter's rank-error bound."""
+    from pyspark.sql import functions as F
+
+    from ringo_spark.catalog import load_catalog
+    from ringo_spark.testbed import EVENTS
+
+    ev = load_catalog(spark, "/root/testdata/sf0.01", [EVENTS])["events"] \
+        .select(F.col("value").cast("double").alias("v"))
+    row = ev.agg(
+        F.expr("percentile(v, array(0.5D, 0.9D, 0.99D))").alias("exact"),
+        F.expr("approx_percentile(v, array(0.5D, 0.9D, 0.99D), 1000)")
+        .alias("approx"),
+        F.count("v").alias("n"),
+        F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
+    spread = row.hi - row.lo
+    for e, a in zip(row.exact, row.approx):
+        # rank error 1/1000 translates to a small value-space error for a
+        # smooth distribution; allow a generous 2% of the value range
+        assert abs(e - a) <= 0.02 * spread, (e, a)
