@@ -97,9 +97,13 @@ def dedup_minhash_lsh_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # caches are node-local — neither ever enters a shuffle.
     shingled = _shingled(spark, sf_dir).persist()
     sigs = (shingled
+            # hs aliased in its own projection: the 12 permutations each
+            # reference it, and the optimizer will not inline a non-trivial
+            # alias used 12 times — one md5 per shingle, not twelve
+            # (see textfn.shingle_hashes docstring)
+            .withColumn("hs", shingle_hashes(F.col("sh")))
             .select("doc_id",
-                    minhash_signature(shingle_hashes(F.col("sh")),
-                                      NUM_PERM).alias("sig"))
+                    minhash_signature(F.col("hs"), NUM_PERM).alias("sig"))
             .persist())
 
     band_key = F.concat_ws(
