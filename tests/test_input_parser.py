@@ -73,3 +73,55 @@ def test_bad_fact_column_type_rejected():
                      "columns": [{"type": "wat", "column": "ts"}]}]
     with pytest.raises(ValueError):
         parse_input_dict(bad)
+
+
+def test_all_eleven_fact_column_constructors_parse():
+    """Every FactColumnType constructor round-trips from YAML
+    (InputParser.hs:74-117 semantics), including the optional
+    sourcecolumn on count/count-distinct."""
+    from ringo_spark.model import (
+        DimId, FactAverage, FactCount, FactCountDistinct, FactMax, FactMin,
+        NoDimId, TenantId,
+    )
+
+    doc = {
+        "tables": [{
+            "name": "t",
+            "columns": [["id", "bigint", "notnull"],
+                        ["at", "timestamp", "notnull"],
+                        ["site", "integer", "notnull"],
+                        ["tenant", "integer", "notnull"],
+                        ["cust", "integer", "notnull"],
+                        ["kind", "text"],
+                        ["v", "numeric(18,2)"]],
+            "constraints": [{"type": "primary", "column": "id"}],
+        }],
+        "facts": [{
+            "name": "f", "tablename": "t",
+            "columns": [
+                {"type": "dimtime", "column": "at"},
+                {"type": "nodimid", "column": "site"},
+                {"type": "tenantid", "column": "tenant"},
+                {"type": "dimid", "column": "cust", "table": "customers"},
+                {"type": "dimval", "column": "kind", "table": "kind"},
+                {"type": "factcount", "column": "n"},
+                {"type": "factcount", "column": "n_v", "sourcecolumn": "v"},
+                {"type": "factcountdistinct", "column": "uniq"},
+                {"type": "factsum", "column": "s", "sourcecolumn": "v"},
+                {"type": "factaverage", "column": "avg", "sourcecolumn": "v"},
+                {"type": "factmax", "column": "mx", "sourcecolumn": "v"},
+                {"type": "factmin", "column": "mn", "sourcecolumn": "v"},
+            ],
+        }],
+        "defaults": {},
+    }
+    tables, facts, _ = parse_input_dict(doc)
+    kinds = [type(fc.type) for fc in facts[0].columns]
+    assert kinds == [DimTime, NoDimId, TenantId, DimId, DimVal,
+                     FactCount, FactCount, FactCountDistinct, FactSum,
+                     FactAverage, FactMax, FactMin]
+    by_name = {fc.target_column: fc.type for fc in facts[0].columns}
+    assert by_name["n"].source_column is None
+    assert by_name["n_v"].source_column == "v"
+    assert by_name["uniq"].source_column is None     # -> PK fallback
+    assert by_name["cust"].table == "customers"

@@ -70,3 +70,24 @@ def test_incremental_sql_has_anti_join_and_lower_bound():
     assert "LEFT ANTI JOIN dim_browser" in sql and ":time_lower" in sql
     fsql = fact_table_populate_sql(ENV, FACT, PopulationMode.INCREMENTAL)
     assert ":time_lower" in fsql
+
+
+def test_fact_defn_partition_divisor_follows_grain():
+    """Daily partitioning divides the time-bucket id by buckets-per-day:
+    1440 at minute grain, 24 at hour, 86400 at second, and 1 at week
+    (where a bucket is already coarser than a day)."""
+    from ringo_spark.model import Settings, TimeUnit
+    from ringo_spark.validator import make_env
+
+    from .fixtures import facts, tables, type_defaults
+
+    for unit, div in [(TimeUnit.SECOND, 86400), (TimeUnit.MINUTE, 1440),
+                      (TimeUnit.HOUR, 24), (TimeUnit.DAY, 1),
+                      (TimeUnit.WEEK, 1)]:
+        env_u = make_env(tables, facts,
+                         Settings(time_unit=unit,
+                                  table_name_suffix_template=""),
+                         type_defaults)
+        sql = fact_table_defn_sql(env_u, env_u.facts[0])
+        col = f"created_at_{unit.unit_name}_id"
+        assert f"FLOOR({col} / {div})" in sql, (unit, sql)
