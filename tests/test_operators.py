@@ -205,3 +205,49 @@ def test_segmented_ema_handles_hot_user(spark, tmp_path):
                .count().agg(F.max("count")).collect()[0][0])
     assert max_seg <= 8640
     assert seg_rows.count() == 2
+
+
+def test_hash_split_invariant_to_partitioning(spark, tmp_path):
+    """The split is a pure function of doc_id: physically re-partitioning
+    the input must not move any document between splits (the property that
+    makes the split leak-proof across reruns and layouts)."""
+    src = spark.read.parquet(f"{SF}/documents.parquet")
+    sf1 = str(tmp_path / "p1"); sf17 = str(tmp_path / "p17")
+    import os
+
+    for d, n in ((sf1, 1), (sf17, 17)):
+        os.makedirs(d, exist_ok=True)
+        src.repartition(n).write.parquet(f"{d}/documents.parquet")
+    from ringo_spark.operators.sampling import sample_hash_split_df
+
+    a = {r.doc_id: r.split for r in sample_hash_split_df(spark, sf1).collect()}
+    b = {r.doc_id: r.split for r in sample_hash_split_df(spark, sf17).collect()}
+    assert a == b
+
+
+def test_ann_recall_ordering(spark):
+    """Index quality: multi-probe recall >= single-bucket recall, and both
+    find a sane fraction of the exact top-5 (the buckets carry signal)."""
+    from ringo_spark.operators.similarity import (
+        LSH_N_QUERIES, ann_lsh_bucketed_df, ann_lsh_multiprobe_df,
+    )
+
+    exact = {}
+    for r in ann_cosine_topk_df(spark, SF).collect():
+        if r.rank <= 5 and r.q_id < LSH_N_QUERIES:
+            exact.setdefault(r.q_id, set()).add(r.n_id)
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r.q_id, set()).add(r.n_id)
+        hits = sum(len(got.get(q, set()) & n) for q, n in exact.items())
+        return hits / sum(len(n) for n in exact.values())
+
+    # bucket width sized to the tiny corpus (2^3 buckets over ~100
+    # vectors) — the same 2^bits ≈ N/bucket_size rule the docstring
+    # prescribes for real corpora
+    r_single = recall(ann_lsh_bucketed_df(spark, SF, bits=3))
+    r_multi = recall(ann_lsh_multiprobe_df(spark, SF, bits=3))
+    assert r_multi >= r_single
+    assert r_multi > 0.4, (r_single, r_multi)
