@@ -447,6 +447,39 @@ GROUP BY 1
 """
 
 
+def window_frames_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: 7-day rolling revenue per order priority —
+    the frame-clause coverage (rank/lag are elsewhere).  Rolling sums run
+    over the pre-aggregated daily series (one row per priority×day), so
+    the window state is days, not orders; sums stay in exact decimal."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (o.groupBy(F.col("o_orderpriority").alias("pr"),
+                       F.floor(F.unix_timestamp("o_orderdate") / 86400)
+                       .cast("long").alias("day_id"))
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .alias("rev")))
+    w = (Window.partitionBy("pr").orderBy("day_id").rangeBetween(-6, 0))
+    return (daily.select("pr", "day_id",
+                         F.col("rev").cast("double").alias("daily_rev"),
+                         F.sum("rev").over(w).cast("double")
+                         .alias("rolling_7d_rev")))
+
+
+WINDOW_FRAMES_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority AS pr,
+         CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day_id,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1, 2)
+SELECT pr, day_id,
+       CAST(rev AS DOUBLE) AS daily_rev,
+       CAST(sum(rev) OVER (PARTITION BY pr ORDER BY day_id
+                           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS rolling_7d_rev
+FROM daily
+"""
+
+
 def quantiles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ordered-set aggregates: p50/p90/p99 of event value per event
     type (linear interpolation — identical in Spark's `percentile` and
@@ -496,4 +529,5 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "range_join": (range_join_df, RANGE_JOIN_SQL),
     "asof_join": (asof_join_df, ASOF_JOIN_SQL),
     "quantiles": (quantiles_df, QUANTILES_SQL),
+    "window_frames": (window_frames_df, WINDOW_FRAMES_SQL),
 }
