@@ -12,7 +12,7 @@ from .multimodal import MULTIMODAL_FEATURES_SQL, multimodal_features_df
 from .similarity import (
     ANN_COSINE_TOPK_SQL, ANN_IVF_SQL, ANN_LSH_BUCKETED12_SQL,
     ANN_LSH_BUCKETED_SQL, ANN_LSH_MULTIPROBE_SQL, ann_cosine_topk_arrow_df,
-    ann_cosine_topk_df, ann_ivf_df, ann_lsh_bucketed12_df,
+    ann_cosine_topk_df, ann_ivf_df, ann_ivf_indexed_df, ann_lsh_bucketed12_df,
     ann_lsh_bucketed_df, ann_lsh_multiprobe_df,
 )
 from .pipeline import PIPELINE_QUERIES
@@ -42,6 +42,9 @@ OPERATOR_QUERIES: dict[str, tuple] = {
     "ann_lsh_bucketed12": (ann_lsh_bucketed12_df, ANN_LSH_BUCKETED12_SQL),
     "ann_lsh_multiprobe": (ann_lsh_multiprobe_df, ANN_LSH_MULTIPROBE_SQL),
     "ann_ivf": (ann_ivf_df, ANN_IVF_SQL),
+    # same semantics served from the persisted partitionBy("cell") index —
+    # query path prunes to probed cells (PartitionFilters, see test_plans)
+    "ann_ivf_indexed": (ann_ivf_indexed_df, ANN_IVF_SQL),
     "ann_cosine_topk_arrow": (ann_cosine_topk_arrow_df, None),  # numpy summation order; rows-only
     "text_quality": (text_quality_df, TEXT_QUALITY_SQL),
     "lang_id": (lang_id_df, LANG_ID_SQL),

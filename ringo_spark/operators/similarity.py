@@ -30,6 +30,10 @@ All deterministic ⇒ all hash-checked against DuckDB.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -242,6 +246,108 @@ SELECT q_id, n_id,
 FROM cand
 QUALIFY rank <= {LSH_TOP_K}
 """
+
+
+# --- IVF persisted index ----------------------------------------------------
+#
+# ``ann_ivf_df`` above recomputes the cell assignment and re-joins the full
+# corpus per query batch — fine as the index-build *oracle*, a full-corpus
+# exchange per search at scale.  The persisted path below is the production
+# shape: the assignment is computed ONCE (map-only argmax over broadcast
+# centroid literals — no shuffle of vectors, no groupBy) and written
+# ``partitionBy("cell")``; every later query prunes straight to its probed
+# cells at the parquet scan (PartitionFilters — asserted in test_plans).
+
+IVF_INDEX_ROOT = os.path.join(tempfile.gettempdir(), "ringo_ivf_index")
+
+
+def _ivf_centroid_rows(emb: DataFrame, k: int = IVF_K) -> list:
+    """Deterministic seed centroids (first K vectors), collected — K rows,
+    the planner-side metadata of the index."""
+    return (emb.where(F.col("vec_id") < k)
+            .select(F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("cvec"))
+            .collect())
+
+
+def _cell_expr(cent_rows) -> F.Column:
+    """Map-only cell assignment: argmax cosine over K broadcast centroid
+    literals, deterministic ties broken by max cid via lexicographic struct
+    greatest — bit-identical to the groupBy-max in ``ann_ivf_df``."""
+    scs = []
+    for r in cent_rows:
+        cvec = F.array(*[F.lit(float(x)) for x in r.cvec])
+        s = F.round(cosine(F.col("embedding"), cvec), 6)
+        scs.append(F.struct(s.alias("s"), F.lit(int(r.cid)).alias("cid")))
+    return F.greatest(*scs).getField("cid") if len(scs) > 1 else scs[0].getField("cid")
+
+
+def build_ivf_index(spark: SparkSession, sf_dir: str,
+                    index_path: str | None = None, k: int = IVF_K,
+                    force: bool = False) -> str:
+    """Build (once) the persisted IVF index: corpus vectors written
+    ``partitionBy("cell")``.
+
+    Scale shape: the assignment is a *map-only* expression (argmax over K
+    broadcast centroid literals) — vectors never shuffle for assignment.
+    The single ``repartition("cell")`` is the one build-time shuffle, so
+    each cell lands as a contiguous file set (at real scale you'd salt the
+    repartition key to get several writers per giant cell; the layout and
+    the query path are unchanged).  Amortized across every query served.
+    """
+    if index_path is None:
+        tag = hashlib.md5(f"{os.path.abspath(sf_dir)}|{k}".encode()).hexdigest()[:10]
+        index_path = os.path.join(IVF_INDEX_ROOT, f"k{k}-{tag}")
+    if not force and os.path.exists(os.path.join(index_path, "_SUCCESS")):
+        return index_path
+    emb = _emb(spark, sf_dir)
+    cent_rows = _ivf_centroid_rows(emb, k)
+    (emb.withColumn("cell", _cell_expr(cent_rows))
+     .repartition("cell")
+     .write.mode("overwrite").partitionBy("cell").parquet(index_path))
+    return index_path
+
+
+def ann_ivf_indexed_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF query against the persisted partitioned index.
+
+    The probed cell list is resolved driver-side from the K collected
+    centroids (index metadata, not data) and becomes a static ``isin``
+    predicate, so the parquet scan reads ONLY the probed cell directories
+    (partition pruning) — no corpus-wide scan, no corpus shuffle.  Result
+    rows are identical to ``ann_ivf_df`` (same oracle SQL)."""
+    index_path = build_ivf_index(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    cent = (emb.where(F.col("vec_id") < IVF_K)
+            .select(F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("cvec")))
+    q = emb.where(F.col("vec_id") < LSH_N_QUERIES) \
+           .select(F.col("vec_id").alias("q_id"),
+                   F.col("embedding").alias("q_emb"))
+    qsim = F.round(cosine(F.col("q_emb"), F.col("cvec")), 6)
+    qw = Window.partitionBy("q_id").orderBy(F.desc("qs"), F.desc("cell"))
+    probes = (q.crossJoin(F.broadcast(cent))
+              .select("q_id", "q_emb", F.col("cid").alias("cell"),
+                      qsim.alias("qs"))
+              .withColumn("pr", F.row_number().over(qw))
+              .where(F.col("pr") <= IVF_NPROBE)
+              .select("q_id", "q_emb", "cell"))
+    probed_cells = sorted({r.cell for r in probes.select("cell").collect()})
+
+    idx = (spark.read.parquet(index_path)
+           .where(F.col("cell").isin(probed_cells))
+           .select(F.col("vec_id").alias("n_id"),
+                   F.col("embedding").alias("n_emb"),
+                   F.col("cell").cast("long").alias("cell")))
+    cand = (idx.join(F.broadcast(probes), "cell")
+            .where(F.col("q_id") != F.col("n_id")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (cand.select("q_id", "n_id",
+                        F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6)
+                        .alias("cosine"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= LSH_TOP_K)
+            .select("q_id", "n_id", "rank", "cosine"))
 
 
 def ann_cosine_topk_arrow_df(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -107,3 +107,19 @@ def test_ann_lsh_is_bucket_equijoin(spark):
         assert "BroadcastHashJoin [bucket" in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_indexed_query_prunes_partitions(spark):
+    """The persisted-IVF query path must read ONLY the probed cells: the
+    parquet scan of the index shows a non-empty PartitionFilters on cell
+    (no corpus-wide rescan), and the probe side stays broadcast."""
+    import re
+
+    from ringo_spark.operators.similarity import ann_ivf_indexed_df
+
+    plan = plan_of(spark, ann_ivf_indexed_df(spark, SF))
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, "index scan lost its partition filter"
+    assert "cell" in m.group(1) and "IN" in m.group(1)
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
