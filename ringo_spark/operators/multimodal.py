@@ -1,22 +1,31 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 processed with Arrow-batched ``mapInPandas``.
 
-The container has no image/audio libraries, so the actual decoders are
-STUBBED: ``_decode_image_real`` raises NotImplementedError unless PIL is
-importable, and the pipeline falls back to ``_decode_fake`` — a
-clearly-marked deterministic function of the payload bytes.  Everything
-around the stub is real and tested: binary column schema, Arrow batch
-transfer, per-partition batching, output schema enforcement — i.e. the
-exact plumbing a real decoder would drop into.
+The decode step is REAL and dependency-free: payloads are well-formed
+PNG / WAV containers (synthesized from the documents table — the image
+libraries this container lacks are only needed for pixel data, not for
+container headers), and the kernels parse the actual bytes:
+
+- PNG: validate the 8-byte signature, read width/height from the IHDR
+  chunk (big-endian, first chunk per the PNG spec).  CRC is present but
+  not validated (as in most streaming decoders).
+- WAV: validate RIFF/WAVE, walk chunks to the ``fmt `` chunk, unpack
+  little-endian channels / sample rate, size the ``data`` chunk.
+
+``_decode_fake`` remains only as the documented fallback for payloads in
+formats the parser doesn't know (it is exercised in tests, never in the
+registered queries).  A pixel-level decoder (PIL/opencv) would slot into
+``decode_features`` without touching any of the Spark plumbing.
 
 Scale notes: mapInPandas streams Arrow batches per partition — no
-collect, no per-row Python calls; payload bytes never shuffle (the
-operator is map-only), so adding decode to a 100 TB scan costs only the
-Python-worker lanes, not an exchange.
+collect, no per-row Python calls into Spark; payload bytes never shuffle
+(both operators are map-only), so adding decode to a 100 TB scan costs
+only the Python-worker lanes, not an exchange.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -32,64 +41,194 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("n_frames", T.IntegerType()),
 ])
 
+PNG_SIGNATURE = bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])
+PNG_HEADER_BYTES = 33  # signature(8) + IHDR chunk: len(4)+type(4)+data(13)+crc(4)
+
+
+def _be32(col) -> F.Column:
+    """Big-endian 4-byte binary encoding of an int column (JVM-side)."""
+    return F.unhex(F.lpad(F.hex(col.cast("bigint")), 8, "0"))
+
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synthesize a media table with an opaque binary column + metadata
-    (documents' text bytes standing in for image payloads)."""
+    """Media table with REAL PNG payloads built JVM-side: signature +
+    IHDR (width/height derived deterministically from the text length,
+    so the oracle can replay them arithmetically) + the document text
+    bytes standing in for the compressed image stream.  The IHDR CRC is
+    a placeholder — the parser, like most streaming decoders, skips it."""
+    nb = F.octet_length("text")
+    width = (nb % 640 + 1).cast("int")
+    height = ((nb * 7) % 480 + 1).cast("int")
+    payload = F.concat(
+        F.lit(PNG_SIGNATURE),
+        _be32(F.lit(13)), F.lit(b"IHDR"),
+        _be32(width), _be32(height),
+        F.lit(bytes([8, 6, 0, 0, 0])),  # bit depth 8, RGBA, std flags
+        _be32(F.lit(0)),                # CRC placeholder (unvalidated)
+        F.encode("text", "utf-8"),
+    )
     return (spark.read.parquet(f"{sf_dir}/documents.parquet")
             .select("doc_id",
-                    F.encode("text", "utf-8").alias("payload"),
-                    F.lit("image/fake").alias("media_type"),
+                    payload.alias("payload"),
+                    F.lit("image/png").alias("media_type"),
                     F.struct(F.col("n_chars").alias("declared_size"),
                              F.col("source").alias("origin")).alias("meta")))
 
 
-def _decode_image_real(payload: bytes) -> tuple[int, int]:
-    """Real decoder — requires an image library absent from this container."""
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - expected path here
-        raise NotImplementedError(
-            "image decode requires PIL/opencv; not available in this "
-            "environment — deterministic fake used instead") from exc
-    raise NotImplementedError("real decode path not wired in this build")
+def parse_png_header(payload: bytes) -> tuple[int, int] | None:
+    """Real, dependency-free PNG container decode: signature check + IHDR
+    width/height (PNG spec: IHDR is always the first chunk; fields are
+    big-endian).  Returns None for non-PNG bytes."""
+    if len(payload) < 24 or payload[:8] != PNG_SIGNATURE:
+        return None
+    length, ctype = struct.unpack(">I4s", payload[8:16])
+    if ctype != b"IHDR" or length < 8:
+        return None
+    return struct.unpack(">II", payload[16:24])
 
 
 def _decode_fake(payload: bytes) -> tuple[int, int, int]:
-    """DETERMINISTIC FAKE decode: features derived from payload length so
-    results are reproducible and oracle-checkable."""
+    """DETERMINISTIC FAKE decode — fallback for unknown formats only:
+    features derived from payload length so results stay reproducible."""
     n = len(payload)
     return n % 640 + 1, (n * 7) % 480 + 1, n % 16 + 1
 
 
 def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: binary payload -> (width, height, n_frames)."""
+    """mapInPandas kernel: binary payload -> (width, height, n_frames).
+    PNG headers are parsed from the real bytes; anything else falls back
+    to the labeled fake."""
     for pdf in batches:
         payloads = pdf["payload"]
-        n_bytes = payloads.map(len)
-        feats = payloads.map(_decode_fake)
+        feats = []
+        for p in payloads:
+            p = bytes(p)
+            wh = parse_png_header(p)
+            feats.append((*wh, 1) if wh else _decode_fake(p))
         yield pd.DataFrame({
             "doc_id": pdf["doc_id"],
-            "n_bytes": n_bytes.astype("int64"),
-            "width": feats.map(lambda f: f[0]).astype("int32"),
-            "height": feats.map(lambda f: f[1]).astype("int32"),
-            "n_frames": feats.map(lambda f: f[2]).astype("int32"),
+            "n_bytes": payloads.map(len).astype("int64"),
+            "width": pd.Series([f[0] for f in feats], dtype="int32"),
+            "height": pd.Series([f[1] for f in feats], dtype="int32"),
+            "n_frames": pd.Series([f[2] for f in feats], dtype="int32"),
         })
 
 
 def multimodal_features_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column decode pipeline via Arrow-batched mapInPandas."""
+    """Binary-column decode pipeline via Arrow-batched mapInPandas: real
+    PNG payloads in, real header parse out."""
     return media_table(spark, sf_dir).mapInPandas(decode_features, FEATURE_SCHEMA)
 
 
-# Oracle replays the deterministic fake arithmetically on the text bytes
-# (documents are ASCII, so strlen == octet length).
-MULTIMODAL_FEATURES_SQL = """
+# Oracle replays the header arithmetic: the builder embedded
+# width = strlen % 640 + 1 and height = strlen*7 % 480 + 1 into the IHDR,
+# the parser read them back; payload = 33 header bytes + the text bytes.
+MULTIMODAL_FEATURES_SQL = f"""
 SELECT doc_id,
-       strlen(text)::BIGINT AS n_bytes,
+       strlen(text)::BIGINT + {PNG_HEADER_BYTES} AS n_bytes,
        CAST(strlen(text) % 640 + 1 AS INT) AS width,
        CAST((strlen(text) * 7) % 480 + 1 AS INT) AS height,
-       CAST(strlen(text) % 16 + 1 AS INT) AS n_frames
+       1 AS n_frames
+FROM documents
+"""
+
+
+# --- WAV (audio) lane -------------------------------------------------------
+
+WAV_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_channels", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+])
+
+WAV_HEADER_BYTES = 44  # RIFF(12) + fmt chunk(24) + data chunk header(8)
+
+
+def wav_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize well-formed 16-bit PCM WAV payloads (struct.pack in an
+    Arrow kernel — RIFF fields are little-endian, which JVM expressions
+    can't emit cheaply).  Rate/channels derive from doc_id; the text
+    bytes stand in for PCM samples."""
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8")
+                rate = 8000 + int(doc_id) % 8 * 1000
+                ch = int(doc_id) % 2 + 1
+                block = ch * 2  # 16-bit PCM
+                hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                       + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, rate,
+                                               rate * block, block, 16)
+                       + b"data" + struct.pack("<I", len(data)))
+                payloads.append(hdr + data)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text").mapInPandas(encode, schema))
+
+
+def parse_wav_header(payload: bytes) -> tuple[int, int, int] | None:
+    """Real RIFF/WAVE parse: chunk walk to ``fmt `` (little-endian
+    channels + sample rate) and ``data`` (byte size).  Returns
+    (sample_rate, n_channels, data_bytes) or None for non-WAV bytes."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, rate, ch, data_len = 12, None, None, None
+    while pos + 8 <= len(payload):
+        ctype, clen = struct.unpack("<4sI", payload[pos:pos + 8])
+        if ctype == b"fmt " and clen >= 16:
+            _fmt, ch, rate = struct.unpack("<HHI", payload[pos + 8:pos + 16])
+        elif ctype == b"data":
+            data_len = clen
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if rate is None or data_len is None:
+        return None
+    return rate, ch, data_len
+
+
+def decode_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "n_bytes", "sample_rate",
+                               "n_channels", "n_samples")}
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            p = bytes(p)
+            parsed = parse_wav_header(p)
+            if parsed is None:
+                continue
+            rate, ch, data_len = parsed
+            out["doc_id"].append(doc_id)
+            out["n_bytes"].append(len(p))
+            out["sample_rate"].append(rate)
+            out["n_channels"].append(ch)
+            out["n_samples"].append(data_len // (ch * 2))
+        yield pd.DataFrame({
+            "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+            "n_bytes": pd.Series(out["n_bytes"], dtype="int64"),
+            "sample_rate": pd.Series(out["sample_rate"], dtype="int32"),
+            "n_channels": pd.Series(out["n_channels"], dtype="int32"),
+            "n_samples": pd.Series(out["n_samples"], dtype="int64"),
+        })
+
+
+def multimodal_wav_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio lane: WAV payloads decoded by the real RIFF chunk walker."""
+    return wav_table(spark, sf_dir).mapInPandas(decode_wav, WAV_SCHEMA)
+
+
+MULTIMODAL_WAV_SQL = f"""
+SELECT doc_id,
+       strlen(text)::BIGINT + {WAV_HEADER_BYTES} AS n_bytes,
+       CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+       CAST(doc_id % 2 + 1 AS INT) AS n_channels,
+       (strlen(text) // ((doc_id % 2 + 1) * 2))::BIGINT AS n_samples
 FROM documents
 """
 

@@ -8,7 +8,10 @@ from .dedup import (
     dedup_incremental_df, dedup_minhash_lsh_df, dedup_ngram_jaccard_df,
     dedup_simhash_df,
 )
-from .multimodal import MULTIMODAL_FEATURES_SQL, multimodal_features_df
+from .multimodal import (
+    MULTIMODAL_FEATURES_SQL, MULTIMODAL_WAV_SQL, multimodal_features_df,
+    multimodal_wav_df,
+)
 from .similarity import (
     ANN_COSINE_TOPK_SQL, ANN_IVF_SQL, ANN_LSH_BUCKETED12_SQL,
     ANN_LSH_BUCKETED_SQL, ANN_LSH_MULTIPROBE_SQL, ann_cosine_topk_arrow_df,
@@ -56,6 +59,7 @@ OPERATOR_QUERIES: dict[str, tuple] = {
     "lang_confusion": (lang_confusion_df, LANG_CONFUSION_SQL),
     "metrics_unpivot": (metrics_unpivot_df, METRICS_UNPIVOT_SQL),
     "multimodal_features": (multimodal_features_df, MULTIMODAL_FEATURES_SQL),
+    "multimodal_wav": (multimodal_wav_df, MULTIMODAL_WAV_SQL),
     **RELATIONAL_QUERIES,
     **GRAIN_QUERIES,
     **SESSION_QUERIES,

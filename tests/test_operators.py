@@ -85,12 +85,46 @@ def test_quality_metrics_ranges(spark):
         assert 0 <= r.stopword_ratio <= 1 and 0 <= r.quality_score <= 1
 
 
-def test_multimodal_features_deterministic(spark):
+def test_multimodal_features_real_png_decode(spark):
+    """The registered pipeline round-trips real PNG bytes: the builder
+    embeds width/height in the IHDR, the parser reads them back."""
     rows = multimodal_features_df(spark, SF).collect()
     for r in rows[:20]:
-        assert r.width == r.n_bytes % 640 + 1
-        assert r.height == (r.n_bytes * 7) % 480 + 1
-        assert r.n_frames == r.n_bytes % 16 + 1
+        body = r.n_bytes - 33  # signature + IHDR chunk overhead
+        assert r.width == body % 640 + 1
+        assert r.height == (body * 7) % 480 + 1
+        assert r.n_frames == 1
+
+
+def test_png_parser_on_real_and_garbage_bytes(spark):
+    from ringo_spark.operators.multimodal import (
+        _decode_fake, media_table, parse_png_header,
+    )
+
+    payload = bytes(media_table(spark, SF).limit(1).collect()[0].payload)
+    assert payload[:8] == bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])
+    wh = parse_png_header(payload)
+    assert wh is not None and wh[0] >= 1 and wh[1] >= 1
+    # non-PNG bytes fall through to the labeled fake
+    assert parse_png_header(b"not a png at all, sorry") is None
+    assert len(_decode_fake(b"xyz")) == 3
+
+
+def test_wav_parser_round_trip(spark):
+    from ringo_spark.operators.multimodal import (
+        multimodal_wav_df, parse_wav_header, wav_table,
+    )
+
+    raw = wav_table(spark, SF).limit(5).collect()
+    for r in raw:
+        rate, ch, data_len = parse_wav_header(bytes(r.payload))
+        assert rate == 8000 + r.doc_id % 8 * 1000
+        assert ch == r.doc_id % 2 + 1
+        assert data_len == len(bytes(r.payload)) - 44
+    assert parse_wav_header(b"RIFFxxxxNOPE") is None
+    rows = multimodal_wav_df(spark, SF).limit(5).collect()
+    for r in rows:
+        assert r.n_samples == (r.n_bytes - 44) // (r.n_channels * 2)
 
 
 def test_multimodal_stub_plumbing(spark):
