@@ -50,7 +50,20 @@ from .populate.fact import fact_population_df
 class Engine:
     def __init__(self, spark: SparkSession, env: Env, storage_path: str,
                  partition_facts: bool = False,
-                 count_distinct_mode: str = "sketch"):
+                 count_distinct_mode: str = "sketch",
+                 commit_mode: str = "rename"):
+        # commit_mode picks the full-refresh publication protocol:
+        #   "rename"   — staging dir renamed over live (atomic on one
+        #                POSIX filesystem; the reference's {{suff}} swap,
+        #                Generator/Internal.hs:38-41).
+        #   "manifest" — each refresh writes an immutable versioned dir
+        #                and atomically flips a small manifest pointer.
+        #                On S3/GCS rename is copy+delete (not atomic), but
+        #                a single small-object PUT is — so the manifest is
+        #                the object-store-safe equivalent of the swap.
+        if commit_mode not in ("rename", "manifest"):
+            raise ValueError(f"unknown commit_mode: {commit_mode!r}")
+        self.commit_mode = commit_mode
         # count_distinct_mode defaults to "sketch" for persisted tables:
         # the reference stores mergeable HLL register state in the fact
         # table (Populate/Fact.hs:60-120) precisely so coarser rollups can
@@ -88,18 +101,81 @@ class Engine:
         if not os.path.exists(live) and os.path.exists(old):
             os.rename(old, live)
 
-    def read_table(self, table: str) -> DataFrame:
+    # --- manifest-pointer commits (object-store-safe) ----------------------
+
+    def _manifest_path(self, table: str) -> str:
+        return os.path.join(self.storage, table + ".manifest.json")
+
+    def _read_manifest(self, table: str) -> dict | None:
+        mp = self._manifest_path(table)
+        if not os.path.exists(mp):
+            return None
+        with open(mp) as fh:
+            return json.load(fh)
+
+    def _publish_manifest(self, table: str, version: int, dirname: str) -> None:
+        """Atomic pointer flip: tmp file + ``os.replace`` locally — the
+        analogue of a single small-object PUT on S3/GCS (which IS atomic,
+        unlike directory rename there).  Readers resolve the manifest
+        first, so they see the previous complete version or the new
+        complete version, never a partial table."""
+        tmp = self._manifest_path(table) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"version": version, "dir": dirname}, fh)
+        os.replace(tmp, self._manifest_path(table))
+
+    def _gc_versions(self, table: str, keep: str) -> None:
+        """Drop version dirs the manifest no longer references.  A crash
+        anywhere here is harmless: orphans are re-collected on the next
+        write, and readers never resolve them."""
+        prefix = table + "__v"
+        for d in os.listdir(self.storage):
+            if d.startswith(prefix) and d != keep:
+                shutil.rmtree(os.path.join(self.storage, d),
+                              ignore_errors=True)
+
+    def _live_dir(self, table: str) -> str:
+        """Resolve the current readable directory for a table."""
+        if self.commit_mode == "manifest":
+            m = self._read_manifest(table)
+            if m is None:
+                raise FileNotFoundError(f"no manifest for table {table!r}")
+            return os.path.join(self.storage, m["dir"])
         self._recover_swap(table)
-        return self.spark.read.parquet(self._path(table))
+        return self._path(table)
+
+    def table_exists(self, table: str) -> bool:
+        if self.commit_mode == "manifest":
+            return self._read_manifest(table) is not None
+        self._recover_swap(table)
+        return os.path.exists(self._path(table))
+
+    def read_table(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self._live_dir(table))
 
     def _write_full(self, df: DataFrame, table: str, partition_by=()) -> None:
-        """Staging write + crash-safe directory swap.
+        """Crash-safe full-refresh publication, per ``commit_mode``.
 
-        Order matters: the previous live directory is renamed *aside*
-        before staging is renamed in, so a crash at any point leaves either
-        the old table or the new one readable — never neither.  The aside
-        copy is deleted last (and reclaimed on the next swap if the delete
-        itself crashed)."""
+        rename: the previous live directory is renamed *aside* before
+        staging is renamed in, so a crash at any point leaves either the
+        old table or the new one readable — never neither.  The aside copy
+        is deleted last (and reclaimed on the next swap if the delete
+        itself crashed).
+
+        manifest: the refresh lands in an immutable ``<table>__vN`` dir;
+        the manifest pointer flips only after the write completes, then
+        stale versions are garbage-collected."""
+        if self.commit_mode == "manifest":
+            m = self._read_manifest(table)
+            version = (m["version"] if m else 0) + 1
+            dirname = f"{table}__v{version}"
+            w = df.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(os.path.join(self.storage, dirname))
+            self._publish_manifest(table, version, dirname)
+            self._gc_versions(table, keep=dirname)
+            return
         staging, live = self._path(table, True), self._path(table)
         old = live + "__old"
         w = df.write.mode("overwrite")
@@ -116,10 +192,14 @@ class Engine:
             shutil.rmtree(old)
 
     def _write_append(self, df: DataFrame, table: str, partition_by=()) -> None:
+        # appends add files to the current version dir; object-store
+        # atomicity of the multi-file job commit is the parquet
+        # committer's concern (magic/manifest committers), orthogonal to
+        # the table-pointer protocol above
         w = df.write.mode("append")
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.parquet(self._path(table))
+        w.parquet(self._live_dir(table))
 
     # --- watermarks --------------------------------------------------------
 
@@ -231,7 +311,7 @@ class Engine:
 
     def _run_dimension(self, fact: Fact, dim_table: str, mode: PopulationMode,
                        time_upper, time_lower) -> None:
-        exists = os.path.exists(self._path(dim_table))
+        exists = self.table_exists(dim_table)
         if mode == PopulationMode.INCREMENTAL and exists:
             existing = self.read_table(dim_table)
             new_rows = dimension_population_df(
@@ -259,7 +339,7 @@ class Engine:
                                 time_lower=time_lower,
                                 count_distinct_mode=self.count_distinct_mode)
         df, partition_by = self._with_fact_partitioning(fact, df)
-        if mode == PopulationMode.INCREMENTAL and os.path.exists(self._path(derived.name)):
+        if mode == PopulationMode.INCREMENTAL and self.table_exists(derived.name):
             if derived.name in self._inflight():
                 raise RuntimeError(
                     f"previous incremental append to {derived.name} did not "

@@ -172,3 +172,76 @@ def test_incremental_resumes_from_stored_watermark(engine):
     keys = ["o_orderdate_day_id", "o_custkey", "order_priority_id",
             "order_status_id"]
     assert df.count() == df.select(*keys).distinct().count()
+
+
+@pytest.fixture
+def manifest_engine(spark, tmp_path):
+    eng = Engine(spark, ORDERS_ENV, str(tmp_path / "mwarehouse"),
+                 commit_mode="manifest")
+    eng.load_sources("/root/testdata/sf0.001")
+    return eng
+
+
+def test_manifest_full_and_incremental_run(manifest_engine):
+    eng = manifest_engine
+    eng.run(PopulationMode.FULL, T_ORDERS_MID)
+    n1 = eng.read_table("fact_orders_by_day").count()
+    m = json.load(open(os.path.join(eng.storage,
+                                    "fact_orders_by_day.manifest.json")))
+    assert m == {"version": 1, "dir": "fact_orders_by_day__v1"}
+    eng.run(PopulationMode.INCREMENTAL, T_FAR, T_ORDERS_MID)
+    assert eng.read_table("fact_orders_by_day").count() > n1
+    # appends land inside the manifest-referenced version dir
+    m2 = json.load(open(os.path.join(eng.storage,
+                                     "fact_orders_by_day.manifest.json")))
+    assert m2["version"] == 1
+
+
+def test_manifest_refresh_bumps_version_and_gcs_old(manifest_engine):
+    eng = manifest_engine
+    eng.run(PopulationMode.FULL, T_FAR)
+    before = eng.read_table("fact_orders_by_day").count()
+    eng.run(PopulationMode.FULL, T_FAR)
+    assert eng.read_table("fact_orders_by_day").count() == before
+    m = json.load(open(os.path.join(eng.storage,
+                                    "fact_orders_by_day.manifest.json")))
+    assert m["version"] == 2
+    dirs = [d for d in os.listdir(eng.storage)
+            if d.startswith("fact_orders_by_day__v")]
+    assert dirs == ["fact_orders_by_day__v2"]
+
+
+def test_manifest_crash_before_publish_leaves_old_version_live(
+        manifest_engine, monkeypatch):
+    """Kill the refresh after the new version dir is written but before
+    the pointer flips: readers must still resolve the previous complete
+    version, and a clean re-run must converge (GC'ing the orphan)."""
+    import ringo_spark.engine as engmod
+
+    eng = manifest_engine
+    eng.run(PopulationMode.FULL, T_ORDERS_MID)
+    before = eng.read_table("fact_orders_by_day").count()
+
+    real_replace = os.replace
+
+    def crashing_replace(src, dst):
+        if "fact_orders_by_day.manifest.json" in dst:
+            raise RuntimeError("simulated crash before manifest publish")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(engmod.os, "replace", crashing_replace)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        eng.run(PopulationMode.FULL, T_FAR)
+    monkeypatch.undo()
+
+    # pointer still names v1: the old table stays readable
+    assert eng.read_table("fact_orders_by_day").count() == before
+    # clean re-run publishes (v2 dir already on disk is overwritten or
+    # superseded) and GCs every non-live version
+    eng.run(PopulationMode.FULL, T_FAR)
+    assert eng.read_table("fact_orders_by_day").count() >= before
+    dirs = sorted(d for d in os.listdir(eng.storage)
+                  if d.startswith("fact_orders_by_day__v"))
+    m = json.load(open(os.path.join(eng.storage,
+                                    "fact_orders_by_day.manifest.json")))
+    assert dirs == [m["dir"]]
