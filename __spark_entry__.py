@@ -25,9 +25,19 @@ def _registry() -> dict[str, tuple]:
 
     reg = dict(CORE_QUERIES)
     try:
-        from ringo_spark.operators.registry import OPERATOR_QUERIES
+        from ringo_spark.operators.registry import (
+            DISPLACED, DRIVER_WINDOW, OPERATOR_QUERIES,
+        )
 
         reg.update(OPERATOR_QUERIES)
+        # Registration order is curated: the driver hash-checks the first
+        # 50 entries only, so DRIVER_WINDOW comes first (rotation policy
+        # in registry.py / CORRECTNESS_WINDOW.md).  Anything not named in
+        # either list lands at the end rather than silently displacing a
+        # windowed query.
+        order = [n for n in DRIVER_WINDOW + DISPLACED if n in reg]
+        reg = {n: reg[n] for n in order} | {
+            n: v for n, v in reg.items() if n not in order}
     except ImportError:
         pass
     return reg

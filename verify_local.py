@@ -69,21 +69,28 @@ def compare(name, spark_df, con, sql) -> list[str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     from ringo_spark.catalog import get_spark
 
     spark = get_spark("verify-local")
     con = duck_connection(sf_dir)
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
-    failed = []
+    failed, record = [], {}
     for name, builder in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
+        rows_only = name not in oracles
         try:
             df = builder(spark, sf_dir)
-            if name in oracles:
+            if not rows_only:
                 problems = compare(name, df, con, oracles[name])
             else:
                 n = df.count()
@@ -98,8 +105,21 @@ def main():
             print(f"       {p}")
         if problems:
             failed.append(name)
+        record[name] = {
+            "cells_match": None if rows_only else not problems,
+            "ok": not problems,
+            "mode": "rows_only" if rows_only else "cell_exact",
+            "sec": round(dt, 1),
+            "problems": problems or None,
+        }
     ran = [n for n in qs if not only or n in only]
     print(f"\n{len(ran) - len(failed)}/{len(ran)} passed")
+    if json_out:
+        import json as _json
+        with open(json_out, "w") as fh:
+            _json.dump({"sf_dir": sf_dir, "checker": "verify_local cell-exact",
+                        "passed": len(ran) - len(failed), "ran": len(ran),
+                        "results": record}, fh, indent=1)
     sys.exit(1 if failed else 0)
 
 
