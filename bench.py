@@ -96,6 +96,11 @@ def main():
                 n: round(t - base["queries"][n], 3)
                 for n, t in timings.items() if n in base["queries"]
             }
+            # the round-1 baseline pinned 13 queries; "value" now sums 18.
+            # For a like-for-like ratio against baseline_total, use the
+            # subtotal over exactly the baseline's query set.
+            out["baseline_comparable_total"] = round(
+                sum(t for n, t in timings.items() if n in base["queries"]), 3)
     print(json.dumps(out))
 
 

@@ -19,6 +19,7 @@ from .similarity import (
     ann_lsh_bucketed_df, ann_lsh_multiprobe_df,
 )
 from .pipeline import PIPELINE_QUERIES
+from .training import TRAINING_QUERIES
 from .relational import RELATIONAL_QUERIES
 from .sampling import SAMPLING_QUERIES
 from .rollup_grain import GRAIN_QUERIES
@@ -127,6 +128,13 @@ DISPLACED: list[str] = [
     "ann_lsh_multiprobe",
     "fact_events_by_minute_approx",  # no-oracle by design (ε pytest)
     "ann_cosine_topk_arrow",         # no-oracle by design (ε pytest)
+    # round-4 additions (training-data prep) — new queries join OUTSIDE
+    # the window (cell-exact local verification only) rather than
+    # displacing a windowed query; they rotate in next round
+    "text_scrub",
+    "seq_pack",
+    "embed_quantize",
+    "profile_table",
 ]
 
 OPERATOR_QUERIES: dict[str, tuple] = {
@@ -163,4 +171,5 @@ OPERATOR_QUERIES: dict[str, tuple] = {
     **TPCH_QUERIES,
     **SAMPLING_QUERIES,
     **PIPELINE_QUERIES,
+    **TRAINING_QUERIES,
 }

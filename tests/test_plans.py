@@ -123,3 +123,22 @@ def test_ivf_indexed_query_prunes_partitions(spark):
     assert "cell" in m.group(1) and "IN" in m.group(1)
     assert "BroadcastExchange" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_training_ops_plan_shapes(spark):
+    """text_scrub / embed_quantize are map-only (zero Exchange);
+    seq_pack's only exchange is the shard-partitioned window (never a
+    global single-partition sort); none of them touch Python."""
+    from ringo_spark.operators.training import (
+        embed_quantize_df, seq_pack_df, text_scrub_df,
+    )
+
+    for fn in (text_scrub_df, embed_quantize_df):
+        plan = plan_of(spark, fn(spark, SF))
+        assert "Exchange" not in plan, fn.__name__
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    plan = plan_of(spark, seq_pack_df(spark, SF))
+    assert "SinglePartition" not in plan  # the global-window anti-pattern
+    assert "hashpartitioning(shard" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

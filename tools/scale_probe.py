@@ -1,0 +1,105 @@
+"""Empirical scaling probe for the two heaviest data-pipeline operators.
+
+No sf1 testdata exists in this container, so the probe synthesizes
+scaled corpora by replicating sf0.1 ``documents``/``embeddings`` k times
+(k = 1, 2, 4, 8) with remapped ids.  Document text is salted per copy
+with a copy-specific vowel permutation (``F.translate``) so every shingle
+changes — cross-copy docs are NOT near-duplicates and the verified-pair
+output scales linearly with k, preserving the workload's character (a
+naive replication would make output pairs quadratic in k and measure the
+wrong thing).  Embedding queries stay fixed (vec_id < 20 survives only in
+copy 0), so the ANN probe measures corpus-scan scaling at constant query
+load — the 100 TB shape.
+
+Usage: python tools/scale_probe.py            # prints a markdown table
+Scratch data lands under .scale_probe/ (inside the repo, cleaned first).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       ".scale_probe")
+COPIES = [1, 2, 4, 8]
+# distinct vowel permutations per copy: rewrites every shingle in the copy
+SALTS = ["aeiou", "eioua", "iouae", "ouaei", "uaeio",
+         "aeiuo", "eioau", "iouea"]
+
+
+def build(spark, k: int) -> str:
+    out = os.path.join(SCRATCH, f"x{k}")
+    if os.path.exists(os.path.join(out, "_OK")):
+        return out
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    n_docs = docs.count()
+    n_vecs = emb.count()
+    d_parts, e_parts = [], []
+    for c in range(k):
+        d_parts.append(
+            docs.select((F.col("doc_id") + c * n_docs).alias("doc_id"),
+                        F.translate("text", SALTS[0], SALTS[c]).alias("text"),
+                        *[col for col in docs.columns
+                          if col not in ("doc_id", "text")]))
+        e_parts.append(
+            emb.select((F.col("vec_id") + c * n_vecs).alias("vec_id"),
+                       *[col for col in emb.columns if col != "vec_id"]))
+    d = d_parts[0]
+    for p in d_parts[1:]:
+        d = d.unionByName(p)
+    e = e_parts[0]
+    for p in e_parts[1:]:
+        e = e.unionByName(p)
+    d.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    e.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+    open(os.path.join(out, "_OK"), "w").close()
+    return out
+
+
+def main():
+    from ringo_spark.catalog import get_spark
+    from ringo_spark.operators.dedup import dedup_minhash_lsh_df
+    from ringo_spark.operators.similarity import ann_lsh_bucketed_df
+
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    ops = {"dedup_minhash_lsh": dedup_minhash_lsh_df,
+           "ann_lsh_bucketed": ann_lsh_bucketed_df}
+    # warmup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    rows = {}
+    for k in COPIES:
+        sf_dir = build(spark, k)
+        for name, fn in ops.items():
+            best, out_rows = None, None
+            for _ in range(2):
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                out_rows = df.count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            rows.setdefault(name, []).append((k, best, out_rows))
+            print(f"x{k:<2d} {name:20s} {best:6.2f}s  out_rows={out_rows}",
+                  flush=True)
+    print("\n| operator | x1 | x2 | x4 | x8 | x8/x1 |")
+    print("|---|---|---|---|---|---|")
+    for name, rs in rows.items():
+        t = {k: b for k, b, _ in rs}
+        print(f"| {name} | {t[1]:.2f}s | {t[2]:.2f}s | {t[4]:.2f}s "
+              f"| {t[8]:.2f}s | {t[8] / t[1]:.1f}x |")
+    for name, rs in rows.items():
+        print(f"{name} out_rows by scale: {[(k, n) for k, _, n in rs]}")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
