@@ -51,7 +51,8 @@ class Engine:
     def __init__(self, spark: SparkSession, env: Env, storage_path: str,
                  partition_facts: bool = False,
                  count_distinct_mode: str = "sketch",
-                 commit_mode: str = "rename"):
+                 commit_mode: str = "rename",
+                 keep_versions: int = 1):
         # commit_mode picks the full-refresh publication protocol:
         #   "rename"   — staging dir renamed over live (atomic on one
         #                POSIX filesystem; the reference's {{suff}} swap,
@@ -63,7 +64,13 @@ class Engine:
         #                the object-store-safe equivalent of the swap.
         if commit_mode not in ("rename", "manifest"):
             raise ValueError(f"unknown commit_mode: {commit_mode!r}")
+        if keep_versions < 1:
+            raise ValueError("keep_versions must be >= 1")
         self.commit_mode = commit_mode
+        # manifest mode only: how many published versions stay readable.
+        # keep_versions > 1 enables time-travel (`read_table(version=N)`) —
+        # pin a training run to a snapshot while refreshes continue.
+        self.keep_versions = keep_versions
         # count_distinct_mode defaults to "sketch" for persisted tables:
         # the reference stores mergeable HLL register state in the fact
         # table (Populate/Fact.hs:60-120) precisely so coarser rollups can
@@ -124,13 +131,22 @@ class Engine:
             json.dump({"version": version, "dir": dirname}, fh)
         os.replace(tmp, self._manifest_path(table))
 
-    def _gc_versions(self, table: str, keep: str) -> None:
-        """Drop version dirs the manifest no longer references.  A crash
-        anywhere here is harmless: orphans are re-collected on the next
-        write, and readers never resolve them."""
+    def _gc_versions(self, table: str, current: int) -> None:
+        """Drop version dirs older than the retention horizon
+        (``current - keep_versions``].  A crash anywhere here is harmless:
+        orphans are re-collected on the next write, and readers never
+        resolve them.  Orphans *newer* than the pointer (a crashed publish)
+        are also removed — the next publish rewrites that version number."""
         prefix = table + "__v"
+        horizon = current - self.keep_versions
         for d in os.listdir(self.storage):
-            if d.startswith(prefix) and d != keep:
+            if not d.startswith(prefix):
+                continue
+            try:
+                v = int(d[len(prefix):])
+            except ValueError:
+                continue
+            if v <= horizon or v > current:
                 shutil.rmtree(os.path.join(self.storage, d),
                               ignore_errors=True)
 
@@ -150,8 +166,44 @@ class Engine:
         self._recover_swap(table)
         return os.path.exists(self._path(table))
 
-    def read_table(self, table: str) -> DataFrame:
-        return self.spark.read.parquet(self._live_dir(table))
+    def read_table(self, table: str, version: int | None = None) -> DataFrame:
+        """Read the live table, or (manifest mode, ``keep_versions`` > 1)
+        time-travel to a still-retained published snapshot — e.g. pin a
+        training run to version N while nightly refreshes move the
+        pointer forward."""
+        if version is None:
+            return self.spark.read.parquet(self._live_dir(table))
+        if self.commit_mode != "manifest":
+            raise ValueError("time-travel reads need commit_mode='manifest'")
+        m = self._read_manifest(table)
+        if m is None:
+            raise FileNotFoundError(f"no manifest for table {table!r}")
+        path = os.path.join(self.storage, f"{table}__v{version}")
+        if version > m["version"] or not os.path.exists(path):
+            raise FileNotFoundError(
+                f"{table} version {version} is not retained "
+                f"(live={m['version']}, keep_versions={self.keep_versions})")
+        return self.spark.read.parquet(path)
+
+    def table_versions(self, table: str) -> list[int]:
+        """Retained (readable) versions, oldest first; [] when absent."""
+        if self.commit_mode != "manifest":
+            live = self.table_exists(table)
+            return [1] if live else []
+        m = self._read_manifest(table)
+        if m is None:
+            return []
+        prefix = table + "__v"
+        out = []
+        for d in os.listdir(self.storage):
+            if d.startswith(prefix):
+                try:
+                    v = int(d[len(prefix):])
+                except ValueError:
+                    continue
+                if v <= m["version"]:
+                    out.append(v)
+        return sorted(out)
 
     def _write_full(self, df: DataFrame, table: str, partition_by=()) -> None:
         """Crash-safe full-refresh publication, per ``commit_mode``.
@@ -174,7 +226,7 @@ class Engine:
                 w = w.partitionBy(*partition_by)
             w.parquet(os.path.join(self.storage, dirname))
             self._publish_manifest(table, version, dirname)
-            self._gc_versions(table, keep=dirname)
+            self._gc_versions(table, current=version)
             return
         staging, live = self._path(table, True), self._path(table)
         old = live + "__old"

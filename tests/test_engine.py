@@ -245,3 +245,25 @@ def test_manifest_crash_before_publish_leaves_old_version_live(
     m = json.load(open(os.path.join(eng.storage,
                                     "fact_orders_by_day.manifest.json")))
     assert dirs == [m["dir"]]
+
+
+def test_manifest_time_travel_reads_retained_versions(spark, tmp_path):
+    eng = Engine(spark, ORDERS_ENV, str(tmp_path / "ttwarehouse"),
+                 commit_mode="manifest", keep_versions=2)
+    eng.load_sources("/root/testdata/sf0.001")
+    eng.run(PopulationMode.FULL, T_ORDERS_MID)
+    n1 = eng.read_table("fact_orders_by_day").count()
+    eng.run(PopulationMode.FULL, T_FAR)
+    n2 = eng.read_table("fact_orders_by_day").count()
+    assert n2 > n1
+    assert eng.table_versions("fact_orders_by_day") == [1, 2]
+    # a training run pinned to v1 still reads the old snapshot
+    assert eng.read_table("fact_orders_by_day", version=1).count() == n1
+    assert eng.read_table("fact_orders_by_day", version=2).count() == n2
+    # third refresh pushes v1 past the retention horizon
+    eng.run(PopulationMode.FULL, T_FAR)
+    assert eng.table_versions("fact_orders_by_day") == [2, 3]
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        eng.read_table("fact_orders_by_day", version=1)
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        eng.read_table("fact_orders_by_day", version=9)
