@@ -120,43 +120,67 @@ class Engine:
         with open(mp) as fh:
             return json.load(fh)
 
-    def _publish_manifest(self, table: str, version: int, dirname: str) -> None:
+    def _publish_manifest(self, table: str, version: int,
+                          versions: dict[str, list[str]]) -> None:
         """Atomic pointer flip: tmp file + ``os.replace`` locally — the
         analogue of a single small-object PUT on S3/GCS (which IS atomic,
-        unlike directory rename there).  Readers resolve the manifest
-        first, so they see the previous complete version or the new
-        complete version, never a partial table."""
+        unlike directory rename there).  The manifest maps each retained
+        version to its DIR LIST (a snapshot is the union of immutable
+        dirs, Iceberg-style), so both full refreshes AND incremental
+        appends become visible atomically: readers resolve the manifest
+        first and see a complete previous snapshot or a complete new one,
+        never a partial table."""
         tmp = self._manifest_path(table) + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"version": version, "dir": dirname}, fh)
+            json.dump({"version": version, "versions": versions}, fh)
         os.replace(tmp, self._manifest_path(table))
 
-    def _gc_versions(self, table: str, current: int) -> None:
-        """Drop version dirs older than the retention horizon
-        (``current - keep_versions``].  A crash anywhere here is harmless:
-        orphans are re-collected on the next write, and readers never
-        resolve them.  Orphans *newer* than the pointer (a crashed publish)
-        are also removed — the next publish rewrites that version number."""
+    @staticmethod
+    def _manifest_versions(m: dict) -> dict[str, list[str]]:
+        if "versions" in m:
+            return m["versions"]
+        return {str(m["version"]): [m["dir"]]}  # pre-dirs-list manifests
+
+    def _next_versions(self, m: dict | None, version: int,
+                       dirs: list[str]) -> dict[str, list[str]]:
+        """Retained-version map for a new publish: previous entries inside
+        the retention horizon plus the new snapshot."""
+        versions = dict(self._manifest_versions(m)) if m else {}
+        versions = {v: ds for v, ds in versions.items()
+                    if int(v) > version - self.keep_versions}
+        versions[str(version)] = dirs
+        return versions
+
+    def _gc_versions(self, table: str, versions: dict[str, list[str]]) -> None:
+        """Drop ``<table>__v*`` dirs no retained snapshot references.  A
+        crash anywhere here is harmless: orphans are re-collected on the
+        next publish, and readers never resolve them.  Orphans from a
+        crashed publish (written but never referenced) are collected the
+        same way."""
         prefix = table + "__v"
-        horizon = current - self.keep_versions
+        referenced = {d for ds in versions.values() for d in ds}
         for d in os.listdir(self.storage):
-            if not d.startswith(prefix):
-                continue
-            try:
-                v = int(d[len(prefix):])
-            except ValueError:
-                continue
-            if v <= horizon or v > current:
+            if d.startswith(prefix) and d not in referenced:
                 shutil.rmtree(os.path.join(self.storage, d),
                               ignore_errors=True)
 
+    def _snapshot_paths(self, table: str, version: int | None = None
+                        ) -> list[str]:
+        """Dir list for a manifest snapshot (live or time-travel)."""
+        m = self._read_manifest(table)
+        if m is None:
+            raise FileNotFoundError(f"no manifest for table {table!r}")
+        v = m["version"] if version is None else version
+        dirs = self._manifest_versions(m).get(str(v))
+        if dirs is None:
+            raise FileNotFoundError(
+                f"{table} version {v} is not retained "
+                f"(live={m['version']}, keep_versions={self.keep_versions})")
+        return [os.path.join(self.storage, d) for d in dirs]
+
     def _live_dir(self, table: str) -> str:
-        """Resolve the current readable directory for a table."""
-        if self.commit_mode == "manifest":
-            m = self._read_manifest(table)
-            if m is None:
-                raise FileNotFoundError(f"no manifest for table {table!r}")
-            return os.path.join(self.storage, m["dir"])
+        """Current readable directory — rename mode only (manifest
+        snapshots are dir *lists*; use :meth:`_snapshot_paths`)."""
         self._recover_swap(table)
         return self._path(table)
 
@@ -169,41 +193,23 @@ class Engine:
     def read_table(self, table: str, version: int | None = None) -> DataFrame:
         """Read the live table, or (manifest mode, ``keep_versions`` > 1)
         time-travel to a still-retained published snapshot — e.g. pin a
-        training run to version N while nightly refreshes move the
+        training run to version N while refreshes and appends move the
         pointer forward."""
-        if version is None:
-            return self.spark.read.parquet(self._live_dir(table))
-        if self.commit_mode != "manifest":
+        if self.commit_mode == "manifest":
+            return self.spark.read.parquet(
+                *self._snapshot_paths(table, version))
+        if version is not None:
             raise ValueError("time-travel reads need commit_mode='manifest'")
-        m = self._read_manifest(table)
-        if m is None:
-            raise FileNotFoundError(f"no manifest for table {table!r}")
-        path = os.path.join(self.storage, f"{table}__v{version}")
-        if version > m["version"] or not os.path.exists(path):
-            raise FileNotFoundError(
-                f"{table} version {version} is not retained "
-                f"(live={m['version']}, keep_versions={self.keep_versions})")
-        return self.spark.read.parquet(path)
+        return self.spark.read.parquet(self._live_dir(table))
 
     def table_versions(self, table: str) -> list[int]:
         """Retained (readable) versions, oldest first; [] when absent."""
         if self.commit_mode != "manifest":
-            live = self.table_exists(table)
-            return [1] if live else []
+            return [1] if self.table_exists(table) else []
         m = self._read_manifest(table)
         if m is None:
             return []
-        prefix = table + "__v"
-        out = []
-        for d in os.listdir(self.storage):
-            if d.startswith(prefix):
-                try:
-                    v = int(d[len(prefix):])
-                except ValueError:
-                    continue
-                if v <= m["version"]:
-                    out.append(v)
-        return sorted(out)
+        return sorted(int(v) for v in self._manifest_versions(m))
 
     def _write_full(self, df: DataFrame, table: str, partition_by=()) -> None:
         """Crash-safe full-refresh publication, per ``commit_mode``.
@@ -225,8 +231,9 @@ class Engine:
             if partition_by:
                 w = w.partitionBy(*partition_by)
             w.parquet(os.path.join(self.storage, dirname))
-            self._publish_manifest(table, version, dirname)
-            self._gc_versions(table, current=version)
+            versions = self._next_versions(m, version, [dirname])
+            self._publish_manifest(table, version, versions)
+            self._gc_versions(table, versions)
             return
         staging, live = self._path(table, True), self._path(table)
         old = live + "__old"
@@ -244,10 +251,28 @@ class Engine:
             shutil.rmtree(old)
 
     def _write_append(self, df: DataFrame, table: str, partition_by=()) -> None:
-        # appends add files to the current version dir; object-store
-        # atomicity of the multi-file job commit is the parquet
-        # committer's concern (magic/manifest committers), orthogonal to
-        # the table-pointer protocol above
+        if self.commit_mode == "manifest":
+            # the append lands in its OWN immutable dir and the pointer
+            # flip adds it to the snapshot's dir list — appends are as
+            # atomic as full refreshes on an object store (a crashed
+            # append leaves an unreferenced orphan, never a half-visible
+            # table).  The inflight journal still brackets the
+            # append-then-watermark pair (see below): manifest atomicity
+            # covers table visibility, not the separate watermark file.
+            m = self._read_manifest(table)
+            if m is None:
+                raise FileNotFoundError(f"no manifest for table {table!r}")
+            version = m["version"] + 1
+            dirname = f"{table}__v{version}"
+            w = df.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(os.path.join(self.storage, dirname))
+            live_dirs = self._manifest_versions(m)[str(m["version"])]
+            versions = self._next_versions(m, version, live_dirs + [dirname])
+            self._publish_manifest(table, version, versions)
+            self._gc_versions(table, versions)
+            return
         w = df.write.mode("append")
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -294,9 +319,28 @@ class Engine:
         if clear:
             inf.pop(table, None)
         else:
-            inf[table] = True
+            # manifest mode records the pre-append manifest version: on
+            # resume, an unchanged version proves the append never became
+            # visible (crash before the pointer flip) and the retry is
+            # safe — only a version that DID advance means the append
+            # committed without its watermark (double-count risk).
+            # rename mode can't tell the two apart (files appear as they
+            # land), so it stores an opaque True and always refuses.
+            if self.commit_mode == "manifest":
+                m = self._read_manifest(table)
+                inf[table] = m["version"] if m else 0
+            else:
+                inf[table] = True
         with open(self._wm_path, "w") as fh:
             json.dump(wm, fh, indent=2)
+
+    def _inflight_retry_is_safe(self, table: str) -> bool:
+        """True when the interrupted append provably never published."""
+        marker = self._inflight().get(table)
+        if self.commit_mode != "manifest" or not isinstance(marker, int):
+            return False
+        m = self._read_manifest(table)
+        return m is not None and m["version"] == marker
 
     # --- execution ---------------------------------------------------------
 
@@ -392,7 +436,8 @@ class Engine:
                                 count_distinct_mode=self.count_distinct_mode)
         df, partition_by = self._with_fact_partitioning(fact, df)
         if mode == PopulationMode.INCREMENTAL and self.table_exists(derived.name):
-            if derived.name in self._inflight():
+            if (derived.name in self._inflight()
+                    and not self._inflight_retry_is_safe(derived.name)):
                 raise RuntimeError(
                     f"previous incremental append to {derived.name} did not "
                     f"complete (crash between append and watermark update); "

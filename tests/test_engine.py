@@ -188,13 +188,17 @@ def test_manifest_full_and_incremental_run(manifest_engine):
     n1 = eng.read_table("fact_orders_by_day").count()
     m = json.load(open(os.path.join(eng.storage,
                                     "fact_orders_by_day.manifest.json")))
-    assert m == {"version": 1, "dir": "fact_orders_by_day__v1"}
+    assert m == {"version": 1,
+                 "versions": {"1": ["fact_orders_by_day__v1"]}}
     eng.run(PopulationMode.INCREMENTAL, T_FAR, T_ORDERS_MID)
     assert eng.read_table("fact_orders_by_day").count() > n1
-    # appends land inside the manifest-referenced version dir
+    # the append is its OWN immutable dir, made visible by a pointer flip
+    # (atomic on object stores); the snapshot is the union of both dirs
     m2 = json.load(open(os.path.join(eng.storage,
                                      "fact_orders_by_day.manifest.json")))
-    assert m2["version"] == 1
+    assert m2["version"] == 2
+    assert m2["versions"]["2"] == ["fact_orders_by_day__v1",
+                                   "fact_orders_by_day__v2"]
 
 
 def test_manifest_refresh_bumps_version_and_gcs_old(manifest_engine):
@@ -244,7 +248,64 @@ def test_manifest_crash_before_publish_leaves_old_version_live(
                   if d.startswith("fact_orders_by_day__v"))
     m = json.load(open(os.path.join(eng.storage,
                                     "fact_orders_by_day.manifest.json")))
-    assert dirs == [m["dir"]]
+    assert dirs == sorted(m["versions"][str(m["version"])])
+
+
+def test_manifest_append_crash_leaves_snapshot_unchanged(
+        manifest_engine, monkeypatch):
+    """A crash between the append's data write and the pointer flip must
+    leave the previous snapshot intact — the failure mode that motivated
+    the dirs-list manifest (plain directory appends are visible the
+    moment files land)."""
+    import ringo_spark.engine as engmod
+
+    eng = manifest_engine
+    eng.run(PopulationMode.FULL, T_ORDERS_MID)
+    before = eng.read_table("fact_orders_by_day").count()
+
+    real_replace = os.replace
+
+    def crashing_replace(src, dst):
+        if "fact_orders_by_day.manifest.json" in dst:
+            raise RuntimeError("simulated crash before append publish")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(engmod.os, "replace", crashing_replace)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        eng.run(PopulationMode.INCREMENTAL, T_FAR, T_ORDERS_MID)
+    monkeypatch.undo()
+
+    # reader sees exactly the pre-append snapshot (no partial rows)
+    assert eng.read_table("fact_orders_by_day").count() == before
+    # the manifest version never advanced, which proves nothing became
+    # visible — so the retry is provably safe and the engine self-heals
+    eng.run(PopulationMode.INCREMENTAL, T_FAR, T_ORDERS_MID)
+    assert eng.read_table("fact_orders_by_day").count() > before
+
+
+def test_manifest_append_crash_after_publish_refuses_rerun(
+        manifest_engine, monkeypatch):
+    """Crash AFTER the pointer flip but before the watermark lands: the
+    appended window is visible but a watermark-resumed rerun would append
+    it again — the engine must refuse (manifest version advanced past the
+    inflight marker, so the safe-retry proof does not hold)."""
+    eng = manifest_engine
+    eng.run(PopulationMode.FULL, T_ORDERS_MID)
+
+    real_store = eng._store_watermark
+
+    def crashing_store(table, upper):
+        if table == "fact_orders_by_day":
+            raise RuntimeError("simulated crash before watermark")
+        return real_store(table, upper)
+
+    monkeypatch.setattr(eng, "_store_watermark", crashing_store)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        eng.run(PopulationMode.INCREMENTAL, T_FAR, T_ORDERS_MID)
+    monkeypatch.undo()
+
+    with pytest.raises(RuntimeError, match="did not complete"):
+        eng.run(PopulationMode.INCREMENTAL, T_FAR, T_ORDERS_MID)
 
 
 def test_manifest_time_travel_reads_retained_versions(spark, tmp_path):
