@@ -299,6 +299,84 @@ WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.h = batch_first.h)
 """
 
 
+def dedup_minhash_incremental_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time NEAR-dup detection: the incoming batch's banded
+    MinHash signatures are probed against the already-ingested corpus's
+    band table, candidates verified by exact Jaccard — the near-dup twin
+    of :func:`dedup_incremental_df` (which catches exact duplicates only).
+    Returns (doc_new, doc_seen, jaccard) hits an ingestion pipeline would
+    reject or link.
+
+    Scale shape: the corpus band table is the persisted LSH *index* (at
+    scale written once, appended per batch — same lifecycle as the IVF
+    index in similarity.py).  The batch side is small, so its band rows
+    and the candidate pair list are BROADCAST — the corpus-side band scan
+    and the shingle verification are both map-only: nothing corpus-sized
+    ever shuffles at query time."""
+    rows_per_band = NUM_PERM // BANDS
+    shingled = _shingled(spark, sf_dir).persist()
+    sigs = (shingled
+            .withColumn("hs", shingle_hashes(F.col("sh")))
+            .select("doc_id",
+                    minhash_signature(F.col("hs"), NUM_PERM).alias("sig")))
+    band_key = F.concat_ws(
+        ":", F.col("b").cast("string"),
+        *[F.get("sig", F.col("b") * rows_per_band + i).cast("string")
+          for i in range(rows_per_band)])
+    bands = (sigs
+             .select("doc_id",
+                     F.explode(F.sequence(F.lit(0), F.lit(BANDS - 1))).alias("b"),
+                     "sig")
+             .select("doc_id", band_key.alias("band_key")))
+    corpus = bands.where(F.col("doc_id") < INGESTED_BELOW) \
+                  .withColumnRenamed("doc_id", "doc_seen")
+    batch = bands.where(F.col("doc_id") >= INGESTED_BELOW) \
+                 .withColumnRenamed("doc_id", "doc_new")
+    cand = (corpus.join(F.broadcast(batch), "band_key")
+            .select("doc_new", "doc_seen")
+            .dropDuplicates(["doc_new", "doc_seen"])
+            .localCheckpoint(eager=True))
+
+    sh_new = shingled.select(F.col("doc_id").alias("doc_new"),
+                             F.col("sh").alias("sh_n"))
+    sh_seen = shingled.select(F.col("doc_id").alias("doc_seen"),
+                              F.col("sh").alias("sh_s"))
+    inter = F.size(F.array_intersect("sh_n", "sh_s"))
+    jac = inter / (F.size("sh_n") + F.size("sh_s") - inter)
+    out = (cand.join(sh_new, "doc_new").join(sh_seen, "doc_seen")
+           .select("doc_new", "doc_seen", F.round(jac, 6).alias("jaccard"))
+           .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+           .localCheckpoint(eager=True))
+    shingled.unpersist()
+    return out
+
+
+DEDUP_MINHASH_INCREMENTAL_SQL = f"""
+WITH {_SHINGLE_BASE_CTE},
+sigs AS (
+  SELECT doc_id, sh, {sql_minhash_signature('sh', NUM_PERM)} AS sig FROM base),
+bands AS (
+  SELECT doc_id,
+         b::VARCHAR || ':' || sig[2*b + 1]::VARCHAR || ':' || sig[2*b + 2]::VARCHAR
+           AS band_key
+  FROM sigs, generate_series(0, {BANDS - 1}) g(b)),
+cand AS (
+  SELECT DISTINCT n.doc_id AS doc_new, s.doc_id AS doc_seen
+  FROM bands n JOIN bands s ON n.band_key = s.band_key
+  WHERE n.doc_id >= {INGESTED_BELOW} AND s.doc_id < {INGESTED_BELOW}),
+verified AS (
+  SELECT doc_new, doc_seen,
+         len(list_filter(x.sh, e -> list_contains(y.sh, e)))
+           * 1.0 / (len(x.sh) + len(y.sh)
+                    - len(list_filter(x.sh, e -> list_contains(y.sh, e)))) AS jac
+  FROM cand
+  JOIN base x ON x.doc_id = cand.doc_new
+  JOIN base y ON y.doc_id = cand.doc_seen)
+SELECT doc_new, doc_seen, round(jac, 6) AS jaccard
+FROM verified WHERE round(jac, 6) >= {JACCARD_THRESHOLD}
+"""
+
+
 # --- near-dup clusters (connected components) -------------------------------
 
 

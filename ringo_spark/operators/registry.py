@@ -3,19 +3,21 @@
 
 from .dedup import (
     DEDUP_CLUSTERS_SQL, DEDUP_EMBEDDING_SQL, DEDUP_EXACT_SQL,
-    DEDUP_INCREMENTAL_SQL, DEDUP_MINHASH_LSH_SQL, DEDUP_NGRAM_JACCARD_SQL,
+    DEDUP_INCREMENTAL_SQL, DEDUP_MINHASH_INCREMENTAL_SQL,
+    DEDUP_MINHASH_LSH_SQL, DEDUP_NGRAM_JACCARD_SQL,
     DEDUP_SIMHASH_SQL, dedup_clusters_df, dedup_embedding_df, dedup_exact_df,
-    dedup_incremental_df, dedup_minhash_lsh_df, dedup_ngram_jaccard_df,
-    dedup_simhash_df,
+    dedup_incremental_df, dedup_minhash_incremental_df, dedup_minhash_lsh_df,
+    dedup_ngram_jaccard_df, dedup_simhash_df,
 )
 from .multimodal import (
     MULTIMODAL_FEATURES_SQL, MULTIMODAL_WAV_SQL, multimodal_features_df,
     multimodal_wav_df,
 )
 from .similarity import (
-    ANN_COSINE_TOPK_SQL, ANN_IVF_SQL, ANN_LSH_BUCKETED12_SQL,
-    ANN_LSH_BUCKETED_SQL, ANN_LSH_MULTIPROBE_SQL, ann_cosine_topk_arrow_df,
-    ann_cosine_topk_df, ann_ivf_df, ann_ivf_indexed_df, ann_lsh_bucketed12_df,
+    ANN_COSINE_TOPK_SQL, ANN_IVF_KMEANS_SQL, ANN_IVF_SQL,
+    ANN_LSH_BUCKETED12_SQL, ANN_LSH_BUCKETED_SQL, ANN_LSH_MULTIPROBE_SQL,
+    ann_cosine_topk_arrow_df, ann_cosine_topk_df, ann_ivf_df,
+    ann_ivf_indexed_df, ann_ivf_kmeans_df, ann_lsh_bucketed12_df,
     ann_lsh_bucketed_df, ann_lsh_multiprobe_df,
 )
 from .pipeline import PIPELINE_QUERIES
@@ -135,6 +137,8 @@ DISPLACED: list[str] = [
     "seq_pack",
     "embed_quantize",
     "profile_table",
+    "dedup_minhash_incremental",
+    "ann_ivf_kmeans",
 ]
 
 OPERATOR_QUERIES: dict[str, tuple] = {
@@ -145,6 +149,8 @@ OPERATOR_QUERIES: dict[str, tuple] = {
     "dedup_embedding": (dedup_embedding_df, DEDUP_EMBEDDING_SQL),
     "dedup_clusters": (dedup_clusters_df, DEDUP_CLUSTERS_SQL),
     "dedup_incremental": (dedup_incremental_df, DEDUP_INCREMENTAL_SQL),
+    "dedup_minhash_incremental": (dedup_minhash_incremental_df,
+                                  DEDUP_MINHASH_INCREMENTAL_SQL),
     "ann_cosine_topk": (ann_cosine_topk_df, ANN_COSINE_TOPK_SQL),
     "ann_lsh_bucketed": (ann_lsh_bucketed_df, ANN_LSH_BUCKETED_SQL),
     "ann_lsh_bucketed12": (ann_lsh_bucketed12_df, ANN_LSH_BUCKETED12_SQL),
@@ -153,6 +159,9 @@ OPERATOR_QUERIES: dict[str, tuple] = {
     # same semantics served from the persisted partitionBy("cell") index —
     # query path prunes to probed cells (PartitionFilters, see test_plans)
     "ann_ivf_indexed": (ann_ivf_indexed_df, ANN_IVF_SQL),
+    # k-means-trained centroids (2 Lloyd iterations, both engines replay
+    # the identical rounded training trajectory)
+    "ann_ivf_kmeans": (ann_ivf_kmeans_df, ANN_IVF_KMEANS_SQL),
     "ann_cosine_topk_arrow": (ann_cosine_topk_arrow_df, None),  # numpy summation order; rows-only
     "text_quality": (text_quality_df, TEXT_QUALITY_SQL),
     "lang_id": (lang_id_df, LANG_ID_SQL),

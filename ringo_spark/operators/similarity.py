@@ -32,7 +32,6 @@ from __future__ import annotations
 
 import hashlib
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -258,7 +257,11 @@ QUALIFY rank <= {LSH_TOP_K}
 # ``partitionBy("cell")``; every later query prunes straight to its probed
 # cells at the parquet scan (PartitionFilters — asserted in test_plans).
 
-IVF_INDEX_ROOT = os.path.join(tempfile.gettempdir(), "ringo_ivf_index")
+# inside the repo tree (scratch indexes must not land outside it);
+# at real scale this is an object-store prefix
+IVF_INDEX_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".ivf_index")
 
 
 def _ivf_centroid_rows(emb: DataFrame, k: int = IVF_K) -> list:
@@ -273,12 +276,15 @@ def _ivf_centroid_rows(emb: DataFrame, k: int = IVF_K) -> list:
 def _cell_expr(cent_rows) -> F.Column:
     """Map-only cell assignment: argmax cosine over K broadcast centroid
     literals, deterministic ties broken by max cid via lexicographic struct
-    greatest — bit-identical to the groupBy-max in ``ann_ivf_df``."""
+    greatest — bit-identical to the groupBy-max in ``ann_ivf_df``.
+
+    ``cent_rows``: (cid, cvec) pairs — collected Rows (field order cid,
+    cvec) or plain tuples from :func:`train_ivf_centroids`."""
     scs = []
-    for r in cent_rows:
-        cvec = F.array(*[F.lit(float(x)) for x in r.cvec])
+    for cid, cvec_vals in cent_rows:
+        cvec = F.array(*[F.lit(float(x)) for x in cvec_vals])
         s = F.round(cosine(F.col("embedding"), cvec), 6)
-        scs.append(F.struct(s.alias("s"), F.lit(int(r.cid)).alias("cid")))
+        scs.append(F.struct(s.alias("s"), F.lit(int(cid)).alias("cid")))
     return F.greatest(*scs).getField("cid") if len(scs) > 1 else scs[0].getField("cid")
 
 
@@ -447,3 +453,137 @@ QUALIFY rank <= {LSH_TOP_K}
 
 
 ANN_LSH_MULTIPROBE_SQL = _lsh_multiprobe_sql(LSH_BITS)
+
+
+# --- IVF with k-means-trained centroids -------------------------------------
+
+IVF_KMEANS_ITERS = 2
+
+
+def train_ivf_centroids(spark: SparkSession, sf_dir: str, k: int = IVF_K,
+                        iters: int = IVF_KMEANS_ITERS) -> list[tuple]:
+    """Lloyd's k-means over the embedding corpus, expressed as iterated
+    DataFrame jobs — the production replacement for the seed centroids.
+
+    Per iteration: (1) cell assignment is the map-only broadcast-literal
+    argmax (vectors never shuffle); (2) the centroid update shuffles
+    (cell, pos, value) triples with map-side partial averaging — the
+    exchange carries one row per (cell, dim) per mapper, i.e. K*dim rows,
+    not the corpus.  Only K*dim averaged doubles ever reach the driver
+    (index metadata, same scale as the probe step's centroid collect).
+
+    Determinism across engines: component averages are rounded to 6
+    decimals (absorbing summation-order float drift) before becoming the
+    next iteration's literals, so DuckDB replays the identical training
+    trajectory and the whole trained index is oracle-checkable.  Cells
+    that lose all members simply drop out (both engines agree)."""
+    emb = _emb(spark, sf_dir)
+    cent = [(int(cid), [float(x) for x in cvec])
+            for cid, cvec in _ivf_centroid_rows(emb, k)]
+    for _ in range(iters):
+        rows = (emb.withColumn("cell", _cell_expr(cent))
+                .select("cell", F.posexplode("embedding").alias("pos", "v"))
+                .groupBy("cell", "pos")
+                .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
+                .groupBy("cell")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda x: x.getField("c")).alias("cvec"))
+                .collect())
+        cent = sorted((int(r.cell), [float(x) for x in r.cvec]) for r in rows)
+    return cent
+
+
+def ann_ivf_kmeans_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over k-means-trained centroids: identical probe/search
+    shape to ``ann_ivf_df``, but the cells are learned (2 Lloyd
+    iterations) instead of seeded — better-balanced cells, same plan."""
+    cent = train_ivf_centroids(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    cells = emb.select("vec_id", "embedding",
+                       _cell_expr(cent).alias("cell"))
+    cent_df = spark.createDataFrame(
+        [(cid, cvec) for cid, cvec in cent],
+        "cid int, cvec array<double>")
+    q = emb.where(F.col("vec_id") < LSH_N_QUERIES) \
+           .select(F.col("vec_id").alias("q_id"),
+                   F.col("embedding").alias("q_emb"))
+    qsim = F.round(cosine(F.col("q_emb"), F.col("cvec")), 6)
+    qw = Window.partitionBy("q_id").orderBy(F.desc("qs"), F.desc("cell"))
+    probes = (q.crossJoin(F.broadcast(cent_df))
+              .select("q_id", "q_emb", F.col("cid").alias("cell"),
+                      qsim.alias("qs"))
+              .withColumn("pr", F.row_number().over(qw))
+              .where(F.col("pr") <= IVF_NPROBE)
+              .select("q_id", "q_emb", "cell"))
+    cand = (cells.join(F.broadcast(probes), "cell")
+            .where(F.col("q_id") != F.col("vec_id")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (cand.select("q_id", F.col("vec_id").alias("n_id"),
+                        F.round(cosine(F.col("q_emb"), F.col("embedding")), 6)
+                        .alias("cosine"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= LSH_TOP_K)
+            .select("q_id", "n_id", "rank", "cosine"))
+
+
+def _sql_kmeans_ctes(k: int, iters: int) -> tuple[str, str]:
+    """DuckDB twin of :func:`train_ivf_centroids`: the Lloyd iterations
+    unrolled as a CTE chain (cent0 -> cells0 -> cent1 -> ...)."""
+    parts = [f"""cent0 AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings
+  WHERE vec_id < {k})"""]
+    for i in range(iters):
+        parts.append(f"""cells{i} AS (
+  SELECT vec_id,
+         max({{'s': round({sql_cosine('e.embedding', 'c.cvec')}, 6),
+              'cid': c.cid}}).cid AS cell
+  FROM embeddings e CROSS JOIN cent{i} c
+  GROUP BY vec_id)""")
+        parts.append(f"""cent{i + 1} AS (
+  SELECT cell AS cid, list(c ORDER BY pos) AS cvec
+  FROM (
+    SELECT cl.cell, g.pos,
+           round(avg(e.embedding[g.pos]::DOUBLE), 6) AS c
+    FROM cells{i} cl JOIN embeddings e USING (vec_id)
+    CROSS JOIN generate_series(1, {EMB_DIM}) g(pos)
+    GROUP BY cl.cell, g.pos)
+  GROUP BY cell)""")
+    return ",\n".join(parts), f"cent{iters}"
+
+
+_KM_CTES, _KM_FINAL = _sql_kmeans_ctes(IVF_K, IVF_KMEANS_ITERS)
+
+ANN_IVF_KMEANS_SQL = f"""
+WITH {_KM_CTES},
+cells AS (
+  SELECT vec_id,
+         max({{'s': round({sql_cosine('e.embedding', 'c.cvec')}, 6),
+              'cid': c.cid}}).cid AS cell
+  FROM embeddings e CROSS JOIN {_KM_FINAL} c
+  GROUP BY vec_id),
+probes AS (
+  SELECT q_id, cell FROM (
+    SELECT q.vec_id AS q_id, c.cid AS cell,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round({sql_cosine('q.embedding', 'c.cvec')}, 6) DESC,
+                      c.cid DESC) AS pr
+    FROM embeddings q CROSS JOIN {_KM_FINAL} c
+    WHERE q.vec_id < {LSH_N_QUERIES})
+  WHERE pr <= {IVF_NPROBE}),
+cand AS (
+  SELECT p.q_id, e.vec_id AS n_id,
+         round({sql_cosine('qe.embedding', 'e.embedding')}, 6) AS cosine
+  FROM probes p
+  JOIN cells ON cells.cell = p.cell
+  JOIN embeddings e ON e.vec_id = cells.vec_id
+  JOIN embeddings qe ON qe.vec_id = p.q_id
+  WHERE p.q_id != e.vec_id)
+SELECT q_id, n_id,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id)
+            AS INT) AS rank,
+       cosine
+FROM cand
+QUALIFY rank <= {LSH_TOP_K}
+"""
