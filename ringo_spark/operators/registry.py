@@ -139,6 +139,7 @@ DISPLACED: list[str] = [
     "profile_table",
     "dedup_minhash_incremental",
     "ann_ivf_kmeans",
+    "scd2_dim",
 ]
 
 OPERATOR_QUERIES: dict[str, tuple] = {

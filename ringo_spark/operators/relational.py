@@ -536,3 +536,58 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "quantiles": (quantiles_df, QUANTILES_SQL),
     "window_frames": (window_frames_df, WINDOW_FRAMES_SQL),
 }
+# NB: scd2_dim (defined below) is appended to RELATIONAL_QUERIES after its
+# definition at the bottom of this module.
+
+
+# --- SCD2 dimension history -------------------------------------------------
+
+
+def scd2_dim_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 derivation: per-customer order-
+    status history as (valid_from, valid_to, is_current) intervals.  The
+    reference's dimensions are SCD1 (refresh keeps latest values only,
+    Populate/Dimension.hs); this derives the full change history from the
+    fact stream itself — change detection via lag() over the per-customer
+    event sequence, interval close via lead().
+
+    Scale: both windows partition by o_custkey — per-key sequences,
+    never a global sort; a 100 TB history shuffles once on the customer
+    key and every later step is within-partition."""
+    orders = _t(spark, sf_dir, "orders")
+    seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (orders
+               .select("o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
+               .withColumn("prev", F.lag("o_orderstatus").over(seq))
+               .where(F.col("prev").isNull()
+                      | (F.col("prev") != F.col("o_orderstatus"))))
+    vw = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (changes
+            .withColumn("valid_to", F.lead("o_orderdate").over(vw))
+            .select("o_custkey",
+                    F.col("o_orderstatus").alias("status"),
+                    F.col("o_orderdate").alias("valid_from"),
+                    "valid_to",
+                    F.col("valid_to").isNull().alias("is_current")))
+
+
+SCD2_DIM_SQL = """
+WITH seq AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+         lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS prev
+  FROM orders),
+changes AS (
+  SELECT * FROM seq
+  WHERE prev IS NULL OR prev != o_orderstatus)
+SELECT o_custkey, o_orderstatus AS status, o_orderdate AS valid_from,
+       lead(o_orderdate) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS valid_to,
+       lead(o_orderdate) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) IS NULL
+         AS is_current
+FROM changes
+"""
+
+
+RELATIONAL_QUERIES["scd2_dim"] = (scd2_dim_df, SCD2_DIM_SQL)
