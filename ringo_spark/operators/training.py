@@ -149,26 +149,28 @@ def embed_quantize_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the oracle so codes match bit-for-bit.  Map-only (4x storage cut
     for ANN indexes; dequantize is q * scale / 127)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    m = F.array_max(F.transform("embedding",
-                                lambda x: F.abs(x.cast("double"))))
+    # the scale is rounded BEFORE quantizing, so the published scale is
+    # exactly the one the codes were computed with — dequantization
+    # (q * scale / 127) reconstructs within half a step, test-pinned
+    m = F.round(F.array_max(F.transform("embedding",
+                                        lambda x: F.abs(x.cast("double")))), 6)
     q = F.transform("embedding",
                     lambda x: F.floor(x.cast("double") / F.col("scale")
                                       * 127.0 + 0.5).cast("int"))
     zeros = F.transform("embedding", lambda x: F.lit(0))
     return (emb.withColumn("scale", m)
-            .select("vec_id",
-                    F.round("scale", 6).alias("scale_r"),
+            .select("vec_id", "scale",
                     F.when(F.col("scale") > 0, q).otherwise(zeros)
-                    .alias("q_embedding"))
-            .withColumnRenamed("scale_r", "scale"))
+                    .alias("q_embedding")))
 
 
 EMBED_QUANTIZE_SQL = """
 WITH scaled AS (
   SELECT vec_id, embedding::DOUBLE[] AS e,
-         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS scale
+         round(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 6)
+           AS scale
   FROM embeddings)
-SELECT vec_id, round(scale, 6) AS scale,
+SELECT vec_id, scale,
        CASE WHEN scale > 0
             THEN list_transform(e, x -> CAST(floor(x / scale * 127.0 + 0.5)
                                              AS INTEGER))
