@@ -92,9 +92,15 @@ def main():
         base = json.load(open(base_path))
         if base.get("sf") == out["sf"]:
             out["baseline_total"] = base["total"]
+            # extra_pins: first measurements of queries added after the
+            # round-1 baseline — deltas for them are round-over-round,
+            # and they never enter the baseline-comparable subtotal
+            pins = {**base["queries"],
+                    **{n: v for n, v in base.get("extra_pins", {}).items()
+                       if not n.startswith("_")}}
             out["deltas"] = {
-                n: round(t - base["queries"][n], 3)
-                for n, t in timings.items() if n in base["queries"]
+                n: round(t - pins[n], 3)
+                for n, t in timings.items() if n in pins
             }
             # the round-1 baseline pinned 13 queries; "value" now sums 18.
             # For a like-for-like ratio against baseline_total, use the
