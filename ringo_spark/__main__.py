@@ -110,6 +110,14 @@ def main(argv=None) -> int:
     p.add_argument("--mode", default="full", choices=["full", "incremental"])
     p.add_argument("--time-upper", help="ISO timestamp upper bound")
     p.add_argument("--time-lower", help="ISO timestamp lower bound (incremental)")
+    p.add_argument("--commit-mode", default="rename",
+                   choices=["rename", "manifest"],
+                   help="table publication protocol: POSIX staging-dir "
+                        "rename, or object-store-safe manifest pointers "
+                        "(atomic refreshes AND appends, time travel)")
+    p.add_argument("--keep-versions", type=int, default=1,
+                   help="manifest mode: how many published snapshots stay "
+                        "readable (>1 enables read_table(version=N))")
     args = p.parse_args(argv)
 
     tables, facts, defaults = parse_input(args.input)
@@ -134,7 +142,8 @@ def main(argv=None) -> int:
     from .engine import Engine
 
     spark = get_spark("ringo-cli")
-    eng = Engine(spark, env, args.storage)
+    eng = Engine(spark, env, args.storage, commit_mode=args.commit_mode,
+                 keep_versions=args.keep_versions)
     eng.load_sources(args.data)
     mode = PopulationMode(args.mode)
     upper = dt.datetime.fromisoformat(args.time_upper)

@@ -18,7 +18,7 @@ from .similarity import (
     ANN_LSH_BUCKETED12_SQL, ANN_LSH_BUCKETED_SQL, ANN_LSH_MULTIPROBE_SQL,
     ann_cosine_topk_arrow_df, ann_cosine_topk_df, ann_ivf_df,
     ann_ivf_indexed_df, ann_ivf_kmeans_df, ann_lsh_bucketed12_df,
-    ann_lsh_bucketed_df, ann_lsh_multiprobe_df,
+    ann_lsh_bucketed_df, ann_lsh_indexed_df, ann_lsh_multiprobe_df,
 )
 from .pipeline import PIPELINE_QUERIES
 from .training import TRAINING_QUERIES
@@ -140,6 +140,7 @@ DISPLACED: list[str] = [
     "dedup_minhash_incremental",
     "ann_ivf_kmeans",
     "scd2_dim",
+    "ann_lsh_indexed",
 ]
 
 OPERATOR_QUERIES: dict[str, tuple] = {
@@ -154,6 +155,8 @@ OPERATOR_QUERIES: dict[str, tuple] = {
                                   DEDUP_MINHASH_INCREMENTAL_SQL),
     "ann_cosine_topk": (ann_cosine_topk_df, ANN_COSINE_TOPK_SQL),
     "ann_lsh_bucketed": (ann_lsh_bucketed_df, ANN_LSH_BUCKETED_SQL),
+    # same semantics served from the persisted partitionBy("bucket") index
+    "ann_lsh_indexed": (ann_lsh_indexed_df, ANN_LSH_BUCKETED_SQL),
     "ann_lsh_bucketed12": (ann_lsh_bucketed12_df, ANN_LSH_BUCKETED12_SQL),
     "ann_lsh_multiprobe": (ann_lsh_multiprobe_df, ANN_LSH_MULTIPROBE_SQL),
     "ann_ivf": (ann_ivf_df, ANN_IVF_SQL),

@@ -587,3 +587,59 @@ SELECT q_id, n_id,
 FROM cand
 QUALIFY rank <= {LSH_TOP_K}
 """
+
+
+# --- persisted LSH bucket index ---------------------------------------------
+
+LSH_INDEX_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".lsh_index")
+
+
+def build_lsh_index(spark: SparkSession, sf_dir: str, bits: int = LSH_BITS,
+                    index_path: str | None = None, force: bool = False) -> str:
+    """Persist the corpus written ``partitionBy("bucket")`` — the LSH twin
+    of :func:`build_ivf_index`.  Bucket assignment is a map-only sign-bit
+    expression (no training, no shuffle of vectors); the single
+    ``repartition("bucket")`` is the one build-time shuffle.  Amortized
+    across every query batch served from the index."""
+    if index_path is None:
+        tag = hashlib.md5(
+            f"{os.path.abspath(sf_dir)}|{bits}".encode()).hexdigest()[:10]
+        index_path = os.path.join(LSH_INDEX_ROOT, f"b{bits}-{tag}")
+    if not force and os.path.exists(os.path.join(index_path, "_SUCCESS")):
+        return index_path
+    (_emb(spark, sf_dir)
+     .withColumn("bucket", _bucket_expr(F.col("embedding"), bits))
+     .repartition("bucket")
+     .write.mode("overwrite").partitionBy("bucket").parquet(index_path))
+    return index_path
+
+
+def ann_lsh_indexed_df(spark: SparkSession, sf_dir: str,
+                       bits: int = LSH_BITS) -> DataFrame:
+    """Bucketed ANN served from the persisted index: the query batch's
+    bucket list becomes a static ``isin`` predicate, so the parquet scan
+    reads ONLY those bucket directories (partition pruning — plan test).
+    Result rows identical to ``ann_lsh_bucketed_df`` (same oracle)."""
+    index_path = build_lsh_index(spark, sf_dir, bits)
+    q = (_emb(spark, sf_dir)
+         .where(F.col("vec_id") < LSH_N_QUERIES)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_emb"),
+                 _bucket_expr(F.col("embedding"), bits).alias("bucket")))
+    q_buckets = sorted({r.bucket for r in q.select("bucket").collect()})
+    idx = (spark.read.parquet(index_path)
+           .where(F.col("bucket").isin(q_buckets))
+           .select(F.col("vec_id").alias("n_id"),
+                   F.col("embedding").alias("n_emb"),
+                   F.col("bucket").cast("int").alias("bucket")))
+    scored = (idx.join(F.broadcast(q), "bucket")
+              .where(F.col("q_id") != F.col("n_id"))
+              .select("q_id", "n_id",
+                      F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6)
+                      .alias("cosine")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= LSH_TOP_K)
+            .select("q_id", "n_id", "rank", "cosine"))

@@ -126,3 +126,18 @@ def test_cli_execute_mode(spark, input_yaml, tmp_path):
     assert fact.count() > 0
     wm = json.load(open(os.path.join(wh, "_watermarks.json")))
     assert "fact_events_by_minute" in wm
+
+
+def test_cli_execute_manifest_mode(spark, input_yaml, tmp_path):
+    out, wh = str(tmp_path / "out"), str(tmp_path / "wh")
+    rc = main([input_yaml, out, "--execute",
+               "--data", "/root/testdata/sf0.001", "--storage", wh,
+               "--time-unit", "minute", "--time-upper", "2100-01-01",
+               "--commit-mode", "manifest", "--keep-versions", "2"])
+    assert rc == 0
+    m = json.load(open(os.path.join(
+        wh, "fact_events_by_minute.manifest.json")))
+    assert m["version"] == 1
+    fact = spark.read.parquet(os.path.join(
+        wh, m["versions"]["1"][0]))
+    assert fact.count() > 0

@@ -142,3 +142,15 @@ def test_training_ops_plan_shapes(spark):
     assert "SinglePartition" not in plan  # the global-window anti-pattern
     assert "hashpartitioning(shard" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lsh_indexed_query_prunes_partitions(spark):
+    """The persisted LSH index query must read only the query batch's
+    bucket directories (PartitionFilters on bucket), mirroring the IVF
+    index plan property."""
+    from ringo_spark.operators.similarity import ann_lsh_indexed_df
+
+    plan = plan_of(spark, ann_lsh_indexed_df(spark, SF))
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters", 1)[1][:400]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -112,3 +112,41 @@ def test_streaming_exact_dedup_drops_replays_and_expires_state(spark, tmp_path):
     # keys are expired; only gamma's key can remain in state
     progress = q.lastProgress
     assert progress["stateOperators"][0]["numRowsTotal"] <= 1
+
+
+def test_streaming_pipeline_with_manifest_commits(spark, tmp_path):
+    """StreamingPipeline over a manifest-mode engine: each micro-batch's
+    append publishes atomically (one new version dir + pointer flip), so
+    readers between micro-batches always see a complete snapshot — the
+    exactly-once table-maintenance story end-to-end on object-store-safe
+    commits."""
+    import json as _json
+    import os as _os
+
+    cat = load_catalog(spark, SF, [EVENTS])
+    src = str(tmp_path / "src")
+    n = cat["events"].count()
+    half = cat["events"].limit(n // 2)
+    rest = cat["events"].subtract(half)
+    half.coalesce(1).write.parquet(src)
+    rest.coalesce(1).write.mode("append").parquet(src)
+
+    eng = Engine(spark, EVENTS_ENV, str(tmp_path / "wh"),
+                 commit_mode="manifest")
+    eng.load_sources(SF)
+    pipe = StreamingPipeline(eng, EVENTS_FACT)
+    stream = (spark.readStream.schema(_events_schema(spark))
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = pipe.start(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    fact_table = "fact_events_by_minute"
+    m = _json.load(open(_os.path.join(
+        eng.storage, fact_table + ".manifest.json")))
+    # batch 1 full-wrote v1; batch 2 appended -> v2 = [v1 dir, v2 dir]
+    assert m["version"] == 2
+    assert len(m["versions"][str(m["version"])]) == 2
+    assert eng.read_table(fact_table).agg(
+        F.sum("event_count")).collect()[0][0] == n
+    # no inflight leftovers: every append's watermark landed
+    assert eng._inflight() == {}
