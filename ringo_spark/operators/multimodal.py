@@ -272,3 +272,198 @@ def frame_sample_stub(df: DataFrame, every_n: int = 4) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(kernel, schema)
+
+
+# --- real pixel-level PNG round trip ----------------------------------------
+#
+# The header parse above proves container decode; this lane proves PIXEL
+# decode.  An encode kernel synthesizes COMPLETE valid PNGs (8-bit RGB,
+# zlib-compressed IDAT, real CRC32 on every chunk, scanlines written with
+# a MIX of filter types 0/1/2) whose pixel values are a closed-form
+# function of doc_id; a decode kernel then walks the chunks, validates
+# CRCs, inflates, reverses the filters (all five types implemented), and
+# reduces to channel statistics.  The DuckDB oracle computes the SAME
+# statistics arithmetically from the closed form — so a wrong filter
+# reconstruction, CRC slip, or off-by-one in the scanline walk is a hash
+# mismatch, not a silent pass.  Both kernels are map-only mapInPandas:
+# payloads never shuffle, exactly like the header lane.
+
+PIXEL_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("mean_r", T.DoubleType()),
+    T.StructField("mean_g", T.DoubleType()),
+    T.StructField("mean_b", T.DoubleType()),
+    T.StructField("p00_r", T.IntegerType()),
+    T.StructField("p00_g", T.IntegerType()),
+    T.StructField("p00_b", T.IntegerType()),
+])
+
+_PAYLOAD_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("payload", T.BinaryType()),
+])
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib as _zlib
+
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", _zlib.crc32(ctype + data)))
+
+
+def _png_dims(doc_id: int) -> tuple[int, int]:
+    return doc_id % 13 + 4, doc_id % 7 + 3
+
+
+def _png_pixel(doc_id: int, k: int) -> int:
+    return (doc_id * 31 + k) % 256
+
+
+def encode_png(doc_id: int) -> bytes:
+    """A complete, spec-valid PNG: pixels are the closed form
+    ``(doc_id*31 + k) % 256`` (k = (y*w + x)*3 + channel); each scanline
+    is written with filter type ``(doc_id + y) % 3`` (None/Sub/Up), so
+    decoding genuinely exercises filter reconstruction."""
+    import zlib as _zlib
+
+    w, h = _png_dims(doc_id)
+    bpp = 3
+    raw = bytearray()
+    prior = bytes(w * bpp)
+    for y in range(h):
+        line = bytes(_png_pixel(doc_id, (y * w + x) * bpp + c)
+                     for x in range(w) for c in range(bpp))
+        ftype = (doc_id + y) % 3
+        raw.append(ftype)
+        if ftype == 0:
+            raw += line
+        elif ftype == 1:    # Sub
+            raw += bytes((line[i] - (line[i - bpp] if i >= bpp else 0)) % 256
+                         for i in range(len(line)))
+        else:               # Up
+            raw += bytes((line[i] - prior[i]) % 256 for i in range(len(line)))
+        prior = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", _zlib.compress(bytes(raw), 6))
+            + _chunk(b"IEND", b""))
+
+
+def decode_png_pixels(payload: bytes) -> tuple[int, int, bytes]:
+    """Full PNG pixel decode for 8-bit RGB non-interlaced images: chunk
+    walk with CRC32 validation, zlib inflate, and reconstruction of all
+    five filter types (None/Sub/Up/Average/Paeth).  Returns
+    (width, height, raw RGB bytes)."""
+    import zlib as _zlib
+
+    if payload[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG")
+    pos, width = 8, None
+    idat = bytearray()
+    while pos < len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos:pos + 4]), \
+            payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length:pos + 12 + length])
+        if crc != _zlib.crc32(ctype + data):
+            raise ValueError(f"CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            width, height, depth, ctype_code = struct.unpack(">IIBB", data[:10])
+            if (depth, ctype_code) != (8, 2):
+                raise ValueError("only 8-bit RGB supported")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    raw = _zlib.decompress(bytes(idat))
+    bpp, stride = 3, 3 * width
+    out = bytearray()
+    prior = bytes(stride)
+    pos = 0
+    for _y in range(height):
+        ftype, line = raw[pos], bytearray(raw[pos + 1:pos + 1 + stride])
+        pos += 1 + stride
+        for i in range(stride):
+            a = line[i - bpp] if i >= bpp else 0      # left (reconstructed)
+            b = prior[i]                              # up
+            c = prior[i - bpp] if i >= bpp else 0     # up-left
+            if ftype == 1:
+                line[i] = (line[i] + a) % 256
+            elif ftype == 2:
+                line[i] = (line[i] + b) % 256
+            elif ftype == 3:
+                line[i] = (line[i] + (a + b) // 2) % 256
+            elif ftype == 4:                          # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) % 256
+        prior = bytes(line)
+        out += prior
+    return width, height, bytes(out)
+
+
+def _encode_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids = pdf["doc_id"]
+        yield pd.DataFrame({
+            "doc_id": ids,
+            "payload": [encode_png(int(d)) for d in ids],
+        })
+
+
+def _pixel_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    rows = {k: [] for k in ("doc_id", "width", "height", "mean_r", "mean_g",
+                            "mean_b", "p00_r", "p00_g", "p00_b")}
+    for pdf in batches:
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, px = decode_png_pixels(bytes(payload))
+            chans = [px[c::3] for c in range(3)]
+            rows["doc_id"].append(int(doc_id))
+            rows["width"].append(w)
+            rows["height"].append(h)
+            for name, ch in zip(("r", "g", "b"), chans):
+                rows[f"mean_{name}"].append(round(sum(ch) / len(ch), 6))
+            rows["p00_r"].append(px[0])
+            rows["p00_g"].append(px[1])
+            rows["p00_b"].append(px[2])
+        out = pd.DataFrame(rows)
+        for c in ("width", "height", "p00_r", "p00_g", "p00_b"):
+            out[c] = out[c].astype("int32")
+        yield out
+        rows = {k: [] for k in rows}
+
+
+def multimodal_pixels_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode -> decode round trip over real PNG bytes, reduced to
+    channel statistics the oracle derives in closed form."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    media = docs.mapInPandas(_encode_kernel, _PAYLOAD_SCHEMA)
+    return media.mapInPandas(_pixel_kernel, PIXEL_SCHEMA)
+
+
+MULTIMODAL_PIXELS_SQL = """
+WITH dims AS (
+  SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 7 + 3 AS h FROM documents),
+px AS (
+  -- constant series (w*h <= 16*9 = 144) filtered per row: this DuckDB
+  -- build rejects lateral column parameters to generate_series
+  SELECT doc_id, w, h, g.i
+  FROM dims CROSS JOIN generate_series(0, 143) g(i)
+  WHERE g.i < w * h)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       round(avg((doc_id * 31 + 3 * i) % 256), 6)     AS mean_r,
+       round(avg((doc_id * 31 + 3 * i + 1) % 256), 6) AS mean_g,
+       round(avg((doc_id * 31 + 3 * i + 2) % 256), 6) AS mean_b,
+       CAST(min((doc_id * 31) % 256) AS INT)     AS p00_r,
+       CAST(min((doc_id * 31 + 1) % 256) AS INT) AS p00_g,
+       CAST(min((doc_id * 31 + 2) % 256) AS INT) AS p00_b
+FROM px
+GROUP BY doc_id, w, h
+"""

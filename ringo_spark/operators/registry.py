@@ -10,8 +10,8 @@ from .dedup import (
     dedup_ngram_jaccard_df, dedup_simhash_df,
 )
 from .multimodal import (
-    MULTIMODAL_FEATURES_SQL, MULTIMODAL_WAV_SQL, multimodal_features_df,
-    multimodal_wav_df,
+    MULTIMODAL_FEATURES_SQL, MULTIMODAL_PIXELS_SQL, MULTIMODAL_WAV_SQL,
+    multimodal_features_df, multimodal_pixels_df, multimodal_wav_df,
 )
 from .similarity import (
     ANN_COSINE_TOPK_SQL, ANN_IVF_KMEANS_SQL, ANN_IVF_SQL,
@@ -141,6 +141,7 @@ DISPLACED: list[str] = [
     "ann_ivf_kmeans",
     "scd2_dim",
     "ann_lsh_indexed",
+    "multimodal_pixels",
 ]
 
 OPERATOR_QUERIES: dict[str, tuple] = {
@@ -178,6 +179,8 @@ OPERATOR_QUERIES: dict[str, tuple] = {
     "metrics_unpivot": (metrics_unpivot_df, METRICS_UNPIVOT_SQL),
     "multimodal_features": (multimodal_features_df, MULTIMODAL_FEATURES_SQL),
     "multimodal_wav": (multimodal_wav_df, MULTIMODAL_WAV_SQL),
+    # full pixel decode round trip (zlib IDAT, CRCs, filter reconstruction)
+    "multimodal_pixels": (multimodal_pixels_df, MULTIMODAL_PIXELS_SQL),
     **RELATIONAL_QUERIES,
     **GRAIN_QUERIES,
     **SESSION_QUERIES,

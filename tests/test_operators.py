@@ -285,3 +285,55 @@ def test_ann_recall_ordering(spark):
     r_multi = recall(ann_lsh_multiprobe_df(spark, SF, bits=3))
     assert r_multi >= r_single
     assert r_multi > 0.4, (r_single, r_multi)
+
+
+def test_png_decoder_reconstructs_average_and_paeth_filters():
+    """The pixel decoder implements all five PNG filter types; the encode
+    kernel only emits 0-2, so Average and Paeth are exercised here with a
+    hand-filtered image (filter application is the inverse of
+    reconstruction)."""
+    import struct
+    import zlib
+
+    from ringo_spark.operators.multimodal import (
+        PNG_SIGNATURE, _chunk, decode_png_pixels,
+    )
+
+    w, h, bpp = 5, 4, 3
+    orig = [bytes((17 * (y * w * bpp + i) + 3) % 256 for i in range(w * bpp))
+            for y in range(h)]
+    raw = bytearray()
+    prior = bytes(w * bpp)
+    for y, line in enumerate(orig):
+        ftype = 3 if y % 2 == 0 else 4          # Average, Paeth
+        raw.append(ftype)
+        for i in range(len(line)):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prior[i]
+            c = prior[i - bpp] if i >= bpp else 0
+            if ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            raw.append((line[i] - pred) % 256)
+        prior = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + _chunk(b"IEND", b""))
+    dw, dh, px = decode_png_pixels(png)
+    assert (dw, dh) == (w, h)
+    assert px == b"".join(orig)
+
+
+def test_png_decoder_rejects_corrupt_crc():
+    import pytest as _pytest
+
+    from ringo_spark.operators.multimodal import decode_png_pixels, encode_png
+
+    png = bytearray(encode_png(42))
+    png[-5] ^= 0xFF       # flip a byte inside IEND's CRC
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png_pixels(bytes(png))
