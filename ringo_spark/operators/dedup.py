@@ -29,8 +29,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .textfn import (
-    cosine, minhash_signature, phash, shingle_hashes, shingles, sql_cosine,
-    sql_minhash_signature, sql_phash, sql_shingles, sql_tokens, tokens,
+    MINHASH_P, cosine, minhash_signature, phash, shingle_hashes, shingles,
+    sql_cosine, sql_minhash_signature, sql_phash, sql_shingles, sql_tokens,
+    tokens,
 )
 
 NUM_PERM = 12
@@ -471,4 +472,90 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round({sql_cosine('a.embedding', 'b.embedding')}, 6) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round({sql_cosine('a.embedding', 'b.embedding')}, 6) >= {COSINE_THRESHOLD}
+"""
+
+
+# --- winnowing fingerprints -------------------------------------------------
+
+WINNOW_K = 8       # character k-gram length
+WINNOW_W = 4       # winnowing window (guarantee: any match >= k+w-1 chars
+                   # shares a fingerprint)
+WINNOW_THRESHOLD = 0.5
+
+
+def dedup_winnowing_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint near-dup pairs (the MOSS local-similarity
+    scheme): hash every character k-gram, keep the MINIMUM hash of each
+    sliding window of w consecutive k-grams — the distinct minima are the
+    document's fingerprints, a position-robust ~1/w sample of its k-gram
+    profile.  Pairs sharing enough fingerprints (Jaccard over fingerprint
+    sets >= threshold) are near-duplicates; unlike MinHash this detects
+    LOCAL overlap (a long shared passage fingerprints identically no
+    matter what surrounds it).
+
+    Scale: fingerprints per doc ~ len/w (a few dozen rows, not arrays);
+    the pair generation is an inverted-index equi-join on the fingerprint
+    value — one shuffle of (fingerprint, doc_id) pairs with the same
+    layout as the LSH band join.  All JVM-side; the oracle replays the
+    identical hashes."""
+    docs = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism)
+    n_grams = F.length("text") - WINNOW_K + 1
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: phash(F.col("text").substr(i, F.lit(WINNOW_K))) % MINHASH_P)
+    fps = (docs.where(n_grams >= WINNOW_W)
+           .withColumn("gh", grams)
+           .select("doc_id",
+                   F.array_distinct(F.transform(
+                       F.sequence(F.lit(0), F.size("gh") - WINNOW_W),
+                       lambda i: F.array_min(F.slice("gh", i + 1, WINNOW_W))))
+                   .alias("fp")))
+    fps = fps.persist()
+    sizes = fps.select("doc_id", F.size("fp").alias("n"))
+    e = fps.select("doc_id", F.explode("fp").alias("f"))
+    a, b = e.alias("a"), e.alias("b")
+    shared = (a.join(b, (F.col("a.f") == F.col("b.f"))
+                     & (F.col("a.doc_id") < F.col("b.doc_id")))
+              .groupBy(F.col("a.doc_id").alias("doc_a"),
+                       F.col("b.doc_id").alias("doc_b"))
+              .agg(F.count(F.lit(1)).alias("i")))
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("i") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    out = (shared
+           .join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+           .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+           .select("doc_a", "doc_b", F.round(jac, 6).alias("fp_jaccard"))
+           .where(F.col("fp_jaccard") >= WINNOW_THRESHOLD)
+           .localCheckpoint(eager=True))
+    fps.unpersist()
+    return out
+
+
+DEDUP_WINNOWING_SQL = f"""
+WITH grams AS (
+  SELECT doc_id,
+         [{sql_phash('g')} % {MINHASH_P}
+          for g in [substr(text, i, {WINNOW_K})
+                    for i in generate_series(1, length(text) - {WINNOW_K - 1})]]
+           AS gh
+  FROM documents
+  WHERE length(text) - {WINNOW_K - 1} >= {WINNOW_W}),
+fps AS (
+  SELECT doc_id,
+         list_distinct([list_min(gh[i + 1:i + {WINNOW_W}])
+                        for i in generate_series(0, len(gh) - {WINNOW_W})])
+           AS fp
+  FROM grams),
+e AS (SELECT doc_id, unnest(fp) AS f FROM fps),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM e a JOIN e b ON a.f = b.f AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(i * 1.0 / (len(x.fp) + len(y.fp) - i), 6) AS fp_jaccard
+FROM shared
+JOIN fps x ON x.doc_id = doc_a
+JOIN fps y ON y.doc_id = doc_b
+WHERE round(i * 1.0 / (len(x.fp) + len(y.fp) - i), 6) >= {WINNOW_THRESHOLD}
 """

@@ -467,3 +467,105 @@ SELECT doc_id,
 FROM px
 GROUP BY doc_id, w, h
 """
+
+
+# --- real PCM sample decode -------------------------------------------------
+#
+# The WAV lane above proves container decode; this lane proves SAMPLE
+# decode, mirroring multimodal_pixels: the encoder writes real int16
+# little-endian PCM whose samples are a closed-form function of doc_id;
+# the decoder walks to the data chunk, unpacks the samples, and reduces
+# to amplitude statistics that the oracle computes arithmetically.
+
+WAV_SAMPLES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_samples", T.IntegerType()),
+    T.StructField("mean_amp", T.DoubleType()),
+    T.StructField("peak", T.IntegerType()),
+    T.StructField("s0", T.IntegerType()),
+])
+
+
+def _wav_n_samples(doc_id: int) -> int:
+    return doc_id % 50 + 20
+
+
+def _wav_sample(doc_id: int, i: int) -> int:
+    return (doc_id * 37 + i * 11) % 4096 - 2048
+
+
+def encode_wav_pcm(doc_id: int) -> bytes:
+    n = _wav_n_samples(doc_id)
+    data = struct.pack(f"<{n}h", *(_wav_sample(doc_id, i) for i in range(n)))
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def decode_wav_samples(payload: bytes) -> tuple[int, float, int, int]:
+    """Real PCM decode: locate the data chunk via the RIFF walk, unpack
+    int16 LE samples, reduce to (n, mean, peak, first)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos = 12
+    samples = None
+    while pos + 8 <= len(payload):
+        ctype, clen = struct.unpack("<4sI", payload[pos:pos + 8])
+        if ctype == b"data":
+            samples = struct.unpack(
+                f"<{clen // 2}h", payload[pos + 8:pos + 8 + clen])
+        pos += 8 + clen + (clen & 1)
+    if samples is None:
+        raise ValueError("no data chunk")
+    n = len(samples)
+    return (n, round(sum(samples) / n, 6),
+            max(abs(s) for s in samples), samples[0])
+
+
+def _wav_pcm_encode_kernel(batches: Iterator[pd.DataFrame]
+                           ) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "payload": [encode_wav_pcm(int(d)) for d in pdf["doc_id"]],
+        })
+
+
+def _wav_pcm_decode_kernel(batches: Iterator[pd.DataFrame]
+                           ) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = [decode_wav_samples(bytes(p)) for p in pdf["payload"]]
+        out = pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "n_samples": [r[0] for r in rows],
+            "mean_amp": [r[1] for r in rows],
+            "peak": [r[2] for r in rows],
+            "s0": [r[3] for r in rows],
+        })
+        for c in ("n_samples", "peak", "s0"):
+            out[c] = out[c].astype("int32")
+        yield out
+
+
+def multimodal_wav_samples_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    media = docs.mapInPandas(_wav_pcm_encode_kernel, _PAYLOAD_SCHEMA)
+    return media.mapInPandas(_wav_pcm_decode_kernel, WAV_SAMPLES_SCHEMA)
+
+
+MULTIMODAL_WAV_SAMPLES_SQL = """
+WITH dims AS (
+  SELECT doc_id, doc_id % 50 + 20 AS n FROM documents),
+sm AS (
+  -- constant series (n <= 69) filtered per row (no lateral params here)
+  SELECT doc_id, n, (doc_id * 37 + g.i * 11) % 4096 - 2048 AS s, g.i
+  FROM dims CROSS JOIN generate_series(0, 68) g(i)
+  WHERE g.i < n)
+SELECT doc_id,
+       CAST(n AS INT) AS n_samples,
+       round(avg(s), 6) AS mean_amp,
+       CAST(max(abs(s)) AS INT) AS peak,
+       CAST(min(CASE WHEN i = 0 THEN s END) AS INT) AS s0
+FROM sm
+GROUP BY doc_id, n
+"""

@@ -5,13 +5,15 @@ from .dedup import (
     DEDUP_CLUSTERS_SQL, DEDUP_EMBEDDING_SQL, DEDUP_EXACT_SQL,
     DEDUP_INCREMENTAL_SQL, DEDUP_MINHASH_INCREMENTAL_SQL,
     DEDUP_MINHASH_LSH_SQL, DEDUP_NGRAM_JACCARD_SQL,
-    DEDUP_SIMHASH_SQL, dedup_clusters_df, dedup_embedding_df, dedup_exact_df,
-    dedup_incremental_df, dedup_minhash_incremental_df, dedup_minhash_lsh_df,
-    dedup_ngram_jaccard_df, dedup_simhash_df,
+    DEDUP_SIMHASH_SQL, DEDUP_WINNOWING_SQL, dedup_clusters_df,
+    dedup_embedding_df, dedup_exact_df, dedup_incremental_df,
+    dedup_minhash_incremental_df, dedup_minhash_lsh_df,
+    dedup_ngram_jaccard_df, dedup_simhash_df, dedup_winnowing_df,
 )
 from .multimodal import (
-    MULTIMODAL_FEATURES_SQL, MULTIMODAL_PIXELS_SQL, MULTIMODAL_WAV_SQL,
-    multimodal_features_df, multimodal_pixels_df, multimodal_wav_df,
+    MULTIMODAL_FEATURES_SQL, MULTIMODAL_PIXELS_SQL, MULTIMODAL_WAV_SAMPLES_SQL,
+    MULTIMODAL_WAV_SQL, multimodal_features_df, multimodal_pixels_df,
+    multimodal_wav_df, multimodal_wav_samples_df,
 )
 from .similarity import (
     ANN_COSINE_TOPK_SQL, ANN_IVF_KMEANS_SQL, ANN_IVF_SQL,
@@ -142,6 +144,8 @@ DISPLACED: list[str] = [
     "scd2_dim",
     "ann_lsh_indexed",
     "multimodal_pixels",
+    "dedup_winnowing",
+    "multimodal_wav_samples",
 ]
 
 OPERATOR_QUERIES: dict[str, tuple] = {
@@ -154,6 +158,7 @@ OPERATOR_QUERIES: dict[str, tuple] = {
     "dedup_incremental": (dedup_incremental_df, DEDUP_INCREMENTAL_SQL),
     "dedup_minhash_incremental": (dedup_minhash_incremental_df,
                                   DEDUP_MINHASH_INCREMENTAL_SQL),
+    "dedup_winnowing": (dedup_winnowing_df, DEDUP_WINNOWING_SQL),
     "ann_cosine_topk": (ann_cosine_topk_df, ANN_COSINE_TOPK_SQL),
     "ann_lsh_bucketed": (ann_lsh_bucketed_df, ANN_LSH_BUCKETED_SQL),
     # same semantics served from the persisted partitionBy("bucket") index
@@ -181,6 +186,9 @@ OPERATOR_QUERIES: dict[str, tuple] = {
     "multimodal_wav": (multimodal_wav_df, MULTIMODAL_WAV_SQL),
     # full pixel decode round trip (zlib IDAT, CRCs, filter reconstruction)
     "multimodal_pixels": (multimodal_pixels_df, MULTIMODAL_PIXELS_SQL),
+    # real int16 PCM sample decode, closed-form oracle
+    "multimodal_wav_samples": (multimodal_wav_samples_df,
+                               MULTIMODAL_WAV_SAMPLES_SQL),
     **RELATIONAL_QUERIES,
     **GRAIN_QUERIES,
     **SESSION_QUERIES,
