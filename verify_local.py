@@ -47,10 +47,34 @@ def canon_rows(cols, rows):
     return sorted(out, key=lambda r: tuple(str(x) for x in r))
 
 
+ARROW_SAFE = {
+    # duckdb arrow type name prefixes the driver's hasher treats as
+    # equivalent to the matching Spark types
+    "int8", "int16", "int32", "int64", "float", "double", "string",
+    "large_string", "bool", "timestamp", "date32", "binary", "list",
+    "large_list", "null",
+}
+
+
+def arrow_type_problems(res) -> list[str]:
+    """The driver hashes ARROW values: DuckDB widens integer aggregates to
+    HUGEINT -> decimal128, which value-equals but hash-mismatches Spark's
+    int64.  Python-value comparison can't see it, so check the oracle's
+    arrow schema explicitly (wrap sums in CAST(... AS BIGINT) to fix)."""
+    out = []
+    for field in res.arrow().schema:
+        t = str(field.type)
+        if not any(t.startswith(p) for p in ARROW_SAFE):
+            out.append(f"oracle column {field.name!r} has arrow type {t} "
+                       f"(decimal/hugeint widening? CAST it)")
+    return out
+
+
 def compare(name, spark_df, con, sql) -> list[str]:
     problems = []
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
+    problems += arrow_type_problems(con.execute(sql))
     res = con.execute(sql)
     d_cols = [d[0] for d in res.description]
     d_rows = res.fetchall()
