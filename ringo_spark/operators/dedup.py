@@ -41,6 +41,18 @@ JACCARD_THRESHOLD = 0.5
 COSINE_THRESHOLD = 0.4
 
 
+# Execution strategy switch: localCheckpoint materializes the tiny
+# candidate/result sets so upstream caches can be released — but it also
+# truncates lineage, so `.explain()` on the returned frame shows only a
+# Scan ExistingRDD.  tools/dump_plans.py flips this off to render the
+# full logical shape; execution paths leave it on.
+CHECKPOINT = True
+
+
+def _ckpt(df: DataFrame) -> DataFrame:
+    return df.localCheckpoint(eager=True) if CHECKPOINT else df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -128,12 +140,12 @@ def dedup_minhash_lsh_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
-            .dropDuplicates(["doc_a", "doc_b"])
-            # Materialize the (small) pair list so the signature cache can
-            # be released before the verification joins.  On a cluster,
-            # swap for .checkpoint() to reliable storage if executor loss
-            # during verification matters.
-            .localCheckpoint(eager=True))
+            .dropDuplicates(["doc_a", "doc_b"]))
+    # Materialize the (small) pair list so the signature cache can be
+    # released before the verification joins.  On a cluster, swap for
+    # .checkpoint() to reliable storage if executor loss during
+    # verification matters.
+    cand = _ckpt(cand)
     sigs.unpersist()
 
     # Verification: join candidates back to the shingle table.  `cand` is
@@ -148,11 +160,10 @@ def dedup_minhash_lsh_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
-    out = (ver.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-           .where(F.col("jaccard") >= JACCARD_THRESHOLD)
-           # materialize the (tiny) verified-pair result so every cache
-           # above can be released before returning
-           .localCheckpoint(eager=True))
+    out = _ckpt(ver.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+                .where(F.col("jaccard") >= JACCARD_THRESHOLD))
+    # (checkpoint: materialize the tiny verified-pair result so every
+    # cache above can be released before returning)
     shingled.unpersist()
     return out
 
@@ -339,10 +350,9 @@ def dedup_minhash_incremental_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .withColumnRenamed("doc_id", "doc_seen")
     batch = bands.where(F.col("doc_id") >= INGESTED_BELOW) \
                  .withColumnRenamed("doc_id", "doc_new")
-    cand = (corpus.join(F.broadcast(batch), "band_key")
-            .select("doc_new", "doc_seen")
-            .dropDuplicates(["doc_new", "doc_seen"])
-            .localCheckpoint(eager=True))
+    cand = _ckpt(corpus.join(F.broadcast(batch), "band_key")
+                 .select("doc_new", "doc_seen")
+                 .dropDuplicates(["doc_new", "doc_seen"]))
 
     sh_new = shingled.select(F.col("doc_id").alias("doc_new"),
                              F.col("sh").alias("sh_n"))
@@ -350,10 +360,9 @@ def dedup_minhash_incremental_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                               F.col("sh").alias("sh_s"))
     inter = F.size(F.array_intersect("sh_n", "sh_s"))
     jac = inter / (F.size("sh_n") + F.size("sh_s") - inter)
-    out = (cand.join(sh_new, "doc_new").join(sh_seen, "doc_seen")
-           .select("doc_new", "doc_seen", F.round(jac, 6).alias("jaccard"))
-           .where(F.col("jaccard") >= JACCARD_THRESHOLD)
-           .localCheckpoint(eager=True))
+    out = _ckpt(cand.join(sh_new, "doc_new").join(sh_seen, "doc_seen")
+                .select("doc_new", "doc_seen", F.round(jac, 6).alias("jaccard"))
+                .where(F.col("jaccard") >= JACCARD_THRESHOLD))
     shingled.unpersist()
     return out
 
@@ -532,8 +541,8 @@ def dedup_winnowing_df(spark: SparkSession, sf_dir: str) -> DataFrame:
            .join(sa, F.col("doc_a") == F.col("sa.doc_id"))
            .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
            .select("doc_a", "doc_b", F.round(jac, 6).alias("fp_jaccard"))
-           .where(F.col("fp_jaccard") >= WINNOW_THRESHOLD)
-           .localCheckpoint(eager=True))
+           .where(F.col("fp_jaccard") >= WINNOW_THRESHOLD))
+    out = _ckpt(out)
     fps.unpersist()
     return out
 

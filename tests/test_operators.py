@@ -337,3 +337,35 @@ def test_png_decoder_rejects_corrupt_crc():
     png[-5] ^= 0xFF       # flip a byte inside IEND's CRC
     with _pytest.raises(ValueError, match="CRC"):
         decode_png_pixels(bytes(png))
+
+
+def test_winnowing_guarantee_shared_passage_shares_fingerprint(spark):
+    """The winnowing theorem: any common substring of length >= k + w - 1
+    characters yields at least one common fingerprint (window minima are
+    position-independent values).  Planted shared passages of exactly the
+    guarantee length must collide; disjoint texts must not."""
+    import ringo_spark.operators.dedup as D
+    from pyspark.sql import functions as F
+
+    shared = "the quick brown fox jumps over the lazy dog again"
+    assert len(shared) >= D.WINNOW_K + D.WINNOW_W - 1
+    rows = [
+        (1, f"alpha beta gamma delta {shared} epsilon zeta"),
+        (2, f"one two three four five six {shared} seven"),
+        (3, "completely different words without any overlap here at all"),
+        (4, "yet another unrelated document text goes right here instead"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    n_grams = F.length("text") - D.WINNOW_K + 1
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: D.phash(F.col("text").substr(i, F.lit(D.WINNOW_K)))
+        % D.MINHASH_P)
+    fps = {r.doc_id: set(r.fp) for r in (
+        docs.withColumn("gh", grams)
+        .select("doc_id", F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.size("gh") - D.WINNOW_W),
+            lambda i: F.array_min(F.slice("gh", i + 1, D.WINNOW_W))))
+            .alias("fp"))).collect()}
+    assert fps[1] & fps[2], "shared passage must share a fingerprint"
+    assert not (fps[3] & fps[4]), "disjoint texts should not collide"
