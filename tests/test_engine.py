@@ -328,3 +328,33 @@ def test_manifest_time_travel_reads_retained_versions(spark, tmp_path):
         eng.read_table("fact_orders_by_day", version=1)
     with pytest.raises(FileNotFoundError, match="not retained"):
         eng.read_table("fact_orders_by_day", version=9)
+
+
+def test_manifest_compaction_folds_snapshot_to_single_dir(spark, tmp_path):
+    """compact_fact over a manifest engine: reads the multi-dir snapshot
+    (full + append), publishes the folded result as a fresh single-dir
+    version, and the superseded dirs are GC'd after the pointer flip."""
+    from ringo_spark.testbed import EVENTS_ENV, EVENTS_FACT, T_EVENTS_MID
+
+    eng = Engine(spark, EVENTS_ENV, str(tmp_path / "cwh"),
+                 commit_mode="manifest")
+    eng.load_sources("/root/testdata/sf0.001")
+    eng.run(PopulationMode.FULL, T_EVENTS_MID)
+    eng.run(PopulationMode.INCREMENTAL, T_FAR, T_EVENTS_MID)
+    table = "fact_events_by_minute"
+    before_df = eng.read_table(table)
+    total_before = before_df.agg(
+        {"event_count": "sum"}).collect()[0][0]
+    m1 = json.load(open(os.path.join(eng.storage, table + ".manifest.json")))
+    assert len(m1["versions"][str(m1["version"])]) == 2
+
+    eng.compact_fact(EVENTS_FACT)
+    m2 = json.load(open(os.path.join(eng.storage, table + ".manifest.json")))
+    assert m2["version"] == m1["version"] + 1
+    assert len(m2["versions"][str(m2["version"])]) == 1
+    after_df = eng.read_table(table)
+    keys = ["ts_minute_id", "user_id", "event_type_id"]
+    assert after_df.count() == after_df.select(*keys).distinct().count()
+    assert after_df.agg({"event_count": "sum"}).collect()[0][0] == total_before
+    dirs = [d for d in os.listdir(eng.storage) if d.startswith(table + "__v")]
+    assert sorted(dirs) == sorted(m2["versions"][str(m2["version"])])
