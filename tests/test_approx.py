@@ -70,3 +70,34 @@ def test_approx_percentile_within_tolerance_of_exact(spark):
         # rank error 1/1000 translates to a small value-space error for a
         # smooth distribution; allow a generous 2% of the value range
         assert abs(e - a) <= 0.02 * spread, (e, a)
+
+
+def test_count_min_sketch_heavy_hitter_bounds(spark):
+    """Count-min sketch over the token stream: estimates never
+    undercount, and overcount is bounded by eps * stream size (the CMS
+    guarantee, at the sketch's confidence).  This is the scale path for
+    heavy-hitter queries — vocab_topk's exact counts are the oracle."""
+    from pyspark.sql import functions as F
+
+    from ringo_spark.operators.textfn import tokens
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    n = toks.count()
+    eps, conf = 0.005, 0.99
+    sketch_bytes = toks.agg(
+        F.count_min_sketch("token", F.lit(eps), F.lit(conf), F.lit(42))
+        .alias("s")).first().s
+    # the aggregate returns Spark's serialized CountMinSketch; query it
+    # through the JVM sketch library (mergeable across partitions/batches
+    # like the HLL registers in §2.6)
+    jvm = spark._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(sketch_bytes)))
+    exact = {r.token: r.c for r in
+             (toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+              .orderBy(F.desc("c")).limit(20).collect())}
+    for token, true_count in exact.items():
+        est = cms.estimateCount(token)
+        assert est >= true_count, (token, est, true_count)
+        assert est <= true_count + eps * n, (token, est, true_count)

@@ -67,13 +67,20 @@ def build(spark, k: int) -> str:
 
 def main():
     from ringo_spark.catalog import get_spark
-    from ringo_spark.operators.dedup import dedup_minhash_lsh_df
+    from ringo_spark.operators.dedup import (
+        dedup_minhash_lsh_df, dedup_winnowing_df,
+    )
     from ringo_spark.operators.similarity import ann_lsh_bucketed_df
+    from ringo_spark.operators.text import text_quality_df
+    from ringo_spark.operators.training import seq_pack_df
 
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     ops = {"dedup_minhash_lsh": dedup_minhash_lsh_df,
-           "ann_lsh_bucketed": ann_lsh_bucketed_df}
+           "dedup_winnowing": dedup_winnowing_df,
+           "ann_lsh_bucketed": ann_lsh_bucketed_df,
+           "text_quality": text_quality_df,
+           "seq_pack": seq_pack_df}
     # warmup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     rows = {}
