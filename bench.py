@@ -98,9 +98,19 @@ def main():
             pins = {**base["queries"],
                     **{n: v for n, v in base.get("extra_pins", {}).items()
                        if not n.startswith("_")}}
+            # protocol note (ADVICE r04): the r01 pins in base["queries"]
+            # are SINGLE-SHOT timings while we now report min-of-2, which
+            # biases those deltas downward by construction — they are
+            # indicative only.  extra_pins were measured min-of-2 (r04), so
+            # their deltas ARE like-for-like.  Split them accordingly.
+            single_shot = set(base["queries"])
             out["deltas"] = {
                 n: round(t - pins[n], 3)
-                for n, t in timings.items() if n in pins
+                for n, t in timings.items() if n in pins and n not in single_shot
+            }
+            out["deltas_vs_r01_single_shot_indicative"] = {
+                n: round(t - pins[n], 3)
+                for n, t in timings.items() if n in single_shot
             }
             # the round-1 baseline pinned 13 queries; "value" now sums 18.
             # For a like-for-like ratio against baseline_total, use the

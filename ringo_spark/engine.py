@@ -337,7 +337,10 @@ class Engine:
     def _inflight_retry_is_safe(self, table: str) -> bool:
         """True when the interrupted append provably never published."""
         marker = self._inflight().get(table)
-        if self.commit_mode != "manifest" or not isinstance(marker, int):
+        # bool is an int subclass: a rename-mode opaque `True` marker read
+        # by a manifest-mode engine must NOT compare equal to version 1
+        if (self.commit_mode != "manifest" or isinstance(marker, bool)
+                or not isinstance(marker, int)):
             return False
         m = self._read_manifest(table)
         return m is not None and m["version"] == marker

@@ -360,11 +360,17 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, bytes]:
 
     if payload[:8] != PNG_SIGNATURE:
         raise ValueError("not a PNG")
-    pos, width = 8, None
+    pos, width, height = 8, None, None
     idat = bytearray()
     while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError("truncated chunk header")
         (length,), ctype = struct.unpack(">I", payload[pos:pos + 4]), \
             payload[pos + 4:pos + 8]
+        # length fields are untrusted input: bounds-check before slicing so a
+        # corrupt length raises ValueError, not struct.error mid-walk
+        if pos + 12 + length > len(payload):
+            raise ValueError(f"chunk {ctype!r} length {length} exceeds payload")
         data = payload[pos + 8:pos + 8 + length]
         (crc,) = struct.unpack(
             ">I", payload[pos + 8 + length:pos + 12 + length])
@@ -379,6 +385,8 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, bytes]:
         elif ctype == b"IEND":
             break
         pos += 12 + length
+    if width is None:
+        raise ValueError("missing IHDR")
     raw = _zlib.decompress(bytes(idat))
     bpp, stride = 3, 3 * width
     out = bytearray()

@@ -264,6 +264,26 @@ IVF_INDEX_ROOT = os.path.join(
     ".ivf_index")
 
 
+def _source_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of the embeddings source (file sizes + mtimes),
+    folded into the index cache tag: if the parquet at the same path is
+    regenerated, the tag changes and a fresh index is built instead of
+    silently serving neighbors from the stale one (ADVICE r04).  Stat-based
+    (not a content hash) so it's O(#files), never O(bytes)."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    parts = []
+    if os.path.isdir(src):
+        for root, _, files in os.walk(src):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                parts.append(f"{os.path.relpath(os.path.join(root, f), src)}"
+                             f":{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(src):
+        st = os.stat(src)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
+
+
 def _ivf_centroid_rows(emb: DataFrame, k: int = IVF_K) -> list:
     """Deterministic seed centroids (first K vectors), collected — K rows,
     the planner-side metadata of the index."""
@@ -302,7 +322,9 @@ def build_ivf_index(spark: SparkSession, sf_dir: str,
     the query path are unchanged).  Amortized across every query served.
     """
     if index_path is None:
-        tag = hashlib.md5(f"{os.path.abspath(sf_dir)}|{k}".encode()).hexdigest()[:10]
+        tag = hashlib.md5(
+            f"{os.path.abspath(sf_dir)}|{k}|{_source_fingerprint(sf_dir)}"
+            .encode()).hexdigest()[:10]
         index_path = os.path.join(IVF_INDEX_ROOT, f"k{k}-{tag}")
     if not force and os.path.exists(os.path.join(index_path, "_SUCCESS")):
         return index_path
@@ -605,7 +627,8 @@ def build_lsh_index(spark: SparkSession, sf_dir: str, bits: int = LSH_BITS,
     across every query batch served from the index."""
     if index_path is None:
         tag = hashlib.md5(
-            f"{os.path.abspath(sf_dir)}|{bits}".encode()).hexdigest()[:10]
+            f"{os.path.abspath(sf_dir)}|{bits}|{_source_fingerprint(sf_dir)}"
+            .encode()).hexdigest()[:10]
         index_path = os.path.join(LSH_INDEX_ROOT, f"b{bits}-{tag}")
     if not force and os.path.exists(os.path.join(index_path, "_SUCCESS")):
         return index_path

@@ -179,6 +179,28 @@ SELECT vec_id, scale,
 FROM scaled
 """
 
+
+def embed_quantize_codes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-registered variant of :func:`embed_quantize_df` with the
+    int8 codes serialized to one comma-joined string column.
+
+    The typed ``array<int>`` output is the library surface, but the
+    driver's correctness harness canonicalizes result frames via pandas
+    ``sort_values``, which cannot hash Python lists (CORRECTNESS_r04 ERR).
+    Serializing is a display transform only — any code mismatch still
+    flips the value hash."""
+    return embed_quantize_df(spark, sf_dir).select(
+        "vec_id", "scale",
+        F.array_join(F.col("q_embedding").cast("array<string>"), ",")
+        .alias("q_codes"))
+
+
+EMBED_QUANTIZE_CODES_SQL = f"""
+SELECT vec_id, scale,
+       array_to_string(q_embedding, ',') AS q_codes
+FROM ({EMBED_QUANTIZE_SQL}) base
+"""
+
 # --- table profiling --------------------------------------------------------
 
 PROFILE_COLUMNS = ["o_orderkey", "o_custkey", "o_orderstatus",
@@ -217,6 +239,8 @@ PROFILE_TABLE_SQL = "\nUNION ALL\n".join(
 TRAINING_QUERIES: dict[str, tuple] = {
     "text_scrub": (text_scrub_df, TEXT_SCRUB_SQL),
     "seq_pack": (seq_pack_df, SEQ_PACK_SQL),
-    "embed_quantize": (embed_quantize_df, EMBED_QUANTIZE_SQL),
+    # serialized-codes variant registered for the driver (hashable schema);
+    # embed_quantize_df (typed array<int>) stays the library function
+    "embed_quantize": (embed_quantize_codes_df, EMBED_QUANTIZE_CODES_SQL),
     "profile_table": (profile_table_df, PROFILE_TABLE_SQL),
 }

@@ -56,13 +56,13 @@ ARROW_SAFE = {
 }
 
 
-def arrow_type_problems(res) -> list[str]:
+def arrow_type_problems(tbl) -> list[str]:
     """The driver hashes ARROW values: DuckDB widens integer aggregates to
     HUGEINT -> decimal128, which value-equals but hash-mismatches Spark's
     int64.  Python-value comparison can't see it, so check the oracle's
     arrow schema explicitly (wrap sums in CAST(... AS BIGINT) to fix)."""
     out = []
-    for field in res.arrow().schema:
+    for field in tbl.schema:
         t = str(field.type)
         if not any(t.startswith(p) for p in ARROW_SAFE):
             out.append(f"oracle column {field.name!r} has arrow type {t} "
@@ -74,10 +74,13 @@ def compare(name, spark_df, con, sql) -> list[str]:
     problems = []
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
-    problems += arrow_type_problems(con.execute(sql))
-    res = con.execute(sql)
-    d_cols = [d[0] for d in res.description]
-    d_rows = res.fetchall()
+    # single oracle execution: fetch arrow once, run the type check on its
+    # schema and derive the row values from the same table (ADVICE r04)
+    tbl = con.execute(sql).arrow()
+    problems += arrow_type_problems(tbl)
+    d_cols = list(tbl.column_names)
+    d_rows = list(zip(*(tbl.column(i).to_pylist()
+                        for i in range(tbl.num_columns)))) if tbl.num_columns else []
     if sorted(s_cols) != sorted(d_cols):
         problems.append(f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}")
         return problems
