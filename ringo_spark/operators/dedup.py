@@ -57,6 +57,23 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+# The two quadratic baselines below are exact small-scale oracles, not
+# production operators — guard them so the all-pairs shape can't be
+# cargo-culted onto a corpus where it would never finish.
+QUADRATIC_BASELINE_MAX_ROWS = 100_000
+
+
+def _assert_small_scale(df: DataFrame, op: str, scale_path: str) -> DataFrame:
+    n = df.count()
+    if n > QUADRATIC_BASELINE_MAX_ROWS:
+        raise ValueError(
+            f"{op} is a quadratic exact baseline guarded at "
+            f"{QUADRATIC_BASELINE_MAX_ROWS} input rows (got {n}); use "
+            f"{scale_path} at scale — it is the sub-quadratic production "
+            f"path with the same semantics up to approximation")
+    return df
+
+
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The testdata ships one parquet file per table -> one input split; the
     # shingling expressions are interpreted (higher-order) and CPU-bound,
@@ -238,8 +255,11 @@ FROM (SELECT doc_id,
 
 def dedup_ngram_jaccard_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs Jaccard >= threshold via a shingle inverted index
-    (pairs must share at least one shingle)."""
-    base = _shingled(spark, sf_dir)
+    (pairs must share at least one shingle).  Small-scale oracle baseline:
+    posting-list self-join is quadratic — guarded, use dedup_minhash_lsh
+    at scale."""
+    base = _assert_small_scale(_shingled(spark, sf_dir),
+                               "dedup_ngram_jaccard", "dedup_minhash_lsh")
     sizes = base.select("doc_id", F.size("sh").alias("n"))
     e = base.select("doc_id", F.explode("sh").alias("g"))
     a, b = e.alias("a"), e.alias("b")
@@ -471,8 +491,12 @@ FROM reach GROUP BY doc
 
 def dedup_embedding_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine-similar pairs over the embeddings table (brute-force
-    baseline; similarity.ann_lsh_bucketed is the sub-quadratic path)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    baseline; similarity.ann_lsh_bucketed is the sub-quadratic path).
+    Small-scale oracle baseline: the `<` theta-join is all-pairs —
+    guarded via _assert_small_scale."""
+    emb = _assert_small_scale(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        "dedup_embedding", "similarity.ann_lsh_bucketed")
     a, b = emb.alias("a"), emb.alias("b")
     cos = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
     return (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))

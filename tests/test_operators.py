@@ -369,3 +369,15 @@ def test_winnowing_guarantee_shared_passage_shares_fingerprint(spark):
             .alias("fp"))).collect()}
     assert fps[1] & fps[2], "shared passage must share a fingerprint"
     assert not (fps[3] & fps[4]), "disjoint texts should not collide"
+
+
+def test_quadratic_baseline_guard(spark):
+    from ringo_spark.operators.dedup import (
+        QUADRATIC_BASELINE_MAX_ROWS, _assert_small_scale,
+    )
+
+    small = spark.range(10)
+    assert _assert_small_scale(small, "x", "y") is small
+    big = spark.range(QUADRATIC_BASELINE_MAX_ROWS + 1)
+    with pytest.raises(ValueError, match="quadratic exact baseline"):
+        _assert_small_scale(big, "dedup_ngram_jaccard", "dedup_minhash_lsh")
