@@ -233,9 +233,40 @@ FROM documents
 """
 
 
-def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize plumbing: map-only Arrow pass; fake keeps payload, rewrites
-    metadata (a real impl would transform the bytes)."""
+def nearest_resize(px: bytes, w: int, h: int, rw: int, rh: int) -> bytes:
+    """Nearest-neighbor resample of an RGB pixel buffer: target pixel
+    (x, y) gathers source pixel (x*w // rw, y*h // rh) — pure integer
+    arithmetic so an oracle can replay the sampling exactly."""
+    out = bytearray(rw * rh * 3)
+    for y in range(rh):
+        sy = y * h // rh
+        for x in range(rw):
+            sk = (sy * w + x * w // rw) * 3
+            tk = (y * rw + x) * 3
+            out[tk:tk + 3] = px[sk:sk + 3]
+    return bytes(out)
+
+
+def encode_png_rgb(w: int, h: int, px: bytes) -> bytes:
+    """Minimal valid 8-bit RGB PNG encoder (filter type 0 scanlines, real
+    CRC32 on every chunk) — the write half of decode_png_pixels."""
+    import zlib as _zlib
+
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        raw += px[y * w * 3:(y + 1) * w * 3]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", _zlib.compress(bytes(raw), 6))
+            + _chunk(b"IEND", b""))
+
+
+def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL resize over a media table: decode the PNG payload to pixels,
+    nearest-neighbor resample, re-encode a valid PNG payload.  Map-only
+    Arrow pass (payload bytes never shuffle); non-PNG payloads pass
+    through unchanged with resized dims nulled."""
     schema = T.StructType(df.schema.fields + [
         T.StructField("resized_width", T.IntegerType()),
         T.StructField("resized_height", T.IntegerType()),
@@ -244,8 +275,24 @@ def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["resized_width"] = width
-            pdf["resized_height"] = height
+            payloads, rws, rhs = [], [], []
+            for p in pdf["payload"]:
+                p = bytes(p)
+                try:
+                    w, h, px = decode_png_pixels(p)
+                except Exception:  # noqa: BLE001 — any malformed payload
+                    payloads.append(p)
+                    rws.append(None)
+                    rhs.append(None)
+                    continue
+                payloads.append(
+                    encode_png_rgb(width, height,
+                                   nearest_resize(px, w, h, width, height)))
+                rws.append(width)
+                rhs.append(height)
+            pdf["payload"] = payloads
+            pdf["resized_width"] = pd.array(rws, dtype="Int32")
+            pdf["resized_height"] = pd.array(rhs, dtype="Int32")
             yield pdf
 
     return df.mapInPandas(kernel, schema)
@@ -559,6 +606,90 @@ def multimodal_wav_samples_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     media = docs.mapInPandas(_wav_pcm_encode_kernel, _PAYLOAD_SCHEMA)
     return media.mapInPandas(_wav_pcm_decode_kernel, WAV_SAMPLES_SCHEMA)
+
+
+# --- real nearest-neighbor resize lane ---------------------------------------
+#
+# Proves the RESIZE kernel end to end: closed-form PNGs are encoded,
+# pixel-decoded, nearest-neighbor resampled to a fixed target, re-encoded
+# as valid PNGs, decoded AGAIN from the resized bytes, and reduced to
+# statistics.  The oracle replays the integer sampling arithmetic
+# (sx = x*w // RW, sy = y*h // RH) on the closed-form pixel function —
+# a wrong gather index, encode slip, or filter bug is a hash mismatch.
+
+RESIZE_W = 6
+RESIZE_H = 4
+
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("src_w", T.IntegerType()),
+    T.StructField("src_h", T.IntegerType()),
+    T.StructField("mean_r", T.DoubleType()),
+    T.StructField("mean_g", T.DoubleType()),
+    T.StructField("mean_b", T.DoubleType()),
+    T.StructField("p00_r", T.IntegerType()),
+    T.StructField("plast_b", T.IntegerType()),
+])
+
+
+def _resize_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    rw, rh = RESIZE_W, RESIZE_H
+    for pdf in batches:
+        rows = {k: [] for k in ("doc_id", "src_w", "src_h", "mean_r",
+                                "mean_g", "mean_b", "p00_r", "plast_b")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, px = decode_png_pixels(bytes(payload))
+            # full bytes-level round trip: resample, re-encode, re-decode
+            resized = encode_png_rgb(rw, rh, nearest_resize(px, w, h, rw, rh))
+            w2, h2, px2 = decode_png_pixels(resized)
+            assert (w2, h2) == (rw, rh)
+            chans = [px2[c::3] for c in range(3)]
+            rows["doc_id"].append(int(doc_id))
+            rows["src_w"].append(w)
+            rows["src_h"].append(h)
+            for name, ch in zip(("r", "g", "b"), chans):
+                rows[f"mean_{name}"].append(round(sum(ch) / len(ch), 6))
+            rows["p00_r"].append(px2[0])
+            rows["plast_b"].append(px2[-1])
+        out = pd.DataFrame(rows)
+        for c in ("src_w", "src_h", "p00_r", "plast_b"):
+            out[c] = out[c].astype("int32")
+        yield out
+
+
+def multimodal_resize_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode -> decode -> nearest-resize -> re-encode -> re-decode round
+    trip, reduced to statistics with a closed-form oracle.  Map-only
+    mapInPandas chain: payload bytes never shuffle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    media = docs.mapInPandas(_encode_kernel, _PAYLOAD_SCHEMA)
+    return media.mapInPandas(_resize_kernel, RESIZE_SCHEMA)
+
+
+MULTIMODAL_RESIZE_SQL = f"""
+WITH dims AS (
+  SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 7 + 3 AS h FROM documents),
+tgt AS (
+  SELECT doc_id, w, h, g.i,
+         g.i % {RESIZE_W} AS x, g.i // {RESIZE_W} AS y
+  FROM dims CROSS JOIN generate_series(0, {RESIZE_W * RESIZE_H - 1}) g(i)),
+sel AS (
+  SELECT doc_id, w, h, i,
+         ((y * h // {RESIZE_H}) * w + (x * w // {RESIZE_W})) * 3 AS k
+  FROM tgt)
+SELECT doc_id,
+       CAST(w AS INT) AS src_w,
+       CAST(h AS INT) AS src_h,
+       round(avg((doc_id * 31 + k) % 256), 6)     AS mean_r,
+       round(avg((doc_id * 31 + k + 1) % 256), 6) AS mean_g,
+       round(avg((doc_id * 31 + k + 2) % 256), 6) AS mean_b,
+       CAST(min(CASE WHEN i = 0 THEN (doc_id * 31 + k) % 256 END) AS INT)
+         AS p00_r,
+       CAST(min(CASE WHEN i = {RESIZE_W * RESIZE_H - 1}
+                THEN (doc_id * 31 + k + 2) % 256 END) AS INT) AS plast_b
+FROM sel
+GROUP BY doc_id, w, h
+"""
 
 
 MULTIMODAL_WAV_SAMPLES_SQL = """

@@ -11,9 +11,10 @@ from .dedup import (
     dedup_ngram_jaccard_df, dedup_simhash_df, dedup_winnowing_df,
 )
 from .multimodal import (
-    MULTIMODAL_FEATURES_SQL, MULTIMODAL_PIXELS_SQL, MULTIMODAL_WAV_SAMPLES_SQL,
-    MULTIMODAL_WAV_SQL, multimodal_features_df, multimodal_pixels_df,
-    multimodal_wav_df, multimodal_wav_samples_df,
+    MULTIMODAL_FEATURES_SQL, MULTIMODAL_PIXELS_SQL, MULTIMODAL_RESIZE_SQL,
+    MULTIMODAL_WAV_SAMPLES_SQL, MULTIMODAL_WAV_SQL, multimodal_features_df,
+    multimodal_pixels_df, multimodal_resize_df, multimodal_wav_df,
+    multimodal_wav_samples_df,
 )
 from .similarity import (
     ANN_COSINE_TOPK_SQL, ANN_IVF_KMEANS_SQL, ANN_IVF_SQL,
@@ -190,6 +191,9 @@ OPERATOR_QUERIES: dict[str, tuple] = {
     # real int16 PCM sample decode, closed-form oracle
     "multimodal_wav_samples": (multimodal_wav_samples_df,
                                MULTIMODAL_WAV_SAMPLES_SQL),
+    # real nearest-neighbor resize: decode -> resample -> re-encode ->
+    # re-decode round trip, closed-form sampling oracle
+    "multimodal_resize": (multimodal_resize_df, MULTIMODAL_RESIZE_SQL),
     **RELATIONAL_QUERIES,
     **GRAIN_QUERIES,
     **SESSION_QUERIES,

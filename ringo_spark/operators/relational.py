@@ -591,3 +591,106 @@ FROM changes
 
 
 RELATIONAL_QUERIES["scd2_dim"] = (scd2_dim_df, SCD2_DIM_SQL)
+
+
+# --- SCD2 + incremental fact composition -------------------------------------
+
+# watermark splitting the "initial load" from the "incremental batch"
+# (median-ish ship date — plenty of customer status changes on both sides)
+SCD2_SPLIT_DATE = "1998-06-01"
+
+
+def scd2_fact_incremental_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time fact load against the SCD2 history, composed as an
+    INCREMENTAL refresh: lineitems are split at a ship-date watermark into
+    an initial load and an incremental batch; each batch is aggregated
+    separately against the customer-status intervals (which CHANGE across
+    the watermark — the corner the reference's SCD1 refresh cannot
+    express), then the partials are unioned and re-aggregated.  The oracle
+    is the direct single-pass recompute, so a hash match proves the
+    incremental composition is lossless even when dimension keys change
+    mid-window.
+
+    Each lineitem joins the status interval valid AT SHIP TIME
+    (ship date >= valid_from and < valid_to) — a later status change on
+    the same customer re-buckets only post-change shipments.
+
+    Scale: the PIT join is an equi-join on o_custkey with the interval
+    predicate as a residual filter — one shuffle on the customer key for
+    facts, the SCD2 interval side is dim-sized; each batch pre-aggregates
+    map-side before the tiny partial union."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    hist = (scd2_dim_df(spark, sf_dir)
+            .select(F.col("o_custkey").alias("h_custkey"),
+                    "status", "valid_from", "valid_to"))
+    facts = (lineitem
+             .join(orders.select("o_orderkey", "o_custkey"),
+                   F.col("l_orderkey") == F.col("o_orderkey"))
+             .select("o_custkey", "l_shipdate", "l_returnflag",
+                     F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+                     F.col("l_extendedprice").cast("decimal(18,2)")
+                     .alias("price")))
+
+    def pit_partial(batch: DataFrame) -> DataFrame:
+        # LEFT join + sentinel: facts shipping before the customer's first
+        # status interval land in an 'UNKNOWN' bucket instead of dropping —
+        # the same missing-dimension convention as the fact loader's -1
+        # sentinel (populate/fact.py), so row counts are conserved.
+        joined = batch.join(
+            hist,
+            (F.col("o_custkey") == F.col("h_custkey"))
+            & (F.col("l_shipdate") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull()
+               | (F.col("l_shipdate") < F.col("valid_to"))),
+            "left").withColumn("status", F.coalesce("status", F.lit("UNKNOWN")))
+        return (joined.groupBy("status", "l_returnflag")
+                .agg(F.sum("qty").alias("part_qty"),
+                     F.sum("price").alias("part_price"),
+                     F.count(F.lit(1)).alias("part_n")))
+
+    w = F.lit(SCD2_SPLIT_DATE).cast("timestamp")
+    initial = pit_partial(facts.where(F.col("l_shipdate") < w))
+    increment = pit_partial(facts.where(F.col("l_shipdate") >= w))
+    return (initial.unionByName(increment)
+            .groupBy("status", "l_returnflag")
+            .agg(F.sum("part_qty").alias("q"),
+                 F.sum("part_price").alias("p"),
+                 F.sum("part_n").alias("n"))
+            .select("status", "l_returnflag",
+                    F.col("q").cast("double").alias("sum_qty"),
+                    F.col("p").cast("double").alias("sum_price"),
+                    F.col("n").cast("long").alias("n_items")))
+
+
+SCD2_FACT_INCREMENTAL_SQL = """
+WITH seq AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+         lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS prev
+  FROM orders),
+changes AS (
+  SELECT * FROM seq WHERE prev IS NULL OR prev != o_orderstatus),
+hist AS (
+  SELECT o_custkey, o_orderstatus AS status, o_orderdate AS valid_from,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS valid_to
+  FROM changes),
+f AS (
+  SELECT o.o_custkey, l.l_shipdate, l.l_returnflag,
+         CAST(l.l_quantity AS DECIMAL(18,2)) AS qty,
+         CAST(l.l_extendedprice AS DECIMAL(18,2)) AS price
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+SELECT coalesce(h.status, 'UNKNOWN') AS status, f.l_returnflag,
+       CAST(sum(f.qty) AS DOUBLE) AS sum_qty,
+       CAST(sum(f.price) AS DOUBLE) AS sum_price,
+       count(*) AS n_items
+FROM f LEFT JOIN hist h ON f.o_custkey = h.o_custkey
+  AND f.l_shipdate >= h.valid_from
+  AND (h.valid_to IS NULL OR f.l_shipdate < h.valid_to)
+GROUP BY coalesce(h.status, 'UNKNOWN'), f.l_returnflag
+"""
+
+
+RELATIONAL_QUERIES["scd2_fact_incremental"] = (
+    scd2_fact_incremental_df, SCD2_FACT_INCREMENTAL_SQL)

@@ -10,7 +10,7 @@ from ringo_spark.operators.dedup import (
     dedup_simhash_df,
 )
 from ringo_spark.operators.multimodal import (
-    frame_sample_stub, media_table, multimodal_features_df, resize_stub,
+    frame_sample_stub, media_table, multimodal_features_df, resize_media,
 )
 from ringo_spark.operators.similarity import ann_cosine_topk_df
 from ringo_spark.operators.text import doc_fingerprint_df, text_quality_df
@@ -127,11 +127,33 @@ def test_wav_parser_round_trip(spark):
         assert r.n_samples == (r.n_bytes - 44) // (r.n_channels * 2)
 
 
+def test_multimodal_resize_real_roundtrip(spark):
+    from ringo_spark.operators.multimodal import (
+        _PAYLOAD_SCHEMA, _encode_kernel, _png_pixel, decode_png_pixels,
+    )
+    import pandas as pd
+
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id").limit(10))
+    media = (docs.mapInPandas(_encode_kernel, _PAYLOAD_SCHEMA)
+             .withColumn("media_type", F.lit("image/png")))
+    rows = resize_media(media, 5, 3).collect()
+    assert rows
+    for r in rows:
+        assert (r.resized_width, r.resized_height) == (5, 3)
+        w2, h2, px2 = decode_png_pixels(bytes(r.payload))
+        assert (w2, h2) == (5, 3)
+        # corner pixel (0,0) samples source pixel (0,0): closed form
+        assert px2[0] == _png_pixel(r.doc_id, 0)
+    # non-PNG payloads pass through with nulled dims, payload untouched
+    junk = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "payload": [b"not a png"]}))
+    jr = resize_media(junk, 5, 3).collect()[0]
+    assert jr.resized_width is None and bytes(jr.payload) == b"not a png"
+
+
 def test_multimodal_stub_plumbing(spark):
     media = media_table(spark, SF).limit(10)
-    resized = resize_stub(media, 224, 224)
-    assert resized.columns[-2:] == ["resized_width", "resized_height"]
-    assert resized.select("resized_width").distinct().collect()[0][0] == 224
     frames = frame_sample_stub(media, every_n=4)
     assert frames.columns == ["doc_id", "frame_idx", "frame_payload"]
     got = frames.collect()
@@ -381,3 +403,28 @@ def test_quadratic_baseline_guard(spark):
     big = spark.range(QUADRATIC_BASELINE_MAX_ROWS + 1)
     with pytest.raises(ValueError, match="quadratic exact baseline"):
         _assert_small_scale(big, "dedup_ngram_jaccard", "dedup_minhash_lsh")
+
+
+def test_scd2_fact_incremental_nondegenerate(spark):
+    """The composition must actually exercise 'dim keys change mid-window':
+    status intervals begin on both sides of the split watermark, so the
+    incremental batch re-buckets shipments under statuses the initial
+    load never saw."""
+    from ringo_spark.operators.relational import (
+        SCD2_SPLIT_DATE, scd2_dim_df, scd2_fact_incremental_df,
+    )
+
+    w = F.lit(SCD2_SPLIT_DATE).cast("timestamp")
+    hist = scd2_dim_df(spark, SF)
+    assert hist.where(F.col("valid_from") < w).count() > 0
+    assert hist.where(F.col("valid_from") >= w).count() > 0
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    assert li.where(F.col("l_shipdate") < w).count() > 0
+    assert li.where(F.col("l_shipdate") >= w).count() > 0
+    out = scd2_fact_incremental_df(spark, SF)
+    rows = out.collect()
+    assert rows and {r.status for r in rows} >= {"F", "O"}
+    total = li.join(
+        spark.read.parquet(f"{SF}/orders.parquet"),
+        li.l_orderkey == F.col("o_orderkey")).count()
+    assert sum(r.n_items for r in rows) == total
