@@ -95,6 +95,55 @@ class Engine:
             if os.path.exists(path):
                 self.register_source(t.name, self.spark.read.parquet(path))
 
+    def parent_join_pairs(self) -> list[tuple[str, str, str, str]]:
+        """(child_table, child_col, parent_table, parent_col) for every
+        parent-fact source join a run will execute — the declared FKs that
+        feed the one fact-sized shuffle in the pipeline."""
+        from .extractor import extract_all_dimension_tables
+        from .model import ForeignKey
+
+        pairs = []
+        for fact in self.env.facts:
+            if not fact.persistent:
+                continue
+            f_table = self.env.find_table(fact.table_name)
+            parents = {df.table_name
+                       for df, _ in extract_all_dimension_tables(self.env, fact)
+                       if df.table_name != fact.table_name}
+            for c in f_table.constraints:
+                if isinstance(c, ForeignKey) and c.table in parents:
+                    mine, theirs = c.columns[0]
+                    pair = (fact.table_name, mine, c.table, theirs)
+                    if pair not in pairs:
+                        pairs.append(pair)
+        return pairs
+
+    def bucketize_sources(self, num_buckets: int = 8,
+                          pairs: list[tuple[str, str, str, str]] | None = None
+                          ) -> list[str]:
+        """Store both sides of every parent-fact source join bucketed by
+        the FK, and serve the sources from the bucketed tables from now on.
+
+        This is the 100x-scale knob for the pipeline's one fact-sized
+        shuffle (e.g. lineitem ⋈ orders): with both sides bucketed on the
+        join key the sort-merge join runs with NO Exchange on either side
+        (proven in tests/test_bucketing.py and test_engine.py).  One-time
+        bucketed write, amortized across every subsequent refresh.  Call
+        after ``load_sources``/``register_source``; join pairs default to
+        the declared FKs (``parent_join_pairs``)."""
+        from .sources.bucketing import bucketize_for_fact_join
+
+        pairs = pairs if pairs is not None else self.parent_join_pairs()
+        if not pairs:
+            return []
+        # sources are already cast to their declared schema, so the
+        # bucketed tables are re-registered without a second cast (a cast
+        # on the join key would defeat the bucketed-scan partitioning)
+        self.sources = bucketize_for_fact_join(
+            self.spark, self.sources, pairs, num_buckets,
+            path_root=os.path.join(self.storage, "_bucketed"))
+        return sorted({n for p in pairs for n in (p[0], p[2])})
+
     # --- storage -----------------------------------------------------------
 
     def _path(self, table: str, staging: bool = False) -> str:
@@ -510,6 +559,56 @@ class Engine:
         # keeps the day/tenant directory layout through compaction
         out, partition_by = self._with_fact_partitioning(fact, out)
         self._write_full(out, derived.name, partition_by)
+
+    # --- JDBC sink (Postgres-sink parity, Main.hs:35-83) -------------------
+
+    def published_tables(self) -> list[str]:
+        """Names of every dim/fact table a full run materializes, in topo
+        order (dims before the facts that reference them — FK-friendly
+        load order for a relational sink)."""
+        from .extractor import extract_all_dimension_tables
+
+        names: list[str] = []
+        for fact in self.env.facts:
+            if not fact.persistent:
+                continue
+            derived = extract_fact_table(self.env, fact)
+            for _, t in extract_all_dimension_tables(self.env, fact):
+                if self.env.find_table(t.name) is None and t.name not in names:
+                    names.append(t.name)
+            if derived.name not in names:
+                names.append(derived.name)
+        return [n for n in names if self.table_exists(n)]
+
+    def publish_jdbc(self, jdbc_url: str, tables: list[str] | None = None,
+                     mode: str = "overwrite", options: dict | None = None,
+                     num_partitions: int | None = None) -> list[str]:
+        """Publish populated dimension/fact tables to a JDBC sink.
+
+        The reference's actual output target is Postgres — its generated
+        DDL+DML runs inside the database (``app/Main.hs:35-83``); our
+        engine's native storage is parquet, and this pushes the populated
+        tables over JDBC for users migrating off the reference who keep a
+        relational serving layer.
+
+        Scale notes: Spark opens one connection per partition, so
+        ``num_partitions`` caps write parallelism at what the target can
+        absorb (rollup facts are small relative to their sources — the
+        100 TB corpus never transits JDBC, only the aggregated marts).
+        ``mode="overwrite"`` with ``truncate=true`` in ``options`` keeps
+        the target's DDL/grants; plain overwrite re-creates the table."""
+        out = []
+        for name in (tables if tables is not None else self.published_tables()):
+            df = self.read_table(name)
+            if num_partitions:
+                df = df.coalesce(num_partitions)
+            w = (df.write.format("jdbc")
+                 .option("url", jdbc_url).option("dbtable", name).mode(mode))
+            for k, v in (options or {}).items():
+                w = w.option(k, v)
+            w.save()
+            out.append(name)
+        return out
 
     # --- artifacts (writeFiles parity, Main.hs:35-83) ----------------------
 

@@ -34,16 +34,21 @@ def write_bucketed(df: DataFrame, table_name: str, bucket_cols: list[str],
 def bucketize_for_fact_join(spark: SparkSession, catalog: dict[str, DataFrame],
                             pairs: list[tuple[str, str, str, str]],
                             num_buckets: int = 8,
-                            prefix: str = "bkt_") -> dict[str, DataFrame]:
+                            prefix: str = "bkt_",
+                            path_root: str | None = None) -> dict[str, DataFrame]:
     """Bucket both sides of each (left_table, left_col, right_table,
-    right_col) join pair; returns a catalog of the bucketed tables."""
+    right_col) join pair; returns a catalog of the bucketed tables.
+    ``path_root`` places the bucketed files under a chosen directory
+    (e.g. the engine's storage path) instead of the session warehouse."""
     out = dict(catalog)
     done = set()
     for lt, lc, rt, rc in pairs:
         for name, col in ((lt, lc), (rt, rc)):
             if name in done:
                 continue
-            write_bucketed(catalog[name], prefix + name, [col], num_buckets)
+            path = f"{path_root}/{prefix}{name}" if path_root else None
+            write_bucketed(catalog[name], prefix + name, [col], num_buckets,
+                           path=path)
             out[name] = spark.table(prefix + name)
             done.add(name)
     return out

@@ -358,3 +358,78 @@ def test_manifest_compaction_folds_snapshot_to_single_dir(spark, tmp_path):
     assert after_df.agg({"event_count": "sum"}).collect()[0][0] == total_before
     dirs = [d for d in os.listdir(eng.storage) if d.startswith(table + "__v")]
     assert sorted(dirs) == sorted(m2["versions"][str(m2["version"])])
+
+
+def test_publish_jdbc_round_trip(spark, tmp_path):
+    """Sink parity with the reference (its output lands in Postgres,
+    app/Main.hs:35-83): publish the populated tables to a file-backed
+    Derby database over JDBC, read them back, and compare cell-equal."""
+    eng = Engine(spark, ORDERS_ENV, str(tmp_path / "jwh"),
+                 count_distinct_mode="exact")
+    eng.load_sources("/root/testdata/sf0.001")
+    eng.run(PopulationMode.FULL, T_FAR)
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    opts = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    published = eng.publish_jdbc(url, options=opts, num_partitions=1)
+    # dims precede the facts that reference them (FK-friendly load order)
+    assert published.index("dim_order_status") < published.index("fact_orders_by_day")
+    assert {"dim_order_status", "dim_order_priority", "dim_line_status",
+            "fact_orders_by_day", "fact_lineitem_by_day"} <= set(published)
+    for name in published:
+        local = eng.read_table(name)
+        back = (spark.read.format("jdbc").option("url", url)
+                .option("dbtable", name).option("driver", opts["driver"])
+                .load())
+        assert sorted(back.columns) == sorted(local.columns), name
+        cols = sorted(local.columns)
+        a = sorted(map(tuple, local.select(*cols).collect()))
+        b = sorted(map(tuple, back.select(*cols).collect()))
+        assert a == b, f"{name}: JDBC round trip not cell-equal"
+
+
+def test_engine_bucketized_parent_join_no_exchange(spark, tmp_path):
+    """Engine.bucketize_sources wires sources/bucketing.py into the
+    parent-fact join path: the lineitem ⋈ orders FK join (the pipeline's
+    one fact-sized shuffle) runs with no Exchange on either side."""
+    from ringo_spark.extractor import (
+        extract_all_dimension_tables, extract_fact_table,
+    )
+    from ringo_spark.populate.fact import fact_population_df
+
+    eng = Engine(spark, ORDERS_ENV, str(tmp_path / "bwh"))
+    eng.load_sources("/root/testdata/sf0.001")
+    eng.run(PopulationMode.FULL, T_FAR)
+    fact = next(f for f in ORDERS_ENV.facts
+                if extract_fact_table(ORDERS_ENV, f).name
+                == "fact_lineitem_by_day")
+    dim_names = {t.name for _, t in extract_all_dimension_tables(ORDERS_ENV, fact)
+                 if ORDERS_ENV.find_table(t.name) is None}
+    dims = {n: eng.read_table(n) for n in dim_names}
+
+    def populate_plan(sources):
+        df = fact_population_df(ORDERS_ENV, fact, sources, dims=dims,
+                                mode=PopulationMode.FULL, time_upper=T_FAR)
+        return df, df._jdf.queryExecution().executedPlan().toString()
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain_df, plain = populate_plan(dict(eng.sources))
+        assert eng.parent_join_pairs() == [
+            ("lineitem", "l_orderkey", "orders", "o_orderkey")]
+        bucketed_names = eng.bucketize_sources(num_buckets=4)
+        assert bucketed_names == ["lineitem", "orders"]
+        bkt_df, bkt = populate_plan(dict(eng.sources))
+        # the parent join shuffled both sides before; bucketed it shuffles
+        # neither — exactly two Exchanges disappear, the SMJ remains
+        assert "SortMergeJoin" in bkt
+        assert bkt.count("Exchange") == plain.count("Exchange") - 2
+        # and the produced fact rows are identical
+        cols = sorted(c for c in plain_df.columns)
+        a = sorted(map(tuple, plain_df.select(*cols).collect()))
+        b = sorted(map(tuple, bkt_df.select(*cols).collect()))
+        assert a == b
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        for t in ("bkt_lineitem", "bkt_orders"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
