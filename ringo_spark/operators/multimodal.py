@@ -298,27 +298,124 @@ def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
     return df.mapInPandas(kernel, schema)
 
 
-def frame_sample_stub(df: DataFrame, every_n: int = 4) -> DataFrame:
-    """Frame-sampling plumbing for video-like payloads: one output row per
-    sampled frame index (fake: indices derived from payload length)."""
-    schema = T.StructType([
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("frame_idx", T.IntegerType()),
-        T.StructField("frame_payload", T.BinaryType()),
-    ])
+# --- real video-container frame sampling -------------------------------------
+#
+# Dependency-free "video": a length-prefixed container of complete PNG
+# frames (signature + frame count + [u32 length | PNG bytes]*).  The
+# encoder writes real PNGs per frame with closed-form pixels; the sampler
+# walks the container, length-skips to every Nth frame, pixel-decodes
+# ONLY the sampled frames (the point of frame sampling at scale: decode
+# cost proportional to frames kept, not frames stored), and reduces each
+# to stats the oracle replays arithmetically.
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {"doc_id": [], "frame_idx": [], "frame_payload": []}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                n_frames = len(payload) % 16 + 1
-                for i in range(0, n_frames, every_n):
-                    out["doc_id"].append(doc_id)
-                    out["frame_idx"].append(i)
-                    out["frame_payload"].append(bytes(payload[i:i + 8]))
-            yield pd.DataFrame(out)
+VIDEO_MAGIC = b"VID0"
+FRAME_W, FRAME_H = 4, 3
+FRAME_EVERY_N = 3
 
-    return df.mapInPandas(kernel, schema)
+
+def _video_n_frames(doc_id: int) -> int:
+    return doc_id % 12 + 2
+
+
+def _frame_pixel(doc_id: int, frame: int, k: int) -> int:
+    return (doc_id * 31 + frame * 17 + k) % 256
+
+
+def encode_video(doc_id: int) -> bytes:
+    n = _video_n_frames(doc_id)
+    out = bytearray(VIDEO_MAGIC + struct.pack(">I", n))
+    for f in range(n):
+        px = bytes(_frame_pixel(doc_id, f, k)
+                   for k in range(FRAME_W * FRAME_H * 3))
+        frame = encode_png_rgb(FRAME_W, FRAME_H, px)
+        out += struct.pack(">I", len(frame)) + frame
+    return bytes(out)
+
+
+def sample_video_frames(payload: bytes, every_n: int
+                        ) -> list[tuple[int, int, int, float, int]]:
+    """Walk the container; decode only every Nth frame.  Returns
+    (frame_idx, width, height, mean_px, p00) per sampled frame."""
+    if payload[:4] != VIDEO_MAGIC:
+        raise ValueError("not a video container")
+    (n,) = struct.unpack(">I", payload[4:8])
+    pos, out = 8, []
+    for f in range(n):
+        if pos + 4 > len(payload):
+            raise ValueError("truncated frame header")
+        (flen,) = struct.unpack(">I", payload[pos:pos + 4])
+        if pos + 4 + flen > len(payload):
+            raise ValueError("truncated frame payload")
+        if f % every_n == 0:
+            w, h, px = decode_png_pixels(payload[pos + 4:pos + 4 + flen])
+            out.append((f, w, h, round(sum(px) / len(px), 6), px[0]))
+        pos += 4 + flen
+    return out
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("mean_px", T.DoubleType()),
+    T.StructField("p00", T.IntegerType()),
+])
+
+
+def _video_encode_kernel(batches: Iterator[pd.DataFrame]
+                         ) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "payload": [encode_video(int(d)) for d in pdf["doc_id"]],
+        })
+
+
+def _frame_sample_kernel(batches: Iterator[pd.DataFrame]
+                         ) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = {k: [] for k in ("doc_id", "frame_idx", "mean_px", "p00")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            for f, _w, _h, mean_px, p00 in sample_video_frames(
+                    bytes(payload), FRAME_EVERY_N):
+                rows["doc_id"].append(int(doc_id))
+                rows["frame_idx"].append(f)
+                rows["mean_px"].append(mean_px)
+                rows["p00"].append(p00)
+        out = pd.DataFrame(rows)
+        for c in ("frame_idx", "p00"):
+            out[c] = out[c].astype("int32")
+        yield out
+
+
+def multimodal_frames_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video lane: encode multi-frame containers of real PNGs, sample
+    every Nth frame (length-skipping the rest), decode the sampled frames,
+    reduce to per-frame stats with a closed-form oracle.  One output row
+    per sampled frame; both kernels are map-only mapInPandas."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    media = docs.mapInPandas(_video_encode_kernel, _PAYLOAD_SCHEMA)
+    return media.mapInPandas(_frame_sample_kernel, FRAME_SCHEMA)
+
+
+_FRAME_PX = FRAME_W * FRAME_H * 3
+
+MULTIMODAL_FRAMES_SQL = f"""
+WITH dims AS (
+  SELECT doc_id, doc_id % 12 + 2 AS n FROM documents),
+frames AS (
+  SELECT doc_id, n, g.i AS f
+  FROM dims CROSS JOIN generate_series(0, 13) g(i)
+  WHERE g.i < n AND g.i % {FRAME_EVERY_N} = 0),
+px AS (
+  SELECT doc_id, f, (doc_id * 31 + f * 17 + k.j) % 256 AS v, k.j
+  FROM frames CROSS JOIN generate_series(0, {_FRAME_PX - 1}) k(j))
+SELECT doc_id,
+       CAST(f AS INT) AS frame_idx,
+       round(avg(v), 6) AS mean_px,
+       CAST(min(CASE WHEN j = 0 THEN v END) AS INT) AS p00
+FROM px
+GROUP BY doc_id, f
+"""
 
 
 # --- real pixel-level PNG round trip ----------------------------------------

@@ -11,10 +11,10 @@ from .dedup import (
     dedup_ngram_jaccard_df, dedup_simhash_df, dedup_winnowing_df,
 )
 from .multimodal import (
-    MULTIMODAL_FEATURES_SQL, MULTIMODAL_PIXELS_SQL, MULTIMODAL_RESIZE_SQL,
-    MULTIMODAL_WAV_SAMPLES_SQL, MULTIMODAL_WAV_SQL, multimodal_features_df,
-    multimodal_pixels_df, multimodal_resize_df, multimodal_wav_df,
-    multimodal_wav_samples_df,
+    MULTIMODAL_FEATURES_SQL, MULTIMODAL_FRAMES_SQL, MULTIMODAL_PIXELS_SQL,
+    MULTIMODAL_RESIZE_SQL, MULTIMODAL_WAV_SAMPLES_SQL, MULTIMODAL_WAV_SQL,
+    multimodal_features_df, multimodal_frames_df, multimodal_pixels_df,
+    multimodal_resize_df, multimodal_wav_df, multimodal_wav_samples_df,
 )
 from .similarity import (
     ANN_COSINE_TOPK_SQL, ANN_IVF_KMEANS_SQL, ANN_IVF_SQL,
@@ -46,7 +46,8 @@ from .text import (
 #
 #   * rotate NEVER-driver-checked queries to the front so cumulative
 #     driver coverage grows every round (r02+r03 green-rowed the original
-#     50; r04's window front-loads the 17 that have no driver row yet);
+#     50; r04 front-loaded the 17 with no row yet; r05 front-loads the
+#     new operators and rotates the r04-displaced cohort back in);
 #   * the back of the window keeps the load-bearing core facts and one
 #     representative per operator family so their regressions still show
 #     up in the driver record;
@@ -56,70 +57,14 @@ from .text import (
 #     unverified, only un-hashed-by-the-driver that round.
 
 DRIVER_WINDOW: list[str] = [
-    # -- first driver rows for these 17 (no green row in r02/r03) --
-    "fact_events_by_second",
-    "fact_events_tenant_by_hour",
-    "fact_orders_by_week",
-    "fact_events_hour_regrain",
-    "fact_lineitem_chain",
-    "window_frames",
-    "sessionize",
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "user_value_ema",
-    "user_value_ema_segmented",
-    "sample_hash_split",
-    "sample_per_source_quota",
-    "sample_mixture",
-    "corpus_curation",
-    "ann_ivf_indexed",
-    "multimodal_wav",
-    # -- core schema-level pipeline (driver-green r02+r03; stay pinned) --
-    "dim_event_type",
-    "fact_events_by_minute",
-    "dim_event_type_incremental",
-    "fact_events_by_minute_incremental",
-    "dim_order_status",
-    "dim_order_priority",
-    "fact_orders_by_day",
-    "dim_line_status",
-    "fact_lineitem_by_day",
-    # -- round-4 additions: first driver rows for the new operators --
-    "text_scrub",
-    "seq_pack",
+    # -- round-5 first driver rows: the new operators, plus embed_quantize
+    #    whose r04 row ERRed on harness canonicalization (now serialized) --
     "embed_quantize",
-    "profile_table",
-    "dedup_minhash_incremental",
-    "dedup_winnowing",
-    "ann_ivf_kmeans",
-    "ann_lsh_indexed",
-    "scd2_dim",
-    "multimodal_pixels",
-    "multimodal_wav_samples",
-    # -- one representative per operator family --
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_clusters",
-    "dedup_incremental",
-    "ann_cosine_topk",
-    "ann_lsh_bucketed",
-    "ann_ivf",
-    "text_quality",
-    "lang_id",
-    "tfidf_bm25",
-    "multimodal_features",
-    "join_inner_agg",
-]
-
-# Registered, locally cell-exact-verified every round, but outside the
-# driver's 50-row hash window this round.  Every with-oracle entry here
-# was driver-green (hash_match=true) in BOTH CORRECTNESS_r02 and r03 with
-# unchanged code paths since; the 2 no-oracle entries are ε-tolerance
-# pytest-covered by design.  The round-4 NEW operators sit inside the
-# window instead (first driver rows), which is what displaced this
-# doubly-green set.
-DISPLACED: list[str] = [
+    "multimodal_resize",
+    "multimodal_frames",
+    "scd2_fact_incremental",
+    # -- rotated back in: displaced in r04, driver-green in r02 AND r03;
+    #    after r05 they hold r02+r03+r05 records --
     "asof_join",
     "quantiles",
     "window_lag",
@@ -146,6 +91,66 @@ DISPLACED: list[str] = [
     "scalar_subquery",
     "json_funcs",
     "range_join",
+    # -- core schema-level pipeline (driver-green r02+r03+r04; pinned) --
+    "dim_event_type",
+    "fact_events_by_minute",
+    "dim_event_type_incremental",
+    "fact_events_by_minute_incremental",
+    "dim_order_status",
+    "dim_order_priority",
+    "fact_orders_by_day",
+    "dim_line_status",
+    "fact_lineitem_by_day",
+    # -- one representative per operator family (all driver-green r04) --
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "ann_cosine_topk",
+    "ann_ivf_indexed",
+    "text_quality",
+    "tfidf_bm25",
+    "multimodal_pixels",
+    "corpus_curation",
+    "sessionize",
+    "scd2_dim",
+    "fact_lineitem_chain",
+]
+
+# Registered, locally cell-exact-verified every round, but outside the
+# driver's 50-row hash window this round.  Every with-oracle entry here
+# has a driver-green (hash_match=true) row from CORRECTNESS_r04 with
+# unchanged code paths since; the 2 no-oracle entries are ε-tolerance
+# pytest-covered by design.  They made room to rotate the r04-displaced
+# cohort back in (those now accumulate r02+r03+r05 records).
+DISPLACED: list[str] = [
+    "sample_hash_split",
+    "fact_events_by_second",
+    "fact_events_tenant_by_hour",
+    "fact_orders_by_week",
+    "fact_events_hour_regrain",
+    "window_frames",
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "user_value_ema",
+    "user_value_ema_segmented",
+    "sample_per_source_quota",
+    "sample_mixture",
+    "multimodal_wav",
+    "multimodal_wav_samples",
+    "multimodal_features",
+    "text_scrub",
+    "seq_pack",
+    "profile_table",
+    "dedup_minhash_incremental",
+    "dedup_winnowing",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_incremental",
+    "ann_ivf_kmeans",
+    "ann_lsh_indexed",
+    "ann_lsh_bucketed",
+    "ann_ivf",
+    "lang_id",
+    "join_inner_agg",
     "fact_events_by_minute_approx",  # no-oracle by design (ε pytest)
     "ann_cosine_topk_arrow",         # no-oracle by design (ε pytest)
 ]
@@ -194,6 +199,9 @@ OPERATOR_QUERIES: dict[str, tuple] = {
     # real nearest-neighbor resize: decode -> resample -> re-encode ->
     # re-decode round trip, closed-form sampling oracle
     "multimodal_resize": (multimodal_resize_df, MULTIMODAL_RESIZE_SQL),
+    # video-container frame sampling: length-skip walk, decode only the
+    # sampled frames, per-frame stats with closed-form oracle
+    "multimodal_frames": (multimodal_frames_df, MULTIMODAL_FRAMES_SQL),
     **RELATIONAL_QUERIES,
     **GRAIN_QUERIES,
     **SESSION_QUERIES,

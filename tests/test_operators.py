@@ -10,7 +10,7 @@ from ringo_spark.operators.dedup import (
     dedup_simhash_df,
 )
 from ringo_spark.operators.multimodal import (
-    frame_sample_stub, media_table, multimodal_features_df, resize_media,
+    media_table, multimodal_features_df, resize_media,
 )
 from ringo_spark.operators.similarity import ann_cosine_topk_df
 from ringo_spark.operators.text import doc_fingerprint_df, text_quality_df
@@ -152,13 +152,33 @@ def test_multimodal_resize_real_roundtrip(spark):
     assert jr.resized_width is None and bytes(jr.payload) == b"not a png"
 
 
-def test_multimodal_stub_plumbing(spark):
-    media = media_table(spark, SF).limit(10)
-    frames = frame_sample_stub(media, every_n=4)
-    assert frames.columns == ["doc_id", "frame_idx", "frame_payload"]
-    got = frames.collect()
-    assert got and all(r.frame_idx % 4 == 0 for r in got)
-    assert all(isinstance(r.frame_payload, (bytes, bytearray)) for r in got)
+def test_multimodal_frame_sampling_real_decode(spark):
+    """The video lane decodes ONLY sampled frames from the container and
+    its per-frame stats match the closed-form pixel function."""
+    from ringo_spark.operators.multimodal import (
+        FRAME_EVERY_N, _frame_pixel, _video_n_frames, encode_video,
+        multimodal_frames_df, sample_video_frames,
+    )
+
+    # pure round trip first: every sampled frame decodes to the closed form
+    payload = encode_video(7)
+    frames = sample_video_frames(payload, FRAME_EVERY_N)
+    assert [f for f, *_ in frames] == list(range(0, _video_n_frames(7),
+                                                 FRAME_EVERY_N))
+    for f, w, h, mean_px, p00 in frames:
+        assert (w, h) == (4, 3)
+        assert p00 == _frame_pixel(7, f, 0)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sample_video_frames(b"nope", 2)
+
+    rows = multimodal_frames_df(spark, SF).collect()
+    assert rows and all(r.frame_idx % FRAME_EVERY_N == 0 for r in rows)
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rs in list(by_doc.items())[:10]:
+        assert len(rs) == len(range(0, _video_n_frames(doc_id), FRAME_EVERY_N))
 
 
 def test_arrow_ann_matches_jvm_within_tolerance(spark):
