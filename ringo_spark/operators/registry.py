@@ -63,6 +63,9 @@ DRIVER_WINDOW: list[str] = [
     "multimodal_resize",
     "multimodal_frames",
     "scd2_fact_incremental",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
     # -- rotated back in: displaced in r04, driver-green in r02 AND r03;
     #    after r05 they hold r02+r03+r05 records --
     "asof_join",
@@ -70,7 +73,6 @@ DRIVER_WINDOW: list[str] = [
     "window_lag",
     "set_ops",
     "string_funcs",
-    "date_funcs",
     "conditional_funcs",
     "vocab_topk",
     "lang_confusion",
@@ -88,8 +90,6 @@ DRIVER_WINDOW: list[str] = [
     "rollup_agg",
     "cube_agg",
     "topk",
-    "scalar_subquery",
-    "json_funcs",
     "range_join",
     # -- core schema-level pipeline (driver-green r02+r03+r04; pinned) --
     "dim_event_type",
@@ -122,6 +122,9 @@ DRIVER_WINDOW: list[str] = [
 # pytest-covered by design.  They made room to rotate the r04-displaced
 # cohort back in (those now accumulate r02+r03+r05 records).
 DISPLACED: list[str] = [
+    "scalar_subquery",
+    "json_funcs",
+    "date_funcs",
     "sample_hash_split",
     "fact_events_by_second",
     "fact_events_tenant_by_hour",

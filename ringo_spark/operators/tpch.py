@@ -190,9 +190,158 @@ SELECT user_id, n_events, round(raw, 6) AS ema FROM folded
 """
 
 
+# --- multi-join aggregations (Q3 / Q5 / Q10 shapes) --------------------------
+#
+# The three classic join-heavy TPC-H shapes, adapted to the testdata
+# schema.  These are the queries whose PLANS matter most at 100 TB: the
+# dims (customer/supplier/nation/region) broadcast, the one fact-sized
+# join (orders ⋈ lineitem) is the single shuffle, aggregation is
+# partial+final, and top-k is TakeOrderedAndProject (never a global
+# sort).  All revenue arithmetic follows the q1/q6 decimal discipline so
+# the DuckDB oracle hash-matches exactly; top-k orderings carry a unique
+# tie-break key so LIMIT is deterministic across engines.
+
+
+def _revenue_cols():
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_f = (1 - F.col("l_discount").cast("decimal(18,4)")).cast("decimal(8,4)")
+    return (price * disc_f).cast("decimal(28,6)")
+
+
+_REV_SQL = ("CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+            " * CAST(1 - CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(8,4))"
+            " AS DECIMAL(28,6))")
+
+
+def q3_shipping_priority_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: revenue of not-yet-shipped orders for one market segment,
+    top 10.  customer broadcasts into orders, the orders⋈lineitem join is
+    the one shuffle, top-k is TakeOrderedAndProject."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    return (li.where(F.col("l_shipdate") > cutoff)
+            .join(orders.where(F.col("o_orderdate") < cutoff),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.round(F.sum(_revenue_cols()), 2).cast("double")
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("o_orderdate"),
+                     F.asc("l_orderkey"))
+            .limit(10))
+
+
+Q3_SHIPPING_PRIORITY_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(round(sum({_REV_SQL}), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_local_supplier_volume_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: per-nation revenue where supplier and customer share the
+    nation, one region, one year.  region→nation→customer chain broadcasts
+    (each step dim-sized); supplier broadcasts into lineitem; the
+    orders⋈lineitem join is again the only shuffle."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    nr = (nation.join(F.broadcast(region.where(F.col("r_name") == "ASIA")),
+                      F.col("n_regionkey") == F.col("r_regionkey"))
+          .select("n_nationkey", "n_name"))
+    return (li.join(orders.where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01"))),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(cust),
+                  (F.col("o_custkey") == F.col("c_custkey"))
+                  & (F.col("c_nationkey") == F.col("s_nationkey")))
+            .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(F.round(F.sum(_revenue_cols()), 2).cast("double")
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+Q5_LOCAL_SUPPLIER_VOLUME_SQL = f"""
+SELECT n_name,
+       CAST(round(sum({_REV_SQL}), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q10_returned_items_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: top 20 customers by revenue lost to returns in one
+    quarter, with their nation."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (li.where(F.col("l_returnflag") == "R")
+            .join(orders.where(
+                (F.col("o_orderdate") >= F.lit("1997-10-01"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01"))),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.round(F.sum(_revenue_cols()), 2).cast("double")
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_returned"))
+            .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+            .limit(20))
+
+
+Q10_RETURNED_ITEMS_SQL = f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(round(sum({_REV_SQL}), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_returned
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 TPCH_QUERIES: dict[str, tuple] = {
     "q1_pricing_summary": (q1_pricing_summary_df, Q1_PRICING_SUMMARY_SQL),
+    "q3_shipping_priority": (q3_shipping_priority_df, Q3_SHIPPING_PRIORITY_SQL),
+    "q5_local_supplier_volume": (q5_local_supplier_volume_df,
+                                 Q5_LOCAL_SUPPLIER_VOLUME_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue_df, Q6_FORECAST_REVENUE_SQL),
+    "q10_returned_items": (q10_returned_items_df, Q10_RETURNED_ITEMS_SQL),
     "user_value_ema": (user_value_ema_df, USER_VALUE_EMA_SQL),
     "user_value_ema_segmented": (user_value_ema_segmented_df,
                                  USER_VALUE_EMA_SEGMENTED_SQL),

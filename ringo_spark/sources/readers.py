@@ -67,6 +67,29 @@ def read_source(
     return cast_to_declared(df, table)
 
 
+def read_media_dir(spark: SparkSession, path: str,
+                   glob: str | None = None) -> DataFrame:
+    """Binary media ingest via Spark's built-in ``binaryFile`` source:
+    one row per file with (path, length, payload) — the on-ramp from
+    "a directory of images/audio" to the multimodal decode kernels
+    (``operators/multimodal.py``), which take any (id, payload) frame.
+
+    Scale notes: binaryFile assigns whole files to tasks (no splitting),
+    so a 100 TB media corpus reads embarrassingly parallel; the
+    small-file explosion is the real risk — set
+    ``spark.sql.files.maxPartitionBytes`` to batch many small files per
+    task, and prefer consolidating tiny media into container files
+    upstream.  ``glob`` maps to ``pathGlobFilter`` so non-media droppings
+    in the directory are pruned at listing time."""
+    from pyspark.sql import functions as F
+
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path).select(
+        "path", "length", F.col("content").alias("payload"))
+
+
 def load_mixed_catalog(spark: SparkSession, specs: dict[str, dict],
                        tables) -> dict[str, DataFrame]:
     """Build a catalog from per-table source specs:

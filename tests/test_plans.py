@@ -154,3 +154,22 @@ def test_lsh_indexed_query_prunes_partitions(spark):
     assert "PartitionFilters" in plan
     assert "bucket" in plan.split("PartitionFilters", 1)[1][:400]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tpch_join_query_plan_shapes(spark):
+    """The multi-join TPC-H shapes keep every dim join broadcast (no SMJ
+    at test scale), aggregate through exactly ONE hash shuffle, and q3's
+    top-k is TakeOrderedAndProject — never a global sort."""
+    from ringo_spark.operators.tpch import (
+        q3_shipping_priority_df, q5_local_supplier_volume_df,
+        q10_returned_items_df,
+    )
+
+    p3 = plan_of(spark, q3_shipping_priority_df(spark, SF), "simple")
+    assert "TakeOrderedAndProject" in p3 and "Sort " not in p3
+    for fn in (q3_shipping_priority_df, q5_local_supplier_volume_df,
+               q10_returned_items_df):
+        plan = plan_of(spark, fn(spark, SF), "simple")
+        assert "SortMergeJoin" not in plan, fn.__name__
+        assert plan.count("Exchange hashpartitioning") == 1, fn.__name__
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -64,3 +64,26 @@ def test_unsupported_format_rejected(spark):
         read_source(spark, EVENTS, "/nope", "avro")
     with pytest.raises(ValueError, match="jdbc_url"):
         read_source(spark, EVENTS, "events", "jdbc")
+
+
+def test_read_media_dir_binary_files_decode(spark, tmp_path):
+    """binaryFile ingest feeds the real multimodal decoders: PNG files on
+    disk read as (path, length, payload) rows whose pixel decode matches
+    the closed-form encoder."""
+    from ringo_spark.operators.multimodal import (
+        _png_dims, decode_png_pixels, encode_png,
+    )
+    from ringo_spark.sources.readers import read_media_dir
+
+    for doc_id in (3, 7, 11):
+        (tmp_path / f"img_{doc_id}.png").write_bytes(encode_png(doc_id))
+    (tmp_path / "notes.txt").write_text("not media")
+
+    media = read_media_dir(spark, str(tmp_path), glob="*.png")
+    rows = media.collect()
+    assert len(rows) == 3  # the .txt was pruned at listing time
+    for r in rows:
+        doc_id = int(r.path.rsplit("img_", 1)[1].removesuffix(".png"))
+        assert r.length == len(bytes(r.payload))
+        w, h, _px = decode_png_pixels(bytes(r.payload))
+        assert (w, h) == _png_dims(doc_id)

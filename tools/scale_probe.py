@@ -35,6 +35,13 @@ SALTS = ["aeiou", "eioua", "iouae", "ouaei", "uaeio",
          "aeiuo", "eioau", "iouea"]
 
 
+def _replicate(parts):
+    d = parts[0]
+    for p in parts[1:]:
+        d = d.unionByName(p)
+    return d
+
+
 def build(spark, k: int) -> str:
     out = os.path.join(SCRATCH, f"x{k}")
     if os.path.exists(os.path.join(out, "_OK")):
@@ -53,14 +60,38 @@ def build(spark, k: int) -> str:
         e_parts.append(
             emb.select((F.col("vec_id") + c * n_vecs).alias("vec_id"),
                        *[col for col in emb.columns if col != "vec_id"]))
-    d = d_parts[0]
-    for p in d_parts[1:]:
-        d = d.unionByName(p)
-    e = e_parts[0]
-    for p in e_parts[1:]:
-        e = e.unionByName(p)
-    d.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
-    e.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+    _replicate(d_parts).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet"))
+    _replicate(e_parts).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet"))
+
+    # TPC-H star for the join-heavy probes: replicate facts with remapped
+    # keys (copy c's orders/customers are a disjoint key range, so joins
+    # stay 1:1 per copy and output scales linearly); dims copy once.
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    cust = spark.read.parquet(f"{SRC}/customer.parquet")
+    n_ord = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    n_cust = cust.agg(F.max("c_custkey")).collect()[0][0] + 1
+    o_parts, l_parts, c_parts = [], [], []
+    for c in range(k):
+        o_parts.append(orders.select(
+            (F.col("o_orderkey") + c * n_ord).alias("o_orderkey"),
+            (F.col("o_custkey") + c * n_cust).alias("o_custkey"),
+            *[col for col in orders.columns
+              if col not in ("o_orderkey", "o_custkey")]))
+        l_parts.append(li.select(
+            (F.col("l_orderkey") + c * n_ord).alias("l_orderkey"),
+            *[col for col in li.columns if col != "l_orderkey"]))
+        c_parts.append(cust.select(
+            (F.col("c_custkey") + c * n_cust).alias("c_custkey"),
+            *[col for col in cust.columns if col != "c_custkey"]))
+    _replicate(o_parts).write.mode("overwrite").parquet(
+        os.path.join(out, "orders.parquet"))
+    _replicate(l_parts).write.mode("overwrite").parquet(
+        os.path.join(out, "lineitem.parquet"))
+    _replicate(c_parts).write.mode("overwrite").parquet(
+        os.path.join(out, "customer.parquet"))
     open(os.path.join(out, "_OK"), "w").close()
     return out
 
@@ -70,8 +101,10 @@ def main():
     from ringo_spark.operators.dedup import (
         dedup_minhash_lsh_df, dedup_winnowing_df,
     )
+    from ringo_spark.operators.relational import scd2_fact_incremental_df
     from ringo_spark.operators.similarity import ann_lsh_bucketed_df
     from ringo_spark.operators.text import text_quality_df
+    from ringo_spark.operators.tpch import q3_shipping_priority_df
     from ringo_spark.operators.training import seq_pack_df
 
     spark = get_spark("scale-probe")
@@ -80,7 +113,9 @@ def main():
            "dedup_winnowing": dedup_winnowing_df,
            "ann_lsh_bucketed": ann_lsh_bucketed_df,
            "text_quality": text_quality_df,
-           "seq_pack": seq_pack_df}
+           "seq_pack": seq_pack_df,
+           "scd2_fact_incremental": scd2_fact_incremental_df,
+           "q3_shipping_priority": q3_shipping_priority_df}
     # warmup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     rows = {}
