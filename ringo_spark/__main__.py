@@ -118,6 +118,17 @@ def main(argv=None) -> int:
     p.add_argument("--keep-versions", type=int, default=1,
                    help="manifest mode: how many published snapshots stay "
                         "readable (>1 enables read_table(version=N))")
+    p.add_argument("--bucket-sources", type=int, metavar="N", default=0,
+                   help="store both sides of every parent-fact FK join "
+                        "bucketed by the key into N buckets before "
+                        "populating (removes the pipeline's one "
+                        "fact-sized shuffle; the 100x-scale knob)")
+    p.add_argument("--publish-jdbc", metavar="URL",
+                   help="after populating, publish dims+facts to this "
+                        "JDBC URL (dims first; the reference's Postgres "
+                        "sink equivalent)")
+    p.add_argument("--jdbc-driver", help="JDBC driver class for "
+                                         "--publish-jdbc")
     args = p.parse_args(argv)
 
     tables, facts, defaults = parse_input(args.input)
@@ -145,12 +156,20 @@ def main(argv=None) -> int:
     eng = Engine(spark, env, args.storage, commit_mode=args.commit_mode,
                  keep_versions=args.keep_versions)
     eng.load_sources(args.data)
+    if args.bucket_sources:
+        bucketed = eng.bucketize_sources(num_buckets=args.bucket_sources)
+        if bucketed:
+            print(f"bucketed sources: {', '.join(bucketed)}")
     mode = PopulationMode(args.mode)
     upper = dt.datetime.fromisoformat(args.time_upper)
     lower = dt.datetime.fromisoformat(args.time_lower) if args.time_lower else None
     produced = eng.run(mode, upper, lower)
     eng.write_artifacts(args.output)
     print(f"populated: {', '.join(produced)}")
+    if args.publish_jdbc:
+        opts = {"driver": args.jdbc_driver} if args.jdbc_driver else {}
+        published = eng.publish_jdbc(args.publish_jdbc, options=opts)
+        print(f"published to jdbc: {', '.join(published)}")
     return 0
 
 

@@ -141,3 +141,24 @@ def test_cli_execute_manifest_mode(spark, input_yaml, tmp_path):
     fact = spark.read.parquet(os.path.join(
         wh, m["versions"]["1"][0]))
     assert fact.count() > 0
+
+
+def test_cli_publish_jdbc_and_bucket_flags(spark, input_yaml, tmp_path):
+    """--publish-jdbc pushes the populated tables to the JDBC URL after
+    the run; --bucket-sources is a no-op for FK-less schemas (events has
+    no parent fact) but must not break the run."""
+    out = str(tmp_path / "art")
+    url = f"jdbc:derby:{tmp_path}/clidb;create=true"
+    rc = main([input_yaml, out, "--execute",
+               "--data", "/root/testdata/sf0.001",
+               "--storage", str(tmp_path / "wh"),
+               "--time-upper", "2100-01-01",
+               "--bucket-sources", "4",
+               "--publish-jdbc", url,
+               "--jdbc-driver", "org.apache.derby.jdbc.EmbeddedDriver"])
+    assert rc == 0
+    back = (spark.read.format("jdbc").option("url", url)
+            .option("dbtable", "fact_events_by_minute")
+            .option("driver", "org.apache.derby.jdbc.EmbeddedDriver").load())
+    assert back.count() > 0
+    assert "event_count" in back.columns

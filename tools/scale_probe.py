@@ -109,6 +109,9 @@ def main():
 
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    # scratch from an interrupted earlier run may predate schema additions
+    # (the _OK sentinel would wrongly skip rebuilding) — clean first
+    shutil.rmtree(SCRATCH, ignore_errors=True)
     ops = {"dedup_minhash_lsh": dedup_minhash_lsh_df,
            "dedup_winnowing": dedup_winnowing_df,
            "ann_lsh_bucketed": ann_lsh_bucketed_df,
