@@ -48,6 +48,13 @@ HEADLINE = [
     "ann_ivf_indexed",
     "tfidf_bm25",
     "dedup_clusters",
+    # round-5 additions: the new join-heavy and multimodal surface
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "scd2_fact_incremental",
+    "multimodal_resize",
+    "multimodal_frames",
 ]
 
 RUNS_PER_QUERY = 2

@@ -448,3 +448,19 @@ def test_scd2_fact_incremental_nondegenerate(spark):
         spark.read.parquet(f"{SF}/orders.parquet"),
         li.l_orderkey == F.col("o_orderkey")).count()
     assert sum(r.n_items for r in rows) == total
+
+
+def test_nearest_resize_identity_and_downsample():
+    """Same-size resize is the identity (sx = x*w//w = x exactly); a 2x
+    downsample picks every other pixel."""
+    from ringo_spark.operators.multimodal import nearest_resize
+
+    w, h = 6, 4
+    px = bytes(range(w * h * 3))
+    assert nearest_resize(px, w, h, w, h) == px
+    half = nearest_resize(px, w, h, 3, 2)
+    for y in range(2):
+        for x in range(3):
+            src = ((y * 2) * w + x * 2) * 3
+            tgt = (y * 3 + x) * 3
+            assert half[tgt:tgt + 3] == px[src:src + 3]
