@@ -150,3 +150,39 @@ def test_streaming_pipeline_with_manifest_commits(spark, tmp_path):
         F.sum("event_count")).collect()[0][0] == n
     # no inflight leftovers: every append's watermark landed
     assert eng._inflight() == {}
+
+
+def test_streaming_pit_enrich_matches_batch(spark, tmp_path):
+    """Stream-static SCD2 enrichment: every streamed lineitem row gets the
+    customer status valid at SHIP time; the streamed output is row-equal
+    to the batch join, and rows predating the first interval carry the
+    UNKNOWN sentinel (row counts conserved)."""
+    from ringo_spark.operators.relational import scd2_dim_df
+    from ringo_spark.streaming.enrich import streaming_pit_enrich
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    facts = (li.join(orders.select("o_orderkey", "o_custkey"),
+                     li.l_orderkey == F.col("o_orderkey"))
+             .select("o_custkey", "l_orderkey", "l_linenumber",
+                     "l_shipdate", "l_quantity"))
+    hist = scd2_dim_df(spark, SF).withColumnRenamed("o_custkey", "custkey") \
+        .withColumnRenamed("status", "pit_status") \
+        .withColumnRenamed("custkey", "o_custkey")
+
+    src = str(tmp_path / "pit-src")
+    facts.write.parquet(src)
+    stream = spark.readStream.schema(facts.schema).parquet(src)
+    enriched = streaming_pit_enrich(stream, hist, key="o_custkey",
+                                    time_col="l_shipdate", attr="pit_status")
+    q = (enriched.writeStream.format("memory").queryName("pit")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("select * from pit").collect()}
+    want = {tuple(r) for r in streaming_pit_enrich(
+        facts, hist, key="o_custkey", time_col="l_shipdate",
+        attr="pit_status").collect()}
+    assert got == want
+    assert len(got) == facts.count()
+    statuses = {r[-1] for r in got}
+    assert "UNKNOWN" in statuses and statuses - {"UNKNOWN"}
