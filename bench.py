@@ -55,6 +55,7 @@ HEADLINE = [
     "scd2_fact_incremental",
     "multimodal_resize",
     "multimodal_frames",
+    "dedup_minhash_lsh_indexed",
 ]
 
 RUNS_PER_QUERY = 2

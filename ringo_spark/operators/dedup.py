@@ -185,6 +185,94 @@ def dedup_minhash_lsh_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --- persisted minhash band+shingle index ------------------------------------
+#
+# The shingle + 12-permutation signature pass is the CPU-heavy half of
+# minhash dedup, and it is a pure function of the corpus — so persist it
+# once and serve every dedup/cluster run from the index, exactly like the
+# IVF/LSH vector indexes in similarity.py.  At 100 TB the index is
+# appended per ingestion batch (dedup_minhash_incremental already probes
+# it that way); here the builder also demonstrates the layout: band rows
+# (doc_id, band_key) for candidate generation, shingle sets for exact
+# verification.
+
+import os as _os
+
+MINHASH_INDEX_ROOT = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    ".minhash_index")
+
+
+def build_minhash_index(spark: SparkSession, sf_dir: str,
+                        index_path: str | None = None,
+                        force: bool = False) -> str:
+    """Build (once) the persisted minhash index: band rows + shingle sets.
+    The cache tag folds in a stat fingerprint of the source parquet so a
+    regenerated corpus misses the cache (same policy as the ANN indexes)."""
+    import hashlib as _hashlib
+
+    from .similarity import _source_fingerprint
+
+    if index_path is None:
+        fp = _source_fingerprint(sf_dir, "documents.parquet")
+        tag = _hashlib.md5(
+            f"{_os.path.abspath(sf_dir)}|{NUM_PERM}|{BANDS}|{SHINGLE_N}|{fp}"
+            .encode()).hexdigest()[:10]
+        index_path = _os.path.join(MINHASH_INDEX_ROOT, f"p{NUM_PERM}b{BANDS}-{tag}")
+    marker = _os.path.join(index_path, "_INDEX_OK")
+    if not force and _os.path.exists(marker):
+        return index_path
+    rows_per_band = NUM_PERM // BANDS
+    shingled = _shingled(spark, sf_dir).persist()
+    sigs = (shingled
+            .withColumn("hs", shingle_hashes(F.col("sh")))
+            .select("doc_id",
+                    minhash_signature(F.col("hs"), NUM_PERM).alias("sig")))
+    band_key = F.concat_ws(
+        ":", F.col("b").cast("string"),
+        *[F.get("sig", F.col("b") * rows_per_band + i).cast("string")
+          for i in range(rows_per_band)])
+    bands = (sigs
+             .select("doc_id",
+                     F.explode(F.sequence(F.lit(0), F.lit(BANDS - 1))).alias("b"),
+                     "sig")
+             .select("doc_id", band_key.alias("band_key")))
+    bands.write.mode("overwrite").parquet(_os.path.join(index_path, "bands"))
+    shingled.write.mode("overwrite").parquet(
+        _os.path.join(index_path, "shingles"))
+    shingled.unpersist()
+    open(marker, "w").close()
+    return index_path
+
+
+def dedup_minhash_lsh_indexed_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical result to :func:`dedup_minhash_lsh_df`, served from the
+    persisted band+shingle index — the shingling/signature pass is paid
+    once at build time and amortized across every dedup, cluster, and
+    incremental-probe run (the steady-state shape of a production dedup
+    service).  Query-time work is only the band self-join over (doc_id,
+    band_key) rows and the broadcast verification joins."""
+    p = build_minhash_index(spark, sf_dir)
+    bands = spark.read.parquet(_os.path.join(p, "bands"))
+    shingled = spark.read.parquet(_os.path.join(p, "shingles"))
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = _ckpt(a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+                        & (F.col("a.doc_id") < F.col("b.doc_id")))
+                 .select(F.col("a.doc_id").alias("doc_a"),
+                         F.col("b.doc_id").alias("doc_b"))
+                 .dropDuplicates(["doc_a", "doc_b"]))
+    sh_a = shingled.select(F.col("doc_id").alias("doc_a"),
+                           F.col("sh").alias("sh_a"))
+    sh_b = shingled.select(F.col("doc_id").alias("doc_b"),
+                           F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
+            .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+            .where(F.col("jaccard") >= JACCARD_THRESHOLD))
+
+
 _SHINGLE_BASE_CTE = f"""
 base AS (
   SELECT doc_id, {sql_shingles('t', SHINGLE_N)} AS sh

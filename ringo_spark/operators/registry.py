@@ -8,7 +8,8 @@ from .dedup import (
     DEDUP_SIMHASH_SQL, DEDUP_WINNOWING_SQL, dedup_clusters_df,
     dedup_embedding_df, dedup_exact_df, dedup_incremental_df,
     dedup_minhash_incremental_df, dedup_minhash_lsh_df,
-    dedup_ngram_jaccard_df, dedup_simhash_df, dedup_winnowing_df,
+    dedup_minhash_lsh_indexed_df, dedup_ngram_jaccard_df, dedup_simhash_df,
+    dedup_winnowing_df,
 )
 from .multimodal import (
     MULTIMODAL_FEATURES_SQL, MULTIMODAL_FRAMES_SQL, MULTIMODAL_PIXELS_SQL,
@@ -122,6 +123,8 @@ DRIVER_WINDOW: list[str] = [
 # pytest-covered by design.  They made room to rotate the r04-displaced
 # cohort back in (those now accumulate r02+r03+r05 records).
 DISPLACED: list[str] = [
+    "dedup_minhash_lsh_indexed",  # new in r05: local-verified now, first
+                                  # driver row next rotation
     "scalar_subquery",
     "json_funcs",
     "date_funcs",
@@ -161,6 +164,10 @@ DISPLACED: list[str] = [
 OPERATOR_QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact_df, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh_df, DEDUP_MINHASH_LSH_SQL),
+    # same result served from the persisted band+shingle index (build
+    # amortized — the production steady-state shape; same oracle)
+    "dedup_minhash_lsh_indexed": (dedup_minhash_lsh_indexed_df,
+                                  DEDUP_MINHASH_LSH_SQL),
     "dedup_simhash": (dedup_simhash_df, DEDUP_SIMHASH_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard_df, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_embedding": (dedup_embedding_df, DEDUP_EMBEDDING_SQL),

@@ -264,13 +264,13 @@ IVF_INDEX_ROOT = os.path.join(
     ".ivf_index")
 
 
-def _source_fingerprint(sf_dir: str) -> str:
-    """Content fingerprint of the embeddings source (file sizes + mtimes),
+def _source_fingerprint(sf_dir: str, table: str = "embeddings.parquet") -> str:
+    """Content fingerprint of a source table (file sizes + mtimes),
     folded into the index cache tag: if the parquet at the same path is
     regenerated, the tag changes and a fresh index is built instead of
-    silently serving neighbors from the stale one (ADVICE r04).  Stat-based
+    silently serving from the stale one (ADVICE r04).  Stat-based
     (not a content hash) so it's O(#files), never O(bytes)."""
-    src = os.path.join(sf_dir, "embeddings.parquet")
+    src = os.path.join(sf_dir, table)
     parts = []
     if os.path.isdir(src):
         for root, _, files in os.walk(src):

@@ -464,3 +464,20 @@ def test_nearest_resize_identity_and_downsample():
             src = ((y * 2) * w + x * 2) * 3
             tgt = (y * 3 + x) * 3
             assert half[tgt:tgt + 3] == px[src:src + 3]
+
+
+def test_minhash_indexed_matches_live(spark):
+    """The persisted-index dedup serves the identical verified pairs as
+    the recompute path, and the index is reused across calls."""
+    import os
+
+    from ringo_spark.operators.dedup import (
+        build_minhash_index, dedup_minhash_lsh_indexed_df,
+    )
+
+    live = {tuple(r) for r in dedup_minhash_lsh_df(spark, SF).collect()}
+    idx = {tuple(r) for r in dedup_minhash_lsh_indexed_df(spark, SF).collect()}
+    assert idx == live and live
+    p1 = build_minhash_index(spark, SF)
+    p2 = build_minhash_index(spark, SF)
+    assert p1 == p2 and os.path.exists(os.path.join(p1, "_INDEX_OK"))

@@ -163,3 +163,73 @@ def test_segmented_ema_equals_monolithic_fold_on_random_data(spark, tmp_path):
         assert plain[uid][0] == seg[uid][0]
         assert math.isclose(plain[uid][1], seg[uid][1],
                             rel_tol=1e-9, abs_tol=1e-6), uid
+
+
+# --- multimodal codec round trips (pure functions, no Spark) -----------------
+
+
+@given(st.integers(1, 12), st.integers(1, 9), st.data())
+@settings(max_examples=40, deadline=None)
+def test_png_encode_decode_round_trip(w, h, data):
+    """encode_png_rgb -> decode_png_pixels is the identity for arbitrary
+    pixel buffers and dims (the decoder also handles filtered scanlines,
+    pinned by the closed-form multimodal_pixels oracle)."""
+    from ringo_spark.operators.multimodal import (
+        decode_png_pixels, encode_png_rgb,
+    )
+
+    px = bytes(data.draw(st.lists(st.integers(0, 255),
+                                  min_size=w * h * 3, max_size=w * h * 3)))
+    w2, h2, px2 = decode_png_pixels(encode_png_rgb(w, h, px))
+    assert (w2, h2, px2) == (w, h, px)
+
+
+@given(st.integers(1, 12), st.integers(1, 9), st.integers(1, 6),
+       st.integers(1, 6), st.data())
+@settings(max_examples=40, deadline=None)
+def test_nearest_resize_properties(w, h, rw, rh, data):
+    """Resize output has exactly rw*rh*3 bytes; every output pixel equals
+    its gathered source pixel; same-size resize is the identity."""
+    from ringo_spark.operators.multimodal import nearest_resize
+
+    px = bytes(data.draw(st.lists(st.integers(0, 255),
+                                  min_size=w * h * 3, max_size=w * h * 3)))
+    out = nearest_resize(px, w, h, rw, rh)
+    assert len(out) == rw * rh * 3
+    for y in range(rh):
+        for x in range(rw):
+            sk = ((y * h // rh) * w + (x * w // rw)) * 3
+            tk = (y * rw + x) * 3
+            assert out[tk:tk + 3] == px[sk:sk + 3]
+    assert nearest_resize(px, w, h, w, h) == px
+
+
+@given(st.integers(0, 500), st.integers(1, 5))
+@settings(max_examples=30, deadline=None)
+def test_video_container_sampling_round_trip(doc_id, every_n):
+    """The container walk finds exactly the 0, n, 2n... frames and each
+    sampled frame decodes to the closed-form pixels."""
+    from ringo_spark.operators.multimodal import (
+        _frame_pixel, _video_n_frames, encode_video, sample_video_frames,
+    )
+
+    frames = sample_video_frames(encode_video(doc_id), every_n)
+    n = _video_n_frames(doc_id)
+    assert [f for f, *_ in frames] == list(range(0, n, every_n))
+    for f, w, h, mean_px, p00 in frames:
+        assert p00 == _frame_pixel(doc_id, f, 0)
+        total = sum(_frame_pixel(doc_id, f, k) for k in range(w * h * 3))
+        assert mean_px == round(total / (w * h * 3), 6)
+
+
+@given(st.integers(0, 2000))
+@settings(max_examples=30, deadline=None)
+def test_wav_pcm_decode_round_trip(doc_id):
+    from ringo_spark.operators.multimodal import (
+        _wav_n_samples, _wav_sample, decode_wav_samples, encode_wav_pcm,
+    )
+
+    n, mean_amp, peak, s0 = decode_wav_samples(encode_wav_pcm(doc_id))
+    assert n == _wav_n_samples(doc_id)
+    assert s0 == _wav_sample(doc_id, 0)
+    assert peak == max(abs(_wav_sample(doc_id, i)) for i in range(n))
