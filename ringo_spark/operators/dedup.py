@@ -504,10 +504,18 @@ FROM verified WHERE round(jac, 6) >= {JACCARD_THRESHOLD}
 # --- near-dup clusters (connected components) -------------------------------
 
 
-def dedup_clusters_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_clusters_df(spark: SparkSession, sf_dir: str,
+                      pairs_df: DataFrame | None = None) -> DataFrame:
     """Resolve the verified near-dup pairs into clusters: every clustered
     doc labeled with the minimum doc_id of its connected component (the
     canonical representative a dedup pass would keep).
+
+    ``pairs_df`` (columns doc_a, doc_b) lets callers reuse an
+    already-computed pair set — e.g. the persisted-index path
+    (``dedup_minhash_lsh_indexed_df``) or pairs persisted by an earlier
+    pipeline stage, which is how a production run would chain dedup →
+    clustering without recomputing signatures.  Default recomputes via
+    the live LSH path (the registered oracle-checked shape).
 
     Implementation: iterative min-label propagation with pointer jumping
     over the (tiny relative to the corpus) pair graph — each round takes
@@ -517,7 +525,9 @@ def dedup_clusters_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound raises instead of returning unconverged labels.  The driver
     loop only checks a per-round convergence count; all data stays
     distributed.  Each round shuffles pair-graph edges, never the corpus."""
-    pairs = dedup_minhash_lsh_df(spark, sf_dir).select("doc_a", "doc_b")
+    if pairs_df is None:
+        pairs_df = dedup_minhash_lsh_df(spark, sf_dir)
+    pairs = pairs_df.select("doc_a", "doc_b")
     sym = (pairs.selectExpr("doc_a AS src", "doc_b AS dst")
            .union(pairs.selectExpr("doc_b AS src", "doc_a AS dst")))
     sym = sym.localCheckpoint(eager=True)          # reused every round

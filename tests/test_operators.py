@@ -481,3 +481,16 @@ def test_minhash_indexed_matches_live(spark):
     p1 = build_minhash_index(spark, SF)
     p2 = build_minhash_index(spark, SF)
     assert p1 == p2 and os.path.exists(os.path.join(p1, "_INDEX_OK"))
+
+
+def test_clusters_accept_precomputed_pairs(spark):
+    """dedup_clusters chains from persisted-index pairs without
+    recomputing signatures, with identical cluster output."""
+    from ringo_spark.operators.dedup import (
+        dedup_clusters_df, dedup_minhash_lsh_indexed_df,
+    )
+
+    live = {tuple(r) for r in dedup_clusters_df(spark, SF).collect()}
+    reused = {tuple(r) for r in dedup_clusters_df(
+        spark, SF, pairs_df=dedup_minhash_lsh_indexed_df(spark, SF)).collect()}
+    assert reused == live and live
