@@ -129,6 +129,11 @@ def main(argv=None) -> int:
                         "sink equivalent)")
     p.add_argument("--jdbc-driver", help="JDBC driver class for "
                                          "--publish-jdbc")
+    p.add_argument("--sql-dialect", default="spark",
+                   choices=["spark", "postgres"],
+                   help="dialect of the emitted DDL/DML artifacts: "
+                        "executable Spark SQL (default) or the "
+                        "reference's native Postgres output")
     args = p.parse_args(argv)
 
     tables, facts, defaults = parse_input(args.input)
@@ -143,8 +148,8 @@ def main(argv=None) -> int:
         # artifact generation is Spark-free (reference behavior)
         from .engine import write_artifacts
 
-        write_artifacts(env, args.output)
-        print(f"artifacts written to {args.output}")
+        write_artifacts(env, args.output, args.sql_dialect)
+        print(f"artifacts written to {args.output} ({args.sql_dialect} dialect)")
         return 0
 
     if not (args.data and args.storage and args.time_upper):
@@ -164,7 +169,7 @@ def main(argv=None) -> int:
     upper = dt.datetime.fromisoformat(args.time_upper)
     lower = dt.datetime.fromisoformat(args.time_lower) if args.time_lower else None
     produced = eng.run(mode, upper, lower)
-    eng.write_artifacts(args.output)
+    eng.write_artifacts(args.output, args.sql_dialect)
     print(f"populated: {', '.join(produced)}")
     if args.publish_jdbc:
         opts = {"driver": args.jdbc_driver} if args.jdbc_driver else {}

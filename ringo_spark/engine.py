@@ -612,11 +612,11 @@ class Engine:
 
     # --- artifacts (writeFiles parity, Main.hs:35-83) ----------------------
 
-    def write_artifacts(self, out_dir: str) -> None:
-        write_artifacts(self.env, out_dir)
+    def write_artifacts(self, out_dir: str, dialect: str = "spark") -> None:
+        write_artifacts(self.env, out_dir, dialect)
 
 
-def write_artifacts(env: Env, out_dir: str) -> None:
+def write_artifacts(env: Env, out_dir: str, dialect: str = "spark") -> None:
     """Emit the reference's orchestration artifacts (Main.hs:35-83):
     dependencies/dimensions/facts JSON + create/fullrefresh/increfresh SQL.
     Spark-free — artifact-only CLI runs need no session."""
@@ -651,14 +651,19 @@ def write_artifacts(env: Env, out_dir: str) -> None:
         for t in tabs:
             if env.find_table(t.name) is not None:
                 continue
-            write("create", t.name, sqlgen.dimension_table_defn_sql(env, t))
+            write("create", t.name,
+                  sqlgen.dimension_table_defn_sql(env, t, dialect))
             write("fullrefresh", t.name, sqlgen.dimension_table_populate_sql(
-                env, fact, t.name, PopulationMode.FULL))
+                env, fact, t.name, PopulationMode.FULL, dialect))
             write("increfresh", t.name, sqlgen.dimension_table_populate_sql(
-                env, fact, t.name, PopulationMode.INCREMENTAL))
+                env, fact, t.name, PopulationMode.INCREMENTAL, dialect))
     for fact, table in fact_tables:
-        write("create", table.name, sqlgen.fact_table_defn_sql(env, fact))
+        write("create", table.name,
+              sqlgen.fact_table_defn_sql(env, fact, dialect))
         write("fullrefresh", table.name,
-              sqlgen.fact_table_populate_sql(env, fact, PopulationMode.FULL))
+              sqlgen.fact_table_populate_sql(env, fact, PopulationMode.FULL,
+                                             dialect))
         write("increfresh", table.name,
-              sqlgen.fact_table_populate_sql(env, fact, PopulationMode.INCREMENTAL))
+              sqlgen.fact_table_populate_sql(env, fact,
+                                             PopulationMode.INCREMENTAL,
+                                             dialect))

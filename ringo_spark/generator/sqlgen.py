@@ -6,15 +6,25 @@ API functions (``src/Ringo.hs:2-16``):
 - ``dimension_table_populate_sql`` -> Generator/Populate/Dimension.hs:23-62
 - ``fact_table_populate_sql``      -> Generator/Populate/Fact.hs:127-238
 
-The emitted dialect is Spark SQL, executable via ``spark.sql(...)`` against
-temp views named after the source tables.  Two deliberate divergences from
-the reference's Postgres output, both documented in SURVEY.md §2.5/§4:
+The default emitted dialect is Spark SQL, executable via ``spark.sql(...)``
+against temp views named after the source tables.  Two deliberate
+divergences from the reference's Postgres output, both documented in
+SURVEY.md §2.5/§4:
 
 * dimension surrogate-key lookups are LEFT JOINs, not correlated scalar
   subqueries (strictly better distributed; identical semantics given the
-  dim unique key);
-* Postgres secondary indexes have no Spark equivalent — the DDL carries
-  the reference's index intent as PARTITIONED BY + comments instead.
+  dim unique key — and valid in both dialects);
+* Postgres secondary indexes have no Spark equivalent — the Spark DDL
+  carries the reference's index intent as PARTITIONED BY + comments.
+
+``dialect="postgres"`` emits the reference's native target dialect
+instead (``app/Main.hs:35-83`` runs its SQL inside Postgres): original
+declared column types, real table constraints, ``CREATE INDEX``
+statements for the time/tenant/FK index intent (Create.hs:87-98), ``?``
+placeholders for the time bounds (the reference's parameter markers),
+``NOT EXISTS`` for the incremental anti-join, and exact
+``count(DISTINCT ...)`` (Postgres has no built-in approximate variant;
+the ε contract is a Spark-side feature).
 """
 
 from __future__ import annotations
@@ -54,32 +64,67 @@ def _constraint_comment(c) -> str:
     return ""
 
 
-def dimension_table_defn_sql(env: Env, table: Table) -> str:
-    """CREATE TABLE for a dimension.  Spark has no indexes; dims are small
-    and broadcast at join time, so no partitioning either."""
-    cols = ",\n".join(
-        f"  {c.name} {_spark_type_sql(c.type)}"
+def _constraint_clause_pg(c) -> str:
+    """Real table-constraint clauses for the postgres dialect."""
+    if isinstance(c, PrimaryKey):
+        return f"  PRIMARY KEY ({c.column})"
+    if isinstance(c, UniqueKey):
+        return f"  UNIQUE ({', '.join(c.columns)})"
+    if isinstance(c, ForeignKey):
+        mine = ", ".join(a for a, _ in c.columns)
+        theirs = ", ".join(b for _, b in c.columns)
+        return f"  FOREIGN KEY ({mine}) REFERENCES {c.table} ({theirs})"
+    return ""
+
+
+def _cols_sql(table: Table, dialect: str) -> str:
+    typ = (lambda t: t) if dialect == "postgres" else _spark_type_sql
+    return ",\n".join(
+        f"  {c.name} {typ(c.type)}"
         + (" NOT NULL" if c.nullable == Nullable.NOT_NULL else "")
         for c in table.columns)
+
+
+def dimension_table_defn_sql(env: Env, table: Table,
+                             dialect: str = "spark") -> str:
+    """CREATE TABLE for a dimension.  Spark dialect: no indexes (dims are
+    small and broadcast at join time, no partitioning either).  Postgres
+    dialect: original declared types + real constraints
+    (Generator/Create.hs:58-69)."""
+    cols = _cols_sql(table, dialect)
+    if dialect == "postgres":
+        clauses = [cl for cl in map(_constraint_clause_pg, table.constraints)
+                   if cl]
+        body = ",\n".join([cols] + clauses)
+        return f"CREATE TABLE {table.name} (\n{body}\n);\n"
     comments = "\n".join(_constraint_comment(c) for c in table.constraints)
     return (f"CREATE TABLE {table.name} (\n{cols}\n) USING PARQUET;\n"
             + comments + "\n")
 
 
-def fact_table_defn_sql(env: Env, fact: Fact) -> str:
-    """CREATE TABLE for the extracted fact table.  The reference's
-    time/tenant/FK secondary indexes (Create.hs:87-98) map to PARTITIONED BY
-    on the time-bucket column (partition pruning serves the time index;
-    Parquet min/max stats serve the rest)."""
+def fact_table_defn_sql(env: Env, fact: Fact, dialect: str = "spark") -> str:
+    """CREATE TABLE for the extracted fact table.  Spark dialect: the
+    reference's time/tenant/FK secondary indexes (Create.hs:87-98) map to
+    PARTITIONED BY on the time-bucket column (partition pruning serves the
+    time index; Parquet min/max stats serve the rest).  Postgres dialect:
+    the same index intent as real CREATE INDEX statements."""
     s = env.settings
     table = extract_fact_table(env, fact)
     time_cols = [time_unit_column_name(s.dim_table_id_column_name,
                                        fc.target_column, s.time_unit)
                  for fc in fact.columns if isinstance(fc.type, DimTime)]
-    cols = ",\n".join(
-        f"  {c.name} {_spark_type_sql(c.type)}"
-        + (" NOT NULL" if c.nullable == Nullable.NOT_NULL else "")
-        for c in table.columns)
+    cols = _cols_sql(table, dialect)
+    if dialect == "postgres":
+        idx_cols = list(time_cols)
+        idx_cols += [fc.target_column for fc in fact.columns
+                     if isinstance(fc.type, TenantId)]
+        idx_cols += [c.name for c in table.columns
+                     if c.name.endswith(s.dim_table_id_column_name)
+                     and c.name not in idx_cols]
+        indexes = "".join(
+            f"CREATE INDEX {table.name}_{c}_idx ON {table.name} ({c});\n"
+            for c in idx_cols)
+        return f"CREATE TABLE {table.name} (\n{cols}\n);\n{indexes}"
     comments = "\n".join(_constraint_comment(c) for c in table.constraints)
     # buckets-per-day depends on the time grain; at week grain the bucket is
     # already coarser than a day, so partition by the column itself (div 1)
@@ -101,13 +146,17 @@ def _coalesce_sql(env: Env, table: Table, col_name: str, qualifier: str = "") ->
 
 
 def dimension_table_populate_sql(env: Env, fact: Fact, dim_table_name: str,
-                                 mode: PopulationMode = PopulationMode.FULL) -> str:
+                                 mode: PopulationMode = PopulationMode.FULL,
+                                 dialect: str = "spark") -> str:
     """INSERT INTO dim SELECT DISTINCT ... (golden shape src/Ringo.hs:349-470).
 
-    Time bounds appear as named parameters ``:time_upper`` / ``:time_lower``
-    (Spark SQL named parameter markers), mirroring the reference's ``?``
-    placeholders."""
+    Spark dialect: time bounds appear as named parameters ``:time_upper``
+    / ``:time_lower`` (Spark SQL named parameter markers) and the
+    incremental anti-join is LEFT ANTI JOIN.  Postgres dialect: ``?``
+    placeholders (the reference's markers, Populate/Dimension.hs:23-62)
+    and NOT EXISTS."""
     s = env.settings
+    pg = dialect == "postgres"
     src = env.find_table(fact.table_name)
     mapping = dim_column_mapping(s.dim_prefix, fact, dim_table_name)
     sel = ",\n       ".join(
@@ -115,10 +164,11 @@ def dimension_table_populate_sql(env: Env, fact: Fact, dim_table_name: str,
     any_not_null = " OR ".join(f"{srcc} IS NOT NULL" for _, srcc in mapping)
     from ..populate.common import time_column_name
 
+    upper, lower = ("?", "?") if pg else (":time_upper", ":time_lower")
     tcol = time_column_name(fact)
-    where = f"({any_not_null})\n  AND {tcol} < :time_upper"
+    where = f"({any_not_null})\n  AND {tcol} < {upper}"
     if mode == PopulationMode.INCREMENTAL:
-        where += f"\n  AND {tcol} >= :time_lower"
+        where += f"\n  AND {tcol} >= {lower}"
     inner = (f"SELECT DISTINCT\n       {sel}\nFROM {fact.table_name}\n"
              f"WHERE {where}")
     target = _suffix_table_name(mode, s.table_name_suffix_template, dim_table_name)
@@ -126,6 +176,12 @@ def dimension_table_populate_sql(env: Env, fact: Fact, dim_table_name: str,
     if mode == PopulationMode.FULL:
         return f"INSERT INTO {target} ({dim_cols})\n{inner};\n"
     # incremental: insert only new natural keys (anti-join)
+    if pg:
+        on = " AND ".join(f"{dim_table_name}.{c} = x.{c}" for c, _ in mapping)
+        return (f"INSERT INTO {target} ({dim_cols})\n"
+                f"SELECT x.* FROM (\n{inner}\n) x\n"
+                f"WHERE NOT EXISTS (SELECT 1 FROM {dim_table_name} "
+                f"WHERE {on});\n")
     on = " AND ".join(f"{dim_table_name}.{c} = x.{c}" for c, _ in mapping)
     return (f"INSERT INTO {target} ({dim_cols})\n"
             f"SELECT x.* FROM (\n{inner}\n) x\n"
@@ -133,10 +189,16 @@ def dimension_table_populate_sql(env: Env, fact: Fact, dim_table_name: str,
 
 
 def fact_table_populate_sql(env: Env, fact: Fact,
-                            mode: PopulationMode = PopulationMode.FULL) -> str:
+                            mode: PopulationMode = PopulationMode.FULL,
+                            dialect: str = "spark") -> str:
     """INSERT INTO fact_... SELECT ... GROUP BY (golden shape
-    src/Ringo.hs:477-618), with dim lookups as broadcast LEFT JOINs."""
+    src/Ringo.hs:477-618), with dim lookups as broadcast LEFT JOINs (a
+    valid-in-both-dialects divergence from the reference's scalar
+    subqueries, SURVEY §2.5).  Postgres dialect: ``extract(epoch ...)``
+    time bucketing, exact ``count(DISTINCT ...)``, ``?`` placeholders,
+    no broadcast hint."""
     s = env.settings
+    pg = dialect == "postgres"
     all_dims = extract_all_dimension_tables(env, fact)
     f_name = fact.table_name
     f_table = env.find_table(f_name)
@@ -154,7 +216,9 @@ def fact_table_populate_sql(env: Env, fact: Fact,
         cname, t = fc.target_column, fc.type
         if isinstance(t, DimTime):
             out = time_unit_column_name(s.dim_table_id_column_name, cname, s.time_unit)
-            add_key(out, f"CAST(FLOOR(unix_timestamp({f_name}.{cname}) / "
+            epoch = (f"extract(epoch FROM {f_name}.{cname})" if pg
+                     else f"unix_timestamp({f_name}.{cname})")
+            add_key(out, f"CAST(FLOOR({epoch} / "
                          f"{s.time_unit.seconds}) AS BIGINT)")
         elif isinstance(t, (NoDimId, TenantId)):
             add_key(cname, _coalesce_sql(env, f_table, cname, f_name))
@@ -169,6 +233,7 @@ def fact_table_populate_sql(env: Env, fact: Fact,
                     f"FactCountDistinct {fact.name}.{cname} has no source "
                     f"column and table {f_name} has no primary key")
             select_items.append(
+                f"count(DISTINCT {f_name}.{src_name}) AS {cname}" if pg else
                 f"approx_count_distinct({f_name}.{src_name}, "
                 f"{s.fact_count_distinct_error_rate}) AS {cname}")
         elif isinstance(t, FactSum):
@@ -224,9 +289,10 @@ def fact_table_populate_sql(env: Env, fact: Fact,
     from ..populate.common import time_column_name
 
     tcol = f"{f_name}.{time_column_name(fact)}"
-    where = f"{tcol} < :time_upper"
+    upper, lower = ("?", "?") if pg else (":time_upper", ":time_lower")
+    where = f"{tcol} < {upper}"
     if mode == PopulationMode.INCREMENTAL:
-        where += f"\n  AND {tcol} >= :time_lower"
+        where += f"\n  AND {tcol} >= {lower}"
 
     target_fact = _suffix_table_name(
         mode, s.table_name_suffix_template,
@@ -234,7 +300,7 @@ def fact_table_populate_sql(env: Env, fact: Fact,
     derived = extract_fact_table(env, fact)
     out_cols = ", ".join(c.name for c in derived.columns)
     hint = (f"/*+ BROADCAST({', '.join(broadcast_aliases)}) */\n       "
-            if broadcast_aliases else "")
+            if broadcast_aliases and not pg else "")
     sel = ",\n       ".join(select_items)
     jtext = ("\n" + "\n".join(joins)) if joins else ""
     gb = ",\n         ".join(group_by)

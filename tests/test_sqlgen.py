@@ -91,3 +91,69 @@ def test_fact_defn_partition_divisor_follows_grain():
         sql = fact_table_defn_sql(env_u, env_u.facts[0])
         col = f"created_at_{unit.unit_name}_id"
         assert f"FLOOR({col} / {div})" in sql, (unit, sql)
+
+
+def test_postgres_dialect_artifacts_execute_in_duckdb(spark):
+    """dialect='postgres' emits the reference's native target dialect
+    (app/Main.hs runs its SQL inside Postgres): original pg types, real
+    constraints, CREATE INDEX statements, ? placeholders, NOT EXISTS
+    anti-join.  Proof: the emitted DDL+DML EXECUTES in DuckDB (pg-compatible
+    parser) and produces the same rows as the Spark executors."""
+    import duckdb
+
+    from ringo_spark.extractor import extract_dimension_tables
+
+    # serial needs a sequence default; use integer ids for the executable
+    # smoke (the dialect shape, not the id generator, is under test)
+    env = make_env([SRC], [FACT],
+                   Settings(time_unit=TimeUnit.HOUR,
+                            table_name_suffix_template="",
+                            dim_table_id_column_type="integer"),
+                   DEFAULTS)
+    dim = extract_dimension_tables(env, FACT)[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE clicks (id BIGINT NOT NULL, at TIMESTAMP, "
+                "site INTEGER, browser_name VARCHAR(20), "
+                "browser_version VARCHAR(20), clicks INTEGER)")
+    cat = mk_catalog(spark)
+    con.executemany("INSERT INTO clicks VALUES (?, ?, ?, ?, ?, ?)",
+                    [tuple(r) for r in cat["clicks"].collect()])
+
+    ddl = dimension_table_defn_sql(env, dim, dialect="postgres")
+    assert "character varying(20) NOT NULL" in ddl and "USING PARQUET" not in ddl
+    assert "UNIQUE (name, version)" in ddl
+    con.execute(ddl)
+
+    dim_full = dimension_table_populate_sql(env, FACT, "dim_browser",
+                                            PopulationMode.FULL,
+                                            dialect="postgres")
+    assert "?" in dim_full and ":time_upper" not in dim_full
+    got = set(con.execute(_select_of(dim_full), [T_HI]).fetchall())
+    dim_exec = dimension_population_df(env, FACT, "dim_browser", cat,
+                                       time_upper=T_HI)
+    want = {(r.name, r.version) for r in dim_exec.collect()}
+    assert got == want
+
+    dim_incr = dimension_table_populate_sql(env, FACT, "dim_browser",
+                                            PopulationMode.INCREMENTAL,
+                                            dialect="postgres")
+    assert "NOT EXISTS" in dim_incr and "LEFT ANTI JOIN" not in dim_incr
+
+    fddl = fact_table_defn_sql(env, FACT, dialect="postgres")
+    assert "CREATE INDEX" in fddl and "PARTITIONED BY" not in fddl
+    con.execute(fddl)
+    con.executemany("INSERT INTO dim_browser VALUES (?, ?, ?)",
+                    [tuple(r) for r in dim_exec.collect()])
+
+    fact_full = fact_table_populate_sql(env, FACT, PopulationMode.FULL,
+                                        dialect="postgres")
+    assert "extract(epoch FROM" in fact_full and "BROADCAST" not in fact_full
+    con.execute(fact_full, [T_HI])
+    fact_exec = fact_population_df(env, FACT, cat,
+                                   dims={"dim_browser": dim_exec},
+                                   time_upper=T_HI)
+    cols = ", ".join(fact_exec.columns)
+    got = set(con.execute(
+        f"SELECT {cols} FROM fact_clicks_by_hour").fetchall())
+    want = {tuple(r) for r in fact_exec.collect()}
+    assert got == want
