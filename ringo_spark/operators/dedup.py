@@ -74,7 +74,8 @@ def _assert_small_scale(df: DataFrame, op: str, scale_path: str) -> DataFrame:
     return df
 
 
-def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingled(spark: SparkSession, sf_dir: str,
+              docs: DataFrame | None = None) -> DataFrame:
     # The testdata ships one parquet file per table -> one input split; the
     # shingling expressions are interpreted (higher-order) and CPU-bound,
     # so spread rows across cores first.  At real scale the source has
@@ -85,11 +86,29 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and CollapseProject won't inline a non-cheap split() used thrice —
     # inline, the split ran 3x per row (measured 3.6s -> 2.8s at sf0.1).
     par = spark.sparkContext.defaultParallelism
-    return (_docs(spark, sf_dir)
+    if docs is None:
+        docs = _docs(spark, sf_dir)
+    return (docs
             .repartition(par)
             .select("doc_id", tokens(F.col("text")).alias("__toks"))
             .select("doc_id", shingles(F.col("__toks"), SHINGLE_N).alias("sh"))
             .where(F.size("sh") > 0))
+
+
+def _band_rows(sigs: DataFrame) -> DataFrame:
+    """(doc_id, sig) -> (doc_id, band_key) rows: one row per (doc, band),
+    band key = band index ':'-joined with that band's signature slice.
+    Only these two narrow columns ever enter the LSH shuffle."""
+    rows_per_band = NUM_PERM // BANDS
+    band_key = F.concat_ws(
+        ":", F.col("b").cast("string"),
+        *[F.get("sig", F.col("b") * rows_per_band + i).cast("string")
+          for i in range(rows_per_band)])
+    return (sigs
+            .select("doc_id",
+                    F.explode(F.sequence(F.lit(0), F.lit(BANDS - 1))).alias("b"),
+                    "sig")
+            .select("doc_id", band_key.alias("band_key")))
 
 
 # --- exact ------------------------------------------------------------------
@@ -126,7 +145,6 @@ def dedup_minhash_lsh_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard verification joins the pair list back to the shingle table —
     the same layout as the DuckDB oracle below.
     """
-    rows_per_band = NUM_PERM // BANDS
     # Cache the shingle table once (shingling is the CPU-heavy step and is
     # read by signature generation AND both verification joins) and the
     # 12-int signatures (read by both sides of the LSH self-join).  Both
@@ -142,15 +160,7 @@ def dedup_minhash_lsh_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                     minhash_signature(F.col("hs"), NUM_PERM).alias("sig"))
             .persist())
 
-    band_key = F.concat_ws(
-        ":", F.col("b").cast("string"),
-        *[F.get("sig", F.col("b") * rows_per_band + i).cast("string")
-          for i in range(rows_per_band)])
-    bands = (sigs
-             .select("doc_id",
-                     F.explode(F.sequence(F.lit(0), F.lit(BANDS - 1))).alias("b"),
-                     "sig")
-             .select("doc_id", band_key.alias("band_key")))
+    bands = _band_rows(sigs)
 
     a, b = bands.alias("a"), bands.alias("b")
     cand = (a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
@@ -222,21 +232,12 @@ def build_minhash_index(spark: SparkSession, sf_dir: str,
     marker = _os.path.join(index_path, "_INDEX_OK")
     if not force and _os.path.exists(marker):
         return index_path
-    rows_per_band = NUM_PERM // BANDS
     shingled = _shingled(spark, sf_dir).persist()
     sigs = (shingled
             .withColumn("hs", shingle_hashes(F.col("sh")))
             .select("doc_id",
                     minhash_signature(F.col("hs"), NUM_PERM).alias("sig")))
-    band_key = F.concat_ws(
-        ":", F.col("b").cast("string"),
-        *[F.get("sig", F.col("b") * rows_per_band + i).cast("string")
-          for i in range(rows_per_band)])
-    bands = (sigs
-             .select("doc_id",
-                     F.explode(F.sequence(F.lit(0), F.lit(BANDS - 1))).alias("b"),
-                     "sig")
-             .select("doc_id", band_key.alias("band_key")))
+    bands = _band_rows(sigs)
     bands.write.mode("overwrite").parquet(_os.path.join(index_path, "bands"))
     shingled.write.mode("overwrite").parquet(
         _os.path.join(index_path, "shingles"))
@@ -307,6 +308,140 @@ FROM verified WHERE round(jac, 6) >= {JACCARD_THRESHOLD}
 
 # NB: the Spark band key uses separator ':' between b and each signature
 # value — the SQL above concatenates identically (b:sig1:sig2).
+
+
+# --- scale-hardened capped LSH ------------------------------------------------
+#
+# The plain banded layout has one quadratic hole at web scale: a band
+# bucket of size k yields C(k,2) candidate pairs, and mass-duplicated
+# corpora (boilerplate pages, license texts, mirrored articles — the
+# NORMAL case in crawled training data) make some buckets enormous.  Two
+# composed guards close it:
+#
+#   1. EXACT-COLLAPSE FIRST: byte-identical texts are collapsed to one
+#      representative (min doc_id) before shingling — a 10M-copy license
+#      page contributes ONE band row per band instead of 10M, and its
+#      duplicates are fully recoverable from dedup_exact's
+#      (text_hash -> rep, count) table.  The collapse shuffles only
+#      (md5, doc_id) pairs, never text.
+#   2. BAND-BUCKET CAP: after collapsing, any band bucket still larger
+#      than BAND_BUCKET_CAP is dropped from candidate generation.  Such a
+#      bucket means > CAP *distinct* texts agreeing on a full band of
+#      minhashes — overwhelmingly near-dup cliques, where the clique is
+#      already discoverable through its other (smaller) band buckets and
+#      transitively through dedup_clusters.  Recall trade-off: a pair
+#      whose EVERY shared band lands in a >CAP bucket is missed; with 6
+#      bands this requires the pair to sit inside a >CAP-clique in all
+#      its colliding bands, so the loss is confined to giant
+#      near-identical families whose members are interchangeable anyway.
+#      In exchange, worst-case candidate volume per bucket is bounded by
+#      C(CAP, 2) — candidate generation is O(corpus), never O(corpus²).
+
+BAND_BUCKET_CAP = 32
+
+
+def _rep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with byte-identical texts collapsed to the min-doc_id
+    representative.  Only (md5, doc_id) pairs shuffle; the text column
+    rides the (doc_id-keyed) semi-join without entering the groupBy."""
+    docs = _docs(spark, sf_dir)
+    reps = (docs.groupBy(F.md5("text").alias("h"))
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id"))
+    return docs.join(reps, "doc_id", "left_semi")
+
+
+def _capped_bands(bands: DataFrame) -> DataFrame:
+    """Drop band buckets larger than BAND_BUCKET_CAP.  The window count
+    partitions on band_key — the same key the LSH self-join shuffles on,
+    so AQE coalesces the two into one exchange."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_key")
+    return (bands.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .where(F.col("__bsz") <= BAND_BUCKET_CAP)
+            .drop("__bsz"))
+
+
+def dedup_minhash_lsh_capped_df(spark: SparkSession, sf_dir: str,
+                                return_candidates: bool = False) -> DataFrame:
+    """Near-dup pairs like :func:`dedup_minhash_lsh_df`, hardened for
+    mass-duplicated corpora: exact-collapse first, then band buckets
+    capped at BAND_BUCKET_CAP (see module comment above for the recall
+    trade-off).  Pairs are between representatives; exact duplicates are
+    recovered via dedup_exact's (text_hash -> rep_doc_id) table.
+
+    ``return_candidates`` short-circuits after candidate generation
+    (columns doc_a, doc_b) — used by the scale test to assert the
+    candidate set cannot go quadratic."""
+    shingled = _shingled(spark, sf_dir, docs=_rep_docs(spark, sf_dir)).persist()
+    sigs = (shingled
+            .withColumn("hs", shingle_hashes(F.col("sh")))
+            .select("doc_id",
+                    minhash_signature(F.col("hs"), NUM_PERM).alias("sig"))
+            .persist())
+    bands = _capped_bands(_band_rows(sigs))
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .dropDuplicates(["doc_a", "doc_b"]))
+    cand = _ckpt(cand)
+    sigs.unpersist()
+    if return_candidates:
+        shingled.unpersist()
+        return cand
+
+    sh_a = shingled.select(F.col("doc_id").alias("doc_a"),
+                           F.col("sh").alias("sh_a"))
+    sh_b = shingled.select(F.col("doc_id").alias("doc_b"),
+                           F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    out = _ckpt(cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
+                .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+                .where(F.col("jaccard") >= JACCARD_THRESHOLD))
+    shingled.unpersist()
+    return out
+
+
+_REP_SHINGLE_BASE_CTE = f"""
+reps AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+base AS (
+  SELECT d.doc_id, {sql_shingles('t', SHINGLE_N)} AS sh
+  FROM (SELECT doc_id, {sql_tokens('text')} AS t
+        FROM documents WHERE doc_id IN (SELECT doc_id FROM reps)) d
+  WHERE len(t) >= {SHINGLE_N})
+"""
+
+DEDUP_MINHASH_LSH_CAPPED_SQL = f"""
+WITH {_REP_SHINGLE_BASE_CTE},
+sigs AS (
+  SELECT doc_id, sh, {sql_minhash_signature('sh', NUM_PERM)} AS sig FROM base),
+bands AS (
+  SELECT doc_id, sh,
+         b::VARCHAR || ':' || sig[2*b + 1]::VARCHAR || ':' || sig[2*b + 2]::VARCHAR
+           AS band_key
+  FROM sigs, generate_series(0, {BANDS - 1}) g(b)
+  QUALIFY count(*) OVER (PARTITION BY band_key) <= {BAND_BUCKET_CAP}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+verified AS (
+  SELECT doc_a, doc_b,
+         len(list_filter(x.sh, e -> list_contains(y.sh, e)))
+           * 1.0 / (len(x.sh) + len(y.sh)
+                    - len(list_filter(x.sh, e -> list_contains(y.sh, e)))) AS jac
+  FROM cand
+  JOIN base x ON x.doc_id = cand.doc_a
+  JOIN base y ON y.doc_id = cand.doc_b)
+SELECT doc_a, doc_b, round(jac, 6) AS jaccard
+FROM verified WHERE round(jac, 6) >= {JACCARD_THRESHOLD}
+"""
 
 
 # --- simhash ----------------------------------------------------------------
@@ -439,21 +574,12 @@ def dedup_minhash_incremental_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the candidate pair list are BROADCAST — the corpus-side band scan
     and the shingle verification are both map-only: nothing corpus-sized
     ever shuffles at query time."""
-    rows_per_band = NUM_PERM // BANDS
     shingled = _shingled(spark, sf_dir).persist()
     sigs = (shingled
             .withColumn("hs", shingle_hashes(F.col("sh")))
             .select("doc_id",
                     minhash_signature(F.col("hs"), NUM_PERM).alias("sig")))
-    band_key = F.concat_ws(
-        ":", F.col("b").cast("string"),
-        *[F.get("sig", F.col("b") * rows_per_band + i).cast("string")
-          for i in range(rows_per_band)])
-    bands = (sigs
-             .select("doc_id",
-                     F.explode(F.sequence(F.lit(0), F.lit(BANDS - 1))).alias("b"),
-                     "sig")
-             .select("doc_id", band_key.alias("band_key")))
+    bands = _band_rows(sigs)
     corpus = bands.where(F.col("doc_id") < INGESTED_BELOW) \
                   .withColumnRenamed("doc_id", "doc_seen")
     batch = bands.where(F.col("doc_id") >= INGESTED_BELOW) \
@@ -639,7 +765,6 @@ def dedup_winnowing_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the same one dedup_minhash_lsh uses — (doc_id, band_key) rows
     only, linear at 8x — and verification joins the tiny candidate list
     back to the fingerprint table for exact Jaccard."""
-    rows_per_band = NUM_PERM // BANDS
     docs = _docs(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism)
     n_grams = F.length("text") - WINNOW_K + 1
@@ -657,15 +782,7 @@ def dedup_winnowing_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sigs = fps.select(
         "doc_id", minhash_signature(F.col("fp"), NUM_PERM).alias("sig"))
-    band_key = F.concat_ws(
-        ":", F.col("b").cast("string"),
-        *[F.get("sig", F.col("b") * rows_per_band + i).cast("string")
-          for i in range(rows_per_band)])
-    bands = (sigs
-             .select("doc_id",
-                     F.explode(F.sequence(F.lit(0), F.lit(BANDS - 1))).alias("b"),
-                     "sig")
-             .select("doc_id", band_key.alias("band_key")))
+    bands = _band_rows(sigs)
     a, b = bands.alias("a"), bands.alias("b")
     cand = _ckpt(a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
                         & (F.col("a.doc_id") < F.col("b.doc_id")))

@@ -4,12 +4,12 @@
 from .dedup import (
     DEDUP_CLUSTERS_SQL, DEDUP_EMBEDDING_SQL, DEDUP_EXACT_SQL,
     DEDUP_INCREMENTAL_SQL, DEDUP_MINHASH_INCREMENTAL_SQL,
-    DEDUP_MINHASH_LSH_SQL, DEDUP_NGRAM_JACCARD_SQL,
-    DEDUP_SIMHASH_SQL, DEDUP_WINNOWING_SQL, dedup_clusters_df,
-    dedup_embedding_df, dedup_exact_df, dedup_incremental_df,
-    dedup_minhash_incremental_df, dedup_minhash_lsh_df,
-    dedup_minhash_lsh_indexed_df, dedup_ngram_jaccard_df, dedup_simhash_df,
-    dedup_winnowing_df,
+    DEDUP_MINHASH_LSH_CAPPED_SQL, DEDUP_MINHASH_LSH_SQL,
+    DEDUP_NGRAM_JACCARD_SQL, DEDUP_SIMHASH_SQL, DEDUP_WINNOWING_SQL,
+    dedup_clusters_df, dedup_embedding_df, dedup_exact_df,
+    dedup_incremental_df, dedup_minhash_incremental_df, dedup_minhash_lsh_df,
+    dedup_minhash_lsh_capped_df, dedup_minhash_lsh_indexed_df,
+    dedup_ngram_jaccard_df, dedup_simhash_df, dedup_winnowing_df,
 )
 from .multimodal import (
     MULTIMODAL_FEATURES_SQL, MULTIMODAL_FRAMES_SQL, MULTIMODAL_PIXELS_SQL,
@@ -123,6 +123,7 @@ DRIVER_WINDOW: list[str] = [
 # pytest-covered by design.  They made room to rotate the r04-displaced
 # cohort back in (those now accumulate r02+r03+r05 records).
 DISPLACED: list[str] = [
+    "dedup_minhash_lsh_capped",   # new in r06 (window rotation pending)
     "dedup_minhash_lsh_indexed",  # new in r05: local-verified now, first
                                   # driver row next rotation
     "scalar_subquery",
@@ -168,6 +169,11 @@ OPERATOR_QUERIES: dict[str, tuple] = {
     # amortized — the production steady-state shape; same oracle)
     "dedup_minhash_lsh_indexed": (dedup_minhash_lsh_indexed_df,
                                   DEDUP_MINHASH_LSH_SQL),
+    # scale-hardened production shape: exact-collapse first + band-bucket
+    # cap — candidate generation bounded at C(cap,2) per bucket even on
+    # mass-duplicated corpora (oracle encodes the identical cap)
+    "dedup_minhash_lsh_capped": (dedup_minhash_lsh_capped_df,
+                                 DEDUP_MINHASH_LSH_CAPPED_SQL),
     "dedup_simhash": (dedup_simhash_df, DEDUP_SIMHASH_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard_df, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_embedding": (dedup_embedding_df, DEDUP_EMBEDDING_SQL),

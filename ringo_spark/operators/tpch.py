@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.broadcast_gate import broadcast_if_small
+
 
 def q1_pricing_summary_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -194,12 +196,21 @@ SELECT user_id, n_events, round(raw, 6) AS ema FROM folded
 #
 # The three classic join-heavy TPC-H shapes, adapted to the testdata
 # schema.  These are the queries whose PLANS matter most at 100 TB: the
-# dims (customer/supplier/nation/region) broadcast, the one fact-sized
-# join (orders ⋈ lineitem) is the single shuffle, aggregation is
-# partial+final, and top-k is TakeOrderedAndProject (never a global
-# sort).  All revenue arithmetic follows the q1/q6 decimal discipline so
-# the DuckDB oracle hash-matches exactly; top-k orderings carry a unique
-# tie-break key so LIMIT is deterministic across engines.
+# small sides broadcast, the one fact-sized join (orders ⋈ lineitem) is
+# the single shuffle, aggregation is partial+final, and top-k is
+# TakeOrderedAndProject (never a global sort).  All revenue arithmetic
+# follows the q1/q6 decimal discipline so the DuckDB oracle hash-matches
+# exactly; top-k orderings carry a unique tie-break key so LIMIT is
+# deterministic across engines.
+#
+# Broadcast discipline: nation/region are constant-sized (25/5 rows at
+# every SF) and may always broadcast, but customer and supplier GROW
+# with scale factor — a forced F.broadcast on them OOMs at sf100+.  All
+# hints below go through broadcast_if_small: under the size gate the
+# hint applies (sf0.1's latency win), above it the join is unhinted and
+# Catalyst/AQE degrade gracefully to a shuffle join (or convert back to
+# broadcast at runtime if the FILTERED side turns out small).  Plan test:
+# tests/test_plans.py::test_tpch_broadcast_gate_degrades.
 
 
 def _revenue_cols():
@@ -215,8 +226,10 @@ _REV_SQL = ("CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
 
 def q3_shipping_priority_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3 shape: revenue of not-yet-shipped orders for one market segment,
-    top 10.  customer broadcasts into orders, the orders⋈lineitem join is
-    the one shuffle, top-k is TakeOrderedAndProject."""
+    top 10.  The filtered customer side broadcasts only while it is
+    actually small (size-gated — customer scales with SF); the
+    orders⋈lineitem join is the one shuffle, top-k is
+    TakeOrderedAndProject."""
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -224,7 +237,8 @@ def q3_shipping_priority_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (li.where(F.col("l_shipdate") > cutoff)
             .join(orders.where(F.col("o_orderdate") < cutoff),
                   F.col("l_orderkey") == F.col("o_orderkey"))
-            .join(F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+            .join(broadcast_if_small(
+                      cust.where(F.col("c_mktsegment") == "BUILDING")),
                   F.col("o_custkey") == F.col("c_custkey"))
             .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
             .agg(F.round(F.sum(_revenue_cols()), 2).cast("double")
@@ -251,9 +265,11 @@ LIMIT 10
 
 def q5_local_supplier_volume_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5 shape: per-nation revenue where supplier and customer share the
-    nation, one region, one year.  region→nation→customer chain broadcasts
-    (each step dim-sized); supplier broadcasts into lineitem; the
-    orders⋈lineitem join is again the only shuffle."""
+    nation, one region, one year.  nation⋈region is constant-sized and
+    always broadcasts; supplier and customer scale with SF, so their
+    hints are size-gated (above the gate the planner shuffles them — the
+    orders⋈lineitem join is the one unavoidable fact-sized shuffle
+    either way)."""
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -267,8 +283,9 @@ def q5_local_supplier_volume_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("o_orderdate") >= F.lit("1996-01-01"))
                 & (F.col("o_orderdate") < F.lit("1997-01-01"))),
                 F.col("l_orderkey") == F.col("o_orderkey"))
-            .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-            .join(F.broadcast(cust),
+            .join(broadcast_if_small(supp),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(broadcast_if_small(cust),
                   (F.col("o_custkey") == F.col("c_custkey"))
                   & (F.col("c_nationkey") == F.col("s_nationkey")))
             .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -307,7 +324,8 @@ def q10_returned_items_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("o_orderdate") >= F.lit("1997-10-01"))
                 & (F.col("o_orderdate") < F.lit("1998-01-01"))),
                 F.col("l_orderkey") == F.col("o_orderkey"))
-            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .join(broadcast_if_small(cust),
+                  F.col("o_custkey") == F.col("c_custkey"))
             .join(F.broadcast(nation),
                   F.col("c_nationkey") == F.col("n_nationkey"))
             .groupBy("c_custkey", "c_name", "n_name")

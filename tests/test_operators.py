@@ -494,3 +494,72 @@ def test_clusters_accept_precomputed_pairs(spark):
     reused = {tuple(r) for r in dedup_clusters_df(
         spark, SF, pairs_df=dedup_minhash_lsh_indexed_df(spark, SF)).collect()}
     assert reused == live and live
+
+
+def test_capped_lsh_mass_duplication_cannot_go_quadratic(spark, tmp_path):
+    """The production scale hole the cap closes: 10k byte-identical docs
+    would put 10k rows in every band bucket and make candidate generation
+    emit C(10k,2) ~ 5e7 pairs.  Exact-collapse-first reduces the family
+    to ONE representative, so the candidate set stays O(distinct texts)."""
+    import os
+
+    from ringo_spark.operators.dedup import dedup_minhash_lsh_capped_df
+
+    n_dup = 10_000
+    boiler = ("this content is licensed under the creative commons "
+              "attribution share alike license version four point oh "
+              "see the terms page for details " * 2)
+    near_a = " ".join(f"tok{i}" for i in range(40))
+    near_b = " ".join(f"tok{i}" for i in range(39)) + " tokX"
+    rows = [(i, boiler) for i in range(n_dup)]
+    rows += [(n_dup + 1, near_a), (n_dup + 2, near_b)]
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(f"{d}/documents.parquet")
+
+    cand = dedup_minhash_lsh_capped_df(spark, d, return_candidates=True)
+    assert cand.count() < 50  # not ~5e7
+    # recall survives the collapse: the distinct near-dup pair is found
+    out = {(r.doc_a, r.doc_b)
+           for r in dedup_minhash_lsh_capped_df(spark, d).collect()}
+    assert (n_dup + 1, n_dup + 2) in out
+
+
+def test_capped_lsh_drops_oversized_band_buckets(spark, tmp_path):
+    """DISTINCT near-identical texts (a giant near-dup clique) exceed the
+    band-bucket cap and are dropped from candidate generation instead of
+    exploding into C(k,2) pairs."""
+    import os
+
+    from ringo_spark.operators.dedup import (
+        BAND_BUCKET_CAP, dedup_minhash_lsh_capped_df, dedup_minhash_lsh_df,
+    )
+
+    k = BAND_BUCKET_CAP + 8  # one clique just over the cap
+    shared = " ".join(f"w{i}" for i in range(60))
+    rows = [(i, f"{shared} unique{i}") for i in range(k)]
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(f"{d}/documents.parquet")
+
+    uncapped = dedup_minhash_lsh_df(spark, d).count()
+    capped = dedup_minhash_lsh_capped_df(
+        spark, d, return_candidates=True).count()
+    assert uncapped == k * (k - 1) // 2  # the quadratic blowup, live path
+    assert capped < uncapped / 4        # clique buckets dropped
+
+
+def test_capped_lsh_is_subset_of_live_on_real_corpus(spark):
+    """On the real testdata the capped output is a subset of the live
+    pairs (collapse + cap only ever REMOVE candidates) and stays
+    non-trivially large — the guards don't gut recall on normal data."""
+    from ringo_spark.operators.dedup import (
+        dedup_minhash_lsh_capped_df, dedup_minhash_lsh_df,
+    )
+
+    live = {tuple(r) for r in dedup_minhash_lsh_df(spark, SF).collect()}
+    capped = {tuple(r) for r in dedup_minhash_lsh_capped_df(spark, SF).collect()}
+    assert capped and capped <= live
+    assert len(capped) >= len(live) * 0.5

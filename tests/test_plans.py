@@ -173,3 +173,43 @@ def test_tpch_join_query_plan_shapes(spark):
         assert "SortMergeJoin" not in plan, fn.__name__
         assert plan.count("Exchange hashpartitioning") == 1, fn.__name__
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tpch_broadcast_gate_degrades(spark):
+    """Scale regime: with the broadcast gate closed (simulating customer/
+    supplier having outgrown broadcastability) the scale-proportional
+    sides must NOT carry a forced broadcast hint — the planner degrades
+    to a shuffle join instead of OOMing — while the constant-size
+    nation/region chain may keep broadcasting.  Results are identical in
+    both regimes."""
+    from ringo_spark.functions.broadcast_gate import GATE_CONF_KEY
+    from ringo_spark.operators.tpch import (
+        q3_shipping_priority_df, q5_local_supplier_volume_df,
+        q10_returned_items_df,
+    )
+
+    conf = spark.conf
+    old_auto = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        conf.set(GATE_CONF_KEY, "0")
+        # also silence Catalyst's own auto-broadcast so the degraded
+        # strategy is visible in the static plan (AQE could still convert
+        # back at runtime from real sizes — that's the graceful path)
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # q5 keeps two constant-size broadcasts (region→nation, then the
+        # nr chain into the fact); q10 keeps one (nation); q3 none
+        for fn, n_const_bcast in ((q3_shipping_priority_df, 0),
+                                  (q5_local_supplier_volume_df, 2),
+                                  (q10_returned_items_df, 1)):
+            plan = plan_of(spark, fn(spark, SF), "simple")
+            assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan), \
+                fn.__name__
+            # only the constant-size (nation/region) joins stay broadcast
+            assert plan.count("BroadcastHashJoin") == n_const_bcast, fn.__name__
+        degraded = {tuple(r)
+                    for r in q5_local_supplier_volume_df(spark, SF).collect()}
+    finally:
+        conf.unset(GATE_CONF_KEY)
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old_auto)
+    hinted = {tuple(r) for r in q5_local_supplier_volume_df(spark, SF).collect()}
+    assert degraded and degraded == hinted
