@@ -34,18 +34,46 @@ DEFAULT_GATE_BYTES = 256 * 1024 * 1024
 def plan_size_bytes(df: DataFrame) -> int:
     """Catalyst's sizeInBytes estimate for the optimized logical plan
     (file size scaled by pruning; works on any filesystem the cluster
-    reads, unlike stat()ing paths locally)."""
+    reads, unlike stat()ing paths locally).  Costs an optimizer pass
+    (~100ms on a fresh read) — for hot query-builder paths prefer the
+    cached ``size_path`` route in :func:`broadcast_if_small`."""
     return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
 
 
-def broadcast_if_small(df: DataFrame, gate_bytes: int | None = None) -> DataFrame:
-    """Apply ``F.broadcast`` only when the plan-size estimate is under the
+# On-disk size per source path, resolved once through the Hadoop
+# FileSystem (works on any scheme the cluster reads: file://, s3a://,
+# hdfs://).  Source tables don't change size mid-session; engine paths
+# that rewrite data can invalidate with _SIZE_CACHE.pop(path).
+_SIZE_CACHE: dict[str, int] = {}
+
+
+def table_size_bytes(spark, path: str) -> int:
+    if path not in _SIZE_CACHE:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        _SIZE_CACHE[path] = int(fs.getContentSummary(p).getLength())
+    return _SIZE_CACHE[path]
+
+
+def broadcast_if_small(df: DataFrame, gate_bytes: int | None = None,
+                       size_path: str | None = None) -> DataFrame:
+    """Apply ``F.broadcast`` only when the size estimate is under the
     gate; otherwise return ``df`` unhinted so Catalyst/AQE pick the join
     strategy from real sizes.  Gate order: explicit arg > spark conf
-    ``ringo.broadcastGateBytes`` > 256 MB default."""
+    ``ringo.broadcastGateBytes`` > 256 MB default.
+
+    ``size_path``: gate on the (cached) on-disk size of the source table
+    instead of a per-call optimizer pass — the right choice inside query
+    builders that are re-invoked per run.  Conservative: the on-disk
+    size ignores filters, so it only ever WITHHOLDS a hint the plan
+    estimate would grant; AQE re-adds runtime broadcasts from real
+    post-filter sizes."""
     if gate_bytes is None:
         conf = df.sparkSession.conf.get(GATE_CONF_KEY, None)
         gate_bytes = int(conf) if conf is not None else DEFAULT_GATE_BYTES
-    if plan_size_bytes(df) <= gate_bytes:
+    size = (table_size_bytes(df.sparkSession, size_path)
+            if size_path is not None else plan_size_bytes(df))
+    if size <= gate_bytes:
         return F.broadcast(df)
     return df

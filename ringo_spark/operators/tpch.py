@@ -238,7 +238,8 @@ def q3_shipping_priority_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(orders.where(F.col("o_orderdate") < cutoff),
                   F.col("l_orderkey") == F.col("o_orderkey"))
             .join(broadcast_if_small(
-                      cust.where(F.col("c_mktsegment") == "BUILDING")),
+                      cust.where(F.col("c_mktsegment") == "BUILDING"),
+                      size_path=f"{sf_dir}/customer.parquet"),
                   F.col("o_custkey") == F.col("c_custkey"))
             .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
             .agg(F.round(F.sum(_revenue_cols()), 2).cast("double")
@@ -283,9 +284,11 @@ def q5_local_supplier_volume_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("o_orderdate") >= F.lit("1996-01-01"))
                 & (F.col("o_orderdate") < F.lit("1997-01-01"))),
                 F.col("l_orderkey") == F.col("o_orderkey"))
-            .join(broadcast_if_small(supp),
+            .join(broadcast_if_small(supp,
+                                     size_path=f"{sf_dir}/supplier.parquet"),
                   F.col("l_suppkey") == F.col("s_suppkey"))
-            .join(broadcast_if_small(cust),
+            .join(broadcast_if_small(cust,
+                                     size_path=f"{sf_dir}/customer.parquet"),
                   (F.col("o_custkey") == F.col("c_custkey"))
                   & (F.col("c_nationkey") == F.col("s_nationkey")))
             .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -324,7 +327,8 @@ def q10_returned_items_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("o_orderdate") >= F.lit("1997-10-01"))
                 & (F.col("o_orderdate") < F.lit("1998-01-01"))),
                 F.col("l_orderkey") == F.col("o_orderkey"))
-            .join(broadcast_if_small(cust),
+            .join(broadcast_if_small(cust,
+                                     size_path=f"{sf_dir}/customer.parquet"),
                   F.col("o_custkey") == F.col("c_custkey"))
             .join(F.broadcast(nation),
                   F.col("c_nationkey") == F.col("n_nationkey"))
