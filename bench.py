@@ -56,6 +56,9 @@ HEADLINE = [
     "multimodal_resize",
     "multimodal_frames",
     "dedup_minhash_lsh_indexed",
+    # round-6 additions: the scale-hardened production shapes
+    "dedup_minhash_lsh_capped",
+    "dedup_clusters_indexed",
 ]
 
 RUNS_PER_QUERY = 2

@@ -692,6 +692,18 @@ def dedup_clusters_df(spark: SparkSession, sf_dir: str,
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
+def dedup_clusters_indexed_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production composition: cluster from the PERSISTED band+shingle
+    index's verified pairs instead of recomputing signatures
+    (pair-set equality with the live path is pytest-pinned, so the
+    oracle below applies unchanged).  This is the steady-state shape —
+    signature extraction amortized at index build/append time, the
+    clustering job touching only (doc_id, band_key) rows and the tiny
+    pair graph."""
+    return dedup_clusters_df(
+        spark, sf_dir, pairs_df=dedup_minhash_lsh_indexed_df(spark, sf_dir))
+
+
 # oracle: recursive-CTE transitive closure with min-label aggregation over
 # the same verified pair list
 DEDUP_CLUSTERS_SQL = f"""

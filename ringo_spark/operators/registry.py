@@ -6,7 +6,8 @@ from .dedup import (
     DEDUP_INCREMENTAL_SQL, DEDUP_MINHASH_INCREMENTAL_SQL,
     DEDUP_MINHASH_LSH_CAPPED_SQL, DEDUP_MINHASH_LSH_SQL,
     DEDUP_NGRAM_JACCARD_SQL, DEDUP_SIMHASH_SQL, DEDUP_WINNOWING_SQL,
-    dedup_clusters_df, dedup_embedding_df, dedup_exact_df,
+    dedup_clusters_df, dedup_clusters_indexed_df, dedup_embedding_df,
+    dedup_exact_df,
     dedup_incremental_df, dedup_minhash_incremental_df, dedup_minhash_lsh_df,
     dedup_minhash_lsh_capped_df, dedup_minhash_lsh_indexed_df,
     dedup_ngram_jaccard_df, dedup_simhash_df, dedup_winnowing_df,
@@ -18,11 +19,13 @@ from .multimodal import (
     multimodal_resize_df, multimodal_wav_df, multimodal_wav_samples_df,
 )
 from .similarity import (
-    ANN_COSINE_TOPK_SQL, ANN_IVF_KMEANS_SQL, ANN_IVF_SQL,
-    ANN_LSH_BUCKETED12_SQL, ANN_LSH_BUCKETED_SQL, ANN_LSH_MULTIPROBE_SQL,
-    ann_cosine_topk_arrow_df, ann_cosine_topk_df, ann_ivf_df,
-    ann_ivf_indexed_df, ann_ivf_kmeans_df, ann_lsh_bucketed12_df,
-    ann_lsh_bucketed_df, ann_lsh_indexed_df, ann_lsh_multiprobe_df,
+    ANN_COSINE_TOPK_ARROW_BOUNDS_SQL, ANN_COSINE_TOPK_SQL,
+    ANN_IVF_KMEANS_SQL, ANN_IVF_SQL, ANN_LSH_BUCKETED12_SQL,
+    ANN_LSH_BUCKETED_SQL, ANN_LSH_MULTIPROBE_SQL,
+    ann_cosine_topk_arrow_bounds_df, ann_cosine_topk_arrow_df,
+    ann_cosine_topk_df, ann_ivf_df, ann_ivf_indexed_df, ann_ivf_kmeans_df,
+    ann_lsh_bucketed12_df, ann_lsh_bucketed_df, ann_lsh_indexed_df,
+    ann_lsh_multiprobe_df,
 )
 from .pipeline import PIPELINE_QUERIES
 from .training import TRAINING_QUERIES
@@ -58,8 +61,20 @@ from .text import (
 #     unverified, only un-hashed-by-the-driver that round.
 
 DRIVER_WINDOW: list[str] = [
-    # -- round-5 first driver rows: the new operators, plus embed_quantize
-    #    whose r04 row ERRed on harness canonicalization (now serialized) --
+    # -- round-6 first driver rows: the scale-hardened shapes and the
+    #    range-style bounds oracles built this round, plus
+    #    dedup_minhash_lsh_indexed (new in r05, queued for its first row) --
+    "dedup_minhash_lsh_capped",
+    "dedup_clusters_indexed",
+    "fact_events_by_minute_approx_bounds",
+    "ann_cosine_topk_arrow_bounds",
+    "dedup_minhash_lsh_indexed",
+    # -- rotated back in: displaced since r04, driver-green r02+r03 --
+    "scalar_subquery",
+    "json_funcs",
+    "date_funcs",
+    # -- r05 first-rows retained: q3/q5/q10's join code changed this
+    #    round (broadcast gate), so their regressions must stay visible --
     "embed_quantize",
     "multimodal_resize",
     "multimodal_frames",
@@ -67,17 +82,8 @@ DRIVER_WINDOW: list[str] = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q10_returned_items",
-    # -- rotated back in: displaced in r04, driver-green in r02 AND r03;
-    #    after r05 they hold r02+r03+r05 records --
+    # -- retained r05 rotations (r02+r03+r05 records) --
     "asof_join",
-    "quantiles",
-    "window_lag",
-    "set_ops",
-    "string_funcs",
-    "conditional_funcs",
-    "vocab_topk",
-    "lang_confusion",
-    "metrics_unpivot",
     "doc_rolling_hash",
     "dedup_ngram_jaccard",
     "dedup_embedding",
@@ -118,17 +124,21 @@ DRIVER_WINDOW: list[str] = [
 
 # Registered, locally cell-exact-verified every round, but outside the
 # driver's 50-row hash window this round.  Every with-oracle entry here
-# has a driver-green (hash_match=true) row from CORRECTNESS_r04 with
+# has at least one driver-green (hash_match=true) row (r02–r05) with
 # unchanged code paths since; the 2 no-oracle entries are ε-tolerance
-# pytest-covered by design.  They made room to rotate the r04-displaced
-# cohort back in (those now accumulate r02+r03+r05 records).
+# pytest-covered by design AND now have windowed *_bounds twins carrying
+# real oracles.  The 8 newly-displaced relational/text-function entries
+# (quantiles…metrics_unpivot) hold r02+r03+r05 records each — the
+# best-covered cohort — and made room for the round-6 first rows.
 DISPLACED: list[str] = [
-    "dedup_minhash_lsh_capped",   # new in r06 (window rotation pending)
-    "dedup_minhash_lsh_indexed",  # new in r05: local-verified now, first
-                                  # driver row next rotation
-    "scalar_subquery",
-    "json_funcs",
-    "date_funcs",
+    "quantiles",
+    "window_lag",
+    "set_ops",
+    "string_funcs",
+    "conditional_funcs",
+    "vocab_topk",
+    "lang_confusion",
+    "metrics_unpivot",
     "sample_hash_split",
     "fact_events_by_second",
     "fact_events_tenant_by_hour",
@@ -174,10 +184,15 @@ OPERATOR_QUERIES: dict[str, tuple] = {
     # mass-duplicated corpora (oracle encodes the identical cap)
     "dedup_minhash_lsh_capped": (dedup_minhash_lsh_capped_df,
                                  DEDUP_MINHASH_LSH_CAPPED_SQL),
+
     "dedup_simhash": (dedup_simhash_df, DEDUP_SIMHASH_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard_df, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_embedding": (dedup_embedding_df, DEDUP_EMBEDDING_SQL),
     "dedup_clusters": (dedup_clusters_df, DEDUP_CLUSTERS_SQL),
+    # clustering chained from the persisted index's pairs (identical
+    # pair set pytest-pinned => same oracle) — the production shape and
+    # the bench headline entry
+    "dedup_clusters_indexed": (dedup_clusters_indexed_df, DEDUP_CLUSTERS_SQL),
     "dedup_incremental": (dedup_incremental_df, DEDUP_INCREMENTAL_SQL),
     "dedup_minhash_incremental": (dedup_minhash_incremental_df,
                                   DEDUP_MINHASH_INCREMENTAL_SQL),
@@ -196,6 +211,10 @@ OPERATOR_QUERIES: dict[str, tuple] = {
     # the identical rounded training trajectory)
     "ann_ivf_kmeans": (ann_ivf_kmeans_df, ANN_IVF_KMEANS_SQL),
     "ann_cosine_topk_arrow": (ann_cosine_topk_arrow_df, None),  # numpy summation order; rows-only
+    # range-style oracle over the numpy lane: JVM exact top-k + a
+    # tolerance boolean the oracle pins to TRUE (VERDICT r05 item 6)
+    "ann_cosine_topk_arrow_bounds": (ann_cosine_topk_arrow_bounds_df,
+                                     ANN_COSINE_TOPK_ARROW_BOUNDS_SQL),
     "text_quality": (text_quality_df, TEXT_QUALITY_SQL),
     "lang_id": (lang_id_df, LANG_ID_SQL),
     "token_count": (token_count_df, TOKEN_COUNT_SQL),

@@ -426,6 +426,42 @@ def ann_cosine_topk_arrow_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("q_id", "n_id", "rank", "cosine"))
 
 
+ARROW_COSINE_TOL = 1e-5
+
+
+def ann_cosine_topk_arrow_bounds_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashable bounds check for the Arrow/numpy ANN lane: joins
+    the numpy top-k to the JVM exact top-k on (q_id, rank) and emits the
+    JVM-side deterministic values plus a boolean asserting the numpy
+    cosine at that rank is within ARROW_COSINE_TOL.  The oracle is the
+    exact top-k SQL with TRUE for the bound — so the driver's value hash
+    goes red if the Arrow kernel ever drifts past tolerance (or drops a
+    rank), giving the no-oracle-by-design variant a real driver row."""
+    jvm = ann_cosine_topk_df(spark, sf_dir)
+    arrow = (ann_cosine_topk_arrow_df(spark, sf_dir)
+             .select("q_id", "rank", F.col("cosine").alias("arrow_cosine")))
+    return (jvm.join(arrow, ["q_id", "rank"])
+            .select("q_id", "n_id", "rank", "cosine",
+                    (F.abs(F.col("cosine") - F.col("arrow_cosine"))
+                     <= ARROW_COSINE_TOL).alias("within_tol")))
+
+
+ANN_COSINE_TOPK_ARROW_BOUNDS_SQL = f"""
+WITH scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         round({sql_cosine('q.embedding', 'c.embedding')}, 6) AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < {N_QUERIES})
+SELECT q_id, n_id,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id)
+            AS INT) AS rank,
+       cosine,
+       TRUE AS within_tol
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""
+
+
 def _sql_bucket(bits: int = LSH_BITS) -> str:
     return " + ".join(
         f"(CASE WHEN embedding[{d}]::DOUBLE > 0 THEN {1 << j} ELSE 0 END)"

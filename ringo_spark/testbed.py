@@ -196,6 +196,48 @@ def fact_events_by_minute_approx_df(spark: SparkSession, sf_dir: str) -> DataFra
     return fact_events_by_minute_df(spark, sf_dir, count_distinct_mode="approx")
 
 
+APPROX_RSD = 0.05
+APPROX_EPS_MULT = 3          # bound: |est - exact| <= max(3·rsd·exact, 2)
+
+
+def fact_events_by_minute_approx_bounds_df(spark: SparkSession,
+                                           sf_dir: str) -> DataFrame:
+    """Driver-hashable bounds check for the HLL++ variant: per fact
+    group, the exact COUNT(DISTINCT) (which the oracle reproduces
+    cell-exactly) plus a boolean asserting the HLL estimate is within
+    ±3ε (ε = rsd·exact, floor of 2 for the sparse-mode tiny groups).
+    The oracle emits TRUE for every group, so any estimate drifting past
+    the published error bound turns the driver row red — the range-style
+    oracle VERDICT r05 asked for in place of a rows-only record."""
+    keys = ["ts_minute_id", "user_id", "event_type_id"]
+    exact = (fact_events_by_minute_df(spark, sf_dir)
+             .select(*keys, F.col("user_count").alias("exact_count")))
+    approx = (fact_events_by_minute_approx_df(spark, sf_dir)
+              .select(*keys, F.col("user_count").alias("approx_count")))
+    tol = F.greatest(
+        F.ceil(F.col("exact_count") * (APPROX_EPS_MULT * APPROX_RSD)),
+        F.lit(2))
+    return (exact.join(approx, keys)
+            .select(*keys, "exact_count",
+                    (F.abs(F.col("approx_count") - F.col("exact_count"))
+                     <= tol).alias("within_3eps")))
+
+
+FACT_EVENTS_BY_MINUTE_APPROX_BOUNDS_SQL = f"""
+WITH {_DIM_EVENT_TYPE_CTE}
+SELECT CAST(floor(epoch(e.ts) / 60) AS BIGINT)  AS ts_minute_id,
+       coalesce(e.user_id, -1)                  AS user_id,
+       CAST(coalesce(d.id, -1) AS INT)          AS event_type_id,
+       count(DISTINCT e.user_id)                AS exact_count,
+       TRUE                                     AS within_3eps
+FROM events e
+LEFT JOIN dim_event_type d
+       ON d.event_type = coalesce(e.event_type, '__UNKNOWN_VAL__')
+WHERE e.ts < {SQL_FAR}
+GROUP BY 1, 2, 3
+"""
+
+
 def dim_event_type_incremental_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Populate dim from batch 1 (ts < mid), then incrementally from batch 2
     (mid <= ts < far): anti-join drops already-present rows, new rows get
@@ -437,6 +479,11 @@ CORE_QUERIES: dict[str, tuple] = {
     "dim_event_type": (dim_event_type_df, DIM_EVENT_TYPE_SQL),
     "fact_events_by_minute": (fact_events_by_minute_df, FACT_EVENTS_BY_MINUTE_SQL),
     "fact_events_by_minute_approx": (fact_events_by_minute_approx_df, None),
+    # range-style oracle over the HLL variant: exact per-group counts +
+    # a ±3ε boolean the oracle pins to TRUE (VERDICT r05 item 6)
+    "fact_events_by_minute_approx_bounds": (
+        fact_events_by_minute_approx_bounds_df,
+        FACT_EVENTS_BY_MINUTE_APPROX_BOUNDS_SQL),
     "dim_event_type_incremental": (dim_event_type_incremental_df,
                                    DIM_EVENT_TYPE_INCREMENTAL_SQL),
     "fact_events_by_minute_incremental": (fact_events_by_minute_incremental_df,
