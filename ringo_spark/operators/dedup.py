@@ -231,6 +231,9 @@ def build_minhash_index(spark: SparkSession, sf_dir: str,
         index_path = _os.path.join(MINHASH_INDEX_ROOT, f"p{NUM_PERM}b{BANDS}-{tag}")
     marker = _os.path.join(index_path, "_INDEX_OK")
     if not force and _os.path.exists(marker):
+        from .similarity import _touch
+
+        _touch(marker)
         return index_path
     shingled = _shingled(spark, sf_dir).persist()
     sigs = (shingled
@@ -243,6 +246,9 @@ def build_minhash_index(spark: SparkSession, sf_dir: str,
         _os.path.join(index_path, "shingles"))
     shingled.unpersist()
     open(marker, "w").close()
+    from .similarity import gc_index_root
+
+    gc_index_root(MINHASH_INDEX_ROOT, protect=index_path)
     return index_path
 
 

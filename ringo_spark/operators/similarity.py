@@ -264,6 +264,46 @@ IVF_INDEX_ROOT = os.path.join(
     ".ivf_index")
 
 
+INDEX_KEEP_LAST = 3
+
+
+def gc_index_root(root: str, keep: int | None = None,
+                  protect: str | None = None) -> list[str]:
+    """Index-lifecycle GC: each distinct (source fingerprint, params)
+    combination gets its own directory under ``root``, so a long-lived
+    session (or CI machine) re-generating its corpus accumulates stale
+    index dirs forever.  Keep the ``keep`` most-recently-USED dirs
+    (builders touch their marker file on every cache hit, making dir
+    recency an LRU signal) plus ``protect`` (the dir just built), remove
+    the rest.  Returns the removed paths.  Same keep-last-N policy as
+    ``Engine._gc_versions``; crash-safe for the same reason — a
+    half-removed stale dir has no live marker and is re-collected next
+    time."""
+    import shutil
+
+    if keep is None:  # resolved at call time so INDEX_KEEP_LAST is tunable
+        keep = INDEX_KEEP_LAST
+    if not os.path.isdir(root):
+        return []
+    entries = []
+    for d in os.listdir(root):
+        p = os.path.join(root, d)
+        if os.path.isdir(p) and p != protect:
+            entries.append((os.path.getmtime(p), p))
+    removed = []
+    for _, p in sorted(entries)[:-keep] if keep else sorted(entries):
+        shutil.rmtree(p, ignore_errors=True)
+        removed.append(p)
+    return removed
+
+
+def _touch(path: str) -> None:
+    """Record a cache hit: bump the marker's (and its dir's) mtime so
+    gc_index_root's LRU ordering sees the index as recently used."""
+    os.utime(path, None)
+    os.utime(os.path.dirname(path), None)
+
+
 def _source_fingerprint(sf_dir: str, table: str = "embeddings.parquet") -> str:
     """Content fingerprint of a source table (file sizes + mtimes),
     folded into the index cache tag: if the parquet at the same path is
@@ -327,12 +367,14 @@ def build_ivf_index(spark: SparkSession, sf_dir: str,
             .encode()).hexdigest()[:10]
         index_path = os.path.join(IVF_INDEX_ROOT, f"k{k}-{tag}")
     if not force and os.path.exists(os.path.join(index_path, "_SUCCESS")):
+        _touch(os.path.join(index_path, "_SUCCESS"))
         return index_path
     emb = _emb(spark, sf_dir)
     cent_rows = _ivf_centroid_rows(emb, k)
     (emb.withColumn("cell", _cell_expr(cent_rows))
      .repartition("cell")
      .write.mode("overwrite").partitionBy("cell").parquet(index_path))
+    gc_index_root(IVF_INDEX_ROOT, protect=index_path)
     return index_path
 
 
@@ -667,11 +709,13 @@ def build_lsh_index(spark: SparkSession, sf_dir: str, bits: int = LSH_BITS,
             .encode()).hexdigest()[:10]
         index_path = os.path.join(LSH_INDEX_ROOT, f"b{bits}-{tag}")
     if not force and os.path.exists(os.path.join(index_path, "_SUCCESS")):
+        _touch(os.path.join(index_path, "_SUCCESS"))
         return index_path
     (_emb(spark, sf_dir)
      .withColumn("bucket", _bucket_expr(F.col("embedding"), bits))
      .repartition("bucket")
      .write.mode("overwrite").partitionBy("bucket").parquet(index_path))
+    gc_index_root(LSH_INDEX_ROOT, protect=index_path)
     return index_path
 
 

@@ -563,3 +563,62 @@ def test_capped_lsh_is_subset_of_live_on_real_corpus(spark):
     capped = {tuple(r) for r in dedup_minhash_lsh_capped_df(spark, SF).collect()}
     assert capped and capped <= live
     assert len(capped) >= len(live) * 0.5
+
+
+def test_index_gc_keeps_last_n_and_protects_fresh_build(tmp_path):
+    """Stale fingerprint dirs are swept keep-last-N by LRU; the
+    just-built (protected) dir and the N most-recently-used survive."""
+    import os
+    import time
+
+    from ringo_spark.operators.similarity import gc_index_root
+
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    dirs = []
+    for i in range(6):
+        d = os.path.join(root, f"k4-fp{i}")
+        os.makedirs(d)
+        t = 1_000_000 + i * 100  # strictly increasing "last used" times
+        os.utime(d, (t, t))
+        dirs.append(d)
+    fresh = os.path.join(root, "k4-fresh")
+    os.makedirs(fresh)
+    os.utime(fresh, (999, 999))  # oldest mtime, but protected
+
+    removed = gc_index_root(root, keep=3, protect=fresh)
+    left = set(os.listdir(root))
+    assert set(removed) == set(dirs[:3])
+    assert left == {"k4-fresh", "k4-fp3", "k4-fp4", "k4-fp5"}
+    # idempotent: nothing further to collect
+    assert gc_index_root(root, keep=3, protect=fresh) == []
+
+
+def test_index_builders_gc_stale_fingerprints(spark, tmp_path, monkeypatch):
+    """End-to-end through a real builder: regenerating the source corpus
+    changes the fingerprint, and stale-fingerprint index dirs beyond
+    keep-last-N are removed by the next build."""
+    import os
+    import shutil
+
+    from ringo_spark.operators import similarity as sim
+
+    root = str(tmp_path / "lsh_root")
+    monkeypatch.setattr(sim, "LSH_INDEX_ROOT", root)
+    monkeypatch.setattr(sim, "INDEX_KEEP_LAST", 1)
+
+    src = str(tmp_path / "sf")
+    os.makedirs(src)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    built = []
+    for i in range(3):  # regenerate the corpus -> new fingerprint each time
+        shutil.rmtree(f"{src}/embeddings.parquet", ignore_errors=True)
+        emb.limit(40 + i).write.parquet(f"{src}/embeddings.parquet")
+        built.append(sim.build_lsh_index(spark, src))
+    assert len(set(built)) == 3
+    left = {os.path.join(root, d) for d in os.listdir(root)}
+    # only keep-last-N (=1) plus the fresh build survive
+    assert built[-1] in left and len(left) <= 2
+    # cache hit on the survivor still serves (marker touched, not rebuilt)
+    assert sim.build_lsh_index(spark, src) == built[-1]
