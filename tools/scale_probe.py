@@ -96,6 +96,121 @@ def build(spark, k: int) -> str:
     return out
 
 
+def _task_time_spread(spark, min_stage_id: int) -> list[tuple]:
+    """Per-stage completed-task duration spread (max, median, n) for every
+    stage started after ``min_stage_id`` — read from the live
+    AppStatusStore (the same data the UI's task table shows)."""
+    import statistics
+
+    store = spark._jsparkSession.sparkContext().statusStore()
+    gw = spark.sparkContext._gateway
+    empty_d = gw.new_array(gw.jvm.double, 0)
+    al = gw.jvm.java.util.ArrayList()
+    out = []
+    it = store.stageList(al, False, False, empty_d, al).iterator()
+    while it.hasNext():
+        s = it.next()
+        if s.stageId() <= min_stage_id or s.numCompleteTasks() == 0:
+            continue
+        durs = []
+        tit = store.taskList(s.stageId(), s.attemptId(), 100_000).iterator()
+        while tit.hasNext():
+            d = tit.next().duration()
+            if d.isDefined():
+                durs.append(d.get())
+        if durs:
+            out.append((s.stageId(), max(durs),
+                        statistics.median(durs), len(durs)))
+    return out
+
+
+def _max_stage_id(spark) -> int:
+    store = spark._jsparkSession.sparkContext().statusStore()
+    gw = spark.sparkContext._gateway
+    al = gw.jvm.java.util.ArrayList()
+    empty_d = gw.new_array(gw.jvm.double, 0)
+    mx = -1
+    it = store.stageList(al, False, False, empty_d, al).iterator()
+    while it.hasNext():
+        mx = max(mx, it.next().stageId())
+    return mx
+
+
+def skew_scenario():
+    """Hot-tenant probe through the ENGINE rollup path (VERDICT r05 #7):
+    rewrite sf0.1 events so ONE tenant owns 50% of all rows, run the
+    (tenant, hour) fact rollup, and report the per-task duration spread
+    of every stage.  The claim under test (SCALE.md): the grain groupBy
+    keys on (hour, tenant, event_type), so map-side partial aggregation
+    collapses the hot tenant to #hours x #types groups per task and the
+    reduce side hashes those GROUPS — a 50%-hot tenant must not produce
+    a straggler reducer.  Bounded spread = max/median <= 3x on the agg
+    stages."""
+    from ringo_spark.catalog import get_spark
+    from ringo_spark.operators.rollup_grain import (
+        fact_events_tenant_by_hour_df,
+    )
+
+    spark = get_spark("skew-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    # 16x-replicated events (distinct event_ids), 32 input splits: sf0.1
+    # is one 100k-row file, which would make every stage a single task
+    # and hide any spread.  1.6M rows / 32 files gives each map task real
+    # work while the hot tenant stays uniformly present in every split —
+    # the layout a 100 TB corpus actually has.
+    k = 16
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    n_ev = ev.count()
+    hot = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    big = _replicate([
+        ev.select((F.col("event_id") + c * n_ev).alias("event_id"),
+                  *[col for col in ev.columns if col != "event_id"])
+        for c in range(k)])
+    skew_dir, bal_dir = (os.path.join(SCRATCH, d) for d in ("skew", "bal"))
+    (big.repartition(32).write.mode("overwrite")
+     .parquet(os.path.join(bal_dir, "events.parquet")))
+    # every even event lands on one tenant -> exactly ~50% of rows
+    (big.withColumn("user_id",
+                    F.when(F.col("event_id") % 2 == 0, F.lit(hot))
+                    .otherwise(F.col("user_id")))
+     .repartition(32).write.mode("overwrite")
+     .parquet(os.path.join(skew_dir, "events.parquet")))
+    n = spark.read.parquet(os.path.join(skew_dir, "events.parquet")).count()
+    n_hot = (spark.read.parquet(os.path.join(skew_dir, "events.parquet"))
+             .where(F.col("user_id") == hot).count())
+    print(f"corpus: {n} rows, hot tenant {hot} owns {n_hot} ({n_hot/n:.0%})")
+
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+    results = {}
+    for label, d in (("balanced", bal_dir), ("hot-tenant-50pct", skew_dir)):
+        fact_events_tenant_by_hour_df(spark, d).write \
+            .format("noop").mode("overwrite").save()      # plan/JIT warmup
+        s0 = _max_stage_id(spark)
+        t0 = time.time()
+        fact_events_tenant_by_hour_df(spark, d).write \
+            .format("noop").mode("overwrite").save()
+        wall = time.time() - t0
+        spread = _task_time_spread(spark, s0)
+        results[label] = (wall, spread)
+        print(f"\n{label}: wall {wall:.2f}s")
+        print("| stage | max task | median task | spread | tasks |")
+        print("|---|---|---|---|---|")
+        worst = 0.0
+        for sid, mx, med, cnt in sorted(spread):
+            r = mx / max(med, 1)
+            # single-digit-ms stages are scheduler noise, not skew signal
+            if mx >= 50:
+                worst = max(worst, r)
+            print(f"| {sid} | {mx}ms | {med:.0f}ms | {r:.1f}x | {cnt} |")
+        print(f"worst spread (stages with max>=50ms): {worst:.1f}x")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    bal_wall, skew_wall = results["balanced"][0], results["hot-tenant-50pct"][0]
+    print(f"\nwall-clock skew penalty: {skew_wall / bal_wall:.2f}x "
+          f"({bal_wall:.2f}s -> {skew_wall:.2f}s)")
+
+
 def main():
     from ringo_spark.catalog import get_spark
     from ringo_spark.operators.dedup import (
@@ -147,4 +262,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "skew":
+        skew_scenario()
+    else:
+        main()
