@@ -129,6 +129,12 @@ def main(argv=None) -> int:
                         "sink equivalent)")
     p.add_argument("--jdbc-driver", help="JDBC driver class for "
                                          "--publish-jdbc")
+    p.add_argument("--jdbc-mode", default="error",
+                   choices=["error", "append", "overwrite"],
+                   help="save mode for --publish-jdbc (default 'error': "
+                        "refuse to touch existing target tables; pick "
+                        "'overwrite' explicitly for refresh flows — add "
+                        "truncate=true via the sink to keep DDL/grants)")
     p.add_argument("--sql-dialect", default="spark",
                    choices=["spark", "postgres"],
                    help="dialect of the emitted DDL/DML artifacts: "
@@ -173,7 +179,8 @@ def main(argv=None) -> int:
     print(f"populated: {', '.join(produced)}")
     if args.publish_jdbc:
         opts = {"driver": args.jdbc_driver} if args.jdbc_driver else {}
-        published = eng.publish_jdbc(args.publish_jdbc, options=opts)
+        published = eng.publish_jdbc(args.publish_jdbc, mode=args.jdbc_mode,
+                                     options=opts)
         print(f"published to jdbc: {', '.join(published)}")
     return 0
 

@@ -95,10 +95,14 @@ class Engine:
             if os.path.exists(path):
                 self.register_source(t.name, self.spark.read.parquet(path))
 
-    def parent_join_pairs(self) -> list[tuple[str, str, str, str]]:
-        """(child_table, child_col, parent_table, parent_col) for every
+    def parent_join_pairs(self) -> list[tuple]:
+        """(child_table, child_cols, parent_table, parent_cols) for every
         parent-fact source join a run will execute — the declared FKs that
-        feed the one fact-sized shuffle in the pipeline."""
+        feed the one fact-sized shuffle in the pipeline.  Column entries
+        are a plain name for single-column FKs and a tuple of names for
+        composite FKs: the bucketer must bucket on ALL columns of a
+        composite key or the promised no-Exchange join silently shuffles
+        anyway (ADVICE r05)."""
         from .extractor import extract_all_dimension_tables
         from .model import ForeignKey
 
@@ -112,8 +116,12 @@ class Engine:
                        if df.table_name != fact.table_name}
             for c in f_table.constraints:
                 if isinstance(c, ForeignKey) and c.table in parents:
-                    mine, theirs = c.columns[0]
-                    pair = (fact.table_name, mine, c.table, theirs)
+                    mine = tuple(m for m, _ in c.columns)
+                    theirs = tuple(t for _, t in c.columns)
+                    pair = (fact.table_name,
+                            mine[0] if len(mine) == 1 else mine,
+                            c.table,
+                            theirs[0] if len(theirs) == 1 else theirs)
                     if pair not in pairs:
                         pairs.append(pair)
         return pairs
@@ -131,6 +139,8 @@ class Engine:
         bucketed write, amortized across every subsequent refresh.  Call
         after ``load_sources``/``register_source``; join pairs default to
         the declared FKs (``parent_join_pairs``)."""
+        import hashlib
+
         from .sources.bucketing import bucketize_for_fact_join
 
         pairs = pairs if pairs is not None else self.parent_join_pairs()
@@ -138,9 +148,17 @@ class Engine:
             return []
         # sources are already cast to their declared schema, so the
         # bucketed tables are re-registered without a second cast (a cast
-        # on the join key would defeat the bucketed-scan partitioning)
+        # on the join key would defeat the bucketed-scan partitioning).
+        # Catalog names are namespaced by this engine's storage path: two
+        # engines in one session (or a rerun with different settings)
+        # must not overwrite each other's saveAsTable entries, because
+        # spark.table() resolves at ACTION time — a later engine's write
+        # would silently redirect frames already held by the earlier one
+        # (ADVICE r05).
+        tag = hashlib.md5(os.path.abspath(self.storage).encode()).hexdigest()[:6]
         self.sources = bucketize_for_fact_join(
             self.spark, self.sources, pairs, num_buckets,
+            prefix=f"bkt_{tag}_",
             path_root=os.path.join(self.storage, "_bucketed"))
         return sorted({n for p in pairs for n in (p[0], p[2])})
 
@@ -581,7 +599,7 @@ class Engine:
         return [n for n in names if self.table_exists(n)]
 
     def publish_jdbc(self, jdbc_url: str, tables: list[str] | None = None,
-                     mode: str = "overwrite", options: dict | None = None,
+                     mode: str = "error", options: dict | None = None,
                      num_partitions: int | None = None) -> list[str]:
         """Publish populated dimension/fact tables to a JDBC sink.
 
@@ -595,8 +613,13 @@ class Engine:
         ``num_partitions`` caps write parallelism at what the target can
         absorb (rollup facts are small relative to their sources — the
         100 TB corpus never transits JDBC, only the aggregated marts).
+        The default ``mode="error"`` refuses to touch an existing target
+        table: publishing to a serving database is outward-facing, and a
+        silent default overwrite would drop its indexes and grants
+        (ADVICE r05).  Refresh flows opt in explicitly —
         ``mode="overwrite"`` with ``truncate=true`` in ``options`` keeps
-        the target's DDL/grants; plain overwrite re-creates the table."""
+        the target's DDL/grants; plain overwrite re-creates the table;
+        ``mode="append"`` for additive loads."""
         out = []
         for name in (tables if tables is not None else self.published_tables()):
             df = self.read_table(name)

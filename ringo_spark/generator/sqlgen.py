@@ -22,7 +22,8 @@ instead (``app/Main.hs:35-83`` runs its SQL inside Postgres): original
 declared column types, real table constraints, ``CREATE INDEX``
 statements for the time/tenant/FK index intent (Create.hs:87-98), ``?``
 placeholders for the time bounds (the reference's parameter markers),
-``NOT EXISTS`` for the incremental anti-join, and exact
+``LEFT OUTER JOIN … IS NULL`` for the incremental anti-join
+(Populate/Dimension.hs:50-60's literal shape), and exact
 ``count(DISTINCT ...)`` (Postgres has no built-in approximate variant;
 the ε contract is a Spark-side feature).
 """
@@ -154,7 +155,7 @@ def dimension_table_populate_sql(env: Env, fact: Fact, dim_table_name: str,
     / ``:time_lower`` (Spark SQL named parameter markers) and the
     incremental anti-join is LEFT ANTI JOIN.  Postgres dialect: ``?``
     placeholders (the reference's markers, Populate/Dimension.hs:23-62)
-    and NOT EXISTS."""
+    and the reference's literal LEFT OUTER JOIN + IS NULL anti-join."""
     s = env.settings
     pg = dialect == "postgres"
     src = env.find_table(fact.table_name)
@@ -177,11 +178,16 @@ def dimension_table_populate_sql(env: Env, fact: Fact, dim_table_name: str,
         return f"INSERT INTO {target} ({dim_cols})\n{inner};\n"
     # incremental: insert only new natural keys (anti-join)
     if pg:
+        # the reference's literal anti-join shape: LEFT OUTER JOIN with an
+        # all-columns IS NULL filter (Populate/Dimension.hs:50-60), not
+        # the equivalent NOT EXISTS
         on = " AND ".join(f"{dim_table_name}.{c} = x.{c}" for c, _ in mapping)
+        nulls = " AND ".join(f"{dim_table_name}.{c} IS NULL"
+                             for c, _ in mapping)
         return (f"INSERT INTO {target} ({dim_cols})\n"
                 f"SELECT x.* FROM (\n{inner}\n) x\n"
-                f"WHERE NOT EXISTS (SELECT 1 FROM {dim_table_name} "
-                f"WHERE {on});\n")
+                f"LEFT OUTER JOIN {dim_table_name} ON {on}\n"
+                f"WHERE {nulls};\n")
     on = " AND ".join(f"{dim_table_name}.{c} = x.{c}" for c, _ in mapping)
     return (f"INSERT INTO {target} ({dim_cols})\n"
             f"SELECT x.* FROM (\n{inner}\n) x\n"

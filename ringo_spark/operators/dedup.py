@@ -486,9 +486,15 @@ def dedup_ngram_jaccard_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs Jaccard >= threshold via a shingle inverted index
     (pairs must share at least one shingle).  Small-scale oracle baseline:
     posting-list self-join is quadratic — guarded, use dedup_minhash_lsh
-    at scale."""
-    base = _assert_small_scale(_shingled(spark, sf_dir),
-                               "dedup_ngram_jaccard", "dedup_minhash_lsh")
+    at scale.
+
+    The guard counts the RAW documents table (a zero-column parquet scan),
+    not the shingled frame — shingling is the CPU-heavy step and counting
+    its output would run it twice per call (ADVICE r05); doc rows are an
+    upper bound on shingled rows, so the guard is conservative."""
+    _assert_small_scale(_docs(spark, sf_dir),
+                        "dedup_ngram_jaccard", "dedup_minhash_lsh")
+    base = _shingled(spark, sf_dir)
     sizes = base.select("doc_id", F.size("sh").alias("n"))
     e = base.select("doc_id", F.explode("sh").alias("g"))
     a, b = e.alias("a"), e.alias("b")

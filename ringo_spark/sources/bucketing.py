@@ -32,23 +32,36 @@ def write_bucketed(df: DataFrame, table_name: str, bucket_cols: list[str],
 
 
 def bucketize_for_fact_join(spark: SparkSession, catalog: dict[str, DataFrame],
-                            pairs: list[tuple[str, str, str, str]],
+                            pairs: list[tuple],
                             num_buckets: int = 8,
                             prefix: str = "bkt_",
                             path_root: str | None = None) -> dict[str, DataFrame]:
-    """Bucket both sides of each (left_table, left_col, right_table,
-    right_col) join pair; returns a catalog of the bucketed tables.
+    """Bucket both sides of each (left_table, left_cols, right_table,
+    right_cols) join pair; returns a catalog of the bucketed tables.
+    Column entries may be a single name or a sequence — a composite FK
+    buckets on ALL its columns (bucketing on a prefix would still
+    shuffle: Spark only elides the Exchange when the join keys equal the
+    bucket spec).  A table requested with two DIFFERENT bucket keys is an
+    error — one physical layout can't co-locate both joins; bucket for
+    one and let the other shuffle, explicitly.
     ``path_root`` places the bucketed files under a chosen directory
     (e.g. the engine's storage path) instead of the session warehouse."""
     out = dict(catalog)
-    done = set()
+    done: dict[str, list[str]] = {}
     for lt, lc, rt, rc in pairs:
-        for name, col in ((lt, lc), (rt, rc)):
+        for name, cols in ((lt, lc), (rt, rc)):
+            cols = [cols] if isinstance(cols, str) else list(cols)
             if name in done:
+                if done[name] != cols:
+                    raise ValueError(
+                        f"table {name!r} requested with two different bucket "
+                        f"keys ({done[name]} vs {cols}); one physical layout "
+                        f"cannot co-locate both joins — pass explicit pairs "
+                        f"bucketing it for one key only")
                 continue
             path = f"{path_root}/{prefix}{name}" if path_root else None
-            write_bucketed(catalog[name], prefix + name, [col], num_buckets,
+            write_bucketed(catalog[name], prefix + name, cols, num_buckets,
                            path=path)
             out[name] = spark.table(prefix + name)
-            done.add(name)
+            done[name] = cols
     return out

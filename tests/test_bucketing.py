@@ -37,3 +37,44 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         for t in ("bkt_lineitem", "bkt_orders"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_composite_fk_buckets_on_all_columns(spark):
+    """A composite join key must bucket on ALL its columns: Spark elides
+    the Exchange only when the join keys equal the bucket spec, so a
+    first-column-only bucketing silently shuffles (ADVICE r05)."""
+    cat = load_catalog(spark, SF, [ORDERS, LINEITEM])
+    li = cat["lineitem"].withColumn("part", F.col("l_orderkey") % 4)
+    od = cat["orders"].withColumn("part", F.col("o_orderkey") % 4)
+    bucketed = bucketize_for_fact_join(
+        spark, {"li2": li, "od2": od},
+        [("li2", ("l_orderkey", "part"), "od2", ("o_orderkey", "part"))],
+        num_buckets=4)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        l, o = bucketed["li2"], bucketed["od2"]
+        joined = l.join(o, (l.l_orderkey == o.o_orderkey)
+                        & (l.part == o.part), "left")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        for t in ("bkt_li2", "bkt_od2"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_conflicting_bucket_keys_raise(spark):
+    """One table, two different bucket keys: refuse instead of silently
+    overwriting the first layout (the second join would shuffle anyway)."""
+    cat = load_catalog(spark, SF, [ORDERS, LINEITEM])
+    with pytest.raises(ValueError, match="two different bucket keys"):
+        bucketize_for_fact_join(
+            spark, cat,
+            [("lineitem", "l_orderkey", "orders", "o_orderkey"),
+             ("lineitem", "l_suppkey", "orders", "o_orderkey")],
+            num_buckets=4)
+    for t in ("bkt_lineitem", "bkt_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -385,6 +385,15 @@ def test_publish_jdbc_round_trip(spark, tmp_path):
         a = sorted(map(tuple, local.select(*cols).collect()))
         b = sorted(map(tuple, back.select(*cols).collect()))
         assert a == b, f"{name}: JDBC round trip not cell-equal"
+    # default mode is non-destructive: a re-publish against existing
+    # serving tables refuses instead of dropping them (ADVICE r05) —
+    # refresh flows must pass mode='overwrite' (+truncate) explicitly
+    with pytest.raises(Exception, match="already exists|SaveMode"):
+        eng.publish_jdbc(url, tables=[published[0]], options=opts,
+                         num_partitions=1)
+    again = eng.publish_jdbc(url, tables=[published[0]], mode="overwrite",
+                             options=opts, num_partitions=1)
+    assert again == [published[0]]
 
 
 def test_engine_bucketized_parent_join_no_exchange(spark, tmp_path):
@@ -431,5 +440,10 @@ def test_engine_bucketized_parent_join_no_exchange(spark, tmp_path):
         assert a == b
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-        for t in ("bkt_lineitem", "bkt_orders"):
+        # engine bucket tables are namespaced by storage path (ADVICE r05:
+        # two engines in one session must not overwrite each other)
+        bkt = [r.tableName for r in spark.sql("SHOW TABLES").collect()
+               if r.tableName.startswith("bkt_")]
+        assert bkt and all("_lineitem" in t or "_orders" in t for t in bkt)
+        for t in bkt:
             spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -96,9 +96,11 @@ def test_fact_defn_partition_divisor_follows_grain():
 def test_postgres_dialect_artifacts_execute_in_duckdb(spark):
     """dialect='postgres' emits the reference's native target dialect
     (app/Main.hs runs its SQL inside Postgres): original pg types, real
-    constraints, CREATE INDEX statements, ? placeholders, NOT EXISTS
-    anti-join.  Proof: the emitted DDL+DML EXECUTES in DuckDB (pg-compatible
-    parser) and produces the same rows as the Spark executors."""
+    constraints, CREATE INDEX statements, ? placeholders, and the
+    reference's literal LEFT OUTER JOIN + IS NULL anti-join
+    (Populate/Dimension.hs:50-60).  Proof: the emitted DDL+DML EXECUTES in
+    DuckDB (pg-compatible parser) and produces the same rows as the Spark
+    executors."""
     import duckdb
 
     from ringo_spark.extractor import extract_dimension_tables
@@ -137,7 +139,8 @@ def test_postgres_dialect_artifacts_execute_in_duckdb(spark):
     dim_incr = dimension_table_populate_sql(env, FACT, "dim_browser",
                                             PopulationMode.INCREMENTAL,
                                             dialect="postgres")
-    assert "NOT EXISTS" in dim_incr and "LEFT ANTI JOIN" not in dim_incr
+    assert "LEFT OUTER JOIN" in dim_incr and "IS NULL" in dim_incr
+    assert "LEFT ANTI JOIN" not in dim_incr and "NOT EXISTS" not in dim_incr
 
     fddl = fact_table_defn_sql(env, FACT, dialect="postgres")
     assert "CREATE INDEX" in fddl and "PARTITIONED BY" not in fddl
