@@ -16,6 +16,10 @@ Scale notes (100 TB):
 - minhash_lsh: the *only* shuffle of the big side is on band keys (bounded
   per doc: BANDS rows); candidate verification joins doc shingle sets only
   for candidate pairs.  This is the standard linear-scaling LSH layout.
+  On MASS-DUPLICATED corpora (boilerplate, licenses — the normal case in
+  crawled data) use minhash_lsh_capped: exact-collapse first plus a
+  band-bucket cap bound candidate generation at C(cap,2) per bucket,
+  where the uncapped path goes quadratic in the duplication factor.
 - ngram_jaccard: the inverted-index self-join is quadratic in posting-list
   length per shingle — correct as a small-scale oracle/baseline; use
   minhash_lsh at scale.
@@ -218,7 +222,15 @@ def build_minhash_index(spark: SparkSession, sf_dir: str,
                         force: bool = False) -> str:
     """Build (once) the persisted minhash index: band rows + shingle sets.
     The cache tag folds in a stat fingerprint of the source parquet so a
-    regenerated corpus misses the cache (same policy as the ANN indexes)."""
+    regenerated corpus misses the cache (same policy as the ANN indexes).
+
+    Production note: a web-scale index build should run the exact-collapse
+    of :func:`dedup_minhash_lsh_capped_df` FIRST and index representatives
+    only — identical texts add band rows (and candidate pairs) the capped
+    query would discard anyway, and the (text_hash -> rep) table recovers
+    them.  The uncollapsed build here matches the registered
+    ``dedup_minhash_lsh_indexed`` oracle (pair-equality with the live
+    uncapped path)."""
     import hashlib as _hashlib
 
     from .similarity import _source_fingerprint
