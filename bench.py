@@ -58,6 +58,7 @@ HEADLINE = [
     "dedup_minhash_lsh_indexed",
     # round-6 additions: the scale-hardened production shapes
     "dedup_minhash_lsh_capped",
+    "dedup_minhash_lsh_capped_indexed",
     "dedup_clusters_indexed",
 ]
 

@@ -219,35 +219,39 @@ MINHASH_INDEX_ROOT = _os.path.join(
 
 def build_minhash_index(spark: SparkSession, sf_dir: str,
                         index_path: str | None = None,
-                        force: bool = False) -> str:
+                        force: bool = False,
+                        collapse: bool = False) -> str:
     """Build (once) the persisted minhash index: band rows + shingle sets.
     The cache tag folds in a stat fingerprint of the source parquet so a
     regenerated corpus misses the cache (same policy as the ANN indexes).
 
-    Production note: a web-scale index build should run the exact-collapse
-    of :func:`dedup_minhash_lsh_capped_df` FIRST and index representatives
-    only — identical texts add band rows (and candidate pairs) the capped
-    query would discard anyway, and the (text_hash -> rep) table recovers
-    them.  The uncollapsed build here matches the registered
-    ``dedup_minhash_lsh_indexed`` oracle (pair-equality with the live
-    uncapped path)."""
+    ``collapse=True`` is the production web-scale build: run the
+    exact-collapse of :func:`dedup_minhash_lsh_capped_df` FIRST and index
+    representatives only — identical texts add band rows (and candidate
+    pairs) the capped query would discard anyway, and dedup_exact's
+    (text_hash -> rep) table recovers them.  The default uncollapsed
+    build matches the registered ``dedup_minhash_lsh_indexed`` oracle
+    (pair-equality with the live uncapped path)."""
     import hashlib as _hashlib
 
     from .similarity import _source_fingerprint
 
     if index_path is None:
         fp = _source_fingerprint(sf_dir, "documents.parquet")
+        c = "c" if collapse else ""
         tag = _hashlib.md5(
-            f"{_os.path.abspath(sf_dir)}|{NUM_PERM}|{BANDS}|{SHINGLE_N}|{fp}"
+            f"{_os.path.abspath(sf_dir)}|{NUM_PERM}|{BANDS}|{SHINGLE_N}|{fp}|{c}"
             .encode()).hexdigest()[:10]
-        index_path = _os.path.join(MINHASH_INDEX_ROOT, f"p{NUM_PERM}b{BANDS}-{tag}")
+        index_path = _os.path.join(MINHASH_INDEX_ROOT,
+                                   f"p{NUM_PERM}b{BANDS}{c}-{tag}")
     marker = _os.path.join(index_path, "_INDEX_OK")
     if not force and _os.path.exists(marker):
         from .similarity import _touch
 
         _touch(marker)
         return index_path
-    shingled = _shingled(spark, sf_dir).persist()
+    docs = _rep_docs(spark, sf_dir) if collapse else None
+    shingled = _shingled(spark, sf_dir, docs=docs).persist()
     sigs = (shingled
             .withColumn("hs", shingle_hashes(F.col("sh")))
             .select("doc_id",
@@ -423,6 +427,36 @@ def dedup_minhash_lsh_capped_df(spark: SparkSession, sf_dir: str,
                 .where(F.col("jaccard") >= JACCARD_THRESHOLD))
     shingled.unpersist()
     return out
+
+
+def dedup_minhash_lsh_capped_indexed_df(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """The capped result served from a PERSISTED collapsed index (built
+    over representatives, ``build_minhash_index(collapse=True)``) — the
+    steady-state production shape: collapse + shingling + signatures paid
+    once at build/append time, query-time work reduced to the capped band
+    self-join and broadcast verification.  Pair-equality with
+    :func:`dedup_minhash_lsh_capped_df` is pytest-pinned, so the same
+    oracle applies."""
+    p = build_minhash_index(spark, sf_dir, collapse=True)
+    bands = _capped_bands(spark.read.parquet(_os.path.join(p, "bands")))
+    shingled = spark.read.parquet(_os.path.join(p, "shingles"))
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = _ckpt(a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+                        & (F.col("a.doc_id") < F.col("b.doc_id")))
+                 .select(F.col("a.doc_id").alias("doc_a"),
+                         F.col("b.doc_id").alias("doc_b"))
+                 .dropDuplicates(["doc_a", "doc_b"]))
+    sh_a = shingled.select(F.col("doc_id").alias("doc_a"),
+                           F.col("sh").alias("sh_a"))
+    sh_b = shingled.select(F.col("doc_id").alias("doc_b"),
+                           F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
+            .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+            .where(F.col("jaccard") >= JACCARD_THRESHOLD))
 
 
 _REP_SHINGLE_BASE_CTE = f"""

@@ -9,7 +9,8 @@ from .dedup import (
     dedup_clusters_df, dedup_clusters_indexed_df, dedup_embedding_df,
     dedup_exact_df,
     dedup_incremental_df, dedup_minhash_incremental_df, dedup_minhash_lsh_df,
-    dedup_minhash_lsh_capped_df, dedup_minhash_lsh_indexed_df,
+    dedup_minhash_lsh_capped_df, dedup_minhash_lsh_capped_indexed_df,
+    dedup_minhash_lsh_indexed_df,
     dedup_ngram_jaccard_df, dedup_simhash_df, dedup_winnowing_df,
 )
 from .multimodal import (
@@ -131,6 +132,8 @@ DRIVER_WINDOW: list[str] = [
 # (quantiles…metrics_unpivot) hold r02+r03+r05 records each — the
 # best-covered cohort — and made room for the round-6 first rows.
 DISPLACED: list[str] = [
+    "dedup_minhash_lsh_capped_indexed",  # new mid-r06: local-verified,
+                                         # first driver row next rotation
     "quantiles",
     "window_lag",
     "set_ops",
@@ -184,6 +187,10 @@ OPERATOR_QUERIES: dict[str, tuple] = {
     # mass-duplicated corpora (oracle encodes the identical cap)
     "dedup_minhash_lsh_capped": (dedup_minhash_lsh_capped_df,
                                  DEDUP_MINHASH_LSH_CAPPED_SQL),
+    # same capped result served from the persisted COLLAPSED index
+    # (pair-equality with the live capped path pytest-pinned)
+    "dedup_minhash_lsh_capped_indexed": (dedup_minhash_lsh_capped_indexed_df,
+                                         DEDUP_MINHASH_LSH_CAPPED_SQL),
 
     "dedup_simhash": (dedup_simhash_df, DEDUP_SIMHASH_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard_df, DEDUP_NGRAM_JACCARD_SQL),

@@ -622,3 +622,17 @@ def test_index_builders_gc_stale_fingerprints(spark, tmp_path, monkeypatch):
     assert built[-1] in left and len(left) <= 2
     # cache hit on the survivor still serves (marker touched, not rebuilt)
     assert sim.build_lsh_index(spark, src) == built[-1]
+
+
+def test_capped_indexed_matches_live_capped(spark):
+    """The collapsed persisted index serves the identical capped pairs as
+    the live collapse+cap recompute — the proof that lets the indexed
+    variant share the capped oracle."""
+    from ringo_spark.operators.dedup import (
+        dedup_minhash_lsh_capped_df, dedup_minhash_lsh_capped_indexed_df,
+    )
+
+    live = {tuple(r) for r in dedup_minhash_lsh_capped_df(spark, SF).collect()}
+    idx = {tuple(r)
+           for r in dedup_minhash_lsh_capped_indexed_df(spark, SF).collect()}
+    assert idx == live and live
