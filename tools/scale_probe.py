@@ -211,6 +211,85 @@ def skew_scenario():
           f"({bal_wall:.2f}s -> {skew_wall:.2f}s)")
 
 
+def skewjoin_scenario():
+    """Hot-FK probe for the parent-fact join (SCALE.md §3 claim 3): half
+    of all lineitem rows point at ONE order key, so the sort-merge join's
+    partition for that key holds 50% of the join input.  With AQE
+    skew-join ON (thresholds scaled down to engage at probe size — at
+    100 TB the defaults engage on their own), the oversized partition is
+    split into multiple tasks; with it OFF, one straggler task carries
+    half the data.  The probe reports both regimes' task spread on the
+    join stage."""
+    from ringo_spark.catalog import get_spark
+    from ringo_spark.testbed import fact_lineitem_by_day_df
+
+    spark = get_spark("skewjoin-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    d = os.path.join(SCRATCH, "skewfk")
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    hot = li.agg(F.min("l_orderkey")).collect()[0][0]
+    k, n_ord = 8, orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    big_o = _replicate([orders.select(
+        (F.col("o_orderkey") + c * n_ord).alias("o_orderkey"),
+        *[col for col in orders.columns if col != "o_orderkey"])
+        for c in range(k)])
+    big_l = _replicate([li.select(
+        (F.col("l_orderkey") + c * n_ord).alias("l_orderkey"),
+        *[col for col in li.columns if col != "l_orderkey"])
+        for c in range(k)])
+    # half of ALL lineitem rows -> one hot order key
+    big_l = big_l.withColumn(
+        "l_orderkey",
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit(hot))
+        .otherwise(F.col("l_orderkey")))
+    big_o.repartition(32).write.mode("overwrite") \
+        .parquet(os.path.join(d, "orders.parquet"))
+    big_l.repartition(32).write.mode("overwrite") \
+        .parquet(os.path.join(d, "lineitem.parquet"))
+    n = spark.read.parquet(os.path.join(d, "lineitem.parquet")).count()
+    n_hot = (spark.read.parquet(os.path.join(d, "lineitem.parquet"))
+             .where(F.col("l_orderkey") == hot).count())
+    print(f"lineitem: {n} rows, hot order {hot} owns {n_hot} ({n_hot/n:.0%})")
+
+    conf = spark.conf
+    saved = {key: conf.get(key) for key in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.enabled")}
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+    try:
+        # force the SMJ (dims at probe size would broadcast) and scale the
+        # skew thresholds to probe size: at 100 TB the 256MB default
+        # engages by itself; here partitions are ~1MB
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+                 "1MB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
+        for label, skew_on in (("aqe-skew-join OFF", "false"),
+                               ("aqe-skew-join ON", "true")):
+            conf.set("spark.sql.adaptive.skewJoin.enabled", skew_on)
+            fact_lineitem_by_day_df(spark, d).write \
+                .format("noop").mode("overwrite").save()     # warmup run
+            s0 = _max_stage_id(spark)
+            t0 = time.time()
+            fact_lineitem_by_day_df(spark, d).write \
+                .format("noop").mode("overwrite").save()
+            wall = time.time() - t0
+            print(f"\n{label}: wall {wall:.2f}s")
+            print("| stage | max task | median task | spread | tasks |")
+            print("|---|---|---|---|---|")
+            for sid, mx, med, cnt in sorted(_task_time_spread(spark, s0)):
+                print(f"| {sid} | {mx}ms | {med:.0f}ms "
+                      f"| {mx / max(med, 1):.1f}x | {cnt} |")
+    finally:
+        for key, v in saved.items():
+            conf.set(key, v)
+        conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
 def main():
     from ringo_spark.catalog import get_spark
     from ringo_spark.operators.dedup import (
@@ -264,5 +343,7 @@ def main():
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "skew":
         skew_scenario()
+    elif len(sys.argv) > 1 and sys.argv[1] == "skewjoin":
+        skewjoin_scenario()
     else:
         main()
