@@ -28,3 +28,81 @@ def streaming_exact_dedup(stream_df: DataFrame,
             .withColumn("text_hash", F.md5(F.col(text_col)))
             .withWatermark(time_col, watermark_delay)
             .dropDuplicatesWithinWatermark(["text_hash"]))
+
+
+def streaming_near_dedup(index_path: str,
+                         text_col: str = "text",
+                         id_col: str = "doc_id"):
+    """Continuous form of
+    :func:`ringo_spark.operators.dedup.dedup_minhash_incremental_df`:
+    each micro-batch's documents are shingled and MinHash-signed with the
+    SAME portable expression pipeline as the batch operator, their band
+    keys probed against the persisted corpus band index
+    (:func:`~ringo_spark.operators.dedup.build_minhash_index`), and
+    candidates verified by exact Jaccard against the corpus shingle
+    table.  Returns a ``foreachBatch`` function emitting
+    (doc_new, doc_seen, jaccard) hit rows — the stream an ingest
+    pipeline uses to reject or link near-duplicate arrivals.
+
+    Scale shape: the batch side is micro-batch-sized, so its band rows
+    and candidate pairs BROADCAST; the corpus-side band scan and the
+    shingle verification are map-only — nothing corpus-sized shuffles
+    per trigger, and the index is appended (not rebuilt) as batches are
+    admitted.  Within-batch exact dups are
+    :func:`streaming_exact_dedup`'s job; cross-corpus EXACT dups also
+    surface here (jaccard = 1.0).
+
+    Usage::
+
+        prober = streaming_near_dedup(index_path)
+        (stream.writeStream.foreachBatch(prober(sink_path))
+         .trigger(availableNow=True).start())
+    """
+    import os
+
+    from ..operators.dedup import (
+        JACCARD_THRESHOLD, NUM_PERM, SHINGLE_N, _band_rows,
+    )
+    from ..operators.textfn import (
+        minhash_signature, shingle_hashes, shingles, tokens,
+    )
+
+    def batch_prober(sink_path: str):
+        def probe(batch_df: DataFrame, batch_id: int) -> None:
+            spark = batch_df.sparkSession
+            corpus_bands = (spark.read
+                            .parquet(os.path.join(index_path, "bands"))
+                            .withColumnRenamed("doc_id", "doc_seen"))
+            corpus_sh = (spark.read
+                         .parquet(os.path.join(index_path, "shingles"))
+                         .withColumnRenamed("doc_id", "doc_seen")
+                         .withColumnRenamed("sh", "sh_s"))
+            shingled = (batch_df
+                        .select(F.col(id_col).alias("doc_id"),
+                                tokens(F.col(text_col)).alias("__toks"))
+                        .select("doc_id",
+                                shingles(F.col("__toks"), SHINGLE_N).alias("sh"))
+                        .where(F.size("sh") > 0))
+            sigs = (shingled
+                    .withColumn("hs", shingle_hashes(F.col("sh")))
+                    .select("doc_id",
+                            minhash_signature(F.col("hs"), NUM_PERM)
+                            .alias("sig")))
+            bands = (_band_rows(sigs)
+                     .withColumnRenamed("doc_id", "doc_new"))
+            cand = (corpus_bands.join(F.broadcast(bands), "band_key")
+                    .select("doc_new", "doc_seen")
+                    .dropDuplicates(["doc_new", "doc_seen"]))
+            sh_n = shingled.select(F.col("doc_id").alias("doc_new"),
+                                   F.col("sh").alias("sh_n"))
+            inter = F.size(F.array_intersect("sh_n", "sh_s"))
+            jac = inter / (F.size("sh_n") + F.size("sh_s") - inter)
+            hits = (cand.join(F.broadcast(sh_n), "doc_new")
+                    .join(corpus_sh, "doc_seen")
+                    .select("doc_new", "doc_seen",
+                            F.round(jac, 6).alias("jaccard"))
+                    .where(F.col("jaccard") >= JACCARD_THRESHOLD))
+            hits.write.mode("append").parquet(sink_path)
+        return probe
+
+    return batch_prober

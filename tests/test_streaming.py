@@ -186,3 +186,42 @@ def test_streaming_pit_enrich_matches_batch(spark, tmp_path):
     assert len(got) == facts.count()
     statuses = {r[-1] for r in got}
     assert "UNKNOWN" in statuses and statuses - {"UNKNOWN"}
+
+
+def test_streaming_near_dedup_matches_batch_incremental(spark, tmp_path):
+    """The foreachBatch near-dup prober over the persisted minhash index
+    emits exactly the pairs the batch incremental operator finds, even
+    with the incoming docs split across micro-batches (per-doc signatures
+    are independent, so batching cannot change the hit set)."""
+    from ringo_spark.operators.dedup import (
+        INGESTED_BELOW, build_minhash_index, dedup_minhash_incremental_df,
+    )
+    from ringo_spark.streaming.dedup import streaming_near_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus_dir = str(tmp_path / "corpus")
+    os.makedirs(corpus_dir)
+    (docs.where(F.col("doc_id") < INGESTED_BELOW)
+     .write.parquet(f"{corpus_dir}/documents.parquet"))
+    idx = build_minhash_index(spark, corpus_dir)
+
+    src = str(tmp_path / "incoming")
+    incoming = docs.where(F.col("doc_id") >= INGESTED_BELOW)
+    n = incoming.count()
+    half = incoming.limit(n // 2)
+    half.coalesce(1).write.parquet(src)                               # batch 1
+    incoming.subtract(half).coalesce(1).write.mode("append").parquet(src)  # 2
+
+    sink = str(tmp_path / "hits")
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1).parquet(src)
+    q = (stream.writeStream
+         .foreachBatch(streaming_near_dedup(idx)(sink))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {tuple(r) for r in spark.read.parquet(sink).collect()}
+    want = {tuple(r)
+            for r in dedup_minhash_incremental_df(spark, SF).collect()}
+    assert got == want and want
