@@ -265,6 +265,11 @@ IVF_INDEX_ROOT = os.path.join(
 
 
 INDEX_KEEP_LAST = 3
+# writer tasks per index cell/bucket at build time: a hot cell's rows are
+# salted over this many writers so one giant cell (clustered embeddings,
+# hot LSH buckets) can't serialize the build; the partitionBy layout is
+# unchanged — each cell dir just holds up to this many files
+BUILD_WRITERS_PER_CELL = 4
 
 
 def gc_index_root(root: str, keep: int | None = None,
@@ -356,10 +361,13 @@ def build_ivf_index(spark: SparkSession, sf_dir: str,
 
     Scale shape: the assignment is a *map-only* expression (argmax over K
     broadcast centroid literals) — vectors never shuffle for assignment.
-    The single ``repartition("cell")`` is the one build-time shuffle, so
-    each cell lands as a contiguous file set (at real scale you'd salt the
-    repartition key to get several writers per giant cell; the layout and
-    the query path are unchanged).  Amortized across every query served.
+    The single salted ``repartition(cell, salt)`` is the one build-time
+    shuffle: the salt gives every cell up to BUILD_WRITERS_PER_CELL
+    writer tasks, so a giant cell (clustered embeddings are the normal
+    case) cannot serialize the build behind one straggler writer.  The
+    on-disk layout and the query path are unchanged — ``partitionBy``
+    still splits by cell, each cell directory just holds several files.
+    Amortized across every query served.
     """
     if index_path is None:
         tag = hashlib.md5(
@@ -372,7 +380,8 @@ def build_ivf_index(spark: SparkSession, sf_dir: str,
     emb = _emb(spark, sf_dir)
     cent_rows = _ivf_centroid_rows(emb, k)
     (emb.withColumn("cell", _cell_expr(cent_rows))
-     .repartition("cell")
+     .repartition(F.col("cell"),
+                  F.pmod(F.col("vec_id"), F.lit(BUILD_WRITERS_PER_CELL)))
      .write.mode("overwrite").partitionBy("cell").parquet(index_path))
     gc_index_root(IVF_INDEX_ROOT, protect=index_path)
     return index_path
@@ -700,9 +709,11 @@ def build_lsh_index(spark: SparkSession, sf_dir: str, bits: int = LSH_BITS,
                     index_path: str | None = None, force: bool = False) -> str:
     """Persist the corpus written ``partitionBy("bucket")`` — the LSH twin
     of :func:`build_ivf_index`.  Bucket assignment is a map-only sign-bit
-    expression (no training, no shuffle of vectors); the single
-    ``repartition("bucket")`` is the one build-time shuffle.  Amortized
-    across every query batch served from the index."""
+    expression (no training, no shuffle of vectors); the single salted
+    ``repartition(bucket, salt)`` is the one build-time shuffle, with up
+    to BUILD_WRITERS_PER_CELL writers per hot bucket (see
+    :func:`build_ivf_index`).  Amortized across every query batch served
+    from the index."""
     if index_path is None:
         tag = hashlib.md5(
             f"{os.path.abspath(sf_dir)}|{bits}|{_source_fingerprint(sf_dir)}"
@@ -713,7 +724,8 @@ def build_lsh_index(spark: SparkSession, sf_dir: str, bits: int = LSH_BITS,
         return index_path
     (_emb(spark, sf_dir)
      .withColumn("bucket", _bucket_expr(F.col("embedding"), bits))
-     .repartition("bucket")
+     .repartition(F.col("bucket"),
+                  F.pmod(F.col("vec_id"), F.lit(BUILD_WRITERS_PER_CELL)))
      .write.mode("overwrite").partitionBy("bucket").parquet(index_path))
     gc_index_root(LSH_INDEX_ROOT, protect=index_path)
     return index_path
