@@ -268,6 +268,35 @@ def build_minhash_index(spark: SparkSession, sf_dir: str,
     return index_path
 
 
+def append_to_minhash_index(spark: SparkSession, index_path: str,
+                            batch_docs: DataFrame) -> None:
+    """Admit an ingestion batch into a persisted minhash index: the
+    batch's band rows and shingle sets are APPENDED — the existing index
+    never rewrites, so admission cost is O(batch), not O(corpus).  This
+    is the steady-state lifecycle the incremental/streaming probes
+    assume: probe the index (reject near-dups), then append the admitted
+    survivors.  Appending is idempotent-unsafe by design (append the
+    same doc twice and it will self-pair) — dedup first, exactly like
+    the probes do.
+
+    Equivalence: per-document signatures are independent, so an index
+    built from the full corpus equals corpus-index + appended batches
+    (pytest-pinned)."""
+    shingled = (batch_docs
+                .select("doc_id", tokens(F.col("text")).alias("__toks"))
+                .select("doc_id",
+                        shingles(F.col("__toks"), SHINGLE_N).alias("sh"))
+                .where(F.size("sh") > 0))
+    sigs = (shingled
+            .withColumn("hs", shingle_hashes(F.col("sh")))
+            .select("doc_id",
+                    minhash_signature(F.col("hs"), NUM_PERM).alias("sig")))
+    _band_rows(sigs).write.mode("append").parquet(
+        _os.path.join(index_path, "bands"))
+    shingled.write.mode("append").parquet(
+        _os.path.join(index_path, "shingles"))
+
+
 def dedup_minhash_lsh_indexed_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Identical result to :func:`dedup_minhash_lsh_df`, served from the
     persisted band+shingle index — the shingling/signature pass is paid

@@ -636,3 +636,35 @@ def test_capped_indexed_matches_live_capped(spark):
     idx = {tuple(r)
            for r in dedup_minhash_lsh_capped_indexed_df(spark, SF).collect()}
     assert idx == live and live
+
+
+def test_minhash_index_append_equals_full_rebuild(spark, tmp_path):
+    """Index lifecycle: corpus index + appended batch == index built from
+    the full corpus (per-doc signatures are independent), so admission
+    cost stays O(batch) while queries see the same candidate space."""
+    import os
+
+    from ringo_spark.operators.dedup import (
+        append_to_minhash_index, build_minhash_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus_dir = str(tmp_path / "corpus")
+    full_dir = str(tmp_path / "full")
+    os.makedirs(corpus_dir)
+    os.makedirs(full_dir)
+    docs.where(F.col("doc_id") < 300).write.parquet(
+        f"{corpus_dir}/documents.parquet")
+    docs.write.parquet(f"{full_dir}/documents.parquet")
+
+    grown = build_minhash_index(spark, corpus_dir)
+    append_to_minhash_index(spark, grown,
+                            docs.where(F.col("doc_id") >= 300))
+    full = build_minhash_index(spark, full_dir)
+
+    for part in ("bands", "shingles"):
+        a = {tuple(map(str, r))
+             for r in spark.read.parquet(os.path.join(grown, part)).collect()}
+        b = {tuple(map(str, r))
+             for r in spark.read.parquet(os.path.join(full, part)).collect()}
+        assert a == b and a, part
