@@ -370,8 +370,10 @@ def build_ivf_index(spark: SparkSession, sf_dir: str,
     Amortized across every query served.
     """
     if index_path is None:
+        # "|c" = centroids persisted alongside (append support); older
+        # cached dirs without them miss the tag and rebuild
         tag = hashlib.md5(
-            f"{os.path.abspath(sf_dir)}|{k}|{_source_fingerprint(sf_dir)}"
+            f"{os.path.abspath(sf_dir)}|{k}|{_source_fingerprint(sf_dir)}|c"
             .encode()).hexdigest()[:10]
         index_path = os.path.join(IVF_INDEX_ROOT, f"k{k}-{tag}")
     if not force and os.path.exists(os.path.join(index_path, "_SUCCESS")):
@@ -383,8 +385,33 @@ def build_ivf_index(spark: SparkSession, sf_dir: str,
      .repartition(F.col("cell"),
                   F.pmod(F.col("vec_id"), F.lit(BUILD_WRITERS_PER_CELL)))
      .write.mode("overwrite").partitionBy("cell").parquet(index_path))
+    # persist the centroids INSIDE the index (underscore prefix: data
+    # discovery ignores it) — appends must assign with the exact same
+    # centroid set or cell routing silently diverges from the stored data
+    (spark.createDataFrame([(int(c), [float(x) for x in v])
+                            for c, v in cent_rows], "cid int, cvec array<double>")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(index_path, "_centroids")))
     gc_index_root(IVF_INDEX_ROOT, protect=index_path)
     return index_path
+
+
+def append_to_ivf_index(spark: SparkSession, index_path: str,
+                        batch_emb: DataFrame) -> None:
+    """Admit an ingestion batch into a persisted IVF index: cells are
+    assigned with the index's OWN stored centroids (not recomputed — a
+    drifted centroid set would route new vectors to cells the query path
+    doesn't probe for them) and appended ``partitionBy("cell")``.  Cost
+    is O(batch) map-only assignment + one batch-sized shuffle; the
+    existing index files never rewrite.  Centroid retraining is a
+    rebuild, by design — the index tag's source fingerprint makes that
+    explicit."""
+    cent = spark.read.parquet(os.path.join(index_path, "_centroids"))
+    cent_rows = [(r.cid, r.cvec) for r in cent.collect()]
+    (batch_emb.withColumn("cell", _cell_expr(cent_rows))
+     .repartition(F.col("cell"),
+                  F.pmod(F.col("vec_id"), F.lit(BUILD_WRITERS_PER_CELL)))
+     .write.mode("append").partitionBy("cell").parquet(index_path))
 
 
 def ann_ivf_indexed_df(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -668,3 +668,34 @@ def test_minhash_index_append_equals_full_rebuild(spark, tmp_path):
         b = {tuple(map(str, r))
              for r in spark.read.parquet(os.path.join(full, part)).collect()}
         assert a == b and a, part
+
+
+def test_ivf_index_append_equals_full_rebuild(spark, tmp_path):
+    """IVF lifecycle twin of the minhash append test: corpus index +
+    appended batch routes every vector to the same cell as a full
+    rebuild, because appends assign with the index's stored centroids."""
+    import os
+
+    from ringo_spark.operators.similarity import (
+        IVF_K, append_to_ivf_index, build_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus_dir = str(tmp_path / "corpus")
+    full_dir = str(tmp_path / "full")
+    os.makedirs(corpus_dir)
+    os.makedirs(full_dir)
+    # corpus holds vec_id < 400 (⊇ the centroid seeds vec_id < IVF_K),
+    # so the full rebuild derives the identical centroid set
+    assert 400 > IVF_K
+    emb.where(F.col("vec_id") < 400).write.parquet(
+        f"{corpus_dir}/embeddings.parquet")
+    emb.write.parquet(f"{full_dir}/embeddings.parquet")
+
+    grown = build_ivf_index(spark, corpus_dir)
+    append_to_ivf_index(spark, grown, emb.where(F.col("vec_id") >= 400))
+    full = build_ivf_index(spark, full_dir)
+
+    a = {(r.vec_id, r.cell) for r in spark.read.parquet(grown).collect()}
+    b = {(r.vec_id, r.cell) for r in spark.read.parquet(full).collect()}
+    assert a == b and a
