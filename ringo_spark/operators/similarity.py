@@ -758,6 +758,19 @@ def build_lsh_index(spark: SparkSession, sf_dir: str, bits: int = LSH_BITS,
     return index_path
 
 
+def append_to_lsh_index(spark: SparkSession, index_path: str,
+                        batch_emb: DataFrame, bits: int = LSH_BITS) -> None:
+    """Admit an ingestion batch into a persisted LSH index.  Bucket
+    assignment is a stateless sign-bit expression (same ``bits`` as the
+    build — the caller owns that invariant, it's encoded in the index
+    tag), so unlike IVF there is no stored state to read: map-only
+    assignment, one batch-sized shuffle, ``mode("append")``."""
+    (batch_emb.withColumn("bucket", _bucket_expr(F.col("embedding"), bits))
+     .repartition(F.col("bucket"),
+                  F.pmod(F.col("vec_id"), F.lit(BUILD_WRITERS_PER_CELL)))
+     .write.mode("append").partitionBy("bucket").parquet(index_path))
+
+
 def ann_lsh_indexed_df(spark: SparkSession, sf_dir: str,
                        bits: int = LSH_BITS) -> DataFrame:
     """Bucketed ANN served from the persisted index: the query batch's

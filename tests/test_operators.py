@@ -699,3 +699,30 @@ def test_ivf_index_append_equals_full_rebuild(spark, tmp_path):
     a = {(r.vec_id, r.cell) for r in spark.read.parquet(grown).collect()}
     b = {(r.vec_id, r.cell) for r in spark.read.parquet(full).collect()}
     assert a == b and a
+
+
+def test_lsh_index_append_equals_full_rebuild(spark, tmp_path):
+    """LSH lifecycle: bucket assignment is stateless, so corpus index +
+    appended batch is file-for-file equivalent to a full rebuild."""
+    import os
+
+    from ringo_spark.operators.similarity import (
+        append_to_lsh_index, build_lsh_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus_dir = str(tmp_path / "corpus")
+    full_dir = str(tmp_path / "full")
+    os.makedirs(corpus_dir)
+    os.makedirs(full_dir)
+    emb.where(F.col("vec_id") < 400).write.parquet(
+        f"{corpus_dir}/embeddings.parquet")
+    emb.write.parquet(f"{full_dir}/embeddings.parquet")
+
+    grown = build_lsh_index(spark, corpus_dir)
+    append_to_lsh_index(spark, grown, emb.where(F.col("vec_id") >= 400))
+    full = build_lsh_index(spark, full_dir)
+
+    a = {(r.vec_id, r.bucket) for r in spark.read.parquet(grown).collect()}
+    b = {(r.vec_id, r.bucket) for r in spark.read.parquet(full).collect()}
+    assert a == b and a
