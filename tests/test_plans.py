@@ -213,3 +213,27 @@ def test_tpch_broadcast_gate_degrades(spark):
         conf.set("spark.sql.autoBroadcastJoinThreshold", old_auto)
     hinted = {tuple(r) for r in q5_local_supplier_volume_df(spark, SF).collect()}
     assert degraded and degraded == hinted
+
+
+def test_broadcast_gate_unit(spark, tmp_path):
+    """Gate mechanics: under the gate the hint is attached (ResolvedHint
+    in the analyzed plan), over it the frame is returned unhinted; the
+    size_path route stats the table once and caches."""
+    from ringo_spark.functions import broadcast_gate as bg
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(1000).write.parquet(p)
+    df = spark.read.parquet(p)
+
+    hinted = bg.broadcast_if_small(df, gate_bytes=1 << 30)
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+    unhinted = bg.broadcast_if_small(df, gate_bytes=0)
+    assert "ResolvedHint" not in unhinted._jdf.queryExecution().analyzed().toString()
+
+    s1 = bg.table_size_bytes(spark, p)
+    assert s1 > 0 and bg._SIZE_CACHE[p] == s1
+    assert bg.table_size_bytes(spark, p) == s1  # served from cache
+    via_path = bg.broadcast_if_small(df, gate_bytes=s1, size_path=p)
+    assert "ResolvedHint" in via_path._jdf.queryExecution().analyzed().toString()
+    via_path2 = bg.broadcast_if_small(df, gate_bytes=s1 - 1, size_path=p)
+    assert "ResolvedHint" not in via_path2._jdf.queryExecution().analyzed().toString()

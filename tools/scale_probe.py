@@ -306,7 +306,10 @@ def main():
     # scratch from an interrupted earlier run may predate schema additions
     # (the _OK sentinel would wrongly skip rebuilding) — clean first
     shutil.rmtree(SCRATCH, ignore_errors=True)
+    from ringo_spark.operators.dedup import dedup_minhash_lsh_capped_df
+
     ops = {"dedup_minhash_lsh": dedup_minhash_lsh_df,
+           "dedup_minhash_lsh_capped": dedup_minhash_lsh_capped_df,
            "dedup_winnowing": dedup_winnowing_df,
            "ann_lsh_bucketed": ann_lsh_bucketed_df,
            "text_quality": text_quality_df,
