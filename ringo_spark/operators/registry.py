@@ -36,9 +36,10 @@ from .rollup_grain import GRAIN_QUERIES
 from .session import SESSION_QUERIES
 from .tpch import TPCH_QUERIES
 from .text import (
-    DOC_FINGERPRINT_SQL, DOC_ROLLING_HASH_SQL, LANG_CONFUSION_SQL,
-    LANG_ID_SQL, METRICS_UNPIVOT_SQL, TEXT_QUALITY_SQL, TFIDF_BM25_SQL,
-    TOKEN_COUNT_SQL, VOCAB_TOPK_SQL, doc_fingerprint_df, doc_rolling_hash_df,
+    BENCHMARK_CONTAMINATION_SQL, DOC_FINGERPRINT_SQL, DOC_ROLLING_HASH_SQL,
+    LANG_CONFUSION_SQL, LANG_ID_SQL, METRICS_UNPIVOT_SQL, TEXT_QUALITY_SQL,
+    TFIDF_BM25_SQL, TOKEN_COUNT_SQL, VOCAB_TOPK_SQL,
+    benchmark_contamination_df, doc_fingerprint_df, doc_rolling_hash_df,
     lang_confusion_df, lang_id_df, metrics_unpivot_df, text_quality_df,
     tfidf_bm25_df, token_count_df, vocab_topk_df,
 )
@@ -134,6 +135,8 @@ DRIVER_WINDOW: list[str] = [
 DISPLACED: list[str] = [
     "dedup_minhash_lsh_capped_indexed",  # new mid-r06: local-verified,
                                          # first driver row next rotation
+    "benchmark_contamination",           # new mid-r06: same treatment
+    "doc_chunk",                         # new mid-r06: same treatment
     "quantiles",
     "window_lag",
     "set_ops",
@@ -230,6 +233,10 @@ OPERATOR_QUERIES: dict[str, tuple] = {
     "vocab_topk": (vocab_topk_df, VOCAB_TOPK_SQL),
     "tfidf_bm25": (tfidf_bm25_df, TFIDF_BM25_SQL),
     "lang_confusion": (lang_confusion_df, LANG_CONFUSION_SQL),
+    # benchmark decontamination: per-train-doc n-gram overlap against the
+    # (broadcast, small-by-nature) eval-set shingle universe
+    "benchmark_contamination": (benchmark_contamination_df,
+                                BENCHMARK_CONTAMINATION_SQL),
     "metrics_unpivot": (metrics_unpivot_df, METRICS_UNPIVOT_SQL),
     "multimodal_features": (multimodal_features_df, MULTIMODAL_FEATURES_SQL),
     "multimodal_wav": (multimodal_wav_df, MULTIMODAL_WAV_SQL),

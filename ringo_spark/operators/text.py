@@ -361,3 +361,83 @@ SELECT doc_id, metric, value FROM (
   INTO NAME metric VALUE value)
 WHERE doc_id < 50
 """
+
+
+# --- benchmark decontamination ----------------------------------------------
+#
+# The fourth classic training-data guard (next to dedup, quality, PII):
+# training documents that overlap an evaluation benchmark leak test
+# answers into the model.  Standard practice is n-gram overlap against
+# the eval suite's n-gram universe (WMDP/GPT-3-style 8-13-gram checks;
+# 5 here to fit the short synthetic docs).
+#
+# Scale shape: the BENCHMARK side is small by nature (eval suites are
+# thousands of documents, not billions) — its distinct shingle set
+# broadcasts.  The corpus side is one shingle-explode pass with a
+# broadcast hash join (map-only) and a per-doc count whose exchange
+# carries (doc_id, partial-count) pairs — never text, never shingles.
+
+CONTAM_N = 5          # n-gram length for the overlap check
+CONTAM_THRESHOLD = 0.5
+BENCHMARK_BELOW = 100  # docs below this id play the evaluation benchmark
+
+
+def benchmark_contamination_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per training document: how much of it appears verbatim (at the
+    n-gram level) in the benchmark set, and whether it crosses the
+    decontamination threshold.  Returns (doc_id, n_shingles, n_hit,
+    contamination, is_contaminated)."""
+    from .textfn import shingles
+
+    docs = _docs(spark, sf_dir)
+    sh = (docs.select("doc_id", tokens(F.col("text")).alias("__toks"))
+          .select("doc_id", shingles(F.col("__toks"), CONTAM_N).alias("sh"))
+          .where(F.size("sh") > 0))
+    bench = (sh.where(F.col("doc_id") < BENCHMARK_BELOW)
+             .select(F.explode("sh").alias("g")).distinct())
+    train = (sh.where(F.col("doc_id") >= BENCHMARK_BELOW)
+             .select("doc_id", F.size("sh").alias("n_shingles"),
+                     F.explode("sh").alias("g")))
+    hits = (train.join(F.broadcast(bench), "g", "left_semi")
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hit")))
+    rate = F.round(F.coalesce(F.col("n_hit"), F.lit(0))
+                   / F.col("n_shingles"), 6)
+    return (sh.where(F.col("doc_id") >= BENCHMARK_BELOW)
+            .select("doc_id", F.size("sh").alias("n_shingles"))
+            .join(hits, "doc_id", "left")
+            .select("doc_id", "n_shingles",
+                    F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+                    rate.alias("contamination"),
+                    (rate >= CONTAM_THRESHOLD).alias("is_contaminated")))
+
+
+_CONTAM_BASE = f"""
+csh AS (
+  SELECT doc_id, {{}} AS sh
+  FROM (SELECT doc_id, {sql_tokens('text')} AS t FROM documents)
+  WHERE len(t) >= {CONTAM_N})
+""".format("CASE WHEN len(t) >= " + str(CONTAM_N) + " THEN list_distinct("
+           f"[array_to_string(t[i:i+{CONTAM_N - 1}], ' ') "
+           f"for i in generate_series(1, len(t) - {CONTAM_N - 1})]) "
+           "ELSE [] END")
+
+BENCHMARK_CONTAMINATION_SQL = f"""
+WITH {_CONTAM_BASE},
+bench AS (
+  SELECT DISTINCT unnest(sh) AS g FROM csh WHERE doc_id < {BENCHMARK_BELOW}),
+train AS (
+  SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS g
+  FROM csh WHERE doc_id >= {BENCHMARK_BELOW}),
+hits AS (
+  SELECT doc_id, count(*) AS n_hit
+  FROM train WHERE g IN (SELECT g FROM bench)
+  GROUP BY doc_id)
+SELECT c.doc_id,
+       len(c.sh) AS n_shingles,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       round(coalesce(h.n_hit, 0) * 1.0 / len(c.sh), 6) AS contamination,
+       round(coalesce(h.n_hit, 0) * 1.0 / len(c.sh), 6)
+         >= {CONTAM_THRESHOLD} AS is_contaminated
+FROM csh c LEFT JOIN hits h ON h.doc_id = c.doc_id
+WHERE c.doc_id >= {BENCHMARK_BELOW}
+"""

@@ -140,6 +140,68 @@ SELECT doc_id, shard, n_tokens,
 FROM packed
 """
 
+# --- document chunking ------------------------------------------------------
+
+CHUNK_SIZE = 64     # tokens per chunk
+CHUNK_STRIDE = 48   # stride between chunk starts (overlap = size - stride)
+
+
+def doc_chunk_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into overlapping fixed-size token windows — the
+    upstream chunker :func:`seq_pack_df` assumes (long docs must be cut
+    to context-sized pieces before packing; the overlap preserves
+    cross-boundary context for training).  Chunk c covers tokens
+    [c·stride+1, c·stride+size]; the last chunk is the first one whose
+    window reaches the end, so every token is covered exactly and no
+    empty trailing chunk is emitted.
+
+    Scale: pure map-side row expansion (transform + explode inside one
+    projection) — no shuffle, no Python; output rows ∝ total tokens /
+    stride."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_tok = F.size("__toks")
+    n_chunks = F.when(n_tok <= CHUNK_SIZE, F.lit(1)).otherwise(
+        F.ceil((n_tok - CHUNK_SIZE) / CHUNK_STRIDE) + 1)
+    chunk = lambda c: F.struct(  # noqa: E731
+        c.cast("int").alias("chunk_id"),
+        F.array_join(F.slice("__toks", c * CHUNK_STRIDE + 1, CHUNK_SIZE), " ")
+        .alias("chunk_text"),
+        F.least(n_tok - c * CHUNK_STRIDE, F.lit(CHUNK_SIZE)).cast("int")
+        .alias("n_chunk_tokens"))
+    return (docs
+            .select("doc_id", tokens(F.col("text")).alias("__toks"))
+            .select("doc_id",
+                    F.explode(F.transform(
+                        F.sequence(F.lit(0), n_chunks - 1), chunk)).alias("c"))
+            .select("doc_id", "c.chunk_id", "c.chunk_text",
+                    "c.n_chunk_tokens"))
+
+
+DOC_CHUNK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {sql_tokens('text')} AS t FROM documents),
+spec AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) <= {CHUNK_SIZE} THEN 1
+              ELSE CAST(ceil((len(t) - {CHUNK_SIZE}) * 1.0
+                             / {CHUNK_STRIDE}) AS BIGINT) + 1 END AS n_chunks
+  FROM toks)
+SELECT doc_id,
+       CAST(s.cid AS INT) AS chunk_id,
+       s.txt AS chunk_text,
+       CAST(s.n AS INT) AS n_chunk_tokens
+FROM (
+  SELECT doc_id,
+         unnest([{{'cid': c,
+                   'txt': array_to_string(
+                       t[c * {CHUNK_STRIDE} + 1
+                         : c * {CHUNK_STRIDE} + {CHUNK_SIZE}], ' '),
+                   'n': least(len(t) - c * {CHUNK_STRIDE}, {CHUNK_SIZE})}}
+                  for c in generate_series(0, n_chunks - 1)]) AS s
+  FROM spec)
+"""
+
+
 # --- embedding quantization -------------------------------------------------
 
 
@@ -239,6 +301,7 @@ PROFILE_TABLE_SQL = "\nUNION ALL\n".join(
 TRAINING_QUERIES: dict[str, tuple] = {
     "text_scrub": (text_scrub_df, TEXT_SCRUB_SQL),
     "seq_pack": (seq_pack_df, SEQ_PACK_SQL),
+    "doc_chunk": (doc_chunk_df, DOC_CHUNK_SQL),
     # serialized-codes variant registered for the driver (hashable schema);
     # embed_quantize_df (typed array<int>) stays the library function
     "embed_quantize": (embed_quantize_codes_df, EMBED_QUANTIZE_CODES_SQL),

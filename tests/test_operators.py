@@ -726,3 +726,30 @@ def test_lsh_index_append_equals_full_rebuild(spark, tmp_path):
     a = {(r.vec_id, r.bucket) for r in spark.read.parquet(grown).collect()}
     b = {(r.vec_id, r.bucket) for r in spark.read.parquet(full).collect()}
     assert a == b and a
+
+
+def test_benchmark_contamination_flags_planted_overlap(spark, tmp_path):
+    """A train doc that quotes a benchmark passage verbatim is flagged;
+    an unrelated doc scores zero."""
+    import os
+
+    from ringo_spark.operators.text import (
+        BENCHMARK_BELOW, benchmark_contamination_df,
+    )
+
+    bench_text = " ".join(f"bench{i}" for i in range(30))
+    quoting = " ".join(f"bench{i}" for i in range(25)) + " extra tail words"
+    clean = " ".join(f"clean{i}" for i in range(30))
+    rows = [(0, bench_text),
+            (BENCHMARK_BELOW + 1, quoting),
+            (BENCHMARK_BELOW + 2, clean)]
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(f"{d}/documents.parquet")
+
+    out = {r.doc_id: r for r in benchmark_contamination_df(spark, d).collect()}
+    assert out[BENCHMARK_BELOW + 1].is_contaminated
+    assert out[BENCHMARK_BELOW + 1].contamination > 0.7
+    assert out[BENCHMARK_BELOW + 2].n_hit == 0
+    assert not out[BENCHMARK_BELOW + 2].is_contaminated

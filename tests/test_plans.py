@@ -126,14 +126,14 @@ def test_ivf_indexed_query_prunes_partitions(spark):
 
 
 def test_training_ops_plan_shapes(spark):
-    """text_scrub / embed_quantize are map-only (zero Exchange);
-    seq_pack's only exchange is the shard-partitioned window (never a
-    global single-partition sort); none of them touch Python."""
+    """text_scrub / embed_quantize / doc_chunk are map-only (zero
+    Exchange); seq_pack's only exchange is the shard-partitioned window
+    (never a global single-partition sort); none of them touch Python."""
     from ringo_spark.operators.training import (
-        embed_quantize_df, seq_pack_df, text_scrub_df,
+        doc_chunk_df, embed_quantize_df, seq_pack_df, text_scrub_df,
     )
 
-    for fn in (text_scrub_df, embed_quantize_df):
+    for fn in (text_scrub_df, embed_quantize_df, doc_chunk_df):
         plan = plan_of(spark, fn(spark, SF))
         assert "Exchange" not in plan, fn.__name__
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -77,3 +77,39 @@ def test_profile_table_accounting(spark):
     # o_orderkey is the PK: all distinct, no nulls
     assert rows["o_orderkey"].n_nulls == 0
     assert rows["o_orderkey"].n_distinct == n
+
+
+def test_doc_chunk_covers_every_token_with_overlap(spark):
+    """Chunking invariants: chunk c starts at token c*stride+1; every
+    token of every document lands in at least one chunk; consecutive
+    chunks overlap by exactly size-stride (except a short last chunk);
+    reassembling stride-prefixes + the last chunk reproduces the doc."""
+    from pyspark.sql import functions as F
+
+    from ringo_spark.operators.training import (
+        CHUNK_SIZE, CHUNK_STRIDE, doc_chunk_df,
+    )
+    from ringo_spark.operators.textfn import tokens
+
+    SF = "/root/testdata/sf0.001"
+    chunks = doc_chunk_df(spark, SF).collect()
+    docs = {r.doc_id: r.toks for r in
+            spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", tokens(F.col("text")).alias("toks")).collect()}
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r
+    assert set(by_doc) == set(docs)
+    for doc_id, toks in list(docs.items())[:200]:
+        cs = by_doc[doc_id]
+        assert sorted(cs) == list(range(len(cs)))
+        rebuilt = []
+        for cid in sorted(cs):
+            ctoks = cs[cid].chunk_text.split(" ")
+            assert ctoks == toks[cid * CHUNK_STRIDE:
+                                 cid * CHUNK_STRIDE + CHUNK_SIZE]
+            assert cs[cid].n_chunk_tokens == len(ctoks)
+            rebuilt.extend(ctoks if cid == len(cs) - 1
+                           else ctoks[:CHUNK_STRIDE])
+        # the last chunk reaches the end: full coverage, no gap
+        assert rebuilt[:len(toks)] == toks
