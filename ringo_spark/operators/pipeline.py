@@ -88,6 +88,141 @@ GROUP BY 1, 2
 """
 
 
+# --- training-prep pipeline --------------------------------------------------
+#
+# The round-6 composition flagship: the FULL pretraining-data pass —
+# quality filter → language selection → benchmark DECONTAMINATION →
+# exact dedup → overlapping CHUNKING → deterministic split → accounting.
+# Every stage is the standalone operator's own expression (text.
+# quality_score_expr, text.CONTAM_* shingle overlap, training.CHUNK_*,
+# sampling.split_expr), so the pipeline cannot drift from the operators
+# it composes.
+#
+# Scale notes: one corpus pass feeding everything (tokens projected
+# once, shingles and chunks derived from that projection); the
+# benchmark shingle set broadcasts (eval suites are small by nature);
+# the only corpus-keyed shuffles are the per-doc contamination count
+# (doc_id + a long), the md5 dedup window, and the final few-group
+# accounting agg.  Chunk rows explode map-side and are aggregated
+# without ever carrying text.
+
+
+def training_prep_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-split accounting (n_docs, n_chunks, total_chunk_tokens) of the
+    fully prepared training corpus."""
+    from .text import BENCHMARK_BELOW, CONTAM_N, CONTAM_THRESHOLD
+    from .textfn import shingles
+    from .training import CHUNK_SIZE, CHUNK_STRIDE
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select("doc_id", "lang", "text",
+                       tokens(F.col("text")).alias("toks"))
+    kept = (base.where(F.col("doc_id") >= BENCHMARK_BELOW)
+            .withColumn("n_words", F.size("toks"))
+            .withColumn("q", F.round(quality_score_expr(), 6))
+            .where((F.col("n_words") >= MIN_WORDS)
+                   & (F.col("q") >= MIN_QUALITY)
+                   & F.col("lang").isin(*KEEP_LANGS)))
+
+    # decontamination: drop docs whose 5-gram overlap with the benchmark
+    # set (docs below BENCHMARK_BELOW — NOT quality-filtered: the eval
+    # suite is given, not curated) crosses the threshold
+    bench = (base.where(F.col("doc_id") < BENCHMARK_BELOW)
+             .select(F.explode(shingles(F.col("toks"), CONTAM_N)).alias("g"))
+             .distinct())
+    tr_sh = kept.select("doc_id",
+                        shingles(F.col("toks"), CONTAM_N).alias("sh"))
+    hits = (tr_sh.select("doc_id", F.explode("sh").alias("g"))
+            .join(F.broadcast(bench), "g", "left_semi")
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hit")))
+    clean_ids = (tr_sh.select("doc_id", F.size("sh").alias("n_sh"))
+                 .join(hits, "doc_id", "left")
+                 .where(F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_sh")
+                        < CONTAM_THRESHOLD)
+                 .select("doc_id"))
+    decon = kept.join(clean_ids, "doc_id", "left_semi")
+
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (decon.withColumn("rk", F.row_number().over(w))
+               .where(F.col("rk") == 1))
+
+    n_tok = F.size("toks")
+    n_chunks = F.when(n_tok <= CHUNK_SIZE, F.lit(1)).otherwise(
+        F.ceil((n_tok - CHUNK_SIZE) / CHUNK_STRIDE) + 1)
+    chunk_tok = lambda c: F.least(  # noqa: E731
+        n_tok - c * CHUNK_STRIDE, F.lit(CHUNK_SIZE)).cast("int")
+    chunks = (deduped
+              .withColumn("split", split_expr(F.col("doc_id")))
+              .select("doc_id", "split",
+                      F.explode(F.transform(
+                          F.sequence(F.lit(0), n_chunks - 1), chunk_tok))
+                      .alias("n_chunk_tokens")))
+    return (chunks.groupBy("split")
+            .agg(F.count_distinct("doc_id").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum("n_chunk_tokens").alias("total_chunk_tokens")))
+
+
+def _sql_training_prep() -> str:
+    from .text import BENCHMARK_BELOW, CONTAM_N, CONTAM_THRESHOLD
+    from .textfn import sql_shingles
+    from .training import CHUNK_SIZE, CHUNK_STRIDE
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, text, {sql_tokens('text')} AS t FROM documents),
+kept AS (
+  SELECT doc_id, lang, text, t, len(t) AS n_words,
+         round({sql_quality_score('text')}, 6) AS q
+  FROM base
+  WHERE doc_id >= {BENCHMARK_BELOW}
+    AND len(t) >= {MIN_WORDS}
+    AND round({sql_quality_score('text')}, 6) >= {MIN_QUALITY}
+    AND lang IN ({_SQL_LANGS})),
+bench AS (
+  SELECT DISTINCT unnest({sql_shingles('t', CONTAM_N)}) AS g
+  FROM base WHERE doc_id < {BENCHMARK_BELOW}),
+tr_sh AS (
+  SELECT doc_id, {sql_shingles('t', CONTAM_N)} AS sh FROM kept),
+hits AS (
+  SELECT doc_id, count(*) AS n_hit
+  FROM (SELECT doc_id, unnest(sh) AS g FROM tr_sh) e
+  WHERE g IN (SELECT g FROM bench)
+  GROUP BY doc_id),
+decon AS (
+  SELECT k.* FROM kept k
+  JOIN tr_sh s ON s.doc_id = k.doc_id
+  LEFT JOIN hits h ON h.doc_id = k.doc_id
+  WHERE coalesce(h.n_hit, 0) * 1.0 / len(s.sh) < {CONTAM_THRESHOLD}),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+    FROM decon)
+  WHERE rk = 1),
+spec AS (
+  SELECT doc_id, {sql_split()} AS split, t,
+         CASE WHEN len(t) <= {CHUNK_SIZE} THEN 1
+              ELSE CAST(ceil((len(t) - {CHUNK_SIZE}) * 1.0
+                             / {CHUNK_STRIDE}) AS BIGINT) + 1 END AS n_chunks
+  FROM deduped),
+chunks AS (
+  SELECT doc_id, split,
+         unnest([least(len(t) - c * {CHUNK_STRIDE}, {CHUNK_SIZE})
+                 for c in generate_series(0, n_chunks - 1)]) AS n_chunk_tokens
+  FROM spec)
+SELECT split,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       count(*) AS n_chunks,
+       CAST(sum(n_chunk_tokens) AS BIGINT) AS total_chunk_tokens
+FROM chunks
+GROUP BY split
+"""
+
+
+TRAINING_PREP_SQL = _sql_training_prep()
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     "corpus_curation": (corpus_curation_df, CORPUS_CURATION_SQL),
+    "training_prep": (training_prep_df, TRAINING_PREP_SQL),
 }

@@ -137,6 +137,7 @@ DISPLACED: list[str] = [
                                          # first driver row next rotation
     "benchmark_contamination",           # new mid-r06: same treatment
     "doc_chunk",                         # new mid-r06: same treatment
+    "training_prep",                     # new mid-r06: same treatment
     "quantiles",
     "window_lag",
     "set_ops",

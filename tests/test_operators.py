@@ -753,3 +753,29 @@ def test_benchmark_contamination_flags_planted_overlap(spark, tmp_path):
     assert out[BENCHMARK_BELOW + 1].contamination > 0.7
     assert out[BENCHMARK_BELOW + 2].n_hit == 0
     assert not out[BENCHMARK_BELOW + 2].is_contaminated
+
+
+def test_training_prep_composition_invariants(spark):
+    """The end-to-end prep pipeline: all three splits populated, chunks
+    dominate docs, every chunk non-empty, and the guards (decon + dedup)
+    actually remove documents relative to the raw quality-passing set."""
+    from ringo_spark.operators.pipeline import (
+        KEEP_LANGS, MIN_QUALITY, MIN_WORDS, training_prep_df,
+    )
+    from ringo_spark.operators.text import BENCHMARK_BELOW
+    from ringo_spark.operators.text import quality_score_expr
+    from ringo_spark.operators.textfn import tokens
+
+    out = {r.split: r for r in training_prep_df(spark, SF).collect()}
+    assert set(out) == {"train", "val", "test"}
+    for r in out.values():
+        assert r.n_chunks >= r.n_docs > 0
+        assert r.total_chunk_tokens >= r.n_chunks
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    candidates = (docs.where(F.col("doc_id") >= BENCHMARK_BELOW)
+                  .where((F.size(tokens(F.col("text"))) >= MIN_WORDS)
+                         & (F.round(quality_score_expr(), 6) >= MIN_QUALITY)
+                         & F.col("lang").isin(*KEEP_LANGS))
+                  .count())
+    assert sum(r.n_docs for r in out.values()) < candidates
