@@ -60,6 +60,7 @@ HEADLINE = [
     "dedup_minhash_lsh_capped",
     "dedup_minhash_lsh_capped_indexed",
     "dedup_clusters_indexed",
+    "training_prep",
 ]
 
 RUNS_PER_QUERY = 2

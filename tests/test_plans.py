@@ -237,3 +237,15 @@ def test_broadcast_gate_unit(spark, tmp_path):
     assert "ResolvedHint" in via_path._jdf.queryExecution().analyzed().toString()
     via_path2 = bg.broadcast_if_small(df, gate_bytes=s1 - 1, size_path=p)
     assert "ResolvedHint" not in via_path2._jdf.queryExecution().analyzed().toString()
+
+
+def test_training_prep_plan_shape(spark):
+    """The composed prep pipeline stays JVM-side with its filters at the
+    scan: language IN-filter pushed down, benchmark shingle set joined
+    broadcast, no Python evaluator anywhere."""
+    from ringo_spark.operators.pipeline import training_prep_df
+
+    plan = plan_of(spark, training_prep_df(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "In(lang" in plan
+    assert "BroadcastHashJoin" in plan
