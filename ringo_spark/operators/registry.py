@@ -138,6 +138,7 @@ DISPLACED: list[str] = [
     "benchmark_contamination",           # new mid-r06: same treatment
     "doc_chunk",                         # new mid-r06: same treatment
     "training_prep",                     # new mid-r06: same treatment
+    "sample_cluster_split",              # new mid-r06: same treatment
     "quantiles",
     "window_lag",
     "set_ops",

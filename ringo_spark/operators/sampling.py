@@ -127,8 +127,52 @@ WHERE {sql_phash("doc_id::VARCHAR", SPLIT_SEED)} % {HASH_MOD}
 """
 
 
+def sample_cluster_split_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAK-PROOF train/val/test split: near-duplicate documents must
+    land in the SAME split, or test examples are paraphrases of training
+    examples and eval scores are contaminated.  Each doc is split by the
+    hash of its GROUP id — the near-dup cluster representative
+    (dedup_clusters' min-label) when it has one, its own doc_id
+    otherwise — using the exact split_expr every other sampler shares.
+
+    Scale: the cluster table is pair-graph-sized (tiny vs corpus) and
+    served from the persisted minhash index; the corpus side is one
+    left broadcast join + a map-side split projection.  The invariant
+    (no cluster straddles splits) is pytest-pinned."""
+    from .dedup import dedup_clusters_indexed_df
+
+    clusters = dedup_clusters_indexed_df(spark, sf_dir)
+    eff = (_docs(spark, sf_dir)
+           .join(F.broadcast(clusters), "doc_id", "left")
+           .select("doc_id",
+                   F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+                   .alias("group_id")))
+    return eff.select("doc_id", "group_id",
+                      split_expr(F.col("group_id")).alias("split"))
+
+
+def _sql_cluster_split() -> str:
+    from .dedup import DEDUP_CLUSTERS_SQL
+
+    return f"""
+WITH clusters AS ({DEDUP_CLUSTERS_SQL}),
+eff AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id)
+SELECT doc_id, group_id, {sql_split('group_id::VARCHAR')} AS split
+FROM eff
+"""
+
+
+SAMPLE_CLUSTER_SPLIT_SQL = _sql_cluster_split()
+
+
 SAMPLING_QUERIES: dict[str, tuple] = {
     "sample_hash_split": (sample_hash_split_df, SAMPLE_HASH_SPLIT_SQL),
+    # near-dup-aware split: clusters (from the persisted index — same
+    # pair set as live, pytest-pinned) never straddle splits
+    "sample_cluster_split": (sample_cluster_split_df,
+                             SAMPLE_CLUSTER_SPLIT_SQL),
     "sample_per_source_quota": (sample_per_source_quota_df,
                                 SAMPLE_PER_SOURCE_QUOTA_SQL),
     "sample_mixture": (sample_mixture_df, SAMPLE_MIXTURE_SQL),

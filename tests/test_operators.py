@@ -779,3 +779,26 @@ def test_training_prep_composition_invariants(spark):
                          & F.col("lang").isin(*KEEP_LANGS))
                   .count())
     assert sum(r.n_docs for r in out.values()) < candidates
+
+
+def test_cluster_split_is_leak_proof(spark):
+    """The near-dup-aware split's defining invariant: for every verified
+    near-dup pair, both docs land in the SAME split — and the split
+    disagrees with the naive per-doc hash split for at least one
+    clustered doc (i.e. the operator actually changes assignments)."""
+    from ringo_spark.operators.dedup import dedup_minhash_lsh_indexed_df
+    from ringo_spark.operators.sampling import (
+        sample_cluster_split_df, sample_hash_split_df,
+    )
+
+    split = {r.doc_id: r.split
+             for r in sample_cluster_split_df(spark, SF).collect()}
+    pairs = [(r.doc_a, r.doc_b)
+             for r in dedup_minhash_lsh_indexed_df(spark, SF).collect()]
+    assert pairs
+    for a, b in pairs:
+        assert split[a] == split[b], (a, b)
+    naive = {r.doc_id: r.split
+             for r in sample_hash_split_df(spark, SF).collect()}
+    clustered = {d for p in pairs for d in p}
+    assert any(split[d] != naive[d] for d in clustered)
