@@ -39,9 +39,10 @@ from .text import (
     BENCHMARK_CONTAMINATION_SQL, DOC_FINGERPRINT_SQL, DOC_ROLLING_HASH_SQL,
     LANG_CONFUSION_SQL, LANG_ID_SQL, METRICS_UNPIVOT_SQL, TEXT_QUALITY_SQL,
     TFIDF_BM25_SQL, TOKEN_COUNT_SQL, VOCAB_TOPK_SQL,
-    benchmark_contamination_df, doc_fingerprint_df, doc_rolling_hash_df,
-    lang_confusion_df, lang_id_df, metrics_unpivot_df, text_quality_df,
-    tfidf_bm25_df, token_count_df, vocab_topk_df,
+    TEXT_REPETITION_SQL, benchmark_contamination_df, doc_fingerprint_df,
+    doc_rolling_hash_df, lang_confusion_df, lang_id_df, metrics_unpivot_df,
+    text_quality_df, text_repetition_df, tfidf_bm25_df, token_count_df,
+    vocab_topk_df,
 )
 
 # --- driver correctness-window curation -------------------------------------
@@ -139,6 +140,7 @@ DISPLACED: list[str] = [
     "doc_chunk",                         # new mid-r06: same treatment
     "training_prep",                     # new mid-r06: same treatment
     "sample_cluster_split",              # new mid-r06: same treatment
+    "text_repetition",                   # new mid-r06: same treatment
     "quantiles",
     "window_lag",
     "set_ops",
@@ -239,6 +241,9 @@ OPERATOR_QUERIES: dict[str, tuple] = {
     # (broadcast, small-by-nature) eval-set shingle universe
     "benchmark_contamination": (benchmark_contamination_df,
                                 BENCHMARK_CONTAMINATION_SQL),
+    # Gopher-style repetition filters (top-bigram / duplicate-trigram
+    # fractions) — per-doc expressions, map-only at any corpus size
+    "text_repetition": (text_repetition_df, TEXT_REPETITION_SQL),
     "metrics_unpivot": (metrics_unpivot_df, METRICS_UNPIVOT_SQL),
     "multimodal_features": (multimodal_features_df, MULTIMODAL_FEATURES_SQL),
     "multimodal_wav": (multimodal_wav_df, MULTIMODAL_WAV_SQL),

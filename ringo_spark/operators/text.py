@@ -441,3 +441,88 @@ SELECT c.doc_id,
 FROM csh c LEFT JOIN hits h ON h.doc_id = c.doc_id
 WHERE c.doc_id >= {BENCHMARK_BELOW}
 """
+
+
+# --- repetition filters ------------------------------------------------------
+#
+# The Gopher/RefinedWeb-style repetition signals: machine-generated and
+# boilerplate text repeats itself (the same bigram over and over, long
+# duplicated spans), and the standard quality pass drops documents whose
+# repetition fractions cross a threshold.  Both metrics are per-document
+# expressions — map-only at any corpus size (per-doc cost is quadratic
+# in the doc's DISTINCT bigram count, bounded by document length, not
+# corpus size).
+
+TOP_BIGRAM_MAX = 0.20    # most-frequent-bigram occurrence fraction
+DUP_TRIGRAM_MAX = 0.30   # fraction of trigram occurrences that are repeats
+REP_MIN_GRAMS = 10       # below this many occurrences the fraction is
+                         # statistically meaningless (a 2-token doc's one
+                         # bigram is 100% "of" itself) — report 0.0; tiny
+                         # docs are the length filter's job, not this one's
+
+
+def _grams_all(toks, n: int):
+    """All n-gram occurrences IN ORDER (no distinct — counts matter).
+    Guarded for short docs: Spark's sequence() runs DESCENDING when
+    start > stop, so an unguarded size-1 doc would yield bogus grams."""
+    g = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.when(F.size(toks) >= n, g) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def text_repetition_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition metrics: the occurrence fraction of the
+    most frequent bigram, the repeated fraction of trigram occurrences,
+    and the drop flag at the Gopher-ish thresholds."""
+    docs = _docs(spark, sf_dir)
+    toks = F.col("__toks")
+    bg, tg = _grams_all(toks, 2), _grams_all(toks, 3)
+    top_bg = F.array_max(F.transform(
+        F.array_distinct(bg),
+        lambda g: F.size(F.filter(bg, lambda x: x == g))))
+    top_bg_frac = F.when(F.size(bg) >= REP_MIN_GRAMS,
+                         F.round(top_bg / F.size(bg), 6)).otherwise(0.0)
+    dup_tg_frac = F.when(
+        F.size(tg) >= REP_MIN_GRAMS,
+        F.round((F.size(tg) - F.size(F.array_distinct(tg))) / F.size(tg), 6)
+    ).otherwise(0.0)
+    return (docs
+            .select("doc_id", tokens(F.col("text")).alias("__toks"))
+            .select("doc_id", F.size(toks).alias("n_tokens"),
+                    top_bg_frac.alias("top_bigram_frac"),
+                    dup_tg_frac.alias("dup_trigram_frac"))
+            .withColumn("is_repetitive",
+                        (F.col("top_bigram_frac") > TOP_BIGRAM_MAX)
+                        | (F.col("dup_trigram_frac") > DUP_TRIGRAM_MAX)))
+
+
+def _sql_grams_all(t: str, n: int) -> str:
+    return (f"CASE WHEN len({t}) >= {n} THEN "
+            f"[array_to_string({t}[i:i+{n - 1}], ' ') "
+            f"for i in generate_series(1, len({t}) - {n - 1})] "
+            f"ELSE [] END")
+
+
+TEXT_REPETITION_SQL = f"""
+WITH g AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         {_sql_grams_all('t', 2)} AS bg,
+         {_sql_grams_all('t', 3)} AS tg
+  FROM (SELECT doc_id, {sql_tokens('text')} AS t FROM documents)),
+m AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN len(bg) >= {REP_MIN_GRAMS} THEN round(
+           list_max([len(list_filter(bg, x -> x = g)) for g in list_distinct(bg)])
+             * 1.0 / len(bg), 6) ELSE 0.0 END AS top_bigram_frac,
+         CASE WHEN len(tg) >= {REP_MIN_GRAMS} THEN round(
+           (len(tg) - len(list_distinct(tg))) * 1.0 / len(tg), 6)
+         ELSE 0.0 END AS dup_trigram_frac
+  FROM g)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       top_bigram_frac, dup_trigram_frac,
+       top_bigram_frac > {TOP_BIGRAM_MAX}
+         OR dup_trigram_frac > {DUP_TRIGRAM_MAX} AS is_repetitive
+FROM m
+"""

@@ -802,3 +802,26 @@ def test_cluster_split_is_leak_proof(spark):
              for r in sample_hash_split_df(spark, SF).collect()}
     clustered = {d for p in pairs for d in p}
     assert any(split[d] != naive[d] for d in clustered)
+
+
+def test_repetition_metrics_on_synthetic_docs(spark, tmp_path):
+    """A looping doc is flagged on both signals; varied text on neither;
+    a 2-token doc exercises the short-doc guards (no trigram, no crash)."""
+    import os
+
+    from ringo_spark.operators.text import text_repetition_df
+
+    loop = "spam ham " * 30
+    varied = " ".join(f"w{i}" for i in range(60))
+    rows = [(1, loop.strip()), (2, varied), (3, "just two")]
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(f"{d}/documents.parquet")
+
+    out = {r.doc_id: r for r in text_repetition_df(spark, d).collect()}
+    assert out[1].is_repetitive
+    assert out[1].top_bigram_frac > 0.4 and out[1].dup_trigram_frac > 0.9
+    assert not out[2].is_repetitive
+    assert out[2].top_bigram_frac < 0.05 and out[2].dup_trigram_frac == 0.0
+    assert out[3].dup_trigram_frac == 0.0 and not out[3].is_repetitive
