@@ -127,8 +127,7 @@ class Engine:
         return pairs
 
     def bucketize_sources(self, num_buckets: int = 8,
-                          pairs: list[tuple[str, str, str, str]] | None = None
-                          ) -> list[str]:
+                          pairs: list[tuple] | None = None) -> list[str]:
         """Store both sides of every parent-fact source join bucketed by
         the FK, and serve the sources from the bucketed tables from now on.
 

@@ -115,6 +115,36 @@ def _band_rows(sigs: DataFrame) -> DataFrame:
             .select("doc_id", band_key.alias("band_key")))
 
 
+def _candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Banded-LSH candidate generation: band-key self-join with ordered
+    pair dedup.  Callers checkpoint the (tiny) result so upstream caches
+    can be released."""
+    a, b = bands.alias("a"), bands.alias("b")
+    return (a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .dropDuplicates(["doc_a", "doc_b"]))
+
+
+def _verify_pairs(cand: DataFrame, sets: DataFrame, set_col: str = "sh",
+                  out_col: str = "jaccard",
+                  threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Exact-Jaccard verification: join the candidate pair list back to
+    the per-doc set table (``cand`` is tiny, so AQE turns these into
+    broadcast joins — the set arrays never shuffle), keep pairs at or
+    above the threshold."""
+    sa = sets.select(F.col("doc_id").alias("doc_a"),
+                     F.col(set_col).alias("__sa"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"),
+                     F.col(set_col).alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    jac = inter / (F.size("__sa") + F.size("__sb") - inter)
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b", F.round(jac, 6).alias(out_col))
+            .where(F.col(out_col) >= threshold))
+
+
 # --- exact ------------------------------------------------------------------
 
 
@@ -164,37 +194,15 @@ def dedup_minhash_lsh_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                     minhash_signature(F.col("hs"), NUM_PERM).alias("sig"))
             .persist())
 
-    bands = _band_rows(sigs)
-
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .dropDuplicates(["doc_a", "doc_b"]))
-    # Materialize the (small) pair list so the signature cache can be
-    # released before the verification joins.  On a cluster, swap for
+    # Materialize the (small) candidate list so the signature cache can
+    # be released before the verification joins.  On a cluster, swap for
     # .checkpoint() to reliable storage if executor loss during
     # verification matters.
-    cand = _ckpt(cand)
+    cand = _ckpt(_candidate_pairs(_band_rows(sigs)))
     sigs.unpersist()
-
-    # Verification: join candidates back to the shingle table.  `cand` is
-    # tiny relative to the corpus, so AQE turns these into broadcast joins
-    # of the pair list against a map-side scan — shingle arrays never
-    # shuffle.
-    sh_a = shingled.select(F.col("doc_id").alias("doc_a"),
-                           F.col("sh").alias("sh_a"))
-    sh_b = shingled.select(F.col("doc_id").alias("doc_b"),
-                           F.col("sh").alias("sh_b"))
-    ver = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
-
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
-    out = _ckpt(ver.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-                .where(F.col("jaccard") >= JACCARD_THRESHOLD))
     # (checkpoint: materialize the tiny verified-pair result so every
     # cache above can be released before returning)
+    out = _ckpt(_verify_pairs(cand, shingled))
     shingled.unpersist()
     return out
 
@@ -295,6 +303,12 @@ def append_to_minhash_index(spark: SparkSession, index_path: str,
         _os.path.join(index_path, "bands"))
     shingled.write.mode("append").parquet(
         _os.path.join(index_path, "shingles"))
+    # appends land in subdirs, which leaves the index dir's own mtime at
+    # build time — touch the marker so gc_index_root's LRU sees a LIVE,
+    # append-maintained index as recently used and never collects it
+    from .similarity import _touch
+
+    _touch(_os.path.join(index_path, "_INDEX_OK"))
 
 
 def dedup_minhash_lsh_indexed_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -307,22 +321,8 @@ def dedup_minhash_lsh_indexed_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = build_minhash_index(spark, sf_dir)
     bands = spark.read.parquet(_os.path.join(p, "bands"))
     shingled = spark.read.parquet(_os.path.join(p, "shingles"))
-
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = _ckpt(a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
-                        & (F.col("a.doc_id") < F.col("b.doc_id")))
-                 .select(F.col("a.doc_id").alias("doc_a"),
-                         F.col("b.doc_id").alias("doc_b"))
-                 .dropDuplicates(["doc_a", "doc_b"]))
-    sh_a = shingled.select(F.col("doc_id").alias("doc_a"),
-                           F.col("sh").alias("sh_a"))
-    sh_b = shingled.select(F.col("doc_id").alias("doc_b"),
-                           F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
-    return (cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
-            .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-            .where(F.col("jaccard") >= JACCARD_THRESHOLD))
+    cand = _ckpt(_candidate_pairs(bands))
+    return _verify_pairs(cand, shingled)
 
 
 _SHINGLE_BASE_CTE = f"""
@@ -431,29 +431,12 @@ def dedup_minhash_lsh_capped_df(spark: SparkSession, sf_dir: str,
             .select("doc_id",
                     minhash_signature(F.col("hs"), NUM_PERM).alias("sig"))
             .persist())
-    bands = _capped_bands(_band_rows(sigs))
-
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .dropDuplicates(["doc_a", "doc_b"]))
-    cand = _ckpt(cand)
+    cand = _ckpt(_candidate_pairs(_capped_bands(_band_rows(sigs))))
     sigs.unpersist()
     if return_candidates:
         shingled.unpersist()
         return cand
-
-    sh_a = shingled.select(F.col("doc_id").alias("doc_a"),
-                           F.col("sh").alias("sh_a"))
-    sh_b = shingled.select(F.col("doc_id").alias("doc_b"),
-                           F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
-    out = _ckpt(cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
-                .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-                .where(F.col("jaccard") >= JACCARD_THRESHOLD))
+    out = _ckpt(_verify_pairs(cand, shingled))
     shingled.unpersist()
     return out
 
@@ -470,22 +453,8 @@ def dedup_minhash_lsh_capped_indexed_df(spark: SparkSession,
     p = build_minhash_index(spark, sf_dir, collapse=True)
     bands = _capped_bands(spark.read.parquet(_os.path.join(p, "bands")))
     shingled = spark.read.parquet(_os.path.join(p, "shingles"))
-
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = _ckpt(a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
-                        & (F.col("a.doc_id") < F.col("b.doc_id")))
-                 .select(F.col("a.doc_id").alias("doc_a"),
-                         F.col("b.doc_id").alias("doc_b"))
-                 .dropDuplicates(["doc_a", "doc_b"]))
-    sh_a = shingled.select(F.col("doc_id").alias("doc_a"),
-                           F.col("sh").alias("sh_a"))
-    sh_b = shingled.select(F.col("doc_id").alias("doc_b"),
-                           F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
-    return (cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
-            .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-            .where(F.col("jaccard") >= JACCARD_THRESHOLD))
+    cand = _ckpt(_candidate_pairs(bands))
+    return _verify_pairs(cand, shingled)
 
 
 _REP_SHINGLE_BASE_CTE = f"""
@@ -881,21 +850,10 @@ def dedup_winnowing_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sigs = fps.select(
         "doc_id", minhash_signature(F.col("fp"), NUM_PERM).alias("sig"))
-    bands = _band_rows(sigs)
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = _ckpt(a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
-                        & (F.col("a.doc_id") < F.col("b.doc_id")))
-                 .select(F.col("a.doc_id").alias("doc_a"),
-                         F.col("b.doc_id").alias("doc_b"))
-                 .dropDuplicates(["doc_a", "doc_b"]))
-
-    fa = fps.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"))
-    fb = fps.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"))
-    inter = F.size(F.array_intersect("fp_a", "fp_b"))
-    jac = inter / (F.size("fp_a") + F.size("fp_b") - inter)
-    out = _ckpt(cand.join(fa, "doc_a").join(fb, "doc_b")
-                .select("doc_a", "doc_b", F.round(jac, 6).alias("fp_jaccard"))
-                .where(F.col("fp_jaccard") >= WINNOW_THRESHOLD))
+    cand = _ckpt(_candidate_pairs(_band_rows(sigs)))
+    out = _ckpt(_verify_pairs(cand, fps, set_col="fp",
+                              out_col="fp_jaccard",
+                              threshold=WINNOW_THRESHOLD))
     fps.unpersist()
     return out
 

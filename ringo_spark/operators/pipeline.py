@@ -130,15 +130,19 @@ def training_prep_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = (base.where(F.col("doc_id") < BENCHMARK_BELOW)
              .select(F.explode(shingles(F.col("toks"), CONTAM_N)).alias("g"))
              .distinct())
-    tr_sh = kept.select("doc_id",
-                        shingles(F.col("toks"), CONTAM_N).alias("sh"))
-    hits = (tr_sh.select("doc_id", F.explode("sh").alias("g"))
-            .join(F.broadcast(bench), "g", "left_semi")
-            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hit")))
-    clean_ids = (tr_sh.select("doc_id", F.size("sh").alias("n_sh"))
-                 .join(hits, "doc_id", "left")
-                 .where(F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_sh")
-                        < CONTAM_THRESHOLD)
+    # single shingling pass per train doc: n_sh rides the explode, the
+    # hit count comes from a LEFT join so zero-hit docs survive (same
+    # shape as text.benchmark_contamination_df)
+    tr_ex = (kept
+             .select("doc_id", shingles(F.col("toks"), CONTAM_N).alias("sh"))
+             .select("doc_id", F.size("sh").alias("n_sh"),
+                     F.explode("sh").alias("g")))
+    clean_ids = (tr_ex.join(F.broadcast(bench.withColumn("__hit", F.lit(1))),
+                            "g", "left")
+                 .groupBy("doc_id", "n_sh")
+                 .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                      .alias("n_hit"))
+                 .where(F.col("n_hit") / F.col("n_sh") < CONTAM_THRESHOLD)
                  .select("doc_id"))
     decon = kept.join(clean_ids, "doc_id", "left_semi")
 

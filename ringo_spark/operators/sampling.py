@@ -135,15 +135,20 @@ def sample_cluster_split_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup_clusters' min-label) when it has one, its own doc_id
     otherwise — using the exact split_expr every other sampler shares.
 
-    Scale: the cluster table is pair-graph-sized (tiny vs corpus) and
-    served from the persisted minhash index; the corpus side is one
-    left broadcast join + a map-side split projection.  The invariant
-    (no cluster straddles splits) is pytest-pinned."""
+    Scale: the cluster table has one row per doc appearing in any
+    verified near-dup pair — on a mass-duplicated crawled corpus that is
+    a large fraction of the corpus, NOT guaranteed-small, so its
+    broadcast is size-gated (over the gate the join degrades to a
+    shuffle on doc_id; AQE converts back when the clusters really are
+    small).  Clusters come from the persisted minhash index; the split
+    itself is a map-side projection.  The invariant (no cluster
+    straddles splits) is pytest-pinned."""
+    from ..functions.broadcast_gate import broadcast_if_small
     from .dedup import dedup_clusters_indexed_df
 
     clusters = dedup_clusters_indexed_df(spark, sf_dir)
     eff = (_docs(spark, sf_dir)
-           .join(F.broadcast(clusters), "doc_id", "left")
+           .join(broadcast_if_small(clusters), "doc_id", "left")
            .select("doc_id",
                    F.coalesce(F.col("cluster_id"), F.col("doc_id"))
                    .alias("group_id")))

@@ -412,6 +412,8 @@ def append_to_ivf_index(spark: SparkSession, index_path: str,
      .repartition(F.col("cell"),
                   F.pmod(F.col("vec_id"), F.lit(BUILD_WRITERS_PER_CELL)))
      .write.mode("append").partitionBy("cell").parquet(index_path))
+    # keep the live index out of gc_index_root's stale set (LRU by mtime)
+    _touch(os.path.join(index_path, "_SUCCESS"))
 
 
 def ann_ivf_indexed_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -769,6 +771,8 @@ def append_to_lsh_index(spark: SparkSession, index_path: str,
      .repartition(F.col("bucket"),
                   F.pmod(F.col("vec_id"), F.lit(BUILD_WRITERS_PER_CELL)))
      .write.mode("append").partitionBy("bucket").parquet(index_path))
+    # keep the live index out of gc_index_root's stale set (LRU by mtime)
+    _touch(os.path.join(index_path, "_SUCCESS"))
 
 
 def ann_lsh_indexed_df(spark: SparkSession, sf_dir: str,

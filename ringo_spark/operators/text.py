@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .textfn import sql_phash, sql_tokens, tokens
+from .textfn import sql_phash, sql_shingles, sql_tokens, tokens
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in"]
 
@@ -395,31 +395,30 @@ def benchmark_contamination_df(spark: SparkSession, sf_dir: str) -> DataFrame:
           .where(F.size("sh") > 0))
     bench = (sh.where(F.col("doc_id") < BENCHMARK_BELOW)
              .select(F.explode("sh").alias("g")).distinct())
+    # single shingling pass over the train side: n_shingles rides the
+    # explode and the hit flag comes from a LEFT join (every exploded
+    # row survives, so every train doc reaches the aggregate — no second
+    # scan to recover zero-hit docs)
     train = (sh.where(F.col("doc_id") >= BENCHMARK_BELOW)
              .select("doc_id", F.size("sh").alias("n_shingles"),
                      F.explode("sh").alias("g")))
-    hits = (train.join(F.broadcast(bench), "g", "left_semi")
-            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hit")))
-    rate = F.round(F.coalesce(F.col("n_hit"), F.lit(0))
-                   / F.col("n_shingles"), 6)
-    return (sh.where(F.col("doc_id") >= BENCHMARK_BELOW)
-            .select("doc_id", F.size("sh").alias("n_shingles"))
-            .join(hits, "doc_id", "left")
-            .select("doc_id", "n_shingles",
-                    F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
-                    rate.alias("contamination"),
-                    (rate >= CONTAM_THRESHOLD).alias("is_contaminated")))
+    counted = (train.join(F.broadcast(bench.withColumn("__hit", F.lit(1))),
+                          "g", "left")
+               .groupBy("doc_id", "n_shingles")
+               .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                    .cast("long").alias("n_hit")))
+    rate = F.round(F.col("n_hit") / F.col("n_shingles"), 6)
+    return counted.select("doc_id", "n_shingles", "n_hit",
+                          rate.alias("contamination"),
+                          (rate >= CONTAM_THRESHOLD).alias("is_contaminated"))
 
 
 _CONTAM_BASE = f"""
 csh AS (
-  SELECT doc_id, {{}} AS sh
+  SELECT doc_id, {sql_shingles('t', CONTAM_N)} AS sh
   FROM (SELECT doc_id, {sql_tokens('text')} AS t FROM documents)
   WHERE len(t) >= {CONTAM_N})
-""".format("CASE WHEN len(t) >= " + str(CONTAM_N) + " THEN list_distinct("
-           f"[array_to_string(t[i:i+{CONTAM_N - 1}], ' ') "
-           f"for i in generate_series(1, len(t) - {CONTAM_N - 1})]) "
-           "ELSE [] END")
+"""
 
 BENCHMARK_CONTAMINATION_SQL = f"""
 WITH {_CONTAM_BASE},

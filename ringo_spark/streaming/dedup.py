@@ -70,6 +70,13 @@ def streaming_near_dedup(index_path: str,
     def batch_prober(sink_path: str):
         def probe(batch_df: DataFrame, batch_id: int) -> None:
             spark = batch_df.sparkSession
+            # every trigger counts as a USE of the index: bump the marker
+            # so gc_index_root's LRU never collects a live stream's index
+            marker = os.path.join(index_path, "_INDEX_OK")
+            if os.path.exists(marker):
+                from ..operators.similarity import _touch
+
+                _touch(marker)
             corpus_bands = (spark.read
                             .parquet(os.path.join(index_path, "bands"))
                             .withColumnRenamed("doc_id", "doc_seen"))

@@ -196,7 +196,6 @@ def fact_events_by_minute_approx_df(spark: SparkSession, sf_dir: str) -> DataFra
     return fact_events_by_minute_df(spark, sf_dir, count_distinct_mode="approx")
 
 
-APPROX_RSD = 0.05
 APPROX_EPS_MULT = 3          # bound: |est - exact| <= max(3·rsd·exact, 2)
 
 
@@ -214,9 +213,12 @@ def fact_events_by_minute_approx_bounds_df(spark: SparkSession,
              .select(*keys, F.col("user_count").alias("exact_count")))
     approx = (fact_events_by_minute_approx_df(spark, sf_dir)
               .select(*keys, F.col("user_count").alias("approx_count")))
+    # rsd comes from the SAME settings the approx variant's HLL uses
+    # (populate/fact.py) — a free-standing constant would silently
+    # diverge if an env tunes fact_count_distinct_error_rate
+    rsd = EVENTS_ENV.settings.fact_count_distinct_error_rate
     tol = F.greatest(
-        F.ceil(F.col("exact_count") * (APPROX_EPS_MULT * APPROX_RSD)),
-        F.lit(2))
+        F.ceil(F.col("exact_count") * (APPROX_EPS_MULT * rsd)), F.lit(2))
     return (exact.join(approx, keys)
             .select(*keys, "exact_count",
                     (F.abs(F.col("approx_count") - F.col("exact_count"))
