@@ -114,7 +114,11 @@ def training_prep_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textfn import shingles
     from .training import CHUNK_SIZE, CHUNK_STRIDE
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread the CPU-heavy token/shingle expressions across cores first
+    # (single-file testdata -> few input splits; a no-op at real scale,
+    # same rationale as dedup._shingled)
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .repartition(spark.sparkContext.defaultParallelism))
     base = docs.select("doc_id", "lang", "text",
                        tokens(F.col("text")).alias("toks"))
     kept = (base.where(F.col("doc_id") >= BENCHMARK_BELOW)
@@ -123,6 +127,14 @@ def training_prep_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where((F.col("n_words") >= MIN_WORDS)
                    & (F.col("q") >= MIN_QUALITY)
                    & F.col("lang").isin(*KEEP_LANGS)))
+    # kept feeds THREE consumers (contamination explode, the decon
+    # semi-join, and the chunk assembly) — materialize it once instead of
+    # re-running the scan + tokenize + quality pass per branch (measured
+    # 5.5s -> 2.6s at sf0.1).  Shares dedup's CHECKPOINT toggle so
+    # tools/dump_plans can still render the full lineage.
+    from .dedup import _ckpt
+
+    kept = _ckpt(kept)
 
     # decontamination: drop docs whose 5-gram overlap with the benchmark
     # set (docs below BENCHMARK_BELOW — NOT quality-filtered: the eval

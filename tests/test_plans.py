@@ -242,10 +242,18 @@ def test_broadcast_gate_unit(spark, tmp_path):
 def test_training_prep_plan_shape(spark):
     """The composed prep pipeline stays JVM-side with its filters at the
     scan: language IN-filter pushed down, benchmark shingle set joined
-    broadcast, no Python evaluator anywhere."""
+    broadcast, no Python evaluator anywhere.  (CHECKPOINT off so the
+    materialized `kept` stage doesn't truncate the visible lineage —
+    same toggle tools/dump_plans uses.)"""
+    import ringo_spark.operators.dedup as dedup_mod
     from ringo_spark.operators.pipeline import training_prep_df
 
-    plan = plan_of(spark, training_prep_df(spark, SF))
+    old = dedup_mod.CHECKPOINT
+    dedup_mod.CHECKPOINT = False
+    try:
+        plan = plan_of(spark, training_prep_df(spark, SF))
+    finally:
+        dedup_mod.CHECKPOINT = old
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "In(lang" in plan
     assert "BroadcastHashJoin" in plan
