@@ -143,6 +143,7 @@ DISPLACED: list[str] = [
     "sample_cluster_split",              # new mid-r06: same treatment
     "text_repetition",                   # new mid-r06: same treatment
     "multimodal_phash",                  # new mid-r06: same treatment
+    "q18_large_volume_customer",         # new mid-r06: same treatment
     "quantiles",
     "window_lag",
     "set_ops",

@@ -357,6 +357,53 @@ LIMIT 20
 """
 
 
+Q18_QTY_THRESHOLD = 300
+
+
+def q18_large_volume_customer_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: customers holding orders whose total quantity exceeds a
+    threshold — the classic grouped-HAVING IN-subquery, decorrelated as a
+    semi-join.  Scale shape: one partial+final agg over lineitem computes
+    the qualifying keys (a tiny set — the threshold is deep in the tail),
+    which BROADCASTS into the semi-join; the orders⋈lineitem join is the
+    one fact shuffle; top-k is TakeOrderedAndProject."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(qty).alias("__q"))
+           .where(F.col("__q") > Q18_QTY_THRESHOLD)
+           .select("l_orderkey"))
+    return (li.join(F.broadcast(big), "l_orderkey", "left_semi")
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(broadcast_if_small(cust,
+                                     size_path=f"{sf_dir}/customer.parquet"),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                     "o_totalprice")
+            .agg(F.sum(qty).cast("double").alias("sum_qty"))
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderdate"),
+                     F.asc("o_orderkey"))
+            .limit(100))
+
+
+Q18_LARGE_VOLUME_CUSTOMER_SQL = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > {Q18_QTY_THRESHOLD})
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+LIMIT 100
+"""
+
+
 TPCH_QUERIES: dict[str, tuple] = {
     "q1_pricing_summary": (q1_pricing_summary_df, Q1_PRICING_SUMMARY_SQL),
     "q3_shipping_priority": (q3_shipping_priority_df, Q3_SHIPPING_PRIORITY_SQL),
@@ -364,6 +411,8 @@ TPCH_QUERIES: dict[str, tuple] = {
                                  Q5_LOCAL_SUPPLIER_VOLUME_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue_df, Q6_FORECAST_REVENUE_SQL),
     "q10_returned_items": (q10_returned_items_df, Q10_RETURNED_ITEMS_SQL),
+    "q18_large_volume_customer": (q18_large_volume_customer_df,
+                                  Q18_LARGE_VOLUME_CUSTOMER_SQL),
     "user_value_ema": (user_value_ema_df, USER_VALUE_EMA_SQL),
     "user_value_ema_segmented": (user_value_ema_segmented_df,
                                  USER_VALUE_EMA_SEGMENTED_SQL),

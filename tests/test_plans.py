@@ -257,3 +257,17 @@ def test_training_prep_plan_shape(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "In(lang" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_q18_semi_join_plan_shape(spark):
+    """Q18's decorrelated HAVING subquery: the qualifying-keys set joins
+    as a broadcast LEFT SEMI (never a shuffle of lineitem against
+    itself), the aggregate is partial+final, top-k is
+    TakeOrderedAndProject."""
+    from ringo_spark.operators.tpch import q18_large_volume_customer_df
+
+    plan = plan_of(spark, q18_large_volume_customer_df(spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
