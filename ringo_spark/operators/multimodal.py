@@ -903,3 +903,25 @@ SELECT doc_id,
             AS INT) AS n_bits_set
 FROM cells
 """
+
+
+def multimodal_phash_dups_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup groups: images sharing an identical average-hash,
+    reduced exactly like dedup_exact (representative = min doc_id).  At
+    scale this is the image twin of exact text dedup — one shuffle on an
+    8-byte key; Hamming-near (not just equal) hashes would band the hash
+    bits like minhash-LSH bands signatures."""
+    ph = multimodal_phash_df(spark, sf_dir)
+    return (ph.groupBy("ahash")
+            .agg(F.min("doc_id").alias("rep_doc_id"),
+                 F.count(F.lit(1)).alias("dup_count"))
+            .where(F.col("dup_count") > 1))
+
+
+MULTIMODAL_PHASH_DUPS_SQL = f"""
+WITH ph AS ({MULTIMODAL_PHASH_SQL})
+SELECT ahash, min(doc_id) AS rep_doc_id, count(*) AS dup_count
+FROM ph
+GROUP BY ahash
+HAVING count(*) > 1
+"""

@@ -14,10 +14,10 @@ from .dedup import (
     dedup_ngram_jaccard_df, dedup_simhash_df, dedup_winnowing_df,
 )
 from .multimodal import (
-    MULTIMODAL_FEATURES_SQL, MULTIMODAL_FRAMES_SQL, MULTIMODAL_PHASH_SQL,
+    MULTIMODAL_FEATURES_SQL, MULTIMODAL_FRAMES_SQL, MULTIMODAL_PHASH_DUPS_SQL, MULTIMODAL_PHASH_SQL,
     MULTIMODAL_PIXELS_SQL, MULTIMODAL_RESIZE_SQL, MULTIMODAL_WAV_SAMPLES_SQL,
     MULTIMODAL_WAV_SQL, multimodal_features_df, multimodal_frames_df,
-    multimodal_phash_df, multimodal_pixels_df, multimodal_resize_df,
+    multimodal_phash_df, multimodal_phash_dups_df, multimodal_pixels_df, multimodal_resize_df,
     multimodal_wav_df, multimodal_wav_samples_df,
 )
 from .similarity import (
@@ -144,6 +144,7 @@ DISPLACED: list[str] = [
     "text_repetition",                   # new mid-r06: same treatment
     "multimodal_phash",                  # new mid-r06: same treatment
     "q18_large_volume_customer",         # new mid-r06: same treatment
+    "multimodal_phash_dups",             # new mid-r06: same treatment
     "quantiles",
     "window_lag",
     "set_ops",
@@ -264,6 +265,10 @@ OPERATOR_QUERIES: dict[str, tuple] = {
     # perceptual average-hash (image near-dup fingerprint): real decode ->
     # grid sample -> integer-exact mean threshold, closed-form oracle
     "multimodal_phash": (multimodal_phash_df, MULTIMODAL_PHASH_SQL),
+    # image near-dup groups over the fingerprint (image twin of
+    # dedup_exact: one shuffle on the 8-byte hash key)
+    "multimodal_phash_dups": (multimodal_phash_dups_df,
+                              MULTIMODAL_PHASH_DUPS_SQL),
     **RELATIONAL_QUERIES,
     **GRAIN_QUERIES,
     **SESSION_QUERIES,
