@@ -76,4 +76,65 @@ FROM indexed
 GROUP BY 1, 2
 """
 
-SESSION_QUERIES = {"sessionize": (sessionize_df, SESSIONIZE_SQL)}
+def sessionize_native_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's BUILT-IN ``session_window`` — the
+    Catalyst-native twin of :func:`sessionize_df`: one aggregation with
+    in-engine session merging instead of two analytic windows + a
+    re-aggregation.  Same single user_id shuffle, less window machinery,
+    and the identical operator works under Structured Streaming with a
+    watermark (state store session merge).
+
+    Boundary semantics differ at exactly the gap: ``session_window``
+    CLOSES a session when the next event is >= gap after the previous
+    (window end is exclusive), while the two-window form starts a new
+    session only when the gap is strictly greater.  The oracle encodes
+    the native (>=) rule.  ``session_end_sec`` is the window's exclusive
+    end = last event + gap."""
+    from ..catalog import load_catalog
+    from ..testbed import EVENTS
+
+    ev = (load_catalog(spark, sf_dir, [EVENTS])["events"]
+          .select("user_id",
+                  F.timestamp_seconds(F.unix_timestamp("ts")).alias("t"),
+                  F.col("value").cast("decimal(18,2)").alias("value")))
+    sw = F.session_window("t", f"{SESSION_GAP_SECONDS} seconds")
+    return (ev.groupBy("user_id", sw.alias("sw"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").cast("double").alias("value_sum"))
+            .select("user_id",
+                    F.unix_timestamp("sw.start").alias("session_start_sec"),
+                    F.unix_timestamp("sw.end").alias("session_end_sec"),
+                    "n_events", "value_sum"))
+
+
+SESSIONIZE_NATIVE_SQL = f"""
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CAST(value AS DECIMAL(18,2)) AS value
+  FROM events),
+flagged AS (
+  SELECT user_id, sec, value,
+         CASE WHEN lag(sec) OVER w IS NULL THEN 1
+              WHEN sec - lag(sec) OVER w >= {SESSION_GAP_SECONDS} THEN 1
+              ELSE 0 END AS new_s
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY sec)),
+indexed AS (
+  SELECT user_id, sec, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY sec
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged)
+SELECT user_id,
+       min(sec) AS session_start_sec,
+       max(sec) + {SESSION_GAP_SECONDS} AS session_end_sec,
+       count(*) AS n_events,
+       CAST(sum(value) AS DOUBLE) AS value_sum
+FROM indexed
+GROUP BY user_id, session_idx
+"""
+
+SESSION_QUERIES = {
+    "sessionize": (sessionize_df, SESSIONIZE_SQL),
+    # the built-in session_window twin (native >= gap boundary)
+    "sessionize_native": (sessionize_native_df, SESSIONIZE_NATIVE_SQL),
+}

@@ -93,3 +93,33 @@ def test_streaming_idle_sessions_flush_and_state_is_dropped(spark, tmp_path):
     # state store retains only the still-active key (user 2)
     progress = q.lastProgress
     assert progress["stateOperators"][0]["numRowsTotal"] == 1
+
+
+def test_native_session_window_agrees_with_two_window_form(spark):
+    """The built-in session_window operator and the classic two-window
+    formulation agree everywhere except the documented >= vs > boundary:
+    every native session is contained in exactly one two-window session,
+    and both partitions count every event exactly once."""
+    from pyspark.sql import functions as F
+
+    from ringo_spark.operators.session import (
+        SESSION_GAP_SECONDS, sessionize_df, sessionize_native_df,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    classic = sessionize_df(spark, SF).collect()
+    native = sessionize_native_df(spark, SF).collect()
+    total = (spark.read.parquet(f"{SF}/events.parquet").count())
+    assert sum(r.n_events for r in classic) == total
+    assert sum(r.n_events for r in native) == total
+    # native splits at gap == GAP where classic merges -> at least as
+    # many sessions, and each native session sits inside one classic one
+    assert len(native) >= len(classic)
+    spans = {}
+    for r in classic:
+        spans.setdefault(r.user_id, []).append(
+            (r.session_start_sec, r.session_end_sec))
+    for r in native:
+        assert any(s <= r.session_start_sec
+                   and r.session_end_sec - SESSION_GAP_SECONDS <= e
+                   for s, e in spans[r.user_id]), r
