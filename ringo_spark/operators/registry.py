@@ -146,6 +146,7 @@ DISPLACED: list[str] = [
     "q18_large_volume_customer",         # new mid-r06: same treatment
     "multimodal_phash_dups",             # new mid-r06: same treatment
     "sessionize_native",                 # new mid-r06: same treatment
+    "q7_volume_shipping",                # new mid-r06: same treatment
     "quantiles",
     "window_lag",
     "set_ops",

@@ -357,6 +357,67 @@ LIMIT 20
 """
 
 
+Q7_NATION_A, Q7_NATION_B = "NATION_1", "NATION_2"
+
+
+def q7_volume_shipping_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: trade volume between two nations in BOTH directions,
+    grouped by (supplier nation, customer nation, ship year) — the
+    classic OR-of-conjunctions join predicate.  The nation pair filter
+    applies as a residual on broadcast nation lookups (constant-sized,
+    always safe); supplier/customer route through the size gate; the
+    orders⋈lineitem join is the one fact shuffle."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    n1 = nation.select(F.col("n_nationkey").alias("n1_key"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("n2_key"),
+                       F.col("n_name").alias("cust_nation"))
+    pair = (((F.col("supp_nation") == Q7_NATION_A)
+             & (F.col("cust_nation") == Q7_NATION_B))
+            | ((F.col("supp_nation") == Q7_NATION_B)
+               & (F.col("cust_nation") == Q7_NATION_A)))
+    return (li.where((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                     & (F.col("l_shipdate") < F.lit("1998-01-01")))
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(broadcast_if_small(supp,
+                                     size_path=f"{sf_dir}/supplier.parquet"),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(broadcast_if_small(cust,
+                                     size_path=f"{sf_dir}/customer.parquet"),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+            .where(pair)
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").alias("l_year"))
+            .agg(F.round(F.sum(_revenue_cols()), 2).cast("double")
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+Q7_VOLUME_SHIPPING_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+       CAST(round(sum({_REV_SQL}), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = '{Q7_NATION_A}' AND n2.n_name = '{Q7_NATION_B}')
+    OR (n1.n_name = '{Q7_NATION_B}' AND n2.n_name = '{Q7_NATION_A}'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2, 3
+"""
+
+
 Q18_QTY_THRESHOLD = 300
 
 
@@ -413,6 +474,7 @@ TPCH_QUERIES: dict[str, tuple] = {
     "q10_returned_items": (q10_returned_items_df, Q10_RETURNED_ITEMS_SQL),
     "q18_large_volume_customer": (q18_large_volume_customer_df,
                                   Q18_LARGE_VOLUME_CUSTOMER_SQL),
+    "q7_volume_shipping": (q7_volume_shipping_df, Q7_VOLUME_SHIPPING_SQL),
     "user_value_ema": (user_value_ema_df, USER_VALUE_EMA_SQL),
     "user_value_ema_segmented": (user_value_ema_segmented_df,
                                  USER_VALUE_EMA_SEGMENTED_SQL),
