@@ -147,6 +147,8 @@ DISPLACED: list[str] = [
     "multimodal_phash_dups",             # new mid-r06: same treatment
     "sessionize_native",                 # new mid-r06: same treatment
     "q7_volume_shipping",                # new mid-r06: same treatment
+    "window_stats",                      # new mid-r06: same treatment
+    "q4_order_priority",                 # new mid-r06: same treatment
     "quantiles",
     "window_lag",
     "set_ops",

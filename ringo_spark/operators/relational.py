@@ -485,6 +485,37 @@ FROM daily
 """
 
 
+def window_stats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window functions: ntile quartile, percent_rank,
+    and cume_dist of order totalprice within each priority — the
+    remaining analytic-window surface (rank/lag/frames covered
+    elsewhere).  One shuffle on the partition key; output restricted to
+    two priorities to keep the driver row compact."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").cast("decimal(18,2)"), "o_orderkey")
+    return (o.where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+            .select(F.col("o_orderpriority").alias("pr"), "o_orderkey",
+                    F.col("o_totalprice").cast("decimal(18,2)")
+                    .cast("double").alias("price"),
+                    F.ntile(4).over(w).alias("quartile"),
+                    F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+                    F.round(F.cume_dist().over(w), 6).alias("cume")))
+
+
+WINDOW_STATS_SQL = """
+SELECT o_orderpriority AS pr, o_orderkey,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)
+"""
+
+
 def quantiles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ordered-set aggregates: p50/p90/p99 of event value per event
     type (linear interpolation — identical in Spark's `percentile` and
@@ -535,6 +566,7 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "asof_join": (asof_join_df, ASOF_JOIN_SQL),
     "quantiles": (quantiles_df, QUANTILES_SQL),
     "window_frames": (window_frames_df, WINDOW_FRAMES_SQL),
+    "window_stats": (window_stats_df, WINDOW_STATS_SQL),
 }
 # NB: scd2_dim (defined below) is appended to RELATIONAL_QUERIES after its
 # definition at the bottom of this module.

@@ -357,6 +357,35 @@ LIMIT 20
 """
 
 
+def q4_order_priority_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: per-priority count of orders (one quarter) having at
+    least one qualifying lineitem — the classic correlated EXISTS,
+    decorrelated to a LEFT SEMI join.  (The testdata carries no
+    commit/receipt dates, so the qualifying predicate is 'has a returned
+    item'; the plan shape — pushed date filter, semi join on the FK, one
+    agg shuffle — is the Q4 shape regardless.)"""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (orders.where((F.col("o_orderdate") >= F.lit("1996-07-01"))
+                         & (F.col("o_orderdate") < F.lit("1996-10-01")))
+            .join(li.where(F.col("l_returnflag") == "R")
+                  .select(F.col("l_orderkey").alias("o_orderkey")),
+                  "o_orderkey", "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+Q4_ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY 1
+"""
+
+
 Q7_NATION_A, Q7_NATION_B = "NATION_1", "NATION_2"
 
 
@@ -475,6 +504,7 @@ TPCH_QUERIES: dict[str, tuple] = {
     "q18_large_volume_customer": (q18_large_volume_customer_df,
                                   Q18_LARGE_VOLUME_CUSTOMER_SQL),
     "q7_volume_shipping": (q7_volume_shipping_df, Q7_VOLUME_SHIPPING_SQL),
+    "q4_order_priority": (q4_order_priority_df, Q4_ORDER_PRIORITY_SQL),
     "user_value_ema": (user_value_ema_df, USER_VALUE_EMA_SQL),
     "user_value_ema_segmented": (user_value_ema_segmented_df,
                                  USER_VALUE_EMA_SEGMENTED_SQL),
