@@ -225,3 +225,54 @@ def test_streaming_near_dedup_matches_batch_incremental(spark, tmp_path):
     want = {tuple(r)
             for r in dedup_minhash_incremental_df(spark, SF).collect()}
     assert got == want and want
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """The built-in session_window operator's streaming claim: the SAME
+    aggregation runs as a watermarked streaming query (state-store
+    session merge, append mode) and — with availableNow draining
+    everything past the watermark — produces exactly the batch result."""
+    from ringo_spark.operators.session import (
+        SESSION_GAP_SECONDS, sessionize_native_df,
+    )
+
+    cat = load_catalog(spark, SF, [EVENTS])
+    src = str(tmp_path / "sess-src")
+    ev = (cat["events"]
+          .select("user_id",
+                  F.timestamp_seconds(F.unix_timestamp("ts")).alias("t"),
+                  F.col("value").cast("decimal(18,2)").alias("value")))
+    # append mode emits a session only once the watermark passes its end;
+    # the session holding the globally-latest event would never close, so
+    # a far-future sentinel row (its own never-emitted session) advances
+    # the watermark past every real session
+    mx = ev.agg(F.max("t")).collect()[0][0]
+    import decimal
+
+    sentinel = spark.createDataFrame(
+        [(-999, mx, decimal.Decimal("0.00"))],
+        "user_id long, t timestamp, value decimal(18,2)") \
+        .select("user_id",
+                (F.col("t") + F.expr(f"INTERVAL {10 * SESSION_GAP_SECONDS} "
+                                     "SECONDS")).alias("t"), "value")
+    ev.unionByName(sentinel).write.parquet(src)
+    stream = (spark.readStream.schema("user_id long, t timestamp, "
+                                      "value decimal(18,2)").parquet(src)
+              .withWatermark("t", "0 seconds"))
+    sw = F.session_window("t", f"{SESSION_GAP_SECONDS} seconds")
+    rolled = (stream.groupBy("user_id", sw.alias("sw"))
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.sum("value").cast("double").alias("value_sum"))
+              .select("user_id",
+                      F.unix_timestamp("sw.start").alias("session_start_sec"),
+                      F.unix_timestamp("sw.end").alias("session_end_sec"),
+                      "n_events", "value_sum"))
+    q = (rolled.writeStream.format("memory").queryName("sess")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.sql("select * from sess").collect()
+           if r.user_id != -999}
+    want = {tuple(r) for r in sessionize_native_df(spark, SF).collect()}
+    assert got == want and want
