@@ -65,43 +65,44 @@ from .text import (
 #     unverified, only un-hashed-by-the-driver that round.
 
 DRIVER_WINDOW: list[str] = [
-    # -- round-6 first driver rows: the scale-hardened shapes and the
-    #    range-style bounds oracles built this round, plus
-    #    dedup_minhash_lsh_indexed (new in r05, queued for its first row) --
-    "dedup_minhash_lsh_capped",
-    "dedup_clusters_indexed",
+    # -- round-7 first driver rows: the 13 queries built mid-r06 after the
+    #    window was set (pre-committed rotation, CORRECTNESS_WINDOW.md) --
+    "dedup_minhash_lsh_capped_indexed",
+    "benchmark_contamination",
+    "doc_chunk",
+    "training_prep",
+    "sample_cluster_split",
+    "text_repetition",
+    "multimodal_phash",
+    "q18_large_volume_customer",
+    "multimodal_phash_dups",
+    "sessionize_native",
+    "q7_volume_shipping",
+    "window_stats",
+    "q4_order_priority",
+    # -- code changed this round, so regressions must stay driver-visible:
+    #    approx_bounds' grain made non-degenerate (r06 ADVICE medium),
+    #    ann_ivf_kmeans' Lloyd training de-exploded (VERDICT item 5) --
     "fact_events_by_minute_approx_bounds",
-    "ann_cosine_topk_arrow_bounds",
-    "dedup_minhash_lsh_indexed",
-    # -- rotated back in: displaced since r04, driver-green r02+r03 --
-    "scalar_subquery",
-    "json_funcs",
-    "date_funcs",
-    # -- r05 first-rows retained: q3/q5/q10's join code changed this
-    #    round (broadcast gate), so their regressions must stay visible --
-    "embed_quantize",
-    "multimodal_resize",
-    "multimodal_frames",
-    "scd2_fact_incremental",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    # -- retained r05 rotations (r02+r03+r05 records) --
-    "asof_join",
-    "doc_rolling_hash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding",
-    "ann_lsh_bucketed12",
-    "ann_lsh_multiprobe",
-    "token_count",
-    "doc_fingerprint",
-    "join_semi",
-    "join_anti",
-    "window_rank",
-    "rollup_agg",
-    "cube_agg",
-    "topk",
-    "range_join",
+    "ann_ivf_kmeans",
+    # -- rotated back in: displaced r06, driver-green r02+r03+r05 --
+    "quantiles",
+    "window_lag",
+    "set_ops",
+    "string_funcs",
+    "conditional_funcs",
+    "vocab_topk",
+    "lang_confusion",
+    "metrics_unpivot",
+    # -- rotated back in: longest-waiting cohort (single r04 record) —
+    #    these slots swap for new round-7 queries as they are built --
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "window_frames",
+    "fact_events_by_second",
+    "fact_orders_by_week",
+    "user_value_ema",
+    "sample_hash_split",
     # -- core schema-level pipeline (driver-green r02+r03+r04; pinned) --
     "dim_event_type",
     "fact_events_by_minute",
@@ -128,44 +129,49 @@ DRIVER_WINDOW: list[str] = [
 
 # Registered, locally cell-exact-verified every round, but outside the
 # driver's 50-row hash window this round.  Every with-oracle entry here
-# has at least one driver-green (hash_match=true) row (r02–r05) with
+# has at least one driver-green (hash_match=true) row (r02–r06) with
 # unchanged code paths since; the 2 no-oracle entries are ε-tolerance
-# pytest-covered by design AND now have windowed *_bounds twins carrying
-# real oracles.  The 8 newly-displaced relational/text-function entries
-# (quantiles…metrics_unpivot) hold r02+r03+r05 records each — the
-# best-covered cohort — and made room for the round-6 first rows.
+# pytest-covered by design AND have *_bounds twins carrying real oracles
+# (driver-green r06).  Newly displaced: the r06 first-row cohort (one
+# driver row each after r06) and the r05-retained rotations, per the
+# pre-committed r07 plan in CORRECTNESS_WINDOW.md.
 DISPLACED: list[str] = [
-    "dedup_minhash_lsh_capped_indexed",  # new mid-r06: local-verified,
-                                         # first driver row next rotation
-    "benchmark_contamination",           # new mid-r06: same treatment
-    "doc_chunk",                         # new mid-r06: same treatment
-    "training_prep",                     # new mid-r06: same treatment
-    "sample_cluster_split",              # new mid-r06: same treatment
-    "text_repetition",                   # new mid-r06: same treatment
-    "multimodal_phash",                  # new mid-r06: same treatment
-    "q18_large_volume_customer",         # new mid-r06: same treatment
-    "multimodal_phash_dups",             # new mid-r06: same treatment
-    "sessionize_native",                 # new mid-r06: same treatment
-    "q7_volume_shipping",                # new mid-r06: same treatment
-    "window_stats",                      # new mid-r06: same treatment
-    "q4_order_priority",                 # new mid-r06: same treatment
-    "quantiles",
-    "window_lag",
-    "set_ops",
-    "string_funcs",
-    "conditional_funcs",
-    "vocab_topk",
-    "lang_confusion",
-    "metrics_unpivot",
-    "sample_hash_split",
-    "fact_events_by_second",
+    # r06 first-row cohort (driver-green r06, code unchanged)
+    "dedup_minhash_lsh_capped",
+    "dedup_clusters_indexed",
+    "ann_cosine_topk_arrow_bounds",
+    "dedup_minhash_lsh_indexed",
+    # r02+r03+r06 records
+    "scalar_subquery",
+    "json_funcs",
+    "date_funcs",
+    # r05+r06 records
+    "embed_quantize",
+    "multimodal_resize",
+    "multimodal_frames",
+    "scd2_fact_incremental",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    # r02+r03+r05+r06 records (best-covered cohort)
+    "asof_join",
+    "doc_rolling_hash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding",
+    "ann_lsh_bucketed12",
+    "ann_lsh_multiprobe",
+    "token_count",
+    "doc_fingerprint",
+    "join_semi",
+    "join_anti",
+    "window_rank",
+    "rollup_agg",
+    "cube_agg",
+    "topk",
+    "range_join",
+    # r04-record cohort still waiting (rotate next)
     "fact_events_tenant_by_hour",
-    "fact_orders_by_week",
     "fact_events_hour_regrain",
-    "window_frames",
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "user_value_ema",
     "user_value_ema_segmented",
     "sample_per_source_quota",
     "sample_mixture",
@@ -180,7 +186,6 @@ DISPLACED: list[str] = [
     "dedup_exact",
     "dedup_simhash",
     "dedup_incremental",
-    "ann_ivf_kmeans",
     "ann_lsh_indexed",
     "ann_lsh_bucketed",
     "ann_ivf",

@@ -198,45 +198,71 @@ def fact_events_by_minute_approx_df(spark: SparkSession, sf_dir: str) -> DataFra
 
 APPROX_EPS_MULT = 3          # bound: |est - exact| <= max(3·rsd·exact, 2)
 
+# Bounds grain: DAY × event_type, WITHOUT user_id.  The r06 shape kept
+# the fact's own grain (minute, user_id, event_type), where user_id in
+# the keys makes exact COUNT(DISTINCT user_id) always 0/1 and the
+# tolerance floor of 2 unfalsifiable (r06 ADVICE medium: the oracle
+# could never catch HLL drift).  Dropping user_id and widening time to
+# weeks yields per-group distinct-counts in the tens (sf0.001) to
+# hundreds (sf0.01), so a drifting estimate actually flips
+# within_3eps to FALSE.
+EVENTS_BOUNDS_FACT = Fact("events_bounds", "events", [
+    FactColumn("ts", DimTime()),
+    FactColumn("event_type", DimVal("event_type")),
+    FactColumn("user_count", FactCountDistinct("user_id")),
+])
+EVENTS_BOUNDS_ENV = make_env([EVENTS], [EVENTS_BOUNDS_FACT],
+                             Settings(time_unit=TimeUnit.WEEK), TYPE_DEFAULTS)
+
 
 def fact_events_by_minute_approx_bounds_df(spark: SparkSession,
                                            sf_dir: str) -> DataFrame:
-    """Driver-hashable bounds check for the HLL++ variant: per fact
-    group, the exact COUNT(DISTINCT) (which the oracle reproduces
-    cell-exactly) plus a boolean asserting the HLL estimate is within
-    ±3ε (ε = rsd·exact, floor of 2 for the sparse-mode tiny groups).
-    The oracle emits TRUE for every group, so any estimate drifting past
-    the published error bound turns the driver row red — the range-style
-    oracle VERDICT r05 asked for in place of a rows-only record."""
-    keys = ["ts_minute_id", "user_id", "event_type_id"]
-    exact = (fact_events_by_minute_df(spark, sf_dir)
-             .select(*keys, F.col("user_count").alias("exact_count")))
-    approx = (fact_events_by_minute_approx_df(spark, sf_dir)
-              .select(*keys, F.col("user_count").alias("approx_count")))
-    # rsd comes from the SAME settings the approx variant's HLL uses
+    """Driver-hashable bounds check for the HLL++ count-distinct mode:
+    runs the SAME fact pipeline twice (exact vs approx) at a day ×
+    event_type grain where distinct-counts are non-degenerate, emits the
+    exact count (which the oracle reproduces cell-exactly) plus a boolean
+    asserting the HLL estimate is within ±3ε (ε = rsd·exact).  Groups
+    with exact ≤ 1 require strict equality (HLL sparse mode is exact
+    there); larger groups get max(⌈3·rsd·exact⌉, 2).  The oracle pins
+    TRUE for every group, so drift past the published bound turns the
+    driver row red."""
+    cat = load_catalog(spark, sf_dir, [EVENTS])
+    dim = dim_event_type_df(spark, sf_dir)
+    keys = ["ts_week_id", "event_type_id"]
+
+    def _run(mode: str, out: str) -> DataFrame:
+        return (fact_population_df(EVENTS_BOUNDS_ENV, EVENTS_BOUNDS_FACT, cat,
+                                   dims={"dim_event_type": dim},
+                                   time_upper=T_FAR, count_distinct_mode=mode)
+                .select(*keys, F.col("user_count").alias(out)))
+
+    exact = _run("exact", "exact_count")
+    approx = _run("approx", "approx_count")
+    # rsd comes from the SAME settings the approx run's HLL uses
     # (populate/fact.py) — a free-standing constant would silently
     # diverge if an env tunes fact_count_distinct_error_rate
-    rsd = EVENTS_ENV.settings.fact_count_distinct_error_rate
+    rsd = EVENTS_BOUNDS_ENV.settings.fact_count_distinct_error_rate
     tol = F.greatest(
         F.ceil(F.col("exact_count") * (APPROX_EPS_MULT * rsd)), F.lit(2))
+    within = F.when(F.col("exact_count") <= 1,
+                    F.col("approx_count") == F.col("exact_count")) \
+              .otherwise(F.abs(F.col("approx_count") - F.col("exact_count"))
+                         <= tol)
     return (exact.join(approx, keys)
-            .select(*keys, "exact_count",
-                    (F.abs(F.col("approx_count") - F.col("exact_count"))
-                     <= tol).alias("within_3eps")))
+            .select(*keys, "exact_count", within.alias("within_3eps")))
 
 
 FACT_EVENTS_BY_MINUTE_APPROX_BOUNDS_SQL = f"""
 WITH {_DIM_EVENT_TYPE_CTE}
-SELECT CAST(floor(epoch(e.ts) / 60) AS BIGINT)  AS ts_minute_id,
-       coalesce(e.user_id, -1)                  AS user_id,
-       CAST(coalesce(d.id, -1) AS INT)          AS event_type_id,
-       count(DISTINCT e.user_id)                AS exact_count,
-       TRUE                                     AS within_3eps
+SELECT CAST(floor(epoch(e.ts) / 604800) AS BIGINT) AS ts_week_id,
+       CAST(coalesce(d.id, -1) AS INT)             AS event_type_id,
+       count(DISTINCT e.user_id)                   AS exact_count,
+       TRUE                                        AS within_3eps
 FROM events e
 LEFT JOIN dim_event_type d
        ON d.event_type = coalesce(e.event_type, '__UNKNOWN_VAL__')
 WHERE e.ts < {SQL_FAR}
-GROUP BY 1, 2, 3
+GROUP BY 1, 2
 """
 
 

@@ -101,3 +101,19 @@ def test_count_min_sketch_heavy_hitter_bounds(spark):
         est = cms.estimateCount(token)
         assert est >= true_count, (token, est, true_count)
         assert est <= true_count + eps * n, (token, est, true_count)
+
+
+def test_approx_bounds_grain_is_falsifiable(spark):
+    """r06 ADVICE (medium): the r06 bounds grain included user_id, so
+    exact_count was always 0/1 and within_3eps could never flip FALSE.
+    The reworked day x event_type grain must have groups whose exact
+    distinct-count exceeds the tolerance floor — i.e. a drifting HLL
+    estimate is actually detectable — and all groups must still pass."""
+    from ringo_spark.testbed import fact_events_by_minute_approx_bounds_df
+
+    rows = fact_events_by_minute_approx_bounds_df(spark, SF_DIR).collect()
+    assert rows
+    # non-degenerate: some group's exact count makes ceil(3*rsd*exact) > 2
+    assert any(r.exact_count > 13 for r in rows), \
+        [r.exact_count for r in rows[:20]]
+    assert all(r.within_3eps for r in rows)
