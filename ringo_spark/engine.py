@@ -30,6 +30,7 @@ Execution model (Spark-first):
 from __future__ import annotations
 
 import json
+import logging
 import os
 import shutil
 
@@ -43,6 +44,8 @@ from .extractor import (
 )
 from .generator import sqlgen
 from .model import DimTime, Env, Fact, PopulationMode, TenantId
+
+log = logging.getLogger(__name__)
 from .populate.dimension import dimension_population_df
 from .populate.fact import fact_population_df
 
@@ -142,7 +145,30 @@ class Engine:
 
         from .sources.bucketing import bucketize_for_fact_join
 
-        pairs = pairs if pairs is not None else self.parent_join_pairs()
+        if pairs is None:
+            # Default path: a fact star with FKs to several parents via
+            # different child columns is NORMAL, but one physical layout
+            # can only co-locate one of those joins.  Keep the first key
+            # requested per table and skip (with a log line) the rest —
+            # the skipped joins simply shuffle as before.  The hard
+            # ValueError in bucketize_for_fact_join is reserved for
+            # explicitly passed pairs, where a silent skip would betray
+            # the caller's stated intent (r06 ADVICE).
+            seen: dict[str, list[str]] = {}
+            pairs = []
+            for lt, lc, rt, rc in self.parent_join_pairs():
+                keys = {t: [c] if isinstance(c, str) else list(c)
+                        for t, c in ((lt, lc), (rt, rc))}
+                conflict = next((t for t, cols in keys.items()
+                                 if seen.get(t, cols) != cols), None)
+                if conflict is not None:
+                    log.info(
+                        "bucketize_sources: skipping join %s(%s) ⋈ %s(%s) — "
+                        "%s already bucketed on %s; this join will shuffle",
+                        lt, lc, rt, rc, conflict, seen[conflict])
+                    continue
+                seen.update(keys)
+                pairs.append((lt, lc, rt, rc))
         if not pairs:
             return []
         # sources are already cast to their declared schema, so the

@@ -40,20 +40,27 @@ def plan_size_bytes(df: DataFrame) -> int:
     return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
 
 
-# On-disk size per source path, resolved once through the Hadoop
-# FileSystem (works on any scheme the cluster reads: file://, s3a://,
-# hdfs://).  Source tables don't change size mid-session; engine paths
-# that rewrite data can invalidate with _SIZE_CACHE.pop(path).
-_SIZE_CACHE: dict[str, int] = {}
+# On-disk size per source path, resolved through the Hadoop FileSystem
+# (works on any scheme the cluster reads: file://, s3a://, hdfs://).
+# The cache entry is keyed by the path's modification time, so a table
+# rewritten in-session (corpus regen, probes rewriting under the same
+# path) is re-measured instead of served a stale small size — a stale
+# grant here would force-broadcast a now-large table, the exact OOM the
+# gate exists to prevent (r06 ADVICE).  getModificationTime is a pure
+# namenode/liststatus call, ~free next to the query it guards.
+_SIZE_CACHE: dict[str, tuple[int, int]] = {}   # path -> (mtime, bytes)
 
 
 def table_size_bytes(spark, path: str) -> int:
-    if path not in _SIZE_CACHE:
-        jvm = spark._jvm
-        p = jvm.org.apache.hadoop.fs.Path(path)
-        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-        _SIZE_CACHE[path] = int(fs.getContentSummary(p).getLength())
-    return _SIZE_CACHE[path]
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    mtime = int(fs.getFileStatus(p).getModificationTime())
+    hit = _SIZE_CACHE.get(path)
+    if hit is None or hit[0] != mtime:
+        _SIZE_CACHE[path] = (mtime,
+                             int(fs.getContentSummary(p).getLength()))
+    return _SIZE_CACHE[path][1]
 
 
 def broadcast_if_small(df: DataFrame, gate_bytes: int | None = None,

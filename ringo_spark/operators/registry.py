@@ -94,15 +94,16 @@ DRIVER_WINDOW: list[str] = [
     "vocab_topk",
     "lang_confusion",
     "metrics_unpivot",
+    # -- new round-7 queries: first driver rows --
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity",
     # -- rotated back in: longest-waiting cohort (single r04 record) —
     #    these slots swap for new round-7 queries as they are built --
     "q1_pricing_summary",
     "q6_forecast_revenue",
     "window_frames",
-    "fact_events_by_second",
-    "fact_orders_by_week",
-    "user_value_ema",
-    "sample_hash_split",
     # -- core schema-level pipeline (driver-green r02+r03+r04; pinned) --
     "dim_event_type",
     "fact_events_by_minute",
@@ -170,6 +171,10 @@ DISPLACED: list[str] = [
     "topk",
     "range_join",
     # r04-record cohort still waiting (rotate next)
+    "fact_events_by_second",
+    "fact_orders_by_week",
+    "user_value_ema",
+    "sample_hash_split",
     "fact_events_tenant_by_hour",
     "fact_events_hour_regrain",
     "user_value_ema_segmented",

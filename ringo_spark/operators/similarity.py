@@ -265,6 +265,13 @@ IVF_INDEX_ROOT = os.path.join(
 
 
 INDEX_KEEP_LAST = 3
+# LRU eviction never touches a dir used within this window: builders and
+# probers bump their marker mtime on every hit, so a recent mtime means
+# a session (possibly a CONCURRENT one — CI workers share the root) may
+# hold live frames over those files; rmtree'ing them mid-job surfaces as
+# FileNotFoundException at action time (r06 ADVICE).  Stale-by-hours
+# dirs are safe: nothing has resolved a plan against them recently.
+GC_MIN_AGE_SECONDS = 6 * 3600
 # writer tasks per index cell/bucket at build time: a hot cell's rows are
 # salted over this many writers so one giant cell (clustered embeddings,
 # hot LSH buckets) can't serialize the build; the partitionBy layout is
@@ -273,27 +280,36 @@ BUILD_WRITERS_PER_CELL = 4
 
 
 def gc_index_root(root: str, keep: int | None = None,
-                  protect: str | None = None) -> list[str]:
+                  protect: str | None = None,
+                  min_age_seconds: float | None = None) -> list[str]:
     """Index-lifecycle GC: each distinct (source fingerprint, params)
     combination gets its own directory under ``root``, so a long-lived
     session (or CI machine) re-generating its corpus accumulates stale
     index dirs forever.  Keep the ``keep`` most-recently-USED dirs
     (builders touch their marker file on every cache hit, making dir
     recency an LRU signal) plus ``protect`` (the dir just built), remove
-    the rest.  Returns the removed paths.  Same keep-last-N policy as
-    ``Engine._gc_versions``; crash-safe for the same reason — a
-    half-removed stale dir has no live marker and is re-collected next
-    time."""
+    the rest.  Dirs younger than ``min_age_seconds`` are NEVER removed
+    even past the keep count — with >keep corpora in rotation or
+    concurrent sessions sharing the root, LRU alone could delete an
+    index another in-flight query is scanning (r06 ADVICE).  Returns the
+    removed paths.  Same keep-last-N policy as ``Engine._gc_versions``;
+    crash-safe for the same reason — a half-removed stale dir has no
+    live marker and is re-collected next time."""
     import shutil
+    import time
 
     if keep is None:  # resolved at call time so INDEX_KEEP_LAST is tunable
         keep = INDEX_KEEP_LAST
+    if min_age_seconds is None:
+        min_age_seconds = GC_MIN_AGE_SECONDS
     if not os.path.isdir(root):
         return []
+    now = time.time()
     entries = []
     for d in os.listdir(root):
         p = os.path.join(root, d)
-        if os.path.isdir(p) and p != protect:
+        if (os.path.isdir(p) and p != protect
+                and now - os.path.getmtime(p) >= min_age_seconds):
             entries.append((os.path.getmtime(p), p))
     removed = []
     for _, p in sorted(entries)[:-keep] if keep else sorted(entries):

@@ -494,6 +494,204 @@ LIMIT 100
 """
 
 
+def q13_customer_distribution_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: distribution of customers by order count — the classic
+    LEFT OUTER JOIN + COUNT over empty groups.  The trap this exercises:
+    the order filter must live in the JOIN CONDITION, not a WHERE — a
+    WHERE would silently drop the zero-order customers and the c_count=0
+    bucket with them (the testdata has such a customer, so getting this
+    wrong is hash-visible).  Scale shape: one shuffle joins both sides on
+    custkey; the first groupBy(c_custkey) reuses that exchange's
+    partitioning (no second shuffle); the outer groupBy(c_count) is
+    distinct-order-count-sized, i.e. tiny."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    per_cust = (cust.select("c_custkey")
+                .join(orders.where(F.col("o_orderpriority") != "1-URGENT")
+                      .select("o_custkey", "o_orderkey"),
+                      F.col("c_custkey") == F.col("o_custkey"), "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+
+Q13_CUSTOMER_DISTRIBUTION_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q15_top_supplier_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: supplier(s) achieving the maximum quarterly revenue —
+    the classic correlated scalar-MAX subquery over a derived aggregate,
+    decorrelated as agg → 1-row max → broadcast compare (Catalyst plans
+    the equality against the broadcast literal; ties all surface, exactly
+    like the view-based original).  The revenue agg shuffles on suppkey
+    once; everything downstream is supplier-cardinality-sized.  The
+    equality compares EXACT decimals (sum of decimal(28,6)) — comparing
+    rounded doubles would make tie detection engine-dependent."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    rev = (li.where((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                    & (F.col("l_shipdate") < F.lit("1996-04-01")))
+           .groupBy(F.col("l_suppkey").alias("supplier_no"))
+           .agg(F.sum(_revenue_cols()).alias("__rev")))
+    mx = rev.agg(F.max("__rev").alias("__mx"))
+    return (rev.join(F.broadcast(mx), F.col("__rev") == F.col("__mx"))
+            .join(broadcast_if_small(supp,
+                                     size_path=f"{sf_dir}/supplier.parquet"),
+                  F.col("supplier_no") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name",
+                    F.round("__rev", 2).cast("double").alias("total_revenue"))
+            .orderBy("s_suppkey"))
+
+
+Q15_TOP_SUPPLIER_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, sum({_REV_SQL}) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY 1)
+SELECT s_suppkey, s_name,
+       CAST(round(total_revenue, 2) AS DOUBLE) AS total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+Q21_REGION = "ASIA"
+
+
+def q21_suppliers_kept_waiting_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: suppliers who were the SOLE late supplier on a
+    multi-supplier finished order — the classic EXISTS + NOT EXISTS
+    double correlation on the same key, decorrelated as a LEFT SEMI and
+    a LEFT ANTI join against the same lineitem relation.  (The testdata
+    has no commit/receipt dates; 'late' is adapted to l_returnflag='R',
+    which preserves both correlation shapes.)  Scale shape: the
+    semi/anti probes join on orderkey with the suppkey inequality as a
+    residual — equi hash joins, never a cartesian (plan-tested); the
+    supplier/nation/region chain rides broadcast lookups exactly like
+    Q5's."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    l1 = (li.where(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_suppkey").alias("l1"))
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = (li.where(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_suppkey").alias("l3"))
+    nr = (nation.join(F.broadcast(region.where(F.col("r_name") == Q21_REGION)),
+                      F.col("n_regionkey") == F.col("r_regionkey"))
+          .select("n_nationkey"))
+    return (l1
+            .join(orders.where(F.col("o_orderstatus") == "F")
+                  .select("o_orderkey"),
+                  F.col("l1.l_orderkey") == F.col("o_orderkey"))
+            .join(l2, (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+                  & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+                  "left_semi")
+            .join(l3, (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+                  & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+                  "left_anti")
+            .join(broadcast_if_small(supp,
+                                     size_path=f"{sf_dir}/supplier.parquet"),
+                  F.col("l1.l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"),
+                  "left_semi")
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.desc("numwait"), F.asc("s_name"))
+            .limit(100))
+
+
+Q21_SUPPLIERS_KEPT_WAITING_SQL = f"""
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders   ON o_orderkey = l1.l_orderkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN region   ON r_regionkey = n_regionkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND r_name = '{Q21_REGION}'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 100
+"""
+
+
+# Q22's "country codes": the testdata customer has no phone column, so
+# the substring-code set adapts to a nationkey set (same IN-set shape)
+Q22_CODES = tuple(range(13))
+Q22_CUTOFF = "2000-01-01"
+
+
+def q22_global_sales_opportunity_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: customers from a code set with above-average positive
+    balances and no recent orders — a scalar-AVG subquery plus a
+    correlated NOT EXISTS (anti join).  (Adapted: nationkey set for the
+    phone-prefix codes; 'no orders at all' relaxed to 'no orders since
+    {Q22_CUTOFF}' because every testdata customer has orders.)  The
+    average is compared as ``c_acctbal * cnt > total`` in EXACT decimal
+    arithmetic — dividing first would put an engine-dependent double on
+    the threshold boundary.  Scale shape: the 1-row aggregate broadcasts
+    into the filter; the anti join's order side carries its date filter
+    down to the scan; one shuffle on custkey."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    sel = cust.where(F.col("c_nationkey").isin(*Q22_CODES))
+    pos = (sel.where(F.col("c_acctbal") > 0)
+           .agg(F.sum(bal).alias("__total"),
+                F.count(F.lit(1)).cast("decimal(12,0)").alias("__cnt")))
+    return (sel.join(F.broadcast(pos), bal * F.col("__cnt") > F.col("__total"))
+            .join(orders.where(F.col("o_orderdate") >= F.lit(Q22_CUTOFF))
+                  .select(F.col("o_custkey").alias("c_custkey")),
+                  "c_custkey", "left_anti")
+            .groupBy(F.col("c_nationkey").alias("cntrycode"))
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.sum(bal).cast("double").alias("totacctbal")))
+
+
+Q22_GLOBAL_SALES_OPPORTUNITY_SQL = f"""
+WITH pos AS (
+  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total,
+         CAST(count(*) AS DECIMAL(12,0)) AS cnt
+  FROM customer
+  WHERE c_nationkey IN {Q22_CODES} AND c_acctbal > 0)
+SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer, pos
+WHERE c_nationkey IN {Q22_CODES}
+  AND CAST(c_acctbal AS DECIMAL(18,2)) * cnt > total
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '{Q22_CUTOFF} 00:00:00')
+GROUP BY 1
+"""
+
+
 TPCH_QUERIES: dict[str, tuple] = {
     "q1_pricing_summary": (q1_pricing_summary_df, Q1_PRICING_SUMMARY_SQL),
     "q3_shipping_priority": (q3_shipping_priority_df, Q3_SHIPPING_PRIORITY_SQL),
@@ -505,6 +703,13 @@ TPCH_QUERIES: dict[str, tuple] = {
                                   Q18_LARGE_VOLUME_CUSTOMER_SQL),
     "q7_volume_shipping": (q7_volume_shipping_df, Q7_VOLUME_SHIPPING_SQL),
     "q4_order_priority": (q4_order_priority_df, Q4_ORDER_PRIORITY_SQL),
+    "q13_customer_distribution": (q13_customer_distribution_df,
+                                  Q13_CUSTOMER_DISTRIBUTION_SQL),
+    "q15_top_supplier": (q15_top_supplier_df, Q15_TOP_SUPPLIER_SQL),
+    "q21_suppliers_kept_waiting": (q21_suppliers_kept_waiting_df,
+                                   Q21_SUPPLIERS_KEPT_WAITING_SQL),
+    "q22_global_sales_opportunity": (q22_global_sales_opportunity_df,
+                                     Q22_GLOBAL_SALES_OPPORTUNITY_SQL),
     "user_value_ema": (user_value_ema_df, USER_VALUE_EMA_SQL),
     "user_value_ema_segmented": (user_value_ema_segmented_df,
                                  USER_VALUE_EMA_SEGMENTED_SQL),

@@ -109,7 +109,15 @@ def streaming_near_dedup(index_path: str,
                     .select("doc_new", "doc_seen",
                             F.round(jac, 6).alias("jaccard"))
                     .where(F.col("jaccard") >= JACCARD_THRESHOLD))
-            hits.write.mode("append").parquet(sink_path)
+            # Idempotent sink: foreachBatch's exactly-once caveat is that
+            # a retried micro-batch re-runs the whole function, so a
+            # bare mode("append") would re-append the same hit rows.
+            # Writing each batch under its batch_id-derived partition
+            # dir with overwrite makes the retry replace its own output
+            # instead (r06 ADVICE); readers of sink_path see batch_id as
+            # a discovered partition column.
+            hits.write.mode("overwrite").parquet(
+                os.path.join(sink_path, f"batch_id={batch_id}"))
         return probe
 
     return batch_prober

@@ -594,6 +594,36 @@ def test_index_gc_keeps_last_n_and_protects_fresh_build(tmp_path):
     assert gc_index_root(root, keep=3, protect=fresh) == []
 
 
+def test_gc_never_removes_recently_used_index(tmp_path):
+    """Min-age shield (r06 ADVICE): with more than keep-last-N corpora in
+    rotation or concurrent sessions sharing the root, a recently-USED
+    index may have live frames over it — LRU must not rmtree it even
+    past the keep count.  Only dirs idle past min_age_seconds are
+    eligible."""
+    import os
+    import time
+
+    from ringo_spark.operators.similarity import gc_index_root
+
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    now = time.time()
+    for i in range(6):
+        d = os.path.join(root, f"k4-busy{i}")
+        os.makedirs(d)
+        os.utime(d, (now - i, now - i))       # all used seconds ago
+    stale = os.path.join(root, "k4-stale")
+    os.makedirs(stale)
+    os.utime(stale, (now - 7 * 3600,) * 2)    # idle past the shield
+
+    removed = gc_index_root(root, keep=3, min_age_seconds=6 * 3600)
+    assert removed == []                      # stale is within keep=3 of
+                                              # eligible dirs (it's alone)
+    removed = gc_index_root(root, keep=0, min_age_seconds=6 * 3600)
+    assert removed == [stale]                 # only the idle dir ever goes
+    assert len(os.listdir(root)) == 6
+
+
 def test_index_builders_gc_stale_fingerprints(spark, tmp_path, monkeypatch):
     """End-to-end through a real builder: regenerating the source corpus
     changes the fingerprint, and stale-fingerprint index dirs beyond
@@ -606,6 +636,9 @@ def test_index_builders_gc_stale_fingerprints(spark, tmp_path, monkeypatch):
     root = str(tmp_path / "lsh_root")
     monkeypatch.setattr(sim, "LSH_INDEX_ROOT", root)
     monkeypatch.setattr(sim, "INDEX_KEEP_LAST", 1)
+    # the dirs this test makes stale are seconds old; disable the
+    # min-age live-index shield to exercise the LRU policy itself
+    monkeypatch.setattr(sim, "GC_MIN_AGE_SECONDS", 0)
 
     src = str(tmp_path / "sf")
     os.makedirs(src)

@@ -231,8 +231,17 @@ def test_broadcast_gate_unit(spark, tmp_path):
     assert "ResolvedHint" not in unhinted._jdf.queryExecution().analyzed().toString()
 
     s1 = bg.table_size_bytes(spark, p)
-    assert s1 > 0 and bg._SIZE_CACHE[p] == s1
+    assert s1 > 0 and bg._SIZE_CACHE[p][1] == s1
     assert bg.table_size_bytes(spark, p) == s1  # served from cache
+    # staleness (r06 ADVICE): rewriting the table under the same path
+    # must re-measure — a stale small size would force-broadcast a
+    # now-large table
+    spark.range(200_000).write.mode("overwrite").parquet(p)
+    s2 = bg.table_size_bytes(spark, p)
+    assert s2 != s1 and bg._SIZE_CACHE[p][1] == s2
+    spark.read.parquet(p).limit(1000).write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p)
+    s1 = bg.table_size_bytes(spark, p)
     via_path = bg.broadcast_if_small(df, gate_bytes=s1, size_path=p)
     assert "ResolvedHint" in via_path._jdf.queryExecution().analyzed().toString()
     via_path2 = bg.broadcast_if_small(df, gate_bytes=s1 - 1, size_path=p)
@@ -271,3 +280,63 @@ def test_q18_semi_join_plan_shape(spark):
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q13_outer_join_count_plan_shape(spark):
+    """Q13's left-outer + count-over-empty-groups: the order-priority
+    filter stays in the join condition (customers keep their row), the
+    join is a single equi-join (no cartesian), and the custkey
+    aggregation reuses the join's hash partitioning — exactly one
+    Exchange on the custkey column, plus the tiny final distribution
+    agg's."""
+    from ringo_spark.operators.tpch import q13_customer_distribution_df
+
+    import re
+
+    df = q13_customer_distribution_df(spark, SF)
+    plan = plan_of(spark, df, "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # the priority filter reaches the orders scan as a pushed predicate
+    # (it lives in the join CONDITION — a WHERE would drop empty groups)
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan
+    assert "LeftOuter" in plan
+    # customer-side data shuffles on custkey at most once: the
+    # groupBy(c_custkey) either reuses the join exchange (SMJ case) or is
+    # the only custkey exchange (broadcast case)
+    assert len(re.findall(r"Exchange hashpartitioning\(c_custkey", plan)) <= 1
+
+
+def test_q21_semi_anti_double_correlation_plan_shape(spark):
+    """Q21's EXISTS + NOT EXISTS on the same key: BOTH probes plan as
+    equi hash joins (LeftSemi then LeftAnti) with the suppkey inequality
+    as a residual — never a nested-loop/cartesian."""
+    from ringo_spark.operators.tpch import q21_suppliers_kept_waiting_df
+
+    plan = plan_of(spark, q21_suppliers_kept_waiting_df(spark, SF), "simple")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q22_scalar_avg_anti_join_plan_shape(spark):
+    """Q22's scalar-AVG threshold broadcasts as a 1-row join (not a
+    per-row subquery), the NOT EXISTS is a LeftAnti with the date filter
+    pushed to the orders scan."""
+    from ringo_spark.operators.tpch import q22_global_sales_opportunity_df
+
+    plan = plan_of(spark, q22_global_sales_opportunity_df(spark, SF))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    # orders-side pushdown: the cutoff reaches PushedFilters
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q15_max_revenue_plan_shape(spark):
+    """Q15's correlated-max decorrelation: the 1-row max broadcasts into
+    an equality join against the revenue agg; supplier lookup broadcasts;
+    no re-aggregation of lineitem."""
+    from ringo_spark.operators.tpch import q15_top_supplier_df
+
+    plan = plan_of(spark, q15_top_supplier_df(spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

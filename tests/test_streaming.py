@@ -221,10 +221,23 @@ def test_streaming_near_dedup_matches_batch_incremental(spark, tmp_path):
          .trigger(availableNow=True).start())
     q.awaitTermination(180)
 
-    got = {tuple(r) for r in spark.read.parquet(sink).collect()}
+    hit_cols = ["doc_new", "doc_seen", "jaccard"]
+    got = {tuple(r) for r in
+           spark.read.parquet(sink).select(*hit_cols).collect()}
     want = {tuple(r)
             for r in dedup_minhash_incremental_df(spark, SF).collect()}
     assert got == want and want
+
+    # idempotency (r06 ADVICE): a micro-batch retry re-runs the prober
+    # with the SAME batch_id — the per-batch overwrite partition must
+    # replace, not duplicate, that batch's hit rows
+    replay = spark.read.parquet(src).limit(n // 2)
+    streaming_near_dedup(idx)(sink)(replay, batch_id=0)
+    streaming_near_dedup(idx)(sink)(replay, batch_id=0)
+    total = spark.read.parquet(sink).count()
+    distinct = (spark.read.parquet(sink)
+                .dropDuplicates(hit_cols + ["batch_id"]).count())
+    assert total == distinct
 
 
 def test_streaming_session_window_matches_batch(spark, tmp_path):
