@@ -748,6 +748,31 @@ def dedup_clusters_df(spark: SparkSession, sf_dir: str,
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
+def build_cluster_table(spark: SparkSession, sf_dir: str,
+                        force: bool = False) -> str:
+    """Persist the near-dup cluster table (dedup_clusters_indexed's
+    output) once per corpus version, stored INSIDE the minhash index dir
+    so the fingerprint tag, LRU marker, and GC lifecycle are shared.
+    Consumers that only need doc_id -> cluster_id (leak-proof splits,
+    mixture accounting, per-cluster sampling) read this table instead of
+    re-running label propagation per call — the same amortization the
+    ``*_indexed`` query variants get from the band index (VERDICT r06
+    item 7: sample_cluster_split rebuilt clustering on every
+    invocation)."""
+    p = build_minhash_index(spark, sf_dir)
+    cpath = _os.path.join(p, "clusters")
+    marker = _os.path.join(p, "_CLUSTERS_OK")
+    if not force and _os.path.exists(marker):
+        from .similarity import _touch
+
+        _touch(marker)
+        return cpath
+    dedup_clusters_indexed_df(spark, sf_dir) \
+        .write.mode("overwrite").parquet(cpath)
+    open(marker, "w").close()
+    return cpath
+
+
 def dedup_clusters_indexed_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production composition: cluster from the PERSISTED band+shingle
     index's verified pairs instead of recomputing signatures

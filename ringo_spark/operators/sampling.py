@@ -143,11 +143,31 @@ def sample_cluster_split_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     small).  Clusters come from the persisted minhash index; the split
     itself is a map-side projection.  The invariant (no cluster
     straddles splits) is pytest-pinned."""
-    from ..functions.broadcast_gate import broadcast_if_small
     from .dedup import dedup_clusters_indexed_df
 
-    clusters = dedup_clusters_indexed_df(spark, sf_dir)
-    eff = (_docs(spark, sf_dir)
+    return _cluster_split(_docs(spark, sf_dir),
+                          dedup_clusters_indexed_df(spark, sf_dir))
+
+
+def sample_cluster_split_indexed_df(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Same leak-proof split served from the PERSISTED cluster table
+    (:func:`~ringo_spark.operators.dedup.build_cluster_table`): label
+    propagation runs once per corpus version at build time; each split
+    call is then a single doc_id join + map-side projection — the
+    steady-state shape a pipeline re-cutting splits (new ratios, new
+    seeds) actually uses.  Identical result to the live recompute (same
+    cluster table, pytest-pinned), so the oracle applies unchanged."""
+    from .dedup import build_cluster_table
+
+    clusters = spark.read.parquet(build_cluster_table(spark, sf_dir))
+    return _cluster_split(_docs(spark, sf_dir), clusters)
+
+
+def _cluster_split(docs: DataFrame, clusters: DataFrame) -> DataFrame:
+    from ..functions.broadcast_gate import broadcast_if_small
+
+    eff = (docs
            .join(broadcast_if_small(clusters), "doc_id", "left")
            .select("doc_id",
                    F.coalesce(F.col("cluster_id"), F.col("doc_id"))
@@ -178,6 +198,10 @@ SAMPLING_QUERIES: dict[str, tuple] = {
     # pair set as live, pytest-pinned) never straddle splits
     "sample_cluster_split": (sample_cluster_split_df,
                              SAMPLE_CLUSTER_SPLIT_SQL),
+    # same split served from the persisted cluster table (clustering
+    # amortized to build time; identical result, same oracle)
+    "sample_cluster_split_indexed": (sample_cluster_split_indexed_df,
+                                     SAMPLE_CLUSTER_SPLIT_SQL),
     "sample_per_source_quota": (sample_per_source_quota_df,
                                 SAMPLE_PER_SOURCE_QUOTA_SQL),
     "sample_mixture": (sample_mixture_df, SAMPLE_MIXTURE_SQL),

@@ -36,7 +36,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .textfn import cosine, sql_cosine
+from .textfn import cosine, dot, sql_cosine
 
 TOP_K = 10
 N_QUERIES = 5
@@ -360,13 +360,50 @@ def _cell_expr(cent_rows) -> F.Column:
     greatest — bit-identical to the groupBy-max in ``ann_ivf_df``.
 
     ``cent_rows``: (cid, cvec) pairs — collected Rows (field order cid,
-    cvec) or plain tuples from :func:`train_ivf_centroids`."""
+    cvec) or plain tuples from :func:`train_ivf_centroids`.
+
+    Prefer :func:`_with_cell` on a hot path: this single-Column form
+    re-folds the row's self-norm inside every centroid branch (Spark
+    evaluates higher-order functions by interpreted closure dispatch, so
+    nothing CSEs them away)."""
     scs = []
     for cid, cvec_vals in cent_rows:
         cvec = F.array(*[F.lit(float(x)) for x in cvec_vals])
         s = F.round(cosine(F.col("embedding"), cvec), 6)
         scs.append(F.struct(s.alias("s"), F.lit(int(cid)).alias("cid")))
     return F.greatest(*scs).getField("cid") if len(scs) > 1 else scs[0].getField("cid")
+
+
+def _with_cell(df: DataFrame, cent_rows, out: str = "cell") -> DataFrame:
+    """``df`` + an ``out`` column holding the argmax-cosine cell id —
+    same assignment as ``withColumn(out, _cell_expr(cent_rows))`` (pytest
+    -pinned identical), restructured for cost: the K-branch argmax was
+    the hottest expression in the repo at 3K interpreted fold-lambdas
+    per row (K centroids x {dot(a,b), dot(a,a), dot(b,b)} x dim).  Here
+    the row's self-norm is computed ONCE in its own projection (the
+    optimizer keeps the split — CollapseProject refuses to inline a
+    non-cheap expression used K times), and each centroid's norm is a
+    driver-side Python-float literal with the same left-to-right IEEE
+    accumulation, so only the K cross-dots remain per row (~3x fewer
+    folds).  The round-6 trajectory the DuckDB oracle replays is
+    unchanged."""
+    import math
+
+    e = F.col("embedding")
+    norm = f"__{out}_norm_a"
+    scs = []
+    for cid, cvec_vals in cent_rows:
+        b_acc = 0.0
+        for x in cvec_vals:
+            b_acc += float(x) * float(x)
+        cvec = F.array(*[F.lit(float(x)) for x in cvec_vals])
+        s = F.round(dot(e, cvec) / (F.col(norm) * F.lit(math.sqrt(b_acc))), 6)
+        scs.append(F.struct(s.alias("s"), F.lit(int(cid)).alias("cid")))
+    cell = F.greatest(*scs).getField("cid") if len(scs) > 1 \
+        else scs[0].getField("cid")
+    return (df.withColumn(norm, F.sqrt(dot(e, e)))
+            .withColumn(out, cell)
+            .drop(norm))
 
 
 def build_ivf_index(spark: SparkSession, sf_dir: str,
@@ -397,7 +434,7 @@ def build_ivf_index(spark: SparkSession, sf_dir: str,
         return index_path
     emb = _emb(spark, sf_dir)
     cent_rows = _ivf_centroid_rows(emb, k)
-    (emb.withColumn("cell", _cell_expr(cent_rows))
+    (_with_cell(emb, cent_rows)
      .repartition(F.col("cell"),
                   F.pmod(F.col("vec_id"), F.lit(BUILD_WRITERS_PER_CELL)))
      .write.mode("overwrite").partitionBy("cell").parquet(index_path))
@@ -424,7 +461,7 @@ def append_to_ivf_index(spark: SparkSession, index_path: str,
     explicit."""
     cent = spark.read.parquet(os.path.join(index_path, "_centroids"))
     cent_rows = [(r.cid, r.cvec) for r in cent.collect()]
-    (batch_emb.withColumn("cell", _cell_expr(cent_rows))
+    (_with_cell(batch_emb, cent_rows)
      .repartition(F.col("cell"),
                   F.pmod(F.col("vec_id"), F.lit(BUILD_WRITERS_PER_CELL)))
      .write.mode("append").partitionBy("cell").parquet(index_path))
@@ -631,20 +668,31 @@ def train_ivf_centroids(spark: SparkSession, sf_dir: str, k: int = IVF_K,
     next iteration's literals, so DuckDB replays the identical training
     trajectory and the whole trained index is oracle-checkable.  Cells
     that lose all members simply drop out (both engines agree)."""
-    emb = _emb(spark, sf_dir)
+    # cache across the Lloyd iterations (the standard iterative-training
+    # shape — MLlib does the same); released before returning
+    emb = _emb(spark, sf_dir).cache()
     cent = [(int(cid), [float(x) for x in cvec])
             for cid, cvec in _ivf_centroid_rows(emb, k)]
-    for _ in range(iters):
-        rows = (emb.withColumn("cell", _cell_expr(cent))
-                .select("cell", F.posexplode("embedding").alias("pos", "v"))
-                .groupBy("cell", "pos")
-                .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
-                .groupBy("cell")
-                .agg(F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                    lambda x: x.getField("c")).alias("cvec"))
-                .collect())
-        cent = sorted((int(r.cell), [float(x) for x in r.cvec]) for r in rows)
+    dim = len(cent[0][1])
+    # Per-component avg aggregates instead of posexplode: the old shape
+    # generated corpus x dim rows per iteration just to feed the partial
+    # agg; this one keeps one row per vector and runs `dim` accumulators
+    # in a single whole-stage-codegen hash aggregate (same
+    # round(avg(double), 6) formula per component, so the DuckDB replay
+    # trajectory is unchanged).  The exchange still carries only K rows
+    # per mapper; the driver still receives only K x dim doubles.
+    comp_avgs = [F.round(F.avg(F.col("embedding")[i].cast("double")), 6)
+                 .alias(f"c{i}") for i in range(dim)]
+    try:
+        for _ in range(iters):
+            rows = (_with_cell(emb, cent)
+                    .groupBy("cell")
+                    .agg(*comp_avgs)
+                    .collect())
+            cent = sorted((int(r.cell), [float(r[f"c{i}"])
+                           for i in range(dim)]) for r in rows)
+    finally:
+        emb.unpersist()
     return cent
 
 
@@ -654,8 +702,7 @@ def ann_ivf_kmeans_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations) instead of seeded — better-balanced cells, same plan."""
     cent = train_ivf_centroids(spark, sf_dir)
     emb = _emb(spark, sf_dir)
-    cells = emb.select("vec_id", "embedding",
-                       _cell_expr(cent).alias("cell"))
+    cells = _with_cell(emb, cent).select("vec_id", "embedding", "cell")
     cent_df = spark.createDataFrame(
         [(cid, cvec) for cid, cvec in cent],
         "cid int, cvec array<double>")
@@ -694,15 +741,15 @@ def _sql_kmeans_ctes(k: int, iters: int) -> tuple[str, str]:
               'cid': c.cid}}).cid AS cell
   FROM embeddings e CROSS JOIN cent{i} c
   GROUP BY vec_id)""")
+        # per-component avg list, mirroring the Spark trainer's
+        # de-exploded shape (a generate_series cross join here would
+        # multiply the corpus by EMB_DIM per iteration)
+        comp = ", ".join(f"round(avg(e.embedding[{j}]::DOUBLE), 6)"
+                         for j in range(1, EMB_DIM + 1))
         parts.append(f"""cent{i + 1} AS (
-  SELECT cell AS cid, list(c ORDER BY pos) AS cvec
-  FROM (
-    SELECT cl.cell, g.pos,
-           round(avg(e.embedding[g.pos]::DOUBLE), 6) AS c
-    FROM cells{i} cl JOIN embeddings e USING (vec_id)
-    CROSS JOIN generate_series(1, {EMB_DIM}) g(pos)
-    GROUP BY cl.cell, g.pos)
-  GROUP BY cell)""")
+  SELECT cl.cell AS cid, [{comp}] AS cvec
+  FROM cells{i} cl JOIN embeddings e USING (vec_id)
+  GROUP BY cl.cell)""")
     return ",\n".join(parts), f"cent{iters}"
 
 

@@ -836,6 +836,15 @@ def test_cluster_split_is_leak_proof(spark):
     clustered = {d for p in pairs for d in p}
     assert any(split[d] != naive[d] for d in clustered)
 
+    # the persisted-cluster-table variant serves the IDENTICAL split
+    # (clustering amortized to build time), so the invariant and the
+    # shared oracle both carry over
+    from ringo_spark.operators.sampling import sample_cluster_split_indexed_df
+
+    indexed = {r.doc_id: r.split
+               for r in sample_cluster_split_indexed_df(spark, SF).collect()}
+    assert indexed == split
+
 
 def test_repetition_metrics_on_synthetic_docs(spark, tmp_path):
     """A looping doc is flagged on both signals; varied text on neither;
@@ -884,3 +893,19 @@ def test_average_hash_properties():
     # synthetic corpus round trip: decode(encode(id)) is deterministic
     w2, h2, px = decode_png_pixels(encode_png(7))
     assert average_hash(px, w2, h2) == average_hash(px, w2, h2)
+
+
+def test_with_cell_matches_cell_expr(spark):
+    """_with_cell's hoisted-norm restructuring is a pure cost rewrite:
+    the assignment it produces must be bit-identical to the reference
+    single-Column argmax (_cell_expr) for the same centroids."""
+    from ringo_spark.operators import similarity as sim
+
+    emb = sim._emb(spark, "/root/testdata/sf0.001")
+    cent = [(int(r.cid), [float(x) for x in r.cvec])
+            for r in sim._ivf_centroid_rows(emb)]
+    a = {r.vec_id: r.cell for r in
+         emb.select("vec_id", sim._cell_expr(cent).alias("cell")).collect()}
+    b = {r.vec_id: r.cell for r in
+         sim._with_cell(emb, cent).select("vec_id", "cell").collect()}
+    assert a == b and a
