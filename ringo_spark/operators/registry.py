@@ -100,10 +100,10 @@ DRIVER_WINDOW: list[str] = [
     "q21_suppliers_kept_waiting",
     "q22_global_sales_opportunity",
     "sample_cluster_split_indexed",
+    "quantiles_approx_bounds",
     # -- rotated back in: longest-waiting cohort (single r04 record) —
     #    these slots swap for new round-7 queries as they are built --
     "q1_pricing_summary",
-    "q6_forecast_revenue",
     # -- core schema-level pipeline (driver-green r02+r03+r04; pinned) --
     "dim_event_type",
     "fact_events_by_minute",
@@ -171,6 +171,7 @@ DISPLACED: list[str] = [
     "topk",
     "range_join",
     # r04-record cohort still waiting (rotate next)
+    "q6_forecast_revenue",
     "window_frames",
     "fact_events_by_second",
     "fact_orders_by_week",

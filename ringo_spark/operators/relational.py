@@ -547,6 +547,80 @@ GROUP BY 1
 """
 
 
+QUANTILE_PS = (0.5, 0.9, 0.99)
+QUANTILE_ACCURACY = 1000          # GK sketch: rank error <= n / accuracy
+QUANTILE_RANK_EPS = 3.0 / QUANTILE_ACCURACY   # 3x the published bound
+
+
+def quantiles_approx_bounds_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-sketch path of :func:`quantiles_df`, with its rank
+    -error contract made driver-hashable — the quantile twin of
+    ``fact_events_by_minute_approx_bounds`` (same motive as the
+    reference's mergeable count-distinct state, ``Populate/Fact.hs:
+    60-120``): ``approx_percentile`` aggregates a Greenwald-Khanna
+    sketch that MERGES map-side (partial + final, unlike exact
+    ``percentile`` which must see the whole sorted group), guaranteeing
+    the returned element's rank is within n/accuracy of p*n.
+
+    Per group the query emits the exact p50/p90/p99 (the oracle
+    reproduces them cell-exactly) plus a boolean asserting each sketch
+    estimate lies between the group's order statistics at ranks
+    p*n ± 3ε·n (ε = 1/accuracy) — a rank-space bracket on real elements,
+    so there are no interpolation edge cases on tiny groups.  The oracle
+    pins TRUE, so sketch drift past 3x the published bound turns the
+    driver row red.  (The bracket itself needs the sorted group — fine
+    for a bounds/diagnostic query; the production path is the sketch
+    alone.)"""
+    from ..catalog import load_catalog
+    from ..testbed import EVENTS
+
+    ev = load_catalog(spark, sf_dir, [EVENTS])["events"]
+    ps_arr = "array(" + ", ".join(f"{p}D" for p in QUANTILE_PS) + ")"
+    agg = (ev.groupBy(F.coalesce("event_type", F.lit("__UNKNOWN_VAL__"))
+                      .alias("event_type"))
+           .agg(F.count("value").alias("n"),
+                F.expr(f"percentile(CAST(value AS DOUBLE), {ps_arr})")
+                .alias("qs"),
+                F.expr(f"approx_percentile(CAST(value AS DOUBLE), {ps_arr},"
+                       f" {QUANTILE_ACCURACY})").alias("aps"),
+                F.sort_array(F.collect_list(F.col("value").cast("double")))
+                .alias("vals")))
+
+    def within(i: int, p: float) -> F.Column:
+        n = F.col("n").cast("int")
+        lo = F.greatest(F.lit(1),
+                        F.floor(F.lit(p - QUANTILE_RANK_EPS)
+                                * F.col("n")).cast("int"))
+        hi = F.least(n, (F.ceil(F.lit(p + QUANTILE_RANK_EPS) * F.col("n"))
+                         + F.lit(1)).cast("int"))
+        ap = F.element_at("aps", i)
+        return (F.element_at("vals", lo) <= ap) \
+            & (ap <= F.element_at("vals", hi))
+
+    ok = F.lit(True)
+    for i, p in enumerate(QUANTILE_PS, start=1):
+        ok = ok & within(i, p)
+    return agg.select(
+        "event_type", "n",
+        F.round(F.element_at("qs", 1), 6).alias("p50"),
+        F.round(F.element_at("qs", 2), 6).alias("p90"),
+        F.round(F.element_at("qs", 3), 6).alias("p99"),
+        F.when(F.col("n") == 0, F.lit(True)).otherwise(ok)
+        .alias("within_rank_bounds"))
+
+
+QUANTILES_APPROX_BOUNDS_SQL = """
+SELECT coalesce(event_type, '__UNKNOWN_VAL__') AS event_type,
+       count(value) AS n,
+       round(quantile_cont(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 0.5), 6) AS p50,
+       round(quantile_cont(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 0.9), 6) AS p90,
+       round(quantile_cont(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 0.99), 6) AS p99,
+       TRUE AS within_rank_bounds
+FROM events
+GROUP BY 1
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "join_inner_agg": (join_inner_agg_df, JOIN_INNER_AGG_SQL),
     "join_semi": (join_semi_df, JOIN_SEMI_SQL),
@@ -565,6 +639,10 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "range_join": (range_join_df, RANGE_JOIN_SQL),
     "asof_join": (asof_join_df, ASOF_JOIN_SQL),
     "quantiles": (quantiles_df, QUANTILES_SQL),
+    # mergeable GK-sketch quantiles with the rank-error contract pinned
+    # TRUE by the oracle (the quantile twin of the HLL bounds row)
+    "quantiles_approx_bounds": (quantiles_approx_bounds_df,
+                                QUANTILES_APPROX_BOUNDS_SQL),
     "window_frames": (window_frames_df, WINDOW_FRAMES_SQL),
     "window_stats": (window_stats_df, WINDOW_STATS_SQL),
 }

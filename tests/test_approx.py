@@ -117,3 +117,37 @@ def test_approx_bounds_grain_is_falsifiable(spark):
     assert any(r.exact_count > 13 for r in rows), \
         [r.exact_count for r in rows[:20]]
     assert all(r.within_3eps for r in rows)
+
+
+def test_quantile_sketch_rank_bounds_hold_and_are_falsifiable(spark):
+    """quantiles_approx_bounds' contract: every group passes the
+    3-epsilon rank bracket, and the bracket genuinely constrains — for a
+    large group the window is a small fraction of the group, and a
+    deliberately wrong 'estimate' (the group's minimum for p99) would
+    fail it."""
+    from ringo_spark.operators.relational import (
+        QUANTILE_RANK_EPS, quantiles_approx_bounds_df,
+    )
+    from ringo_spark.catalog import load_catalog
+    from ringo_spark.testbed import EVENTS
+    from pyspark.sql import functions as F
+
+    rows = quantiles_approx_bounds_df(spark, "/root/testdata/sf0.01").collect()
+    assert rows and all(r.within_rank_bounds for r in rows)
+    big = [r for r in rows if r.n >= 500]
+    assert big, "need a non-degenerate group"
+    # falsifiability: for p99 on a big group, the lower bracket element
+    # sits far above the group's minimum — a drifting sketch returning a
+    # low value would flip the boolean
+    ev = load_catalog(spark, "/root/testdata/sf0.01", [EVENTS])["events"]
+    g = big[0]
+    vals = sorted(r.v for r in ev.where(
+        F.coalesce("event_type", F.lit("__UNKNOWN_VAL__")) == g.event_type)
+        .select(F.col("value").cast("double").alias("v")).collect()
+        if r.v is not None)
+    n = len(vals)
+    lo_idx = max(1, int((0.99 - QUANTILE_RANK_EPS) * n)) - 1
+    assert vals[lo_idx] > vals[0]
+    # bracket window is narrow: < 5% of the group for p50
+    width = (0.5 + QUANTILE_RANK_EPS) - (0.5 - QUANTILE_RANK_EPS)
+    assert width * n < 0.05 * n
