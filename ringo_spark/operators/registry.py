@@ -202,7 +202,7 @@ DISPLACED: list[str] = [
     "ann_cosine_topk_arrow",         # no-oracle by design (ε pytest)
 ]
 
-OPERATOR_QUERIES: dict[str, tuple] = {
+_DEDUP_QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact_df, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh_df, DEDUP_MINHASH_LSH_SQL),
     # same result served from the persisted band+shingle index (build
@@ -231,6 +231,9 @@ OPERATOR_QUERIES: dict[str, tuple] = {
     "dedup_minhash_incremental": (dedup_minhash_incremental_df,
                                   DEDUP_MINHASH_INCREMENTAL_SQL),
     "dedup_winnowing": (dedup_winnowing_df, DEDUP_WINNOWING_SQL),
+}
+
+_ANN_QUERIES: dict[str, tuple] = {
     "ann_cosine_topk": (ann_cosine_topk_df, ANN_COSINE_TOPK_SQL),
     "ann_lsh_bucketed": (ann_lsh_bucketed_df, ANN_LSH_BUCKETED_SQL),
     # same semantics served from the persisted partitionBy("bucket") index
@@ -249,6 +252,9 @@ OPERATOR_QUERIES: dict[str, tuple] = {
     # tolerance boolean the oracle pins to TRUE (VERDICT r05 item 6)
     "ann_cosine_topk_arrow_bounds": (ann_cosine_topk_arrow_bounds_df,
                                      ANN_COSINE_TOPK_ARROW_BOUNDS_SQL),
+}
+
+_TEXT_QUERIES: dict[str, tuple] = {
     "text_quality": (text_quality_df, TEXT_QUALITY_SQL),
     "lang_id": (lang_id_df, LANG_ID_SQL),
     "token_count": (token_count_df, TOKEN_COUNT_SQL),
@@ -265,6 +271,9 @@ OPERATOR_QUERIES: dict[str, tuple] = {
     # fractions) — per-doc expressions, map-only at any corpus size
     "text_repetition": (text_repetition_df, TEXT_REPETITION_SQL),
     "metrics_unpivot": (metrics_unpivot_df, METRICS_UNPIVOT_SQL),
+}
+
+_MULTIMODAL_QUERIES: dict[str, tuple] = {
     "multimodal_features": (multimodal_features_df, MULTIMODAL_FEATURES_SQL),
     "multimodal_wav": (multimodal_wav_df, MULTIMODAL_WAV_SQL),
     # full pixel decode round trip (zlib IDAT, CRCs, filter reconstruction)
@@ -285,11 +294,39 @@ OPERATOR_QUERIES: dict[str, tuple] = {
     # dedup_exact: one shuffle on the 8-byte hash key)
     "multimodal_phash_dups": (multimodal_phash_dups_df,
                               MULTIMODAL_PHASH_DUPS_SQL),
-    **RELATIONAL_QUERIES,
-    **GRAIN_QUERIES,
-    **SESSION_QUERIES,
-    **TPCH_QUERIES,
-    **SAMPLING_QUERIES,
-    **PIPELINE_QUERIES,
-    **TRAINING_QUERIES,
 }
+
+# family name -> {query name -> (builder, oracle)}; "core" (the
+# schema-level dim/fact pipeline, ringo_spark.testbed.CORE_QUERIES) is
+# added by queries_by_family() to avoid a circular import here
+QUERY_FAMILIES: dict[str, dict[str, tuple]] = {
+    "dedup": _DEDUP_QUERIES,
+    "ann": _ANN_QUERIES,
+    "text": _TEXT_QUERIES,
+    "multimodal": _MULTIMODAL_QUERIES,
+    "relational": RELATIONAL_QUERIES,
+    "grain": GRAIN_QUERIES,
+    "session": SESSION_QUERIES,
+    "tpch": TPCH_QUERIES,
+    "sampling": SAMPLING_QUERIES,
+    "pipeline": PIPELINE_QUERIES,
+    "training": TRAINING_QUERIES,
+}
+
+OPERATOR_QUERIES: dict[str, tuple] = {
+    name: entry
+    for fam in QUERY_FAMILIES.values()
+    for name, entry in fam.items()
+}
+
+
+def queries_by_family() -> dict[str, list[str]]:
+    """Registered query names grouped by operator family — the sweep
+    filter ``verify_local.py --family NAME`` uses during development
+    (102+ queries in one flat namespace got slow to iterate on;
+    VERDICT r06 item 8)."""
+    from ..testbed import CORE_QUERIES
+
+    fams = {"core": list(CORE_QUERIES)}
+    fams.update({f: list(d) for f, d in QUERY_FAMILIES.items()})
+    return fams

@@ -43,3 +43,15 @@ def test_displaced_no_oracle_entries_are_the_declared_two():
     no_oracle = [n for n in DISPLACED if n not in oracles]
     assert no_oracle == ["fact_events_by_minute_approx",
                          "ann_cosine_topk_arrow"]
+
+
+def test_families_partition_registry():
+    """queries_by_family covers every registered query exactly once, so
+    `verify_local.py --family X` sweeps are exhaustive in union."""
+    from ringo_spark.operators.registry import queries_by_family
+
+    fams = queries_by_family()
+    all_names = [n for names in fams.values() for n in names]
+    assert len(all_names) == len(set(all_names))
+    assert set(all_names) == set(entrymod.queries())
+    assert "core" in fams and "dedup" in fams and "tpch" in fams

@@ -289,3 +289,72 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
            if r.user_id != -999}
     want = {tuple(r) for r in sessionize_native_df(spark, SF).collect()}
     assert got == want and want
+
+
+def test_streaming_append_crash_between_write_and_pointer_flip(
+        spark, tmp_path, monkeypatch):
+    """Crash-injected end-to-end proof that the streaming story finishes
+    in the same atomic table as batch (VERDICT r06 item 6): a micro-batch
+    append is killed AFTER its immutable version dir is written but
+    BEFORE the manifest pointer flips.  Readers must still see the
+    previous complete snapshot (no torn read), the inflight journal must
+    prove the append never published (retry-safe), and restarting the
+    stream from the same checkpoint must replay the batch and heal to
+    the exact batch-equivalent totals."""
+    import json as _json
+    import os as _os
+
+    cat = load_catalog(spark, SF, [EVENTS])
+    src = str(tmp_path / "src")
+    n = cat["events"].count()
+    half = cat["events"].limit(n // 2)
+    half.coalesce(1).write.parquet(src)
+    cat["events"].subtract(half).coalesce(1).write.mode("append").parquet(src)
+
+    eng = Engine(spark, EVENTS_ENV, str(tmp_path / "wh"),
+                 commit_mode="manifest")
+    eng.load_sources(SF)
+    fact_table = "fact_events_by_minute"
+
+    real_publish = eng._publish_manifest
+
+    def crashing_publish(table, version, versions):
+        if table == fact_table and version == 2:
+            raise RuntimeError("injected crash before pointer flip")
+        return real_publish(table, version, versions)
+
+    monkeypatch.setattr(eng, "_publish_manifest", crashing_publish)
+
+    pipe = StreamingPipeline(eng, EVENTS_FACT)
+    stream = (spark.readStream.schema(_events_schema(spark))
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = pipe.start(stream, str(tmp_path / "ckpt"))
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(180)
+        raise AssertionError("query should have failed")
+
+    # no torn read: the live snapshot is batch 1, complete
+    m = _json.load(open(_os.path.join(eng.storage,
+                                      fact_table + ".manifest.json")))
+    assert m["version"] == 1
+    batch1 = eng.read_table(fact_table).agg(
+        F.sum("event_count")).collect()[0][0]
+    assert batch1 == n // 2
+    # the orphan version dir exists but is unreferenced
+    assert _os.path.isdir(_os.path.join(eng.storage, f"{fact_table}__v2"))
+    # inflight journal recorded the pre-append version -> provably safe
+    assert eng._inflight()[fact_table] == 1
+    assert eng._inflight_retry_is_safe(fact_table)
+
+    # recovery: same checkpoint, crash removed -> the failed micro-batch
+    # replays, overwrites its orphan dir, flips the pointer
+    monkeypatch.setattr(eng, "_publish_manifest", real_publish)
+    q2 = StreamingPipeline(eng, EVENTS_FACT).start(
+        stream, str(tmp_path / "ckpt"))
+    q2.awaitTermination(180)
+    m = _json.load(open(_os.path.join(eng.storage,
+                                      fact_table + ".manifest.json")))
+    assert m["version"] == 2
+    assert eng.read_table(fact_table).agg(
+        F.sum("event_count")).collect()[0][0] == n
+    assert eng._inflight() == {}

@@ -102,8 +102,20 @@ def main():
         i = argv.index("--json")
         json_out = argv[i + 1]
         del argv[i:i + 2]
+    family = None
+    if "--family" in argv:
+        i = argv.index("--family")
+        family = argv[i + 1]
+        del argv[i:i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
+    if family is not None:
+        from ringo_spark.operators.registry import queries_by_family
+
+        fams = queries_by_family()
+        if family not in fams:
+            sys.exit(f"unknown family {family!r}; one of {sorted(fams)}")
+        only |= set(fams[family])
     from ringo_spark.catalog import get_spark
 
     spark = get_spark("verify-local")
