@@ -61,6 +61,25 @@ HEADLINE = [
     "dedup_minhash_lsh_capped_indexed",
     "dedup_clusters_indexed",
     "training_prep",
+    # round-7 additions (VERDICT r06 item 3): the mid-r06 operators that
+    # had no bench entry — a regression there was invisible as a delta
+    "sessionize_native",
+    "benchmark_contamination",
+    "text_repetition",
+    "doc_chunk",
+    "multimodal_phash",
+    "sample_cluster_split",
+    # round-7 new operators
+    "sample_cluster_split_indexed",
+    "ann_ivf_kmeans",
+    "quantiles_approx_bounds",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity",
+    "q14_promo_effect",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
 ]
 
 RUNS_PER_QUERY = 2

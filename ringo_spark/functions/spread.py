@@ -1,0 +1,28 @@
+"""Input-split widening for compute-bound map stages.
+
+A parquet scan parallelizes at row-group granularity, so a corpus that
+arrives as few large-row-group files (the local testdata ships ONE
+row group per table; real corpora hit this with bulk-exported files)
+runs every downstream map stage — including interpreted higher-order
+expressions like shingling — on a handful of cores no matter how small
+``spark.sql.files.maxPartitionBytes`` is set.
+
+``spread`` round-robin-repartitions ONLY when the plan currently has
+fewer partitions than the session's parallelism: on a well-split corpus
+(100k splits on a cluster) it is the identity and never introduces the
+catastrophic down-shuffle an unconditional ``repartition(cores)`` would
+be.  Reserve it for stages whose per-row compute dwarfs the one-time
+shuffle of the raw rows (shingling, signature building, decode lanes) —
+cheap map-only projections keep their zero-Exchange plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def spread(df: DataFrame) -> DataFrame:
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -80,20 +80,21 @@ def _assert_small_scale(df: DataFrame, op: str, scale_path: str) -> DataFrame:
 
 def _shingled(spark: SparkSession, sf_dir: str,
               docs: DataFrame | None = None) -> DataFrame:
-    # The testdata ships one parquet file per table -> one input split; the
-    # shingling expressions are interpreted (higher-order) and CPU-bound,
-    # so spread rows across cores first.  At real scale the source has
-    # many splits and this repartition is a no-op cost-wise.
+    # The shingling expressions are interpreted (higher-order) and
+    # CPU-bound, so widen under-split scans across cores first (spread
+    # is conditional: on a many-split real corpus it is the identity —
+    # the old unconditional repartition(cores) would have DOWN-shuffled
+    # a well-split corpus).
     #
     # Tokens are materialized in their OWN projection: shingles() refers
     # to its input three times (sequence bound, transform body, guard),
     # and CollapseProject won't inline a non-cheap split() used thrice —
     # inline, the split ran 3x per row (measured 3.6s -> 2.8s at sf0.1).
-    par = spark.sparkContext.defaultParallelism
+    from ..functions.spread import spread
+
     if docs is None:
         docs = _docs(spark, sf_dir)
-    return (docs
-            .repartition(par)
+    return (spread(docs)
             .select("doc_id", tokens(F.col("text")).alias("__toks"))
             .select("doc_id", shingles(F.col("__toks"), SHINGLE_N).alias("sh"))
             .where(F.size("sh") > 0))

@@ -88,9 +88,6 @@ DRIVER_WINDOW: list[str] = [
     # -- rotated back in: displaced r06, driver-green r02+r03+r05 --
     "quantiles",
     "window_lag",
-    "set_ops",
-    "string_funcs",
-    "conditional_funcs",
     "vocab_topk",
     "lang_confusion",
     "metrics_unpivot",
@@ -101,6 +98,9 @@ DRIVER_WINDOW: list[str] = [
     "q22_global_sales_opportunity",
     "sample_cluster_split_indexed",
     "quantiles_approx_bounds",
+    "q14_promo_effect",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
     # -- rotated back in: longest-waiting cohort (single r04 record) —
     #    these slots swap for new round-7 queries as they are built --
     "q1_pricing_summary",
@@ -154,6 +154,11 @@ DISPLACED: list[str] = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q10_returned_items",
+    # r02+r03+r05 records (rotated back out to make room for the
+    # round-7 first-row cohort; best-covered function queries)
+    "set_ops",
+    "string_funcs",
+    "conditional_funcs",
     # r02+r03+r05+r06 records (best-covered cohort)
     "asof_join",
     "doc_rolling_hash",

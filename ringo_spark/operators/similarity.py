@@ -669,8 +669,12 @@ def train_ivf_centroids(spark: SparkSession, sf_dir: str, k: int = IVF_K,
     trajectory and the whole trained index is oracle-checkable.  Cells
     that lose all members simply drop out (both engines agree)."""
     # cache across the Lloyd iterations (the standard iterative-training
-    # shape — MLlib does the same); released before returning
-    emb = _emb(spark, sf_dir).cache()
+    # shape — MLlib does the same); released before returning.  spread
+    # first: the cached partitioning is what every iteration's argmax
+    # runs on, and an under-split scan would pin all of them to one core
+    from ..functions.spread import spread
+
+    emb = spread(_emb(spark, sf_dir)).cache()
     cent = [(int(cid), [float(x) for x in cvec])
             for cid, cvec in _ivf_centroid_rows(emb, k)]
     dim = len(cent[0][1])

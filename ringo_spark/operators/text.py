@@ -387,9 +387,12 @@ def benchmark_contamination_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-gram level) in the benchmark set, and whether it crosses the
     decontamination threshold.  Returns (doc_id, n_shingles, n_hit,
     contamination, is_contaminated)."""
+    from ..functions.spread import spread
     from .textfn import shingles
 
-    docs = _docs(spark, sf_dir)
+    # 5-gram shingling + the 4k-shingle/doc explode are the cost here —
+    # widen an under-split scan before them (identity on a real corpus)
+    docs = spread(_docs(spark, sf_dir))
     sh = (docs.select("doc_id", tokens(F.col("text")).alias("__toks"))
           .select("doc_id", shingles(F.col("__toks"), CONTAM_N).alias("sh"))
           .where(F.size("sh") > 0))
@@ -475,12 +478,28 @@ def text_repetition_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repetition metrics: the occurrence fraction of the
     most frequent bigram, the repeated fraction of trigram occurrences,
     and the drop flag at the Gopher-ish thresholds."""
-    docs = _docs(spark, sf_dir)
+    from ..functions.spread import spread
+
+    docs = spread(_docs(spark, sf_dir))
     toks = F.col("__toks")
     bg, tg = _grams_all(toks, 2), _grams_all(toks, 3)
-    top_bg = F.array_max(F.transform(
-        F.array_distinct(bg),
-        lambda g: F.size(F.filter(bg, lambda x: x == g))))
+    # max bigram multiplicity == longest equal run in the SORTED gram
+    # array: one O(B log B) sort + one O(B) fold.  (The transform/filter
+    # formulation — count each distinct gram by re-scanning the array —
+    # is O(B x distinct) interpreted lambda evals per document and was
+    # the slowest entry in BENCH_r07 at 17s/sf0.1; same value, the
+    # DuckDB oracle is unchanged.)
+    init = F.expr("named_struct('prev', CAST(NULL AS STRING), "
+                  "'run', 0, 'best', 0)")
+
+    def _run_fold(a, x):
+        run = F.when(x == a.getField("prev"),
+                     a.getField("run") + 1).otherwise(F.lit(1))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(a.getField("best"), run).alias("best"))
+
+    top_bg = F.aggregate(F.array_sort(bg), init, _run_fold,
+                         lambda a: a.getField("best"))
     top_bg_frac = F.when(F.size(bg) >= REP_MIN_GRAMS,
                          F.round(top_bg / F.size(bg), 6)).otherwise(0.0)
     dup_tg_frac = F.when(

@@ -692,6 +692,145 @@ GROUP BY 1
 """
 
 
+def q14_promo_effect_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: conditional (CASE) aggregation over a fact⋈dim join —
+    promo revenue share for one ship month.  The part side routes
+    through the size gate; numerator and denominator are exact decimal
+    sums, and the share divides them only AFTER both are rounded to
+    identical doubles, so the division is the same IEEE operation in
+    both engines (dividing raw decimals would hit engine-specific
+    decimal-division scale rules)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    promo = F.when(F.col("p_type") == "PROMO", _revenue_cols()) \
+             .otherwise(F.lit(0).cast("decimal(28,6)"))
+    out = (li.where((F.col("l_shipdate") >= F.lit("1996-03-01"))
+                    & (F.col("l_shipdate") < F.lit("1996-04-01")))
+           .join(broadcast_if_small(part.select("p_partkey", "p_type"),
+                                    size_path=f"{sf_dir}/part.parquet"),
+                 F.col("l_partkey") == F.col("p_partkey"))
+           .agg(F.round(F.sum(promo), 2).cast("double")
+                .alias("promo_revenue"),
+                F.round(F.sum(_revenue_cols()), 2).cast("double")
+                .alias("total_revenue")))
+    return out.select(
+        "promo_revenue", "total_revenue",
+        F.round(F.col("promo_revenue") * 100.0 / F.col("total_revenue"), 6)
+        .alias("promo_pct"))
+
+
+Q14_PROMO_EFFECT_SQL = f"""
+WITH agg AS (
+  SELECT CAST(round(sum(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL}
+                             ELSE CAST(0 AS DECIMAL(28,6)) END), 2) AS DOUBLE)
+           AS promo_revenue,
+         CAST(round(sum({_REV_SQL}), 2) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00')
+SELECT promo_revenue, total_revenue,
+       round(promo_revenue * 100.0 / total_revenue, 6) AS promo_pct
+FROM agg
+"""
+
+
+Q17_BRAND = "Brand#9"
+
+
+def q17_small_quantity_revenue_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: revenue from orders of less than 20% of a part's
+    average quantity — the classic PER-KEY correlated scalar-AVG
+    subquery, decorrelated as a per-partkey aggregate joined back to
+    lineitem (distinct from Q22's uncorrelated scalar: here the subquery
+    re-aggregates the probe side itself, so Catalyst must plan lineitem
+    twice with one agg+join, never a per-row subquery).  The threshold
+    compares ``l_quantity * cnt * 5 < sum_qty`` in EXACT decimals — the
+    algebraic form of ``q < 0.2 * avg`` that avoids an order-dependent
+    double average on the boundary."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    per_part = (li.groupBy(F.col("l_partkey").alias("pk"))
+                .agg(F.sum(qty).alias("sum_qty"),
+                     F.count(F.lit(1)).cast("decimal(12,0)").alias("cnt")))
+    return (li
+            .join(broadcast_if_small(
+                      part.where(F.col("p_brand") == Q17_BRAND)
+                          .select("p_partkey"),
+                      size_path=f"{sf_dir}/part.parquet"),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .join(per_part, F.col("l_partkey") == F.col("pk"))
+            .where(qty * F.col("cnt") * F.lit(5) < F.col("sum_qty"))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               .cast("decimal(18,2)")), 2).cast("double")
+                 .alias("small_qty_revenue"),
+                 F.count(F.lit(1)).alias("n_rows")))
+
+
+Q17_SMALL_QUANTITY_REVENUE_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey AS pk,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+         CAST(count(*) AS DECIMAL(12,0)) AS cnt
+  FROM lineitem GROUP BY 1)
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS small_qty_revenue,
+       count(*) AS n_rows
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN per_part ON l_partkey = pk
+WHERE p_brand = '{Q17_BRAND}'
+  AND CAST(l_quantity AS DECIMAL(18,2)) * cnt * 5 < sum_qty
+"""
+
+
+Q19_BRACKETS = (("Brand#1", 1, 15, 1, 11),
+                ("Brand#2", 1, 25, 10, 20),
+                ("Brand#3", 1, 35, 20, 30))
+
+
+def q19_discounted_revenue_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: disjunction of conjunctive brackets over a fact⋈dim
+    join — Catalyst must still extract the common ``l_partkey =
+    p_partkey`` equi condition into a hash join and evaluate only the
+    OR-of-ANDs as a residual (a naive planner degenerates to a nested
+    loop; plan-tested not to)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    bracket = None
+    for brand, s_lo, s_hi, q_lo, q_hi in Q19_BRACKETS:
+        b = ((F.col("p_brand") == brand)
+             & F.col("p_size").between(s_lo, s_hi)
+             & qty.between(q_lo, q_hi))
+        bracket = b if bracket is None else (bracket | b)
+    return (li.join(broadcast_if_small(
+                        part.select("p_partkey", "p_brand", "p_size"),
+                        size_path=f"{sf_dir}/part.parquet"),
+                    (F.col("l_partkey") == F.col("p_partkey")) & bracket)
+            .agg(F.round(F.sum(_revenue_cols()), 2).cast("double")
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+def _q19_sql() -> str:
+    ors = " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi} "
+        f"AND CAST(l_quantity AS DECIMAL(18,2)) BETWEEN {qlo} AND {qhi})"
+        for b, slo, shi, qlo, qhi in Q19_BRACKETS)
+    return f"""
+SELECT CAST(round(sum({_REV_SQL}), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE {ors}
+"""
+
+
+Q19_DISCOUNTED_REVENUE_SQL = _q19_sql()
+
+
 TPCH_QUERIES: dict[str, tuple] = {
     "q1_pricing_summary": (q1_pricing_summary_df, Q1_PRICING_SUMMARY_SQL),
     "q3_shipping_priority": (q3_shipping_priority_df, Q3_SHIPPING_PRIORITY_SQL),
@@ -710,6 +849,11 @@ TPCH_QUERIES: dict[str, tuple] = {
                                    Q21_SUPPLIERS_KEPT_WAITING_SQL),
     "q22_global_sales_opportunity": (q22_global_sales_opportunity_df,
                                      Q22_GLOBAL_SALES_OPPORTUNITY_SQL),
+    "q14_promo_effect": (q14_promo_effect_df, Q14_PROMO_EFFECT_SQL),
+    "q17_small_quantity_revenue": (q17_small_quantity_revenue_df,
+                                   Q17_SMALL_QUANTITY_REVENUE_SQL),
+    "q19_discounted_revenue": (q19_discounted_revenue_df,
+                               Q19_DISCOUNTED_REVENUE_SQL),
     "user_value_ema": (user_value_ema_df, USER_VALUE_EMA_SQL),
     "user_value_ema_segmented": (user_value_ema_segmented_df,
                                  USER_VALUE_EMA_SEGMENTED_SQL),

@@ -340,3 +340,35 @@ def test_q15_max_revenue_plan_shape(spark):
     plan = plan_of(spark, q15_top_supplier_df(spark, SF), "simple")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_q17_correlated_avg_decorrelation_plan_shape(spark):
+    """Q17's per-key scalar-AVG subquery: lineitem is planned twice (one
+    agg side, one probe side) joined on partkey — a hash/SMJ equi join,
+    never a per-row subquery or cartesian."""
+    from ringo_spark.operators.tpch import q17_small_quantity_revenue_df
+
+    plan = plan_of(spark, q17_small_quantity_revenue_df(spark, SF), "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_q19_disjunctive_brackets_stay_hash_join(spark):
+    """Q19's OR-of-ANDs: the common partkey equality must be extracted
+    into the join key with the brackets as a residual — a naive plan
+    degenerates to a nested loop over lineitem x part."""
+    from ringo_spark.operators.tpch import q19_discounted_revenue_df
+
+    plan = plan_of(spark, q19_discounted_revenue_df(spark, SF), "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_q14_conditional_agg_pushdown(spark):
+    """Q14: the ship-month window reaches the lineitem scan; the part
+    lookup joins broadcast at this SF."""
+    from ringo_spark.operators.tpch import q14_promo_effect_df
+
+    plan = plan_of(spark, q14_promo_effect_df(spark, SF))
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "CartesianProduct" not in plan

@@ -80,6 +80,27 @@ SELECTION = [
      "contamination explode, corpus-keyed shuffles carrying only "
      "(doc_id, counts) / the md5 dedup key — chunk rows explode "
      "map-side and aggregate without ever moving text"),
+    ("q13_customer_distribution",
+     "left outer join + count over empty groups: the priority filter "
+     "lives in the join condition so it still reaches the orders scan "
+     "as a pushed predicate while zero-order customers keep their row; "
+     "the custkey agg rides the join partitioning"),
+    ("q21_suppliers_kept_waiting",
+     "EXISTS + NOT EXISTS double correlation: both probes plan as equi "
+     "hash joins (LeftSemi then LeftAnti) on orderkey with the suppkey "
+     "inequality as a residual — never a nested loop"),
+    ("q17_small_quantity_revenue",
+     "per-key correlated scalar-avg: lineitem planned twice (agg side + "
+     "probe side) joined on partkey; the threshold compares "
+     "qty*cnt*5 < sum in exact decimals, no order-dependent double avg"),
+    ("quantiles_approx_bounds",
+     "mergeable GK quantile sketch: approx_percentile partial-aggregates "
+     "map-side in the same HashAggregate as the exact percentile and "
+     "the order-statistics bracket; one exchange on event_type"),
+    ("sample_cluster_split_indexed",
+     "split served from the persisted cluster table: one broadcast "
+     "(size-gated) join on doc_id + a map-side hash projection — label "
+     "propagation amortized to build time"),
 ]
 
 
