@@ -80,6 +80,8 @@ HEADLINE = [
     "q14_promo_effect",
     "q17_small_quantity_revenue",
     "q19_discounted_revenue",
+    "dedup_embedding_lsh",
+    "doc_logprob",
 ]
 
 RUNS_PER_QUERY = 2

@@ -814,7 +814,7 @@ def dedup_embedding_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarded via _assert_small_scale."""
     emb = _assert_small_scale(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
-        "dedup_embedding", "similarity.ann_lsh_bucketed")
+        "dedup_embedding", "dedup.dedup_embedding_lsh")
     a, b = emb.alias("a"), emb.alias("b")
     cos = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
     return (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
@@ -830,6 +830,45 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round({sql_cosine('a.embedding', 'b.embedding')}, 6) >= {COSINE_THRESHOLD}
 """
+
+
+def dedup_embedding_lsh_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE registered scale path for embedding near-dup (the shape
+    :func:`dedup_embedding_df`'s guard message points to): candidate
+    pairs are generated ONLY within an LSH bucket (deterministic
+    sign-bit projection, ``similarity._bucket_expr``), so the self-join
+    shuffles on the bucket key and compares O(N·avg_bucket/2) pairs
+    instead of C(N,2).  The oracle encodes the SAME bucketing, so recall
+    loss from the projection is part of the (deterministic,
+    hash-checked) contract rather than hidden approximation — exactly
+    how ``ann_lsh_bucketed`` treats its bucket boundary."""
+    from .similarity import _bucket_expr
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .withColumn("bucket", _bucket_expr(F.col("embedding"))))
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"),
+                    cos.alias("cosine"))
+            .where(F.col("cosine") >= COSINE_THRESHOLD))
+
+
+def _dedup_embedding_lsh_sql() -> str:
+    from .similarity import _sql_bucket
+
+    return f"""
+WITH bk AS (SELECT vec_id, embedding, {_sql_bucket()} AS bucket FROM embeddings)
+SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       round({sql_cosine('x.embedding', 'y.embedding')}, 6) AS cosine
+FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE round({sql_cosine('x.embedding', 'y.embedding')}, 6) >= {COSINE_THRESHOLD}
+"""
+
+
+DEDUP_EMBEDDING_LSH_SQL = _dedup_embedding_lsh_sql()
 
 
 # --- winnowing fingerprints -------------------------------------------------

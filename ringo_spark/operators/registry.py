@@ -2,12 +2,13 @@
 (merged into ``__spark_entry__.queries()`` / ``oracle_sql()``)."""
 
 from .dedup import (
-    DEDUP_CLUSTERS_SQL, DEDUP_EMBEDDING_SQL, DEDUP_EXACT_SQL,
+    DEDUP_CLUSTERS_SQL, DEDUP_EMBEDDING_LSH_SQL, DEDUP_EMBEDDING_SQL,
+    DEDUP_EXACT_SQL,
     DEDUP_INCREMENTAL_SQL, DEDUP_MINHASH_INCREMENTAL_SQL,
     DEDUP_MINHASH_LSH_CAPPED_SQL, DEDUP_MINHASH_LSH_SQL,
     DEDUP_NGRAM_JACCARD_SQL, DEDUP_SIMHASH_SQL, DEDUP_WINNOWING_SQL,
     dedup_clusters_df, dedup_clusters_indexed_df, dedup_embedding_df,
-    dedup_exact_df,
+    dedup_embedding_lsh_df, dedup_exact_df,
     dedup_incremental_df, dedup_minhash_incremental_df, dedup_minhash_lsh_df,
     dedup_minhash_lsh_capped_df, dedup_minhash_lsh_capped_indexed_df,
     dedup_minhash_lsh_indexed_df,
@@ -40,7 +41,8 @@ from .text import (
     BENCHMARK_CONTAMINATION_SQL, DOC_FINGERPRINT_SQL, DOC_ROLLING_HASH_SQL,
     LANG_CONFUSION_SQL, LANG_ID_SQL, METRICS_UNPIVOT_SQL, TEXT_QUALITY_SQL,
     TFIDF_BM25_SQL, TOKEN_COUNT_SQL, VOCAB_TOPK_SQL,
-    TEXT_REPETITION_SQL, benchmark_contamination_df, doc_fingerprint_df,
+    DOC_LOGPROB_SQL, TEXT_REPETITION_SQL, benchmark_contamination_df,
+    doc_fingerprint_df, doc_logprob_df,
     doc_rolling_hash_df, lang_confusion_df, lang_id_df, metrics_unpivot_df,
     text_quality_df, text_repetition_df, tfidf_bm25_df, token_count_df,
     vocab_topk_df,
@@ -86,8 +88,6 @@ DRIVER_WINDOW: list[str] = [
     "fact_events_by_minute_approx_bounds",
     "ann_ivf_kmeans",
     # -- rotated back in: displaced r06, driver-green r02+r03+r05 --
-    "quantiles",
-    "window_lag",
     "vocab_topk",
     "lang_confusion",
     "metrics_unpivot",
@@ -101,6 +101,8 @@ DRIVER_WINDOW: list[str] = [
     "q14_promo_effect",
     "q17_small_quantity_revenue",
     "q19_discounted_revenue",
+    "dedup_embedding_lsh",
+    "doc_logprob",
     # -- rotated back in: longest-waiting cohort (single r04 record) —
     #    these slots swap for new round-7 queries as they are built --
     "q1_pricing_summary",
@@ -156,6 +158,8 @@ DISPLACED: list[str] = [
     "q10_returned_items",
     # r02+r03+r05 records (rotated back out to make room for the
     # round-7 first-row cohort; best-covered function queries)
+    "quantiles",
+    "window_lag",
     "set_ops",
     "string_funcs",
     "conditional_funcs",
@@ -227,6 +231,9 @@ _DEDUP_QUERIES: dict[str, tuple] = {
     "dedup_simhash": (dedup_simhash_df, DEDUP_SIMHASH_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard_df, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_embedding": (dedup_embedding_df, DEDUP_EMBEDDING_SQL),
+    # the registered scale path for embedding near-dup: candidates only
+    # within an LSH bucket; the oracle encodes the same bucketing
+    "dedup_embedding_lsh": (dedup_embedding_lsh_df, DEDUP_EMBEDDING_LSH_SQL),
     "dedup_clusters": (dedup_clusters_df, DEDUP_CLUSTERS_SQL),
     # clustering chained from the persisted index's pairs (identical
     # pair set pytest-pinned => same oracle) — the production shape and
@@ -275,6 +282,8 @@ _TEXT_QUERIES: dict[str, tuple] = {
     # Gopher-style repetition filters (top-bigram / duplicate-trigram
     # fractions) — per-doc expressions, map-only at any corpus size
     "text_repetition": (text_repetition_df, TEXT_REPETITION_SQL),
+    # corpus-trained unigram LM scoring (CCNet-style perplexity gate)
+    "doc_logprob": (doc_logprob_df, DOC_LOGPROB_SQL),
     "metrics_unpivot": (metrics_unpivot_df, METRICS_UNPIVOT_SQL),
 }
 

@@ -544,3 +544,71 @@ SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
          OR dup_trigram_frac > {DUP_TRIGRAM_MAX} AS is_repetitive
 FROM m
 """
+
+
+# --- unigram LM quality score (CCNet-style perplexity filter) ---------------
+#
+# The classic corpus-quality gate scores each document under a language
+# model trained on the corpus itself — gibberish and boilerplate score
+# high (surprising tokens), fluent text scores low.  Real pipelines use
+# a KenLM n-gram model; a corpus-trained UNIGRAM model preserves the
+# exact pipeline shape (train token distribution -> score every doc ->
+# threshold on mean negative log-probability) while staying
+# deterministic and oracle-checkable.
+
+LOGPROB_HIGH = 8.0   # mean -ln p(token) above this => "surprising" doc
+
+
+def doc_logprob_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean token negative log-probability under the
+    corpus-trained unigram model, plus the high-perplexity flag.
+
+    Scale shape: token counting is one (word) shuffle with map-side
+    partials; the corpus-total is a 1-row broadcast; scoring joins the
+    exploded token stream to the vocabulary on the word key (the
+    standard "join tokens to the LM table" shape — at 100 TB the vocab
+    side is Zipf-small next to the corpus and broadcasts under the size
+    gate).  Cross-engine determinism: each token's -ln p is rounded to 6
+    decimals and summed as an EXACT decimal before the final mean —
+    double summation order never matters.
+    """
+    docs = _docs(spark, sf_dir)
+    tok = (docs
+           .select("doc_id", tokens(F.col("text")).alias("__toks"))
+           .select("doc_id", F.size("__toks").alias("n_tokens"),
+                   F.explode("__toks").alias("w")))
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("t"))
+    nlp = F.round(-F.log(F.col("c") / F.col("t")), 6) \
+           .cast("decimal(18,6)")
+    scored = (tok.join(F.broadcast(vocab.crossJoin(F.broadcast(total))), "w")
+              .groupBy("doc_id", "n_tokens")
+              .agg(F.sum(nlp).alias("__sum_nlp")))
+    # cast the exact decimal sum to double BEFORE dividing: decimal
+    # division scale rules differ between engines, double division is
+    # the same IEEE op in both (the sum is ~11 significant digits, far
+    # inside exact double range)
+    mean_nlp = F.round(F.col("__sum_nlp").cast("double")
+                       / F.col("n_tokens"), 6)
+    return scored.select(
+        "doc_id", "n_tokens", mean_nlp.alias("mean_neg_logprob"),
+        (mean_nlp > LOGPROB_HIGH).alias("is_surprising"))
+
+
+DOC_LOGPROB_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, len(t) AS n_tokens, unnest(t) AS w
+  FROM (SELECT doc_id, {sql_tokens('text')} AS t FROM documents)),
+vocab AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+tot AS (SELECT sum(c) AS t FROM vocab),
+scored AS (
+  SELECT doc_id, n_tokens,
+         sum(CAST(round(-ln(c * 1.0 / t), 6) AS DECIMAL(18,6))) AS sum_nlp
+  FROM tok JOIN vocab USING (w) CROSS JOIN tot
+  GROUP BY doc_id, n_tokens)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       round(CAST(sum_nlp AS DOUBLE) / n_tokens, 6) AS mean_neg_logprob,
+       round(CAST(sum_nlp AS DOUBLE) / n_tokens, 6) > {LOGPROB_HIGH}
+         AS is_surprising
+FROM scored
+"""
