@@ -82,6 +82,7 @@ HEADLINE = [
     "q19_discounted_revenue",
     "dedup_embedding_lsh",
     "doc_logprob",
+    "timeseries_gapfill",
 ]
 
 RUNS_PER_QUERY = 2

@@ -88,7 +88,6 @@ DRIVER_WINDOW: list[str] = [
     "fact_events_by_minute_approx_bounds",
     "ann_ivf_kmeans",
     # -- rotated back in: displaced r06, driver-green r02+r03+r05 --
-    "vocab_topk",
     "lang_confusion",
     "metrics_unpivot",
     # -- new round-7 queries: first driver rows --
@@ -103,6 +102,7 @@ DRIVER_WINDOW: list[str] = [
     "q19_discounted_revenue",
     "dedup_embedding_lsh",
     "doc_logprob",
+    "timeseries_gapfill",
     # -- rotated back in: longest-waiting cohort (single r04 record) —
     #    these slots swap for new round-7 queries as they are built --
     "q1_pricing_summary",
@@ -160,6 +160,7 @@ DISPLACED: list[str] = [
     # round-7 first-row cohort; best-covered function queries)
     "quantiles",
     "window_lag",
+    "vocab_topk",
     "set_ops",
     "string_funcs",
     "conditional_funcs",

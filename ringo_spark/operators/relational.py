@@ -646,6 +646,8 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "window_frames": (window_frames_df, WINDOW_FRAMES_SQL),
     "window_stats": (window_stats_df, WINDOW_STATS_SQL),
 }
+# NB: scd2_dim and timeseries_gapfill (defined below) are appended to
+# RELATIONAL_QUERIES after their definitions at the bottom of this module.
 # NB: scd2_dim (defined below) is appended to RELATIONAL_QUERIES after its
 # definition at the bottom of this module.
 
@@ -804,3 +806,77 @@ GROUP BY coalesce(h.status, 'UNKNOWN'), f.l_returnflag
 
 RELATIONAL_QUERIES["scd2_fact_incremental"] = (
     scd2_fact_incremental_df, SCD2_FACT_INCREMENTAL_SQL)
+
+
+# --- time-series gap filling ------------------------------------------------
+
+GAPFILL_DAY = "2024-01-05"
+
+
+def timeseries_gapfill_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize a sparse per-series time series: per event type, one
+    row for EVERY minute between the series' first and last observation,
+    missing minutes carry the last observed value forward and are
+    flagged.  The downsample-then-densify shape every monitoring /
+    feature-engineering pipeline needs before joining series.
+
+    Scale shape: the dense grid is generated per series with
+    ``sequence`` + ``explode`` (series-local, never a global calendar
+    cross join); the grid⋈observations join and the carry-forward
+    window both key on the series, so the whole fill is two exchanges on
+    the series key no matter how many series there are.  Grid size is
+    bounded by each series' own span — a quiet series costs its own gap
+    count, not the corpus'."""
+    from ..catalog import load_catalog
+    from ..testbed import EVENTS
+
+    ev = load_catalog(spark, sf_dir, [EVENTS])["events"]
+    lo = F.lit(GAPFILL_DAY).cast("timestamp")
+    hi = F.date_add(lo, 1).cast("timestamp")
+    minute = F.floor(F.unix_timestamp("ts") / 60).cast("long")
+    base = (ev.where((F.col("ts") >= lo) & (F.col("ts") < hi))
+            .groupBy(F.coalesce("event_type", F.lit("__UNKNOWN_VAL__"))
+                     .alias("event_type"),
+                     minute.alias("m"))
+            .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v")))
+    grid = (base.groupBy("event_type")
+            .agg(F.min("m").alias("mn"), F.max("m").alias("mx"))
+            .select("event_type",
+                    F.explode(F.sequence("mn", "mx")).alias("m")))
+    w = (Window.partitionBy("event_type").orderBy("m")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (grid.join(base, ["event_type", "m"], "left")
+            .select("event_type", "m",
+                    F.last("v", ignorenulls=True).over(w)
+                    .cast("double").alias("v_filled"),
+                    F.col("v").isNull().alias("is_gap")))
+
+
+TIMESERIES_GAPFILL_SQL = f"""
+WITH base AS (
+  SELECT coalesce(event_type, '__UNKNOWN_VAL__') AS event_type,
+         CAST(floor(epoch(ts) / 60) AS BIGINT) AS m,
+         sum(CAST(value AS DECIMAL(18,2))) AS v
+  FROM events
+  WHERE ts >= TIMESTAMP '{GAPFILL_DAY} 00:00:00'
+    AND ts <  TIMESTAMP '{GAPFILL_DAY} 00:00:00' + INTERVAL 1 DAY
+  GROUP BY 1, 2),
+bounds AS (SELECT event_type, min(m) AS mn, max(m) AS mx
+           FROM base GROUP BY event_type),
+grid AS (SELECT event_type, unnest(generate_series(mn, mx)) AS m
+         FROM bounds)
+SELECT g.event_type, g.m,
+       CAST(last_value(b.v IGNORE NULLS) OVER (
+              PARTITION BY g.event_type ORDER BY g.m
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS v_filled,
+       b.v IS NULL AS is_gap
+FROM grid g
+LEFT JOIN base b ON b.event_type = g.event_type AND b.m = g.m
+"""
+
+
+# densify-and-carry-forward: per-series minute grid + last-observation
+# fill (series-local sequence explode; two exchanges on the series key)
+RELATIONAL_QUERIES["timeseries_gapfill"] = (timeseries_gapfill_df,
+                                            TIMESERIES_GAPFILL_SQL)
