@@ -1,0 +1,74 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering for scan
+pruning.
+
+Parquet data skipping works off per-file / per-row-group min-max stats:
+a filter can skip a file only when the filtered column's values are
+CLUSTERED within files.  A plain sort clusters exactly one column — a
+100 TB fact laid out by time cannot skip on ``user_id`` and vice versa.
+Z-ordering interleaves the bits of several normalized columns into one
+sort key, so range-partitioning by the key gives every participating
+column partial locality: filters on ANY of them skip most files.  This
+is the same layout lever Delta's OPTIMIZE ZORDER BY or an explicit
+ORDER BY zorder() gives — here as plain Spark expressions over plain
+parquet (citing no storage format: the stats that matter are parquet's
+own footers).
+
+Everything is JVM-side bit arithmetic (whole-stage codegen); the only
+extra pass is the 1-row min/max aggregate used to normalize columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ZORDER_BITS = 16   # per-dimension resolution: 2^16 buckets each
+
+
+def _normalize(col: Column, mn: Column, mx: Column,
+               bits: int = ZORDER_BITS) -> Column:
+    """Scale a numeric column to an integer in [0, 2^bits) using the
+    broadcast min/max.  Constant columns map to 0 (guard: ANSI division
+    by zero)."""
+    span = (mx - mn).cast("double")
+    frac = F.when(span > 0, (col.cast("double") - mn.cast("double")) / span) \
+            .otherwise(F.lit(0.0))
+    top = F.lit((1 << bits) - 1)
+    return F.least(F.floor(frac * (1 << bits)).cast("long"), top.cast("long"))
+
+
+def zorder_key(norm_cols: list[Column], bits: int = ZORDER_BITS) -> Column:
+    """Interleave the bits of pre-normalized integer columns into one
+    Morton key (flat bitwise expression chain — codegen-compiled)."""
+    n = len(norm_cols)
+    z = F.lit(0).cast("long")
+    for j in range(bits):
+        for i, c in enumerate(norm_cols):
+            bit = F.shiftright(c, j).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, j * n + i))
+    return z
+
+
+def write_zordered(df: DataFrame, cols: list[str], path: str,
+                   n_files: int, bits: int = ZORDER_BITS) -> None:
+    """Write ``df`` as ``n_files`` parquet files range-partitioned on the
+    Z-order key of ``cols`` — after this, a filter on any one of ``cols``
+    prunes most files from its scan via footer min-max stats.
+
+    Scale shape: one 1-row min/max aggregate (broadcast), a map-side key
+    computation, and ONE range exchange (the same cost as any global
+    sort-write); no skew pitfall because Morton keys of normalized
+    columns are near-uniform."""
+    mmx = df.agg(*[f(c).alias(f"__{f.__name__}_{c}")
+                   for c in cols for f in (F.min, F.max)])
+    with_stats = df.join(F.broadcast(mmx))
+    norm = [_normalize(F.col(c),
+                       F.col(f"__min_{c}"), F.col(f"__max_{c}"), bits)
+            for c in cols]
+    keyed = with_stats.withColumn("__z", zorder_key(norm, bits)) \
+                      .drop(*[f"__{f}_{c}" for c in cols
+                              for f in ("min", "max")])
+    (keyed.repartitionByRange(n_files, "__z")
+     .sortWithinPartitions("__z")
+     .drop("__z")
+     .write.mode("overwrite").parquet(path))

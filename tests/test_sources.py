@@ -87,3 +87,63 @@ def test_read_media_dir_binary_files_decode(spark, tmp_path):
         assert r.length == len(bytes(r.payload))
         w, h, _px = decode_png_pixels(bytes(r.payload))
         assert (w, h) == _png_dims(doc_id)
+
+
+def test_zorder_layout_clusters_both_dimensions(spark, tmp_path):
+    """Z-order write: with the events fact laid out by
+    zorder(user_id, minute), BOTH columns cluster within files — parquet
+    footer min-max spans per file cover a fraction of each domain, so a
+    filter on either column can skip most files.  A plain time sort
+    (the baseline layout) clusters time but leaves every file spanning
+    the full user domain."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from ringo_spark.catalog import load_catalog
+    from ringo_spark.sources.layout import write_zordered
+    from ringo_spark.testbed import EVENTS
+
+    ev = (load_catalog(spark, "/root/testdata/sf0.01", [EVENTS])["events"]
+          .select("event_id", "user_id",
+                  F.floor(F.unix_timestamp("ts") / 60).alias("minute"))
+          .where(F.col("user_id").isNotNull()))
+    n_files = 8
+
+    def file_spans(path, col):
+        spans = []
+        for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            mn = min(md.row_group(i).column(idx).statistics.min
+                     for i in range(md.num_row_groups))
+            mx = max(md.row_group(i).column(idx).statistics.max
+                     for i in range(md.num_row_groups))
+            spans.append(mx - mn)
+        return spans
+
+    zpath = str(tmp_path / "z")
+    write_zordered(ev, ["user_id", "minute"], zpath, n_files)
+    spath = str(tmp_path / "s")
+    (ev.repartitionByRange(n_files, "minute").sortWithinPartitions("minute")
+     .write.parquet(spath))
+
+    lo, hi = ev.agg(F.min("user_id"), F.max("user_id")).collect()[0]
+    user_domain = hi - lo
+    lo, hi = ev.agg(F.min("minute"), F.max("minute")).collect()[0]
+    minute_domain = hi - lo
+
+    z_user, z_min = file_spans(zpath, "user_id"), file_spans(zpath, "minute")
+    s_user = file_spans(spath, "user_id")
+    assert len(z_user) == n_files
+    # rows conserved through the layout write
+    assert spark.read.parquet(zpath).count() == ev.count()
+    # z-order: BOTH dimensions cluster — median per-file span well under
+    # the domain (each file covers a 2-D tile, not a full slice)
+    med = lambda xs: sorted(xs)[len(xs) // 2]
+    assert med(z_user) <= 0.6 * user_domain, (z_user, user_domain)
+    assert med(z_min) <= 0.6 * minute_domain, (z_min, minute_domain)
+    # the single-column baseline cannot skip on user_id: every file
+    # spans (almost) the whole user domain
+    assert med(s_user) >= 0.9 * user_domain, (s_user, user_domain)
