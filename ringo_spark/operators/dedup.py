@@ -832,35 +832,63 @@ WHERE round({sql_cosine('a.embedding', 'b.embedding')}, 6) >= {COSINE_THRESHOLD}
 """
 
 
-def dedup_embedding_lsh_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+# bucket width for the embedding near-dup pass: 2^4 = 16 buckets — sized
+# to the testdata corpus per similarity.py's sizing note (target
+# bucket ~ N / 2**bits; dedup wants coarser buckets than top-k search
+# because RECALL of true pairs matters more than per-query cost)
+EMB_LSH_BITS = 4
+
+
+def dedup_embedding_lsh_df(spark: SparkSession, sf_dir: str,
+                           bits: int = EMB_LSH_BITS,
+                           probe_hamming1: bool = False) -> DataFrame:
     """THE registered scale path for embedding near-dup (the shape
     :func:`dedup_embedding_df`'s guard message points to): candidate
-    pairs are generated ONLY within an LSH bucket (deterministic
-    sign-bit projection, ``similarity._bucket_expr``), so the self-join
-    shuffles on the bucket key and compares O(N·avg_bucket/2) pairs
-    instead of C(N,2).  The oracle encodes the SAME bucketing, so recall
-    loss from the projection is part of the (deterministic,
-    hash-checked) contract rather than hidden approximation — exactly
-    how ``ann_lsh_bucketed`` treats its bucket boundary."""
+    pairs are generated only within a deterministic sign-bit LSH bucket,
+    so the self-join shuffles narrow (vec_id, bucket) rows and compares
+    ~N²·probes/2^bits pairs instead of C(N,2).
+
+    The (bits, probe_hamming1) knobs ARE the recall/cost contract.  Per
+    agreeing sign bit, a pair at cosine c collides with p = 1 − θ/π
+    (θ = arccos c); single-bucket recall is p^bits, Hamming-1 probing
+    adds bits·p^(bits−1)(1−p) for (bits+1)× the candidate volume.  At
+    scale, bits must GROW with the corpus (2^bits ≈ N/bucket_target,
+    same sizing note as ``ann_lsh_bucketed``) and the threshold sets p —
+    boilerplate dedup at c ≥ 0.9 (p ≈ 0.86) holds recall at widths
+    where the testdata's c ≥ 0.4 (p ≈ 0.63) cannot.  The registered
+    instance pins bits=4, single-probe — the oracle encodes the SAME
+    scheme, so the recall boundary is part of the deterministic,
+    hash-checked contract rather than hidden approximation."""
     from .similarity import _bucket_expr
 
     emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-           .withColumn("bucket", _bucket_expr(F.col("embedding"))))
-    a, b = emb.alias("a"), emb.alias("b")
+           .withColumn("bucket", _bucket_expr(F.col("embedding"), bits)))
+    if probe_hamming1:
+        probes = F.array(F.col("bucket"),
+                         *[F.col("bucket").bitwiseXOR(F.lit(1 << j))
+                           for j in range(bits)])
+        a = (emb.select("vec_id", "embedding",
+                        F.explode(probes).alias("bucket")).alias("a"))
+    else:
+        a = emb.alias("a")
+    b = emb.alias("b")
     cos = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
-    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-                   & (F.col("a.vec_id") < F.col("b.vec_id")))
-            .select(F.col("a.vec_id").alias("vec_a"),
-                    F.col("b.vec_id").alias("vec_b"),
-                    cos.alias("cosine"))
-            .where(F.col("cosine") >= COSINE_THRESHOLD))
+    out = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                  & (F.col("a.vec_id") < F.col("b.vec_id")))
+           .select(F.col("a.vec_id").alias("vec_a"),
+                   F.col("b.vec_id").alias("vec_b"),
+                   cos.alias("cosine")))
+    if probe_hamming1:
+        out = out.dropDuplicates(["vec_a", "vec_b"])
+    return out.where(F.col("cosine") >= COSINE_THRESHOLD)
 
 
 def _dedup_embedding_lsh_sql() -> str:
     from .similarity import _sql_bucket
 
     return f"""
-WITH bk AS (SELECT vec_id, embedding, {_sql_bucket()} AS bucket FROM embeddings)
+WITH bk AS (SELECT vec_id, embedding, {_sql_bucket(EMB_LSH_BITS)} AS bucket
+            FROM embeddings)
 SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
        round({sql_cosine('x.embedding', 'y.embedding')}, 6) AS cosine
 FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id

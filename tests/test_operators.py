@@ -909,3 +909,79 @@ def test_with_cell_matches_cell_expr(spark):
     b = {r.vec_id: r.cell for r in
          sim._with_cell(emb, cent).select("vec_id", "cell").collect()}
     assert a == b and a
+
+
+def test_embedding_lsh_pairs_are_subset_of_exact(spark):
+    """dedup_embedding_lsh's contract: every pair it emits is a pair the
+    exact quadratic baseline emits (same threshold, same cosine), and
+    bucket recall is non-trivial (finds a meaningful fraction)."""
+    from ringo_spark.operators.dedup import (
+        dedup_embedding_df, dedup_embedding_lsh_df,
+    )
+
+    exact = {(r.vec_a, r.vec_b): r.cosine
+             for r in dedup_embedding_df(spark, SF).collect()}
+    lsh = {(r.vec_a, r.vec_b): r.cosine
+           for r in dedup_embedding_lsh_df(spark, SF).collect()}
+    assert exact and lsh
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == exact[k]
+    # 16 buckets single-probe at p~0.63/bit: expect ~p^4 of true pairs
+    assert len(lsh) >= 0.1 * len(exact)
+    # the Hamming-1 probing knob buys the predicted extra recall
+    from ringo_spark.operators.dedup import dedup_embedding_lsh_df as _f
+
+    probed = {(r.vec_a, r.vec_b)
+              for r in _f(spark, SF, probe_hamming1=True).collect()}
+    assert set(lsh) <= probed <= set(exact)
+    assert len(probed) > len(lsh)
+
+
+def test_doc_logprob_orders_rare_above_common(spark, tmp_path):
+    """Unigram LM scoring sanity: a document of corpus-rare tokens must
+    score more surprising than one of corpus-common tokens, and the mean
+    equals the hand-computed value on a closed vocabulary."""
+    import math
+    import os
+
+    from ringo_spark.operators.text import doc_logprob_df
+
+    rows = [(1, "common common common common"),
+            (2, "common common common rare")]
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(f"{d}/documents.parquet")
+    out = {r.doc_id: r for r in doc_logprob_df(spark, d).collect()}
+    assert out[2].mean_neg_logprob > out[1].mean_neg_logprob
+    # hand-check doc 1: all tokens 'common' (7 of 8 corpus tokens)
+    expect = round(round(-math.log(7 / 8), 6), 6)
+    assert abs(out[1].mean_neg_logprob - expect) < 1e-9
+
+
+def test_gapfill_output_is_dense_and_carries_forward(spark):
+    """timeseries_gapfill invariants: per series the minute axis is
+    gap-free from first to last observation, filled values never null,
+    and each gap row carries exactly the previous non-gap value."""
+    from ringo_spark.operators.relational import timeseries_gapfill_df
+
+    rows = timeseries_gapfill_df(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_series = {}
+    for r in rows:
+        by_series.setdefault(r.event_type, []).append(r)
+    saw_gap = False
+    for et, rs in by_series.items():
+        rs.sort(key=lambda r: r.m)
+        ms = [r.m for r in rs]
+        assert ms == list(range(ms[0], ms[-1] + 1)), et
+        last_obs = None
+        for r in rs:
+            assert r.v_filled is not None
+            if r.is_gap:
+                saw_gap = True
+                assert r.v_filled == last_obs
+            else:
+                last_obs = r.v_filled
+    assert saw_gap, "testdata should contain minute gaps"
