@@ -83,6 +83,8 @@ HEADLINE = [
     "dedup_embedding_lsh",
     "doc_logprob",
     "timeseries_gapfill",
+    "listagg",
+    "value_histogram",
 ]
 
 RUNS_PER_QUERY = 2

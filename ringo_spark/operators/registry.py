@@ -88,8 +88,6 @@ DRIVER_WINDOW: list[str] = [
     "fact_events_by_minute_approx_bounds",
     "ann_ivf_kmeans",
     # -- rotated back in: displaced r06, driver-green r02+r03+r05 --
-    "lang_confusion",
-    "metrics_unpivot",
     # -- new round-7 queries: first driver rows --
     "q13_customer_distribution",
     "q15_top_supplier",
@@ -103,6 +101,8 @@ DRIVER_WINDOW: list[str] = [
     "dedup_embedding_lsh",
     "doc_logprob",
     "timeseries_gapfill",
+    "listagg",
+    "value_histogram",
     # -- rotated back in: longest-waiting cohort (single r04 record) —
     #    these slots swap for new round-7 queries as they are built --
     "q1_pricing_summary",
@@ -161,6 +161,8 @@ DISPLACED: list[str] = [
     "quantiles",
     "window_lag",
     "vocab_topk",
+    "lang_confusion",
+    "metrics_unpivot",
     "set_ops",
     "string_funcs",
     "conditional_funcs",

@@ -880,3 +880,87 @@ LEFT JOIN base b ON b.event_type = g.event_type AND b.m = g.m
 # fill (series-local sequence explode; two exchanges on the series key)
 RELATIONAL_QUERIES["timeseries_gapfill"] = (timeseries_gapfill_df,
                                             TIMESERIES_GAPFILL_SQL)
+
+
+def listagg_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): per market
+    segment, the sorted distinct nation keys as a CSV plus their count.
+    Deterministic across engines because the collected set is sorted
+    before joining — never rely on aggregation order."""
+    cust = _t(spark, sf_dir, "customer")
+    return (cust.groupBy("c_mktsegment")
+            .agg(F.concat_ws(",", F.array_sort(F.collect_set(
+                     F.col("c_nationkey").cast("string"))))
+                 .alias("nations_csv"),
+                 F.count_distinct("c_nationkey").cast("long")
+                 .alias("n_nations")))
+
+
+LISTAGG_SQL = """
+SELECT c_mktsegment,
+       array_to_string(list_sort(list_distinct(
+           list(c_nationkey::VARCHAR))), ',') AS nations_csv,
+       count(DISTINCT c_nationkey) AS n_nations
+FROM customer
+GROUP BY 1
+"""
+
+
+HIST_BINS = 10
+
+
+def value_histogram_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (width_bucket shape): event values binned
+    into {HIST_BINS} buckets between the global min and max, counted per
+    (event_type, bin).  The bounds come from a 1-row broadcast aggregate;
+    binning is a map-side expression, so the whole histogram costs one
+    stats pass + one (type, bin) aggregation — the standard profile
+    query at any scale.  Bin edges compare in EXACT decimal space
+    (value*bins vs span fractions cross-multiplied) so boundary values
+    land in the same bin in both engines — a double-width division would
+    make edge rows engine-dependent."""
+    from ..catalog import load_catalog
+    from ..testbed import EVENTS
+
+    ev = load_catalog(spark, sf_dir, [EVENTS])["events"]
+    v = F.col("value").cast("decimal(18,2)")
+    mm = ev.agg(F.min(v).alias("__mn"), F.max(v).alias("__mx"))
+    # bin = clamp(floor((v - mn) * BINS / (mx - mn)), 0, BINS-1), computed
+    # as integer-exact decimal arithmetic: floor of a ratio of decimals
+    # == how many times (mx-mn) fits into (v-mn)*BINS — use decimal
+    # multiply then divide via floor((v-mn)*BINS / span) where both
+    # operands are exact decimals and the quotient is floored AFTER an
+    # exact integer-scaled division
+    num = ((v - F.col("__mn")) * HIST_BINS).cast("decimal(28,2)")
+    span = (F.col("__mx") - F.col("__mn")).cast("decimal(18,2)")
+    raw = F.floor((num.cast("decimal(28,6)") * 100)
+                  / (span.cast("decimal(18,2)") * 100)).cast("int")
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(HIST_BINS - 1))
+    return (ev.where(v.isNotNull()).join(F.broadcast(mm))
+            .groupBy(F.coalesce("event_type", F.lit("__UNKNOWN_VAL__"))
+                     .alias("event_type"),
+                     bin_.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("event_type", F.col("bin").cast("int").alias("bin"), "n"))
+
+
+VALUE_HISTOGRAM_SQL = f"""
+WITH mm AS (
+  SELECT min(CAST(value AS DECIMAL(18,2))) AS mn,
+         max(CAST(value AS DECIMAL(18,2))) AS mx
+  FROM events)
+SELECT coalesce(event_type, '__UNKNOWN_VAL__') AS event_type,
+       CAST(least(greatest(CAST(floor(
+           (CAST((CAST(value AS DECIMAL(18,2)) - mn) * {HIST_BINS}
+                 AS DECIMAL(28,6)) * 100)
+           / (CAST(mx - mn AS DECIMAL(18,2)) * 100)) AS INT),
+         0), {HIST_BINS - 1}) AS INT) AS bin,
+       count(*) AS n
+FROM events CROSS JOIN mm
+WHERE value IS NOT NULL
+GROUP BY 1, 2
+"""
+
+RELATIONAL_QUERIES["listagg"] = (listagg_df, LISTAGG_SQL)
+RELATIONAL_QUERIES["value_histogram"] = (value_histogram_df,
+                                         VALUE_HISTOGRAM_SQL)
