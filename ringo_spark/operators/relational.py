@@ -915,27 +915,22 @@ def value_histogram_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     (event_type, bin).  The bounds come from a 1-row broadcast aggregate;
     binning is a map-side expression, so the whole histogram costs one
     stats pass + one (type, bin) aggregation — the standard profile
-    query at any scale.  Bin edges compare in EXACT decimal space
-    (value*bins vs span fractions cross-multiplied) so boundary values
-    land in the same bin in both engines — a double-width division would
-    make edge rows engine-dependent."""
+    query at any scale.  The bin index is computed WITHOUT division:
+    bin = #edges at or below the value, i.e. a sum of BINS-1 exact
+    decimal comparisons ``(v-mn)*BINS >= k*(mx-mn)`` — a floored decimal
+    (or double) quotient would round differently across engines exactly
+    at bin edges."""
     from ..catalog import load_catalog
     from ..testbed import EVENTS
 
     ev = load_catalog(spark, sf_dir, [EVENTS])["events"]
     v = F.col("value").cast("decimal(18,2)")
     mm = ev.agg(F.min(v).alias("__mn"), F.max(v).alias("__mx"))
-    # bin = clamp(floor((v - mn) * BINS / (mx - mn)), 0, BINS-1), computed
-    # as integer-exact decimal arithmetic: floor of a ratio of decimals
-    # == how many times (mx-mn) fits into (v-mn)*BINS — use decimal
-    # multiply then divide via floor((v-mn)*BINS / span) where both
-    # operands are exact decimals and the quotient is floored AFTER an
-    # exact integer-scaled division
     num = ((v - F.col("__mn")) * HIST_BINS).cast("decimal(28,2)")
     span = (F.col("__mx") - F.col("__mn")).cast("decimal(18,2)")
-    raw = F.floor((num.cast("decimal(28,6)") * 100)
-                  / (span.cast("decimal(18,2)") * 100)).cast("int")
-    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(HIST_BINS - 1))
+    raw = sum((num >= span * k).cast("int")
+              for k in range(1, HIST_BINS))
+    bin_ = F.least(raw, F.lit(HIST_BINS - 1))
     return (ev.where(v.isNotNull()).join(F.broadcast(mm))
             .groupBy(F.coalesce("event_type", F.lit("__UNKNOWN_VAL__"))
                      .alias("event_type"),
@@ -950,11 +945,7 @@ WITH mm AS (
          max(CAST(value AS DECIMAL(18,2))) AS mx
   FROM events)
 SELECT coalesce(event_type, '__UNKNOWN_VAL__') AS event_type,
-       CAST(least(greatest(CAST(floor(
-           (CAST((CAST(value AS DECIMAL(18,2)) - mn) * {HIST_BINS}
-                 AS DECIMAL(28,6)) * 100)
-           / (CAST(mx - mn AS DECIMAL(18,2)) * 100)) AS INT),
-         0), {HIST_BINS - 1}) AS INT) AS bin,
+       CAST(least(CAST(CAST((CAST(value AS DECIMAL(18,2)) - mn) * {HIST_BINS} AS DECIMAL(28,2)) >= CAST(mx - mn AS DECIMAL(18,2)) * 1 AS INT) + CAST(CAST((CAST(value AS DECIMAL(18,2)) - mn) * {HIST_BINS} AS DECIMAL(28,2)) >= CAST(mx - mn AS DECIMAL(18,2)) * 2 AS INT) + CAST(CAST((CAST(value AS DECIMAL(18,2)) - mn) * {HIST_BINS} AS DECIMAL(28,2)) >= CAST(mx - mn AS DECIMAL(18,2)) * 3 AS INT) + CAST(CAST((CAST(value AS DECIMAL(18,2)) - mn) * {HIST_BINS} AS DECIMAL(28,2)) >= CAST(mx - mn AS DECIMAL(18,2)) * 4 AS INT) + CAST(CAST((CAST(value AS DECIMAL(18,2)) - mn) * {HIST_BINS} AS DECIMAL(28,2)) >= CAST(mx - mn AS DECIMAL(18,2)) * 5 AS INT) + CAST(CAST((CAST(value AS DECIMAL(18,2)) - mn) * {HIST_BINS} AS DECIMAL(28,2)) >= CAST(mx - mn AS DECIMAL(18,2)) * 6 AS INT) + CAST(CAST((CAST(value AS DECIMAL(18,2)) - mn) * {HIST_BINS} AS DECIMAL(28,2)) >= CAST(mx - mn AS DECIMAL(18,2)) * 7 AS INT) + CAST(CAST((CAST(value AS DECIMAL(18,2)) - mn) * {HIST_BINS} AS DECIMAL(28,2)) >= CAST(mx - mn AS DECIMAL(18,2)) * 8 AS INT) + CAST(CAST((CAST(value AS DECIMAL(18,2)) - mn) * {HIST_BINS} AS DECIMAL(28,2)) >= CAST(mx - mn AS DECIMAL(18,2)) * 9 AS INT), {HIST_BINS - 1}) AS INT) AS bin,
        count(*) AS n
 FROM events CROSS JOIN mm
 WHERE value IS NOT NULL

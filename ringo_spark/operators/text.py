@@ -390,19 +390,28 @@ def benchmark_contamination_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.spread import spread
     from .textfn import shingles
 
-    # 5-gram shingling + the 4k-shingle/doc explode are the cost here —
-    # widen an under-split scan before them (identity on a real corpus)
-    docs = spread(_docs(spark, sf_dir))
-    sh = (docs.select("doc_id", tokens(F.col("text")).alias("__toks"))
-          .select("doc_id", shingles(F.col("__toks"), CONTAM_N).alias("sh"))
-          .where(F.size("sh") > 0))
-    bench = (sh.where(F.col("doc_id") < BENCHMARK_BELOW)
+    def _sh(docs):
+        return (docs
+                .select("doc_id", tokens(F.col("text")).alias("__toks"))
+                .select("doc_id",
+                        shingles(F.col("__toks"), CONTAM_N).alias("sh"))
+                .where(F.size("sh") > 0))
+
+    # The two sides shingle from SEPARATE scans on purpose: the bench
+    # side keeps its doc_id filter AT the scan (a shared spread scan
+    # would put a round-robin exchange below the filter and shuffle the
+    # whole corpus just to find the benchmark docs), while the
+    # corpus-sized train side — where the 5-gram shingling + the
+    # 4k-shingle/doc explode are the cost — widens an under-split scan
+    # across cores first (identity on a real corpus).
+    docs = _docs(spark, sf_dir)
+    bench = (_sh(docs.where(F.col("doc_id") < BENCHMARK_BELOW))
              .select(F.explode("sh").alias("g")).distinct())
     # single shingling pass over the train side: n_shingles rides the
     # explode and the hit flag comes from a LEFT join (every exploded
     # row survives, so every train doc reaches the aggregate — no second
     # scan to recover zero-hit docs)
-    train = (sh.where(F.col("doc_id") >= BENCHMARK_BELOW)
+    train = (_sh(spread(docs.where(F.col("doc_id") >= BENCHMARK_BELOW)))
              .select("doc_id", F.size("sh").alias("n_shingles"),
                      F.explode("sh").alias("g")))
     counted = (train.join(F.broadcast(bench.withColumn("__hit", F.lit(1))),
@@ -566,9 +575,10 @@ def doc_logprob_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: token counting is one (word) shuffle with map-side
     partials; the corpus-total is a 1-row broadcast; scoring joins the
     exploded token stream to the vocabulary on the word key (the
-    standard "join tokens to the LM table" shape — at 100 TB the vocab
-    side is Zipf-small next to the corpus and broadcasts under the size
-    gate).  Cross-engine determinism: each token's -ln p is rounded to 6
+    standard "join tokens to the LM table" shape — the vocab side is
+    Zipf-small next to the corpus, but NOT guaranteed broadcastable at
+    100 TB, so it joins unhinted and AQE picks broadcast when it truly
+    fits).  Cross-engine determinism: each token's -ln p is rounded to 6
     decimals and summed as an EXACT decimal before the final mean —
     double summation order never matters.
     """
@@ -581,7 +591,7 @@ def doc_logprob_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = vocab.agg(F.sum("c").alias("t"))
     nlp = F.round(-F.log(F.col("c") / F.col("t")), 6) \
            .cast("decimal(18,6)")
-    scored = (tok.join(F.broadcast(vocab.crossJoin(F.broadcast(total))), "w")
+    scored = (tok.join(vocab.crossJoin(F.broadcast(total)), "w")
               .groupBy("doc_id", "n_tokens")
               .agg(F.sum(nlp).alias("__sum_nlp")))
     # cast the exact decimal sum to double BEFORE dividing: decimal
