@@ -85,6 +85,8 @@ HEADLINE = [
     "timeseries_gapfill",
     "listagg",
     "value_histogram",
+    "grouping_sets",
+    "map_funcs",
 ]
 
 RUNS_PER_QUERY = 2

@@ -103,9 +103,8 @@ DRIVER_WINDOW: list[str] = [
     "timeseries_gapfill",
     "listagg",
     "value_histogram",
-    # -- rotated back in: longest-waiting cohort (single r04 record) —
-    #    these slots swap for new round-7 queries as they are built --
-    "q1_pricing_summary",
+    "grouping_sets",
+    "map_funcs",
     # -- core schema-level pipeline (driver-green r02+r03+r04; pinned) --
     "dim_event_type",
     "fact_events_by_minute",
@@ -122,7 +121,6 @@ DRIVER_WINDOW: list[str] = [
     "ann_cosine_topk",
     "ann_ivf_indexed",
     "text_quality",
-    "tfidf_bm25",
     "multimodal_pixels",
     "corpus_curation",
     "sessionize",
@@ -166,6 +164,10 @@ DISPLACED: list[str] = [
     "set_ops",
     "string_funcs",
     "conditional_funcs",
+    # family rep stood down ONE round: the text family already has five
+    # windowed members this round (quality + 4 first-rows), and the slot
+    # funds a first driver row; records r02+r03+r04+r05+r06
+    "tfidf_bm25",
     # r02+r03+r05+r06 records (best-covered cohort)
     "asof_join",
     "doc_rolling_hash",
@@ -183,6 +185,7 @@ DISPLACED: list[str] = [
     "topk",
     "range_join",
     # r04-record cohort still waiting (rotate next)
+    "q1_pricing_summary",
     "q6_forecast_revenue",
     "window_frames",
     "fact_events_by_second",

@@ -955,3 +955,77 @@ GROUP BY 1, 2
 RELATIONAL_QUERIES["listagg"] = (listagg_df, LISTAGG_SQL)
 RELATIONAL_QUERIES["value_histogram"] = (value_histogram_df,
                                          VALUE_HISTOGRAM_SQL)
+
+
+def grouping_sets_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id: the two single-column
+    marginals in one pass (neither ROLLUP nor CUBE — the arbitrary-sets
+    form), each row tagged with which grouping produced it.  Uses the
+    SQL surface deliberately (GROUPING SETS has no DataFrame shorthand);
+    the physical plan is the same single Expand + hash agg."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+               count(*) AS row_count,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS qty_sum
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """)
+
+
+GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+       count(*) AS row_count,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+
+def map_funcs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: build a status→count map per customer
+    nation (map_from_entries over a grouped collect), read it back with
+    element_at, filter it with map_filter, and list its keys sorted.
+    Maps serialize engine-specifically, so the hash-checked outputs are
+    the scalar lookups/cardinalities, not the raw map."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    per = (orders.join(cust, orders.o_custkey == cust.c_custkey)
+           .groupBy("c_nationkey", "o_orderstatus")
+           .agg(F.count(F.lit(1)).alias("n")))
+    m = F.map_from_entries(
+        F.array_sort(F.collect_list(F.struct("o_orderstatus", "n"))))
+    return (per.groupBy("c_nationkey").agg(m.alias("m"))
+            .select("c_nationkey",
+                    F.size("m").alias("n_statuses"),
+                    F.coalesce(F.element_at("m", "F"), F.lit(0).cast("long"))
+                    .alias("n_f"),
+                    F.size(F.map_filter("m", lambda k, v: v > 100))
+                    .alias("n_big"),
+                    F.concat_ws(",", F.array_sort(F.map_keys("m")))
+                    .alias("statuses_csv")))
+
+
+MAP_FUNCS_SQL = """
+WITH per AS (
+  SELECT c_nationkey, o_orderstatus, count(*) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2),
+m AS (
+  SELECT c_nationkey,
+         map_from_entries(list_sort(list({'k': o_orderstatus, 'v': n})))
+           AS mp
+  FROM per GROUP BY c_nationkey)
+SELECT c_nationkey,
+       CAST(cardinality(mp) AS INT) AS n_statuses,
+       coalesce(mp['F'][1], 0) AS n_f,
+       CAST(len(list_filter(map_values(mp), v -> v > 100)) AS INT) AS n_big,
+       array_to_string(list_sort(map_keys(mp)), ',') AS statuses_csv
+FROM m
+"""
+
+RELATIONAL_QUERIES["grouping_sets"] = (grouping_sets_df, GROUPING_SETS_SQL)
+RELATIONAL_QUERIES["map_funcs"] = (map_funcs_df, MAP_FUNCS_SQL)
