@@ -35,3 +35,18 @@ def test_salted_join_matches_plain(spark):
     want = big.join(medium, on=["k"], how="left")
     assert sorted(map(tuple, got.select("k", "payload", "dim_val").collect())) \
         == sorted(map(tuple, want.select("k", "payload", "dim_val").collect()))
+
+
+def test_spread_is_identity_on_well_split_input(spark):
+    """spread() must NEVER down-shuffle a corpus that already has at
+    least session-parallelism partitions — on a real many-split corpus
+    it is the identity (same DataFrame object, no added Exchange)."""
+    from ringo_spark.functions.spread import spread
+
+    target = spark.sparkContext.defaultParallelism
+    wide = spark.range(10_000).repartition(target + 4)
+    assert spread(wide) is wide
+    narrow = spark.range(10_000).coalesce(1)
+    out = spread(narrow)
+    assert out is not narrow
+    assert out.rdd.getNumPartitions() == target
