@@ -87,6 +87,7 @@ HEADLINE = [
     "value_histogram",
     "grouping_sets",
     "map_funcs",
+    "vocab_topk_cms_bounds",
 ]
 
 RUNS_PER_QUERY = 2

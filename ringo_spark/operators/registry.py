@@ -41,11 +41,12 @@ from .text import (
     BENCHMARK_CONTAMINATION_SQL, DOC_FINGERPRINT_SQL, DOC_ROLLING_HASH_SQL,
     LANG_CONFUSION_SQL, LANG_ID_SQL, METRICS_UNPIVOT_SQL, TEXT_QUALITY_SQL,
     TFIDF_BM25_SQL, TOKEN_COUNT_SQL, VOCAB_TOPK_SQL,
-    DOC_LOGPROB_SQL, TEXT_REPETITION_SQL, benchmark_contamination_df,
+    DOC_LOGPROB_SQL, TEXT_REPETITION_SQL, VOCAB_TOPK_CMS_BOUNDS_SQL,
+    benchmark_contamination_df,
     doc_fingerprint_df, doc_logprob_df,
     doc_rolling_hash_df, lang_confusion_df, lang_id_df, metrics_unpivot_df,
     text_quality_df, text_repetition_df, tfidf_bm25_df, token_count_df,
-    vocab_topk_df,
+    vocab_topk_cms_bounds_df, vocab_topk_df,
 )
 
 # --- driver correctness-window curation -------------------------------------
@@ -105,6 +106,7 @@ DRIVER_WINDOW: list[str] = [
     "value_histogram",
     "grouping_sets",
     "map_funcs",
+    "vocab_topk_cms_bounds",
     # -- core schema-level pipeline (driver-green r02+r03+r04; pinned) --
     "dim_event_type",
     "fact_events_by_minute",
@@ -121,7 +123,6 @@ DRIVER_WINDOW: list[str] = [
     "ann_cosine_topk",
     "ann_ivf_indexed",
     "text_quality",
-    "multimodal_pixels",
     "corpus_curation",
     "sessionize",
     "scd2_dim",
@@ -164,10 +165,12 @@ DISPLACED: list[str] = [
     "set_ops",
     "string_funcs",
     "conditional_funcs",
-    # family rep stood down ONE round: the text family already has five
-    # windowed members this round (quality + 4 first-rows), and the slot
-    # funds a first driver row; records r02+r03+r04+r05+r06
+    # family reps stood down ONE round: their families already have
+    # multiple windowed members this round (text: quality + 4 first-rows;
+    # multimodal: phash + phash_dups first-rows), and each slot funds a
+    # first driver row; records r02..r06 each
     "tfidf_bm25",
+    "multimodal_pixels",
     # r02+r03+r05+r06 records (best-covered cohort)
     "asof_join",
     "doc_rolling_hash",
@@ -290,6 +293,10 @@ _TEXT_QUERIES: dict[str, tuple] = {
     "text_repetition": (text_repetition_df, TEXT_REPETITION_SQL),
     # corpus-trained unigram LM scoring (CCNet-style perplexity gate)
     "doc_logprob": (doc_logprob_df, DOC_LOGPROB_SQL),
+    # count-min heavy-hitter bounds: the third mergeable-sketch driver
+    # row (HLL distincts, GK quantiles, CMS frequencies)
+    "vocab_topk_cms_bounds": (vocab_topk_cms_bounds_df,
+                              VOCAB_TOPK_CMS_BOUNDS_SQL),
     "metrics_unpivot": (metrics_unpivot_df, METRICS_UNPIVOT_SQL),
 }
 

@@ -622,3 +622,59 @@ SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
          AS is_surprising
 FROM scored
 """
+
+
+# --- count-min-sketch heavy-hitter bounds -----------------------------------
+#
+# Completes the mergeable-sketch trio as driver-checkable rows: HLL
+# (fact_events_by_minute_approx_bounds), Greenwald-Khanna quantiles
+# (quantiles_approx_bounds), and now count-min heavy hitters.  CMS is
+# the scale path for frequency queries over unbounded vocabularies:
+# fixed-size state, mergeable map-side (the same motive as the
+# reference's mergeable count-distinct registers, Populate/Fact.hs).
+
+CMS_EPS = 0.005
+CMS_CONFIDENCE = 0.99
+CMS_SEED = 42
+
+
+def vocab_topk_cms_bounds_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each of the exact top-N tokens: the exact corpus count (the
+    oracle reproduces it cell-exactly) plus a boolean asserting the
+    count-min estimate obeys BOTH sides of the CMS guarantee — never an
+    undercount, overcount at most eps * stream size.  The sketch
+    aggregates distributed (one pass, mergeable partials); only the N
+    probe lookups read the 1-sketch result on the driver — the same
+    K-row index-metadata pattern as the IVF centroid probes.  Seeded, so
+    the estimates (and the pinned-TRUE booleans) are deterministic."""
+    from ..functions.spread import spread
+
+    toks = (spread(_docs(spark, sf_dir))
+            .select(F.explode(tokens(F.col("text"))).alias("token")))
+    agg = toks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_min_sketch("token", F.lit(CMS_EPS), F.lit(CMS_CONFIDENCE),
+                           F.lit(CMS_SEED)).alias("s")).first()
+    n, sketch_bytes = agg.n, agg.s
+    jvm = spark._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(sketch_bytes)))
+    top = (toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_count"))
+           .orderBy(F.desc("exact_count"), F.asc("token"))
+           .limit(VOCAB_TOP_N).collect())
+    rows = []
+    for r in top:
+        est = cms.estimateCount(r.token)
+        ok = bool(r.exact_count <= est <= r.exact_count + CMS_EPS * n)
+        rows.append((r.token, r.exact_count, ok))
+    return spark.createDataFrame(
+        rows, "token string, exact_count long, within_cms_bounds boolean")
+
+
+VOCAB_TOPK_CMS_BOUNDS_SQL = f"""
+SELECT token, count(*) AS exact_count, TRUE AS within_cms_bounds
+FROM (SELECT unnest({sql_tokens('text')}) AS token FROM documents)
+GROUP BY token
+ORDER BY exact_count DESC, token
+LIMIT {VOCAB_TOP_N}
+"""
