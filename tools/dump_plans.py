@@ -101,6 +101,13 @@ SELECTION = [
      "split served from the persisted cluster table: one broadcast "
      "(size-gated) join on doc_id + a map-side hash projection — label "
      "propagation amortized to build time"),
+    ("timeseries_gapfill",
+     "per-series densify: sequence explode bounded by each series' own "
+     "span (never a global calendar cross join); the grid join and the "
+     "carry-forward window share the series-key partitioning"),
+    ("value_histogram",
+     "width_bucket shape: 1-row min/max broadcast + map-side "
+     "exact-decimal edge comparisons (no quotient), one (type,bin) agg"),
 ]
 
 
