@@ -157,9 +157,20 @@ class Engine:
             seen: dict[str, list[str]] = {}
             pairs = []
             for lt, lc, rt, rc in self.parent_join_pairs():
-                keys = {t: [c] if isinstance(c, str) else list(c)
-                        for t, c in ((lt, lc), (rt, rc))}
-                conflict = next((t for t, cols in keys.items()
+                # keys stays a LIST of (table, cols): a dict would
+                # collapse a self-join pair (lt == rt) to one entry with
+                # rc overwriting lc, hiding a lc-vs-rc conflict on that
+                # table and keeping an incompatible pair (r07 ADVICE)
+                keys = [(t, [c] if isinstance(c, str) else list(c))
+                        for t, c in ((lt, lc), (rt, rc))]
+                if lt == rt and keys[0][1] != keys[1][1]:
+                    log.info(
+                        "bucketize_sources: skipping self-join %s(%s) ⋈ "
+                        "%s(%s) — one physical layout cannot bucket the "
+                        "same table on two key sets; this join will "
+                        "shuffle", lt, lc, rt, rc)
+                    continue
+                conflict = next((t for t, cols in keys
                                  if seen.get(t, cols) != cols), None)
                 if conflict is not None:
                     log.info(
@@ -167,7 +178,7 @@ class Engine:
                         "%s already bucketed on %s; this join will shuffle",
                         lt, lc, rt, rc, conflict, seen[conflict])
                     continue
-                seen.update(keys)
+                seen.update(dict(keys))
                 pairs.append((lt, lc, rt, rc))
         if not pairs:
             return []

@@ -42,25 +42,50 @@ def plan_size_bytes(df: DataFrame) -> int:
 
 # On-disk size per source path, resolved through the Hadoop FileSystem
 # (works on any scheme the cluster reads: file://, s3a://, hdfs://).
-# The cache entry is keyed by the path's modification time, so a table
-# rewritten in-session (corpus regen, probes rewriting under the same
-# path) is re-measured instead of served a stale small size — a stale
-# grant here would force-broadcast a now-large table, the exact OOM the
-# gate exists to prevent (r06 ADVICE).  getModificationTime is a pure
-# namenode/liststatus call, ~free next to the query it guards.
-_SIZE_CACHE: dict[str, tuple[int, int]] = {}   # path -> (mtime, bytes)
+# The cache entry is keyed by a freshness token built from the path's
+# modification time PLUS a one-level listStatus digest (child count,
+# summed child lengths, max child mtime), so a table rewritten
+# in-session (corpus regen, probes rewriting under the same path) is
+# re-measured instead of served a stale small size — a stale grant here
+# would force-broadcast a now-large table, the exact OOM the gate
+# exists to prevent (r06 ADVICE).  mtime ALONE misses in-place rewrites
+# inside the filesystem's mtime granularity (same-second overwrites on
+# coarse-mtime stores — r07 ADVICE); the listed lengths catch those
+# unless the rewrite is byte-identical, in which case the cached size is
+# right anyway.  Both stats are pure namenode/liststatus calls, ~free
+# next to the query they guard.
+_SIZE_CACHE: dict[str, tuple[tuple, int]] = {}  # path -> (token, bytes)
+
+
+def _freshness_token(fs, p) -> tuple:
+    st = fs.getFileStatus(p)
+    n = total = child_mtime = 0
+    for k in fs.listStatus(p):        # a plain file lists as itself
+        n += 1
+        total += int(k.getLen())
+        child_mtime = max(child_mtime, int(k.getModificationTime()))
+    return (int(st.getModificationTime()), n, total, child_mtime)
 
 
 def table_size_bytes(spark, path: str) -> int:
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    mtime = int(fs.getFileStatus(p).getModificationTime())
+    token = _freshness_token(fs, p)
     hit = _SIZE_CACHE.get(path)
-    if hit is None or hit[0] != mtime:
-        _SIZE_CACHE[path] = (mtime,
+    if hit is None or hit[0] != token:
+        _SIZE_CACHE[path] = (token,
                              int(fs.getContentSummary(p).getLength()))
     return _SIZE_CACHE[path][1]
+
+
+def invalidate_size_cache(path: str | None = None) -> None:
+    """Drop cached sizes — for engine paths that rewrite a table in
+    place and need the next gate decision re-measured immediately."""
+    if path is None:
+        _SIZE_CACHE.clear()
+    else:
+        _SIZE_CACHE.pop(path, None)
 
 
 def broadcast_if_small(df: DataFrame, gate_bytes: int | None = None,

@@ -346,6 +346,15 @@ OPERATOR_QUERIES: dict[str, tuple] = {
     for name, entry in fam.items()
 }
 
+# Builders that EXECUTE at construction time: their result depends on a
+# driver-side probe of an aggregated sketch (CMS estimateCount has no
+# JVM expression form), so calling the builder runs the corpus scans —
+# it does not return a lazy plan.  Plan-only tooling (plan dumps, schema
+# enumeration) must skip these names; anything that intends to execute
+# anyway (driver sweep, verify_local, bench) treats them like any other
+# query (r07 ADVICE).
+EAGER_QUERIES: frozenset[str] = frozenset({"vocab_topk_cms_bounds"})
+
 
 def queries_by_family() -> dict[str, list[str]]:
     """Registered query names grouped by operator family — the sweep

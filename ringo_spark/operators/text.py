@@ -646,7 +646,13 @@ def vocab_topk_cms_bounds_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates distributed (one pass, mergeable partials); only the N
     probe lookups read the 1-sketch result on the driver — the same
     K-row index-metadata pattern as the IVF centroid probes.  Seeded, so
-    the estimates (and the pinned-TRUE booleans) are deterministic."""
+    the estimates (and the pinned-TRUE booleans) are deterministic.
+
+    EAGER: unlike every other registered builder this one executes at
+    construction (the CMS probe has no JVM expression form, so the
+    sketch must be aggregated before the result frame can be built).
+    It is listed in ``registry.EAGER_QUERIES``; plan-only tooling skips
+    it (r07 ADVICE)."""
     from ..functions.spread import spread
 
     toks = (spread(_docs(spark, sf_dir))

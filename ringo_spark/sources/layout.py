@@ -39,8 +39,22 @@ def _normalize(col: Column, mn: Column, mx: Column,
 
 def zorder_key(norm_cols: list[Column], bits: int = ZORDER_BITS) -> Column:
     """Interleave the bits of pre-normalized integer columns into one
-    Morton key (flat bitwise expression chain — codegen-compiled)."""
+    Morton key (flat bitwise expression chain — codegen-compiled).
+
+    ``bits * len(norm_cols)`` must fit in the 63 value bits of a signed
+    long: bit 63 is the sign bit (a key landing there range-sorts
+    FIRST, silently breaking Morton order), and Java ``shiftleft`` masks
+    its shift amount mod 64, so overflowing positions would fold back
+    onto low bits and corrupt the key — both failures conserve rows and
+    only degrade clustering, i.e. they would be invisible to row-count
+    tests.  Callers wanting more columns should lower per-dimension
+    ``bits`` (``write_zordered`` auto-scales)."""
     n = len(norm_cols)
+    if bits * n > 63:
+        raise ValueError(
+            f"zorder_key: {bits} bits x {n} columns = {bits * n} "
+            f"interleaved bits does not fit in a signed long's 63 value "
+            f"bits; use bits <= {63 // n}")
     z = F.lit(0).cast("long")
     for j in range(bits):
         for i, c in enumerate(norm_cols):
@@ -58,7 +72,14 @@ def write_zordered(df: DataFrame, cols: list[str], path: str,
     Scale shape: one 1-row min/max aggregate (broadcast), a map-side key
     computation, and ONE range exchange (the same cost as any global
     sort-write); no skew pitfall because Morton keys of normalized
-    columns are near-uniform."""
+    columns are near-uniform.
+
+    Per-dimension resolution auto-scales down so the interleaved key
+    always fits a long's 63 value bits: 2 columns keep the default 16
+    bits, 4 columns get 15, 5 get 12 — resolution trades off against
+    dimensionality exactly as Morton keys require (the alternative is a
+    silently sign-flipped or bit-folded key; see :func:`zorder_key`)."""
+    bits = min(bits, 63 // max(1, len(cols)))
     mmx = df.agg(*[f(c).alias(f"__{f.__name__}_{c}")
                    for c in cols for f in (F.min, F.max)])
     with_stats = df.join(F.broadcast(mmx))

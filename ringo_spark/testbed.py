@@ -198,7 +198,7 @@ def fact_events_by_minute_approx_df(spark: SparkSession, sf_dir: str) -> DataFra
 
 APPROX_EPS_MULT = 3          # bound: |est - exact| <= max(3·rsd·exact, 2)
 
-# Bounds grain: DAY × event_type, WITHOUT user_id.  The r06 shape kept
+# Bounds grain: WEEK × event_type, WITHOUT user_id.  The r06 shape kept
 # the fact's own grain (minute, user_id, event_type), where user_id in
 # the keys makes exact COUNT(DISTINCT user_id) always 0/1 and the
 # tolerance floor of 2 unfalsifiable (r06 ADVICE medium: the oracle
@@ -218,7 +218,7 @@ EVENTS_BOUNDS_ENV = make_env([EVENTS], [EVENTS_BOUNDS_FACT],
 def fact_events_by_minute_approx_bounds_df(spark: SparkSession,
                                            sf_dir: str) -> DataFrame:
     """Driver-hashable bounds check for the HLL++ count-distinct mode:
-    runs the SAME fact pipeline twice (exact vs approx) at a day ×
+    runs the SAME fact pipeline twice (exact vs approx) at a week ×
     event_type grain where distinct-counts are non-degenerate, emits the
     exact count (which the oracle reproduces cell-exactly) plus a boolean
     asserting the HLL estimate is within ±3ε (ε = rsd·exact).  Groups

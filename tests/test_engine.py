@@ -447,3 +447,39 @@ def test_engine_bucketized_parent_join_no_exchange(spark, tmp_path):
         assert bkt and all("_lineitem" in t or "_orders" in t for t in bkt)
         for t in bkt:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketize_default_pairs_selfjoin_and_conflict_skips(
+        spark, tmp_path, monkeypatch):
+    """r07 ADVICE: the default-path conflict check must evaluate BOTH
+    sides of a pair individually — a dict keyed by table collapsed a
+    self-join pair (lt == rt) to one entry, hiding a left-vs-right key
+    conflict on that table.  Self-join pairs on differing keys are
+    skipped outright (one physical layout cannot bucket one table on two
+    key sets), and a later pair re-keying an already-bucketed table is
+    skipped too; compatible pairs pass through."""
+    import ringo_spark.sources.bucketing as bkt_mod
+
+    eng = Engine(spark, ORDERS_ENV, str(tmp_path / "bsk"))
+    eng.load_sources("/root/testdata/sf0.001")
+    monkeypatch.setattr(
+        Engine, "parent_join_pairs",
+        lambda self: [
+            ("lineitem", "l_orderkey", "orders", "o_orderkey"),   # keep
+            ("part", "p_a", "part", "p_b"),       # self-join, keys differ
+            ("orders", "o_custkey", "customer", "c_custkey"),  # conflict
+            ("part", "p_x", "part", "p_x"),       # self-join, same key
+        ])
+    captured = {}
+
+    def fake_bucketize(spark_, sources, pairs, num_buckets, **kw):
+        captured["pairs"] = pairs
+        return sources
+
+    monkeypatch.setattr(bkt_mod, "bucketize_for_fact_join", fake_bucketize)
+    names = eng.bucketize_sources(num_buckets=4)
+    assert captured["pairs"] == [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("part", "p_x", "part", "p_x"),
+    ]
+    assert names == ["lineitem", "orders", "part"]

@@ -372,3 +372,28 @@ def test_q14_conditional_agg_pushdown(spark):
     plan = plan_of(spark, q14_promo_effect_df(spark, SF))
     assert "GreaterThanOrEqual(l_shipdate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_size_cache_catches_same_mtime_rewrite(spark, tmp_path):
+    """r07 ADVICE: mtime alone misses an in-place rewrite within the
+    filesystem's mtime granularity (same-second overwrites on
+    coarse-mtime stores).  Simulate the worst case — every mtime forced
+    IDENTICAL across the rewrite — and assert the listStatus length
+    signal still invalidates the cached size."""
+    import os
+
+    from ringo_spark.functions import broadcast_gate as bg
+
+    p = str(tmp_path / "coarse.parquet")
+    spark.range(100).coalesce(1).write.parquet(p)
+    s1 = bg.table_size_bytes(spark, p)
+    frozen = os.stat(p).st_mtime
+    spark.range(300_000).coalesce(1).write.mode("overwrite").parquet(p)
+    for name in os.listdir(p):
+        os.utime(os.path.join(p, name), (frozen, frozen))
+    os.utime(p, (frozen, frozen))
+    s2 = bg.table_size_bytes(spark, p)
+    assert s2 != s1, "rewrite under identical mtimes served a stale size"
+    # explicit invalidation hook for engine paths that rewrite in place
+    bg.invalidate_size_cache(p)
+    assert p not in bg._SIZE_CACHE

