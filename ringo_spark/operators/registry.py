@@ -68,6 +68,8 @@ from .text import (
 #     unverified, only un-hashed-by-the-driver that round.
 
 DRIVER_WINDOW: list[str] = [
+    # -- round-8 first driver rows: new operators, front-loaded --
+    "q8_national_market_share",
     # -- round-7 first driver rows: the 13 queries built mid-r06 after the
     #    window was set (pre-committed rotation, CORRECTNESS_WINDOW.md) --
     "dedup_minhash_lsh_capped_indexed",

@@ -785,6 +785,94 @@ WHERE p_brand = '{Q17_BRAND}'
 """
 
 
+Q8_NATION, Q8_REGION, Q8_TYPE = "NATION_8", "ASIA", "ECONOMY"
+
+
+def q8_national_market_share_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape (national market share): one nation's share of a
+    region's yearly import volume for one part type — the largest join
+    tree in TPC-H (part ⋈ supplier ⋈ lineitem ⋈ orders ⋈ customer ⋈
+    nation×2 ⋈ region, with nation playing BOTH roles: n1 restricts the
+    customer's region, n2 names the supplier's nation for the CASE).
+
+    Scale shape: every dimension is either constant-sized
+    (nation/region — always broadcast) or size-gated
+    (part/supplier/customer — broadcast under the gate, shuffle above
+    it); the selective part-type filter rides the broadcast into
+    lineitem, so the probe side shrinks before the one unavoidable
+    fact-sized exchange (lineitem ⋈ orders).  lineitem itself is never
+    sort-merged at dim joins (plan-tested).  Share arithmetic follows
+    the q14 discipline: numerator and denominator are exact decimal
+    sums rounded to identical doubles BEFORE the one IEEE division."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    n1 = (nation.join(F.broadcast(region.where(F.col("r_name") == Q8_REGION)),
+                      F.col("n_regionkey") == F.col("r_regionkey"))
+          .select(F.col("n_nationkey").alias("n1_key")))
+    n2 = nation.select(F.col("n_nationkey").alias("n2_key"),
+                       F.col("n_name").alias("supp_nation"))
+    nation_vol = F.when(F.col("supp_nation") == Q8_NATION, _revenue_cols()) \
+                  .otherwise(F.lit(0).cast("decimal(28,6)"))
+    out = (li.join(broadcast_if_small(
+                       part.where(F.col("p_type") == Q8_TYPE)
+                           .select("p_partkey"),
+                       size_path=f"{sf_dir}/part.parquet"),
+                   F.col("l_partkey") == F.col("p_partkey"))
+           .join(orders.where(
+                     (F.col("o_orderdate") >= F.lit("1995-01-01"))
+                     & (F.col("o_orderdate") < F.lit("1997-01-01"))),
+                 F.col("l_orderkey") == F.col("o_orderkey"))
+           .join(broadcast_if_small(supp.select("s_suppkey", "s_nationkey"),
+                                    size_path=f"{sf_dir}/supplier.parquet"),
+                 F.col("l_suppkey") == F.col("s_suppkey"))
+           .join(broadcast_if_small(cust.select("c_custkey", "c_nationkey"),
+                                    size_path=f"{sf_dir}/customer.parquet"),
+                 F.col("o_custkey") == F.col("c_custkey"))
+           .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"),
+                 "left_semi")
+           .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+           .groupBy(F.year("o_orderdate").alias("o_year"))
+           .agg(F.round(F.sum(nation_vol), 2).cast("double")
+                .alias("nation_volume"),
+                F.round(F.sum(_revenue_cols()), 2).cast("double")
+                .alias("total_volume")))
+    return (out.select("o_year", "nation_volume", "total_volume",
+                       F.round(F.col("nation_volume")
+                               / F.col("total_volume"), 6)
+                       .alias("mkt_share"))
+            .orderBy("o_year"))
+
+
+Q8_NATIONAL_MARKET_SHARE_SQL = f"""
+WITH agg AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+         CAST(round(sum(CASE WHEN n2.n_name = '{Q8_NATION}' THEN {_REV_SQL}
+                             ELSE CAST(0 AS DECIMAL(28,6)) END), 2) AS DOUBLE)
+           AS nation_volume,
+         CAST(round(sum({_REV_SQL}), 2) AS DOUBLE) AS total_volume
+  FROM lineitem
+  JOIN part      ON l_partkey = p_partkey
+  JOIN orders    ON l_orderkey = o_orderkey
+  JOIN supplier  ON l_suppkey = s_suppkey
+  JOIN customer  ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region    ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = '{Q8_REGION}' AND p_type = '{Q8_TYPE}'
+    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY 1)
+SELECT o_year, nation_volume, total_volume,
+       round(nation_volume / total_volume, 6) AS mkt_share
+FROM agg ORDER BY o_year
+"""
+
+
 Q19_BRACKETS = (("Brand#1", 1, 15, 1, 11),
                 ("Brand#2", 1, 25, 10, 20),
                 ("Brand#3", 1, 35, 20, 30))
@@ -854,6 +942,8 @@ TPCH_QUERIES: dict[str, tuple] = {
                                    Q17_SMALL_QUANTITY_REVENUE_SQL),
     "q19_discounted_revenue": (q19_discounted_revenue_df,
                                Q19_DISCOUNTED_REVENUE_SQL),
+    "q8_national_market_share": (q8_national_market_share_df,
+                                 Q8_NATIONAL_MARKET_SHARE_SQL),
     "user_value_ema": (user_value_ema_df, USER_VALUE_EMA_SQL),
     "user_value_ema_segmented": (user_value_ema_segmented_df,
                                  USER_VALUE_EMA_SEGMENTED_SQL),

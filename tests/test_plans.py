@@ -397,3 +397,20 @@ def test_size_cache_catches_same_mtime_rewrite(spark, tmp_path):
     # explicit invalidation hook for engine paths that rewrite in place
     bg.invalidate_size_cache(p)
     assert p not in bg._SIZE_CACHE
+
+
+def test_q8_market_share_plan_shape(spark):
+    """Q8's 8-table join tree (VERDICT r07 item 1): every dim side —
+    part, supplier, customer, nation (both roles), region — joins as a
+    broadcast hash join at this SF, lineitem is never sort-merged, the
+    selective p_type filter reaches the part scan as a pushed predicate,
+    and the order-date window reaches the orders scan."""
+    from ringo_spark.operators.tpch import q8_national_market_share_df
+
+    plan = plan_of(spark, q8_national_market_share_df(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "EqualTo(p_type,ECONOMY)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
