@@ -68,128 +68,17 @@ from .text import (
 #     unverified, only un-hashed-by-the-driver that round.
 
 DRIVER_WINDOW: list[str] = [
-    # -- round-8 first driver rows: new operators, front-loaded --
+    # -- round-8 first driver rows: new r08 operators, front-loaded.
+    #    Each additional r08 operator inserted here pops the LAST
+    #    rotated-in entry below back to DISPLACED (it keeps its r04/r05
+    #    record; first driver rows outrank another record for an
+    #    unchanged query — CORRECTNESS_WINDOW.md r08 plan) --
     "q8_national_market_share",
-    # -- round-7 first driver rows: the 13 queries built mid-r06 after the
-    #    window was set (pre-committed rotation, CORRECTNESS_WINDOW.md) --
-    "dedup_minhash_lsh_capped_indexed",
-    "benchmark_contamination",
-    "doc_chunk",
-    "training_prep",
-    "sample_cluster_split",
-    "text_repetition",
-    "multimodal_phash",
-    "q18_large_volume_customer",
-    "multimodal_phash_dups",
-    "sessionize_native",
-    "q7_volume_shipping",
-    "window_stats",
-    "q4_order_priority",
-    # -- code changed this round, so regressions must stay driver-visible:
-    #    approx_bounds' grain made non-degenerate (r06 ADVICE medium),
-    #    ann_ivf_kmeans' Lloyd training de-exploded (VERDICT item 5) --
-    "fact_events_by_minute_approx_bounds",
-    "ann_ivf_kmeans",
-    # -- rotated back in: displaced r06, driver-green r02+r03+r05 --
-    # -- new round-7 queries: first driver rows --
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q21_suppliers_kept_waiting",
-    "q22_global_sales_opportunity",
-    "sample_cluster_split_indexed",
-    "quantiles_approx_bounds",
-    "q14_promo_effect",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "dedup_embedding_lsh",
-    "doc_logprob",
-    "timeseries_gapfill",
-    "listagg",
-    "value_histogram",
-    "grouping_sets",
-    "map_funcs",
-    "vocab_topk_cms_bounds",
-    # -- core schema-level pipeline (driver-green r02+r03+r04; pinned) --
-    "dim_event_type",
-    "fact_events_by_minute",
-    "dim_event_type_incremental",
-    "fact_events_by_minute_incremental",
-    "dim_order_status",
-    "dim_order_priority",
-    "fact_orders_by_day",
-    "dim_line_status",
-    "fact_lineitem_by_day",
-    # -- one representative per operator family (all driver-green r04) --
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "ann_cosine_topk",
-    "ann_ivf_indexed",
-    "text_quality",
-    "corpus_curation",
-    "sessionize",
-    "scd2_dim",
-    "fact_lineitem_chain",
-]
-
-# Registered, locally cell-exact-verified every round, but outside the
-# driver's 50-row hash window this round.  Every with-oracle entry here
-# has at least one driver-green (hash_match=true) row (r02–r06) with
-# unchanged code paths since; the 2 no-oracle entries are ε-tolerance
-# pytest-covered by design AND have *_bounds twins carrying real oracles
-# (driver-green r06).  Newly displaced: the r06 first-row cohort (one
-# driver row each after r06) and the r05-retained rotations, per the
-# pre-committed r07 plan in CORRECTNESS_WINDOW.md.
-DISPLACED: list[str] = [
-    # r06 first-row cohort (driver-green r06, code unchanged)
-    "dedup_minhash_lsh_capped",
-    "dedup_clusters_indexed",
-    "ann_cosine_topk_arrow_bounds",
-    "dedup_minhash_lsh_indexed",
-    # r02+r03+r06 records
-    "scalar_subquery",
-    "json_funcs",
-    "date_funcs",
-    # r05+r06 records
-    "embed_quantize",
-    "multimodal_resize",
-    "multimodal_frames",
-    "scd2_fact_incremental",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    # r02+r03+r05 records (rotated back out to make room for the
-    # round-7 first-row cohort; best-covered function queries)
-    "quantiles",
-    "window_lag",
-    "vocab_topk",
-    "lang_confusion",
-    "metrics_unpivot",
-    "set_ops",
-    "string_funcs",
-    "conditional_funcs",
-    # family reps stood down ONE round: their families already have
-    # multiple windowed members this round (text: quality + 4 first-rows;
-    # multimodal: phash + phash_dups first-rows), and each slot funds a
-    # first driver row; records r02..r06 each
-    "tfidf_bm25",
-    "multimodal_pixels",
-    # r02+r03+r05+r06 records (best-covered cohort)
-    "asof_join",
-    "doc_rolling_hash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding",
-    "ann_lsh_bucketed12",
-    "ann_lsh_multiprobe",
-    "token_count",
-    "doc_fingerprint",
-    "join_semi",
-    "join_anti",
-    "window_rank",
-    "rollup_agg",
-    "cube_agg",
-    "topk",
-    "range_join",
-    # r04-record cohort still waiting (rotate next)
+    # -- recency rotation: after r07 every registered query holds at
+    #    least one driver-green row, so r08 rotates by DRIVER-RECORD AGE.
+    #    This cohort's only driver rows are r04 (the function tail r02+
+    #    r03+r05); code paths unchanged since, cell-exact in every local
+    #    sweep --
     "q1_pricing_summary",
     "q6_forecast_revenue",
     "window_frames",
@@ -218,8 +107,116 @@ DISPLACED: list[str] = [
     "ann_ivf",
     "lang_id",
     "join_inner_agg",
-    "fact_events_by_minute_approx",  # no-oracle by design (ε pytest)
-    "ann_cosine_topk_arrow",         # no-oracle by design (ε pytest)
+    "quantiles",
+    # -- core schema-level pipeline (driver-green r02-r04 + r07; pinned) --
+    "dim_event_type",
+    "fact_events_by_minute",
+    "dim_event_type_incremental",
+    "fact_events_by_minute_incremental",
+    "dim_order_status",
+    "dim_order_priority",
+    "fact_orders_by_day",
+    "dim_line_status",
+    "fact_lineitem_by_day",
+    # -- one representative per operator family (pinned; tfidf_bm25 and
+    #    multimodal_pixels return from their one-round r07 stand-down) --
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "ann_cosine_topk",
+    "ann_ivf_indexed",
+    "text_quality",
+    "tfidf_bm25",
+    "multimodal_pixels",
+    "corpus_curation",
+    "sessionize",
+    "scd2_dim",
+    "fact_lineitem_chain",
+]
+
+# Registered, locally cell-exact-verified every round, but outside the
+# driver's 50-row hash window this round.  Every with-oracle entry here
+# has at least one driver-green (hash_match=true) row (r02–r07) with
+# unchanged code paths since; the 2 no-oracle entries are ε-tolerance
+# pytest-covered by design AND have *_bounds twins carrying real oracles
+# (driver-green r06/r07).  Newly displaced: the r07 first-row cohort
+# (all 30 got their first rows in r07) — recency rotation per the
+# pre-committed r08 plan in CORRECTNESS_WINDOW.md.
+DISPLACED: list[str] = [
+    # r07 window cohort: every entry below holds an r07 (or earlier)
+    # driver-green row; the whole registry is re-verified cell-exact
+    # in CORRECTNESS_LOCAL_r08.json.  The final two are the
+    # no-oracle-by-design pair (e-pytest + *_bounds twins with
+    # oracles).
+    "dedup_minhash_lsh_capped_indexed",
+    "benchmark_contamination",
+    "doc_chunk",
+    "training_prep",
+    "sample_cluster_split",
+    "text_repetition",
+    "multimodal_phash",
+    "q18_large_volume_customer",
+    "multimodal_phash_dups",
+    "sessionize_native",
+    "q7_volume_shipping",
+    "window_stats",
+    "q4_order_priority",
+    "fact_events_by_minute_approx_bounds",
+    "ann_ivf_kmeans",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity",
+    "sample_cluster_split_indexed",
+    "quantiles_approx_bounds",
+    "q14_promo_effect",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "dedup_embedding_lsh",
+    "doc_logprob",
+    "timeseries_gapfill",
+    "listagg",
+    "value_histogram",
+    "grouping_sets",
+    "map_funcs",
+    "vocab_topk_cms_bounds",
+    "dedup_minhash_lsh_capped",
+    "dedup_clusters_indexed",
+    "ann_cosine_topk_arrow_bounds",
+    "dedup_minhash_lsh_indexed",
+    "scalar_subquery",
+    "json_funcs",
+    "date_funcs",
+    "embed_quantize",
+    "multimodal_resize",
+    "multimodal_frames",
+    "scd2_fact_incremental",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "window_lag",
+    "vocab_topk",
+    "lang_confusion",
+    "metrics_unpivot",
+    "set_ops",
+    "string_funcs",
+    "conditional_funcs",
+    "asof_join",
+    "doc_rolling_hash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding",
+    "ann_lsh_bucketed12",
+    "ann_lsh_multiprobe",
+    "token_count",
+    "doc_fingerprint",
+    "join_semi",
+    "join_anti",
+    "window_rank",
+    "rollup_agg",
+    "cube_agg",
+    "topk",
+    "range_join",
+    "fact_events_by_minute_approx",
+    "ann_cosine_topk_arrow",
 ]
 
 _DEDUP_QUERIES: dict[str, tuple] = {
