@@ -74,6 +74,7 @@ DRIVER_WINDOW: list[str] = [
     #    record; first driver rows outrank another record for an
     #    unchanged query — CORRECTNESS_WINDOW.md r08 plan) --
     "q8_national_market_share",
+    "q12_late_shipments",
     # -- recency rotation: after r07 every registered query holds at
     #    least one driver-green row, so r08 rotates by DRIVER-RECORD AGE.
     #    This cohort's only driver rows are r04 (the function tail r02+
@@ -107,7 +108,6 @@ DRIVER_WINDOW: list[str] = [
     "ann_ivf",
     "lang_id",
     "join_inner_agg",
-    "quantiles",
     # -- core schema-level pipeline (driver-green r02-r04 + r07; pinned) --
     "dim_event_type",
     "fact_events_by_minute",
@@ -146,7 +146,9 @@ DISPLACED: list[str] = [
     # driver-green row; the whole registry is re-verified cell-exact
     # in CORRECTNESS_LOCAL_r08.json.  The final two are the
     # no-oracle-by-design pair (e-pytest + *_bounds twins with
-    # oracles).
+    # oracles).  Head entries: r04-cohort members popped back out as
+    # r08 operators took their window slots (they keep their records).
+    "quantiles",
     "dedup_minhash_lsh_capped_indexed",
     "benchmark_contamination",
     "doc_chunk",

@@ -785,6 +785,66 @@ WHERE p_brand = '{Q17_BRAND}'
 """
 
 
+Q12_LATE_DAYS = 60          # ship lag that counts as "late"
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def q12_late_shipments_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape (shipping modes and order priority): per shipping
+    class, count late-shipped lines split into high- vs low-priority —
+    the canonical conditional aggregation keyed on a comparison of TWO
+    date columns from the two joined tables.
+
+    The driver testdata carries no ``l_shipmode`` / ``l_commitdate`` /
+    ``l_receiptdate``, so the shape is mapped onto existing columns
+    (documented per the r07 VERDICT item 6): ``l_shipmode`` →
+    ``l_linestatus`` (the mode-like categorical on lineitem);
+    "commit missed" (``l_commitdate < l_receiptdate``) → ship lag ≥ 60
+    days (``l_shipdate`` vs ``o_orderdate`` — still a cross-table
+    timestamp comparison, which is the defining predicate: it can only
+    be a RESIDUAL on the equi join, never a pushed scan filter);
+    ``l_receiptdate`` year window → ``l_shipdate`` year window (this
+    one DOES push to the lineitem scan).  The lag compares epoch
+    seconds as exact integers, so both engines decide "late" with the
+    same arithmetic.
+
+    Scale shape: one equi-join on the FK (hash or SMJ — both sides
+    fact-sized, the single unavoidable shuffle), conditional agg with
+    map-side partials, 2-row final agg."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lag = (F.unix_timestamp("l_shipdate")
+           - F.unix_timestamp("o_orderdate"))
+    hi = F.col("o_orderpriority").isin(*Q12_HIGH)
+    return (li.where((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                     & (F.col("l_shipdate") < F.lit("1997-01-01")))
+            .join(orders.select("o_orderkey", "o_orderdate",
+                                "o_orderpriority"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .where(lag >= Q12_LATE_DAYS * 86400)
+            .groupBy(F.col("l_linestatus").alias("ship_class"))
+            .agg(F.sum(F.when(hi, 1).otherwise(0)).cast("long")
+                 .alias("high_line_count"),
+                 F.sum(F.when(hi, 0).otherwise(1)).cast("long")
+                 .alias("low_line_count"))
+            .orderBy("ship_class"))
+
+
+Q12_LATE_SHIPMENTS_SQL = f"""
+SELECT l_linestatus AS ship_class,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND epoch(l_shipdate) - epoch(o_orderdate) >= {Q12_LATE_DAYS} * 86400
+GROUP BY 1 ORDER BY 1
+"""
+
+
 Q8_NATION, Q8_REGION, Q8_TYPE = "NATION_8", "ASIA", "ECONOMY"
 
 
@@ -944,6 +1004,7 @@ TPCH_QUERIES: dict[str, tuple] = {
                                Q19_DISCOUNTED_REVENUE_SQL),
     "q8_national_market_share": (q8_national_market_share_df,
                                  Q8_NATIONAL_MARKET_SHARE_SQL),
+    "q12_late_shipments": (q12_late_shipments_df, Q12_LATE_SHIPMENTS_SQL),
     "user_value_ema": (user_value_ema_df, USER_VALUE_EMA_SQL),
     "user_value_ema_segmented": (user_value_ema_segmented_df,
                                  USER_VALUE_EMA_SEGMENTED_SQL),

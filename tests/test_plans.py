@@ -414,3 +414,19 @@ def test_q8_market_share_plan_shape(spark):
     assert "EqualTo(p_type,ECONOMY)" in plan
     assert "GreaterThanOrEqual(o_orderdate" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q12_lateness_residual_plan_shape(spark):
+    """Q12's defining predicate compares timestamps from BOTH join
+    sides, so it can only be a residual on the equi join — assert the
+    join stays an equi hash/SMJ join (no cartesian), the single-table
+    year window IS pushed to the lineitem scan, and nothing falls back
+    to Python."""
+    from ringo_spark.operators.tpch import q12_late_shipments_df
+
+    plan = plan_of(spark, q12_late_shipments_df(spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    # the cross-table lag comparison survives as a join-time filter
+    assert "unix_timestamp" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
