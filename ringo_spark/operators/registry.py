@@ -23,10 +23,12 @@ from .multimodal import (
 )
 from .similarity import (
     ANN_COSINE_TOPK_ARROW_BOUNDS_SQL, ANN_COSINE_TOPK_SQL,
-    ANN_IVF_KMEANS_SQL, ANN_IVF_SQL, ANN_LSH_BUCKETED12_SQL,
+    ANN_IVF_KMEANS_SQL, ANN_IVF_RECALL_BOUNDS_SQL, ANN_IVF_SQL,
+    ANN_LSH_BUCKETED12_SQL,
     ANN_LSH_BUCKETED_SQL, ANN_LSH_MULTIPROBE_SQL,
     ann_cosine_topk_arrow_bounds_df, ann_cosine_topk_arrow_df,
     ann_cosine_topk_df, ann_ivf_df, ann_ivf_indexed_df, ann_ivf_kmeans_df,
+    ann_ivf_recall_bounds_df,
     ann_lsh_bucketed12_df, ann_lsh_bucketed_df, ann_lsh_indexed_df,
     ann_lsh_multiprobe_df,
 )
@@ -75,6 +77,9 @@ DRIVER_WINDOW: list[str] = [
     #    unchanged query — CORRECTNESS_WINDOW.md r08 plan) --
     "q8_national_market_share",
     "q12_late_shipments",
+    "ann_ivf_recall_bounds",
+    # -- code changed this round (nprobe threading), kept driver-visible --
+    "ann_ivf_kmeans",
     # -- recency rotation: after r07 every registered query holds at
     #    least one driver-green row, so r08 rotates by DRIVER-RECORD AGE.
     #    This cohort's only driver rows are r04 (the function tail r02+
@@ -106,8 +111,6 @@ DRIVER_WINDOW: list[str] = [
     "ann_lsh_indexed",
     "ann_lsh_bucketed",
     "ann_ivf",
-    "lang_id",
-    "join_inner_agg",
     # -- core schema-level pipeline (driver-green r02-r04 + r07; pinned) --
     "dim_event_type",
     "fact_events_by_minute",
@@ -148,6 +151,8 @@ DISPLACED: list[str] = [
     # no-oracle-by-design pair (e-pytest + *_bounds twins with
     # oracles).  Head entries: r04-cohort members popped back out as
     # r08 operators took their window slots (they keep their records).
+    "lang_id",
+    "join_inner_agg",
     "quantiles",
     "dedup_minhash_lsh_capped_indexed",
     "benchmark_contamination",
@@ -163,7 +168,6 @@ DISPLACED: list[str] = [
     "window_stats",
     "q4_order_priority",
     "fact_events_by_minute_approx_bounds",
-    "ann_ivf_kmeans",
     "q13_customer_distribution",
     "q15_top_supplier",
     "q21_suppliers_kept_waiting",
@@ -269,6 +273,11 @@ _ANN_QUERIES: dict[str, tuple] = {
     # k-means-trained centroids (2 Lloyd iterations, both engines replay
     # the identical rounded training trajectory)
     "ann_ivf_kmeans": (ann_ivf_kmeans_df, ANN_IVF_KMEANS_SQL),
+    # recall contract for the trained index: mean recall@5 vs brute-force
+    # ground truth at a fixed nprobe, floor pinned TRUE by the oracle
+    # (falsifiable — a lowered nprobe breaks it; pytest-pinned)
+    "ann_ivf_recall_bounds": (ann_ivf_recall_bounds_df,
+                              ANN_IVF_RECALL_BOUNDS_SQL),
     "ann_cosine_topk_arrow": (ann_cosine_topk_arrow_df, None),  # numpy summation order; rows-only
     # range-style oracle over the numpy lane: JVM exact top-k + a
     # tolerance boolean the oracle pins to TRUE (VERDICT r05 item 6)
@@ -354,7 +363,13 @@ OPERATOR_QUERIES: dict[str, tuple] = {
 # enumeration) must skip these names; anything that intends to execute
 # anyway (driver sweep, verify_local, bench) treats them like any other
 # query (r07 ADVICE).
-EAGER_QUERIES: frozenset[str] = frozenset({"vocab_topk_cms_bounds"})
+EAGER_QUERIES: frozenset[str] = frozenset({
+    "vocab_topk_cms_bounds",
+    # k-means training (Lloyd collects of K x dim centroid doubles)
+    # runs at construction
+    "ann_ivf_kmeans",
+    "ann_ivf_recall_bounds",
+})
 
 
 def queries_by_family() -> dict[str, list[str]]:
