@@ -33,6 +33,7 @@ import json
 import logging
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,6 +49,11 @@ from .model import DimTime, Env, Fact, PopulationMode, TenantId
 log = logging.getLogger(__name__)
 from .populate.dimension import dimension_population_df
 from .populate.fact import fact_population_df
+
+
+class ManifestConflict(RuntimeError):
+    """Another writer advanced the table's manifest between this writer's
+    read and its publish; the caller re-reads and retries."""
 
 
 class Engine:
@@ -216,6 +222,50 @@ class Engine:
     def _manifest_path(self, table: str) -> str:
         return os.path.join(self.storage, table + ".manifest.json")
 
+    # Manifest publishes are read-modify-write: two concurrent writers to
+    # one table could each read version N and publish N+1, silently
+    # dropping one append from the dir list (r07 VERDICT item 5).  Guard:
+    # a short-lived exclusive lock (O_CREAT|O_EXCL — atomic on POSIX and
+    # the moral equivalent of an object store's conditional PUT) around a
+    # compare-and-swap on the version read at the start of the write.  A
+    # loser raises ManifestConflict; _write_full/_write_append catch it,
+    # re-read the advanced manifest, rename their already-written data
+    # dir to the next free version, and retry — no data is rewritten.
+    _LOCK_STALE_SECS = 60.0      # break locks left by crashed writers
+    _LOCK_WAIT_SECS = 30.0       # max time to wait for a live writer
+
+    def _lock_path(self, table: str) -> str:
+        return self._manifest_path(table) + ".lock"
+
+    def _acquire_manifest_lock(self, table: str) -> int:
+        lock = self._lock_path(table)
+        deadline = time.monotonic() + self._LOCK_WAIT_SECS
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                return fd
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(lock)
+                    if age > self._LOCK_STALE_SECS:
+                        os.unlink(lock)     # crashed writer; break it
+                        continue
+                except FileNotFoundError:
+                    continue                # holder released; retry now
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"manifest lock for {table!r} held > "
+                        f"{self._LOCK_WAIT_SECS}s ({lock})")
+                time.sleep(0.02)
+
+    def _release_manifest_lock(self, table: str, fd: int) -> None:
+        os.close(fd)
+        try:
+            os.unlink(self._lock_path(table))
+        except FileNotFoundError:
+            pass
+
     def _read_manifest(self, table: str) -> dict | None:
         mp = self._manifest_path(table)
         if not os.path.exists(mp):
@@ -224,7 +274,9 @@ class Engine:
             return json.load(fh)
 
     def _publish_manifest(self, table: str, version: int,
-                          versions: dict[str, list[str]]) -> None:
+                          versions: dict[str, list[str]],
+                          expected_version: int | None = None,
+                          promote: tuple[str, str] | None = None) -> None:
         """Atomic pointer flip: tmp file + ``os.replace`` locally — the
         analogue of a single small-object PUT on S3/GCS (which IS atomic,
         unlike directory rename there).  The manifest maps each retained
@@ -232,11 +284,47 @@ class Engine:
         dirs, Iceberg-style), so both full refreshes AND incremental
         appends become visible atomically: readers resolve the manifest
         first and see a complete previous snapshot or a complete new one,
-        never a partial table."""
-        tmp = self._manifest_path(table) + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"version": version, "versions": versions}, fh)
-        os.replace(tmp, self._manifest_path(table))
+        never a partial table.
+
+        ``expected_version`` arms the compare-and-swap: under the table's
+        exclusive lock the manifest is re-read, and if its version moved
+        past the one this writer based its dir list on, the publish is
+        REJECTED with :class:`ManifestConflict` — last-writer-wins would
+        silently drop the other writer's dirs from the snapshot (the
+        object-store analogue is a conditional PUT / If-Match ETag).
+
+        ``promote`` = (stage_dirname, final_dirname): writers land their
+        data in a writer-UNIQUE stage dir (two writers racing to the
+        same ``__vN`` name would overwrite each other's files before
+        either published) and the winner renames it to the version name
+        here, after the CAS check, still under the lock — a metadata-only
+        rename, so the lock is never held across a data write.  A final
+        dir already present at that point is provably an unreferenced
+        orphan (version N publishes at most once; the CAS just proved N
+        is unpublished) from a writer that crashed between rename and
+        pointer flip — it is removed."""
+        fd = self._acquire_manifest_lock(table)
+        try:
+            if expected_version is not None:
+                m = self._read_manifest(table)
+                current = m["version"] if m else 0
+                if current != expected_version:
+                    raise ManifestConflict(
+                        f"{table}: manifest advanced to v{current} while "
+                        f"this writer prepared v{version} from "
+                        f"v{expected_version}")
+            if promote is not None:
+                stage, final = (os.path.join(self.storage, d)
+                                for d in promote)
+                if os.path.exists(final):
+                    shutil.rmtree(final)    # crash orphan, never published
+                os.rename(stage, final)
+            tmp = self._manifest_path(table) + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"version": version, "versions": versions}, fh)
+            os.replace(tmp, self._manifest_path(table))
+        finally:
+            self._release_manifest_lock(table, fd)
 
     @staticmethod
     def _manifest_versions(m: dict) -> dict[str, list[str]]:
@@ -254,18 +342,42 @@ class Engine:
         versions[str(version)] = dirs
         return versions
 
+    _STAGE_ORPHAN_AGE_SECS = 3600.0   # crashed-writer stage dirs
+
+    def _write_stage(self, df: DataFrame, table: str, partition_by=()) -> str:
+        """Write the manifest-mode data payload into a writer-unique
+        stage dir (pid + random token) — promoted to its ``__vN`` name
+        under the publish lock.  Version-named dirs must never be write
+        targets: two writers computing the same next version would
+        overwrite each other's files before either publish."""
+        stage = f"{table}__stage_{os.getpid()}_{os.urandom(4).hex()}"
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(os.path.join(self.storage, stage))
+        return stage
+
     def _gc_versions(self, table: str, versions: dict[str, list[str]]) -> None:
         """Drop ``<table>__v*`` dirs no retained snapshot references.  A
         crash anywhere here is harmless: orphans are re-collected on the
         next publish, and readers never resolve them.  Orphans from a
         crashed publish (written but never referenced) are collected the
-        same way."""
+        same way.  Stage dirs are collected only once they are old enough
+        to be provably crashed writers — a LIVE concurrent writer's stage
+        dir is unreferenced by design until its publish."""
         prefix = table + "__v"
         referenced = {d for ds in versions.values() for d in ds}
         for d in os.listdir(self.storage):
+            full = os.path.join(self.storage, d)
             if d.startswith(prefix) and d not in referenced:
-                shutil.rmtree(os.path.join(self.storage, d),
-                              ignore_errors=True)
+                shutil.rmtree(full, ignore_errors=True)
+            elif d.startswith(table + "__stage_"):
+                try:
+                    age = time.time() - os.path.getmtime(full)
+                except OSError:
+                    continue
+                if age > self._STAGE_ORPHAN_AGE_SECS:
+                    shutil.rmtree(full, ignore_errors=True)
 
     def _snapshot_paths(self, table: str, version: int | None = None
                         ) -> list[str]:
@@ -327,17 +439,22 @@ class Engine:
         the manifest pointer flips only after the write completes, then
         stale versions are garbage-collected."""
         if self.commit_mode == "manifest":
-            m = self._read_manifest(table)
-            version = (m["version"] if m else 0) + 1
-            dirname = f"{table}__v{version}"
-            w = df.write.mode("overwrite")
-            if partition_by:
-                w = w.partitionBy(*partition_by)
-            w.parquet(os.path.join(self.storage, dirname))
-            versions = self._next_versions(m, version, [dirname])
-            self._publish_manifest(table, version, versions)
-            self._gc_versions(table, versions)
-            return
+            stage = self._write_stage(df, table, partition_by)
+            for _ in range(16):    # bounded CAS retry; no data rewrite
+                m = self._read_manifest(table)
+                version = (m["version"] if m else 0) + 1
+                dirname = f"{table}__v{version}"
+                versions = self._next_versions(m, version, [dirname])
+                try:
+                    self._publish_manifest(table, version, versions,
+                                           expected_version=version - 1,
+                                           promote=(stage, dirname))
+                except ManifestConflict:
+                    continue       # re-read the advanced manifest, retry
+                self._gc_versions(table, versions)
+                return
+            raise ManifestConflict(
+                f"{table}: full refresh lost the manifest CAS 16 times")
         staging, live = self._path(table, True), self._path(table)
         old = live + "__old"
         w = df.write.mode("overwrite")
@@ -362,20 +479,30 @@ class Engine:
             # table).  The inflight journal still brackets the
             # append-then-watermark pair (see below): manifest atomicity
             # covers table visibility, not the separate watermark file.
-            m = self._read_manifest(table)
-            if m is None:
+            if self._read_manifest(table) is None:
                 raise FileNotFoundError(f"no manifest for table {table!r}")
-            version = m["version"] + 1
-            dirname = f"{table}__v{version}"
-            w = df.write.mode("overwrite")
-            if partition_by:
-                w = w.partitionBy(*partition_by)
-            w.parquet(os.path.join(self.storage, dirname))
-            live_dirs = self._manifest_versions(m)[str(m["version"])]
-            versions = self._next_versions(m, version, live_dirs + [dirname])
-            self._publish_manifest(table, version, versions)
-            self._gc_versions(table, versions)
-            return
+            stage = self._write_stage(df, table, partition_by)
+            for _ in range(16):    # bounded CAS retry; no data rewrite
+                m = self._read_manifest(table)
+                version = m["version"] + 1
+                dirname = f"{table}__v{version}"
+                # live_dirs is re-resolved per attempt: on a lost CAS the
+                # re-read picks up the OTHER writer's dirs, so both
+                # appends end up in the published snapshot — the exact
+                # lost-update the plain read-modify-write allowed
+                live_dirs = self._manifest_versions(m)[str(m["version"])]
+                versions = self._next_versions(m, version,
+                                               live_dirs + [dirname])
+                try:
+                    self._publish_manifest(table, version, versions,
+                                           expected_version=version - 1,
+                                           promote=(stage, dirname))
+                except ManifestConflict:
+                    continue
+                self._gc_versions(table, versions)
+                return
+            raise ManifestConflict(
+                f"{table}: append lost the manifest CAS 16 times")
         w = df.write.mode("append")
         if partition_by:
             w = w.partitionBy(*partition_by)

@@ -483,3 +483,52 @@ def test_bucketize_default_pairs_selfjoin_and_conflict_skips(
         ("part", "p_x", "part", "p_x"),
     ]
     assert names == ["lineitem", "orders", "part"]
+
+
+def test_manifest_cas_rejects_interleaved_publish(spark, tmp_path):
+    """The CAS core (r07 VERDICT item 5): a publish based on a manifest
+    version that has since advanced is rejected, never last-writer-wins."""
+    import ringo_spark.engine as engmod
+
+    eng = Engine(spark, ORDERS_ENV, str(tmp_path / "cas"),
+                 commit_mode="manifest")
+    eng._write_full(spark.range(5), "t")
+    m = eng._read_manifest("t")
+    assert m["version"] == 1
+    eng._write_full(spark.range(3), "t")          # interloper -> v2
+    with pytest.raises(engmod.ManifestConflict, match="advanced"):
+        eng._publish_manifest("t", m["version"] + 1, {"2": ["t__v2"]},
+                              expected_version=m["version"])
+
+
+def test_manifest_two_interleaved_appenders_lose_nothing(spark, tmp_path):
+    """The lost-update scenario the plain read-modify-write allowed: A
+    reads the manifest, B appends and publishes, then A appends.  With
+    the CAS retry A's first publish loses, re-reads, and re-publishes a
+    snapshot containing BOTH appends; the final table holds every row."""
+    store = str(tmp_path / "mw")
+    A = Engine(spark, ORDERS_ENV, store, commit_mode="manifest")
+    B = Engine(spark, ORDERS_ENV, store, commit_mode="manifest")
+    A._write_full(spark.range(0, 10), "t")        # v1: ids 0..9
+    stale = A._read_manifest("t")
+
+    calls = {"n": 0}
+    real = Engine._read_manifest
+
+    def stale_then_real(self, table):
+        # first two reads (pre-check + first CAS attempt) see the
+        # manifest as A captured it BEFORE B's append — the interleave
+        calls["n"] += 1
+        return dict(stale) if calls["n"] <= 2 else real(self, table)
+
+    A._read_manifest = stale_then_real.__get__(A)
+    B._write_append(spark.range(10, 20), "t")     # v2 lands meanwhile
+    A._write_append(spark.range(20, 30), "t")     # loses CAS once, retries
+
+    got = sorted(r.id for r in A.read_table("t").collect())
+    assert got == list(range(30)), "an append was lost"
+    m = B._read_manifest("t")
+    assert m["version"] == 3
+    assert len(m["versions"][str(m["version"])]) == 3
+    # no stray lock left behind
+    assert not os.path.exists(A._lock_path("t"))
