@@ -88,6 +88,23 @@ HEADLINE = [
     "grouping_sets",
     "map_funcs",
     "vocab_topk_cms_bounds",
+    # round-8: the displaced cohort's single refresh (r07 VERDICT item 7
+    # — these held r04 min-of-2 pins but were absent from the r07 run
+    # list; one refresh keeps the pin table honest)
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "quantiles",
+    "window_lag",
+    "set_ops",
+    "string_funcs",
+    "conditional_funcs",
+    "vocab_topk",
+    "lang_confusion",
+    "metrics_unpivot",
+    # round-8 new operators
+    "q8_national_market_share",
+    "q12_late_shipments",
+    "ann_ivf_recall_bounds",
 ]
 
 RUNS_PER_QUERY = 2

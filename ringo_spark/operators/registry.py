@@ -78,6 +78,7 @@ DRIVER_WINDOW: list[str] = [
     "q8_national_market_share",
     "q12_late_shipments",
     "ann_ivf_recall_bounds",
+    "sample_temperature",
     # -- code changed this round (nprobe threading), kept driver-visible --
     "ann_ivf_kmeans",
     # -- recency rotation: after r07 every registered query holds at
@@ -110,7 +111,6 @@ DRIVER_WINDOW: list[str] = [
     "dedup_incremental",
     "ann_lsh_indexed",
     "ann_lsh_bucketed",
-    "ann_ivf",
     # -- core schema-level pipeline (driver-green r02-r04 + r07; pinned) --
     "dim_event_type",
     "fact_events_by_minute",
@@ -151,6 +151,7 @@ DISPLACED: list[str] = [
     # no-oracle-by-design pair (e-pytest + *_bounds twins with
     # oracles).  Head entries: r04-cohort members popped back out as
     # r08 operators took their window slots (they keep their records).
+    "ann_ivf",
     "lang_id",
     "join_inner_agg",
     "quantiles",

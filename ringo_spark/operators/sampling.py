@@ -192,6 +192,54 @@ FROM eff
 SAMPLE_CLUSTER_SPLIT_SQL = _sql_cluster_split()
 
 
+TEMP_ALPHA = 0.5    # mixture temperature: realized counts ∝ n^α
+
+
+def sample_temperature_df(spark: SparkSession, sf_dir: str,
+                          alpha: float = TEMP_ALPHA) -> DataFrame:
+    """Temperature-scaled mixture sampling — the standard pretraining
+    reweighting that up-weights low-resource groups: after sampling, the
+    expected per-language count is ∝ n_lang^α (α<1 flattens the
+    distribution; α=1 is identity; α=0 is uniform).  Realized by
+    DOWN-sampling only: the smallest language keeps rate 1.0 and every
+    other language keeps rate (n_min / n_lang)^(1-α), decided by the
+    same portable content hash every sampler here uses — reproducible
+    across engines and retries, no RNG.
+
+    Scale shape: one map-side-combining count per language (tiny), the
+    K-language rate table broadcast (bounded by language cardinality,
+    not corpus size), then a pure map-side keep predicate — the corpus
+    itself never shuffles.  Rates round to 6 decimals so the pow() is
+    hash-stable across engines."""
+    docs = _docs(spark, sf_dir)
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    nmin = counts.agg(F.min("n_lang").alias("n_min"))
+    rates = (counts.join(F.broadcast(nmin))
+             .select("lang",
+                     F.round(F.pow(F.col("n_min") / F.col("n_lang"),
+                                   F.lit(1.0 - alpha)), 6)
+                     .alias("keep_rate")))
+    return (docs.join(F.broadcast(rates), "lang")
+            .where(_bucket(F.col("doc_id"))
+                   < F.col("keep_rate") * HASH_MOD)
+            .select("doc_id", "lang", "keep_rate"))
+
+
+SAMPLE_TEMPERATURE_SQL = f"""
+WITH counts AS (
+  SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+rates AS (
+  SELECT lang,
+         round(pow((SELECT min(n_lang) FROM counts) / CAST(n_lang AS DOUBLE),
+                   1.0 - {TEMP_ALPHA}), 6) AS keep_rate
+  FROM counts)
+SELECT doc_id, lang, keep_rate
+FROM documents JOIN rates USING (lang)
+WHERE {sql_phash("doc_id::VARCHAR", SPLIT_SEED)} % {HASH_MOD}
+      < keep_rate * {HASH_MOD}
+"""
+
+
 SAMPLING_QUERIES: dict[str, tuple] = {
     "sample_hash_split": (sample_hash_split_df, SAMPLE_HASH_SPLIT_SQL),
     # near-dup-aware split: clusters (from the persisted index — same
@@ -205,4 +253,6 @@ SAMPLING_QUERIES: dict[str, tuple] = {
     "sample_per_source_quota": (sample_per_source_quota_df,
                                 SAMPLE_PER_SOURCE_QUOTA_SQL),
     "sample_mixture": (sample_mixture_df, SAMPLE_MIXTURE_SQL),
+    # temperature-scaled source reweighting (counts ∝ n^α), hash-decided
+    "sample_temperature": (sample_temperature_df, SAMPLE_TEMPERATURE_SQL),
 }

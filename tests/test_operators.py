@@ -985,3 +985,36 @@ def test_gapfill_output_is_dense_and_carries_forward(spark):
             else:
                 last_obs = r.v_filled
     assert saw_gap, "testdata should contain minute gaps"
+
+
+def test_sample_temperature_flattens_mixture(spark):
+    """Temperature sampling invariants: the smallest language keeps
+    rate 1.0 (down-sampling only — no document is ever duplicated), and
+    the realized distribution is FLATTER than the input (max/min count
+    ratio shrinks toward n^alpha)."""
+    from pyspark.sql import functions as F
+
+    from ringo_spark.operators.sampling import (
+        TEMP_ALPHA, sample_temperature_df,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    before = {r.lang: r.n for r in
+              docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    out = sample_temperature_df(spark, sf)
+    rates = {r.lang: r.keep_rate for r in
+             out.select("lang", "keep_rate").distinct().collect()}
+    smallest = min(before, key=before.get)
+    assert rates[smallest] == 1.0
+    assert all(0 < r <= 1.0 for r in rates.values())
+    after = {r.lang: r.n for r in
+             out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # every language survives, none grows
+    assert set(after) == set(before)
+    assert all(after[l] <= before[l] for l in before)
+    ratio_before = max(before.values()) / min(before.values())
+    ratio_after = max(after.values()) / min(after.values())
+    assert ratio_after < ratio_before
+    # α=0.5 halves the log-spread: realized ratio ≈ sqrt(input ratio)
+    assert ratio_after < ratio_before ** (TEMP_ALPHA + 0.25)

@@ -30,9 +30,14 @@ SRC = "/root/testdata/sf0.1"
 SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        ".scale_probe")
 COPIES = [1, 2, 4, 8]
-# distinct vowel permutations per copy: rewrites every shingle in the copy
-SALTS = ["aeiou", "eioua", "iouae", "ouaei", "uaeio",
-         "aeiuo", "eioau", "iouea"]
+COPIES_DEEP = [8, 16, 32]    # `deep` mode: where bucket caps actually bite
+# distinct vowel permutations per copy rewrite every shingle in the copy;
+# generated (5! = 120 available) so deep mode's 32 copies each get one.
+# permutations() yields the identity first, which SALTS[0] must be —
+# translate(text, SALTS[0], SALTS[c]) maps copy 0 to unchanged text.
+import itertools                                            # noqa: E402
+
+SALTS = ["".join(p) for p in itertools.permutations("aeiou")][:32]
 
 
 def _replicate(parts):
@@ -343,10 +348,60 @@ def main():
     shutil.rmtree(SCRATCH, ignore_errors=True)
 
 
+def deep_scenario():
+    """k=8 -> 16 -> 32 probe (r07 VERDICT item 4) for the three
+    operators whose scale claims depend on sub-linear candidate growth:
+    the capped LSH (band-bucket cap bounds candidates per bucket), the
+    contamination sweep (benchmark shingles broadcast, corpus never
+    shuffles), and the cluster label propagation (edge-set shuffles,
+    O(log diameter) rounds).  At 3.2M docs (x32) the band buckets are
+    ~4x fuller than the x8 run the old table stopped at — if the cap or
+    the broadcast were illusory, per-row cost would inflect here.
+    Pass criterion: per-row cost growth (t_k/k) / (t_8/8) <= ~1.2."""
+    from ringo_spark.catalog import get_spark
+    from ringo_spark.operators.dedup import (
+        dedup_clusters_df, dedup_minhash_lsh_capped_df,
+    )
+    from ringo_spark.operators.text import benchmark_contamination_df
+
+    spark = get_spark("scale-probe-deep")
+    spark.sparkContext.setLogLevel("ERROR")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    ops = {"dedup_minhash_lsh_capped": dedup_minhash_lsh_capped_df,
+           "benchmark_contamination": benchmark_contamination_df,
+           "dedup_clusters": dedup_clusters_df}
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+    rows = {}
+    for k in COPIES_DEEP:
+        sf_dir = build(spark, k)
+        for name, fn in ops.items():
+            best, out_rows = None, None
+            for _ in range(2):
+                t0 = time.time()
+                out_rows = fn(spark, sf_dir).count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            rows.setdefault(name, []).append((k, best, out_rows))
+            print(f"x{k:<2d} {name:26s} {best:7.2f}s  out_rows={out_rows}",
+                  flush=True)
+    print("\n| operator | x8 | x16 | x32 | per-row x32/x8 |")
+    print("|---|---|---|---|---|")
+    for name, rs in rows.items():
+        t = {k: b for k, b, _ in rs}
+        ratio = (t[32] / 32) / (t[8] / 8)
+        print(f"| {name} | {t[8]:.2f}s | {t[16]:.2f}s | {t[32]:.2f}s "
+              f"| {ratio:.2f}x |")
+    for name, rs in rows.items():
+        print(f"{name} out_rows by scale: {[(k, n) for k, _, n in rs]}")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "skew":
         skew_scenario()
     elif len(sys.argv) > 1 and sys.argv[1] == "skewjoin":
         skewjoin_scenario()
+    elif len(sys.argv) > 1 and sys.argv[1] == "deep":
+        deep_scenario()
     else:
         main()
