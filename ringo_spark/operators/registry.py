@@ -27,8 +27,9 @@ from .similarity import (
     ANN_LSH_BUCKETED12_SQL,
     ANN_LSH_BUCKETED_SQL, ANN_LSH_MULTIPROBE_SQL,
     ann_cosine_topk_arrow_bounds_df, ann_cosine_topk_arrow_df,
+    ANN_RANK_FUSION_SQL,
     ann_cosine_topk_df, ann_ivf_df, ann_ivf_indexed_df, ann_ivf_kmeans_df,
-    ann_ivf_recall_bounds_df,
+    ann_ivf_recall_bounds_df, ann_rank_fusion_df,
     ann_lsh_bucketed12_df, ann_lsh_bucketed_df, ann_lsh_indexed_df,
     ann_lsh_multiprobe_df,
 )
@@ -79,6 +80,7 @@ DRIVER_WINDOW: list[str] = [
     "q12_late_shipments",
     "ann_ivf_recall_bounds",
     "sample_temperature",
+    "ann_rank_fusion",
     # -- code changed this round (nprobe threading), kept driver-visible --
     "ann_ivf_kmeans",
     # -- recency rotation: after r07 every registered query holds at
@@ -110,7 +112,6 @@ DRIVER_WINDOW: list[str] = [
     "dedup_simhash",
     "dedup_incremental",
     "ann_lsh_indexed",
-    "ann_lsh_bucketed",
     # -- core schema-level pipeline (driver-green r02-r04 + r07; pinned) --
     "dim_event_type",
     "fact_events_by_minute",
@@ -151,6 +152,7 @@ DISPLACED: list[str] = [
     # no-oracle-by-design pair (e-pytest + *_bounds twins with
     # oracles).  Head entries: r04-cohort members popped back out as
     # r08 operators took their window slots (they keep their records).
+    "ann_lsh_bucketed",
     "ann_ivf",
     "lang_id",
     "join_inner_agg",
@@ -279,6 +281,9 @@ _ANN_QUERIES: dict[str, tuple] = {
     # (falsifiable — a lowered nprobe breaks it; pytest-pinned)
     "ann_ivf_recall_bounds": (ann_ivf_recall_bounds_df,
                               ANN_IVF_RECALL_BOUNDS_SQL),
+    # reciprocal-rank fusion of the LSH and IVF candidate lists — score
+    # normalization-free retriever combination over top-k rows only
+    "ann_rank_fusion": (ann_rank_fusion_df, ANN_RANK_FUSION_SQL),
     "ann_cosine_topk_arrow": (ann_cosine_topk_arrow_df, None),  # numpy summation order; rows-only
     # range-style oracle over the numpy lane: JVM exact top-k + a
     # tolerance boolean the oracle pins to TRUE (VERDICT r05 item 6)

@@ -896,6 +896,61 @@ ORDER BY q_id
 """
 
 
+RRF_K0 = 60          # the standard reciprocal-rank-fusion damping constant
+RRF_TOP_K = 5
+
+
+def ann_rank_fusion_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two independent ANN retrievers — the
+    standard way to combine candidate lists whose scores are not
+    comparable (different index geometries): each candidate scores
+    Σ 1/(k0 + rank_i) over the lists that retrieved it, so items ranked
+    well by BOTH retrievers rise without any score normalization.
+    Fuses the projection-LSH bucket search with the seeded-IVF cell
+    search (deterministic lazy retrievers; the trained-kmeans variant is
+    eager and stays out of fusion).
+
+    Scale shape: both inputs are already top-k-per-query (LSH_TOP_K
+    rows × queries — tiny), so the fusion union/agg/window runs on
+    candidate lists, never corpus data; total cost is the two
+    retrievals, which keep their own bucket/cell-pruned plans.  At most
+    2 fusion terms per candidate and IEEE addition is commutative, so
+    the summed score is engine-independent before the round(6)."""
+    contrib = F.round(F.sum(1.0 / (F.lit(RRF_K0) + F.col("rank"))), 6)
+    cands = (ann_lsh_bucketed_df(spark, sf_dir).select("q_id", "n_id", "rank")
+             .unionByName(ann_ivf_df(spark, sf_dir)
+                          .select("q_id", "n_id", "rank")))
+    fused = (cands.groupBy("q_id", "n_id")
+             .agg(contrib.alias("rrf_score"),
+                  F.count(F.lit(1)).cast("int").alias("n_lists")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("rrf_score"), F.asc("n_id"))
+    return (fused.withColumn("fused_rank", F.row_number().over(w))
+            .where(F.col("fused_rank") <= RRF_TOP_K)
+            .select("q_id", "n_id", "fused_rank", "rrf_score", "n_lists"))
+
+
+ANN_RANK_FUSION_SQL = f"""
+WITH lsh AS ({ANN_LSH_BUCKETED_SQL}),
+ivf AS ({ANN_IVF_SQL}),
+cands AS (
+  SELECT q_id, n_id, rank FROM lsh
+  UNION ALL
+  SELECT q_id, n_id, rank FROM ivf),
+fused AS (
+  SELECT q_id, n_id,
+         round(sum(1.0 / ({RRF_K0} + rank)), 6) AS rrf_score,
+         CAST(count(*) AS INT) AS n_lists
+  FROM cands GROUP BY 1, 2)
+SELECT q_id, n_id,
+       CAST(row_number() OVER (
+              PARTITION BY q_id ORDER BY rrf_score DESC, n_id)
+            AS INT) AS fused_rank,
+       rrf_score, n_lists
+FROM fused
+QUALIFY fused_rank <= {RRF_TOP_K}
+"""
+
+
 # --- persisted LSH bucket index ---------------------------------------------
 
 LSH_INDEX_ROOT = os.path.join(
