@@ -105,6 +105,10 @@ HEADLINE = [
     "q8_national_market_share",
     "q12_late_shipments",
     "ann_ivf_recall_bounds",
+    "sample_temperature",
+    "ann_rank_fusion",
+    "doc_bigram_logprob",
+    "retention_cohorts",
 ]
 
 RUNS_PER_QUERY = 2

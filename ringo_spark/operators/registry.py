@@ -44,8 +44,9 @@ from .text import (
     BENCHMARK_CONTAMINATION_SQL, DOC_FINGERPRINT_SQL, DOC_ROLLING_HASH_SQL,
     LANG_CONFUSION_SQL, LANG_ID_SQL, METRICS_UNPIVOT_SQL, TEXT_QUALITY_SQL,
     TFIDF_BM25_SQL, TOKEN_COUNT_SQL, VOCAB_TOPK_SQL,
+    DOC_BIGRAM_LOGPROB_SQL,
     DOC_LOGPROB_SQL, TEXT_REPETITION_SQL, VOCAB_TOPK_CMS_BOUNDS_SQL,
-    benchmark_contamination_df,
+    benchmark_contamination_df, doc_bigram_logprob_df,
     doc_fingerprint_df, doc_logprob_df,
     doc_rolling_hash_df, lang_confusion_df, lang_id_df, metrics_unpivot_df,
     text_quality_df, text_repetition_df, tfidf_bm25_df, token_count_df,
@@ -81,6 +82,8 @@ DRIVER_WINDOW: list[str] = [
     "ann_ivf_recall_bounds",
     "sample_temperature",
     "ann_rank_fusion",
+    "doc_bigram_logprob",
+    "retention_cohorts",
     # -- code changed this round (nprobe threading), kept driver-visible --
     "ann_ivf_kmeans",
     # -- recency rotation: after r07 every registered query holds at
@@ -110,8 +113,6 @@ DRIVER_WINDOW: list[str] = [
     "dedup_winnowing",
     "dedup_exact",
     "dedup_simhash",
-    "dedup_incremental",
-    "ann_lsh_indexed",
     # -- core schema-level pipeline (driver-green r02-r04 + r07; pinned) --
     "dim_event_type",
     "fact_events_by_minute",
@@ -152,6 +153,8 @@ DISPLACED: list[str] = [
     # no-oracle-by-design pair (e-pytest + *_bounds twins with
     # oracles).  Head entries: r04-cohort members popped back out as
     # r08 operators took their window slots (they keep their records).
+    "dedup_incremental",
+    "ann_lsh_indexed",
     "ann_lsh_bucketed",
     "ann_ivf",
     "lang_id",
@@ -309,6 +312,8 @@ _TEXT_QUERIES: dict[str, tuple] = {
     "text_repetition": (text_repetition_df, TEXT_REPETITION_SQL),
     # corpus-trained unigram LM scoring (CCNet-style perplexity gate)
     "doc_logprob": (doc_logprob_df, DOC_LOGPROB_SQL),
+    # interpolated-bigram sequel: catches well-formed-unigram word salad
+    "doc_bigram_logprob": (doc_bigram_logprob_df, DOC_BIGRAM_LOGPROB_SQL),
     # count-min heavy-hitter bounds: the third mergeable-sketch driver
     # row (HLL distincts, GK quantiles, CMS frequencies)
     "vocab_topk_cms_bounds": (vocab_topk_cms_bounds_df,

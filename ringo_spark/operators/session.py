@@ -133,8 +133,70 @@ FROM indexed
 GROUP BY user_id, session_idx
 """
 
+def retention_cohorts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention-cohort matrix — the classic activation analytic:
+    users grouped by their FIRST active week (the cohort), counted in
+    every later week they return, with retention as a fraction of the
+    cohort's size.
+
+    Scale shape: one distinct over (user, week) — the only corpus-sized
+    shuffle, with map-side partial dedup; the per-user min rides the
+    same user partitioning (no second exchange); the (cohort, offset)
+    rollup shuffles tiny distinct rows; the cohort-size self-join is
+    against a weeks-count-sized aggregate (unhinted — AQE broadcasts
+    it).  Pure integer week arithmetic; the retention fraction is one
+    double division rounded at the end."""
+    from ..catalog import load_catalog
+    from ..testbed import EVENTS
+
+    ev = (load_catalog(spark, sf_dir, [EVENTS])["events"]
+          .where(F.col("user_id").isNotNull())
+          .select("user_id",
+                  F.floor(F.unix_timestamp("ts") / F.lit(604800))
+                  .cast("long").alias("wk")))
+    act = ev.distinct()
+    first = act.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    counts = (act.join(first, "user_id")
+              .groupBy("cohort_wk",
+                       (F.col("wk") - F.col("cohort_wk"))
+                       .alias("week_offset"))
+              .agg(F.count(F.lit(1)).alias("active_users")))
+    size = (counts.where(F.col("week_offset") == 0)
+            .select("cohort_wk",
+                    F.col("active_users").alias("cohort_size")))
+    return (counts.join(size, "cohort_wk")
+            .select("cohort_wk", "week_offset", "active_users",
+                    "cohort_size",
+                    F.round(F.col("active_users") / F.col("cohort_size"), 6)
+                    .alias("retention")))
+
+
+RETENTION_COHORTS_SQL = """
+WITH act AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS wk
+  FROM events WHERE user_id IS NOT NULL),
+first AS (
+  SELECT user_id, min(wk) AS cohort_wk FROM act GROUP BY 1),
+counts AS (
+  SELECT cohort_wk, wk - cohort_wk AS week_offset,
+         count(*) AS active_users
+  FROM act JOIN first USING (user_id)
+  GROUP BY 1, 2),
+size AS (
+  SELECT cohort_wk, active_users AS cohort_size
+  FROM counts WHERE week_offset = 0)
+SELECT cohort_wk, week_offset, active_users, cohort_size,
+       round(active_users / CAST(cohort_size AS DOUBLE), 6) AS retention
+FROM counts JOIN size USING (cohort_wk)
+"""
+
+
 SESSION_QUERIES = {
     "sessionize": (sessionize_df, SESSIONIZE_SQL),
     # the built-in session_window twin (native >= gap boundary)
     "sessionize_native": (sessionize_native_df, SESSIONIZE_NATIVE_SQL),
+    # weekly activation cohorts: distinct (user, week) -> first-week
+    # cohort -> offset rollup -> retention fraction
+    "retention_cohorts": (retention_cohorts_df, RETENTION_COHORTS_SQL),
 }

@@ -624,6 +624,96 @@ FROM scored
 """
 
 
+BIGRAM_LAMBDA = 0.8    # Jelinek-Mercer interpolation weight on the bigram
+BIGRAM_HIGH = 3.5      # mean -ln p(w2|w1) above this => "surprising" doc
+
+
+def doc_bigram_logprob_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean negative log-probability under a corpus-trained
+    INTERPOLATED BIGRAM model (Jelinek-Mercer:
+    p(w2|w1) = λ·c(w1w2)/c(w1·) + (1−λ)·c(w2)/T) — the sequel to the
+    unigram ``doc_logprob``: repetitive/templated text scores low,
+    word-salad scores high even when its unigrams are common, which is
+    exactly what the unigram gate misses.
+
+    Scale shape: bigram pairs explode MAP-SIDE from each doc's token
+    array (arrays_zip of two slices — the text never shuffles); the
+    model tables are two hash aggregations (bigram key, context key)
+    plus the shared unigram vocab, each Zipf-small next to the corpus
+    but NOT guaranteed broadcastable at 100 TB, so the scoring joins run
+    unhinted and AQE broadcasts when they truly fit.  Cross-engine
+    determinism: the interpolation is the identical double expression
+    shape in both engines, each bigram's −ln p rounds to 6 decimals and
+    sums as an EXACT decimal, and the mean divides as doubles only at
+    the end (the doc_logprob discipline)."""
+    docs = _docs(spark, sf_dir)
+    t = (docs.select("doc_id", tokens(F.col("text")).alias("t"))
+         .where(F.size("t") >= 2))
+    n_bg = F.size("t") - 1
+    bg = (t.select("doc_id", n_bg.alias("n_bigrams"),
+                   F.explode(F.arrays_zip(
+                       F.slice("t", 1, n_bg).alias("w1"),
+                       F.slice("t", 2, n_bg).alias("w2"))).alias("b"))
+          .select("doc_id", "n_bigrams",
+                  F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")))
+    tok_all = docs.select(F.explode(tokens(F.col("text"))).alias("w2"))
+    vocab = tok_all.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    total = vocab.agg(F.sum("c2").alias("tt"))
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    p = (F.lit(BIGRAM_LAMBDA) * (F.col("cb") / F.col("c1"))
+         + F.lit(1.0 - BIGRAM_LAMBDA) * (F.col("c2") / F.col("tt")))
+    nlp = F.round(-F.log(p), 6).cast("decimal(18,6)")
+    scored = (bg.join(cb.join(c1, "w1"), ["w1", "w2"])
+              .join(vocab, "w2")
+              .crossJoin(F.broadcast(total))
+              .groupBy("doc_id", "n_bigrams")
+              .agg(F.sum(nlp).alias("__sum_nlp")))
+    mean_nlp = F.round(F.col("__sum_nlp").cast("double")
+                       / F.col("n_bigrams"), 6)
+    return scored.select(
+        "doc_id", F.col("n_bigrams").cast("int").alias("n_bigrams"),
+        mean_nlp.alias("mean_neg_logprob"),
+        (mean_nlp > BIGRAM_HIGH).alias("is_surprising"))
+
+
+DOC_BIGRAM_LOGPROB_SQL = f"""
+WITH tt AS (
+  SELECT doc_id, t, len(t) - 1 AS n_bigrams
+  FROM (SELECT doc_id, {sql_tokens('text')} AS t FROM documents)
+  WHERE len(t) >= 2),
+idx AS (
+  SELECT doc_id, n_bigrams, t,
+         unnest(generate_series(1, n_bigrams)) AS i
+  FROM tt),
+bg AS (
+  SELECT doc_id, n_bigrams, t[i] AS w1, t[i + 1] AS w2 FROM idx),
+vocab AS (
+  SELECT w2, count(*) AS c2
+  FROM (SELECT unnest({sql_tokens('text')}) AS w2 FROM documents)
+  GROUP BY w2),
+tot AS (SELECT sum(c2) AS tt FROM vocab),
+cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+scored AS (
+  SELECT doc_id, n_bigrams,
+         sum(CAST(round(-ln({BIGRAM_LAMBDA} * (cb.cb / c1.c1)
+                            + {1.0 - BIGRAM_LAMBDA} * (vocab.c2 / tot.tt)),
+                        6) AS DECIMAL(18,6))) AS sum_nlp
+  FROM bg
+  JOIN cb USING (w1, w2)
+  JOIN c1 USING (w1)
+  JOIN vocab USING (w2)
+  CROSS JOIN tot
+  GROUP BY doc_id, n_bigrams)
+SELECT doc_id, CAST(n_bigrams AS INT) AS n_bigrams,
+       round(CAST(sum_nlp AS DOUBLE) / n_bigrams, 6) AS mean_neg_logprob,
+       round(CAST(sum_nlp AS DOUBLE) / n_bigrams, 6) > {BIGRAM_HIGH}
+         AS is_surprising
+FROM scored
+"""
+
+
 # --- count-min-sketch heavy-hitter bounds -----------------------------------
 #
 # Completes the mergeable-sketch trio as driver-checkable rows: HLL
