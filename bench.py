@@ -109,6 +109,7 @@ HEADLINE = [
     "ann_rank_fusion",
     "doc_bigram_logprob",
     "retention_cohorts",
+    "event_funnel",
 ]
 
 RUNS_PER_QUERY = 2

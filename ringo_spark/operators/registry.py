@@ -84,6 +84,7 @@ DRIVER_WINDOW: list[str] = [
     "ann_rank_fusion",
     "doc_bigram_logprob",
     "retention_cohorts",
+    "event_funnel",
     # -- code changed this round (nprobe threading), kept driver-visible --
     "ann_ivf_kmeans",
     # -- recency rotation: after r07 every registered query holds at
@@ -112,7 +113,6 @@ DRIVER_WINDOW: list[str] = [
     "dedup_minhash_incremental",
     "dedup_winnowing",
     "dedup_exact",
-    "dedup_simhash",
     # -- core schema-level pipeline (driver-green r02-r04 + r07; pinned) --
     "dim_event_type",
     "fact_events_by_minute",
@@ -153,6 +153,7 @@ DISPLACED: list[str] = [
     # no-oracle-by-design pair (e-pytest + *_bounds twins with
     # oracles).  Head entries: r04-cohort members popped back out as
     # r08 operators took their window slots (they keep their records).
+    "dedup_simhash",
     "dedup_incremental",
     "ann_lsh_indexed",
     "ann_lsh_bucketed",

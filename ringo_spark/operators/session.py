@@ -192,6 +192,87 @@ FROM counts JOIN size USING (cohort_wk)
 """
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def event_funnel_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: how many users performed each step
+    STRICTLY AFTER their earliest completion of the previous one
+    (view → click → purchase).  The classic decorrelated formulation:
+    step N is a filtered min-timestamp aggregate joined to step N−1
+    with a strict ``sec > prev`` residual — never a per-user sequence
+    collect, so no user's history ever materializes as one row.
+
+    Scale shape: every step aggregate and every join keys on user_id,
+    so the whole chain shares ONE hash partitioning (the later steps'
+    inputs shrink monotonically); the final counts are 1-row aggregates
+    unioned and the conversion divides against the broadcast step-1
+    count.  Strictly-later semantics make sec ties inert in both
+    engines — no ordering tie-break is needed at all."""
+    from ..catalog import load_catalog
+    from ..testbed import EVENTS
+
+    ev = (load_catalog(spark, sf_dir, [EVENTS])["events"]
+          .where(F.col("user_id").isNotNull()
+                 & F.col("event_type").isin(*FUNNEL_STEPS))
+          .select("user_id", F.unix_timestamp("ts").alias("sec"),
+                  "event_type"))
+    prev = None
+    step_counts = []
+    for i, step in enumerate(FUNNEL_STEPS):
+        cur = ev.where(F.col("event_type") == step)
+        if prev is not None:
+            cur = (cur.join(prev, "user_id")
+                   .where(F.col("sec") > F.col("prev_sec")))
+        reached = cur.groupBy("user_id").agg(F.min("sec").alias("prev_sec"))
+        step_counts.append(
+            reached.agg(F.count(F.lit(1)).alias("users_reached"))
+            .select(F.lit(i + 1).alias("step_idx"),
+                    F.lit(step).alias("step"), "users_reached"))
+        prev = reached
+    out = step_counts[0]
+    for sc in step_counts[1:]:
+        out = out.unionByName(sc)
+    first = (step_counts[0]
+             .select(F.col("users_reached").alias("step1_users")))
+    return (out.crossJoin(F.broadcast(first))
+            .select("step_idx", "step", "users_reached",
+                    F.round(F.col("users_reached") / F.col("step1_users"), 6)
+                    .alias("conversion_pct")))
+
+
+def _funnel_sql() -> str:
+    steps = FUNNEL_STEPS
+    ctes = [f"""ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_type
+  FROM events
+  WHERE user_id IS NOT NULL
+    AND event_type IN ({", ".join(f"'{s}'" for s in steps)}))"""]
+    for i, s in enumerate(steps):
+        join = (f"JOIN t{i} USING (user_id) WHERE event_type = '{s}' "
+                f"AND sec > t{i}.prev_sec") if i else \
+               f"WHERE event_type = '{s}'"
+        ctes.append(f"""t{i + 1} AS (
+  SELECT user_id, min(sec) AS prev_sec FROM ev {join} GROUP BY 1)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {i + 1} AS step_idx, '{s}' AS step, "
+        f"count(*) AS users_reached FROM t{i + 1}"
+        for i, s in enumerate(steps))
+    cte_block = ",\n".join(ctes)
+    return f"""
+WITH {cte_block},
+counts AS ({unions}),
+first AS (SELECT users_reached AS step1_users FROM counts WHERE step_idx = 1)
+SELECT step_idx, step, users_reached,
+       round(users_reached / CAST(step1_users AS DOUBLE), 6)
+         AS conversion_pct
+FROM counts CROSS JOIN first
+"""
+
+
+EVENT_FUNNEL_SQL = _funnel_sql()
+
+
 SESSION_QUERIES = {
     "sessionize": (sessionize_df, SESSIONIZE_SQL),
     # the built-in session_window twin (native >= gap boundary)
@@ -199,4 +280,6 @@ SESSION_QUERIES = {
     # weekly activation cohorts: distinct (user, week) -> first-week
     # cohort -> offset rollup -> retention fraction
     "retention_cohorts": (retention_cohorts_df, RETENTION_COHORTS_SQL),
+    # ordered conversion funnel: decorrelated strict-min chain on user_id
+    "event_funnel": (event_funnel_df, EVENT_FUNNEL_SQL),
 }

@@ -316,14 +316,24 @@ def test_streaming_append_crash_between_write_and_pointer_flip(
     eng.load_sources(SF)
     fact_table = "fact_events_by_minute"
 
-    real_publish = eng._publish_manifest
+    # crash at the pointer flip itself (the manifest os.replace), after
+    # the data is durable: with the r08 CAS flow the version dir is
+    # promoted from its stage name INSIDE the locked publish, so this is
+    # the first instant a version dir exists unpublished — the same
+    # crash point the old publish-call injection modeled
+    import ringo_spark.engine as engmod
 
-    def crashing_publish(table, version, versions):
-        if table == fact_table and version == 2:
-            raise RuntimeError("injected crash before pointer flip")
-        return real_publish(table, version, versions)
+    real_replace = _os.replace
 
-    monkeypatch.setattr(eng, "_publish_manifest", crashing_publish)
+    def crashing_replace(srcp, dstp):
+        if dstp.endswith(fact_table + ".manifest.json"):
+            cur = (_json.load(open(dstp))["version"]
+                   if _os.path.exists(dstp) else 0)
+            if cur == 1:
+                raise RuntimeError("injected crash before pointer flip")
+        return real_replace(srcp, dstp)
+
+    monkeypatch.setattr(engmod.os, "replace", crashing_replace)
 
     pipe = StreamingPipeline(eng, EVENTS_FACT)
     stream = (spark.readStream.schema(_events_schema(spark))
@@ -347,8 +357,8 @@ def test_streaming_append_crash_between_write_and_pointer_flip(
     assert eng._inflight_retry_is_safe(fact_table)
 
     # recovery: same checkpoint, crash removed -> the failed micro-batch
-    # replays, overwrites its orphan dir, flips the pointer
-    monkeypatch.setattr(eng, "_publish_manifest", real_publish)
+    # replays, reclaims its orphan dir, flips the pointer
+    monkeypatch.setattr(engmod.os, "replace", real_replace)
     q2 = StreamingPipeline(eng, EVENTS_FACT).start(
         stream, str(tmp_path / "ckpt"))
     q2.awaitTermination(180)

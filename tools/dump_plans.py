@@ -108,6 +108,19 @@ SELECTION = [
     ("value_histogram",
      "width_bucket shape: 1-row min/max broadcast + map-side "
      "exact-decimal edge comparisons (no quotient), one (type,bin) agg"),
+    ("q8_national_market_share",
+     "the largest TPC-H join tree (8 tables, nation twice): every dim "
+     "side a BroadcastHashJoin, the selective p_type filter pushed to "
+     "the part scan and riding the broadcast into lineitem, no "
+     "SortMergeJoin anywhere"),
+    ("q12_late_shipments",
+     "the cross-table timestamp comparison survives only as a residual "
+     "on the orderkey equi-join; the single-table year window IS pushed "
+     "to the lineitem scan"),
+    ("retention_cohorts",
+     "distinct (user, week) is the only corpus-sized shuffle; the "
+     "per-user min cohort rides the same user partitioning; the "
+     "cohort-size self-join is against a tiny aggregate"),
 ]
 
 
