@@ -110,6 +110,8 @@ HEADLINE = [
     "doc_bigram_logprob",
     "retention_cohorts",
     "event_funnel",
+    "anomaly_zscore",
+    "dedup_containment",
 ]
 
 RUNS_PER_QUERY = 2

@@ -362,6 +362,80 @@ FROM verified WHERE round(jac, 6) >= {JACCARD_THRESHOLD}
 # value — the SQL above concatenates identically (b:sig1:sig2).
 
 
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def dedup_containment_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-containment near-dup pairs: same banded-MinHash
+    candidate generation as ``dedup_minhash_lsh``, but verification
+    scores |A∩B|/|A| and |A∩B|/|B| separately and keeps pairs whose MAX
+    containment clears the threshold.  This is the quote/subset detector
+    Jaccard structurally misses: a short document wholly embedded in a
+    long one has containment ≈ 1 while its Jaccard stays far below any
+    sane dedup threshold (union is dominated by the long side).
+
+    Scale shape identical to the Jaccard path: band rows carry
+    (doc_id, band_key) only, candidates materialize tiny, verification
+    joins the pair list back to the shingle table (AQE broadcasts the
+    pair side)."""
+    shingled = _shingled(spark, sf_dir).persist()
+    sigs = (shingled
+            .withColumn("hs", shingle_hashes(F.col("sh")))
+            .select("doc_id",
+                    minhash_signature(F.col("hs"), NUM_PERM).alias("sig"))
+            .persist())
+    cand = _ckpt(_candidate_pairs(_band_rows(sigs)))
+    sigs.unpersist()
+    sa = shingled.select(F.col("doc_id").alias("doc_a"),
+                         F.col("sh").alias("__sa"))
+    sb = shingled.select(F.col("doc_id").alias("doc_b"),
+                         F.col("sh").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    c_ab = F.round(inter / F.size("__sa"), 6)
+    c_ba = F.round(inter / F.size("__sb"), 6)
+    jac = F.round(inter / (F.size("__sa") + F.size("__sb") - inter), 6)
+    out = _ckpt(
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b",
+                c_ab.alias("containment_a_in_b"),
+                c_ba.alias("containment_b_in_a"),
+                jac.alias("jaccard"))
+        .where(F.greatest("containment_a_in_b", "containment_b_in_a")
+               >= CONTAINMENT_THRESHOLD))
+    shingled.unpersist()
+    return out
+
+
+DEDUP_CONTAINMENT_SQL = f"""
+WITH {_SHINGLE_BASE_CTE},
+sigs AS (
+  SELECT doc_id, sh, {sql_minhash_signature('sh', NUM_PERM)} AS sig FROM base),
+bands AS (
+  SELECT doc_id, sh,
+         b::VARCHAR || ':' || sig[2*b + 1]::VARCHAR || ':' || sig[2*b + 2]::VARCHAR
+           AS band_key
+  FROM sigs, generate_series(0, {BANDS - 1}) g(b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+verified AS (
+  SELECT doc_a, doc_b,
+         len(list_filter(x.sh, e -> list_contains(y.sh, e))) AS i,
+         len(x.sh) AS na, len(y.sh) AS nb
+  FROM cand
+  JOIN base x ON x.doc_id = cand.doc_a
+  JOIN base y ON y.doc_id = cand.doc_b)
+SELECT doc_a, doc_b,
+       round(i * 1.0 / na, 6) AS containment_a_in_b,
+       round(i * 1.0 / nb, 6) AS containment_b_in_a,
+       round(i * 1.0 / (na + nb - i), 6) AS jaccard
+FROM verified
+WHERE greatest(round(i * 1.0 / na, 6), round(i * 1.0 / nb, 6))
+      >= {CONTAINMENT_THRESHOLD}
+"""
+
+
 # --- scale-hardened capped LSH ------------------------------------------------
 #
 # The plain banded layout has one quadratic hole at web scale: a band

@@ -2,12 +2,14 @@
 (merged into ``__spark_entry__.queries()`` / ``oracle_sql()``)."""
 
 from .dedup import (
-    DEDUP_CLUSTERS_SQL, DEDUP_EMBEDDING_LSH_SQL, DEDUP_EMBEDDING_SQL,
+    DEDUP_CLUSTERS_SQL, DEDUP_CONTAINMENT_SQL, DEDUP_EMBEDDING_LSH_SQL,
+    DEDUP_EMBEDDING_SQL,
     DEDUP_EXACT_SQL,
     DEDUP_INCREMENTAL_SQL, DEDUP_MINHASH_INCREMENTAL_SQL,
     DEDUP_MINHASH_LSH_CAPPED_SQL, DEDUP_MINHASH_LSH_SQL,
     DEDUP_NGRAM_JACCARD_SQL, DEDUP_SIMHASH_SQL, DEDUP_WINNOWING_SQL,
-    dedup_clusters_df, dedup_clusters_indexed_df, dedup_embedding_df,
+    dedup_clusters_df, dedup_clusters_indexed_df, dedup_containment_df,
+    dedup_embedding_df,
     dedup_embedding_lsh_df, dedup_exact_df,
     dedup_incremental_df, dedup_minhash_incremental_df, dedup_minhash_lsh_df,
     dedup_minhash_lsh_capped_df, dedup_minhash_lsh_capped_indexed_df,
@@ -85,6 +87,8 @@ DRIVER_WINDOW: list[str] = [
     "doc_bigram_logprob",
     "retention_cohorts",
     "event_funnel",
+    "anomaly_zscore",
+    "dedup_containment",
     # -- code changed this round (nprobe threading), kept driver-visible --
     "ann_ivf_kmeans",
     # -- recency rotation: after r07 every registered query holds at
@@ -111,8 +115,6 @@ DRIVER_WINDOW: list[str] = [
     "seq_pack",
     "profile_table",
     "dedup_minhash_incremental",
-    "dedup_winnowing",
-    "dedup_exact",
     # -- core schema-level pipeline (driver-green r02-r04 + r07; pinned) --
     "dim_event_type",
     "fact_events_by_minute",
@@ -153,6 +155,8 @@ DISPLACED: list[str] = [
     # no-oracle-by-design pair (e-pytest + *_bounds twins with
     # oracles).  Head entries: r04-cohort members popped back out as
     # r08 operators took their window slots (they keep their records).
+    "dedup_winnowing",
+    "dedup_exact",
     "dedup_simhash",
     "dedup_incremental",
     "ann_lsh_indexed",
@@ -249,6 +253,9 @@ _DEDUP_QUERIES: dict[str, tuple] = {
     "dedup_minhash_lsh_capped_indexed": (dedup_minhash_lsh_capped_indexed_df,
                                          DEDUP_MINHASH_LSH_CAPPED_SQL),
 
+    # asymmetric containment over the same LSH candidates: the
+    # quote/subset detector a Jaccard threshold structurally misses
+    "dedup_containment": (dedup_containment_df, DEDUP_CONTAINMENT_SQL),
     "dedup_simhash": (dedup_simhash_df, DEDUP_SIMHASH_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard_df, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_embedding": (dedup_embedding_df, DEDUP_EMBEDDING_SQL),

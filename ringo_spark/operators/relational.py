@@ -621,6 +621,67 @@ GROUP BY 1
 """
 
 
+ZSCORE_THRESHOLD = 3.0
+
+
+def anomaly_zscore_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier flags over the event stream — the
+    standard first-pass anomaly gate.  Group moments are EXACT decimal
+    sums (Σv as decimal(18,2), Σv² as decimal(38,4)) cast to double only
+    inside the identical variance expression in both engines, so the
+    z-scores hash-match without relying on stddev implementations
+    agreeing; the sample-variance form is (Σv² − (Σv)²/n)/(n−1).
+
+    Scale shape: one map-side-combining aggregate per event_type (K
+    groups), joined back unhinted (K-row side — AQE broadcasts it); the
+    event stream itself never shuffles."""
+    from ..catalog import load_catalog
+    from ..testbed import EVENTS
+
+    ev = (load_catalog(spark, sf_dir, [EVENTS])["events"]
+          .where(F.col("value").isNotNull())
+          .select("event_id",
+                  F.coalesce("event_type", F.lit("__UNKNOWN_VAL__"))
+                  .alias("event_type"),
+                  F.col("value").cast("decimal(18,2)").alias("v")))
+    stats = (ev.groupBy("event_type")
+             .agg(F.sum("v").cast("double").alias("s1"),
+                  F.sum((F.col("v") * F.col("v")).cast("decimal(38,4)"))
+                  .cast("double").alias("s2"),
+                  F.count(F.lit(1)).alias("n")))
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) \
+        / (F.col("n") - 1)
+    z = F.round((F.col("v").cast("double") - F.col("s1") / F.col("n"))
+                / F.sqrt(var), 6)
+    return (ev.join(stats, "event_type")
+            .select("event_id", "event_type",
+                    F.col("v").cast("double").alias("value"),
+                    z.alias("zscore"),
+                    (F.abs(z) > ZSCORE_THRESHOLD).alias("is_anomaly")))
+
+
+ANOMALY_ZSCORE_SQL = f"""
+WITH ev AS (
+  SELECT event_id,
+         coalesce(event_type, '__UNKNOWN_VAL__') AS event_type,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events WHERE value IS NOT NULL),
+stats AS (
+  SELECT event_type,
+         CAST(sum(v) AS DOUBLE) AS s1,
+         CAST(sum(CAST(v * v AS DECIMAL(38,4))) AS DOUBLE) AS s2,
+         count(*) AS n
+  FROM ev GROUP BY 1)
+SELECT event_id, ev.event_type, CAST(v AS DOUBLE) AS value,
+       round((CAST(v AS DOUBLE) - s1 / n)
+             / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS zscore,
+       abs(round((CAST(v AS DOUBLE) - s1 / n)
+                 / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6))
+         > {ZSCORE_THRESHOLD} AS is_anomaly
+FROM ev JOIN stats USING (event_type)
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "join_inner_agg": (join_inner_agg_df, JOIN_INNER_AGG_SQL),
     "join_semi": (join_semi_df, JOIN_SEMI_SQL),
@@ -645,6 +706,8 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
                                 QUANTILES_APPROX_BOUNDS_SQL),
     "window_frames": (window_frames_df, WINDOW_FRAMES_SQL),
     "window_stats": (window_stats_df, WINDOW_STATS_SQL),
+    # per-type z-score outliers with exact-decimal moment computation
+    "anomaly_zscore": (anomaly_zscore_df, ANOMALY_ZSCORE_SQL),
 }
 # NB: scd2_dim and timeseries_gapfill (defined below) are appended to
 # RELATIONAL_QUERIES after their definitions at the bottom of this module.

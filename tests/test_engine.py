@@ -532,3 +532,33 @@ def test_manifest_two_interleaved_appenders_lose_nothing(spark, tmp_path):
     assert len(m["versions"][str(m["version"])]) == 3
     # no stray lock left behind
     assert not os.path.exists(A._lock_path("t"))
+
+
+def test_manifest_lock_stale_break_and_timeout(spark, tmp_path):
+    """A lock file left by a crashed writer must not wedge the table:
+    older than the stale threshold it is broken and acquisition
+    proceeds; younger, acquisition waits and times out loudly."""
+    import time as _time
+
+    eng = Engine(spark, ORDERS_ENV, str(tmp_path / "lk"),
+                 commit_mode="manifest")
+    os.makedirs(eng.storage, exist_ok=True)
+    lock = eng._lock_path("t")
+    with open(lock, "w") as fh:
+        fh.write("99999")
+    old = _time.time() - eng._LOCK_STALE_SECS - 10
+    os.utime(lock, (old, old))
+    fd = eng._acquire_manifest_lock("t")      # stale -> broken, acquired
+    eng._release_manifest_lock("t", fd)
+    assert not os.path.exists(lock)
+
+    with open(lock, "w") as fh:               # fresh lock: a live writer
+        fh.write("99999")
+    orig_wait = Engine._LOCK_WAIT_SECS
+    Engine._LOCK_WAIT_SECS = 0.2
+    try:
+        with pytest.raises(TimeoutError, match="manifest lock"):
+            eng._acquire_manifest_lock("t")
+    finally:
+        Engine._LOCK_WAIT_SECS = orig_wait
+        os.unlink(lock)
