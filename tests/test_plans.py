@@ -430,3 +430,27 @@ def test_q12_lateness_residual_plan_shape(spark):
     # the cross-table lag comparison survives as a join-time filter
     assert "unix_timestamp" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_r08_event_analytics_plan_shapes(spark):
+    """The three r08 event analytics stay JVM-side and equi-joined:
+    retention's only corpus shuffle is the (user, week) distinct, the
+    funnel chain never goes nested-loop, and the z-score join carries no
+    Python evaluator anywhere."""
+    from ringo_spark.operators.relational import anomaly_zscore_df
+    from ringo_spark.operators.session import (
+        event_funnel_df, retention_cohorts_df,
+    )
+
+    for builder in (retention_cohorts_df, event_funnel_df,
+                    anomaly_zscore_df):
+        plan = plan_of(spark, builder(spark, SF), "simple")
+        assert "BatchEvalPython" not in plan, builder.__name__
+        assert "ArrowEvalPython" not in plan, builder.__name__
+        assert "CartesianProduct" not in plan, builder.__name__
+        # the funnel's conversion denominator is a DELIBERATE broadcast
+        # cross join against the 1-row step-1 count (3 x 1 rows); any
+        # other nested loop would be a real planning failure
+        allowed_bnlj = 1 if builder is event_funnel_df else 0
+        assert plan.count("BroadcastNestedLoop") <= allowed_bnlj, \
+            builder.__name__
