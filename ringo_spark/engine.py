@@ -252,7 +252,8 @@ class Engine:
                         os.unlink(lock)     # crashed writer; break it
                         continue
                 except FileNotFoundError:
-                    continue                # holder released; retry now
+                    continue   # holder released (or another waiter broke
+                               # the stale lock first); retry now
                 if time.monotonic() > deadline:
                     raise TimeoutError(
                         f"manifest lock for {table!r} held > "

@@ -363,29 +363,52 @@ FROM verified WHERE round(jac, 6) >= {JACCARD_THRESHOLD}
 
 
 CONTAINMENT_THRESHOLD = 0.8
+CONTAINMENT_DF_CAP = 20      # shingles hotter than this generate no pairs
+CONTAINMENT_MIN_SHARED = 3   # rare shingles a pair must share
 
 
 def dedup_containment_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Asymmetric-containment near-dup pairs: same banded-MinHash
-    candidate generation as ``dedup_minhash_lsh``, but verification
-    scores |A∩B|/|A| and |A∩B|/|B| separately and keeps pairs whose MAX
-    containment clears the threshold.  This is the quote/subset detector
+    """Asymmetric-containment near-dup pairs — the quote/subset detector
     Jaccard structurally misses: a short document wholly embedded in a
-    long one has containment ≈ 1 while its Jaccard stays far below any
-    sane dedup threshold (union is dominated by the long side).
+    long one has containment |A∩B|/|A| ≈ 1 while its Jaccard stays far
+    below any sane dedup threshold (the union is dominated by the long
+    side).  Verification scores both directions and keeps pairs whose
+    MAX containment clears the threshold.
 
-    Scale shape identical to the Jaccard path: band rows carry
-    (doc_id, band_key) only, candidates materialize tiny, verification
-    joins the pair list back to the shingle table (AQE broadcasts the
-    pair side)."""
+    Candidate generation CANNOT reuse the banded-MinHash index: MinHash
+    band collisions happen with probability ~J^rows, and containment
+    pairs are Jaccard-LOW by construction — the banded path would never
+    surface exactly the pairs this operator exists for.  Instead:
+    a RARE-SHINGLE INVERTED INDEX — only shingles with document
+    frequency in [2, DF_CAP] emit posting pairs, and a pair must share
+    at least MIN_SHARED such shingles.  The df cap bounds candidate
+    volume at C(cap,2) per rare shingle (the same guard shape as the
+    capped LSH bands), and a genuine subset pair shares ALL of the
+    short side's shingles, so it is found whenever ≥ MIN_SHARED of them
+    are rare.  Recall contract: pairs whose every shared shingle is
+    boilerplate-hot (df > cap) are intentionally out of scope — at web
+    scale those are license/template matches the exact-dup and capped
+    paths already collapse.
+
+    Scale shape: one shuffle on the shingle key (posting lists bounded
+    by the cap), the tiny pair list materializes, verification joins it
+    back to the shingle table (AQE broadcasts the pair side — the
+    shingle arrays never shuffle)."""
     shingled = _shingled(spark, sf_dir).persist()
-    sigs = (shingled
-            .withColumn("hs", shingle_hashes(F.col("sh")))
-            .select("doc_id",
-                    minhash_signature(F.col("hs"), NUM_PERM).alias("sig"))
-            .persist())
-    cand = _ckpt(_candidate_pairs(_band_rows(sigs)))
-    sigs.unpersist()
+    sh_rows = shingled.select("doc_id", F.explode("sh").alias("g"))
+    rare = (sh_rows.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+            .where((F.col("df") >= 2)
+                   & (F.col("df") <= CONTAINMENT_DF_CAP))
+            .select("g"))
+    posts = sh_rows.join(rare, "g")
+    a = posts.select("g", F.col("doc_id").alias("doc_a"))
+    b = posts.select("g", F.col("doc_id").alias("doc_b"))
+    cand = _ckpt(
+        a.join(b, "g").where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("__shared"))
+        .where(F.col("__shared") >= CONTAINMENT_MIN_SHARED)
+        .select("doc_a", "doc_b"))
     sa = shingled.select(F.col("doc_id").alias("doc_a"),
                          F.col("sh").alias("__sa"))
     sb = shingled.select(F.col("doc_id").alias("doc_b"),
@@ -408,17 +431,19 @@ def dedup_containment_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_CONTAINMENT_SQL = f"""
 WITH {_SHINGLE_BASE_CTE},
-sigs AS (
-  SELECT doc_id, sh, {sql_minhash_signature('sh', NUM_PERM)} AS sig FROM base),
-bands AS (
-  SELECT doc_id, sh,
-         b::VARCHAR || ':' || sig[2*b + 1]::VARCHAR || ':' || sig[2*b + 2]::VARCHAR
-           AS band_key
-  FROM sigs, generate_series(0, {BANDS - 1}) g(b)),
+sh_rows AS (
+  SELECT doc_id, unnest(sh) AS g FROM base),
+rare AS (
+  SELECT g FROM (SELECT g, count(*) AS df FROM sh_rows GROUP BY 1)
+  WHERE df BETWEEN 2 AND {CONTAINMENT_DF_CAP}),
+posts AS (
+  SELECT doc_id, g FROM sh_rows JOIN rare USING (g)),
 cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+    FROM posts a JOIN posts b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2)
+  WHERE shared >= {CONTAINMENT_MIN_SHARED}),
 verified AS (
   SELECT doc_a, doc_b,
          len(list_filter(x.sh, e -> list_contains(y.sh, e))) AS i,

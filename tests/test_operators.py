@@ -1018,3 +1018,38 @@ def test_sample_temperature_flattens_mixture(spark):
     assert ratio_after < ratio_before
     # α=0.5 halves the log-spread: realized ratio ≈ sqrt(input ratio)
     assert ratio_after < ratio_before ** (TEMP_ALPHA + 0.25)
+
+
+def test_dedup_containment_catches_subset_jaccard_misses(spark, tmp_path):
+    """The capability claim itself: a short document wholly embedded in
+    a much longer one must be flagged by the containment detector with
+    containment ≈ 1 while its Jaccard sits BELOW the Jaccard dedup
+    threshold — i.e. the pair is invisible to dedup_minhash_lsh and
+    visible to dedup_containment."""
+    from pyspark.sql import functions as F
+
+    from ringo_spark.operators.dedup import (
+        JACCARD_THRESHOLD, dedup_containment_df, dedup_minhash_lsh_df,
+    )
+
+    quote = " ".join(f"tok{i} word{i} item{i}" for i in range(12))
+    host = quote + " " + " ".join(
+        f"filler{i} extra{i} pad{i} more{i}" for i in range(60))
+    other = " ".join(f"unrelated{i} noise{i}" for i in range(30))
+    rows = [(0, quote, "en", "src0", len(quote)),
+            (1, host, "en", "src0", len(host)),
+            (2, other, "en", "src1", len(other))]
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+     .coalesce(1).write.parquet(str(tmp_path / "documents.parquet")))
+
+    got = {(r.doc_a, r.doc_b): r
+           for r in dedup_containment_df(spark, str(tmp_path)).collect()}
+    assert (0, 1) in got, "embedded quote pair not flagged"
+    pair = got[(0, 1)]
+    assert pair.containment_a_in_b >= 0.95      # quote ⊂ host
+    assert pair.jaccard < JACCARD_THRESHOLD     # invisible to Jaccard
+    jac_pairs = {(r.doc_a, r.doc_b)
+                 for r in dedup_minhash_lsh_df(spark, str(tmp_path)).collect()}
+    assert (0, 1) not in jac_pairs
