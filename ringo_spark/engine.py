@@ -229,8 +229,9 @@ class Engine:
     # the moral equivalent of an object store's conditional PUT) around a
     # compare-and-swap on the version read at the start of the write.  A
     # loser raises ManifestConflict; _write_full/_write_append catch it,
-    # re-read the advanced manifest, rename their already-written data
-    # dir to the next free version, and retry — no data is rewritten.
+    # re-read the advanced manifest, and retry the publish — their data
+    # sits untouched in a writer-unique stage dir, so nothing is
+    # rewritten and the winner's dirs are folded into the dir list.
     _LOCK_STALE_SECS = 60.0      # break locks left by crashed writers
     _LOCK_WAIT_SECS = 30.0       # max time to wait for a live writer
 
