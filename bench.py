@@ -112,6 +112,7 @@ HEADLINE = [
     "event_funnel",
     "anomaly_zscore",
     "dedup_containment",
+    "doc_entropy",
 ]
 
 RUNS_PER_QUERY = 2

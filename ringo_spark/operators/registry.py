@@ -46,9 +46,9 @@ from .text import (
     BENCHMARK_CONTAMINATION_SQL, DOC_FINGERPRINT_SQL, DOC_ROLLING_HASH_SQL,
     LANG_CONFUSION_SQL, LANG_ID_SQL, METRICS_UNPIVOT_SQL, TEXT_QUALITY_SQL,
     TFIDF_BM25_SQL, TOKEN_COUNT_SQL, VOCAB_TOPK_SQL,
-    DOC_BIGRAM_LOGPROB_SQL,
+    DOC_BIGRAM_LOGPROB_SQL, DOC_ENTROPY_SQL,
     DOC_LOGPROB_SQL, TEXT_REPETITION_SQL, VOCAB_TOPK_CMS_BOUNDS_SQL,
-    benchmark_contamination_df, doc_bigram_logprob_df,
+    benchmark_contamination_df, doc_bigram_logprob_df, doc_entropy_df,
     doc_fingerprint_df, doc_logprob_df,
     doc_rolling_hash_df, lang_confusion_df, lang_id_df, metrics_unpivot_df,
     text_quality_df, text_repetition_df, tfidf_bm25_df, token_count_df,
@@ -153,8 +153,12 @@ DISPLACED: list[str] = [
     # driver-green row; the whole registry is re-verified cell-exact
     # in CORRECTNESS_LOCAL_r08.json.  The final two are the
     # no-oracle-by-design pair (e-pytest + *_bounds twins with
-    # oracles).  Head entries: r04-cohort members popped back out as
-    # r08 operators took their window slots (they keep their records).
+    # oracles).  Very-head entries: operators built mid-round AFTER the
+    # window filled — locally cell-exact now, first driver rows next
+    # rotation (the same treatment the 13 mid-r06 queries got).  Then:
+    # r04-cohort members popped back out as r08 operators took their
+    # window slots (they keep their records).
+    "doc_entropy",
     "dedup_winnowing",
     "dedup_exact",
     "dedup_simhash",
@@ -322,6 +326,8 @@ _TEXT_QUERIES: dict[str, tuple] = {
     "doc_logprob": (doc_logprob_df, DOC_LOGPROB_SQL),
     # interpolated-bigram sequel: catches well-formed-unigram word salad
     "doc_bigram_logprob": (doc_bigram_logprob_df, DOC_BIGRAM_LOGPROB_SQL),
+    # Shannon token entropy: the concentration twin of text_repetition
+    "doc_entropy": (doc_entropy_df, DOC_ENTROPY_SQL),
     # count-min heavy-hitter bounds: the third mergeable-sketch driver
     # row (HLL distincts, GK quantiles, CMS frequencies)
     "vocab_topk_cms_bounds": (vocab_topk_cms_bounds_df,

@@ -624,6 +624,62 @@ FROM scored
 """
 
 
+ENTROPY_LOW = 2.5   # mean token entropy below this => repetitive doc
+
+
+def doc_entropy_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (in nats)
+    — the quality signal that complements ``text_repetition``: templated
+    or keyword-stuffed text concentrates its token mass and scores low,
+    natural prose scores near ln(vocab).  Computed as
+    H = ln n − (Σ c·ln c)/n over the doc's token counts, so the only
+    libm call sits inside a per-(doc, token) rounded term.
+
+    Scale shape: explode → (doc, token) count → per-doc sum, both
+    shuffles keyed on the doc id (the second reuses the first's
+    partitioning); the Σ c·ln c term is an EXACT decimal sum of rounded
+    per-token terms, so double summation order never matters (the
+    doc_logprob discipline)."""
+    docs = _docs(spark, sf_dir)
+    tok = (docs.select("doc_id", tokens(F.col("text")).alias("__t"))
+           .select("doc_id", F.size("__t").alias("n_tokens"),
+                   F.explode("__t").alias("w")))
+    per_tok = (tok.groupBy("doc_id", "n_tokens", "w")
+               .agg(F.count(F.lit(1)).alias("c")))
+    clnc = F.round(F.col("c") * F.log(F.col("c")), 6).cast("decimal(18,6)")
+    ent = F.round(F.log(F.col("n_tokens"))
+                  - F.col("__s").cast("double") / F.col("n_tokens"), 6)
+    return (per_tok.groupBy("doc_id", "n_tokens")
+            .agg(F.sum(clnc).alias("__s"),
+                 F.count(F.lit(1)).alias("distinct_tokens"))
+            .select("doc_id", "n_tokens",
+                    F.col("distinct_tokens").cast("long")
+                    .alias("distinct_tokens"),
+                    ent.alias("token_entropy"),
+                    (ent < ENTROPY_LOW).alias("is_low_entropy")))
+
+
+DOC_ENTROPY_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, len(t) AS n_tokens, unnest(t) AS w
+  FROM (SELECT doc_id, {sql_tokens('text')} AS t FROM documents)),
+per_tok AS (
+  SELECT doc_id, n_tokens, w, count(*) AS c
+  FROM tok GROUP BY 1, 2, 3),
+agg AS (
+  SELECT doc_id, n_tokens,
+         sum(CAST(round(c * ln(c), 6) AS DECIMAL(18,6))) AS s,
+         CAST(count(*) AS BIGINT) AS distinct_tokens
+  FROM per_tok GROUP BY 1, 2)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, distinct_tokens,
+       round(ln(n_tokens) - CAST(s AS DOUBLE) / n_tokens, 6)
+         AS token_entropy,
+       round(ln(n_tokens) - CAST(s AS DOUBLE) / n_tokens, 6)
+         < {ENTROPY_LOW} AS is_low_entropy
+FROM agg
+"""
+
+
 BIGRAM_LAMBDA = 0.8    # Jelinek-Mercer interpolation weight on the bigram
 BIGRAM_HIGH = 3.5      # mean -ln p(w2|w1) above this => "surprising" doc
 
