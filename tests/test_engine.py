@@ -562,3 +562,45 @@ def test_manifest_lock_stale_break_and_timeout(spark, tmp_path):
     finally:
         Engine._LOCK_WAIT_SECS = orig_wait
         os.unlink(lock)
+
+
+def test_manifest_concurrent_append_stress(spark, tmp_path):
+    """Real-contention CAS proof (no monkeypatching): two threads drive
+    interleaved appends through the live lock/CAS/retry path against
+    one table.  Every append must survive into the final snapshot and
+    the version counter must advance exactly once per publish."""
+    import threading
+
+    store = str(tmp_path / "stress")
+    eng = Engine(spark, ORDERS_ENV, store, commit_mode="manifest")
+    eng._write_full(spark.range(0, 10), "t")          # v1: ids 0..9
+
+    N_PER_WRITER = 4
+    errs = []
+
+    def writer(base):
+        w = Engine(spark, ORDERS_ENV, store, commit_mode="manifest")
+        try:
+            for i in range(N_PER_WRITER):
+                lo = base + i * 10
+                w._write_append(spark.range(lo, lo + 10), "t")
+        except Exception as e:      # surfaced after join
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(100,)),
+               threading.Thread(target=writer, args=(1000,))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+
+    got = sorted(r.id for r in eng.read_table("t").collect())
+    want = sorted(list(range(10))
+                  + [b + i * 10 + j for b in (100, 1000)
+                     for i in range(N_PER_WRITER) for j in range(10)])
+    assert got == want, "an append was lost under real contention"
+    m = eng._read_manifest("t")
+    assert m["version"] == 1 + 2 * N_PER_WRITER
+    assert len(m["versions"][str(m["version"])]) == 1 + 2 * N_PER_WRITER
+    assert not os.path.exists(eng._lock_path("t"))
