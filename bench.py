@@ -113,6 +113,7 @@ HEADLINE = [
     "anomaly_zscore",
     "dedup_containment",
     "doc_entropy",
+    "segment_overlap_bounds",
 ]
 
 RUNS_PER_QUERY = 2

@@ -159,6 +159,7 @@ DISPLACED: list[str] = [
     # r04-cohort members popped back out as r08 operators took their
     # window slots (they keep their records).
     "doc_entropy",
+    "segment_overlap_bounds",
     "dedup_winnowing",
     "dedup_exact",
     "dedup_simhash",

@@ -621,6 +621,75 @@ GROUP BY 1
 """
 
 
+OVERLAP_RSD = 0.05
+OVERLAP_EPS_MULT = 3
+
+
+def segment_overlap_bounds_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set-algebra bounds — the fourth mergeable-sketch driver row
+    (after HLL distincts, GK quantiles, CMS frequencies): the overlap of
+    two user segments estimated by INCLUSION-EXCLUSION over three HLL
+    sketches (|A∩B| ≈ est|A| + est|B| − est|A∪B|; sketches union, they
+    never intersect directly), checked against the exact intersection
+    with a pinned tolerance of ±3·rsd·(|A|+|B|+|A∪B|) — each term
+    contributes its own rsd-scaled error, so the triangle-inequality
+    budget sums them.  The oracle reproduces the exact cardinalities
+    cell-exactly and pins the boolean TRUE; the bound genuinely
+    constrains (it is far below the exact overlap, so a drifting
+    estimate flips it).
+
+    Segments: users with high-value clicks vs users with high-value
+    purchases — partially overlapping by construction.  Scale shape:
+    ONE aggregation pass computes all three exact distincts and all
+    three HLL estimates with map-side partial sketches; output is a
+    single audit row."""
+    from ..catalog import load_catalog
+    from ..testbed import EVENTS
+
+    ev = (load_catalog(spark, sf_dir, [EVENTS])["events"]
+          .where(F.col("user_id").isNotNull()))
+    hi = F.col("value") > 90
+    in_a = (F.col("event_type") == "click") & hi
+    in_b = (F.col("event_type") == "purchase") & hi
+    ua = F.when(in_a, F.col("user_id"))
+    ub = F.when(in_b, F.col("user_id"))
+    uu = F.when(in_a | in_b, F.col("user_id"))
+    agg = ev.agg(
+        F.countDistinct(ua).alias("n_a"),
+        F.countDistinct(ub).alias("n_b"),
+        F.countDistinct(uu).alias("n_union"),
+        F.approx_count_distinct(ua, OVERLAP_RSD).alias("__ea"),
+        F.approx_count_distinct(ub, OVERLAP_RSD).alias("__eb"),
+        F.approx_count_distinct(uu, OVERLAP_RSD).alias("__eu"))
+    est_inter = F.col("__ea") + F.col("__eb") - F.col("__eu")
+    n_inter = F.col("n_a") + F.col("n_b") - F.col("n_union")
+    tol = F.ceil((F.col("n_a") + F.col("n_b") + F.col("n_union"))
+                 * (OVERLAP_EPS_MULT * OVERLAP_RSD))
+    return agg.select(
+        "n_a", "n_b", "n_union", n_inter.alias("n_inter"),
+        (F.abs(est_inter - n_inter) <= tol).alias("within_ie_bounds"))
+
+
+SEGMENT_OVERLAP_BOUNDS_SQL = """
+SELECT count(DISTINCT CASE WHEN event_type = 'click' AND value > 90
+                           THEN user_id END) AS n_a,
+       count(DISTINCT CASE WHEN event_type = 'purchase' AND value > 90
+                           THEN user_id END) AS n_b,
+       count(DISTINCT CASE WHEN event_type IN ('click', 'purchase')
+                            AND value > 90
+                           THEN user_id END) AS n_union,
+       count(DISTINCT CASE WHEN event_type = 'click' AND value > 90
+                           THEN user_id END)
+       + count(DISTINCT CASE WHEN event_type = 'purchase' AND value > 90
+                             THEN user_id END)
+       - count(DISTINCT CASE WHEN event_type IN ('click', 'purchase')
+                              AND value > 90
+                             THEN user_id END) AS n_inter,
+       TRUE AS within_ie_bounds
+FROM events WHERE user_id IS NOT NULL
+"""
+
+
 ZSCORE_THRESHOLD = 3.0
 
 
@@ -708,6 +777,10 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "window_stats": (window_stats_df, WINDOW_STATS_SQL),
     # per-type z-score outliers with exact-decimal moment computation
     "anomaly_zscore": (anomaly_zscore_df, ANOMALY_ZSCORE_SQL),
+    # HLL set-algebra (inclusion-exclusion overlap) bounds — the fourth
+    # mergeable-sketch driver row
+    "segment_overlap_bounds": (segment_overlap_bounds_df,
+                               SEGMENT_OVERLAP_BOUNDS_SQL),
 }
 # NB: scd2_dim and timeseries_gapfill (defined below) are appended to
 # RELATIONAL_QUERIES after their definitions at the bottom of this module.

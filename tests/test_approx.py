@@ -175,3 +175,25 @@ def test_ivf_recall_floor_holds_and_is_falsifiable(spark):
     assert not lowered[0].meets_floor
     assert lowered[0].mean_recall < IVF_RECALL_FLOOR
     assert IVF_RECALL_NPROBE > 1
+
+
+def test_segment_overlap_ie_bound_constrains(spark):
+    """The inclusion-exclusion overlap bound is a real constraint: the
+    tolerance ±3·rsd·(|A|+|B|+|A∪B|) sits well BELOW the exact overlap,
+    so a collapsed estimate (e.g. a sketch drifting to 0 intersection)
+    flips within_ie_bounds to FALSE."""
+    import math
+
+    from ringo_spark.operators.relational import (
+        OVERLAP_EPS_MULT, OVERLAP_RSD, segment_overlap_bounds_df,
+    )
+
+    row = segment_overlap_bounds_df(spark, "/root/testdata/sf0.01") \
+        .collect()[0]
+    assert row.within_ie_bounds
+    assert row.n_inter > 0 and row.n_union > max(row.n_a, row.n_b), \
+        "segments must partially overlap for the row to mean anything"
+    tol = math.ceil((row.n_a + row.n_b + row.n_union)
+                    * OVERLAP_EPS_MULT * OVERLAP_RSD)
+    # falsifiable: an estimate of 0 intersection is outside the bound
+    assert abs(0 - row.n_inter) > tol
