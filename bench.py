@@ -114,6 +114,7 @@ HEADLINE = [
     "dedup_containment",
     "doc_entropy",
     "segment_overlap_bounds",
+    "active_users_rolling",
 ]
 
 RUNS_PER_QUERY = 2

@@ -160,6 +160,7 @@ DISPLACED: list[str] = [
     # window slots (they keep their records).
     "doc_entropy",
     "segment_overlap_bounds",
+    "active_users_rolling",
     "dedup_winnowing",
     "dedup_exact",
     "dedup_simhash",

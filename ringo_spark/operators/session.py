@@ -192,6 +192,63 @@ FROM counts JOIN size USING (cohort_wk)
 """
 
 
+ROLLING_WINDOW_DAYS = 7
+
+
+def active_users_rolling_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling active-user rollup (DAU / trailing-7-day WAU /
+    stickiness) — the standard engagement dashboard trio.
+
+    A rolling COUNT DISTINCT cannot ride a frame window (distinct is
+    not a mergeable frame aggregate) and a day-grid range join goes
+    nested-loop; the scale shape is the EXPLODE-FANOUT: each distinct
+    (user, day) pair emits the 7 grid days it is visible to (map-side
+    ``sequence`` explode, bounded ×7), then one hash aggregation per
+    grid day counts distinct users.  Corpus-sized work is the one
+    (user, day) distinct; everything after runs on the deduplicated
+    pair set.  Grid days outside observed activity drop in the final
+    DAU join (both engines identically)."""
+    from ..catalog import load_catalog
+    from ..testbed import EVENTS
+
+    ud = (load_catalog(spark, sf_dir, [EVENTS])["events"]
+          .where(F.col("user_id").isNotNull())
+          .select("user_id",
+                  F.floor(F.unix_timestamp("ts") / F.lit(86400))
+                  .cast("long").alias("day"))
+          .distinct())
+    visible = ud.select(
+        "user_id",
+        F.explode(F.sequence(
+            F.col("day"),
+            F.col("day") + (ROLLING_WINDOW_DAYS - 1))).alias("g_day"))
+    wau = (visible.groupBy(F.col("g_day").alias("day"))
+           .agg(F.countDistinct("user_id").alias("wau")))
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return (dau.join(wau, "day")
+            .select("day", "dau", "wau",
+                    F.round(F.col("dau") / F.col("wau"), 6)
+                    .alias("stickiness")))
+
+
+ACTIVE_USERS_ROLLING_SQL = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day
+  FROM events WHERE user_id IS NOT NULL),
+vis AS (
+  SELECT user_id, day + o AS g_day
+  FROM ud CROSS JOIN generate_series(0, {ROLLING_WINDOW_DAYS - 1}) s(o)),
+wau AS (
+  SELECT g_day AS day, count(DISTINCT user_id) AS wau FROM vis GROUP BY 1),
+dau AS (
+  SELECT day, count(*) AS dau FROM ud GROUP BY 1)
+SELECT day, dau, wau,
+       round(dau / CAST(wau AS DOUBLE), 6) AS stickiness
+FROM dau JOIN wau USING (day)
+"""
+
+
 FUNNEL_STEPS = ("view", "click", "purchase")
 
 
@@ -282,4 +339,9 @@ SESSION_QUERIES = {
     "retention_cohorts": (retention_cohorts_df, RETENTION_COHORTS_SQL),
     # ordered conversion funnel: decorrelated strict-min chain on user_id
     "event_funnel": (event_funnel_df, EVENT_FUNNEL_SQL),
+    # DAU / trailing-WAU / stickiness via the explode-fanout (a rolling
+    # COUNT DISTINCT has no frame-window form; a grid range join goes
+    # nested-loop)
+    "active_users_rolling": (active_users_rolling_df,
+                             ACTIVE_USERS_ROLLING_SQL),
 }
