@@ -439,11 +439,11 @@ def test_r08_event_analytics_plan_shapes(spark):
     Python evaluator anywhere."""
     from ringo_spark.operators.relational import anomaly_zscore_df
     from ringo_spark.operators.session import (
-        event_funnel_df, retention_cohorts_df,
+        active_users_rolling_df, event_funnel_df, retention_cohorts_df,
     )
 
     for builder in (retention_cohorts_df, event_funnel_df,
-                    anomaly_zscore_df):
+                    anomaly_zscore_df, active_users_rolling_df):
         plan = plan_of(spark, builder(spark, SF), "simple")
         assert "BatchEvalPython" not in plan, builder.__name__
         assert "ArrowEvalPython" not in plan, builder.__name__
