@@ -238,19 +238,33 @@ class Engine:
     def _lock_path(self, table: str) -> str:
         return self._manifest_path(table) + ".lock"
 
-    def _acquire_manifest_lock(self, table: str) -> int:
+    def _acquire_manifest_lock(self, table: str) -> tuple[int, str]:
+        """Returns (fd, token); the token identifies THIS acquisition so
+        release never unlinks a lock someone else re-acquired."""
         lock = self._lock_path(table)
         deadline = time.monotonic() + self._LOCK_WAIT_SECS
         while True:
+            token = f"{os.getpid()}:{os.urandom(8).hex()}"
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
-                return fd
+                os.write(fd, token.encode())
+                os.fsync(fd)
+                return fd, token
             except FileExistsError:
                 try:
                     age = time.time() - os.path.getmtime(lock)
                     if age > self._LOCK_STALE_SECS:
-                        os.unlink(lock)     # crashed writer; break it
+                        # break the stale lock ATOMICALLY via rename-aside:
+                        # a bare unlink has a TOCTOU hole — two waiters
+                        # could both decide "stale", one acquires a FRESH
+                        # lock, and the second's unlink would then delete
+                        # the live holder's lock, voiding the CAS.  Only
+                        # the waiter whose rename succeeds removes it; the
+                        # loser's rename raises and it simply retries.
+                        aside = lock + f".broken.{os.getpid()}." \
+                            + os.urandom(4).hex()
+                        os.rename(lock, aside)
+                        os.unlink(aside)
                         continue
                 except FileNotFoundError:
                     continue   # holder released (or another waiter broke
@@ -261,10 +275,17 @@ class Engine:
                         f"{self._LOCK_WAIT_SECS}s ({lock})")
                 time.sleep(0.02)
 
-    def _release_manifest_lock(self, table: str, fd: int) -> None:
+    def _release_manifest_lock(self, table: str, fd: int,
+                               token: str) -> None:
+        """Unlink only if the lock still carries OUR token — if a waiter
+        (wrongly or rightly) broke our lock and a third writer holds a
+        fresh one, releasing must not delete theirs."""
         os.close(fd)
+        lock = self._lock_path(table)
         try:
-            os.unlink(self._lock_path(table))
+            with open(lock) as fh:
+                if fh.read() == token:
+                    os.unlink(lock)
         except FileNotFoundError:
             pass
 
@@ -305,7 +326,8 @@ class Engine:
         orphan (version N publishes at most once; the CAS just proved N
         is unpublished) from a writer that crashed between rename and
         pointer flip — it is removed."""
-        fd = self._acquire_manifest_lock(table)
+        tomb = None
+        fd, lock_token = self._acquire_manifest_lock(table)
         try:
             if expected_version is not None:
                 m = self._read_manifest(table)
@@ -319,14 +341,24 @@ class Engine:
                 stage, final = (os.path.join(self.storage, d)
                                 for d in promote)
                 if os.path.exists(final):
-                    shutil.rmtree(final)    # crash orphan, never published
+                    # crash orphan, never published (the CAS just proved
+                    # version N is unpublished).  Rename it aside and
+                    # DELETE AFTER RELEASE: an rmtree of a table-sized
+                    # dir inside the critical section could outlast the
+                    # stale-lock threshold, letting a waiter break a
+                    # live lock.  Every operation under the lock stays
+                    # metadata-only (reads, renames, one small replace).
+                    tomb = final + ".tomb." + os.urandom(4).hex()
+                    os.rename(final, tomb)
                 os.rename(stage, final)
             tmp = self._manifest_path(table) + ".tmp"
             with open(tmp, "w") as fh:
                 json.dump({"version": version, "versions": versions}, fh)
             os.replace(tmp, self._manifest_path(table))
         finally:
-            self._release_manifest_lock(table, fd)
+            self._release_manifest_lock(table, fd, lock_token)
+        if tomb is not None:
+            shutil.rmtree(tomb, ignore_errors=True)
 
     @staticmethod
     def _manifest_versions(m: dict) -> dict[str, list[str]]:
@@ -359,26 +391,67 @@ class Engine:
         w.parquet(os.path.join(self.storage, stage))
         return stage
 
-    def _gc_versions(self, table: str, versions: dict[str, list[str]]) -> None:
+    @staticmethod
+    def _dir_version(name: str, prefix: str) -> int | None:
+        """Version number parsed from a ``<table>__vN[...]`` dir name
+        (tomb suffixes included); None when the suffix is not numeric."""
+        digits = ""
+        for ch in name[len(prefix):]:
+            if not ch.isdigit():
+                break
+            digits += ch
+        return int(digits) if digits else None
+
+    @staticmethod
+    def _newest_mtime(path: str, newer_than: float) -> bool:
+        """True iff ANY entry under ``path`` is newer than the cutoff —
+        early-exits on the first hit, so a LIVE write is detected from
+        its most recent file without walking the whole tree."""
+        try:
+            if os.path.getmtime(path) > newer_than:
+                return True
+            for root, dirs, files in os.walk(path):
+                for n in dirs + files:
+                    if os.path.getmtime(os.path.join(root, n)) > newer_than:
+                        return True
+        except OSError:
+            return True        # vanishing/err-ing entries: assume live
+        return False
+
+    def _gc_versions(self, table: str, versions: dict[str, list[str]],
+                     published_version: int | None = None) -> None:
         """Drop ``<table>__v*`` dirs no retained snapshot references.  A
         crash anywhere here is harmless: orphans are re-collected on the
         next publish, and readers never resolve them.  Orphans from a
         crashed publish (written but never referenced) are collected the
-        same way.  Stage dirs are collected only once they are old enough
-        to be provably crashed writers — a LIVE concurrent writer's stage
-        dir is unreferenced by design until its publish."""
+        same way.
+
+        Two liveness guards (post-review hardening):
+
+        * GC runs AFTER the publish lock is released, so a concurrent
+          writer may have published a HIGHER version by now — a dir with
+          a version number above this writer's own publish is someone
+          else's live data, never garbage.  (Versions at or below ours
+          are final: our CAS proved them, so unreferenced ones really
+          are orphans.)
+        * A stage dir's TOP-LEVEL mtime is set when Spark creates it and
+          is not refreshed as files stream into partition subdirs, so
+          age is judged by the NEWEST entry anywhere under the dir
+          (early-exit walk) — a live writer mid-write always has a
+          recent file."""
         prefix = table + "__v"
         referenced = {d for ds in versions.values() for d in ds}
+        cutoff = time.time() - self._STAGE_ORPHAN_AGE_SECS
         for d in os.listdir(self.storage):
             full = os.path.join(self.storage, d)
             if d.startswith(prefix) and d not in referenced:
+                v = self._dir_version(d, prefix)
+                if (published_version is not None and v is not None
+                        and v > published_version):
+                    continue    # a later concurrent writer's live data
                 shutil.rmtree(full, ignore_errors=True)
             elif d.startswith(table + "__stage_"):
-                try:
-                    age = time.time() - os.path.getmtime(full)
-                except OSError:
-                    continue
-                if age > self._STAGE_ORPHAN_AGE_SECS:
+                if not self._newest_mtime(full, cutoff):
                     shutil.rmtree(full, ignore_errors=True)
 
     def _snapshot_paths(self, table: str, version: int | None = None
@@ -453,7 +526,8 @@ class Engine:
                                            promote=(stage, dirname))
                 except ManifestConflict:
                     continue       # re-read the advanced manifest, retry
-                self._gc_versions(table, versions)
+                self._gc_versions(table, versions,
+                                  published_version=version)
                 return
             raise ManifestConflict(
                 f"{table}: full refresh lost the manifest CAS 16 times")
@@ -501,7 +575,8 @@ class Engine:
                                            promote=(stage, dirname))
                 except ManifestConflict:
                     continue
-                self._gc_versions(table, versions)
+                self._gc_versions(table, versions,
+                                  published_version=version)
                 return
             raise ManifestConflict(
                 f"{table}: append lost the manifest CAS 16 times")

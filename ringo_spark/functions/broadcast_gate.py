@@ -80,8 +80,11 @@ def table_size_bytes(spark, path: str) -> int:
 
 
 def invalidate_size_cache(path: str | None = None) -> None:
-    """Drop cached sizes — for engine paths that rewrite a table in
-    place and need the next gate decision re-measured immediately."""
+    """Drop cached sizes — an explicit escape hatch for CALLERS that
+    rewrite a gated source path in place (corpus-regeneration tooling,
+    tests) and must not rely on the freshness token catching the
+    rewrite.  The engine itself never needs it: its own outputs are
+    joined via explicit ``F.broadcast``, not the size gate."""
     if path is None:
         _SIZE_CACHE.clear()
     else:

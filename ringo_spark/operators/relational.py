@@ -701,6 +701,16 @@ def anomaly_zscore_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     z-scores hash-match without relying on stddev implementations
     agreeing; the sample-variance form is (Σv² − (Σv)²/n)/(n−1).
 
+    Degenerate groups are guarded identically in both engines
+    (post-review hardening): the one-pass variance
+    (Σv² − (Σv)²/n)/(n−1) can land a few ULP BELOW zero for
+    constant-valued groups (double cancellation), where DuckDB's sqrt
+    raises while Spark yields NaN — and n=1 groups divide by zero,
+    which ANSI Spark turns into an error even for doubles.  Both cases
+    route through nested lazy CASEs (n > 1, then var > 0; CASE branches
+    evaluate lazily in both engines), yielding NULL zscore/is_anomaly
+    for groups with no defined deviation.
+
     Scale shape: one map-side-combining aggregate per event_type (K
     groups), joined back unhinted (K-row side — AQE broadcasts it); the
     event stream itself never shuffles."""
@@ -718,10 +728,11 @@ def anomaly_zscore_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.sum((F.col("v") * F.col("v")).cast("decimal(38,4)"))
                   .cast("double").alias("s2"),
                   F.count(F.lit(1)).alias("n")))
-    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) \
+    var_expr = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) \
         / (F.col("n") - 1)
-    z = F.round((F.col("v").cast("double") - F.col("s1") / F.col("n"))
-                / F.sqrt(var), 6)
+    z_expr = F.round((F.col("v").cast("double") - F.col("s1") / F.col("n"))
+                     / F.sqrt(var_expr), 6)
+    z = F.when(F.col("n") > 1, F.when(var_expr > 0, z_expr))
     return (ev.join(stats, "event_type")
             .select("event_id", "event_type",
                     F.col("v").cast("double").alias("value"),
@@ -740,14 +751,19 @@ stats AS (
          CAST(sum(v) AS DOUBLE) AS s1,
          CAST(sum(CAST(v * v AS DECIMAL(38,4))) AS DOUBLE) AS s2,
          count(*) AS n
-  FROM ev GROUP BY 1)
-SELECT event_id, ev.event_type, CAST(v AS DOUBLE) AS value,
-       round((CAST(v AS DOUBLE) - s1 / n)
-             / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS zscore,
-       abs(round((CAST(v AS DOUBLE) - s1 / n)
-                 / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6))
-         > {ZSCORE_THRESHOLD} AS is_anomaly
-FROM ev JOIN stats USING (event_type)
+  FROM ev GROUP BY 1),
+scored AS (
+  SELECT event_id, ev.event_type, CAST(v AS DOUBLE) AS value,
+         CASE WHEN n > 1 THEN
+           CASE WHEN (s2 - s1 * s1 / n) / (n - 1) > 0 THEN
+             round((CAST(v AS DOUBLE) - s1 / n)
+                   / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6)
+           END
+         END AS zscore
+  FROM ev JOIN stats USING (event_type))
+SELECT event_id, event_type, value, zscore,
+       abs(zscore) > {ZSCORE_THRESHOLD} AS is_anomaly
+FROM scored
 """
 
 

@@ -548,9 +548,18 @@ def test_manifest_lock_stale_break_and_timeout(spark, tmp_path):
         fh.write("99999")
     old = _time.time() - eng._LOCK_STALE_SECS - 10
     os.utime(lock, (old, old))
-    fd = eng._acquire_manifest_lock("t")      # stale -> broken, acquired
-    eng._release_manifest_lock("t", fd)
+    fd, token = eng._acquire_manifest_lock("t")  # stale -> broken, acquired
+    eng._release_manifest_lock("t", fd, token)
     assert not os.path.exists(lock)
+    # release is ownership-checked: a lock re-acquired by someone else
+    # (different token) must NOT be unlinked by a stale release
+    with open(lock, "w") as fh:
+        fh.write("someone-else:feedbeef")
+    dummy_fd = os.open(os.path.join(eng.storage, "dummy"),
+                       os.O_CREAT | os.O_WRONLY)
+    eng._release_manifest_lock("t", dummy_fd, token)
+    assert os.path.exists(lock)
+    os.unlink(lock)
 
     with open(lock, "w") as fh:               # fresh lock: a live writer
         fh.write("99999")
@@ -604,3 +613,25 @@ def test_manifest_concurrent_append_stress(spark, tmp_path):
     assert m["version"] == 1 + 2 * N_PER_WRITER
     assert len(m["versions"][str(m["version"])]) == 1 + 2 * N_PER_WRITER
     assert not os.path.exists(eng._lock_path("t"))
+
+
+def test_gc_never_deletes_higher_version_dirs(spark, tmp_path):
+    """Post-review hardening: GC runs after the publish lock is
+    released, so an unreferenced dir with a HIGHER version number than
+    this writer's publish belongs to a concurrent writer that published
+    meanwhile — it must survive.  Unreferenced dirs at or below the
+    published version are true orphans and go."""
+    eng = Engine(spark, ORDERS_ENV, str(tmp_path / "gcv"),
+                 commit_mode="manifest")
+    eng._write_full(spark.range(5), "t")               # publishes v1
+    # fake a crash orphan at v1-era naming and a concurrent writer's v2
+    os.makedirs(os.path.join(eng.storage, "t__v0"))    # stale orphan
+    os.makedirs(os.path.join(eng.storage, "t__v2"))    # later writer's!
+    m = eng._read_manifest("t")
+    eng._gc_versions("t", eng._manifest_versions(m), published_version=1)
+    assert not os.path.exists(os.path.join(eng.storage, "t__v0"))
+    assert os.path.exists(os.path.join(eng.storage, "t__v2"))
+    # tomb-suffixed dirs parse to their version and are collectable
+    os.makedirs(os.path.join(eng.storage, "t__v1.tomb.ab12"))
+    eng._gc_versions("t", eng._manifest_versions(m), published_version=1)
+    assert not os.path.exists(os.path.join(eng.storage, "t__v1.tomb.ab12"))

@@ -1053,3 +1053,44 @@ def test_dedup_containment_catches_subset_jaccard_misses(spark, tmp_path):
     jac_pairs = {(r.doc_a, r.doc_b)
                  for r in dedup_minhash_lsh_df(spark, str(tmp_path)).collect()}
     assert (0, 1) not in jac_pairs
+
+
+def test_anomaly_zscore_degenerate_groups_guarded(spark, tmp_path):
+    """Post-review hardening: singleton groups (variance divides by
+    zero — an ANSI error in Spark even for doubles) and constant-valued
+    groups (one-pass variance lands ULPs below zero from double
+    cancellation — DuckDB's sqrt raises) must yield NULL zscore in BOTH
+    engines instead of an error or a NaN-flagged false anomaly."""
+    import datetime as dt
+
+    import duckdb
+    from pyspark.sql import Row
+
+    from ringo_spark.operators.relational import (
+        ANOMALY_ZSCORE_SQL, anomaly_zscore_df,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for et, vals in [("solo", [0.1]), ("const", [0.1] * 50),
+                     ("norm", [float(i) for i in range(40)])]:
+        for v in vals:
+            rows.append(Row(event_id=eid, ts=t0, user_id=1,
+                            event_type=et, value=v, props="{}"))
+            eid += 1
+    (spark.createDataFrame(rows).coalesce(1)
+     .write.parquet(str(tmp_path / "events.parquet")))
+
+    out = anomaly_zscore_df(spark, str(tmp_path)).collect()
+    by_type = {}
+    for r in out:
+        by_type.setdefault(r.event_type, []).append(r)
+    assert all(r.zscore is None and r.is_anomaly is None
+               for r in by_type["solo"] + by_type["const"])
+    assert any(r.zscore is not None for r in by_type["norm"])
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{tmp_path}/events.parquet/*.parquet'")
+    got = con.execute(ANOMALY_ZSCORE_SQL).fetchall()   # must not raise
+    assert len(got) == len(out)

@@ -31,13 +31,32 @@ SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)
                        ".scale_probe")
 COPIES = [1, 2, 4, 8]
 COPIES_DEEP = [8, 16, 32]    # `deep` mode: where bucket caps actually bite
-# distinct vowel permutations per copy rewrite every shingle in the copy;
-# generated (5! = 120 available) so deep mode's 32 copies each get one.
-# permutations() yields the identity first, which SALTS[0] must be —
-# translate(text, SALTS[0], SALTS[c]) maps copy 0 to unchanged text.
-import itertools                                            # noqa: E402
 
-SALTS = ["".join(p) for p in itertools.permutations("aeiou")][:32]
+# Per-copy salting: a FULL-ALPHABET seeded permutation per copy (copy 0
+# is the identity; translate(text, SALTS[0], SALTS[c]) rewrites copy c).
+# Why full-alphabet: the earlier lexicographic VOWEL permutations shared
+# long prefixes (the first 6 of permutations('aeiou') all map a→a, e→e),
+# so words whose vowels sat in the shared prefix were byte-identical
+# across copies — cross-copy near-dup contamination, the exact artifact
+# the salting exists to prevent (r08 review finding).  Two random
+# 26-letter permutations agree on ~1 letter in expectation, so a shingle
+# surviving identically across two copies needs EVERY letter in the
+# agreeing set — vanishing probability; no pair of copies shares a
+# prefix by construction of the shuffle.
+import random                                               # noqa: E402
+
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _salt(c: int) -> str:
+    if c == 0:
+        return _ALPHA
+    letters = list(_ALPHA)
+    random.Random(c).shuffle(letters)    # deterministic per copy
+    return "".join(letters)
+
+
+SALTS = [_salt(c) for c in range(max(COPIES_DEEP))]
 
 
 def _replicate(parts):
