@@ -1,9 +1,20 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-{"metric": "total_runtime", "value": N, "unit": "sec",
- "queries": {name: sec, ...}, "sf": 0.1}
+Output protocol (r09 — the driver captures only the LAST 2000 chars of
+stdout, and the full 76-query record outgrew that in r07/r08, leaving
+``parsed: null`` in the official bench record two rounds running):
+
+* stdout carries EXACTLY ONE compact JSON line —
+  ``{"metric": "total_runtime", "value": N, "unit": "sec",
+  "queries": {...}, "sf": 0.1, ...}`` — where ``queries`` holds the
+  13 baseline-comparable timings plus this round's new queries, and the
+  line length is asserted ``<= MAX_STDOUT_LINE`` (1900) so the driver's
+  tail always contains it whole.  Nothing else is ever printed to
+  stdout (progress goes to stderr).
+* the FULL record — every per-query timing plus both delta maps — is
+  written to ``BENCH_DETAIL.json`` next to this file and committed, so
+  no information is lost; the compact line names it in ``detail_file``.
 
 Each query is forced with a no-op sink write (full compute, no driver-side
 collect serialization).
@@ -115,9 +126,38 @@ HEADLINE = [
     "doc_entropy",
     "segment_overlap_bounds",
     "active_users_rolling",
+    # round-9 new operators (the partsupp-blocked TPC-H decorrelation
+    # shapes mapped onto existing tables + the LSH recall contract)
+    "q2_min_cost_region",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_supplier_part_counts",
+    "q20_surplus_suppliers",
+    "dedup_lsh_recall_bounds",
 ]
 
 RUNS_PER_QUERY = 2
+
+# Queries whose timings ride in the compact stdout line alongside the 13
+# baseline-comparable ones: the operators new or code-changed this round
+# (their deltas have no prior pin, so the driver record is their only
+# arbiter).  Everything else still lands in BENCH_DETAIL.json.
+COMPACT_EXTRA = [
+    "q2_min_cost_region",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_supplier_part_counts",
+    "q20_surplus_suppliers",
+    "dedup_lsh_recall_bounds",
+    "doc_entropy",
+    "segment_overlap_bounds",
+    "active_users_rolling",
+]
+
+# Hard ceiling for the stdout line: the driver's capture tail is 2000
+# chars (measured from BENCH_r08.json); 1900 leaves margin for a
+# trailing newline and any wrapper framing.
+MAX_STDOUT_LINE = 1900
 
 
 def main():
@@ -143,6 +183,7 @@ def main():
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr)
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     out = {
         "metric": "total_runtime",
@@ -184,7 +225,32 @@ def main():
             # subtotal over exactly the baseline's query set.
             out["baseline_comparable_total"] = round(
                 sum(t for n, t in timings.items() if n in base["queries"]), 3)
-    print(json.dumps(out))
+
+    # full record -> committed file; compact record -> the one stdout line
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    compact_names = list(base["queries"]) if os.path.exists(base_path) \
+        else list(timings)[:13]
+    compact_names += [n for n in COMPACT_EXTRA if n in timings]
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": {n: timings[n] for n in compact_names if n in timings},
+        "sf": out["sf"],
+        "baseline_comparable_total": out.get("baseline_comparable_total"),
+        "baseline_total": out.get("baseline_total"),
+        "n_queries": len(timings),
+        "detail_file": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) <= MAX_STDOUT_LINE, (
+        f"stdout line {len(line)} > {MAX_STDOUT_LINE} chars — would be "
+        "truncated by the driver's capture tail; trim COMPACT_EXTRA")
+    print(line)
 
 
 if __name__ == "__main__":

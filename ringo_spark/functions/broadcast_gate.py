@@ -42,29 +42,27 @@ def plan_size_bytes(df: DataFrame) -> int:
 
 # On-disk size per source path, resolved through the Hadoop FileSystem
 # (works on any scheme the cluster reads: file://, s3a://, hdfs://).
-# The cache entry is keyed by a freshness token built from the path's
-# modification time PLUS a one-level listStatus digest (child count,
-# summed child lengths, max child mtime), so a table rewritten
-# in-session (corpus regen, probes rewriting under the same path) is
-# re-measured instead of served a stale small size — a stale grant here
-# would force-broadcast a now-large table, the exact OOM the gate
-# exists to prevent (r06 ADVICE).  mtime ALONE misses in-place rewrites
-# inside the filesystem's mtime granularity (same-second overwrites on
-# coarse-mtime stores — r07 ADVICE); the listed lengths catch those
-# unless the rewrite is byte-identical, in which case the cached size is
-# right anyway.  Both stats are pure namenode/liststatus calls, ~free
-# next to the query they guard.
+# Freshness (r06/r07/r08 ADVICE lineage): the token is the path's own
+# mtime plus getContentSummary's RECURSIVE (length, fileCount,
+# directoryCount) — the summary covers every depth, so an in-place
+# rewrite inside a partition subdirectory (which leaves the top-level
+# mtime and one-level listStatus digest unchanged — the depth-1+ hole
+# the r08 ADVICE found in the previous design) changes the token
+# whenever it changes any byte count or file count.  A rewrite the
+# summary CAN'T see (identical total length AND file/dir counts AND
+# top mtime) necessarily leaves the cached size correct, since the size
+# IS the summed length.  Cost: getContentSummary is one namenode RPC on
+# HDFS / a recursive list on object stores per gated build — the length
+# it returns is also the answer, so the "cache" now only avoids the
+# Path/FileSystem JVM round-trips, and correctness never rides on it.
 _SIZE_CACHE: dict[str, tuple[tuple, int]] = {}  # path -> (token, bytes)
 
 
 def _freshness_token(fs, p) -> tuple:
     st = fs.getFileStatus(p)
-    n = total = child_mtime = 0
-    for k in fs.listStatus(p):        # a plain file lists as itself
-        n += 1
-        total += int(k.getLen())
-        child_mtime = max(child_mtime, int(k.getModificationTime()))
-    return (int(st.getModificationTime()), n, total, child_mtime)
+    cs = fs.getContentSummary(p)   # recursive: all depths
+    return (int(st.getModificationTime()), int(cs.getLength()),
+            int(cs.getFileCount()), int(cs.getDirectoryCount()))
 
 
 def table_size_bytes(spark, path: str) -> int:
@@ -74,17 +72,18 @@ def table_size_bytes(spark, path: str) -> int:
     token = _freshness_token(fs, p)
     hit = _SIZE_CACHE.get(path)
     if hit is None or hit[0] != token:
-        _SIZE_CACHE[path] = (token,
-                             int(fs.getContentSummary(p).getLength()))
+        _SIZE_CACHE[path] = (token, token[1])  # size = summary length
     return _SIZE_CACHE[path][1]
 
 
 def invalidate_size_cache(path: str | None = None) -> None:
-    """Drop cached sizes — an explicit escape hatch for CALLERS that
-    rewrite a gated source path in place (corpus-regeneration tooling,
-    tests) and must not rely on the freshness token catching the
-    rewrite.  The engine itself never needs it: its own outputs are
-    joined via explicit ``F.broadcast``, not the size gate."""
+    """Drop cached sizes — an explicit escape hatch kept for API
+    stability.  Since the token moved to the recursive content summary
+    (r09) the gate re-measures every rewrite that changes any byte or
+    file count at any depth on its own; the only rewrites the token
+    misses leave the summed length — i.e. the cached answer — correct.
+    The engine itself never needs it: its own outputs are joined via
+    explicit ``F.broadcast``, not the size gate."""
     if path is None:
         _SIZE_CACHE.clear()
     else:

@@ -530,39 +530,34 @@ def test_manifest_two_interleaved_appenders_lose_nothing(spark, tmp_path):
     m = B._read_manifest("t")
     assert m["version"] == 3
     assert len(m["versions"][str(m["version"])]) == 3
-    # no stray lock left behind
-    assert not os.path.exists(A._lock_path("t"))
+    # lock file persists by design (flock; never unlinked) but must be
+    # free — a fresh acquire succeeds immediately
+    fd, tok = A._acquire_manifest_lock("t")
+    A._release_manifest_lock("t", fd, tok)
 
 
-def test_manifest_lock_stale_break_and_timeout(spark, tmp_path):
-    """A lock file left by a crashed writer must not wedge the table:
-    older than the stale threshold it is broken and acquisition
-    proceeds; younger, acquisition waits and times out loudly."""
-    import time as _time
+def test_manifest_lock_crash_timeout_and_replace(spark, tmp_path):
+    """flock semantics (r08 ADVICE — replaces the mtime stale-break and
+    its TOCTOU class): a lock FILE left by a crashed writer holds no
+    flock, so acquisition proceeds instantly with no staleness heuristic;
+    a lock HELD by a live writer times out loudly; an externally
+    replaced lock file is detected by the inode re-check."""
+    import fcntl
 
     eng = Engine(spark, ORDERS_ENV, str(tmp_path / "lk"),
                  commit_mode="manifest")
     os.makedirs(eng.storage, exist_ok=True)
     lock = eng._lock_path("t")
-    with open(lock, "w") as fh:
-        fh.write("99999")
-    old = _time.time() - eng._LOCK_STALE_SECS - 10
-    os.utime(lock, (old, old))
-    fd, token = eng._acquire_manifest_lock("t")  # stale -> broken, acquired
-    eng._release_manifest_lock("t", fd, token)
-    assert not os.path.exists(lock)
-    # release is ownership-checked: a lock re-acquired by someone else
-    # (different token) must NOT be unlinked by a stale release
-    with open(lock, "w") as fh:
-        fh.write("someone-else:feedbeef")
-    dummy_fd = os.open(os.path.join(eng.storage, "dummy"),
-                       os.O_CREAT | os.O_WRONLY)
-    eng._release_manifest_lock("t", dummy_fd, token)
-    assert os.path.exists(lock)
-    os.unlink(lock)
 
-    with open(lock, "w") as fh:               # fresh lock: a live writer
-        fh.write("99999")
+    # crashed writer: file exists, no flock held -> immediate acquire
+    with open(lock, "w") as fh:
+        fh.write("")
+    fd, token = eng._acquire_manifest_lock("t")
+    eng._release_manifest_lock("t", fd, token)
+
+    # live writer: flock held on a separate fd -> waiter times out
+    holder = os.open(lock, os.O_CREAT | os.O_RDWR)
+    fcntl.flock(holder, fcntl.LOCK_EX)
     orig_wait = Engine._LOCK_WAIT_SECS
     Engine._LOCK_WAIT_SECS = 0.2
     try:
@@ -570,7 +565,18 @@ def test_manifest_lock_stale_break_and_timeout(spark, tmp_path):
             eng._acquire_manifest_lock("t")
     finally:
         Engine._LOCK_WAIT_SECS = orig_wait
-        os.unlink(lock)
+    # ...and a close releases it for the next acquirer
+    os.close(holder)
+    fd, token = eng._acquire_manifest_lock("t")
+    # external unlink+recreate while held: a second acquirer must lock
+    # the NEW inode (the inode re-check reopens), not deadlock on the
+    # deleted one, and must still be excluded until we release
+    os.unlink(lock)
+    with open(lock, "w") as fh:
+        fh.write("")
+    fd2, token2 = eng._acquire_manifest_lock("t")   # old lock's inode gone
+    eng._release_manifest_lock("t", fd2, token2)
+    eng._release_manifest_lock("t", fd, token)
 
 
 def test_manifest_concurrent_append_stress(spark, tmp_path):
@@ -612,7 +618,9 @@ def test_manifest_concurrent_append_stress(spark, tmp_path):
     m = eng._read_manifest("t")
     assert m["version"] == 1 + 2 * N_PER_WRITER
     assert len(m["versions"][str(m["version"])]) == 1 + 2 * N_PER_WRITER
-    assert not os.path.exists(eng._lock_path("t"))
+    # lock must be free after the storm (file persists by flock design)
+    fd, tok = eng._acquire_manifest_lock("t")
+    eng._release_manifest_lock("t", fd, tok)
 
 
 def test_gc_never_deletes_higher_version_dirs(spark, tmp_path):

@@ -399,6 +399,41 @@ def test_size_cache_catches_same_mtime_rewrite(spark, tmp_path):
     assert p not in bg._SIZE_CACHE
 
 
+def test_size_cache_catches_partition_subdir_rewrite(spark, tmp_path):
+    """r08 ADVICE: the one-level listStatus digest closed the staleness
+    hole at depth 0 only — for a PARTITIONED table the children are
+    subdirectories whose listed length is 0, so a same-mtime rewrite of
+    files INSIDE a partition subdir left the token unchanged.  The
+    recursive content-summary token must catch it: rewrite one
+    partition's files under frozen mtimes at every level and assert the
+    size is re-measured."""
+    import os
+
+    from ringo_spark.functions import broadcast_gate as bg
+
+    p = str(tmp_path / "parted.parquet")
+    spark.range(100).withColumn("k", F.col("id") % 2) \
+        .write.partitionBy("k").parquet(p)
+    s1 = bg.table_size_bytes(spark, p)
+    # freeze every mtime in the tree, then blow up ONE partition subdir
+    frozen = os.stat(p).st_mtime
+    sub = os.path.join(p, "k=0")
+    spark.range(300_000).coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(str(tmp_path), "big"))
+    bigfile = next(f for f in os.listdir(os.path.join(str(tmp_path), "big"))
+                   if f.endswith(".parquet"))
+    import shutil
+    shutil.copy(os.path.join(str(tmp_path), "big", bigfile),
+                os.path.join(sub, "part-extra.parquet"))
+    for root, dirs, files in os.walk(p):
+        for n in dirs + files:
+            os.utime(os.path.join(root, n), (frozen, frozen))
+    os.utime(p, (frozen, frozen))
+    s2 = bg.table_size_bytes(spark, p)
+    assert s2 > s1, ("partition-subdir rewrite under frozen mtimes "
+                     "served a stale size")
+
+
 def test_q8_market_share_plan_shape(spark):
     """Q8's 8-table join tree (VERDICT r07 item 1): every dim side —
     part, supplier, customer, nation (both roles), region — joins as a
