@@ -409,6 +409,8 @@ def test_size_cache_catches_partition_subdir_rewrite(spark, tmp_path):
     size is re-measured."""
     import os
 
+    from pyspark.sql import functions as F
+
     from ringo_spark.functions import broadcast_gate as bg
 
     p = str(tmp_path / "parted.parquet")
