@@ -1096,3 +1096,140 @@ verified AS (
 SELECT doc_a, doc_b, round(jac, 6) AS fp_jaccard
 FROM verified WHERE round(jac, 6) >= {WINNOW_THRESHOLD}
 """
+
+
+# --- LSH candidate-recall contract (bounds row) ------------------------------
+#
+# The minhash-LSH family's driver rows verify RESULTS (verified pairs),
+# but none pins the property that makes banded LSH trustworthy at scale:
+# that band collisions RECOVER the true near-duplicate pairs.  This
+# bounds query audits candidate recall against exact-Jaccard ground
+# truth over a fixed-size audit set, the same contract pattern as
+# ann_ivf_recall_bounds (similarity.py).
+
+LSH_RECALL_AUDIT_MAX = 60    # audit docs: doc_id < 60 at every SF
+LSH_RECALL_FLOOR = 0.8
+
+
+def dedup_lsh_recall_bounds_df(spark: SparkSession, sf_dir: str,
+                               bands: int = BANDS,
+                               floor: float = LSH_RECALL_FLOOR) -> DataFrame:
+    """Driver-hashable recall contract for banded-MinHash candidate
+    generation: of the TRUE near-duplicate pairs (exact Jaccard >=
+    JACCARD_THRESHOLD) touching a fixed audit set, what fraction
+    collides in at least one LSH band?  One row: exact pair counts,
+    recall, and a boolean pinning recall >= floor.
+
+    The bound is falsifiable: at ``bands=1`` (all NUM_PERM rows in one
+    band) even near-identical docs need all 12 min-hashes equal, and
+    recall collapses to ~0.43 at sf0.01 — under the floor
+    (pytest-pinned).  Both engines compute the identical integer pair
+    counts (the minhash permutation family is deterministic and
+    portable), so the row hash-matches exactly.
+
+    Scale shape: ground truth is audit-restricted — audit postings
+    (fixed-size) join the corpus inverted index on the shingle key, so
+    the exact-Jaccard side is linear in corpus size, never the
+    quadratic all-pairs form; the candidate side reuses the production
+    band layout (narrow (doc_id, band_key) rows) filtered to audit
+    collisions.  The standard recall-audit pattern: the contract runs
+    on a sample, the production path stays sub-quadratic."""
+    if NUM_PERM % bands:
+        raise ValueError(f"bands={bands} must divide NUM_PERM={NUM_PERM}")
+    base = _shingled(spark, sf_dir).persist()
+    audit_filter = F.col("doc_id") < LSH_RECALL_AUDIT_MAX
+
+    # ground truth: exact Jaccard via the audit-restricted inverted index
+    e_all = base.select("doc_id", F.explode("sh").alias("g"))
+    e_aud = (base.where(audit_filter)
+             .select(F.col("doc_id").alias("a_id"), F.explode("sh").alias("g")))
+    inter = (e_aud.join(e_all, "g")
+             .where(F.col("doc_id") != F.col("a_id"))
+             .groupBy("a_id", F.col("doc_id").alias("b_id"))
+             .agg(F.count(F.lit(1)).alias("i")))
+    sizes = base.select("doc_id", F.size("sh").alias("n"))
+    na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    truth = _ckpt(inter.join(na, "a_id").join(nb, "b_id")
+                  .where(F.round(jac, 6) >= JACCARD_THRESHOLD)
+                  .select(F.least("a_id", "b_id").alias("lo"),
+                          F.greatest("a_id", "b_id").alias("hi"))
+                  .distinct())
+
+    # candidates: the production band layout at the requested band count
+    rows_per_band = NUM_PERM // bands
+    sigs = (base
+            .withColumn("hs", shingle_hashes(F.col("sh")))
+            .select("doc_id",
+                    minhash_signature(F.col("hs"), NUM_PERM).alias("sig")))
+    band_key = F.concat_ws(
+        ":", F.col("b").cast("string"),
+        *[F.get("sig", F.col("b") * rows_per_band + i).cast("string")
+          for i in range(rows_per_band)])
+    brows = (sigs
+             .select("doc_id",
+                     F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("b"),
+                     "sig")
+             .select("doc_id", band_key.alias("band_key")))
+    a, b = brows.where(audit_filter).alias("a"), brows.alias("b")
+    cand = _ckpt(a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+                        & (F.col("a.doc_id") != F.col("b.doc_id")))
+                 .select(F.least("a.doc_id", "b.doc_id").alias("lo"),
+                         F.greatest("a.doc_id", "b.doc_id").alias("hi"))
+                 .distinct())
+    base.unpersist()
+
+    tot = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    caught = (truth.join(cand, ["lo", "hi"])
+              .agg(F.count(F.lit(1)).alias("n_caught")))
+    recall = F.round(F.col("n_caught") / F.col("n_true"), 6)
+    return (tot.crossJoin(caught)
+            .select("n_true", "n_caught", recall.alias("recall"),
+                    (recall >= F.lit(floor)).alias("meets_floor"),
+                    F.lit(bands).cast("int").alias("bands")))
+
+
+def _lsh_recall_bounds_sql(bands: int = BANDS,
+                           floor: float = LSH_RECALL_FLOOR) -> str:
+    rpb = NUM_PERM // bands
+    key = " || ':' || ".join(
+        ["b::VARCHAR"] + [f"sig[{rpb}*b + {i + 1}]::VARCHAR"
+                          for i in range(rpb)])
+    return f"""
+WITH {_SHINGLE_BASE_CTE.strip()},
+e AS (SELECT doc_id, unnest(sh) AS g FROM base),
+ea AS (SELECT doc_id AS a_id, unnest(sh) AS g FROM base
+       WHERE doc_id < {LSH_RECALL_AUDIT_MAX}),
+inter AS (
+  SELECT a_id, e.doc_id AS b_id, count(*) AS i
+  FROM ea JOIN e ON ea.g = e.g AND e.doc_id <> a_id
+  GROUP BY 1, 2),
+truth AS (
+  SELECT DISTINCT least(a_id, b_id) AS lo, greatest(a_id, b_id) AS hi
+  FROM inter
+  JOIN base x ON x.doc_id = a_id
+  JOIN base y ON y.doc_id = b_id
+  WHERE round(i * 1.0 / (len(x.sh) + len(y.sh) - i), 6)
+          >= {JACCARD_THRESHOLD}),
+sigs AS (SELECT doc_id, {sql_minhash_signature('sh', NUM_PERM)} AS sig
+         FROM base),
+bands AS (
+  SELECT doc_id, {key} AS band_key
+  FROM sigs, generate_series(0, {bands - 1}) g(b)),
+cand AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS lo,
+                  greatest(a.doc_id, b.doc_id) AS hi
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id <> b.doc_id
+  WHERE a.doc_id < {LSH_RECALL_AUDIT_MAX}),
+caught AS (SELECT CAST(count(*) AS BIGINT) AS c FROM truth JOIN cand USING (lo, hi)),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM truth)
+SELECT t AS n_true, c AS n_caught, round(c * 1.0 / t, 6) AS recall,
+       round(c * 1.0 / t, 6) >= {floor} AS meets_floor,
+       CAST({bands} AS INT) AS bands
+FROM tot, caught
+"""
+
+
+DEDUP_LSH_RECALL_BOUNDS_SQL = _lsh_recall_bounds_sql()

@@ -4,7 +4,7 @@
 from .dedup import (
     DEDUP_CLUSTERS_SQL, DEDUP_CONTAINMENT_SQL, DEDUP_EMBEDDING_LSH_SQL,
     DEDUP_EMBEDDING_SQL,
-    DEDUP_EXACT_SQL,
+    DEDUP_EXACT_SQL, DEDUP_LSH_RECALL_BOUNDS_SQL, dedup_lsh_recall_bounds_df,
     DEDUP_INCREMENTAL_SQL, DEDUP_MINHASH_INCREMENTAL_SQL,
     DEDUP_MINHASH_LSH_CAPPED_SQL, DEDUP_MINHASH_LSH_SQL,
     DEDUP_NGRAM_JACCARD_SQL, DEDUP_SIMHASH_SQL, DEDUP_WINNOWING_SQL,
@@ -74,47 +74,48 @@ from .text import (
 #     unverified, only un-hashed-by-the-driver that round.
 
 DRIVER_WINDOW: list[str] = [
-    # -- round-8 first driver rows: new r08 operators, front-loaded.
-    #    Each additional r08 operator inserted here pops the LAST
-    #    rotated-in entry below back to DISPLACED (it keeps its r04/r05
-    #    record; first driver rows outrank another record for an
-    #    unchanged query — CORRECTNESS_WINDOW.md r08 plan) --
-    "q8_national_market_share",
-    "q12_late_shipments",
-    "ann_ivf_recall_bounds",
-    "sample_temperature",
-    "ann_rank_fusion",
-    "doc_bigram_logprob",
-    "retention_cohorts",
-    "event_funnel",
-    "anomaly_zscore",
-    "dedup_containment",
-    # -- code changed this round (nprobe threading), kept driver-visible --
-    "ann_ivf_kmeans",
-    # -- recency rotation: after r07 every registered query holds at
-    #    least one driver-green row, so r08 rotates by DRIVER-RECORD AGE.
-    #    This cohort's only driver rows are r04 (the function tail r02+
-    #    r03+r05); code paths unchanged since, cell-exact in every local
+    # -- round-10 first driver rows: the new r10 operators (the five
+    #    partsupp-mapped TPC-H decorrelation shapes + the LSH recall
+    #    contract), front-loaded per the pre-committed rotation plan
+    #    (CORRECTNESS_WINDOW.md) --
+    "q2_min_cost_region",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_supplier_part_counts",
+    "q20_surplus_suppliers",
+    "dedup_lsh_recall_bounds",
+    # -- the three built-after-the-window-filled queries whose first
+    #    driver rows were two rounds overdue (r09 VERDICT item 1) --
+    "doc_entropy",
+    "segment_overlap_bounds",
+    "active_users_rolling",
+    # -- recency rotation by DRIVER-RECORD AGE (pre-committed r09 plan):
+    #    the r08-popped r04-cohort tail first, then the r02+r03+r05
+    #    function cohort, then scalar_subquery/json_funcs/date_funcs,
+    #    then the oldest remaining (asof_join, r04 record).  Code paths
+    #    unchanged since their last rows; cell-exact in every local
     #    sweep --
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "window_frames",
-    "fact_events_by_second",
-    "fact_orders_by_week",
-    "user_value_ema",
-    "sample_hash_split",
-    "fact_events_tenant_by_hour",
-    "fact_events_hour_regrain",
-    "user_value_ema_segmented",
-    "sample_per_source_quota",
-    "sample_mixture",
-    "multimodal_wav",
-    "multimodal_wav_samples",
-    "multimodal_features",
-    "text_scrub",
-    "seq_pack",
-    "profile_table",
-    "dedup_minhash_incremental",
+    "dedup_winnowing",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_incremental",
+    "ann_lsh_indexed",
+    "ann_lsh_bucketed",
+    "ann_ivf",
+    "lang_id",
+    "join_inner_agg",
+    "quantiles",
+    "window_lag",
+    "set_ops",
+    "string_funcs",
+    "conditional_funcs",
+    "vocab_topk",
+    "lang_confusion",
+    "metrics_unpivot",
+    "scalar_subquery",
+    "json_funcs",
+    "date_funcs",
+    "asof_join",
     # -- core schema-level pipeline (driver-green r02-r04 + r07; pinned) --
     "dim_event_type",
     "fact_events_by_minute",
@@ -142,35 +143,49 @@ DRIVER_WINDOW: list[str] = [
 
 # Registered, locally cell-exact-verified every round, but outside the
 # driver's 50-row hash window this round.  Every with-oracle entry here
-# has at least one driver-green (hash_match=true) row (r02–r07) with
+# has at least one driver-green (hash_match=true) row (r02–r09) with
 # unchanged code paths since; the 2 no-oracle entries are ε-tolerance
 # pytest-covered by design AND have *_bounds twins carrying real oracles
-# (driver-green r06/r07).  Newly displaced: the r07 first-row cohort
-# (all 30 got their first rows in r07) — recency rotation per the
-# pre-committed r08 plan in CORRECTNESS_WINDOW.md.
+# (driver-green r06/r07).  Newly displaced: the r08/r09 window cohort
+# (every entry got fresh rows in r09) — recency rotation per the
+# pre-committed r09 plan in CORRECTNESS_WINDOW.md.
 DISPLACED: list[str] = [
-    # r07 window cohort: every entry below holds an r07 (or earlier)
-    # driver-green row; the whole registry is re-verified cell-exact
-    # in CORRECTNESS_LOCAL_r08.json.  The final two are the
+    # r08/r09 window cohort: every entry below holds an r09 driver-green
+    # row; the whole registry is re-verified cell-exact in
+    # CORRECTNESS_LOCAL_r10.json.  The final two are the
     # no-oracle-by-design pair (e-pytest + *_bounds twins with
-    # oracles).  Very-head entries: operators built mid-round AFTER the
-    # window filled — locally cell-exact now, first driver rows next
-    # rotation (the same treatment the 13 mid-r06 queries got).  Then:
-    # r04-cohort members popped back out as r08 operators took their
-    # window slots (they keep their records).
-    "doc_entropy",
-    "segment_overlap_bounds",
-    "active_users_rolling",
-    "dedup_winnowing",
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_incremental",
-    "ann_lsh_indexed",
-    "ann_lsh_bucketed",
-    "ann_ivf",
-    "lang_id",
-    "join_inner_agg",
-    "quantiles",
+    # oracles).
+    "q8_national_market_share",
+    "q12_late_shipments",
+    "ann_ivf_recall_bounds",
+    "sample_temperature",
+    "ann_rank_fusion",
+    "doc_bigram_logprob",
+    "retention_cohorts",
+    "event_funnel",
+    "anomaly_zscore",
+    "dedup_containment",
+    "ann_ivf_kmeans",
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "window_frames",
+    "fact_events_by_second",
+    "fact_orders_by_week",
+    "user_value_ema",
+    "sample_hash_split",
+    "fact_events_tenant_by_hour",
+    "fact_events_hour_regrain",
+    "user_value_ema_segmented",
+    "sample_per_source_quota",
+    "sample_mixture",
+    "multimodal_wav",
+    "multimodal_wav_samples",
+    "multimodal_features",
+    "text_scrub",
+    "seq_pack",
+    "profile_table",
+    "dedup_minhash_incremental",
+    # earlier-rowed cohorts, by record age
     "dedup_minhash_lsh_capped_indexed",
     "benchmark_contamination",
     "doc_chunk",
@@ -206,9 +221,6 @@ DISPLACED: list[str] = [
     "dedup_clusters_indexed",
     "ann_cosine_topk_arrow_bounds",
     "dedup_minhash_lsh_indexed",
-    "scalar_subquery",
-    "json_funcs",
-    "date_funcs",
     "embed_quantize",
     "multimodal_resize",
     "multimodal_frames",
@@ -216,14 +228,6 @@ DISPLACED: list[str] = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q10_returned_items",
-    "window_lag",
-    "vocab_topk",
-    "lang_confusion",
-    "metrics_unpivot",
-    "set_ops",
-    "string_funcs",
-    "conditional_funcs",
-    "asof_join",
     "doc_rolling_hash",
     "dedup_ngram_jaccard",
     "dedup_embedding",
@@ -277,6 +281,12 @@ _DEDUP_QUERIES: dict[str, tuple] = {
     "dedup_minhash_incremental": (dedup_minhash_incremental_df,
                                   DEDUP_MINHASH_INCREMENTAL_SQL),
     "dedup_winnowing": (dedup_winnowing_df, DEDUP_WINNOWING_SQL),
+    # candidate-recall contract for the banded-LSH family: exact counts
+    # of true near-dup pairs recovered by band collisions over a fixed
+    # audit set, floor pinned TRUE by the oracle (falsifiable at
+    # bands=1; pytest-pinned)
+    "dedup_lsh_recall_bounds": (dedup_lsh_recall_bounds_df,
+                                DEDUP_LSH_RECALL_BOUNDS_SQL),
 }
 
 _ANN_QUERIES: dict[str, tuple] = {

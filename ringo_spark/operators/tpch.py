@@ -979,6 +979,373 @@ WHERE {ors}
 Q19_DISCOUNTED_REVENUE_SQL = _q19_sql()
 
 
+# --- partsupp-mapped decorrelation shapes (Q2 / Q9 / Q11 / Q16 / Q20) -------
+#
+# The driver testdata carries no ``partsupp`` table, so the five TPC-H
+# shapes that need one are mapped onto a pair table DERIVED from
+# lineitem (documented per the r08/r09 VERDICT item: same join/subquery
+# structure, existing columns):
+#
+#   partsupp              → distinct (l_partkey, l_suppkey) observed pairs
+#   ps_supplycost         → min unit price min(l_extendedprice/l_quantity)
+#                           (min over IEEE-double divisions — exact and
+#                           order-independent in both engines)
+#   ps_availqty           → sum of l_quantity per pair as DECIMAL(18,2)
+#                           (exact decimal sum, so threshold comparisons
+#                           hash-match; q20 uses the per-year split)
+#
+# Scale shape shared by all five: the pair table is ONE groupBy over
+# lineitem on (l_partkey, l_suppkey) — the same key prefix a bucketed
+# lineitem layout co-locates — and every decorrelated "scalar subquery"
+# becomes a groupBy + join-back on the group key, never a per-row
+# re-scan.  Dimension joins ride broadcast_if_small like the rest of
+# this module.
+
+
+def _pair_costs(li: DataFrame) -> DataFrame:
+    """The derived-partsupp cost table: (ps_partkey, ps_suppkey,
+    ps_supplycost) — one shuffle on the pair key."""
+    return (li.groupBy(F.col("l_partkey").alias("ps_partkey"),
+                       F.col("l_suppkey").alias("ps_suppkey"))
+            .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+                 .alias("ps_supplycost")))
+
+
+_PAIR_COSTS_CTE = """
+pairs AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         min(l_extendedprice / l_quantity) AS ps_supplycost
+  FROM lineitem GROUP BY 1, 2)
+"""
+
+Q2_REGION = "EUROPE"
+Q2_SIZE_LO, Q2_SIZE_HI = 10, 20
+Q2_TYPE = "STANDARD"
+
+
+def q2_min_cost_region_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape (minimum-cost supplier): for each part of one size band
+    and type, the supplier(s) in one region achieving the MINIMUM
+    supply cost — the canonical correlated scalar-min subquery
+    (``ps_supplycost = (SELECT min(..) WHERE ps_partkey = p_partkey
+    AND region)``) decorrelated into a groupBy-min over the
+    region-restricted pair table + an equi join back on
+    (part, cost = min_cost).
+
+    The min-cost join-back key includes the DOUBLE cost — safe because
+    both sides carry the identical IEEE value (the min of the same
+    division results), never recomputed arithmetic.  Scale shape: the
+    pair table is the one fact-sized shuffle; supplier rides the size
+    gate; nation/region always broadcast; the part filter semi-joins
+    the pair table BEFORE the min groupBy (legal: the min is per-part,
+    so restricting parts early never changes a surviving group);
+    top-100 is TakeOrderedAndProject with a unique
+    (s_name, p_partkey) tie-break."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    part_f = part.where(F.col("p_size").between(Q2_SIZE_LO, Q2_SIZE_HI)
+                        & (F.col("p_type") == Q2_TYPE)) \
+                 .select("p_partkey", "p_name")
+    eu_nations = (nation
+                  .join(F.broadcast(region.where(F.col("r_name") == Q2_REGION)),
+                        F.col("n_regionkey") == F.col("r_regionkey"))
+                  .select("n_nationkey", "n_name"))
+    eligible = (_pair_costs(li)
+                .join(broadcast_if_small(part_f.select("p_partkey"),
+                                         size_path=f"{sf_dir}/part.parquet"),
+                      F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
+                .join(broadcast_if_small(
+                          supp.select("s_suppkey", "s_name", "s_acctbal",
+                                      "s_nationkey"),
+                          size_path=f"{sf_dir}/supplier.parquet"),
+                      F.col("ps_suppkey") == F.col("s_suppkey"))
+                .join(F.broadcast(eu_nations),
+                      F.col("s_nationkey") == F.col("n_nationkey")))
+    minc = (eligible.groupBy(F.col("ps_partkey").alias("mk"))
+            .agg(F.min("ps_supplycost").alias("min_cost")))
+    return (eligible
+            .join(minc, (F.col("ps_partkey") == F.col("mk"))
+                  & (F.col("ps_supplycost") == F.col("min_cost")))
+            .join(broadcast_if_small(part_f,
+                                     size_path=f"{sf_dir}/part.parquet"),
+                  F.col("ps_partkey") == F.col("p_partkey"))
+            .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+                    F.round("ps_supplycost", 6).alias("supply_cost"))
+            .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+            .limit(100))
+
+
+Q2_MIN_COST_REGION_SQL = f"""
+WITH {_PAIR_COSTS_CTE.strip()},
+eligible AS (
+  SELECT ps_partkey, ps_suppkey, ps_supplycost, s_acctbal, s_name, n_name
+  FROM pairs
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{Q2_REGION}'),
+minc AS (
+  SELECT ps_partkey AS mk, min(ps_supplycost) AS min_cost
+  FROM eligible GROUP BY 1)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       round(ps_supplycost, 6) AS supply_cost
+FROM eligible
+JOIN minc ON ps_partkey = mk AND ps_supplycost = min_cost
+JOIN part ON ps_partkey = p_partkey
+WHERE p_size BETWEEN {Q2_SIZE_LO} AND {Q2_SIZE_HI} AND p_type = '{Q2_TYPE}'
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+Q9_NAME_PAT = "widget"      # p_name substring (the Q9 '%green%' role)
+Q9_COST_FACTOR = "0.6"      # retail-to-cost proxy, exact DECIMAL(2,1)
+
+
+def q9_product_profit_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape (product-type profit): per supplier nation per order
+    year, total profit = revenue − supply cost across a 5-table join
+    tree, for parts whose name matches a substring — the classic
+    computed-measure rollup over the largest non-Q8 join tree.
+
+    ``ps_supplycost × l_quantity`` is mapped to
+    ``p_retailprice × 0.6 × l_quantity`` (the testdata carries no
+    partsupp; p_retailprice is the only cost-like part attribute).
+    All arithmetic is exact decimal — revenue decimal(28,6) minus cost
+    decimal(28,5) (retail(12,2) × qty(12,2) → (25,4), × 0.6(2,1) →
+    (28,5)) stays inside precision 38 through the sum, rounded to 2
+    BEFORE the one double cast, per the q1/q14 discipline.
+
+    Scale shape: the name-filtered part side rides the broadcast gate
+    into lineitem (probe shrinks before any exchange), supplier is
+    size-gated, nation broadcast; lineitem ⋈ orders is the single
+    fact-sized shuffle; the rollup is partial+final on (nation, year)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cost = (F.col("p_retailprice").cast("decimal(12,2)")
+            * F.col("l_quantity").cast("decimal(12,2)")) \
+        .cast("decimal(25,4)") * F.lit(0.6).cast("decimal(2,1)")
+    return (li.join(broadcast_if_small(
+                        part.where(F.col("p_name").contains(Q9_NAME_PAT))
+                            .select("p_partkey", "p_retailprice"),
+                        size_path=f"{sf_dir}/part.parquet"),
+                    F.col("l_partkey") == F.col("p_partkey"))
+            .join(broadcast_if_small(supp.select("s_suppkey", "s_nationkey"),
+                                     size_path=f"{sf_dir}/supplier.parquet"),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(orders.select("o_orderkey", "o_orderdate"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").alias("o_year"))
+            .agg(F.round(F.sum(_revenue_cols() - cost), 2).cast("double")
+                 .alias("profit"))
+            .orderBy("nation", F.desc("o_year")))
+
+
+Q9_PRODUCT_PROFIT_SQL = f"""
+SELECT n_name AS nation, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       CAST(round(sum(
+         {_REV_SQL}
+         - CAST(CAST(p_retailprice AS DECIMAL(12,2))
+                * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(25,4))
+           * CAST({Q9_COST_FACTOR} AS DECIMAL(2,1))
+       ), 2) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%{Q9_NAME_PAT}%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+Q11_NATION = "NATION_3"
+Q11_SHARE_DENOM = 1000      # keep parts with value > total/1000
+
+
+def q11_important_stock_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape (important stock): per-part inventory value restricted
+    to one nation's suppliers, keeping parts whose value exceeds a
+    FRACTION OF THE GRAND TOTAL — the canonical group-share-of-total
+    HAVING with an uncorrelated scalar subquery.
+
+    Inventory value is mapped to the exact decimal sum of
+    l_extendedprice over the nation's lineitems (no partsupp).  The
+    share threshold compares ``value × 1000 > total`` in EXACT decimal
+    (no 0.0001-style literal whose decimal scale each engine might
+    type differently).  Scale shape: ONE groupBy over the
+    nation-filtered fact produces the per-part values; the grand total
+    re-aggregates THOSE group rows (parts-sized, not fact-sized) and
+    joins back as a broadcast single row — the scalar subquery costs
+    one extra reduce over group rows, never a second fact scan."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nat_supp = (supp.join(F.broadcast(
+                              nation.where(F.col("n_name") == Q11_NATION)),
+                          F.col("s_nationkey") == F.col("n_nationkey"))
+                .select("s_suppkey"))
+    val = (li.join(broadcast_if_small(nat_supp,
+                                      size_path=f"{sf_dir}/supplier.parquet"),
+                   F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+           .groupBy(F.col("l_partkey").alias("ps_partkey"))
+           .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .alias("v")))
+    total = val.agg(F.sum("v").alias("total"))
+    return (val.crossJoin(F.broadcast(total))
+            .where(F.col("v") * Q11_SHARE_DENOM > F.col("total"))
+            .select("ps_partkey", F.col("v").cast("double").alias("part_value"))
+            .orderBy(F.desc("part_value"), "ps_partkey"))
+
+
+Q11_IMPORTANT_STOCK_SQL = f"""
+WITH val AS (
+  SELECT l_partkey AS ps_partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS v
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = '{Q11_NATION}'
+  GROUP BY 1),
+tot AS (SELECT sum(v) AS total FROM val)
+SELECT ps_partkey, CAST(v AS DOUBLE) AS part_value
+FROM val, tot
+WHERE v * {Q11_SHARE_DENOM} > total
+ORDER BY part_value DESC, ps_partkey
+"""
+
+Q16_EXCL_BRAND = "Brand#1"
+Q16_EXCL_TYPE = "PROMO"
+Q16_SIZES = (1, 4, 9, 14, 23, 36, 45, 49)
+
+
+def q16_supplier_part_counts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape (supplier-part counts): distinct suppliers per
+    (brand, type, size) over the pair table, EXCLUDING one brand, one
+    type, and every supplier in a NOT-IN subquery — the canonical
+    count-distinct + negated-membership pattern.
+
+    The "customer complaints" supplier exclusion is mapped to negative
+    account balance (s_acctbal < 0 — the only complaint-like supplier
+    attribute).  The NOT IN decorrelates to a LEFT ANTI join (legal:
+    s_suppkey is never NULL, so NOT-IN three-valued-logic never
+    differs).  Scale shape: the distinct pair projection is the one
+    fact shuffle (two narrow int64 columns); part and the (tiny)
+    excluded-supplier list both broadcast; countDistinct re-shuffles
+    only pair-table-sized rows on the 3-attribute group key."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    ps = (li.select(F.col("l_partkey").alias("ps_partkey"),
+                    F.col("l_suppkey").alias("ps_suppkey"))
+          .distinct())
+    part_f = part.where((F.col("p_brand") != Q16_EXCL_BRAND)
+                        & (F.col("p_type") != Q16_EXCL_TYPE)
+                        & F.col("p_size").isin(*Q16_SIZES)) \
+                 .select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = supp.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (ps.join(broadcast_if_small(part_f,
+                                       size_path=f"{sf_dir}/part.parquet"),
+                    F.col("ps_partkey") == F.col("p_partkey"))
+            .join(broadcast_if_small(bad_supp,
+                                     size_path=f"{sf_dir}/supplier.parquet"),
+                  F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+            .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"))
+
+
+Q16_SUPPLIER_PART_COUNTS_SQL = f"""
+WITH ps AS (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+            FROM lineitem)
+SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+FROM ps JOIN part ON ps_partkey = p_partkey
+WHERE p_brand <> '{Q16_EXCL_BRAND}' AND p_type <> '{Q16_EXCL_TYPE}'
+  AND p_size IN {Q16_SIZES}
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+Q20_NATION = "NATION_7"
+Q20_NAME_PREFIX = "small"
+Q20_YEAR_LO, Q20_YEAR_HI = "1996-01-01", "1997-01-01"
+
+
+def q20_surplus_suppliers_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape (surplus suppliers): suppliers in one nation holding a
+    part (name-prefix filtered) whose availability exceeds half a
+    year's shipped quantity — the canonical DOUBLY-nested IN with a
+    correlated half-sum threshold subquery.
+
+    Mapping: with no ps_availqty, the threshold inverts to "the pair's
+    target-year shipped quantity exceeds half its all-time quantity"
+    — same nested structure (supplier IN (pairs WHERE part
+    IN (filtered parts) AND correlated-sum comparison)), computed from
+    one grouped pass with a conditional year split.  The half-sum
+    comparison is ``qty_year × 2 > qty_all`` in exact decimal (integer
+    doubling, no 0.5 literal).  Scale shape: one pair-key groupBy over
+    lineitem (the single fact shuffle) with the part-name semi-join
+    pushed BEFORE it; both IN memberships decorrelate to semi joins;
+    supplier/nation broadcast."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    in_year = (F.col("l_shipdate") >= F.lit(Q20_YEAR_LO)) \
+        & (F.col("l_shipdate") < F.lit(Q20_YEAR_HI))
+    surplus = (li.join(broadcast_if_small(
+                           part.where(F.col("p_name")
+                                      .startswith(Q20_NAME_PREFIX))
+                               .select("p_partkey"),
+                           size_path=f"{sf_dir}/part.parquet"),
+                       F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+               .groupBy(F.col("l_partkey").alias("pk"),
+                        F.col("l_suppkey").alias("sk"))
+               .agg(F.sum(qty).alias("qty_all"),
+                    F.sum(F.when(in_year, qty)
+                          .otherwise(F.lit(0).cast("decimal(18,2)")))
+                    .alias("qty_year"))
+               .where(F.col("qty_year") * 2 > F.col("qty_all"))
+               .select("sk").distinct())
+    return (supp.join(F.broadcast(
+                          nation.where(F.col("n_name") == Q20_NATION)),
+                      F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(surplus, F.col("s_suppkey") == F.col("sk"), "left_semi")
+            .select("s_name", "s_acctbal")
+            .orderBy("s_name"))
+
+
+Q20_SURPLUS_SUPPLIERS_SQL = f"""
+WITH yearq AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_all,
+         sum(CASE WHEN l_shipdate >= TIMESTAMP '{Q20_YEAR_LO} 00:00:00'
+                   AND l_shipdate <  TIMESTAMP '{Q20_YEAR_HI} 00:00:00'
+                  THEN CAST(l_quantity AS DECIMAL(18,2))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS qty_year
+  FROM lineitem GROUP BY 1, 2),
+surplus AS (
+  SELECT DISTINCT sk FROM yearq
+  WHERE pk IN (SELECT p_partkey FROM part
+               WHERE p_name LIKE '{Q20_NAME_PREFIX}%')
+    AND qty_year * 2 > qty_all)
+SELECT s_name, s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = '{Q20_NATION}' AND s_suppkey IN (SELECT sk FROM surplus)
+ORDER BY s_name
+"""
+
+
 TPCH_QUERIES: dict[str, tuple] = {
     "q1_pricing_summary": (q1_pricing_summary_df, Q1_PRICING_SUMMARY_SQL),
     "q3_shipping_priority": (q3_shipping_priority_df, Q3_SHIPPING_PRIORITY_SQL),
@@ -1005,6 +1372,13 @@ TPCH_QUERIES: dict[str, tuple] = {
     "q8_national_market_share": (q8_national_market_share_df,
                                  Q8_NATIONAL_MARKET_SHARE_SQL),
     "q12_late_shipments": (q12_late_shipments_df, Q12_LATE_SHIPMENTS_SQL),
+    "q2_min_cost_region": (q2_min_cost_region_df, Q2_MIN_COST_REGION_SQL),
+    "q9_product_profit": (q9_product_profit_df, Q9_PRODUCT_PROFIT_SQL),
+    "q11_important_stock": (q11_important_stock_df, Q11_IMPORTANT_STOCK_SQL),
+    "q16_supplier_part_counts": (q16_supplier_part_counts_df,
+                                 Q16_SUPPLIER_PART_COUNTS_SQL),
+    "q20_surplus_suppliers": (q20_surplus_suppliers_df,
+                              Q20_SURPLUS_SUPPLIERS_SQL),
     "user_value_ema": (user_value_ema_df, USER_VALUE_EMA_SQL),
     "user_value_ema_segmented": (user_value_ema_segmented_df,
                                  USER_VALUE_EMA_SEGMENTED_SQL),

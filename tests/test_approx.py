@@ -197,3 +197,26 @@ def test_segment_overlap_ie_bound_constrains(spark):
                     * OVERLAP_EPS_MULT * OVERLAP_RSD)
     # falsifiable: an estimate of 0 intersection is outside the bound
     assert abs(0 - row.n_inter) > tol
+
+
+def test_lsh_recall_floor_holds_and_is_falsifiable(spark):
+    """The banded-LSH candidate-recall contract (r09 VERDICT item 6):
+    at the production band count every true near-dup pair touching the
+    audit set collides in some band (recall clears the floor); with all
+    NUM_PERM rows collapsed into ONE band the same measurement falls
+    below it — the bound constrains the banding, not a tautology."""
+    from ringo_spark.operators.dedup import (
+        LSH_RECALL_FLOOR, dedup_lsh_recall_bounds_df,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    row = dedup_lsh_recall_bounds_df(spark, sf).collect()[0]
+    assert row.n_true > 0
+    assert row.meets_floor
+    assert row.recall >= LSH_RECALL_FLOOR
+
+    lowered = dedup_lsh_recall_bounds_df(spark, sf, bands=1).collect()[0]
+    assert not lowered.meets_floor
+    assert lowered.recall < LSH_RECALL_FLOOR
+    # same ground truth both times — only the banding moved
+    assert lowered.n_true == row.n_true

@@ -491,3 +491,37 @@ def test_r08_event_analytics_plan_shapes(spark):
         allowed_bnlj = 1 if builder is event_funnel_df else 0
         assert plan.count("BroadcastNestedLoop") <= allowed_bnlj, \
             builder.__name__
+
+
+def test_r10_partsupp_mapped_decorrelation_plan_shapes(spark):
+    """The five partsupp-mapped TPC-H shapes (r09 VERDICT item 3) keep
+    their decorrelated plans: every scalar/membership subquery is a
+    groupBy + join-back (semi/anti/equi), never a per-key re-scan or a
+    nested loop; selective dim predicates reach the parquet scans; the
+    single-row q11 total is the only allowed broadcast nested loop."""
+    from ringo_spark.operators.tpch import (
+        q2_min_cost_region_df, q9_product_profit_df, q11_important_stock_df,
+        q16_supplier_part_counts_df, q20_surplus_suppliers_df,
+    )
+
+    for builder, allowed_bnlj, pushed in (
+            (q2_min_cost_region_df, 0, "EqualTo(p_type,STANDARD)"),
+            (q9_product_profit_df, 0, "StringContains(p_name,widget)"),
+            # the grand-total scalar joins back as a 1-row broadcast
+            (q11_important_stock_df, 1, "EqualTo(n_name,NATION_3)"),
+            (q16_supplier_part_counts_df, 0, "LessThan(s_acctbal,0.0)"),
+            (q20_surplus_suppliers_df, 0, "StringStartsWith(p_name,small)"),
+    ):
+        plan = plan_of(spark, builder(spark, SF))
+        simple = plan_of(spark, builder(spark, SF), "simple")
+        name = builder.__name__
+        assert "CartesianProduct" not in plan, name
+        assert simple.count("BroadcastNestedLoopJoin") <= allowed_bnlj, name
+        assert pushed in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+    # the NOT-IN exclusion decorrelates to an anti join, the nested INs
+    # to semi joins
+    assert "LeftAnti" in plan_of(spark, q16_supplier_part_counts_df(spark, SF))
+    assert "LeftSemi" in plan_of(spark, q20_surplus_suppliers_df(spark, SF))
