@@ -126,8 +126,9 @@ HEADLINE = [
     "doc_entropy",
     "segment_overlap_bounds",
     "active_users_rolling",
-    # round-9 new operators (the partsupp-blocked TPC-H decorrelation
-    # shapes mapped onto existing tables + the LSH recall contract)
+    # round-10 new operators (the partsupp-mapped TPC-H decorrelation
+    # shapes + the LSH recall contract; named here one round early in
+    # r09 before they existed — ADVICE r09 item 1 — implemented r10)
     "q2_min_cost_region",
     "q9_product_profit",
     "q11_important_stock",
@@ -172,6 +173,13 @@ def main():
     # first-query timings otherwise measure session startup, not the query)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{SF_DIR}/events.parquet").limit(1).collect()
+    # absent coverage must be LOUD (ADVICE r09): a HEADLINE name with no
+    # queries() entry is a planned measurement that silently never
+    # happened — surface it on stderr AND in both bench records
+    skipped = [n for n in HEADLINE if n not in qs]
+    if skipped:
+        print(f"bench: HEADLINE names missing from queries(), "
+              f"NOT measured: {skipped}", file=sys.stderr)
     names = [n for n in HEADLINE if n in qs] or list(qs)
     timings = {}
     for name in names:
@@ -192,6 +200,8 @@ def main():
         "queries": timings,
         "sf": float(m.group(1).rstrip(".")) if m else None,
     }
+    if skipped:
+        out["skipped"] = skipped
     # round-over-round comparison: BENCH_BASELINE.json pins the round-1
     # per-query timings (sf0.1); emit deltas when comparing like-for-like
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -244,12 +254,30 @@ def main():
         "baseline_comparable_total": out.get("baseline_comparable_total"),
         "baseline_total": out.get("baseline_total"),
         "n_queries": len(timings),
+        "n_skipped": len(skipped),
         "detail_file": "BENCH_DETAIL.json",
     }
+    # A valid compact line must ALWAYS print (ADVICE r09: the old bare
+    # assert vanished under -O and, when it fired, exited with NO stdout
+    # line at all).  On overflow, drop COMPACT_EXTRA timings from the
+    # line until it fits — the full record is already in
+    # BENCH_DETAIL.json either way.
     line = json.dumps(compact, separators=(",", ":"))
-    assert len(line) <= MAX_STDOUT_LINE, (
-        f"stdout line {len(line)} > {MAX_STDOUT_LINE} chars — would be "
-        "truncated by the driver's capture tail; trim COMPACT_EXTRA")
+    extra_left = [n for n in COMPACT_EXTRA if n in compact["queries"]]
+    while len(line) > MAX_STDOUT_LINE and extra_left:
+        dropped = extra_left.pop()
+        del compact["queries"][dropped]
+        print(f"bench: stdout line over {MAX_STDOUT_LINE} chars — "
+              f"dropped {dropped} from the compact line (full timing "
+              "remains in BENCH_DETAIL.json)", file=sys.stderr)
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > MAX_STDOUT_LINE:
+        # still over with all extras gone: emit totals-only rather than
+        # nothing (the 13 baseline queries alone have never come close)
+        compact["queries"] = {}
+        print("bench: compact line still over budget after dropping all "
+              "COMPACT_EXTRA — emitting totals-only line", file=sys.stderr)
+        line = json.dumps(compact, separators=(",", ":"))
     print(line)
 
 

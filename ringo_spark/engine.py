@@ -257,6 +257,7 @@ class Engine:
         """Exclusive flock on the table's persistent lock file.  Returns
         ``(fd, token)``; the token is vestigial (release is a close, no
         ownership check needed) but kept so call sites are stable."""
+        import errno
         import fcntl
 
         lock = self._lock_path(table)
@@ -268,7 +269,14 @@ class Engine:
                     try:
                         fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
                         break
-                    except OSError:
+                    except OSError as e:
+                        # only contention reads as "lock held"; a real
+                        # error (EBADF, ENOLCK on NFS, ...) must surface
+                        # immediately, not spin out the deadline
+                        # (ADVICE r09).  EINTR just retries.
+                        if e.errno not in (errno.EWOULDBLOCK, errno.EAGAIN,
+                                           errno.EINTR):
+                            raise
                         if time.monotonic() > deadline:
                             raise TimeoutError(
                                 f"manifest lock for {table!r} held > "
@@ -277,16 +285,24 @@ class Engine:
                 # guard against EXTERNAL deletion of the lock file while
                 # we waited (we never unlink it ourselves): if the path
                 # no longer names our locked inode, the lock we hold
-                # excludes nobody — reopen and retry.
+                # excludes nobody — reopen and retry.  The reopen path
+                # honors the SAME deadline (ADVICE r09: an external
+                # process recreating the file in a loop must not make
+                # this spin forever).
                 try:
                     if os.stat(lock).st_ino == os.fstat(fd).st_ino:
                         return fd, ""
                 except FileNotFoundError:
                     pass
-                os.close(fd)
-            except TimeoutError:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"manifest lock file for {table!r} kept being "
+                        f"externally replaced for > {self._LOCK_WAIT_SECS}s "
+                        f"({lock})")
+            except (TimeoutError, OSError):
                 os.close(fd)
                 raise
+            os.close(fd)  # inode mismatch, not timed out: reopen fresh
 
     def _release_manifest_lock(self, table: str, fd: int,
                                token: str) -> None:

@@ -42,48 +42,50 @@ def plan_size_bytes(df: DataFrame) -> int:
 
 # On-disk size per source path, resolved through the Hadoop FileSystem
 # (works on any scheme the cluster reads: file://, s3a://, hdfs://).
-# Freshness (r06/r07/r08 ADVICE lineage): the token is the path's own
-# mtime plus getContentSummary's RECURSIVE (length, fileCount,
-# directoryCount) — the summary covers every depth, so an in-place
-# rewrite inside a partition subdirectory (which leaves the top-level
-# mtime and one-level listStatus digest unchanged — the depth-1+ hole
-# the r08 ADVICE found in the previous design) changes the token
-# whenever it changes any byte count or file count.  A rewrite the
-# summary CAN'T see (identical total length AND file/dir counts AND
-# top mtime) necessarily leaves the cached size correct, since the size
-# IS the summed length.  Cost: getContentSummary is one namenode RPC on
-# HDFS / a recursive list on object stores per gated build — the length
-# it returns is also the answer, so the "cache" now only avoids the
-# Path/FileSystem JVM round-trips, and correctness never rides on it.
-_SIZE_CACHE: dict[str, tuple[tuple, int]] = {}  # path -> (token, bytes)
+# The size IS getContentSummary's recursive length (every depth — the
+# r08 ADVICE's partition-subdir staleness hole cannot exist, because
+# the measurement and the answer are the same recursive walk; there is
+# no token to go stale).  Cost model (r09 ADVICE — the old token-keyed
+# cache re-listed on every call, making it dead weight): each
+# measurement is one namenode RPC on HDFS but a full recursive list on
+# s3a/gcs, so measurements are amortized by a TTL.  TTL=0 (default)
+# re-measures every call — always fresh, right for local/HDFS and for
+# the correctness tests; set ``ringo.sizeTtlSeconds`` on object stores
+# to trade a bounded staleness window for not re-listing per gated
+# join build.  Staleness within the TTL only mis-sizes a HINT: the
+# gate is a latency optimization, and AQE re-picks the join strategy
+# from real runtime sizes either way.
+SIZE_TTL_CONF_KEY = "ringo.sizeTtlSeconds"
+_SIZE_CACHE: dict[str, tuple[float, int]] = {}  # path -> (measured_at, bytes)
 
 
-def _freshness_token(fs, p) -> tuple:
-    st = fs.getFileStatus(p)
-    cs = fs.getContentSummary(p)   # recursive: all depths
-    return (int(st.getModificationTime()), int(cs.getLength()),
-            int(cs.getFileCount()), int(cs.getDirectoryCount()))
-
-
-def table_size_bytes(spark, path: str) -> int:
+def _measure_size(spark, path: str) -> int:
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    token = _freshness_token(fs, p)
+    return int(fs.getContentSummary(p).getLength())  # recursive: all depths
+
+
+def table_size_bytes(spark, path: str) -> int:
+    import time
+
+    ttl_conf = spark.conf.get(SIZE_TTL_CONF_KEY, None)
+    ttl = float(ttl_conf) if ttl_conf is not None else 0.0
+    now = time.monotonic()
     hit = _SIZE_CACHE.get(path)
-    if hit is None or hit[0] != token:
-        _SIZE_CACHE[path] = (token, token[1])  # size = summary length
-    return _SIZE_CACHE[path][1]
+    if hit is not None and ttl > 0 and now - hit[0] < ttl:
+        return hit[1]
+    size = _measure_size(spark, path)
+    _SIZE_CACHE[path] = (now, size)
+    return size
 
 
 def invalidate_size_cache(path: str | None = None) -> None:
-    """Drop cached sizes — an explicit escape hatch kept for API
-    stability.  Since the token moved to the recursive content summary
-    (r09) the gate re-measures every rewrite that changes any byte or
-    file count at any depth on its own; the only rewrites the token
-    misses leave the summed length — i.e. the cached answer — correct.
-    The engine itself never needs it: its own outputs are joined via
-    explicit ``F.broadcast``, not the size gate."""
+    """Drop cached sizes: forces the next ``table_size_bytes`` to
+    re-measure even inside a ``ringo.sizeTtlSeconds`` window.  Engine
+    paths that rewrite a source in place and immediately re-plan
+    against it call this; with the default TTL of 0 it is a no-op
+    beyond hygiene (every call re-measures anyway)."""
     if path is None:
         _SIZE_CACHE.clear()
     else:

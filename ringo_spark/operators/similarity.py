@@ -354,6 +354,28 @@ def _ivf_centroid_rows(emb: DataFrame, k: int = IVF_K) -> list:
             .collect())
 
 
+# Ceiling for the literal-expression assignment forms below: each
+# centroid adds a dim-wide array literal + a fold to the SAME expression
+# tree, so plan size grows ~K x dim — fine at the contract K=16, a
+# codegen/driver bottleneck at the ~sqrt(N) K a production index wants
+# (r08/r09 VERDICT).  Above the gate `_with_cell` switches to the
+# broadcast centroid-join argmax (`_with_cell_join`, the ann_ivf_df
+# shape: per-row plan cost is constant, the join carries K rows
+# broadcast, and the argmax is a groupBy-max — one corpus shuffle on
+# the id column buys unbounded K).  `_cell_expr` itself, which has no
+# id column to pivot the join on, raises past the gate.
+CELL_ASSIGN_LITERAL_MAX_K = 64
+
+
+def _assert_literal_k(n_cent: int, op: str) -> None:
+    if n_cent > CELL_ASSIGN_LITERAL_MAX_K:
+        raise ValueError(
+            f"{op} builds a literal expression tree per centroid and is "
+            f"gated at K={CELL_ASSIGN_LITERAL_MAX_K} (got {n_cent}); use "
+            f"_with_cell (auto-switches to the broadcast centroid-join "
+            f"argmax above the gate) or _with_cell_join directly")
+
+
 def _cell_expr(cent_rows) -> F.Column:
     """Map-only cell assignment: argmax cosine over K broadcast centroid
     literals, deterministic ties broken by max cid via lexicographic struct
@@ -365,13 +387,39 @@ def _cell_expr(cent_rows) -> F.Column:
     Prefer :func:`_with_cell` on a hot path: this single-Column form
     re-folds the row's self-norm inside every centroid branch (Spark
     evaluates higher-order functions by interpreted closure dispatch, so
-    nothing CSEs them away)."""
+    nothing CSEs them away).  Gated at CELL_ASSIGN_LITERAL_MAX_K."""
+    _assert_literal_k(len(cent_rows), "_cell_expr")
     scs = []
     for cid, cvec_vals in cent_rows:
         cvec = F.array(*[F.lit(float(x)) for x in cvec_vals])
         s = F.round(cosine(F.col("embedding"), cvec), 6)
         scs.append(F.struct(s.alias("s"), F.lit(int(cid)).alias("cid")))
     return F.greatest(*scs).getField("cid") if len(scs) > 1 else scs[0].getField("cid")
+
+
+def _with_cell_join(df: DataFrame, cent_rows, out: str = "cell",
+                    id_col: str = "vec_id") -> DataFrame:
+    """Cell assignment for K past the literal gate: broadcast the K
+    centroids as DATA (not literals), score with the same
+    round(cosine, 6), take the per-``id_col`` argmax as a groupBy-max
+    of the (score, cid) struct — lexicographic max, so ties break to
+    max cid exactly like ``greatest`` over structs in the literal
+    forms (equality pytest-pinned).  Costs one corpus shuffle on
+    ``id_col`` (the groupBy) that the literal form avoids; buys a plan
+    whose size is independent of K — at the production ~sqrt(N)
+    centroid count this is the only viable shape."""
+    spark = df.sparkSession
+    cent_df = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in cent_rows],
+        "cid int, cvec array<double>")
+    s = F.round(cosine(F.col("embedding"), F.col("cvec")), 6)
+    best = (df.select(id_col, "embedding")
+            .crossJoin(F.broadcast(cent_df))
+            .groupBy(id_col)
+            .agg(F.max(F.struct(s.alias("s"),
+                                F.col("cid").alias("cid"))).alias("__best"))
+            .select(id_col, F.col("__best.cid").alias(out)))
+    return df.join(best, id_col)
 
 
 def _with_cell(df: DataFrame, cent_rows, out: str = "cell") -> DataFrame:
@@ -386,9 +434,15 @@ def _with_cell(df: DataFrame, cent_rows, out: str = "cell") -> DataFrame:
     driver-side Python-float literal with the same left-to-right IEEE
     accumulation, so only the K cross-dots remain per row (~3x fewer
     folds).  The round-6 trajectory the DuckDB oracle replays is
-    unchanged."""
+    unchanged.
+
+    Above CELL_ASSIGN_LITERAL_MAX_K the literal tree itself is the
+    bottleneck and this switches to :func:`_with_cell_join` (same
+    assignment, pytest-pinned equal; requires a ``vec_id`` column)."""
     import math
 
+    if len(cent_rows) > CELL_ASSIGN_LITERAL_MAX_K:
+        return _with_cell_join(df, cent_rows, out)
     e = F.col("embedding")
     norm = f"__{out}_norm_a"
     scs = []
@@ -701,14 +755,16 @@ def train_ivf_centroids(spark: SparkSession, sf_dir: str, k: int = IVF_K,
 
 
 def ann_ivf_kmeans_df(spark: SparkSession, sf_dir: str,
-                      nprobe: int = IVF_NPROBE) -> DataFrame:
+                      nprobe: int = IVF_NPROBE, k: int = IVF_K) -> DataFrame:
     """IVF search over k-means-trained centroids: identical probe/search
     shape to ``ann_ivf_df``, but the cells are learned (2 Lloyd
     iterations) instead of seeded — better-balanced cells, same plan.
-    ``nprobe`` is the recall knob (cells searched per query); the
-    registered entry pins the default, ``ann_ivf_recall_bounds``
-    measures the recall it buys against brute-force ground truth."""
-    cent = train_ivf_centroids(spark, sf_dir)
+    ``nprobe`` is the recall knob (cells searched per query) and ``k``
+    the trained centroid count (production: ~sqrt(N), probed by
+    ``tools/scale_probe.py ivf``); the registered entry pins the
+    defaults, ``ann_ivf_recall_bounds`` measures the recall they buy
+    against brute-force ground truth."""
+    cent = train_ivf_centroids(spark, sf_dir, k=k)
     emb = _emb(spark, sf_dir)
     cells = _with_cell(emb, cent).select("vec_id", "embedding", "cell")
     cent_df = spark.createDataFrame(
@@ -741,7 +797,8 @@ IVF_RECALL_FLOOR = 0.80   # pinned: mean recall@5 over the 20 queries
 
 
 def ann_ivf_recall_bounds_df(spark: SparkSession, sf_dir: str,
-                             nprobe: int = IVF_RECALL_NPROBE) -> DataFrame:
+                             nprobe: int = IVF_RECALL_NPROBE,
+                             k: int = IVF_K) -> DataFrame:
     """Driver-hashable recall contract for the k-means IVF index
     (r07 VERDICT item 3): per query, how many of the brute-force
     top-5 cosine neighbors the IVF search at a FIXED nprobe recovers —
@@ -759,7 +816,7 @@ def ann_ivf_recall_bounds_df(spark: SparkSession, sf_dir: str,
     pattern, never a production all-pairs path.  EAGER like
     ``ann_ivf_kmeans``: k-means training runs at construction
     (registry.EAGER_QUERIES)."""
-    ivf = ann_ivf_kmeans_df(spark, sf_dir, nprobe=nprobe) \
+    ivf = ann_ivf_kmeans_df(spark, sf_dir, nprobe=nprobe, k=k) \
         .select("q_id", "n_id")
     emb = _emb(spark, sf_dir)
     q = emb.where(F.col("vec_id") < LSH_N_QUERIES) \

@@ -220,3 +220,20 @@ def test_lsh_recall_floor_holds_and_is_falsifiable(spark):
     assert lowered.recall < LSH_RECALL_FLOOR
     # same ground truth both times — only the banding moved
     assert lowered.n_true == row.n_true
+
+
+def test_ivf_recall_holds_at_larger_k_with_proportional_nprobe(spark):
+    """r09 VERDICT item 5: growing K shrinks cells, so recall at a FIXED
+    nprobe must fall — the scale claim is that recall at a PROPORTIONAL
+    nprobe (constant probed-corpus fraction, nprobe=K/4) does not
+    collapse.  Pin it at K=64 (past the default contract K=16; the
+    sf0.1 probe table lives in SCALE.md)."""
+    from ringo_spark.operators.similarity import (
+        IVF_RECALL_FLOOR, ann_ivf_recall_bounds_df,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = ann_ivf_recall_bounds_df(spark, sf, nprobe=16, k=64).collect()
+    assert len(rows) == 20
+    assert rows[0].mean_recall >= IVF_RECALL_FLOOR
+    assert all(r.meets_floor for r in rows)

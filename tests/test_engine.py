@@ -4,6 +4,7 @@ store, artifact parity (dependencies/dimensions/facts JSON + SQL files)."""
 import datetime as dt
 import json
 import os
+import time
 
 import pytest
 
@@ -568,15 +569,64 @@ def test_manifest_lock_crash_timeout_and_replace(spark, tmp_path):
     # ...and a close releases it for the next acquirer
     os.close(holder)
     fd, token = eng._acquire_manifest_lock("t")
-    # external unlink+recreate while held: a second acquirer must lock
-    # the NEW inode (the inode re-check reopens), not deadlock on the
-    # deleted one, and must still be excluded until we release
+    # external unlink+recreate while held: a second acquirer locks the
+    # NEW inode without deadlocking (the inode re-check reopens).  NB
+    # what this asserts (ADVICE r09): fd2 acquires IMMEDIATELY while fd
+    # is still held — mutual exclusion against the original holder is
+    # NOT preserved once the file is externally replaced.  That is the
+    # documented design limit of the never-unlink protocol (nothing in
+    # the engine deletes lock files), not a property being defended.
     os.unlink(lock)
     with open(lock, "w") as fh:
         fh.write("")
     fd2, token2 = eng._acquire_manifest_lock("t")   # old lock's inode gone
     eng._release_manifest_lock("t", fd2, token2)
     eng._release_manifest_lock("t", fd, token)
+
+
+def test_manifest_lock_error_paths_are_bounded(spark, tmp_path, monkeypatch):
+    """ADVICE r09: (a) a non-contention flock error (EBADF, ENOLCK, ...)
+    surfaces immediately instead of spinning out the 30s deadline as
+    'lock held'; (b) the inode-mismatch reopen path honors the same
+    deadline, so an external process recreating the lock file in a loop
+    cannot make acquisition spin forever."""
+    import errno
+
+    eng = Engine(spark, ORDERS_ENV, str(tmp_path / "lkerr"),
+                 commit_mode="manifest")
+    os.makedirs(eng.storage, exist_ok=True)
+
+    # (a) genuine error: raise ENOLCK from flock — must propagate as
+    # OSError at once (a TimeoutError here would mean it spun)
+    import fcntl as _fcntl
+
+    def boom(fd, op):
+        raise OSError(errno.ENOLCK, "no locks available")
+
+    monkeypatch.setattr(_fcntl, "flock", boom)
+    t0 = time.monotonic()
+    with pytest.raises(OSError) as ei:
+        eng._acquire_manifest_lock("t")
+    assert ei.value.errno == errno.ENOLCK
+    assert time.monotonic() - t0 < 1.0
+    monkeypatch.undo()
+
+    # (b) perpetual inode mismatch: fstat never matches stat — the
+    # reopen loop must end in TimeoutError, not run forever
+    real_fstat = os.fstat
+
+    class _FakeIno:
+        st_ino = -1
+
+    monkeypatch.setattr(os, "fstat", lambda fd: _FakeIno)
+    orig_wait = Engine._LOCK_WAIT_SECS
+    Engine._LOCK_WAIT_SECS = 0.2
+    try:
+        with pytest.raises(TimeoutError, match="externally replaced"):
+            eng._acquire_manifest_lock("t")
+    finally:
+        Engine._LOCK_WAIT_SECS = orig_wait
+        monkeypatch.setattr(os, "fstat", real_fstat)
 
 
 def test_manifest_concurrent_append_stress(spark, tmp_path):

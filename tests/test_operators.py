@@ -910,6 +910,37 @@ def test_with_cell_matches_cell_expr(spark):
          sim._with_cell(emb, cent).select("vec_id", "cell").collect()}
     assert a == b and a
 
+    # the large-K join form is the same assignment (r09 VERDICT item 4:
+    # the literal tree is gated; this is what runs above the gate)
+    c = {r.vec_id: r.cell for r in
+         sim._with_cell_join(emb, cent).select("vec_id", "cell").collect()}
+    assert a == c
+
+
+def test_cell_assignment_literal_k_gate(spark):
+    """r09 VERDICT item 4: the literal-expression assignment forms are
+    gated at CELL_ASSIGN_LITERAL_MAX_K.  _cell_expr (no id column to
+    join on) raises past the gate; _with_cell transparently switches to
+    the broadcast centroid-join argmax and still assigns every row."""
+    import pytest as _pytest
+
+    from ringo_spark.operators import similarity as sim
+
+    emb = sim._emb(spark, "/root/testdata/sf0.001")
+    k_over = sim.CELL_ASSIGN_LITERAL_MAX_K + 1
+    # synthetic centroid set one past the gate (unit basis vectors,
+    # cycled) — content is irrelevant to the gate itself
+    cent = [(i, [1.0 if j == i % sim.EMB_DIM else 0.0
+                 for j in range(sim.EMB_DIM)]) for i in range(k_over)]
+
+    with _pytest.raises(ValueError, match="gated at K="):
+        sim._cell_expr(cent)
+
+    assigned = sim._with_cell(emb.limit(50), cent)
+    rows = assigned.select("vec_id", "cell").collect()
+    assert len(rows) == 50
+    assert all(r.cell is not None for r in rows)
+
 
 def test_embedding_lsh_pairs_are_subset_of_exact(spark):
     """dedup_embedding_lsh's contract: every pair it emits is a pair the

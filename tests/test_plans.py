@@ -218,7 +218,8 @@ def test_tpch_broadcast_gate_degrades(spark):
 def test_broadcast_gate_unit(spark, tmp_path):
     """Gate mechanics: under the gate the hint is attached (ResolvedHint
     in the analyzed plan), over it the frame is returned unhinted; the
-    size_path route stats the table once and caches."""
+    size_path route measures the recursive on-disk size (TTL=0 default:
+    every call re-measures, so rewrites are always seen)."""
     from ringo_spark.functions import broadcast_gate as bg
 
     p = str(tmp_path / "t.parquet")
@@ -232,7 +233,7 @@ def test_broadcast_gate_unit(spark, tmp_path):
 
     s1 = bg.table_size_bytes(spark, p)
     assert s1 > 0 and bg._SIZE_CACHE[p][1] == s1
-    assert bg.table_size_bytes(spark, p) == s1  # served from cache
+    assert bg.table_size_bytes(spark, p) == s1  # re-measured, unchanged
     # staleness (r06 ADVICE): rewriting the table under the same path
     # must re-measure — a stale small size would force-broadcast a
     # now-large table
@@ -375,11 +376,12 @@ def test_q14_conditional_agg_pushdown(spark):
 
 
 def test_size_cache_catches_same_mtime_rewrite(spark, tmp_path):
-    """r07 ADVICE: mtime alone misses an in-place rewrite within the
-    filesystem's mtime granularity (same-second overwrites on
-    coarse-mtime stores).  Simulate the worst case — every mtime forced
-    IDENTICAL across the rewrite — and assert the listStatus length
-    signal still invalidates the cached size."""
+    """r07 ADVICE lineage: mtime alone misses an in-place rewrite within
+    the filesystem's mtime granularity.  Since r10 the gate re-measures
+    the recursive content-summary length on every call (TTL=0 default),
+    so no mtime/token heuristic exists to fool — simulate the worst
+    case anyway (every mtime frozen across the rewrite) and assert the
+    size moves."""
     import os
 
     from ringo_spark.functions import broadcast_gate as bg
@@ -399,14 +401,47 @@ def test_size_cache_catches_same_mtime_rewrite(spark, tmp_path):
     assert p not in bg._SIZE_CACHE
 
 
+def test_size_ttl_amortizes_measurement(spark, tmp_path, monkeypatch):
+    """r09 ADVICE: with the recursive summary AS the measurement, the
+    cache only earns its keep with a TTL.  Under ringo.sizeTtlSeconds
+    the second call within the window does NO filesystem round-trip;
+    invalidate_size_cache punches through the window; TTL unset (the
+    default) re-measures every call."""
+    from ringo_spark.functions import broadcast_gate as bg
+
+    p = str(tmp_path / "ttl.parquet")
+    spark.range(1000).write.parquet(p)
+    calls = {"n": 0}
+    real = bg._measure_size
+
+    def counting(spark_, path_):
+        calls["n"] += 1
+        return real(spark_, path_)
+
+    monkeypatch.setattr(bg, "_measure_size", counting)
+    bg.invalidate_size_cache()
+
+    spark.conf.set(bg.SIZE_TTL_CONF_KEY, "3600")
+    try:
+        s1 = bg.table_size_bytes(spark, p)
+        s2 = bg.table_size_bytes(spark, p)
+        assert s1 == s2 and calls["n"] == 1          # second call: cache hit
+        bg.invalidate_size_cache(p)
+        bg.table_size_bytes(spark, p)
+        assert calls["n"] == 2                       # invalidation re-measures
+    finally:
+        spark.conf.unset(bg.SIZE_TTL_CONF_KEY)
+    bg.table_size_bytes(spark, p)
+    bg.table_size_bytes(spark, p)
+    assert calls["n"] == 4                           # TTL off: every call
+
+
 def test_size_cache_catches_partition_subdir_rewrite(spark, tmp_path):
-    """r08 ADVICE: the one-level listStatus digest closed the staleness
-    hole at depth 0 only — for a PARTITIONED table the children are
-    subdirectories whose listed length is 0, so a same-mtime rewrite of
-    files INSIDE a partition subdir left the token unchanged.  The
-    recursive content-summary token must catch it: rewrite one
-    partition's files under frozen mtimes at every level and assert the
-    size is re-measured."""
+    """r08 ADVICE lineage: the one-level listStatus digest missed
+    rewrites INSIDE partition subdirectories.  The recursive
+    content-summary measurement (now re-run per call at TTL=0) must see
+    them: rewrite one partition's files under frozen mtimes at every
+    level and assert the size is re-measured."""
     import os
 
     from pyspark.sql import functions as F

@@ -415,6 +415,42 @@ def deep_scenario():
     shutil.rmtree(SCRATCH, ignore_errors=True)
 
 
+def ivf_scenario():
+    """IVF centroid-count probe (r09 VERDICT item 5): training cost and
+    recall@5 at K in {16, 64, 256} at sf0.1 (2,000 vectors; K=256 is
+    past sqrt(N) — the small-cell extreme).  Two recall readings per K:
+    at the FIXED contract nprobe (4) — where recall MUST fall as cells
+    shrink, since 4/256 cells cover ~1.6% of the corpus vs 25% at K=16
+    — and at a PROPORTIONAL nprobe (max(4, K/4), constant ~25% corpus
+    fraction), where recall holding up is the actual scale claim: cells
+    shrinking does not break the index, it just moves the recall knob.
+    K=256 also exercises the post-gate join-based cell assignment
+    (_with_cell_join) end to end."""
+    from ringo_spark.catalog import get_spark
+    from ringo_spark.operators.similarity import (
+        IVF_RECALL_NPROBE, ann_ivf_recall_bounds_df, train_ivf_centroids,
+    )
+
+    spark = get_spark("scale-probe-ivf")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+    print("| K | train s | cells kept | recall@5 nprobe=4 "
+          "| nprobe=max(4,K/4) | recall there |")
+    print("|---|---|---|---|---|---|")
+    for k in (16, 64, 256):
+        t0 = time.time()
+        cent = train_ivf_centroids(spark, SRC, k=k)
+        train_s = time.time() - t0
+        prop = max(4, k // 4)
+        rec_fixed = ann_ivf_recall_bounds_df(
+            spark, SRC, nprobe=IVF_RECALL_NPROBE, k=k) \
+            .agg(F.avg("recall")).collect()[0][0]
+        rec_prop = ann_ivf_recall_bounds_df(spark, SRC, nprobe=prop, k=k) \
+            .agg(F.avg("recall")).collect()[0][0]
+        print(f"| {k} | {train_s:.1f} | {len(cent)} | {rec_fixed:.3f} "
+              f"| {prop} | {rec_prop:.3f} |", flush=True)
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "skew":
         skew_scenario()
@@ -422,5 +458,7 @@ if __name__ == "__main__":
         skewjoin_scenario()
     elif len(sys.argv) > 1 and sys.argv[1] == "deep":
         deep_scenario()
+    elif len(sys.argv) > 1 and sys.argv[1] == "ivf":
+        ivf_scenario()
     else:
         main()
