@@ -368,3 +368,114 @@ def test_streaming_append_crash_between_write_and_pointer_flip(
     assert eng.read_table(fact_table).agg(
         F.sum("event_count")).collect()[0][0] == n
     assert eng._inflight() == {}
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """The stateful streaming funnel twin (r09 VERDICT item 8): replay
+    the fixture corpus as THREE event-time-ordered micro-batches
+    (maxFilesPerTrigger=1) through applyInPandasWithState and assert
+    the aggregated result row-equals the batch event_funnel_df — same
+    step counts, same conversions.  Also pins the ordering contract's
+    mechanics: progress rows are emitted per (user, batch) and
+    steps_reached is monotone across a user's rows."""
+    from ringo_spark.operators.session import FUNNEL_STEPS, event_funnel_df
+    from ringo_spark.streaming.funnel import (
+        funnel_counts, streaming_event_funnel,
+    )
+
+    cat = load_catalog(spark, SF, [EVENTS])
+    ev = (cat["events"]
+          .where(F.col("user_id").isNotNull()
+                 & F.col("event_type").isin(*FUNNEL_STEPS))
+          .select("user_id",
+                  F.timestamp_seconds(F.unix_timestamp("ts")).alias("ts"),
+                  "event_type"))
+    # three event-time terciles, written as one file each with
+    # lexicographically ordered names so the file source replays them
+    # in event-time order (the documented exactness contract)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    import datetime as _dt
+
+    span = (hi - lo).total_seconds()
+    cuts = [lo + _dt.timedelta(seconds=span / 3),
+            lo + _dt.timedelta(seconds=2 * span / 3)]
+    parts = [ev.where(F.col("ts") < cuts[0]),
+             ev.where((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+             ev.where(F.col("ts") >= cuts[1])]
+    src = str(tmp_path / "funnel-src")
+    os.makedirs(src)
+    import shutil
+
+    for i, p in enumerate(parts):
+        tmp = str(tmp_path / f"stage{i}")
+        p.coalesce(1).write.parquet(tmp)
+        f = next(x for x in os.listdir(tmp) if x.endswith(".parquet"))
+        shutil.copy(os.path.join(tmp, f), os.path.join(src, f"{i:02d}.parquet"))
+
+    stream = (spark.readStream
+              .schema("user_id long, ts timestamp, event_type string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src))
+    updates = streaming_event_funnel(stream, watermark_delay=None)
+    q = (updates.writeStream.format("memory").queryName("funnel_updates")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got_updates = spark.sql("select * from funnel_updates")
+    # monotone progress per user across batches
+    import collections
+
+    seqs = collections.defaultdict(list)
+    for r in got_updates.orderBy("user_id").collect():
+        seqs[r.user_id].append(r.steps_reached)
+    assert seqs and all(s == sorted(s) for s in seqs.values())
+
+    got = {tuple(r) for r in funnel_counts(got_updates).collect()}
+    want = {tuple(r) for r in event_funnel_df(spark, SF).collect()}
+    assert got == want and len(want) == len(FUNNEL_STEPS)
+
+
+def test_streaming_funnel_state_expires_on_watermark(spark, tmp_path):
+    """Funnel EventTimeTimeout: once the watermark passes a user's last
+    activity + FUNNEL_IDLE_EXPIRE_SECONDS the key emits its final
+    progress row and its state is REMOVED (store stays O(active users));
+    a recent user's state survives."""
+    import datetime as dt
+
+    from ringo_spark.streaming.funnel import streaming_event_funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    # user 1: view@0 -> click@100, then idle forever
+    # user 2: view@50_000 -> watermark 49_940 passes user 1's
+    #         100 + 21_600 horizon; user 2's own horizon is far ahead
+    rows = [(1, at(0), "view"), (1, at(100), "click"),
+            (2, at(50_000), "view")]
+    src = str(tmp_path / "funnel_expiry_src")
+    spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string") \
+        .coalesce(1).write.parquet(src)
+
+    stream = (spark.readStream
+              .schema("user_id long, ts timestamp, event_type string")
+              .parquet(src))
+    q = (streaming_event_funnel(stream, watermark_delay="60 seconds")
+         .writeStream.format("memory").queryName("funnel_expiry")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_fx"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    base = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
+    got = {tuple(r) for r in spark.sql("select * from funnel_expiry").collect()}
+    # user 1's final progress (2 steps, strict view<click chain) was
+    # emitted — in-batch and again by the timeout flush
+    assert (1, 2, base, base + 100, None) in got
+    # user 2 reached step 1 only
+    assert (2, 1, base + 50_000, None, None) in got
+    # state store retains only the still-active key (user 2)
+    assert q.lastProgress["stateOperators"][0]["numRowsTotal"] == 1
