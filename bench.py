@@ -135,6 +135,7 @@ HEADLINE = [
     "q16_supplier_part_counts",
     "q20_surplus_suppliers",
     "dedup_lsh_recall_bounds",
+    "doc_dup_chunk_fraction",
 ]
 
 RUNS_PER_QUERY = 2
@@ -150,6 +151,7 @@ COMPACT_EXTRA = [
     "q16_supplier_part_counts",
     "q20_surplus_suppliers",
     "dedup_lsh_recall_bounds",
+    "doc_dup_chunk_fraction",
     "doc_entropy",
     "segment_overlap_bounds",
     "active_users_rolling",

@@ -1233,3 +1233,94 @@ FROM tot, caught
 
 
 DEDUP_LSH_RECALL_BOUNDS_SQL = _lsh_recall_bounds_sql()
+
+
+# --- cross-document duplicated-span fraction ---------------------------------
+#
+# The Gopher/RefinedWeb-style "copy fraction" gate: a document whose
+# content largely consists of spans that ALSO appear in other documents
+# (boilerplate, licenses, syndicated text) should be dropped even when
+# no single whole-document near-duplicate exists.  Complements
+# text_repetition (WITHIN-doc repetition) with the cross-doc axis, at
+# sub-document granularity no whole-doc Jaccard can see.
+
+DUP_CHUNK_TOKENS = 10        # non-overlapping token window per chunk
+DUP_CHUNK_MAX_FRACTION = 0.5  # keep docs under this duplicated fraction
+
+
+def doc_dup_chunk_fraction_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: how many of its fixed-width token chunks also occur
+    (verbatim) in at least one OTHER document, the duplicated fraction,
+    and the keep/drop verdict at DUP_CHUNK_MAX_FRACTION.
+
+    Scale shape: chunking is a map-side bounded explode (corpus tokens /
+    W rows, each a 16-byte md5 + ids); the one corpus-sized shuffle is
+    the hash-key groupBy counting DISTINCT source docs per chunk (the
+    exact-dedup shuffle at chunk granularity); the per-doc rollup joins
+    chunk rows back to their doc — chunk-table-sized, shuffled on the
+    hash key then doc_id.  No quadratic form exists at any step, so
+    this runs at corpora where pairwise dedup cannot."""
+    from ..functions.spread import spread
+
+    W = DUP_CHUNK_TOKENS
+    toks = tokens(F.col("text"))
+    nch = F.floor(F.size("__toks") / W).cast("int")
+    chunk = F.md5(F.concat_ws(
+        " ", F.slice("__toks", F.col("i") * W + 1, W)))
+    chunks = (spread(_docs(spark, sf_dir))
+              .select("doc_id", toks.alias("__toks"))
+              .select("doc_id", nch.alias("__n"), "__toks")
+              .where(F.col("__n") >= 1)
+              .select("doc_id",
+                      F.explode(F.sequence(F.lit(0), F.col("__n") - 1))
+                      .alias("i"),
+                      "__toks")
+              .select("doc_id", chunk.alias("h")))
+    # cache: both the per-chunk doc count AND the per-doc rollup read the
+    # chunk table — without this the tokenize+md5 pass runs twice (the
+    # dedup_minhash_lsh shingle-cache pattern; on a cluster swap for
+    # .checkpoint() to reliable storage at very large corpora)
+    chunks = chunks.persist()
+    docs_per_h = (chunks.groupBy("h")
+                  .agg(F.countDistinct("doc_id").alias("nd")))
+    per_doc = (chunks.join(docs_per_h, "h")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_chunks"),
+                    F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+                    .cast("long").alias("n_dup_chunks")))
+    frac = F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 6)
+    out = _ckpt(per_doc
+                .select("doc_id", "n_chunks", "n_dup_chunks",
+                        frac.alias("dup_fraction"),
+                        (frac < DUP_CHUNK_MAX_FRACTION).alias("keep"))
+                .orderBy("doc_id"))
+    chunks.unpersist()
+    return out
+
+
+DOC_DUP_CHUNK_FRACTION_SQL = f"""
+WITH chunks AS (
+  SELECT doc_id, unnest(ch) AS h
+  FROM (
+    SELECT doc_id,
+           [md5(array_to_string(
+              t[i*{DUP_CHUNK_TOKENS}+1 : i*{DUP_CHUNK_TOKENS}+{DUP_CHUNK_TOKENS}],
+              ' '))
+            for i in generate_series(0, len(t) // {DUP_CHUNK_TOKENS} - 1)]
+             AS ch
+    FROM (SELECT doc_id, {sql_tokens('text')} AS t FROM documents)
+    WHERE len(t) >= {DUP_CHUNK_TOKENS})),
+docs_per_h AS (
+  SELECT h, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY 1),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_chunks
+  FROM chunks JOIN docs_per_h USING (h)
+  GROUP BY 1)
+SELECT doc_id, n_chunks, n_dup_chunks,
+       round(n_dup_chunks * 1.0 / n_chunks, 6) AS dup_fraction,
+       round(n_dup_chunks * 1.0 / n_chunks, 6) < {DUP_CHUNK_MAX_FRACTION}
+         AS keep
+FROM per_doc ORDER BY doc_id
+"""

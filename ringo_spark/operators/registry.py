@@ -5,6 +5,7 @@ from .dedup import (
     DEDUP_CLUSTERS_SQL, DEDUP_CONTAINMENT_SQL, DEDUP_EMBEDDING_LSH_SQL,
     DEDUP_EMBEDDING_SQL,
     DEDUP_EXACT_SQL, DEDUP_LSH_RECALL_BOUNDS_SQL, dedup_lsh_recall_bounds_df,
+    DOC_DUP_CHUNK_FRACTION_SQL, doc_dup_chunk_fraction_df,
     DEDUP_INCREMENTAL_SQL, DEDUP_MINHASH_INCREMENTAL_SQL,
     DEDUP_MINHASH_LSH_CAPPED_SQL, DEDUP_MINHASH_LSH_SQL,
     DEDUP_NGRAM_JACCARD_SQL, DEDUP_SIMHASH_SQL, DEDUP_WINNOWING_SQL,
@@ -84,6 +85,7 @@ DRIVER_WINDOW: list[str] = [
     "q16_supplier_part_counts",
     "q20_surplus_suppliers",
     "dedup_lsh_recall_bounds",
+    "doc_dup_chunk_fraction",
     # -- the three built-after-the-window-filled queries whose first
     #    driver rows were two rounds overdue (r09 VERDICT item 1) --
     "doc_entropy",
@@ -91,10 +93,11 @@ DRIVER_WINDOW: list[str] = [
     "active_users_rolling",
     # -- recency rotation by DRIVER-RECORD AGE (pre-committed r09 plan):
     #    the r08-popped r04-cohort tail first, then the r02+r03+r05
-    #    function cohort, then scalar_subquery/json_funcs/date_funcs,
-    #    then the oldest remaining (asof_join, r04 record).  Code paths
-    #    unchanged since their last rows; cell-exact in every local
-    #    sweep --
+    #    function cohort, then scalar_subquery/json_funcs/date_funcs.
+    #    (asof_join rotated in next by age, then popped again when
+    #    doc_dup_chunk_fraction was built mid-round — first rows outrank
+    #    re-rows.)  Code paths unchanged since their last rows;
+    #    cell-exact in every local sweep --
     "dedup_winnowing",
     "dedup_exact",
     "dedup_simhash",
@@ -115,7 +118,6 @@ DRIVER_WINDOW: list[str] = [
     "scalar_subquery",
     "json_funcs",
     "date_funcs",
-    "asof_join",
     # -- core schema-level pipeline (driver-green r02-r04 + r07; pinned) --
     "dim_event_type",
     "fact_events_by_minute",
@@ -155,6 +157,9 @@ DISPLACED: list[str] = [
     # CORRECTNESS_LOCAL_r10.json.  The final two are the
     # no-oracle-by-design pair (e-pytest + *_bounds twins with
     # oracles).
+    # popped back out as doc_dup_chunk_fraction took its window slot
+    # (keeps its r04/r10-adjacent record; first rows outrank re-rows)
+    "asof_join",
     "q8_national_market_share",
     "q12_late_shipments",
     "ann_ivf_recall_bounds",
@@ -287,6 +292,11 @@ _DEDUP_QUERIES: dict[str, tuple] = {
     # bands=1; pytest-pinned)
     "dedup_lsh_recall_bounds": (dedup_lsh_recall_bounds_df,
                                 DEDUP_LSH_RECALL_BOUNDS_SQL),
+    # cross-doc duplicated-span fraction (the Gopher/RefinedWeb "copy
+    # fraction" gate): sub-document granularity no whole-doc Jaccard
+    # sees; one chunk-hash shuffle, no quadratic form
+    "doc_dup_chunk_fraction": (doc_dup_chunk_fraction_df,
+                               DOC_DUP_CHUNK_FRACTION_SQL),
 }
 
 _ANN_QUERIES: dict[str, tuple] = {

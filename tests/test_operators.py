@@ -1125,3 +1125,34 @@ def test_anomaly_zscore_degenerate_groups_guarded(spark, tmp_path):
                 f"'{tmp_path}/events.parquet/*.parquet'")
     got = con.execute(ANOMALY_ZSCORE_SQL).fetchall()   # must not raise
     assert len(got) == len(out)
+
+
+def test_dup_chunk_fraction_catches_near_dup_docs(spark):
+    """doc_dup_chunk_fraction (the cross-doc copy-fraction gate): every
+    doc that minhash-LSH identifies as a near-duplicate (jaccard >= 0.5
+    — on this corpus, near-identical clones sharing aligned verbatim
+    10-token chunks) must be flagged keep=False, while the bulk of the
+    corpus passes.  Definitional invariants ride along: dup_fraction in
+    [0,1], keep <=> fraction under the threshold."""
+    from ringo_spark.operators.dedup import (
+        DUP_CHUNK_MAX_FRACTION, dedup_minhash_lsh_df,
+        doc_dup_chunk_fraction_df,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = doc_dup_chunk_fraction_df(spark, sf).collect()
+    assert rows
+    flagged = {r.doc_id for r in rows if not r.keep}
+    for r in rows:
+        assert 0.0 <= r.dup_fraction <= 1.0
+        assert r.keep == (r.dup_fraction < DUP_CHUNK_MAX_FRACTION)
+        assert r.n_dup_chunks <= r.n_chunks
+
+    lsh_docs = set()
+    for p in dedup_minhash_lsh_df(spark, sf).collect():
+        lsh_docs.add(p.doc_a)
+        lsh_docs.add(p.doc_b)
+    assert lsh_docs, "fixture corpus lost its near-dup clones"
+    assert lsh_docs <= flagged
+    # the gate is selective, not a blanket drop
+    assert len(flagged) < len(rows) / 2
