@@ -136,6 +136,7 @@ HEADLINE = [
     "q20_surplus_suppliers",
     "dedup_lsh_recall_bounds",
     "doc_dup_chunk_fraction",
+    "embed_quantize_recall_bounds",
 ]
 
 RUNS_PER_QUERY = 2
@@ -152,6 +153,7 @@ COMPACT_EXTRA = [
     "q20_surplus_suppliers",
     "dedup_lsh_recall_bounds",
     "doc_dup_chunk_fraction",
+    "embed_quantize_recall_bounds",
     "doc_entropy",
     "segment_overlap_bounds",
     "active_users_rolling",

@@ -86,6 +86,7 @@ DRIVER_WINDOW: list[str] = [
     "q20_surplus_suppliers",
     "dedup_lsh_recall_bounds",
     "doc_dup_chunk_fraction",
+    "embed_quantize_recall_bounds",
     # -- the three built-after-the-window-filled queries whose first
     #    driver rows were two rounds overdue (r09 VERDICT item 1) --
     "doc_entropy",
@@ -117,7 +118,6 @@ DRIVER_WINDOW: list[str] = [
     "metrics_unpivot",
     "scalar_subquery",
     "json_funcs",
-    "date_funcs",
     # -- core schema-level pipeline (driver-green r02-r04 + r07; pinned) --
     "dim_event_type",
     "fact_events_by_minute",
@@ -157,9 +157,12 @@ DISPLACED: list[str] = [
     # CORRECTNESS_LOCAL_r10.json.  The final two are the
     # no-oracle-by-design pair (e-pytest + *_bounds twins with
     # oracles).
-    # popped back out as doc_dup_chunk_fraction took its window slot
-    # (keeps its r04/r10-adjacent record; first rows outrank re-rows)
+    # popped back out as the mid-round operators took their window slots
+    # (doc_dup_chunk_fraction popped asof_join,
+    # embed_quantize_recall_bounds popped date_funcs; both keep their
+    # existing records — first rows outrank re-rows)
     "asof_join",
+    "date_funcs",
     "q8_national_market_share",
     "q12_late_shipments",
     "ann_ivf_recall_bounds",

@@ -307,3 +307,132 @@ TRAINING_QUERIES: dict[str, tuple] = {
     "embed_quantize": (embed_quantize_codes_df, EMBED_QUANTIZE_CODES_SQL),
     "profile_table": (profile_table_df, PROFILE_TABLE_SQL),
 }
+
+
+# --- quantization retrieval-fidelity contract --------------------------------
+
+QUANT_RECALL_TOP_K = 5
+QUANT_RECALL_QUERIES = 20       # same audit set as the ANN contracts
+QUANT_RECALL_FLOOR = 0.9
+QUANT_LEVELS = 127              # int8 symmetric range
+
+
+def embed_quantize_recall_bounds_df(spark: SparkSession, sf_dir: str,
+                                    levels: int = QUANT_LEVELS,
+                                    floor: float = QUANT_RECALL_FLOOR
+                                    ) -> DataFrame:
+    """Driver-hashable retrieval-fidelity contract for int8 embedding
+    quantization (the bounds twin embed_quantize was missing): per
+    audit query, how many of the brute-force top-5 cosine neighbors
+    computed on the EXACT corpus survive when the corpus is replaced by
+    its dequantized (q·scale/levels) self — the asymmetric serving
+    shape (exact queries, compressed corpus).  Mean recall pinned
+    >= floor by the oracle; falsifiable: at levels=3 the mean lands
+    ~0.73, under the 0.9 floor (pytest-pinned), at int8 it is ~0.99.
+
+    All arithmetic is deterministic in both engines (quantization is
+    exact integer math; cosines rounded to 6 before ranking; ties break
+    on vec_id), so the row hash-matches exactly.  Scale shape: the
+    audit pattern — Q×N broadcast scans for ground truth and the
+    quantized lane, never a production all-pairs path; dequantization
+    itself is map-only."""
+    from .textfn import cosine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    scale = F.round(F.array_max(F.transform(
+        "embedding", lambda x: F.abs(x.cast("double")))), 6)
+    deq_codes = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") / F.col("scale")
+                          * levels + 0.5).cast("int")
+        * F.col("scale") / levels)
+    zeros = F.transform("embedding", lambda x: F.lit(0.0))
+    deq = (emb.withColumn("scale", scale)
+           .select("vec_id",
+                   F.when(F.col("scale") > 0, deq_codes).otherwise(zeros)
+                   .alias("demb")))
+    q = emb.where(F.col("vec_id") < QUANT_RECALL_QUERIES) \
+           .select(F.col("vec_id").alias("q_id"),
+                   F.col("embedding").alias("q_emb"))
+
+    def topk(corpus, vec_col):
+        w = Window.partitionBy("q_id").orderBy(F.desc("c"), F.asc("n_id"))
+        return (corpus.join(F.broadcast(q), F.col("q_id") != F.col("vec_id"))
+                .select("q_id", F.col("vec_id").alias("n_id"),
+                        F.round(cosine(F.col("q_emb"), F.col(vec_col)), 6)
+                        .alias("c"))
+                .withColumn("rnk", F.row_number().over(w))
+                .where(F.col("rnk") <= QUANT_RECALL_TOP_K)
+                .select("q_id", "n_id"))
+
+    exact_top = topk(emb, "embedding")
+    quant_top = topk(deq, "demb")
+    hits = (exact_top.join(quant_top, ["q_id", "n_id"])
+            .groupBy("q_id").agg(F.count(F.lit(1)).alias("h")))
+    gw = Window.partitionBy()
+    return (q.select("q_id").join(hits, "q_id", "left")
+            .select("q_id",
+                    F.coalesce(F.col("h"), F.lit(0)).cast("long")
+                    .alias("hits"))
+            .withColumn("recall",
+                        F.round(F.col("hits") / F.lit(QUANT_RECALL_TOP_K), 6))
+            .withColumn("mean_recall", F.round(F.avg("recall").over(gw), 6))
+            .withColumn("meets_floor", F.col("mean_recall") >= F.lit(floor))
+            .orderBy("q_id"))
+
+
+def _quant_recall_bounds_sql(levels: int = QUANT_LEVELS,
+                             floor: float = QUANT_RECALL_FLOOR) -> str:
+    from .textfn import sql_cosine
+
+    return f"""
+WITH deq AS (
+  SELECT vec_id,
+         CASE WHEN scale > 0
+              THEN list_transform(e, x -> CAST(floor(x / scale * {levels}.0
+                                                     + 0.5) AS INTEGER)
+                                          * scale / {levels}.0)
+              ELSE list_transform(e, x -> 0.0) END AS demb
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS e,
+               round(list_max(list_transform(embedding::DOUBLE[],
+                                             x -> abs(x))), 6) AS scale
+        FROM embeddings)),
+q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb FROM embeddings
+      WHERE vec_id < {QUANT_RECALL_QUERIES}),
+exact_top AS (
+  SELECT q_id, n_id FROM (
+    SELECT q.q_id, c.vec_id AS n_id,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY round({sql_cosine('q.q_emb', 'c.embedding')}, 6) DESC,
+                      c.vec_id ASC) AS rnk
+    FROM q, embeddings c WHERE c.vec_id <> q.q_id)
+  WHERE rnk <= {QUANT_RECALL_TOP_K}),
+quant_top AS (
+  SELECT q_id, n_id FROM (
+    SELECT q.q_id, d.vec_id AS n_id,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY round({sql_cosine('q.q_emb', 'd.demb')}, 6) DESC,
+                      d.vec_id ASC) AS rnk
+    FROM q, deq d WHERE d.vec_id <> q.q_id)
+  WHERE rnk <= {QUANT_RECALL_TOP_K}),
+hits AS (SELECT q_id, CAST(count(*) AS BIGINT) AS h
+         FROM exact_top JOIN quant_top USING (q_id, n_id) GROUP BY 1),
+per_q AS (
+  SELECT q.q_id, CAST(coalesce(h, 0) AS BIGINT) AS hits,
+         round(coalesce(h, 0) / {QUANT_RECALL_TOP_K}.0, 6) AS recall
+  FROM q LEFT JOIN hits USING (q_id)),
+m AS (SELECT round(avg(recall), 6) AS mean_recall FROM per_q)
+SELECT q_id, hits, recall, mean_recall, mean_recall >= {floor} AS meets_floor
+FROM per_q, m ORDER BY q_id
+"""
+
+
+EMBED_QUANTIZE_RECALL_BOUNDS_SQL = _quant_recall_bounds_sql()
+
+
+# registered below its definition (TRAINING_QUERIES is declared above
+# the contract section): the retrieval-fidelity bounds row completes the
+# quantization lane — codes are hash-checked by embed_quantize, fidelity
+# by this contract
+TRAINING_QUERIES["embed_quantize_recall_bounds"] = (
+    embed_quantize_recall_bounds_df, EMBED_QUANTIZE_RECALL_BOUNDS_SQL)

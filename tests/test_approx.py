@@ -256,3 +256,24 @@ def test_ivf_train_assign_paths_agree(spark):
     finally:
         sim.IVF_TRAIN_ASSIGN = orig
     assert a == b and len(a) > 0
+
+
+def test_quantize_recall_floor_holds_and_is_falsifiable(spark):
+    """The quantization retrieval-fidelity contract: at int8 (127
+    levels) the dequantized corpus recovers ~0.99 of the exact top-5
+    neighbors — over the floor on every row; crushing the code book to
+    3 levels drops the same measurement to ~0.73, under the floor.  The
+    bound constrains the quantizer, not a tautology."""
+    from ringo_spark.operators.training import (
+        QUANT_RECALL_FLOOR, embed_quantize_recall_bounds_df,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = embed_quantize_recall_bounds_df(spark, sf).collect()
+    assert len(rows) == 20
+    assert all(r.meets_floor for r in rows)
+    assert rows[0].mean_recall >= QUANT_RECALL_FLOOR
+
+    crushed = embed_quantize_recall_bounds_df(spark, sf, levels=3).collect()
+    assert not crushed[0].meets_floor
+    assert crushed[0].mean_recall < QUANT_RECALL_FLOOR

@@ -479,3 +479,92 @@ def test_streaming_funnel_state_expires_on_watermark(spark, tmp_path):
     assert (2, 1, base + 50_000, None, None) in got
     # state store retains only the still-active key (user 2)
     assert q.lastProgress["stateOperators"][0]["numRowsTotal"] == 1
+
+
+def test_streaming_retention_matches_batch(spark, tmp_path):
+    """The stateful streaming retention twin: replay the fixture events
+    as three event-time-ordered micro-batches and assert the aggregated
+    cohort matrix row-equals the batch retention_cohorts_df.  Also pins
+    that each (user, cohort, offset) cell is emitted exactly once
+    across the whole stream (the state's job)."""
+    from ringo_spark.operators.session import retention_cohorts_df
+    from ringo_spark.streaming.retention import (
+        retention_counts, streaming_retention,
+    )
+
+    cat = load_catalog(spark, SF, [EVENTS])
+    ev = (cat["events"]
+          .where(F.col("user_id").isNotNull())
+          .select("user_id",
+                  F.timestamp_seconds(F.unix_timestamp("ts")).alias("ts")))
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    import datetime as _dt
+
+    span = (hi - lo).total_seconds()
+    cuts = [lo + _dt.timedelta(seconds=span / 3),
+            lo + _dt.timedelta(seconds=2 * span / 3)]
+    parts = [ev.where(F.col("ts") < cuts[0]),
+             ev.where((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+             ev.where(F.col("ts") >= cuts[1])]
+    src = str(tmp_path / "ret-src")
+    os.makedirs(src)
+    import shutil
+
+    for i, p in enumerate(parts):
+        tmp = str(tmp_path / f"rstage{i}")
+        p.coalesce(1).write.parquet(tmp)
+        f = next(x for x in os.listdir(tmp) if x.endswith(".parquet"))
+        shutil.copy(os.path.join(tmp, f), os.path.join(src, f"{i:02d}.parquet"))
+
+    stream = (spark.readStream
+              .schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src))
+    updates = streaming_retention(stream, watermark_delay=None)
+    q = (updates.writeStream.format("memory").queryName("ret_updates")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "rckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got_updates = spark.sql("select * from ret_updates")
+    # exactly-once per cell: no (user, cohort, offset) appears twice
+    n = got_updates.count()
+    assert n == got_updates.distinct().count() and n > 0
+
+    got = {tuple(r) for r in retention_counts(got_updates).collect()}
+    want = {tuple(r) for r in retention_cohorts_df(spark, SF).collect()}
+    assert got == want and want
+
+
+def test_streaming_retention_state_expires_on_watermark(spark, tmp_path):
+    """Retention EventTimeTimeout: a user idle past
+    RETENTION_IDLE_EXPIRE_WEEKS is dropped from the state store (their
+    cells were already emitted on sight — nothing to flush); a recent
+    user's state survives."""
+    import datetime as dt
+
+    from ringo_spark.streaming.retention import streaming_retention
+
+    t0 = dt.datetime(2024, 1, 1)
+    wk = 604800
+    rows = [(1, t0), (1, t0 + dt.timedelta(seconds=2 * wk)),
+            (2, t0 + dt.timedelta(seconds=20 * wk))]
+    src = str(tmp_path / "ret_expiry_src")
+    spark.createDataFrame(rows, "user_id long, ts timestamp") \
+        .coalesce(1).write.parquet(src)
+
+    stream = (spark.readStream
+              .schema("user_id long, ts timestamp").parquet(src))
+    q = (streaming_retention(stream, watermark_delay="60 seconds")
+         .writeStream.format("memory").queryName("ret_expiry")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_rx"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r.user_id, r.week_offset)
+           for r in spark.sql("select * from ret_expiry").collect()}
+    assert got == {(1, 0), (1, 2), (2, 0)}
+    # user 1 (idle since week 2, watermark at week 20) was expired
+    assert q.lastProgress["stateOperators"][0]["numRowsTotal"] == 1
