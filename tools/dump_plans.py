@@ -121,6 +121,26 @@ SELECTION = [
      "distinct (user, week) is the only corpus-sized shuffle; the "
      "per-user min cohort rides the same user partitioning; the "
      "cohort-size self-join is against a tiny aggregate"),
+    # round-10 additions
+    ("q2_min_cost_region",
+     "correlated scalar-min decorrelated: ONE pair-key groupBy over "
+     "lineitem (part filter semi-joined BEFORE it), min-cost groupBy + "
+     "equi join-back, every dim side broadcast, top-100 as "
+     "TakeOrderedAndProject"),
+    ("q11_important_stock",
+     "group-share-of-total HAVING: the grand total re-aggregates GROUP "
+     "rows (parts-sized) and joins back as the one allowed 1-row "
+     "broadcast nested loop; value*1000 > total in exact decimal"),
+    ("q20_surplus_suppliers",
+     "doubly-nested IN decorrelated to two LeftSemi joins; the "
+     "correlated half-sum threshold is one conditional year split "
+     "inside the single pair-key groupBy; part-name filter pushed to "
+     "the part scan"),
+    ("doc_dup_chunk_fraction",
+     "cross-doc copy-fraction gate: bounded map-side chunk explode "
+     "(16-byte hashes), ONE corpus-sized shuffle on the chunk hash, "
+     "per-doc rollup joins chunk rows back unhinted (AQE broadcasts "
+     "small, shuffles big) — never quadratic"),
 ]
 
 
