@@ -321,7 +321,8 @@ class Engine:
     def _publish_manifest(self, table: str, version: int,
                           versions: dict[str, list[str]],
                           expected_version: int | None = None,
-                          promote: tuple[str, str] | None = None) -> None:
+                          promote: tuple[str, str] | None = None,
+                          schemas: dict[str, str] | None = None) -> None:
         """Atomic pointer flip: tmp file + ``os.replace`` locally — the
         analogue of a single small-object PUT on S3/GCS (which IS atomic,
         unlike directory rename there).  The manifest maps each retained
@@ -375,8 +376,13 @@ class Engine:
                     os.rename(final, tomb)
                 os.rename(stage, final)
             tmp = self._manifest_path(table) + ".tmp"
+            record = {"version": version, "versions": versions}
+            if schemas is not None:
+                # schema-on-manifest (see read_table): per retained
+                # version, the authoritative reader schema
+                record["schemas"] = schemas
             with open(tmp, "w") as fh:
-                json.dump({"version": version, "versions": versions}, fh)
+                json.dump(record, fh)
             os.replace(tmp, self._manifest_path(table))
         finally:
             self._release_manifest_lock(table, fd, lock_token)
@@ -398,6 +404,46 @@ class Engine:
                     if int(v) > version - self.keep_versions}
         versions[str(version)] = dirs
         return versions
+
+    def _next_schemas(self, m: dict | None, version: int,
+                      schema_json: str) -> dict[str, str]:
+        """Per-retained-version schema map for a new publish — pruned on
+        the same horizon as the dir lists, so a time-travel read always
+        finds the schema its snapshot was published with."""
+        schemas = dict(m.get("schemas", {})) if m else {}
+        schemas = {v: s for v, s in schemas.items()
+                   if int(v) > version - self.keep_versions}
+        schemas[str(version)] = schema_json
+        return schemas
+
+    @staticmethod
+    def _union_schema(prev_json: str | None, df: DataFrame) -> str:
+        """Schema evolution for appends: the published snapshot's schema
+        is the PREVIOUS schema plus any columns the append adds (old
+        files simply lack the new columns — the explicit reader schema
+        null-fills them, no footer merge ever happens).  A same-name
+        column with a DIFFERENT type is a declared-schema conflict and
+        fails loudly — silent coercion would corrupt every older file's
+        reads."""
+        from pyspark.sql import types as T
+
+        new = df.schema
+        if prev_json is None:
+            return new.json()
+        prev = T.StructType.fromJson(json.loads(prev_json))
+        by_name = {f.name: f for f in prev.fields}
+        fields = list(prev.fields)
+        for f in new.fields:
+            old = by_name.get(f.name)
+            if old is None:
+                fields.append(f)
+            elif old.dataType != f.dataType:
+                raise ValueError(
+                    f"schema conflict on append: column {f.name!r} is "
+                    f"{old.dataType.simpleString()} in the published "
+                    f"snapshot but {f.dataType.simpleString()} in the "
+                    f"append — widen explicitly with a full refresh")
+        return T.StructType(fields).json()
 
     _STAGE_ORPHAN_AGE_SECS = 3600.0   # crashed-writer stage dirs
 
@@ -509,8 +555,24 @@ class Engine:
         training run to version N while refreshes and appends move the
         pointer forward."""
         if self.commit_mode == "manifest":
-            return self.spark.read.parquet(
-                *self._snapshot_paths(table, version))
+            paths = self._snapshot_paths(table, version)
+            # schema-on-manifest: the publish recorded the snapshot's
+            # authoritative schema, so mixed-schema snapshots (an append
+            # that ADDED columns) read correctly — older files null-fill
+            # the missing columns under the explicit reader schema.
+            # This is the scale-safe alternative to mergeSchema, which
+            # reads EVERY file footer (a non-starter on a 100 TB table);
+            # pre-schema manifests fall back to footer inference.
+            m = self._read_manifest(table)
+            v = m["version"] if version is None else version
+            schema_json = (m.get("schemas") or {}).get(str(v))
+            if schema_json is not None:
+                from pyspark.sql import types as T
+
+                return (self.spark.read
+                        .schema(T.StructType.fromJson(json.loads(schema_json)))
+                        .parquet(*paths))
+            return self.spark.read.parquet(*paths)
         if version is not None:
             raise ValueError("time-travel reads need commit_mode='manifest'")
         return self.spark.read.parquet(self._live_dir(table))
@@ -543,10 +605,12 @@ class Engine:
                 version = (m["version"] if m else 0) + 1
                 dirname = f"{table}__v{version}"
                 versions = self._next_versions(m, version, [dirname])
+                schemas = self._next_schemas(m, version, df.schema.json())
                 try:
                     self._publish_manifest(table, version, versions,
                                            expected_version=version - 1,
-                                           promote=(stage, dirname))
+                                           promote=(stage, dirname),
+                                           schemas=schemas)
                 except ManifestConflict:
                     continue       # re-read the advanced manifest, retry
                 self._gc_versions(table, versions,
@@ -592,10 +656,15 @@ class Engine:
                 live_dirs = self._manifest_versions(m)[str(m["version"])]
                 versions = self._next_versions(m, version,
                                                live_dirs + [dirname])
+                # evolved snapshot schema: previous + any appended columns
+                prev_schema = m.get("schemas", {}).get(str(m["version"]))
+                schemas = self._next_schemas(
+                    m, version, self._union_schema(prev_schema, df))
                 try:
                     self._publish_manifest(table, version, versions,
                                            expected_version=version - 1,
-                                           promote=(stage, dirname))
+                                           promote=(stage, dirname),
+                                           schemas=schemas)
                 except ManifestConflict:
                     continue
                 self._gc_versions(table, versions,

@@ -189,8 +189,11 @@ def test_manifest_full_and_incremental_run(manifest_engine):
     n1 = eng.read_table("fact_orders_by_day").count()
     m = json.load(open(os.path.join(eng.storage,
                                     "fact_orders_by_day.manifest.json")))
-    assert m == {"version": 1,
-                 "versions": {"1": ["fact_orders_by_day__v1"]}}
+    assert m["version"] == 1
+    assert m["versions"] == {"1": ["fact_orders_by_day__v1"]}
+    # schema-on-manifest (r10): the publish records the snapshot schema
+    cols = [f["name"] for f in json.loads(m["schemas"]["1"])["fields"]]
+    assert "o_orderdate_day_id" in cols and "order_count" in cols
     eng.run(PopulationMode.INCREMENTAL, T_FAR, T_ORDERS_MID)
     assert eng.read_table("fact_orders_by_day").count() > n1
     # the append is its OWN immutable dir, made visible by a pointer flip
@@ -693,3 +696,37 @@ def test_gc_never_deletes_higher_version_dirs(spark, tmp_path):
     os.makedirs(os.path.join(eng.storage, "t__v1.tomb.ab12"))
     eng._gc_versions("t", eng._manifest_versions(m), published_version=1)
     assert not os.path.exists(os.path.join(eng.storage, "t__v1.tomb.ab12"))
+
+
+def test_manifest_schema_evolution_on_append(spark, tmp_path):
+    """Schema-on-manifest (r10): an append that ADDS a column evolves
+    the published snapshot's schema — the live read null-fills the new
+    column for pre-evolution files under the manifest's explicit reader
+    schema (never a footer-merge), a time-travel read of the older
+    version still sees the OLD schema, and a same-name different-type
+    append fails loudly instead of corrupting older files' reads."""
+    from pyspark.sql import functions as F
+
+    eng = Engine(spark, ORDERS_ENV, str(tmp_path / "evo"),
+                 commit_mode="manifest", keep_versions=2)
+    os.makedirs(eng.storage, exist_ok=True)
+
+    eng._write_full(spark.range(0, 5).select(F.col("id")), "t")
+    eng._write_append(
+        spark.range(5, 8).select("id", (F.col("id") * 2).alias("extra")),
+        "t")
+
+    live = eng.read_table("t")
+    assert live.columns == ["id", "extra"]
+    rows = {r.id: r.extra for r in live.collect()}
+    assert len(rows) == 8
+    assert all(rows[i] is None for i in range(5))        # null-backfill
+    assert all(rows[i] == i * 2 for i in range(5, 8))    # appended values
+
+    old = eng.read_table("t", version=1)
+    assert old.columns == ["id"] and old.count() == 5    # old schema intact
+
+    with pytest.raises(ValueError, match="schema conflict"):
+        eng._write_append(
+            spark.range(8, 9).select(
+                "id", F.lit("oops").alias("extra")), "t")
