@@ -137,6 +137,7 @@ HEADLINE = [
     "dedup_lsh_recall_bounds",
     "doc_dup_chunk_fraction",
     "embed_quantize_recall_bounds",
+    "ann_hard_negatives",
 ]
 
 RUNS_PER_QUERY = 2
@@ -154,6 +155,7 @@ COMPACT_EXTRA = [
     "dedup_lsh_recall_bounds",
     "doc_dup_chunk_fraction",
     "embed_quantize_recall_bounds",
+    "ann_hard_negatives",
     "doc_entropy",
     "segment_overlap_bounds",
     "active_users_rolling",

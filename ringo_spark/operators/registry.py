@@ -30,7 +30,7 @@ from .similarity import (
     ANN_LSH_BUCKETED12_SQL,
     ANN_LSH_BUCKETED_SQL, ANN_LSH_MULTIPROBE_SQL,
     ann_cosine_topk_arrow_bounds_df, ann_cosine_topk_arrow_df,
-    ANN_RANK_FUSION_SQL,
+    ANN_RANK_FUSION_SQL, ANN_HARD_NEGATIVES_SQL, ann_hard_negatives_df,
     ann_cosine_topk_df, ann_ivf_df, ann_ivf_indexed_df, ann_ivf_kmeans_df,
     ann_ivf_recall_bounds_df, ann_rank_fusion_df,
     ann_lsh_bucketed12_df, ann_lsh_bucketed_df, ann_lsh_indexed_df,
@@ -87,6 +87,7 @@ DRIVER_WINDOW: list[str] = [
     "dedup_lsh_recall_bounds",
     "doc_dup_chunk_fraction",
     "embed_quantize_recall_bounds",
+    "ann_hard_negatives",
     # -- the three built-after-the-window-filled queries whose first
     #    driver rows were two rounds overdue (r09 VERDICT item 1) --
     "doc_entropy",
@@ -117,7 +118,6 @@ DRIVER_WINDOW: list[str] = [
     "lang_confusion",
     "metrics_unpivot",
     "scalar_subquery",
-    "json_funcs",
     # -- core schema-level pipeline (driver-green r02-r04 + r07; pinned) --
     "dim_event_type",
     "fact_events_by_minute",
@@ -159,10 +159,12 @@ DISPLACED: list[str] = [
     # oracles).
     # popped back out as the mid-round operators took their window slots
     # (doc_dup_chunk_fraction popped asof_join,
-    # embed_quantize_recall_bounds popped date_funcs; both keep their
-    # existing records — first rows outrank re-rows)
+    # embed_quantize_recall_bounds popped date_funcs, ann_hard_negatives
+    # popped json_funcs; all keep their existing records — first rows
+    # outrank re-rows)
     "asof_join",
     "date_funcs",
+    "json_funcs",
     "q8_national_market_share",
     "q12_late_shipments",
     "ann_ivf_recall_bounds",
@@ -324,6 +326,10 @@ _ANN_QUERIES: dict[str, tuple] = {
     # reciprocal-rank fusion of the LSH and IVF candidate lists — score
     # normalization-free retriever combination over top-k rows only
     "ann_rank_fusion": (ann_rank_fusion_df, ANN_RANK_FUSION_SQL),
+    # hard-negative mining for contrastive/retriever training: top-k
+    # most-similar vectors OUTSIDE the near-duplicate band (the
+    # false-negative exclusion), per-query excluded-band count in-row
+    "ann_hard_negatives": (ann_hard_negatives_df, ANN_HARD_NEGATIVES_SQL),
     "ann_cosine_topk_arrow": (ann_cosine_topk_arrow_df, None),  # numpy summation order; rows-only
     # range-style oracle over the numpy lane: JVM exact top-k + a
     # tolerance boolean the oracle pins to TRUE (VERDICT r05 item 6)

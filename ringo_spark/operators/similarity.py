@@ -1120,3 +1120,70 @@ def ann_lsh_indexed_df(spark: SparkSession, sf_dir: str,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= LSH_TOP_K)
             .select("q_id", "n_id", "rank", "cosine"))
+
+
+# --- hard-negative mining ----------------------------------------------------
+
+# Near-duplicate ceiling for negative mining — aligned with the
+# embedding near-dup threshold the dedup family uses
+# (operators/dedup.py COSINE_THRESHOLD): a "negative" at or above it is
+# presumed a paraphrase/duplicate of the query, and training a
+# retriever against it teaches the model to push true matches apart
+# (the classic false-negative poisoning problem in contrastive
+# training).
+HARD_NEG_CEIL = 0.4
+
+
+def ann_hard_negatives_df(spark: SparkSession, sf_dir: str,
+                          ceil: float = HARD_NEG_CEIL) -> DataFrame:
+    """Hard-negative mining for contrastive/retriever training: per
+    query, the top-k MOST similar corpus vectors that are NOT
+    near-duplicates (cosine < ceil) — the highest-value negatives a
+    random sampler never finds, with the false-negative band excluded.
+    ``n_near_dup_excluded`` counts the excluded band per query, so the
+    row itself shows where the exclusion changed the result
+    (pytest-pinned non-vacuous on the fixture corpus).
+
+    Scale shape: identical to ann_cosine_topk — queries broadcast, one
+    shuffle-free corpus scan, per-query top-k windows over
+    candidate-sized rows; the exclusion is a scan-side predicate."""
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < LSH_N_QUERIES) \
+           .select(F.col("vec_id").alias("q_id"),
+                   F.col("embedding").alias("q_emb"))
+    scored = (emb.join(F.broadcast(q), F.col("q_id") != F.col("vec_id"))
+              .select("q_id", F.col("vec_id").alias("n_id"),
+                      F.round(cosine(F.col("q_emb"), F.col("embedding")), 6)
+                      .alias("cosine")))
+    wq = Window.partitionBy("q_id")
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (scored
+            .withColumn("n_near_dup_excluded",
+                        F.sum(F.when(F.col("cosine") >= ceil, 1)
+                              .otherwise(0)).over(wq).cast("long"))
+            .where(F.col("cosine") < ceil)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= LSH_TOP_K)
+            .select("q_id", "n_id", "rank", "cosine",
+                    "n_near_dup_excluded"))
+
+
+ANN_HARD_NEGATIVES_SQL = f"""
+WITH scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         round({sql_cosine('q.embedding', 'c.embedding')}, 6) AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {LSH_N_QUERIES}),
+flagged AS (
+  SELECT q_id, n_id, cosine,
+         CAST(sum(CASE WHEN cosine >= {HARD_NEG_CEIL} THEN 1 ELSE 0 END)
+              OVER (PARTITION BY q_id) AS BIGINT) AS n_near_dup_excluded
+  FROM scored),
+ranked AS (
+  SELECT q_id, n_id, cosine, n_near_dup_excluded,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, n_id ASC) AS rank
+  FROM flagged WHERE cosine < {HARD_NEG_CEIL})
+SELECT q_id, n_id, rank, cosine, n_near_dup_excluded
+FROM ranked WHERE rank <= {LSH_TOP_K}
+"""

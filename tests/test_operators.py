@@ -1156,3 +1156,36 @@ def test_dup_chunk_fraction_catches_near_dup_docs(spark):
     assert lsh_docs <= flagged
     # the gate is selective, not a blanket drop
     assert len(flagged) < len(rows) / 2
+
+
+def test_hard_negatives_exclude_near_dup_band(spark):
+    """ann_hard_negatives: (a) no emitted negative sits in the near-dup
+    band; (b) for at least one fixture query the exclusion actually
+    changes the result vs plain top-k (the operator is not vacuous);
+    (c) the per-query excluded count matches the exact count of
+    near-dup neighbors."""
+    from ringo_spark.operators.similarity import (
+        HARD_NEG_CEIL, LSH_N_QUERIES, ann_hard_negatives_df,
+    )
+    from ringo_spark.operators.textfn import cosine as _cos
+
+    sf = "/root/testdata/sf0.001"
+    rows = ann_hard_negatives_df(spark, sf).collect()
+    assert rows and all(r.cosine < HARD_NEG_CEIL for r in rows)
+
+    excluded = {r.q_id: r.n_near_dup_excluded for r in rows}
+    assert any(v > 0 for v in excluded.values()), \
+        "fixture corpus lost its planted near-dup embeddings"
+
+    # cross-check the excluded counts against a direct computation
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < LSH_N_QUERIES) \
+           .select(F.col("vec_id").alias("q_id"),
+                   F.col("embedding").alias("q_emb"))
+    direct = {r.q_id: r.n for r in
+              (emb.join(q, F.col("q_id") != F.col("vec_id"))
+               .where(F.round(_cos(F.col("q_emb"), F.col("embedding")), 6)
+                      >= HARD_NEG_CEIL)
+               .groupBy("q_id").agg(F.count(F.lit(1)).alias("n"))).collect()}
+    for qid, n in direct.items():
+        assert excluded[qid] == n
