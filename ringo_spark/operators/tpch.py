@@ -1275,7 +1275,9 @@ GROUP BY 1, 2, 3
 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 """
 
-Q20_NATION = "NATION_7"
+Q20_NATION = "NATION_3"   # nonzero result at every SF incl. the
+                          # driver's sf0.001 smoke (NATION_7 was empty
+                          # there)
 Q20_NAME_PREFIX = "small"
 Q20_YEAR_LO, Q20_YEAR_HI = "1996-01-01", "1997-01-01"
 
