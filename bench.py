@@ -167,11 +167,42 @@ COMPACT_EXTRA = [
 MAX_STDOUT_LINE = 1900
 
 
+def _warm_page_cache(sf_dir: str) -> float:
+    """Read every parquet input byte-for-byte once, OUTSIDE the timed
+    region, so the first timed query doesn't absorb cold-page-cache I/O
+    (r10 adjudication: the same query measured 3.71x its pin
+    cold-ordered and 1.01x warm).  Returns seconds spent warming — a
+    large value on a round where the cache started cold is itself
+    telemetry."""
+    t0 = time.time()
+    for root, _dirs, files in os.walk(sf_dir):
+        for f in files:
+            try:
+                with open(os.path.join(root, f), "rb") as fh:
+                    while fh.read(1 << 22):
+                        pass
+            except OSError:
+                pass
+    return round(time.time() - t0, 3)
+
+
+def _load1() -> float | None:
+    """1-minute load average — the contention telemetry that lets a
+    bench record adjudicate its own noise (VERDICT r10 item 1: a >1.5x
+    pin ratio with load1 >> ncpus indicts the machine, not the code)."""
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:
+        return None
+
+
 def main():
     from ringo_spark.catalog import get_spark
 
     import __spark_entry__ as entrymod
 
+    load_start = _load1()
+    warm_secs = _warm_page_cache(SF_DIR)
     spark = get_spark("ringo-bench", CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
@@ -188,15 +219,18 @@ def main():
               f"NOT measured: {skipped}", file=sys.stderr)
     names = [n for n in HEADLINE if n in qs] or list(qs)
     timings = {}
+    telemetry = {}
     for name in names:
-        best = None
+        runs = []
+        l_start = _load1()
         for _ in range(RUNS_PER_QUERY):
             t0 = time.time()
             df = qs[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            runs.append(round(time.time() - t0, 3))
+        timings[name] = min(runs)
+        telemetry[name] = {"load1_start": l_start, "load1_end": _load1(),
+                           "runs": runs}
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     out = {
@@ -208,6 +242,17 @@ def main():
     }
     if skipped:
         out["skipped"] = skipped
+    # contention + cache-state telemetry (VERDICT r10 item 1 / next-round
+    # item 2): makes bench noise adjudicable from the committed record —
+    # an elevated timing alongside load1 >> ncpus or a long cold-cache
+    # warm pass indicts the environment, not the code.
+    out["telemetry"] = {
+        "ncpus": int(CPUS) if str(CPUS).isdigit() else os.cpu_count(),
+        "load1_before_run": load_start,
+        "load1_after_run": _load1(),
+        "page_cache_warm_secs": warm_secs,
+        "per_query": telemetry,
+    }
     # round-over-round comparison: BENCH_BASELINE.json pins the round-1
     # per-query timings (sf0.1); emit deltas when comparing like-for-like
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -261,6 +306,9 @@ def main():
         "baseline_total": out.get("baseline_total"),
         "n_queries": len(timings),
         "n_skipped": len(skipped),
+        "load1_peak": max((t["load1_start"] for t in telemetry.values()
+                           if t["load1_start"] is not None), default=None),
+        "warm_secs": warm_secs,
         "detail_file": "BENCH_DETAIL.json",
     }
     # A valid compact line must ALWAYS print (ADVICE r09: the old bare

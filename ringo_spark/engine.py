@@ -303,6 +303,9 @@ class Engine:
                 os.close(fd)
                 raise
             os.close(fd)  # inode mismatch, not timed out: reopen fresh
+            time.sleep(0.02)  # pace the reopen loop like the flock-
+            # contention branch — an external process replacing the lock
+            # file in a loop must not make this spin at full speed
 
     def _release_manifest_lock(self, table: str, fd: int,
                                token: str) -> None:
@@ -523,10 +526,17 @@ class Engine:
                 if not self._newest_mtime(full, cutoff):
                     shutil.rmtree(full, ignore_errors=True)
 
-    def _snapshot_paths(self, table: str, version: int | None = None
-                        ) -> list[str]:
-        """Dir list for a manifest snapshot (live or time-travel)."""
-        m = self._read_manifest(table)
+    def _snapshot_paths(self, table: str, version: int | None = None,
+                        m: dict | None = None) -> list[str]:
+        """Dir list for a manifest snapshot (live or time-travel).
+
+        Callers that also need other manifest fields (e.g. the snapshot
+        schema) pass the already-read manifest as ``m`` so the dir list
+        and those fields come from ONE consistent read — two separate
+        reads can straddle a concurrent publish and pair version V's
+        dirs with version V+1's schema."""
+        if m is None:
+            m = self._read_manifest(table)
         if m is None:
             raise FileNotFoundError(f"no manifest for table {table!r}")
         v = m["version"] if version is None else version
@@ -555,7 +565,12 @@ class Engine:
         training run to version N while refreshes and appends move the
         pointer forward."""
         if self.commit_mode == "manifest":
-            paths = self._snapshot_paths(table, version)
+            # ONE manifest read resolves both the dir list and the
+            # snapshot schema — a second read could land after a
+            # concurrent publish and pair version V's dirs with
+            # version V+1's schema (or a dropped table's None).
+            m = self._read_manifest(table)
+            paths = self._snapshot_paths(table, version, m=m)
             # schema-on-manifest: the publish recorded the snapshot's
             # authoritative schema, so mixed-schema snapshots (an append
             # that ADDED columns) read correctly — older files null-fill
@@ -563,7 +578,6 @@ class Engine:
             # This is the scale-safe alternative to mergeSchema, which
             # reads EVERY file footer (a non-starter on a 100 TB table);
             # pre-schema manifests fall back to footer inference.
-            m = self._read_manifest(table)
             v = m["version"] if version is None else version
             schema_json = (m.get("schemas") or {}).get(str(v))
             if schema_json is not None:
@@ -658,6 +672,14 @@ class Engine:
                                                live_dirs + [dirname])
                 # evolved snapshot schema: previous + any appended columns
                 prev_schema = m.get("schemas", {}).get(str(m["version"]))
+                if prev_schema is None:
+                    # pre-schema manifest (published before schema
+                    # tracking existed): footer-infer the live
+                    # snapshot's schema so columns present in older
+                    # files but absent from this append survive the
+                    # union, and the type-conflict guard covers them.
+                    prev_schema = self.spark.read.parquet(
+                        *self._snapshot_paths(table, m=m)).schema.json()
                 schemas = self._next_schemas(
                     m, version, self._union_schema(prev_schema, df))
                 try:

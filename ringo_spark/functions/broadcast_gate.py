@@ -82,10 +82,11 @@ def table_size_bytes(spark, path: str) -> int:
 
 def invalidate_size_cache(path: str | None = None) -> None:
     """Drop cached sizes: forces the next ``table_size_bytes`` to
-    re-measure even inside a ``ringo.sizeTtlSeconds`` window.  Engine
-    paths that rewrite a source in place and immediately re-plan
-    against it call this; with the default TTL of 0 it is a no-op
-    beyond hygiene (every call re-measures anyway)."""
+    re-measure even inside a ``ringo.sizeTtlSeconds`` window.  A public
+    escape hatch for callers that set ``ringo.sizeTtlSeconds`` > 0 and
+    rewrite a source in place before re-planning against it; with the
+    default TTL of 0 it is a no-op beyond hygiene (every call
+    re-measures anyway)."""
     if path is None:
         _SIZE_CACHE.clear()
     else:

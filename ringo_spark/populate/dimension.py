@@ -25,6 +25,18 @@ input.  Scale note: the window is single-partition, but it runs *after*
 are small by construction — that is the point of a star schema), so the
 single task touches only the deduped rows.  The distinct itself is a
 map-side-combining shuffle at full parallelism.
+
+A pathological high-cardinality ``DimVal`` (a near-unique string column)
+would funnel the whole dimension through that one sorting task, so id
+assignment is GATED (pattern: ``similarity.CELL_ASSIGN_LITERAL_MAX_K``):
+when the optimizer's size estimate for the deduped rows exceeds
+``ringo.dimIdSingleSortMaxBytes`` (default 1 GiB) — or is unavailable —
+ids come from :func:`_partitioned_row_numbers` instead: a
+``repartitionByRange`` on the full natural key (total order, no ties
+post-distinct) + per-partition ``row_number`` + collected per-partition
+offsets (a #partitions-sized driver list, never rows).  Both forms
+produce BIT-IDENTICAL ids — global rank in natural-key order — which
+``tests/test_populate.py`` pins by running both on the same input.
 """
 
 from __future__ import annotations
@@ -39,6 +51,69 @@ from .common import (
     coalesce_column, dim_column_mapping, fk_spark_type, time_column_name,
     time_filter,
 )
+
+
+# Optimizer-estimated size (bytes) of the deduped dimension rows above
+# which surrogate-key assignment switches from the single-task global
+# sort to the partitioned form.  Estimate-based so the gate costs no
+# extra Spark job: without CBO the estimate is roughly the pruned source
+# scan size, which over-states the post-distinct cardinality — i.e. the
+# gate only ever switches EARLY to the scale-safe form (ids identical
+# either way).  Conf key overrides; 0 forces the partitioned form.
+DIM_ID_SINGLE_SORT_MAX_BYTES = 1 << 30
+DIM_ID_GATE_CONF_KEY = "ringo.dimIdSingleSortMaxBytes"
+
+
+def _plan_size_estimate(df: DataFrame) -> int | None:
+    """Catalyst's sizeInBytes estimate for ``df`` (no job), or None."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:
+        return None
+
+
+def _partitioned_row_numbers(rows: DataFrame, dim_cols: list[str],
+                             id_col: str) -> DataFrame:
+    """Global rank by natural key without a single-task sort.
+
+    ``repartitionByRange`` on the FULL key tuple gives ordered,
+    non-overlapping ranges (the key is unique post-distinct, so ties
+    cannot straddle a boundary); a per-partition ``row_number`` plus the
+    cumulative count of earlier ranges is then exactly the global
+    ``row_number() OVER (ORDER BY <key>)`` — each range sorts in its own
+    task.  The only driver-side data is one (partition, count) pair per
+    range.
+
+    The partitioned frame is local-checkpointed (materialized) BEFORE
+    the counts job: the counts and the final projection are separate
+    Spark jobs, and without pinning, each job re-plans the range
+    exchange — re-sampling over the nondeterministically-ordered
+    ``distinct()`` output can shift range boundaries between the two
+    jobs, pairing job 1's offsets with job 2's partitions (wrong ids;
+    observed in testing).  With the checkpoint both jobs read the same
+    materialized partitions, so offsets always match their partitions —
+    and the final id is the boundary-independent global rank, so ids
+    stay deterministic across runs regardless of where sampling drew
+    the boundaries."""
+    spark = rows.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    part = (rows.repartitionByRange(n, *[F.col(c) for c in dim_cols])
+            .withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint(eager=True))
+    counts = (part.groupBy("__pid")
+              .agg(F.count(F.lit(1)).alias("__cnt")).collect())
+    offsets, acc = {}, 0
+    for r in sorted(counts, key=lambda r: r["__pid"]):
+        offsets[r["__pid"]] = acc
+        acc += r["__cnt"]
+    off_expr = (F.create_map(*[F.lit(x) for pid_off in offsets.items()
+                               for x in pid_off])[F.col("__pid")]
+                if offsets else F.lit(0))
+    local = F.row_number().over(
+        Window.partitionBy("__pid").orderBy(*[F.col(c) for c in dim_cols]))
+    return (part.withColumn(id_col, (local + off_expr).cast("long"))
+            .drop("__pid"))
 
 
 def dimension_population_df(
@@ -101,8 +176,16 @@ def dimension_population_df(
         return rows
 
     id_type = fk_spark_type(s)  # serial -> int, bigserial -> bigint
-    w = Window.orderBy(*[F.col(c) for c in dim_cols])
-    with_id = rows.withColumn(id_col, F.row_number().over(w))
+    gate_conf = src.sparkSession.conf.get(DIM_ID_GATE_CONF_KEY, None)
+    gate = (int(gate_conf) if gate_conf is not None
+            else DIM_ID_SINGLE_SORT_MAX_BYTES)
+    est = _plan_size_estimate(rows)
+    if est is None or est > gate:
+        # scale-safe twin: same ids, no single-task sort (module doc)
+        with_id = _partitioned_row_numbers(rows, dim_cols, id_col)
+    else:
+        w = Window.orderBy(*[F.col(c) for c in dim_cols])
+        with_id = rows.withColumn(id_col, F.row_number().over(w))
     if mode == PopulationMode.INCREMENTAL:
         offset = F.broadcast(
             existing_dim.agg(F.coalesce(F.max(id_col), F.lit(0)).alias("__id_offset")))

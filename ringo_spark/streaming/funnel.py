@@ -165,7 +165,14 @@ def funnel_counts(updates: DataFrame) -> DataFrame:
                     .cast("long").alias("users_reached")))
     first = (full.where(F.col("step_idx") == 1)
              .select(F.col("users_reached").alias("step1_users")))
+    # guarded division: on an empty (or pre-step-1) stream step1_users
+    # is 0 and every users_reached is 0 too (steps are monotone from
+    # step 1), so conversion is DEFINED as 0.0 rather than the null a
+    # bare x/0 would give.  On any stream where step 1 was reached this
+    # is identical to the batch funnel's unguarded division.
     return (full.crossJoin(F.broadcast(first))
             .select("step_idx", "step", "users_reached",
-                    F.round(F.col("users_reached") / F.col("step1_users"), 6)
-                    .alias("conversion_pct")))
+                    F.when(F.col("step1_users") > 0,
+                           F.round(F.col("users_reached")
+                                   / F.col("step1_users"), 6))
+                    .otherwise(F.lit(0.0)).alias("conversion_pct")))

@@ -192,7 +192,16 @@ GROUP BY 1, 2, 10
 
 def fact_events_by_minute_approx_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate count-distinct variant (HLL++, rsd=0.05) — checked
-    rows-only by the driver; ``tests/test_approx.py`` asserts the ε bound."""
+    rows-only by the driver; ``tests/test_approx.py`` asserts the ε bound.
+
+    DEGENERATE-GRAIN STRESS BENCHMARK, not a production shape: the fact's
+    grain keeps ``user_id`` in the group keys, so every HLL sketch
+    estimates a 0/1-cardinality set — maximum per-group sketch overhead
+    with zero aggregation win.  It is kept exactly because that makes it
+    the worst case for sketch-buffer cost (historically the bench's
+    biggest mover).  The meaningful-grain contract — week × event_type,
+    where distinct-counts are real and the ±3ε bound is falsifiable — is
+    ``fact_events_by_minute_approx_bounds_df`` below."""
     return fact_events_by_minute_df(spark, sf_dir, count_distinct_mode="approx")
 
 

@@ -162,3 +162,48 @@ def test_bigserial_id_type(spark):
     out = fact_population_df(env, FACT, cat, dims={"dim_browser": dim},
                              time_upper=dt.datetime(2030, 1, 1))
     assert dict(out.dtypes)["browser_id"] == "bigint"
+
+
+def test_partitioned_id_assignment_equals_single_sort(spark):
+    """The surrogate-key scale gate (ringo.dimIdSingleSortMaxBytes)
+    switches between the single-task global sort and the partitioned
+    range-sort + per-partition-offset form; both must assign
+    BIT-IDENTICAL ids (global rank in natural-key order), full and
+    incremental, and the partitioned form must be deterministic across
+    repeated runs."""
+    import random
+
+    from ringo_spark.populate.dimension import DIM_ID_GATE_CONF_KEY
+
+    random.seed(11)
+    rows = [(i, T0, 1, "b%04d" % random.randrange(400),
+             "v%02d" % random.randrange(25), 1) for i in range(4000)]
+    df = spark.createDataFrame(
+        rows, "id long, at timestamp, site int, browser_name string, "
+              "browser_version string, clicks int")
+    cat = {"clicks": df}
+    hi = dt.datetime(2030, 1, 1)
+    try:
+        spark.conf.set(DIM_ID_GATE_CONF_KEY, str(1 << 60))  # single sort
+        single = sorted(map(tuple, dimension_population_df(
+            ENV, FACT, "dim_browser", cat, time_upper=hi).collect()))
+        spark.conf.set(DIM_ID_GATE_CONF_KEY, "0")           # partitioned
+        part1 = sorted(map(tuple, dimension_population_df(
+            ENV, FACT, "dim_browser", cat, time_upper=hi).collect()))
+        part2 = sorted(map(tuple, dimension_population_df(
+            ENV, FACT, "dim_browser", cat, time_upper=hi).collect()))
+        assert single == part1 == part2
+        assert [r[0] for r in single] == list(range(1, len(single) + 1))
+
+        # incremental: id offset continues from the existing max under
+        # the partitioned form too
+        existing = dimension_population_df(
+            ENV, FACT, "dim_browser", {"clicks": df.limit(1500)},
+            time_upper=hi)
+        inc = dimension_population_df(
+            ENV, FACT, "dim_browser", cat, mode=PopulationMode.INCREMENTAL,
+            time_upper=hi, existing_dim=existing).collect()
+        max_existing = max(r[0] for r in existing.collect())
+        assert min(r[0] for r in inc) == max_existing + 1
+    finally:
+        spark.conf.unset(DIM_ID_GATE_CONF_KEY)
