@@ -427,7 +427,19 @@ class Engine:
         null-fills them, no footer merge ever happens).  A same-name
         column with a DIFFERENT type is a declared-schema conflict and
         fails loudly — silent coercion would corrupt every older file's
-        reads."""
+        reads.
+
+        DROP CONTRACT: appends can only ADD columns.  A column present
+        in the published schema but absent from the appending frame is
+        NOT dropped — it stays in the snapshot schema and the appended
+        files read as null for it (they have no such column on disk).
+        Dropping a column requires a FULL REFRESH, which records exactly
+        the refreshing frame's schema; still-retained older versions
+        keep their publish-time schema for time-travel reads.  Pinned by
+        ``test_manifest_schema_drop_requires_full_refresh``.  Rationale:
+        an append is an additive delta — inferring "user meant to drop"
+        from an absent column would turn every projection mistake into
+        silent data loss across the whole table history."""
         from pyspark.sql import types as T
 
         new = df.schema

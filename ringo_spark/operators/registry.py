@@ -428,6 +428,71 @@ EAGER_QUERIES: frozenset[str] = frozenset({
 })
 
 
+# family -> the repo-relative source files whose change invalidates that
+# family's verification rows.  Used by `verify_local.py --changed-since
+# <rev>` (VERDICT r10 item 8) to sweep only the families a mid-round
+# batch touched; the FULL sweep remains the round-closing gate.  A
+# changed file that appears in no family list and is not in
+# SHARED_NEUTRAL_SOURCES is treated as shared infrastructure — the
+# incremental sweep then falls back to everything (conservative: never
+# silently under-sweep).
+FAMILY_SOURCES: dict[str, list[str]] = {
+    "dedup": ["ringo_spark/operators/dedup.py"],
+    "ann": ["ringo_spark/operators/similarity.py"],
+    "text": ["ringo_spark/operators/text.py"],
+    "multimodal": ["ringo_spark/operators/multimodal.py"],
+    "relational": ["ringo_spark/operators/relational.py"],
+    "grain": ["ringo_spark/operators/rollup_grain.py"],
+    "session": ["ringo_spark/operators/session.py"],
+    "tpch": ["ringo_spark/operators/tpch.py"],
+    "sampling": ["ringo_spark/operators/sampling.py"],
+    "pipeline": ["ringo_spark/operators/pipeline.py"],
+    "training": ["ringo_spark/operators/training.py"],
+    "core": ["ringo_spark/testbed.py", "ringo_spark/engine.py",
+             "ringo_spark/populate/dimension.py",
+             "ringo_spark/populate/fact.py",
+             "ringo_spark/populate/common.py",
+             "ringo_spark/extractor.py", "ringo_spark/model.py"],
+}
+
+# Changed files that affect NO registered query's results: docs, tests,
+# bench/tooling, streaming (pytest-covered, not registry-reachable), and
+# this registry's own ordering lists (window order doesn't change query
+# results).  Everything else outside FAMILY_SOURCES triggers the
+# conservative full sweep.
+SHARED_NEUTRAL_PREFIXES: tuple[str, ...] = (
+    "tests/", "tools/", "docs/", ".claude/",
+    "ringo_spark/streaming/",
+)
+SHARED_NEUTRAL_SOURCES: frozenset[str] = frozenset({
+    "bench.py", "verify_local.py", "README.md",
+    "ringo_spark/operators/registry.py",
+})
+
+
+def queries_for_changed_files(changed: list[str]
+                              ) -> tuple[list[str] | None, list[str]]:
+    """(query names to sweep, unattributed files).  ``None`` for the
+    names means: shared infrastructure changed — sweep everything."""
+    fams = queries_by_family()
+    selected: list[str] = []
+    unattributed: list[str] = []
+    for path in changed:
+        hit = [f for f, srcs in FAMILY_SOURCES.items() if path in srcs]
+        if hit:
+            for f in hit:
+                selected += [q for q in fams[f] if q not in selected]
+        elif (path.endswith((".md", ".json", ".jsonl", ".txt"))
+              or path.startswith(SHARED_NEUTRAL_PREFIXES)
+              or path in SHARED_NEUTRAL_SOURCES):
+            continue
+        else:
+            unattributed.append(path)
+    if unattributed:
+        return None, unattributed
+    return selected, []
+
+
 def queries_by_family() -> dict[str, list[str]]:
     """Registered query names grouped by operator family — the sweep
     filter ``verify_local.py --family NAME`` uses during development

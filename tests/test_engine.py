@@ -730,3 +730,70 @@ def test_manifest_schema_evolution_on_append(spark, tmp_path):
         eng._write_append(
             spark.range(8, 9).select(
                 "id", F.lit("oops").alias("extra")), "t")
+
+
+def test_manifest_schema_drop_requires_full_refresh(spark, tmp_path):
+    """DROP contract (VERDICT r10 item 7): appends only ADD columns — a
+    column absent from an appending frame persists in the snapshot
+    schema (the appended files read as null for it); the ONLY way a
+    column leaves the schema is a full refresh, and a still-retained
+    older version keeps its publish-time schema for time travel."""
+    from pyspark.sql import functions as F
+
+    eng = Engine(spark, ORDERS_ENV, str(tmp_path / "drop"),
+                 commit_mode="manifest", keep_versions=3)
+    os.makedirs(eng.storage, exist_ok=True)
+
+    eng._write_full(
+        spark.range(0, 4).select("id", (F.col("id") + 10).alias("extra")),
+        "t")
+    # append WITHOUT 'extra': not a drop — schema keeps the column,
+    # appended rows null-fill it
+    eng._write_append(spark.range(4, 6).select("id"), "t")
+    live = eng.read_table("t")
+    assert live.columns == ["id", "extra"]
+    rows = {r.id: r.extra for r in live.collect()}
+    assert len(rows) == 6
+    assert all(rows[i] == i + 10 for i in range(4))
+    assert rows[4] is None and rows[5] is None
+
+    # full refresh WITHOUT 'extra': the real drop — the live schema no
+    # longer has the column ...
+    eng._write_full(spark.range(0, 3).select("id"), "t")
+    assert eng.read_table("t").columns == ["id"]
+    # ... while the retained pre-drop version still time-travels with
+    # its publish-time schema
+    old = eng.read_table("t", version=2)
+    assert old.columns == ["id", "extra"] and old.count() == 6
+
+
+def test_append_onto_pre_schema_manifest_infers_prev_schema(spark, tmp_path):
+    """ADVICE r10: a manifest published before schema tracking has no
+    recorded schema; the first append onto it must derive the previous
+    schema from the live snapshot's footers rather than recording only
+    the appending frame's columns — otherwise columns present in older
+    files but absent from the append are silently projected out of all
+    subsequent reads."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    eng = Engine(spark, ORDERS_ENV, str(tmp_path / "pre"),
+                 commit_mode="manifest", keep_versions=2)
+    os.makedirs(eng.storage, exist_ok=True)
+    eng._write_full(
+        spark.range(0, 3).select("id", (F.col("id") + 7).alias("extra")),
+        "t")
+    # simulate the legacy manifest: strip the recorded schemas
+    mp = eng._manifest_path("t")
+    m = _json.load(open(mp))
+    del m["schemas"]
+    with open(mp, "w") as fh:
+        _json.dump(m, fh)
+
+    eng._write_append(spark.range(3, 5).select("id"), "t")   # no 'extra'
+    live = eng.read_table("t")
+    assert live.columns == ["id", "extra"]   # survived the narrow append
+    rows = {r.id: r.extra for r in live.collect()}
+    assert all(rows[i] == i + 7 for i in range(3))
+    assert rows[3] is None and rows[4] is None

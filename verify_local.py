@@ -11,6 +11,7 @@ Usage:  python verify_local.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -107,6 +108,11 @@ def main():
         i = argv.index("--family")
         family = argv[i + 1]
         del argv[i:i + 2]
+    changed_since = None
+    if "--changed-since" in argv:
+        i = argv.index("--changed-since")
+        changed_since = argv[i + 1]
+        del argv[i:i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     if family is not None:
@@ -116,6 +122,31 @@ def main():
         if family not in fams:
             sys.exit(f"unknown family {family!r}; one of {sorted(fams)}")
         only |= set(fams[family])
+    if changed_since is not None:
+        # incremental sweep for mid-round batches (full sweep stays the
+        # round-closing gate): map `git diff --name-only REV` through the
+        # registry's family->source map; shared-infrastructure changes
+        # fall back to the full sweep rather than under-sweeping.
+        import subprocess
+
+        from ringo_spark.operators.registry import queries_for_changed_files
+
+        changed = subprocess.run(
+            ["git", "diff", "--name-only", changed_since, "--", "."],
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.split()
+        names, unattributed = queries_for_changed_files(changed)
+        if names is None:
+            print(f"--changed-since: shared files changed "
+                  f"({unattributed}); sweeping EVERYTHING")
+        else:
+            print(f"--changed-since {changed_since}: {len(changed)} files "
+                  f"-> {len(names)} queries")
+            if not names and not only:
+                print("nothing to sweep (no query-bearing files changed)")
+                sys.exit(0)
+            only |= set(names)
     from ringo_spark.catalog import get_spark
 
     spark = get_spark("verify-local")
