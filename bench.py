@@ -138,6 +138,8 @@ HEADLINE = [
     "doc_dup_chunk_fraction",
     "embed_quantize_recall_bounds",
     "ann_hard_negatives",
+    # round-11 new operator: the surrogate-id scale-gate contract
+    "dim_visitor_partitioned_ids",
 ]
 
 RUNS_PER_QUERY = 2
@@ -147,18 +149,10 @@ RUNS_PER_QUERY = 2
 # (their deltas have no prior pin, so the driver record is their only
 # arbiter).  Everything else still lands in BENCH_DETAIL.json.
 COMPACT_EXTRA = [
-    "q2_min_cost_region",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q16_supplier_part_counts",
-    "q20_surplus_suppliers",
-    "dedup_lsh_recall_bounds",
-    "doc_dup_chunk_fraction",
-    "embed_quantize_recall_bounds",
-    "ann_hard_negatives",
-    "doc_entropy",
-    "segment_overlap_bounds",
-    "active_users_rolling",
+    # r11: the new scale-gate contract query (the dim/fact queries whose
+    # id-assignment code changed this round are all in the 13
+    # baseline-comparable names, already on the compact line)
+    "dim_visitor_partitioned_ids",
 ]
 
 # Hard ceiling for the stdout line: the driver's capture tail is 2000

@@ -75,49 +75,47 @@ from .text import (
 #     unverified, only un-hashed-by-the-driver that round.
 
 DRIVER_WINDOW: list[str] = [
-    # -- round-10 first driver rows: the new r10 operators (the five
-    #    partsupp-mapped TPC-H decorrelation shapes + the LSH recall
-    #    contract), front-loaded per the pre-committed rotation plan
-    #    (CORRECTNESS_WINDOW.md) --
-    "q2_min_cost_region",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q16_supplier_part_counts",
-    "q20_surplus_suppliers",
-    "dedup_lsh_recall_bounds",
-    "doc_dup_chunk_fraction",
-    "embed_quantize_recall_bounds",
-    "ann_hard_negatives",
-    # -- the three built-after-the-window-filled queries whose first
-    #    driver rows were two rounds overdue (r09 VERDICT item 1) --
-    "doc_entropy",
-    "segment_overlap_bounds",
-    "active_users_rolling",
-    # -- recency rotation by DRIVER-RECORD AGE (pre-committed r09 plan):
-    #    the r08-popped r04-cohort tail first, then the r02+r03+r05
-    #    function cohort, then scalar_subquery/json_funcs/date_funcs.
-    #    (asof_join rotated in next by age, then popped again when
-    #    doc_dup_chunk_fraction was built mid-round — first rows outrank
-    #    re-rows.)  Code paths unchanged since their last rows;
-    #    cell-exact in every local sweep --
-    "dedup_winnowing",
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_incremental",
-    "ann_lsh_indexed",
-    "ann_lsh_bucketed",
-    "ann_ivf",
-    "lang_id",
-    "join_inner_agg",
-    "quantiles",
-    "window_lag",
-    "set_ops",
-    "string_funcs",
-    "conditional_funcs",
-    "vocab_topk",
-    "lang_confusion",
-    "metrics_unpivot",
-    "scalar_subquery",
+    # -- round-11 first driver row: the surrogate-id scale-gate
+    #    contract query (partitioned id assignment vs the oracle's
+    #    global row_number; VERDICT r10 item 3) --
+    "dim_visitor_partitioned_ids",
+    # -- the thrice-popped trio, front-loaded per the pre-committed r11
+    #    rotation plan (they were rotated in for r10 and popped again by
+    #    mid-round operators; longest driver-record wait in the
+    #    registry: r02+r03 rows) --
+    "asof_join",
+    "date_funcs",
+    "json_funcs",
+    # -- the r05/r06-rowed DISPLACED tail, oldest driver record first
+    #    (the pre-committed r11 plan's 21-entry cohort) --
+    "embed_quantize",
+    "multimodal_resize",
+    "multimodal_frames",
+    "scd2_fact_incremental",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "doc_rolling_hash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding",
+    "ann_lsh_bucketed12",
+    "ann_lsh_multiprobe",
+    "token_count",
+    "doc_fingerprint",
+    "join_semi",
+    "join_anti",
+    "window_rank",
+    "rollup_agg",
+    "cube_agg",
+    "topk",
+    "range_join",
+    # -- remaining slots to the next-oldest cohort (first driver rows
+    #    r07, untouched since): the head of the mid-r06 thirteen --
+    "dedup_minhash_lsh_capped_indexed",
+    "benchmark_contamination",
+    "doc_chunk",
+    "training_prep",
+    "sample_cluster_split",
     # -- core schema-level pipeline (driver-green r02-r04 + r07; pinned) --
     "dim_event_type",
     "fact_events_by_minute",
@@ -145,26 +143,47 @@ DRIVER_WINDOW: list[str] = [
 
 # Registered, locally cell-exact-verified every round, but outside the
 # driver's 50-row hash window this round.  Every with-oracle entry here
-# has at least one driver-green (hash_match=true) row (r02–r09) with
+# has at least one driver-green (hash_match=true) row (r02–r10) with
 # unchanged code paths since; the 2 no-oracle entries are ε-tolerance
 # pytest-covered by design AND have *_bounds twins carrying real oracles
-# (driver-green r06/r07).  Newly displaced: the r08/r09 window cohort
-# (every entry got fresh rows in r09) — recency rotation per the
-# pre-committed r09 plan in CORRECTNESS_WINDOW.md.
+# (driver-green r06/r07).  Newly displaced: the r10 window's rotating
+# cohort (every entry got fresh rows in r10) — recency rotation per the
+# pre-committed r11 plan in CORRECTNESS_WINDOW.md.
 DISPLACED: list[str] = [
-    # r08/r09 window cohort: every entry below holds an r09 driver-green
-    # row; the whole registry is re-verified cell-exact in
-    # CORRECTNESS_LOCAL_r10.json.  The final two are the
-    # no-oracle-by-design pair (e-pytest + *_bounds twins with
-    # oracles).
-    # popped back out as the mid-round operators took their window slots
-    # (doc_dup_chunk_fraction popped asof_join,
-    # embed_quantize_recall_bounds popped date_funcs, ann_hard_negatives
-    # popped json_funcs; all keep their existing records — first rows
-    # outrank re-rows)
-    "asof_join",
-    "date_funcs",
-    "json_funcs",
+    # r10 window cohort, freshest driver records in the registry (r10
+    # rows): the five TPC-H decorrelation shapes + the r10 contract
+    # queries, then the r09/r10-rowed rotation tail
+    "q2_min_cost_region",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_supplier_part_counts",
+    "q20_surplus_suppliers",
+    "dedup_lsh_recall_bounds",
+    "doc_dup_chunk_fraction",
+    "embed_quantize_recall_bounds",
+    "ann_hard_negatives",
+    "doc_entropy",
+    "segment_overlap_bounds",
+    "active_users_rolling",
+    "dedup_winnowing",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_incremental",
+    "ann_lsh_indexed",
+    "ann_lsh_bucketed",
+    "ann_ivf",
+    "lang_id",
+    "join_inner_agg",
+    "quantiles",
+    "window_lag",
+    "set_ops",
+    "string_funcs",
+    "conditional_funcs",
+    "vocab_topk",
+    "lang_confusion",
+    "metrics_unpivot",
+    "scalar_subquery",
+    # r08/r09-rowed cohort
     "q8_national_market_share",
     "q12_late_shipments",
     "ann_ivf_recall_bounds",
@@ -196,11 +215,6 @@ DISPLACED: list[str] = [
     "profile_table",
     "dedup_minhash_incremental",
     # earlier-rowed cohorts, by record age
-    "dedup_minhash_lsh_capped_indexed",
-    "benchmark_contamination",
-    "doc_chunk",
-    "training_prep",
-    "sample_cluster_split",
     "text_repetition",
     "multimodal_phash",
     "q18_large_volume_customer",
@@ -231,27 +245,6 @@ DISPLACED: list[str] = [
     "dedup_clusters_indexed",
     "ann_cosine_topk_arrow_bounds",
     "dedup_minhash_lsh_indexed",
-    "embed_quantize",
-    "multimodal_resize",
-    "multimodal_frames",
-    "scd2_fact_incremental",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    "doc_rolling_hash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding",
-    "ann_lsh_bucketed12",
-    "ann_lsh_multiprobe",
-    "token_count",
-    "doc_fingerprint",
-    "join_semi",
-    "join_anti",
-    "window_rank",
-    "rollup_agg",
-    "cube_agg",
-    "topk",
-    "range_join",
     "fact_events_by_minute_approx",
     "ann_cosine_topk_arrow",
 ]

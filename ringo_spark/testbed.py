@@ -140,6 +140,52 @@ def dim_event_type_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    cat, time_upper=T_FAR)
 
 
+# Surrogate-id scale-gate contract (VERDICT r10 item 3): a dimension
+# over the events stream's user_id — the highest-cardinality DimVal the
+# testdata offers (grows with SF: 150 visitors at sf0.01) — built with
+# ringo.dimIdSingleSortMaxBytes forced to 0, i.e. the PARTITIONED
+# id-assignment path (range-partitioned row_number + per-partition
+# offsets; populate/dimension.py).  The oracle recomputes the global
+# row_number in SQL, so the driver row proves cell-exactly that the
+# scale path's ids equal the single-task-sort semantics.  "visitor"
+# (not "user") keeps dim_column_name from prefix-stripping user_id down
+# to a column that would collide with the surrogate `id`.
+VISITOR_DIM_FACT = Fact("events_visitor_dim", "events", [
+    FactColumn("ts", DimTime()),
+    FactColumn("user_id", DimVal("visitor")),
+])
+VISITOR_DIM_ENV = make_env([EVENTS], [VISITOR_DIM_FACT],
+                           Settings(time_unit=TimeUnit.MINUTE), TYPE_DEFAULTS)
+
+
+def dim_visitor_partitioned_ids_df(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    from .populate.dimension import DIM_ID_GATE_CONF_KEY
+
+    cat = load_catalog(spark, sf_dir, [EVENTS])
+    prev = spark.conf.get(DIM_ID_GATE_CONF_KEY, None)
+    spark.conf.set(DIM_ID_GATE_CONF_KEY, "0")
+    try:
+        # the partitioned path materializes eagerly (localCheckpoint),
+        # so the forced gate is consumed before the conf is restored
+        return dimension_population_df(
+            VISITOR_DIM_ENV, VISITOR_DIM_FACT, "dim_visitor", cat,
+            time_upper=T_FAR)
+    finally:
+        if prev is None:
+            spark.conf.unset(DIM_ID_GATE_CONF_KEY)
+        else:
+            spark.conf.set(DIM_ID_GATE_CONF_KEY, prev)
+
+
+DIM_VISITOR_PARTITIONED_IDS_SQL = f"""
+SELECT CAST(row_number() OVER (ORDER BY user_id) AS INT) AS id, user_id
+FROM (SELECT DISTINCT coalesce(user_id, -1) AS user_id
+      FROM events
+      WHERE user_id IS NOT NULL AND ts < {SQL_FAR})
+"""
+
+
 DIM_EVENT_TYPE_SQL = f"""
 SELECT CAST(row_number() OVER (ORDER BY event_type) AS INT) AS id, event_type
 FROM (SELECT DISTINCT coalesce(event_type, '__UNKNOWN_VAL__') AS event_type
@@ -514,6 +560,10 @@ GROUP BY 1, 4, 5, 6, 7
 CORE_QUERIES: dict[str, tuple] = {
     # name -> (builder, oracle_sql | None)
     "dim_event_type": (dim_event_type_df, DIM_EVENT_TYPE_SQL),
+    # surrogate-id scale-gate contract: the partitioned id-assignment
+    # path vs the oracle's global row_number (see builder docstring)
+    "dim_visitor_partitioned_ids": (dim_visitor_partitioned_ids_df,
+                                    DIM_VISITOR_PARTITIONED_IDS_SQL),
     "fact_events_by_minute": (fact_events_by_minute_df, FACT_EVENTS_BY_MINUTE_SQL),
     "fact_events_by_minute_approx": (fact_events_by_minute_approx_df, None),
     # range-style oracle over the HLL variant: exact per-group counts +
