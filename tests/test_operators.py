@@ -1189,3 +1189,62 @@ def test_hard_negatives_exclude_near_dup_band(spark):
                .groupBy("q_id").agg(F.count(F.lit(1)).alias("n"))).collect()}
     for qid, n in direct.items():
         assert excluded[qid] == n
+
+
+def test_contract_queries_replication_invariant(spark, tmp_path):
+    """Probe-backed scale bound for the r10 contract queries (VERDICT
+    r10 item 6; wall-clock table in SCALE.md via `tools/scale_probe.py
+    contracts`).  Under 3x salted replication (per-copy alphabet
+    permutation — no shingle/chunk survives across copies):
+
+    - dedup_lsh_recall_bounds emits the IDENTICAL row: its ground truth
+      is audit-restricted, so appended non-audit docs change nothing —
+      any drift means cross-copy contamination or a lost audit
+      restriction (the quadratic cliff);
+    - doc_dup_chunk_fraction is per-doc replication-invariant (copy-0
+      rows equal the unreplicated run) and its shuffle payload — the
+      chunk table, Σ n_chunks rows — grows exactly 3x, i.e. linearly
+      with corpus tokens / W, never quadratically."""
+    import random
+
+    from ringo_spark.operators.dedup import (
+        dedup_lsh_recall_bounds_df, doc_dup_chunk_fraction_df,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    n_docs = docs.count()
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+
+    def salt(c):
+        if c == 0:
+            return alpha
+        letters = list(alpha)
+        random.Random(c).shuffle(letters)
+        return "".join(letters)
+
+    parts = [
+        docs.select((F.col("doc_id") + c * n_docs).alias("doc_id"),
+                    F.translate("text", alpha, salt(c)).alias("text"),
+                    *[col for col in docs.columns
+                      if col not in ("doc_id", "text")])
+        for c in range(3)]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    rep = str(tmp_path / "x3")
+    big.write.parquet(f"{rep}/documents.parquet")
+
+    r1 = dedup_lsh_recall_bounds_df(spark, sf).collect()[0].asDict()
+    r3 = dedup_lsh_recall_bounds_df(spark, rep).collect()[0].asDict()
+    assert r1 == r3 and r1["n_true"] > 0
+
+    f1 = {r.doc_id: (r.n_chunks, r.n_dup_chunks, r.dup_fraction, r.keep)
+          for r in doc_dup_chunk_fraction_df(spark, sf).collect()}
+    rows3 = doc_dup_chunk_fraction_df(spark, rep).collect()
+    assert len(rows3) == 3 * len(f1)
+    copy0 = {r.doc_id: (r.n_chunks, r.n_dup_chunks, r.dup_fraction, r.keep)
+             for r in rows3 if r.doc_id < n_docs}
+    assert copy0 == f1
+    assert (sum(r.n_chunks for r in rows3)
+            == 3 * sum(v[0] for v in f1.values()))

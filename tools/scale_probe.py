@@ -415,6 +415,87 @@ def deep_scenario():
     shutil.rmtree(SCRATCH, ignore_errors=True)
 
 
+def _shuffle_write_bytes(spark, min_stage_id: int) -> int:
+    """Total shuffle-write bytes across stages started after
+    ``min_stage_id`` (live AppStatusStore, same data as the UI)."""
+    store = spark._jsparkSession.sparkContext().statusStore()
+    gw = spark.sparkContext._gateway
+    al = gw.jvm.java.util.ArrayList()
+    empty_d = gw.new_array(gw.jvm.double, 0)
+    total = 0
+    it = store.stageList(al, False, False, empty_d, al).iterator()
+    while it.hasNext():
+        s = it.next()
+        if s.stageId() > min_stage_id:
+            total += int(s.shuffleWriteBytes())
+    return total
+
+
+def contracts_scenario():
+    """Scale probe for the r10 contract queries (VERDICT r10 item 6):
+    ``dedup_lsh_recall_bounds`` and ``doc_dup_chunk_fraction`` on the
+    salted replicated corpus at k = 1, 2, 4, 8.
+
+    Claims under test (SCALE.md):
+    - the recall contract's ground-truth side is AUDIT-RESTRICTED
+      (audit postings join the corpus inverted index), so per-row cost
+      stays flat as the corpus replicates — and because salted copies
+      share no shingles with copy 0's audit docs, n_true/n_caught/
+      recall must be IDENTICAL at every k (any drift = cross-copy
+      contamination or a lost audit restriction);
+    - the chunk-fraction gate's one corpus-sized shuffle carries chunk
+      hashes (corpus tokens / W rows), so its shuffle-write bytes scale
+      ~linearly with k and per-row cost stays flat.
+    Pass criterion: per-row cost (t_k/k) / (t_1/1) <= ~1.3 and the
+    recall row constant."""
+    from ringo_spark.catalog import get_spark
+    from ringo_spark.operators.dedup import (
+        dedup_lsh_recall_bounds_df, doc_dup_chunk_fraction_df,
+    )
+
+    spark = get_spark("scale-probe-contracts")
+    spark.sparkContext.setLogLevel("ERROR")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    ops = {"dedup_lsh_recall_bounds": dedup_lsh_recall_bounds_df,
+           "doc_dup_chunk_fraction": doc_dup_chunk_fraction_df}
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+    rows, recall_rows = {}, {}
+    for k in COPIES:
+        sf_dir = build(spark, k)
+        for name, fn in ops.items():
+            best, out_rows, sh_bytes = None, None, None
+            for _ in range(2):
+                s0 = _max_stage_id(spark)
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                out_rows = df.count()
+                dt = time.time() - t0
+                if best is None or dt < best:
+                    best = dt
+                    sh_bytes = _shuffle_write_bytes(spark, s0)
+            if name == "dedup_lsh_recall_bounds":
+                recall_rows[k] = fn(spark, sf_dir).collect()[0].asDict()
+            rows.setdefault(name, []).append((k, best, out_rows, sh_bytes))
+            print(f"x{k:<2d} {name:24s} {best:7.2f}s  out_rows={out_rows}"
+                  f"  shuffleMB={sh_bytes / 1e6:.1f}", flush=True)
+    print("\n| operator | x1 | x2 | x4 | x8 | per-row x8/x1 "
+          "| shuffleMB x1->x8 |")
+    print("|---|---|---|---|---|---|---|")
+    for name, rs in rows.items():
+        t = {k: b for k, b, _, _ in rs}
+        sh = {k: s for k, _, _, s in rs}
+        ratio = (t[8] / 8) / (t[1] / 1)
+        print(f"| {name} | {t[1]:.2f}s | {t[2]:.2f}s | {t[4]:.2f}s "
+              f"| {t[8]:.2f}s | {ratio:.2f}x "
+              f"| {sh[1] / 1e6:.1f} -> {sh[8] / 1e6:.1f} |")
+    for name, rs in rows.items():
+        print(f"{name} out_rows by scale: {[(k, n) for k, _, n, _ in rs]}")
+    consts = {k: (r["n_true"], r["n_caught"], r["recall"],
+                  r["meets_floor"]) for k, r in recall_rows.items()}
+    print(f"recall row by scale (must be constant): {consts}")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
 def ivf_scenario():
     """IVF centroid-count probe (r09 VERDICT item 5): training cost and
     recall@5 at K in {16, 64, 256} at sf0.1 (2,000 vectors; K=256 is
@@ -460,5 +541,7 @@ if __name__ == "__main__":
         deep_scenario()
     elif len(sys.argv) > 1 and sys.argv[1] == "ivf":
         ivf_scenario()
+    elif len(sys.argv) > 1 and sys.argv[1] == "contracts":
+        contracts_scenario()
     else:
         main()
