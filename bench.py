@@ -138,8 +138,10 @@ HEADLINE = [
     "doc_dup_chunk_fraction",
     "embed_quantize_recall_bounds",
     "ann_hard_negatives",
-    # round-11 new operator: the surrogate-id scale-gate contract
+    # round-11 new operators: the surrogate-id scale-gate contract and
+    # the ingestion-time copy-fraction gate
     "dim_visitor_partitioned_ids",
+    "doc_dup_chunk_fraction_incremental",
 ]
 
 RUNS_PER_QUERY = 2
@@ -153,6 +155,7 @@ COMPACT_EXTRA = [
     # id-assignment code changed this round are all in the 13
     # baseline-comparable names, already on the compact line)
     "dim_visitor_partitioned_ids",
+    "doc_dup_chunk_fraction_incremental",
 ]
 
 # Hard ceiling for the stdout line: the driver's capture tail is 2000

@@ -1324,3 +1324,95 @@ SELECT doc_id, n_chunks, n_dup_chunks,
          AS keep
 FROM per_doc ORDER BY doc_id
 """
+
+
+def doc_dup_chunk_fraction_incremental_df(spark: SparkSession,
+                                          sf_dir: str) -> DataFrame:
+    """Ingestion-time copy-fraction gate — the production steady-state
+    twin of :func:`doc_dup_chunk_fraction_df`: only the INCOMING batch
+    (doc_id >= INGESTED_BELOW) is chunked and scored; a batch chunk
+    counts as duplicated if its hash exists in the already-ingested
+    corpus's chunk-hash index OR in at least one other batch doc.
+
+    Scale shape: the corpus side is its DISTINCT 16-byte chunk-hash
+    column only — at scale a persisted index written once and appended
+    per batch (the dedup_incremental hash-set / minhash band-index
+    lifecycle), so ingestion never re-chunks the corpus.  The batch's
+    chunk rows shuffle twice on the hash (in-batch doc count + index
+    probe join) and once on doc_id for the rollup — all batch-sized;
+    the index side shuffles only hashes.  Here the index is derived
+    from the same documents table so the oracle can reproduce it."""
+    from ..functions.spread import spread
+
+    W = DUP_CHUNK_TOKENS
+    toks = tokens(F.col("text"))
+    nch = F.floor(F.size("__toks") / W).cast("int")
+    chunk = F.md5(F.concat_ws(
+        " ", F.slice("__toks", F.col("i") * W + 1, W)))
+
+    def chunked(df):
+        return (df.select("doc_id", toks.alias("__toks"))
+                .select("doc_id", nch.alias("__n"), "__toks")
+                .where(F.col("__n") >= 1)
+                .select("doc_id",
+                        F.explode(F.sequence(F.lit(0), F.col("__n") - 1))
+                        .alias("i"),
+                        "__toks")
+                .select("doc_id", chunk.alias("h")))
+
+    docs = spread(_docs(spark, sf_dir))
+    index = (chunked(docs.where(F.col("doc_id") < INGESTED_BELOW))
+             .select("h").distinct()
+             .withColumn("__in_corpus", F.lit(True)))
+    batch = chunked(docs.where(F.col("doc_id") >= INGESTED_BELOW)).persist()
+    in_batch = (batch.groupBy("h")
+                .agg(F.countDistinct("doc_id").alias("__nb")))
+    dup = F.coalesce("__in_corpus", F.lit(False)) | (F.col("__nb") > 1)
+    per_doc = (batch.join(in_batch, "h")
+               .join(index, "h", "left")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_chunks"),
+                    F.sum(dup.cast("int")).cast("long")
+                    .alias("n_dup_chunks")))
+    frac = F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 6)
+    out = _ckpt(per_doc
+                .select("doc_id", "n_chunks", "n_dup_chunks",
+                        frac.alias("dup_fraction"),
+                        (frac < DUP_CHUNK_MAX_FRACTION).alias("keep"))
+                .orderBy("doc_id"))
+    batch.unpersist()
+    return out
+
+
+DOC_DUP_CHUNK_FRACTION_INCREMENTAL_SQL = f"""
+WITH chunks AS (
+  SELECT doc_id, unnest(ch) AS h
+  FROM (
+    SELECT doc_id,
+           [md5(array_to_string(
+              t[i*{DUP_CHUNK_TOKENS}+1 : i*{DUP_CHUNK_TOKENS}+{DUP_CHUNK_TOKENS}],
+              ' '))
+            for i in generate_series(0, len(t) // {DUP_CHUNK_TOKENS} - 1)]
+             AS ch
+    FROM (SELECT doc_id, {sql_tokens('text')} AS t FROM documents)
+    WHERE len(t) >= {DUP_CHUNK_TOKENS})),
+idx AS (
+  SELECT DISTINCT h FROM chunks WHERE doc_id < {INGESTED_BELOW}),
+batch AS (
+  SELECT doc_id, h FROM chunks WHERE doc_id >= {INGESTED_BELOW}),
+in_batch AS (
+  SELECT h, count(DISTINCT doc_id) AS nb FROM batch GROUP BY 1),
+per_doc AS (
+  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(sum(CASE WHEN idx.h IS NOT NULL OR nb.nb > 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+  FROM batch b
+  JOIN in_batch nb USING (h)
+  LEFT JOIN idx ON idx.h = b.h
+  GROUP BY 1)
+SELECT doc_id, n_chunks, n_dup_chunks,
+       round(n_dup_chunks * 1.0 / n_chunks, 6) AS dup_fraction,
+       round(n_dup_chunks * 1.0 / n_chunks, 6) < {DUP_CHUNK_MAX_FRACTION}
+         AS keep
+FROM per_doc ORDER BY doc_id
+"""

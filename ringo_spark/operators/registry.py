@@ -6,6 +6,8 @@ from .dedup import (
     DEDUP_EMBEDDING_SQL,
     DEDUP_EXACT_SQL, DEDUP_LSH_RECALL_BOUNDS_SQL, dedup_lsh_recall_bounds_df,
     DOC_DUP_CHUNK_FRACTION_SQL, doc_dup_chunk_fraction_df,
+    DOC_DUP_CHUNK_FRACTION_INCREMENTAL_SQL,
+    doc_dup_chunk_fraction_incremental_df,
     DEDUP_INCREMENTAL_SQL, DEDUP_MINHASH_INCREMENTAL_SQL,
     DEDUP_MINHASH_LSH_CAPPED_SQL, DEDUP_MINHASH_LSH_SQL,
     DEDUP_NGRAM_JACCARD_SQL, DEDUP_SIMHASH_SQL, DEDUP_WINNOWING_SQL,
@@ -115,7 +117,10 @@ DRIVER_WINDOW: list[str] = [
     "benchmark_contamination",
     "doc_chunk",
     "training_prep",
-    "sample_cluster_split",
+    # -- mid-round r11 operator (first row; popped sample_cluster_split,
+    #    the last rotated-in entry, back to DISPLACED — r06 precedent:
+    #    first rows outrank re-rows) --
+    "doc_dup_chunk_fraction_incremental",
     # -- core schema-level pipeline (driver-green r02-r04 + r07; pinned) --
     "dim_event_type",
     "fact_events_by_minute",
@@ -183,6 +188,9 @@ DISPLACED: list[str] = [
     "lang_confusion",
     "metrics_unpivot",
     "scalar_subquery",
+    # popped back out mid-round (kept its r07 record; the r11
+    # mid-round operator took the slot)
+    "sample_cluster_split",
     # r08/r09-rowed cohort
     "q8_national_market_share",
     "q12_late_shipments",
@@ -295,6 +303,11 @@ _DEDUP_QUERIES: dict[str, tuple] = {
     # sees; one chunk-hash shuffle, no quadratic form
     "doc_dup_chunk_fraction": (doc_dup_chunk_fraction_df,
                                DOC_DUP_CHUNK_FRACTION_SQL),
+    # ingestion-time twin: the incoming batch scored against the
+    # persisted corpus chunk-hash index + in-batch cross-doc counts
+    "doc_dup_chunk_fraction_incremental": (
+        doc_dup_chunk_fraction_incremental_df,
+        DOC_DUP_CHUNK_FRACTION_INCREMENTAL_SQL),
 }
 
 _ANN_QUERIES: dict[str, tuple] = {

@@ -1248,3 +1248,24 @@ def test_contract_queries_replication_invariant(spark, tmp_path):
     assert copy0 == f1
     assert (sum(r.n_chunks for r in rows3)
             == 3 * sum(v[0] for v in f1.values()))
+
+
+def test_dup_chunk_incremental_equals_batch_restriction(spark):
+    """doc_dup_chunk_fraction_incremental: a batch doc's chunk is
+    duplicated iff it occurs in the ingested corpus's index (disjoint
+    doc ids) or in another batch doc — together exactly the batch
+    operator's "occurs in any OTHER doc" criterion.  So the incremental
+    output must EQUAL the batch gate restricted to the incoming docs
+    (and be non-vacuous at this sf)."""
+    from ringo_spark.operators.dedup import (
+        INGESTED_BELOW, doc_dup_chunk_fraction_df,
+        doc_dup_chunk_fraction_incremental_df,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    inc = {tuple(r) for r in
+           doc_dup_chunk_fraction_incremental_df(spark, sf).collect()}
+    batch = {tuple(r) for r in doc_dup_chunk_fraction_df(spark, sf).collect()
+             if r.doc_id >= INGESTED_BELOW}
+    assert inc == batch and len(inc) > 0
+    assert any(not keep for (_, _, _, _, keep) in inc)   # gate bites
