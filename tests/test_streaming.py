@@ -667,3 +667,111 @@ def test_streaming_anomaly_state_expires_on_watermark(spark, tmp_path):
     assert ("beta", 1, 500, str(500**2)) in got
     # state store retains only the still-active key (beta)
     assert q.lastProgress["stateOperators"][0]["numRowsTotal"] == 1
+
+
+def test_streaming_ema_matches_batch(spark, tmp_path):
+    """The stateful streaming EMA twin: replay the events corpus as
+    THREE event-time-ordered micro-batches through
+    applyInPandasWithState (one double of state per user) and assert
+    the collapsed result is BIT-EQUAL to the batch user_value_ema_df —
+    including users whose EMA is null (a NULL value poisons the fold,
+    sticky, exactly as in SQL)."""
+    import datetime as _dt
+    import shutil
+
+    from ringo_spark.operators.tpch import user_value_ema_df
+    from ringo_spark.streaming.ema import ema_snapshot, streaming_user_value_ema
+
+    cat = load_catalog(spark, SF, [EVENTS])
+    ev = (cat["events"]
+          .select("user_id", "event_id",
+                  F.timestamp_seconds(F.unix_timestamp("ts")).alias("ts"),
+                  F.col("value").cast("double").alias("value")))
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span = (hi - lo).total_seconds()
+    cuts = [lo + _dt.timedelta(seconds=span / 3),
+            lo + _dt.timedelta(seconds=2 * span / 3)]
+    parts = [ev.where(F.col("ts") < cuts[0]),
+             ev.where((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+             ev.where(F.col("ts") >= cuts[1])]
+    src = str(tmp_path / "ema-src")
+    os.makedirs(src)
+    for i, p in enumerate(parts):
+        tmp = str(tmp_path / f"emastage{i}")
+        p.coalesce(1).write.parquet(tmp)
+        f = next(x for x in os.listdir(tmp) if x.endswith(".parquet"))
+        shutil.copy(os.path.join(tmp, f), os.path.join(src, f"{i:02d}.parquet"))
+
+    stream = (spark.readStream
+              .schema("user_id long, event_id long, ts timestamp, "
+                      "value double")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src))
+    q = (streaming_user_value_ema(stream, watermark_delay=None)
+         .writeStream.format("memory").queryName("ema_updates")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_ema"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    updates = spark.sql("select * from ema_updates")
+    got = {tuple(r) for r in ema_snapshot(updates).collect()}
+    want = {tuple(r) for r in user_value_ema_df(spark, SF).collect()}
+    assert got == want and len(want) > 0
+    # the testdata has no NULL values, so the sticky-null fold path is
+    # exercised by test_streaming_ema_state_expires_on_watermark's
+    # injected null-value user instead
+
+
+def test_streaming_ema_state_expires_on_watermark(spark, tmp_path):
+    """EMA EventTimeTimeout: a user idle past EMA_IDLE_EXPIRE_SECONDS
+    is dropped from the state store (running EMA was emitted on every
+    update); a recent user's state survives."""
+    import datetime as dt
+
+    from ringo_spark.operators.tpch import EMA_ALPHA
+    from ringo_spark.streaming.ema import streaming_user_value_ema
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [(1, 10, at(0), 10.0), (1, 11, at(100), 20.0),
+            (2, 12, at(50_000), 5.0),
+            # user 3: a NULL value mid-sequence poisons the fold, sticky
+            # (null*(1-a) is null in SQL) - the kernel must agree
+            (3, 13, at(50_000), 2.0), (3, 14, at(50_100), None),
+            (3, 15, at(50_200), 9.0)]
+    src = str(tmp_path / "ema_expiry_src")
+    spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    ).coalesce(1).write.parquet(src)
+
+    stream = (spark.readStream
+              .schema("user_id long, event_id long, ts timestamp, "
+                      "value double")
+              .parquet(src))
+    q = (streaming_user_value_ema(stream, watermark_delay="60 seconds")
+         .writeStream.format("memory").queryName("ema_expiry")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_emax"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    e1 = (10.0 * EMA_ALPHA) * (1 - EMA_ALPHA) + 20.0 * EMA_ALPHA
+    got = {(r.user_id, r.n_events, r.ema, r.ema_is_null)
+           for r in spark.sql("select * from ema_expiry").collect()}
+    assert (1, 2, e1, False) in got
+    assert (2, 1, 5.0 * EMA_ALPHA, False) in got
+    # null-poisoned user: flag set, snapshot restores the SQL null
+    assert any(u == 3 and n == 3 and is_null
+               for (u, n, _, is_null) in got)
+    from ringo_spark.streaming.ema import ema_snapshot
+
+    snap = {(r.user_id, r.n_events, r.ema)
+            for r in ema_snapshot(
+                spark.sql("select * from ema_expiry")).collect()}
+    assert (3, 3, None) in snap
+    # state store retains only the still-active keys (users 2 and 3)
+    assert q.lastProgress["stateOperators"][0]["numRowsTotal"] == 2
