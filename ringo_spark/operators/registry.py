@@ -427,6 +427,9 @@ OPERATOR_QUERIES: dict[str, tuple] = {
 # query (r07 ADVICE).
 EAGER_QUERIES: frozenset[str] = frozenset({
     "vocab_topk_cms_bounds",
+    # the partitioned id path localCheckpoints and collects per-range
+    # counts at construction (populate/dimension.py)
+    "dim_visitor_partitioned_ids",
     # k-means training (Lloyd collects of K x dim centroid doubles)
     # runs at construction
     "ann_ivf_kmeans",
