@@ -470,7 +470,7 @@ FAMILY_SOURCES: dict[str, list[str]] = {
 # results).  Everything else outside FAMILY_SOURCES triggers the
 # conservative full sweep.
 SHARED_NEUTRAL_PREFIXES: tuple[str, ...] = (
-    "tests/", "tools/", "docs/", ".claude/",
+    "tests/", "tools/", "docs/", ".",        # "." = any dot-directory
     "ringo_spark/streaming/",
 )
 SHARED_NEUTRAL_SOURCES: frozenset[str] = frozenset({

@@ -797,3 +797,29 @@ def test_append_onto_pre_schema_manifest_infers_prev_schema(spark, tmp_path):
     rows = {r.id: r.extra for r in live.collect()}
     assert all(rows[i] == i + 7 for i in range(3))
     assert rows[3] is None and rows[4] is None
+
+
+def test_read_table_reads_manifest_exactly_once(spark, tmp_path):
+    """ADVICE r10 (medium): read_table used to read the manifest twice
+    (dir list + schema map) — a concurrent publish between the reads
+    could pair version V's dirs with version V+1's schema, and a
+    concurrent drop made the second read None.  Pin the fix: one
+    manifest read per read_table call."""
+    from pyspark.sql import functions as F
+
+    eng = Engine(spark, ORDERS_ENV, str(tmp_path / "once"),
+                 commit_mode="manifest")
+    os.makedirs(eng.storage, exist_ok=True)
+    eng._write_full(spark.range(0, 3).select("id"), "t")
+
+    calls = []
+    real = eng._read_manifest
+
+    def counting(table):
+        calls.append(table)
+        return real(table)
+
+    eng._read_manifest = counting
+    df = eng.read_table("t")
+    assert calls == ["t"]          # exactly one read
+    assert df.count() == 3

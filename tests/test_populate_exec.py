@@ -207,3 +207,35 @@ def test_partitioned_id_assignment_equals_single_sort(spark):
         assert min(r[0] for r in inc) == max_existing + 1
     finally:
         spark.conf.unset(DIM_ID_GATE_CONF_KEY)
+
+
+def test_partitioned_row_numbers_on_adversarial_keys(spark):
+    """The partitioned id form must equal the global row_number on keys
+    chosen to stress range-boundary placement: unicode, empty strings,
+    shared long prefixes, embedded separators/null-lookalikes, and a
+    heavily duplicated prefix space collapsing to distinct tuples."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ringo_spark.populate.dimension import _partitioned_row_numbers
+
+    rng = random.Random(42)
+    tab = chr(9)
+    specials = ["", " ", "  ", tab, "z\u00fcric h", "\u5317\u4eac",
+                "a" * 500, "a" * 500 + "b", "__UNKNOWN_VAL__", "NULL",
+                "None", "0", "-1", "\U0001f642\U0001f643", "a:b",
+                "a:b:c", " ish"]
+    vals = specials + ["pfx_%s_%04d" % (rng.choice("xy"), rng.randrange(800))
+                       for _ in range(3000)]
+    rows = list({(v, "v%02d" % (len(v) % 17)) for v in vals})
+    df = spark.createDataFrame(rows, "name string, version string").distinct()
+
+    got = _partitioned_row_numbers(df, ["name", "version"], "id")
+    want = df.withColumn(
+        "id", F.row_number().over(Window.orderBy("name", "version"))
+        .cast("long"))
+    g = sorted(tuple(r) for r in got.select("id", "name", "version").collect())
+    w = sorted(tuple(r) for r in want.select("id", "name", "version").collect())
+    assert g == w and len(g) == len(rows)
