@@ -690,8 +690,18 @@ class Engine:
                     # snapshot's schema so columns present in older
                     # files but absent from this append survive the
                     # union, and the type-conflict guard covers them.
-                    prev_schema = self.spark.read.parquet(
-                        *self._snapshot_paths(table, m=m)).schema.json()
+                    # mergeSchema because a legacy snapshot can span
+                    # MULTIPLE dirs with heterogeneous file schemas
+                    # (old narrow appends + a wide refresh) — a single
+                    # footer could record a narrowed schema and drop
+                    # columns from all future reads.  The every-footer
+                    # cost is paid once: this publish records the
+                    # merged schema and the path never runs again.
+                    prev_schema = (self.spark.read
+                                   .option("mergeSchema", "true")
+                                   .parquet(*self._snapshot_paths(table,
+                                                                  m=m))
+                                   .schema.json())
                 schemas = self._next_schemas(
                     m, version, self._union_schema(prev_schema, df))
                 try:

@@ -1248,6 +1248,28 @@ DUP_CHUNK_TOKENS = 10        # non-overlapping token window per chunk
 DUP_CHUNK_MAX_FRACTION = 0.5  # keep docs under this duplicated fraction
 
 
+def _chunk_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, h): the md5 of each non-overlapping DUP_CHUNK_TOKENS-
+    token window of each document — the ONE chunking pipeline both the
+    batch and incremental copy-fraction gates build on (a divergence in
+    W handling or the 1-based slice bounds would silently split their
+    semantics).  Map-side bounded explode: corpus tokens / W rows."""
+    W = DUP_CHUNK_TOKENS
+    toks = tokens(F.col("text"))
+    nch = F.floor(F.size("__toks") / W).cast("int")
+    chunk = F.md5(F.concat_ws(
+        " ", F.slice("__toks", F.col("i") * W + 1, W)))
+    return (docs
+            .select("doc_id", toks.alias("__toks"))
+            .select("doc_id", nch.alias("__n"), "__toks")
+            .where(F.col("__n") >= 1)
+            .select("doc_id",
+                    F.explode(F.sequence(F.lit(0), F.col("__n") - 1))
+                    .alias("i"),
+                    "__toks")
+            .select("doc_id", chunk.alias("h")))
+
+
 def doc_dup_chunk_fraction_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per document: how many of its fixed-width token chunks also occur
     (verbatim) in at least one OTHER document, the duplicated fraction,
@@ -1262,20 +1284,7 @@ def doc_dup_chunk_fraction_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     this runs at corpora where pairwise dedup cannot."""
     from ..functions.spread import spread
 
-    W = DUP_CHUNK_TOKENS
-    toks = tokens(F.col("text"))
-    nch = F.floor(F.size("__toks") / W).cast("int")
-    chunk = F.md5(F.concat_ws(
-        " ", F.slice("__toks", F.col("i") * W + 1, W)))
-    chunks = (spread(_docs(spark, sf_dir))
-              .select("doc_id", toks.alias("__toks"))
-              .select("doc_id", nch.alias("__n"), "__toks")
-              .where(F.col("__n") >= 1)
-              .select("doc_id",
-                      F.explode(F.sequence(F.lit(0), F.col("__n") - 1))
-                      .alias("i"),
-                      "__toks")
-              .select("doc_id", chunk.alias("h")))
+    chunks = _chunk_hashes(spread(_docs(spark, sf_dir)))
     # cache: both the per-chunk doc count AND the per-doc rollup read the
     # chunk table — without this the tokenize+md5 pass runs twice (the
     # dedup_minhash_lsh shingle-cache pattern; on a cluster swap for
@@ -1344,27 +1353,12 @@ def doc_dup_chunk_fraction_incremental_df(spark: SparkSession,
     from the same documents table so the oracle can reproduce it."""
     from ..functions.spread import spread
 
-    W = DUP_CHUNK_TOKENS
-    toks = tokens(F.col("text"))
-    nch = F.floor(F.size("__toks") / W).cast("int")
-    chunk = F.md5(F.concat_ws(
-        " ", F.slice("__toks", F.col("i") * W + 1, W)))
-
-    def chunked(df):
-        return (df.select("doc_id", toks.alias("__toks"))
-                .select("doc_id", nch.alias("__n"), "__toks")
-                .where(F.col("__n") >= 1)
-                .select("doc_id",
-                        F.explode(F.sequence(F.lit(0), F.col("__n") - 1))
-                        .alias("i"),
-                        "__toks")
-                .select("doc_id", chunk.alias("h")))
-
     docs = spread(_docs(spark, sf_dir))
-    index = (chunked(docs.where(F.col("doc_id") < INGESTED_BELOW))
+    index = (_chunk_hashes(docs.where(F.col("doc_id") < INGESTED_BELOW))
              .select("h").distinct()
              .withColumn("__in_corpus", F.lit(True)))
-    batch = chunked(docs.where(F.col("doc_id") >= INGESTED_BELOW)).persist()
+    batch = _chunk_hashes(
+        docs.where(F.col("doc_id") >= INGESTED_BELOW)).persist()
     in_batch = (batch.groupBy("h")
                 .agg(F.countDistinct("doc_id").alias("__nb")))
     dup = F.coalesce("__in_corpus", F.lit(False)) | (F.col("__nb") > 1)

@@ -445,23 +445,33 @@ EAGER_QUERIES: frozenset[str] = frozenset({
 # SHARED_NEUTRAL_SOURCES is treated as shared infrastructure — the
 # incremental sweep then falls back to everything (conservative: never
 # silently under-sweep).
+# Shared execution layers: a family whose operator module IMPORTS a
+# layer at query-build time executes its code, so a change there must
+# re-sweep that family too, not just "core" (r11 review finding: the
+# grain queries run populate/* and were invisible to a dimension.py
+# change).  tests/test_registry_window.py greps each operator module's
+# imports and fails if a populate/testbed/model/validator import is not
+# reflected here.
+_POPULATE_SOURCES = ["ringo_spark/populate/dimension.py",
+                     "ringo_spark/populate/fact.py",
+                     "ringo_spark/populate/common.py",
+                     "ringo_spark/extractor.py", "ringo_spark/model.py",
+                     "ringo_spark/validator.py"]
+_TESTBED = "ringo_spark/testbed.py"
 FAMILY_SOURCES: dict[str, list[str]] = {
     "dedup": ["ringo_spark/operators/dedup.py"],
     "ann": ["ringo_spark/operators/similarity.py"],
     "text": ["ringo_spark/operators/text.py"],
     "multimodal": ["ringo_spark/operators/multimodal.py"],
-    "relational": ["ringo_spark/operators/relational.py"],
-    "grain": ["ringo_spark/operators/rollup_grain.py"],
-    "session": ["ringo_spark/operators/session.py"],
-    "tpch": ["ringo_spark/operators/tpch.py"],
+    "relational": ["ringo_spark/operators/relational.py", _TESTBED],
+    "grain": ["ringo_spark/operators/rollup_grain.py", _TESTBED,
+              *_POPULATE_SOURCES],
+    "session": ["ringo_spark/operators/session.py", _TESTBED],
+    "tpch": ["ringo_spark/operators/tpch.py", _TESTBED],
     "sampling": ["ringo_spark/operators/sampling.py"],
     "pipeline": ["ringo_spark/operators/pipeline.py"],
     "training": ["ringo_spark/operators/training.py"],
-    "core": ["ringo_spark/testbed.py", "ringo_spark/engine.py",
-             "ringo_spark/populate/dimension.py",
-             "ringo_spark/populate/fact.py",
-             "ringo_spark/populate/common.py",
-             "ringo_spark/extractor.py", "ringo_spark/model.py"],
+    "core": [_TESTBED, "ringo_spark/engine.py", *_POPULATE_SOURCES],
 }
 
 # Changed files that affect NO registered query's results: docs, tests,

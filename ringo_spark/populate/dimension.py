@@ -99,8 +99,21 @@ def _partitioned_row_numbers(rows: DataFrame, dim_cols: list[str],
     spark = rows.sparkSession
     n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     part = (rows.repartitionByRange(n, *[F.col(c) for c in dim_cols])
-            .withColumn("__pid", F.spark_partition_id())
-            .localCheckpoint(eager=True))
+            .withColumn("__pid", F.spark_partition_id()))
+    # reliable checkpoint when the session has a checkpoint dir (the
+    # cluster setting for exactly the >gate dimensions this path
+    # serves): localCheckpoint blocks are executor-local and
+    # unreplicated, so on a real cluster one lost executor between the
+    # counts job and the final projection would fail the population
+    # with no lineage to recompute.  local[32] (tests, bench) has no
+    # checkpoint dir and keeps the cheap local form.
+    try:
+        has_ckpt_dir = bool(spark.sparkContext._jsc.sc()
+                            .getCheckpointDir().isDefined())
+    except Exception:
+        has_ckpt_dir = False
+    part = (part.checkpoint(eager=True) if has_ckpt_dir
+            else part.localCheckpoint(eager=True))
     counts = (part.groupBy("__pid")
               .agg(F.count(F.lit(1)).alias("__cnt")).collect())
     offsets, acc = {}, 0

@@ -81,9 +81,12 @@ def make_moments_kernel(expire: bool):
             s1 += sum(cents)
             s2 += sum(c * c for c in cents)   # Python int: no overflow
             if expire:
-                last_sec = max(last_sec,
-                               int(pd.to_datetime(pdf["ts"])
-                                   .max().timestamp()))
+                # Spark-computed epoch seconds (the `sec` column), like
+                # the funnel/retention/ema twins — pandas .timestamp()
+                # on the tz-naive ts would re-interpret local wall time
+                # as UTC and shift the expiry horizon by the session
+                # timezone offset
+                last_sec = max(last_sec, int(pdf["sec"].max()))
 
         state.update((n, s1, str(s2)))
         if expire:
@@ -109,6 +112,7 @@ def streaming_anomaly_moments(stream_df: DataFrame,
                 .select(F.coalesce("event_type", F.lit("__UNKNOWN_VAL__"))
                         .alias("event_type"),
                         "ts",
+                        F.unix_timestamp("ts").alias("sec"),
                         (F.col("value").cast("decimal(18,2)") * 100)
                         .cast("long").alias("cents")))
     timeout = (GroupStateTimeout.EventTimeTimeout if expire

@@ -781,9 +781,13 @@ def test_append_onto_pre_schema_manifest_infers_prev_schema(spark, tmp_path):
     eng = Engine(spark, ORDERS_ENV, str(tmp_path / "pre"),
                  commit_mode="manifest", keep_versions=2)
     os.makedirs(eng.storage, exist_ok=True)
+    # legacy snapshot spanning TWO dirs with heterogeneous file schemas
+    # (a wide refresh + a narrow append) — the fallback must footer-
+    # MERGE, not trust whichever single footer the reader samples
     eng._write_full(
         spark.range(0, 3).select("id", (F.col("id") + 7).alias("extra")),
         "t")
+    eng._write_append(spark.range(3, 5).select("id"), "t")   # narrow dir
     # simulate the legacy manifest: strip the recorded schemas
     mp = eng._manifest_path("t")
     m = _json.load(open(mp))
@@ -791,12 +795,13 @@ def test_append_onto_pre_schema_manifest_infers_prev_schema(spark, tmp_path):
     with open(mp, "w") as fh:
         _json.dump(m, fh)
 
-    eng._write_append(spark.range(3, 5).select("id"), "t")   # no 'extra'
+    eng._write_append(spark.range(5, 6).select("id"), "t")   # no 'extra'
     live = eng.read_table("t")
-    assert live.columns == ["id", "extra"]   # survived the narrow append
+    assert live.columns == ["id", "extra"]   # survived the narrow appends
     rows = {r.id: r.extra for r in live.collect()}
+    assert len(rows) == 6
     assert all(rows[i] == i + 7 for i in range(3))
-    assert rows[3] is None and rows[4] is None
+    assert all(rows[i] is None for i in (3, 4, 5))
 
 
 def test_read_table_reads_manifest_exactly_once(spark, tmp_path):

@@ -55,3 +55,40 @@ def test_families_partition_registry():
     assert len(all_names) == len(set(all_names))
     assert set(all_names) == set(entrymod.queries())
     assert "core" in fams and "dedup" in fams and "tpch" in fams
+
+
+def test_family_sources_cover_shared_execution_layers():
+    """verify_local.py --changed-since maps changed files to families
+    via FAMILY_SOURCES.  A family whose operator module IMPORTS a shared
+    execution layer (populate/*, testbed, model, validator) runs that
+    code at query time, so the layer's file must be attributed to that
+    family — otherwise an incremental sweep silently under-sweeps it
+    (r11 review finding: grain queries execute populate/* but a
+    dimension.py change only swept core)."""
+    import os
+    import re
+
+    from ringo_spark.operators.registry import FAMILY_SOURCES
+
+    layer_files = {
+        "populate.dimension": "ringo_spark/populate/dimension.py",
+        "populate.fact": "ringo_spark/populate/fact.py",
+        "populate.common": "ringo_spark/populate/common.py",
+        "testbed": "ringo_spark/testbed.py",
+        "model": "ringo_spark/model.py",
+        "validator": "ringo_spark/validator.py",
+        "extractor": "ringo_spark/extractor.py",
+        "engine": "ringo_spark/engine.py",
+    }
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    missing = []
+    for fam, srcs in FAMILY_SOURCES.items():
+        if fam == "core":
+            continue
+        mod_path = srcs[0]                       # the family module
+        text = open(os.path.join(repo, mod_path)).read()
+        imported = set(re.findall(r"from \.\.([\w.]+) import", text))
+        for name, path in layer_files.items():
+            if name in imported and path not in srcs:
+                missing.append((fam, name))
+    assert not missing, f"FAMILY_SOURCES misses executed layers: {missing}"

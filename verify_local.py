@@ -131,11 +131,23 @@ def main():
 
         from ringo_spark.operators.registry import queries_for_changed_files
 
+        repo = os.path.dirname(os.path.abspath(__file__))
+        # splitlines, not split: a path with whitespace must stay one
+        # entry (a fragment could accidentally match a neutral rule and
+        # skip the conservative full-sweep fallback).  -z would be
+        # stricter still; no tracked path here contains a newline.
         changed = subprocess.run(
             ["git", "diff", "--name-only", changed_since, "--", "."],
-            capture_output=True, text=True, check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout.split()
+            capture_output=True, text=True, check=True, cwd=repo,
+        ).stdout.splitlines()
+        # untracked files are invisible to `git diff` — a brand-new
+        # not-yet-added source module must count as changed, or the
+        # sweep reports "nothing to sweep" against code it never saw
+        changed += subprocess.run(
+            ["git", "ls-files", "--others", "--exclude-standard"],
+            capture_output=True, text=True, check=True, cwd=repo,
+        ).stdout.splitlines()
+        changed = [c for c in changed if c]
         names, unattributed = queries_for_changed_files(changed)
         if names is None:
             print(f"--changed-since: shared files changed "
