@@ -431,6 +431,76 @@ def _shuffle_write_bytes(spark, min_stage_id: int) -> int:
     return total
 
 
+def dimids_scenario():
+    """Surrogate-id gate probe (r11): a pathological HIGH-CARDINALITY
+    dimension — events replicated 16x with user_id := event_id, so the
+    deduped dim is ~1.6M near-unique rows — assigned ids by (a) the
+    single-task global sort and (b) the gated partitioned path, with
+    wall time and per-stage task spread for both.  The claim under
+    test (SCALE.md §2): above the gate the partitioned form removes the
+    one serializing task while producing identical ids."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from ringo_spark.catalog import get_spark
+    from ringo_spark.populate.dimension import DIM_ID_GATE_CONF_KEY
+    from ringo_spark.testbed import (
+        T_FAR, VISITOR_DIM_ENV, VISITOR_DIM_FACT,
+    )
+    from ringo_spark.populate.dimension import dimension_population_df
+
+    spark = get_spark("scale-probe-dimids")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    k = 16
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    n_ev = ev.count()
+    big = _replicate([
+        ev.select((F.col("event_id") + c * n_ev).alias("event_id"),
+                  *[col for col in ev.columns if col != "event_id"])
+        for c in range(k)])
+    d = os.path.join(SCRATCH, "dimids")
+    (big.withColumn("user_id", F.col("event_id"))     # near-unique DimVal
+     .repartition(32).write.mode("overwrite")
+     .parquet(os.path.join(d, "events.parquet")))
+    n_dim = (spark.read.parquet(os.path.join(d, "events.parquet"))
+             .select("user_id").distinct().count())
+    print(f"dim cardinality: {n_dim} rows")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+
+    def run(label, gate):
+        spark.conf.set(DIM_ID_GATE_CONF_KEY, gate)
+        cnt = dimension_population_df(        # warmup/plan run
+            VISITOR_DIM_ENV, VISITOR_DIM_FACT, "dim_visitor",
+            {"events": spark.read.parquet(os.path.join(d, "events.parquet"))},
+            time_upper=T_FAR).count()
+        s0 = _max_stage_id(spark)
+        t0 = time.time()
+        out = dimension_population_df(
+            VISITOR_DIM_ENV, VISITOR_DIM_FACT, "dim_visitor",
+            {"events": spark.read.parquet(os.path.join(d, "events.parquet"))},
+            time_upper=T_FAR)
+        out.write.format("noop").mode("overwrite").save()
+        wall = time.time() - t0
+        spread = _task_time_spread(spark, s0)
+        worst = max((mx for _, mx, _, _ in spread), default=0)
+        print(f"{label}: wall {wall:.2f}s, rows {cnt}, "
+              f"longest task {worst}ms")
+        for sid, mx, med, cntt in sorted(spread):
+            if mx >= 200:
+                print(f"  stage {sid}: max {mx}ms med {med:.0f}ms "
+                      f"({cntt} tasks)")
+        return wall, cnt
+
+    w_single, c1 = run("single-task sort (gate=huge)", str(1 << 60))
+    w_part, c2 = run("partitioned ids   (gate=0)", "0")
+    spark.conf.unset(DIM_ID_GATE_CONF_KEY)
+    assert c1 == c2
+    print(f"\nspeedup at {n_dim}-row dim: {w_single / w_part:.2f}x "
+          f"({w_single:.2f}s -> {w_part:.2f}s)")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
 def contracts_scenario():
     """Scale probe for the r10 contract queries (VERDICT r10 item 6):
     ``dedup_lsh_recall_bounds`` and ``doc_dup_chunk_fraction`` on the
@@ -543,5 +613,7 @@ if __name__ == "__main__":
         ivf_scenario()
     elif len(sys.argv) > 1 and sys.argv[1] == "contracts":
         contracts_scenario()
+    elif len(sys.argv) > 1 and sys.argv[1] == "dimids":
+        dimids_scenario()
     else:
         main()
