@@ -150,6 +150,8 @@ HEADLINE = [
     # the ingestion-time copy-fraction gate
     "dim_visitor_partitioned_ids",
     "doc_dup_chunk_fraction_incremental",
+    "dedup_embedding_incremental",
+    "text_quality_drift",
 ]
 
 RUNS_PER_QUERY = 2
@@ -164,6 +166,8 @@ COMPACT_EXTRA = [
     # baseline-comparable names, already on the compact line)
     "dim_visitor_partitioned_ids",
     "doc_dup_chunk_fraction_incremental",
+    "dedup_embedding_incremental",
+    "text_quality_drift",
 ]
 
 # Hard ceiling for the stdout line: the driver's capture tail is 2000

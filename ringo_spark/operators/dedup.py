@@ -997,6 +997,62 @@ WHERE round({sql_cosine('x.embedding', 'y.embedding')}, 6) >= {COSINE_THRESHOLD}
 
 DEDUP_EMBEDDING_LSH_SQL = _dedup_embedding_lsh_sql()
 
+# vectors below this id play the already-ingested corpus for the
+# embedding ingestion twin (the doc-side analogue is INGESTED_BELOW)
+EMB_INGESTED_BELOW = 100
+
+
+def dedup_embedding_incremental_df(spark: SparkSession, sf_dir: str,
+                                   bits: int = EMB_LSH_BITS) -> DataFrame:
+    """Ingestion-time embedding near-dup detection — the vector twin of
+    :func:`dedup_minhash_incremental_df`, completing the incremental
+    story across all four dedup modalities (exact hash, minhash bands,
+    chunk hashes, embedding buckets): the incoming batch's vectors are
+    probed against the already-ingested corpus's sign-bit LSH buckets;
+    candidates verified by exact cosine.  Returns (vec_new, vec_seen,
+    cosine) hits an ingestion pipeline would reject or link.
+
+    Scale shape: the corpus side is the persisted
+    ``partitionBy("bucket")`` index (the ann_lsh_indexed lifecycle —
+    written once, appended per batch); the batch side is small and
+    BROADCAST, so the corpus-side bucket scan is map-only and, against
+    the persisted index, partition-pruned to the batch's buckets:
+    nothing corpus-sized ever shuffles at ingestion time.  Here both
+    sides derive from the same embeddings table so the oracle can
+    reproduce the split."""
+    from .similarity import _bucket_expr
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .withColumn("bucket", _bucket_expr(F.col("embedding"), bits)))
+    corpus = emb.where(F.col("vec_id") < EMB_INGESTED_BELOW).alias("c")
+    batch = (emb.where(F.col("vec_id") >= EMB_INGESTED_BELOW)
+             .alias("n"))
+    cos = F.round(cosine(F.col("n.embedding"), F.col("c.embedding")), 6)
+    return (corpus.join(F.broadcast(batch),
+                        F.col("n.bucket") == F.col("c.bucket"))
+            .select(F.col("n.vec_id").alias("vec_new"),
+                    F.col("c.vec_id").alias("vec_seen"),
+                    cos.alias("cosine"))
+            .where(F.col("cosine") >= COSINE_THRESHOLD))
+
+
+def _dedup_embedding_incremental_sql() -> str:
+    from .similarity import _sql_bucket
+
+    return f"""
+WITH bk AS (SELECT vec_id, embedding, {_sql_bucket(EMB_LSH_BITS)} AS bucket
+            FROM embeddings)
+SELECT n.vec_id AS vec_new, c.vec_id AS vec_seen,
+       round({sql_cosine('n.embedding', 'c.embedding')}, 6) AS cosine
+FROM bk c JOIN bk n ON n.bucket = c.bucket
+WHERE c.vec_id < {EMB_INGESTED_BELOW} AND n.vec_id >= {EMB_INGESTED_BELOW}
+  AND round({sql_cosine('n.embedding', 'c.embedding')}, 6)
+        >= {COSINE_THRESHOLD}
+"""
+
+
+DEDUP_EMBEDDING_INCREMENTAL_SQL = _dedup_embedding_incremental_sql()
+
 
 # --- winnowing fingerprints -------------------------------------------------
 

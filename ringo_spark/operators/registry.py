@@ -8,6 +8,7 @@ from .dedup import (
     DOC_DUP_CHUNK_FRACTION_SQL, doc_dup_chunk_fraction_df,
     DOC_DUP_CHUNK_FRACTION_INCREMENTAL_SQL,
     doc_dup_chunk_fraction_incremental_df,
+    DEDUP_EMBEDDING_INCREMENTAL_SQL, dedup_embedding_incremental_df,
     DEDUP_INCREMENTAL_SQL, DEDUP_MINHASH_INCREMENTAL_SQL,
     DEDUP_MINHASH_LSH_CAPPED_SQL, DEDUP_MINHASH_LSH_SQL,
     DEDUP_NGRAM_JACCARD_SQL, DEDUP_SIMHASH_SQL, DEDUP_WINNOWING_SQL,
@@ -47,6 +48,7 @@ from .session import SESSION_QUERIES
 from .tpch import TPCH_QUERIES
 from .text import (
     BENCHMARK_CONTAMINATION_SQL, DOC_FINGERPRINT_SQL, DOC_ROLLING_HASH_SQL,
+    TEXT_QUALITY_DRIFT_SQL, text_quality_drift_df,
     LANG_CONFUSION_SQL, LANG_ID_SQL, METRICS_UNPIVOT_SQL, TEXT_QUALITY_SQL,
     TFIDF_BM25_SQL, TOKEN_COUNT_SQL, VOCAB_TOPK_SQL,
     DOC_BIGRAM_LOGPROB_SQL, DOC_ENTROPY_SQL,
@@ -115,12 +117,13 @@ DRIVER_WINDOW: list[str] = [
     #    r07, untouched since): the head of the mid-r06 thirteen --
     "dedup_minhash_lsh_capped_indexed",
     "benchmark_contamination",
-    "doc_chunk",
-    "training_prep",
-    # -- mid-round r11 operator (first row; popped sample_cluster_split,
-    #    the last rotated-in entry, back to DISPLACED — r06 precedent:
-    #    first rows outrank re-rows) --
+    # -- mid-round r11 operators (first rows; popped the last three
+    #    rotated-in entries — sample_cluster_split, training_prep,
+    #    doc_chunk — back to DISPLACED, r06 precedent: first rows
+    #    outrank re-rows) --
     "doc_dup_chunk_fraction_incremental",
+    "dedup_embedding_incremental",
+    "text_quality_drift",
     # -- core schema-level pipeline (driver-green r02-r04 + r07; pinned) --
     "dim_event_type",
     "fact_events_by_minute",
@@ -188,9 +191,11 @@ DISPLACED: list[str] = [
     "lang_confusion",
     "metrics_unpivot",
     "scalar_subquery",
-    # popped back out mid-round (kept its r07 record; the r11
-    # mid-round operator took the slot)
+    # popped back out mid-round (kept their r07 records; the r11
+    # mid-round operators took the slots)
     "sample_cluster_split",
+    "training_prep",
+    "doc_chunk",
     # r08/r09-rowed cohort
     "q8_national_market_share",
     "q12_late_shipments",
@@ -291,6 +296,11 @@ _DEDUP_QUERIES: dict[str, tuple] = {
     "dedup_incremental": (dedup_incremental_df, DEDUP_INCREMENTAL_SQL),
     "dedup_minhash_incremental": (dedup_minhash_incremental_df,
                                   DEDUP_MINHASH_INCREMENTAL_SQL),
+    # ingestion-time embedding near-dup: batch vectors probe the
+    # persisted corpus bucket index — completes the incremental story
+    # across all four dedup modalities (exact/minhash/chunk/embedding)
+    "dedup_embedding_incremental": (dedup_embedding_incremental_df,
+                                    DEDUP_EMBEDDING_INCREMENTAL_SQL),
     "dedup_winnowing": (dedup_winnowing_df, DEDUP_WINNOWING_SQL),
     # candidate-recall contract for the banded-LSH family: exact counts
     # of true near-dup pairs recovered by band collisions over a fixed
@@ -370,6 +380,8 @@ _TEXT_QUERIES: dict[str, tuple] = {
     "vocab_topk_cms_bounds": (vocab_topk_cms_bounds_df,
                               VOCAB_TOPK_CMS_BOUNDS_SQL),
     "metrics_unpivot": (metrics_unpivot_df, METRICS_UNPIVOT_SQL),
+    # per-source ingestion drift gate over exact integer token moments
+    "text_quality_drift": (text_quality_drift_df, TEXT_QUALITY_DRIFT_SQL),
 }
 
 _MULTIMODAL_QUERIES: dict[str, tuple] = {

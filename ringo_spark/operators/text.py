@@ -107,6 +107,100 @@ FROM documents
 """
 
 
+# --- per-source quality drift gate (r11) ------------------------------------
+
+# docs below this id play the already-ingested baseline cohort for the
+# drift gate (the dedup ingestion twins use the same split point)
+DRIFT_BASELINE_BELOW = 250
+DRIFT_Z_THRESHOLD = 3.0
+
+
+def text_quality_drift_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data-drift gate for ingestion: is the incoming batch's
+    mean token count consistent with the already-ingested baseline for
+    that source?  Emits the baseline/batch cohort sizes and means, a
+    z-style drift score — (batch_mean − base_mean) / sqrt(base_var /
+    n_batch), the standard error of a batch mean under the baseline
+    distribution — and the |z| > DRIFT_Z_THRESHOLD verdict.  The crawl
+    monitoring gate: a source whose new dump suddenly ships truncated
+    or concatenated documents drifts, the rest pass.
+
+    Exactness: cohort moments are EXACT integer sums (token counts are
+    ints), cast to double only inside the identical guarded expressions
+    in both engines (the anomaly_zscore pattern — no cross-engine
+    stddev dependence).  Degenerate cohorts (n_base < 2, zero variance,
+    empty batch) yield NULL z/verdict through lazy CASEs in both
+    engines.  Only sources present in BOTH cohorts emit (inner join) —
+    a brand-new source has no baseline to drift from.
+
+    Scale shape: two map-side-combining aggregates to #sources rows
+    each, joined source-to-source (broadcast-sized); the corpus itself
+    never shuffles."""
+    t = F.size(tokens(F.col("text"))).cast("long")
+    d = _docs(spark, sf_dir).select("doc_id", "source", t.alias("t"))
+    base = (d.where(F.col("doc_id") < DRIFT_BASELINE_BELOW)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_base"),
+                 F.sum("t").alias("s1"),
+                 F.sum(F.col("t") * F.col("t")).alias("s2")))
+    new = (d.where(F.col("doc_id") >= DRIFT_BASELINE_BELOW)
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_batch"),
+                F.sum("t").alias("sn")))
+    base_mean = F.col("s1").cast("double") / F.col("n_base")
+    batch_mean = F.col("sn").cast("double") / F.col("n_batch")
+    var = ((F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1") / F.col("n_base"))
+           / (F.col("n_base") - 1))
+    z_expr = F.round((batch_mean - base_mean)
+                     / F.sqrt(var / F.col("n_batch")), 6)
+    z = F.when(F.col("n_base") > 1, F.when(var > 0, z_expr))
+    return (base.join(new, "source")
+            .select("source", "n_base", "n_batch",
+                    F.round(base_mean, 6).alias("base_mean_tokens"),
+                    F.round(batch_mean, 6).alias("batch_mean_tokens"),
+                    z.alias("drift_z"),
+                    (F.abs(z) > DRIFT_Z_THRESHOLD).alias("drifted"))
+            .orderBy("source"))
+
+
+TEXT_QUALITY_DRIFT_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, CAST(len({sql_tokens('text')}) AS BIGINT) AS t
+  FROM documents),
+base AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_base,
+         CAST(sum(t) AS BIGINT) AS s1, CAST(sum(t * t) AS BIGINT) AS s2
+  FROM d WHERE doc_id < {DRIFT_BASELINE_BELOW} GROUP BY 1),
+new AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_batch,
+         CAST(sum(t) AS BIGINT) AS sn
+  FROM d WHERE doc_id >= {DRIFT_BASELINE_BELOW} GROUP BY 1),
+scored AS (
+  SELECT source, n_base, n_batch,
+         CAST(s1 AS DOUBLE) / n_base AS base_mean,
+         CAST(sn AS DOUBLE) / n_batch AS batch_mean,
+         (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_base)
+           / (n_base - 1) AS var
+  FROM base JOIN new USING (source))
+SELECT source, n_base, n_batch,
+       round(base_mean, 6) AS base_mean_tokens,
+       round(batch_mean, 6) AS batch_mean_tokens,
+       CASE WHEN n_base > 1 THEN
+         CASE WHEN var > 0 THEN
+           round((batch_mean - base_mean) / sqrt(var / n_batch), 6)
+         END
+       END AS drift_z,
+       CASE WHEN n_base > 1 THEN
+         CASE WHEN var > 0 THEN
+           abs(round((batch_mean - base_mean) / sqrt(var / n_batch), 6))
+             > {DRIFT_Z_THRESHOLD}
+         END
+       END AS drifted
+FROM scored ORDER BY source
+"""
+
+
 def lang_id_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID: per-language marker hit count, argmax with
     deterministic tie-break (sorted language order); 'unknown' when no

@@ -1269,3 +1269,62 @@ def test_dup_chunk_incremental_equals_batch_restriction(spark):
              if r.doc_id >= INGESTED_BELOW}
     assert inc == batch and len(inc) > 0
     assert any(not keep for (_, _, _, _, keep) in inc)   # gate bites
+
+
+def test_embedding_incremental_equals_lsh_restriction(spark):
+    """dedup_embedding_incremental: probing the ingested corpus's
+    buckets with the batch vectors is exactly the batch LSH pair set
+    restricted to pairs straddling the ingestion split (vec_a < split
+    <= vec_b, since lsh orients vec_a < vec_b) — and non-vacuous."""
+    from ringo_spark.operators.dedup import (
+        EMB_INGESTED_BELOW, dedup_embedding_incremental_df,
+        dedup_embedding_lsh_df,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    inc = {(r.vec_seen, r.vec_new, r.cosine)
+           for r in dedup_embedding_incremental_df(spark, sf).collect()}
+    lsh = {(r.vec_a, r.vec_b, r.cosine)
+           for r in dedup_embedding_lsh_df(spark, sf).collect()
+           if r.vec_a < EMB_INGESTED_BELOW <= r.vec_b}
+    assert inc == lsh and len(inc) > 0
+
+
+def test_quality_drift_flags_injected_drift(spark, tmp_path):
+    """text_quality_drift falsifiability: truncating ONE source's batch
+    documents to their first few tokens must flip that source's verdict
+    to drifted while unmodified sources stay undrifted — the gate
+    constrains the data, not a tautology."""
+    from pyspark.sql import functions as F
+
+    from ringo_spark.operators.text import (
+        DRIFT_BASELINE_BELOW, text_quality_drift_df,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    base_rows = {r.source: r for r in
+                 text_quality_drift_df(spark, sf).collect()}
+    assert base_rows and any(r.drift_z is not None
+                             for r in base_rows.values())
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    victim = sorted(base_rows)[0]
+    truncate = (F.col("source") == victim) \
+        & (F.col("doc_id") >= DRIFT_BASELINE_BELOW)
+    mutated = docs.withColumn(
+        "text", F.when(truncate,
+                       F.array_join(F.slice(F.split("text", "\\s+"), 1, 3),
+                                    " "))
+        .otherwise(F.col("text")))
+    d = str(tmp_path / "drifted")
+    mutated.write.parquet(f"{d}/documents.parquet")
+
+    got = {r.source: r for r in text_quality_drift_df(spark, d).collect()}
+    assert got[victim].drifted is True
+    others = [r for s, r in got.items() if s != victim]
+    assert others and not all(r.drifted for r in others if r.drifted
+                              is not None)
+    # unmodified sources keep their original verdicts
+    for s, r in got.items():
+        if s != victim and base_rows[s].drift_z is not None:
+            assert r.drift_z == base_rows[s].drift_z
