@@ -729,7 +729,13 @@ def dedup_minhash_incremental_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     index in similarity.py).  The batch side is small, so its band rows
     and the candidate pair list are BROADCAST — the corpus-side band scan
     and the shingle verification are both map-only: nothing corpus-sized
-    ever shuffles at query time."""
+    ever shuffles at query time.  Testbed caveat: the fixed
+    INGESTED_BELOW id split makes the registered instance's "batch"
+    most of the table at sf0.1 (the fraction grows with sf), so the
+    bench timing exercises the hint on the large side; the production
+    claim above describes the real ingestion shape, where the batch is
+    a sliver (the r11 embedding twin's modulo split keeps its batch at
+    a constant 5% instead)."""
     shingled = _shingled(spark, sf_dir).persist()
     sigs = (shingled
             .withColumn("hs", shingle_hashes(F.col("sh")))
@@ -997,9 +1003,14 @@ WHERE round({sql_cosine('x.embedding', 'y.embedding')}, 6) >= {COSINE_THRESHOLD}
 
 DEDUP_EMBEDDING_LSH_SQL = _dedup_embedding_lsh_sql()
 
-# vectors below this id play the already-ingested corpus for the
-# embedding ingestion twin (the doc-side analogue is INGESTED_BELOW)
-EMB_INGESTED_BELOW = 100
+# one vector in EMB_INGEST_MOD plays the incoming batch for the
+# embedding ingestion twin; the rest are the already-ingested corpus.
+# A MODULO split (not an id threshold like the doc-side
+# INGESTED_BELOW) so the batch is a constant SMALL fraction (5%) of
+# the table at every scale factor — the broadcast hint below must sit
+# on the side that is genuinely small in the registered instance, or
+# the bench would measure the inverse of the documented plan.
+EMB_INGEST_MOD = 20
 
 
 def dedup_embedding_incremental_df(spark: SparkSession, sf_dir: str,
@@ -1010,23 +1021,24 @@ def dedup_embedding_incremental_df(spark: SparkSession, sf_dir: str,
     chunk hashes, embedding buckets): the incoming batch's vectors are
     probed against the already-ingested corpus's sign-bit LSH buckets;
     candidates verified by exact cosine.  Returns (vec_new, vec_seen,
-    cosine) hits an ingestion pipeline would reject or link.
+    cosine) hits an ingestion pipeline would reject or link (in-batch
+    near-dups are the batch-local concern of the batch operators).
 
     Scale shape: the corpus side is the persisted
     ``partitionBy("bucket")`` index (the ann_lsh_indexed lifecycle —
-    written once, appended per batch); the batch side is small and
-    BROADCAST, so the corpus-side bucket scan is map-only and, against
-    the persisted index, partition-pruned to the batch's buckets:
-    nothing corpus-sized ever shuffles at ingestion time.  Here both
-    sides derive from the same embeddings table so the oracle can
-    reproduce the split."""
+    written once, appended per batch); the batch side is small — 5% of
+    the table here, a sliver of a real corpus — and BROADCAST, so the
+    corpus-side bucket scan is map-only and, against the persisted
+    index, partition-pruned to the batch's buckets: nothing
+    corpus-sized ever shuffles at ingestion time.  Here both sides
+    derive from the same embeddings table so the oracle can reproduce
+    the split."""
     from .similarity import _bucket_expr
 
     emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
            .withColumn("bucket", _bucket_expr(F.col("embedding"), bits)))
-    corpus = emb.where(F.col("vec_id") < EMB_INGESTED_BELOW).alias("c")
-    batch = (emb.where(F.col("vec_id") >= EMB_INGESTED_BELOW)
-             .alias("n"))
+    corpus = emb.where(F.col("vec_id") % EMB_INGEST_MOD != 0).alias("c")
+    batch = emb.where(F.col("vec_id") % EMB_INGEST_MOD == 0).alias("n")
     cos = F.round(cosine(F.col("n.embedding"), F.col("c.embedding")), 6)
     return (corpus.join(F.broadcast(batch),
                         F.col("n.bucket") == F.col("c.bucket"))
@@ -1045,7 +1057,7 @@ WITH bk AS (SELECT vec_id, embedding, {_sql_bucket(EMB_LSH_BITS)} AS bucket
 SELECT n.vec_id AS vec_new, c.vec_id AS vec_seen,
        round({sql_cosine('n.embedding', 'c.embedding')}, 6) AS cosine
 FROM bk c JOIN bk n ON n.bucket = c.bucket
-WHERE c.vec_id < {EMB_INGESTED_BELOW} AND n.vec_id >= {EMB_INGESTED_BELOW}
+WHERE c.vec_id % {EMB_INGEST_MOD} != 0 AND n.vec_id % {EMB_INGEST_MOD} = 0
   AND round({sql_cosine('n.embedding', 'c.embedding')}, 6)
         >= {COSINE_THRESHOLD}
 """

@@ -138,15 +138,20 @@ def text_quality_drift_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffles."""
     t = F.size(tokens(F.col("text"))).cast("long")
     d = _docs(spark, sf_dir).select("doc_id", "source", t.alias("t"))
-    base = (d.where(F.col("doc_id") < DRIFT_BASELINE_BELOW)
-            .groupBy("source")
-            .agg(F.count(F.lit(1)).alias("n_base"),
-                 F.sum("t").alias("s1"),
-                 F.sum(F.col("t") * F.col("t")).alias("s2")))
-    new = (d.where(F.col("doc_id") >= DRIFT_BASELINE_BELOW)
-           .groupBy("source")
-           .agg(F.count(F.lit(1)).alias("n_batch"),
-                F.sum("t").alias("sn")))
+    # ONE conditional aggregation pass: tokenization dominates the cost
+    # and two separate cohort aggregates would each re-scan and
+    # re-tokenize the full corpus (r11 review finding); the base/batch
+    # filter moves into the aggregate functions, the inner-join
+    # semantics into the n_base > 0 AND n_batch > 0 filter.
+    in_base = F.col("doc_id") < DRIFT_BASELINE_BELOW
+    agg = (d.groupBy("source")
+           .agg(F.count(F.when(in_base, 1)).alias("n_base"),
+                F.sum(F.when(in_base, F.col("t"))).alias("s1"),
+                F.sum(F.when(in_base, F.col("t") * F.col("t")))
+                .alias("s2"),
+                F.count(F.when(~in_base, 1)).alias("n_batch"),
+                F.sum(F.when(~in_base, F.col("t"))).alias("sn"))
+           .where((F.col("n_base") > 0) & (F.col("n_batch") > 0)))
     base_mean = F.col("s1").cast("double") / F.col("n_base")
     batch_mean = F.col("sn").cast("double") / F.col("n_batch")
     var = ((F.col("s2").cast("double")
@@ -155,7 +160,7 @@ def text_quality_drift_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     z_expr = F.round((batch_mean - base_mean)
                      / F.sqrt(var / F.col("n_batch")), 6)
     z = F.when(F.col("n_base") > 1, F.when(var > 0, z_expr))
-    return (base.join(new, "source")
+    return (agg
             .select("source", "n_base", "n_batch",
                     F.round(base_mean, 6).alias("base_mean_tokens"),
                     F.round(batch_mean, 6).alias("batch_mean_tokens"),
@@ -168,21 +173,27 @@ TEXT_QUALITY_DRIFT_SQL = f"""
 WITH d AS (
   SELECT doc_id, source, CAST(len({sql_tokens('text')}) AS BIGINT) AS t
   FROM documents),
-base AS (
-  SELECT source, CAST(count(*) AS BIGINT) AS n_base,
-         CAST(sum(t) AS BIGINT) AS s1, CAST(sum(t * t) AS BIGINT) AS s2
-  FROM d WHERE doc_id < {DRIFT_BASELINE_BELOW} GROUP BY 1),
-new AS (
-  SELECT source, CAST(count(*) AS BIGINT) AS n_batch,
-         CAST(sum(t) AS BIGINT) AS sn
-  FROM d WHERE doc_id >= {DRIFT_BASELINE_BELOW} GROUP BY 1),
+agg AS (
+  SELECT source,
+         CAST(count(*) FILTER (doc_id < {DRIFT_BASELINE_BELOW}) AS BIGINT)
+           AS n_base,
+         CAST(sum(t) FILTER (doc_id < {DRIFT_BASELINE_BELOW}) AS BIGINT)
+           AS s1,
+         CAST(sum(t * t) FILTER (doc_id < {DRIFT_BASELINE_BELOW}) AS BIGINT)
+           AS s2,
+         CAST(count(*) FILTER (doc_id >= {DRIFT_BASELINE_BELOW}) AS BIGINT)
+           AS n_batch,
+         CAST(sum(t) FILTER (doc_id >= {DRIFT_BASELINE_BELOW}) AS BIGINT)
+           AS sn
+  FROM d GROUP BY 1
+  HAVING n_base > 0 AND n_batch > 0),
 scored AS (
   SELECT source, n_base, n_batch,
          CAST(s1 AS DOUBLE) / n_base AS base_mean,
          CAST(sn AS DOUBLE) / n_batch AS batch_mean,
          (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_base)
            / (n_base - 1) AS var
-  FROM base JOIN new USING (source))
+  FROM agg)
 SELECT source, n_base, n_batch,
        round(base_mean, 6) AS base_mean_tokens,
        round(batch_mean, 6) AS batch_mean_tokens,

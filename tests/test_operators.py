@@ -1274,19 +1274,27 @@ def test_dup_chunk_incremental_equals_batch_restriction(spark):
 def test_embedding_incremental_equals_lsh_restriction(spark):
     """dedup_embedding_incremental: probing the ingested corpus's
     buckets with the batch vectors is exactly the batch LSH pair set
-    restricted to pairs straddling the ingestion split (vec_a < split
-    <= vec_b, since lsh orients vec_a < vec_b) — and non-vacuous."""
+    restricted to pairs with ONE endpoint in the modulo batch split
+    (batch-batch pairs are the batch operators' concern) — and
+    non-vacuous."""
     from ringo_spark.operators.dedup import (
-        EMB_INGESTED_BELOW, dedup_embedding_incremental_df,
+        EMB_INGEST_MOD, dedup_embedding_incremental_df,
         dedup_embedding_lsh_df,
     )
 
     sf = "/root/testdata/sf0.01"
     inc = {(r.vec_seen, r.vec_new, r.cosine)
            for r in dedup_embedding_incremental_df(spark, sf).collect()}
-    lsh = {(r.vec_a, r.vec_b, r.cosine)
-           for r in dedup_embedding_lsh_df(spark, sf).collect()
-           if r.vec_a < EMB_INGESTED_BELOW <= r.vec_b}
+
+    def is_batch(v):
+        return v % EMB_INGEST_MOD == 0
+
+    lsh = set()
+    for r in dedup_embedding_lsh_df(spark, sf).collect():
+        if is_batch(r.vec_a) != is_batch(r.vec_b):
+            seen, new_ = ((r.vec_b, r.vec_a) if is_batch(r.vec_a)
+                          else (r.vec_a, r.vec_b))
+            lsh.add((seen, new_, r.cosine))
     assert inc == lsh and len(inc) > 0
 
 
@@ -1308,7 +1316,10 @@ def test_quality_drift_flags_injected_drift(spark, tmp_path):
                              for r in base_rows.values())
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    victim = sorted(base_rows)[0]
+    # victim must have a non-degenerate baseline (n_base > 1, var > 0),
+    # or truncation cannot move a NULL verdict
+    victim = sorted(s for s, r in base_rows.items()
+                    if r.drift_z is not None)[0]
     truncate = (F.col("source") == victim) \
         & (F.col("doc_id") >= DRIFT_BASELINE_BELOW)
     mutated = docs.withColumn(
@@ -1321,9 +1332,9 @@ def test_quality_drift_flags_injected_drift(spark, tmp_path):
 
     got = {r.source: r for r in text_quality_drift_df(spark, d).collect()}
     assert got[victim].drifted is True
-    others = [r for s, r in got.items() if s != victim]
-    assert others and not all(r.drifted for r in others if r.drifted
-                              is not None)
+    others_defined = [r for s, r in got.items()
+                      if s != victim and r.drifted is not None]
+    assert others_defined and not all(r.drifted for r in others_defined)
     # unmodified sources keep their original verdicts
     for s, r in got.items():
         if s != victim and base_rows[s].drift_z is not None:

@@ -470,10 +470,19 @@ def dimids_scenario():
 
     def run(label, gate):
         spark.conf.set(DIM_ID_GATE_CONF_KEY, gate)
-        cnt = dimension_population_df(        # warmup/plan run
+        warm = dimension_population_df(       # warmup/plan run
             VISITOR_DIM_ENV, VISITOR_DIM_FACT, "dim_visitor",
             {"events": spark.read.parquet(os.path.join(d, "events.parquet"))},
-            time_upper=T_FAR).count()
+            time_upper=T_FAR)
+        # order-insensitive (key, id) checksum: a row-count compare
+        # alone cannot catch the id-corruption class this path guards
+        # against (wrong offsets keep the count unchanged)
+        row = warm.agg(F.count(F.lit(1)).alias("c"),
+                       # hash bounded BEFORE the multiply: the raw
+                       # xxhash64 x id product overflows int64 (ANSI)
+                       F.sum(F.pmod(F.xxhash64("user_id"), F.lit(100_003))
+                             * F.col("id")).alias("k")).collect()[0]
+        cnt, chk = row["c"], row["k"]
         s0 = _max_stage_id(spark)
         t0 = time.time()
         out = dimension_population_df(
@@ -490,12 +499,12 @@ def dimids_scenario():
             if mx >= 200:
                 print(f"  stage {sid}: max {mx}ms med {med:.0f}ms "
                       f"({cntt} tasks)")
-        return wall, cnt
+        return wall, cnt, chk
 
-    w_single, c1 = run("single-task sort (gate=huge)", str(1 << 60))
-    w_part, c2 = run("partitioned ids   (gate=0)", "0")
+    w_single, c1, k1 = run("single-task sort (gate=huge)", str(1 << 60))
+    w_part, c2, k2 = run("partitioned ids   (gate=0)", "0")
     spark.conf.unset(DIM_ID_GATE_CONF_KEY)
-    assert c1 == c2
+    assert c1 == c2 and k1 == k2, "id assignment diverged between paths"
     print(f"\nspeedup at {n_dim}-row dim: {w_single / w_part:.2f}x "
           f"({w_single:.2f}s -> {w_part:.2f}s)")
     shutil.rmtree(SCRATCH, ignore_errors=True)
