@@ -575,6 +575,92 @@ def contracts_scenario():
     shutil.rmtree(SCRATCH, ignore_errors=True)
 
 
+def ingest_scenario():
+    """Ingestion-gate probe (r11): the two ingestion twins —
+    ``doc_dup_chunk_fraction_incremental`` and
+    ``dedup_embedding_incremental`` — on the salted replicated corpus at
+    k = 1, 2, 4.  Claims under test: the CHUNK gate is linear — its
+    index scan grows with k, per-row cost flat, output exactly
+    k·5000−250 rows.  The EMBEDDING gate at the registry's FIXED
+    bits=4 shows the sizing rule its batch twin documents instead:
+    with a constant bucket count the batch×corpus bucket join's
+    candidate volume grows ~k² (and the testdata's low 0.4 threshold
+    admits chance cross-copy collisions on top of the k·true-pair
+    signal) — at scale ``bits`` must grow with the corpus
+    (2^bits ≈ N/bucket_target, dedup_embedding_lsh docstring), which
+    restores linear candidates; this lane measures the fixed-bits
+    behavior so the rule is evidence, not assertion.
+
+    The shared build() replicates embeddings VERBATIM (the ANN lanes
+    need identical copies), which would cross-match every copy against
+    every other — so this lane re-salts the vectors with a PER-COPY
+    DIAGONAL SIGN FLIP: an orthogonal transform that preserves every
+    within-copy cosine exactly while scrambling cross-copy cosines
+    (the vector analogue of the text lanes' alphabet permutation)."""
+    from ringo_spark.catalog import get_spark
+    from ringo_spark.operators.dedup import (
+        dedup_embedding_incremental_df, doc_dup_chunk_fraction_incremental_df,
+    )
+
+    spark = get_spark("scale-probe-ingest")
+    spark.sparkContext.setLogLevel("ERROR")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    ops = {"doc_dup_chunk_fraction_incremental":
+           doc_dup_chunk_fraction_incremental_df,
+           "dedup_embedding_incremental": dedup_embedding_incremental_df}
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+
+    def salt_vectors(sf_dir, k):
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        n = emb.count() // k
+        dim = len(emb.select("embedding").first()[0])
+        parts = []
+        for c in range(k):
+            signs = [1.0 if random.Random(c * 10_007 + j).random() < 0.5
+                     else -1.0 for j in range(dim)] if c else [1.0] * dim
+            sarr = F.array(*[F.lit(x) for x in signs])
+            parts.append(
+                emb.where((F.col("vec_id") >= c * n)
+                          & (F.col("vec_id") < (c + 1) * n))
+                .select("vec_id",
+                        F.zip_with("embedding", sarr,
+                                   lambda a, b: a * b).alias("embedding"),
+                        *[col for col in emb.columns
+                          if col not in ("vec_id", "embedding")]))
+        out = os.path.join(sf_dir, "embeddings_salted")
+        _replicate(parts).write.mode("overwrite") \
+            .parquet(os.path.join(out, "embeddings.parquet"))
+        return out
+
+    rows = {}
+    for k in (1, 2, 4):
+        sf_dir = build(spark, k)
+        salted_dir = salt_vectors(sf_dir, k)
+        for name, fn in ops.items():
+            d = (salted_dir if name == "dedup_embedding_incremental"
+                 else sf_dir)
+            best, out_rows, sh = None, None, None
+            for _ in range(2):
+                s0 = _max_stage_id(spark)
+                t0 = time.time()
+                out_rows = fn(spark, d).count()
+                dt = time.time() - t0
+                if best is None or dt < best:
+                    best, sh = dt, _shuffle_write_bytes(spark, s0)
+            rows.setdefault(name, []).append((k, best, out_rows, sh))
+            print(f"x{k:<2d} {name:36s} {best:6.2f}s  out_rows={out_rows}"
+                  f"  shuffleMB={sh / 1e6:.1f}", flush=True)
+    print("\n| operator | x1 | x2 | x4 | per-row x4/x1 |")
+    print("|---|---|---|---|---|")
+    for name, rs in rows.items():
+        t = {k: b for k, b, _, _ in rs}
+        print(f"| {name} | {t[1]:.2f}s | {t[2]:.2f}s | {t[4]:.2f}s "
+              f"| {(t[4] / 4) / (t[1] / 1):.2f}x |")
+    for name, rs in rows.items():
+        print(f"{name} out_rows by scale: {[(k, n) for k, _, n, _ in rs]}")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
 def ivf_scenario():
     """IVF centroid-count probe (r09 VERDICT item 5): training cost and
     recall@5 at K in {16, 64, 256} at sf0.1 (2,000 vectors; K=256 is
@@ -624,5 +710,7 @@ if __name__ == "__main__":
         contracts_scenario()
     elif len(sys.argv) > 1 and sys.argv[1] == "dimids":
         dimids_scenario()
+    elif len(sys.argv) > 1 and sys.argv[1] == "ingest":
+        ingest_scenario()
     else:
         main()
