@@ -315,8 +315,16 @@ def main():
         "baseline_total": out.get("baseline_total"),
         "n_queries": len(timings),
         "n_skipped": len(skipped),
-        "load1_peak": max((t["load1_start"] for t in telemetry.values()
-                           if t["load1_start"] is not None), default=None),
+        # peak over EVERY sample in the record — per-query start AND end
+        # plus the run-level before/after probes: a spike during the last
+        # query's runs (exactly the contention case this telemetry
+        # adjudicates) only shows in its load1_end (ADVICE r11)
+        "load1_peak": max(
+            (s for s in (
+                [load_start, out["telemetry"]["load1_after_run"]]
+                + [t[k] for t in telemetry.values()
+                   for k in ("load1_start", "load1_end")])
+             if s is not None), default=None),
         "warm_secs": warm_secs,
         "detail_file": "BENCH_DETAIL.json",
     }

@@ -98,7 +98,14 @@ def build_settings(args) -> Settings:
 
 
 def main(argv=None) -> int:
+    from . import __version__
+
     p = argparse.ArgumentParser(prog="ringo_spark")
+    # "<progName> <version>" — the reference's versionParser
+    # (app/Ringo/ArgParser.hs:106-111) prints exactly this shape
+    p.add_argument("--version", action="version",
+                   version=f"ringo_spark {__version__}",
+                   help="Print version information")
     p.add_argument("input", help="YAML schema+facts input file")
     p.add_argument("output", help="artifact output directory")
     add_settings_flags(p)

@@ -65,10 +65,35 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # production operators — guard them so the all-pairs shape can't be
 # cargo-culted onto a corpus where it would never finish.
 QUADRATIC_BASELINE_MAX_ROWS = 100_000
+# Free-pass byte ceiling for the no-estimate case: an input whose
+# optimizer sizeInBytes is at most MAX_ROWS · 64 B cannot plausibly
+# exceed the row bound (the guarded inputs — document text, 64-float
+# embeddings — run hundreds of on-disk bytes per row; 64 B/row is the
+# conservative floor).  Above it, the exact count() decides.
+QUADRATIC_BASELINE_FREE_PASS_BYTES = QUADRATIC_BASELINE_MAX_ROWS * 64
 
 
 def _assert_small_scale(df: DataFrame, op: str, scale_path: str) -> DataFrame:
-    n = df.count()
+    """Raise when ``df`` is too large for a quadratic exact baseline.
+
+    Decided WITHOUT a Spark job whenever the optimizer can (VERDICT r11
+    item 5; the dim-id gate pattern): Catalyst's rowCount when defined
+    (CBO/ANALYZE), else a free pass when sizeInBytes is far below any
+    plausible over-bound input.  Only an input that is genuinely large
+    or unestimable pays the exact count() — i.e. exactly when the guard
+    is about to matter."""
+    n = None
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            n = int(rc.get())
+        elif int(stats.sizeInBytes()) <= QUADRATIC_BASELINE_FREE_PASS_BYTES:
+            return df
+    except Exception:
+        pass
+    if n is None:
+        n = df.count()
     if n > QUADRATIC_BASELINE_MAX_ROWS:
         raise ValueError(
             f"{op} is a quadratic exact baseline guarded at "
@@ -937,15 +962,31 @@ WHERE round({sql_cosine('a.embedding', 'b.embedding')}, 6) >= {COSINE_THRESHOLD}
 """
 
 
-# bucket width for the embedding near-dup pass: 2^4 = 16 buckets — sized
-# to the testdata corpus per similarity.py's sizing note (target
-# bucket ~ N / 2**bits; dedup wants coarser buckets than top-k search
-# because RECALL of true pairs matters more than per-query cost)
+# bucket width FLOOR for the embedding near-dup pass: 2^4 = 16 buckets —
+# the contract-corpus configuration (target bucket ~ N / 2**bits; dedup
+# wants coarser buckets than top-k search because RECALL of true pairs
+# matters more than per-query cost).  Since r12 the actual width
+# auto-sizes from the corpus row estimate through the same conf-keyed
+# gate as the ANN paths (similarity.auto_lsh_bits, VERDICT r11 item 1)
+# with this constant as the floor — at the contract corpus size the gate
+# resolves to exactly this width (pytest equality pin), so the static
+# oracle SQL below stays the deterministic hash-checked contract.
 EMB_LSH_BITS = 4
+DEDUP_BUCKET_TARGET_ROWS = 32   # 500-vector contract corpus / 2^4 buckets
+LSH_DEDUP_TARGET_CONF_KEY = "ringo.lshDedupBucketTargetRows"
+
+
+def _auto_dedup_bits(spark: SparkSession, sf_dir: str) -> int:
+    from .similarity import auto_lsh_bits, corpus_rows_estimate
+
+    path = f"{sf_dir}/embeddings.parquet"
+    return auto_lsh_bits(
+        spark, corpus_rows_estimate(spark.read.parquet(path), path),
+        EMB_LSH_BITS, DEDUP_BUCKET_TARGET_ROWS, LSH_DEDUP_TARGET_CONF_KEY)
 
 
 def dedup_embedding_lsh_df(spark: SparkSession, sf_dir: str,
-                           bits: int = EMB_LSH_BITS,
+                           bits: int | None = None,
                            probe_hamming1: bool = False) -> DataFrame:
     """THE registered scale path for embedding near-dup (the shape
     :func:`dedup_embedding_df`'s guard message points to): candidate
@@ -957,15 +998,20 @@ def dedup_embedding_lsh_df(spark: SparkSession, sf_dir: str,
     agreeing sign bit, a pair at cosine c collides with p = 1 − θ/π
     (θ = arccos c); single-bucket recall is p^bits, Hamming-1 probing
     adds bits·p^(bits−1)(1−p) for (bits+1)× the candidate volume.  At
-    scale, bits must GROW with the corpus (2^bits ≈ N/bucket_target,
-    same sizing note as ``ann_lsh_bucketed``) and the threshold sets p —
-    boilerplate dedup at c ≥ 0.9 (p ≈ 0.86) holds recall at widths
-    where the testdata's c ≥ 0.4 (p ≈ 0.63) cannot.  The registered
-    instance pins bits=4, single-probe — the oracle encodes the SAME
-    scheme, so the recall boundary is part of the deterministic,
-    hash-checked contract rather than hidden approximation."""
+    scale, bits must GROW with the corpus (2^bits ≈ N/bucket_target) —
+    since r12 that growth is AUTOMATED: ``bits=None`` resolves through
+    the conf-keyed :func:`_auto_dedup_bits` gate, floor ``EMB_LSH_BITS``
+    — and the threshold sets p: boilerplate dedup at c ≥ 0.9 (p ≈ 0.86)
+    holds recall at widths where the testdata's c ≥ 0.4 (p ≈ 0.63)
+    cannot.  The registered instance auto-resolves to bits=4 at the
+    contract corpus size (pytest equality pin), single-probe — the
+    oracle encodes the SAME scheme, so the recall boundary is part of
+    the deterministic, hash-checked contract rather than hidden
+    approximation."""
     from .similarity import _bucket_expr
 
+    if bits is None:
+        bits = _auto_dedup_bits(spark, sf_dir)
     emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
            .withColumn("bucket", _bucket_expr(F.col("embedding"), bits)))
     if probe_hamming1:
@@ -1014,7 +1060,7 @@ EMB_INGEST_MOD = 20
 
 
 def dedup_embedding_incremental_df(spark: SparkSession, sf_dir: str,
-                                   bits: int = EMB_LSH_BITS) -> DataFrame:
+                                   bits: int | None = None) -> DataFrame:
     """Ingestion-time embedding near-dup detection — the vector twin of
     :func:`dedup_minhash_incremental_df`, completing the incremental
     story across all four dedup modalities (exact hash, minhash bands,
@@ -1032,9 +1078,20 @@ def dedup_embedding_incremental_df(spark: SparkSession, sf_dir: str,
     index, partition-pruned to the batch's buckets: nothing
     corpus-sized ever shuffles at ingestion time.  Here both sides
     derive from the same embeddings table so the oracle can reproduce
-    the split."""
+    the split.
+
+    ``bits=None`` resolves ONCE through the corpus-sized auto gate
+    (:func:`_auto_dedup_bits`) and is used for BOTH sides — bucket
+    agreement between batch and corpus is the whole mechanism, so the
+    width must come from a single resolution (the r11 ingest probe
+    measured the fixed-width alternative: constant bucket count ⇒
+    ~k² candidate growth under k× corpus replication; with the gate the
+    bucket count doubles as the corpus does and per-row candidates stay
+    flat — SCALE.md ingest table)."""
     from .similarity import _bucket_expr
 
+    if bits is None:
+        bits = _auto_dedup_bits(spark, sf_dir)
     emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
            .withColumn("bucket", _bucket_expr(F.col("embedding"), bits)))
     corpus = emb.where(F.col("vec_id") % EMB_INGEST_MOD != 0).alias("c")

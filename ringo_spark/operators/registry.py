@@ -461,28 +461,45 @@ EAGER_QUERIES: frozenset[str] = frozenset({
 # layer at query-build time executes its code, so a change there must
 # re-sweep that family too, not just "core" (r11 review finding: the
 # grain queries run populate/* and were invisible to a dimension.py
-# change).  tests/test_registry_window.py greps each operator module's
-# imports and fails if a populate/testbed/model/validator import is not
-# reflected here.
+# change).  The same holds for SIBLING operator modules (ADVICE r11):
+# dedup executes similarity's bucket/index code, pipeline executes
+# text/sampling/training/dedup, sampling executes dedup's cluster
+# builders, and nearly everything executes textfn's expression
+# constructors — each family therefore lists the TRANSITIVE closure of
+# the modules it runs.  tests/test_registry_window.py greps each
+# operator module's `from ..layer` AND `from .sibling` imports
+# (transitively) and fails if an executed file is not reflected here.
 _POPULATE_SOURCES = ["ringo_spark/populate/dimension.py",
                      "ringo_spark/populate/fact.py",
                      "ringo_spark/populate/common.py",
                      "ringo_spark/extractor.py", "ringo_spark/model.py",
                      "ringo_spark/validator.py"]
 _TESTBED = "ringo_spark/testbed.py"
+_TEXTFN = "ringo_spark/operators/textfn.py"
+# dedup's execution set: dedup itself + similarity (bucket exprs, index
+# fingerprint/touch/gc lifecycle) + textfn (shingles/phash/cosine)
+_DEDUP_EXEC = ["ringo_spark/operators/dedup.py",
+               "ringo_spark/operators/similarity.py", _TEXTFN]
 FAMILY_SOURCES: dict[str, list[str]] = {
-    "dedup": ["ringo_spark/operators/dedup.py"],
-    "ann": ["ringo_spark/operators/similarity.py"],
-    "text": ["ringo_spark/operators/text.py"],
+    "dedup": _DEDUP_EXEC,
+    "ann": ["ringo_spark/operators/similarity.py", _TEXTFN],
+    "text": ["ringo_spark/operators/text.py", _TEXTFN],
     "multimodal": ["ringo_spark/operators/multimodal.py"],
     "relational": ["ringo_spark/operators/relational.py", _TESTBED],
     "grain": ["ringo_spark/operators/rollup_grain.py", _TESTBED,
               *_POPULATE_SOURCES],
     "session": ["ringo_spark/operators/session.py", _TESTBED],
     "tpch": ["ringo_spark/operators/tpch.py", _TESTBED],
-    "sampling": ["ringo_spark/operators/sampling.py"],
-    "pipeline": ["ringo_spark/operators/pipeline.py"],
-    "training": ["ringo_spark/operators/training.py"],
+    # sampling executes dedup's cluster-table builders (and through
+    # them similarity's index lifecycle)
+    "sampling": ["ringo_spark/operators/sampling.py", *_DEDUP_EXEC],
+    # pipeline fuses quality/split/contamination/chunking — it executes
+    # text, sampling, training, and dedup (and their closures)
+    "pipeline": ["ringo_spark/operators/pipeline.py",
+                 "ringo_spark/operators/sampling.py",
+                 "ringo_spark/operators/text.py",
+                 "ringo_spark/operators/training.py", *_DEDUP_EXEC],
+    "training": ["ringo_spark/operators/training.py", _TEXTFN],
     "core": [_TESTBED, "ringo_spark/engine.py", *_POPULATE_SOURCES],
 }
 

@@ -11,13 +11,17 @@
   bucket join shuffles on a ``bits``-bit key instead of crossJoining,
   turning O(N·Q) into O(N·Q/2**bits) with per-bucket locality.
 
-  **Sizing at scale**: ``bits`` is a parameter precisely because the
-  bucket count must grow with the corpus — target ``2**bits ≈ N /
-  desired_bucket_size`` (e.g. 10⁹ vectors, 10⁴-vector buckets ⇒ bits≈17).
-  The driver-registered entries pin two configurations (8 and 12 bits)
-  to prove the operator is correct across bucket counts.  (A production
-  IVF would learn centroids; the fixed projection keeps the operator
-  deterministic and oracle-checkable.)
+  **Sizing at scale**: the bucket count must grow with the corpus —
+  target ``2**bits ≈ N / desired_bucket_size`` (e.g. 10⁹ vectors,
+  10⁴-vector buckets ⇒ bits≈17).  Since r12 that rule is AUTOMATED:
+  ``bits=None`` (the default) resolves through :func:`auto_lsh_bits` —
+  a conf-keyed gate over a free row estimate (optimizer rowCount /
+  parquet footers) with the pinned constant as floor, so contract-size
+  results are bit-identical to the pinned width while larger corpora
+  get log2-growth bucket counts.  The driver-registered entries prove
+  correctness at two widths (the auto-resolved 8 and an explicit 12).
+  (A production IVF would learn centroids; the fixed projection keeps
+  the operator deterministic and oracle-checkable.)
 
 - ``ann_lsh_multiprobe`` — same index, higher recall: each query also
   probes the ``bits`` Hamming-distance-1 buckets (flip one sign bit).
@@ -31,6 +35,7 @@ All deterministic ⇒ all hash-checked against DuckDB.
 from __future__ import annotations
 
 import hashlib
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -44,6 +49,93 @@ LSH_TOP_K = 5
 LSH_N_QUERIES = 20
 LSH_BITS = 8         # default projection width: 2^8 = 256 buckets
 EMB_DIM = 64         # testdata embedding dimensionality
+
+
+# --- corpus-sized bucket width (the auto-gate; VERDICT r11 item 1) ----------
+#
+# `bits` must grow with the corpus (2^bits ≈ N / bucket_target) or the
+# bucket join's candidate volume grows ~N²/2^bits — the r11 ingest probe
+# MEASURED that consequence at fixed bits.  Like the dim-id scale gate
+# (populate/dimension.py ringo.dimIdSingleSortMaxBytes), the width is now
+# conf-keyed and derived from a FREE row estimate — no Spark job:
+# optimizer rowCount when the catalog has stats (ANALYZE TABLE / CBO on a
+# real deployment), else the parquet footer metadata row count (exact,
+# driver-side, O(#files)).  The pinned constants (LSH_BITS / dedup's
+# EMB_LSH_BITS) become the FLOOR: the gate never sizes COARSER than the
+# contract configuration, so every contract-size result — and the static
+# oracle SQL, which encodes the contract width — is bit-identical to the
+# pinned behavior (pytest equality pin), while a larger corpus gets
+# log2-growth bucket counts and flat per-row candidate volume.
+LSH_AUTO_BITS_CONF_KEY = "ringo.lshAutoBits"        # "false" => pinned floors
+LSH_CORPUS_ROWS_CONF_KEY = "ringo.lshCorpusRows"    # explicit N override
+LSH_ANN_TARGET_CONF_KEY = "ringo.lshAnnBucketTargetRows"
+ANN_BUCKET_TARGET_ROWS = 2   # top-k search wants fine buckets (the pinned
+                             # 8-bit width ≈ 2 vectors/bucket on the
+                             # 500-vector contract corpus)
+
+
+def _parquet_meta_rows(path: str) -> int:
+    """Exact row count from parquet footer metadata — driver-side, no
+    Spark job.  Handles both a single file and a directory tree of part
+    files (e.g. a `partitionBy` index or a multi-part write)."""
+    import pyarrow.parquet as pq
+
+    if not os.path.isdir(path):
+        return pq.ParquetFile(path).metadata.num_rows
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(
+                    os.path.join(root, f)).metadata.num_rows
+    return total
+
+
+def corpus_rows_estimate(df: DataFrame, path: str | None = None) -> int | None:
+    """Free (no-job) corpus row count: Catalyst's optimizer rowCount when
+    defined (CBO / ANALYZE TABLE stats — the real-cluster source), else
+    the parquet footer metadata of ``path``.  None when neither is
+    available — callers fall back to their pinned configuration."""
+    try:
+        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        if rc.isDefined():
+            return int(rc.get())
+    except Exception:
+        pass
+    if path is not None:
+        try:
+            return _parquet_meta_rows(path)
+        except Exception:
+            return None
+    return None
+
+
+def auto_lsh_bits(spark: SparkSession, n_rows: int | None, floor_bits: int,
+                  target_rows: int, target_conf_key: str,
+                  dim: int = EMB_DIM) -> int:
+    """``max(floor, ceil(log2(N / bucket_target)))`` clamped to the
+    embedding dimensionality — the corpus-sized projection width.
+    ``ringo.lshAutoBits=false`` pins the floor (legacy behavior);
+    ``ringo.lshCorpusRows`` overrides N (catalog-known cardinality, or a
+    test hook); the per-family ``target_conf_key`` overrides the bucket
+    target.  With no estimate at all, the floor is the honest answer."""
+    conf = spark.conf
+    if str(conf.get(LSH_AUTO_BITS_CONF_KEY, "true")).lower() == "false":
+        return floor_bits
+    n_conf = conf.get(LSH_CORPUS_ROWS_CONF_KEY, None)
+    n = int(n_conf) if n_conf is not None else n_rows
+    if not n or n <= 0:
+        return floor_bits
+    target = max(1, int(conf.get(target_conf_key, str(target_rows))))
+    bits = math.ceil(math.log2(max(1.0, n / target)))
+    return max(floor_bits, min(dim, bits))
+
+
+def _auto_ann_bits(spark: SparkSession, sf_dir: str) -> int:
+    path = f"{sf_dir}/embeddings.parquet"
+    return auto_lsh_bits(
+        spark, corpus_rows_estimate(spark.read.parquet(path), path),
+        LSH_BITS, ANN_BUCKET_TARGET_ROWS, LSH_ANN_TARGET_CONF_KEY)
 
 
 def bucket_coordinates(bits: int, dim: int = EMB_DIM) -> list[int]:
@@ -100,8 +192,13 @@ def _bucket_expr(col, bits: int = LSH_BITS):
 
 
 def ann_lsh_bucketed_df(spark: SparkSession, sf_dir: str,
-                        bits: int = LSH_BITS) -> DataFrame:
-    """Top-5 neighbors within the query's LSH bucket, first 20 queries."""
+                        bits: int | None = None) -> DataFrame:
+    """Top-5 neighbors within the query's LSH bucket, first 20 queries.
+    ``bits=None`` auto-sizes from the corpus row estimate (floor
+    ``LSH_BITS`` — resolves to exactly ``LSH_BITS`` at the contract
+    corpus size, which is what the static oracle SQL encodes)."""
+    if bits is None:
+        bits = _auto_ann_bits(spark, sf_dir)
     emb = _emb(spark, sf_dir).withColumn(
         "bucket", _bucket_expr(F.col("embedding"), bits))
     q = emb.where(F.col("vec_id") < LSH_N_QUERIES) \
@@ -127,10 +224,13 @@ def ann_lsh_bucketed12_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_lsh_multiprobe_df(spark: SparkSession, sf_dir: str,
-                          bits: int = LSH_BITS) -> DataFrame:
+                          bits: int | None = None) -> DataFrame:
     """Multi-probe LSH: each query searches its own bucket plus every
     Hamming-distance-1 bucket.  A corpus vector matches at most one probe
-    key (its single bucket), so no candidate dedup is needed."""
+    key (its single bucket), so no candidate dedup is needed.
+    ``bits=None`` auto-sizes (see :func:`ann_lsh_bucketed_df`)."""
+    if bits is None:
+        bits = _auto_ann_bits(spark, sf_dir)
     emb = _emb(spark, sf_dir).withColumn(
         "bucket", _bucket_expr(F.col("embedding"), bits))
     probes = F.array(F.col("bucket"),
@@ -1052,7 +1152,8 @@ LSH_INDEX_ROOT = os.path.join(
     ".lsh_index")
 
 
-def build_lsh_index(spark: SparkSession, sf_dir: str, bits: int = LSH_BITS,
+def build_lsh_index(spark: SparkSession, sf_dir: str,
+                    bits: int | None = None,
                     index_path: str | None = None, force: bool = False) -> str:
     """Persist the corpus written ``partitionBy("bucket")`` — the LSH twin
     of :func:`build_ivf_index`.  Bucket assignment is a map-only sign-bit
@@ -1060,7 +1161,11 @@ def build_lsh_index(spark: SparkSession, sf_dir: str, bits: int = LSH_BITS,
     ``repartition(bucket, salt)`` is the one build-time shuffle, with up
     to BUILD_WRITERS_PER_CELL writers per hot bucket (see
     :func:`build_ivf_index`).  Amortized across every query batch served
-    from the index."""
+    from the index.  ``bits=None`` auto-sizes from the corpus estimate;
+    the resolved width is part of the index tag, so probe and build can
+    never disagree within one index lifecycle."""
+    if bits is None:
+        bits = _auto_ann_bits(spark, sf_dir)
     if index_path is None:
         tag = hashlib.md5(
             f"{os.path.abspath(sf_dir)}|{bits}|{_source_fingerprint(sf_dir)}"
@@ -1094,11 +1199,13 @@ def append_to_lsh_index(spark: SparkSession, index_path: str,
 
 
 def ann_lsh_indexed_df(spark: SparkSession, sf_dir: str,
-                       bits: int = LSH_BITS) -> DataFrame:
+                       bits: int | None = None) -> DataFrame:
     """Bucketed ANN served from the persisted index: the query batch's
     bucket list becomes a static ``isin`` predicate, so the parquet scan
     reads ONLY those bucket directories (partition pruning — plan test).
     Result rows identical to ``ann_lsh_bucketed_df`` (same oracle)."""
+    if bits is None:
+        bits = _auto_ann_bits(spark, sf_dir)
     index_path = build_lsh_index(spark, sf_dir, bits)
     q = (_emb(spark, sf_dir)
          .where(F.col("vec_id") < LSH_N_QUERIES)

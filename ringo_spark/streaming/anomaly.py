@@ -12,8 +12,11 @@ O(#event_types), never O(events).
 Exactness contract: moments accumulate as INTEGERS — values are
 decimal(18,2), carried as cents (``v·100``, int64) and Σv² as
 ten-thousandths (``(v·100)²``, arbitrary-precision Python int,
-serialized as a string in the state row so it can never overflow a
-fixed-width state column).  :func:`moment_scores` reconstructs the exact
+serialized as a string in the state row so the STATE column never
+overflows — but :func:`latest_moments` reconstructs it through a
+``decimal(38,0)`` cast, so the kernel raises loudly past 38 digits
+rather than let that cast silently NULL the key's z-scores; see the
+OverflowError in the kernel).  :func:`moment_scores` reconstructs the exact
 decimal sums and casts to double inside the SAME variance/z expressions
 as the batch operator, so after a full replay the streamed scores are
 BIT-EQUAL to the batch result (pytest-pinned across a three-micro-batch
@@ -88,12 +91,25 @@ def make_moments_kernel(expire: bool):
                 # timezone offset
                 last_sec = max(last_sec, int(pdf["sec"].max()))
 
-        state.update((n, s1, str(s2)))
+        s2_str = str(s2)
+        if len(s2_str) > 38:
+            # latest_moments reconstructs s2 via a decimal(38,0) cast —
+            # past 38 digits that cast would NULL (or ANSI-error) and
+            # silently poison every downstream z-score for this key, so
+            # fail loudly at the accumulation site instead (ADVICE r11).
+            # 38 digits allows Σ(v·100)² ≈ 1e38: ~1e6 events at the
+            # decimal(18,2) max magnitude, or ~1e18 typical-value events.
+            raise OverflowError(
+                f"anomaly moment Σ(v·100)² for key {event_type!r} needs "
+                f"{len(s2_str)} digits; decimal(38,0) reconstruction in "
+                "latest_moments caps at 38 — shard the key or rescale "
+                "values before streaming")
+        state.update((n, s1, s2_str))
         if expire:
             horizon_ms = (last_sec + ANOMALY_IDLE_EXPIRE_SECONDS) * 1000
             state.setTimeoutTimestamp(
                 max(horizon_ms, state.getCurrentWatermarkMs() + 1))
-        yield pd.DataFrame([(event_type, n, s1, str(s2))],
+        yield pd.DataFrame([(event_type, n, s1, s2_str)],
                            columns=_OUT_COLS)
 
     return moments_kernel

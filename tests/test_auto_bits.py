@@ -1,0 +1,123 @@
+"""Equality pins for the corpus-sized LSH width gate (VERDICT r11
+item 1: "gate EMB_LSH_BITS/LSH_BITS on a corpus-count estimate,
+conf-keyed like ringo.dimIdSingleSortMaxBytes, with a pytest equality
+pin at the contract size").
+
+The contract: at the driver/oracle corpus size the auto gate resolves
+to EXACTLY the pinned constants — so every hash-checked result and the
+static oracle SQL are bit-identical to the legacy pinned behavior —
+while a larger corpus gets ceil(log2(N / bucket_target)) bits, i.e.
+bucket counts that double as the corpus does (flat per-row candidate
+volume; SCALE.md ingest table)."""
+
+import math
+
+import pytest
+
+from ringo_spark.operators.dedup import (
+    DEDUP_BUCKET_TARGET_ROWS, EMB_LSH_BITS, _auto_dedup_bits,
+)
+from ringo_spark.operators.similarity import (
+    ANN_BUCKET_TARGET_ROWS, EMB_DIM, LSH_AUTO_BITS_CONF_KEY, LSH_BITS,
+    LSH_CORPUS_ROWS_CONF_KEY, _auto_ann_bits, corpus_rows_estimate,
+)
+
+SF001 = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+SF1 = "/root/testdata/sf0.1"
+
+
+@pytest.fixture
+def rows_override(spark):
+    """Set/unset the explicit corpus-rows conf override around a test."""
+    def _set(n):
+        spark.conf.set(LSH_CORPUS_ROWS_CONF_KEY, str(n))
+    yield _set
+    spark.conf.unset(LSH_CORPUS_ROWS_CONF_KEY)
+
+
+def test_auto_bits_equal_pinned_contract_at_oracle_sizes(spark):
+    """THE equality pin: at both oracle corpus sizes (sf0.001 for
+    pytest fixtures, sf0.01 for the driver/verify sweep — 500 vectors
+    each) the gate resolves to exactly the pinned widths, so the static
+    oracle SQL (which encodes those widths) remains the deterministic
+    hash-checked contract and every registered row stays green."""
+    for sf in (SF001, SF01):
+        assert _auto_dedup_bits(spark, sf) == EMB_LSH_BITS
+        assert _auto_ann_bits(spark, sf) == LSH_BITS
+
+
+def test_auto_bits_grow_at_bench_corpus(spark):
+    """sf0.1 (2,000 vectors): the gate already widens — 2^6 buckets for
+    the dedup pass (2000/32 -> 6 bits), 2^10 for top-k search."""
+    assert _auto_dedup_bits(spark, SF1) == 6
+    assert _auto_ann_bits(spark, SF1) == 10
+
+
+def test_auto_bits_follow_log2_rule_under_rows_override(spark,
+                                                        rows_override):
+    """ringo.lshCorpusRows (the catalog-known-cardinality hook) drives
+    the width through ceil(log2(N / target)) exactly."""
+    n = 1 << 20
+    rows_override(n)
+    assert _auto_dedup_bits(spark, SF01) == math.ceil(
+        math.log2(n / DEDUP_BUCKET_TARGET_ROWS))
+    assert _auto_ann_bits(spark, SF01) == math.ceil(
+        math.log2(n / ANN_BUCKET_TARGET_ROWS))
+
+
+def test_auto_bits_clamped_to_embedding_dim(spark, rows_override):
+    """bucket_coordinates can pick at most one coordinate per dimension,
+    so the gate clamps at EMB_DIM no matter the corpus size."""
+    rows_override(1 << 80)
+    assert _auto_dedup_bits(spark, SF01) == EMB_DIM
+    assert _auto_ann_bits(spark, SF01) == EMB_DIM
+
+
+def test_auto_bits_never_below_the_contract_floor(spark, rows_override):
+    """A tiny corpus keeps the contract width (coarser would change
+    contract-size results for no cost win)."""
+    rows_override(1)
+    assert _auto_dedup_bits(spark, SF01) == EMB_LSH_BITS
+    assert _auto_ann_bits(spark, SF01) == LSH_BITS
+
+
+def test_auto_bits_conf_disable_pins_the_floor(spark, rows_override):
+    rows_override(1 << 20)
+    spark.conf.set(LSH_AUTO_BITS_CONF_KEY, "false")
+    try:
+        assert _auto_dedup_bits(spark, SF01) == EMB_LSH_BITS
+        assert _auto_ann_bits(spark, SF01) == LSH_BITS
+    finally:
+        spark.conf.unset(LSH_AUTO_BITS_CONF_KEY)
+
+
+def test_corpus_rows_estimate_sources(spark, tmp_path):
+    """Estimate chain: optimizer rowCount when defined (spark.range has
+    one), parquet footer metadata otherwise — including a DIRECTORY of
+    part files (the shape the scale probe's salted corpus and the
+    persisted indexes use)."""
+    assert corpus_rows_estimate(spark.range(1234)) == 1234
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    assert corpus_rows_estimate(
+        emb, f"{SF01}/embeddings.parquet") == 500
+    out = str(tmp_path / "dir.parquet")
+    spark.range(777).repartition(4).write.parquet(out)
+    assert corpus_rows_estimate(spark.read.parquet(out), out) == 777
+    # no estimate at all -> None (callers fall back to their floor)
+    assert corpus_rows_estimate(emb, None) is None
+
+
+def test_auto_resolved_results_equal_pinned_at_contract_size(spark):
+    """The auto default and the explicit pinned width produce
+    bit-identical pair sets at the contract corpus size — the driver-row
+    stays-green guarantee, pinned directly."""
+    from ringo_spark.operators.dedup import (
+        dedup_embedding_incremental_df, dedup_embedding_lsh_df,
+    )
+
+    for fn in (dedup_embedding_lsh_df, dedup_embedding_incremental_df):
+        auto = sorted(map(tuple, fn(spark, SF01).collect()))
+        pinned = sorted(map(tuple, fn(spark, SF01,
+                                      bits=EMB_LSH_BITS).collect()))
+        assert auto == pinned and auto

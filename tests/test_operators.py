@@ -413,16 +413,25 @@ def test_winnowing_guarantee_shared_passage_shares_fingerprint(spark):
     assert not (fps[3] & fps[4]), "disjoint texts should not collide"
 
 
-def test_quadratic_baseline_guard(spark):
+def test_quadratic_baseline_guard(spark, monkeypatch):
+    from ringo_spark.operators import dedup as D
     from ringo_spark.operators.dedup import (
         QUADRATIC_BASELINE_MAX_ROWS, _assert_small_scale,
     )
 
+    # range frames carry an optimizer rowCount -> both directions decide
+    # with NO job (VERDICT r11 item 5)
     small = spark.range(10)
     assert _assert_small_scale(small, "x", "y") is small
     big = spark.range(QUADRATIC_BASELINE_MAX_ROWS + 1)
     with pytest.raises(ValueError, match="quadratic exact baseline"):
         _assert_small_scale(big, "dedup_ngram_jaccard", "dedup_minhash_lsh")
+    # a parquet scan has no rowCount: tiny sizeInBytes -> free pass; with
+    # the free-pass ceiling forced off, the exact count() decides
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert _assert_small_scale(docs, "x", "y") is docs
+    monkeypatch.setattr(D, "QUADRATIC_BASELINE_FREE_PASS_BYTES", -1)
+    assert _assert_small_scale(docs, "x", "y") is docs
 
 
 def test_scd2_fact_incremental_nondegenerate(spark):

@@ -81,13 +81,39 @@ def test_family_sources_cover_shared_execution_layers():
         "engine": "ringo_spark/engine.py",
     }
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def closure(mod_path: str) -> set[str]:
+        """mod_path + every operator-sibling module it transitively
+        imports (`from .sibling import`, top-level or deferred inside a
+        function body — both execute at query-build time)."""
+        seen, todo = set(), [mod_path]
+        while todo:
+            path = todo.pop()
+            if path in seen or not os.path.exists(os.path.join(repo, path)):
+                continue
+            seen.add(path)
+            text = open(os.path.join(repo, path)).read()
+            todo += [f"ringo_spark/operators/{m}.py"
+                     for m in re.findall(r"from \.(\w+) import", text)]
+        return seen
+
     missing = []
     for fam, srcs in FAMILY_SOURCES.items():
         if fam == "core":
             continue
-        mod_path = srcs[0]                       # the family module
-        text = open(os.path.join(repo, mod_path)).read()
-        imported = set(re.findall(r"from \.\.([\w.]+) import", text))
+        # sibling closure (ADVICE r11: dedup executes similarity's
+        # bucket/index code, pipeline executes text/sampling/dedup, … —
+        # a sibling edit must re-sweep every family that runs it)
+        for path in closure(srcs[0]):
+            if path not in srcs:
+                missing.append((fam, path))
+        # shared layers, scanned over the WHOLE closure (a sibling's
+        # populate import is executed just the same)
+        imported = set()
+        for path in closure(srcs[0]):
+            imported |= set(re.findall(
+                r"from \.\.([\w.]+) import",
+                open(os.path.join(repo, path)).read()))
         for name, path in layer_files.items():
             if name in imported and path not in srcs:
                 missing.append((fam, name))

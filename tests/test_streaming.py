@@ -775,3 +775,101 @@ def test_streaming_ema_state_expires_on_watermark(spark, tmp_path):
     assert (3, 3, None) in snap
     # state store retains only the still-active keys (users 2 and 3)
     assert q.lastProgress["stateOperators"][0]["numRowsTotal"] == 2
+
+
+def test_streaming_drift_matches_batch(spark, tmp_path):
+    """The stateful streaming drift twin (VERDICT r11 item 4): replay
+    the batch cohort (doc_id >= DRIFT_BASELINE_BELOW) as THREE
+    hash-split micro-batches through applyInPandasWithState with
+    incremental integer (n_batch, Σ token count) per-source state, then
+    score against the baseline cohort — the result must be BIT-EQUAL to
+    the batch text_quality_drift_df.  Hash-split, NOT time-split: like
+    the anomaly twin, total accumulation is commutative, so no ordering
+    contract exists to violate."""
+    import shutil
+
+    from ringo_spark.operators.text import (
+        DRIFT_BASELINE_BELOW, text_quality_drift_df,
+    )
+    from ringo_spark.streaming.drift import (
+        drift_scores, streaming_batch_token_totals,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    batch = (docs.where(F.col("doc_id") >= DRIFT_BASELINE_BELOW)
+             .select("doc_id", "source", "text",
+                     F.timestamp_seconds(F.col("doc_id")).alias("ts")))
+    src = str(tmp_path / "drift-src")
+    os.makedirs(src)
+    for i in range(3):
+        tmp = str(tmp_path / f"driftstage{i}")
+        (batch.where(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == i)
+         .coalesce(1).write.parquet(tmp))
+        f = next(x for x in os.listdir(tmp) if x.endswith(".parquet"))
+        shutil.copy(os.path.join(tmp, f), os.path.join(src, f"{i:02d}.parquet"))
+
+    stream = (spark.readStream
+              .schema("doc_id long, source string, text string, "
+                      "ts timestamp")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src))
+    q = (streaming_batch_token_totals(stream, watermark_delay=None)
+         .writeStream.format("memory").queryName("drift_totals")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_drift"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    updates = spark.sql("select * from drift_totals")
+    # running totals are monotone in n per source
+    per_key = {r.source: sorted(x.n_batch for x in updates
+               .where(F.col("source") == r.source).collect())
+               for r in updates.select("source").distinct().collect()}
+    assert per_key and all(ns == sorted(set(ns)) for ns in per_key.values())
+
+    baseline = docs.where(F.col("doc_id") < DRIFT_BASELINE_BELOW)
+    got = [tuple(r) for r in drift_scores(baseline, updates).collect()]
+    want = [tuple(r) for r in text_quality_drift_df(spark, SF).collect()]
+    assert got == want and len(want) > 0
+
+
+def test_streaming_drift_state_expires_on_watermark(spark, tmp_path):
+    """Totals EventTimeTimeout: a source idle past
+    DRIFT_IDLE_EXPIRE_SECONDS is dropped from the state store (totals
+    were emitted on every update); a recent source's state survives."""
+    import datetime as dt
+
+    from ringo_spark.streaming.drift import streaming_batch_token_totals
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    # 'webA': two docs at t=0/100, then idle forever; 'webB': one doc at
+    # t=50_000 — the watermark (49_940) passes webA's 100+21_600 horizon
+    rows = [(1, "webA", "one two three", at(0)),
+            (2, "webA", "four five", at(100)),
+            (3, "webB", "six", at(50_000))]
+    src = str(tmp_path / "drift_expiry_src")
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string, ts timestamp"
+    ).coalesce(1).write.parquet(src)
+
+    stream = (spark.readStream
+              .schema("doc_id long, source string, text string, "
+                      "ts timestamp")
+              .parquet(src))
+    q = (streaming_batch_token_totals(stream, watermark_delay="60 seconds")
+         .writeStream.format("memory").queryName("drift_expiry")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_driftx"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r.source, r.n_batch, r.sn)
+           for r in spark.sql("select * from drift_expiry").collect()}
+    assert ("webA", 2, 5) in got
+    assert ("webB", 1, 1) in got
+    # state store retains only the still-active source (webB)
+    assert q.lastProgress["stateOperators"][0]["numRowsTotal"] == 1
