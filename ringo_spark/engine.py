@@ -325,7 +325,8 @@ class Engine:
                           versions: dict[str, list[str]],
                           expected_version: int | None = None,
                           promote: tuple[str, str] | None = None,
-                          schemas: dict[str, str] | None = None) -> None:
+                          schemas: dict[str, str] | None = None,
+                          windows: dict[str, list] | None = None) -> None:
         """Atomic pointer flip: tmp file + ``os.replace`` locally — the
         analogue of a single small-object PUT on S3/GCS (which IS atomic,
         unlike directory rename there).  The manifest maps each retained
@@ -384,6 +385,12 @@ class Engine:
                 # schema-on-manifest (see read_table): per retained
                 # version, the authoritative reader schema
                 record["schemas"] = schemas
+            if windows is not None:
+                # window-on-manifest (see _write_append): per still-
+                # referenced dir, the [lower, upper) time window whose
+                # rows it carries — the replace-key for idempotent
+                # same-window fact reruns
+                record["windows"] = windows
             with open(tmp, "w") as fh:
                 json.dump(record, fh)
             os.replace(tmp, self._manifest_path(table))
@@ -407,6 +414,47 @@ class Engine:
                     if int(v) > version - self.keep_versions}
         versions[str(version)] = dirs
         return versions
+
+    @staticmethod
+    def _iso(bound) -> str | None:
+        """Window bound -> ISO string (None passes through = unbounded).
+        ``datetime.isoformat`` output is zero-padded, so lexicographic
+        comparison of two bounds IS chronological comparison — including
+        the no-microseconds short form, which prefix-compares correctly
+        against the long form."""
+        if bound is None:
+            return None
+        return bound.isoformat() if hasattr(bound, "isoformat") else str(bound)
+
+    @classmethod
+    def _window_covers(cls, new_window: tuple, old: list | None) -> bool:
+        """True when an incoming append's [lower, upper) window fully
+        covers a live dir's recorded window — every row in that dir is
+        being recomputed by this append, so the dir leaves the new
+        snapshot (the MERGE/replaceWhere semantics).  A dir with no
+        recorded window (full-refresh base, pre-window appends) is never
+        replaced.  None bounds read as ±infinity."""
+        if old is None:
+            return False
+        new_lo, new_hi = (cls._iso(b) for b in new_window)
+        old_lo, old_hi = old
+        lo_ok = new_lo is None or (old_lo is not None and new_lo <= old_lo)
+        hi_ok = new_hi is None or (old_hi is not None and old_hi <= new_hi)
+        return lo_ok and hi_ok
+
+    def _next_windows(self, m: dict | None,
+                      versions: dict[str, list[str]],
+                      new_dir: str | None = None,
+                      window: tuple | None = None) -> dict[str, list]:
+        """Per-dir window map for a new publish: previous stamps pruned
+        to dirs some retained version still references, plus the new
+        dir's stamp when this append carries one."""
+        referenced = {d for ds in versions.values() for d in ds}
+        windows = {d: w for d, w in (m.get("windows", {}) if m else {}).items()
+                   if d in referenced}
+        if new_dir is not None and window is not None:
+            windows[new_dir] = [self._iso(window[0]), self._iso(window[1])]
+        return windows
 
     def _next_schemas(self, m: dict | None, version: int,
                       schema_json: str) -> dict[str, str]:
@@ -632,11 +680,15 @@ class Engine:
                 dirname = f"{table}__v{version}"
                 versions = self._next_versions(m, version, [dirname])
                 schemas = self._next_schemas(m, version, df.schema.json())
+                # a full refresh carries no window stamp (it covers
+                # everything); prior stamps prune to dirs some retained
+                # snapshot still references
+                wins = self._next_windows(m, versions)
                 try:
                     self._publish_manifest(table, version, versions,
                                            expected_version=version - 1,
                                            promote=(stage, dirname),
-                                           schemas=schemas)
+                                           schemas=schemas, windows=wins)
                 except ManifestConflict:
                     continue       # re-read the advanced manifest, retry
                 self._gc_versions(table, versions,
@@ -659,7 +711,25 @@ class Engine:
         if os.path.exists(old):
             shutil.rmtree(old)
 
-    def _write_append(self, df: DataFrame, table: str, partition_by=()) -> None:
+    def _write_append(self, df: DataFrame, table: str, partition_by=(),
+                      window: tuple | None = None) -> None:
+        """Append ``df`` as a new immutable dir of the live snapshot.
+
+        ``window=(lower, upper)`` stamps the dir with the time window it
+        carries and REPLACES any live dirs whose recorded window the new
+        one fully covers — MERGE/replaceWhere semantics on the window
+        key, manifest mode only.  A re-run of an already-committed fact
+        window (late-arriving data, a healing rerun after a crash) then
+        swaps the recomputed rows in atomically instead of double-
+        counting them (pinned by
+        ``test_incremental_rerun_same_window_is_idempotent``).  Forward
+        windows are disjoint from every recorded stamp, so a normal
+        incremental run is a pure append, exactly as before.  Replaced
+        dirs stay on disk while an older retained snapshot references
+        them (time travel); GC reclaims them on the usual horizon.
+        Rename mode ignores ``window`` — file-level appends have no
+        atomic swap, so same-window reruns there still require a full
+        refresh (documented trade; manifest mode is the 100 TB path)."""
         if self.commit_mode == "manifest":
             # the append lands in its OWN immutable dir and the pointer
             # flip adds it to the snapshot's dir list — appends are as
@@ -680,6 +750,11 @@ class Engine:
                 # appends end up in the published snapshot — the exact
                 # lost-update the plain read-modify-write allowed
                 live_dirs = self._manifest_versions(m)[str(m["version"])]
+                if window is not None:
+                    stamps = m.get("windows", {})
+                    live_dirs = [d for d in live_dirs
+                                 if not self._window_covers(window,
+                                                            stamps.get(d))]
                 versions = self._next_versions(m, version,
                                                live_dirs + [dirname])
                 # evolved snapshot schema: previous + any appended columns
@@ -704,11 +779,12 @@ class Engine:
                                    .schema.json())
                 schemas = self._next_schemas(
                     m, version, self._union_schema(prev_schema, df))
+                wins = self._next_windows(m, versions, dirname, window)
                 try:
                     self._publish_manifest(table, version, versions,
                                            expected_version=version - 1,
                                            promote=(stage, dirname),
-                                           schemas=schemas)
+                                           schemas=schemas, windows=wins)
                 except ManifestConflict:
                     continue
                 self._gc_versions(table, versions,
@@ -777,8 +853,13 @@ class Engine:
         with open(self._wm_path, "w") as fh:
             json.dump(wm, fh, indent=2)
 
-    def _inflight_retry_is_safe(self, table: str) -> bool:
-        """True when the interrupted append provably never published."""
+    def _inflight_retry_is_safe(self, table: str,
+                                window: tuple | None = None) -> bool:
+        """True when the interrupted append provably never published — or
+        (window-stamped manifest appends, r12) when the rerun's window
+        fully covers every dir the interrupted run DID publish, so the
+        rerun atomically swaps the half-committed window out instead of
+        doubling it."""
         marker = self._inflight().get(table)
         # bool is an int subclass: a rename-mode opaque `True` marker read
         # by a manifest-mode engine must NOT compare equal to version 1
@@ -786,7 +867,25 @@ class Engine:
                 or not isinstance(marker, int)):
             return False
         m = self._read_manifest(table)
-        return m is not None and m["version"] == marker
+        if m is None:
+            return False
+        if m["version"] == marker:
+            return True        # never published; plain retry is safe
+        if window is None:
+            return False
+        # The interrupted append DID publish.  Dir names carry the
+        # version they published at (`<table>__vN`), so the dirs it (or
+        # any later writer) added are exactly the live dirs with a
+        # version past the marker — no retention of the marker version
+        # itself is needed.  The rerun is safe iff every one of them is
+        # window-stamped and fully covered: the append then swaps the
+        # half-committed window out instead of doubling it.
+        prefix = table + "__v"
+        stamps = m.get("windows", {})
+        added = [d for d in self._manifest_versions(m)[str(m["version"])]
+                 if (self._dir_version(d, prefix) or 0) > marker]
+        return all(self._window_covers(window, stamps.get(d))
+                   for d in added)
 
     # --- execution ---------------------------------------------------------
 
@@ -881,17 +980,24 @@ class Engine:
                                 time_lower=time_lower,
                                 count_distinct_mode=self.count_distinct_mode)
         df, partition_by = self._with_fact_partitioning(fact, df)
+        window = (time_lower, time_upper)
         if mode == PopulationMode.INCREMENTAL and self.table_exists(derived.name):
             if (derived.name in self._inflight()
-                    and not self._inflight_retry_is_safe(derived.name)):
+                    and not self._inflight_retry_is_safe(derived.name,
+                                                         window)):
                 raise RuntimeError(
                     f"previous incremental append to {derived.name} did not "
                     f"complete (crash between append and watermark update); "
-                    f"the window may be partially committed — run a full "
-                    f"refresh, or verify the table and clear the "
-                    f"'__inflight__' entry in _watermarks.json")
+                    f"the window may be partially committed — re-run the "
+                    f"same window (manifest mode swaps it in atomically), "
+                    f"run a full refresh, or verify the table and clear "
+                    f"the '__inflight__' entry in _watermarks.json")
             self._mark_inflight(derived.name)
-            self._write_append(df, derived.name, partition_by)
+            # window-stamped: a rerun of an already-committed window
+            # REPLACES that window's dirs instead of double-counting
+            # (manifest mode; see _write_append)
+            self._write_append(df, derived.name, partition_by,
+                               window=window)
         else:
             self._write_full(df, derived.name, partition_by)
             self._mark_inflight(derived.name, clear=True)  # full run heals

@@ -287,12 +287,17 @@ def test_manifest_append_crash_leaves_snapshot_unchanged(
     assert eng.read_table("fact_orders_by_day").count() > before
 
 
-def test_manifest_append_crash_after_publish_refuses_rerun(
+def test_manifest_append_crash_after_publish_heals_by_window_swap(
         manifest_engine, monkeypatch):
     """Crash AFTER the pointer flip but before the watermark lands: the
-    appended window is visible but a watermark-resumed rerun would append
-    it again — the engine must refuse (manifest version advanced past the
-    inflight marker, so the safe-retry proof does not hold)."""
+    appended window is visible without its watermark.  Window-stamped
+    appends (r12) make the same-window rerun SAFE — the recomputed
+    window atomically replaces the half-committed dir instead of
+    doubling it — so the engine self-heals where it used to refuse.  A
+    rerun whose window does NOT cover the committed append still
+    refuses (the conservative direction is unchanged)."""
+    import datetime as _dt
+
     eng = manifest_engine
     eng.run(PopulationMode.FULL, T_ORDERS_MID)
 
@@ -308,8 +313,72 @@ def test_manifest_append_crash_after_publish_refuses_rerun(
         eng.run(PopulationMode.INCREMENTAL, T_FAR, T_ORDERS_MID)
     monkeypatch.undo()
 
+    # a NARROWER window can't prove it covers the committed append
     with pytest.raises(RuntimeError, match="did not complete"):
-        eng.run(PopulationMode.INCREMENTAL, T_FAR, T_ORDERS_MID)
+        eng.run(PopulationMode.INCREMENTAL,
+                T_ORDERS_MID + _dt.timedelta(days=1), T_ORDERS_MID)
+
+    # the same-window rerun swaps the window in and completes
+    eng.run(PopulationMode.INCREMENTAL, T_FAR, T_ORDERS_MID)
+    assert "fact_orders_by_day" not in eng._inflight()
+    healed = {tuple(r) for r in
+              eng.read_table("fact_orders_by_day").collect()}
+
+    # reference: the same two runs on a fresh engine with no crash
+    ref = Engine(eng.spark, ORDERS_ENV, eng.storage + "_ref",
+                 commit_mode="manifest")
+    ref.load_sources("/root/testdata/sf0.001")
+    ref.run(PopulationMode.FULL, T_ORDERS_MID)
+    ref.run(PopulationMode.INCREMENTAL, T_FAR, T_ORDERS_MID)
+    want = {tuple(r) for r in
+            ref.read_table("fact_orders_by_day").collect()}
+    assert healed == want
+
+
+def test_incremental_rerun_same_window_is_idempotent(manifest_engine):
+    """The MERGE contract (r11 VERDICT item 8): re-running an
+    already-committed incremental window — late-arriving data, an
+    operator retry — REPLACES that window's rows instead of appending
+    them again.  The unstamped full-refresh base dir is never touched;
+    the replaced dir leaves the live dir list."""
+    eng = manifest_engine
+    eng.run(PopulationMode.FULL, T_ORDERS_MID)
+    eng.run(PopulationMode.INCREMENTAL, T_FAR, T_ORDERS_MID)
+    once = sorted(tuple(r) for r in
+                  eng.read_table("fact_orders_by_day").collect())
+
+    eng.run(PopulationMode.INCREMENTAL, T_FAR, T_ORDERS_MID)  # late rerun
+    twice = sorted(tuple(r) for r in
+                   eng.read_table("fact_orders_by_day").collect())
+    assert twice == once
+
+    m = json.load(open(os.path.join(eng.storage,
+                                    "fact_orders_by_day.manifest.json")))
+    assert m["version"] == 3
+    # v2 (the first window append) was replaced by v3; the unstamped v1
+    # base survives; only the live dir carries a window stamp
+    assert m["versions"]["3"] == ["fact_orders_by_day__v1",
+                                  "fact_orders_by_day__v3"]
+    assert set(m["windows"]) == {"fact_orders_by_day__v3"}
+
+
+def test_window_covers_semantics():
+    """Pure containment logic: None bounds are ±infinity; partial
+    overlap and unstamped dirs never replace."""
+    c = Engine._window_covers
+    t = dt.datetime
+    w = (t(2024, 1, 2), t(2024, 1, 5))
+    assert c(w, ["2024-01-02T00:00:00", "2024-01-05T00:00:00"])
+    assert c(w, ["2024-01-03T00:00:00", "2024-01-04T00:00:00"])
+    assert not c(w, ["2024-01-01T00:00:00", "2024-01-04T00:00:00"])
+    assert not c(w, ["2024-01-03T00:00:00", "2024-01-06T00:00:00"])
+    assert not c(w, None)                       # unstamped: never
+    assert c((None, t(2024, 1, 5)), ["2024-01-01T00:00:00",
+                                     "2024-01-05T00:00:00"])
+    assert c((t(2024, 1, 2), None), ["2024-01-02T00:00:00",
+                                     "2024-01-09T00:00:00"])
+    assert not c(w, [None, "2024-01-04T00:00:00"])   # -inf lower
+    assert c((None, None), [None, "2024-01-04T00:00:00"])
 
 
 def test_manifest_time_travel_reads_retained_versions(spark, tmp_path):

@@ -581,15 +581,15 @@ def ingest_scenario():
     ``dedup_embedding_incremental`` — on the salted replicated corpus at
     k = 1, 2, 4.  Claims under test: the CHUNK gate is linear — its
     index scan grows with k, per-row cost flat, output exactly
-    k·5000−250 rows.  The EMBEDDING gate at the registry's FIXED
-    bits=4 shows the sizing rule its batch twin documents instead:
-    with a constant bucket count the batch×corpus bucket join's
-    candidate volume grows ~k² (and the testdata's low 0.4 threshold
-    admits chance cross-copy collisions on top of the k·true-pair
-    signal) — at scale ``bits`` must grow with the corpus
-    (2^bits ≈ N/bucket_target, dedup_embedding_lsh docstring), which
-    restores linear candidates; this lane measures the fixed-bits
-    behavior so the rule is evidence, not assertion.
+    k·5000−250 rows.  The EMBEDDING gate runs TWICE per k (r12): once
+    pinned at bits=4 — with a constant bucket count the batch×corpus
+    bucket join's candidate volume grows ~k² (and the testdata's low
+    0.4 threshold admits chance cross-copy collisions on top of the
+    k·true-pair signal) — and once through the r12 AUTO gate
+    (bits=None: 2^bits ≈ N/bucket_target from the corpus row
+    estimate), where the bucket count doubles as the corpus does and
+    per-row candidates stay flat.  The fixed lane is the measured
+    PROBLEM, the auto lane the measured FIX (VERDICT r11 item 1).
 
     The shared build() replicates embeddings VERBATIM (the ANN lanes
     need identical copies), which would cross-match every copy against
@@ -607,7 +607,9 @@ def ingest_scenario():
     shutil.rmtree(SCRATCH, ignore_errors=True)
     ops = {"doc_dup_chunk_fraction_incremental":
            doc_dup_chunk_fraction_incremental_df,
-           "dedup_embedding_incremental": dedup_embedding_incremental_df}
+           "dedup_embedding_incr_fixed4":
+           lambda s, d: dedup_embedding_incremental_df(s, d, bits=4),
+           "dedup_embedding_incr_auto": dedup_embedding_incremental_df}
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
 
     def salt_vectors(sf_dir, k):
@@ -637,7 +639,7 @@ def ingest_scenario():
         sf_dir = build(spark, k)
         salted_dir = salt_vectors(sf_dir, k)
         for name, fn in ops.items():
-            d = (salted_dir if name == "dedup_embedding_incremental"
+            d = (salted_dir if name.startswith("dedup_embedding")
                  else sf_dir)
             best, out_rows, sh = None, None, None
             for _ in range(2):
@@ -658,6 +660,78 @@ def ingest_scenario():
               f"| {(t[4] / 4) / (t[1] / 1):.2f}x |")
     for name, rs in rows.items():
         print(f"{name} out_rows by scale: {[(k, n) for k, _, n, _ in rs]}")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
+def massdup_scenario():
+    """Capped-LSH mass-duplication probe (r12, VERDICT r11 item 6): the
+    pytest guard proves the C(cap,2) bound structurally; this lane
+    MEASURES the asymptote.  A 20% subset of the sf0.1 documents is
+    replicated VERBATIM k times (no salting — identical copies are the
+    point: every copy of a doc shares every band, the boilerplate/
+    mirror-heavy shape of a real crawl), the remaining 80% appears
+    once.  At k copies each duplicated doc contributes C(k,2) ≈ k²/2
+    band-collision pairs to the UNCAPPED candidate set, while the
+    capped path exact-collapses copies to one representative first and
+    caps any residual hot band bucket — candidates stay ~flat.  The
+    lane times candidate GENERATION (the stage that goes quadratic)
+    for both paths and prints candidate counts per k."""
+    from ringo_spark.catalog import get_spark
+    from ringo_spark.operators.dedup import (
+        _band_rows, _candidate_pairs, _shingled,
+        dedup_minhash_lsh_capped_df,
+    )
+
+    spark = get_spark("scale-probe-massdup")
+    spark.sparkContext.setLogLevel("ERROR")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+
+    docs0 = spark.read.parquet(f"{SRC}/documents.parquet")
+    n0 = docs0.count()
+    results = []
+    for k in (1, 2, 4, 8):
+        out = os.path.join(SCRATCH, f"massdup_x{k}")
+        keep = docs0.where(F.col("doc_id") % 5 != 0)
+        dup = docs0.where(F.col("doc_id") % 5 == 0)
+        parts = [keep] + [
+            dup.withColumn("doc_id", F.col("doc_id") + F.lit(c * n0))
+            for c in range(k)]
+        _replicate(parts).write.mode("overwrite") \
+            .parquet(os.path.join(out, "documents.parquet"))
+
+        def timed(fn):
+            best, n = None, None
+            for _ in range(2):
+                t0 = time.time()
+                n = fn().count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            return best, n
+
+        def uncapped():
+            from ringo_spark.operators.dedup import (
+                NUM_PERM, minhash_signature, shingle_hashes,
+            )
+
+            sigs = (_shingled(spark, out)
+                    .withColumn("hs", shingle_hashes(F.col("sh")))
+                    .select("doc_id", minhash_signature(F.col("hs"),
+                                                        NUM_PERM)
+                            .alias("sig")))
+            return _candidate_pairs(_band_rows(sigs))
+
+        tu, nu = timed(uncapped)
+        tc, nc = timed(lambda: dedup_minhash_lsh_capped_df(
+            spark, out, return_candidates=True))
+        results.append((k, tu, nu, tc, nc))
+        print(f"x{k:<2d} uncapped {tu:6.2f}s cand={nu:>9d}   "
+              f"capped {tc:6.2f}s cand={nc:>6d}", flush=True)
+
+    print("\n| k | uncapped s | uncapped cand | capped s | capped cand |")
+    print("|---|---|---|---|---|")
+    for k, tu, nu, tc, nc in results:
+        print(f"| {k} | {tu:.2f} | {nu} | {tc:.2f} | {nc} |")
     shutil.rmtree(SCRATCH, ignore_errors=True)
 
 
@@ -712,5 +786,7 @@ if __name__ == "__main__":
         dimids_scenario()
     elif len(sys.argv) > 1 and sys.argv[1] == "ingest":
         ingest_scenario()
+    elif len(sys.argv) > 1 and sys.argv[1] == "massdup":
+        massdup_scenario()
     else:
         main()
