@@ -152,6 +152,8 @@ HEADLINE = [
     "doc_dup_chunk_fraction_incremental",
     "dedup_embedding_incremental",
     "text_quality_drift",
+    # round-12 new operator: duplicate-span removal
+    "doc_dedup_spans",
 ]
 
 RUNS_PER_QUERY = 2
@@ -161,13 +163,14 @@ RUNS_PER_QUERY = 2
 # (their deltas have no prior pin, so the driver record is their only
 # arbiter).  Everything else still lands in BENCH_DETAIL.json.
 COMPACT_EXTRA = [
-    # r11: the new scale-gate contract query (the dim/fact queries whose
-    # id-assignment code changed this round are all in the 13
-    # baseline-comparable names, already on the compact line)
-    "dim_visitor_partitioned_ids",
-    "doc_dup_chunk_fraction_incremental",
+    # r12: the new span-removal operator, plus the queries the LSH
+    # width auto-gate changed at sf0.1 (they now run at wider,
+    # corpus-sized bucket counts — their deltas vs the fixed-width pins
+    # are the gate's measured effect, so they belong on the line)
+    "doc_dedup_spans",
+    "dedup_embedding_lsh",
     "dedup_embedding_incremental",
-    "text_quality_drift",
+    "ann_lsh_bucketed",
 ]
 
 # Hard ceiling for the stdout line: the driver's capture tail is 2000

@@ -1373,26 +1373,37 @@ DUP_CHUNK_TOKENS = 10        # non-overlapping token window per chunk
 DUP_CHUNK_MAX_FRACTION = 0.5  # keep docs under this duplicated fraction
 
 
-def _chunk_hashes(docs: DataFrame) -> DataFrame:
-    """(doc_id, h): the md5 of each non-overlapping DUP_CHUNK_TOKENS-
-    token window of each document — the ONE chunking pipeline both the
-    batch and incremental copy-fraction gates build on (a divergence in
-    W handling or the 1-based slice bounds would silently split their
-    semantics).  Map-side bounded explode: corpus tokens / W rows."""
+def _chunks_from_tokens(toks_df: DataFrame,
+                        with_index: bool = False) -> DataFrame:
+    """Chunk rows from an already-tokenized (doc_id, __toks) frame —
+    the single chunking kernel behind :func:`_chunk_hashes` and the
+    span-removal operator (which tokenizes once and reuses the token
+    frame for reconstruction)."""
     W = DUP_CHUNK_TOKENS
-    toks = tokens(F.col("text"))
     nch = F.floor(F.size("__toks") / W).cast("int")
     chunk = F.md5(F.concat_ws(
         " ", F.slice("__toks", F.col("i") * W + 1, W)))
-    return (docs
-            .select("doc_id", toks.alias("__toks"))
-            .select("doc_id", nch.alias("__n"), "__toks")
-            .where(F.col("__n") >= 1)
-            .select("doc_id",
-                    F.explode(F.sequence(F.lit(0), F.col("__n") - 1))
-                    .alias("i"),
-                    "__toks")
-            .select("doc_id", chunk.alias("h")))
+    exploded = (toks_df
+                .select("doc_id", nch.alias("__n"), "__toks")
+                .where(F.col("__n") >= 1)
+                .select("doc_id",
+                        F.explode(F.sequence(F.lit(0), F.col("__n") - 1))
+                        .alias("i"),
+                        "__toks"))
+    if with_index:
+        return exploded.select("doc_id", "i", chunk.alias("h"))
+    return exploded.select("doc_id", chunk.alias("h"))
+
+
+def _chunk_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, h): the md5 of each non-overlapping DUP_CHUNK_TOKENS-
+    token window of each document — the ONE chunking pipeline the
+    batch and incremental copy-fraction gates AND the span-removal
+    operator build on (a divergence in W handling or the 1-based slice
+    bounds would silently split their semantics).  Map-side bounded
+    explode: corpus tokens / W rows."""
+    return _chunks_from_tokens(
+        docs.select("doc_id", tokens(F.col("text")).alias("__toks")))
 
 
 def doc_dup_chunk_fraction_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1457,6 +1468,109 @@ SELECT doc_id, n_chunks, n_dup_chunks,
        round(n_dup_chunks * 1.0 / n_chunks, 6) < {DUP_CHUNK_MAX_FRACTION}
          AS keep
 FROM per_doc ORDER BY doc_id
+"""
+
+
+def doc_dedup_spans_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicate-SPAN removal — the operator behind the
+    copy-fraction gate's verdict: instead of keeping/dropping whole
+    documents, it removes the duplicated chunks themselves and emits
+    the cleaned token stream (the "dedup the spans, keep the document"
+    move of modern pretraining pipelines, applied at the same
+    non-overlapping DUP_CHUNK_TOKENS-token granularity as
+    :func:`doc_dup_chunk_fraction_df` — one chunking pipeline,
+    :func:`_chunks_from_tokens`).
+
+    Policy: for every chunk hash occurring more than once in the
+    corpus, exactly ONE canonical occurrence survives — the globally
+    least (doc_id, chunk index) — and every other occurrence (across
+    docs AND repeats within a doc) is removed.  Identical hash means
+    identical chunk text, so the canonical choice only decides WHERE
+    the one surviving copy lives.  The tail beyond the last full chunk
+    is always kept.  Output per doc: chunk/removal counts and
+    ``cleaned_text`` (kept chunks in order + tail, single-space
+    joined — the whitespace-normalized token stream, which is what a
+    training pipeline consumes).
+
+    Scale shape: chunk rows are (doc_id, i, 16-byte md5) — one
+    corpus-chunk-sized shuffle for the per-hash canonical min, one for
+    the per-doc removal lists (only DUPLICATED occurrences reach it),
+    one doc_id join of those lists back to the token frame;
+    reconstruction is a map-side higher-order expression.  Nothing is
+    quadratic and the heavy text/token payload never shuffles — the
+    removal lists do."""
+    from ..functions.spread import spread
+
+    W = DUP_CHUNK_TOKENS
+    base = (spread(_docs(spark, sf_dir))
+            .select("doc_id", tokens(F.col("text")).alias("__toks"))
+            .persist())
+    chunks = _chunks_from_tokens(base, with_index=True)
+    own = (chunks.groupBy("h")
+           .agg(F.count(F.lit(1)).alias("cnt"),
+                F.min(F.struct("doc_id", "i")).alias("own")))
+    removed = (chunks.join(own, "h")
+               .where((F.col("cnt") > 1)
+                      & ~((F.col("doc_id") == F.col("own.doc_id"))
+                          & (F.col("i") == F.col("own.i"))))
+               .groupBy("doc_id")
+               .agg(F.sort_array(F.collect_list("i")).alias("rem")))
+    n = F.floor(F.size("__toks") / W).cast("int")
+    idxs = F.when(n >= 1, F.sequence(F.lit(0), n - 1)) \
+            .otherwise(F.array().cast("array<int>"))
+    kept_idx = F.filter(idxs, lambda i: ~F.array_contains(F.col("rem"), i))
+    kept_toks = F.flatten(F.transform(
+        kept_idx, lambda i: F.slice("__toks", i * W + 1, W)))
+    tail = F.slice("__toks", n * W + 1, F.size("__toks") - n * W)
+    out = _ckpt(base
+                .join(removed, "doc_id", "left")
+                .withColumn("rem", F.coalesce(
+                    "rem", F.array().cast("array<int>")))
+                .select("doc_id",
+                        n.cast("long").alias("n_chunks"),
+                        F.size("rem").cast("long").alias("n_removed"),
+                        F.array_join(F.concat(kept_toks, tail), " ")
+                        .alias("cleaned_text"))
+                .orderBy("doc_id"))
+    base.unpersist()
+    return out
+
+
+DOC_DEDUP_SPANS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {sql_tokens('text')} AS t FROM documents),
+chunks AS (
+  SELECT doc_id, CAST(u.i AS INT) AS i, u.h AS h FROM (
+    SELECT doc_id,
+           unnest([{{'i': i,
+                     'h': md5(array_to_string(
+                            t[i*{DUP_CHUNK_TOKENS}+1 :
+                              (i+1)*{DUP_CHUNK_TOKENS}], ' '))}}
+                   for i in generate_series(
+                        0, len(t) // {DUP_CHUNK_TOKENS} - 1)]) AS u
+    FROM toks WHERE len(t) >= {DUP_CHUNK_TOKENS})),
+owners AS (
+  SELECT h, count(*) AS cnt,
+         min({{'doc_id': doc_id, 'i': i}}) AS own
+  FROM chunks GROUP BY 1),
+removed AS (
+  SELECT c.doc_id, list_sort(list(c.i)) AS rem
+  FROM chunks c JOIN owners o USING (h)
+  WHERE o.cnt > 1
+    AND NOT (c.doc_id = o.own.doc_id AND c.i = o.own.i)
+  GROUP BY 1)
+SELECT d.doc_id,
+       CAST(len(t) // {DUP_CHUNK_TOKENS} AS BIGINT) AS n_chunks,
+       CAST(coalesce(len(rem), 0) AS BIGINT) AS n_removed,
+       coalesce(array_to_string(
+         flatten([t[i*{DUP_CHUNK_TOKENS}+1 : (i+1)*{DUP_CHUNK_TOKENS}]
+                  for i in generate_series(
+                       0, len(t) // {DUP_CHUNK_TOKENS} - 1)
+                  if NOT list_contains(coalesce(rem, []), i)])
+         || t[(len(t) // {DUP_CHUNK_TOKENS}) * {DUP_CHUNK_TOKENS} + 1 :],
+         ' '), '') AS cleaned_text
+FROM toks d LEFT JOIN removed USING (doc_id)
+ORDER BY doc_id
 """
 
 

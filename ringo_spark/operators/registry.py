@@ -5,6 +5,7 @@ from .dedup import (
     DEDUP_CLUSTERS_SQL, DEDUP_CONTAINMENT_SQL, DEDUP_EMBEDDING_LSH_SQL,
     DEDUP_EMBEDDING_SQL,
     DEDUP_EXACT_SQL, DEDUP_LSH_RECALL_BOUNDS_SQL, dedup_lsh_recall_bounds_df,
+    DOC_DEDUP_SPANS_SQL, doc_dedup_spans_df,
     DOC_DUP_CHUNK_FRACTION_SQL, doc_dup_chunk_fraction_df,
     DOC_DUP_CHUNK_FRACTION_INCREMENTAL_SQL,
     doc_dup_chunk_fraction_incremental_df,
@@ -79,51 +80,47 @@ from .text import (
 #     unverified, only un-hashed-by-the-driver that round.
 
 DRIVER_WINDOW: list[str] = [
-    # -- round-11 first driver row: the surrogate-id scale-gate
-    #    contract query (partitioned id assignment vs the oracle's
-    #    global row_number; VERDICT r10 item 3) --
-    "dim_visitor_partitioned_ids",
-    # -- the thrice-popped trio, front-loaded per the pre-committed r11
-    #    rotation plan (they were rotated in for r10 and popped again by
-    #    mid-round operators; longest driver-record wait in the
-    #    registry: r02+r03 rows) --
-    "asof_join",
-    "date_funcs",
-    "json_funcs",
-    # -- the r05/r06-rowed DISPLACED tail, oldest driver record first
-    #    (the pre-committed r11 plan's 21-entry cohort) --
-    "embed_quantize",
-    "multimodal_resize",
-    "multimodal_frames",
-    "scd2_fact_incremental",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    "doc_rolling_hash",
-    "dedup_ngram_jaccard",
+    # -- round-12 first driver row: duplicate-span removal --
+    "doc_dedup_spans",
+    # -- code changed in r12, kept/pulled driver-visible (the r05
+    #    precedent: changed paths must show in the driver record).
+    #    The LSH-width auto-gate (bits=None resolution) runs inside
+    #    every one of these; the two chunk gates share the refactored
+    #    _chunks_from_tokens kernel; the two quadratic baselines run
+    #    the estimate-based _assert_small_scale --
+    "dedup_embedding_incremental",
+    "dedup_embedding_lsh",
     "dedup_embedding",
+    "ann_lsh_bucketed",
+    "ann_lsh_indexed",
     "ann_lsh_bucketed12",
     "ann_lsh_multiprobe",
-    "token_count",
-    "doc_fingerprint",
-    "join_semi",
-    "join_anti",
-    "window_rank",
-    "rollup_agg",
-    "cube_agg",
-    "topk",
-    "range_join",
-    # -- remaining slots to the next-oldest cohort (first driver rows
-    #    r07, untouched since): the head of the mid-r06 thirteen --
-    "dedup_minhash_lsh_capped_indexed",
-    "benchmark_contamination",
-    # -- mid-round r11 operators (first rows; popped the last three
-    #    rotated-in entries — sample_cluster_split, training_prep,
-    #    doc_chunk — back to DISPLACED, r06 precedent: first rows
-    #    outrank re-rows) --
+    "dedup_ngram_jaccard",
+    "doc_dup_chunk_fraction",
     "doc_dup_chunk_fraction_incremental",
-    "dedup_embedding_incremental",
-    "text_quality_drift",
+    # -- the pre-committed r12 rotation: the r07-rowed remainder of the
+    #    mid-r06 thirteen, oldest driver records first --
+    "text_repetition",
+    "multimodal_phash",
+    "q18_large_volume_customer",
+    "multimodal_phash_dups",
+    "sessionize_native",
+    "q7_volume_shipping",
+    "window_stats",
+    "q4_order_priority",
+    # -- then the r07-rowed round-7 cohort --
+    "fact_events_by_minute_approx_bounds",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity",
+    "sample_cluster_split_indexed",
+    "quantiles_approx_bounds",
+    "q14_promo_effect",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    # -- one slot left: the head of the r08-rowed cohort --
+    "doc_logprob",
     # -- core schema-level pipeline (driver-green r02-r04 + r07; pinned) --
     "dim_event_type",
     "fact_events_by_minute",
@@ -151,23 +148,47 @@ DRIVER_WINDOW: list[str] = [
 
 # Registered, locally cell-exact-verified every round, but outside the
 # driver's 50-row hash window this round.  Every with-oracle entry here
-# has at least one driver-green (hash_match=true) row (r02–r10) with
+# has at least one driver-green (hash_match=true) row (r02–r11) with
 # unchanged code paths since; the 2 no-oracle entries are ε-tolerance
 # pytest-covered by design AND have *_bounds twins carrying real oracles
-# (driver-green r06/r07).  Newly displaced: the r10 window's rotating
-# cohort (every entry got fresh rows in r10) — recency rotation per the
-# pre-committed r11 plan in CORRECTNESS_WINDOW.md.
+# (driver-green r06/r07).  Newly displaced: the r11 window's rotating
+# cohort (every entry got fresh rows in r11) — recency rotation per the
+# pre-committed r12 plan in CORRECTNESS_WINDOW.md.
 DISPLACED: list[str] = [
-    # r10 window cohort, freshest driver records in the registry (r10
-    # rows): the five TPC-H decorrelation shapes + the r10 contract
-    # queries, then the r09/r10-rowed rotation tail
+    # r11 window cohort, freshest driver records in the registry (r11
+    # rows); its code-changed members stay windowed above instead
+    "dim_visitor_partitioned_ids",
+    "asof_join",
+    "date_funcs",
+    "json_funcs",
+    "embed_quantize",
+    "multimodal_resize",
+    "multimodal_frames",
+    "scd2_fact_incremental",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "doc_rolling_hash",
+    "token_count",
+    "doc_fingerprint",
+    "join_semi",
+    "join_anti",
+    "window_rank",
+    "rollup_agg",
+    "cube_agg",
+    "topk",
+    "range_join",
+    "dedup_minhash_lsh_capped_indexed",
+    "benchmark_contamination",
+    "text_quality_drift",
+    # r10-rowed cohort: the five TPC-H decorrelation shapes + the r10
+    # contract queries, then the r09/r10-rowed rotation tail
     "q2_min_cost_region",
     "q9_product_profit",
     "q11_important_stock",
     "q16_supplier_part_counts",
     "q20_surplus_suppliers",
     "dedup_lsh_recall_bounds",
-    "doc_dup_chunk_fraction",
     "embed_quantize_recall_bounds",
     "ann_hard_negatives",
     "doc_entropy",
@@ -177,8 +198,6 @@ DISPLACED: list[str] = [
     "dedup_exact",
     "dedup_simhash",
     "dedup_incremental",
-    "ann_lsh_indexed",
-    "ann_lsh_bucketed",
     "ann_ivf",
     "lang_id",
     "join_inner_agg",
@@ -191,8 +210,7 @@ DISPLACED: list[str] = [
     "lang_confusion",
     "metrics_unpivot",
     "scalar_subquery",
-    # popped back out mid-round (kept their r07 records; the r11
-    # mid-round operators took the slots)
+    # popped back out mid-r11 (kept their r07 records)
     "sample_cluster_split",
     "training_prep",
     "doc_chunk",
@@ -228,26 +246,6 @@ DISPLACED: list[str] = [
     "profile_table",
     "dedup_minhash_incremental",
     # earlier-rowed cohorts, by record age
-    "text_repetition",
-    "multimodal_phash",
-    "q18_large_volume_customer",
-    "multimodal_phash_dups",
-    "sessionize_native",
-    "q7_volume_shipping",
-    "window_stats",
-    "q4_order_priority",
-    "fact_events_by_minute_approx_bounds",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q21_suppliers_kept_waiting",
-    "q22_global_sales_opportunity",
-    "sample_cluster_split_indexed",
-    "quantiles_approx_bounds",
-    "q14_promo_effect",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "dedup_embedding_lsh",
-    "doc_logprob",
     "timeseries_gapfill",
     "listagg",
     "value_histogram",
@@ -318,6 +316,10 @@ _DEDUP_QUERIES: dict[str, tuple] = {
     "doc_dup_chunk_fraction_incremental": (
         doc_dup_chunk_fraction_incremental_df,
         DOC_DUP_CHUNK_FRACTION_INCREMENTAL_SQL),
+    # duplicate-SPAN removal (r12): one canonical occurrence of every
+    # duplicated chunk survives corpus-wide; emits the cleaned token
+    # stream — the operator behind the copy-fraction gate's verdict
+    "doc_dedup_spans": (doc_dedup_spans_df, DOC_DEDUP_SPANS_SQL),
 }
 
 _ANN_QUERIES: dict[str, tuple] = {

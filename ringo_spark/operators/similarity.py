@@ -1198,6 +1198,29 @@ def append_to_lsh_index(spark: SparkSession, index_path: str,
     _touch(os.path.join(index_path, "_SUCCESS"))
 
 
+def rebucket_lsh_index(spark: SparkSession, index_path: str, new_bits: int,
+                       out_path: str | None = None) -> str:
+    """Rewrite a persisted LSH index at a new bucket width — the
+    lifecycle step the auto-bits gate implies: when the corpus outgrows
+    the width its index was built at (2^bits ≈ N / bucket_target), the
+    index is re-bucketed ONCE from its own stored vectors.  Map-only
+    over the index (no re-read of the source corpus, no training); the
+    one shuffle is the same salted bucket repartition a fresh build
+    pays.  The result is bit-identical to a fresh build at ``new_bits``
+    (pytest-pinned), so probes against the new path keep the exact
+    ann_lsh_bucketed semantics at the new width."""
+    if out_path is None:
+        out_path = index_path.rstrip("/") + f"-rb{new_bits}"
+    (spark.read.parquet(index_path)
+     .select("vec_id", "embedding")
+     .withColumn("bucket", _bucket_expr(F.col("embedding"), new_bits))
+     .repartition(F.col("bucket"),
+                  F.pmod(F.col("vec_id"), F.lit(BUILD_WRITERS_PER_CELL)))
+     .write.mode("overwrite").partitionBy("bucket").parquet(out_path))
+    _touch(os.path.join(out_path, "_SUCCESS"))
+    return out_path
+
+
 def ann_lsh_indexed_df(spark: SparkSession, sf_dir: str,
                        bits: int | None = None) -> DataFrame:
     """Bucketed ANN served from the persisted index: the query batch's

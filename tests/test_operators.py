@@ -1348,3 +1348,62 @@ def test_quality_drift_flags_injected_drift(spark, tmp_path):
     for s, r in got.items():
         if s != victim and base_rows[s].drift_z is not None:
             assert r.drift_z == base_rows[s].drift_z
+
+
+def test_doc_dedup_spans_policy(spark):
+    """Span-removal invariants: (1) exactly one canonical occurrence of
+    every duplicated chunk survives corpus-wide — total removals equal
+    total occurrences minus distinct hashes over the duplicated set;
+    (2) a doc with no removals reconstructs to its whitespace-normalized
+    token stream; (3) a doc with removals loses exactly W tokens per
+    removed chunk."""
+    from ringo_spark.operators.dedup import (
+        DUP_CHUNK_TOKENS, _chunk_hashes, doc_dedup_spans_df,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = {r.doc_id: r for r in doc_dedup_spans_df(spark, SF).collect()}
+    assert len(out) == docs.count()
+
+    counts = (_chunk_hashes(docs).groupBy("h")
+              .agg(F.count(F.lit(1)).alias("c")).collect())
+    expected_removed = sum(r.c - 1 for r in counts if r.c > 1)
+    assert expected_removed > 0, "testdata should contain duplicated chunks"
+    assert sum(r.n_removed for r in out.values()) == expected_removed
+
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    touched = 0
+    for doc_id, r in out.items():
+        norm = " ".join(texts[doc_id].split())
+        if r.n_removed == 0:
+            assert r.cleaned_text == norm
+        else:
+            touched += 1
+            lost = len(norm.split()) - len(r.cleaned_text.split())
+            assert lost == r.n_removed * DUP_CHUNK_TOKENS
+    assert touched > 0
+
+
+def test_rebucket_lsh_index_equals_fresh_build(spark, tmp_path):
+    """Re-bucketing a persisted LSH index at a wider width (the
+    auto-bits lifecycle step) is bit-identical to a fresh build at that
+    width: same (vec_id -> bucket) assignment, same per-bucket vector
+    sets — so probes keep exact ann_lsh_bucketed semantics."""
+    from ringo_spark.operators import similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    old = sim.build_lsh_index(spark, sf, bits=4,
+                              index_path=str(tmp_path / "idx4"))
+    rb = sim.rebucket_lsh_index(spark, old, 6,
+                                out_path=str(tmp_path / "idx6rb"))
+    fresh = sim.build_lsh_index(spark, sf, bits=6,
+                                index_path=str(tmp_path / "idx6"))
+
+    def load(p):
+        return {(r.vec_id, int(r.bucket), tuple(r.embedding))
+                for r in spark.read.parquet(p).collect()}
+
+    got, want = load(rb), load(fresh)
+    assert got == want and len(got) == 500
+    # genuinely re-bucketed, not a copy: widths differ
+    assert {b for _, b, _ in load(old)} != {b for _, b, _ in got}
