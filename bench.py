@@ -152,8 +152,9 @@ HEADLINE = [
     "doc_dup_chunk_fraction_incremental",
     "dedup_embedding_incremental",
     "text_quality_drift",
-    # round-12 new operator: duplicate-span removal
+    # round-12 new operators: duplicate-span removal + ingestion twin
     "doc_dedup_spans",
+    "doc_dedup_spans_incremental",
 ]
 
 RUNS_PER_QUERY = 2
@@ -168,6 +169,7 @@ COMPACT_EXTRA = [
     # corpus-sized bucket counts — their deltas vs the fixed-width pins
     # are the gate's measured effect, so they belong on the line)
     "doc_dedup_spans",
+    "doc_dedup_spans_incremental",
     "dedup_embedding_lsh",
     "dedup_embedding_incremental",
     "ann_lsh_bucketed",

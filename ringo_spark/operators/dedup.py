@@ -1264,11 +1264,15 @@ def dedup_lsh_recall_bounds_df(spark: SparkSession, sf_dir: str,
     base = _shingled(spark, sf_dir).persist()
     audit_filter = F.col("doc_id") < LSH_RECALL_AUDIT_MAX
 
-    # ground truth: exact Jaccard via the audit-restricted inverted index
+    # ground truth: exact Jaccard via the audit-restricted inverted
+    # index.  The audit postings are fixed-size (60 docs' shingles), so
+    # they BROADCAST: the corpus-sized posting explode stays map-local
+    # instead of shuffling on the shingle key — only matched (a, b)
+    # rows reach the groupBy exchange (r12 pin-ratio shave).
     e_all = base.select("doc_id", F.explode("sh").alias("g"))
     e_aud = (base.where(audit_filter)
              .select(F.col("doc_id").alias("a_id"), F.explode("sh").alias("g")))
-    inter = (e_aud.join(e_all, "g")
+    inter = (e_all.join(F.broadcast(e_aud), "g")
              .where(F.col("doc_id") != F.col("a_id"))
              .groupBy("a_id", F.col("doc_id").alias("b_id"))
              .agg(F.count(F.lit(1)).alias("i")))
@@ -1298,7 +1302,10 @@ def dedup_lsh_recall_bounds_df(spark: SparkSession, sf_dir: str,
                      "sig")
              .select("doc_id", band_key.alias("band_key")))
     a, b = brows.where(audit_filter).alias("a"), brows.alias("b")
-    cand = _ckpt(a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+    # audit band rows broadcast for the same reason: the corpus band
+    # table never shuffles on the band key for the audit's sake
+    cand = _ckpt(b.join(F.broadcast(a),
+                        (F.col("a.band_key") == F.col("b.band_key"))
                         & (F.col("a.doc_id") != F.col("b.doc_id")))
                  .select(F.least("a.doc_id", "b.doc_id").alias("lo"),
                          F.greatest("a.doc_id", "b.doc_id").alias("hi"))
@@ -1558,6 +1565,114 @@ removed AS (
   FROM chunks c JOIN owners o USING (h)
   WHERE o.cnt > 1
     AND NOT (c.doc_id = o.own.doc_id AND c.i = o.own.i)
+  GROUP BY 1)
+SELECT d.doc_id,
+       CAST(len(t) // {DUP_CHUNK_TOKENS} AS BIGINT) AS n_chunks,
+       CAST(coalesce(len(rem), 0) AS BIGINT) AS n_removed,
+       coalesce(array_to_string(
+         flatten([t[i*{DUP_CHUNK_TOKENS}+1 : (i+1)*{DUP_CHUNK_TOKENS}]
+                  for i in generate_series(
+                       0, len(t) // {DUP_CHUNK_TOKENS} - 1)
+                  if NOT list_contains(coalesce(rem, []), i)])
+         || t[(len(t) // {DUP_CHUNK_TOKENS}) * {DUP_CHUNK_TOKENS} + 1 :],
+         ' '), '') AS cleaned_text
+FROM toks d LEFT JOIN removed USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def doc_dedup_spans_incremental_df(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Ingestion-time duplicate-span removal — the production twin of
+    :func:`doc_dedup_spans_df`: only the INCOMING batch (doc_id >=
+    INGESTED_BELOW) is chunked, cleaned, and emitted.  A batch chunk
+    occurrence is removed when its hash exists in the already-ingested
+    corpus's chunk-hash index (the corpus holds the canonical copy —
+    corpus ids precede batch ids, so this IS the global least-owner
+    rule) OR when an earlier batch occurrence (least (doc_id, i) within
+    the batch) owns it.  Therefore the result provably EQUALS the batch
+    operator restricted to batch docs (pytest-pinned), the same
+    restriction contract as the other three incremental dedup twins.
+
+    Scale shape: the corpus side is its DISTINCT 16-byte chunk-hash
+    column only — the persisted index of
+    :func:`doc_dup_chunk_fraction_incremental_df`, written once and
+    appended per batch; ingestion never re-chunks or re-reads corpus
+    text.  Batch chunk rows shuffle on the hash (owner min + index
+    probe) and the removal lists on doc_id — all batch-sized."""
+    from ..functions.spread import spread
+
+    W = DUP_CHUNK_TOKENS
+    docs = _docs(spark, sf_dir)
+    corpus_h = (_chunk_hashes(docs.where(F.col("doc_id") < INGESTED_BELOW))
+                .select("h").distinct()
+                .withColumn("in_corpus", F.lit(True)))
+    base = (spread(docs.where(F.col("doc_id") >= INGESTED_BELOW))
+            .select("doc_id", tokens(F.col("text")).alias("__toks"))
+            .persist())
+    chunks = _chunks_from_tokens(base, with_index=True)
+    own = (chunks.groupBy("h")
+           .agg(F.min(F.struct("doc_id", "i")).alias("own")))
+    removed = (chunks.join(own, "h")
+               .join(corpus_h, "h", "left")
+               .where(F.coalesce("in_corpus", F.lit(False))
+                      | ~((F.col("doc_id") == F.col("own.doc_id"))
+                          & (F.col("i") == F.col("own.i"))))
+               .groupBy("doc_id")
+               .agg(F.sort_array(F.collect_list("i")).alias("rem")))
+    n = F.floor(F.size("__toks") / W).cast("int")
+    idxs = F.when(n >= 1, F.sequence(F.lit(0), n - 1)) \
+            .otherwise(F.array().cast("array<int>"))
+    kept_idx = F.filter(idxs, lambda i: ~F.array_contains(F.col("rem"), i))
+    kept_toks = F.flatten(F.transform(
+        kept_idx, lambda i: F.slice("__toks", i * W + 1, W)))
+    tail = F.slice("__toks", n * W + 1, F.size("__toks") - n * W)
+    out = _ckpt(base
+                .join(removed, "doc_id", "left")
+                .withColumn("rem", F.coalesce(
+                    "rem", F.array().cast("array<int>")))
+                .select("doc_id",
+                        n.cast("long").alias("n_chunks"),
+                        F.size("rem").cast("long").alias("n_removed"),
+                        F.array_join(F.concat(kept_toks, tail), " ")
+                        .alias("cleaned_text"))
+                .orderBy("doc_id"))
+    base.unpersist()
+    return out
+
+
+DOC_DEDUP_SPANS_INCREMENTAL_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {sql_tokens('text')} AS t FROM documents
+  WHERE doc_id >= {INGESTED_BELOW}),
+corpus_h AS (
+  SELECT DISTINCT unnest(ch) AS h
+  FROM (
+    SELECT [md5(array_to_string(
+              t[i*{DUP_CHUNK_TOKENS}+1 : (i+1)*{DUP_CHUNK_TOKENS}], ' '))
+            for i in generate_series(0, len(t) // {DUP_CHUNK_TOKENS} - 1)]
+             AS ch
+    FROM (SELECT {sql_tokens('text')} AS t FROM documents
+          WHERE doc_id < {INGESTED_BELOW})
+    WHERE len(t) >= {DUP_CHUNK_TOKENS})),
+chunks AS (
+  SELECT doc_id, CAST(u.i AS INT) AS i, u.h AS h FROM (
+    SELECT doc_id,
+           unnest([{{'i': i,
+                     'h': md5(array_to_string(
+                            t[i*{DUP_CHUNK_TOKENS}+1 :
+                              (i+1)*{DUP_CHUNK_TOKENS}], ' '))}}
+                   for i in generate_series(
+                        0, len(t) // {DUP_CHUNK_TOKENS} - 1)]) AS u
+    FROM toks WHERE len(t) >= {DUP_CHUNK_TOKENS})),
+owners AS (
+  SELECT h, min({{'doc_id': doc_id, 'i': i}}) AS own
+  FROM chunks GROUP BY 1),
+removed AS (
+  SELECT c.doc_id, list_sort(list(c.i)) AS rem
+  FROM chunks c JOIN owners o USING (h)
+  WHERE h IN (SELECT h FROM corpus_h)
+     OR NOT (c.doc_id = o.own.doc_id AND c.i = o.own.i)
   GROUP BY 1)
 SELECT d.doc_id,
        CAST(len(t) // {DUP_CHUNK_TOKENS} AS BIGINT) AS n_chunks,

@@ -6,6 +6,7 @@ from .dedup import (
     DEDUP_EMBEDDING_SQL,
     DEDUP_EXACT_SQL, DEDUP_LSH_RECALL_BOUNDS_SQL, dedup_lsh_recall_bounds_df,
     DOC_DEDUP_SPANS_SQL, doc_dedup_spans_df,
+    DOC_DEDUP_SPANS_INCREMENTAL_SQL, doc_dedup_spans_incremental_df,
     DOC_DUP_CHUNK_FRACTION_SQL, doc_dup_chunk_fraction_df,
     DOC_DUP_CHUNK_FRACTION_INCREMENTAL_SQL,
     doc_dup_chunk_fraction_incremental_df,
@@ -80,8 +81,11 @@ from .text import (
 #     unverified, only un-hashed-by-the-driver that round.
 
 DRIVER_WINDOW: list[str] = [
-    # -- round-12 first driver row: duplicate-span removal --
+    # -- round-12 first driver rows: duplicate-span removal + its
+    #    ingestion twin (the mid-round twin popped the last rotated-in
+    #    entry, doc_logprob, back to DISPLACED — r06 precedent) --
     "doc_dedup_spans",
+    "doc_dedup_spans_incremental",
     # -- code changed in r12, kept/pulled driver-visible (the r05
     #    precedent: changed paths must show in the driver record).
     #    The LSH-width auto-gate (bits=None resolution) runs inside
@@ -119,8 +123,6 @@ DRIVER_WINDOW: list[str] = [
     "q14_promo_effect",
     "q17_small_quantity_revenue",
     "q19_discounted_revenue",
-    # -- one slot left: the head of the r08-rowed cohort --
-    "doc_logprob",
     # -- core schema-level pipeline (driver-green r02-r04 + r07; pinned) --
     "dim_event_type",
     "fact_events_by_minute",
@@ -214,6 +216,9 @@ DISPLACED: list[str] = [
     "sample_cluster_split",
     "training_prep",
     "doc_chunk",
+    # popped back out mid-r12 by the spans ingestion twin (keeps its
+    # r08 record)
+    "doc_logprob",
     # r08/r09-rowed cohort
     "q8_national_market_share",
     "q12_late_shipments",
@@ -320,6 +325,12 @@ _DEDUP_QUERIES: dict[str, tuple] = {
     # duplicated chunk survives corpus-wide; emits the cleaned token
     # stream — the operator behind the copy-fraction gate's verdict
     "doc_dedup_spans": (doc_dedup_spans_df, DOC_DEDUP_SPANS_SQL),
+    # ingestion-time twin: batch chunks probe the persisted corpus
+    # chunk-hash index; provably equals the batch operator restricted
+    # to batch docs (corpus ids precede batch ids, so index membership
+    # IS the global least-owner rule) — pytest-pinned
+    "doc_dedup_spans_incremental": (doc_dedup_spans_incremental_df,
+                                    DOC_DEDUP_SPANS_INCREMENTAL_SQL),
 }
 
 _ANN_QUERIES: dict[str, tuple] = {

@@ -1407,3 +1407,29 @@ def test_rebucket_lsh_index_equals_fresh_build(spark, tmp_path):
     assert got == want and len(got) == 500
     # genuinely re-bucketed, not a copy: widths differ
     assert {b for _, b, _ in load(old)} != {b for _, b, _ in got}
+
+
+def test_doc_dedup_spans_incremental_equals_batch_restriction(spark):
+    """The ingestion twin's contract: corpus ids precede batch ids, so
+    probing the corpus chunk index + in-batch least-owner IS the global
+    least-(doc_id, i) rule restricted to batch docs — row-identical to
+    the batch operator's batch-doc rows, non-vacuously (some batch doc
+    must lose chunks to a CORPUS owner, not just to in-batch dups)."""
+    from ringo_spark.operators.dedup import (
+        INGESTED_BELOW, _chunk_hashes, doc_dedup_spans_df,
+        doc_dedup_spans_incremental_df,
+    )
+
+    inc = sorted(tuple(r) for r in
+                 doc_dedup_spans_incremental_df(spark, SF).collect())
+    batch = sorted(tuple(r) for r in doc_dedup_spans_df(spark, SF).collect()
+                   if r[0] >= INGESTED_BELOW)
+    assert inc == batch and inc
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus_h = {r.h for r in _chunk_hashes(
+        docs.where(F.col("doc_id") < INGESTED_BELOW)).collect()}
+    batch_hits = (_chunk_hashes(docs.where(F.col("doc_id") >= INGESTED_BELOW))
+                  .collect())
+    assert any(r.h in corpus_h for r in batch_hits), \
+        "fixture must exercise the corpus-owner removal path"
