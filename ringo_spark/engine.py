@@ -729,7 +729,13 @@ class Engine:
         them (time travel); GC reclaims them on the usual horizon.
         Rename mode ignores ``window`` — file-level appends have no
         atomic swap, so same-window reruns there still require a full
-        refresh (documented trade; manifest mode is the 100 TB path)."""
+        refresh (documented trade; manifest mode is the 100 TB path).
+        A window with an unbounded (None) upper is refused as a stamp:
+        it delimits nothing, and an unbounded stamp would cover every
+        other unbounded stamp (the streaming micro-batch data-loss
+        shape; see _run_fact_table)."""
+        if window is not None and window[1] is None:
+            window = None
         if self.commit_mode == "manifest":
             # the append lands in its OWN immutable dir and the pointer
             # flip adds it to the snapshot's dir list — appends are as
@@ -980,7 +986,16 @@ class Engine:
                                 time_lower=time_lower,
                                 count_distinct_mode=self.count_distinct_mode)
         df, partition_by = self._with_fact_partitioning(fact, df)
-        window = (time_lower, time_upper)
+        # A window stamp asserts "this dir carries exactly the source
+        # rows in [lower, upper)" — meaningless without a FINITE upper.
+        # Streaming micro-batches run unbounded (time_upper=None,
+        # resume=False): their rows partition by ARRIVAL, not by any
+        # time window, so stamping them (None, None) would make every
+        # later micro-batch 'cover' — and silently replace — all
+        # earlier ones (r12 review finding; pinned by the 3-batch
+        # streaming-pipeline test).  Unbounded appends stay unstamped:
+        # pure additive, never replaced, never replacing.
+        window = (time_lower, time_upper) if time_upper is not None else None
         if mode == PopulationMode.INCREMENTAL and self.table_exists(derived.name):
             if (derived.name in self._inflight()
                     and not self._inflight_retry_is_safe(derived.name,

@@ -76,22 +76,46 @@ QUADRATIC_BASELINE_FREE_PASS_BYTES = QUADRATIC_BASELINE_MAX_ROWS * 64
 def _assert_small_scale(df: DataFrame, op: str, scale_path: str) -> DataFrame:
     """Raise when ``df`` is too large for a quadratic exact baseline.
 
-    Decided WITHOUT a Spark job whenever the optimizer can (VERDICT r11
-    item 5; the dim-id gate pattern): Catalyst's rowCount when defined
-    (CBO/ANALYZE), else a free pass when sizeInBytes is far below any
-    plausible over-bound input.  Only an input that is genuinely large
-    or unestimable pays the exact count() — i.e. exactly when the guard
-    is about to matter."""
+    Decided WITHOUT a Spark job whenever possible (VERDICT r11 item 5),
+    in safety order:
+
+    1. parquet FOOTER rows of the scanned files (``df.inputFiles()`` —
+       driver-side listing, no job): an exact UPPER bound on the frame
+       (filters only remove rows), so it can never admit an over-bound
+       input.  This covers the guarded operators' actual inputs and is
+       immune to the estimate failure modes below.
+    2. Catalyst rowCount when defined (spark.range, CBO tables with
+       fresh stats).  An ANALYZE-stale under-estimate could in
+       principle admit a grown table — acceptable for non-file frames,
+       where the alternative is always paying a count().
+    3. A sizeInBytes free pass ONLY for passing, never for raising —
+       and only under a floor of 64 B/row.  (Not reachable for file
+       scans, which step 1 decides exactly: a dictionary-compressed
+       mass-duplicated corpus can sit far below 64 B/row on disk —
+       r12 review finding — so bytes alone must never clear a file
+       input.)
+    4. The exact count() — paid only when nothing above applies."""
     n = None
     try:
-        stats = df._jdf.queryExecution().optimizedPlan().stats()
-        rc = stats.rowCount()
-        if rc.isDefined():
-            n = int(rc.get())
-        elif int(stats.sizeInBytes()) <= QUADRATIC_BASELINE_FREE_PASS_BYTES:
-            return df
+        files = [f for f in df.inputFiles() if ".parquet" in f]
+        if files:
+            import pyarrow.parquet as pq
+
+            n = sum(pq.ParquetFile(f.replace("file:", "")).metadata.num_rows
+                    for f in files)
     except Exception:
-        pass
+        n = None
+    if n is None:
+        try:
+            stats = df._jdf.queryExecution().optimizedPlan().stats()
+            rc = stats.rowCount()
+            if rc.isDefined():
+                n = int(rc.get())
+            elif (int(stats.sizeInBytes())
+                  <= QUADRATIC_BASELINE_FREE_PASS_BYTES):
+                return df
+        except Exception:
+            pass
     if n is None:
         n = df.count()
     if n > QUADRATIC_BASELINE_MAX_ROWS:
@@ -1508,7 +1532,6 @@ def doc_dedup_spans_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     removal lists do."""
     from ..functions.spread import spread
 
-    W = DUP_CHUNK_TOKENS
     base = (spread(_docs(spark, sf_dir))
             .select("doc_id", tokens(F.col("text")).alias("__toks"))
             .persist())
@@ -1522,6 +1545,20 @@ def doc_dedup_spans_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                           & (F.col("i") == F.col("own.i"))))
                .groupBy("doc_id")
                .agg(F.sort_array(F.collect_list("i")).alias("rem")))
+    out = _ckpt(_spans_cleaned(base, removed))
+    base.unpersist()
+    return out
+
+
+def _spans_cleaned(base: DataFrame, removed: DataFrame) -> DataFrame:
+    """Shared reconstruction for both span-removal operators: join the
+    per-doc removal lists onto the (doc_id, __toks) frame and rebuild
+    the cleaned token stream — kept chunks in order plus the tail
+    beyond the last full chunk.  ONE implementation on purpose: a
+    divergence in W arithmetic or the 1-based slice bounds between the
+    batch and incremental paths would silently break their pinned
+    restriction equality (the _chunk_hashes rationale)."""
+    W = DUP_CHUNK_TOKENS
     n = F.floor(F.size("__toks") / W).cast("int")
     idxs = F.when(n >= 1, F.sequence(F.lit(0), n - 1)) \
             .otherwise(F.array().cast("array<int>"))
@@ -1529,18 +1566,16 @@ def doc_dedup_spans_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept_toks = F.flatten(F.transform(
         kept_idx, lambda i: F.slice("__toks", i * W + 1, W)))
     tail = F.slice("__toks", n * W + 1, F.size("__toks") - n * W)
-    out = _ckpt(base
-                .join(removed, "doc_id", "left")
-                .withColumn("rem", F.coalesce(
-                    "rem", F.array().cast("array<int>")))
-                .select("doc_id",
-                        n.cast("long").alias("n_chunks"),
-                        F.size("rem").cast("long").alias("n_removed"),
-                        F.array_join(F.concat(kept_toks, tail), " ")
-                        .alias("cleaned_text"))
-                .orderBy("doc_id"))
-    base.unpersist()
-    return out
+    return (base
+            .join(removed, "doc_id", "left")
+            .withColumn("rem", F.coalesce(
+                "rem", F.array().cast("array<int>")))
+            .select("doc_id",
+                    n.cast("long").alias("n_chunks"),
+                    F.size("rem").cast("long").alias("n_removed"),
+                    F.array_join(F.concat(kept_toks, tail), " ")
+                    .alias("cleaned_text"))
+            .orderBy("doc_id"))
 
 
 DOC_DEDUP_SPANS_SQL = f"""
@@ -1602,7 +1637,6 @@ def doc_dedup_spans_incremental_df(spark: SparkSession,
     probe) and the removal lists on doc_id — all batch-sized."""
     from ..functions.spread import spread
 
-    W = DUP_CHUNK_TOKENS
     docs = _docs(spark, sf_dir)
     corpus_h = (_chunk_hashes(docs.where(F.col("doc_id") < INGESTED_BELOW))
                 .select("h").distinct()
@@ -1620,23 +1654,7 @@ def doc_dedup_spans_incremental_df(spark: SparkSession,
                           & (F.col("i") == F.col("own.i"))))
                .groupBy("doc_id")
                .agg(F.sort_array(F.collect_list("i")).alias("rem")))
-    n = F.floor(F.size("__toks") / W).cast("int")
-    idxs = F.when(n >= 1, F.sequence(F.lit(0), n - 1)) \
-            .otherwise(F.array().cast("array<int>"))
-    kept_idx = F.filter(idxs, lambda i: ~F.array_contains(F.col("rem"), i))
-    kept_toks = F.flatten(F.transform(
-        kept_idx, lambda i: F.slice("__toks", i * W + 1, W)))
-    tail = F.slice("__toks", n * W + 1, F.size("__toks") - n * W)
-    out = _ckpt(base
-                .join(removed, "doc_id", "left")
-                .withColumn("rem", F.coalesce(
-                    "rem", F.array().cast("array<int>")))
-                .select("doc_id",
-                        n.cast("long").alias("n_chunks"),
-                        F.size("rem").cast("long").alias("n_removed"),
-                        F.array_join(F.concat(kept_toks, tail), " ")
-                        .alias("cleaned_text"))
-                .orderBy("doc_id"))
+    out = _ckpt(_spans_cleaned(base, removed))
     base.unpersist()
     return out
 

@@ -12,16 +12,22 @@
   turning O(N·Q) into O(N·Q/2**bits) with per-bucket locality.
 
   **Sizing at scale**: the bucket count must grow with the corpus —
-  target ``2**bits ≈ N / desired_bucket_size`` (e.g. 10⁹ vectors,
-  10⁴-vector buckets ⇒ bits≈17).  Since r12 that rule is AUTOMATED:
-  ``bits=None`` (the default) resolves through :func:`auto_lsh_bits` —
-  a conf-keyed gate over a free row estimate (optimizer rowCount /
-  parquet footers) with the pinned constant as floor, so contract-size
-  results are bit-identical to the pinned width while larger corpora
-  get log2-growth bucket counts.  The driver-registered entries prove
-  correctness at two widths (the auto-resolved 8 and an explicit 12).
-  (A production IVF would learn centroids; the fixed projection keeps
-  the operator deterministic and oracle-checkable.)
+  target ``2**bits ≈ N / bucket_target``.  Since r12 that rule is
+  AUTOMATED: ``bits=None`` (the default) resolves through
+  :func:`auto_lsh_bits` — a conf-keyed gate over a free row estimate
+  (optimizer rowCount / parquet footers) with the pinned constant as
+  floor, so contract-size results are bit-identical to the pinned
+  width while larger corpora get log2-growth bucket counts.  The
+  bucket target is PER-DEPLOYMENT policy, set via its conf key: the
+  shipped ANN default (``ringo.lshAnnBucketTargetRows`` = 2) keeps the
+  contract corpus at its pinned 8-bit width and suits exact-rerank
+  top-k where multiprobe recovers recall; a 10⁹-vector deployment
+  wanting 10⁴-vector buckets sets the target to 10⁴ (⇒ bits≈17) —
+  and the dim clamp (bits ≤ 64) caps the width either way.  The
+  driver-registered entries prove correctness at two widths (the
+  auto-resolved 8 and an explicit 12).  (A production IVF would learn
+  centroids; the fixed projection keeps the operator deterministic
+  and oracle-checkable.)
 
 - ``ann_lsh_multiprobe`` — same index, higher recall: each query also
   probes the ``bits`` Hamming-distance-1 buckets (flip one sign bit).

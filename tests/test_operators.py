@@ -413,7 +413,7 @@ def test_winnowing_guarantee_shared_passage_shares_fingerprint(spark):
     assert not (fps[3] & fps[4]), "disjoint texts should not collide"
 
 
-def test_quadratic_baseline_guard(spark, monkeypatch):
+def test_quadratic_baseline_guard(spark, monkeypatch, tmp_path):
     from ringo_spark.operators import dedup as D
     from ringo_spark.operators.dedup import (
         QUADRATIC_BASELINE_MAX_ROWS, _assert_small_scale,
@@ -426,9 +426,26 @@ def test_quadratic_baseline_guard(spark, monkeypatch):
     big = spark.range(QUADRATIC_BASELINE_MAX_ROWS + 1)
     with pytest.raises(ValueError, match="quadratic exact baseline"):
         _assert_small_scale(big, "dedup_ngram_jaccard", "dedup_minhash_lsh")
-    # a parquet scan has no rowCount: tiny sizeInBytes -> free pass; with
-    # the free-pass ceiling forced off, the exact count() decides
+    # parquet scans decide from FOOTER rows (exact upper bound, no job)
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert _assert_small_scale(docs, "x", "y") is docs
+    # a mass-duplicated over-bound corpus sits FAR below 64 B/row on
+    # disk (dictionary + RLE) — bytes alone would wave it through; the
+    # footer row count must still raise (r12 review finding)
+    dup = str(tmp_path / "dup.parquet")
+    (spark.range(QUADRATIC_BASELINE_MAX_ROWS + 1)
+     .selectExpr("'the same boilerplate text repeated verbatim' AS text")
+     .coalesce(1).write.parquet(dup))
+    import os as _os
+    on_disk = sum(_os.path.getsize(_os.path.join(dup, f))
+                  for f in _os.listdir(dup) if f.endswith(".parquet"))
+    assert on_disk < D.QUADRATIC_BASELINE_FREE_PASS_BYTES
+    with pytest.raises(ValueError, match="quadratic exact baseline"):
+        _assert_small_scale(spark.read.parquet(dup), "x", "y")
+    # with the footer path forced off, the free pass / count() fallback
+    # chain still decides correctly
+    monkeypatch.setattr(D.DataFrame, "inputFiles",
+                        lambda self: (_ for _ in ()).throw(RuntimeError()))
     assert _assert_small_scale(docs, "x", "y") is docs
     monkeypatch.setattr(D, "QUADRATIC_BASELINE_FREE_PASS_BYTES", -1)
     assert _assert_small_scale(docs, "x", "y") is docs

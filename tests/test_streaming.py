@@ -126,10 +126,19 @@ def test_streaming_pipeline_with_manifest_commits(spark, tmp_path):
     cat = load_catalog(spark, SF, [EVENTS])
     src = str(tmp_path / "src")
     n = cat["events"].count()
-    half = cat["events"].limit(n // 2)
-    rest = cat["events"].subtract(half)
-    half.coalesce(1).write.parquet(src)
-    rest.coalesce(1).write.mode("append").parquet(src)
+    # THREE micro-batches, not two: unbounded micro-batch appends must
+    # stay UNSTAMPED — r12 review finding: a (None, None) window stamp
+    # covers every other (None, None) stamp, so from the third batch on
+    # each append would silently replace all prior batches' dirs (the
+    # two-batch version of this test could not see it: batch 1 is an
+    # unstamped full write)
+    third = cat["events"].limit(n // 3)
+    rest = cat["events"].subtract(third)
+    third2 = rest.limit(n // 3)
+    third3 = rest.subtract(third2)
+    third.coalesce(1).write.parquet(src)
+    third2.coalesce(1).write.mode("append").parquet(src)
+    third3.coalesce(1).write.mode("append").parquet(src)
 
     eng = Engine(spark, EVENTS_ENV, str(tmp_path / "wh"),
                  commit_mode="manifest")
@@ -143,9 +152,12 @@ def test_streaming_pipeline_with_manifest_commits(spark, tmp_path):
     fact_table = "fact_events_by_minute"
     m = _json.load(open(_os.path.join(
         eng.storage, fact_table + ".manifest.json")))
-    # batch 1 full-wrote v1; batch 2 appended -> v2 = [v1 dir, v2 dir]
-    assert m["version"] == 2
-    assert len(m["versions"][str(m["version"])]) == 2
+    # batch 1 full-wrote v1; batches 2 and 3 appended -> the live
+    # snapshot is the union of all three dirs and no append ever
+    # replaced an earlier micro-batch's dir
+    assert m["version"] == 3
+    assert len(m["versions"][str(m["version"])]) == 3
+    assert m.get("windows", {}) == {}
     assert eng.read_table(fact_table).agg(
         F.sum("event_count")).collect()[0][0] == n
     # no inflight leftovers: every append's watermark landed
