@@ -560,3 +560,22 @@ def test_r10_partsupp_mapped_decorrelation_plan_shapes(spark):
     # to semi joins
     assert "LeftAnti" in plan_of(spark, q16_supplier_part_counts_df(spark, SF))
     assert "LeftSemi" in plan_of(spark, q20_surplus_suppliers_df(spark, SF))
+
+
+def test_doc_dedup_spans_plan_shape(spark, monkeypatch):
+    """Span removal must stay hash-shuffled and JVM-side: the only
+    corpus-sized Exchange keys on the 16-byte chunk hash (canonical-min
+    groupBy), the removal-list join back to docs is not a sort-merge of
+    the token payload, and no Python ever enters the plan.  Same
+    contract for the ingestion twin."""
+    from ringo_spark.operators import dedup as D
+
+    monkeypatch.setattr(D, "CHECKPOINT", False)  # render the full plan
+    for fn in (D.doc_dedup_spans_df, D.doc_dedup_spans_incremental_df):
+        plan = plan_of(spark, fn(spark, SF))
+        assert "hashpartitioning(h#" in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        # the token-array frame joins via broadcast of the (small)
+        # removal lists — never a corpus sort-merge on doc_id
+        assert "SortMergeJoin" not in plan

@@ -141,6 +141,19 @@ SELECTION = [
      "(16-byte hashes), ONE corpus-sized shuffle on the chunk hash, "
      "per-doc rollup joins chunk rows back unhinted (AQE broadcasts "
      "small, shuffles big) — never quadratic"),
+    # round-12 additions
+    ("doc_dedup_spans",
+     "duplicate-span removal: chunk rows (doc_id, i, 16-byte hash) "
+     "shuffle once on the hash for the canonical least-(doc_id, i) "
+     "owner; only DUPLICATED occurrences reach the per-doc removal "
+     "lists, which join back on doc_id; the cleaned token stream is "
+     "rebuilt by map-side higher-order expressions — the token payload "
+     "never shuffles"),
+    ("doc_dedup_spans_incremental",
+     "ingestion twin: the corpus side is its DISTINCT chunk-hash index "
+     "only (persisted at scale; appended per batch), the batch side is "
+     "batch-sized end to end — owner min, index probe, removal lists, "
+     "map-side reconstruction; ingestion never re-chunks the corpus"),
 ]
 
 
