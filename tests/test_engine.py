@@ -897,3 +897,65 @@ def test_read_table_reads_manifest_exactly_once(spark, tmp_path):
     df = eng.read_table("t")
     assert calls == ["t"]          # exactly one read
     assert df.count() == 3
+
+
+def test_window_merge_model_based(spark, tmp_path):
+    """Model-based check of the window-MERGE manifest semantics: a
+    random mix of full refreshes, unstamped appends, window appends,
+    and same/covering-window reruns must leave the live snapshot equal
+    to a trivial reference model (a dict of surviving payloads).  This
+    pins the composite behavior — replacement is by covering stamp
+    only, unstamped dirs are immortal under appends, full refresh
+    resets — beyond what the single-scenario tests enumerate."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    # ops: ("full",) | ("append", None) | ("append", (lo, hi))
+    # bounds are small ints mapped onto datetimes (half-open windows)
+    windows = st.tuples(st.integers(0, 6), st.integers(1, 4)).map(
+        lambda t: (t[0], t[0] + t[1]))
+    ops = st.lists(
+        st.one_of(st.just(("full",)),
+                  st.just(("append", None)),
+                  st.tuples(st.just("append"), windows)),
+        min_size=1, max_size=6)
+
+    def at(i):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(days=i)
+
+    counter = [0]
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(ops=ops)
+    def run(ops):
+        counter[0] += 1
+        eng = Engine(spark, ORDERS_ENV,
+                     str(tmp_path / f"wmb{counter[0]}"),
+                     commit_mode="manifest")
+        model = {}   # payload id -> window (or None) of surviving dirs
+        for step, op in enumerate(ops):
+            df = spark.range(step * 100, step * 100 + 3) \
+                      .withColumnRenamed("id", "payload")
+            if op[0] == "full":
+                eng._write_full(df, "t")
+                model = {step: None}
+            else:
+                if not eng.table_exists("t"):
+                    eng._write_full(df, "t")
+                    model = {step: None}
+                    continue
+                w = op[1]
+                win = (at(w[0]), at(w[1])) if w else None
+                eng._write_append(df, "t", window=win)
+                if win is not None:
+                    model = {p: pw for p, pw in model.items()
+                             if pw is None or not (w[0] <= pw[0]
+                                                   and pw[1] <= w[1])}
+                model[step] = w
+            got = sorted(r.payload for r in eng.read_table("t").collect())
+            want = sorted(p for s in model
+                          for p in range(s * 100, s * 100 + 3))
+            assert got == want, (ops, step, model)
+
+    run()
