@@ -724,14 +724,31 @@ def massdup_scenario():
         tu, nu = timed(uncapped)
         tc, nc = timed(lambda: dedup_minhash_lsh_capped_df(
             spark, out, return_candidates=True))
-        results.append((k, tu, nu, tc, nc))
-        print(f"x{k:<2d} uncapped {tu:6.2f}s cand={nu:>9d}   "
-              f"capped {tc:6.2f}s cand={nc:>6d}", flush=True)
+        # the r12 span-removal operator on the same mass-duplicated
+        # corpus: chunk-hash shuffles only, so wall must stay ~linear
+        # in k while removed chunks grow linearly (every non-canonical
+        # copy's chunks are removed)
+        from ringo_spark.operators.dedup import doc_dedup_spans_df
 
-    print("\n| k | uncapped s | uncapped cand | capped s | capped cand |")
-    print("|---|---|---|---|---|")
-    for k, tu, nu, tc, nc in results:
-        print(f"| {k} | {tu:.2f} | {nu} | {tc:.2f} | {nc} |")
+        ts, ns = None, None
+        for _ in range(2):
+            t0 = time.time()
+            agg = (doc_dedup_spans_df(spark, out)
+                   .agg(F.sum("n_removed")).collect()[0][0])
+            dt_ = time.time() - t0
+            if ts is None or dt_ < ts:
+                ts, ns = dt_, int(agg)
+        results.append((k, tu, nu, tc, nc, ts, ns))
+        print(f"x{k:<2d} uncapped {tu:6.2f}s cand={nu:>9d}   "
+              f"capped {tc:6.2f}s cand={nc:>6d}   "
+              f"spans {ts:6.2f}s removed={ns}", flush=True)
+
+    print("\n| k | uncapped s | uncapped cand | capped s | capped cand "
+          "| spans s | spans removed |")
+    print("|---|---|---|---|---|---|---|")
+    for k, tu, nu, tc, nc, ts, ns in results:
+        print(f"| {k} | {tu:.2f} | {nu} | {tc:.2f} | {nc} "
+              f"| {ts:.2f} | {ns} |")
     shutil.rmtree(SCRATCH, ignore_errors=True)
 
 
