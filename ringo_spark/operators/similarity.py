@@ -80,20 +80,36 @@ ANN_BUCKET_TARGET_ROWS = 2   # top-k search wants fine buckets (the pinned
                              # 500-vector contract corpus)
 
 
+_META_ROWS_CACHE: dict[tuple, int] = {}
+
+
 def _parquet_meta_rows(path: str) -> int:
     """Exact row count from parquet footer metadata — driver-side, no
     Spark job.  Handles both a single file and a directory tree of part
-    files (e.g. a `partitionBy` index or a multi-part write)."""
+    files (e.g. a `partitionBy` index or a multi-part write).
+
+    Cached per (path, mtime, size): the auto-bits gate calls this on
+    every query construction, and at real scale the footer walk is
+    O(#files) — the cache makes repeat queries over an unchanged corpus
+    free, while any rewrite/append bumps the top-level mtime (Spark
+    rewrites `_SUCCESS` on both) and invalidates naturally."""
+    st = os.stat(path)
+    key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    hit = _META_ROWS_CACHE.get(key)
+    if hit is not None:
+        return hit
     import pyarrow.parquet as pq
 
     if not os.path.isdir(path):
-        return pq.ParquetFile(path).metadata.num_rows
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet"):
-                total += pq.ParquetFile(
-                    os.path.join(root, f)).metadata.num_rows
+        total = pq.ParquetFile(path).metadata.num_rows
+    else:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(root, f)).metadata.num_rows
+    _META_ROWS_CACHE[key] = total
     return total
 
 

@@ -121,3 +121,20 @@ def test_auto_resolved_results_equal_pinned_at_contract_size(spark):
         pinned = sorted(map(tuple, fn(spark, SF01,
                                       bits=EMB_LSH_BITS).collect()))
         assert auto == pinned and auto
+
+
+def test_parquet_meta_rows_cache_invalidates_on_rewrite(spark, tmp_path):
+    """The footer-count cache keys on (path, mtime, size): repeat gate
+    resolutions over an unchanged corpus cost nothing, a rewrite or
+    append (Spark bumps the dir's _SUCCESS either way) re-counts."""
+    import time as _time
+
+    from ringo_spark.operators.similarity import _parquet_meta_rows
+
+    out = str(tmp_path / "c.parquet")
+    spark.range(100).coalesce(1).write.parquet(out)
+    assert _parquet_meta_rows(out) == 100
+    assert _parquet_meta_rows(out) == 100          # cache hit
+    _time.sleep(0.05)                              # ensure mtime moves
+    spark.range(40).coalesce(1).write.mode("append").parquet(out)
+    assert _parquet_meta_rows(out) == 140
