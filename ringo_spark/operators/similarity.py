@@ -275,11 +275,62 @@ def ann_lsh_multiprobe_df(spark: SparkSession, sf_dir: str,
             .select("q_id", "n_id", "rank", "cosine"))
 
 
-IVF_K = 16          # centroid count; production: ~sqrt(N) learned by k-means
-IVF_NPROBE = 2      # cells searched per query
+IVF_K = 16          # centroid-count FLOOR: the contract-corpus configuration
+IVF_NPROBE = 2      # cells searched per query at the contract K
+
+# --- corpus-sized centroid count (the IVF twin of auto_lsh_bits; r12) --------
+#
+# IVF's per-query scan cost is ~N/K + K, minimized at K ≈ sqrt(N) — the
+# rule every ann_ivf docstring states ("production: ~sqrt(N)").  Like
+# the LSH width, that rule is now a conf-keyed auto-gate over the same
+# free row estimate: K = max(IVF_K, round(sqrt(N / divisor))), divisor
+# default 2 — calibrated so the 500-vector contract corpus resolves to
+# EXACTLY the pinned K=16 (round(sqrt(250)) = 16; equality-pinned), so
+# every hash-checked row and the K-shaped oracle SQL (including the
+# replayed k-means trajectory) are bit-identical to the pinned
+# behavior.  nprobe scales WITH K to hold the contract probe fraction
+# (IVF_NPROBE / IVF_K of the cells), so recall does not silently decay
+# as the gate widens the index.  The K>CELL_ASSIGN_LITERAL_MAX_K
+# literal-vs-join assignment gate already handles large resolved K.
+IVF_AUTO_K_CONF_KEY = "ringo.ivfAutoK"            # "false" => pinned floor
+IVF_SQRT_DIVISOR_CONF_KEY = "ringo.ivfSqrtDivisor"
+IVF_SQRT_DIVISOR = 2
 
 
-def ann_ivf_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def auto_ivf_k(spark: SparkSession, n_rows: int | None,
+               floor_k: int = IVF_K) -> int:
+    """``max(floor, round(sqrt(N / divisor)))`` — the corpus-sized
+    centroid count.  ``ringo.ivfAutoK=false`` pins the floor;
+    ``ringo.lshCorpusRows`` (the shared corpus-rows hook) overrides N."""
+    conf = spark.conf
+    if str(conf.get(IVF_AUTO_K_CONF_KEY, "true")).lower() == "false":
+        return floor_k
+    n_conf = conf.get(LSH_CORPUS_ROWS_CONF_KEY, None)
+    n = int(n_conf) if n_conf is not None else n_rows
+    if not n or n <= 0:
+        return floor_k
+    div = max(1, int(conf.get(IVF_SQRT_DIVISOR_CONF_KEY,
+                              str(IVF_SQRT_DIVISOR))))
+    return max(floor_k, round(math.sqrt(n / div)))
+
+
+def _auto_ivf_k(spark: SparkSession, sf_dir: str) -> int:
+    path = f"{sf_dir}/embeddings.parquet"
+    return auto_ivf_k(
+        spark, corpus_rows_estimate(spark.read.parquet(path), path))
+
+
+def _auto_nprobe(k: int, base: int) -> int:
+    """Probe width at centroid count ``k``, holding the CONTRACT probe
+    fraction (``base`` of ``IVF_K`` cells): at the contract K this is
+    exactly ``base``, at a gate-widened K the same fraction of cells —
+    per-query candidate volume stays ~(base/IVF_K)·N instead of
+    collapsing as 2 fixed cells of an ever-finer index."""
+    return max(base, math.ceil(base * k / IVF_K))
+
+
+def ann_ivf_df(spark: SparkSession, sf_dir: str, k: int | None = None,
+               nprobe: int | None = None) -> DataFrame:
     """IVF-style ANN: partition the corpus into K centroid cells, search
     only the query's IVF_NPROBE nearest cells.  Centroids here are
     deterministic seeds (the first K vectors) so the whole index is a
@@ -290,9 +341,15 @@ def ann_ivf_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side corpus scan with a partial-aggregate argmax (one shuffle of
     (vec_id, cell) pairs, never of vectors); at scale the assignment is
     written once with ``cell`` as the partition column so queries prune
-    straight to their probed cells."""
+    straight to their probed cells.  ``k=None``/``nprobe=None``
+    auto-size from the corpus estimate (floor = the contract K=16 /
+    its probe fraction; see :func:`auto_ivf_k`)."""
+    if k is None:
+        k = _auto_ivf_k(spark, sf_dir)
+    if nprobe is None:
+        nprobe = _auto_nprobe(k, IVF_NPROBE)
     emb = _emb(spark, sf_dir)
-    cent = (emb.where(F.col("vec_id") < IVF_K)
+    cent = (emb.where(F.col("vec_id") < k)
             .select(F.col("vec_id").alias("cid"),
                     F.col("embedding").alias("cvec")))
     sim = F.round(cosine(F.col("embedding"), F.col("cvec")), 6)
@@ -315,7 +372,7 @@ def ann_ivf_df(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("q_id", "q_emb", F.col("cid").alias("cell"),
                       qsim.alias("qs"))
               .withColumn("pr", F.row_number().over(qw))
-              .where(F.col("pr") <= IVF_NPROBE)
+              .where(F.col("pr") <= nprobe)
               .select("q_id", "q_emb", "cell"))
 
     cand = (cells.join(emb, "vec_id")
@@ -583,7 +640,7 @@ def _with_cell(df: DataFrame, cent_rows, out: str = "cell") -> DataFrame:
 
 
 def build_ivf_index(spark: SparkSession, sf_dir: str,
-                    index_path: str | None = None, k: int = IVF_K,
+                    index_path: str | None = None, k: int | None = None,
                     force: bool = False) -> str:
     """Build (once) the persisted IVF index: corpus vectors written
     ``partitionBy("cell")``.
@@ -597,7 +654,13 @@ def build_ivf_index(spark: SparkSession, sf_dir: str,
     on-disk layout and the query path are unchanged — ``partitionBy``
     still splits by cell, each cell directory just holds several files.
     Amortized across every query served.
+
+    ``k=None`` auto-sizes from the corpus estimate (:func:`auto_ivf_k`);
+    the resolved K is part of the index tag, so probe and build can
+    never disagree within one index lifecycle.
     """
+    if k is None:
+        k = _auto_ivf_k(spark, sf_dir)
     if index_path is None:
         # "|c" = centroids persisted alongside (append support); older
         # cached dirs without them miss the tag and rebuild
@@ -645,17 +708,24 @@ def append_to_ivf_index(spark: SparkSession, index_path: str,
     _touch(os.path.join(index_path, "_SUCCESS"))
 
 
-def ann_ivf_indexed_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf_indexed_df(spark: SparkSession, sf_dir: str,
+                       k: int | None = None,
+                       nprobe: int | None = None) -> DataFrame:
     """IVF query against the persisted partitioned index.
 
     The probed cell list is resolved driver-side from the K collected
     centroids (index metadata, not data) and becomes a static ``isin``
     predicate, so the parquet scan reads ONLY the probed cell directories
     (partition pruning) — no corpus-wide scan, no corpus shuffle.  Result
-    rows are identical to ``ann_ivf_df`` (same oracle SQL)."""
-    index_path = build_ivf_index(spark, sf_dir)
+    rows are identical to ``ann_ivf_df`` (same oracle SQL).
+    ``k``/``nprobe`` default to the same auto gate as ``ann_ivf_df``."""
+    if k is None:
+        k = _auto_ivf_k(spark, sf_dir)
+    if nprobe is None:
+        nprobe = _auto_nprobe(k, IVF_NPROBE)
+    index_path = build_ivf_index(spark, sf_dir, k=k)
     emb = _emb(spark, sf_dir)
-    cent = (emb.where(F.col("vec_id") < IVF_K)
+    cent = (emb.where(F.col("vec_id") < k)
             .select(F.col("vec_id").alias("cid"),
                     F.col("embedding").alias("cvec")))
     q = emb.where(F.col("vec_id") < LSH_N_QUERIES) \
@@ -667,7 +737,7 @@ def ann_ivf_indexed_df(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("q_id", "q_emb", F.col("cid").alias("cell"),
                       qsim.alias("qs"))
               .withColumn("pr", F.row_number().over(qw))
-              .where(F.col("pr") <= IVF_NPROBE)
+              .where(F.col("pr") <= nprobe)
               .select("q_id", "q_emb", "cell"))
     probed_cells = sorted({r.cell for r in probes.select("cell").collect()})
 
@@ -913,15 +983,22 @@ def train_ivf_centroids(spark: SparkSession, sf_dir: str, k: int = IVF_K,
 
 
 def ann_ivf_kmeans_df(spark: SparkSession, sf_dir: str,
-                      nprobe: int = IVF_NPROBE, k: int = IVF_K) -> DataFrame:
+                      nprobe: int | None = None,
+                      k: int | None = None) -> DataFrame:
     """IVF search over k-means-trained centroids: identical probe/search
     shape to ``ann_ivf_df``, but the cells are learned (2 Lloyd
     iterations) instead of seeded — better-balanced cells, same plan.
     ``nprobe`` is the recall knob (cells searched per query) and ``k``
-    the trained centroid count (production: ~sqrt(N), probed by
-    ``tools/scale_probe.py ivf``); the registered entry pins the
-    defaults, ``ann_ivf_recall_bounds`` measures the recall they buy
+    the trained centroid count (~sqrt(N), probed by
+    ``tools/scale_probe.py ivf``); ``k=None``/``nprobe=None``
+    auto-size through :func:`auto_ivf_k` (floor = the contract
+    configuration the oracle replays), and
+    ``ann_ivf_recall_bounds`` measures the recall they buy
     against brute-force ground truth."""
+    if k is None:
+        k = _auto_ivf_k(spark, sf_dir)
+    if nprobe is None:
+        nprobe = _auto_nprobe(k, IVF_NPROBE)
     cent = train_ivf_centroids(spark, sf_dir, k=k)
     emb = _emb(spark, sf_dir)
     assign = _with_cell_join if IVF_TRAIN_ASSIGN == "join" else _with_cell
@@ -956,8 +1033,8 @@ IVF_RECALL_FLOOR = 0.80   # pinned: mean recall@5 over the 20 queries
 
 
 def ann_ivf_recall_bounds_df(spark: SparkSession, sf_dir: str,
-                             nprobe: int = IVF_RECALL_NPROBE,
-                             k: int = IVF_K) -> DataFrame:
+                             nprobe: int | None = None,
+                             k: int | None = None) -> DataFrame:
     """Driver-hashable recall contract for the k-means IVF index
     (r07 VERDICT item 3): per query, how many of the brute-force
     top-5 cosine neighbors the IVF search at a FIXED nprobe recovers —
@@ -974,7 +1051,14 @@ def ann_ivf_recall_bounds_df(spark: SparkSession, sf_dir: str,
     set only — a Q×N map-only broadcast scan, the standard recall-audit
     pattern, never a production all-pairs path.  EAGER like
     ``ann_ivf_kmeans``: k-means training runs at construction
-    (registry.EAGER_QUERIES)."""
+    (registry.EAGER_QUERIES).  ``k=None``/``nprobe=None`` auto-size —
+    nprobe holds the CONTRACT probe fraction (IVF_RECALL_NPROBE of
+    IVF_K cells) as the gate widens K, so the pinned recall floor is a
+    property of the configuration family, not of one corpus size."""
+    if k is None:
+        k = _auto_ivf_k(spark, sf_dir)
+    if nprobe is None:
+        nprobe = _auto_nprobe(k, IVF_RECALL_NPROBE)
     ivf = ann_ivf_kmeans_df(spark, sf_dir, nprobe=nprobe, k=k) \
         .select("q_id", "n_id")
     emb = _emb(spark, sf_dir)

@@ -138,3 +138,51 @@ def test_parquet_meta_rows_cache_invalidates_on_rewrite(spark, tmp_path):
     _time.sleep(0.05)                              # ensure mtime moves
     spark.range(40).coalesce(1).write.mode("append").parquet(out)
     assert _parquet_meta_rows(out) == 140
+
+
+def test_auto_ivf_k_contract_and_growth(spark, rows_override):
+    """The IVF twin of the bits gate (r12): at the oracle corpus sizes
+    the centroid count resolves to exactly the pinned K=16 — the value
+    the K-shaped oracle SQL (incl. the replayed k-means trajectory)
+    encodes — and grows ~sqrt(N) past it, with nprobe holding the
+    contract probe fraction."""
+    from ringo_spark.operators.similarity import (
+        IVF_AUTO_K_CONF_KEY, IVF_K, IVF_NPROBE, IVF_RECALL_NPROBE,
+        _auto_ivf_k, _auto_nprobe,
+    )
+
+    for sf in (SF001, SF01):
+        assert _auto_ivf_k(spark, sf) == IVF_K
+    assert _auto_ivf_k(spark, SF1) == 32           # round(sqrt(2000/2))
+    rows_override(1 << 20)
+    assert _auto_ivf_k(spark, SF01) == round(math.sqrt((1 << 20) / 2))
+    spark.conf.set(IVF_AUTO_K_CONF_KEY, "false")
+    try:
+        assert _auto_ivf_k(spark, SF01) == IVF_K
+    finally:
+        spark.conf.unset(IVF_AUTO_K_CONF_KEY)
+    # probe width keeps the contract fraction as K widens
+    assert _auto_nprobe(IVF_K, IVF_NPROBE) == IVF_NPROBE
+    assert _auto_nprobe(32, IVF_NPROBE) == 4
+    assert _auto_nprobe(32, IVF_RECALL_NPROBE) == 8
+    assert _auto_nprobe(IVF_K, IVF_RECALL_NPROBE) == IVF_RECALL_NPROBE
+
+
+def test_auto_ivf_results_equal_pinned_at_contract_size(spark):
+    """The auto defaults and the explicit pinned configuration produce
+    bit-identical rows at the contract corpus size — the driver-row
+    stays-green guarantee for every IVF query path."""
+    from ringo_spark.operators.similarity import (
+        IVF_K, IVF_NPROBE, IVF_RECALL_NPROBE, ann_ivf_df,
+        ann_ivf_kmeans_df, ann_ivf_recall_bounds_df,
+    )
+
+    cases = [
+        (ann_ivf_df, dict(k=IVF_K, nprobe=IVF_NPROBE)),
+        (ann_ivf_kmeans_df, dict(k=IVF_K, nprobe=IVF_NPROBE)),
+        (ann_ivf_recall_bounds_df, dict(k=IVF_K, nprobe=IVF_RECALL_NPROBE)),
+    ]
+    for fn, pinned_kw in cases:
+        auto = sorted(map(tuple, fn(spark, SF01).collect()))
+        pinned = sorted(map(tuple, fn(spark, SF01, **pinned_kw).collect()))
+        assert auto == pinned and auto, fn.__name__
