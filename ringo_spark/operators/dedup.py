@@ -1001,11 +1001,10 @@ LSH_DEDUP_TARGET_CONF_KEY = "ringo.lshDedupBucketTargetRows"
 
 
 def _auto_dedup_bits(spark: SparkSession, sf_dir: str) -> int:
-    from .similarity import auto_lsh_bits, corpus_rows_estimate
+    from .similarity import _corpus_rows, auto_lsh_bits
 
-    path = f"{sf_dir}/embeddings.parquet"
     return auto_lsh_bits(
-        spark, corpus_rows_estimate(spark.read.parquet(path), path),
+        spark, _corpus_rows(spark, sf_dir),
         EMB_LSH_BITS, DEDUP_BUCKET_TARGET_ROWS, LSH_DEDUP_TARGET_CONF_KEY)
 
 

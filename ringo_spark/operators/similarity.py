@@ -80,7 +80,32 @@ ANN_BUCKET_TARGET_ROWS = 2   # top-k search wants fine buckets (the pinned
                              # 500-vector contract corpus)
 
 
-_META_ROWS_CACHE: dict[tuple, int] = {}
+# path -> (validator, row count); one entry per path (the validator is
+# compared on lookup, so repeated appends never grow the dict)
+_META_ROWS_CACHE: dict[str, tuple] = {}
+
+
+def _meta_rows_validator(path: str) -> tuple:
+    """Freshness token for the footer-count cache: the path's own
+    (mtime_ns, size) plus, for directories, the ``_SUCCESS`` marker's
+    (mtime_ns, size) when present.  Spark's own write paths always move
+    one of these — a new file in the dir bumps the dir mtime, an
+    overwrite rewrites ``_SUCCESS`` — so Spark-managed corpora
+    invalidate naturally.  An EXTERNAL in-place rewrite of part files
+    deep in partition subdirs with preserved timestamps is outside this
+    token's reach (the same boundary the index source-fingerprint has);
+    such pipelines should set ``ringo.lshCorpusRows`` explicitly or
+    touch the corpus root."""
+    st = os.stat(path)
+    token = [st.st_mtime_ns, st.st_size]
+    if os.path.isdir(path):
+        marker = os.path.join(path, "_SUCCESS")
+        try:
+            ms = os.stat(marker)
+            token += [ms.st_mtime_ns, ms.st_size]
+        except OSError:
+            pass
+    return tuple(token)
 
 
 def _parquet_meta_rows(path: str) -> int:
@@ -88,16 +113,15 @@ def _parquet_meta_rows(path: str) -> int:
     Spark job.  Handles both a single file and a directory tree of part
     files (e.g. a `partitionBy` index or a multi-part write).
 
-    Cached per (path, mtime, size): the auto-bits gate calls this on
-    every query construction, and at real scale the footer walk is
-    O(#files) — the cache makes repeat queries over an unchanged corpus
-    free, while any rewrite/append bumps the top-level mtime (Spark
-    rewrites `_SUCCESS` on both) and invalidates naturally."""
-    st = os.stat(path)
-    key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    Cached per path with a stat validator (see
+    :func:`_meta_rows_validator`): the auto gates call this on every
+    query construction, and at real scale the footer walk is O(#files)
+    — the cache makes repeat queries over an unchanged corpus free."""
+    key = os.path.abspath(path)
+    validator = _meta_rows_validator(path)
     hit = _META_ROWS_CACHE.get(key)
-    if hit is not None:
-        return hit
+    if hit is not None and hit[0] == validator:
+        return hit[1]
     import pyarrow.parquet as pq
 
     if not os.path.isdir(path):
@@ -109,7 +133,7 @@ def _parquet_meta_rows(path: str) -> int:
                 if f.endswith(".parquet"):
                     total += pq.ParquetFile(
                         os.path.join(root, f)).metadata.num_rows
-    _META_ROWS_CACHE[key] = total
+    _META_ROWS_CACHE[key] = (validator, total)
     return total
 
 
@@ -132,7 +156,29 @@ def corpus_rows_estimate(df: DataFrame, path: str | None = None) -> int | None:
     return None
 
 
-def auto_lsh_bits(spark: SparkSession, n_rows: int | None, floor_bits: int,
+def _resolve_corpus_rows(conf, n_rows) -> int | None:
+    """Shared N resolution for the auto gates: the
+    ``ringo.lshCorpusRows`` override wins; otherwise ``n_rows`` — which
+    may be a CALLABLE so the (footer-walk / analyze) estimate is only
+    paid when a gate actually needs it, not when the kill switch or
+    the override decides first (r12 review finding)."""
+    n_conf = conf.get(LSH_CORPUS_ROWS_CONF_KEY, None)
+    if n_conf is not None:
+        return int(n_conf)
+    return n_rows() if callable(n_rows) else n_rows
+
+
+def _corpus_rows(spark: SparkSession, sf_dir: str):
+    """Lazy free row estimate over the embeddings table — the one
+    incantation every auto gate shares (similarity bits, dedup bits,
+    IVF K)."""
+    def estimate() -> int | None:
+        path = f"{sf_dir}/embeddings.parquet"
+        return corpus_rows_estimate(spark.read.parquet(path), path)
+    return estimate
+
+
+def auto_lsh_bits(spark: SparkSession, n_rows, floor_bits: int,
                   target_rows: int, target_conf_key: str,
                   dim: int = EMB_DIM) -> int:
     """``max(floor, ceil(log2(N / bucket_target)))`` clamped to the
@@ -140,12 +186,12 @@ def auto_lsh_bits(spark: SparkSession, n_rows: int | None, floor_bits: int,
     ``ringo.lshAutoBits=false`` pins the floor (legacy behavior);
     ``ringo.lshCorpusRows`` overrides N (catalog-known cardinality, or a
     test hook); the per-family ``target_conf_key`` overrides the bucket
-    target.  With no estimate at all, the floor is the honest answer."""
+    target.  ``n_rows`` may be an int or a lazy callable.  With no
+    estimate at all, the floor is the honest answer."""
     conf = spark.conf
     if str(conf.get(LSH_AUTO_BITS_CONF_KEY, "true")).lower() == "false":
         return floor_bits
-    n_conf = conf.get(LSH_CORPUS_ROWS_CONF_KEY, None)
-    n = int(n_conf) if n_conf is not None else n_rows
+    n = _resolve_corpus_rows(conf, n_rows)
     if not n or n <= 0:
         return floor_bits
     target = max(1, int(conf.get(target_conf_key, str(target_rows))))
@@ -154,9 +200,8 @@ def auto_lsh_bits(spark: SparkSession, n_rows: int | None, floor_bits: int,
 
 
 def _auto_ann_bits(spark: SparkSession, sf_dir: str) -> int:
-    path = f"{sf_dir}/embeddings.parquet"
     return auto_lsh_bits(
-        spark, corpus_rows_estimate(spark.read.parquet(path), path),
+        spark, _corpus_rows(spark, sf_dir),
         LSH_BITS, ANN_BUCKET_TARGET_ROWS, LSH_ANN_TARGET_CONF_KEY)
 
 
@@ -297,16 +342,16 @@ IVF_SQRT_DIVISOR_CONF_KEY = "ringo.ivfSqrtDivisor"
 IVF_SQRT_DIVISOR = 2
 
 
-def auto_ivf_k(spark: SparkSession, n_rows: int | None,
+def auto_ivf_k(spark: SparkSession, n_rows,
                floor_k: int = IVF_K) -> int:
     """``max(floor, round(sqrt(N / divisor)))`` — the corpus-sized
     centroid count.  ``ringo.ivfAutoK=false`` pins the floor;
-    ``ringo.lshCorpusRows`` (the shared corpus-rows hook) overrides N."""
+    ``ringo.lshCorpusRows`` (the shared corpus-rows hook) overrides N.
+    ``n_rows`` may be an int or a lazy callable."""
     conf = spark.conf
     if str(conf.get(IVF_AUTO_K_CONF_KEY, "true")).lower() == "false":
         return floor_k
-    n_conf = conf.get(LSH_CORPUS_ROWS_CONF_KEY, None)
-    n = int(n_conf) if n_conf is not None else n_rows
+    n = _resolve_corpus_rows(conf, n_rows)
     if not n or n <= 0:
         return floor_k
     div = max(1, int(conf.get(IVF_SQRT_DIVISOR_CONF_KEY,
@@ -315,9 +360,7 @@ def auto_ivf_k(spark: SparkSession, n_rows: int | None,
 
 
 def _auto_ivf_k(spark: SparkSession, sf_dir: str) -> int:
-    path = f"{sf_dir}/embeddings.parquet"
-    return auto_ivf_k(
-        spark, corpus_rows_estimate(spark.read.parquet(path), path))
+    return auto_ivf_k(spark, _corpus_rows(spark, sf_dir))
 
 
 def _auto_nprobe(k: int, base: int) -> int:
@@ -332,7 +375,8 @@ def _auto_nprobe(k: int, base: int) -> int:
 def ann_ivf_df(spark: SparkSession, sf_dir: str, k: int | None = None,
                nprobe: int | None = None) -> DataFrame:
     """IVF-style ANN: partition the corpus into K centroid cells, search
-    only the query's IVF_NPROBE nearest cells.  Centroids here are
+    only the query's ``nprobe`` nearest cells (auto-default: the
+    contract probe fraction — ceil(IVF_NPROBE·k/IVF_K)).  Centroids are
     deterministic seeds (the first K vectors) so the whole index is a
     pure function of the data and oracle-checkable; production swaps in
     k-means centroids — every other step is unchanged.

@@ -13,6 +13,7 @@ volume; SCALE.md ingest table)."""
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from ringo_spark.operators.dedup import (
     DEDUP_BUCKET_TARGET_ROWS, EMB_LSH_BITS, _auto_dedup_bits,
@@ -138,6 +139,17 @@ def test_parquet_meta_rows_cache_invalidates_on_rewrite(spark, tmp_path):
     _time.sleep(0.05)                              # ensure mtime moves
     spark.range(40).coalesce(1).write.mode("append").parquet(out)
     assert _parquet_meta_rows(out) == 140
+    # partitioned append lands files in SUBDIRS only; the validator's
+    # _SUCCESS stat still invalidates (r12 review finding: the top-level
+    # dir mtime alone can miss subdir-only modifications)
+    part = str(tmp_path / "p.parquet")
+    (spark.range(100).withColumn("b", F.pmod("id", F.lit(2)))
+     .write.partitionBy("b").parquet(part))
+    assert _parquet_meta_rows(part) == 100
+    _time.sleep(0.05)
+    (spark.range(100, 130).withColumn("b", F.pmod("id", F.lit(2)))
+     .write.mode("append").partitionBy("b").parquet(part))
+    assert _parquet_meta_rows(part) == 130
 
 
 def test_auto_ivf_k_contract_and_growth(spark, rows_override):

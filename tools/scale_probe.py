@@ -700,11 +700,11 @@ def massdup_scenario():
         _replicate(parts).write.mode("overwrite") \
             .parquet(os.path.join(out, "documents.parquet"))
 
-        def timed(fn):
+        def timed(fn, measure=lambda df: df.count()):
             best, n = None, None
             for _ in range(2):
                 t0 = time.time()
-                n = fn().count()
+                n = measure(fn())
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
             return best, n
@@ -730,14 +730,10 @@ def massdup_scenario():
         # copy's chunks are removed)
         from ringo_spark.operators.dedup import doc_dedup_spans_df
 
-        ts, ns = None, None
-        for _ in range(2):
-            t0 = time.time()
-            agg = (doc_dedup_spans_df(spark, out)
-                   .agg(F.sum("n_removed")).collect()[0][0])
-            dt_ = time.time() - t0
-            if ts is None or dt_ < ts:
-                ts, ns = dt_, int(agg)
+        ts, ns = timed(
+            lambda: doc_dedup_spans_df(spark, out),
+            measure=lambda df: int(
+                df.agg(F.sum("n_removed")).collect()[0][0]))
         results.append((k, tu, nu, tc, nc, ts, ns))
         print(f"x{k:<2d} uncapped {tu:6.2f}s cand={nu:>9d}   "
               f"capped {tc:6.2f}s cand={nc:>6d}   "
