@@ -210,11 +210,41 @@ def _load1() -> float | None:
         return None
 
 
+def _quiet_gate() -> dict | None:
+    """Closing-run load gate (VERDICT r12 item 7): five r12 runs spanned
+    18.9-26.6s on machine weather alone, loose enough to hide a real
+    1.5x regression behind a 2x pin.  With RINGO_BENCH_QUIET_GATE set
+    (a load1 threshold; '1'/'true' mean 1.0) the bench WAITS — up to
+    RINGO_BENCH_QUIET_WAIT seconds (default 600) — for load1 to drop
+    below the threshold before warming the cache, and records whether
+    the gate was satisfied.  The pin protocol (BENCH_BASELINE.json
+    '_protocol') now requires closing/pinning runs to be load-gated or
+    to carry telemetry adjudicating why not.  Unset (the driver's
+    per-round run), this is a no-op."""
+    raw = os.environ.get("RINGO_BENCH_QUIET_GATE")
+    if not raw:
+        return None
+    thresh = 1.0 if raw.lower() in ("1", "true") else float(raw)
+    budget = float(os.environ.get("RINGO_BENCH_QUIET_WAIT", "600"))
+    t0 = time.time()
+    load = _load1()
+    while (load is not None and load >= thresh
+           and time.time() - t0 < budget):
+        print(f"bench: quiet gate waiting (load1={load} >= {thresh})",
+              file=sys.stderr)
+        time.sleep(10)
+        load = _load1()
+    return {"threshold": thresh, "waited_s": round(time.time() - t0, 1),
+            "load1_at_gate": load,
+            "satisfied": load is not None and load < thresh}
+
+
 def main():
     from ringo_spark.catalog import get_spark
 
     import __spark_entry__ as entrymod
 
+    gate = _quiet_gate()
     load_start = _load1()
     warm_secs = _warm_page_cache(SF_DIR)
     spark = get_spark("ringo-bench", CPUS)
@@ -267,6 +297,8 @@ def main():
         "page_cache_warm_secs": warm_secs,
         "per_query": telemetry,
     }
+    if gate is not None:
+        out["telemetry"]["quiet_gate"] = gate
     # round-over-round comparison: BENCH_BASELINE.json pins the round-1
     # per-query timings (sf0.1); emit deltas when comparing like-for-like
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -333,6 +365,8 @@ def main():
         "warm_secs": warm_secs,
         "detail_file": "BENCH_DETAIL.json",
     }
+    if gate is not None:
+        compact["quiet_gate_ok"] = gate["satisfied"]
     # A valid compact line must ALWAYS print (ADVICE r09: the old bare
     # assert vanished under -O and, when it fired, exited with NO stdout
     # line at all).  On overflow, drop COMPACT_EXTRA timings from the

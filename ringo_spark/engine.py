@@ -421,10 +421,22 @@ class Engine:
         ``datetime.isoformat`` output is zero-padded, so lexicographic
         comparison of two bounds IS chronological comparison — including
         the no-microseconds short form, which prefix-compares correctly
-        against the long form."""
+        against the long form.  That property only holds when every stamp
+        shares one clock, so tz-AWARE datetimes are converted to UTC and
+        stamped NAIVE (the ``+00:00`` suffix would otherwise sort after a
+        naive twin of the same instant and silently break the covers
+        check across runs with mixed bounds); naive datetimes are taken
+        to already BE UTC, which makes aware and naive inputs denoting
+        the same instant produce the identical stamp."""
         if bound is None:
             return None
-        return bound.isoformat() if hasattr(bound, "isoformat") else str(bound)
+        if not hasattr(bound, "isoformat"):
+            return str(bound)
+        if getattr(bound, "tzinfo", None) is not None:
+            from datetime import timezone
+
+            bound = bound.astimezone(timezone.utc).replace(tzinfo=None)
+        return bound.isoformat()
 
     @classmethod
     def _window_covers(cls, new_window: tuple, old: list | None) -> bool:
@@ -710,6 +722,9 @@ class Engine:
         os.rename(staging, live)
         if os.path.exists(old):
             shutil.rmtree(old)
+        # a full refresh recomputes every window, so previously stamped
+        # appends no longer exist to double-count against
+        self._clear_rename_windows(table)
 
     def _write_append(self, df: DataFrame, table: str, partition_by=(),
                       window: tuple | None = None) -> None:
@@ -727,9 +742,13 @@ class Engine:
         incremental run is a pure append, exactly as before.  Replaced
         dirs stay on disk while an older retained snapshot references
         them (time travel); GC reclaims them on the usual horizon.
-        Rename mode ignores ``window`` — file-level appends have no
-        atomic swap, so same-window reruns there still require a full
-        refresh (documented trade; manifest mode is the 100 TB path).
+        Rename mode CANNOT merge — file-level appends have no atomic
+        swap — so instead of silently double-counting it stamps each
+        windowed append in a sidecar ledger and REFUSES a rerun whose
+        window covers a recorded stamp (raising with the two honest ways
+        out: full refresh, or manifest mode — the 100 TB path — whose
+        swap-in semantics the refusal mirrors; pinned by
+        ``test_rename_mode_same_window_rerun_refuses``).
         A window with an unbounded (None) upper is refused as a stamp:
         it delimits nothing, and an unbounded stamp would cover every
         other unbounded stamp (the streaming micro-batch data-loss
@@ -798,10 +817,57 @@ class Engine:
                 return
             raise ManifestConflict(
                 f"{table}: append lost the manifest CAS 16 times")
+        if window is not None:
+            stamps = self._rename_window_stamps().get(table, [])
+            covered = [s for s in stamps if self._window_covers(window, s)]
+            if covered:
+                lo, hi = (self._iso(b) for b in window)
+                raise ValueError(
+                    f"{table}: append window [{lo}, {hi}) covers "
+                    f"{len(covered)} already-committed window(s) "
+                    f"(e.g. [{covered[0][0]}, {covered[0][1]})) — rename "
+                    "mode has no atomic swap, so re-appending would "
+                    "double-count those rows.  Re-run as a full refresh, "
+                    "or use commit_mode='manifest' for MERGE semantics")
         w = df.write.mode("append")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self._live_dir(table))
+        if window is not None:
+            # stamped AFTER the files land: a crash in between leaves the
+            # ledger behind the data, but fact appends are bracketed by
+            # the inflight journal (below), which already refuses a
+            # rerun after a mid-append crash in rename mode.
+            self._stamp_rename_window(table, window)
+
+    # --- rename-mode window ledger -----------------------------------------
+    # Manifest mode records per-dir window stamps inside the manifest;
+    # rename mode appends files into one live dir, so its stamps live in
+    # a sidecar JSON keyed by table.  A full refresh clears the table's
+    # stamps (it covers everything, same as manifest dropping old dirs).
+
+    @property
+    def _rename_windows_path(self) -> str:
+        return os.path.join(self.storage, "_rename_windows.json")
+
+    def _rename_window_stamps(self) -> dict:
+        if os.path.exists(self._rename_windows_path):
+            with open(self._rename_windows_path) as fh:
+                return json.load(fh)
+        return {}
+
+    def _stamp_rename_window(self, table: str, window: tuple) -> None:
+        stamps = self._rename_window_stamps()
+        stamps.setdefault(table, []).append(
+            [self._iso(window[0]), self._iso(window[1])])
+        with open(self._rename_windows_path, "w") as fh:
+            json.dump(stamps, fh, indent=2)
+
+    def _clear_rename_windows(self, table: str) -> None:
+        stamps = self._rename_window_stamps()
+        if stamps.pop(table, None) is not None:
+            with open(self._rename_windows_path, "w") as fh:
+                json.dump(stamps, fh, indent=2)
 
     # --- watermarks --------------------------------------------------------
 

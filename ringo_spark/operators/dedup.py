@@ -29,6 +29,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -83,7 +85,13 @@ def _assert_small_scale(df: DataFrame, op: str, scale_path: str) -> DataFrame:
        driver-side listing, no job): an exact UPPER bound on the frame
        (filters only remove rows), so it can never admit an over-bound
        input.  This covers the guarded operators' actual inputs and is
-       immune to the estimate failure modes below.
+       immune to the estimate failure modes below.  PRECONDITION: only
+       row-reducing-or-preserving plans — a join or generator can
+       exceed its input-file row sum, so when the optimized plan
+       contains a multiplying node (Join/Generate/Expand/CoGroup) the
+       footer path is skipped and the decision falls through to the
+       estimate/count steps (ADVICE r12; a false positive in the node
+       scan merely costs a count(), never admits an over-bound frame).
     2. Catalyst rowCount when defined (spark.range, CBO tables with
        fresh stats).  An ANALYZE-stale under-estimate could in
        principle admit a grown table — acceptable for non-file frames,
@@ -96,8 +104,17 @@ def _assert_small_scale(df: DataFrame, op: str, scale_path: str) -> DataFrame:
        input.)
     4. The exact count() — paid only when nothing above applies."""
     n = None
+    row_multiplying = True      # unknown plan shape reads as multiplying
     try:
-        files = [f for f in df.inputFiles() if ".parquet" in f]
+        tree = df._jdf.queryExecution().optimizedPlan().treeString()
+        row_multiplying = any(
+            re.search(rf"\b{node}\b", tree)
+            for node in ("Join", "Generate", "Expand", "CoGroup"))
+    except Exception:
+        pass
+    try:
+        files = ([] if row_multiplying
+                 else [f for f in df.inputFiles() if ".parquet" in f])
         if files:
             import pyarrow.parquet as pq
 
@@ -111,8 +128,13 @@ def _assert_small_scale(df: DataFrame, op: str, scale_path: str) -> DataFrame:
             rc = stats.rowCount()
             if rc.isDefined():
                 n = int(rc.get())
-            elif (int(stats.sizeInBytes())
+            elif (not row_multiplying
+                  and int(stats.sizeInBytes())
                   <= QUADRATIC_BASELINE_FREE_PASS_BYTES):
+                # the bytes free pass assumes bytes bound rows at
+                # >= 64 B/row, which only holds when the plan cannot
+                # multiply its input (an explode's estimate stays near
+                # its child's bytes while its rows do not)
                 return df
         except Exception:
             pass
@@ -1561,7 +1583,13 @@ def _spans_cleaned(base: DataFrame, removed: DataFrame) -> DataFrame:
     n = F.floor(F.size("__toks") / W).cast("int")
     idxs = F.when(n >= 1, F.sequence(F.lit(0), n - 1)) \
             .otherwise(F.array().cast("array<int>"))
-    kept_idx = F.filter(idxs, lambda i: ~F.array_contains(F.col("rem"), i))
+    # array_except is hash-based (build a set from `rem`, probe per chunk
+    # index) and preserves the left array's order; both sides are distinct
+    # and idxs is ascending, so semantics match the per-element filter it
+    # replaced — without the O(n_chunks * n_removed) per-doc scan that a
+    # fully-duplicated 1e5-chunk document would pay under array_contains
+    # (VERDICT r12 item 1; massdup spans probe measures the flat cost).
+    kept_idx = F.array_except(idxs, F.col("rem"))
     kept_toks = F.flatten(F.transform(
         kept_idx, lambda i: F.slice("__toks", i * W + 1, W)))
     tail = F.slice("__toks", n * W + 1, F.size("__toks") - n * W)
@@ -1638,24 +1666,36 @@ def doc_dedup_spans_incremental_df(spark: SparkSession,
 
     docs = _docs(spark, sf_dir)
     corpus_h = (_chunk_hashes(docs.where(F.col("doc_id") < INGESTED_BELOW))
-                .select("h").distinct()
-                .withColumn("in_corpus", F.lit(True)))
+                .select("h").distinct())
     base = (spread(docs.where(F.col("doc_id") >= INGESTED_BELOW))
             .select("doc_id", tokens(F.col("text")).alias("__toks"))
             .persist())
-    chunks = _chunks_from_tokens(base, with_index=True)
-    own = (chunks.groupBy("h")
-           .agg(F.min(F.struct("doc_id", "i")).alias("own")))
-    removed = (chunks.join(own, "h")
-               .join(corpus_h, "h", "left")
-               .where(F.coalesce("in_corpus", F.lit(False))
-                      | ~((F.col("doc_id") == F.col("own.doc_id"))
-                          & (F.col("i") == F.col("own.i"))))
-               .groupBy("doc_id")
-               .agg(F.sort_array(F.collect_list("i")).alias("rem")))
+    removed = _span_removal_lists(
+        _chunks_from_tokens(base, with_index=True), corpus_h)
     out = _ckpt(_spans_cleaned(base, removed))
     base.unpersist()
     return out
+
+
+def _span_removal_lists(chunks: DataFrame,
+                        corpus_h: DataFrame) -> DataFrame:
+    """Per-doc removal lists for a batch's (doc_id, i, h) chunk rows
+    probed against a corpus chunk-hash set (a distinct ``h`` column):
+    an occurrence is removed when its hash exists in the corpus (the
+    corpus holds the canonical copy) OR an earlier batch occurrence
+    (least (doc_id, i)) owns it.  ONE kernel shared by the incremental
+    operator and the streaming twin (``streaming/dedup.py``) — the
+    same single-implementation rationale as :func:`_spans_cleaned`."""
+    own = (chunks.groupBy("h")
+           .agg(F.min(F.struct("doc_id", "i")).alias("own")))
+    return (chunks.join(own, "h")
+            .join(corpus_h.withColumn("in_corpus", F.lit(True)),
+                  "h", "left")
+            .where(F.coalesce("in_corpus", F.lit(False))
+                   | ~((F.col("doc_id") == F.col("own.doc_id"))
+                       & (F.col("i") == F.col("own.i"))))
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list("i")).alias("rem")))
 
 
 DOC_DEDUP_SPANS_INCREMENTAL_SQL = f"""

@@ -81,48 +81,50 @@ from .text import (
 #     unverified, only un-hashed-by-the-driver that round.
 
 DRIVER_WINDOW: list[str] = [
-    # -- round-12 first driver rows: duplicate-span removal + its
-    #    ingestion twin (the mid-round twin popped the last rotated-in
-    #    entry, doc_logprob, back to DISPLACED — r06 precedent) --
+    # -- code changed in r13, kept/pulled driver-visible (the r05
+    #    precedent: changed paths must show in the driver record).
+    #    The two span operators run the shared _spans_cleaned kernel
+    #    (array_except rewrite) and the extracted _span_removal_lists;
+    #    text_quality_drift groups the null-source sentinel now; the
+    #    two quadratic baselines run the plan-shape-guarded
+    #    _assert_small_scale; the three K-shaped IVF queries resolve
+    #    the clamped auto_ivf_k (and per ADVICE r12 the auto-K gate
+    #    gets K-shaped driver coverage beyond ann_ivf_indexed);
+    #    dedup_lsh_recall_bounds carries the r12 broadcast rewrite
+    #    that stayed DISPLACED last round (ADVICE r12) --
     "doc_dedup_spans",
     "doc_dedup_spans_incremental",
-    # -- code changed in r12, kept/pulled driver-visible (the r05
-    #    precedent: changed paths must show in the driver record).
-    #    The LSH-width auto-gate (bits=None resolution) runs inside
-    #    every one of these; the two chunk gates share the refactored
-    #    _chunks_from_tokens kernel; the two quadratic baselines run
-    #    the estimate-based _assert_small_scale --
-    "dedup_embedding_incremental",
-    "dedup_embedding_lsh",
+    "text_quality_drift",
     "dedup_embedding",
-    "ann_lsh_bucketed",
-    "ann_lsh_indexed",
-    "ann_lsh_bucketed12",
-    "ann_lsh_multiprobe",
     "dedup_ngram_jaccard",
-    "doc_dup_chunk_fraction",
-    "doc_dup_chunk_fraction_incremental",
-    # -- the pre-committed r12 rotation: the r07-rowed remainder of the
-    #    mid-r06 thirteen, oldest driver records first --
-    "text_repetition",
-    "multimodal_phash",
-    "q18_large_volume_customer",
-    "multimodal_phash_dups",
-    "sessionize_native",
-    "q7_volume_shipping",
-    "window_stats",
-    "q4_order_priority",
-    # -- then the r07-rowed round-7 cohort --
-    "fact_events_by_minute_approx_bounds",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q21_suppliers_kept_waiting",
-    "q22_global_sales_opportunity",
-    "sample_cluster_split_indexed",
-    "quantiles_approx_bounds",
-    "q14_promo_effect",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
+    "ann_ivf",
+    "ann_ivf_kmeans",
+    "ann_ivf_recall_bounds",
+    "dedup_lsh_recall_bounds",
+    # -- the pre-committed r13 rotation (CORRECTNESS_WINDOW.md): the
+    #    r08-rowed remainder, oldest driver records first --
+    "timeseries_gapfill",
+    "listagg",
+    "value_histogram",
+    "grouping_sets",
+    "map_funcs",
+    "vocab_topk_cms_bounds",
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "window_frames",
+    "fact_events_by_second",
+    "fact_orders_by_week",
+    "user_value_ema",
+    "sample_hash_split",
+    # -- then the head of the r08/r09-rowed cohort, as slots allow --
+    "fact_events_tenant_by_hour",
+    "fact_events_hour_regrain",
+    "user_value_ema_segmented",
+    "sample_per_source_quota",
+    "sample_mixture",
+    "multimodal_wav",
+    "multimodal_wav_samples",
+    "multimodal_features",
     # -- core schema-level pipeline (driver-green r02-r04 + r07; pinned) --
     "dim_event_type",
     "fact_events_by_minute",
@@ -153,10 +155,39 @@ DRIVER_WINDOW: list[str] = [
 # has at least one driver-green (hash_match=true) row (r02–r11) with
 # unchanged code paths since; the 2 no-oracle entries are ε-tolerance
 # pytest-covered by design AND have *_bounds twins carrying real oracles
-# (driver-green r06/r07).  Newly displaced: the r11 window's rotating
-# cohort (every entry got fresh rows in r11) — recency rotation per the
-# pre-committed r12 plan in CORRECTNESS_WINDOW.md.
+# (driver-green r06/r07).  Newly displaced: the r12 window's rotating
+# cohort (every entry got fresh rows in r12) — recency rotation per the
+# pre-committed r13 plan in CORRECTNESS_WINDOW.md.
 DISPLACED: list[str] = [
+    # -- newly displaced: the r12 window's rotating cohort (all with
+    #    fresh r12 driver rows; recency rotation per the pre-committed
+    #    r13 plan in CORRECTNESS_WINDOW.md) --
+    "dedup_embedding_incremental",
+    "dedup_embedding_lsh",
+    "ann_lsh_bucketed",
+    "ann_lsh_indexed",
+    "ann_lsh_bucketed12",
+    "ann_lsh_multiprobe",
+    "doc_dup_chunk_fraction",
+    "doc_dup_chunk_fraction_incremental",
+    "text_repetition",
+    "multimodal_phash",
+    "q18_large_volume_customer",
+    "multimodal_phash_dups",
+    "sessionize_native",
+    "q7_volume_shipping",
+    "window_stats",
+    "q4_order_priority",
+    "fact_events_by_minute_approx_bounds",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity",
+    "sample_cluster_split_indexed",
+    "quantiles_approx_bounds",
+    "q14_promo_effect",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
     # r11 window cohort, freshest driver records in the registry (r11
     # rows); its code-changed members stay windowed above instead
     "dim_visitor_partitioned_ids",
@@ -182,7 +213,6 @@ DISPLACED: list[str] = [
     "range_join",
     "dedup_minhash_lsh_capped_indexed",
     "benchmark_contamination",
-    "text_quality_drift",
     # r10-rowed cohort: the five TPC-H decorrelation shapes + the r10
     # contract queries, then the r09/r10-rowed rotation tail
     "q2_min_cost_region",
@@ -190,7 +220,6 @@ DISPLACED: list[str] = [
     "q11_important_stock",
     "q16_supplier_part_counts",
     "q20_surplus_suppliers",
-    "dedup_lsh_recall_bounds",
     "embed_quantize_recall_bounds",
     "ann_hard_negatives",
     "doc_entropy",
@@ -200,7 +229,6 @@ DISPLACED: list[str] = [
     "dedup_exact",
     "dedup_simhash",
     "dedup_incremental",
-    "ann_ivf",
     "lang_id",
     "join_inner_agg",
     "quantiles",
@@ -222,7 +250,6 @@ DISPLACED: list[str] = [
     # r08/r09-rowed cohort
     "q8_national_market_share",
     "q12_late_shipments",
-    "ann_ivf_recall_bounds",
     "sample_temperature",
     "ann_rank_fusion",
     "doc_bigram_logprob",
@@ -230,33 +257,11 @@ DISPLACED: list[str] = [
     "event_funnel",
     "anomaly_zscore",
     "dedup_containment",
-    "ann_ivf_kmeans",
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "window_frames",
-    "fact_events_by_second",
-    "fact_orders_by_week",
-    "user_value_ema",
-    "sample_hash_split",
-    "fact_events_tenant_by_hour",
-    "fact_events_hour_regrain",
-    "user_value_ema_segmented",
-    "sample_per_source_quota",
-    "sample_mixture",
-    "multimodal_wav",
-    "multimodal_wav_samples",
-    "multimodal_features",
     "text_scrub",
     "seq_pack",
     "profile_table",
     "dedup_minhash_incremental",
     # earlier-rowed cohorts, by record age
-    "timeseries_gapfill",
-    "listagg",
-    "value_histogram",
-    "grouping_sets",
-    "map_funcs",
-    "vocab_topk_cms_bounds",
     "dedup_minhash_lsh_capped",
     "dedup_clusters_indexed",
     "ann_cosine_topk_arrow_bounds",

@@ -340,12 +340,23 @@ IVF_NPROBE = 2      # cells searched per query at the contract K
 IVF_AUTO_K_CONF_KEY = "ringo.ivfAutoK"            # "false" => pinned floor
 IVF_SQRT_DIVISOR_CONF_KEY = "ringo.ivfSqrtDivisor"
 IVF_SQRT_DIVISOR = 2
+# Driver-memory ceiling on the auto-sized K (VERDICT r12 item 8): the
+# Lloyd loop collects K×dim doubles per iteration (train_ivf_centroids
+# — the ONLY driver-side state in the IVF family), so K is what bounds
+# driver memory.  At the ceiling with dim=64 that is 2^20 × 64 × 8 B =
+# 512 MiB/iter — large but survivable on any driver that runs 100 TB
+# jobs; K = 2^20 cells also already serves a ~2·10^12-vector corpus at
+# sqrt(N/2) sizing, past any corpus this engine targets.  A pathological
+# ringo.lshCorpusRows override therefore clamps here instead of
+# resolving to an OOM-sized K.
+IVF_MAX_AUTO_K = 1 << 20
 
 
 def auto_ivf_k(spark: SparkSession, n_rows,
                floor_k: int = IVF_K) -> int:
-    """``max(floor, round(sqrt(N / divisor)))`` — the corpus-sized
-    centroid count.  ``ringo.ivfAutoK=false`` pins the floor;
+    """``min(MAX_AUTO_K, max(floor, round(sqrt(N / divisor))))`` — the
+    corpus-sized centroid count, clamped at the driver-memory ceiling
+    (see IVF_MAX_AUTO_K).  ``ringo.ivfAutoK=false`` pins the floor;
     ``ringo.lshCorpusRows`` (the shared corpus-rows hook) overrides N.
     ``n_rows`` may be an int or a lazy callable."""
     conf = spark.conf
@@ -356,7 +367,7 @@ def auto_ivf_k(spark: SparkSession, n_rows,
         return floor_k
     div = max(1, int(conf.get(IVF_SQRT_DIVISOR_CONF_KEY,
                               str(IVF_SQRT_DIVISOR))))
-    return max(floor_k, round(math.sqrt(n / div)))
+    return min(IVF_MAX_AUTO_K, max(floor_k, round(math.sqrt(n / div))))
 
 
 def _auto_ivf_k(spark: SparkSession, sf_dir: str) -> int:

@@ -137,7 +137,14 @@ def text_quality_drift_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     each, joined source-to-source (broadcast-sized); the corpus itself
     never shuffles."""
     t = F.size(tokens(F.col("text"))).cast("long")
-    d = _docs(spark, sf_dir).select("doc_id", "source", t.alias("t"))
+    # null sources coalesce to the same sentinel the STREAMING twin keys
+    # its state by (streaming/drift.py) — grouping the raw column would
+    # leave a null group the twin's '__UNKNOWN_SRC__' totals never join,
+    # silently dropping its drift verdict (ADVICE r12)
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.coalesce("source", F.lit("__UNKNOWN_SRC__")).alias("source"),
+        t.alias("t"))
     # ONE conditional aggregation pass: tokenization dominates the cost
     # and two separate cohort aggregates would each re-scan and
     # re-tokenize the full corpus (r11 review finding); the base/batch
@@ -171,7 +178,8 @@ def text_quality_drift_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXT_QUALITY_DRIFT_SQL = f"""
 WITH d AS (
-  SELECT doc_id, source, CAST(len({sql_tokens('text')}) AS BIGINT) AS t
+  SELECT doc_id, coalesce(source, '__UNKNOWN_SRC__') AS source,
+         CAST(len({sql_tokens('text')}) AS BIGINT) AS t
   FROM documents),
 agg AS (
   SELECT source,

@@ -134,7 +134,13 @@ def drift_scores(baseline_docs: DataFrame, updates: DataFrame) -> DataFrame:
     from ..operators.textfn import tokens
 
     t = F.size(tokens(F.col("text"))).cast("long")
-    base = (baseline_docs.select("source", t.alias("t"))
+    # same null-source sentinel as the streamed side and the batch gate —
+    # a raw-null baseline group would never join the streamed
+    # '__UNKNOWN_SRC__' totals and the verdict would silently drop
+    # (ADVICE r12; pinned by test_drift_null_source_round_trip)
+    base = (baseline_docs.select(
+                F.coalesce("source", F.lit("__UNKNOWN_SRC__"))
+                .alias("source"), t.alias("t"))
             .groupBy("source")
             .agg(F.count("*").alias("n_base"),
                  F.sum("t").alias("s1"),

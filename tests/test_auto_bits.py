@@ -168,6 +168,13 @@ def test_auto_ivf_k_contract_and_growth(spark, rows_override):
     assert _auto_ivf_k(spark, SF1) == 32           # round(sqrt(2000/2))
     rows_override(1 << 20)
     assert _auto_ivf_k(spark, SF01) == round(math.sqrt((1 << 20) / 2))
+    # driver-memory ceiling (VERDICT r12 item 8): a pathological
+    # rows-override clamps at IVF_MAX_AUTO_K instead of resolving to an
+    # OOM-sized Lloyd collect (K×dim doubles per iteration)
+    from ringo_spark.operators.similarity import IVF_MAX_AUTO_K
+
+    rows_override(10 ** 18)
+    assert _auto_ivf_k(spark, SF01) == IVF_MAX_AUTO_K
     spark.conf.set(IVF_AUTO_K_CONF_KEY, "false")
     try:
         assert _auto_ivf_k(spark, SF01) == IVF_K

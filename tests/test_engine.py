@@ -362,6 +362,45 @@ def test_incremental_rerun_same_window_is_idempotent(manifest_engine):
     assert set(m["windows"]) == {"fact_orders_by_day__v3"}
 
 
+def test_rename_mode_same_window_rerun_refuses(engine):
+    """VERDICT r12 item 2: rename mode cannot MERGE a recomputed window
+    (no atomic swap), so a same-window rerun must REFUSE instead of
+    silently appending the rows twice.  A full refresh clears the
+    ledger — every stamped window was just recomputed — after which the
+    same incremental window commits cleanly again."""
+    eng = engine                      # default commit_mode='rename'
+    eng.run(PopulationMode.FULL, T_ORDERS_MID)
+    eng.run(PopulationMode.INCREMENTAL, T_FAR, T_ORDERS_MID)
+    once = eng.read_table("fact_orders_by_day").count()
+
+    with pytest.raises(ValueError, match="double-count"):
+        eng.run(PopulationMode.INCREMENTAL, T_FAR, T_ORDERS_MID)
+    assert eng.read_table("fact_orders_by_day").count() == once
+
+    eng.run(PopulationMode.FULL, T_ORDERS_MID)   # clears the ledger
+    eng.run(PopulationMode.INCREMENTAL, T_FAR, T_ORDERS_MID)
+    assert eng.read_table("fact_orders_by_day").count() == once
+
+
+def test_iso_normalizes_tz_aware_bounds_to_utc():
+    """ADVICE r12: lexicographic stamp comparison is only chronological
+    on one clock — aware bounds stamp as naive UTC, so an aware and a
+    naive-UTC bound denoting the same instant produce the SAME stamp
+    and mixed-bound runs cannot mis-compare."""
+    utc, ist = dt.timezone.utc, dt.timezone(dt.timedelta(hours=5, minutes=30))
+    naive = dt.datetime(2024, 1, 2, 3, 0, 0)
+    assert Engine._iso(naive) == "2024-01-02T03:00:00"
+    assert Engine._iso(naive.replace(tzinfo=utc)) == "2024-01-02T03:00:00"
+    assert Engine._iso(dt.datetime(2024, 1, 2, 8, 30, tzinfo=ist)) \
+        == "2024-01-02T03:00:00"
+    assert Engine._iso(None) is None
+    assert Engine._iso("2024-01-02") == "2024-01-02"
+    # covers-check consistency across a mixed-bound rerun
+    assert Engine._window_covers(
+        (dt.datetime(2024, 1, 2, tzinfo=utc), dt.datetime(2024, 1, 5)),
+        ["2024-01-02T00:00:00", "2024-01-05T00:00:00"])
+
+
 def test_window_covers_semantics():
     """Pure containment logic: None bounds are ±infinity; partial
     overlap and unstamped dirs never replace."""

@@ -442,6 +442,19 @@ def test_quadratic_baseline_guard(spark, monkeypatch, tmp_path):
     assert on_disk < D.QUADRATIC_BASELINE_FREE_PASS_BYTES
     with pytest.raises(ValueError, match="quadratic exact baseline"):
         _assert_small_scale(spark.read.parquet(dup), "x", "y")
+    # a MULTIPLYING plan over small files (ADVICE r12): a self-join or
+    # explode can exceed the input-file row sum, so the footer shortcut
+    # must not decide — the count() fallback sees the true size and
+    # raises.  documents sf0.001 has ~600 rows; exploding a 200-wide
+    # array takes the frame past the bound while the footers stay tiny.
+    exploded = docs.select(
+        F.explode(F.sequence(F.lit(1), F.lit(2000))).alias("i"))
+    assert exploded.count() > QUADRATIC_BASELINE_MAX_ROWS
+    with pytest.raises(ValueError, match="quadratic exact baseline"):
+        _assert_small_scale(exploded, "x", "y")
+    joined = docs.crossJoin(spark.range(300))
+    with pytest.raises(ValueError, match="quadratic exact baseline"):
+        _assert_small_scale(joined, "x", "y")
     # with the footer path forced off, the free pass / count() fallback
     # chain still decides correctly
     monkeypatch.setattr(D.DataFrame, "inputFiles",

@@ -90,6 +90,10 @@ def test_corpus_curation_is_one_fused_plan(spark):
     assert "In(lang" in plan  # language IN-filter reaches PushedFilters
     simple = plan_of(spark, corpus_curation_df(spark, SF), "simple")
     assert simple.count("Exchange") == 2
+    # the r13 dedup shave: min-struct hash aggregate, not a row_number
+    # window — no per-key Sort, and the doc text never rides the shuffle
+    assert "Window" not in simple
+    assert "partial_min" in simple  # map-side combine before the exchange
 
 
 def test_ann_lsh_is_bucket_equijoin(spark):

@@ -252,6 +252,78 @@ def test_streaming_near_dedup_matches_batch_incremental(spark, tmp_path):
     assert total == distinct
 
 
+def test_streaming_span_dedup_matches_batch(spark, tmp_path):
+    """The foreachBatch duplicate-SPAN removal twin (VERDICT r12 item
+    6): replay the incoming cohort as THREE micro-batches in ascending
+    doc-id ranges (the documented ordering contract — the canonical
+    owner is the globally least (doc_id, i), so unlike the commutative
+    drift/anomaly twins a hash-split would be wrong BY DESIGN) over the
+    persisted corpus chunk-hash index.  The union of per-batch outputs
+    must be BIT-EQUAL to the batch doc_dedup_spans_df restricted to the
+    streamed docs — including chunks duplicated ACROSS micro-batches,
+    which only work because each batch's hashes are appended to the
+    index before the next trigger."""
+    import shutil
+
+    from ringo_spark.operators.dedup import (
+        INGESTED_BELOW, doc_dedup_spans_df,
+    )
+    from ringo_spark.streaming.dedup import (
+        build_chunk_hash_index, streaming_span_dedup,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    idx = str(tmp_path / "chunkidx")
+    build_chunk_hash_index(docs.where(F.col("doc_id") < INGESTED_BELOW),
+                           idx)
+
+    incoming = docs.where(F.col("doc_id") >= INGESTED_BELOW)
+    ids = sorted(r.doc_id for r in incoming.select("doc_id").collect())
+    cuts = [ids[len(ids) // 3], ids[2 * len(ids) // 3]]
+    ranges = [F.col("doc_id") < cuts[0],
+              (F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1]),
+              F.col("doc_id") >= cuts[1]]
+    src = str(tmp_path / "span-src")
+    os.makedirs(src)
+    for i, cond in enumerate(ranges):          # ascending ranges, in order
+        tmp = str(tmp_path / f"spanstage{i}")
+        incoming.where(cond).coalesce(1).write.parquet(tmp)
+        f = next(x for x in os.listdir(tmp) if x.endswith(".parquet"))
+        shutil.copy(os.path.join(tmp, f),
+                    os.path.join(src, f"{i:02d}.parquet"))
+
+    sink = str(tmp_path / "cleaned")
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1).parquet(src)
+    q = (stream.writeStream
+         .foreachBatch(streaming_span_dedup(idx)(sink))
+         .option("checkpointLocation", str(tmp_path / "ckpt-span"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    cols = ["doc_id", "n_chunks", "n_removed", "cleaned_text"]
+    got = sorted(tuple(r) for r in
+                 spark.read.parquet(sink).select(*cols).collect())
+    want = sorted(tuple(r) for r in
+                  doc_dedup_spans_df(spark, SF)
+                  .where(F.col("doc_id") >= INGESTED_BELOW)
+                  .select(*cols).collect())
+    assert got == want and len(want) > 0
+    # the equality is non-vacuous only if some removal crosses a
+    # micro-batch boundary: a doc in the last range must have lost a
+    # chunk whose canonical copy lives before cuts[1]
+    by_id = dict((r[0], r[2]) for r in want)
+    assert any(n > 0 for i, n in by_id.items() if i >= cuts[1])
+
+    # idempotency: a retried micro-batch overwrites its own partition,
+    # and the index re-append cannot change any verdict (distinct set)
+    replay = spark.read.parquet(os.path.join(src, "00.parquet"))
+    streaming_span_dedup(idx)(sink)(replay, batch_id=0)
+    streaming_span_dedup(idx)(sink)(replay, batch_id=0)
+    total = spark.read.parquet(sink).select(*cols).collect()
+    assert sorted(tuple(r) for r in total) == want
+
+
 def test_streaming_session_window_matches_batch(spark, tmp_path):
     """The built-in session_window operator's streaming claim: the SAME
     aggregation runs as a watermarked streaming query (state-store
@@ -843,6 +915,48 @@ def test_streaming_drift_matches_batch(spark, tmp_path):
     got = [tuple(r) for r in drift_scores(baseline, updates).collect()]
     want = [tuple(r) for r in text_quality_drift_df(spark, SF).collect()]
     assert got == want and len(want) > 0
+
+
+def test_drift_null_source_round_trip(spark, tmp_path):
+    """ADVICE r12: null-source docs must key the SAME '__UNKNOWN_SRC__'
+    group on every side — the batch gate, its oracle, the streamed
+    totals, and drift_scores' baseline aggregate — or the streamed
+    verdict for them silently drops (null never joins the sentinel).
+    Replays the batch cohort's totals exactly as a full stream replay
+    would emit them and pins bit-equality against the batch gate on a
+    corpus where one source is entirely NULL."""
+    from ringo_spark.operators.text import (
+        DRIFT_BASELINE_BELOW, text_quality_drift_df,
+    )
+    from ringo_spark.operators.textfn import tokens
+    from ringo_spark.streaming.drift import drift_scores
+
+    rows = []
+    for i in range(40):                      # baseline cohort
+        src = None if i % 2 == 0 else "a"
+        rows.append((i, src, "w " * (10 + i % 7)))
+    for i in range(40):                      # incoming batch cohort
+        src = None if i % 2 == 0 else "a"
+        rows.append((DRIFT_BASELINE_BELOW + i, src, "w " * (30 + i % 5)))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, "
+                                       "text string")
+    d = str(tmp_path / "nulldrift")
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+
+    want = [tuple(r) for r in text_quality_drift_df(spark, d).collect()]
+    assert sorted(r[0] for r in want) == ["__UNKNOWN_SRC__", "a"]
+
+    batch = docs.where(F.col("doc_id") >= DRIFT_BASELINE_BELOW)
+    # the totals a full replay emits: same sentinel, same token counts
+    updates = (batch.groupBy(
+                   F.coalesce("source", F.lit("__UNKNOWN_SRC__"))
+                   .alias("source"))
+               .agg(F.count("*").alias("n_batch"),
+                    F.sum(F.size(tokens(F.col("text"))).cast("long"))
+                    .alias("sn")))
+    baseline = docs.where(F.col("doc_id") < DRIFT_BASELINE_BELOW)
+    got = [tuple(r) for r in drift_scores(baseline, updates).collect()]
+    assert got == want
 
 
 def test_streaming_drift_state_expires_on_watermark(spark, tmp_path):

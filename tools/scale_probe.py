@@ -745,6 +745,46 @@ def massdup_scenario():
     for k, tu, nu, tc, nc, ts, ns in results:
         print(f"| {k} | {tu:.2f} | {nu} | {tc:.2f} | {nc} "
               f"| {ts:.2f} | {ns} |")
+
+    # VERDICT r12 item 1 probe, spans lane ONLY (the giant doc would
+    # distort the LSH lanes — million-token shingling — and is not what
+    # they measure): the k=8 corpus PLUS one giant document of 1e5
+    # chunks (1e6 tokens), fully duplicated (two verbatim copies), so
+    # the non-canonical copy's reconstruction faces n_chunks =
+    # n_removed = 1e5 in ONE row.  Under the old array_contains filter
+    # that is 1e10 comparisons in that row; array_except keeps it
+    # hash-linear — the wall staying near the plain-k=8 spans wall IS
+    # the measurement.
+    from ringo_spark.operators.dedup import (
+        DUP_CHUNK_TOKENS, doc_dedup_spans_df,
+    )
+
+    giant_out = os.path.join(SCRATCH, "massdup_x8giant")
+    base8 = spark.read.parquet(
+        os.path.join(SCRATCH, "massdup_x8", "documents.parquet"))
+    n_giant_chunks = 100_000
+    giant = spark.range(2).select(
+        (F.col("id") + F.lit(100 * n0 * 8)).alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1),
+                           F.lit(n_giant_chunks * DUP_CHUNK_TOKENS)),
+                lambda i: F.concat(F.lit("tok"), i.cast("string"))),
+            " ").alias("text"))
+    giant = giant.select(*[
+        giant[c] if c in giant.columns
+        else F.lit(None).cast(base8.schema[c].dataType).alias(c)
+        for c in base8.columns])
+    base8.unionByName(giant).write.mode("overwrite").parquet(
+        os.path.join(giant_out, "documents.parquet"))
+    tg, ng = timed(
+        lambda: doc_dedup_spans_df(spark, giant_out),
+        measure=lambda df: int(
+            df.agg(F.sum("n_removed")).collect()[0][0]))
+    base_removed = results[-1][6]
+    print(f"\nx8+giant(1e5-chunk fully-dup doc) spans {tg:6.2f}s "
+          f"removed={ng} (= x8's {base_removed} + {ng - base_removed} "
+          f"giant-copy chunks)", flush=True)
     shutil.rmtree(SCRATCH, ignore_errors=True)
 
 
