@@ -155,6 +155,11 @@ HEADLINE = [
     # round-12 new operators: duplicate-span removal + ingestion twin
     "doc_dedup_spans",
     "doc_dedup_spans_incremental",
+    # round-13 new operators: weighted WOR sampling (TakeOrdered top-k),
+    # the per-source quality percentile gate, and z-order layout stats
+    "sample_weighted",
+    "quality_source_percentile",
+    "zorder_layout",
 ]
 
 RUNS_PER_QUERY = 2
@@ -164,15 +169,14 @@ RUNS_PER_QUERY = 2
 # (their deltas have no prior pin, so the driver record is their only
 # arbiter).  Everything else still lands in BENCH_DETAIL.json.
 COMPACT_EXTRA = [
-    # r12: the new span-removal operator, plus the queries the LSH
-    # width auto-gate changed at sf0.1 (they now run at wider,
-    # corpus-sized bucket counts — their deltas vs the fixed-width pins
-    # are the gate's measured effect, so they belong on the line)
+    # r13: the three new operators (no prior pins), plus the two span
+    # operators that run this round's array_except kernel rewrite and
+    # corpus_curation's min-struct dedup rewrite
+    "sample_weighted",
+    "quality_source_percentile",
+    "zorder_layout",
     "doc_dedup_spans",
     "doc_dedup_spans_incremental",
-    "dedup_embedding_lsh",
-    "dedup_embedding_incremental",
-    "ann_lsh_bucketed",
 ]
 
 # Hard ceiling for the stdout line: the driver's capture tail is 2000

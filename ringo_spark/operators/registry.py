@@ -41,6 +41,7 @@ from .similarity import (
     ann_lsh_bucketed12_df, ann_lsh_bucketed_df, ann_lsh_indexed_df,
     ann_lsh_multiprobe_df,
 )
+from .layout import LAYOUT_QUERIES
 from .pipeline import PIPELINE_QUERIES
 from .training import TRAINING_QUERIES
 from .relational import RELATIONAL_QUERIES
@@ -54,7 +55,8 @@ from .text import (
     LANG_CONFUSION_SQL, LANG_ID_SQL, METRICS_UNPIVOT_SQL, TEXT_QUALITY_SQL,
     TFIDF_BM25_SQL, TOKEN_COUNT_SQL, VOCAB_TOPK_SQL,
     DOC_BIGRAM_LOGPROB_SQL, DOC_ENTROPY_SQL,
-    DOC_LOGPROB_SQL, TEXT_REPETITION_SQL, VOCAB_TOPK_CMS_BOUNDS_SQL,
+    DOC_LOGPROB_SQL, QUALITY_SOURCE_PERCENTILE_SQL, TEXT_REPETITION_SQL,
+    VOCAB_TOPK_CMS_BOUNDS_SQL, quality_source_percentile_df,
     benchmark_contamination_df, doc_bigram_logprob_df, doc_entropy_df,
     doc_fingerprint_df, doc_logprob_df,
     doc_rolling_hash_df, lang_confusion_df, lang_id_df, metrics_unpivot_df,
@@ -92,6 +94,10 @@ DRIVER_WINDOW: list[str] = [
     #    gets K-shaped driver coverage beyond ann_ivf_indexed);
     #    dedup_lsh_recall_bounds carries the r12 broadcast rewrite
     #    that stayed DISPLACED last round (ADVICE r12) --
+    # -- new r13 operators (first driver rows) --
+    "sample_weighted",
+    "quality_source_percentile",
+    "zorder_layout",
     "doc_dedup_spans",
     "doc_dedup_spans_incremental",
     "text_quality_drift",
@@ -122,9 +128,6 @@ DRIVER_WINDOW: list[str] = [
     "user_value_ema_segmented",
     "sample_per_source_quota",
     "sample_mixture",
-    "multimodal_wav",
-    "multimodal_wav_samples",
-    "multimodal_features",
     # -- core schema-level pipeline (driver-green r02-r04 + r07; pinned) --
     "dim_event_type",
     "fact_events_by_minute",
@@ -247,6 +250,12 @@ DISPLACED: list[str] = [
     # popped back out mid-r12 by the spans ingestion twin (keeps its
     # r08 record)
     "doc_logprob",
+    # popped back out mid-r13 by the three new r13 operators
+    # (sample_weighted / quality_source_percentile / zorder_layout);
+    # keep their r08/r09 records
+    "multimodal_wav",
+    "multimodal_wav_samples",
+    "multimodal_features",
     # r08/r09-rowed cohort
     "q8_national_market_share",
     "q12_late_shipments",
@@ -400,6 +409,11 @@ _TEXT_QUERIES: dict[str, tuple] = {
     "metrics_unpivot": (metrics_unpivot_df, METRICS_UNPIVOT_SQL),
     # per-source ingestion drift gate over exact integer token moments
     "text_quality_drift": (text_quality_drift_df, TEXT_QUALITY_DRIFT_SQL),
+    # per-source quality percentile gate: drop each domain's own worst
+    # tail (one source-key shuffle; GK-threshold variant is the
+    # mega-source scale cut, see docstring)
+    "quality_source_percentile": (quality_source_percentile_df,
+                                  QUALITY_SOURCE_PERCENTILE_SQL),
 }
 
 _MULTIMODAL_QUERIES: dict[str, tuple] = {
@@ -440,6 +454,7 @@ QUERY_FAMILIES: dict[str, dict[str, tuple]] = {
     "sampling": SAMPLING_QUERIES,
     "pipeline": PIPELINE_QUERIES,
     "training": TRAINING_QUERIES,
+    "layout": LAYOUT_QUERIES,
 }
 
 OPERATOR_QUERIES: dict[str, tuple] = {
@@ -518,6 +533,10 @@ FAMILY_SOURCES: dict[str, list[str]] = {
                  "ringo_spark/operators/text.py",
                  "ringo_spark/operators/training.py", *_DEDUP_EXEC],
     "training": ["ringo_spark/operators/training.py", _TEXTFN],
+    # shares the Morton interleave kernel with the z-ordered write path;
+    # reads events via load_catalog/testbed like the session family
+    "layout": ["ringo_spark/operators/layout.py",
+               "ringo_spark/sources/layout.py", _TESTBED],
     "core": [_TESTBED, "ringo_spark/engine.py", *_POPULATE_SOURCES],
 }
 

@@ -240,6 +240,60 @@ WHERE {sql_phash("doc_id::VARCHAR", SPLIT_SEED)} % {HASH_MOD}
 """
 
 
+WEIGHT_SEED = 7          # decorrelated from SPLIT_SEED's buckets
+WEIGHTED_K = 100         # sample size
+_U_DENOM = float(2 ** 60)  # phash is 60-bit; (h+1)/2^60 -> u in (0, 1]
+
+
+def sample_weighted_df(spark: SparkSession, sf_dir: str,
+                       k: int = WEIGHTED_K) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — Efraimidis–Spirakis A-ES
+    (exponential keys): each doc draws u in (0, 1] from the portable
+    content hash, gets key = -ln(u) / w, and the k SMALLEST keys are the
+    sample.  Inclusion probability is proportional-to-size in w (here
+    ``n_chars``: longer documents are likelier picks — the
+    byte-budgeted corpus-subset selection), and the whole draw is a
+    pure function of doc ids: reruns, engines, and partitionings agree.
+
+    Scale shape: the key is a map-side expression; the selection is a
+    global top-k, which Spark executes as TakeOrderedAndProject —
+    every partition keeps its local k rows, the driver merges k-sized
+    heaps.  No full sort, no full shuffle, O(k) driver memory; this is
+    THE distributed form of weighted reservoir sampling (each
+    partition's heap is the reservoir, merge is associative).
+
+    Cross-engine determinism: u is an exact-integer ratio (both engines
+    round the 60-bit numerator to the same IEEE double), and ln() ulp
+    differences (~1e-16 relative) cannot reorder keys that live orders
+    of magnitude apart, so the selected set and ranks are stable.
+    """
+    w = F.greatest(F.col("n_chars"), F.lit(1))
+    u = (phash(F.col("doc_id").cast("string"), WEIGHT_SEED) + 1) / _U_DENOM
+    key = -F.ln(u) / w
+    top = (_docs(spark, sf_dir)
+           .select("doc_id", w.alias("weight"), key.alias("k"))
+           .orderBy("k", "doc_id")
+           .limit(k))
+    rk = Window.orderBy("k", "doc_id")   # k rows: single-partition OK
+    return (top.select("doc_id", "weight",
+                       F.row_number().over(rk).alias("sel_rank"))
+            .orderBy("sel_rank"))
+
+
+SAMPLE_WEIGHTED_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, greatest(n_chars, 1) AS weight,
+         -ln(({sql_phash("doc_id::VARCHAR", WEIGHT_SEED)} + 1)
+             / {2 ** 60}.0) / greatest(n_chars, 1) AS k
+  FROM documents)
+SELECT doc_id, weight,
+       CAST(row_number() OVER (ORDER BY k, doc_id) AS INT) AS sel_rank
+FROM keyed
+ORDER BY k, doc_id
+LIMIT {WEIGHTED_K}
+"""
+
+
 SAMPLING_QUERIES: dict[str, tuple] = {
     "sample_hash_split": (sample_hash_split_df, SAMPLE_HASH_SPLIT_SQL),
     # near-dup-aware split: clusters (from the persisted index — same
@@ -255,4 +309,7 @@ SAMPLING_QUERIES: dict[str, tuple] = {
     "sample_mixture": (sample_mixture_df, SAMPLE_MIXTURE_SQL),
     # temperature-scaled source reweighting (counts ∝ n^α), hash-decided
     "sample_temperature": (sample_temperature_df, SAMPLE_TEMPERATURE_SQL),
+    # Efraimidis-Spirakis weighted WOR: hash-derived exponential keys,
+    # global top-k (TakeOrderedAndProject — O(k) per partition + driver)
+    "sample_weighted": (sample_weighted_df, SAMPLE_WEIGHTED_SQL),
 }

@@ -107,6 +107,58 @@ FROM documents
 """
 
 
+# --- per-source quality percentile gate (r13) --------------------------------
+
+# keep documents at or above this quality percentile WITHIN their source
+QUALITY_PCT_FLOOR = 0.25
+
+
+def quality_source_percentile_df(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Per-SOURCE quality filtering — the curation gate that drops each
+    domain's own worst tail instead of applying one global threshold (a
+    global cut silently deletes entire low-scoring-but-wanted sources;
+    per-source percentiles keep every source's best 75%).
+
+    Each doc gets its quality percent-rank WITHIN its source (scores
+    rounded to 6dp BEFORE ranking so cross-engine ulp noise cannot flip
+    ties; remaining ties broken by doc_id, making the rank a pure
+    function of the data) and survives iff rank >= the floor.
+
+    Scale shape: one shuffle on the source key.  The exact percent-rank
+    sort is per-source; a single mega-source is the skew risk, and the
+    production cut for that shape is the two-pass variant this module
+    already demonstrates the machinery for: per-source
+    ``percentile_approx`` thresholds (mergeable GK sketch, map-side
+    combine — see quantiles_approx_bounds) broadcast back as a
+    threshold join, making the gate map-only at any source size.  The
+    exact form is registered because its values are oracle-checkable
+    cell-for-cell."""
+    from pyspark.sql import Window
+
+    q = F.round(quality_score_expr(), 6)
+    w = Window.partitionBy("source").orderBy("quality_score", "doc_id")
+    return (_docs(spark, sf_dir)
+            .select("doc_id", "source", q.alias("quality_score"))
+            .withColumn("q_pct_rank",
+                        F.round(F.percent_rank().over(w), 6))
+            .where(F.col("q_pct_rank") >= QUALITY_PCT_FLOOR))
+
+
+QUALITY_SOURCE_PERCENTILE_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         round({sql_quality_score('text')}, 6) AS quality_score
+  FROM documents)
+SELECT doc_id, source, quality_score,
+       round(percent_rank() OVER (
+           PARTITION BY source
+           ORDER BY quality_score, doc_id), 6) AS q_pct_rank
+FROM scored
+QUALIFY q_pct_rank >= {QUALITY_PCT_FLOOR}
+"""
+
+
 # --- per-source quality drift gate (r11) ------------------------------------
 
 # docs below this id play the already-ingested baseline cohort for the

@@ -1,0 +1,110 @@
+"""Streaming twin of the count-min heavy-hitter bounds —
+:func:`ringo_spark.operators.text.vocab_topk_cms_bounds_df` — closing
+the streaming story for the third mergeable sketch (HLL distincts and
+GK quantiles already have batch bounds rows; drift/anomaly/sessionize/
+span-dedup have stateful twins).
+
+Why this shape: token-frequency tracking over an UNBOUNDED ingest
+stream cannot keep exact per-token state (the vocabulary grows without
+bound).  A count-min sketch is fixed-size and mergeable — each
+micro-batch aggregates its own partial sketch distributed (the same
+JVM ``count_min_sketch`` expression as the batch operator, map-side
+combined), and partials merge by cell-wise counter ADDITION, which is
+commutative and associative.  So unlike the span-dedup twin there is
+NO ordering contract: any batch split, any replay order, merges to the
+bit-identical sketch the batch single-pass aggregation produces —
+that is the mergeability property, and the test pins it.
+
+State/driver cost: one sketch per micro-batch in the sink (eps=0.005,
+conf=0.99 -> ~2.7 KB x depth rows each); the snapshot reader merges
+them driver-side — O(batches) sketch bytes, never O(vocabulary).  A
+long-running deployment would compact old ``batch_id=`` partitions
+into one merged sketch row with the same ``mergeInPlace`` call.
+
+Exact probe counts ride along per batch for a FIXED probe set only
+(bounded, broadcast as a literal array) so the sink also carries the
+ground truth the CMS guarantee is checked against — the streaming form
+of the batch operator's exact_count column.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.text import CMS_CONFIDENCE, CMS_EPS, CMS_SEED
+from ..operators.textfn import tokens
+
+
+def streaming_cms_vocab(probe_tokens: list[str]):
+    """foreachBatch maker (the :mod:`streaming.dedup` pattern): each
+    micro-batch of (doc_id, text) rows writes one partial row —
+    (n_tokens, CMS sketch bytes, exact counts over ``probe_tokens``) —
+    under its ``batch_id=`` partition.  Overwrite-by-batch_id makes a
+    retried trigger replace its own output (exactly-once sink
+    semantics, the r06 ADVICE pattern).
+
+    Usage::
+
+        writer = streaming_cms_vocab(probes)
+        (stream.writeStream.foreachBatch(writer(sink_path))
+         .trigger(availableNow=True).start())
+    """
+    probe_arr = F.array(*[F.lit(t) for t in probe_tokens])
+
+    def batch_writer(sink_path: str):
+        def write(batch_df: DataFrame, batch_id: int) -> None:
+            toks = batch_df.select(
+                F.explode(tokens(F.col("text"))).alias("token"))
+            partial = toks.agg(
+                F.count(F.lit(1)).alias("n_tokens"),
+                F.count_min_sketch(
+                    "token", F.lit(CMS_EPS), F.lit(CMS_CONFIDENCE),
+                    F.lit(CMS_SEED)).alias("sketch"))
+            probes = (toks.where(F.array_contains(probe_arr, F.col("token")))
+                      .groupBy("token")
+                      .agg(F.count(F.lit(1)).alias("exact_count")))
+            row = partial.crossJoin(
+                probes.agg(F.map_from_entries(F.collect_list(
+                    F.struct("token", "exact_count"))).alias("probe_counts")))
+            row.write.mode("overwrite").parquet(
+                os.path.join(sink_path, f"batch_id={batch_id}"))
+
+        return write
+
+    return batch_writer
+
+
+def cms_vocab_snapshot(spark: SparkSession, sink_path: str,
+                       probe_tokens: list[str]) -> DataFrame:
+    """Merge every batch partial into the current corpus view: one row
+    per probe token with the exact streamed count, the merged-sketch
+    estimate, and the CMS guarantee verdict (estimate never BELOW the
+    exact count; overcount bounded by eps * total stream size).
+
+    The merge is ``CountMinSketch.mergeInPlace`` — cell-wise counter
+    addition over identically-seeded sketches, so the result is
+    bit-identical to a single-pass aggregation over the union of the
+    batches (pinned by ``test_streaming_cms_vocab_matches_batch``).
+    Driver cost: O(batches) sketch reads, each a few KB."""
+    parts = spark.read.parquet(sink_path).collect()
+    jvm = spark._jvm
+    merged, n_total = None, 0
+    exact: dict[str, int] = {t: 0 for t in probe_tokens}
+    for r in parts:
+        s = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            jvm.java.io.ByteArrayInputStream(bytes(r.sketch)))
+        merged = s if merged is None else (merged.mergeInPlace(s) or merged)
+        n_total += r.n_tokens
+        for t, c in (r.probe_counts or {}).items():
+            exact[t] += c
+    rows = []
+    for t in probe_tokens:
+        est = merged.estimateCount(t) if merged is not None else 0
+        ok = bool(exact[t] <= est <= exact[t] + CMS_EPS * n_total)
+        rows.append((t, exact[t], int(est), ok))
+    return spark.createDataFrame(
+        rows, "token string, exact_count long, cms_estimate long, "
+              "within_cms_bounds boolean")

@@ -1463,3 +1463,92 @@ def test_doc_dedup_spans_incremental_equals_batch_restriction(spark):
                   .collect())
     assert any(r.h in corpus_h for r in batch_hits), \
         "fixture must exercise the corpus-owner removal path"
+
+
+def test_sample_weighted_is_deterministic_weighted_wor(spark):
+    """A-ES weighted sampling invariants: exactly K rows with dense
+    unique ranks, reruns bit-identical, and inclusion probability really
+    is proportional-to-size — the selected docs' mean weight must sit
+    clearly above the corpus mean (longer docs likelier), which a
+    uniform sampler would violate."""
+    from ringo_spark.operators.sampling import (
+        WEIGHTED_K, sample_weighted_df,
+    )
+
+    out = sample_weighted_df(spark, SF).collect()
+    assert len(out) == WEIGHTED_K
+    assert sorted(r.sel_rank for r in out) == list(range(1, WEIGHTED_K + 1))
+    again = sample_weighted_df(spark, SF).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
+    sel_mean = sum(r.weight for r in out) / len(out)
+    assert sel_mean > corpus_mean * 1.05, \
+        f"weighted draw should skew long: {sel_mean} vs {corpus_mean}"
+    # sanity on the weight column itself: it is the clamped n_chars
+    n_chars = {r.doc_id: max(r.n_chars, 1) for r in docs.collect()}
+    assert all(r.weight == n_chars[r.doc_id] for r in out)
+
+
+def test_quality_source_percentile_keeps_top_tail_per_source(spark):
+    """Per-source gate invariants: within EVERY source the kept set is
+    exactly the top (1 - floor) of the (quality, doc_id) order — no
+    dropped doc outranks a kept one — and the kept fraction matches the
+    percent_rank cut, per source, not just globally."""
+    from ringo_spark.operators.text import (
+        QUALITY_PCT_FLOOR, quality_source_percentile_df, quality_score_expr,
+    )
+
+    kept = quality_source_percentile_df(spark, SF).collect()
+    assert kept
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "source",
+                    F.round(quality_score_expr(), 6).alias("q")).collect())
+    kept_ids = {r.doc_id for r in kept}
+    by_src = {}
+    for r in docs:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rows in by_src.items():
+        rows.sort(key=lambda r: (r.q, r.doc_id))
+        n = len(rows)
+        # percent_rank = (rank-1)/(n-1); kept iff >= floor
+        cut = [(i / (n - 1)) >= QUALITY_PCT_FLOOR for i in range(n)] \
+            if n > 1 else [True]
+        for r, keep in zip(rows, cut):
+            assert (r.doc_id in kept_ids) == keep, (src, r.doc_id)
+        frac = sum(cut) / n
+        assert 0.7 <= frac <= 0.8 or n < 10, (src, frac)
+
+
+def test_zorder_layout_bounds_both_dimensions(spark):
+    """The data-skipping property itself: every Morton range fixes the
+    top 4 bits of BOTH dimension buckets, so each range's user span AND
+    hour span are <= 15 out of 255 — a single-column sort would show
+    the full span on the other dimension.  Also pins the Morton kernel
+    against a pure-Python bit interleave."""
+    from ringo_spark.operators.layout import (
+        Z_BITS, morton_key, zorder_layout_df,
+    )
+
+    out = zorder_layout_df(spark, SF).collect()
+    assert out
+    total = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert sum(r.n_rows for r in out) == total
+    for r in out:
+        assert 0 <= r.z_range < 256
+        assert r.max_user_bucket - r.min_user_bucket <= 15, r
+        assert r.max_hour_bucket - r.min_hour_bucket <= 15, r
+
+    def py_morton(a, b, bits=Z_BITS):
+        z = 0
+        for i in range(bits):           # column 0 at even positions —
+            z |= ((a >> i) & 1) << (2 * i)      # the zorder_key layout
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    pairs = [(0, 0), (1, 0), (0, 1), (255, 255), (170, 85), (37, 201)]
+    df = spark.createDataFrame(pairs, "a INT, b INT").select(
+        "a", "b", morton_key(F.col("a"), F.col("b")).alias("z"))
+    for r in df.collect():
+        assert r.z == py_morton(r.a, r.b), (r.a, r.b)

@@ -583,3 +583,37 @@ def test_doc_dedup_spans_plan_shape(spark, monkeypatch):
         # the token-array frame joins via broadcast of the (small)
         # removal lists — never a corpus sort-merge on doc_id
         assert "SortMergeJoin" not in plan
+
+
+def test_r13_operators_plan_shapes(spark):
+    """The r13 additions keep their scale contracts visible in the
+    plan: weighted sampling is a TakeOrderedAndProject (per-partition
+    k-heaps, no full sort of the corpus), the percentile gate shuffles
+    once on the source key, and the z-order stats are codegen'd bit
+    math with a map-side partial aggregate — no Python anywhere."""
+    from ringo_spark.operators.layout import zorder_layout_df
+    from ringo_spark.operators.sampling import sample_weighted_df
+    from ringo_spark.operators.text import quality_source_percentile_df
+
+    sw = plan_of(spark, sample_weighted_df(spark, SF))
+    assert "TakeOrderedAndProject" in sw
+    # the only Sort orders the k selected rows, never the corpus: it
+    # must sit ABOVE the TakeOrderedAndProject in the tree (appear
+    # before it in the printed plan)
+    assert sw.index("Sort") < sw.index("TakeOrderedAndProject")
+
+    qp = plan_of(spark, quality_source_percentile_df(spark, SF), "simple")
+    assert qp.count("Exchange") == 1
+    assert "hashpartitioning(source" in qp
+
+    zo = plan_of(spark, zorder_layout_df(spark, SF), "simple")
+    # exactly one hash shuffle (the 256-group stats rollup); the only
+    # other exchange is the rangepartitioning of those 256 result rows
+    assert zo.count("hashpartitioning") == 1
+    assert zo.count("Exchange") == 2
+    before_exchange = zo.split("Exchange")[-1]
+    assert "HashAggregate" in before_exchange  # map-side partial
+
+    for plan in (sw, qp, zo):
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan

@@ -999,3 +999,73 @@ def test_streaming_drift_state_expires_on_watermark(spark, tmp_path):
     assert ("webB", 1, 1) in got
     # state store retains only the still-active source (webB)
     assert q.lastProgress["stateOperators"][0]["numRowsTotal"] == 1
+
+
+def test_streaming_cms_vocab_matches_batch(spark, tmp_path):
+    """The mergeable-sketch contract for the streaming CMS twin: replay
+    the corpus as three HASH-split micro-batches (CMS merge is cell-wise
+    counter addition — commutative, so unlike the span twin NO ordering
+    contract exists and a hash split is the honest replay), merge the
+    per-batch partial sketches, and the estimates must be BIT-EQUAL to
+    one single-pass count_min_sketch over the whole corpus.  Exact probe
+    counts must equal the batch groupBy, and every probe must sit inside
+    the CMS guarantee.  A retried micro-batch must replace its own
+    partial, not double it."""
+    import shutil
+
+    from ringo_spark.operators.text import CMS_CONFIDENCE, CMS_EPS, CMS_SEED
+    from ringo_spark.operators.textfn import tokens
+    from ringo_spark.streaming.vocab import (
+        cms_vocab_snapshot, streaming_cms_vocab,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    top = (toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+           .orderBy(F.desc("c"), F.asc("token")).limit(5).collect())
+    probes = [r.token for r in top]
+    want_exact = {r.token: r.c for r in top}
+
+    src = str(tmp_path / "cms-src")
+    os.makedirs(src)
+    for i in range(3):                       # hash split, any order is fine
+        part = docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == i)
+        stage = str(tmp_path / f"cmsstage{i}")
+        part.coalesce(1).write.parquet(stage)
+        f = next(x for x in os.listdir(stage) if x.endswith(".parquet"))
+        shutil.copy(os.path.join(stage, f), os.path.join(src, f"{i:02d}.parquet"))
+
+    sink = str(tmp_path / "cms-sink")
+    writer = streaming_cms_vocab(probes)
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1).parquet(src)
+    q = (stream.writeStream.foreachBatch(writer(sink))
+         .option("checkpointLocation", str(tmp_path / "ckpt-cms"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    snap = {r.token: r for r in
+            cms_vocab_snapshot(spark, sink, probes).collect()}
+    assert set(snap) == set(probes)
+
+    # batch single-pass sketch over the SAME corpus: estimates bit-equal
+    agg = toks.agg(F.count(F.lit(1)).alias("n"),
+                   F.count_min_sketch("token", F.lit(CMS_EPS),
+                                      F.lit(CMS_CONFIDENCE),
+                                      F.lit(CMS_SEED)).alias("s")).first()
+    jvm = spark._jvm
+    batch_cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(agg.s)))
+    for t in probes:
+        assert snap[t].exact_count == want_exact[t]
+        assert snap[t].cms_estimate == batch_cms.estimateCount(t)
+        assert snap[t].within_cms_bounds
+        assert snap[t].exact_count <= snap[t].cms_estimate
+
+    # retry idempotency: re-running one micro-batch's writer replaces
+    # its batch_id partition, so the snapshot is unchanged
+    batch0 = docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
+    writer(sink)(batch0, 0)
+    again = {r.token: tuple(r) for r in
+             cms_vocab_snapshot(spark, sink, probes).collect()}
+    assert again == {t: tuple(snap[t]) for t in probes}
