@@ -155,11 +155,16 @@ HEADLINE = [
     # round-12 new operators: duplicate-span removal + ingestion twin
     "doc_dedup_spans",
     "doc_dedup_spans_incremental",
-    # round-13 new operators: weighted WOR sampling (TakeOrdered top-k),
-    # the per-source quality percentile gate, and z-order layout stats
+    # round-13 new operators: weighted WOR sampling (TakeOrdered top-k)
+    # + its per-source stratified form (WindowGroupLimit), the
+    # per-source quality percentile gate + its GK-threshold scale
+    # contract, z-order layout stats, and BPE merge-pair counting
     "sample_weighted",
+    "sample_weighted_stratified",
     "quality_source_percentile",
+    "quality_gate_approx_bounds",
     "zorder_layout",
+    "bpe_pair_counts",
 ]
 
 RUNS_PER_QUERY = 2
@@ -169,12 +174,15 @@ RUNS_PER_QUERY = 2
 # (their deltas have no prior pin, so the driver record is their only
 # arbiter).  Everything else still lands in BENCH_DETAIL.json.
 COMPACT_EXTRA = [
-    # r13: the three new operators (no prior pins), plus the two span
+    # r13: the six new operators (no prior pins), plus the two span
     # operators that run this round's array_except kernel rewrite and
     # corpus_curation's min-struct dedup rewrite
     "sample_weighted",
+    "sample_weighted_stratified",
     "quality_source_percentile",
+    "quality_gate_approx_bounds",
     "zorder_layout",
+    "bpe_pair_counts",
     "doc_dedup_spans",
     "doc_dedup_spans_incremental",
 ]

@@ -55,8 +55,10 @@ from .text import (
     LANG_CONFUSION_SQL, LANG_ID_SQL, METRICS_UNPIVOT_SQL, TEXT_QUALITY_SQL,
     TFIDF_BM25_SQL, TOKEN_COUNT_SQL, VOCAB_TOPK_SQL,
     DOC_BIGRAM_LOGPROB_SQL, DOC_ENTROPY_SQL,
-    DOC_LOGPROB_SQL, QUALITY_SOURCE_PERCENTILE_SQL, TEXT_REPETITION_SQL,
-    VOCAB_TOPK_CMS_BOUNDS_SQL, quality_source_percentile_df,
+    BPE_PAIR_COUNTS_SQL, DOC_LOGPROB_SQL, QUALITY_GATE_APPROX_BOUNDS_SQL,
+    QUALITY_SOURCE_PERCENTILE_SQL, TEXT_REPETITION_SQL,
+    VOCAB_TOPK_CMS_BOUNDS_SQL, bpe_pair_counts_df,
+    quality_gate_approx_bounds_df, quality_source_percentile_df,
     benchmark_contamination_df, doc_bigram_logprob_df, doc_entropy_df,
     doc_fingerprint_df, doc_logprob_df,
     doc_rolling_hash_df, lang_confusion_df, lang_id_df, metrics_unpivot_df,
@@ -96,8 +98,11 @@ DRIVER_WINDOW: list[str] = [
     #    that stayed DISPLACED last round (ADVICE r12) --
     # -- new r13 operators (first driver rows) --
     "sample_weighted",
+    "sample_weighted_stratified",
     "quality_source_percentile",
+    "quality_gate_approx_bounds",
     "zorder_layout",
+    "bpe_pair_counts",
     "doc_dedup_spans",
     "doc_dedup_spans_incremental",
     "text_quality_drift",
@@ -125,9 +130,6 @@ DRIVER_WINDOW: list[str] = [
     # -- then the head of the r08/r09-rowed cohort, as slots allow --
     "fact_events_tenant_by_hour",
     "fact_events_hour_regrain",
-    "user_value_ema_segmented",
-    "sample_per_source_quota",
-    "sample_mixture",
     # -- core schema-level pipeline (driver-green r02-r04 + r07; pinned) --
     "dim_event_type",
     "fact_events_by_minute",
@@ -250,12 +252,16 @@ DISPLACED: list[str] = [
     # popped back out mid-r12 by the spans ingestion twin (keeps its
     # r08 record)
     "doc_logprob",
-    # popped back out mid-r13 by the three new r13 operators
-    # (sample_weighted / quality_source_percentile / zorder_layout);
+    # popped back out mid-r13 by the six new r13 operators
+    # (sample_weighted(+_stratified) / quality_source_percentile /
+    # quality_gate_approx_bounds / zorder_layout / bpe_pair_counts);
     # keep their r08/r09 records
     "multimodal_wav",
     "multimodal_wav_samples",
     "multimodal_features",
+    "user_value_ema_segmented",
+    "sample_per_source_quota",
+    "sample_mixture",
     # r08/r09-rowed cohort
     "q8_national_market_share",
     "q12_late_shipments",
@@ -414,6 +420,14 @@ _TEXT_QUERIES: dict[str, tuple] = {
     # mega-source scale cut, see docstring)
     "quality_source_percentile": (quality_source_percentile_df,
                                   QUALITY_SOURCE_PERCENTILE_SQL),
+    # the gate's SCALE path contract: GK sketch threshold per source,
+    # rank-space bracket pinned TRUE (the quantiles_approx_bounds
+    # pattern applied to the quality gate)
+    "quality_gate_approx_bounds": (quality_gate_approx_bounds_df,
+                                   QUALITY_GATE_APPROX_BOUNDS_SQL),
+    # BPE merge-pair counting: the tokenizer-training inner loop —
+    # vocab-sized pair explode, two map-side-combined aggregates, top-k
+    "bpe_pair_counts": (bpe_pair_counts_df, BPE_PAIR_COUNTS_SQL),
 }
 
 _MULTIMODAL_QUERIES: dict[str, tuple] = {

@@ -294,6 +294,49 @@ LIMIT {WEIGHTED_K}
 """
 
 
+WEIGHTED_K_PER_SOURCE = 10
+
+
+def sample_weighted_stratified_df(spark: SparkSession, sf_dir: str,
+                                  k: int = WEIGHTED_K_PER_SOURCE
+                                  ) -> DataFrame:
+    """Per-STRATUM weighted sampling without replacement: the A-ES
+    exponential-key draw of :func:`sample_weighted_df`, but the k
+    smallest keys win WITHIN each source — the per-domain byte-budget
+    selection (every crawl domain contributes its own weighted pick,
+    instead of large domains crowding out small ones globally).
+
+    Scale shape: one shuffle on the source key; Spark's
+    WindowGroupLimit pushes the rank bound MAP-side (plan-pinned), so
+    only ~k rows per source survive each partial sort — the same shape
+    as the per-source quota, with the weighted key replacing hash
+    order.  Deterministic: same portable hash, same cross-engine
+    double-derivation argument as the global sampler."""
+    w = F.greatest(F.col("n_chars"), F.lit(1))
+    u = (phash(F.col("doc_id").cast("string"), WEIGHT_SEED) + 1) / _U_DENOM
+    key = -F.ln(u) / w
+    win = Window.partitionBy("source").orderBy("k", "doc_id")
+    return (_docs(spark, sf_dir)
+            .select("doc_id", "source", w.alias("weight"), key.alias("k"))
+            .withColumn("sel_rank", F.row_number().over(win))
+            .where(F.col("sel_rank") <= k)
+            .select("doc_id", "source", "weight", "sel_rank"))
+
+
+SAMPLE_WEIGHTED_STRATIFIED_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, source, greatest(n_chars, 1) AS weight,
+         -ln(({sql_phash("doc_id::VARCHAR", WEIGHT_SEED)} + 1)
+             / {2 ** 60}.0) / greatest(n_chars, 1) AS k
+  FROM documents)
+SELECT doc_id, source, weight,
+       CAST(row_number() OVER (
+           PARTITION BY source ORDER BY k, doc_id) AS INT) AS sel_rank
+FROM keyed
+QUALIFY sel_rank <= {WEIGHTED_K_PER_SOURCE}
+"""
+
+
 SAMPLING_QUERIES: dict[str, tuple] = {
     "sample_hash_split": (sample_hash_split_df, SAMPLE_HASH_SPLIT_SQL),
     # near-dup-aware split: clusters (from the persisted index — same
@@ -312,4 +355,8 @@ SAMPLING_QUERIES: dict[str, tuple] = {
     # Efraimidis-Spirakis weighted WOR: hash-derived exponential keys,
     # global top-k (TakeOrderedAndProject — O(k) per partition + driver)
     "sample_weighted": (sample_weighted_df, SAMPLE_WEIGHTED_SQL),
+    # same draw per SOURCE stratum (WindowGroupLimit pushes the rank
+    # bound map-side — the per-domain byte-budget selection)
+    "sample_weighted_stratified": (sample_weighted_stratified_df,
+                                   SAMPLE_WEIGHTED_STRATIFIED_SQL),
 }

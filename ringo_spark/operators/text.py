@@ -159,6 +159,81 @@ QUALIFY q_pct_rank >= {QUALITY_PCT_FLOOR}
 """
 
 
+QUALITY_GATE_ACCURACY = 1000             # GK sketch accuracy (eps = 1e-3)
+QUALITY_GATE_RANK_EPS = 3.0 / QUALITY_GATE_ACCURACY   # 3x published bound
+
+
+def quality_gate_approx_bounds_df(spark: SparkSession, sf_dir: str,
+                                  probe_p: float = QUALITY_PCT_FLOOR
+                                  ) -> DataFrame:
+    """The SCALE path of :func:`quality_source_percentile_df`, with its
+    rank-error contract made driver-hashable (the quantile twin is
+    ``quantiles_approx_bounds``): instead of percent-ranking every doc
+    inside a per-source sort, the gate threshold comes from
+    ``approx_percentile`` — a Greenwald-Khanna sketch that merges
+    MAP-SIDE, so a mega-source never funnels through one partition's
+    sort; the gate itself is then a broadcast threshold join, map-only.
+
+    Per source the query emits the exact doc count, the exact kept
+    count of the percent-rank gate (closed form under the gate's unique
+    (quality, doc_id) ordering: kept = n - ceil(floor_pct*(n-1)) — the
+    oracle reproduces it cell-exactly), the exact threshold element
+    (the lowest kept quality), and a boolean asserting the sketch
+    threshold lies between the order statistics at ranks
+    floor_pct*n ± 3ε·n (ε = 1/accuracy) — a rank-space bracket on real
+    elements, pinned TRUE by the oracle so sketch drift past 3x the
+    published bound turns the driver row red.  (The bracket needs the
+    sorted group — fine for a bounds/diagnostic query; the production
+    path is the sketch alone.)
+
+    ``probe_p`` exists for the falsifiability pin only: asking the
+    sketch for a different percentile than the bracket checks must turn
+    the boolean False on any non-trivial source (pytest-pinned) — i.e.
+    the bracket is tight enough to actually catch a wrong threshold."""
+    q = F.round(quality_score_expr(), 6)
+    agg = (_docs(spark, sf_dir)
+           .select("source", q.alias("q"))
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.expr(f"approx_percentile(q, {probe_p}D, "
+                       f"{QUALITY_GATE_ACCURACY})").alias("t_approx"),
+                F.sort_array(F.collect_list("q")).alias("vals")))
+    n = F.col("n")
+    kept_exact = (n - F.ceil(F.lit(QUALITY_PCT_FLOOR) * (n - 1))) \
+        .cast("long")
+    cut_idx = (F.ceil(F.lit(QUALITY_PCT_FLOOR) * (n - 1)) + 1).cast("int")
+    lo = F.greatest(F.lit(1),
+                    F.floor(F.lit(QUALITY_PCT_FLOOR - QUALITY_GATE_RANK_EPS)
+                            * n).cast("int"))
+    hi = F.least(n.cast("int"),
+                 (F.ceil(F.lit(QUALITY_PCT_FLOOR + QUALITY_GATE_RANK_EPS)
+                         * n) + 1).cast("int"))
+    within = (F.element_at("vals", lo) <= F.col("t_approx")) \
+        & (F.col("t_approx") <= F.element_at("vals", hi))
+    return (agg.select("source", "n",
+                       kept_exact.alias("kept_exact"),
+                       F.element_at("vals", cut_idx).alias("t_exact"),
+                       within.alias("within_rank_bounds"))
+            .orderBy("source"))
+
+
+QUALITY_GATE_APPROX_BOUNDS_SQL = f"""
+WITH scored AS (
+  SELECT source, round({sql_quality_score('text')}, 6) AS q
+  FROM documents)
+SELECT source, count(*) AS n,
+       CAST(count(*) - ceil({QUALITY_PCT_FLOOR} * (count(*) - 1))
+            AS BIGINT) AS kept_exact,
+       list_sort(list(q))[
+           CAST(ceil({QUALITY_PCT_FLOOR} * (count(*) - 1)) + 1 AS INT)]
+         AS t_exact,
+       TRUE AS within_rank_bounds
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
 # --- per-source quality drift gate (r11) ------------------------------------
 
 # docs below this id play the already-ingested baseline cohort for the
@@ -994,4 +1069,63 @@ FROM (SELECT unnest({sql_tokens('text')}) AS token FROM documents)
 GROUP BY token
 ORDER BY exact_count DESC, token
 LIMIT {VOCAB_TOP_N}
+"""
+
+
+# --- BPE merge-pair counting (r13) -------------------------------------------
+#
+# The inner loop of byte-pair-encoding tokenizer training: count every
+# adjacent symbol pair across the corpus, weighted by word frequency,
+# and rank the merge candidates.  Training iterates this — apply the
+# top merge to the symbol sequences, recount — and EVERY iteration is
+# exactly this one map+aggregate pass, so the operator's plan shape is
+# the scale story for the whole training loop.
+
+BPE_TOP_PAIRS = 50
+
+
+def bpe_pair_counts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent character-pair counts over distinct words,
+    weighted by word frequency — BPE merge candidates, ranked.
+
+    Scale shape: the word-frequency aggregate shuffles (word, count)
+    pairs only (map-side combined); pair generation then explodes the
+    DISTINCT vocabulary, not the corpus (each word's pairs are emitted
+    once and weighted by its count — on web corpora the vocab is orders
+    of magnitude smaller than the token stream); the pair rollup is a
+    second map-side-combined aggregate, and the final ranking is
+    top-k = TakeOrderedAndProject.  Nothing corpus-sized is ever sorted
+    or carried past the first aggregate."""
+    words = (_docs(spark, sf_dir)
+             .select(F.explode(tokens(F.col("text"))).alias("w"))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    pair_arr = F.when(
+        F.length("w") >= 2,
+        F.transform(F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.substring(F.col("w"), i, 2))
+    ).otherwise(F.array().cast("array<string>"))
+    return (words
+            .select(F.explode(pair_arr).alias("pair"), "c")
+            .groupBy("pair").agg(F.sum("c").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("pair"))
+            .limit(BPE_TOP_PAIRS))
+
+
+BPE_PAIR_COUNTS_SQL = f"""
+WITH words AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest({sql_tokens('text')}) AS w FROM documents)
+  GROUP BY w),
+pairs AS (
+  SELECT unnest(CASE WHEN length(w) >= 2
+                     THEN [substr(w, i, 2)
+                           for i in generate_series(1, length(w) - 1)]
+                     ELSE [] END) AS pair,
+         c
+  FROM words)
+SELECT pair, CAST(sum(c) AS BIGINT) AS pair_count
+FROM pairs
+GROUP BY pair
+ORDER BY pair_count DESC, pair
+LIMIT {BPE_TOP_PAIRS}
 """

@@ -1552,3 +1552,90 @@ def test_zorder_layout_bounds_both_dimensions(spark):
         "a", "b", morton_key(F.col("a"), F.col("b")).alias("z"))
     for r in df.collect():
         assert r.z == py_morton(r.a, r.b), (r.a, r.b)
+
+
+def test_quality_gate_approx_bounds_contract_and_falsifiable(spark):
+    """The GK-threshold scale path's contract: every source's sketch
+    threshold sits inside the ±3ε rank bracket (pinned TRUE), kept_exact
+    equals the registered exact gate's per-source count, and the bracket
+    is FALSIFIABLE — probing the sketch at p=0.75 while bracketing at
+    0.25 must flip the boolean on every source big enough that the
+    brackets cannot overlap."""
+    from ringo_spark.operators.text import (
+        quality_gate_approx_bounds_df, quality_source_percentile_df,
+    )
+
+    out = {r.source: r for r in
+           quality_gate_approx_bounds_df(spark, SF).collect()}
+    assert out and all(r.within_rank_bounds for r in out.values())
+
+    kept = quality_source_percentile_df(spark, SF).groupBy("source") \
+        .agg(F.count(F.lit(1)).alias("k")).collect()
+    for r in kept:
+        assert out[r.source].kept_exact == r.k, r.source
+    # t_exact is the lowest kept quality per source
+    low = quality_source_percentile_df(spark, SF).groupBy("source") \
+        .agg(F.min("quality_score").alias("m")).collect()
+    for r in low:
+        assert out[r.source].t_exact == r.m, r.source
+
+    wrong = quality_gate_approx_bounds_df(spark, SF, probe_p=0.75).collect()
+    big = [r for r in wrong if r.n >= 20]
+    assert big and all(not r.within_rank_bounds for r in big), \
+        "a wrong threshold must fall outside the rank bracket"
+
+
+def test_bpe_pair_counts_matches_python_recount(spark):
+    """Pin the BPE merge-pair counting against a pure-Python recount of
+    the same corpus: identical pairs, counts, and tie ordering."""
+    from collections import Counter
+
+    from ringo_spark.operators.text import BPE_TOP_PAIRS, bpe_pair_counts_df
+
+    texts = [r.text for r in
+             spark.read.parquet(f"{SF}/documents.parquet").collect()]
+    words = Counter()
+    for t in texts:
+        import re
+        words.update(re.split(r"\s+", t))
+    pairs = Counter()
+    for w, c in words.items():
+        for i in range(len(w) - 1):
+            pairs[w[i:i + 2]] += c
+    want = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP_PAIRS]
+
+    got = [(r.pair, r.pair_count)
+           for r in bpe_pair_counts_df(spark, SF).collect()]
+    assert got == want
+
+
+def test_sample_weighted_stratified_per_source_topk(spark):
+    """Per-stratum draw invariants: every source contributes at most K
+    docs with dense 1..K ranks, and each source's selected set is
+    exactly the K smallest exponential keys within that source (checked
+    against the full key table, no re-derivation drift)."""
+    from ringo_spark.operators.sampling import (
+        WEIGHTED_K_PER_SOURCE, _U_DENOM, WEIGHT_SEED,
+        sample_weighted_stratified_df,
+    )
+    from ringo_spark.operators.textfn import phash
+
+    out = sample_weighted_stratified_df(spark, SF).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+
+    u = (phash(F.col("doc_id").cast("string"), WEIGHT_SEED) + 1) / _U_DENOM
+    key = -F.ln(u) / F.greatest(F.col("n_chars"), F.lit(1))
+    all_keys = (spark.read.parquet(f"{SF}/documents.parquet")
+                .select("doc_id", "source", key.alias("k")).collect())
+    keys_by_src = {}
+    for r in all_keys:
+        keys_by_src.setdefault(r.source, []).append((r.k, r.doc_id))
+    for src, rows in by_src.items():
+        n_src = len(keys_by_src[src])
+        k_eff = min(WEIGHTED_K_PER_SOURCE, n_src)
+        assert sorted(r.sel_rank for r in rows) == list(range(1, k_eff + 1))
+        want = {d for _, d in sorted(keys_by_src[src])[:k_eff]}
+        assert {r.doc_id for r in rows} == want, src
+    assert set(by_src) == set(keys_by_src)

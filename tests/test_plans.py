@@ -614,6 +614,24 @@ def test_r13_operators_plan_shapes(spark):
     before_exchange = zo.split("Exchange")[-1]
     assert "HashAggregate" in before_exchange  # map-side partial
 
-    for plan in (sw, qp, zo):
+    from ringo_spark.operators.sampling import sample_weighted_stratified_df
+    from ringo_spark.operators.text import bpe_pair_counts_df
+
+    # per-stratum weighted draw: the rank bound must push MAP-side
+    # (WindowGroupLimit), so only ~k rows per source survive each
+    # partial sort — never a full per-source sort of the corpus
+    st = plan_of(spark, sample_weighted_stratified_df(spark, SF))
+    assert "WindowGroupLimit" in st
+    assert "hashpartitioning(source" in st
+
+    # BPE pair counting: final ranking is a top-k merge, and both
+    # aggregates combine map-side (partial before each exchange)
+    bp = plan_of(spark, bpe_pair_counts_df(spark, SF))
+    assert "TakeOrderedAndProject" in bp
+    simple_bp = plan_of(spark, bpe_pair_counts_df(spark, SF), "simple")
+    for seg in simple_bp.split("Exchange")[1:]:
+        assert "HashAggregate" in seg
+
+    for plan in (sw, qp, zo, st, bp):
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
