@@ -217,6 +217,31 @@ def quality_gate_approx_bounds_df(spark: SparkSession, sf_dir: str,
             .orderBy("source"))
 
 
+def quality_source_gate_gk_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of the per-source quality gate at mega-source
+    scale: per-source thresholds from one map-side-mergeable GK sketch
+    aggregate (#sources rows), broadcast back, and the gate itself is a
+    map-only predicate — the corpus never sorts and never shuffles.
+    Keeps docs with quality >= the source's ~25th-percentile element.
+
+    Not oracle-registered: within ±ε rank of the cut the kept set
+    differs from the exact gate by design (GK's published guarantee);
+    :func:`quality_gate_approx_bounds_df` is the registered contract
+    that brackets exactly that error, and the scale probe's `gate` lane
+    measures wall-time and agreement against the exact gate at k-scaled
+    corpora."""
+    q = F.round(quality_score_expr(), 6)
+    scored = _docs(spark, sf_dir).select("doc_id", "source",
+                                         q.alias("quality_score"))
+    thresholds = (scored.groupBy("source")
+                  .agg(F.expr(f"approx_percentile(quality_score, "
+                              f"{QUALITY_PCT_FLOOR}D, "
+                              f"{QUALITY_GATE_ACCURACY})").alias("t")))
+    return (scored.join(F.broadcast(thresholds), "source")
+            .where(F.col("quality_score") >= F.col("t"))
+            .select("doc_id", "source", "quality_score"))
+
+
 QUALITY_GATE_APPROX_BOUNDS_SQL = f"""
 WITH scored AS (
   SELECT source, round({sql_quality_score('text')}, 6) AS q

@@ -94,6 +94,8 @@ def cms_vocab_snapshot(spark: SparkSession, sink_path: str,
     merged, n_total = None, 0
     exact: dict[str, int] = {t: 0 for t in probe_tokens}
     for r in parts:
+        if r.sketch is None:     # an EMPTY micro-batch aggregates a null
+            continue             # sketch and zero counts — nothing to merge
         s = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
             jvm.java.io.ByteArrayInputStream(bytes(r.sketch)))
         merged = s if merged is None else (merged.mergeInPlace(s) or merged)

@@ -1639,3 +1639,36 @@ def test_sample_weighted_stratified_per_source_topk(spark):
         want = {d for _, d in sorted(keys_by_src[src])[:k_eff]}
         assert {r.doc_id for r in rows} == want, src
     assert set(by_src) == set(keys_by_src)
+
+
+def test_quality_gate_gk_production_form_agreement(spark):
+    """The production GK gate vs the exact percent-rank gate: below the
+    sketch's accuracy the GK sketch is exact, so the value-cut keeps a
+    SUPERSET of the exact rank-cut differing only by docs TIED with the
+    threshold element below the cut rank — pinned exactly, per source."""
+    from ringo_spark.operators.text import (
+        quality_score_expr, quality_source_gate_gk_df,
+        quality_source_percentile_df,
+    )
+
+    exact = {r.doc_id for r in quality_source_percentile_df(spark, SF)
+             .collect()}
+    gk_rows = quality_source_gate_gk_df(spark, SF).collect()
+    gk = {r.doc_id for r in gk_rows}
+    assert exact <= gk
+
+    # the surplus is exactly the sub-cut docs tied with each source's
+    # threshold element
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "source",
+                    F.round(quality_score_expr(), 6).alias("q")).collect())
+    t_by_src = {}
+    for r in sorted(docs, key=lambda r: (r.source, r.q, r.doc_id)):
+        t_by_src.setdefault(r.source, []).append(r)
+    surplus_want = set()
+    for src, rows in t_by_src.items():
+        import math
+        cut = math.ceil(0.25 * (len(rows) - 1))
+        t = rows[cut].q
+        surplus_want |= {r.doc_id for r in rows[:cut] if r.q == t}
+    assert gk - exact == surplus_want

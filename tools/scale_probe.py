@@ -824,6 +824,111 @@ def ivf_scenario():
               f"| {prop} | {rec_prop:.3f} |", flush=True)
 
 
+def gate_scenario():
+    """Per-source quality gate: EXACT percent-rank (one per-source sort)
+    vs the PRODUCTION GK-threshold form (mergeable sketch + broadcast
+    threshold join, map-only gate) at k-replicated sf0.1 corpora.  The
+    claim under test: the GK form's advantage grows with corpus size
+    (the exact form pays a per-source sort of everything; the GK form
+    pays one sketch aggregate), and its kept-set disagreement with the
+    exact gate stays at the tie/epsilon boundary — measured, not
+    asserted."""
+    from ringo_spark.catalog import get_spark
+    from ringo_spark.operators.text import (
+        quality_source_gate_gk_df, quality_source_percentile_df,
+    )
+
+    spark = get_spark("scale-probe-gate")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+    rows = []
+    for k in COPIES:
+        d = build(spark, k)
+        # the mega-source leg: same corpus, ONE source — the skew shape
+        # the GK form exists for (the exact gate must sort everything
+        # inside a single window partition)
+        mega = os.path.join(SCRATCH, f"mega_x{k}")
+        if not os.path.exists(os.path.join(mega, "documents.parquet")):
+            (spark.read.parquet(f"{d}/documents.parquet")
+             .withColumn("source", F.lit("mega"))
+             .write.mode("overwrite")
+             .parquet(os.path.join(mega, "documents.parquet")))
+        for label, dd in ((f"{k} (20 src)", d), (f"{k} (1 src)", mega)):
+            n = spark.read.parquet(f"{dd}/documents.parquet").count()
+            t0 = time.time()
+            ex = {r.doc_id for r in
+                  quality_source_percentile_df(spark, dd).collect()}
+            t_ex = time.time() - t0
+            t0 = time.time()
+            gk = {r.doc_id for r in
+                  quality_source_gate_gk_df(spark, dd).collect()}
+            t_gk = time.time() - t0
+            rows.append(f"| {label} | {n} | {t_ex:.2f} | {t_gk:.2f} "
+                        f"| {len(ex)} | {len(gk)} | {len(ex ^ gk)} |")
+    print("| k | docs | exact s | gk s | kept exact | kept gk | sym diff |")
+    print("|---|---|---|---|---|---|---|")
+    print("\n".join(rows), flush=True)
+
+
+def zorder_scenario():
+    """Z-order layout vs single-column sort, measured on REAL parquet
+    footers at sf0.1: write events (a) time-sorted and (b) z-ordered on
+    (user_id, hour), then count the files a min/max-stats reader must
+    scan for a point-ish predicate on EACH dimension.  The claim: the
+    time-sorted layout prunes only on time; the z-ordered layout prunes
+    on BOTH."""
+    import pyarrow.parquet as pq
+
+    from ringo_spark.catalog import get_spark, load_catalog
+    from ringo_spark.sources.layout import write_zordered
+    from ringo_spark.testbed import EVENTS
+
+    spark = get_spark("scale-probe-zorder")
+    spark.sparkContext.setLogLevel("ERROR")
+    n_files = 64
+    ev = (load_catalog(spark, SRC, [EVENTS])["events"]
+          .select("event_id", "user_id",
+                  F.floor(F.unix_timestamp("ts") / 3600).alias("hour"),
+                  "event_type", "value"))
+    ts_dir = os.path.join(SCRATCH, "ev_timesorted")
+    z_dir = os.path.join(SCRATCH, "ev_zordered")
+    (ev.repartitionByRange(n_files, "hour").sortWithinPartitions("hour")
+     .write.mode("overwrite").parquet(ts_dir))
+    write_zordered(ev, ["user_id", "hour"], z_dir, n_files)
+
+    def admitted(path, col, lo, hi):
+        tot, hit = 0, 0
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            tot += 1
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            i = md.schema.to_arrow_schema().get_field_index(col)
+            mn = min(md.row_group(g).column(i).statistics.min
+                     for g in range(md.num_row_groups))
+            mx = max(md.row_group(g).column(i).statistics.max
+                     for g in range(md.num_row_groups))
+            if mn <= hi and lo <= mx:
+                hit += 1
+        return hit, tot
+
+    stats = ev.agg(F.min("user_id"), F.max("user_id"),
+                   F.min("hour"), F.max("hour")).collect()[0]
+    u_lo, u_hi = stats[0], stats[1]
+    h_lo, h_hi = stats[2], stats[3]
+    u_probe = (u_lo + (u_hi - u_lo) // 2, u_lo + (u_hi - u_lo) // 2
+               + max(1, (u_hi - u_lo) // 100))
+    h_probe = (h_lo + (h_hi - h_lo) // 2, h_lo + (h_hi - h_lo) // 2
+               + max(1, (h_hi - h_lo) // 100))
+    print(f"| layout | files scanned, user_id in {u_probe} "
+          f"| files scanned, hour in {h_probe} |")
+    print("|---|---|---|")
+    for name, d in (("time-sorted", ts_dir), ("z-ordered", z_dir)):
+        u_hit, tot = admitted(d, "user_id", *u_probe)
+        h_hit, _ = admitted(d, "hour", *h_probe)
+        print(f"| {name} | {u_hit}/{tot} | {h_hit}/{tot} |", flush=True)
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "skew":
         skew_scenario()
@@ -841,5 +946,9 @@ if __name__ == "__main__":
         ingest_scenario()
     elif len(sys.argv) > 1 and sys.argv[1] == "massdup":
         massdup_scenario()
+    elif len(sys.argv) > 1 and sys.argv[1] == "gate":
+        gate_scenario()
+    elif len(sys.argv) > 1 and sys.argv[1] == "zorder":
+        zorder_scenario()
     else:
         main()
