@@ -154,6 +154,27 @@ SELECTION = [
      "only (persisted at scale; appended per batch), the batch side is "
      "batch-sized end to end — owner min, index probe, removal lists, "
      "map-side reconstruction; ingestion never re-chunks the corpus"),
+    ("sample_weighted",
+     "weighted WOR sampling: the A-ES exponential key is a map-side "
+     "expression; selection is TakeOrderedAndProject — per-partition "
+     "k-heaps merged on the driver (O(k) memory everywhere, no full "
+     "sort, no shuffle); the rank Window sits ABOVE the top-k, so it "
+     "orders 100 rows, never the corpus"),
+    ("sample_weighted_stratified",
+     "per-source weighted draw: one hashpartitioning(source) exchange "
+     "with WindowGroupLimit pushing the rank bound MAP-side — only ~k "
+     "rows per source survive each partial sort"),
+    ("quality_source_percentile",
+     "per-source percent-rank gate: exactly one hashpartitioning("
+     "source) exchange; quality scores are scan-stage expressions"),
+    ("bpe_pair_counts",
+     "BPE pair counting: pair explode runs over the DISTINCT vocab "
+     "(post-aggregate), both aggregates partial+final (map-side "
+     "combine), candidate ranking is TakeOrderedAndProject"),
+    ("zorder_layout",
+     "Morton layout stats: the interleave is codegen'd bit math in the "
+     "scan stage; one hashpartitioning rollup over 256 range ids (the "
+     "only other exchange range-partitions the 256 result rows)"),
 ]
 
 
