@@ -1069,3 +1069,10 @@ def test_streaming_cms_vocab_matches_batch(spark, tmp_path):
     again = {r.token: tuple(r) for r in
              cms_vocab_snapshot(spark, sink, probes).collect()}
     assert again == {t: tuple(snap[t]) for t in probes}
+
+    # an EMPTY micro-batch (idle trigger) writes a null sketch + zero
+    # counts; the snapshot must skip it, not crash or drift
+    writer(sink)(docs.where(F.lit(False)), 9)
+    still = {r.token: tuple(r) for r in
+             cms_vocab_snapshot(spark, sink, probes).collect()}
+    assert still == again
