@@ -17,9 +17,11 @@ that is the mergeability property, and the test pins it.
 
 State/driver cost: one sketch per micro-batch in the sink (eps=0.005,
 conf=0.99 -> ~2.7 KB x depth rows each); the snapshot reader merges
-them driver-side — O(batches) sketch bytes, never O(vocabulary).  A
-long-running deployment would compact old ``batch_id=`` partitions
-into one merged sketch row with the same ``mergeInPlace`` call.
+them driver-side — O(batches) sketch bytes, never O(vocabulary).
+:func:`compact_cms_sink` folds old ``batch_id=`` partitions into one
+merged row (the same ``mergeInPlace``), bounding sink growth on a
+long-running deployment; snapshots over the compacted sink are
+bit-identical (pytest-pinned).
 
 Exact probe counts ride along per batch for a FIXED probe set only
 (bounded, broadcast as a literal array) so the sink also carries the
@@ -75,6 +77,64 @@ def streaming_cms_vocab(probe_tokens: list[str]):
         return write
 
     return batch_writer
+
+
+def compact_cms_sink(spark: SparkSession, sink_path: str,
+                     up_to_batch_id: int) -> None:
+    """Fold every partial with ``batch_id <= up_to_batch_id`` into ONE
+    merged row stored under the partition ``batch_id=<up_to_batch_id>``
+    — the O(batches)→O(1) state compaction the module contract
+    promises.  Safe against concurrent retries of compacted batches:
+    the merged row lives under the HIGHEST compacted batch_id, so a
+    late retry of an older batch would recreate a partial that the next
+    compaction (or snapshot, which sums counters) simply re-absorbs —
+    counter addition makes double-merge the only hazard, and the
+    deleted source partitions cannot be double-merged.  Token totals
+    and probe counts sum; the sketch bytes merge cell-wise, so a
+    snapshot over the compacted sink is bit-identical (pytest-pinned).
+    """
+    import shutil
+
+    from pyspark.sql import types as T
+
+    parts = spark.read.parquet(sink_path)
+    old = [r for r in parts.select("batch_id").distinct().collect()
+           if r.batch_id <= up_to_batch_id]
+    if not old:
+        return
+    rows = (parts.where(F.col("batch_id") <= up_to_batch_id)
+            .drop("batch_id").collect())
+    jvm = spark._jvm
+    merged, n_total = None, 0
+    exact: dict[str, int] = {}
+    for r in rows:
+        n_total += r.n_tokens
+        for t, c in (r.probe_counts or {}).items():
+            exact[t] = exact.get(t, 0) + c
+        if r.sketch is None:
+            continue
+        s = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            jvm.java.io.ByteArrayInputStream(bytes(r.sketch)))
+        merged = s if merged is None else (merged.mergeInPlace(s) or merged)
+    buf = jvm.java.io.ByteArrayOutputStream()
+    if merged is not None:
+        merged.writeTo(buf)
+    sketch_bytes = bytes(buf.toByteArray()) if merged is not None else None
+    schema = T.StructType([
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("sketch", T.BinaryType()),
+        T.StructField("probe_counts",
+                      T.MapType(T.StringType(), T.LongType())),
+    ])
+    compacted = spark.createDataFrame(
+        [(n_total, sketch_bytes, exact or None)], schema)
+    for r in old:          # drop the folded partials, then land the
+        if r.batch_id != up_to_batch_id:     # merged row atomically-ish
+            shutil.rmtree(os.path.join(sink_path,
+                                       f"batch_id={r.batch_id}"),
+                          ignore_errors=True)
+    compacted.write.mode("overwrite").parquet(
+        os.path.join(sink_path, f"batch_id={up_to_batch_id}"))
 
 
 def cms_vocab_snapshot(spark: SparkSession, sink_path: str,

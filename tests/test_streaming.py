@@ -1076,3 +1076,15 @@ def test_streaming_cms_vocab_matches_batch(spark, tmp_path):
     still = {r.token: tuple(r) for r in
              cms_vocab_snapshot(spark, sink, probes).collect()}
     assert still == again
+
+    # compaction folds all partials into one row; the snapshot stays
+    # bit-identical and the sink is down to a single batch_id partition
+    from ringo_spark.streaming.vocab import compact_cms_sink
+
+    compact_cms_sink(spark, sink, 9)
+    compacted = {r.token: tuple(r) for r in
+                 cms_vocab_snapshot(spark, sink, probes).collect()}
+    assert compacted == again
+    ids = {r.batch_id for r in spark.read.parquet(sink)
+           .select("batch_id").distinct().collect()}
+    assert ids == {9}
