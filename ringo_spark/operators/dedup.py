@@ -391,10 +391,27 @@ def dedup_minhash_lsh_indexed_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     service).  Query-time work is only the band self-join over (doc_id,
     band_key) rows and the broadcast verification joins."""
     p = build_minhash_index(spark, sf_dir)
-    bands = spark.read.parquet(_os.path.join(p, "bands"))
-    shingled = spark.read.parquet(_os.path.join(p, "shingles"))
+    bands, shingled = _index_tables(spark, p)
     cand = _ckpt(_candidate_pairs(bands))
     return _verify_pairs(cand, shingled)
+
+
+def _index_tables(spark: SparkSession, index_path: str):
+    """Load a minhash index's band + shingle tables with delete
+    propagation applied: rows for tombstoned docs
+    (:mod:`~ringo_spark.operators.deletion`) are anti-joined out at
+    read time, so every indexed/incremental/streaming consumer forgets
+    a deleted document without an index rewrite.  No tombstone log ->
+    both joins are no-ops (the registered oracles see the identical
+    plan inputs)."""
+    from .deletion import load_tombstones, subtract_tombstones
+
+    tombs = load_tombstones(spark, index_path)
+    bands = subtract_tombstones(
+        spark.read.parquet(_os.path.join(index_path, "bands")), tombs)
+    shingled = subtract_tombstones(
+        spark.read.parquet(_os.path.join(index_path, "shingles")), tombs)
+    return bands, shingled
 
 
 _SHINGLE_BASE_CTE = f"""
@@ -622,9 +639,9 @@ def dedup_minhash_lsh_capped_indexed_df(spark: SparkSession,
     :func:`dedup_minhash_lsh_capped_df` is pytest-pinned, so the same
     oracle applies."""
     p = build_minhash_index(spark, sf_dir, collapse=True)
-    bands = _capped_bands(spark.read.parquet(_os.path.join(p, "bands")))
-    shingled = spark.read.parquet(_os.path.join(p, "shingles"))
-    cand = _ckpt(_candidate_pairs(bands))
+    raw_bands, shingled = _index_tables(spark, p)
+    bands = _capped_bands(raw_bands)   # tombstones drop BEFORE capping:
+    cand = _ckpt(_candidate_pairs(bands))   # as if the doc were absent
     return _verify_pairs(cand, shingled)
 
 

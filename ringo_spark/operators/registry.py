@@ -524,12 +524,14 @@ _POPULATE_SOURCES = ["ringo_spark/populate/dimension.py",
 _TESTBED = "ringo_spark/testbed.py"
 _TEXTFN = "ringo_spark/operators/textfn.py"
 # dedup's execution set: dedup itself + similarity (bucket exprs, index
-# fingerprint/touch/gc lifecycle) + textfn (shingles/phash/cosine)
+# fingerprint/touch/gc lifecycle) + textfn (shingles/phash/cosine) +
+# deletion (tombstone-filtered index reads, r13)
+_DELETION = "ringo_spark/operators/deletion.py"
 _DEDUP_EXEC = ["ringo_spark/operators/dedup.py",
-               "ringo_spark/operators/similarity.py", _TEXTFN]
+               "ringo_spark/operators/similarity.py", _TEXTFN, _DELETION]
 FAMILY_SOURCES: dict[str, list[str]] = {
     "dedup": _DEDUP_EXEC,
-    "ann": ["ringo_spark/operators/similarity.py", _TEXTFN],
+    "ann": ["ringo_spark/operators/similarity.py", _TEXTFN, _DELETION],
     "text": ["ringo_spark/operators/text.py", _TEXTFN],
     "multimodal": ["ringo_spark/operators/multimodal.py"],
     "relational": ["ringo_spark/operators/relational.py", _TESTBED],

@@ -796,7 +796,9 @@ def ann_ivf_indexed_df(spark: SparkSession, sf_dir: str,
               .select("q_id", "q_emb", "cell"))
     probed_cells = sorted({r.cell for r in probes.select("cell").collect()})
 
-    idx = (spark.read.parquet(index_path)
+    from .deletion import index_rows
+
+    idx = (index_rows(spark, index_path, id_col="vec_id")
            .where(F.col("cell").isin(probed_cells))
            .select(F.col("vec_id").alias("n_id"),
                    F.col("embedding").alias("n_emb"),
@@ -1397,7 +1399,9 @@ def ann_lsh_indexed_df(spark: SparkSession, sf_dir: str,
                  F.col("embedding").alias("q_emb"),
                  _bucket_expr(F.col("embedding"), bits).alias("bucket")))
     q_buckets = sorted({r.bucket for r in q.select("bucket").collect()})
-    idx = (spark.read.parquet(index_path)
+    from .deletion import index_rows
+
+    idx = (index_rows(spark, index_path, id_col="vec_id")
            .where(F.col("bucket").isin(q_buckets))
            .select(F.col("vec_id").alias("n_id"),
                    F.col("embedding").alias("n_emb"),

@@ -77,11 +77,13 @@ def streaming_near_dedup(index_path: str,
                 from ..operators.similarity import _touch
 
                 _touch(marker)
-            corpus_bands = (spark.read
-                            .parquet(os.path.join(index_path, "bands"))
-                            .withColumnRenamed("doc_id", "doc_seen"))
-            corpus_sh = (spark.read
-                         .parquet(os.path.join(index_path, "shingles"))
+            # delete propagation: tombstoned corpus docs never match an
+            # arrival (merge-on-read; operators/deletion.py)
+            from ..operators.dedup import _index_tables
+
+            bands_t, sh_t = _index_tables(spark, index_path)
+            corpus_bands = bands_t.withColumnRenamed("doc_id", "doc_seen")
+            corpus_sh = (sh_t
                          .withColumnRenamed("doc_id", "doc_seen")
                          .withColumnRenamed("sh", "sh_s"))
             shingled = (batch_df

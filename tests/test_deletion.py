@@ -1,0 +1,112 @@
+"""Delete propagation (right-to-be-forgotten) over persisted indexes:
+tombstones mask at read time, compaction rewrites physically, and every
+index consumer forgets the deleted document."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ringo_spark.operators.dedup import (
+    _index_tables, build_minhash_index, dedup_minhash_lsh_indexed_df,
+)
+from ringo_spark.operators.deletion import (
+    TOMBSTONES, apply_tombstones, delete_report, index_rows,
+    load_tombstones, tombstone_docs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _indexed_pairs(spark, p):
+    from ringo_spark.operators.dedup import _candidate_pairs, _verify_pairs
+
+    bands, shingled = _index_tables(spark, p)
+    return {(r.doc_a, r.doc_b)
+            for r in _verify_pairs(_candidate_pairs(bands),
+                                   shingled).collect()}
+
+
+def test_minhash_tombstone_then_compact(spark, tmp_path):
+    """Tombstoning a doc removes every pair touching it from the indexed
+    dedup result (merge-on-read, non-vacuous); compaction produces the
+    identical result with the rows physically gone and the log cleared;
+    delete_report sees the masked rows in between."""
+    p = build_minhash_index(spark, SF, index_path=str(tmp_path / "mh"))
+    base = _indexed_pairs(spark, p)
+    assert base, "fixture must contain near-dup pairs"
+    victim = base and sorted(base)[0][0]
+
+    tombstone_docs(spark, p, [victim])
+    masked = _indexed_pairs(spark, p)
+    assert masked == {(a, b) for a, b in base if victim not in (a, b)}
+    assert masked != base, "victim must have been in some pair"
+
+    rep = {r.subdir: r for r in
+           delete_report(spark, p, ["bands", "shingles"]).collect()}
+    assert rep["bands"].masked_rows > 0
+    assert rep["shingles"].masked_rows == 1
+
+    apply_tombstones(spark, p, ["bands", "shingles"])
+    assert _indexed_pairs(spark, p) == masked
+    assert load_tombstones(spark, p) is None
+    assert not os.path.isdir(os.path.join(p, TOMBSTONES))
+    physical = spark.read.parquet(os.path.join(p, "shingles"))
+    assert physical.where(F.col("doc_id") == victim).count() == 0
+    # compaction with no log is a no-op, and re-tombstoning after
+    # compaction works (the lifecycle repeats)
+    apply_tombstones(spark, p, ["bands", "shingles"])
+    tombstone_docs(spark, p, [victim])   # already gone: masks nothing
+    assert _indexed_pairs(spark, p) == masked
+
+
+def test_streaming_prober_forgets_tombstoned_corpus_doc(spark, tmp_path):
+    """The streaming near-dup prober must stop matching arrivals against
+    a tombstoned corpus document — the ingestion-time half of delete
+    propagation."""
+    from ringo_spark.operators.dedup import INGESTED_BELOW
+    from ringo_spark.streaming.dedup import streaming_near_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = build_minhash_index(spark, SF, index_path=str(tmp_path / "mh2"))
+    # restrict the index to the "corpus" half like the prober lifecycle
+    # would: tombstone every batch-side id so only corpus rows serve
+    batch_ids = [r.doc_id for r in
+                 docs.where(F.col("doc_id") >= INGESTED_BELOW)
+                 .select("doc_id").collect()]
+    tombstone_docs(spark, p, batch_ids)
+
+    prober = streaming_near_dedup(p)
+    sink = str(tmp_path / "hits")
+    prober(sink)(docs.where(F.col("doc_id") >= INGESTED_BELOW), 0)
+    hits = spark.read.parquet(sink).collect()
+    assert hits, "fixture must produce cross-split near-dup hits"
+    seen = {r.doc_seen for r in hits}
+    victim = sorted(seen)[0]
+
+    tombstone_docs(spark, p, [victim])
+    prober(sink)(docs.where(F.col("doc_id") >= INGESTED_BELOW), 1)
+    hits2 = spark.read.parquet(os.path.join(sink, "batch_id=1")).collect()
+    assert {tuple(r) for r in hits2} == {
+        (r.doc_new, r.doc_seen, r.jaccard) for r in hits
+        if r.doc_seen != victim}
+
+
+def test_vector_index_rows_tombstone_and_compact(spark, tmp_path):
+    """The partitioned vector indexes (LSH buckets / IVF cells) go
+    through index_rows: tombstoned vec_ids disappear from reads while
+    partition discovery ignores the underscore-hidden log; compaction
+    preserves the partition column."""
+    from ringo_spark.operators.similarity import build_lsh_index
+
+    p = build_lsh_index(spark, SF, bits=4,
+                        index_path=str(tmp_path / "lsh"))
+    before = index_rows(spark, p, id_col="vec_id")
+    n = before.count()
+    victim = before.select("vec_id").orderBy("vec_id").first().vec_id
+
+    tombstone_docs(spark, p, [victim], id_col="vec_id")
+    after = index_rows(spark, p, id_col="vec_id")
+    assert after.count() == n - 1
+    assert after.where(F.col("vec_id") == victim).count() == 0
+    assert "bucket" in after.columns   # partition column survives the join
