@@ -104,6 +104,35 @@ def apply_tombstones(spark: SparkSession, index_path: str,
     shutil.rmtree(os.path.join(index_path, TOMBSTONES))
 
 
+def apply_tombstones_partitioned(spark: SparkSession, index_path: str,
+                                 partition_col: str,
+                                 id_col: str = "doc_id") -> None:
+    """Compaction for a PARTITIONED index root (LSH ``bucket=`` / IVF
+    ``cell=`` directories): rewrite the data minus tombstoned ids with
+    the same ``partitionBy`` layout, swap the partition dirs in, keep
+    every underscore-hidden sidecar (``_centroids``, markers) in place,
+    and clear the log last (same crash story as
+    :func:`apply_tombstones`).  Partition dirs the filter empties are
+    removed — their rows are all deleted."""
+    tombs = load_tombstones(spark, index_path, id_col)
+    if tombs is None:
+        return
+    kept = subtract_tombstones(spark.read.parquet(index_path), tombs,
+                               id_col)
+    tmp = index_path.rstrip("/") + "__compact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    kept.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+    is_part = f"{partition_col}="
+    for d in os.listdir(index_path):
+        if d.startswith(is_part):
+            shutil.rmtree(os.path.join(index_path, d))
+    for d in os.listdir(tmp):
+        if d.startswith(is_part):
+            os.rename(os.path.join(tmp, d), os.path.join(index_path, d))
+    shutil.rmtree(tmp)
+    shutil.rmtree(os.path.join(index_path, TOMBSTONES))
+
+
 def index_rows(spark: SparkSession, index_path: str,
                id_col: str = "doc_id") -> DataFrame:
     """Read an index's data rows with delete propagation applied — the

@@ -110,3 +110,20 @@ def test_vector_index_rows_tombstone_and_compact(spark, tmp_path):
     assert after.count() == n - 1
     assert after.where(F.col("vec_id") == victim).count() == 0
     assert "bucket" in after.columns   # partition column survives the join
+
+    # partitioned compaction: same rows physically, bucket= layout and
+    # sidecars intact, log cleared
+    from ringo_spark.operators.deletion import apply_tombstones_partitioned
+
+    before_buckets = {d for d in os.listdir(p) if d.startswith("bucket=")}
+    apply_tombstones_partitioned(spark, p, "bucket", id_col="vec_id")
+    assert load_tombstones(spark, p, id_col="vec_id") is None
+    physical = spark.read.parquet(p)
+    assert physical.count() == n - 1
+    assert physical.where(F.col("vec_id") == victim).count() == 0
+    after_buckets = {d for d in os.listdir(p) if d.startswith("bucket=")}
+    assert after_buckets <= before_buckets and after_buckets
+    # the vector indexes' cache marker is Spark's own _SUCCESS — it must
+    # survive the partition-dir swap or the next build_lsh_index call
+    # would rebuild (and resurrect the deleted rows)
+    assert os.path.exists(os.path.join(p, "_SUCCESS"))
