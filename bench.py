@@ -165,6 +165,7 @@ HEADLINE = [
     "quality_gate_approx_bounds",
     "zorder_layout",
     "bpe_pair_counts",
+    "dedup_minhash_lsh_deleted",
 ]
 
 RUNS_PER_QUERY = 2
@@ -174,7 +175,7 @@ RUNS_PER_QUERY = 2
 # (their deltas have no prior pin, so the driver record is their only
 # arbiter).  Everything else still lands in BENCH_DETAIL.json.
 COMPACT_EXTRA = [
-    # r13: the six new operators (no prior pins), plus the two span
+    # r13: the seven new operators (no prior pins), plus the two span
     # operators that run this round's array_except kernel rewrite and
     # corpus_curation's min-struct dedup rewrite
     "sample_weighted",
@@ -183,6 +184,7 @@ COMPACT_EXTRA = [
     "quality_gate_approx_bounds",
     "zorder_layout",
     "bpe_pair_counts",
+    "dedup_minhash_lsh_deleted",
     "doc_dedup_spans",
     "doc_dedup_spans_incremental",
 ]

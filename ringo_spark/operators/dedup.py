@@ -396,6 +396,42 @@ def dedup_minhash_lsh_indexed_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verify_pairs(cand, shingled)
 
 
+DELETED_DOC_ID = 8   # fixed demo takedown target: in near-dup pairs at
+                     # every test SF, so the deletion is non-vacuous
+
+
+def dedup_minhash_lsh_deleted_df(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The delete-propagation path as a driver-checkable end-to-end
+    query (operators/deletion.py): a DEDICATED index (never the shared
+    cache — tombstoning that would leak into every other indexed query)
+    is built for this query, the fixed demo doc is tombstoned, and the
+    pairs are served through the same tombstone-filtered reader
+    (:func:`_index_tables`) every indexed consumer uses.  The oracle is
+    the plain LSH pair set minus pairs touching the deleted doc — i.e.
+    the operator's contract: merge-on-read equals never-having-indexed
+    the document.  Per-doc band rows are independent, so removal
+    cannot create or destroy pairs between surviving docs."""
+    import hashlib as _hashlib
+
+    from .deletion import load_tombstones, tombstone_docs
+    from .similarity import _source_fingerprint
+
+    fp = _source_fingerprint(sf_dir, "documents.parquet")
+    tag = _hashlib.md5(
+        f"{_os.path.abspath(sf_dir)}|{NUM_PERM}|{BANDS}|{SHINGLE_N}|{fp}|del"
+        .encode()).hexdigest()[:10]
+    p = build_minhash_index(
+        spark, sf_dir,
+        index_path=_os.path.join(MINHASH_INDEX_ROOT, f"del-{tag}"))
+    tombs = load_tombstones(spark, p)
+    if tombs is None or tombs.where(
+            F.col("doc_id") == DELETED_DOC_ID).count() == 0:
+        tombstone_docs(spark, p, [DELETED_DOC_ID])  # once; reruns no-op
+    bands, shingled = _index_tables(spark, p)
+    return _verify_pairs(_ckpt(_candidate_pairs(bands)), shingled)
+
+
 def _index_tables(spark: SparkSession, index_path: str):
     """Load a minhash index's band + shingle tables with delete
     propagation applied: rows for tombstoned docs
@@ -1837,4 +1873,10 @@ SELECT doc_id, n_chunks, n_dup_chunks,
        round(n_dup_chunks * 1.0 / n_chunks, 6) < {DUP_CHUNK_MAX_FRACTION}
          AS keep
 FROM per_doc ORDER BY doc_id
+"""
+
+
+DEDUP_MINHASH_LSH_DELETED_SQL = f"""
+SELECT * FROM ({DEDUP_MINHASH_LSH_SQL})
+WHERE doc_a != {DELETED_DOC_ID} AND doc_b != {DELETED_DOC_ID}
 """

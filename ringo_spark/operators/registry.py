@@ -12,7 +12,8 @@ from .dedup import (
     doc_dup_chunk_fraction_incremental_df,
     DEDUP_EMBEDDING_INCREMENTAL_SQL, dedup_embedding_incremental_df,
     DEDUP_INCREMENTAL_SQL, DEDUP_MINHASH_INCREMENTAL_SQL,
-    DEDUP_MINHASH_LSH_CAPPED_SQL, DEDUP_MINHASH_LSH_SQL,
+    DEDUP_MINHASH_LSH_CAPPED_SQL, DEDUP_MINHASH_LSH_DELETED_SQL,
+    DEDUP_MINHASH_LSH_SQL, dedup_minhash_lsh_deleted_df,
     DEDUP_NGRAM_JACCARD_SQL, DEDUP_SIMHASH_SQL, DEDUP_WINNOWING_SQL,
     dedup_clusters_df, dedup_clusters_indexed_df, dedup_containment_df,
     dedup_embedding_df,
@@ -103,6 +104,7 @@ DRIVER_WINDOW: list[str] = [
     "quality_gate_approx_bounds",
     "zorder_layout",
     "bpe_pair_counts",
+    "dedup_minhash_lsh_deleted",
     "doc_dedup_spans",
     "doc_dedup_spans_incremental",
     "text_quality_drift",
@@ -129,7 +131,6 @@ DRIVER_WINDOW: list[str] = [
     "sample_hash_split",
     # -- then the head of the r08/r09-rowed cohort, as slots allow --
     "fact_events_tenant_by_hour",
-    "fact_events_hour_regrain",
     # -- core schema-level pipeline (driver-green r02-r04 + r07; pinned) --
     "dim_event_type",
     "fact_events_by_minute",
@@ -262,6 +263,7 @@ DISPLACED: list[str] = [
     "user_value_ema_segmented",
     "sample_per_source_quota",
     "sample_mixture",
+    "fact_events_hour_regrain",
     # r08/r09-rowed cohort
     "q8_national_market_share",
     "q12_late_shipments",
@@ -302,6 +304,11 @@ _DEDUP_QUERIES: dict[str, tuple] = {
     "dedup_minhash_lsh_capped_indexed": (dedup_minhash_lsh_capped_indexed_df,
                                          DEDUP_MINHASH_LSH_CAPPED_SQL),
 
+    # delete propagation end-to-end (r13): a dedicated index tombstones
+    # the fixed demo doc and serves pairs through the filtered reader;
+    # oracle = the plain LSH pairs minus pairs touching the deleted doc
+    "dedup_minhash_lsh_deleted": (dedup_minhash_lsh_deleted_df,
+                                  DEDUP_MINHASH_LSH_DELETED_SQL),
     # asymmetric containment over the same LSH candidates: the
     # quote/subset detector a Jaccard threshold structurally misses
     "dedup_containment": (dedup_containment_df, DEDUP_CONTAINMENT_SQL),

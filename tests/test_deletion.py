@@ -127,3 +127,25 @@ def test_vector_index_rows_tombstone_and_compact(spark, tmp_path):
     # survive the partition-dir swap or the next build_lsh_index call
     # would rebuild (and resurrect the deleted rows)
     assert os.path.exists(os.path.join(p, "_SUCCESS"))
+
+
+def test_registered_deleted_query_matches_contract(spark):
+    """The registered end-to-end deletion query equals the indexed LSH
+    pair set minus pairs touching the fixed demo doc — non-vacuously
+    (the demo doc participates in pairs at every test SF by choice)."""
+    from ringo_spark.operators.dedup import (
+        DELETED_DOC_ID, dedup_minhash_lsh_deleted_df,
+        dedup_minhash_lsh_indexed_df,
+    )
+
+    full = {(r.doc_a, r.doc_b, r.jaccard)
+            for r in dedup_minhash_lsh_indexed_df(spark, SF).collect()}
+    got = {(r.doc_a, r.doc_b, r.jaccard)
+           for r in dedup_minhash_lsh_deleted_df(spark, SF).collect()}
+    want = {t for t in full if DELETED_DOC_ID not in (t[0], t[1])}
+    assert got == want
+    assert got != full, "demo doc must participate in pairs"
+    # rerun is stable (the tombstone append is once-guarded)
+    again = {(r.doc_a, r.doc_b, r.jaccard)
+             for r in dedup_minhash_lsh_deleted_df(spark, SF).collect()}
+    assert again == got
