@@ -166,6 +166,7 @@ HEADLINE = [
     "zorder_layout",
     "bpe_pair_counts",
     "dedup_minhash_lsh_deleted",
+    "dedup_embedding_clusters",
 ]
 
 RUNS_PER_QUERY = 2
@@ -175,7 +176,7 @@ RUNS_PER_QUERY = 2
 # (their deltas have no prior pin, so the driver record is their only
 # arbiter).  Everything else still lands in BENCH_DETAIL.json.
 COMPACT_EXTRA = [
-    # r13: the seven new operators (no prior pins), plus the two span
+    # r13: the eight new operators (no prior pins), plus the two span
     # operators that run this round's array_except kernel rewrite and
     # corpus_curation's min-struct dedup rewrite
     "sample_weighted",
@@ -185,6 +186,7 @@ COMPACT_EXTRA = [
     "zorder_layout",
     "bpe_pair_counts",
     "dedup_minhash_lsh_deleted",
+    "dedup_embedding_clusters",
     "doc_dedup_spans",
     "doc_dedup_spans_incremental",
 ]

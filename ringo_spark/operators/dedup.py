@@ -1880,3 +1880,34 @@ DEDUP_MINHASH_LSH_DELETED_SQL = f"""
 SELECT * FROM ({DEDUP_MINHASH_LSH_SQL})
 WHERE doc_a != {DELETED_DOC_ID} AND doc_b != {DELETED_DOC_ID}
 """
+
+
+def dedup_embedding_clusters_df(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Embedding-modality near-dup CLUSTERS: min-label connected
+    components over the LSH-verified cosine pair graph — the semantic
+    (paraphrase/translation) twin of :func:`dedup_clusters_df`, which
+    sees only lexical MinHash pairs.  Reuses the identical propagation
+    kernel, so the O(log diameter) rounds and edge-only shuffles carry
+    over; the pair graph comes from the registered embedding scale path
+    (:func:`dedup_embedding_lsh_df`), never the quadratic baseline."""
+    pairs = dedup_embedding_lsh_df(spark, sf_dir).selectExpr(
+        "vec_a AS doc_a", "vec_b AS doc_b")
+    return (dedup_clusters_df(spark, sf_dir, pairs_df=pairs)
+            .selectExpr("doc_id AS vec_id", "cluster_id"))
+
+
+DEDUP_EMBEDDING_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT vec_a, vec_b FROM ({DEDUP_EMBEDDING_LSH_SQL})),
+sym AS (
+  SELECT vec_a AS s, vec_b AS d FROM pairs
+  UNION ALL
+  SELECT vec_b AS s, vec_a AS d FROM pairs),
+reach AS (
+  SELECT s AS vec, s AS r FROM sym
+  UNION
+  SELECT reach.vec, sym.d FROM reach JOIN sym ON reach.r = sym.s)
+SELECT vec AS vec_id, min(r) AS cluster_id
+FROM reach GROUP BY vec
+"""

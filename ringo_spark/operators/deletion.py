@@ -95,9 +95,14 @@ def apply_tombstones(spark: SparkSession, index_path: str,
     for sub in subdirs:
         src = os.path.join(index_path, sub)
         tmp = os.path.join(index_path, f"{sub}__compact")
+        old = os.path.join(index_path, f"{sub}__old")
+        # a prior crash can leave either leftover; both are safe to
+        # clear — __compact is an incomplete rewrite (redone below),
+        # __old only exists after its replacement is already in place
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
         kept = subtract_tombstones(spark.read.parquet(src), tombs, id_col)
         kept.write.mode("overwrite").parquet(tmp)
-        old = os.path.join(index_path, f"{sub}__old")
         os.rename(src, old)
         os.rename(tmp, src)
         shutil.rmtree(old)

@@ -14,6 +14,7 @@ from .dedup import (
     DEDUP_INCREMENTAL_SQL, DEDUP_MINHASH_INCREMENTAL_SQL,
     DEDUP_MINHASH_LSH_CAPPED_SQL, DEDUP_MINHASH_LSH_DELETED_SQL,
     DEDUP_MINHASH_LSH_SQL, dedup_minhash_lsh_deleted_df,
+    DEDUP_EMBEDDING_CLUSTERS_SQL, dedup_embedding_clusters_df,
     DEDUP_NGRAM_JACCARD_SQL, DEDUP_SIMHASH_SQL, DEDUP_WINNOWING_SQL,
     dedup_clusters_df, dedup_clusters_indexed_df, dedup_containment_df,
     dedup_embedding_df,
@@ -105,6 +106,7 @@ DRIVER_WINDOW: list[str] = [
     "zorder_layout",
     "bpe_pair_counts",
     "dedup_minhash_lsh_deleted",
+    "dedup_embedding_clusters",
     "doc_dedup_spans",
     "doc_dedup_spans_incremental",
     "text_quality_drift",
@@ -129,8 +131,6 @@ DRIVER_WINDOW: list[str] = [
     "fact_orders_by_week",
     "user_value_ema",
     "sample_hash_split",
-    # -- then the head of the r08/r09-rowed cohort, as slots allow --
-    "fact_events_tenant_by_hour",
     # -- core schema-level pipeline (driver-green r02-r04 + r07; pinned) --
     "dim_event_type",
     "fact_events_by_minute",
@@ -264,6 +264,7 @@ DISPLACED: list[str] = [
     "sample_per_source_quota",
     "sample_mixture",
     "fact_events_hour_regrain",
+    "fact_events_tenant_by_hour",
     # r08/r09-rowed cohort
     "q8_national_market_share",
     "q12_late_shipments",
@@ -319,6 +320,10 @@ _DEDUP_QUERIES: dict[str, tuple] = {
     # within an LSH bucket; the oracle encodes the same bucketing
     "dedup_embedding_lsh": (dedup_embedding_lsh_df, DEDUP_EMBEDDING_LSH_SQL),
     "dedup_clusters": (dedup_clusters_df, DEDUP_CLUSTERS_SQL),
+    # semantic twin (r13): components over the embedding-LSH cosine
+    # pair graph — paraphrase clusters lexical MinHash cannot see
+    "dedup_embedding_clusters": (dedup_embedding_clusters_df,
+                                 DEDUP_EMBEDDING_CLUSTERS_SQL),
     # clustering chained from the persisted index's pairs (identical
     # pair set pytest-pinned => same oracle) — the production shape and
     # the bench headline entry

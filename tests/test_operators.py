@@ -1672,3 +1672,27 @@ def test_quality_gate_gk_production_form_agreement(spark):
         t = rows[cut].q
         surplus_want |= {r.doc_id for r in rows[:cut] if r.q == t}
     assert gk - exact == surplus_want
+
+
+def test_embedding_clusters_partition_the_pair_graph(spark):
+    """The semantic-cluster twin: every embedding-LSH pair is
+    co-clustered, every cluster label is the min member id, and only
+    vectors that appear in some pair carry a row (singletons are
+    implicitly their own cluster, matching the lexical operator)."""
+    from ringo_spark.operators.dedup import (
+        dedup_embedding_clusters_df, dedup_embedding_lsh_df,
+    )
+
+    pairs = [(r.vec_a, r.vec_b)
+             for r in dedup_embedding_lsh_df(spark, SF).collect()]
+    assert pairs, "fixture must contain embedding near-dup pairs"
+    label = {r.vec_id: r.cluster_id
+             for r in dedup_embedding_clusters_df(spark, SF).collect()}
+    assert set(label) == {v for p in pairs for v in p}
+    for a, b in pairs:
+        assert label[a] == label[b], (a, b)
+    members = {}
+    for v, c in label.items():
+        members.setdefault(c, []).append(v)
+    for c, vs in members.items():
+        assert c == min(vs)
