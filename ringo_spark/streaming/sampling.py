@@ -1,0 +1,89 @@
+"""Streaming twin of weighted sampling without replacement —
+:func:`ringo_spark.operators.sampling.sample_weighted_df` as a
+continuously-maintained reservoir.
+
+Why this is exact, not approximate: the Efraimidis–Spirakis key
+``-ln(u)/w`` is a pure per-document function (u from the portable
+content hash), so top-k over a union decomposes —
+``topk(A ∪ B) == topk(topk(A) ∪ topk(B))``.  Each micro-batch
+therefore contributes its own local top-k and the reservoir merge is
+associative AND commutative: any batch split, any replay order,
+converges to the bit-identical reservoir the batch operator computes
+over the full corpus (pytest-pinned under an honest hash-split replay,
+like the CMS twin; contrast the span twin's ordering contract).
+
+State is O(k) rows.  Each trigger writes the merged reservoir under an
+immutable ``v<batch_id>`` dir and flips a one-line ``_LATEST`` pointer
+— the engine's manifest-commit idea in miniature: a retried
+micro-batch rewrites its own version dir and re-flips the pointer to
+the same value, so retries are idempotent (also pinned); reservoir
+rows are deduped by doc_id before the cut, so a retry re-offering docs
+already in the reservoir cannot double-insert them.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.sampling import _U_DENOM, WEIGHT_SEED, WEIGHTED_K
+from ..operators.textfn import phash
+
+_LATEST = "_LATEST"
+
+
+def _key_cols(df: DataFrame) -> DataFrame:
+    w = F.greatest(F.col("n_chars"), F.lit(1))
+    u = (phash(F.col("doc_id").cast("string"), WEIGHT_SEED) + 1) / _U_DENOM
+    return df.select("doc_id", w.alias("weight"), (-F.ln(u) / w).alias("k"))
+
+
+def streaming_weighted_reservoir(k: int = WEIGHTED_K):
+    """foreachBatch maker: maintain the corpus-wide A-ES reservoir (the
+    k smallest exponential keys seen so far) across micro-batches.
+
+    Usage::
+
+        updater = streaming_weighted_reservoir()
+        (stream.writeStream.foreachBatch(updater(reservoir_path))
+         .trigger(availableNow=True).start())
+    """
+
+    def maker(reservoir_path: str):
+        def update(batch_df: DataFrame, batch_id: int) -> None:
+            spark = batch_df.sparkSession
+            cand = _key_cols(batch_df).orderBy("k", "doc_id").limit(k)
+            ptr = os.path.join(reservoir_path, _LATEST)
+            if os.path.exists(ptr):
+                with open(ptr) as fh:
+                    cur = spark.read.parquet(
+                        os.path.join(reservoir_path, fh.read().strip()))
+                cand = cur.unionByName(cand)
+            merged = (cand.dropDuplicates(["doc_id"])
+                      .orderBy("k", "doc_id").limit(k))
+            vdir = f"v{batch_id}"
+            merged.write.mode("overwrite").parquet(
+                os.path.join(reservoir_path, vdir))
+            tmp = ptr + ".tmp"
+            with open(tmp, "w") as fh:
+                fh.write(vdir)
+            os.replace(tmp, ptr)      # atomic pointer flip
+        return update
+
+    return maker
+
+
+def reservoir_snapshot(spark: SparkSession,
+                       reservoir_path: str) -> DataFrame:
+    """The current reservoir in the batch operator's output shape
+    (doc_id, weight, sel_rank) — bit-comparable to
+    ``sample_weighted_df`` after a full replay."""
+    with open(os.path.join(reservoir_path, _LATEST)) as fh:
+        cur = spark.read.parquet(
+            os.path.join(reservoir_path, fh.read().strip()))
+    rk = Window.orderBy("k", "doc_id")    # k rows: single partition OK
+    return (cur.select("doc_id", "weight",
+                       F.row_number().over(rk).alias("sel_rank"))
+            .orderBy("sel_rank"))

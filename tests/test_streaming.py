@@ -1088,3 +1088,50 @@ def test_streaming_cms_vocab_matches_batch(spark, tmp_path):
     ids = {r.batch_id for r in spark.read.parquet(sink)
            .select("batch_id").distinct().collect()}
     assert ids == {9}
+
+
+def test_streaming_weighted_reservoir_matches_batch(spark, tmp_path):
+    """The A-ES reservoir twin: replay the corpus as three HASH-split
+    micro-batches (keys are per-doc functions, so top-k-of-union
+    decomposes — merge is commutative and a hash split is the honest
+    replay), and the final reservoir must be BIT-EQUAL to the batch
+    sample_weighted_df over the whole corpus.  A retried micro-batch
+    must leave the reservoir unchanged."""
+    import shutil
+
+    from ringo_spark.operators.sampling import sample_weighted_df
+    from ringo_spark.streaming.sampling import (
+        reservoir_snapshot, streaming_weighted_reservoir,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    src = str(tmp_path / "res-src")
+    os.makedirs(src)
+    for i in range(3):
+        part = docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == i)
+        stage = str(tmp_path / f"resstage{i}")
+        part.coalesce(1).write.parquet(stage)
+        f = next(x for x in os.listdir(stage) if x.endswith(".parquet"))
+        shutil.copy(os.path.join(stage, f), os.path.join(src, f"{i:02d}.parquet"))
+
+    res = str(tmp_path / "reservoir")
+    updater = streaming_weighted_reservoir()
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1).parquet(src)
+    q = (stream.writeStream.foreachBatch(updater(res))
+         .option("checkpointLocation", str(tmp_path / "ckpt-res"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = [tuple(r) for r in reservoir_snapshot(spark, res).collect()]
+    want = [tuple(r) for r in sample_weighted_df(spark, SF).collect()]
+    assert got == want and len(got) > 0
+    # non-vacuous merge: the winning set must span all three splits
+    assert {d % 3 for d, _, _ in got} == {0, 1, 2}
+
+    # retry idempotency: re-running one micro-batch's updater (same
+    # batch_id, same rows) rewrites its version dir and re-flips the
+    # pointer to a reservoir with identical content
+    updater(res)(docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == 2), 2)
+    again = [tuple(r) for r in reservoir_snapshot(spark, res).collect()]
+    assert again == got
