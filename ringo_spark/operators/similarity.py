@@ -1371,10 +1371,18 @@ def rebucket_lsh_index(spark: SparkSession, index_path: str, new_bits: int,
     one shuffle is the same salted bucket repartition a fresh build
     pays.  The result is bit-identical to a fresh build at ``new_bits``
     (pytest-pinned), so probes against the new path keep the exact
-    ann_lsh_bucketed semantics at the new width."""
+    ann_lsh_bucketed semantics at the new width.
+
+    Delete propagation: the source rows load tombstone-FILTERED
+    (operators/deletion.py), so a rebucket cannot resurrect deleted
+    vectors into the new index — which also makes rebucketing a
+    natural compaction point (the new index starts with no tombstone
+    log)."""
+    from .deletion import index_rows
+
     if out_path is None:
         out_path = index_path.rstrip("/") + f"-rb{new_bits}"
-    (spark.read.parquet(index_path)
+    (index_rows(spark, index_path, id_col="vec_id")
      .select("vec_id", "embedding")
      .withColumn("bucket", _bucket_expr(F.col("embedding"), new_bits))
      .repartition(F.col("bucket"),

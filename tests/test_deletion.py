@@ -149,3 +149,25 @@ def test_registered_deleted_query_matches_contract(spark):
     again = {(r.doc_a, r.doc_b, r.jaccard)
              for r in dedup_minhash_lsh_deleted_df(spark, SF).collect()}
     assert again == got
+
+
+def test_rebucket_does_not_resurrect_tombstoned_vectors(spark, tmp_path):
+    """Rebucketing an index with a live tombstone log must carry the
+    deletes into the new index (a raw re-read would resurrect them) and
+    the new index starts log-free."""
+    from ringo_spark.operators.similarity import (
+        build_lsh_index, rebucket_lsh_index,
+    )
+
+    p = build_lsh_index(spark, SF, bits=4,
+                        index_path=str(tmp_path / "lshr"))
+    victim = index_rows(spark, p, id_col="vec_id") \
+        .select("vec_id").orderBy("vec_id").first().vec_id
+    tombstone_docs(spark, p, [victim], id_col="vec_id")
+
+    rb = rebucket_lsh_index(spark, p, 6,
+                            out_path=str(tmp_path / "lshr6"))
+    out = spark.read.parquet(rb)
+    assert out.where(F.col("vec_id") == victim).count() == 0
+    assert out.count() == index_rows(spark, p, id_col="vec_id").count()
+    assert load_tombstones(spark, rb, id_col="vec_id") is None
