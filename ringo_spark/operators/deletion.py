@@ -83,11 +83,17 @@ def apply_tombstones(spark: SparkSession, index_path: str,
     subdir minus the tombstoned ids, swap it in, then clear the log.
 
     Crash safety on the local-fs layout: each subdir rewrites to a
-    ``<sub>__compact`` sibling and swaps via rename; a crash mid-swap
-    leaves either the old subdir (log intact — rerun) or the new one
-    (rerun rewrites a second time, a no-op).  The log clears LAST, so
-    a crash anywhere before that point keeps deletes visible through
-    the read path.  On object storage the same sequence rides the
+    ``<sub>__compact`` sibling and swaps via two renames through a
+    ``<sub>__old`` holding name.  A crash can therefore leave the
+    subdir ABSENT (between the two renames) with the original intact
+    in ``__old`` — so the rerun recovers FIRST (restore ``__old`` back
+    to the subdir name, or promote a complete ``__compact`` if the
+    original is already gone) and only clears leftovers once the
+    subdir is confirmed present; rmtree'ing the leftovers of a
+    mid-swap crash before restoring would lose the subdir permanently.
+    The log clears LAST, so a crash anywhere before that point keeps
+    deletes visible through the read path (a redundant second rewrite
+    is a no-op).  On object storage the same sequence rides the
     manifest-pointer protocol the engine's table commits use."""
     tombs = load_tombstones(spark, index_path, id_col)
     if tombs is None:
@@ -96,9 +102,21 @@ def apply_tombstones(spark: SparkSession, index_path: str,
         src = os.path.join(index_path, sub)
         tmp = os.path.join(index_path, f"{sub}__compact")
         old = os.path.join(index_path, f"{sub}__old")
-        # a prior crash can leave either leftover; both are safe to
-        # clear — __compact is an incomplete rewrite (redone below),
-        # __old only exists after its replacement is already in place
+        if not os.path.exists(src):
+            # prior run crashed between rename(src, old) and
+            # rename(tmp, src): the original is in __old — restore it
+            # (the log is still present, so the rewrite below redoes
+            # the subtraction).  If __old is somehow gone too, the
+            # completed rewrite in __compact is the only copy: promote
+            # it; the redo over it is a no-op second subtraction.
+            if os.path.isdir(old):
+                os.rename(old, src)
+            elif os.path.isdir(tmp):
+                os.rename(tmp, src)
+            else:
+                raise FileNotFoundError(
+                    f"index subdir missing with no recovery copy: {src}")
+        # src is confirmed present — NOW leftovers are safe to clear
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(old, ignore_errors=True)
         kept = subtract_tombstones(spark.read.parquet(src), tombs, id_col)
@@ -109,33 +127,81 @@ def apply_tombstones(spark: SparkSession, index_path: str,
     shutil.rmtree(os.path.join(index_path, TOMBSTONES))
 
 
+def _tombstone_fingerprint(tombs: DataFrame, id_col: str) -> str:
+    """Order-independent O(1)-driver fingerprint of a tombstone set —
+    identifies WHICH deletes a staged compaction rewrite applied, so a
+    rerun never reuses a rewrite that predates newer tombstones."""
+    row = tombs.agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(F.xxhash64(F.col(id_col))).alias("h")).first()
+    return f"{row.n}:{row.h}"
+
+
 def apply_tombstones_partitioned(spark: SparkSession, index_path: str,
                                  partition_col: str,
                                  id_col: str = "doc_id") -> None:
     """Compaction for a PARTITIONED index root (LSH ``bucket=`` / IVF
     ``cell=`` directories): rewrite the data minus tombstoned ids with
-    the same ``partitionBy`` layout, swap the partition dirs in, keep
-    every underscore-hidden sidecar (``_centroids``, markers) in place,
-    and clear the log last (same crash story as
-    :func:`apply_tombstones`).  Partition dirs the filter empties are
-    removed — their rows are all deleted."""
-    tombs = load_tombstones(spark, index_path, id_col)
+    the same ``partitionBy`` layout into a complete ``__compact``
+    sibling TREE (sidecars — ``_centroids``, cache markers — copied
+    in), then swap the WHOLE ROOT via two renames.  Partition dirs the
+    filter empties simply don't exist in the replacement tree.
+
+    Crash safety: nothing under the live root is ever deleted before a
+    complete replacement exists — the rewrite lands in ``__compact``
+    (Spark's ``_SUCCESS`` is its completeness marker, plus a
+    ``_tombstones_applied`` fingerprint so a rerun never reuses a
+    rewrite that predates newer tombstones), and the swap is
+    rename(root, __old) / rename(__compact, root) / rmtree(__old).  A
+    rerun recovers each window: root missing → restore ``__old`` (the
+    tombstone log rides inside it, so the redo still sees the
+    deletes); complete matching ``__compact`` → skip straight to the
+    swap; incomplete/stale ``__compact`` → rewritten.  Because the
+    log lives inside the swapped tree, deletes stay read-visible up to
+    the very instant the compacted tree (which no longer needs them)
+    takes over."""
+    root = index_path.rstrip("/")
+    tmp = root + "__compact"
+    old = root + "__old"
+    if not os.path.isdir(root) and os.path.isdir(old):
+        # prior run crashed between its two root renames — restore the
+        # original (log included) before anything else looks at root
+        os.rename(old, root)
+    tombs = load_tombstones(spark, root, id_col)
     if tombs is None:
+        # includes the crashed-after-swap case: the new root has no
+        # log, and the leftovers are stale copies — clear them
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
         return
-    kept = subtract_tombstones(spark.read.parquet(index_path), tombs,
-                               id_col)
-    tmp = index_path.rstrip("/") + "__compact"
-    shutil.rmtree(tmp, ignore_errors=True)
-    kept.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+    shutil.rmtree(old, ignore_errors=True)
+    fp = _tombstone_fingerprint(tombs, id_col)
+    fp_file = os.path.join(tmp, "_tombstones_applied")
+    complete = os.path.exists(os.path.join(tmp, "_SUCCESS")) and \
+        os.path.exists(fp_file) and open(fp_file).read() == fp
+    if not complete:
+        shutil.rmtree(tmp, ignore_errors=True)
+        kept = subtract_tombstones(spark.read.parquet(root), tombs,
+                                   id_col)
+        kept.write.mode("overwrite").partitionBy(partition_col) \
+            .parquet(tmp)
+        with open(fp_file, "w") as fh:
+            fh.write(fp)
+    # carry every sidecar (anything that isn't a partition dir, the
+    # log, or tmp's own files) into the replacement tree
     is_part = f"{partition_col}="
-    for d in os.listdir(index_path):
-        if d.startswith(is_part):
-            shutil.rmtree(os.path.join(index_path, d))
-    for d in os.listdir(tmp):
-        if d.startswith(is_part):
-            os.rename(os.path.join(tmp, d), os.path.join(index_path, d))
-    shutil.rmtree(tmp)
-    shutil.rmtree(os.path.join(index_path, TOMBSTONES))
+    for d in os.listdir(root):
+        if d.startswith(is_part) or d == TOMBSTONES:
+            continue
+        s, t = os.path.join(root, d), os.path.join(tmp, d)
+        if os.path.exists(t):
+            continue
+        if os.path.isdir(s):
+            shutil.copytree(s, t)
+        else:
+            shutil.copy2(s, t)
+    os.rename(root, old)
+    os.rename(tmp, root)
+    shutil.rmtree(old)
 
 
 def index_rows(spark: SparkSession, index_path: str,

@@ -138,11 +138,20 @@ def quality_source_percentile_df(spark: SparkSession,
 
     q = F.round(quality_score_expr(), 6)
     w = Window.partitionBy("source").orderBy("quality_score", "doc_id")
+    wn = Window.partitionBy("source")
+    # n == 1 special case: percent_rank over a singleton window is 0 in
+    # every engine, so a bare `0 >= floor` would drop the source's ONLY
+    # doc — contradicting "keeps every source's best 75%" and the
+    # kept_exact closed form (n - ceil(floor*(n-1)) == 1 at n == 1).
+    # A singleton source keeps its doc unconditionally.
     return (_docs(spark, sf_dir)
             .select("doc_id", "source", q.alias("quality_score"))
             .withColumn("q_pct_rank",
                         F.round(F.percent_rank().over(w), 6))
-            .where(F.col("q_pct_rank") >= QUALITY_PCT_FLOOR))
+            .withColumn("_n", F.count(F.lit(1)).over(wn))
+            .where((F.col("q_pct_rank") >= QUALITY_PCT_FLOOR)
+                   | (F.col("_n") == 1))
+            .drop("_n"))
 
 
 QUALITY_SOURCE_PERCENTILE_SQL = f"""
@@ -156,6 +165,7 @@ SELECT doc_id, source, quality_score,
            ORDER BY quality_score, doc_id), 6) AS q_pct_rank
 FROM scored
 QUALIFY q_pct_rank >= {QUALITY_PCT_FLOOR}
+    OR count(*) OVER (PARTITION BY source) = 1
 """
 
 

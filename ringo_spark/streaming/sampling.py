@@ -56,11 +56,12 @@ def streaming_weighted_reservoir(k: int = WEIGHTED_K):
             spark = batch_df.sparkSession
             cand = _key_cols(batch_df).orderBy("k", "doc_id").limit(k)
             ptr = os.path.join(reservoir_path, _LATEST)
+            prev = None
             if os.path.exists(ptr):
                 with open(ptr) as fh:
-                    cur = spark.read.parquet(
-                        os.path.join(reservoir_path, fh.read().strip()))
-                cand = cur.unionByName(cand)
+                    prev = fh.read().strip()
+                cand = spark.read.parquet(
+                    os.path.join(reservoir_path, prev)).unionByName(cand)
             merged = (cand.dropDuplicates(["doc_id"])
                       .orderBy("k", "doc_id").limit(k))
             vdir = f"v{batch_id}"
@@ -70,6 +71,15 @@ def streaming_weighted_reservoir(k: int = WEIGHTED_K):
             with open(tmp, "w") as fh:
                 fh.write(vdir)
             os.replace(tmp, ptr)      # atomic pointer flip
+            # GC: without this, v<id> dirs accrue O(k x batches) on a
+            # long-running deployment.  Keep the current version and
+            # the one just superseded (in-flight readers may still
+            # hold it); everything older is unreachable — delete it.
+            import shutil
+            for d in os.listdir(reservoir_path):
+                if d.startswith("v") and d not in (vdir, prev):
+                    shutil.rmtree(os.path.join(reservoir_path, d),
+                                  ignore_errors=True)
         return update
 
     return maker

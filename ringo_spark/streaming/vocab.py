@@ -92,10 +92,40 @@ def compact_cms_sink(spark: SparkSession, sink_path: str,
     deleted source partitions cannot be double-merged.  Token totals
     and probe counts sum; the sketch bytes merge cell-wise, so a
     snapshot over the compacted sink is bit-identical (pytest-pinned).
-    """
+
+    Crash safety (write-then-delete, never delete-then-write): the
+    merged row lands DURABLY first in an underscore-hidden staging dir
+    (invisible to the snapshot's partition discovery; Spark's
+    ``_SUCCESS`` plus an ``_up_to`` marker prove completeness), and
+    only then are the folded ``batch_id=`` partials deleted and the
+    staging dir renamed into place.  A crash anywhere in that finish
+    window is recovered on the next call — a complete staging dir is
+    finished before anything else (deletes are idempotent; the rename
+    is last), so partial contributions can never be silently lost.  An
+    INCOMPLETE staging dir (no marker) is discarded and redone."""
     import shutil
 
     from pyspark.sql import types as T
+
+    stage = os.path.join(sink_path, "_compact_staging")
+    marker = os.path.join(stage, "_up_to")
+
+    def _finish(up: int) -> None:
+        # staging holds the complete merged row for batches <= up:
+        # drop the folded partials (idempotent), land staging LAST
+        for d in os.listdir(sink_path):
+            if d.startswith("batch_id=") and \
+                    int(d.split("=", 1)[1]) <= up:
+                shutil.rmtree(os.path.join(sink_path, d),
+                              ignore_errors=True)
+        os.rename(stage, os.path.join(sink_path, f"batch_id={up}"))
+
+    if os.path.isdir(stage):
+        if os.path.exists(marker) and \
+                os.path.exists(os.path.join(stage, "_SUCCESS")):
+            _finish(int(open(marker).read()))
+        else:
+            shutil.rmtree(stage)   # incomplete rewrite — redo below
 
     parts = spark.read.parquet(sink_path)
     old = [r for r in parts.select("batch_id").distinct().collect()
@@ -128,13 +158,10 @@ def compact_cms_sink(spark: SparkSession, sink_path: str,
     ])
     compacted = spark.createDataFrame(
         [(n_total, sketch_bytes, exact or None)], schema)
-    for r in old:          # drop the folded partials, then land the
-        if r.batch_id != up_to_batch_id:     # merged row atomically-ish
-            shutil.rmtree(os.path.join(sink_path,
-                                       f"batch_id={r.batch_id}"),
-                          ignore_errors=True)
-    compacted.write.mode("overwrite").parquet(
-        os.path.join(sink_path, f"batch_id={up_to_batch_id}"))
+    compacted.write.mode("overwrite").parquet(stage)
+    with open(marker, "w") as fh:       # marker completes the staging;
+        fh.write(str(up_to_batch_id))   # only now may partials go
+    _finish(up_to_batch_id)
 
 
 def cms_vocab_snapshot(spark: SparkSession, sink_path: str,

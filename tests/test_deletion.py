@@ -171,3 +171,103 @@ def test_rebucket_does_not_resurrect_tombstoned_vectors(spark, tmp_path):
     assert out.where(F.col("vec_id") == victim).count() == 0
     assert out.count() == index_rows(spark, p, id_col="vec_id").count()
     assert load_tombstones(spark, rb, id_col="vec_id") is None
+
+
+def test_apply_tombstones_recovers_midswap_crash(spark, tmp_path,
+                                                 monkeypatch):
+    """ADVICE r13 (medium): a crash between rename(src, __old) and
+    rename(__compact, src) leaves the subdir MISSING with the original
+    in __old; the rerun must RESTORE it before clearing leftovers —
+    the old recovery rmtree'd both copies and lost the subdir."""
+    p = build_minhash_index(spark, SF, index_path=str(tmp_path / "mhc"))
+    base = _indexed_pairs(spark, p)
+    victim = sorted(base)[0][0]
+    tombstone_docs(spark, p, [victim])
+    want = {(a, b) for a, b in base if victim not in (a, b)}
+
+    real_rename = os.rename
+
+    def crashy(a, b):
+        real_rename(a, b)
+        if b.endswith("bands__old"):
+            raise RuntimeError("injected crash mid-swap")
+
+    monkeypatch.setattr(os, "rename", crashy)
+    with pytest.raises(RuntimeError, match="injected"):
+        apply_tombstones(spark, p, ["bands", "shingles"])
+    monkeypatch.setattr(os, "rename", real_rename)
+    # the crash window under test: subdir gone, original parked aside,
+    # completed rewrite lingering
+    assert not os.path.isdir(os.path.join(p, "bands"))
+    assert os.path.isdir(os.path.join(p, "bands__old"))
+    assert os.path.isdir(os.path.join(p, "bands__compact"))
+    assert load_tombstones(spark, p) is not None  # deletes still logged
+
+    apply_tombstones(spark, p, ["bands", "shingles"])
+    assert _indexed_pairs(spark, p) == want
+    assert load_tombstones(spark, p) is None
+    for leftover in ("bands__old", "bands__compact",
+                     "shingles__old", "shingles__compact"):
+        assert not os.path.isdir(os.path.join(p, leftover))
+
+
+def test_apply_tombstones_partitioned_crash_recovery(spark, tmp_path,
+                                                     monkeypatch):
+    """ADVICE r13 (medium): the partitioned compaction must never
+    delete live partition dirs before a complete replacement exists.
+    Crash window 1: between the two whole-root renames — the rerun
+    restores __old (tombstone log inside) and REUSES the complete
+    __compact rewrite.  Crash window 2: a stale __compact whose
+    fingerprint predates newer tombstones must be discarded, not
+    swapped in."""
+    from ringo_spark.operators.deletion import apply_tombstones_partitioned
+    from ringo_spark.operators.similarity import build_lsh_index
+
+    p = build_lsh_index(spark, SF, bits=4,
+                        index_path=str(tmp_path / "lshc"))
+    rows = index_rows(spark, p, id_col="vec_id")
+    n = rows.count()
+    ids = [r.vec_id for r in
+           rows.select("vec_id").orderBy("vec_id").limit(2).collect()]
+    tombstone_docs(spark, p, [ids[0]], id_col="vec_id")
+
+    real_rename = os.rename
+
+    def crashy(a, b):
+        real_rename(a, b)
+        if b.endswith("__old"):
+            raise RuntimeError("injected crash after rename(root, __old)")
+
+    monkeypatch.setattr(os, "rename", crashy)
+    with pytest.raises(RuntimeError, match="injected"):
+        apply_tombstones_partitioned(spark, p, "bucket", id_col="vec_id")
+    monkeypatch.setattr(os, "rename", real_rename)
+    assert not os.path.isdir(p) and os.path.isdir(p + "__old")
+    # mark the completed rewrite so we can prove the rerun REUSED it
+    # (a redo would rmtree __compact and the sentinel with it)
+    sentinel = os.path.join(p + "__compact", "_reuse_sentinel")
+    open(sentinel, "w").close()
+
+    apply_tombstones_partitioned(spark, p, "bucket", id_col="vec_id")
+    out = spark.read.parquet(p)
+    assert out.count() == n - 1
+    assert out.where(F.col("vec_id") == ids[0]).count() == 0
+    assert load_tombstones(spark, p, id_col="vec_id") is None
+    assert os.path.exists(os.path.join(p, "_SUCCESS"))
+    assert os.path.exists(os.path.join(p, "_reuse_sentinel"))
+    assert not os.path.isdir(p + "__old")
+    assert not os.path.isdir(p + "__compact")
+
+    # window 2: a lingering COMPLETE __compact from before a newer
+    # tombstone arrived — fingerprint mismatch forces a fresh rewrite
+    tombstone_docs(spark, p, [ids[1]], id_col="vec_id")
+    os.makedirs(p + "__compact")
+    open(os.path.join(p + "__compact", "_SUCCESS"), "w").close()
+    with open(os.path.join(p + "__compact", "_tombstones_applied"),
+              "w") as fh:
+        fh.write("1:stale")
+    apply_tombstones_partitioned(spark, p, "bucket", id_col="vec_id")
+    out2 = spark.read.parquet(p)
+    assert out2.count() == n - 2
+    assert out2.where(F.col("vec_id").isin(ids)).count() == 0
+    assert load_tombstones(spark, p, id_col="vec_id") is None

@@ -1696,3 +1696,41 @@ def test_embedding_clusters_partition_the_pair_graph(spark):
         members.setdefault(c, []).append(v)
     for c, vs in members.items():
         assert c == min(vs)
+
+
+def test_quality_gate_keeps_singleton_source(spark, tmp_path):
+    """ADVICE r13: percent_rank over an n=1 window is 0 in every
+    engine, so a bare `0 >= floor` gate would drop a source's ONLY
+    document — contradicting the "keeps every source's best 75%"
+    contract and the kept_exact closed form (1 at n=1).  A singleton
+    source keeps its doc; every multi-doc source's kept set is
+    unchanged; the GK production gate agrees on the singleton."""
+    from ringo_spark.operators.text import (
+        quality_gate_approx_bounds_df, quality_source_gate_gk_df,
+        quality_source_percentile_df,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    lone = docs.limit(1).select(
+        (F.col("doc_id") + 10**9).alias("doc_id"), "text", "lang",
+        F.lit("singleton_src").alias("source"), "n_chars")
+    import os
+    sf2 = str(tmp_path / "sf-singleton")
+    os.makedirs(sf2)
+    docs.unionByName(lone).write.parquet(f"{sf2}/documents.parquet")
+
+    base = {r.doc_id for r in
+            quality_source_percentile_df(spark, SF).collect()}
+    kept = {r.doc_id: r for r in
+            quality_source_percentile_df(spark, sf2).collect()}
+    lone_id = lone.first().doc_id
+    assert lone_id in kept                       # the n=1 doc survives
+    assert set(kept) - {lone_id} == base         # others unchanged
+
+    bounds = {r.source: r for r in
+              quality_gate_approx_bounds_df(spark, sf2).collect()}
+    assert bounds["singleton_src"].kept_exact == 1   # gate == closed form
+
+    gk = {r.doc_id for r in
+          quality_source_gate_gk_df(spark, sf2).collect()}
+    assert lone_id in gk                         # production form agrees

@@ -1135,3 +1135,89 @@ def test_streaming_weighted_reservoir_matches_batch(spark, tmp_path):
     updater(res)(docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == 2), 2)
     again = [tuple(r) for r in reservoir_snapshot(spark, res).collect()]
     assert again == got
+
+
+def test_compact_cms_sink_crash_recovery(spark, tmp_path, monkeypatch):
+    """ADVICE r13: compaction must land the merged row DURABLY before
+    deleting the folded partials.  Inject crashes (a) before any
+    partial delete and (b) between the deletes — in both windows no
+    contribution is permanently lost: a snapshot mid-window never
+    double-counts (the staging dir is underscore-hidden), and the
+    rerun finishes the compaction to the identical snapshot."""
+    import shutil
+
+    from ringo_spark.streaming.vocab import (
+        cms_vocab_snapshot, compact_cms_sink, streaming_cms_vocab,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    probes = [r.token for r in docs.select(
+        F.explode(F.split(F.lower("text"), r"\W+")).alias("token"))
+        .groupBy("token").count()
+        .orderBy(F.desc("count"), F.asc("token")).limit(3).collect()]
+    sink = str(tmp_path / "cms-crash")
+    writer = streaming_cms_vocab(probes)
+    for i in range(3):
+        writer(sink)(docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == i), i)
+    want = {r.token: tuple(r) for r in
+            cms_vocab_snapshot(spark, sink, probes).collect()}
+
+    real_rmtree = shutil.rmtree
+    crash_after = {"left": 0}
+
+    def crashy(path, *a, **kw):
+        if "batch_id=" in str(path):
+            if crash_after["left"] <= 0:
+                raise RuntimeError("injected crash in partial delete")
+            crash_after["left"] -= 1
+        return real_rmtree(path, *a, **kw)
+
+    # window (a): staging complete, no partial deleted yet
+    monkeypatch.setattr(shutil, "rmtree", crashy)
+    with pytest.raises(RuntimeError, match="injected"):
+        compact_cms_sink(spark, sink, 2)
+    monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+    assert os.path.isdir(os.path.join(sink, "_compact_staging"))
+    mid = {r.token: tuple(r) for r in
+           cms_vocab_snapshot(spark, sink, probes).collect()}
+    assert mid == want            # staging invisible: no double count
+
+    # window (b): rerun crashes after deleting ONE partial — the
+    # staging dir still holds every contribution
+    crash_after["left"] = 1
+    monkeypatch.setattr(shutil, "rmtree", crashy)
+    with pytest.raises(RuntimeError, match="injected"):
+        compact_cms_sink(spark, sink, 2)
+    monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+
+    compact_cms_sink(spark, sink, 2)     # clean rerun finishes
+    got = {r.token: tuple(r) for r in
+           cms_vocab_snapshot(spark, sink, probes).collect()}
+    assert got == want
+    ids = {r.batch_id for r in spark.read.parquet(sink)
+           .select("batch_id").distinct().collect()}
+    assert ids == {2}
+    assert not os.path.isdir(os.path.join(sink, "_compact_staging"))
+
+
+def test_reservoir_version_dirs_are_garbage_collected(spark, tmp_path):
+    """ADVICE r13: the reservoir sink must not grow O(k x batches) —
+    after each pointer flip only the current version and the one just
+    superseded (for in-flight readers) remain on disk, and the
+    reservoir content is unaffected by the GC."""
+    from ringo_spark.operators.sampling import sample_weighted_df
+    from ringo_spark.streaming.sampling import (
+        reservoir_snapshot, streaming_weighted_reservoir,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    res = str(tmp_path / "res-gc")
+    updater = streaming_weighted_reservoir()
+    for i in range(4):
+        updater(res)(docs.where(F.pmod(F.col("doc_id"), F.lit(4)) == i), i)
+
+    vdirs = {d for d in os.listdir(res) if d.startswith("v")}
+    assert vdirs == {"v2", "v3"}, vdirs
+    got = [tuple(r) for r in reservoir_snapshot(spark, res).collect()]
+    want = [tuple(r) for r in sample_weighted_df(spark, SF).collect()]
+    assert got == want
