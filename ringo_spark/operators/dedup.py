@@ -1067,9 +1067,10 @@ WHERE round({sql_cosine('a.embedding', 'b.embedding')}, 6) >= {COSINE_THRESHOLD}
 # matters more than per-query cost).  Since r12 the actual width
 # auto-sizes from the corpus row estimate through the same conf-keyed
 # gate as the ANN paths (similarity.auto_lsh_bits, VERDICT r11 item 1)
-# with this constant as the floor — at the contract corpus size the gate
-# resolves to exactly this width (pytest equality pin), so the static
-# oracle SQL below stays the deterministic hash-checked contract.
+# with this constant as the floor — and since r14 the oracle SQL derives
+# the SAME width from count(*) through the same formula, so the
+# hash-checked contract is scale-portable (cell-exact at sf0.01 AND
+# sf0.1, not just at the width the old static SQL hard-coded).
 EMB_LSH_BITS = 4
 DEDUP_BUCKET_TARGET_ROWS = 32   # 500-vector contract corpus / 2^4 buckets
 LSH_DEDUP_TARGET_CONF_KEY = "ringo.lshDedupBucketTargetRows"
@@ -1133,11 +1134,18 @@ def dedup_embedding_lsh_df(spark: SparkSession, sf_dir: str,
 
 
 def _dedup_embedding_lsh_sql() -> str:
-    from .similarity import _sql_bucket
+    """The oracle derives the LSH width from ``count(*)`` through the
+    same ``max(floor, ceil(log2(N/target)))`` gate the operator runs
+    (similarity.sql_auto_bits_cte), so the pair-set contract holds at
+    EVERY scale factor — not just the sf0.01 width the old static SQL
+    hard-coded (VERDICT r13 item 1)."""
+    from .similarity import sql_auto_bits_cte, sql_bucket_dyn
 
+    nb = sql_auto_bits_cte(EMB_LSH_BITS, DEDUP_BUCKET_TARGET_ROWS)
     return f"""
-WITH bk AS (SELECT vec_id, embedding, {_sql_bucket(EMB_LSH_BITS)} AS bucket
-            FROM embeddings)
+WITH nb AS ({nb}),
+bk AS (SELECT vec_id, embedding, {sql_bucket_dyn()} AS bucket
+       FROM embeddings, nb)
 SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
        round({sql_cosine('x.embedding', 'y.embedding')}, 6) AS cosine
 FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
@@ -1204,11 +1212,16 @@ def dedup_embedding_incremental_df(spark: SparkSession, sf_dir: str,
 
 
 def _dedup_embedding_incremental_sql() -> str:
-    from .similarity import _sql_bucket
+    """Width derived from ``count(*)`` like the operator's single
+    auto-gate resolution (see :func:`_dedup_embedding_lsh_sql`) —
+    scale-portable, and one width for both join sides."""
+    from .similarity import sql_auto_bits_cte, sql_bucket_dyn
 
+    nb = sql_auto_bits_cte(EMB_LSH_BITS, DEDUP_BUCKET_TARGET_ROWS)
     return f"""
-WITH bk AS (SELECT vec_id, embedding, {_sql_bucket(EMB_LSH_BITS)} AS bucket
-            FROM embeddings)
+WITH nb AS ({nb}),
+bk AS (SELECT vec_id, embedding, {sql_bucket_dyn()} AS bucket
+       FROM embeddings, nb)
 SELECT n.vec_id AS vec_new, c.vec_id AS vec_seen,
        round({sql_cosine('n.embedding', 'c.embedding')}, 6) AS cosine
 FROM bk c JOIN bk n ON n.bucket = c.bucket

@@ -904,9 +904,44 @@ def _sql_bucket(bits: int = LSH_BITS) -> str:
         for j, d in enumerate(bucket_coordinates(bits)))
 
 
-def _lsh_bucketed_sql(bits: int = LSH_BITS) -> str:
+def sql_auto_bits_cte(floor_bits: int, target_rows: int) -> str:
+    """DuckDB twin of :func:`auto_lsh_bits` at default conf, as a 1-row
+    CTE body ``nb(bits)``: derive the projection width from the corpus
+    row count EXACTLY as the Spark gate does (the gate's parquet-footer
+    estimate equals ``count(*)``), so the oracle tracks the gate at
+    EVERY scale factor instead of hard-coding one contract width
+    (VERDICT r13 item 1 — the old static oracles only constrained the
+    operators at sf0.01).  ``ceil(log2(N / target))`` can only straddle
+    an engine ulp when N/target is an exact power of two, where both
+    engines are exact — so the widths agree bit-for-bit."""
+    return (f"SELECT greatest({floor_bits}, least({EMB_DIM}, "
+            f"CAST(ceil(log2(greatest(1.0, count(*) * 1.0 / {target_rows})))"
+            f" AS INT))) AS bits FROM embeddings")
+
+
+def sql_bucket_dyn(col: str = "embedding") -> str:
+    """The sign-bit bucket of :func:`_sql_bucket` with the width taken
+    from an in-scope ``nb(bits)`` CTE row (cross-joined) — the same
+    strided coordinates ``1 + j * (dim // bits)`` as
+    :func:`bucket_coordinates`, evaluated at the runtime width."""
+    return ("CAST(list_sum(list_transform(range(0, nb.bits), "
+            f"j -> CASE WHEN {col}[1 + j * ({EMB_DIM} // nb.bits)]::DOUBLE"
+            " > 0 THEN 1 << j ELSE 0 END)) AS BIGINT)")
+
+
+def _lsh_bucketed_sql(bits: int | None = LSH_BITS) -> str:
+    """``bits=None`` mirrors the registered operator's auto gate: the
+    width CTE derives from ``count(*)`` (scale-portable oracle)."""
+    if bits is None:
+        nb = sql_auto_bits_cte(LSH_BITS, ANN_BUCKET_TARGET_ROWS)
+        head = (f"WITH nb AS ({nb}),\n"
+                f"b AS (SELECT vec_id, embedding, {sql_bucket_dyn()} "
+                "AS bucket FROM embeddings, nb)")
+    else:
+        head = (f"WITH b AS (SELECT vec_id, embedding, "
+                f"{_sql_bucket(bits)} AS bucket FROM embeddings)")
     return f"""
-WITH b AS (SELECT vec_id, embedding, {_sql_bucket(bits)} AS bucket FROM embeddings),
+{head},
 scored AS (
   SELECT q.vec_id AS q_id, c.vec_id AS n_id,
          round({sql_cosine('q.embedding', 'c.embedding')}, 6) AS cosine
@@ -921,18 +956,33 @@ QUALIFY rank <= {LSH_TOP_K}
 """
 
 
-ANN_LSH_BUCKETED_SQL = _lsh_bucketed_sql(LSH_BITS)
+ANN_LSH_BUCKETED_SQL = _lsh_bucketed_sql(None)
 ANN_LSH_BUCKETED12_SQL = _lsh_bucketed_sql(12)
 
 
-def _lsh_multiprobe_sql(bits: int = LSH_BITS) -> str:
-    probe_list = ", ".join(["bucket"] + [f"xor(bucket, {1 << j})"
-                                         for j in range(bits)])
+def _lsh_multiprobe_sql(bits: int | None = LSH_BITS) -> str:
+    """``bits=None``: auto-width twin — both the bucket AND the
+    Hamming-1 probe fan (one probe per bit) follow the gate."""
+    if bits is None:
+        nb = sql_auto_bits_cte(LSH_BITS, ANN_BUCKET_TARGET_ROWS)
+        head = (f"WITH nb AS ({nb}),\n"
+                f"b AS (SELECT vec_id, embedding, {sql_bucket_dyn()} "
+                "AS bucket FROM embeddings, nb)")
+        probe_list = ("list_prepend(bucket, list_transform(range(0, "
+                      "nb.bits), j -> xor(bucket, CAST(1 << j AS BIGINT))))")
+        probe_from = "b, nb"
+    else:
+        head = (f"WITH b AS (SELECT vec_id, embedding, "
+                f"{_sql_bucket(bits)} AS bucket FROM embeddings)")
+        probe_list = "[" + ", ".join(
+            ["bucket"] + [f"xor(bucket, {1 << j})"
+                          for j in range(bits)]) + "]"
+        probe_from = "b"
     return f"""
-WITH b AS (SELECT vec_id, embedding, {_sql_bucket(bits)} AS bucket FROM embeddings),
+{head},
 probes AS (
-  SELECT vec_id, embedding, unnest([{probe_list}]) AS bucket
-  FROM b WHERE vec_id < {LSH_N_QUERIES}),
+  SELECT vec_id, embedding, unnest({probe_list}) AS bucket
+  FROM {probe_from} WHERE vec_id < {LSH_N_QUERIES}),
 scored AS (
   SELECT q.vec_id AS q_id, c.vec_id AS n_id,
          round({sql_cosine('q.embedding', 'c.embedding')}, 6) AS cosine
@@ -946,7 +996,7 @@ QUALIFY rank <= {LSH_TOP_K}
 """
 
 
-ANN_LSH_MULTIPROBE_SQL = _lsh_multiprobe_sql(LSH_BITS)
+ANN_LSH_MULTIPROBE_SQL = _lsh_multiprobe_sql(None)
 
 
 # --- IVF with k-means-trained centroids -------------------------------------

@@ -205,3 +205,29 @@ def test_auto_ivf_results_equal_pinned_at_contract_size(spark):
         auto = sorted(map(tuple, fn(spark, SF01).collect()))
         pinned = sorted(map(tuple, fn(spark, SF01, **pinned_kw).collect()))
         assert auto == pinned and auto, fn.__name__
+
+
+def test_oracle_width_cte_tracks_gate_at_every_sf(spark):
+    """VERDICT r13 item 1: the oracle SQL no longer hard-codes one
+    contract width — its width CTE (count(*) through the same
+    max(floor, ceil(log2(N/target))) formula) must resolve to exactly
+    the Spark gate's width at EVERY scale factor, including the sf0.1
+    size where the gate widens past the floor (the old static oracles
+    diverged there by design)."""
+    import duckdb
+
+    from ringo_spark.operators.similarity import sql_auto_bits_cte
+
+    for sf in (SF001, SF01, SF1):
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                    f"read_parquet('{sf}/embeddings.parquet')")
+        for floor, target, gate in (
+                (EMB_LSH_BITS, DEDUP_BUCKET_TARGET_ROWS, _auto_dedup_bits),
+                (LSH_BITS, ANN_BUCKET_TARGET_ROWS, _auto_ann_bits)):
+            duck = con.execute(sql_auto_bits_cte(floor, target)) \
+                .fetchone()[0]
+            assert duck == gate(spark, sf), (sf, floor, target)
+    # non-vacuous: at sf0.1 the dedup gate actually widens past its
+    # floor, so the dynamic oracle is exercised beyond the contract
+    assert _auto_dedup_bits(spark, SF1) > EMB_LSH_BITS
