@@ -1895,6 +1895,40 @@ WHERE doc_a != {DELETED_DOC_ID} AND doc_b != {DELETED_DOC_ID}
 """
 
 
+def dedup_clusters_deleted_df(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Derived-table delete propagation as a driver-checkable row
+    (VERDICT r13 item 5): the cluster table is never patched in place
+    — a cluster_id is the min doc id of its component, so deleting a
+    representative would orphan the label — it REBUILDS from the
+    already-tombstone-filtered pair set (the contract the
+    :mod:`~ringo_spark.operators.deletion` module doc states).  This
+    query runs exactly that rebuild: label propagation over the pairs
+    the del-tagged index serves AFTER the demo doc's tombstone, so the
+    oracle is components over the filtered pair set — i.e. rebuild ==
+    never-having-indexed the document, including re-elected
+    representatives and components the deletion splits in two."""
+    return dedup_clusters_df(
+        spark, sf_dir,
+        pairs_df=dedup_minhash_lsh_deleted_df(spark, sf_dir))
+
+
+DEDUP_CLUSTERS_DELETED_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({DEDUP_MINHASH_LSH_DELETED_SQL})),
+sym AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM pairs),
+reach AS (
+  SELECT s AS doc, s AS r FROM sym
+  UNION
+  SELECT reach.doc, sym.d FROM reach JOIN sym ON reach.r = sym.s)
+SELECT doc AS doc_id, min(r) AS cluster_id
+FROM reach GROUP BY doc
+"""
+
+
 def dedup_embedding_clusters_df(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """Embedding-modality near-dup CLUSTERS: min-label connected

@@ -14,6 +14,7 @@ from .dedup import (
     DEDUP_INCREMENTAL_SQL, DEDUP_MINHASH_INCREMENTAL_SQL,
     DEDUP_MINHASH_LSH_CAPPED_SQL, DEDUP_MINHASH_LSH_DELETED_SQL,
     DEDUP_MINHASH_LSH_SQL, dedup_minhash_lsh_deleted_df,
+    DEDUP_CLUSTERS_DELETED_SQL, dedup_clusters_deleted_df,
     DEDUP_EMBEDDING_CLUSTERS_SQL, dedup_embedding_clusters_df,
     DEDUP_NGRAM_JACCARD_SQL, DEDUP_SIMHASH_SQL, DEDUP_WINNOWING_SQL,
     dedup_clusters_df, dedup_clusters_indexed_df, dedup_containment_df,
@@ -42,7 +43,14 @@ from .similarity import (
     ann_ivf_recall_bounds_df, ann_rank_fusion_df,
     ann_lsh_bucketed12_df, ann_lsh_bucketed_df, ann_lsh_indexed_df,
     ann_lsh_multiprobe_df,
+    ANN_IVF_PQ_SQL, ANN_PQ_RECALL_BOUNDS_SQL, ann_ivf_pq_df,
+    ann_pq_recall_bounds_df,
 )
+from ..streaming.sampling import streaming_reservoir_df
+from ..streaming.vocab import (
+    STREAMING_CMS_SNAPSHOT_SQL, streaming_cms_snapshot_df,
+)
+from .sampling import SAMPLE_WEIGHTED_SQL
 from .layout import LAYOUT_QUERIES
 from .pipeline import PIPELINE_QUERIES
 from .training import TRAINING_QUERIES
@@ -60,6 +68,8 @@ from .text import (
     BPE_PAIR_COUNTS_SQL, DOC_LOGPROB_SQL, QUALITY_GATE_APPROX_BOUNDS_SQL,
     QUALITY_SOURCE_PERCENTILE_SQL, TEXT_REPETITION_SQL,
     VOCAB_TOPK_CMS_BOUNDS_SQL, bpe_pair_counts_df,
+    BPE_TRAIN_SQL, BPE_APPLY_SQL, bpe_train_df, bpe_apply_df,
+    QUALITY_SOURCE_GATE_GK_SQL, quality_source_gate_gk_contract_df,
     quality_gate_approx_bounds_df, quality_source_percentile_df,
     benchmark_contamination_df, doc_bigram_logprob_df, doc_entropy_df,
     doc_fingerprint_df, doc_logprob_df,
@@ -87,50 +97,51 @@ from .text import (
 #     unverified, only un-hashed-by-the-driver that round.
 
 DRIVER_WINDOW: list[str] = [
-    # -- code changed in r13, kept/pulled driver-visible (the r05
-    #    precedent: changed paths must show in the driver record).
-    #    The two span operators run the shared _spans_cleaned kernel
-    #    (array_except rewrite) and the extracted _span_removal_lists;
-    #    text_quality_drift groups the null-source sentinel now; the
-    #    two quadratic baselines run the plan-shape-guarded
-    #    _assert_small_scale; the three K-shaped IVF queries resolve
-    #    the clamped auto_ivf_k (and per ADVICE r12 the auto-K gate
-    #    gets K-shaped driver coverage beyond ann_ivf_indexed);
-    #    dedup_lsh_recall_bounds carries the r12 broadcast rewrite
-    #    that stayed DISPLACED last round (ADVICE r12) --
-    # -- new r13 operators (first driver rows) --
-    "sample_weighted",
-    "sample_weighted_stratified",
+    # -- code/oracle changed in r14, kept/pulled driver-visible (the
+    #    r05 precedent: changed paths must show in the driver record).
+    #    quality_source_percentile gates n=1 sources now (ADVICE r13);
+    #    the six LSH-family queries run against the width-parameterized
+    #    oracles (VERDICT r13 item 1 — the SQL now derives the
+    #    auto-bits width from count(*), scale-portable);
+    #    dedup_minhash_lsh_deleted rides the deletion module whose
+    #    compaction crash-recovery was rewritten (ADVICE r13) --
     "quality_source_percentile",
-    "quality_gate_approx_bounds",
-    "zorder_layout",
-    "bpe_pair_counts",
-    "dedup_minhash_lsh_deleted",
+    "dedup_embedding_lsh",
     "dedup_embedding_clusters",
-    "doc_dedup_spans",
-    "doc_dedup_spans_incremental",
-    "text_quality_drift",
-    "dedup_embedding",
-    "dedup_ngram_jaccard",
-    "ann_ivf",
-    "ann_ivf_kmeans",
-    "ann_ivf_recall_bounds",
-    "dedup_lsh_recall_bounds",
-    # -- the pre-committed r13 rotation (CORRECTNESS_WINDOW.md): the
-    #    r08-rowed remainder, oldest driver records first --
-    "timeseries_gapfill",
-    "listagg",
-    "value_histogram",
-    "grouping_sets",
-    "map_funcs",
-    "vocab_topk_cms_bounds",
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "window_frames",
-    "fact_events_by_second",
-    "fact_orders_by_week",
-    "user_value_ema",
-    "sample_hash_split",
+    "dedup_embedding_incremental",
+    "ann_lsh_bucketed",
+    "ann_lsh_multiprobe",
+    "ann_lsh_indexed",
+    "dedup_minhash_lsh_deleted",
+    # -- new r14 operators (first driver rows): the BPE train/apply
+    #    loop, the GK production gate's contract row, derived-table
+    #    delete propagation, IVF-PQ + its recall contract, and the two
+    #    streaming-state snapshot rows --
+    "bpe_train",
+    "bpe_apply",
+    "quality_source_gate_gk",
+    "dedup_clusters_deleted",
+    "ann_ivf_pq",
+    "ann_pq_recall_bounds",
+    "streaming_cms_snapshot",
+    "streaming_weighted_reservoir",
+    # -- the pre-committed r14 rotation (CORRECTNESS_WINDOW.md): FIRST
+    #    the eight popped mid-r13 (waited longest, r08/r09 rows), then
+    #    the head of the r08/r09-rowed cohort --
+    "multimodal_wav",
+    "multimodal_wav_samples",
+    "multimodal_features",
+    "user_value_ema_segmented",
+    "sample_per_source_quota",
+    "sample_mixture",
+    "fact_events_hour_regrain",
+    "fact_events_tenant_by_hour",
+    "text_scrub",
+    "seq_pack",
+    "profile_table",
+    "dedup_minhash_incremental",
+    "q8_national_market_share",
+    "q12_late_shipments",
     # -- core schema-level pipeline (driver-green r02-r04 + r07; pinned) --
     "dim_event_type",
     "fact_events_by_minute",
@@ -165,15 +176,38 @@ DRIVER_WINDOW: list[str] = [
 # cohort (every entry got fresh rows in r12) — recency rotation per the
 # pre-committed r13 plan in CORRECTNESS_WINDOW.md.
 DISPLACED: list[str] = [
-    # -- newly displaced: the r12 window's rotating cohort (all with
-    #    fresh r12 driver rows; recency rotation per the pre-committed
-    #    r13 plan in CORRECTNESS_WINDOW.md) --
-    "dedup_embedding_incremental",
-    "dedup_embedding_lsh",
-    "ann_lsh_bucketed",
-    "ann_lsh_indexed",
+    # -- newly displaced: the r13 window's rotating cohort (all with
+    #    fresh r13 driver rows; recency rotation per the pre-committed
+    #    r14 plan in CORRECTNESS_WINDOW.md) --
+    "sample_weighted",
+    "sample_weighted_stratified",
+    "quality_gate_approx_bounds",
+    "zorder_layout",
+    "bpe_pair_counts",
+    "doc_dedup_spans",
+    "doc_dedup_spans_incremental",
+    "text_quality_drift",
+    "dedup_embedding",
+    "dedup_ngram_jaccard",
+    "ann_ivf",
+    "ann_ivf_kmeans",
+    "ann_ivf_recall_bounds",
+    "dedup_lsh_recall_bounds",
+    "timeseries_gapfill",
+    "listagg",
+    "value_histogram",
+    "grouping_sets",
+    "map_funcs",
+    "vocab_topk_cms_bounds",
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "window_frames",
+    "fact_events_by_second",
+    "fact_orders_by_week",
+    "user_value_ema",
+    "sample_hash_split",
+    # -- r12-rowed cohort --
     "ann_lsh_bucketed12",
-    "ann_lsh_multiprobe",
     "doc_dup_chunk_fraction",
     "doc_dup_chunk_fraction_incremental",
     "text_repetition",
@@ -253,21 +287,8 @@ DISPLACED: list[str] = [
     # popped back out mid-r12 by the spans ingestion twin (keeps its
     # r08 record)
     "doc_logprob",
-    # popped back out mid-r13 by the six new r13 operators
-    # (sample_weighted(+_stratified) / quality_source_percentile /
-    # quality_gate_approx_bounds / zorder_layout / bpe_pair_counts);
-    # keep their r08/r09 records
-    "multimodal_wav",
-    "multimodal_wav_samples",
-    "multimodal_features",
-    "user_value_ema_segmented",
-    "sample_per_source_quota",
-    "sample_mixture",
-    "fact_events_hour_regrain",
-    "fact_events_tenant_by_hour",
-    # r08/r09-rowed cohort
-    "q8_national_market_share",
-    "q12_late_shipments",
+    # r08/r09-rowed cohort remainder (the fourteen oldest rotated back
+    # into the r14 window above)
     "sample_temperature",
     "ann_rank_fusion",
     "doc_bigram_logprob",
@@ -275,10 +296,6 @@ DISPLACED: list[str] = [
     "event_funnel",
     "anomaly_zscore",
     "dedup_containment",
-    "text_scrub",
-    "seq_pack",
-    "profile_table",
-    "dedup_minhash_incremental",
     # earlier-rowed cohorts, by record age
     "dedup_minhash_lsh_capped",
     "dedup_clusters_indexed",
@@ -310,6 +327,11 @@ _DEDUP_QUERIES: dict[str, tuple] = {
     # oracle = the plain LSH pairs minus pairs touching the deleted doc
     "dedup_minhash_lsh_deleted": (dedup_minhash_lsh_deleted_df,
                                   DEDUP_MINHASH_LSH_DELETED_SQL),
+    # derived-table delete propagation (r14): the cluster table REBUILT
+    # from the tombstone-filtered pair set; oracle = components over
+    # the filtered pairs (rebuild == never-having-indexed the doc)
+    "dedup_clusters_deleted": (dedup_clusters_deleted_df,
+                               DEDUP_CLUSTERS_DELETED_SQL),
     # asymmetric containment over the same LSH candidates: the
     # quote/subset detector a Jaccard threshold structurally misses
     "dedup_containment": (dedup_containment_df, DEDUP_CONTAINMENT_SQL),
@@ -396,6 +418,25 @@ _ANN_QUERIES: dict[str, tuple] = {
     # tolerance boolean the oracle pins to TRUE (VERDICT r05 item 6)
     "ann_cosine_topk_arrow_bounds": (ann_cosine_topk_arrow_bounds_df,
                                      ANN_COSINE_TOPK_ARROW_BOUNDS_SQL),
+    # IVF-PQ (r14): ADC scan over the persisted cell-partitioned code
+    # index + exact-cosine refine of the shortlist; oracle replays the
+    # per-subspace codebook training trajectory
+    "ann_ivf_pq": (ann_ivf_pq_df, ANN_IVF_PQ_SQL),
+    "ann_pq_recall_bounds": (ann_pq_recall_bounds_df,
+                             ANN_PQ_RECALL_BOUNDS_SQL),
+}
+
+# batch-facing driver rows for the streaming state machinery (r14,
+# VERDICT r13 item 8): each replays deterministic hash-split
+# micro-batches through the foreachBatch writer into a
+# fingerprint-tagged sink and snapshots the persisted state — the CMS
+# snapshot against the exact groupBy (bounds pinned TRUE), the A-ES
+# reservoir BIT-EQUAL to sample_weighted (same oracle verbatim)
+_STREAMING_QUERIES: dict[str, tuple] = {
+    "streaming_cms_snapshot": (streaming_cms_snapshot_df,
+                               STREAMING_CMS_SNAPSHOT_SQL),
+    "streaming_weighted_reservoir": (streaming_reservoir_df,
+                                     SAMPLE_WEIGHTED_SQL),
 }
 
 _TEXT_QUERIES: dict[str, tuple] = {
@@ -440,6 +481,15 @@ _TEXT_QUERIES: dict[str, tuple] = {
     # BPE merge-pair counting: the tokenizer-training inner loop —
     # vocab-sized pair explode, two map-side-combined aggregates, top-k
     "bpe_pair_counts": (bpe_pair_counts_df, BPE_PAIR_COUNTS_SQL),
+    # the full BPE loop (r14): N-merge training (oracle unrolls the
+    # identical greedy merge iterations) + corpus tokenization with the
+    # learned merges (order-insensitive per-word segmentation hash)
+    "bpe_train": (bpe_train_df, BPE_TRAIN_SQL),
+    "bpe_apply": (bpe_apply_df, BPE_APPLY_SQL),
+    # the GK production gate's own contract row (r14): exact-kept
+    # subset + kept-count rank bracket, both pinned TRUE
+    "quality_source_gate_gk": (quality_source_gate_gk_contract_df,
+                               QUALITY_SOURCE_GATE_GK_SQL),
 }
 
 _MULTIMODAL_QUERIES: dict[str, tuple] = {
@@ -481,6 +531,7 @@ QUERY_FAMILIES: dict[str, dict[str, tuple]] = {
     "pipeline": PIPELINE_QUERIES,
     "training": TRAINING_QUERIES,
     "layout": LAYOUT_QUERIES,
+    "streaming": _STREAMING_QUERIES,
 }
 
 OPERATOR_QUERIES: dict[str, tuple] = {
@@ -505,6 +556,17 @@ EAGER_QUERIES: frozenset[str] = frozenset({
     # runs at construction
     "ann_ivf_kmeans",
     "ann_ivf_recall_bounds",
+    # PQ codebook training + index build + probed-cell resolution run
+    # at construction (r14)
+    "ann_ivf_pq",
+    "ann_pq_recall_bounds",
+    # the BPE driver loop collects one argmax row per merge iteration
+    "bpe_train",
+    "bpe_apply",
+    # the streaming rows replay micro-batch writes into their sinks and
+    # merge driver-side at construction
+    "streaming_cms_snapshot",
+    "streaming_weighted_reservoir",
 })
 
 
@@ -565,12 +627,23 @@ FAMILY_SOURCES: dict[str, list[str]] = {
     # reads events via load_catalog/testbed like the session family
     "layout": ["ringo_spark/operators/layout.py",
                "ringo_spark/sources/layout.py", _TESTBED],
+    # the streaming driver rows execute the foreachBatch writers +
+    # snapshot readers, which run text's CMS constants/tokenizer,
+    # sampling's A-ES keys (and its dedup closure), and similarity's
+    # source fingerprint
+    "streaming": ["ringo_spark/streaming/vocab.py",
+                  "ringo_spark/streaming/sampling.py",
+                  "ringo_spark/operators/text.py",
+                  "ringo_spark/operators/sampling.py", *_DEDUP_EXEC],
     "core": [_TESTBED, "ringo_spark/engine.py", *_POPULATE_SOURCES],
 }
 
 # Changed files that affect NO registered query's results: docs, tests,
-# bench/tooling, streaming (pytest-covered, not registry-reachable), and
-# this registry's own ordering lists (window order doesn't change query
+# bench/tooling, streaming modules NOT behind a registered row (family
+# attribution wins over the prefix: vocab.py/sampling.py are claimed by
+# the "streaming" family since r14, so the prefix only covers the
+# pytest-only twins — dedup/drift/anomaly/sessionize), and this
+# registry's own ordering lists (window order doesn't change query
 # results).  Everything else outside FAMILY_SOURCES triggers the
 # conservative full sweep.
 SHARED_NEUTRAL_PREFIXES: tuple[str, ...] = (

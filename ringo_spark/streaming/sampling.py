@@ -85,6 +85,40 @@ def streaming_weighted_reservoir(k: int = WEIGHTED_K):
     return maker
 
 
+# --- registered driver row (r14, VERDICT r13 item 8) -------------------------
+
+RESERVOIR_SPLITS = 3
+
+
+def streaming_reservoir_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EAGER (registry.EAGER_QUERIES): the reservoir twin's driver row.
+    Replays the corpus as deterministic hash-split micro-batches
+    through the foreachBatch updater into a fingerprint-tagged sink,
+    then snapshots — the result must be BIT-EQUAL to the batch
+    ``sample_weighted`` operator (topk-of-union decomposition), so it
+    shares sample_weighted's oracle verbatim: the streaming state
+    machinery itself (version dirs, pointer flips, per-batch merge, GC)
+    sits under the driver hash.  Reruns re-merge the already-final
+    reservoir per batch — a fixed point, so the row is rerun-stable."""
+    import hashlib
+
+    from ..operators.similarity import _source_fingerprint
+
+    fp = _source_fingerprint(sf_dir, "documents.parquet")
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|reservoir|{RESERVOIR_SPLITS}|{fp}"
+        .encode()).hexdigest()[:10]
+    from .vocab import _sink_root
+    res = os.path.join(_sink_root(), f"res-{tag}")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    updater = streaming_weighted_reservoir()
+    for i in range(RESERVOIR_SPLITS):
+        updater(res)(
+            docs.where(F.pmod(F.col("doc_id"),
+                              F.lit(RESERVOIR_SPLITS)) == i), i)
+    return reservoir_snapshot(spark, res)
+
+
 def reservoir_snapshot(spark: SparkSession,
                        reservoir_path: str) -> DataFrame:
     """The current reservoir in the batch operator's output shape
