@@ -271,3 +271,36 @@ def test_apply_tombstones_partitioned_crash_recovery(spark, tmp_path,
     assert out2.count() == n - 2
     assert out2.where(F.col("vec_id").isin(ids)).count() == 0
     assert load_tombstones(spark, p, id_col="vec_id") is None
+
+
+def test_registered_clusters_deleted_rebuild_contract(spark):
+    """Derived-table delete propagation (r14): the registered cluster
+    rebuild equals min-label components over the tombstone-filtered
+    pair set — the deleted doc is absent, its old component relabels
+    (or splits) as if the doc had never been indexed, and the rebuild
+    is non-vacuous: the deleted doc was clustered in the unfiltered
+    table."""
+    from ringo_spark.operators.dedup import (
+        DELETED_DOC_ID, dedup_clusters_deleted_df, dedup_clusters_df,
+        dedup_minhash_lsh_deleted_df, dedup_minhash_lsh_indexed_df,
+    )
+
+    got = {(r.doc_id, r.cluster_id)
+           for r in dedup_clusters_deleted_df(spark, SF).collect()}
+    # reference: components over the filtered pairs via the shared
+    # propagation kernel
+    want = {(r.doc_id, r.cluster_id)
+            for r in dedup_clusters_df(
+                spark, SF,
+                pairs_df=dedup_minhash_lsh_deleted_df(spark, SF)
+                .selectExpr("doc_a", "doc_b")).collect()}
+    assert got == want and got
+    assert all(d != DELETED_DOC_ID for d, _ in got)
+    full = {(r.doc_id, r.cluster_id)
+            for r in dedup_clusters_df(
+                spark, SF,
+                pairs_df=dedup_minhash_lsh_indexed_df(spark, SF)
+                .selectExpr("doc_a", "doc_b")).collect()}
+    assert any(d == DELETED_DOC_ID for d, _ in full), \
+        "demo doc must be clustered before deletion"
+    assert got != full

@@ -1734,3 +1734,91 @@ def test_quality_gate_keeps_singleton_source(spark, tmp_path):
     gk = {r.doc_id for r in
           quality_source_gate_gk_df(spark, sf2).collect()}
     assert lone_id in gk                         # production form agrees
+
+
+def test_bpe_train_matches_pure_python_and_evolves(spark):
+    """The merge list equals a pure-Python BPE trainer's on the same
+    word counts (greedy left-to-right non-overlapping merges, count
+    desc / pair asc ties) and is NON-VACUOUS: some later merge
+    consumes a symbol produced by an earlier one, proving the state
+    actually evolves (a static recount would never produce it)."""
+    from ringo_spark.operators.text import BPE_MERGES, bpe_train_df
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    vocab = {}
+    for r in docs:
+        for w in r.text.split():
+            if w:
+                vocab[w] = vocab.get(w, 0) + 1
+    state = {w: list(w) for w in vocab}
+
+    def merge(syms, a, b):
+        out = []
+        for s in syms:
+            if out and out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        return out
+
+    want = []
+    for rank in range(1, BPE_MERGES + 1):
+        counts = {}
+        for w, syms in state.items():
+            for i in range(len(syms) - 1):
+                pr = (syms[i], syms[i + 1])
+                counts[pr] = counts.get(pr, 0) + vocab[w]
+        (a, b), c = min(counts.items(),
+                        key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))
+        want.append((rank, a, b, c))
+        state = {w: merge(s, a, b) for w, s in state.items()}
+
+    got = [tuple(r) for r in bpe_train_df(spark, SF).collect()]
+    assert got == want
+    merged_syms = {a + b for _, a, b, _ in got}
+    assert any(a in merged_syms or b in merged_syms
+               for _, a, b, _ in got), \
+        "no merge consumed an earlier merge's output symbol"
+
+
+def test_bpe_apply_invariants_and_falsifiability(spark):
+    """Tokenization with the learned merges: per doc the BPE length is
+    at most the character count of its words and strictly less for
+    docs containing merged pairs; zero merges reproduces pure
+    character segmentation (different hash and longer stream), so the
+    row actually pins the merge application."""
+    from ringo_spark.operators.text import bpe_apply_df
+
+    got = {r.doc_id: r for r in bpe_apply_df(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    assert set(got) == {r.doc_id for r in docs}
+    chars = {r.doc_id: sum(len(w) for w in r.text.split() if w)
+             for r in docs}
+    assert all(got[d].bpe_len <= chars[d] for d in got)
+    assert sum(got[d].bpe_len for d in got) < sum(chars.values())
+
+    nomerge = {r.doc_id: r for r in
+               bpe_apply_df(spark, SF, n_merges=0).collect()}
+    assert all(nomerge[d].bpe_len == chars[d] for d in nomerge)
+    assert any(nomerge[d].syms_hash != got[d].syms_hash for d in got)
+
+
+def test_quality_gate_gk_contract_falsifiable(spark):
+    """The GK gate contract row: both booleans TRUE at the registered
+    probe (the oracle pins them), and probing the sketch at p=0.75
+    while the brackets check p=0.25 flips gk_within_bracket on every
+    non-trivial source AND breaks the exact-subset claim somewhere —
+    i.e. the contract actually constrains the gate."""
+    from ringo_spark.operators.text import (
+        quality_source_gate_gk_contract_df,
+    )
+
+    ok = quality_source_gate_gk_contract_df(spark, SF).collect()
+    assert ok and all(r.exact_subset_of_gk for r in ok)
+    assert all(r.gk_within_bracket for r in ok)
+
+    wrong = quality_source_gate_gk_contract_df(spark, SF,
+                                               probe_p=0.75).collect()
+    flipped = [r for r in wrong if not r.gk_within_bracket]
+    assert len(flipped) >= sum(1 for r in wrong if r.n >= 10) * 0.9
+    assert any(not r.exact_subset_of_gk for r in wrong)

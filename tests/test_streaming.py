@@ -1221,3 +1221,41 @@ def test_reservoir_version_dirs_are_garbage_collected(spark, tmp_path):
     got = [tuple(r) for r in reservoir_snapshot(spark, res).collect()]
     want = [tuple(r) for r in sample_weighted_df(spark, SF).collect()]
     assert got == want
+
+
+def test_registered_streaming_rows_rerun_stable(spark):
+    """The two registered streaming-state rows (r14): the reservoir row
+    is BIT-EQUAL to the batch sample_weighted operator (that is why it
+    shares its oracle), the CMS row's exact counts equal the batch
+    groupBy with bounds TRUE, and a second invocation (re-replaying
+    the same batches into the same tagged sinks) returns identical
+    results — the idempotence the driver's rerun depends on."""
+    from ringo_spark.operators.sampling import sample_weighted_df
+    from ringo_spark.streaming.sampling import streaming_reservoir_df
+    from ringo_spark.streaming.vocab import (
+        STREAM_PROBE_N, streaming_cms_snapshot_df,
+    )
+
+    res = [tuple(r) for r in streaming_reservoir_df(spark, SF).collect()]
+    want = [tuple(r) for r in sample_weighted_df(spark, SF).collect()]
+    assert res == want and res
+    again = [tuple(r) for r in
+             streaming_reservoir_df(spark, SF).collect()]
+    assert again == res
+
+    snap = [tuple(r) for r in
+            streaming_cms_snapshot_df(spark, SF).collect()]
+    assert len(snap) == STREAM_PROBE_N
+    assert all(ok for _, _, ok in snap)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # the probe tokens come from the operator's own tokenizer; counts
+    # must equal the batch groupBy over the same kernel
+    from ringo_spark.operators.textfn import tokens as _tok
+    exact = {r.token: r.c for r in
+             docs.select(F.explode(_tok(F.col("text"))).alias("token"))
+             .groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+             .collect()}
+    assert all(exact[t] == c for t, c, _ in snap)
+    snap2 = [tuple(r) for r in
+             streaming_cms_snapshot_df(spark, SF).collect()]
+    assert snap2 == snap
