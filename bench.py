@@ -167,6 +167,18 @@ HEADLINE = [
     "bpe_pair_counts",
     "dedup_minhash_lsh_deleted",
     "dedup_embedding_clusters",
+    # round-14 additions: the BPE train/apply loop, the GK gate
+    # contract row, IVF-PQ with refine + its recall contract,
+    # derived-table delete propagation, and the two streaming-state
+    # snapshot rows
+    "bpe_train",
+    "bpe_apply",
+    "quality_source_gate_gk",
+    "dedup_clusters_deleted",
+    "ann_ivf_pq",
+    "ann_pq_recall_bounds",
+    "streaming_cms_snapshot",
+    "streaming_weighted_reservoir",
 ]
 
 RUNS_PER_QUERY = 2
@@ -176,19 +188,17 @@ RUNS_PER_QUERY = 2
 # (their deltas have no prior pin, so the driver record is their only
 # arbiter).  Everything else still lands in BENCH_DETAIL.json.
 COMPACT_EXTRA = [
-    # r13: the eight new operators (no prior pins), plus the two span
-    # operators that run this round's array_except kernel rewrite and
-    # corpus_curation's min-struct dedup rewrite
-    "sample_weighted",
-    "sample_weighted_stratified",
+    # r14: the eight new operators (no prior pins), plus
+    # quality_source_percentile (n=1 gate change this round)
+    "bpe_train",
+    "bpe_apply",
+    "quality_source_gate_gk",
+    "dedup_clusters_deleted",
+    "ann_ivf_pq",
+    "ann_pq_recall_bounds",
+    "streaming_cms_snapshot",
+    "streaming_weighted_reservoir",
     "quality_source_percentile",
-    "quality_gate_approx_bounds",
-    "zorder_layout",
-    "bpe_pair_counts",
-    "dedup_minhash_lsh_deleted",
-    "dedup_embedding_clusters",
-    "doc_dedup_spans",
-    "doc_dedup_spans_incremental",
 ]
 
 # Hard ceiling for the stdout line: the driver's capture tail is 2000

@@ -113,6 +113,14 @@ DRIVER_WINDOW: list[str] = [
     "ann_lsh_multiprobe",
     "ann_lsh_indexed",
     "dedup_minhash_lsh_deleted",
+    #    (mid-round amendment: the IVF oracles became kk/np-
+    #    parameterized too — scale-portable like the LSH family — so
+    #    ann_ivf / ann_ivf_kmeans / ann_ivf_recall_bounds return to the
+    #    window; the three newest rotate-backs pop per the r06
+    #    precedent, keeping their r08/r09 records)
+    "ann_ivf",
+    "ann_ivf_kmeans",
+    "ann_ivf_recall_bounds",
     # -- new r14 operators (first driver rows): the BPE train/apply
     #    loop, the GK production gate's contract row, derived-table
     #    delete propagation, IVF-PQ + its recall contract, and the two
@@ -139,9 +147,6 @@ DRIVER_WINDOW: list[str] = [
     "text_scrub",
     "seq_pack",
     "profile_table",
-    "dedup_minhash_incremental",
-    "q8_national_market_share",
-    "q12_late_shipments",
     # -- core schema-level pipeline (driver-green r02-r04 + r07; pinned) --
     "dim_event_type",
     "fact_events_by_minute",
@@ -189,9 +194,6 @@ DISPLACED: list[str] = [
     "text_quality_drift",
     "dedup_embedding",
     "dedup_ngram_jaccard",
-    "ann_ivf",
-    "ann_ivf_kmeans",
-    "ann_ivf_recall_bounds",
     "dedup_lsh_recall_bounds",
     "timeseries_gapfill",
     "listagg",
@@ -287,6 +289,11 @@ DISPLACED: list[str] = [
     # popped back out mid-r12 by the spans ingestion twin (keeps its
     # r08 record)
     "doc_logprob",
+    # popped back out mid-r14 by the IVF-oracle amendment (keep their
+    # r08/r09 records)
+    "dedup_minhash_incremental",
+    "q8_national_market_share",
+    "q12_late_shipments",
     # r08/r09-rowed cohort remainder (the fourteen oldest rotated back
     # into the r14 window above)
     "sample_temperature",

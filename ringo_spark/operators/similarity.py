@@ -383,6 +383,27 @@ def _auto_nprobe(k: int, base: int) -> int:
     return max(base, math.ceil(base * k / IVF_K))
 
 
+def sql_auto_ivf_k_cte() -> str:
+    """DuckDB twin of :func:`auto_ivf_k` at default conf, as a 1-row
+    CTE body ``kk(k)`` — the IVF analog of :func:`sql_auto_bits_cte`
+    (VERDICT r13 item 1 extended to the whole vector family): derive K
+    from ``count(*)`` exactly as the Spark gate does, so every IVF
+    oracle constrains its operator at EVERY scale factor instead of
+    hard-coding the contract K.  ``round()`` never straddles an engine
+    difference because sqrt(N/divisor) can never land exactly on .5."""
+    return (f"SELECT least({IVF_MAX_AUTO_K}, greatest({IVF_K}, "
+            f"CAST(round(sqrt(count(*) / {IVF_SQRT_DIVISOR}.0), 0) "
+            f"AS INT))) AS k FROM embeddings")
+
+
+def sql_auto_nprobe_cte(base: int) -> str:
+    """``np(nprobe)`` — :func:`_auto_nprobe`'s contract probe fraction
+    at the kk-derived K (requires ``kk`` in scope)."""
+    return (f"SELECT greatest({base}, "
+            f"CAST(ceil({base} * k * 1.0 / {IVF_K}) AS INT)) AS nprobe "
+            f"FROM kk")
+
+
 def ann_ivf_df(spark: SparkSession, sf_dir: str, k: int | None = None,
                nprobe: int | None = None) -> DataFrame:
     """IVF-style ANN: partition the corpus into K centroid cells, search
@@ -445,9 +466,11 @@ def ann_ivf_df(spark: SparkSession, sf_dir: str, k: int | None = None,
 
 
 ANN_IVF_SQL = f"""
-WITH cent AS (
-  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-  WHERE vec_id < {IVF_K}),
+WITH kk AS ({sql_auto_ivf_k_cte()}),
+np AS ({sql_auto_nprobe_cte(IVF_NPROBE)}),
+cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings, kk
+  WHERE vec_id < kk.k),
 cells AS (
   SELECT vec_id,
          max({{'s': round({sql_cosine('e.embedding', 'c.cvec')}, 6),
@@ -462,8 +485,8 @@ probes AS (
              ORDER BY round({sql_cosine('q.embedding', 'c.cvec')}, 6) DESC,
                       c.cid DESC) AS pr
     FROM embeddings q CROSS JOIN cent c
-    WHERE q.vec_id < {LSH_N_QUERIES})
-  WHERE pr <= {IVF_NPROBE}),
+    WHERE q.vec_id < {LSH_N_QUERIES}), np
+  WHERE pr <= np.nprobe),
 cand AS (
   SELECT p.q_id, e.vec_id AS n_id,
          round({sql_cosine('qe.embedding', 'e.embedding')}, 6) AS cosine
@@ -1198,12 +1221,14 @@ def ann_ivf_recall_bounds_df(spark: SparkSession, sf_dir: str,
             .orderBy("q_id"))
 
 
-def _sql_kmeans_ctes(k: int, iters: int) -> tuple[str, str]:
+def _sql_kmeans_ctes(iters: int) -> tuple[str, str]:
     """DuckDB twin of :func:`train_ivf_centroids`: the Lloyd iterations
-    unrolled as a CTE chain (cent0 -> cells0 -> cent1 -> ...)."""
+    unrolled as a CTE chain (cent0 -> cells0 -> cent1 -> ...), seeded
+    with the kk-derived K vectors (requires ``kk`` in scope — the
+    trained-IVF oracles are scale-portable since r14)."""
     parts = [f"""cent0 AS (
-  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings
-  WHERE vec_id < {k})"""]
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings, kk
+  WHERE vec_id < kk.k)"""]
     for i in range(iters):
         parts.append(f"""cells{i} AS (
   SELECT vec_id,
@@ -1223,14 +1248,17 @@ def _sql_kmeans_ctes(k: int, iters: int) -> tuple[str, str]:
     return ",\n".join(parts), f"cent{iters}"
 
 
-_KM_CTES, _KM_FINAL = _sql_kmeans_ctes(IVF_K, IVF_KMEANS_ITERS)
+_KM_CTES, _KM_FINAL = _sql_kmeans_ctes(IVF_KMEANS_ITERS)
 
 
-def _kmeans_search_ctes(nprobe: int) -> str:
+def _kmeans_search_ctes(nprobe_base: int) -> str:
     """Shared assignment/probe/candidate CTE block for the trained-IVF
-    oracles, parameterized on the probe width (the kmeans query pins
-    IVF_NPROBE; the recall contract pins IVF_RECALL_NPROBE)."""
-    return f"""cells AS (
+    oracles, parameterized on the contract probe fraction (the kmeans
+    query holds IVF_NPROBE of IVF_K cells; the recall contract
+    IVF_RECALL_NPROBE) — the width resolves against the kk-derived K
+    through the np CTE."""
+    return f"""np AS ({sql_auto_nprobe_cte(nprobe_base)}),
+cells AS (
   SELECT vec_id,
          max({{'s': round({sql_cosine('e.embedding', 'c.cvec')}, 6),
               'cid': c.cid}}).cid AS cell
@@ -1244,8 +1272,8 @@ probes AS (
              ORDER BY round({sql_cosine('q.embedding', 'c.cvec')}, 6) DESC,
                       c.cid DESC) AS pr
     FROM embeddings q CROSS JOIN {_KM_FINAL} c
-    WHERE q.vec_id < {LSH_N_QUERIES})
-  WHERE pr <= {nprobe}),
+    WHERE q.vec_id < {LSH_N_QUERIES}), np
+  WHERE pr <= np.nprobe),
 cand AS (
   SELECT p.q_id, e.vec_id AS n_id,
          round({sql_cosine('qe.embedding', 'e.embedding')}, 6) AS cosine
@@ -1257,7 +1285,8 @@ cand AS (
 
 
 ANN_IVF_KMEANS_SQL = f"""
-WITH {_KM_CTES},
+WITH kk AS ({sql_auto_ivf_k_cte()}),
+{_KM_CTES},
 {_kmeans_search_ctes(IVF_NPROBE)}
 SELECT q_id, n_id,
        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id)
@@ -1268,7 +1297,8 @@ QUALIFY rank <= {LSH_TOP_K}
 """
 
 ANN_IVF_RECALL_BOUNDS_SQL = f"""
-WITH {_KM_CTES},
+WITH kk AS ({sql_auto_ivf_k_cte()}),
+{_KM_CTES},
 {_kmeans_search_ctes(IVF_RECALL_NPROBE)},
 ivf AS (
   SELECT q_id, n_id FROM (
@@ -1846,14 +1876,8 @@ def _pq_sql_ctes(nprobe_base: int) -> str:
     sl = f"[t.m*{PQ_DSUB}+1 : (t.m+1)*{PQ_DSUB}]"
     l2 = (f"round(list_sum([(s.sv[j] - c.cvec[j]) * (s.sv[j] - c.cvec[j]) "
           f"for j in generate_series(1, {PQ_DSUB})]), 6)")
-    parts = [f"""kk AS (
-  SELECT least({IVF_MAX_AUTO_K}, greatest({IVF_K},
-         CAST(round(sqrt(count(*) / {IVF_SQRT_DIVISOR}.0), 0) AS INT)))
-    AS k
-  FROM embeddings)""", f"""np AS (
-  SELECT greatest({nprobe_base},
-         CAST(ceil({nprobe_base} * k * 1.0 / {IVF_K}) AS INT)) AS nprobe
-  FROM kk)""", f"""sub AS (
+    parts = [f"kk AS ({sql_auto_ivf_k_cte()})",
+             f"np AS ({sql_auto_nprobe_cte(nprobe_base)})", f"""sub AS (
   SELECT vec_id, t.m, embedding{sl}::DOUBLE[] AS sv
   FROM embeddings, range({PQ_M}) t(m))""", f"""cb0 AS (
   SELECT m, vec_id AS cid, sv AS cvec FROM sub WHERE vec_id < {PQ_K})"""]

@@ -231,3 +231,29 @@ def test_oracle_width_cte_tracks_gate_at_every_sf(spark):
     # non-vacuous: at sf0.1 the dedup gate actually widens past its
     # floor, so the dynamic oracle is exercised beyond the contract
     assert _auto_dedup_bits(spark, SF1) > EMB_LSH_BITS
+
+
+def test_ivf_oracle_k_cte_tracks_gate_at_every_sf(spark):
+    """The IVF analog of the width-CTE pin: the oracles' kk(k) /
+    np(nprobe) CTEs must resolve to exactly auto_ivf_k/_auto_nprobe at
+    every scale factor — non-vacuously past the contract K at sf0.1."""
+    import duckdb
+
+    from ringo_spark.operators.similarity import (
+        IVF_NPROBE, IVF_RECALL_NPROBE, _auto_ivf_k, _auto_nprobe,
+        sql_auto_ivf_k_cte, sql_auto_nprobe_cte,
+    )
+
+    for sf in (SF001, SF01, SF1):
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                    f"read_parquet('{sf}/embeddings.parquet')")
+        k = _auto_ivf_k(spark, sf)
+        assert con.execute(sql_auto_ivf_k_cte()).fetchone()[0] == k
+        for base in (IVF_NPROBE, IVF_RECALL_NPROBE):
+            got = con.execute(
+                f"WITH kk AS ({sql_auto_ivf_k_cte()}) "
+                f"{sql_auto_nprobe_cte(base)}").fetchone()[0]
+            assert got == _auto_nprobe(k, base), (sf, base)
+    from ringo_spark.operators.similarity import IVF_K
+    assert _auto_ivf_k(spark, SF1) > IVF_K

@@ -635,3 +635,22 @@ def test_r13_operators_plan_shapes(spark):
     for plan in (sw, qp, zo, st, bp):
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def test_r14_operators_plan_shapes(spark):
+    """r14 scale contracts in the plan: BPE tokenization joins the
+    corpus against the BROADCAST vocab map (map-only tokenization —
+    never a corpus-side shuffle on the word key), and the PQ search's
+    refine stage broadcasts the fixed-size shortlist against the
+    embeddings scan."""
+    from ringo_spark.operators.similarity import ann_ivf_pq_df
+    from ringo_spark.operators.text import bpe_apply_df
+
+    ap = plan_of(spark, bpe_apply_df(spark, SF), "simple")
+    assert "BroadcastHashJoin" in ap
+    assert "SortMergeJoin" not in ap
+
+    pq = plan_of(spark, ann_ivf_pq_df(spark, SF), "simple")
+    assert "BroadcastHashJoin" in pq
+    assert "SortMergeJoin" not in pq
+    assert "BatchEvalPython" not in pq and "ArrowEvalPython" not in pq
