@@ -824,6 +824,51 @@ def ivf_scenario():
               f"| {prop} | {rec_prop:.3f} |", flush=True)
 
 
+def pq_scenario():
+    """IVF-PQ probe (r14): the memory story and the recall/cost ladder
+    at sf0.1 (2,000 vectors, auto K=32).  Reports (a) on-disk bytes of
+    the codes-only PQ index vs the raw-vector IVF index — the ~64x
+    per-vector payload cut is THE reason PQ exists at 100 TB (a
+    3 TB float64 corpus becomes ~48 GB of codes: cache-resident); (b)
+    recall@5 at the contract rerank=50, at rerank=25, and ADC-only —
+    the knob a deployment turns when the refine fetches get expensive;
+    (c) wall time of the reranked search."""
+    import glob
+
+    from ringo_spark.catalog import get_spark
+    from ringo_spark.operators.similarity import (
+        ann_ivf_pq_df, ann_pq_recall_bounds_df, build_ivf_index,
+        build_pq_index, LSH_TOP_K,
+    )
+
+    spark = get_spark("scale-probe-pq")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+
+    def du(path, pat):
+        return sum(os.path.getsize(f) for f in
+                   glob.glob(os.path.join(path, pat), recursive=True))
+
+    pq_path = build_pq_index(spark, SRC)
+    ivf_path = build_ivf_index(spark, SRC)
+    pq_bytes = du(pq_path, "**/*.parquet")
+    ivf_bytes = du(ivf_path, "**/*.parquet")
+    print(f"| index | data bytes (cell dirs) |")
+    print(f"|---|---|")
+    print(f"| IVF raw vectors | {ivf_bytes:,} |")
+    print(f"| PQ codes | {pq_bytes:,} ({ivf_bytes / max(1, pq_bytes):.1f}x smaller) |",
+          flush=True)
+    print()
+    print("| rerank | mean recall@5 | search s |")
+    print("|---|---|---|")
+    for r in (50, 25, LSH_TOP_K):
+        t0 = time.time()
+        rec = ann_pq_recall_bounds_df(spark, SRC, rerank=r)             .agg(F.avg("recall")).collect()[0][0]
+        label = str(r) if r != LSH_TOP_K else f"{r} (ADC-only)"
+        print(f"| {label} | {rec:.3f} | {time.time() - t0:.1f} |",
+              flush=True)
+
+
 def gate_scenario():
     """Per-source quality gate: EXACT percent-rank (one per-source sort)
     vs the PRODUCTION GK-threshold form (mergeable sketch + broadcast
@@ -950,5 +995,7 @@ if __name__ == "__main__":
         gate_scenario()
     elif len(sys.argv) > 1 and sys.argv[1] == "zorder":
         zorder_scenario()
+    elif len(sys.argv) > 1 and sys.argv[1] == "pq":
+        pq_scenario()
     else:
         main()
