@@ -1334,15 +1334,63 @@ def _bpe_train_state(spark: SparkSession, sf_dir: str,
     return merges, state
 
 
+def _bpe_root() -> str:
+    import os
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".bpe_tokenizer")
+
+
+def build_bpe_tokenizer(spark: SparkSession, sf_dir: str,
+                        n_merges: int = BPE_MERGES,
+                        force: bool = False) -> str:
+    """Train once, apply many — the production tokenizer lifecycle: the
+    merge list and the word→symbols map persist under a
+    source-fingerprinted dir (the persisted-index pattern: regenerated
+    data retags and retrains; GC shares the index LRU).  At 100 TB a
+    tokenizer trains ONCE on a vocab-sized state and is then a static
+    broadcast artifact for every tokenization job — retraining per
+    query would be the wrong cost model, which is why both registered
+    BPE queries read from here."""
+    import hashlib
+    import os
+
+    from .similarity import _source_fingerprint, _touch, gc_index_root
+
+    fp = _source_fingerprint(sf_dir, "documents.parquet")
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|bpe|{n_merges}|{fp}"
+        .encode()).hexdigest()[:10]
+    path = os.path.join(_bpe_root(), f"m{n_merges}-{tag}")
+    marker = os.path.join(path, "_BPE_OK")
+    if not force and os.path.exists(marker):
+        _touch(marker)
+        return path
+    merges, state = _bpe_train_state(spark, sf_dir, n_merges)
+    (spark.createDataFrame(
+        merges, "merge_rank int, a string, b string, pair_count long")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(path, "merges")))
+    (state.select("w", F.concat_ws(" ", "syms").alias("sym_str"),
+                  F.size("syms").alias("ns"))
+     .write.mode("overwrite").parquet(os.path.join(path, "word_map")))
+    open(marker, "w").close()
+    gc_index_root(_bpe_root(), protect=path)
+    return path
+
+
 def bpe_train_df(spark: SparkSession, sf_dir: str,
                  n_merges: int = BPE_MERGES) -> DataFrame:
     """The learned merge list: rank, pair, and the pair's weighted
     count at the moment it won — the tokenizer-training artifact
-    itself.  Ties break on the 'a b' string, matching the oracle."""
-    merges, _ = _bpe_train_state(spark, sf_dir, n_merges)
-    return spark.createDataFrame(
-        merges,
-        "merge_rank int, a string, b string, pair_count long")
+    itself, served from the persisted tokenizer (trained once per
+    corpus version).  Ties break on the 'a b' string, matching the
+    oracle."""
+    import os
+
+    p = build_bpe_tokenizer(spark, sf_dir, n_merges)
+    return (spark.read.parquet(os.path.join(p, "merges"))
+            .orderBy("merge_rank"))
 
 
 def bpe_apply_df(spark: SparkSession, sf_dir: str,
@@ -1352,14 +1400,15 @@ def bpe_apply_df(spark: SparkSession, sf_dir: str,
     sequences (the sorted multiset pins every word's exact
     segmentation without shipping the token stream to the driver).
 
-    Scale shape: the learned word→symbols map is vocab-sized and
-    BROADCAST against the corpus token explode — tokenization itself
-    is map-only (one shuffle for the per-doc rollup), which is how a
-    100 TB corpus gets tokenized with a fixed tokenizer."""
-    _, state = _bpe_train_state(spark, sf_dir, n_merges)
-    word_map = state.select(
-        "w", F.concat_ws(" ", "syms").alias("sym_str"),
-        F.size("syms").alias("ns"))
+    Scale shape: the learned word→symbols map comes from the PERSISTED
+    tokenizer (vocab-sized, trained once) and is BROADCAST against the
+    corpus token explode — tokenization itself is map-only (one
+    shuffle for the per-doc rollup), which is how a 100 TB corpus gets
+    tokenized with a fixed tokenizer."""
+    import os
+
+    p = build_bpe_tokenizer(spark, sf_dir, n_merges)
+    word_map = spark.read.parquet(os.path.join(p, "word_map"))
     tok = _docs(spark, sf_dir).select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("w"))
     return (tok.join(F.broadcast(word_map), "w")

