@@ -1685,21 +1685,40 @@ def _pq_encode(emb: DataFrame, cb_df: DataFrame) -> DataFrame:
                 lambda s: s["cid"]).alias("codes")))
 
 
+def _pq_assign_cells(df: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, cell) via the deterministic rounded-cosine argmax
+    against the given centroids — shared by build and append so cell
+    routing can never diverge within one index lifecycle."""
+    sim = F.round(cosine(F.col("embedding"), F.col("cvec")), 6)
+    return (df.crossJoin(F.broadcast(cent))
+            .select("vec_id", F.struct(sim.alias("s"),
+                                       F.col("cid").alias("cid"))
+                    .alias("sc"))
+            .groupBy("vec_id")
+            .agg(F.max("sc").alias("b"))
+            .select("vec_id", F.col("b.cid").alias("cell")))
+
+
 def build_pq_index(spark: SparkSession, sf_dir: str,
+                   index_path: str | None = None,
                    k: int | None = None, force: bool = False) -> str:
     """Build (once) the persisted IVF-PQ index: (vec_id, codes) rows
     written ``partitionBy("cell")`` — the cell layer is the same
     deterministic seed-centroid assignment as ann_ivf (production swaps
     in trained centroids; everything else unchanged) — with the
-    codebooks and centroids persisted as underscore sidecars.  The
-    index stores CODES ONLY (PQ_M bytes of information per vector vs
+    codebooks AND centroids persisted as underscore sidecars, so the
+    index is self-contained: appends encode and route with the stored
+    artifacts, never a recomputation that could drift.  The index
+    stores CODES ONLY (PQ_M bytes of information per vector vs
     EMB_DIM doubles), which is the PQ memory story."""
     if k is None:
         k = _auto_ivf_k(spark, sf_dir)
-    tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|pq|{k}|{PQ_M}|{PQ_K}|{PQ_ITERS}|"
-        f"{_source_fingerprint(sf_dir)}".encode()).hexdigest()[:10]
-    index_path = os.path.join(IVF_INDEX_ROOT, f"pq{k}-{tag}")
+    if index_path is None:
+        # "|c" = centroids persisted alongside (append support)
+        tag = hashlib.md5(
+            f"{os.path.abspath(sf_dir)}|pq|{k}|{PQ_M}|{PQ_K}|{PQ_ITERS}|"
+            f"{_source_fingerprint(sf_dir)}|c".encode()).hexdigest()[:10]
+        index_path = os.path.join(IVF_INDEX_ROOT, f"pq{k}-{tag}")
     if not force and os.path.exists(os.path.join(index_path, "_SUCCESS")):
         _touch(os.path.join(index_path, "_SUCCESS"))
         return index_path
@@ -1711,22 +1730,37 @@ def build_pq_index(spark: SparkSession, sf_dir: str,
     cent = (emb.where(F.col("vec_id") < k)
             .select(F.col("vec_id").alias("cid"),
                     F.col("embedding").alias("cvec")))
-    sim = F.round(cosine(F.col("embedding"), F.col("cvec")), 6)
-    cells = (emb.crossJoin(F.broadcast(cent))
-             .select("vec_id", F.struct(sim.alias("s"),
-                                        F.col("cid").alias("cid"))
-                     .alias("sc"))
-             .groupBy("vec_id")
-             .agg(F.max("sc").alias("b"))
-             .select("vec_id", F.col("b.cid").alias("cell")))
+    cells = _pq_assign_cells(emb, cent)
     (_pq_encode(emb, cb_df).join(cells, "vec_id")
      .repartition(F.col("cell"),
                   F.pmod(F.col("vec_id"), F.lit(BUILD_WRITERS_PER_CELL)))
      .write.mode("overwrite").partitionBy("cell").parquet(index_path))
     cb_df.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(index_path, "_codebooks"))
+    (cent.coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(index_path, "_centroids")))
     gc_index_root(IVF_INDEX_ROOT, protect=index_path)
     return index_path
+
+
+def append_to_pq_index(spark: SparkSession, index_path: str,
+                       batch_emb: DataFrame) -> None:
+    """Admit an ingestion batch into a persisted PQ index: the batch is
+    ENCODED with the index's stored codebooks and ROUTED with its
+    stored centroids (recomputing either would silently desynchronize
+    codes/cells from the existing rows — the append_to_ivf_index
+    rule), then appended ``partitionBy("cell")``.  Cost is O(batch):
+    one broadcast-codebook encode + one broadcast-centroid argmax +
+    one batch-sized shuffle; existing files never rewrite.  Codebook
+    or centroid retraining is a rebuild, by design."""
+    cb_df = spark.read.parquet(os.path.join(index_path, "_codebooks"))
+    cent = spark.read.parquet(os.path.join(index_path, "_centroids"))
+    cells = _pq_assign_cells(batch_emb, cent)
+    (_pq_encode(batch_emb, cb_df).join(cells, "vec_id")
+     .repartition(F.col("cell"),
+                  F.pmod(F.col("vec_id"), F.lit(BUILD_WRITERS_PER_CELL)))
+     .write.mode("append").partitionBy("cell").parquet(index_path))
+    _touch(os.path.join(index_path, "_SUCCESS"))
 
 
 def _adc_cosine(q_col, codes_col, cb: dict):

@@ -135,3 +135,31 @@ def test_pq_index_partitioned_compaction(spark, tmp_path, monkeypatch):
         # rebuild so later tests see the full index
         shutil.rmtree(p, ignore_errors=True)
         build_pq_index(spark, SF, force=False)
+
+
+def test_pq_append_routes_with_stored_artifacts(spark, tmp_path):
+    """Ingestion into a persisted PQ index: an appended copy of an
+    existing vector gets IDENTICAL codes and cell (encoded/routed with
+    the stored codebooks/centroids, not recomputed ones), the existing
+    rows never rewrite, and the search discovers the new vector
+    alongside its original."""
+    from ringo_spark.operators.similarity import append_to_pq_index
+
+    p = build_pq_index(spark, SF, index_path=str(tmp_path / "pq"))
+    before = spark.read.parquet(p)
+    n0 = before.count()
+    src = before.orderBy("vec_id").first()
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    batch = (emb.where(F.col("vec_id") == src.vec_id)
+             .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                     "embedding"))
+    append_to_pq_index(spark, p, batch)
+
+    after = spark.read.parquet(p)
+    assert after.count() == n0 + 1
+    copy = after.where(F.col("vec_id") == src.vec_id + 1_000_000).first()
+    assert list(copy.codes) == list(src.codes)
+    assert copy.cell == src.cell
+    # existing rows untouched (same codes for the original)
+    orig = after.where(F.col("vec_id") == src.vec_id).first()
+    assert list(orig.codes) == list(src.codes)
