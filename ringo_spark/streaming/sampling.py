@@ -116,6 +116,8 @@ def streaming_reservoir_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         updater(res)(
             docs.where(F.pmod(F.col("doc_id"),
                               F.lit(RESERVOIR_SPLITS)) == i), i)
+    from ..operators.similarity import gc_index_root
+    gc_index_root(_sink_root(), protect=res)   # stale-tag LRU, as above
     return reservoir_snapshot(spark, res)
 
 

@@ -253,6 +253,11 @@ def streaming_cms_snapshot_df(spark: SparkSession,
         writer(sink)(
             docs.where(F.pmod(F.col("doc_id"),
                               F.lit(STREAM_SPLITS)) == i), i)
+    # sink dirs are per (corpus, fingerprint): a regenerated corpus
+    # retags, so stale sinks would otherwise accumulate forever — the
+    # same LRU GC as every persisted index root
+    from ..operators.similarity import gc_index_root
+    gc_index_root(_sink_root(), protect=sink)
     return (cms_vocab_snapshot(spark, sink, probes)
             .select("token", "exact_count", "within_cms_bounds")
             .orderBy(F.desc("exact_count"), F.asc("token")))
