@@ -55,6 +55,11 @@ SELECTION = [
     ("scd2_dim",
      "both windows share one hashpartitioning(o_custkey) exchange — "
      "change detection and interval close are within-partition"),
+    ("quality_source_gate_gk",
+     "the GK production gate's contract row: per-source sketch "
+     "aggregate (map-side mergeable) + broadcast threshold join — the "
+     "corpus never sorts; one hashpartitioning(source) exchange feeds "
+     "both the gate counts and the bracket aggregate"),
     ("scd2_fact_incremental",
      "point-in-time join is an equi-join on the customer key with the "
      "interval predicate as a residual filter (no range crossJoin); both "
