@@ -130,9 +130,15 @@ def apply_tombstones(spark: SparkSession, index_path: str,
 def _tombstone_fingerprint(tombs: DataFrame, id_col: str) -> str:
     """Order-independent O(1)-driver fingerprint of a tombstone set —
     identifies WHICH deletes a staged compaction rewrite applied, so a
-    rerun never reuses a rewrite that predates newer tombstones."""
-    row = tombs.agg(F.count(F.lit(1)).alias("n"),
-                    F.sum(F.xxhash64(F.col(id_col))).alias("h")).first()
+    rerun never reuses a rewrite that predates newer tombstones.  The
+    hash sum runs in decimal(38,0): two random xxhash64 longs already
+    overflow int64 with ~50% probability, which under Spark's default
+    ANSI mode would ABORT the compaction of any multi-id log
+    (pytest-pinned with a 200-id log)."""
+    row = tombs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(F.col(id_col)).cast("decimal(38,0)"))
+        .alias("h")).first()
     return f"{row.n}:{row.h}"
 
 

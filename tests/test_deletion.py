@@ -304,3 +304,28 @@ def test_registered_clusters_deleted_rebuild_contract(spark):
     assert any(d == DELETED_DOC_ID for d, _ in full), \
         "demo doc must be clustered before deletion"
     assert got != full
+
+
+def test_partitioned_compaction_survives_large_tombstone_set(spark,
+                                                             tmp_path):
+    """A multi-id tombstone log must compact: the staging fingerprint's
+    hash sum runs in decimal (two random xxhash64 longs already
+    overflow int64 with ~50% probability, which under Spark's default
+    ANSI mode aborted the whole compaction), and the rewrite drops
+    every tombstoned row in one pass."""
+    from ringo_spark.operators.deletion import apply_tombstones_partitioned
+    from ringo_spark.operators.similarity import build_lsh_index
+
+    p = build_lsh_index(spark, SF, bits=4,
+                        index_path=str(tmp_path / "lshbig"))
+    rows = index_rows(spark, p, id_col="vec_id")
+    n = rows.count()
+    victims = [r.vec_id for r in
+               rows.select("vec_id").orderBy("vec_id").limit(200)
+               .collect()]
+    tombstone_docs(spark, p, victims, id_col="vec_id")
+    apply_tombstones_partitioned(spark, p, "bucket", id_col="vec_id")
+    out = spark.read.parquet(p)
+    assert out.count() == n - len(victims)
+    assert out.where(F.col("vec_id").isin(victims[:50])).count() == 0
+    assert load_tombstones(spark, p, id_col="vec_id") is None
