@@ -613,7 +613,11 @@ _DEDUP_EXEC = ["ringo_spark/operators/dedup.py",
 FAMILY_SOURCES: dict[str, list[str]] = {
     "dedup": _DEDUP_EXEC,
     "ann": ["ringo_spark/operators/similarity.py", _TEXTFN, _DELETION],
-    "text": ["ringo_spark/operators/text.py", _TEXTFN],
+    # text executes similarity's index-lifecycle helpers since r14
+    # (build_bpe_tokenizer: fingerprint/touch/GC) and, transitively,
+    # deletion (similarity's index readers)
+    "text": ["ringo_spark/operators/text.py", _TEXTFN,
+             "ringo_spark/operators/similarity.py", _DELETION],
     "multimodal": ["ringo_spark/operators/multimodal.py"],
     "relational": ["ringo_spark/operators/relational.py", _TESTBED],
     "grain": ["ringo_spark/operators/rollup_grain.py", _TESTBED,

@@ -869,6 +869,53 @@ def pq_scenario():
               flush=True)
 
 
+def bpe_scenario():
+    """BPE training at k-replicated corpora (r14) — the cost-model
+    claim measured: the training STATE is the distinct vocabulary, so
+    replicating the corpus UNSALTED (identical text, so the vocab is
+    CONSTANT while word counts scale x k) must leave the per-iteration
+    merge cost flat — only the one-time word-count aggregate over the
+    token stream grows with the corpus.  (The LSH lanes salt their
+    copies because pair semantics demand it; BPE has no pair semantics,
+    and salting would grow the vocab ~k x, measuring the wrong
+    thing.)"""
+    from ringo_spark.catalog import get_spark
+    from ringo_spark.operators.text import _bpe_train_state
+
+    spark = get_spark("scale-probe-bpe")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    n_docs = docs.count()
+    print("| k | docs | distinct vocab | train s (8 merges) | merges equal x1? |")
+    print("|---|---|---|---|---|")
+    base_merges = None
+    for k in COPIES:
+        out = os.path.join(SCRATCH, f"bpe-x{k}")
+        if not os.path.exists(os.path.join(out, "_OK")):
+            parts = [docs.select(
+                (F.col("doc_id") + c * n_docs).alias("doc_id"),
+                *[c2 for c2 in docs.columns if c2 != "doc_id"])
+                for c in range(k)]
+            _replicate(parts).write.mode("overwrite").parquet(
+                os.path.join(out, "documents.parquet"))
+            open(os.path.join(out, "_OK"), "w").close()
+        vocab = (spark.read.parquet(f"{out}/documents.parquet")
+                 .selectExpr("explode(split(text, '\\s+')) AS w")
+                 .where("length(w) >= 1").select("w").distinct().count())
+        t0 = time.time()
+        merges, _ = _bpe_train_state(spark, out)
+        wall = time.time() - t0
+        if base_merges is None:
+            base_merges = [(m[1], m[2]) for m in merges]
+            same = "—"
+        else:
+            # counts scale x k but the MERGE SEQUENCE must be identical
+            same = str([(m[1], m[2]) for m in merges] == base_merges)
+        print(f"| {k} | {n_docs * k} | {vocab} | {wall:.1f} | {same} |",
+              flush=True)
+
+
 def gate_scenario():
     """Per-source quality gate: EXACT percent-rank (one per-source sort)
     vs the PRODUCTION GK-threshold form (mergeable sketch + broadcast
@@ -997,5 +1044,7 @@ if __name__ == "__main__":
         zorder_scenario()
     elif len(sys.argv) > 1 and sys.argv[1] == "pq":
         pq_scenario()
+    elif len(sys.argv) > 1 and sys.argv[1] == "bpe":
+        bpe_scenario()
     else:
         main()
