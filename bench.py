@@ -173,6 +173,7 @@ HEADLINE = [
     # snapshot rows
     "bpe_train",
     "bpe_apply",
+    "bpe_fertility",
     "quality_source_gate_gk",
     "dedup_clusters_deleted",
     "ann_ivf_pq",
@@ -192,6 +193,7 @@ COMPACT_EXTRA = [
     # quality_source_percentile (n=1 gate change this round)
     "bpe_train",
     "bpe_apply",
+    "bpe_fertility",
     "quality_source_gate_gk",
     "dedup_clusters_deleted",
     "ann_ivf_pq",

@@ -69,6 +69,7 @@ from .text import (
     QUALITY_SOURCE_PERCENTILE_SQL, TEXT_REPETITION_SQL,
     VOCAB_TOPK_CMS_BOUNDS_SQL, bpe_pair_counts_df,
     BPE_TRAIN_SQL, BPE_APPLY_SQL, bpe_train_df, bpe_apply_df,
+    BPE_FERTILITY_SQL, bpe_fertility_df,
     QUALITY_SOURCE_GATE_GK_SQL, quality_source_gate_gk_contract_df,
     quality_gate_approx_bounds_df, quality_source_percentile_df,
     benchmark_contamination_df, doc_bigram_logprob_df, doc_entropy_df,
@@ -127,6 +128,7 @@ DRIVER_WINDOW: list[str] = [
     #    streaming-state snapshot rows --
     "bpe_train",
     "bpe_apply",
+    "bpe_fertility",
     "quality_source_gate_gk",
     "dedup_clusters_deleted",
     "ann_ivf_pq",
@@ -146,7 +148,6 @@ DRIVER_WINDOW: list[str] = [
     "fact_events_tenant_by_hour",
     "text_scrub",
     "seq_pack",
-    "profile_table",
     # -- core schema-level pipeline (driver-green r02-r04 + r07; pinned) --
     "dim_event_type",
     "fact_events_by_minute",
@@ -289,8 +290,9 @@ DISPLACED: list[str] = [
     # popped back out mid-r12 by the spans ingestion twin (keeps its
     # r08 record)
     "doc_logprob",
-    # popped back out mid-r14 by the IVF-oracle amendment (keep their
-    # r08/r09 records)
+    # popped back out mid-r14 by the IVF-oracle amendment and the
+    # bpe_fertility addition (keep their r08/r09 records)
+    "profile_table",
     "dedup_minhash_incremental",
     "q8_national_market_share",
     "q12_late_shipments",
@@ -493,6 +495,9 @@ _TEXT_QUERIES: dict[str, tuple] = {
     # learned merges (order-insensitive per-word segmentation hash)
     "bpe_train": (bpe_train_df, BPE_TRAIN_SQL),
     "bpe_apply": (bpe_apply_df, BPE_APPLY_SQL),
+    # per-source tokenizer efficiency off the persisted tokenizer —
+    # fertility drives mixture decisions at fixed context length
+    "bpe_fertility": (bpe_fertility_df, BPE_FERTILITY_SQL),
     # the GK production gate's own contract row (r14): exact-kept
     # subset + kept-count rank bracket, both pinned TRUE
     "quality_source_gate_gk": (quality_source_gate_gk_contract_df,
@@ -570,6 +575,7 @@ EAGER_QUERIES: frozenset[str] = frozenset({
     # the BPE driver loop collects one argmax row per merge iteration
     "bpe_train",
     "bpe_apply",
+    "bpe_fertility",
     # the streaming rows replay micro-batch writes into their sinks and
     # merge driver-side at construction
     "streaming_cms_snapshot",

@@ -1419,6 +1419,34 @@ def bpe_apply_df(spark: SparkSession, sf_dir: str,
                  .alias("syms_hash")))
 
 
+def bpe_fertility_df(spark: SparkSession, sf_dir: str,
+                     n_merges: int = BPE_MERGES) -> DataFrame:
+    """Per-SOURCE tokenizer efficiency — fertility (BPE tokens per
+    word) and characters per BPE token — the metric that tells a
+    mixture designer which domains the tokenizer serves poorly (high
+    fertility = more sequence length spent per word = that domain is
+    effectively down-weighted at fixed context length).  Rides the
+    persisted tokenizer like bpe_apply: one broadcast word-map join,
+    one source-key rollup — map-only until the #sources-row
+    aggregate."""
+    import os
+
+    p = build_bpe_tokenizer(spark, sf_dir, n_merges)
+    word_map = spark.read.parquet(os.path.join(p, "word_map"))
+    tok = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("w"))
+    return (tok.join(F.broadcast(word_map), "w")
+            .groupBy("source")
+            .agg(F.count_distinct("doc_id").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_words"),
+                 F.sum("ns").cast("long").alias("bpe_len"),
+                 F.round(F.sum("ns") / F.count(F.lit(1)), 6)
+                 .alias("fertility"),
+                 F.round(F.sum(F.length("w")) / F.sum("ns"), 6)
+                 .alias("chars_per_token"))
+            .orderBy("source"))
+
+
 def _bpe_sql_states(n_merges: int) -> tuple[str, str]:
     """The shared CTE chain: it0 (character state) .. it{n} (after n
     merges) with m{k} argmax CTEs — the oracle replays the exact loop,
@@ -1482,5 +1510,25 @@ FROM applied GROUP BY doc_id
 """
 
 
+def _bpe_fertility_sql(n_merges: int = BPE_MERGES) -> str:
+    ctes, _ = _bpe_sql_states(n_merges)
+    return f"""
+{ctes},
+applied AS (
+  SELECT d.doc_id, d.source, length(d.w) AS nc,
+         len(str_split(s.syms, ' ')) AS ns
+  FROM (SELECT doc_id, source, unnest({sql_tokens('text')}) AS w
+        FROM documents) d
+  JOIN it{n_merges} s ON d.w = s.w)
+SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(ns) AS BIGINT) AS bpe_len,
+       round(sum(ns) * 1.0 / count(*), 6) AS fertility,
+       round(sum(nc) * 1.0 / sum(ns), 6) AS chars_per_token
+FROM applied GROUP BY source ORDER BY source
+"""
+
+
 BPE_TRAIN_SQL = _bpe_train_sql()
 BPE_APPLY_SQL = _bpe_apply_sql()
+BPE_FERTILITY_SQL = _bpe_fertility_sql()

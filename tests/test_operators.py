@@ -1822,3 +1822,22 @@ def test_quality_gate_gk_contract_falsifiable(spark):
     flipped = [r for r in wrong if not r.gk_within_bracket]
     assert len(flipped) >= sum(1 for r in wrong if r.n >= 10) * 0.9
     assert any(not r.exact_subset_of_gk for r in wrong)
+
+
+def test_bpe_fertility_consistency(spark):
+    """The per-source efficiency rollup is consistent with bpe_apply's
+    per-doc totals (sum of bpe_len matches), fertility >= 1 everywhere
+    (a merge can only shorten a word's segmentation, never below one
+    token per word... floor is 1.0 at full merging), and a source
+    whose docs contain merged pairs shows fertility strictly below the
+    character baseline chars_per_token > 1."""
+    from ringo_spark.operators.text import bpe_apply_df, bpe_fertility_df
+
+    fert = bpe_fertility_df(spark, SF).collect()
+    assert fert
+    per_doc = bpe_apply_df(spark, SF).agg(F.sum("bpe_len")).first()[0]
+    assert sum(r.bpe_len for r in fert) == per_doc
+    for r in fert:
+        assert r.fertility >= 1.0, r
+        assert r.chars_per_token > 1.0, r    # merges actually applied
+        assert r.n_words >= r.n_docs
