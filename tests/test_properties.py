@@ -6,6 +6,8 @@ import string
 
 from hypothesis import given, settings, strategies as st
 
+from pyspark.sql import functions as F
+
 from ringo_spark.extractor import (
     dim_column_name, extract_dependencies, extract_dimension_tables,
     extract_fact_table, extracted_fact_table_name, topo_order,
@@ -233,3 +235,43 @@ def test_wav_pcm_decode_round_trip(doc_id):
     assert n == _wav_n_samples(doc_id)
     assert s0 == _wav_sample(doc_id, 0)
     assert peak == max(abs(_wav_sample(doc_id, i)) for i in range(n))
+
+
+def test_bpe_merge_fold_matches_reference_merge(spark):
+    """Property: the SQL-function array fold implementing greedy
+    left-to-right non-overlapping BPE merging equals the canonical
+    pure-Python merge on arbitrary symbol sequences — including the
+    overlap traps (runs of the merged pair, pair halves embedded in
+    longer symbols, merges at either end)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ringo_spark.operators.text import _merge_fold
+
+    sym = st.sampled_from(["a", "b", "ab", "ba", "aa", "x", "xa"])
+    seqs = st.lists(st.lists(sym, min_size=0, max_size=8),
+                    min_size=1, max_size=6)
+
+    def py_merge(syms, a, b):
+        out = []
+        for s in syms:
+            if out and out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        return out
+
+    @settings(max_examples=12, deadline=None)
+    @given(seqs, st.sampled_from([("a", "b"), ("a", "a"), ("b", "a"),
+                                  ("ab", "a"), ("x", "xa")]))
+    def check(symlists, pair):
+        a, b = pair
+        df = spark.createDataFrame([(i, s) for i, s in enumerate(symlists)],
+                                   "i INT, syms ARRAY<STRING>")
+        got = {r.i: list(r.m) for r in
+               df.select("i", _merge_fold(F.col("syms"), a, b)
+                         .alias("m")).collect()}
+        want = {i: py_merge(s, a, b) for i, s in enumerate(symlists)}
+        assert got == want
+
+    check()
