@@ -824,6 +824,66 @@ def ivf_scenario():
               f"| {prop} | {rec_prop:.3f} |", flush=True)
 
 
+def facts_scenario():
+    """Core populate pipeline at k-replicated fact inputs (r14): the
+    engine's own rollup — events x k with per-copy user-id offsets AND
+    month-shifted timestamps (so GROUPS scale x k too, not just input
+    rows: the honest 1000x shape is more rows AND more distinct grain
+    keys), plus the lineitem day rollup over the star replicated by
+    build().  Expect ~linear wall: one partial-aggregated shuffle whose
+    map side combines per (minute, user, type) before the exchange.
+    Events replicate via DuckDB so the parquet timestamp physical type
+    survives byte-exactly (a Spark rewrite under nanosAsLong would
+    change the column type)."""
+    import duckdb
+
+    from ringo_spark.catalog import get_spark
+    from ringo_spark.testbed import (
+        fact_events_by_minute_df, fact_lineitem_by_day_df,
+    )
+
+    spark = get_spark("scale-probe-facts")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+    n_users = 10_000          # > max user_id at sf0.1 (1,500 distinct)
+    print("| k | events | ev-by-minute s | out groups | lineitem-day s "
+          "| out rows |")
+    print("|---|---|---|---|---|---|")
+    rows = {}
+    for k in COPIES:
+        out = build(spark, k)           # star tables for lineitem
+        ev = os.path.join(out, "events.parquet")
+        if not os.path.exists(ev):
+            parts = " UNION ALL ".join(
+                f"SELECT event_id + {c} * 1000000 AS event_id, "
+                f"ts + INTERVAL {c * 31} DAY AS ts, "
+                f"user_id + {c} * {n_users} AS user_id, "
+                f"event_type, value, props "
+                f"FROM read_parquet('{SRC}/events.parquet')"
+                for c in range(k))
+            duckdb.sql(f"COPY ({parts}) TO '{ev}' "
+                       f"(FORMAT PARQUET, ROW_GROUP_SIZE 131072)")
+        n_ev = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{ev}')").fetchone()[0]
+        best_m, best_l, gm, gl = None, None, None, None
+        for _ in range(2):
+            t0 = time.time()
+            gm = fact_events_by_minute_df(spark, out).count()
+            d1 = time.time() - t0
+            best_m = d1 if best_m is None else min(best_m, d1)
+            t0 = time.time()
+            gl = fact_lineitem_by_day_df(spark, out).count()
+            d2 = time.time() - t0
+            best_l = d2 if best_l is None else min(best_l, d2)
+        rows[k] = (best_m, best_l)
+        print(f"| {k} | {n_ev} | {best_m:.2f} | {gm} | {best_l:.2f} "
+              f"| {gl} |", flush=True)
+    r1, r8 = rows[COPIES[0]], rows[COPIES[-1]]
+    print(f"\nx{COPIES[-1]}/x1 ratios: ev-by-minute "
+          f"{r8[0] / r1[0]:.2f}, lineitem-day {r8[1] / r1[1]:.2f} "
+          f"(linear = {COPIES[-1]}.0)", flush=True)
+
+
 def pq_scenario():
     """IVF-PQ probe (r14): the memory story and the recall/cost ladder
     at sf0.1 (2,000 vectors, auto K=32).  Reports (a) on-disk bytes of
@@ -1046,5 +1106,7 @@ if __name__ == "__main__":
         pq_scenario()
     elif len(sys.argv) > 1 and sys.argv[1] == "bpe":
         bpe_scenario()
+    elif len(sys.argv) > 1 and sys.argv[1] == "facts":
+        facts_scenario()
     else:
         main()
