@@ -1379,6 +1379,66 @@ def build_bpe_tokenizer(spark: SparkSession, sf_dir: str,
     return path
 
 
+def bpe_train_merges_local(word_counts: dict, n_merges: int) -> list:
+    """Driver-local BPE training over a COLLECTED (word -> count)
+    vocabulary — the production shape for REAL merge budgets: at 30k+
+    merges the distributed loop's per-iteration job overhead dominates
+    (each merge is a Spark job), while the vocabulary is index-metadata
+    sized (Heaps' law: ~10-100M words even at web scale — the same
+    "collect the vocab-sized state" cost model as the IVF centroids),
+    so Spark does the corpus-sized COUNTING once and the driver trains
+    on the table.  Incremental: pair counts update by delta over only
+    the words containing the merged pair (inverted index), never a
+    full recount — O(total merges x affected words).  Produces the
+    IDENTICAL merge list as the distributed loop (same argmax, same
+    ties, same greedy non-overlapping application; pytest-pinned), so
+    a deployment can switch paths without retokenizing anything."""
+    state = {w: tuple(w) for w in word_counts}
+    pair_counts: dict = {}
+    pair_words: dict = {}
+    for w, syms in state.items():
+        c = word_counts[w]
+        for i in range(len(syms) - 1):
+            pr = (syms[i], syms[i + 1])
+            pair_counts[pr] = pair_counts.get(pr, 0) + c
+            pair_words.setdefault(pr, set()).add(w)
+    merges = []
+    for rank in range(1, n_merges + 1):
+        if not pair_counts:
+            break
+        (a, b), cnt = min(pair_counts.items(),
+                          key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))
+        merges.append((rank, a, b, cnt))
+        merged = a + b
+        for w in list(pair_words.get((a, b), ())):
+            c = word_counts[w]
+            old = state[w]
+            # remove old adjacencies, apply the greedy merge, add new
+            for i in range(len(old) - 1):
+                pr = (old[i], old[i + 1])
+                pair_counts[pr] -= c
+                if pair_counts[pr] <= 0:
+                    pair_counts.pop(pr, None)
+                ws = pair_words.get(pr)
+                if ws is not None:
+                    ws.discard(w)
+                    if not ws:
+                        pair_words.pop(pr, None)
+            new = []
+            for s in old:
+                if new and new[-1] == a and s == b:
+                    new[-1] = merged
+                else:
+                    new.append(s)
+            new = tuple(new)
+            state[w] = new
+            for i in range(len(new) - 1):
+                pr = (new[i], new[i + 1])
+                pair_counts[pr] = pair_counts.get(pr, 0) + c
+                pair_words.setdefault(pr, set()).add(w)
+    return merges
+
+
 def bpe_train_df(spark: SparkSession, sf_dir: str,
                  n_merges: int = BPE_MERGES) -> DataFrame:
     """The learned merge list: rank, pair, and the pair's weighted

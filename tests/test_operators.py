@@ -1841,3 +1841,21 @@ def test_bpe_fertility_consistency(spark):
         assert r.fertility >= 1.0, r
         assert r.chars_per_token > 1.0, r    # merges actually applied
         assert r.n_words >= r.n_docs
+
+
+def test_bpe_local_trainer_equals_distributed_loop(spark):
+    """The production driver-local trainer (distributed counting,
+    vocab-sized incremental-delta training — the real-merge-budget cost
+    model) produces the IDENTICAL merge list as the distributed loop,
+    beyond the registered N (16 merges), so a deployment can switch
+    paths without retokenizing."""
+    from ringo_spark.operators.text import (
+        _bpe_train_state, _bpe_vocab_state, bpe_train_merges_local,
+    )
+
+    wc = {r.w: r.c for r in
+          _bpe_vocab_state(spark, SF).select("w", "c").collect()}
+    local = bpe_train_merges_local(wc, 16)
+    dist, _ = _bpe_train_state(spark, SF, 16)
+    assert local == dist
+    assert len(local) == 16
