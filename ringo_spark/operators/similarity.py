@@ -1573,6 +1573,10 @@ FROM ranked WHERE rank <= {LSH_TOP_K}
 
 
 # --- IVF-PQ: product-quantization codebooks + asymmetric-distance scan -------
+# (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+# Search", TPAMI 2011 — the IVFADC system — plus the FAISS-style
+# refine/rerank stage; the ringo reference has no vector surface, this
+# is the brief's training-pipeline scope.)
 # (r14, VERDICT r13 item 4 — completes the 100 TB vector-index story:
 # int8 scalar quantization exists as embed_quantize; PQ compresses a
 # 64-dim float64 vector to PQ_M single-byte codes, a 64x memory cut,
