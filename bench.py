@@ -180,6 +180,7 @@ HEADLINE = [
     "ann_pq_recall_bounds",
     "streaming_cms_snapshot",
     "streaming_weighted_reservoir",
+    "streaming_vector_ingest",
 ]
 
 RUNS_PER_QUERY = 2
@@ -200,6 +201,7 @@ COMPACT_EXTRA = [
     "ann_pq_recall_bounds",
     "streaming_cms_snapshot",
     "streaming_weighted_reservoir",
+    "streaming_vector_ingest",
     "quality_source_percentile",
 ]
 

@@ -46,6 +46,9 @@ from .similarity import (
     ANN_IVF_PQ_SQL, ANN_PQ_RECALL_BOUNDS_SQL, ann_ivf_pq_df,
     ann_pq_recall_bounds_df,
 )
+from ..streaming.ann import (
+    STREAMING_VECTOR_INGEST_SQL, streaming_vector_ingest_df,
+)
 from ..streaming.sampling import streaming_reservoir_df
 from ..streaming.vocab import (
     STREAMING_CMS_SNAPSHOT_SQL, streaming_cms_snapshot_df,
@@ -135,6 +138,7 @@ DRIVER_WINDOW: list[str] = [
     "ann_pq_recall_bounds",
     "streaming_cms_snapshot",
     "streaming_weighted_reservoir",
+    "streaming_vector_ingest",
     # -- the pre-committed r14 rotation (CORRECTNESS_WINDOW.md): FIRST
     #    the eight popped mid-r13 (waited longest, r08/r09 rows), then
     #    the head of the r08/r09-rowed cohort --
@@ -147,7 +151,6 @@ DRIVER_WINDOW: list[str] = [
     "fact_events_hour_regrain",
     "fact_events_tenant_by_hour",
     "text_scrub",
-    "seq_pack",
     # -- core schema-level pipeline (driver-green r02-r04 + r07; pinned) --
     "dim_event_type",
     "fact_events_by_minute",
@@ -291,7 +294,9 @@ DISPLACED: list[str] = [
     # r08 record)
     "doc_logprob",
     # popped back out mid-r14 by the IVF-oracle amendment and the
-    # bpe_fertility addition (keep their r08/r09 records)
+    # bpe_fertility / streaming_vector_ingest additions (keep their
+    # r08/r09 records)
+    "seq_pack",
     "profile_table",
     "dedup_minhash_incremental",
     "q8_national_market_share",
@@ -446,6 +451,11 @@ _STREAMING_QUERIES: dict[str, tuple] = {
                                STREAMING_CMS_SNAPSHOT_SQL),
     "streaming_weighted_reservoir": (streaming_reservoir_df,
                                      SAMPLE_WEIGHTED_SQL),
+    # the vector-ingestion lifecycle (probe-then-admit foreachBatch
+    # over a stream-owned LSH index); oracle = one chunk-ordering
+    # predicate over the width-parameterized pair graph
+    "streaming_vector_ingest": (streaming_vector_ingest_df,
+                                STREAMING_VECTOR_INGEST_SQL),
 }
 
 _TEXT_QUERIES: dict[str, tuple] = {
@@ -580,6 +590,7 @@ EAGER_QUERIES: frozenset[str] = frozenset({
     # merge driver-side at construction
     "streaming_cms_snapshot",
     "streaming_weighted_reservoir",
+    "streaming_vector_ingest",
 })
 
 
@@ -650,6 +661,7 @@ FAMILY_SOURCES: dict[str, list[str]] = {
     # source fingerprint
     "streaming": ["ringo_spark/streaming/vocab.py",
                   "ringo_spark/streaming/sampling.py",
+                  "ringo_spark/streaming/ann.py",
                   "ringo_spark/operators/text.py",
                   "ringo_spark/operators/sampling.py", *_DEDUP_EXEC],
     "core": [_TESTBED, "ringo_spark/engine.py", *_POPULATE_SOURCES],

@@ -1259,3 +1259,80 @@ def test_registered_streaming_rows_rerun_stable(spark):
     snap2 = [tuple(r) for r in
              streaming_cms_snapshot_df(spark, SF).collect()]
     assert snap2 == snap
+
+
+def test_streaming_vector_ingest_probe_then_admit(spark, tmp_path):
+    """The vector-ingestion twin: stream the upper half of the
+    embeddings table in three ASCENDING micro-batches against an index
+    of the lower half.  The union of emitted hits must equal the LSH
+    pair set (same width) restricted to pairs whose later end is a
+    streamed vector and whose earlier end was already admitted —
+    corpus hits AND cross-trigger stream hits, while SAME-trigger
+    pairs are excluded (probe runs before admit).  A retried trigger
+    must emit identical hits (vec_id dedupe + self-exclusion) even
+    though it physically re-appends, and a tombstoned corpus vector
+    stops matching."""
+    from ringo_spark.operators.deletion import tombstone_docs
+    from ringo_spark.operators.dedup import dedup_embedding_lsh_df
+    from ringo_spark.operators.similarity import _bucket_expr
+    from ringo_spark.streaming.ann import streaming_vector_ingest
+
+    BITS = 4
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = str(tmp_path / "vec-index")
+    (emb.where(F.col("vec_id") < 250)
+     .withColumn("bucket", _bucket_expr(F.col("embedding"), BITS))
+     .write.partitionBy("bucket").parquet(p))
+
+    chunks = [(250, 334), (334, 417), (417, 501)]
+    sink = str(tmp_path / "vec-hits")
+    ingest = streaming_vector_ingest(p, BITS)
+    for i, (lo, hi) in enumerate(chunks):
+        ingest(sink)(emb.where((F.col("vec_id") >= lo)
+                               & (F.col("vec_id") < hi)), i)
+
+    got = {(r.vec_new, r.vec_seen, r.cosine)
+           for r in spark.read.parquet(sink)
+           .select("vec_new", "vec_seen", "cosine").collect()}
+
+    def chunk_of(v):
+        for i, (lo, hi) in enumerate(chunks):
+            if lo <= v < hi:
+                return i
+        return -1                               # corpus side
+
+    pairs = dedup_embedding_lsh_df(spark, SF, bits=BITS).collect()
+    want = {(r.vec_b, r.vec_a, r.cosine) for r in pairs
+            if chunk_of(r.vec_b) >= 0
+            and chunk_of(r.vec_a) < chunk_of(r.vec_b)}
+    assert got == want and got
+    # non-vacuous on every clause: corpus hits, cross-trigger stream
+    # hits, and at least one same-trigger pair that must NOT appear
+    assert any(chunk_of(s) == -1 for _, s, _ in got)
+    assert any(chunk_of(s) >= 0 for _, s, _ in got)
+    same_trigger = [(r.vec_a, r.vec_b) for r in pairs
+                    if chunk_of(r.vec_a) >= 0
+                    and chunk_of(r.vec_a) == chunk_of(r.vec_b)]
+    assert same_trigger
+    assert all((b, a) not in {(n, s) for n, s, _ in got}
+               for a, b in same_trigger)
+
+    # retry: identical emitted hits despite the physical re-append
+    ingest(sink)(emb.where((F.col("vec_id") >= 417)
+                           & (F.col("vec_id") < 501)), 2)
+    again = {(r.vec_new, r.vec_seen, r.cosine)
+             for r in spark.read.parquet(sink)
+             .select("vec_new", "vec_seen", "cosine").collect()}
+    assert again == got
+
+    # delete propagation: tombstone a corpus vector that matched; a
+    # fresh probe of the last chunk forgets it
+    victim = sorted(s for _, s, _ in got if chunk_of(s) == -1)[0]
+    tombstone_docs(spark, p, [victim], id_col="vec_id")
+    ingest(sink)(emb.where((F.col("vec_id") >= 417)
+                           & (F.col("vec_id") < 501)), 2)
+    after = {(r.vec_new, r.vec_seen, r.cosine)
+             for r in spark.read.parquet(sink)
+             .select("vec_new", "vec_seen", "cosine").collect()}
+    assert after == {t for t in got if t[1] != victim} | \
+        {t for t in got if chunk_of(t[0]) != 2 and t[1] == victim}
