@@ -850,7 +850,8 @@ def facts_scenario():
           "| out rows |")
     print("|---|---|---|---|---|---|")
     rows = {}
-    for k in COPIES:
+    ks = COPIES + [32] if "--deep" in sys.argv else COPIES
+    for k in ks:
         out = build(spark, k)           # star tables for lineitem
         ev = os.path.join(out, "events.parquet")
         if not os.path.exists(ev):
@@ -878,10 +879,11 @@ def facts_scenario():
         rows[k] = (best_m, best_l)
         print(f"| {k} | {n_ev} | {best_m:.2f} | {gm} | {best_l:.2f} "
               f"| {gl} |", flush=True)
-    r1, r8 = rows[COPIES[0]], rows[COPIES[-1]]
-    print(f"\nx{COPIES[-1]}/x1 ratios: ev-by-minute "
+    kmax = max(rows)
+    r1, r8 = rows[min(rows)], rows[kmax]
+    print(f"\nx{kmax}/x1 ratios: ev-by-minute "
           f"{r8[0] / r1[0]:.2f}, lineitem-day {r8[1] / r1[1]:.2f} "
-          f"(linear = {COPIES[-1]}.0)", flush=True)
+          f"(linear = {kmax}.0)", flush=True)
 
 
 def pq_scenario():
