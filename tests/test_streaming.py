@@ -1336,3 +1336,8 @@ def test_streaming_vector_ingest_probe_then_admit(spark, tmp_path):
              .select("vec_new", "vec_seen", "cosine").collect()}
     assert after == {t for t in got if t[1] != victim} | \
         {t for t in got if chunk_of(t[0]) != 2 and t[1] == victim}
+
+    # an EMPTY trigger (idle stream) probes nothing, admits nothing,
+    # and leaves the sink readable
+    ingest(sink)(emb.where(F.lit(False)), 3)
+    assert spark.read.parquet(sink).where("batch_id = 3").count() == 0
