@@ -583,6 +583,8 @@ EAGER_QUERIES: frozenset[str] = frozenset({
     "ann_ivf_pq",
     "ann_pq_recall_bounds",
     # the BPE driver loop collects one argmax row per merge iteration
+    # (all three serve from build_bpe_tokenizer, which trains on a
+    # cache miss at construction)
     "bpe_train",
     "bpe_apply",
     "bpe_fertility",
