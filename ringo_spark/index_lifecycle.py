@@ -1,0 +1,247 @@
+"""Shared lifecycle kernel for every persisted index / sink root.
+
+Seven artifact roots persist derived state keyed by (source fingerprint,
+params): minhash bands+shingles (``operators/dedup.py``), LSH buckets /
+IVF cells / PQ codes (``operators/similarity.py``), the streaming CMS
+sink (``streaming/vocab.py``), the streaming reservoir sink
+(``streaming/sampling.py``), and the BPE tokenizer cache
+(``operators/text.py``).  Through r14 each carried its own copy of the
+same five mechanics — fingerprint tag, build-once marker gate,
+crash-safe swap, LRU GC, mtime touch — and four of them needed separate
+crash-window fixes across r13-r14 (VERDICT r14 item 3).  This module is
+the single audited implementation; the per-index modules keep only what
+is genuinely theirs (what to compute, how to partition it).
+
+Behavior contract: extracting the kernel changed NO on-disk layout —
+tags, directory names, marker filenames, and swap sequences are
+byte-identical to the r14 per-module copies, so every cached index
+built before the refactor still serves (pinned by the unchanged
+correctness hashes).
+
+Reference parity note: the reference engine has no persisted-index
+lifecycle at all (it emits SQL text; see ``src/Ringo.hs``); this module
+exists for the Spark-side production shape — build once, serve many,
+survive crashes, never grow without bound.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+INDEX_KEEP_LAST = 3
+# LRU eviction never touches a dir used within this window: builders and
+# probers bump their marker mtime on every hit, so a recent mtime means
+# a session (possibly a CONCURRENT one — CI workers share the root) may
+# hold live frames over those files; rmtree'ing them mid-job surfaces as
+# FileNotFoundException at action time (r06 ADVICE).  Stale-by-hours
+# dirs are safe: nothing has resolved a plan against them recently.
+GC_MIN_AGE_SECONDS = 6 * 3600
+
+
+def repo_root() -> str:
+    """The repo tree that owns every scratch index root (scratch indexes
+    must not land outside it); at real scale this is an object-store
+    prefix."""
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def index_tag(spec: str) -> str:
+    """The 10-hex cache tag of an index spec string.  Callers fold the
+    source path, every build parameter, and :func:`source_fingerprint`
+    into ``spec`` — two indexes agree on a directory iff they agree on
+    ALL of it, so probe and build can never disagree within one index
+    lifecycle."""
+    return hashlib.md5(spec.encode()).hexdigest()[:10]
+
+
+def source_fingerprint(sf_dir: str, table: str = "embeddings.parquet") -> str:
+    """Content fingerprint of a source table (file sizes + mtimes),
+    folded into the index cache tag: if the parquet at the same path is
+    regenerated, the tag changes and a fresh index is built instead of
+    silently serving from the stale one (ADVICE r04).  Stat-based
+    (not a content hash) so it's O(#files), never O(bytes)."""
+    src = os.path.join(sf_dir, table)
+    parts = []
+    if os.path.isdir(src):
+        for root, _, files in os.walk(src):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                parts.append(f"{os.path.relpath(os.path.join(root, f), src)}"
+                             f":{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(src):
+        st = os.stat(src)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
+
+
+def touch(path: str) -> None:
+    """Record a cache hit: bump the marker's (and its dir's) mtime so
+    :func:`gc_index_root`'s LRU ordering sees the index as recently
+    used."""
+    os.utime(path, None)
+    os.utime(os.path.dirname(path), None)
+
+
+def serve_cached(index_path: str, marker: str, force: bool = False) -> bool:
+    """The build-once gate: True iff the index at ``index_path`` is
+    complete (its ``marker`` file exists) and ``force`` is off — in
+    which case the marker is touched (LRU liveness) and the caller
+    serves from cache instead of rebuilding."""
+    m = os.path.join(index_path, marker)
+    if not force and os.path.exists(m):
+        touch(m)
+        return True
+    return False
+
+
+def finish_build(index_path: str, root: str,
+                 marker: str | None = None) -> None:
+    """Complete a fresh build: create ``marker`` (when the write itself
+    didn't — Spark parquet writes leave ``_SUCCESS``, hand-assembled
+    dirs need an explicit completeness marker) and LRU-GC the root,
+    protecting the dir just built.  The marker lands LAST: a crash
+    mid-build leaves no marker, so the next call's
+    :func:`serve_cached` misses and rebuilds."""
+    if marker is not None:
+        open(os.path.join(index_path, marker), "w").close()
+    gc_index_root(root, protect=index_path)
+
+
+def gc_index_root(root: str, keep: int | None = None,
+                  protect: str | None = None,
+                  min_age_seconds: float | None = None) -> list[str]:
+    """Index-lifecycle GC: each distinct (source fingerprint, params)
+    combination gets its own directory under ``root``, so a long-lived
+    session (or CI machine) re-generating its corpus accumulates stale
+    index dirs forever.  Keep the ``keep`` most-recently-USED dirs
+    (builders touch their marker file on every cache hit, making dir
+    recency an LRU signal) plus ``protect`` (the dir just built), remove
+    the rest.  Dirs younger than ``min_age_seconds`` are NEVER removed
+    even past the keep count — with >keep corpora in rotation or
+    concurrent sessions sharing the root, LRU alone could delete an
+    index another in-flight query is scanning (r06 ADVICE).  Returns the
+    removed paths.  Same keep-last-N policy as ``Engine._gc_versions``;
+    crash-safe for the same reason — a half-removed stale dir has no
+    live marker and is re-collected next time."""
+    import time
+
+    if keep is None:  # resolved at call time so INDEX_KEEP_LAST is tunable
+        keep = INDEX_KEEP_LAST
+    if min_age_seconds is None:
+        min_age_seconds = GC_MIN_AGE_SECONDS
+    if not os.path.isdir(root):
+        return []
+    now = time.time()
+    entries = []
+    for d in os.listdir(root):
+        p = os.path.join(root, d)
+        if (os.path.isdir(p) and p != protect
+                and now - os.path.getmtime(p) >= min_age_seconds):
+            entries.append((os.path.getmtime(p), p))
+    removed = []
+    for _, p in sorted(entries)[:-keep] if keep else sorted(entries):
+        shutil.rmtree(p, ignore_errors=True)
+        removed.append(p)
+    return removed
+
+
+# --- crash-safe swap ---------------------------------------------------------
+#
+# The compaction / rewrite protocol every root shares (local-fs layout;
+# on object storage the same sequence rides the engine's
+# manifest-pointer protocol): a replacement is built in full as a
+# ``<live>__compact`` sibling, then swapped in via two renames through a
+# ``<live>__old`` holding name, then the holding copy is dropped.
+# Nothing under the live path is ever deleted before a complete
+# replacement exists.  The ONLY window in which the live path is absent
+# is between the two renames, and `recover_live` closes it: the original
+# is intact in ``__old``.
+
+def swap_paths(live: str) -> tuple[str, str]:
+    """The (tmp, old) sibling names of a live index path — one naming
+    rule for every root so recovery code can always find the pieces."""
+    live = live.rstrip("/")
+    return live + "__compact", live + "__old"
+
+
+def recover_live(live: str, *, require: bool = False) -> None:
+    """Close the mid-swap crash window BEFORE anything reads or clears
+    leftovers: if ``live`` is absent, a prior run crashed between its
+    two renames — restore ``__old`` (the original, intact; any
+    tombstone log rides inside it so a redo still sees the deletes).
+    If ``__old`` is somehow gone too, the completed rewrite in
+    ``__compact`` is the only copy: promote it (a redo over it is a
+    no-op second rewrite).  ``require=True`` raises when neither
+    recovery copy exists; False tolerates a live path that never
+    existed (first build)."""
+    tmp, old = swap_paths(live)
+    if os.path.exists(live):
+        return
+    if os.path.isdir(old):
+        os.rename(old, live)
+    elif os.path.isdir(tmp):
+        os.rename(tmp, live)
+    elif require:
+        raise FileNotFoundError(
+            f"index path missing with no recovery copy: {live}")
+
+
+def clear_swap_leftovers(live: str) -> None:
+    """Drop stale ``__compact`` / ``__old`` siblings — ONLY safe after
+    :func:`recover_live` confirmed the live path is present (rmtree'ing
+    the leftovers of a mid-swap crash before restoring would lose the
+    index permanently — the r13 crash-window bug class)."""
+    tmp, old = swap_paths(live)
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def publish_swap(live: str) -> None:
+    """Swap a complete ``__compact`` replacement in: rename(live, __old),
+    rename(__compact, live), rmtree(__old).  A crash between the two
+    renames is recovered by :func:`recover_live`; a crash before the
+    rmtree leaves a stale ``__old`` that the next
+    :func:`clear_swap_leftovers` drops."""
+    tmp, old = swap_paths(live)
+    os.rename(live, old)
+    os.rename(tmp, live)
+    shutil.rmtree(old)
+
+
+def recover_staging(stage: str, marker: str, finish) -> None:
+    """The staged-rewrite recovery decision (the CMS-compaction crash
+    protocol, ADVICE r13): a staging dir is COMPLETE iff both its
+    Spark ``_SUCCESS`` and its domain ``marker`` exist — then the
+    (idempotent) ``finish`` callback lands it; an incomplete staging
+    dir is discarded and the caller redoes the rewrite.  Write-then-
+    delete, never delete-then-write: ``finish`` is the only code that
+    may remove source data, and it runs only against a complete
+    staging dir."""
+    if not os.path.isdir(stage):
+        return
+    if os.path.exists(os.path.join(stage, marker)) and \
+            os.path.exists(os.path.join(stage, "_SUCCESS")):
+        finish()
+    else:
+        shutil.rmtree(stage)   # incomplete rewrite — redo
+
+
+def flip_pointer(ptr: str, value: str) -> None:
+    """Atomic current-version pointer update (write-temp + rename): a
+    crash leaves either the old pointer or the new one, never a torn
+    file."""
+    tmp = ptr + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(value)
+    os.replace(tmp, ptr)
+
+
+def read_pointer(ptr: str) -> str | None:
+    """The current version name a pointer file designates, or None if
+    the pointer doesn't exist yet (empty sink)."""
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as fh:
+        return fh.read().strip()

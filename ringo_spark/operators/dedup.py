@@ -292,9 +292,9 @@ def dedup_minhash_lsh_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 import os as _os
 
-MINHASH_INDEX_ROOT = _os.path.join(
-    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
-    ".minhash_index")
+from .. import index_lifecycle as _ilc
+
+MINHASH_INDEX_ROOT = _os.path.join(_ilc.repo_root(), ".minhash_index")
 
 
 def build_minhash_index(spark: SparkSession, sf_dir: str,
@@ -312,23 +312,14 @@ def build_minhash_index(spark: SparkSession, sf_dir: str,
     (text_hash -> rep) table recovers them.  The default uncollapsed
     build matches the registered ``dedup_minhash_lsh_indexed`` oracle
     (pair-equality with the live uncapped path)."""
-    import hashlib as _hashlib
-
-    from .similarity import _source_fingerprint
-
     if index_path is None:
-        fp = _source_fingerprint(sf_dir, "documents.parquet")
+        fp = _ilc.source_fingerprint(sf_dir, "documents.parquet")
         c = "c" if collapse else ""
-        tag = _hashlib.md5(
-            f"{_os.path.abspath(sf_dir)}|{NUM_PERM}|{BANDS}|{SHINGLE_N}|{fp}|{c}"
-            .encode()).hexdigest()[:10]
+        tag = _ilc.index_tag(
+            f"{_os.path.abspath(sf_dir)}|{NUM_PERM}|{BANDS}|{SHINGLE_N}|{fp}|{c}")
         index_path = _os.path.join(MINHASH_INDEX_ROOT,
                                    f"p{NUM_PERM}b{BANDS}{c}-{tag}")
-    marker = _os.path.join(index_path, "_INDEX_OK")
-    if not force and _os.path.exists(marker):
-        from .similarity import _touch
-
-        _touch(marker)
+    if _ilc.serve_cached(index_path, "_INDEX_OK", force):
         return index_path
     docs = _rep_docs(spark, sf_dir) if collapse else None
     shingled = _shingled(spark, sf_dir, docs=docs).persist()
@@ -341,10 +332,7 @@ def build_minhash_index(spark: SparkSession, sf_dir: str,
     shingled.write.mode("overwrite").parquet(
         _os.path.join(index_path, "shingles"))
     shingled.unpersist()
-    open(marker, "w").close()
-    from .similarity import gc_index_root
-
-    gc_index_root(MINHASH_INDEX_ROOT, protect=index_path)
+    _ilc.finish_build(index_path, MINHASH_INDEX_ROOT, marker="_INDEX_OK")
     return index_path
 
 
@@ -378,9 +366,7 @@ def append_to_minhash_index(spark: SparkSession, index_path: str,
     # appends land in subdirs, which leaves the index dir's own mtime at
     # build time — touch the marker so gc_index_root's LRU sees a LIVE,
     # append-maintained index as recently used and never collects it
-    from .similarity import _touch
-
-    _touch(_os.path.join(index_path, "_INDEX_OK"))
+    _ilc.touch(_os.path.join(index_path, "_INDEX_OK"))
 
 
 def dedup_minhash_lsh_indexed_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -412,15 +398,11 @@ def dedup_minhash_lsh_deleted_df(spark: SparkSession,
     the operator's contract: merge-on-read equals never-having-indexed
     the document.  Per-doc band rows are independent, so removal
     cannot create or destroy pairs between surviving docs."""
-    import hashlib as _hashlib
-
     from .deletion import load_tombstones, tombstone_docs
-    from .similarity import _source_fingerprint
 
-    fp = _source_fingerprint(sf_dir, "documents.parquet")
-    tag = _hashlib.md5(
-        f"{_os.path.abspath(sf_dir)}|{NUM_PERM}|{BANDS}|{SHINGLE_N}|{fp}|del"
-        .encode()).hexdigest()[:10]
+    fp = _ilc.source_fingerprint(sf_dir, "documents.parquet")
+    tag = _ilc.index_tag(
+        f"{_os.path.abspath(sf_dir)}|{NUM_PERM}|{BANDS}|{SHINGLE_N}|{fp}|del")
     p = build_minhash_index(
         spark, sf_dir,
         index_path=_os.path.join(MINHASH_INDEX_ROOT, f"del-{tag}"))
@@ -991,15 +973,11 @@ def build_cluster_table(spark: SparkSession, sf_dir: str,
     invocation)."""
     p = build_minhash_index(spark, sf_dir)
     cpath = _os.path.join(p, "clusters")
-    marker = _os.path.join(p, "_CLUSTERS_OK")
-    if not force and _os.path.exists(marker):
-        from .similarity import _touch
-
-        _touch(marker)
+    if _ilc.serve_cached(p, "_CLUSTERS_OK", force):
         return cpath
     dedup_clusters_indexed_df(spark, sf_dir) \
         .write.mode("overwrite").parquet(cpath)
-    open(marker, "w").close()
+    open(_os.path.join(p, "_CLUSTERS_OK"), "w").close()
     return cpath
 
 

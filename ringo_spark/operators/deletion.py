@@ -38,6 +38,8 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import index_lifecycle as _ilc
+
 TOMBSTONES = "_tombstones"
 
 
@@ -100,30 +102,19 @@ def apply_tombstones(spark: SparkSession, index_path: str,
         return
     for sub in subdirs:
         src = os.path.join(index_path, sub)
-        tmp = os.path.join(index_path, f"{sub}__compact")
-        old = os.path.join(index_path, f"{sub}__old")
-        if not os.path.exists(src):
-            # prior run crashed between rename(src, old) and
-            # rename(tmp, src): the original is in __old — restore it
-            # (the log is still present, so the rewrite below redoes
-            # the subtraction).  If __old is somehow gone too, the
-            # completed rewrite in __compact is the only copy: promote
-            # it; the redo over it is a no-op second subtraction.
-            if os.path.isdir(old):
-                os.rename(old, src)
-            elif os.path.isdir(tmp):
-                os.rename(tmp, src)
-            else:
-                raise FileNotFoundError(
-                    f"index subdir missing with no recovery copy: {src}")
-        # src is confirmed present — NOW leftovers are safe to clear
-        shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(old, ignore_errors=True)
+        # prior run crashed between the two publish renames: the
+        # original is in __old — restore it (the log is still present,
+        # so the rewrite below redoes the subtraction).  If __old is
+        # somehow gone too, the completed rewrite in __compact is the
+        # only copy: promote it; the redo over it is a no-op second
+        # subtraction.  src confirmed present -> leftovers safe to clear
+        # (kernel order: recover FIRST, rmtree after — r13 bug class).
+        _ilc.recover_live(src, require=True)
+        _ilc.clear_swap_leftovers(src)
+        tmp, _ = _ilc.swap_paths(src)
         kept = subtract_tombstones(spark.read.parquet(src), tombs, id_col)
         kept.write.mode("overwrite").parquet(tmp)
-        os.rename(src, old)
-        os.rename(tmp, src)
-        shutil.rmtree(old)
+        _ilc.publish_swap(src)
     shutil.rmtree(os.path.join(index_path, TOMBSTONES))
 
 
@@ -166,19 +157,18 @@ def apply_tombstones_partitioned(spark: SparkSession, index_path: str,
     the very instant the compacted tree (which no longer needs them)
     takes over."""
     root = index_path.rstrip("/")
-    tmp = root + "__compact"
-    old = root + "__old"
-    if not os.path.isdir(root) and os.path.isdir(old):
-        # prior run crashed between its two root renames — restore the
-        # original (log included) before anything else looks at root
-        os.rename(old, root)
+    tmp, old = _ilc.swap_paths(root)
+    # prior run crashed between its two publish renames — restore the
+    # original (log included) before anything else looks at root
+    _ilc.recover_live(root)
     tombs = load_tombstones(spark, root, id_col)
     if tombs is None:
         # includes the crashed-after-swap case: the new root has no
         # log, and the leftovers are stale copies — clear them
-        shutil.rmtree(old, ignore_errors=True)
-        shutil.rmtree(tmp, ignore_errors=True)
+        _ilc.clear_swap_leftovers(root)
         return
+    # clear only __old: a COMPLETE __compact whose fingerprint matches
+    # the live log is reusable (checked below) — never discard it here
     shutil.rmtree(old, ignore_errors=True)
     fp = _tombstone_fingerprint(tombs, id_col)
     fp_file = os.path.join(tmp, "_tombstones_applied")
@@ -205,9 +195,7 @@ def apply_tombstones_partitioned(spark: SparkSession, index_path: str,
             shutil.copytree(s, t)
         else:
             shutil.copy2(s, t)
-    os.rename(root, old)
-    os.rename(tmp, root)
-    shutil.rmtree(old)
+    _ilc.publish_swap(root)
 
 
 def index_rows(spark: SparkSession, index_path: str,

@@ -45,6 +45,7 @@ from .similarity import (
     ann_lsh_multiprobe_df,
     ANN_IVF_PQ_SQL, ANN_PQ_RECALL_BOUNDS_SQL, ann_ivf_pq_df,
     ann_pq_recall_bounds_df,
+    ANN_INDEX_STALENESS_SQL, ann_index_staleness_df,
 )
 from ..streaming.ann import (
     STREAMING_VECTOR_INGEST_SQL, streaming_vector_ingest_df,
@@ -101,56 +102,55 @@ from .text import (
 #     unverified, only un-hashed-by-the-driver that round.
 
 DRIVER_WINDOW: list[str] = [
-    # -- code/oracle changed in r14, kept/pulled driver-visible (the
-    #    r05 precedent: changed paths must show in the driver record).
-    #    quality_source_percentile gates n=1 sources now (ADVICE r13);
-    #    the six LSH-family queries run against the width-parameterized
-    #    oracles (VERDICT r13 item 1 — the SQL now derives the
-    #    auto-bits width from count(*), scale-portable);
-    #    dedup_minhash_lsh_deleted rides the deletion module whose
-    #    compaction crash-recovery was rewritten (ADVICE r13) --
-    "quality_source_percentile",
-    "dedup_embedding_lsh",
-    "dedup_embedding_clusters",
-    "dedup_embedding_incremental",
-    "ann_lsh_bucketed",
-    "ann_lsh_multiprobe",
-    "ann_lsh_indexed",
-    "dedup_minhash_lsh_deleted",
-    #    (mid-round amendment: the IVF oracles became kk/np-
-    #    parameterized too — scale-portable like the LSH family — so
-    #    ann_ivf / ann_ivf_kmeans / ann_ivf_recall_bounds return to the
-    #    window; the three newest rotate-backs pop per the r06
-    #    precedent, keeping their r08/r09 records)
-    "ann_ivf",
-    "ann_ivf_kmeans",
-    "ann_ivf_recall_bounds",
-    # -- new r14 operators (first driver rows): the BPE train/apply
-    #    loop, the GK production gate's contract row, derived-table
-    #    delete propagation, IVF-PQ + its recall contract, and the two
-    #    streaming-state snapshot rows --
+    # -- new r15 operators (first driver rows): the IVF rebuild trigger
+    #    (VERDICT r14 item 4) and the salted hot-tenant rollup twin
+    #    (item 5) --
+    "ann_index_staleness",
+    "tenant_rollup_skew_salted",
+    # -- code/oracle changed in r15, kept driver-visible (the r05
+    #    precedent): streaming_vector_ingest now emits in-batch
+    #    same-trigger pairs (item 6, oracle extended); the three BPE
+    #    rows build through the gated trainer (item 8 — local path at
+    #    test vocab sizes, artifacts pinned path-invariant) --
+    "streaming_vector_ingest",
+    "sessionize_native",
     "bpe_train",
     "bpe_apply",
     "bpe_fertility",
-    "quality_source_gate_gk",
+    # -- rows riding the unified index-lifecycle kernel (item 3 —
+    #    ringo_spark/index_lifecycle.py now owns the fingerprint tag,
+    #    build-once gate, crash-safe swap, staging recovery, pointer
+    #    flip, and LRU GC these paths previously each carried): the
+    #    deletion-swap row, the clusters-cache row, one indexed row per
+    #    persisted root (LSH / PQ), and the two streaming sinks whose
+    #    staging/pointer protocols moved onto the kernel --
+    "dedup_minhash_lsh_deleted",
     "dedup_clusters_deleted",
+    "ann_lsh_indexed",
     "ann_ivf_pq",
     "ann_pq_recall_bounds",
     "streaming_cms_snapshot",
     "streaming_weighted_reservoir",
-    "streaming_vector_ingest",
-    # -- the pre-committed r14 rotation (CORRECTNESS_WINDOW.md): FIRST
-    #    the eight popped mid-r13 (waited longest, r08/r09 rows), then
-    #    the head of the r08/r09-rowed cohort --
-    "multimodal_wav",
-    "multimodal_wav_samples",
-    "multimodal_features",
-    "user_value_ema_segmented",
-    "sample_per_source_quota",
-    "sample_mixture",
-    "fact_events_hour_regrain",
-    "fact_events_tenant_by_hour",
-    "text_scrub",
+    # -- the pre-committed r15 rotation (CORRECTNESS_WINDOW.md): FIRST
+    #    the five popped mid-r14 (r08/r09 rows, waited longest), then
+    #    the r08/r09-rowed cohort, then the head of the r09/r10 tail as
+    #    slots allow --
+    "seq_pack",
+    "profile_table",
+    "dedup_minhash_incremental",
+    "q8_national_market_share",
+    "q12_late_shipments",
+    "sample_temperature",
+    "ann_rank_fusion",
+    "doc_bigram_logprob",
+    "retention_cohorts",
+    "event_funnel",
+    "anomaly_zscore",
+    "dedup_containment",
+    "doc_logprob",
+    "dedup_minhash_lsh_capped",
+    "dedup_clusters_indexed",
+    "dedup_minhash_lsh_indexed",
     # -- core schema-level pipeline (driver-green r02-r04 + r07; pinned) --
     "dim_event_type",
     "fact_events_by_minute",
@@ -161,8 +161,7 @@ DRIVER_WINDOW: list[str] = [
     "fact_orders_by_day",
     "dim_line_status",
     "fact_lineitem_by_day",
-    # -- one representative per operator family (pinned; tfidf_bm25 and
-    #    multimodal_pixels return from their one-round r07 stand-down) --
+    # -- one representative per operator family (pinned) --
     "dedup_minhash_lsh",
     "dedup_clusters",
     "ann_cosine_topk",
@@ -178,16 +177,37 @@ DRIVER_WINDOW: list[str] = [
 
 # Registered, locally cell-exact-verified every round, but outside the
 # driver's 50-row hash window this round.  Every with-oracle entry here
-# has at least one driver-green (hash_match=true) row (r02–r11) with
+# has at least one driver-green (hash_match=true) row (r02-r14) with
 # unchanged code paths since; the 2 no-oracle entries are ε-tolerance
 # pytest-covered by design AND have *_bounds twins carrying real oracles
-# (driver-green r06/r07).  Newly displaced: the r12 window's rotating
-# cohort (every entry got fresh rows in r12) — recency rotation per the
-# pre-committed r13 plan in CORRECTNESS_WINDOW.md.
+# (driver-green r06/r07).  Newly displaced: the r14 window's rotating
+# cohort (every entry got a fresh r14 driver row) — recency rotation per
+# the pre-committed r15 plan in CORRECTNESS_WINDOW.md.
 DISPLACED: list[str] = [
-    # -- newly displaced: the r13 window's rotating cohort (all with
-    #    fresh r13 driver rows; recency rotation per the pre-committed
-    #    r14 plan in CORRECTNESS_WINDOW.md) --
+    # -- newly displaced: the r14 window's rotating cohort (all with
+    #    fresh r14 rows; the six LSH/IVF oracle-width rows were
+    #    re-verified at sf0.1 in r14 and their oracles are unchanged
+    #    in r15) --
+    "quality_source_percentile",
+    "dedup_embedding_lsh",
+    "dedup_embedding_clusters",
+    "dedup_embedding_incremental",
+    "ann_lsh_bucketed",
+    "ann_lsh_multiprobe",
+    "ann_ivf",
+    "ann_ivf_kmeans",
+    "ann_ivf_recall_bounds",
+    "quality_source_gate_gk",
+    "multimodal_wav",
+    "multimodal_wav_samples",
+    "multimodal_features",
+    "user_value_ema_segmented",
+    "sample_per_source_quota",
+    "sample_mixture",
+    "fact_events_hour_regrain",
+    "fact_events_tenant_by_hour",
+    "text_scrub",
+    # -- prior displaced cohorts (r08-r13 rows, order preserved) --
     "sample_weighted",
     "sample_weighted_stratified",
     "quality_gate_approx_bounds",
@@ -212,15 +232,14 @@ DISPLACED: list[str] = [
     "fact_orders_by_week",
     "user_value_ema",
     "sample_hash_split",
-    # -- r12-rowed cohort --
     "ann_lsh_bucketed12",
     "doc_dup_chunk_fraction",
     "doc_dup_chunk_fraction_incremental",
     "text_repetition",
     "multimodal_phash",
+    "ann_cosine_topk_arrow_bounds",
     "q18_large_volume_customer",
     "multimodal_phash_dups",
-    "sessionize_native",
     "q7_volume_shipping",
     "window_stats",
     "q4_order_priority",
@@ -234,8 +253,6 @@ DISPLACED: list[str] = [
     "q14_promo_effect",
     "q17_small_quantity_revenue",
     "q19_discounted_revenue",
-    # r11 window cohort, freshest driver records in the registry (r11
-    # rows); its code-changed members stay windowed above instead
     "dim_visitor_partitioned_ids",
     "asof_join",
     "date_funcs",
@@ -259,8 +276,6 @@ DISPLACED: list[str] = [
     "range_join",
     "dedup_minhash_lsh_capped_indexed",
     "benchmark_contamination",
-    # r10-rowed cohort: the five TPC-H decorrelation shapes + the r10
-    # contract queries, then the r09/r10-rowed rotation tail
     "q2_min_cost_region",
     "q9_product_profit",
     "q11_important_stock",
@@ -286,38 +301,13 @@ DISPLACED: list[str] = [
     "lang_confusion",
     "metrics_unpivot",
     "scalar_subquery",
-    # popped back out mid-r11 (kept their r07 records)
     "sample_cluster_split",
     "training_prep",
     "doc_chunk",
-    # popped back out mid-r12 by the spans ingestion twin (keeps its
-    # r08 record)
-    "doc_logprob",
-    # popped back out mid-r14 by the IVF-oracle amendment and the
-    # bpe_fertility / streaming_vector_ingest additions (keep their
-    # r08/r09 records)
-    "seq_pack",
-    "profile_table",
-    "dedup_minhash_incremental",
-    "q8_national_market_share",
-    "q12_late_shipments",
-    # r08/r09-rowed cohort remainder (the fourteen oldest rotated back
-    # into the r14 window above)
-    "sample_temperature",
-    "ann_rank_fusion",
-    "doc_bigram_logprob",
-    "retention_cohorts",
-    "event_funnel",
-    "anomaly_zscore",
-    "dedup_containment",
-    # earlier-rowed cohorts, by record age
-    "dedup_minhash_lsh_capped",
-    "dedup_clusters_indexed",
-    "ann_cosine_topk_arrow_bounds",
-    "dedup_minhash_lsh_indexed",
     "fact_events_by_minute_approx",
     "ann_cosine_topk_arrow",
 ]
+
 
 _DEDUP_QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact_df, DEDUP_EXACT_SQL),
@@ -438,6 +428,12 @@ _ANN_QUERIES: dict[str, tuple] = {
     "ann_ivf_pq": (ann_ivf_pq_df, ANN_IVF_PQ_SQL),
     "ann_pq_recall_bounds": (ann_pq_recall_bounds_df,
                              ANN_PQ_RECALL_BOUNDS_SQL),
+    # IVF rebuild trigger (r15, VERDICT r14 item 4): appended-batch
+    # quantization error + hottest-cell load vs the build-time ladder,
+    # through the production report (stored centroids, dedicated
+    # half-corpus index); same-distribution halves pin stale = false
+    "ann_index_staleness": (ann_index_staleness_df,
+                            ANN_INDEX_STALENESS_SQL),
 }
 
 # batch-facing driver rows for the streaming state machinery (r14,
@@ -593,6 +589,9 @@ EAGER_QUERIES: frozenset[str] = frozenset({
     "streaming_cms_snapshot",
     "streaming_weighted_reservoir",
     "streaming_vector_ingest",
+    # builds its dedicated half-corpus index + collects the stored
+    # centroids at construction (r15)
+    "ann_index_staleness",
 })
 
 

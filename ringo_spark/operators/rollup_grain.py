@@ -295,7 +295,72 @@ GROUP BY 1, 3, 4, 5, 6, 7
 """
 
 
+# --- skewed tenant rollup, salted twin (r15, VERDICT r14 item 5) -------------
+#
+# The realistic hot-key failure for a TenantId-keyed fact: one tenant
+# owns most of the traffic, so the grain groupBy's shuffle sends that
+# key's entire volume to ONE reducer — map-side partial aggregation
+# absorbs most of it, but when the agg state spills (wide measures,
+# high-cardinality sub-keys) the straggler is back.  The salted twin
+# runs the two-phase shape from functions/skew.py: phase 1 groups by
+# (tenant, salt16) — the hot tenant's rows spread over 16 reducers —
+# and phase 2 merges the 16 mergeable partials per tenant.  Results are
+# pinned equal to the plain rollup (same oracle); the plan is pinned to
+# exactly two map-side-combining exchanges (tests/test_plans.py), so
+# the salt can never silently add a third pass.
+
+TENANT_SKEW_SALT_BUCKETS = 16
+
+
+def _skewed_tenant(uid):
+    """Deterministic skew injection on the events corpus: users 0-8
+    collapse into tenant 0 (the hot key, ~60% of rows at the uniform
+    user distribution), everyone else keeps their id — the 100x-style
+    hot-tenant shape at any SF, derivable in the oracle."""
+    return F.when(uid < 9, F.lit(0)).otherwise(uid)
+
+
+def tenant_rollup_skew_salted_df(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from ..functions.skew import salted_aggregate
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    uid = F.coalesce(F.col("user_id"), F.lit(-1))
+    df = ev.select(_skewed_tenant(uid).alias("tenant"), "event_id",
+                   F.col("value").cast("decimal(18,2)").alias("v"))
+    out = salted_aggregate(
+        df, ["tenant"],
+        aggs={"n_events": F.count(F.lit(1)),
+              "value_sum": F.sum("v"),
+              "value_max": F.max("v"),
+              "value_min": F.min("v")},
+        salt_col="event_id",
+        buckets=TENANT_SKEW_SALT_BUCKETS,
+        merges={"value_max": F.max(F.col("value_max")),
+                "value_min": F.min(F.col("value_min"))})
+    return (out.select("tenant",
+                       F.col("n_events").cast("long").alias("n_events"),
+                       _dbl("value_sum"), _dbl("value_max"),
+                       _dbl("value_min"))
+            .orderBy("tenant"))
+
+
+TENANT_ROLLUP_SKEW_SALTED_SQL = """
+SELECT CASE WHEN coalesce(user_id, -1) < 9 THEN 0
+            ELSE coalesce(user_id, -1) END                         AS tenant,
+       count(*)                                                    AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)           AS value_sum,
+       CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE)           AS value_max,
+       CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE)           AS value_min
+FROM events
+GROUP BY 1
+ORDER BY tenant
+"""
+
+
 GRAIN_QUERIES: dict[str, tuple] = {
+    "tenant_rollup_skew_salted": (tenant_rollup_skew_salted_df,
+                                  TENANT_ROLLUP_SKEW_SALTED_SQL),
     "fact_events_tenant_by_hour": (fact_events_tenant_by_hour_df,
                                    FACT_EVENTS_TENANT_BY_HOUR_SQL),
     "fact_events_hour_regrain": (fact_events_hour_regrain_df,

@@ -84,12 +84,16 @@ def sessionize_native_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the identical operator works under Structured Streaming with a
     watermark (state store session merge).
 
-    Boundary semantics differ at exactly the gap: ``session_window``
-    CLOSES a session when the next event is >= gap after the previous
-    (window end is exclusive), while the two-window form starts a new
-    session only when the gap is strictly greater.  The oracle encodes
-    the native (>=) rule.  ``session_end_sec`` is the window's exclusive
-    end = last event + gap."""
+    Boundary semantics at exactly the gap (verified empirically at
+    sf0.1, r15 — the sf0.001/0.01 corpora have no pair landing exactly
+    on the boundary, so only the full-registry sf0.1 sweep caught the
+    earlier mis-documentation): ``session_window`` MERGES touching
+    windows — an event arriving exactly ``gap`` after the previous one
+    extends the session ([t, t+gap) intervals that touch end-to-start
+    coalesce), i.e. a new session starts only when the gap is STRICTLY
+    greater, the same rule as the two-window form.  The oracle encodes
+    that (>) rule.  ``session_end_sec`` is the window's exclusive end =
+    last event + gap."""
     from ..catalog import load_catalog
     from ..testbed import EVENTS
 
@@ -115,7 +119,7 @@ WITH ev AS (
 flagged AS (
   SELECT user_id, sec, value,
          CASE WHEN lag(sec) OVER w IS NULL THEN 1
-              WHEN sec - lag(sec) OVER w >= {SESSION_GAP_SECONDS} THEN 1
+              WHEN sec - lag(sec) OVER w > {SESSION_GAP_SECONDS} THEN 1
               ELSE 0 END AS new_s
   FROM ev
   WINDOW w AS (PARTITION BY user_id ORDER BY sec)),

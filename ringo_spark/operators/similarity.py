@@ -47,6 +47,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .. import index_lifecycle as _ilc
 from .textfn import cosine, dot, sql_cosine
 
 TOP_K = 10
@@ -516,90 +517,21 @@ QUALIFY rank <= {LSH_TOP_K}
 
 # inside the repo tree (scratch indexes must not land outside it);
 # at real scale this is an object-store prefix
-IVF_INDEX_ROOT = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    ".ivf_index")
+IVF_INDEX_ROOT = os.path.join(_ilc.repo_root(), ".ivf_index")
 
-
-INDEX_KEEP_LAST = 3
-# LRU eviction never touches a dir used within this window: builders and
-# probers bump their marker mtime on every hit, so a recent mtime means
-# a session (possibly a CONCURRENT one — CI workers share the root) may
-# hold live frames over those files; rmtree'ing them mid-job surfaces as
-# FileNotFoundException at action time (r06 ADVICE).  Stale-by-hours
-# dirs are safe: nothing has resolved a plan against them recently.
-GC_MIN_AGE_SECONDS = 6 * 3600
 # writer tasks per index cell/bucket at build time: a hot cell's rows are
 # salted over this many writers so one giant cell (clustered embeddings,
 # hot LSH buckets) can't serialize the build; the partitionBy layout is
 # unchanged — each cell dir just holds up to this many files
 BUILD_WRITERS_PER_CELL = 4
 
-
-def gc_index_root(root: str, keep: int | None = None,
-                  protect: str | None = None,
-                  min_age_seconds: float | None = None) -> list[str]:
-    """Index-lifecycle GC: each distinct (source fingerprint, params)
-    combination gets its own directory under ``root``, so a long-lived
-    session (or CI machine) re-generating its corpus accumulates stale
-    index dirs forever.  Keep the ``keep`` most-recently-USED dirs
-    (builders touch their marker file on every cache hit, making dir
-    recency an LRU signal) plus ``protect`` (the dir just built), remove
-    the rest.  Dirs younger than ``min_age_seconds`` are NEVER removed
-    even past the keep count — with >keep corpora in rotation or
-    concurrent sessions sharing the root, LRU alone could delete an
-    index another in-flight query is scanning (r06 ADVICE).  Returns the
-    removed paths.  Same keep-last-N policy as ``Engine._gc_versions``;
-    crash-safe for the same reason — a half-removed stale dir has no
-    live marker and is re-collected next time."""
-    import shutil
-    import time
-
-    if keep is None:  # resolved at call time so INDEX_KEEP_LAST is tunable
-        keep = INDEX_KEEP_LAST
-    if min_age_seconds is None:
-        min_age_seconds = GC_MIN_AGE_SECONDS
-    if not os.path.isdir(root):
-        return []
-    now = time.time()
-    entries = []
-    for d in os.listdir(root):
-        p = os.path.join(root, d)
-        if (os.path.isdir(p) and p != protect
-                and now - os.path.getmtime(p) >= min_age_seconds):
-            entries.append((os.path.getmtime(p), p))
-    removed = []
-    for _, p in sorted(entries)[:-keep] if keep else sorted(entries):
-        shutil.rmtree(p, ignore_errors=True)
-        removed.append(p)
-    return removed
-
-
-def _touch(path: str) -> None:
-    """Record a cache hit: bump the marker's (and its dir's) mtime so
-    gc_index_root's LRU ordering sees the index as recently used."""
-    os.utime(path, None)
-    os.utime(os.path.dirname(path), None)
-
-
-def _source_fingerprint(sf_dir: str, table: str = "embeddings.parquet") -> str:
-    """Content fingerprint of a source table (file sizes + mtimes),
-    folded into the index cache tag: if the parquet at the same path is
-    regenerated, the tag changes and a fresh index is built instead of
-    silently serving from the stale one (ADVICE r04).  Stat-based
-    (not a content hash) so it's O(#files), never O(bytes)."""
-    src = os.path.join(sf_dir, table)
-    parts = []
-    if os.path.isdir(src):
-        for root, _, files in os.walk(src):
-            for f in sorted(files):
-                st = os.stat(os.path.join(root, f))
-                parts.append(f"{os.path.relpath(os.path.join(root, f), src)}"
-                             f":{st.st_size}:{st.st_mtime_ns}")
-    elif os.path.exists(src):
-        st = os.stat(src)
-        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
-    return hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
+# Lifecycle mechanics (fingerprint tag, LRU GC, liveness touch) live in
+# the shared kernel (ringo_spark/index_lifecycle.py, VERDICT r14 item 3);
+# the historical names below stay importable — every index module and
+# test reached them through this module before the extraction.
+gc_index_root = _ilc.gc_index_root
+_touch = _ilc.touch
+_source_fingerprint = _ilc.source_fingerprint
 
 
 def _ivf_centroid_rows(emb: DataFrame, k: int = IVF_K) -> list:
@@ -719,7 +651,8 @@ def _with_cell(df: DataFrame, cent_rows, out: str = "cell") -> DataFrame:
 
 def build_ivf_index(spark: SparkSession, sf_dir: str,
                     index_path: str | None = None, k: int | None = None,
-                    force: bool = False) -> str:
+                    force: bool = False,
+                    emb: DataFrame | None = None) -> str:
     """Build (once) the persisted IVF index: corpus vectors written
     ``partitionBy("cell")``.
 
@@ -740,16 +673,18 @@ def build_ivf_index(spark: SparkSession, sf_dir: str,
     if k is None:
         k = _auto_ivf_k(spark, sf_dir)
     if index_path is None:
+        # a custom ``emb`` subset is invisible to the source
+        # fingerprint — such builds must name their own dir
+        assert emb is None, "custom emb requires an explicit index_path"
         # "|c" = centroids persisted alongside (append support); older
         # cached dirs without them miss the tag and rebuild
-        tag = hashlib.md5(
-            f"{os.path.abspath(sf_dir)}|{k}|{_source_fingerprint(sf_dir)}|c"
-            .encode()).hexdigest()[:10]
+        tag = _ilc.index_tag(
+            f"{os.path.abspath(sf_dir)}|{k}|{_source_fingerprint(sf_dir)}|c")
         index_path = os.path.join(IVF_INDEX_ROOT, f"k{k}-{tag}")
-    if not force and os.path.exists(os.path.join(index_path, "_SUCCESS")):
-        _touch(os.path.join(index_path, "_SUCCESS"))
+    if _ilc.serve_cached(index_path, "_SUCCESS", force):
         return index_path
-    emb = _emb(spark, sf_dir)
+    if emb is None:
+        emb = _emb(spark, sf_dir)
     cent_rows = _ivf_centroid_rows(emb, k)
     (_with_cell(emb, cent_rows)
      .repartition(F.col("cell"),
@@ -762,7 +697,7 @@ def build_ivf_index(spark: SparkSession, sf_dir: str,
                             for c, v in cent_rows], "cid int, cvec array<double>")
      .coalesce(1).write.mode("overwrite")
      .parquet(os.path.join(index_path, "_centroids")))
-    gc_index_root(IVF_INDEX_ROOT, protect=index_path)
+    _ilc.finish_build(index_path, IVF_INDEX_ROOT)
     return index_path
 
 
@@ -835,6 +770,166 @@ def ann_ivf_indexed_df(spark: SparkSession, sf_dir: str,
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= LSH_TOP_K)
             .select("q_id", "n_id", "rank", "cosine"))
+
+
+# --- IVF index staleness signal (VERDICT r14 item 4) -------------------------
+#
+# Centroid retraining is a REBUILD by design (append_to_ivf_index routes
+# with the stored centroids, never recomputes them) — this is the metric
+# that says WHEN: appended batches whose vectors quantize much worse
+# than the build-time corpus (distribution drift), or whose arrivals
+# pile into one cell (skew), mean the stored centroid set no longer
+# describes the data and probe recall is rotting silently.  Reported,
+# not auto-acted: a rebuild is corpus-sized, so it's an operator
+# decision with this row as the trigger.
+
+# Appended vectors quantizing >this x the build-time mean quantization
+# error flips the stale flag — drifted arrivals sit this much farther
+# from their nearest stored centroid.  Calibrated against the corpora:
+# same-distribution halves sit at 1.03-1.07 at every SF (the ratio,
+# not the absolute qerr, is what transfers across corpora), while an
+# anti-aligned drift injection lands ~1.5 — the trip wire sits between
+# with margin on both sides.
+IVF_STALE_QERR_RATIO = 1.25
+# Hottest-cell load factor (max cell count x K / N) past which routing
+# is considered degenerate for the appended epoch: probe cost
+# concentrates in one cell.  Seed-centroid cells are organically
+# uneven, so the trip-wire sits well above the natural factor.
+IVF_STALE_SKEW = 4.0
+
+
+def _epoch_cell_stats(labeled: DataFrame):
+    """Per-epoch (n_vecs, exact-integer qerr sum, hottest-cell count)
+    from rows labeled (epoch, cell, cos6).  The per-vector quantization
+    error is fixed to 6dp BEFORE summing (micro-units, exact bigint
+    arithmetic) so the mean is order-independent — the doc_logprob
+    exact-decimal-sum rule; a plain avg() over doubles would be
+    shuffle-order-dependent and unhashable."""
+    qerr_micro = F.round((F.lit(1.0) - F.col("cos6")) * 1000000)         .cast("long")
+    per_cell = (labeled.groupBy("epoch", "cell")
+                .agg(F.count(F.lit(1)).alias("c"),
+                     F.sum(qerr_micro).alias("qs")))
+    return (per_cell.groupBy("epoch")
+            .agg(F.sum("c").alias("n_vecs"),
+                 F.sum("qs").alias("qerr_sum"),
+                 F.max("c").alias("max_cell")))
+
+
+def ivf_staleness_report(spark: SparkSession, index_path: str,
+                         batch_emb: DataFrame) -> DataFrame:
+    """One-row drift report for a persisted IVF index vs an ingestion
+    batch: the batch is assigned with the index's OWN stored centroids
+    (exactly what :func:`append_to_ivf_index` would do), and its mean
+    quantization error + hottest-cell load factor are compared against
+    the same stats over the index's existing rows (the build-time
+    ladder).  Cost: one batch-sized map + one index scan (both
+    map-side-combined aggregates — K rows of state per epoch); nothing
+    corpus-sized shuffles.  ``stale`` uses the ROUNDED ratios, so the
+    flag is bit-stable across engines."""
+    from .deletion import index_rows
+
+    cent = spark.read.parquet(os.path.join(index_path, "_centroids"))
+    cent_rows = [(r.cid, r.cvec) for r in cent.collect()]
+    k = len(cent_rows)
+    idx = (index_rows(spark, index_path, id_col="vec_id")
+           .select("vec_id", "embedding"))
+    both = (idx.withColumn("epoch", F.lit("build"))
+            .unionByName(batch_emb.select("vec_id", "embedding")
+                         .withColumn("epoch", F.lit("append"))))
+    sc = F.round(cosine(F.col("embedding"), F.col("cvec")), 6)
+    labeled = (both.crossJoin(F.broadcast(
+        spark.createDataFrame(
+            [(int(c), [float(x) for x in v]) for c, v in cent_rows],
+            "cid int, cvec array<double>")))
+        .groupBy("vec_id", "epoch")
+        .agg(F.max(F.struct(sc.alias("s"),
+                            F.col("cid").alias("cid"))).alias("b"))
+        .select("epoch", F.col("b.cid").alias("cell"),
+                F.col("b.s").alias("cos6")))
+    stats = _epoch_cell_stats(labeled)
+    b = stats.where(F.col("epoch") == "build").alias("b")
+    a = stats.where(F.col("epoch") == "append").alias("a")
+    qerr = lambda side: F.col(f"{side}.qerr_sum") * 1.0         / F.col(f"{side}.n_vecs")  # noqa: E731
+    ratio = F.round(qerr("a") / qerr("b"), 6)
+    skew_a = F.round(F.col("a.max_cell") * F.lit(k) * 1.0
+                     / F.col("a.n_vecs"), 6)
+    return (b.crossJoin(a)   # 1 row x 1 row
+            .select(F.col("b.n_vecs").alias("n_build"),
+                    F.col("a.n_vecs").alias("n_append"),
+                    F.round(qerr("b") / 1000000, 6).alias("qerr_build"),
+                    F.round(qerr("a") / 1000000, 6).alias("qerr_append"),
+                    ratio.alias("qerr_ratio"),
+                    F.round(F.col("b.max_cell") * F.lit(k) * 1.0
+                            / F.col("b.n_vecs"), 6).alias("skew_build"),
+                    skew_a.alias("skew_append"),
+                    ((ratio > IVF_STALE_QERR_RATIO)
+                     | (skew_a > IVF_STALE_SKEW)).alias("stale")))
+
+
+def ann_index_staleness_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered driver row for the staleness signal: a DEDICATED IVF
+    index is built over the LOWER half of the embeddings table (its own
+    dir — the shared query cache must not absorb a half-corpus build),
+    the UPPER half plays the appended batch, and the report runs
+    through the production :func:`ivf_staleness_report` — stored
+    centroids, tombstone-aware index read, exact-integer qerr sums all
+    under the driver hash.  Same-distribution halves, so the expected
+    (and pinned) verdict is ``stale = false``; the falsifiability test
+    injects drifted vectors and pins the flip."""
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    half = n // 2
+    k = auto_ivf_k(spark, half)
+    tag = _ilc.index_tag(
+        f"{os.path.abspath(sf_dir)}|stale|{k}|{half}|"
+        f"{_source_fingerprint(sf_dir)}")
+    p = build_ivf_index(
+        spark, sf_dir, k=k,
+        index_path=os.path.join(IVF_INDEX_ROOT, f"stale-{tag}"),
+        emb=emb.where(F.col("vec_id") < half))
+    return ivf_staleness_report(spark, p,
+                                emb.where(F.col("vec_id") >= half))
+
+
+ANN_INDEX_STALENESS_SQL = f"""
+WITH nn AS (SELECT count(*) AS n, count(*) // 2 AS half FROM embeddings),
+kk AS (SELECT least({IVF_MAX_AUTO_K}, greatest({IVF_K},
+              CAST(round(sqrt(half / {IVF_SQRT_DIVISOR}.0), 0) AS INT)))
+              AS k FROM nn),
+cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings, kk
+  WHERE vec_id < kk.k),
+lab AS (
+  SELECT e.vec_id,
+         CASE WHEN e.vec_id < nn.half THEN 'build' ELSE 'append' END
+           AS epoch,
+         max({{'s': round({sql_cosine('e.embedding', 'c.cvec')}, 6),
+              'cid': c.cid}}) AS b
+  FROM embeddings e CROSS JOIN cent c CROSS JOIN nn
+  GROUP BY e.vec_id, epoch),
+agg AS (
+  SELECT epoch, count(*) AS n_vecs,
+         sum(CAST(round((1 - b.s) * 1000000) AS BIGINT)) AS qerr_sum,
+         max(cnt) AS max_cell
+  FROM (SELECT epoch, b,
+               count(*) OVER (PARTITION BY epoch, b.cid) AS cnt
+        FROM lab)
+  GROUP BY epoch)
+SELECT b.n_vecs AS n_build, a.n_vecs AS n_append,
+       round(b.qerr_sum * 1.0 / b.n_vecs / 1000000, 6) AS qerr_build,
+       round(a.qerr_sum * 1.0 / a.n_vecs / 1000000, 6) AS qerr_append,
+       round((a.qerr_sum * 1.0 / a.n_vecs)
+             / (b.qerr_sum * 1.0 / b.n_vecs), 6) AS qerr_ratio,
+       round(b.max_cell * kk.k * 1.0 / b.n_vecs, 6) AS skew_build,
+       round(a.max_cell * kk.k * 1.0 / a.n_vecs, 6) AS skew_append,
+       (round((a.qerr_sum * 1.0 / a.n_vecs)
+              / (b.qerr_sum * 1.0 / b.n_vecs), 6)
+          > {IVF_STALE_QERR_RATIO}
+        OR round(a.max_cell * kk.k * 1.0 / a.n_vecs, 6)
+          > {IVF_STALE_SKEW}) AS stale
+FROM (SELECT * FROM agg WHERE epoch = 'build') b,
+     (SELECT * FROM agg WHERE epoch = 'append') a, kk
+"""
 
 
 def ann_cosine_topk_arrow_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1390,9 +1485,7 @@ QUALIFY fused_rank <= {RRF_TOP_K}
 
 # --- persisted LSH bucket index ---------------------------------------------
 
-LSH_INDEX_ROOT = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    ".lsh_index")
+LSH_INDEX_ROOT = os.path.join(_ilc.repo_root(), ".lsh_index")
 
 
 def build_lsh_index(spark: SparkSession, sf_dir: str,
@@ -1410,19 +1503,17 @@ def build_lsh_index(spark: SparkSession, sf_dir: str,
     if bits is None:
         bits = _auto_ann_bits(spark, sf_dir)
     if index_path is None:
-        tag = hashlib.md5(
-            f"{os.path.abspath(sf_dir)}|{bits}|{_source_fingerprint(sf_dir)}"
-            .encode()).hexdigest()[:10]
+        tag = _ilc.index_tag(
+            f"{os.path.abspath(sf_dir)}|{bits}|{_source_fingerprint(sf_dir)}")
         index_path = os.path.join(LSH_INDEX_ROOT, f"b{bits}-{tag}")
-    if not force and os.path.exists(os.path.join(index_path, "_SUCCESS")):
-        _touch(os.path.join(index_path, "_SUCCESS"))
+    if _ilc.serve_cached(index_path, "_SUCCESS", force):
         return index_path
     (_emb(spark, sf_dir)
      .withColumn("bucket", _bucket_expr(F.col("embedding"), bits))
      .repartition(F.col("bucket"),
                   F.pmod(F.col("vec_id"), F.lit(BUILD_WRITERS_PER_CELL)))
      .write.mode("overwrite").partitionBy("bucket").parquet(index_path))
-    gc_index_root(LSH_INDEX_ROOT, protect=index_path)
+    _ilc.finish_build(index_path, LSH_INDEX_ROOT)
     return index_path
 
 
@@ -1719,12 +1810,11 @@ def build_pq_index(spark: SparkSession, sf_dir: str,
         k = _auto_ivf_k(spark, sf_dir)
     if index_path is None:
         # "|c" = centroids persisted alongside (append support)
-        tag = hashlib.md5(
+        tag = _ilc.index_tag(
             f"{os.path.abspath(sf_dir)}|pq|{k}|{PQ_M}|{PQ_K}|{PQ_ITERS}|"
-            f"{_source_fingerprint(sf_dir)}|c".encode()).hexdigest()[:10]
+            f"{_source_fingerprint(sf_dir)}|c")
         index_path = os.path.join(IVF_INDEX_ROOT, f"pq{k}-{tag}")
-    if not force and os.path.exists(os.path.join(index_path, "_SUCCESS")):
-        _touch(os.path.join(index_path, "_SUCCESS"))
+    if _ilc.serve_cached(index_path, "_SUCCESS", force):
         return index_path
     cb = train_pq_codebooks(spark, sf_dir)
     cb_df = spark.createDataFrame(
@@ -1743,7 +1833,7 @@ def build_pq_index(spark: SparkSession, sf_dir: str,
         os.path.join(index_path, "_codebooks"))
     (cent.coalesce(1).write.mode("overwrite")
      .parquet(os.path.join(index_path, "_centroids")))
-    gc_index_root(IVF_INDEX_ROOT, protect=index_path)
+    _ilc.finish_build(index_path, IVF_INDEX_ROOT)
     return index_path
 
 

@@ -1272,6 +1272,16 @@ LIMIT {BPE_TOP_PAIRS}
 # Python in the loop.
 
 BPE_MERGES = 8
+# Driver-memory ceiling for the LOCAL trainer (VERDICT r14 item 8): the
+# collected (word -> count) state plus the inverted pair->words index is
+# O(vocab rows x avg word length) on the driver — the documented
+# "merges x vocab rows" cost model SCALE.md measures.  Heaps' law keeps
+# real vocabularies near ~10M rows even at web scale, but a pathological
+# corpus (or a mis-scoped train request) can blow past that; above this
+# gate :func:`train_bpe_merges` degrades gracefully to the distributed
+# pair-count kernel (driver holds ONE argmax row per iteration, vocab
+# stays executor-side) instead of OOMing the driver.
+BPE_LOCAL_MAX_VOCAB_ROWS = 500_000
 
 
 def _bpe_vocab_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1336,9 +1346,9 @@ def _bpe_train_state(spark: SparkSession, sf_dir: str,
 
 def _bpe_root() -> str:
     import os
-    return os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))), ".bpe_tokenizer")
+
+    from .. import index_lifecycle as _ilc
+    return os.path.join(_ilc.repo_root(), ".bpe_tokenizer")
 
 
 def build_bpe_tokenizer(spark: SparkSession, sf_dir: str,
@@ -1352,34 +1362,28 @@ def build_bpe_tokenizer(spark: SparkSession, sf_dir: str,
     broadcast artifact for every tokenization job — retraining per
     query would be the wrong cost model, which is why both registered
     BPE queries read from here."""
-    import hashlib
     import os
 
-    from .similarity import _source_fingerprint, _touch, gc_index_root
+    from .. import index_lifecycle as _ilc
 
-    fp = _source_fingerprint(sf_dir, "documents.parquet")
-    tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|bpe|{n_merges}|{fp}"
-        .encode()).hexdigest()[:10]
+    fp = _ilc.source_fingerprint(sf_dir, "documents.parquet")
+    tag = _ilc.index_tag(f"{os.path.abspath(sf_dir)}|bpe|{n_merges}|{fp}")
     path = os.path.join(_bpe_root(), f"m{n_merges}-{tag}")
-    marker = os.path.join(path, "_BPE_OK")
-    if not force and os.path.exists(marker):
-        _touch(marker)
+    if _ilc.serve_cached(path, "_BPE_OK", force):
         return path
-    merges, state = _bpe_train_state(spark, sf_dir, n_merges)
+    merges, word_map = train_bpe_merges(spark, sf_dir, n_merges)
     (spark.createDataFrame(
         merges, "merge_rank int, a string, b string, pair_count long")
      .coalesce(1).write.mode("overwrite")
      .parquet(os.path.join(path, "merges")))
-    (state.select("w", F.concat_ws(" ", "syms").alias("sym_str"),
-                  F.size("syms").alias("ns"))
-     .write.mode("overwrite").parquet(os.path.join(path, "word_map")))
-    open(marker, "w").close()
-    gc_index_root(_bpe_root(), protect=path)
+    word_map.write.mode("overwrite").parquet(
+        os.path.join(path, "word_map"))
+    _ilc.finish_build(path, _bpe_root(), marker="_BPE_OK")
     return path
 
 
-def bpe_train_merges_local(word_counts: dict, n_merges: int) -> list:
+def bpe_train_merges_local(word_counts: dict, n_merges: int,
+                           return_state: bool = False):
     """Driver-local BPE training over a COLLECTED (word -> count)
     vocabulary — the production shape for REAL merge budgets: at 30k+
     merges the distributed loop's per-iteration job overhead dominates
@@ -1436,7 +1440,43 @@ def bpe_train_merges_local(word_counts: dict, n_merges: int) -> list:
                 pr = (new[i], new[i + 1])
                 pair_counts[pr] = pair_counts.get(pr, 0) + c
                 pair_words.setdefault(pr, set()).add(w)
+    if return_state:
+        return merges, state
     return merges
+
+
+def train_bpe_merges(spark: SparkSession, sf_dir: str,
+                     n_merges: int = BPE_MERGES):
+    """The gated trainer entry point: (merges, word_map_df) via the
+    cheaper path the vocabulary size allows.
+
+    At or below :data:`BPE_LOCAL_MAX_VOCAB_ROWS` distinct words, Spark
+    does the corpus-sized counting once and the DRIVER trains on the
+    collected vocab (incremental pair-delta updates — the production
+    shape for real merge budgets, where per-merge Spark-job overhead
+    dominates).  Above the gate, the distributed pair-count kernel
+    trains instead: each merge is one vocab-sized aggregate whose
+    driver footprint is a single argmax row, so a pathological vocab
+    degrades to more wall-clock, never a driver OOM.  Both paths
+    produce the IDENTICAL merge list and word->symbols map (same
+    argmax, same 'a b' tie-break, same greedy non-overlapping fold;
+    pytest-pinned), so the gate is invisible in every artifact."""
+    vocab = _bpe_vocab_state(spark, sf_dir)
+    n_vocab = vocab.count()
+    if n_vocab <= BPE_LOCAL_MAX_VOCAB_ROWS:
+        wc = {r.w: r.c for r in vocab.select("w", "c").collect()}
+        merges, state = bpe_train_merges_local(wc, n_merges,
+                                               return_state=True)
+        word_map = spark.createDataFrame(
+            [(w, " ".join(syms), len(syms))
+             for w, syms in sorted(state.items())],
+            "w string, sym_str string, ns int")
+        return merges, word_map
+    merges, state = _bpe_train_state(spark, sf_dir, n_merges)
+    word_map = state.select(
+        "w", F.concat_ws(" ", "syms").alias("sym_str"),
+        F.size("syms").alias("ns"))
+    return merges, word_map
 
 
 def bpe_train_df(spark: SparkSession, sf_dir: str,

@@ -10,10 +10,15 @@ near-duplicate arrival is flagged BEFORE it becomes part of the corpus
 other arrivals are checked against.
 
 Semantics/ordering contract: within one trigger the probe runs before
-the admit, so same-trigger arrivals never match each other (in-batch
-near-dups are the batch operators' concern); an arrival DOES match
-every earlier-admitted arrival, which is the canonical-owner rule under
-ascending micro-batches (the span twin's documented contract).
+the admit, so the INDEX never matches same-trigger arrivals against
+each other — in-batch pairs are instead caught by a dedicated
+micro-batch self-join (VERDICT r14 item 6; the batch is trigger-sized,
+so the self-join is broadcast-vs-broadcast — free), oriented by vec_id
+(vec_new = the larger id) since same-trigger arrivals have no order.
+Cross-trigger, an arrival matches every earlier-admitted arrival —
+the canonical-owner rule under ascending micro-batches (the span
+twin's documented contract) — so the full emitted pair set closes the
+lifecycle: no near-dup pair with at least one streamed end escapes.
 
 Retry safety: a retried trigger re-appends its rows, so the index may
 physically hold duplicate (vec_id, ...) rows — every probe dedupes the
@@ -59,14 +64,15 @@ def streaming_vector_ingest(index_path: str, bits: int,
     def maker(sink_path: str):
         def ingest(batch_df: DataFrame, batch_id: int) -> None:
             spark = batch_df.sparkSession
+            from .. import index_lifecycle as _ilc
             from ..operators.deletion import index_rows
             from ..operators.similarity import (
-                _bucket_expr, _touch, append_to_lsh_index,
+                _bucket_expr, append_to_lsh_index,
             )
 
             marker = os.path.join(index_path, "_SUCCESS")
             if os.path.exists(marker):
-                _touch(marker)      # LRU: a live stream's index is in use
+                _ilc.touch(marker)  # LRU: a live stream's index is in use
             b = (batch_df.select("vec_id", "embedding")
                  .withColumn("bucket",
                              _bucket_expr(F.col("embedding"), bits)))
@@ -83,11 +89,26 @@ def streaming_vector_ingest(index_path: str, bits: int,
                             F.col("c.vec_id").alias("vec_seen"),
                             cos.alias("cosine"))
                     .where(F.col("cosine") >= threshold))
+            # in-batch near-dups (VERDICT r14 item 6): same-trigger
+            # arrivals self-join within the micro-batch (broadcast x
+            # broadcast — trigger-sized, never touches the index),
+            # oriented vec_new > vec_seen by vec_id.  Recomputed from
+            # the batch alone, so a retried trigger emits identical
+            # in-batch pairs (idempotent like the index probe).
+            inb = (b.alias("c")
+                   .join(F.broadcast(b.alias("n")),
+                         (F.col("n.bucket") == F.col("c.bucket"))
+                         & (F.col("n.vec_id") > F.col("c.vec_id")))
+                   .select(F.col("n.vec_id").alias("vec_new"),
+                           F.col("c.vec_id").alias("vec_seen"),
+                           cos.alias("cosine"))
+                   .where(F.col("cosine") >= threshold))
             # overwrite-by-batch_id: a retried trigger replaces its own
             # output (exactly-once sink semantics)
-            hits.write.mode("overwrite").parquet(
+            hits.unionByName(inb).write.mode("overwrite").parquet(
                 os.path.join(sink_path, f"batch_id={batch_id}"))
-            # admit AFTER the probe — same-trigger arrivals never match
+            # admit AFTER the probe — the index side never sees its own
+            # trigger (in-batch pairs came from the self-join above)
             append_to_lsh_index(spark, index_path,
                                 batch_df.select("vec_id", "embedding"),
                                 bits=bits)
@@ -112,16 +133,15 @@ def streaming_vector_ingest_df(spark, sf_dir: str):
     returned.  The oracle reproduces the whole lifecycle as one
     chunk-ordering predicate over the width-parameterized LSH pair
     graph: a pair is a hit iff its later end is streamed and its
-    earlier end was admitted in a STRICTLY earlier chunk (corpus =
-    chunk -1) — same-trigger pairs excluded, exactly the
-    probe-before-admit semantics."""
-    import hashlib
+    earlier end was admitted in an earlier-or-equal chunk (corpus =
+    chunk -1; equal chunk = the in-batch self-join, oriented by
+    vec_id) — exactly the probe-before-admit + in-batch-check
+    semantics."""
     import math
 
+    from .. import index_lifecycle as _ilc
     from ..operators.dedup import _auto_dedup_bits
-    from ..operators.similarity import (
-        _bucket_expr, _source_fingerprint, gc_index_root,
-    )
+    from ..operators.similarity import _bucket_expr
     from .vocab import _sink_root
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -129,10 +149,11 @@ def streaming_vector_ingest_df(spark, sf_dir: str):
     half = n // 2
     w = math.ceil((n - half) / VEC_INGEST_SPLITS)
     bits = _auto_dedup_bits(spark, sf_dir)
-    fp = _source_fingerprint(sf_dir)
-    tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|vecing|{bits}|{VEC_INGEST_SPLITS}|{fp}"
-        .encode()).hexdigest()[:10]
+    fp = _ilc.source_fingerprint(sf_dir)
+    # "|inb" = in-batch self-join pairs included (r15): sinks replayed
+    # under the pre-item-6 semantics miss the tag and replay fresh
+    tag = _ilc.index_tag(
+        f"{os.path.abspath(sf_dir)}|vecing|{bits}|{VEC_INGEST_SPLITS}|{fp}|inb")
     p = os.path.join(_sink_root(), f"vecing-idx-{tag}")
     sink = os.path.join(_sink_root(), f"vecing-hits-{tag}")
     done = os.path.join(sink, "_VECING_OK")
@@ -151,7 +172,7 @@ def streaming_vector_ingest_df(spark, sf_dir: str):
             ingest(sink)(emb.where((F.col("vec_id") >= lo)
                                    & (F.col("vec_id") < hi)), i)
         open(done, "w").close()
-    gc_index_root(_sink_root(), protect=sink)
+    _ilc.gc_index_root(_sink_root(), protect=sink)
     return (spark.read.parquet(sink)
             .select("vec_new", "vec_seen", "cosine")
             .orderBy("vec_new", "vec_seen"))
@@ -183,7 +204,9 @@ SELECT b.vec_id AS vec_new, a.vec_id AS vec_seen,
 FROM bk a JOIN bk b ON a.bucket = b.bucket
 JOIN ch ca ON ca.vec_id = a.vec_id
 JOIN ch cb ON cb.vec_id = b.vec_id
-WHERE cb.chunk >= 0 AND ca.chunk < cb.chunk
+WHERE cb.chunk >= 0
+  AND (ca.chunk < cb.chunk
+       OR (ca.chunk = cb.chunk AND a.vec_id < b.vec_id))
   AND round({sql_cosine('b.embedding', 'a.embedding')}, 6) >= {THR}
 ORDER BY vec_new, vec_seen
 """

@@ -28,6 +28,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .. import index_lifecycle as _ilc
 from ..operators.sampling import _U_DENOM, WEIGHT_SEED, WEIGHTED_K
 from ..operators.textfn import phash
 
@@ -56,10 +57,8 @@ def streaming_weighted_reservoir(k: int = WEIGHTED_K):
             spark = batch_df.sparkSession
             cand = _key_cols(batch_df).orderBy("k", "doc_id").limit(k)
             ptr = os.path.join(reservoir_path, _LATEST)
-            prev = None
-            if os.path.exists(ptr):
-                with open(ptr) as fh:
-                    prev = fh.read().strip()
+            prev = _ilc.read_pointer(ptr)
+            if prev is not None:
                 cand = spark.read.parquet(
                     os.path.join(reservoir_path, prev)).unionByName(cand)
             merged = (cand.dropDuplicates(["doc_id"])
@@ -67,10 +66,7 @@ def streaming_weighted_reservoir(k: int = WEIGHTED_K):
             vdir = f"v{batch_id}"
             merged.write.mode("overwrite").parquet(
                 os.path.join(reservoir_path, vdir))
-            tmp = ptr + ".tmp"
-            with open(tmp, "w") as fh:
-                fh.write(vdir)
-            os.replace(tmp, ptr)      # atomic pointer flip
+            _ilc.flip_pointer(ptr, vdir)
             # GC: without this, v<id> dirs accrue O(k x batches) on a
             # long-running deployment.  Keep the current version and
             # the one just superseded (in-flight readers may still
@@ -100,14 +96,9 @@ def streaming_reservoir_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery itself (version dirs, pointer flips, per-batch merge, GC)
     sits under the driver hash.  Reruns re-merge the already-final
     reservoir per batch — a fixed point, so the row is rerun-stable."""
-    import hashlib
-
-    from ..operators.similarity import _source_fingerprint
-
-    fp = _source_fingerprint(sf_dir, "documents.parquet")
-    tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|reservoir|{RESERVOIR_SPLITS}|{fp}"
-        .encode()).hexdigest()[:10]
+    fp = _ilc.source_fingerprint(sf_dir, "documents.parquet")
+    tag = _ilc.index_tag(
+        f"{os.path.abspath(sf_dir)}|reservoir|{RESERVOIR_SPLITS}|{fp}")
     from .vocab import _sink_root
     res = os.path.join(_sink_root(), f"res-{tag}")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -116,8 +107,7 @@ def streaming_reservoir_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         updater(res)(
             docs.where(F.pmod(F.col("doc_id"),
                               F.lit(RESERVOIR_SPLITS)) == i), i)
-    from ..operators.similarity import gc_index_root
-    gc_index_root(_sink_root(), protect=res)   # stale-tag LRU, as above
+    _ilc.gc_index_root(_sink_root(), protect=res)   # stale-tag LRU, as above
     return reservoir_snapshot(spark, res)
 
 
@@ -126,9 +116,9 @@ def reservoir_snapshot(spark: SparkSession,
     """The current reservoir in the batch operator's output shape
     (doc_id, weight, sel_rank) — bit-comparable to
     ``sample_weighted_df`` after a full replay."""
-    with open(os.path.join(reservoir_path, _LATEST)) as fh:
-        cur = spark.read.parquet(
-            os.path.join(reservoir_path, fh.read().strip()))
+    cur = spark.read.parquet(os.path.join(
+        reservoir_path,
+        _ilc.read_pointer(os.path.join(reservoir_path, _LATEST))))
     rk = Window.orderBy("k", "doc_id")    # k rows: single partition OK
     return (cur.select("doc_id", "weight",
                        F.row_number().over(rk).alias("sel_rank"))

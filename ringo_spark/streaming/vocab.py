@@ -120,12 +120,9 @@ def compact_cms_sink(spark: SparkSession, sink_path: str,
                               ignore_errors=True)
         os.rename(stage, os.path.join(sink_path, f"batch_id={up}"))
 
-    if os.path.isdir(stage):
-        if os.path.exists(marker) and \
-                os.path.exists(os.path.join(stage, "_SUCCESS")):
-            _finish(int(open(marker).read()))
-        else:
-            shutil.rmtree(stage)   # incomplete rewrite — redo below
+    from .. import index_lifecycle as _ilc
+    _ilc.recover_staging(stage, "_up_to",
+                         lambda: _finish(int(open(marker).read())))
 
     parts = spark.read.parquet(sink_path)
     old = [r for r in parts.select("batch_id").distinct().collect()
@@ -217,9 +214,8 @@ STREAM_PROBE_N = 10
 
 
 def _sink_root() -> str:
-    return os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))), ".stream_sinks")
+    from .. import index_lifecycle as _ilc
+    return os.path.join(_ilc.repo_root(), ".stream_sinks")
 
 
 def _stream_probes(spark: SparkSession, sf_dir: str) -> list[str]:
@@ -237,15 +233,11 @@ def streaming_cms_snapshot_df(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """EAGER (registry.EAGER_QUERIES): replays hash-split micro-batches
     through the CMS writer, then snapshots the merged sink."""
-    import hashlib
-
-    from ..operators.similarity import _source_fingerprint
+    from .. import index_lifecycle as _ilc
 
     probes = _stream_probes(spark, sf_dir)
-    fp = _source_fingerprint(sf_dir, "documents.parquet")
-    tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|cms|{STREAM_SPLITS}|{fp}"
-        .encode()).hexdigest()[:10]
+    fp = _ilc.source_fingerprint(sf_dir, "documents.parquet")
+    tag = _ilc.index_tag(f"{os.path.abspath(sf_dir)}|cms|{STREAM_SPLITS}|{fp}")
     sink = os.path.join(_sink_root(), f"cms-{tag}")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     writer = streaming_cms_vocab(probes)
@@ -256,8 +248,7 @@ def streaming_cms_snapshot_df(spark: SparkSession,
     # sink dirs are per (corpus, fingerprint): a regenerated corpus
     # retags, so stale sinks would otherwise accumulate forever — the
     # same LRU GC as every persisted index root
-    from ..operators.similarity import gc_index_root
-    gc_index_root(_sink_root(), protect=sink)
+    _ilc.gc_index_root(_sink_root(), protect=sink)
     return (cms_vocab_snapshot(spark, sink, probes)
             .select("token", "exact_count", "within_cms_bounds")
             .orderBy(F.desc("exact_count"), F.asc("token")))

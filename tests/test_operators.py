@@ -670,14 +670,17 @@ def test_index_builders_gc_stale_fingerprints(spark, tmp_path, monkeypatch):
     import os
     import shutil
 
+    from ringo_spark import index_lifecycle as ilc
     from ringo_spark.operators import similarity as sim
 
     root = str(tmp_path / "lsh_root")
     monkeypatch.setattr(sim, "LSH_INDEX_ROOT", root)
-    monkeypatch.setattr(sim, "INDEX_KEEP_LAST", 1)
+    # ported to the shared kernel (VERDICT r14 item 3): the GC policy
+    # knobs live in index_lifecycle now
+    monkeypatch.setattr(ilc, "INDEX_KEEP_LAST", 1)
     # the dirs this test makes stale are seconds old; disable the
     # min-age live-index shield to exercise the LRU policy itself
-    monkeypatch.setattr(sim, "GC_MIN_AGE_SECONDS", 0)
+    monkeypatch.setattr(ilc, "GC_MIN_AGE_SECONDS", 0)
 
     src = str(tmp_path / "sf")
     os.makedirs(src)
@@ -771,6 +774,70 @@ def test_ivf_index_append_equals_full_rebuild(spark, tmp_path):
     a = {(r.vec_id, r.cell) for r in spark.read.parquet(grown).collect()}
     b = {(r.vec_id, r.cell) for r in spark.read.parquet(full).collect()}
     assert a == b and a
+
+
+def test_ivf_staleness_flags_drift_and_skew(spark, tmp_path):
+    """VERDICT r14 item 4 falsifiability: same-distribution halves
+    report stale=false (the registered row's pinned verdict); injected
+    DRIFTED appends flip the flag through the qerr-ratio clause, and
+    injected HOT-CELL appends flip it through the skew clause — both
+    trip wires are live, neither fires on honest data."""
+    from ringo_spark.operators.similarity import (
+        IVF_STALE_QERR_RATIO, IVF_STALE_SKEW, ann_index_staleness_df,
+        auto_ivf_k, build_ivf_index, ivf_staleness_report,
+    )
+
+    row = ann_index_staleness_df(spark, SF).first()
+    assert row.stale is False
+    assert row.qerr_ratio < IVF_STALE_QERR_RATIO   # headroom visible
+    assert row.skew_append < IVF_STALE_SKEW
+    assert row.n_build > 0 and row.n_append > 0
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = emb.count()
+    half = n // 2
+    p = build_ivf_index(
+        spark, SF, k=auto_ivf_k(spark, half),
+        index_path=str(tmp_path / "stale-idx"),
+        emb=emb.where(F.col("vec_id") < half))
+    upper = emb.where(F.col("vec_id") >= half)
+
+    # drift: every appended vector points AWAY from the stored centroid
+    # set (the negated mean of the normalized centroids — best cosine
+    # goes negative, qerr ratio trips); a tiny per-row wiggle keeps
+    # vec rows distinct
+    import numpy as np
+
+    import os as _o
+    cent = spark.read.parquet(_o.path.join(p, "_centroids")).collect()
+    C = np.array([r.cvec for r in cent])
+    v = -(C / np.linalg.norm(C, axis=1, keepdims=True)).mean(axis=0)
+    vlit = F.array(*[F.lit(float(x)) for x in v])
+    drifted = upper.select(
+        "vec_id",
+        F.transform(vlit, lambda x, i: x + F.when(
+            i == 0, F.col("vec_id") * 1e-9).otherwise(F.lit(0.0)))
+        .alias("embedding"))
+    rep = ivf_staleness_report(spark, p, drifted).first()
+    assert rep.stale is True
+    assert rep.qerr_ratio > IVF_STALE_QERR_RATIO
+
+    # skew: every appended vector is a perturbed copy of centroid 0 —
+    # all land in one cell, the load factor trips (qerr stays tiny, so
+    # ONLY the skew clause can be firing)
+    # centroid-0 literal + a tiny vec_id-dependent wiggle on one dim
+    # keeps rows distinct but co-celled
+    c0 = emb.where(F.col("vec_id") == 0).first().embedding
+    base = F.array(*[F.lit(float(v)) for v in c0])
+    hot = upper.select(
+        "vec_id",
+        F.transform(base, lambda v, i: v + F.when(
+            i == 0, F.col("vec_id") * 1e-9).otherwise(F.lit(0.0)))
+        .alias("embedding"))
+    rep2 = ivf_staleness_report(spark, p, hot).first()
+    assert rep2.stale is True
+    assert rep2.skew_append > IVF_STALE_SKEW
+    assert rep2.qerr_ratio <= IVF_STALE_QERR_RATIO
 
 
 def test_lsh_index_append_equals_full_rebuild(spark, tmp_path):
@@ -1855,7 +1922,36 @@ def test_bpe_local_trainer_equals_distributed_loop(spark):
 
     wc = {r.w: r.c for r in
           _bpe_vocab_state(spark, SF).select("w", "c").collect()}
-    local = bpe_train_merges_local(wc, 16)
-    dist, _ = _bpe_train_state(spark, SF, 16)
+    local, lstate = bpe_train_merges_local(wc, 16, return_state=True)
+    dist, dstate = _bpe_train_state(spark, SF, 16)
     assert local == dist
     assert len(local) == 16
+    # the word->symbols FINAL STATES agree too (the word_map artifact
+    # both gate paths persist must be path-invariant)
+    dmap = {r.w: tuple(r.syms) for r in dstate.collect()}
+    assert lstate == dmap
+
+
+def test_bpe_merge_budget_gate_falls_back_to_distributed(
+        spark, tmp_path, monkeypatch):
+    """VERDICT r14 item 8: past BPE_LOCAL_MAX_VOCAB_ROWS the gated
+    trainer must NOT collect the vocabulary (a 1M-row vocab would OOM
+    the driver) — it degrades to the distributed pair-count kernel and
+    produces byte-identical artifacts.  Injected large vocab: drop the
+    gate below the real vocab size and prove (a) the local trainer is
+    never invoked, (b) merges and word_map equal the under-gate
+    build."""
+    import ringo_spark.operators.text as txt
+
+    under_m, under_w = txt.train_bpe_merges(spark, SF, 8)
+    under_map = {(r.w, r.sym_str, r.ns) for r in under_w.collect()}
+
+    monkeypatch.setattr(txt, "BPE_LOCAL_MAX_VOCAB_ROWS", 1)
+
+    def boom(*a, **k):
+        raise AssertionError("local trainer ran past the vocab gate")
+
+    monkeypatch.setattr(txt, "bpe_train_merges_local", boom)
+    over_m, over_w = txt.train_bpe_merges(spark, SF, 8)
+    assert over_m == under_m
+    assert {(r.w, r.sym_str, r.ns) for r in over_w.collect()} == under_map

@@ -654,3 +654,26 @@ def test_r14_operators_plan_shapes(spark):
     assert "BroadcastHashJoin" in pq
     assert "SortMergeJoin" not in pq
     assert "BatchEvalPython" not in pq and "ArrowEvalPython" not in pq
+
+
+def test_salted_tenant_rollup_is_two_combining_exchanges(spark):
+    """VERDICT r14 item 5: the salted hot-tenant rollup must plan as
+    EXACTLY two exchanges — (tenant, salt) then tenant — each fed by a
+    map-side-combining partial HashAggregate, so the hot key's volume
+    spreads over the salt buckets in phase 1 and only bucket-sized
+    partials ride the phase-2 shuffle.  No Python, no extra pass."""
+    from ringo_spark.operators.rollup_grain import (
+        tenant_rollup_skew_salted_df,
+    )
+
+    df = tenant_rollup_skew_salted_df(spark, SF)
+    simple = plan_of(spark, df, "simple")
+    agg_exchanges = simple.count("Exchange hashpartitioning")
+    assert agg_exchanges == 2, simple
+    # every hashpartitioning exchange is preceded by a partial
+    # aggregate (map-side combine) — split on the exchange markers and
+    # require a partial_ function in each upstream segment
+    segs = simple.split("Exchange hashpartitioning")
+    assert all("partial_" in seg for seg in segs[1:]), simple
+    assert "BatchEvalPython" not in simple
+    assert "ArrowEvalPython" not in simple

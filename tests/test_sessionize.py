@@ -97,9 +97,10 @@ def test_streaming_idle_sessions_flush_and_state_is_dropped(spark, tmp_path):
 
 def test_native_session_window_agrees_with_two_window_form(spark):
     """The built-in session_window operator and the classic two-window
-    formulation agree everywhere except the documented >= vs > boundary:
-    every native session is contained in exactly one two-window session,
-    and both partitions count every event exactly once."""
+    formulation agree EXACTLY — session_window merges touching windows,
+    so both split only at strictly-greater-than-gap (verified at sf0.1
+    where a pair lands exactly on the boundary; r15).  Session sets
+    must correspond 1:1 and both partitions count every event once."""
     from pyspark.sql import functions as F
 
     from ringo_spark.operators.session import (
@@ -112,14 +113,12 @@ def test_native_session_window_agrees_with_two_window_form(spark):
     total = (spark.read.parquet(f"{SF}/events.parquet").count())
     assert sum(r.n_events for r in classic) == total
     assert sum(r.n_events for r in native) == total
-    # native splits at gap == GAP where classic merges -> at least as
-    # many sessions, and each native session sits inside one classic one
-    assert len(native) >= len(classic)
-    spans = {}
-    for r in classic:
-        spans.setdefault(r.user_id, []).append(
-            (r.session_start_sec, r.session_end_sec))
-    for r in native:
-        assert any(s <= r.session_start_sec
-                   and r.session_end_sec - SESSION_GAP_SECONDS <= e
-                   for s, e in spans[r.user_id]), r
+    # identical boundary rule -> identical session partitions; only the
+    # end encoding differs (native end = last event + gap, exclusive)
+    assert len(native) == len(classic)
+    c = {(r.user_id, r.session_start_sec, r.session_end_sec, r.n_events)
+         for r in classic}
+    n = {(r.user_id, r.session_start_sec,
+          r.session_end_sec - SESSION_GAP_SECONDS, r.n_events)
+         for r in native}
+    assert n == c

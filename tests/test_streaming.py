@@ -1265,13 +1265,13 @@ def test_streaming_vector_ingest_probe_then_admit(spark, tmp_path):
     """The vector-ingestion twin: stream the upper half of the
     embeddings table in three ASCENDING micro-batches against an index
     of the lower half.  The union of emitted hits must equal the LSH
-    pair set (same width) restricted to pairs whose later end is a
-    streamed vector and whose earlier end was already admitted —
-    corpus hits AND cross-trigger stream hits, while SAME-trigger
-    pairs are excluded (probe runs before admit).  A retried trigger
-    must emit identical hits (vec_id dedupe + self-exclusion) even
-    though it physically re-appends, and a tombstoned corpus vector
-    stops matching."""
+    pair set (same width) restricted to pairs with a streamed later
+    end — corpus hits, cross-trigger stream hits, AND same-trigger
+    (in-batch) pairs from the micro-batch self-join (VERDICT r14 item
+    6), oriented vec_new > vec_seen.  A retried trigger must emit
+    identical hits (vec_id dedupe + self-exclusion; in-batch pairs
+    recompute from the batch alone) even though it physically
+    re-appends, and a tombstoned corpus vector stops matching."""
     from ringo_spark.operators.deletion import tombstone_docs
     from ringo_spark.operators.dedup import dedup_embedding_lsh_df
     from ringo_spark.operators.similarity import _bucket_expr
@@ -1302,20 +1302,22 @@ def test_streaming_vector_ingest_probe_then_admit(spark, tmp_path):
         return -1                               # corpus side
 
     pairs = dedup_embedding_lsh_df(spark, SF, bits=BITS).collect()
+    # vec_a < vec_b in the pair table; chunks ascend with vec_id, so
+    # vec_new (the later/larger end) is always vec_b
     want = {(r.vec_b, r.vec_a, r.cosine) for r in pairs
             if chunk_of(r.vec_b) >= 0
-            and chunk_of(r.vec_a) < chunk_of(r.vec_b)}
+            and chunk_of(r.vec_a) <= chunk_of(r.vec_b)}
     assert got == want and got
     # non-vacuous on every clause: corpus hits, cross-trigger stream
-    # hits, and at least one same-trigger pair that must NOT appear
+    # hits, AND at least one same-trigger (in-batch) pair
     assert any(chunk_of(s) == -1 for _, s, _ in got)
-    assert any(chunk_of(s) >= 0 for _, s, _ in got)
+    assert any(0 <= chunk_of(s) < chunk_of(n) for n, s, _ in got)
     same_trigger = [(r.vec_a, r.vec_b) for r in pairs
                     if chunk_of(r.vec_a) >= 0
                     and chunk_of(r.vec_a) == chunk_of(r.vec_b)]
     assert same_trigger
-    assert all((b, a) not in {(n, s) for n, s, _ in got}
-               for a, b in same_trigger)
+    got_pairs = {(n, s) for n, s, _ in got}
+    assert all((b, a) in got_pairs for a, b in same_trigger)
 
     # retry: identical emitted hits despite the physical re-append
     ingest(sink)(emb.where((F.col("vec_id") >= 417)
