@@ -181,6 +181,10 @@ HEADLINE = [
     "streaming_cms_snapshot",
     "streaming_weighted_reservoir",
     "streaming_vector_ingest",
+    # round-15 additions: the IVF rebuild trigger and the salted
+    # hot-tenant rollup twin
+    "ann_index_staleness",
+    "tenant_rollup_skew_salted",
 ]
 
 RUNS_PER_QUERY = 2
@@ -190,19 +194,16 @@ RUNS_PER_QUERY = 2
 # (their deltas have no prior pin, so the driver record is their only
 # arbiter).  Everything else still lands in BENCH_DETAIL.json.
 COMPACT_EXTRA = [
-    # r14: the eight new operators (no prior pins), plus
-    # quality_source_percentile (n=1 gate change this round)
+    # r15: the two new operators (no prior pins), the in-batch-extended
+    # vector ingest, the boundary-fixed native sessionizer, and the
+    # three BPE rows now building through the gated trainer
+    "ann_index_staleness",
+    "tenant_rollup_skew_salted",
+    "streaming_vector_ingest",
+    "sessionize_native",
     "bpe_train",
     "bpe_apply",
     "bpe_fertility",
-    "quality_source_gate_gk",
-    "dedup_clusters_deleted",
-    "ann_ivf_pq",
-    "ann_pq_recall_bounds",
-    "streaming_cms_snapshot",
-    "streaming_weighted_reservoir",
-    "streaming_vector_ingest",
-    "quality_source_percentile",
 ]
 
 # Hard ceiling for the stdout line: the driver's capture tail is 2000

@@ -787,11 +787,20 @@ def test_ivf_staleness_flags_drift_and_skew(spark, tmp_path):
         auto_ivf_k, build_ivf_index, ivf_staleness_report,
     )
 
-    row = ann_index_staleness_df(spark, SF).first()
+    df = ann_index_staleness_df(spark, SF)
+    row = df.first()
     assert row.stale is False
     assert row.qerr_ratio < IVF_STALE_QERR_RATIO   # headroom visible
     assert row.skew_append < IVF_STALE_SKEW
     assert row.n_build > 0 and row.n_append > 0
+    # report-shaped plan: pure JVM, and the only hashpartitioning
+    # exchanges are the two map-side-combining aggregate phases
+    # (epoch-cell stats, then per-vector argmax) — nothing corpus-sized
+    # beyond them, no Python evaluators
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("simple"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     n = emb.count()

@@ -113,6 +113,16 @@ SELECTION = [
     ("value_histogram",
      "width_bucket shape: 1-row min/max broadcast + map-side "
      "exact-decimal edge comparisons (no quotient), one (type,bin) agg"),
+    ("tenant_rollup_skew_salted",
+     "salted hot-tenant rollup (r15): exactly two exchanges — "
+     "(tenant, salt16) then tenant — each fed by a partial "
+     "HashAggregate, so the hot key spreads over 16 reducers and only "
+     "bucket-sized mergeable partials ride the second shuffle"),
+    ("ann_index_staleness",
+     "IVF rebuild trigger (r15): stored centroids broadcast against the "
+     "union of index rows + appended batch; per-vector argmax then two "
+     "map-side-combining aggregates (epoch-cell, epoch) with K rows of "
+     "state — report-shaped, nothing corpus-sized shuffles"),
     ("q8_national_market_share",
      "the largest TPC-H join tree (8 tables, nation twice): every dim "
      "side a BroadcastHashJoin, the selective p_type filter pushed to "

@@ -1,0 +1,77 @@
+"""One-pass re-pin of sub-0.5s extra_pins (VERDICT r14 item 7).
+
+Usage: python tools/repin_bench.py DETAIL1.json DETAIL2.json DETAIL3.json
+
+Sub-0.5s pins are dominated by scheduler/page-cache jitter — the
+worst-ratio table has repeatedly flagged them as pin noise (r13
+metrics_unpivot, r14 sample_cluster_split_indexed), each costing a
+round of adjudication.  Policy (recorded in BENCH_BASELINE.protocol):
+every extra_pin below 0.5s wall is re-pinned at the MEDIAN of three
+gate-satisfied closing runs' min-of-2 values in ONE pass, so future
+worst-ratio tables show queries, not pins.  The r01 baseline-comparable
+set (BENCH_BASELINE.queries) is protocol-protected and never touched.
+
+New r15 operators (no prior pin) are pinned at the LOOSER of the runs
+(the r07 honest-pin rule).  Code-changed queries this round also
+re-pin from the same runs.
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+
+BASELINE = "BENCH_BASELINE.json"
+SUB_HALF = 0.5
+NEW_PINS = ["ann_index_staleness", "tenant_rollup_skew_salted"]
+CODE_CHANGED = ["streaming_vector_ingest"]   # in-batch pairs + tag bump
+
+
+def main(detail_files: list[str]) -> None:
+    runs = [json.load(open(f))["queries"] for f in detail_files]
+    base = json.load(open(BASELINE))
+    pins = base["extra_pins"]
+
+    repinned, skipped = {}, []
+    for name, old in sorted(pins.items()):
+        if name.startswith("_") or not isinstance(old, (int, float)):
+            continue
+        vals = [r[name] for r in runs if name in r]
+        if not vals:
+            continue
+        if old < SUB_HALF:
+            new = round(statistics.median(vals), 3)
+            if new != old:
+                repinned[name] = {"old": old, "new": new, "runs": vals}
+                pins[name] = new
+        elif name in CODE_CHANGED:
+            new = round(max(vals), 3)      # honest-pin rule
+            repinned[name] = {"old": old, "new": new, "runs": vals,
+                              "reason": "code-changed r15"}
+            pins[name] = new
+        else:
+            skipped.append(name)
+    added = {}
+    for name in NEW_PINS:
+        vals = [r[name] for r in runs if name in r]
+        if vals and name not in pins:
+            pins[name] = round(max(vals), 3)   # honest-pin rule
+            added[name] = {"pin": pins[name], "runs": vals}
+
+    base["protocol"]["r15_subhalf_repin"] = (
+        "VERDICT r14 item 7: every extra_pin below 0.5s wall re-pinned "
+        "at the MEDIAN of three gate-satisfied r15 closing runs "
+        "(min-of-2 each) in one pass — sub-0.5s walls are jitter-"
+        "dominated and their stale pins kept topping the worst-ratio "
+        "table without any code change (r13/r14 adjudications). "
+        f"Re-pinned: { {n: (v['old'], v['new']) for n, v in repinned.items()} }. "
+        f"New r15 pins (looser-of-runs honest-pin rule): "
+        f"{ {n: v['pin'] for n, v in added.items()} }.")
+    json.dump(base, open(BASELINE, "w"), indent=1, sort_keys=True)
+    print(json.dumps({"repinned": repinned, "added": added,
+                      "unchanged_over_half": len(skipped)}, indent=1))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:4])
