@@ -1,0 +1,116 @@
+"""Direct unit tests for the shared index-lifecycle kernel
+(ringo_spark/index_lifecycle.py, VERDICT r14 item 3).
+
+The end-to-end crash-injection tests (tests/test_deletion.py,
+tests/test_streaming.py, tests/test_engine.py) drive these primitives
+through Spark; these tests pin the kernel's own state machine corner
+cases on a bare filesystem so a future edit can't silently change a
+recovery decision."""
+
+import os
+
+import pytest
+
+from ringo_spark import index_lifecycle as ilc
+
+
+def _mkdir(p, *files):
+    os.makedirs(p)
+    for f in files:
+        open(os.path.join(p, f), "w").close()
+
+
+def test_swap_paths_naming_is_stable(tmp_path):
+    live = str(tmp_path / "idx")
+    tmp, old = ilc.swap_paths(live + "/")      # trailing slash tolerated
+    assert tmp == live + "__compact"
+    assert old == live + "__old"
+
+
+def test_recover_live_prefers_old_over_compact(tmp_path):
+    """Between the two publish renames the original sits in __old and a
+    complete rewrite in __compact — recovery must restore the ORIGINAL
+    (any tombstone log rides inside it; the redo re-applies)."""
+    live = str(tmp_path / "idx")
+    tmp, old = ilc.swap_paths(live)
+    _mkdir(old, "original")
+    _mkdir(tmp, "rewrite")
+    ilc.recover_live(live)
+    assert os.path.exists(os.path.join(live, "original"))
+    assert os.path.isdir(tmp)                  # leftovers untouched here
+
+
+def test_recover_live_promotes_compact_when_old_is_gone(tmp_path):
+    live = str(tmp_path / "idx")
+    tmp, _old = ilc.swap_paths(live)
+    _mkdir(tmp, "rewrite")
+    ilc.recover_live(live)
+    assert os.path.exists(os.path.join(live, "rewrite"))
+
+
+def test_recover_live_require_raises_with_no_copy(tmp_path):
+    live = str(tmp_path / "idx")
+    with pytest.raises(FileNotFoundError):
+        ilc.recover_live(live, require=True)
+    ilc.recover_live(live)                     # tolerant default: no-op
+
+
+def test_clear_then_publish_roundtrip(tmp_path):
+    live = str(tmp_path / "idx")
+    tmp, old = ilc.swap_paths(live)
+    _mkdir(live, "v1")
+    _mkdir(tmp, "stale_rewrite")
+    _mkdir(old, "stale_old")
+    ilc.clear_swap_leftovers(live)
+    assert not os.path.isdir(tmp) and not os.path.isdir(old)
+    _mkdir(tmp, "v2")
+    ilc.publish_swap(live)
+    assert os.path.exists(os.path.join(live, "v2"))
+    assert not os.path.isdir(tmp) and not os.path.isdir(old)
+
+
+def test_serve_cached_gate_and_finish_build(tmp_path):
+    root = str(tmp_path / "root")
+    idx = os.path.join(root, "k4-abc")
+    os.makedirs(idx)
+    assert not ilc.serve_cached(idx, "_OK")        # no marker yet
+    ilc.finish_build(idx, root, marker="_OK")
+    assert os.path.exists(os.path.join(idx, "_OK"))
+    assert ilc.serve_cached(idx, "_OK")            # hit
+    assert not ilc.serve_cached(idx, "_OK", force=True)   # force rebuilds
+
+
+def test_pointer_flip_is_total(tmp_path):
+    ptr = str(tmp_path / "_LATEST")
+    assert ilc.read_pointer(ptr) is None
+    ilc.flip_pointer(ptr, "v0")
+    assert ilc.read_pointer(ptr) == "v0"
+    ilc.flip_pointer(ptr, "v1")
+    assert ilc.read_pointer(ptr) == "v1"
+    assert not os.path.exists(ptr + ".tmp")
+
+
+def test_recover_staging_discards_incomplete(tmp_path):
+    stage = str(tmp_path / "_staging")
+    _mkdir(stage, "_SUCCESS")                  # marker missing
+    calls = []
+    ilc.recover_staging(stage, "_up_to", lambda: calls.append(1))
+    assert not os.path.isdir(stage) and not calls
+
+
+def test_recover_staging_finishes_complete(tmp_path):
+    stage = str(tmp_path / "_staging")
+    _mkdir(stage, "_SUCCESS", "_up_to")
+    calls = []
+    ilc.recover_staging(stage, "_up_to", lambda: calls.append(1))
+    assert calls == [1] and os.path.isdir(stage)   # finish owns cleanup
+
+
+def test_index_tag_matches_r14_format(tmp_path):
+    """Tags must stay byte-identical to the r14 per-module md5[:10]
+    scheme or every cached index on every machine silently misses."""
+    import hashlib
+
+    spec = "/data/sf0.1|16|deadbeef01|c"
+    assert ilc.index_tag(spec) == hashlib.md5(
+        spec.encode()).hexdigest()[:10]

@@ -118,11 +118,10 @@ SELECTION = [
      "(tenant, salt16) then tenant — each fed by a partial "
      "HashAggregate, so the hot key spreads over 16 reducers and only "
      "bucket-sized mergeable partials ride the second shuffle"),
-    ("ann_index_staleness",
-     "IVF rebuild trigger (r15): stored centroids broadcast against the "
-     "union of index rows + appended batch; per-vector argmax then two "
-     "map-side-combining aggregates (epoch-cell, epoch) with K rows of "
-     "state — report-shaped, nothing corpus-sized shuffles"),
+    # ann_index_staleness is EAGER (builds its dedicated index at
+    # construction) so it cannot appear in a plan-only dump; its
+    # Python-free report plan is pinned in
+    # tests/test_operators.py::test_ivf_staleness_flags_drift_and_skew
     ("q8_national_market_share",
      "the largest TPC-H join tree (8 tables, nation twice): every dim "
      "side a BroadcastHashJoin, the selective p_type filter pushed to "
