@@ -40,7 +40,6 @@ All deterministic ⇒ all hash-checked against DuckDB.
 
 from __future__ import annotations
 
-import hashlib
 import math
 import os
 

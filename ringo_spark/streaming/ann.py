@@ -156,8 +156,7 @@ def streaming_vector_ingest_df(spark, sf_dir: str):
         f"{os.path.abspath(sf_dir)}|vecing|{bits}|{VEC_INGEST_SPLITS}|{fp}|inb")
     p = os.path.join(_sink_root(), f"vecing-idx-{tag}")
     sink = os.path.join(_sink_root(), f"vecing-hits-{tag}")
-    done = os.path.join(sink, "_VECING_OK")
-    if not os.path.exists(done):
+    if not _ilc.serve_cached(sink, "_VECING_OK"):
         # first invocation per corpus version runs the full lifecycle:
         # fresh lower-half index (overwrite — the stream-owned index
         # starts clean), then the ordered replay.  Reruns serve the
@@ -171,8 +170,9 @@ def streaming_vector_ingest_df(spark, sf_dir: str):
             lo, hi = half + i * w, min(n, half + (i + 1) * w)
             ingest(sink)(emb.where((F.col("vec_id") >= lo)
                                    & (F.col("vec_id") < hi)), i)
-        open(done, "w").close()
-    _ilc.gc_index_root(_sink_root(), protect=sink)
+        _ilc.finish_build(sink, _sink_root(), marker="_VECING_OK")
+    else:
+        _ilc.gc_index_root(_sink_root(), protect=sink)
     return (spark.read.parquet(sink)
             .select("vec_new", "vec_seen", "cosine")
             .orderBy("vec_new", "vec_seen"))

@@ -1,13 +1,13 @@
 """One-pass re-pin of sub-0.5s extra_pins (VERDICT r14 item 7).
 
-Usage: python tools/repin_bench.py DETAIL1.json DETAIL2.json DETAIL3.json
+Usage: python tools/repin_bench.py DETAIL1.json [DETAIL2.json ...]
 
 Sub-0.5s pins are dominated by scheduler/page-cache jitter — the
 worst-ratio table has repeatedly flagged them as pin noise (r13
 metrics_unpivot, r14 sample_cluster_split_indexed), each costing a
 round of adjudication.  Policy (recorded in BENCH_BASELINE.protocol):
-every extra_pin below 0.5s wall is re-pinned at the MEDIAN of three
-gate-satisfied closing runs' min-of-2 values in ONE pass, so future
+every extra_pin below 0.5s wall is re-pinned at the MEDIAN of the
+round's gate-satisfied closing runs' min-of-2 values in ONE pass, so future
 worst-ratio tables show queries, not pins.  The r01 baseline-comparable
 set (BENCH_BASELINE.queries) is protocol-protected and never touched.
 
@@ -61,7 +61,7 @@ def main(detail_files: list[str]) -> None:
 
     base["protocol"]["r15_subhalf_repin"] = (
         "VERDICT r14 item 7: every extra_pin below 0.5s wall re-pinned "
-        "at the MEDIAN of three gate-satisfied r15 closing runs "
+        "at the MEDIAN of five gate-satisfied r15 closing runs "
         "(min-of-2 each) in one pass — sub-0.5s walls are jitter-"
         "dominated and their stale pins kept topping the worst-ratio "
         "table without any code change (r13/r14 adjudications). "
@@ -74,4 +74,4 @@ def main(detail_files: list[str]) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:4])
+    main(sys.argv[1:])
