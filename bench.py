@@ -181,9 +181,10 @@ HEADLINE = [
     "streaming_cms_snapshot",
     "streaming_weighted_reservoir",
     "streaming_vector_ingest",
-    # round-15 additions: the IVF rebuild trigger and the salted
-    # hot-tenant rollup twin
+    # round-15 additions: the IVF rebuild trigger, its LSH width twin,
+    # and the salted hot-tenant rollup
     "ann_index_staleness",
+    "lsh_width_staleness",
     "tenant_rollup_skew_salted",
 ]
 
@@ -198,6 +199,7 @@ COMPACT_EXTRA = [
     # vector ingest, the boundary-fixed native sessionizer, and the
     # three BPE rows now building through the gated trainer
     "ann_index_staleness",
+    "lsh_width_staleness",
     "tenant_rollup_skew_salted",
     "streaming_vector_ingest",
     "sessionize_native",

@@ -46,6 +46,7 @@ from .similarity import (
     ANN_IVF_PQ_SQL, ANN_PQ_RECALL_BOUNDS_SQL, ann_ivf_pq_df,
     ann_pq_recall_bounds_df,
     ANN_INDEX_STALENESS_SQL, ann_index_staleness_df,
+    LSH_WIDTH_STALENESS_SQL, lsh_width_staleness_df,
 )
 from ..streaming.ann import (
     STREAMING_VECTOR_INGEST_SQL, streaming_vector_ingest_df,
@@ -106,6 +107,7 @@ DRIVER_WINDOW: list[str] = [
     #    (VERDICT r14 item 4) and the salted hot-tenant rollup twin
     #    (item 5) --
     "ann_index_staleness",
+    "lsh_width_staleness",
     "tenant_rollup_skew_salted",
     # -- code/oracle changed in r15, kept driver-visible (the r05
     #    precedent): streaming_vector_ingest now emits in-batch
@@ -150,7 +152,6 @@ DRIVER_WINDOW: list[str] = [
     "doc_logprob",
     "dedup_minhash_lsh_capped",
     "dedup_clusters_indexed",
-    "dedup_minhash_lsh_indexed",
     # -- core schema-level pipeline (driver-green r02-r04 + r07; pinned) --
     "dim_event_type",
     "fact_events_by_minute",
@@ -238,6 +239,7 @@ DISPLACED: list[str] = [
     "text_repetition",
     "multimodal_phash",
     "ann_cosine_topk_arrow_bounds",
+    "dedup_minhash_lsh_indexed",
     "q18_large_volume_customer",
     "multimodal_phash_dups",
     "q7_volume_shipping",
@@ -434,6 +436,12 @@ _ANN_QUERIES: dict[str, tuple] = {
     # half-corpus index); same-distribution halves pin stale = false
     "ann_index_staleness": (ann_index_staleness_df,
                             ANN_INDEX_STALENESS_SQL),
+    # the LSH twin of the rebuild trigger (r15): built-width vs the
+    # auto-bits gate + bucket occupancy off the shared index; stale
+    # pinned false at auto width, the narrow-build flip and the
+    # rebucket-clears lifecycle pytest-pinned
+    "lsh_width_staleness": (lsh_width_staleness_df,
+                            LSH_WIDTH_STALENESS_SQL),
 }
 
 # batch-facing driver rows for the streaming state machinery (r14,
@@ -592,6 +600,8 @@ EAGER_QUERIES: frozenset[str] = frozenset({
     # builds its dedicated half-corpus index + collects the stored
     # centroids at construction (r15)
     "ann_index_staleness",
+    # builds/serves the shared LSH index at construction (r15)
+    "lsh_width_staleness",
 })
 
 

@@ -1531,6 +1531,72 @@ def append_to_lsh_index(spark: SparkSession, index_path: str,
     _touch(os.path.join(index_path, "_SUCCESS"))
 
 
+def lsh_width_report(spark: SparkSession, index_path: str,
+                     built_bits: int, auto_bits: int) -> DataFrame:
+    """One-row width-staleness report for a persisted LSH index — the
+    LSH twin of :func:`ivf_staleness_report` (r15): the auto-bits gate
+    (2^bits ≈ N / bucket_target) says what width TODAY'S corpus wants;
+    an index built when the corpus was smaller keeps serving at its
+    build width, and every bucket quietly grows past the target —
+    probe cost per query inflates linearly with no error anywhere.
+    ``stale = built_bits < auto_bits`` is the rebucket trigger, and
+    :func:`rebucket_lsh_index` is the action (map-only over the index's
+    own stored vectors, one salted shuffle — never a corpus re-read).
+    Occupancy stats (bucket count, mean/max rows per bucket) quantify
+    the inflation.  Cost: one index scan, one map-side-combined
+    aggregate — report-shaped."""
+    from .deletion import index_rows
+
+    per = (index_rows(spark, index_path, id_col="vec_id")
+           .groupBy("bucket").agg(F.count(F.lit(1)).alias("c")))
+    return (per.agg(F.sum("c").cast("long").alias("n_vectors"),
+                    F.count(F.lit(1)).cast("long").alias("n_buckets"),
+                    F.max("c").cast("long").alias("max_bucket_rows"))
+            .select("n_vectors",
+                    F.lit(int(built_bits)).cast("int").alias("built_bits"),
+                    F.lit(int(auto_bits)).cast("int").alias("auto_bits"),
+                    "n_buckets", "max_bucket_rows",
+                    F.round(F.col("n_vectors") * 1.0
+                            / F.col("n_buckets"), 6)
+                    .alias("mean_bucket_rows"),
+                    (F.lit(int(built_bits)) < F.lit(int(auto_bits)))
+                    .alias("stale")))
+
+
+def lsh_width_staleness_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered driver row for the LSH width trigger: the shared
+    auto-width index serves the report, so built == auto and the
+    pinned verdict is ``stale = false`` with the occupancy stats under
+    the driver hash (mean rows/bucket near the family's bucket
+    target).  The falsifiability test builds a NARROW index, pins the
+    flag flipping, rebuckets at the gate width, and pins it clearing —
+    the full detect -> rebucket -> clear lifecycle."""
+    bits = _auto_ann_bits(spark, sf_dir)
+    p = build_lsh_index(spark, sf_dir, bits=bits)
+    return lsh_width_report(spark, p, bits, bits)
+
+
+def _lsh_width_staleness_sql() -> str:
+    nb = sql_auto_bits_cte(LSH_BITS, ANN_BUCKET_TARGET_ROWS)
+    return f"""
+WITH nb AS ({nb}),
+per AS (
+  SELECT {sql_bucket_dyn()} AS bucket, count(*) AS c
+  FROM embeddings, nb GROUP BY 1)
+SELECT CAST(sum(c) AS BIGINT)            AS n_vectors,
+       CAST(nb.bits AS INT)              AS built_bits,
+       CAST(nb.bits AS INT)              AS auto_bits,
+       CAST(count(*) AS BIGINT)          AS n_buckets,
+       CAST(max(c) AS BIGINT)            AS max_bucket_rows,
+       round(sum(c) * 1.0 / count(*), 6) AS mean_bucket_rows,
+       CAST(FALSE AS BOOLEAN)            AS stale
+FROM per, nb GROUP BY nb.bits
+"""
+
+
+LSH_WIDTH_STALENESS_SQL = _lsh_width_staleness_sql()
+
+
 def rebucket_lsh_index(spark: SparkSession, index_path: str, new_bits: int,
                        out_path: str | None = None) -> str:
     """Rewrite a persisted LSH index at a new bucket width — the

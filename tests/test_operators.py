@@ -849,6 +849,38 @@ def test_ivf_staleness_flags_drift_and_skew(spark, tmp_path):
     assert rep2.qerr_ratio <= IVF_STALE_QERR_RATIO
 
 
+def test_lsh_width_staleness_detect_rebucket_clear(spark, tmp_path):
+    """The LSH width trigger's full lifecycle (r15, the LSH twin of the
+    IVF staleness falsifiability pin): the registered row at the auto
+    width reports stale=false; an index BUILT NARROW (the corpus
+    outgrew it) flips the flag with visibly inflated bucket occupancy;
+    rebucketing at the gate width clears it and deflates the buckets."""
+    from ringo_spark.operators.similarity import (
+        _auto_ann_bits, build_lsh_index, lsh_width_report,
+        lsh_width_staleness_df, rebucket_lsh_index,
+    )
+
+    row = lsh_width_staleness_df(spark, SF).first()
+    assert row.stale is False and row.built_bits == row.auto_bits
+    assert row.n_vectors > 0 and row.n_buckets > 1
+
+    auto = _auto_ann_bits(spark, SF)
+    assert auto >= 2
+    narrow = build_lsh_index(spark, SF, bits=auto - 2,
+                             index_path=str(tmp_path / "narrow"))
+    rep = lsh_width_report(spark, narrow, auto - 2, auto).first()
+    assert rep.stale is True
+    assert rep.n_buckets < row.n_buckets          # coarser partitioning
+    assert rep.mean_bucket_rows > row.mean_bucket_rows
+
+    fixed = rebucket_lsh_index(spark, narrow, auto)
+    rep2 = lsh_width_report(spark, fixed, auto, auto).first()
+    assert rep2.stale is False
+    assert rep2.n_vectors == rep.n_vectors        # nothing lost
+    assert rep2.max_bucket_rows <= rep.max_bucket_rows
+    assert rep2.n_buckets > rep.n_buckets
+
+
 def test_lsh_index_append_equals_full_rebuild(spark, tmp_path):
     """LSH lifecycle: bucket assignment is stateless, so corpus index +
     appended batch is file-for-file equivalent to a full rebuild."""
