@@ -235,6 +235,87 @@ def skew_scenario():
           f"({bal_wall:.2f}s -> {skew_wall:.2f}s)")
 
 
+def saltagg_scenario():
+    """Salted two-phase aggregation probe (r15, SCALE.md): WHERE the
+    salt actually pays.  Map-side partial aggregation already absorbs a
+    hot grouping key for sum/count/min/max (the skew lane's finding),
+    but exact count_distinct cannot map-side-collapse — every distinct
+    value of the hot key must reach ONE reducer, whose hash-set state
+    and runtime scale with the hot key's share of the corpus.  The
+    salted form from functions/skew.py groups phase 1 by
+    (key, hash(distinct_col) % 16): each distinct value lands in
+    exactly one salt bucket, so the per-bucket distinct counts SUM
+    exactly, and the hot key's state spreads over 16 reducers.
+
+    Corpus: 16x-replicated events (distinct event_ids) with one tenant
+    owning ~50% of rows; count_distinct(event_id) per tenant — the hot
+    tenant's reducer must hold ~800k distinct values in the plain
+    plan.  Reported: equality, wall clocks, and per-stage task-time
+    spread for both plans."""
+    from ringo_spark.catalog import get_spark
+    from ringo_spark.functions.skew import salted_aggregate
+
+    spark = get_spark("saltagg-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    k = 16
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    n_ev = ev.count()
+    hot = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    big = _replicate([
+        ev.select((F.col("event_id") + c * n_ev).alias("event_id"),
+                  *[col for col in ev.columns if col != "event_id"])
+        for c in range(k)])
+    skew_dir = os.path.join(SCRATCH, "skew")
+    (big.withColumn("user_id",
+                    F.when(F.col("event_id") % 2 == 0, F.lit(hot))
+                    .otherwise(F.col("user_id")))
+     .repartition(32).write.mode("overwrite")
+     .parquet(os.path.join(skew_dir, "events.parquet")))
+    df = (spark.read.parquet(os.path.join(skew_dir, "events.parquet"))
+          .select(F.coalesce(F.col("user_id"), F.lit(-1)).alias("tenant"),
+                  "event_id"))
+    n = df.count()
+    n_hot = df.where(F.col("tenant") == hot).count()
+    print(f"corpus: {n} rows, hot tenant {hot} owns {n_hot} "
+          f"({n_hot/n:.0%}) — all event_ids distinct")
+
+    def plain():
+        return df.groupBy("tenant").agg(
+            F.count_distinct("event_id").alias("n_distinct"))
+
+    def salted():
+        return salted_aggregate(
+            df, ["tenant"],
+            {"n_distinct": F.count_distinct("event_id")},
+            salt_col="event_id", buckets=16)
+
+    a = {(r.tenant, r.n_distinct) for r in plain().collect()}
+    b = {(r.tenant, r.n_distinct) for r in salted().collect()}
+    assert a == b, "salted distinct must be EXACT (value-hash salt)"
+    print(f"equality: {len(a)} tenants, hot distinct = "
+          f"{dict(a)[hot]} — identical under both plans")
+
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+    for label, fn in (("plain count_distinct", plain),
+                      ("salted 16-bucket", salted)):
+        fn().write.format("noop").mode("overwrite").save()  # plan/JIT warm
+        s0 = _max_stage_id(spark)
+        t0 = time.time()
+        fn().write.format("noop").mode("overwrite").save()
+        wall = time.time() - t0
+        print(f"\n{label}: wall {wall:.2f}s")
+        print("| stage | max task | median task | spread | tasks |")
+        print("|---|---|---|---|---|")
+        for sid, mx, med, cnt in sorted(_task_time_spread(spark, s0)):
+            if mx < 20:
+                continue                     # scheduler noise
+            print(f"| {sid} | {mx}ms | {med:.0f}ms | "
+                  f"{mx / max(med, 1):.1f}x | {cnt} |")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
 def skewjoin_scenario():
     """Hot-FK probe for the parent-fact join (SCALE.md §3 claim 3): half
     of all lineitem rows point at ONE order key, so the sort-merge join's
@@ -1086,6 +1167,8 @@ def zorder_scenario():
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "skew":
         skew_scenario()
+    elif len(sys.argv) > 1 and sys.argv[1] == "saltagg":
+        saltagg_scenario()
     elif len(sys.argv) > 1 and sys.argv[1] == "skewjoin":
         skewjoin_scenario()
     elif len(sys.argv) > 1 and sys.argv[1] == "deep":
