@@ -79,3 +79,25 @@ def test_salted_tenant_rollup_equals_plain_rollup(spark):
     assert got == {tuple(r) for r in plain.collect()} and got
     counts = sorted(n for _, n, *_ in got)
     assert counts[-1] > sum(counts) / 2   # hot tenant: majority of rows
+
+
+def test_salted_count_distinct_is_exact(spark):
+    """Value-hash salting keeps exact-distinct EXACT (the saltagg probe
+    finding, pinned): salting phase 1 by hash(distinct_col) puts each
+    distinct value in exactly one bucket, so the per-bucket distinct
+    counts SUM to the true distinct count — unlike a row-salt, which
+    would double-count values straddling buckets."""
+    from pyspark.sql import functions as F
+
+    from ringo_spark.functions.skew import salted_aggregate
+
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .select(F.coalesce(F.col("user_id"), F.lit(-1)).alias("tenant"),
+                  "event_type"))   # few distinct values, heavy repeats
+    plain = {(r.tenant, r.n) for r in
+             ev.groupBy("tenant")
+             .agg(F.count_distinct("event_type").alias("n")).collect()}
+    salted = {(r.tenant, r.n) for r in salted_aggregate(
+        ev, ["tenant"], {"n": F.count_distinct("event_type")},
+        salt_col="event_type", buckets=4).collect()}
+    assert salted == plain and plain
