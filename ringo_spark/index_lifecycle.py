@@ -171,17 +171,25 @@ def recover_live(live: str, *, require: bool = False) -> None:
     leftovers: if ``live`` is absent, a prior run crashed between its
     two renames — restore ``__old`` (the original, intact; any
     tombstone log rides inside it so a redo still sees the deletes).
-    If ``__old`` is somehow gone too, the completed rewrite in
+    If ``__old`` is somehow gone too, a COMPLETE rewrite in
     ``__compact`` is the only copy: promote it (a redo over it is a
-    no-op second rewrite).  ``require=True`` raises when neither
-    recovery copy exists; False tolerates a live path that never
-    existed (first build)."""
+    no-op second rewrite).  Completeness is the Spark ``_SUCCESS``
+    marker INSIDE ``__compact`` — promoting a partial rewrite would
+    silently accept data loss as the live index (ADVICE r15), so an
+    incomplete sibling raises instead (loud, like the missing-path
+    read error this branch replaced).  ``require=True`` raises when
+    neither recovery copy exists; False tolerates a live path that
+    never existed (first build)."""
     tmp, old = swap_paths(live)
     if os.path.exists(live):
         return
     if os.path.isdir(old):
         os.rename(old, live)
     elif os.path.isdir(tmp):
+        if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            raise FileNotFoundError(
+                f"index path missing and the only recovery copy is an "
+                f"INCOMPLETE rewrite (no _SUCCESS): {tmp}")
         os.rename(tmp, live)
     elif require:
         raise FileNotFoundError(

@@ -137,6 +137,57 @@ def _parquet_meta_rows(path: str) -> int:
     return total
 
 
+def _data_meta_rows(path: str) -> int:
+    """Footer row count of an index's DATA files only: underscore
+    sidecars (``_centroids``, ``_codebooks``, ``_stats``,
+    ``_tombstones``) are metadata Spark's data discovery skips, so the
+    sidecar-validity check (does the stats log cover every data row?)
+    must skip them too — :func:`_parquet_meta_rows` counts everything
+    and would double-count.  Driver-side footer walk, no Spark job;
+    cached per path with the same stat validator as
+    :func:`_parquet_meta_rows` (appends bump the root ``_SUCCESS``
+    mtime, builds rewrite it — both flip the validator)."""
+    import pyarrow.parquet as pq
+
+    key = ("data", os.path.abspath(path))
+    validator = _meta_rows_validator(path)
+    hit = _META_ROWS_CACHE.get(key)
+    if hit is not None and hit[0] == validator:
+        return hit[1]
+    total = 0
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                total += pq.ParquetFile(
+                    os.path.join(root, f)).metadata.num_rows
+    _META_ROWS_CACHE[key] = (validator, total)
+    return total
+
+
+def _read_stats_log(stats_path: str):
+    """Driver-side exact read of a tiny stats sidecar log (K-ish rows
+    per build/append epoch — index metadata, never data-sized): a
+    pyarrow Table, or None when the sidecar is absent, incomplete (no
+    ``_SUCCESS`` — a torn write), or unreadable (a crash mid-append can
+    leave a partial part file; the caller falls back to rescanning the
+    index, which is always correct)."""
+    if not os.path.exists(os.path.join(stats_path, "_SUCCESS")):
+        return None
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tables = []
+    try:
+        for root, _dirs, files in os.walk(stats_path):
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    tables.append(pq.read_table(os.path.join(root, f)))
+    except Exception:
+        return None
+    return pa.concat_tables(tables) if tables else None
+
+
 def corpus_rows_estimate(df: DataFrame, path: str | None = None) -> int | None:
     """Free (no-job) corpus row count: Catalyst's optimizer rowCount when
     defined (CBO / ANALYZE TABLE stats — the real-cluster source), else
@@ -648,6 +699,23 @@ def _with_cell(df: DataFrame, cent_rows, out: str = "cell") -> DataFrame:
             .drop(norm))
 
 
+def _serve_cached_sidecars(index_path: str, sidecars: list[str],
+                           force: bool) -> bool:
+    """Cache gate for indexes whose build writes sidecar sub-dirs
+    (``_centroids``, ``_codebooks``) AFTER the main parquet write lands
+    its root ``_SUCCESS`` (ADVICE r15): the root marker alone is NOT
+    completeness here — a crash between the main write and a sidecar
+    write would otherwise serve a cached index whose append/staleness
+    paths hard-depend on the missing sidecar.  Complete iff the root
+    marker AND every sidecar's own ``_SUCCESS`` exist; anything less
+    misses the gate and the caller rebuilds (mode("overwrite") makes
+    the redo safe)."""
+    if not _ilc.serve_cached(index_path, "_SUCCESS", force):
+        return False
+    return all(os.path.exists(os.path.join(index_path, s, "_SUCCESS"))
+               for s in sidecars)
+
+
 def build_ivf_index(spark: SparkSession, sf_dir: str,
                     index_path: str | None = None, k: int | None = None,
                     force: bool = False,
@@ -680,7 +748,8 @@ def build_ivf_index(spark: SparkSession, sf_dir: str,
         tag = _ilc.index_tag(
             f"{os.path.abspath(sf_dir)}|{k}|{_source_fingerprint(sf_dir)}|c")
         index_path = os.path.join(IVF_INDEX_ROOT, f"k{k}-{tag}")
-    if _ilc.serve_cached(index_path, "_SUCCESS", force):
+    if _serve_cached_sidecars(index_path, ["_centroids"], force):
+        _backfill_ivf_stats(spark, index_path)
         return index_path
     if emb is None:
         emb = _emb(spark, sf_dir)
@@ -696,6 +765,11 @@ def build_ivf_index(spark: SparkSession, sf_dir: str,
                             for c, v in cent_rows], "cid int, cvec array<double>")
      .coalesce(1).write.mode("overwrite")
      .parquet(os.path.join(index_path, "_centroids")))
+    # build-time per-cell stats sidecar (K rows): lets the staleness
+    # report price the stored side as a metadata read instead of a full
+    # re-score (r16).  Lands last — a crash here leaves a sidecar-less
+    # index the report rescans and the next build-gate miss rebuilds.
+    _write_ivf_stats(index_path, emb, cent_rows, "overwrite")
     _ilc.finish_build(index_path, IVF_INDEX_ROOT)
     return index_path
 
@@ -712,10 +786,21 @@ def append_to_ivf_index(spark: SparkSession, index_path: str,
     explicit."""
     cent = spark.read.parquet(os.path.join(index_path, "_centroids"))
     cent_rows = [(r.cid, r.cvec) for r in cent.collect()]
+    # coerce the batch vector type to the stored files' element type: a
+    # float/double mix across parquet files passes the write silently
+    # and then fails every vectorized read of the index (schema merge
+    # picks one physical type) — fail-safe at admit time instead
+    stored_t = spark.read.parquet(index_path).schema["embedding"].dataType
+    batch_emb = batch_emb.withColumn(
+        "embedding", F.col("embedding").cast(stored_t))
     (_with_cell(batch_emb, cent_rows)
      .repartition(F.col("cell"),
                   F.pmod(F.col("vec_id"), F.lit(BUILD_WRITERS_PER_CELL)))
      .write.mode("append").partitionBy("cell").parquet(index_path))
+    # batch epoch appended to the stats sidecar AFTER the data lands —
+    # a crash between the two undercounts the sidecar, which the
+    # report's row-count validity check detects (falls back to rescan)
+    _write_ivf_stats(index_path, batch_emb, cent_rows, "append")
     # keep the live index out of gc_index_root's stale set (LRU by mtime)
     _touch(os.path.join(index_path, "_SUCCESS"))
 
@@ -797,21 +882,104 @@ IVF_STALE_QERR_RATIO = 1.25
 IVF_STALE_SKEW = 4.0
 
 
-def _epoch_cell_stats(labeled: DataFrame):
-    """Per-epoch (n_vecs, exact-integer qerr sum, hottest-cell count)
-    from rows labeled (epoch, cell, cos6).  The per-vector quantization
-    error is fixed to 6dp BEFORE summing (micro-units, exact bigint
-    arithmetic) so the mean is order-independent — the doc_logprob
-    exact-decimal-sum rule; a plain avg() over doubles would be
-    shuffle-order-dependent and unhashable."""
-    qerr_micro = F.round((F.lit(1.0) - F.col("cos6")) * 1000000)         .cast("long")
-    per_cell = (labeled.groupBy("epoch", "cell")
-                .agg(F.count(F.lit(1)).alias("c"),
-                     F.sum(qerr_micro).alias("qs")))
-    return (per_cell.groupBy("epoch")
-            .agg(F.sum("c").alias("n_vecs"),
-                 F.sum("qs").alias("qerr_sum"),
-                 F.max("c").alias("max_cell")))
+IVF_STATS = "_stats"
+
+
+def _label_cells(df: DataFrame, cent_rows) -> DataFrame:
+    """Per-vector (cell, cos6) assignment against a stored centroid set
+    — the crossJoin argmax the staleness machinery hashes.  Shared by
+    the report's rescan path AND the build/append-time sidecar writes so
+    the two can never disagree on a single cell or rounded score.
+    Tie-break (max struct of (s, cid) => higher cid) matches
+    ``_with_cell``'s greatest-over-structs exactly."""
+    spark = df.sparkSession
+    sc = F.round(cosine(F.col("embedding"), F.col("cvec")), 6)
+    return (df.crossJoin(F.broadcast(spark.createDataFrame(
+                [(int(c), [float(x) for x in v]) for c, v in cent_rows],
+                "cid int, cvec array<double>")))
+            .groupBy("vec_id")
+            .agg(F.max(F.struct(sc.alias("s"),
+                                F.col("cid").alias("cid"))).alias("b"))
+            .select(F.col("b.cid").alias("cell"),
+                    F.col("b.s").alias("cos6")))
+
+
+def _cell_stats(labeled: DataFrame) -> DataFrame:
+    """Per-cell (cell, c, qs) from (cell, cos6) rows.  The per-vector
+    quantization error is fixed to 6dp micro-units BEFORE summing
+    (exact bigint arithmetic) so every downstream mean is
+    order-independent — the doc_logprob exact-decimal-sum rule; a plain
+    avg() over doubles would be shuffle-order-dependent and unhashable.
+    This is also the sidecar's on-disk schema: per-cell longs merge
+    across build/append epochs by plain addition, exactly."""
+    qerr_micro = F.round((F.lit(1.0) - F.col("cos6")) * 1000000).cast("long")
+    return (labeled.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("c"),
+                 F.sum(qerr_micro).alias("qs")))
+
+
+def _write_ivf_stats(index_path: str, emb: DataFrame, cent_rows,
+                     mode: str) -> None:
+    """Land the per-cell stats of one epoch's rows into the index's
+    ``_stats`` sidecar log (VERDICT r15 item 5): K-ish rows per epoch,
+    so the staleness report can read two tiny sidecars instead of
+    re-scoring the whole stored index per report.  ``mode="overwrite"``
+    at build, ``"append"`` per admitted batch — always AFTER the data
+    write, so a crash between the two leaves a sidecar that undercounts
+    and the report's row-count validity check falls back to the rescan
+    (correct, just slower) instead of trusting it."""
+    (_cell_stats(_label_cells(emb.select("vec_id", "embedding"), cent_rows))
+     .coalesce(1).write.mode(mode)
+     .parquet(os.path.join(index_path, IVF_STATS)))
+
+
+def _backfill_ivf_stats(spark: SparkSession, index_path: str) -> None:
+    """One-time sidecar upgrade for cached indexes built before the
+    stats sidecar existed (r16): re-score the stored rows with the
+    stored centroids ONCE and land the ``_stats`` log, so every later
+    staleness report is a metadata read.  Computed over the UNFILTERED
+    data files (plain read, not the tombstone-aware reader) — the
+    sidecar's invariant is "covers the data files exactly"; the
+    no-tombstones gate in :func:`_ivf_stored_cell_stats` handles
+    deletes.  Concurrent backfills converge (same content, overwrite);
+    a torn read during one falls back to the rescan."""
+    if os.path.exists(os.path.join(index_path, IVF_STATS, "_SUCCESS")):
+        return
+    cent = spark.read.parquet(os.path.join(index_path, "_centroids"))
+    cent_rows = [(r.cid, r.cvec) for r in cent.collect()]
+    _write_ivf_stats(index_path, spark.read.parquet(index_path),
+                     cent_rows, "overwrite")
+
+
+def _ivf_stored_cell_stats(spark: SparkSession, index_path: str,
+                           cent_rows) -> DataFrame:
+    """Per-cell (cell, c, qs) of an index's stored rows — from the
+    ``_stats`` sidecar when it provably covers the data (complete
+    marker, no tombstone log, epoch-log total == data-file footer row
+    count), else a full rescan with the stored centroids (pre-sidecar
+    dirs, tombstoned indexes, torn appends).  The sidecar path is pure
+    driver-side metadata: a K-row pyarrow read + exact integer sums,
+    no Spark job over the index."""
+    from .deletion import TOMBSTONES, index_rows
+
+    stats_path = os.path.join(index_path, IVF_STATS)
+    if not os.path.isdir(os.path.join(index_path, TOMBSTONES)):
+        tbl = _read_stats_log(stats_path)
+        if tbl is not None:
+            per: dict[int, list[int]] = {}
+            for cell, c, qs in zip(tbl.column("cell").to_pylist(),
+                                   tbl.column("c").to_pylist(),
+                                   tbl.column("qs").to_pylist()):
+                agg = per.setdefault(int(cell), [0, 0])
+                agg[0] += int(c)
+                agg[1] += int(qs)
+            if sum(v[0] for v in per.values()) == _data_meta_rows(index_path):
+                return spark.createDataFrame(
+                    [(cell, v[0], v[1]) for cell, v in sorted(per.items())],
+                    "cell int, c long, qs long")
+    idx = (index_rows(spark, index_path, id_col="vec_id")
+           .select("vec_id", "embedding"))
+    return _cell_stats(_label_cells(idx, cent_rows))
 
 
 def ivf_staleness_report(spark: SparkSession, index_path: str,
@@ -821,33 +989,21 @@ def ivf_staleness_report(spark: SparkSession, index_path: str,
     (exactly what :func:`append_to_ivf_index` would do), and its mean
     quantization error + hottest-cell load factor are compared against
     the same stats over the index's existing rows (the build-time
-    ladder).  Cost: one batch-sized map + one index scan (both
-    map-side-combined aggregates — K rows of state per epoch); nothing
-    corpus-sized shuffles.  ``stale`` uses the ROUNDED ratios, so the
-    flag is bit-stable across engines."""
-    from .deletion import index_rows
-
+    ladder).  Cost: one batch-sized map + (since r16) a K-row sidecar
+    read for the stored side — the report no longer re-scores the
+    stored index unless the sidecar can't vouch for it
+    (:func:`_ivf_stored_cell_stats`); nothing corpus-sized shuffles
+    either way.  ``stale`` uses the ROUNDED ratios, so the flag is
+    bit-stable across engines."""
     cent = spark.read.parquet(os.path.join(index_path, "_centroids"))
     cent_rows = [(r.cid, r.cvec) for r in cent.collect()]
     k = len(cent_rows)
-    idx = (index_rows(spark, index_path, id_col="vec_id")
-           .select("vec_id", "embedding"))
-    both = (idx.withColumn("epoch", F.lit("build"))
-            .unionByName(batch_emb.select("vec_id", "embedding")
-                         .withColumn("epoch", F.lit("append"))))
-    sc = F.round(cosine(F.col("embedding"), F.col("cvec")), 6)
-    labeled = (both.crossJoin(F.broadcast(
-        spark.createDataFrame(
-            [(int(c), [float(x) for x in v]) for c, v in cent_rows],
-            "cid int, cvec array<double>")))
-        .groupBy("vec_id", "epoch")
-        .agg(F.max(F.struct(sc.alias("s"),
-                            F.col("cid").alias("cid"))).alias("b"))
-        .select("epoch", F.col("b.cid").alias("cell"),
-                F.col("b.s").alias("cos6")))
-    stats = _epoch_cell_stats(labeled)
-    b = stats.where(F.col("epoch") == "build").alias("b")
-    a = stats.where(F.col("epoch") == "append").alias("a")
+    totals = [F.sum("c").alias("n_vecs"), F.sum("qs").alias("qerr_sum"),
+              F.max("c").alias("max_cell")]
+    b = _ivf_stored_cell_stats(spark, index_path, cent_rows) \
+        .agg(*totals).alias("b")
+    a = _cell_stats(_label_cells(batch_emb.select("vec_id", "embedding"),
+                                 cent_rows)).agg(*totals).alias("a")
     qerr = lambda side: F.col(f"{side}.qerr_sum") * 1.0         / F.col(f"{side}.n_vecs")  # noqa: E731
     ratio = F.round(qerr("a") / qerr("b"), 6)
     skew_a = F.round(F.col("a.max_cell") * F.lit(k) * 1.0
@@ -863,6 +1019,95 @@ def ivf_staleness_report(spark: SparkSession, index_path: str,
                     skew_a.alias("skew_append"),
                     ((ratio > IVF_STALE_QERR_RATIO)
                      | (skew_a > IVF_STALE_SKEW)).alias("stale")))
+
+
+def retrain_ivf_index(spark: SparkSession, index_path: str,
+                      k: int | None = None,
+                      iters: int | None = None) -> str:
+    """The remediation half of the IVF staleness lifecycle (VERDICT r15
+    item 3 — the twin of :func:`rebucket_lsh_index`): when
+    :func:`ivf_staleness_report` flags drift, re-train the centroids
+    over the index's OWN stored rows — which include every appended
+    epoch, and load tombstone-FILTERED, making a retrain a natural
+    compaction point — then rewrite the index IN PLACE through the
+    kernel's crash-safe swap (full replacement built as a ``__compact``
+    sibling, two renames through ``__old``).  Probers keep their path;
+    the ``_centroids``/``_stats`` sidecars are rebuilt inside the
+    replacement, so the next report measures the retrained geometry.
+
+    Seeding STRIDES the stored id range (every ~n/k-th vec_id) instead
+    of the fresh build's first-k rule: appended epochs hold the HIGH
+    ids, and Lloyd cannot allocate a centroid to a region that got no
+    seed — first-k seeding would anchor every seed in the oldest epoch
+    and leave the drifted arrivals (the reason the retrain fired)
+    crowded into whichever old cell rejects them least.  Then ``iters``
+    Lloyd rounds (``IVF_KMEANS_ITERS`` default) with the same
+    round(avg, 6) update as :func:`train_ivf_centroids` — per round one
+    map-side-combined per-cell component average, K x dim doubles to
+    the driver, never a corpus collect.  ``k=None`` re-resolves the
+    auto gate at the index's CURRENT row count (the corpus grew — a
+    retrain is exactly when K should be re-sized)."""
+    from ..functions.spread import spread
+    from .deletion import index_rows
+
+    _ilc.recover_live(index_path, require=True)
+    _ilc.clear_swap_leftovers(index_path)
+    if iters is None:
+        iters = IVF_KMEANS_ITERS
+    emb = spread(index_rows(spark, index_path, id_col="vec_id")
+                 .select("vec_id", "embedding")).cache()
+    try:
+        n = emb.count()
+        if k is None:
+            k = auto_ivf_k(spark, n)
+        # strided seeds (see docstring): a deterministic HASH-modulo
+        # filter + a k-row limit — a tiny sort of ~k rows, never a
+        # global row_number.  Hashing (not ``vec_id % stride``) matters:
+        # a plain id stride aliases with any id-periodic structure in
+        # the data (measured here — a %8-periodic drift injection left
+        # every strided seed in one sub-mode), while a hash stride
+        # samples every epoch and every periodicity uniformly.  A
+        # shortfall (sparse ids, hash variance) tops up
+        # deterministically with the smallest ids.
+        stride = max(1, (n - 1) // k + 1)
+        seed_rows = (emb.where(
+                        F.pmod(F.xxhash64("vec_id"), F.lit(stride)) == 0)
+                     .orderBy("vec_id").limit(k)
+                     .select(F.col("vec_id").alias("cid"),
+                             F.col("embedding").alias("cvec"))
+                     .collect())
+        if len(seed_rows) < k:
+            have = {r.cid for r in seed_rows}
+            seed_rows += [r for r in
+                          (emb.orderBy("vec_id").limit(k)
+                           .select(F.col("vec_id").alias("cid"),
+                                   F.col("embedding").alias("cvec"))
+                           .collect())
+                          if r.cid not in have][:k - len(seed_rows)]
+        cent = [(int(r.cid), [float(x) for x in r.cvec])
+                for r in seed_rows]
+        dim = len(cent[0][1])
+        comp_avgs = [F.round(F.avg(F.col("embedding")[i].cast("double")), 6)
+                     .alias(f"c{i}") for i in range(dim)]
+        for _ in range(iters):
+            rows = (_train_cells(emb, cent)
+                    .groupBy("cell").agg(*comp_avgs).collect())
+            cent = sorted((int(r.cell), [float(r[f"c{i}"])
+                           for i in range(dim)]) for r in rows)
+        tmp, _old = _ilc.swap_paths(index_path)
+        (_with_cell(emb, cent)
+         .repartition(F.col("cell"),
+                      F.pmod(F.col("vec_id"), F.lit(BUILD_WRITERS_PER_CELL)))
+         .write.mode("overwrite").partitionBy("cell").parquet(tmp))
+        (spark.createDataFrame(cent, "cid int, cvec array<double>")
+         .coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(tmp, "_centroids")))
+        _write_ivf_stats(tmp, emb, cent, "overwrite")
+        _ilc.publish_swap(index_path)
+        _touch(os.path.join(index_path, "_SUCCESS"))
+    finally:
+        emb.unpersist()
+    return index_path
 
 
 def ann_index_staleness_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1506,12 +1751,17 @@ def build_lsh_index(spark: SparkSession, sf_dir: str,
             f"{os.path.abspath(sf_dir)}|{bits}|{_source_fingerprint(sf_dir)}")
         index_path = os.path.join(LSH_INDEX_ROOT, f"b{bits}-{tag}")
     if _ilc.serve_cached(index_path, "_SUCCESS", force):
+        _backfill_lsh_stats(spark, index_path)
         return index_path
-    (_emb(spark, sf_dir)
-     .withColumn("bucket", _bucket_expr(F.col("embedding"), bits))
+    bucketed = (_emb(spark, sf_dir)
+                .withColumn("bucket", _bucket_expr(F.col("embedding"), bits)))
+    (bucketed
      .repartition(F.col("bucket"),
                   F.pmod(F.col("vec_id"), F.lit(BUILD_WRITERS_PER_CELL)))
      .write.mode("overwrite").partitionBy("bucket").parquet(index_path))
+    # per-bucket occupancy sidecar (2^bits rows): the width-staleness
+    # report reads this instead of re-scanning the index (r16)
+    _write_lsh_stats(index_path, bucketed, "overwrite")
     _ilc.finish_build(index_path, LSH_INDEX_ROOT)
     return index_path
 
@@ -1523,12 +1773,74 @@ def append_to_lsh_index(spark: SparkSession, index_path: str,
     build — the caller owns that invariant, it's encoded in the index
     tag), so unlike IVF there is no stored state to read: map-only
     assignment, one batch-sized shuffle, ``mode("append")``."""
-    (batch_emb.withColumn("bucket", _bucket_expr(F.col("embedding"), bits))
+    # same admit-time type coercion as append_to_ivf_index: a
+    # float/double mix across index files breaks later vectorized reads
+    stored_t = spark.read.parquet(index_path).schema["embedding"].dataType
+    assigned = (batch_emb
+                .withColumn("embedding", F.col("embedding").cast(stored_t))
+                .withColumn("bucket",
+                            _bucket_expr(F.col("embedding"), bits)))
+    (assigned
      .repartition(F.col("bucket"),
                   F.pmod(F.col("vec_id"), F.lit(BUILD_WRITERS_PER_CELL)))
      .write.mode("append").partitionBy("bucket").parquet(index_path))
+    # batch occupancy appended AFTER the data lands (torn window =>
+    # the report's count check falls back to the rescan)
+    _write_lsh_stats(index_path, assigned, "append")
     # keep the live index out of gc_index_root's stale set (LRU by mtime)
     _touch(os.path.join(index_path, "_SUCCESS"))
+
+
+LSH_STATS = "_stats"
+
+
+def _write_lsh_stats(index_path: str, assigned: DataFrame,
+                     mode: str) -> None:
+    """Land one epoch's per-bucket occupancy into the index's
+    ``_stats`` sidecar log (2^bits-ish rows per epoch — metadata, never
+    data-sized); ``assigned`` carries the epoch's rows with their
+    ``bucket`` column.  Same write-after-data / count-validated
+    discipline as the IVF twin (:func:`_write_ivf_stats`)."""
+    (assigned.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+     .coalesce(1).write.mode(mode)
+     .parquet(os.path.join(index_path, LSH_STATS)))
+
+
+def _backfill_lsh_stats(spark: SparkSession, index_path: str) -> None:
+    """One-time sidecar upgrade for cached LSH indexes built before the
+    stats sidecar existed (r16) — the LSH twin of
+    :func:`_backfill_ivf_stats`: one per-bucket count pass over the
+    unfiltered data files, then every width report is a metadata
+    read."""
+    if os.path.exists(os.path.join(index_path, LSH_STATS, "_SUCCESS")):
+        return
+    _write_lsh_stats(index_path, spark.read.parquet(index_path),
+                     "overwrite")
+
+
+def _lsh_stored_bucket_stats(spark: SparkSession,
+                             index_path: str) -> DataFrame:
+    """Per-bucket (bucket, c) of an index's stored rows — from the
+    ``_stats`` sidecar when it provably covers the data (complete
+    marker, no tombstone log, epoch-log total == data-file footer row
+    count), else a rescan through the tombstone-aware reader.  The
+    sidecar path is a driver-side pyarrow read + exact integer sums —
+    no Spark job over the index."""
+    from .deletion import TOMBSTONES, index_rows
+
+    stats_path = os.path.join(index_path, LSH_STATS)
+    if not os.path.isdir(os.path.join(index_path, TOMBSTONES)):
+        tbl = _read_stats_log(stats_path)
+        if tbl is not None:
+            per: dict[int, int] = {}
+            for b, c in zip(tbl.column("bucket").to_pylist(),
+                            tbl.column("c").to_pylist()):
+                per[int(b)] = per.get(int(b), 0) + int(c)
+            if sum(per.values()) == _data_meta_rows(index_path):
+                return spark.createDataFrame(
+                    sorted(per.items()), "bucket int, c long")
+    return (index_rows(spark, index_path, id_col="vec_id")
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("c")))
 
 
 def lsh_width_report(spark: SparkSession, index_path: str,
@@ -1543,12 +1855,10 @@ def lsh_width_report(spark: SparkSession, index_path: str,
     :func:`rebucket_lsh_index` is the action (map-only over the index's
     own stored vectors, one salted shuffle — never a corpus re-read).
     Occupancy stats (bucket count, mean/max rows per bucket) quantify
-    the inflation.  Cost: one index scan, one map-side-combined
-    aggregate — report-shaped."""
-    from .deletion import index_rows
-
-    per = (index_rows(spark, index_path, id_col="vec_id")
-           .groupBy("bucket").agg(F.count(F.lit(1)).alias("c")))
+    the inflation.  Cost: since r16 a 2^bits-row sidecar read
+    (:func:`_lsh_stored_bucket_stats`) — the index itself is only
+    rescanned when the sidecar can't vouch for it."""
+    per = _lsh_stored_bucket_stats(spark, index_path)
     return (per.agg(F.sum("c").cast("long").alias("n_vectors"),
                     F.count(F.lit(1)).cast("long").alias("n_buckets"),
                     F.max("c").cast("long").alias("max_bucket_rows"))
@@ -1618,12 +1928,15 @@ def rebucket_lsh_index(spark: SparkSession, index_path: str, new_bits: int,
 
     if out_path is None:
         out_path = index_path.rstrip("/") + f"-rb{new_bits}"
-    (index_rows(spark, index_path, id_col="vec_id")
-     .select("vec_id", "embedding")
-     .withColumn("bucket", _bucket_expr(F.col("embedding"), new_bits))
+    rebucketed = (index_rows(spark, index_path, id_col="vec_id")
+                  .select("vec_id", "embedding")
+                  .withColumn("bucket",
+                              _bucket_expr(F.col("embedding"), new_bits)))
+    (rebucketed
      .repartition(F.col("bucket"),
                   F.pmod(F.col("vec_id"), F.lit(BUILD_WRITERS_PER_CELL)))
      .write.mode("overwrite").partitionBy("bucket").parquet(out_path))
+    _write_lsh_stats(out_path, rebucketed, "overwrite")
     _touch(os.path.join(out_path, "_SUCCESS"))
     return out_path
 
@@ -1879,7 +2192,8 @@ def build_pq_index(spark: SparkSession, sf_dir: str,
             f"{os.path.abspath(sf_dir)}|pq|{k}|{PQ_M}|{PQ_K}|{PQ_ITERS}|"
             f"{_source_fingerprint(sf_dir)}|c")
         index_path = os.path.join(IVF_INDEX_ROOT, f"pq{k}-{tag}")
-    if _ilc.serve_cached(index_path, "_SUCCESS", force):
+    if _serve_cached_sidecars(index_path, ["_codebooks", "_centroids"],
+                              force):
         return index_path
     cb = train_pq_codebooks(spark, sf_dir)
     cb_df = spark.createDataFrame(

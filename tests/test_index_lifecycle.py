@@ -43,9 +43,22 @@ def test_recover_live_prefers_old_over_compact(tmp_path):
 def test_recover_live_promotes_compact_when_old_is_gone(tmp_path):
     live = str(tmp_path / "idx")
     tmp, _old = ilc.swap_paths(live)
-    _mkdir(tmp, "rewrite")
+    _mkdir(tmp, "rewrite", "_SUCCESS")
     ilc.recover_live(live)
     assert os.path.exists(os.path.join(live, "rewrite"))
+
+
+def test_recover_live_refuses_incomplete_compact(tmp_path):
+    """ADVICE r15: a __compact sibling without its _SUCCESS is a PARTIAL
+    rewrite — promoting it would silently accept data loss as the live
+    index.  Recovery must fail loud instead."""
+    live = str(tmp_path / "idx")
+    tmp, _old = ilc.swap_paths(live)
+    _mkdir(tmp, "partial_rewrite")             # no _SUCCESS
+    with pytest.raises(FileNotFoundError, match="INCOMPLETE"):
+        ilc.recover_live(live)
+    assert not os.path.exists(live)            # nothing promoted
+    assert os.path.isdir(tmp)                  # evidence preserved
 
 
 def test_recover_live_require_raises_with_no_copy(tmp_path):

@@ -849,6 +849,159 @@ def test_ivf_staleness_flags_drift_and_skew(spark, tmp_path):
     assert rep2.qerr_ratio <= IVF_STALE_QERR_RATIO
 
 
+def test_index_stats_sidecar_matches_rescan_exactly(spark, tmp_path):
+    """The r16 stats sidecars are a pure cost optimization: the
+    staleness/width reports must be CELL-IDENTICAL whether the stored
+    side comes from the sidecar or from a full rescan, and a torn
+    append (data landed, stats write crashed) must be detected by the
+    row-count validity check and fall back to the rescan."""
+    import os
+    import shutil
+
+    from ringo_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = emb.count()
+    half = n // 2
+    p = sim.build_ivf_index(
+        spark, SF, k=sim.auto_ivf_k(spark, half),
+        index_path=str(tmp_path / "idx"),
+        emb=emb.where(F.col("vec_id") < half))
+    batch = emb.where(F.col("vec_id") >= half)
+
+    assert os.path.exists(os.path.join(p, "_stats", "_SUCCESS"))
+    via_sidecar = sim.ivf_staleness_report(spark, p, batch).first()
+    shutil.rmtree(os.path.join(p, "_stats"))
+    via_rescan = sim.ivf_staleness_report(spark, p, batch).first()
+    assert via_sidecar == via_rescan
+
+    # torn append: admit a batch with the stats write crashed away —
+    # the sidecar (restored by backfill below) must NOT be trusted
+    sim._backfill_ivf_stats(spark, p)
+    assert os.path.exists(os.path.join(p, "_stats", "_SUCCESS"))
+    real_write = sim._write_ivf_stats
+    sim._write_ivf_stats = lambda *a, **k: None
+    try:
+        sim.append_to_ivf_index(spark, p, batch)
+    finally:
+        sim._write_ivf_stats = real_write
+    torn = sim.ivf_staleness_report(spark, p, batch).first()
+    shutil.rmtree(os.path.join(p, "_stats"))
+    full_rescan = sim.ivf_staleness_report(spark, p, batch).first()
+    assert torn == full_rescan
+    assert torn.n_build == 2 * half + (n - 2 * half)  # appended rows seen
+
+    # LSH twin: sidecar report == rescan report
+    lp = sim.build_lsh_index(spark, SF, bits=sim.LSH_BITS,
+                             index_path=str(tmp_path / "lsh"))
+    assert os.path.exists(os.path.join(lp, "_stats", "_SUCCESS"))
+    l_sidecar = sim.lsh_width_report(spark, lp, sim.LSH_BITS,
+                                     sim.LSH_BITS).first()
+    shutil.rmtree(os.path.join(lp, "_stats"))
+    l_rescan = sim.lsh_width_report(spark, lp, sim.LSH_BITS,
+                                    sim.LSH_BITS).first()
+    assert l_sidecar == l_rescan
+
+
+def test_ivf_build_gate_requires_sidecars(spark, tmp_path):
+    """ADVICE r15: the cached-serve gate must not accept an index whose
+    ``_centroids`` sub-write crashed away (the root ``_SUCCESS`` lands
+    during the MAIN write, before the sidecars) — the append and
+    staleness paths hard-depend on it.  A missing sidecar must rebuild;
+    a missing stats log alone is backfilled, not rebuilt."""
+    import os
+    import shutil
+
+    from ringo_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    sub = emb.where(F.col("vec_id") < 300)
+    p = str(tmp_path / "idx")
+    sim.build_ivf_index(spark, SF, k=16, index_path=p, emb=sub)
+
+    # crash window: _centroids never landed => the gate misses, rebuild
+    shutil.rmtree(os.path.join(p, "_centroids"))
+    sim.build_ivf_index(spark, SF, k=16, index_path=p, emb=sub)
+    assert os.path.exists(os.path.join(p, "_centroids", "_SUCCESS"))
+
+    # pre-sidecar cache dir: stats missing alone => served + backfilled
+    shutil.rmtree(os.path.join(p, "_stats"))
+    before = os.stat(os.path.join(p, "_centroids", "_SUCCESS")).st_mtime_ns
+    sim.build_ivf_index(spark, SF, k=16, index_path=p, emb=sub)
+    after = os.stat(os.path.join(p, "_centroids", "_SUCCESS")).st_mtime_ns
+    assert before == after                      # no rebuild happened
+    assert os.path.exists(os.path.join(p, "_stats", "_SUCCESS"))
+
+
+def test_ivf_staleness_detect_retrain_clear(spark, tmp_path):
+    """The IVF remediation lifecycle end-to-end (r16, VERDICT r15 item
+    3 — the exact twin of the LSH detect→rebucket→clear pin below): a
+    half-corpus index sees a structurally drifted batch (7 sub-modes
+    around the anti-aligned direction — a multi-domain distribution
+    shift), the report flags it; the batch is admitted, the index is
+    retrained IN PLACE through the kernel's crash-safe swap; re-running
+    the report over the same arrivals goes quiet on BOTH clauses."""
+    import os
+
+    import numpy as np
+
+    from ringo_spark import index_lifecycle as ilc
+    from ringo_spark.operators.similarity import (
+        IVF_STALE_QERR_RATIO, IVF_STALE_SKEW, append_to_ivf_index,
+        auto_ivf_k, build_ivf_index, ivf_staleness_report,
+        retrain_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = emb.count()
+    half = n // 2
+    p = build_ivf_index(
+        spark, SF, k=auto_ivf_k(spark, half),
+        index_path=str(tmp_path / "idx"),
+        emb=emb.where(F.col("vec_id") < half))
+
+    cent = spark.read.parquet(os.path.join(p, "_centroids")).collect()
+    C = np.array([r.cvec for r in cent])
+    v = -(C / np.linalg.norm(C, axis=1, keepdims=True)).mean(axis=0)
+    vhat = v / np.linalg.norm(v)
+    vlit = F.array(*[F.lit(float(x)) for x in vhat])
+    # 7 structured sub-modes (%7 is coprime with any power-of-two id
+    # pattern): anti-aligned core + a one-hot offset per mode + tiny
+    # per-row noise — drifted enough to trip qerr, structured enough
+    # that a retrain can actually partition it
+    mode = F.col("vec_id") % 7
+    drifted = emb.where(F.col("vec_id") >= half).select(
+        "vec_id",
+        F.zip_with(
+            F.zip_with(vlit, F.col("embedding"),
+                       lambda a, b: a + F.lit(0.05) * b.cast("double")),
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda x, i: x + F.when(i == (F.lit(8) + mode), F.lit(0.6))
+                              .otherwise(F.lit(0.0)))
+        .cast("array<float>").alias("embedding"))
+
+    before = ivf_staleness_report(spark, p, drifted).first()
+    assert before.stale is True
+    assert before.qerr_ratio > IVF_STALE_QERR_RATIO
+
+    append_to_ivf_index(spark, p, drifted)
+    out = retrain_ivf_index(spark, p, iters=4)
+    # in-place through the kernel swap: same live path, no leftovers,
+    # rebuilt sidecars complete
+    assert out == p
+    tmp_sib, old_sib = ilc.swap_paths(p)
+    assert not os.path.exists(tmp_sib) and not os.path.exists(old_sib)
+    for sidecar in ("_centroids", "_stats"):
+        assert os.path.exists(os.path.join(p, sidecar, "_SUCCESS"))
+
+    after = ivf_staleness_report(spark, p, drifted).first()
+    assert after.stale is False
+    assert after.qerr_ratio < IVF_STALE_QERR_RATIO
+    assert after.skew_append < IVF_STALE_SKEW
+    # the retrain admitted the batch into the build epoch
+    assert after.n_build == before.n_build + before.n_append
+
+
 def test_lsh_width_staleness_detect_rebucket_clear(spark, tmp_path):
     """The LSH width trigger's full lifecycle (r15, the LSH twin of the
     IVF staleness falsifiability pin): the registered row at the auto

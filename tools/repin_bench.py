@@ -24,7 +24,11 @@ import sys
 
 BASELINE = "BENCH_BASELINE.json"
 SUB_HALF = 0.5
-NEW_PINS = ["ann_index_staleness", "tenant_rollup_skew_salted"]
+# lsh_width_staleness was one of the three r15 operators; its pin first
+# landed via a manual BENCH_BASELINE edit — listed here so a rerun of
+# this tool is self-contained (ADVICE r15)
+NEW_PINS = ["ann_index_staleness", "tenant_rollup_skew_salted",
+            "lsh_width_staleness"]
 CODE_CHANGED = ["streaming_vector_ingest"]   # in-batch pairs + tag bump
 
 
@@ -40,16 +44,20 @@ def main(detail_files: list[str]) -> None:
         vals = [r[name] for r in runs if name in r]
         if not vals:
             continue
-        if old < SUB_HALF:
+        # CODE_CHANGED wins over the sub-half median rule (ADVICE r15):
+        # a changed code path re-pins at the LOOSER of the runs (the r07
+        # honest-pin rule) regardless of how small its prior pin was —
+        # the median branch would understate an honest regression.
+        if name in CODE_CHANGED:
+            new = round(max(vals), 3)      # honest-pin rule
+            repinned[name] = {"old": old, "new": new, "runs": vals,
+                              "reason": "code-changed"}
+            pins[name] = new
+        elif old < SUB_HALF:
             new = round(statistics.median(vals), 3)
             if new != old:
                 repinned[name] = {"old": old, "new": new, "runs": vals}
                 pins[name] = new
-        elif name in CODE_CHANGED:
-            new = round(max(vals), 3)      # honest-pin rule
-            repinned[name] = {"old": old, "new": new, "runs": vals,
-                              "reason": "code-changed r15"}
-            pins[name] = new
         else:
             skipped.append(name)
     added = {}
