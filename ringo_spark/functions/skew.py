@@ -56,13 +56,23 @@ def salted_broadcast_left_join(
     on: list[str],
     buckets: int = 8,
     how: str = "left",
+    medium_hint: str | None = None,
 ) -> DataFrame:
     """Join a skewed big side to a medium side by replicating the medium
     side ``buckets`` times and salting the big side's key — the shuffle
-    spreads each hot key over ``buckets`` partitions."""
+    spreads each hot key over ``buckets`` partitions.
+
+    ``medium_hint``: optional join-strategy hint applied to the replicated
+    medium side (e.g. ``"shuffle_hash"``).  This helper exists for the
+    regime where the medium side EXCEEDS the broadcast gate; at small test
+    scale Spark would still pick a broadcast join (making the salt a
+    no-op), so callers that want the at-scale shuffle shape pinned in the
+    plan pass the hint explicitly rather than mutating session config."""
     salt = (F.abs(F.hash(*[F.col(c) for c in big.columns])) % buckets)
     big_s = big.withColumn("__salt", salt)
     medium_s = medium.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))))
+    if medium_hint:
+        medium_s = medium_s.hint(medium_hint)
     out = big_s.join(medium_s, on=[*on, "__salt"], how=how)
     return out.drop("__salt")

@@ -358,9 +358,72 @@ ORDER BY tenant
 """
 
 
+# --- skewed tenant join, salted twin (r16, VERDICT r15 item 4) ---------------
+#
+# The hot-key failure mode for a *join* (the aggregation twin above is
+# tenant_rollup_skew_salted): the skewed events side joins a medium
+# per-tenant dimension, and the shuffle sends the hot tenant's entire
+# volume (~60% of rows) to ONE reducer partition.  AQE's skew-join
+# split handles the sort-merge case at runtime; the salted shape below
+# is the *static* fix for when the medium side exceeds the broadcast
+# gate and the deployment wants a deterministic plan: the medium side
+# is replicated ``buckets`` ways (an explode over 8 rows per dim row —
+# dim-sized, cheap) and the big side's shuffle key becomes
+# (tenant, salt8), spreading the hot key over 8 reducers.  At bench SF
+# customer still fits under the session broadcast gate, so the query
+# passes an explicit shuffle_hash hint to pin the at-scale shape
+# (tests/test_plans.py pins ShuffledHashJoin + __salt in the join key).
+# Results are pinned cell-equal to the plain join by the oracle.
+
+TENANT_JOIN_SALT_BUCKETS = 8
+
+
+def events_skew_salted_join_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.skew import salted_broadcast_left_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    uid = F.coalesce(F.col("user_id"), F.lit(-1))
+    big = ev.select(_skewed_tenant(uid).alias("tenant"), "event_id",
+                    F.col("value").cast("decimal(18,2)").alias("v"))
+    medium = cust.select(F.col("c_custkey").alias("tenant"),
+                         F.coalesce("c_mktsegment",
+                                    F.lit("__NONE__")).alias("segment"))
+    joined = salted_broadcast_left_join(
+        big, medium, on=["tenant"], buckets=TENANT_JOIN_SALT_BUCKETS,
+        medium_hint="shuffle_hash")
+    return (joined
+            .groupBy(F.coalesce("segment", F.lit("__NONE__")).alias("segment"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.sum("v").alias("value_sum_dec"),
+                 F.max("v").alias("value_max_dec"))
+            .select("segment", "n_events",
+                    F.col("value_sum_dec").cast("double").alias("value_sum"),
+                    F.col("value_max_dec").cast("double").alias("value_max"))
+            .orderBy("segment"))
+
+
+EVENTS_SKEW_SALTED_JOIN_SQL = """
+SELECT coalesce(c.c_mktsegment, '__NONE__')                        AS segment,
+       count(*)                                                    AS n_events,
+       CAST(sum(e.v) AS DOUBLE)                                    AS value_sum,
+       CAST(max(e.v) AS DOUBLE)                                    AS value_max
+FROM (
+  SELECT CASE WHEN coalesce(user_id, -1) < 9 THEN 0
+              ELSE coalesce(user_id, -1) END                       AS tenant,
+         CAST(value AS DECIMAL(18,2))                              AS v
+  FROM events) e
+LEFT JOIN customer c ON e.tenant = c.c_custkey
+GROUP BY 1
+ORDER BY segment
+"""
+
+
 GRAIN_QUERIES: dict[str, tuple] = {
     "tenant_rollup_skew_salted": (tenant_rollup_skew_salted_df,
                                   TENANT_ROLLUP_SKEW_SALTED_SQL),
+    "events_skew_salted_join": (events_skew_salted_join_df,
+                                EVENTS_SKEW_SALTED_JOIN_SQL),
     "fact_events_tenant_by_hour": (fact_events_tenant_by_hour_df,
                                    FACT_EVENTS_TENANT_BY_HOUR_SQL),
     "fact_events_hour_regrain": (fact_events_hour_regrain_df,

@@ -677,3 +677,31 @@ def test_salted_tenant_rollup_is_two_combining_exchanges(spark):
     assert all("partial_" in seg for seg in segs[1:]), simple
     assert "BatchEvalPython" not in simple
     assert "ArrowEvalPython" not in simple
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """VERDICT r15 item 4: the salted hot-key join must plan as a
+    ShuffledHashJoin whose key is (tenant, __salt) on BOTH sides — the
+    hot tenant's rows spread over the salt buckets instead of landing
+    on one reducer — with the medium side replicated by a dim-sized
+    explode, map-side partial aggregation after the join, and no
+    broadcast (the shape is for the medium-exceeds-broadcast-gate
+    regime; the explicit hint pins it at test scale)."""
+    from ringo_spark.operators.rollup_grain import (
+        events_skew_salted_join_df,
+    )
+
+    simple = plan_of(spark, events_skew_salted_join_df(spark, SF), "simple")
+    assert "ShuffledHashJoin" in simple, simple
+    assert "BroadcastHashJoin" not in simple, simple
+    assert "SortMergeJoin" not in simple, simple
+    # the join key must carry the salt on both sides: the join row reads
+    # ShuffledHashJoin [tenant#a, __salt#b], [tenant#c, __salt#d]
+    join_line = next(l for l in simple.splitlines() if "ShuffledHashJoin" in l)
+    assert join_line.count("__salt") == 2, join_line
+    # medium side replicated by explode (8 rows per dim row, dim-sized)
+    assert "Generate explode" in simple, simple
+    # post-join rollup still map-side combines before its exchange
+    assert "partial_count" in simple and "partial_sum" in simple, simple
+    assert "BatchEvalPython" not in simple
+    assert "ArrowEvalPython" not in simple
