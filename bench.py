@@ -186,6 +186,8 @@ HEADLINE = [
     "ann_index_staleness",
     "lsh_width_staleness",
     "tenant_rollup_skew_salted",
+    # round-16 addition: the salted hot-key join twin
+    "events_skew_salted_join",
 ]
 
 RUNS_PER_QUERY = 2
@@ -195,17 +197,12 @@ RUNS_PER_QUERY = 2
 # (their deltas have no prior pin, so the driver record is their only
 # arbiter).  Everything else still lands in BENCH_DETAIL.json.
 COMPACT_EXTRA = [
-    # r15: the two new operators (no prior pins), the in-batch-extended
-    # vector ingest, the boundary-fixed native sessionizer, and the
-    # three BPE rows now building through the gated trainer
+    # r16: the new salted-join twin (no prior pin) and the two staleness
+    # reports, now reading build-time sidecars instead of rescanning
+    # (VERDICT r15 item 5 — the pin should drop well under 1s)
+    "events_skew_salted_join",
     "ann_index_staleness",
     "lsh_width_staleness",
-    "tenant_rollup_skew_salted",
-    "streaming_vector_ingest",
-    "sessionize_native",
-    "bpe_train",
-    "bpe_apply",
-    "bpe_fertility",
 ]
 
 # Hard ceiling for the stdout line: the driver's capture tail is 2000

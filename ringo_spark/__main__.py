@@ -125,6 +125,11 @@ def main(argv=None) -> int:
     p.add_argument("--keep-versions", type=int, default=1,
                    help="manifest mode: how many published snapshots stay "
                         "readable (>1 enables read_table(version=N))")
+    p.add_argument("--salt-tenant-buckets", type=int, metavar="N", default=0,
+                   help="route TenantId-grain fact aggregations through "
+                        "two-phase salted aggregation with N salt buckets "
+                        "(spreads a hot tenant over N reducers; mergeable "
+                        "partials, HLL sketch-union for count-distinct)")
     p.add_argument("--bucket-sources", type=int, metavar="N", default=0,
                    help="store both sides of every parent-fact FK join "
                         "bucketed by the key into N buckets before "
@@ -172,7 +177,8 @@ def main(argv=None) -> int:
 
     spark = get_spark("ringo-cli")
     eng = Engine(spark, env, args.storage, commit_mode=args.commit_mode,
-                 keep_versions=args.keep_versions)
+                 keep_versions=args.keep_versions,
+                 salt_tenant_buckets=args.salt_tenant_buckets)
     eng.load_sources(args.data)
     if args.bucket_sources:
         bucketed = eng.bucketize_sources(num_buckets=args.bucket_sources)

@@ -61,7 +61,8 @@ class Engine:
                  partition_facts: bool = False,
                  count_distinct_mode: str = "sketch",
                  commit_mode: str = "rename",
-                 keep_versions: int = 1):
+                 keep_versions: int = 1,
+                 salt_tenant_buckets: int = 0):
         # commit_mode picks the full-refresh publication protocol:
         #   "rename"   — staging dir renamed over live (atomic on one
         #                POSIX filesystem; the reference's {{suff}} swap,
@@ -89,6 +90,10 @@ class Engine:
         self.storage = storage_path
         self.partition_facts = partition_facts
         self.count_distinct_mode = count_distinct_mode
+        # opt-in hot-tenant skew gate: > 0 routes every TenantId-grain
+        # fact population through the two-phase salted aggregation
+        # (populate/fact.py docstring; shape in functions/skew.py)
+        self.salt_tenant_buckets = salt_tenant_buckets
         self.sources: dict[str, DataFrame] = {}
         os.makedirs(storage_path, exist_ok=True)
 
@@ -1050,7 +1055,8 @@ class Engine:
         df = fact_population_df(self.env, fact, self.sources, dims=dims,
                                 mode=mode, time_upper=time_upper,
                                 time_lower=time_lower,
-                                count_distinct_mode=self.count_distinct_mode)
+                                count_distinct_mode=self.count_distinct_mode,
+                                salt_tenant_buckets=self.salt_tenant_buckets)
         df, partition_by = self._with_fact_partitioning(fact, df)
         # A window stamp asserts "this dir carries exactly the source
         # rows in [lower, upper)" — meaningless without a FINITE upper.

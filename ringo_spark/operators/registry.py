@@ -103,55 +103,53 @@ from .text import (
 #     unverified, only un-hashed-by-the-driver that round.
 
 DRIVER_WINDOW: list[str] = [
-    # -- new r15 operators (first driver rows): the IVF rebuild trigger
-    #    (VERDICT r14 item 4) and the salted hot-tenant rollup twin
-    #    (item 5) --
+    # -- new r16 operator (first driver row): the salted hot-key JOIN
+    #    twin of tenant_rollup_skew_salted (VERDICT r15 item 4) --
+    "events_skew_salted_join",
+    # -- code changed in r16, kept driver-visible (the r05 precedent):
+    #    the two staleness reports now read build-time _stats sidecars
+    #    instead of rescanning the stored index (VERDICT item 5); the
+    #    IVF/PQ cache gates require each sidecar's own _SUCCESS; the
+    #    index append paths coerce vector element types; the kernel's
+    #    recover_live refuses to promote an incomplete __compact
+    #    (deletion-compaction rows ride it) --
     "ann_index_staleness",
     "lsh_width_staleness",
-    "tenant_rollup_skew_salted",
-    # -- code/oracle changed in r15, kept driver-visible (the r05
-    #    precedent): streaming_vector_ingest now emits in-batch
-    #    same-trigger pairs (item 6, oracle extended); the three BPE
-    #    rows build through the gated trainer (item 8 — local path at
-    #    test vocab sizes, artifacts pinned path-invariant) --
-    "streaming_vector_ingest",
-    "sessionize_native",
-    "bpe_train",
-    "bpe_apply",
-    "bpe_fertility",
-    # -- rows riding the unified index-lifecycle kernel (item 3 —
-    #    ringo_spark/index_lifecycle.py now owns the fingerprint tag,
-    #    build-once gate, crash-safe swap, staging recovery, pointer
-    #    flip, and LRU GC these paths previously each carried): the
-    #    deletion-swap row, the clusters-cache row, one indexed row per
-    #    persisted root (LSH / PQ), and the two streaming sinks whose
-    #    staging/pointer protocols moved onto the kernel --
-    "dedup_minhash_lsh_deleted",
-    "dedup_clusters_deleted",
-    "ann_lsh_indexed",
     "ann_ivf_pq",
     "ann_pq_recall_bounds",
-    "streaming_cms_snapshot",
-    "streaming_weighted_reservoir",
-    # -- the pre-committed r15 rotation (CORRECTNESS_WINDOW.md): FIRST
-    #    the five popped mid-r14 (r08/r09 rows, waited longest), then
-    #    the r08/r09-rowed cohort, then the head of the r09/r10 tail as
-    #    slots allow --
-    "seq_pack",
-    "profile_table",
-    "dedup_minhash_incremental",
-    "q8_national_market_share",
-    "q12_late_shipments",
-    "sample_temperature",
-    "ann_rank_fusion",
-    "doc_bigram_logprob",
-    "retention_cohorts",
-    "event_funnel",
-    "anomaly_zscore",
-    "dedup_containment",
-    "doc_logprob",
-    "dedup_minhash_lsh_capped",
-    "dedup_clusters_indexed",
+    "ann_lsh_indexed",
+    "dedup_minhash_lsh_deleted",
+    "dedup_clusters_deleted",
+    # -- the pre-committed r16 rotation (CORRECTNESS_WINDOW.md), by
+    #    driver-record age, oldest first: the two stood down mid-r15
+    #    (r06 rows, waited longest), the r07-rowed trio, then the
+    #    r09/r10-rowed tail as slots allow.  fact_events_by_minute_approx
+    #    and ann_cosine_topk_arrow appear in the r16 tail list but stay
+    #    displaced: the standing oracle-only window rule
+    #    (test_every_windowed_query_has_an_oracle) outranks the rotation
+    #    note, and their *_bounds twins carry the real oracles --
+    "ann_cosine_topk_arrow_bounds",
+    "dedup_minhash_lsh_indexed",
+    "doc_chunk",
+    "training_prep",
+    "sample_cluster_split",
+    "q2_min_cost_region",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_supplier_part_counts",
+    "q20_surplus_suppliers",
+    "embed_quantize_recall_bounds",
+    "ann_hard_negatives",
+    "doc_entropy",
+    "segment_overlap_bounds",
+    "active_users_rolling",
+    "dedup_winnowing",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_incremental",
+    "lang_id",
+    "join_inner_agg",
+    "quantiles",
     # -- core schema-level pipeline (driver-green r02-r04 + r07; pinned) --
     "dim_event_type",
     "fact_events_by_minute",
@@ -178,17 +176,42 @@ DRIVER_WINDOW: list[str] = [
 
 # Registered, locally cell-exact-verified every round, but outside the
 # driver's 50-row hash window this round.  Every with-oracle entry here
-# has at least one driver-green (hash_match=true) row (r02-r14) with
+# has at least one driver-green (hash_match=true) row (r02-r15) with
 # unchanged code paths since; the 2 no-oracle entries are ε-tolerance
 # pytest-covered by design AND have *_bounds twins carrying real oracles
-# (driver-green r06/r07).  Newly displaced: the r14 window's rotating
-# cohort (every entry got a fresh r14 driver row) — recency rotation per
-# the pre-committed r15 plan in CORRECTNESS_WINDOW.md.
+# (driver-green r06/r07).  Newly displaced: the r15 window's rotating
+# cohort (every entry got a fresh r15 driver row) — recency rotation per
+# the pre-committed r16 plan in CORRECTNESS_WINDOW.md.
 DISPLACED: list[str] = [
-    # -- newly displaced: the r14 window's rotating cohort (all with
-    #    fresh r14 rows; the six LSH/IVF oracle-width rows were
-    #    re-verified at sf0.1 in r14 and their oracles are unchanged
-    #    in r15) --
+    # -- newly displaced: the r15 window's rotating cohort (every entry
+    #    got a fresh r15 driver row; recency rotation per the
+    #    pre-committed r16 plan in CORRECTNESS_WINDOW.md) --
+    "tenant_rollup_skew_salted",
+    "streaming_vector_ingest",
+    "sessionize_native",
+    "bpe_train",
+    "bpe_apply",
+    "bpe_fertility",
+    "streaming_cms_snapshot",
+    "streaming_weighted_reservoir",
+    "seq_pack",
+    "profile_table",
+    "dedup_minhash_incremental",
+    "q8_national_market_share",
+    "q12_late_shipments",
+    "sample_temperature",
+    "ann_rank_fusion",
+    "doc_bigram_logprob",
+    "retention_cohorts",
+    "event_funnel",
+    "anomaly_zscore",
+    "dedup_containment",
+    "doc_logprob",
+    "dedup_minhash_lsh_capped",
+    "dedup_clusters_indexed",
+    # -- displaced since r15 (fresh r14 rows; the six LSH/IVF
+    #    oracle-width rows were re-verified at sf0.1 in r14 and their
+    #    oracles are unchanged since) --
     "quality_source_percentile",
     "dedup_embedding_lsh",
     "dedup_embedding_clusters",
@@ -238,8 +261,6 @@ DISPLACED: list[str] = [
     "doc_dup_chunk_fraction_incremental",
     "text_repetition",
     "multimodal_phash",
-    "ann_cosine_topk_arrow_bounds",
-    "dedup_minhash_lsh_indexed",
     "q18_large_volume_customer",
     "multimodal_phash_dups",
     "q7_volume_shipping",
@@ -278,23 +299,6 @@ DISPLACED: list[str] = [
     "range_join",
     "dedup_minhash_lsh_capped_indexed",
     "benchmark_contamination",
-    "q2_min_cost_region",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q16_supplier_part_counts",
-    "q20_surplus_suppliers",
-    "embed_quantize_recall_bounds",
-    "ann_hard_negatives",
-    "doc_entropy",
-    "segment_overlap_bounds",
-    "active_users_rolling",
-    "dedup_winnowing",
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_incremental",
-    "lang_id",
-    "join_inner_agg",
-    "quantiles",
     "window_lag",
     "set_ops",
     "string_funcs",
@@ -303,9 +307,6 @@ DISPLACED: list[str] = [
     "lang_confusion",
     "metrics_unpivot",
     "scalar_subquery",
-    "sample_cluster_split",
-    "training_prep",
-    "doc_chunk",
     "fact_events_by_minute_approx",
     "ann_cosine_topk_arrow",
 ]
@@ -648,8 +649,9 @@ FAMILY_SOURCES: dict[str, list[str]] = {
              "ringo_spark/operators/similarity.py", _DELETION],
     "multimodal": ["ringo_spark/operators/multimodal.py"],
     "relational": ["ringo_spark/operators/relational.py", _TESTBED],
+    # grain executes the skew helpers (salted rollup + salted join rows)
     "grain": ["ringo_spark/operators/rollup_grain.py", _TESTBED,
-              *_POPULATE_SOURCES],
+              "ringo_spark/functions/skew.py", *_POPULATE_SOURCES],
     "session": ["ringo_spark/operators/session.py", _TESTBED],
     "tpch": ["ringo_spark/operators/tpch.py", _TESTBED],
     # sampling executes dedup's cluster-table builders (and through

@@ -60,6 +60,15 @@ def _fk_join_condition(env: Env, fact_table, other_table_name: str):
     return None
 
 
+def _hll_lg_config_k(rsd: float) -> int:
+    """DataSketches lgConfigK matching an HLL++ relative-error target:
+    rsd = 1.04 / sqrt(2^p)  =>  p = ceil(log2((1.04/rsd)^2)), clamped to
+    the library's [4, 21] range."""
+    import math
+
+    return max(4, min(21, math.ceil(math.log2((1.04 / rsd) ** 2))))
+
+
 def fact_population_df(
     env: Env,
     fact: Fact,
@@ -69,12 +78,29 @@ def fact_population_df(
     time_upper=None,
     time_lower=None,
     count_distinct_mode: str = "approx",  # approx | exact | sketch
+    salt_tenant_buckets: int = 0,
 ) -> DataFrame:
     """Return the rolled-up rows to insert into the extracted fact table.
 
     ``catalog``: source table name -> DataFrame (must cover the fact's source
     table and every parent fact's source table).
     ``dims``: derived dimension table name -> populated DataFrame (with ids).
+
+    ``salt_tenant_buckets`` (opt-in, ``Engine(salt_tenant_buckets=N)`` /
+    ``--salt-tenant-buckets``): when > 0 and the fact declares a TenantId
+    column, the grain aggregation runs as the two-phase salted shape from
+    :mod:`ringo_spark.functions.skew` — phase 1 groups by
+    (grain keys, hash(salt source) % N) so a hot tenant's volume spreads
+    over N reducers, phase 2 merges N mergeable partials per grain key
+    (sum for count/sum/avg-pair, min/max for min/max, HLL sketch-union for
+    count-distinct).  Results are pinned equal to the plain path
+    (tests/test_populate_exec.py) except approx count-distinct, which
+    switches from HLL++ to the mergeable DataSketches HLL at the precision
+    matching ``fact_count_distinct_error_rate`` (same ε contract, sketch
+    estimates differ within it).  Exact count-distinct stays exact by
+    salting on ITS source column (each distinct value lands in exactly one
+    bucket, so per-bucket distinct counts sum); two exact count-distincts
+    with different sources cannot share one salt and raise.
     """
     s = env.settings
     dims = dims or {}
@@ -100,18 +126,43 @@ def fact_population_df(
     group_exprs: list[tuple[str, SparkColumn]] = []   # (output name, expr)
     agg_exprs: list[SparkColumn] = []
     dim_joins: list[tuple[DataFrame, SparkColumn, str, str]] = []
+    # salted twin of each aggregate (only consulted when the salt gate
+    # fires): phase-1 over (keys, salt), phase-2 merge of the partials
+    salted_p1: list[SparkColumn] = []
+    salted_merge: list[SparkColumn] = []
+    measure_names: list[str] = []
+    exact_cd_sources: list[str] = []   # salt-alignment constraint (docstring)
+
+    def add_agg(name: str, plain: SparkColumn,
+                p1: SparkColumn | None = None,
+                merge: SparkColumn | None = None) -> None:
+        agg_exprs.append(plain.alias(name))
+        salted_p1.append((plain if p1 is None else p1).alias(name))
+        salted_merge.append(
+            (F.sum(F.col(name)) if merge is None else merge).alias(name))
+        measure_names.append(name)
 
     def coalesce_fk(expr: SparkColumn) -> SparkColumn:
         return F.coalesce(expr, F.lit(s.foreign_key_id_coalesce_value))
 
-    def count_distinct(col: SparkColumn, name: str) -> SparkColumn:
+    def add_count_distinct(col: SparkColumn, name: str, src_name: str) -> None:
         if count_distinct_mode == "exact":
-            return F.count_distinct(col).alias(name)
-        if count_distinct_mode == "sketch":
+            exact_cd_sources.append(src_name)
+            # salted phase 1 counts distincts per (keys, salt-on-src):
+            # each distinct value lands in exactly one bucket, so the
+            # per-bucket counts SUM exactly in phase 2
+            add_agg(name, F.count_distinct(col))
+        elif count_distinct_mode == "sketch":
             # mergeable persisted state, like the reference's JSON registers
-            return F.hll_sketch_agg(col).alias(name)
-        return F.approx_count_distinct(
-            col, rsd=s.fact_count_distinct_error_rate).alias(name)
+            add_agg(name, F.hll_sketch_agg(col),
+                    merge=F.hll_union_agg(F.col(name)))
+        else:
+            add_agg(name,
+                    F.approx_count_distinct(
+                        col, rsd=s.fact_count_distinct_error_rate),
+                    p1=F.hll_sketch_agg(
+                        col, _hll_lg_config_k(s.fact_count_distinct_error_rate)),
+                    merge=F.hll_sketch_estimate(F.hll_union_agg(F.col(name))))
 
     for fc in fact.columns:
         cname, t = fc.target_column, fc.type
@@ -124,7 +175,7 @@ def fact_population_df(
             group_exprs.append((cname, coalesce_column(env, f_table, col, f_name)))
         elif isinstance(t, FactCount):
             src = qcol(f_name, t.source_column) if t.source_column else F.lit(1)
-            agg_exprs.append(F.count(src).alias(cname))
+            add_agg(cname, F.count(src))
         elif isinstance(t, FactCountDistinct):
             # no source column -> the source table's primary key
             # (Populate/Fact.hs:75); validated in validator._validate_fact
@@ -133,18 +184,20 @@ def fact_population_df(
                 raise ValueError(
                     f"FactCountDistinct {fact.name}.{cname} has no source "
                     f"column and table {f_name} has no primary key")
-            agg_exprs.append(count_distinct(qcol(f_name, src_name), cname))
+            add_count_distinct(qcol(f_name, src_name), cname, src_name)
         elif isinstance(t, FactSum):
-            agg_exprs.append(F.sum(qcol(f_name, t.source_column)).alias(cname))
+            add_agg(cname, F.sum(qcol(f_name, t.source_column)))
         elif isinstance(t, FactMax):
-            agg_exprs.append(F.max(qcol(f_name, t.source_column)).alias(cname))
+            add_agg(cname, F.max(qcol(f_name, t.source_column)),
+                    merge=F.max(F.col(cname)))
         elif isinstance(t, FactMin):
-            agg_exprs.append(F.min(qcol(f_name, t.source_column)).alias(cname))
+            add_agg(cname, F.min(qcol(f_name, t.source_column)),
+                    merge=F.min(F.col(cname)))
         elif isinstance(t, FactAverage):
-            agg_exprs.append(F.count(qcol(f_name, t.source_column))
-                             .alias(cname + s.avg_count_column_suffix))
-            agg_exprs.append(F.sum(qcol(f_name, t.source_column))
-                             .alias(cname + s.avg_sum_column_suffix))
+            add_agg(cname + s.avg_count_column_suffix,
+                    F.count(qcol(f_name, t.source_column)))
+            add_agg(cname + s.avg_sum_column_suffix,
+                    F.sum(qcol(f_name, t.source_column)))
         # DimId/DimVal handled below via all_dims (order: after fact columns,
         # matching the reference's factColMap ++ dimColMap)
 
@@ -196,7 +249,36 @@ def fact_population_df(
     if not agg_exprs:
         return df.select(*[e.alias(n) for n, e in group_exprs]).distinct()
     grouped = df.groupBy(*[e.alias(n) for n, e in group_exprs])
-    out = grouped.agg(*agg_exprs)
+    has_tenant = any(isinstance(fc.type, TenantId) for fc in fact.columns)
+    if salt_tenant_buckets > 0 and has_tenant:
+        # two-phase salted grain aggregation (see docstring; shape and
+        # rationale in ringo_spark/functions/skew.py): the hot tenant's
+        # rows spread over the salt buckets in phase 1; only
+        # bucket-count-sized mergeable partials ride the phase-2 shuffle
+        if len(set(exact_cd_sources)) > 1:
+            raise ValueError(
+                "salt_tenant_buckets with multiple exact count-distinct "
+                f"columns over different sources {sorted(set(exact_cd_sources))}"
+                " cannot share one salt; use count_distinct_mode='sketch' "
+                "or 'approx' (mergeable HLL), or drop the salt gate")
+        if exact_cd_sources:
+            salt_src = qcol(f_name, exact_cd_sources[0])
+        else:
+            pk = table_pk_column(f_table)
+            salt_src = qcol(f_name, pk if pk is not None else tcol)
+        salt = (F.abs(F.hash(salt_src)) % salt_tenant_buckets).alias("__salt")
+        # merged measures re-cast to the plain path's dtypes (re-summing a
+        # sum widens decimal precision; schema parity must hold either way)
+        plain_types = {fld.name: fld.dataType
+                       for fld in grouped.agg(*agg_exprs).schema.fields}
+        p1 = df.groupBy(*[e.alias(n) for n, e in group_exprs], salt)
+        out = (p1.agg(*salted_p1)
+               .groupBy(*key_names).agg(*salted_merge)
+               .select(*key_names,
+                       *[F.col(m).cast(plain_types[m]).alias(m)
+                         for m in measure_names]))
+    else:
+        out = grouped.agg(*agg_exprs)
     # column order parity with the extracted schema: measures in fact-column
     # order interleaved as declared, then FK columns — reorder to match
     ordered = _output_column_order(env, fact)

@@ -127,3 +127,47 @@ def test_index_tag_matches_r14_format(tmp_path):
     spec = "/data/sf0.1|16|deadbeef01|c"
     assert ilc.index_tag(spec) == hashlib.md5(
         spec.encode()).hexdigest()[:10]
+
+
+def test_kernel_adoption_no_module_local_swaps():
+    """VERDICT r15 item 8: the lifecycle kernel owns every persisted
+    index/sink root's swap and marker mechanics — this is the
+    refactor's structural regression guard.  Asserts (a) every module
+    that persists an artifact root imports the kernel, and (b) no
+    os.rename/os.replace/shutil.move call exists in operators/ or
+    streaming/ outside the single whitelisted site (vocab.py's
+    compaction lands its staged dir inside a kernel
+    recover_staging-orchestrated _finish — the rename IS the kernel
+    pattern's publish step, recovery included).  The Engine's table
+    storage protocols (engine.py) are a separate, crash-tested surface
+    and stay out of scope."""
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(repo, "ringo_spark")
+
+    persisting = ["operators/dedup.py", "operators/similarity.py",
+                  "operators/text.py", "operators/deletion.py",
+                  "streaming/vocab.py", "streaming/sampling.py",
+                  "streaming/ann.py"]
+    for rel in persisting:
+        text = open(os.path.join(pkg, rel)).read()
+        assert "index_lifecycle" in text, f"{rel} no longer uses the kernel"
+
+    whitelist = {("streaming/vocab.py", 1)}   # see docstring
+    offenders = []
+    for sub in ("operators", "streaming"):
+        d = os.path.join(pkg, sub)
+        for fn in sorted(os.listdir(d)):
+            if not fn.endswith(".py"):
+                continue
+            rel = f"{sub}/{fn}"
+            text = open(os.path.join(d, fn)).read()
+            n = len(re.findall(r"\bos\.rename\(|\bos\.replace\(|"
+                               r"\bshutil\.move\(", text))
+            if n and (rel, n) not in whitelist:
+                offenders.append((rel, n))
+    assert not offenders, (
+        "module-local rename/swap calls outside the kernel (route them "
+        f"through ringo_spark/index_lifecycle.py): {offenders}")

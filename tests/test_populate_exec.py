@@ -239,3 +239,142 @@ def test_partitioned_row_numbers_on_adversarial_keys(spark):
     g = sorted(tuple(r) for r in got.select("id", "name", "version").collect())
     w = sorted(tuple(r) for r in want.select("id", "name", "version").collect())
     assert g == w and len(g) == len(rows)
+
+
+# --- salted TenantId grain (r16, VERDICT r15 item 6) -------------------------
+#
+# salt_tenant_buckets > 0 routes a TenantId-grain fact through the
+# two-phase salted aggregation (populate/fact.py docstring; shape in
+# functions/skew.py).  Pins: salted output cell-equal to plain for
+# count/sum/min/max/avg-pair and EXACT count-distinct (salt aligned to
+# the distinct source), epsilon-equal for approx (mergeable HLL at the
+# configured rsd), two-exchange map-side-combining plan, and a loud
+# error for the one unsupported shape (two exact count-distincts over
+# different sources cannot share one salt).
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _tenant_fact(cd_cols):
+    from ringo_spark.model import (
+        FactAverage, FactCountDistinct, FactMax, FactMin, TenantId,
+    )
+    from ringo_spark.operators.rollup_grain import EVENTS_TENANT_FACT  # noqa: F401
+    from ringo_spark.testbed import EVENTS, TYPE_DEFAULTS
+
+    cols = [
+        FactColumn("ts", DimTime()),
+        FactColumn("user_id", TenantId()),
+        FactColumn("event_count", FactCount()),
+        FactColumn("value_sum", FactSum("value")),
+        FactColumn("value_avg", FactAverage("value")),
+        FactColumn("value_max", FactMax("value")),
+        FactColumn("value_min", FactMin("value")),
+    ] + [FactColumn(n, FactCountDistinct(src)) for n, src in cd_cols]
+    fact = Fact("events_salted", "events", cols)
+    env = make_env([EVENTS], [fact], Settings(time_unit=TimeUnit.HOUR),
+                   TYPE_DEFAULTS)
+    return env, fact
+
+
+def _skewed_events(spark):
+    """events with a hot tenant: users 0-8 collapse to tenant 0 (~60% of
+    rows at the uniform user distribution) — same injection as the
+    registered tenant_rollup_skew_salted row."""
+    from pyspark.sql import functions as F
+
+    from ringo_spark.catalog import load_catalog
+    from ringo_spark.testbed import EVENTS
+
+    cat = load_catalog(spark, SF001, [EVENTS])
+    ev = cat["events"]
+    uid = F.coalesce(F.col("user_id"), F.lit(-1))
+    return {"events": ev.withColumn(
+        "user_id", F.when(uid < 9, F.lit(0)).otherwise(uid))}
+
+
+def _far():
+    return dt.datetime(2100, 1, 1)
+
+
+def test_salted_tenant_fact_equals_plain_exact_cd(spark):
+    env, fact = _tenant_fact([("user_count", "event_id")])
+    cat = _skewed_events(spark)
+    plain = fact_population_df(env, fact, cat, time_upper=_far(),
+                               count_distinct_mode="exact")
+    salted = fact_population_df(env, fact, cat, time_upper=_far(),
+                                count_distinct_mode="exact",
+                                salt_tenant_buckets=16)
+    # dtype parity (nullability may differ: the merge re-cast is nullable)
+    assert [(f.name, f.dataType) for f in salted.schema] == \
+        [(f.name, f.dataType) for f in plain.schema]
+    assert sorted(map(tuple, salted.collect())) == \
+        sorted(map(tuple, plain.collect()))
+    # the hot tenant exists and dominates — the skew being mitigated is real
+    hot = salted.where("user_id = 0").agg({"event_count": "sum"}).collect()
+    total = salted.agg({"event_count": "sum"}).collect()
+    assert hot[0][0] / total[0][0] > 0.4
+
+
+def test_salted_tenant_fact_approx_cd_within_epsilon(spark):
+    env, fact = _tenant_fact([("user_count", "event_id")])
+    cat = _skewed_events(spark)
+    plain = fact_population_df(env, fact, cat, time_upper=_far(),
+                               count_distinct_mode="exact")
+    salted = fact_population_df(env, fact, cat, time_upper=_far(),
+                                count_distinct_mode="approx",
+                                salt_tenant_buckets=16)
+    key = lambda r: (r["ts_hour_id"], r["user_id"])  # noqa: E731
+    exact = {key(r): r["user_count"] for r in plain.collect()}
+    est = {key(r): r["user_count"] for r in salted.collect()}
+    assert set(exact) == set(est)
+    # rsd 0.05 at lgConfigK from _hll_lg_config_k; allow 5 sigma
+    for k, v in exact.items():
+        assert abs(est[k] - v) <= max(2, 0.25 * v), (k, v, est[k])
+
+
+def test_salted_two_exact_count_distinct_sources_raise(spark):
+    env, fact = _tenant_fact([("user_count", "event_id"),
+                              ("type_count", "event_type")])
+    cat = _skewed_events(spark)
+    with pytest.raises(ValueError, match="cannot share one salt"):
+        fact_population_df(env, fact, cat, time_upper=_far(),
+                           count_distinct_mode="exact",
+                           salt_tenant_buckets=16)
+
+
+def test_salted_tenant_fact_plan_is_two_combining_exchanges(spark):
+    env, fact = _tenant_fact([])
+    cat = _skewed_events(spark)
+    salted = fact_population_df(env, fact, cat, time_upper=_far(),
+                                salt_tenant_buckets=16)
+    simple = salted._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"))
+    assert simple.count("Exchange hashpartitioning") == 2, simple
+    segs = simple.split("Exchange hashpartitioning")
+    assert all("partial_" in seg for seg in segs[1:]), simple
+    assert "BatchEvalPython" not in simple
+    assert "ArrowEvalPython" not in simple
+
+
+def test_salt_gate_ignored_without_tenant_column(spark):
+    # a non-TenantId fact with the knob set stays on the plain single
+    # aggregation (the gate is scoped to the documented TenantId case)
+    cat = mk_catalog(spark)
+    dim = dimension_population_df(ENV, FACT, "dim_browser", cat,
+                                  time_upper=dt.datetime(2100, 1, 1))
+    plain = fact_population_df(ENV, FACT, cat, dims={"dim_browser": dim},
+                               time_upper=dt.datetime(2100, 1, 1))
+    gated = fact_population_df(ENV, FACT, cat, dims={"dim_browser": dim},
+                               time_upper=dt.datetime(2100, 1, 1),
+                               salt_tenant_buckets=16)
+    # the gate must not fire: no salt column anywhere in the plan (the
+    # dim-population subplan contributes its own exchanges, so exchange
+    # counting is not a stable signal here)
+    simple = gated._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"))
+    assert "__salt" not in simple, simple
+    assert sorted(map(tuple, gated.collect())) == \
+        sorted(map(tuple, plain.collect()))

@@ -118,3 +118,53 @@ def test_family_sources_cover_shared_execution_layers():
             if name in imported and path not in srcs:
                 missing.append((fam, name))
     assert not missing, f"FAMILY_SOURCES misses executed layers: {missing}"
+
+
+def test_driver_row_freshness_floor():
+    """VERDICT r15 item 7: registry freshness is a failing test, not a
+    plan note.  For every with-oracle registered query, its last
+    driver-green row (scanned from the committed CORRECTNESS_r*.json
+    history) must be at most FLOOR rounds old BY THE END OF THE CURRENT
+    ROUND — where a query in DRIVER_WINDOW counts as getting its row
+    this round (current round = max committed round + 1; the window is
+    this round's submission).  The rotation cycle is ~28 slots over
+    ~120 rotating queries, so a full pass takes ~5 rounds; FLOOR=7
+    leaves one round of slack without letting any oracle rot silently.
+    No-oracle entries are exempt (rows-only by design; their *_bounds
+    twins carry the oracles and are checked like any other entry)."""
+    import glob
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    FLOOR = 7
+    last: dict[str, int] = {}
+    rounds = []
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", f)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        rounds.append(rnd)
+        with open(f) as fh:
+            data = json.load(fh)
+        if not isinstance(data, dict):
+            continue
+        for name, rec in data.items():
+            if isinstance(rec, dict) and (rec.get("hash_match") or
+                                          rec.get("ok")):
+                last[name] = max(last.get(name, 0), rnd)
+    assert rounds, "no CORRECTNESS_r*.json history found"
+    current = max(rounds) + 1
+    oracles = entrymod.oracle_sql()
+    stale = []
+    for name in entrymod.queries():
+        if name not in oracles:
+            continue   # rows-only by design, exempt (twins carry oracles)
+        effective = current if name in DRIVER_WINDOW else last.get(name, 0)
+        if current - effective > FLOOR:
+            stale.append((name, last.get(name), current - effective))
+    assert not stale, (
+        f"queries with driver rows older than {FLOOR} rounds and not in "
+        f"this round's window — rotate them forward: {stale}")

@@ -28,8 +28,13 @@ SUB_HALF = 0.5
 # landed via a manual BENCH_BASELINE edit — listed here so a rerun of
 # this tool is self-contained (ADVICE r15)
 NEW_PINS = ["ann_index_staleness", "tenant_rollup_skew_salted",
-            "lsh_width_staleness"]
-CODE_CHANGED = ["streaming_vector_ingest"]   # in-batch pairs + tag bump
+            "lsh_width_staleness",
+            "events_skew_salted_join"]       # r16: salted-join twin
+# r16: the two staleness reports now read build-time sidecars (their
+# pins should DROP); cache-gate/append changes touch the ivf/lsh/pq
+# builders' serve paths
+CODE_CHANGED = ["streaming_vector_ingest",
+                "ann_index_staleness", "lsh_width_staleness"]
 
 
 def main(detail_files: list[str]) -> None:
