@@ -269,6 +269,56 @@ def _quiet_gate() -> dict | None:
             "satisfied": load is not None and load < thresh}
 
 
+def _stage_snapshot(spark) -> dict:
+    """(stageId, attemptId) -> completed-stage metrics via the Spark UI
+    REST API (local mode serves it too).  Per-query stage attribution
+    (VERDICT r15 item 1): diffing snapshots around a query's timed runs
+    yields where its wall went — executor run/CPU time, GC, shuffle
+    fetch wait, spill — so a wall regression is adjudicable as code
+    (CPU grew) vs machine (CPU flat, gaps grew) from the committed
+    record alone.  Returns {} if the UI is unreachable (attribution is
+    then skipped, never fatal)."""
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return {}
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app}/stages?status=complete",
+                timeout=10) as r:
+            data = json.load(r)
+    except Exception:
+        return {}
+    return {(s["stageId"], s["attemptId"]): s for s in data}
+
+
+def _stage_attribution(before: dict, after: dict) -> dict | None:
+    """Aggregate the metrics of stages completed between two snapshots
+    (i.e. by this query's runs).  Times in ms (executorCpuTime arrives
+    in ns), sizes in MB."""
+    new = [s for k, s in after.items() if k not in before]
+    if not new:
+        return None
+    ms = lambda f: round(sum(s.get(f, 0) for s in new), 1)  # noqa: E731
+    mb = lambda f: round(sum(s.get(f, 0) for s in new) / 2**20, 1)  # noqa: E731
+    return {
+        "n_stages": len(new),
+        "n_tasks": sum(s.get("numTasks", 0) for s in new),
+        "executor_run_ms": ms("executorRunTime"),
+        "executor_cpu_ms": round(sum(
+            s.get("executorCpuTime", 0) for s in new) / 1e6, 1),
+        "jvm_gc_ms": ms("jvmGcTime"),
+        "deserialize_ms": ms("executorDeserializeTime"),
+        "shuffle_fetch_wait_ms": ms("shuffleFetchWaitTime"),
+        "input_mb": mb("inputBytes"),
+        "shuffle_read_mb": mb("shuffleReadBytes"),
+        "shuffle_write_mb": mb("shuffleWriteBytes"),
+        "spill_mb": mb("memoryBytesSpilled"),
+    }
+
+
 def main():
     from ringo_spark.catalog import get_spark
 
@@ -297,6 +347,7 @@ def main():
     for name in names:
         runs = []
         l_start = _load1()
+        snap_before = _stage_snapshot(spark)
         for _ in range(RUNS_PER_QUERY):
             t0 = time.time()
             df = qs[name](spark, SF_DIR)
@@ -305,6 +356,11 @@ def main():
         timings[name] = min(runs)
         telemetry[name] = {"load1_start": l_start, "load1_end": _load1(),
                            "runs": runs}
+        # stage attribution covers BOTH runs (metrics are per-stage
+        # totals between the snapshots; wall fields above are per-run)
+        attr = _stage_attribution(snap_before, _stage_snapshot(spark))
+        if attr is not None:
+            telemetry[name]["stages_both_runs"] = attr
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     out = {
