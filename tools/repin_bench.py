@@ -30,14 +30,17 @@ SUB_HALF = 0.5
 NEW_PINS = ["ann_index_staleness", "tenant_rollup_skew_salted",
             "lsh_width_staleness",
             "events_skew_salted_join"]       # r16: salted-join twin
-# r16: the two staleness reports now read build-time sidecars (their
-# pins should DROP); cache-gate/append changes touch the ivf/lsh/pq
-# builders' serve paths
-CODE_CHANGED = ["streaming_vector_ingest",
-                "ann_index_staleness", "lsh_width_staleness"]
+# r16: the two staleness reports read build-time sidecars (their pins
+# DROPPED, re-pinned individually per the honest-pin rule)
+CODE_CHANGED = ["ann_index_staleness", "lsh_width_staleness"]
+# The blanket sub-half median re-pass was the ONE-TIME r15 cleanup
+# (VERDICT r15: "future re-pins should be rare and individually
+# adjudicated") — it now requires --subhalf to run at all.
+SUBHALF_ENABLED = "--subhalf" in sys.argv
 
 
 def main(detail_files: list[str]) -> None:
+    detail_files = [f for f in detail_files if f != "--subhalf"]
     runs = [json.load(open(f))["queries"] for f in detail_files]
     base = json.load(open(BASELINE))
     pins = base["extra_pins"]
@@ -58,7 +61,7 @@ def main(detail_files: list[str]) -> None:
             repinned[name] = {"old": old, "new": new, "runs": vals,
                               "reason": "code-changed"}
             pins[name] = new
-        elif old < SUB_HALF:
+        elif SUBHALF_ENABLED and old < SUB_HALF:
             new = round(statistics.median(vals), 3)
             if new != old:
                 repinned[name] = {"old": old, "new": new, "runs": vals}
@@ -72,12 +75,11 @@ def main(detail_files: list[str]) -> None:
             pins[name] = round(max(vals), 3)   # honest-pin rule
             added[name] = {"pin": pins[name], "runs": vals}
 
-    base["protocol"]["r15_subhalf_repin"] = (
-        "VERDICT r14 item 7: every extra_pin below 0.5s wall re-pinned "
-        "at the MEDIAN of five gate-satisfied r15 closing runs "
-        "(min-of-2 each) in one pass — sub-0.5s walls are jitter-"
-        "dominated and their stale pins kept topping the worst-ratio "
-        "table without any code change (r13/r14 adjudications). "
+    base["protocol"]["repin_tool_last_run"] = (
+        f"repin_bench over {len(detail_files)} closing runs (subhalf "
+        f"pass {'ON' if SUBHALF_ENABLED else 'OFF'} — the blanket pass "
+        "was the one-time r15 cleanup; default is code-changed + new "
+        "pins only). "
         f"Re-pinned: { {n: (v['old'], v['new']) for n, v in repinned.items()} }. "
         f"New r15 pins (looser-of-runs honest-pin rule): "
         f"{ {n: v['pin'] for n, v in added.items()} }.")
