@@ -118,6 +118,13 @@ SELECTION = [
      "(tenant, salt16) then tenant — each fed by a partial "
      "HashAggregate, so the hot key spreads over 16 reducers and only "
      "bucket-sized mergeable partials ride the second shuffle"),
+    ("events_skew_salted_join",
+     "salted hot-key join (r16): ShuffledHashJoin keyed (tenant, "
+     "salt8) on BOTH sides — the hot tenant's rows spread over 8 "
+     "reducers instead of one straggler — with the medium dim "
+     "replicated by a dim-sized explode and the post-join rollup "
+     "map-side combining before its exchange; the shuffle_hash hint "
+     "pins the medium-exceeds-broadcast-gate shape at test scale"),
     # ann_index_staleness is EAGER (builds its dedicated index at
     # construction) so it cannot appear in a plan-only dump; its
     # Python-free report plan is pinned in
