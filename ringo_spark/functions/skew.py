@@ -38,8 +38,11 @@ def salted_aggregate(
     them (defaults to sum — correct for count/sum; pass min/max etc. for
     others).  ``salt_col``: any stable column (hashed into ``buckets``).
     """
-    salt = (F.abs(F.hash(F.col(salt_col) if isinstance(salt_col, str)
-                         else salt_col)) % buckets).alias("__salt")
+    # pmod, NOT abs(hash) % n: murmur3 can return Integer.MIN_VALUE,
+    # whose abs overflows negative and (for non-power-of-two bucket
+    # counts) yields a salt outside [0, buckets)
+    salt = F.pmod(F.hash(F.col(salt_col) if isinstance(salt_col, str)
+                         else salt_col), F.lit(buckets)).alias("__salt")
     phase1 = (df.groupBy(*keys, salt)
               .agg(*[a.alias(n) for n, a in aggs.items()]))
     merges = merges or {}
@@ -68,7 +71,11 @@ def salted_broadcast_left_join(
     scale Spark would still pick a broadcast join (making the salt a
     no-op), so callers that want the at-scale shuffle shape pinned in the
     plan pass the hint explicitly rather than mutating session config."""
-    salt = (F.abs(F.hash(*[F.col(c) for c in big.columns])) % buckets)
+    # pmod: an abs(hash) % n salt goes NEGATIVE for a row hashing to
+    # Integer.MIN_VALUE (abs overflows) with any non-power-of-two bucket
+    # count — such a row would match NO medium replica (0..buckets-1)
+    # and silently lose its join match
+    salt = F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(buckets))
     big_s = big.withColumn("__salt", salt)
     medium_s = medium.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))))

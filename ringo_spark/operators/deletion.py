@@ -183,10 +183,16 @@ def apply_tombstones_partitioned(spark: SparkSession, index_path: str,
         with open(fp_file, "w") as fh:
             fh.write(fp)
     # carry every sidecar (anything that isn't a partition dir, the
-    # log, or tmp's own files) into the replacement tree
+    # log, or tmp's own files) into the replacement tree — EXCEPT the
+    # ``_stats`` build-stats log: its counts include the rows this
+    # compaction just removed, and a carried-over stale sidecar would
+    # fail the reports' row-count validity check forever (the backfill
+    # guard sees its _SUCCESS and never repairs).  Dropping it here
+    # lets the next staleness report self-heal it from the compacted
+    # data (similarity._ivf_stored_cell_stats / _lsh_stored_bucket_stats).
     is_part = f"{partition_col}="
     for d in os.listdir(root):
-        if d.startswith(is_part) or d == TOMBSTONES:
+        if d.startswith(is_part) or d == TOMBSTONES or d == "_stats":
             continue
         s, t = os.path.join(root, d), os.path.join(tmp, d)
         if os.path.exists(t):

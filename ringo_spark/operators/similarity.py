@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import math
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -783,7 +784,14 @@ def append_to_ivf_index(spark: SparkSession, index_path: str,
     is O(batch) map-only assignment + one batch-sized shuffle; the
     existing index files never rewrite.  Centroid retraining is a
     rebuild, by design — the index tag's source fingerprint makes that
-    explicit."""
+    explicit.
+
+    Contract: at-most-once per batch — the index stores one physical
+    row per vec_id.  A lost-ack RETRY of the same batch lands its rows
+    (and stats epoch) twice; readers that dedup by vec_id would then
+    disagree with physical-row accounting.  The streaming path
+    (streaming/ann.py) is retry-idempotent by probing admitted vec_ids
+    first; direct callers needing retries should do the same probe."""
     cent = spark.read.parquet(os.path.join(index_path, "_centroids"))
     cent_rows = [(r.cid, r.cvec) for r in cent.collect()]
     # coerce the batch vector type to the stored files' element type: a
@@ -887,21 +895,46 @@ IVF_STATS = "_stats"
 
 def _label_cells(df: DataFrame, cent_rows) -> DataFrame:
     """Per-vector (cell, cos6) assignment against a stored centroid set
-    — the crossJoin argmax the staleness machinery hashes.  Shared by
-    the report's rescan path AND the build/append-time sidecar writes so
-    the two can never disagree on a single cell or rounded score.
-    Tie-break (max struct of (s, cid) => higher cid) matches
-    ``_with_cell``'s greatest-over-structs exactly."""
-    spark = df.sparkSession
-    sc = F.round(cosine(F.col("embedding"), F.col("cvec")), 6)
-    return (df.crossJoin(F.broadcast(spark.createDataFrame(
-                [(int(c), [float(x) for x in v]) for c, v in cent_rows],
-                "cid int, cvec array<double>")))
-            .groupBy("vec_id")
-            .agg(F.max(F.struct(sc.alias("s"),
-                                F.col("cid").alias("cid"))).alias("b"))
-            .select(F.col("b.cid").alias("cell"),
-                    F.col("b.s").alias("cos6")))
+    — shared by the staleness reports' batch/rescan scoring AND the
+    build/append-time sidecar writes so the two can never disagree on a
+    single cell or rounded score.  Map-only since the r16 review: the
+    same literal greatest-over-(s, cid)-structs argmax as
+    ``_with_cell`` (pinned 6dp-equal to the oracle's crossJoin argmax),
+    keeping the winning score — no crossJoin, no shuffle, and one row
+    out per PHYSICAL row in, so the stats it feeds always agree with
+    the data files' footer row counts (the sidecar validity check).
+    Past the literal-K gate it falls back to the broadcast crossJoin
+    argmax, grouped on a per-physical-row id for the same row fidelity."""
+    import math
+
+    if len(cent_rows) > CELL_ASSIGN_LITERAL_MAX_K:
+        spark = df.sparkSession
+        sc = F.round(cosine(F.col("embedding"), F.col("cvec")), 6)
+        return (df.select(F.monotonically_increasing_id().alias("__rid"),
+                          "embedding")
+                .crossJoin(F.broadcast(spark.createDataFrame(
+                    [(int(c), [float(x) for x in v]) for c, v in cent_rows],
+                    "cid int, cvec array<double>")))
+                .groupBy("__rid")
+                .agg(F.max(F.struct(sc.alias("s"),
+                                    F.col("cid").alias("cid"))).alias("b"))
+                .select(F.col("b.cid").alias("cell"),
+                        F.col("b.s").alias("cos6")))
+    e = F.col("embedding")
+    norm = "__lab_norm_a"
+    scs = []
+    for cid, cvec_vals in cent_rows:
+        b_acc = 0.0
+        for x in cvec_vals:
+            b_acc += float(x) * float(x)
+        cvec = F.array(*[F.lit(float(x)) for x in cvec_vals])
+        s = F.round(dot(e, cvec) / (F.col(norm) * F.lit(math.sqrt(b_acc))), 6)
+        scs.append(F.struct(s.alias("s"), F.lit(int(cid)).alias("cid")))
+    best = F.greatest(*scs) if len(scs) > 1 else scs[0]
+    return (df.withColumn(norm, F.sqrt(dot(e, e)))
+            .withColumn("__b", best)
+            .select(F.col("__b.cid").alias("cell"),
+                    F.col("__b.s").alias("cos6")))
 
 
 def _cell_stats(labeled: DataFrame) -> DataFrame:
@@ -962,21 +995,41 @@ def _ivf_stored_cell_stats(spark: SparkSession, index_path: str,
     no Spark job over the index."""
     from .deletion import TOMBSTONES, index_rows
 
+    def _from_sidecar():
+        tbl = _read_stats_log(stats_path)
+        if tbl is None:
+            return None
+        per: dict[int, list[int]] = {}
+        for cell, c, qs in zip(tbl.column("cell").to_pylist(),
+                               tbl.column("c").to_pylist(),
+                               tbl.column("qs").to_pylist()):
+            agg = per.setdefault(int(cell), [0, 0])
+            agg[0] += int(c)
+            agg[1] += int(qs)
+        if sum(v[0] for v in per.values()) != _data_meta_rows(index_path):
+            return None
+        return spark.createDataFrame(
+            [(cell, v[0], v[1]) for cell, v in sorted(per.items())],
+            "cell int, c long, qs long")
+
     stats_path = os.path.join(index_path, IVF_STATS)
     if not os.path.isdir(os.path.join(index_path, TOMBSTONES)):
-        tbl = _read_stats_log(stats_path)
-        if tbl is not None:
-            per: dict[int, list[int]] = {}
-            for cell, c, qs in zip(tbl.column("cell").to_pylist(),
-                                   tbl.column("c").to_pylist(),
-                                   tbl.column("qs").to_pylist()):
-                agg = per.setdefault(int(cell), [0, 0])
-                agg[0] += int(c)
-                agg[1] += int(qs)
-            if sum(v[0] for v in per.values()) == _data_meta_rows(index_path):
-                return spark.createDataFrame(
-                    [(cell, v[0], v[1]) for cell, v in sorted(per.items())],
-                    "cell int, c long, qs long")
+        got = _from_sidecar()
+        if got is not None:
+            return got
+        # self-heal (r16 review finding): a missing or data-divergent
+        # sidecar on an untombstoned index — compaction dropped it, or
+        # a torn append left it undercounting — would otherwise force
+        # the full rescan on EVERY future report (the backfill guard
+        # sees an existing _SUCCESS and never repairs).  Rewrite it
+        # once from the data files and trust it from here on; if it
+        # STILL mismatches (duplicate ids in the data files, outside
+        # the unique-vec_id index contract) fall through to the rescan.
+        shutil.rmtree(stats_path, ignore_errors=True)
+        _backfill_ivf_stats(spark, index_path)
+        got = _from_sidecar()
+        if got is not None:
+            return got
     idx = (index_rows(spark, index_path, id_col="vec_id")
            .select("vec_id", "embedding"))
     return _cell_stats(_label_cells(idx, cent_rows))
@@ -1086,6 +1139,11 @@ def retrain_ivf_index(spark: SparkSession, index_path: str,
                           if r.cid not in have][:k - len(seed_rows)]
         cent = [(int(r.cid), [float(x) for x in r.cvec])
                 for r in seed_rows]
+        if not cent:
+            raise ValueError(
+                f"retrain_ivf_index: {index_path} has no live rows "
+                "(every stored id tombstoned?) — nothing to train on; "
+                "drop the index or rebuild it from fresh data instead")
         dim = len(cent[0][1])
         comp_avgs = [F.round(F.avg(F.col("embedding")[i].cast("double")), 6)
                      .alias(f"c{i}") for i in range(dim)]
@@ -1828,17 +1886,32 @@ def _lsh_stored_bucket_stats(spark: SparkSession,
     no Spark job over the index."""
     from .deletion import TOMBSTONES, index_rows
 
+    def _from_sidecar():
+        tbl = _read_stats_log(stats_path)
+        if tbl is None:
+            return None
+        per: dict[int, int] = {}
+        for b, c in zip(tbl.column("bucket").to_pylist(),
+                        tbl.column("c").to_pylist()):
+            per[int(b)] = per.get(int(b), 0) + int(c)
+        if sum(per.values()) != _data_meta_rows(index_path):
+            return None
+        return spark.createDataFrame(
+            sorted(per.items()), "bucket int, c long")
+
     stats_path = os.path.join(index_path, LSH_STATS)
     if not os.path.isdir(os.path.join(index_path, TOMBSTONES)):
-        tbl = _read_stats_log(stats_path)
-        if tbl is not None:
-            per: dict[int, int] = {}
-            for b, c in zip(tbl.column("bucket").to_pylist(),
-                            tbl.column("c").to_pylist()):
-                per[int(b)] = per.get(int(b), 0) + int(c)
-            if sum(per.values()) == _data_meta_rows(index_path):
-                return spark.createDataFrame(
-                    sorted(per.items()), "bucket int, c long")
+        got = _from_sidecar()
+        if got is not None:
+            return got
+        # self-heal a dropped/divergent sidecar once (compaction drops
+        # _stats by design; torn appends undercount) — the IVF twin's
+        # rationale at _ivf_stored_cell_stats applies verbatim
+        shutil.rmtree(stats_path, ignore_errors=True)
+        _backfill_lsh_stats(spark, index_path)
+        got = _from_sidecar()
+        if got is not None:
+            return got
     return (index_rows(spark, index_path, id_col="vec_id")
             .groupBy("bucket").agg(F.count(F.lit(1)).alias("c")))
 

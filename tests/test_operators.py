@@ -2149,3 +2149,75 @@ def test_bpe_merge_budget_gate_falls_back_to_distributed(
     over_m, over_w = txt.train_bpe_merges(spark, SF, 8)
     assert over_m == under_m
     assert {(r.w, r.sym_str, r.ns) for r in over_w.collect()} == under_map
+
+
+def test_stats_sidecar_self_heals_after_compaction(spark, tmp_path):
+    """r16 review finding: tombstone compaction must not carry the
+    pre-compaction ``_stats`` sidecar into the replacement tree (its
+    counts include the deleted rows), and the first stored-stats read
+    after compaction must REPAIR the sidecar from the compacted data —
+    once — instead of falling back to the full rescan on every future
+    report."""
+    import os
+
+    from ringo_spark.operators import similarity as sim
+    from ringo_spark.operators.deletion import (
+        apply_tombstones_partitioned, tombstone_docs,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = emb.count()
+    half = n // 2
+    p = sim.build_ivf_index(
+        spark, SF, k=sim.auto_ivf_k(spark, half),
+        index_path=str(tmp_path / "idx"),
+        emb=emb.where(F.col("vec_id") < half))
+    batch = emb.where(F.col("vec_id") >= half)
+    before = sim.ivf_staleness_report(spark, p, batch).first()
+
+    tombstone_docs(spark, p, [0, 1, 2], id_col="vec_id")
+    apply_tombstones_partitioned(spark, p, "cell", id_col="vec_id")
+    # the stale sidecar must NOT survive the swap
+    assert not os.path.exists(os.path.join(p, "_stats"))
+
+    after = sim.ivf_staleness_report(spark, p, batch).first()
+    assert after.n_build == before.n_build - 3
+    # ... and the read repaired the sidecar: present, complete, and
+    # covering the compacted data files exactly
+    assert os.path.exists(os.path.join(p, "_stats", "_SUCCESS"))
+    tbl = sim._read_stats_log(os.path.join(p, "_stats"))
+    assert sum(tbl.column("c").to_pylist()) == sim._data_meta_rows(p)
+    # a repaired sidecar is trusted from here on (no rescan, no
+    # re-repair): pin by making any further backfill write loud
+    real = sim._write_ivf_stats
+    sim._write_ivf_stats = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("sidecar rewritten on a clean read"))
+    try:
+        again = sim.ivf_staleness_report(spark, p, batch).first()
+    finally:
+        sim._write_ivf_stats = real
+    assert again == after
+
+
+def test_salt_expressions_stay_in_bucket_range(spark):
+    """r16 review finding: abs(hash) % n sends a row whose murmur3 hash
+    is Integer.MIN_VALUE outside [0, n) for non-power-of-two n (abs
+    overflows; under ANSI it even throws) — a salted JOIN would then
+    silently lose that row's match.  The helpers use pmod; pin pmod's
+    INT_MIN behavior and the join's row-preservation at a
+    non-power-of-two bucket count."""
+    from pyspark.sql import functions as F
+
+    from ringo_spark.functions.skew import salted_broadcast_left_join
+
+    r = spark.range(1).select(
+        F.pmod(F.lit(-2147483648), F.lit(12)).alias("p")).first()
+    assert 0 <= r.p < 12
+
+    big = spark.range(5000).select(
+        (F.col("id") % 37).alias("k"), F.col("id").alias("v"))
+    medium = spark.range(37).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("attr"))
+    got = salted_broadcast_left_join(big, medium, on=["k"], buckets=12)
+    assert got.where(F.col("attr").isNull()).count() == 0
+    assert got.count() == 5000

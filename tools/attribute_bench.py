@@ -3,15 +3,17 @@ stage telemetry (bench.py `stages_both_runs`, r16 — VERDICT r15 item 1).
 
 For each of the top-N wall queries it splits the measured wall into:
 
-* ``ideal_s``    — executor_run_ms / ncpus / n_runs: the wall a perfectly
-  packed run of the same executor work would take.  If a round's walls
-  grow while ideal stays flat, the regression is NOT in the query's
-  executed work (scheduler, driver, page cache, competing load).
+* ``ideal_both_runs_s`` — executor_run_ms / ncpus over BOTH timed runs,
+  compared against ``wall_both_runs_s`` (the runs' summed wall, same
+  coverage): the wall a perfectly packed run of the same executor work
+  would take.  If a round's walls grow while ideal stays flat, the
+  regression is NOT in the query's executed work (scheduler, driver,
+  page cache, competing load).
 * ``cpu_frac``   — executorCpuTime / executorRunTime: how much of
   executor time was on-CPU.  A drop (with flat walls) means executors
   waited (IO, GC, preemption) — machine, not plan.
 * ``gc_s``, ``fetch_wait_s`` — direct executor-side waits.
-* ``sched_gap_s`` — wall - ideal: scheduling slack + driver time +
+* ``sched_gap_s`` — wall_both_runs - ideal_both_runs: scheduling slack + driver time +
   unpacked tails.  Uniform growth here across unrelated queries is the
   machine-weather signature (VERDICT r14/r15 adjudications).
 
@@ -36,26 +38,32 @@ def main(detail_path: str = "BENCH_DETAIL.json", top_n: int = 10) -> None:
         st = t.get("stages_both_runs")
         if st is None:
             continue
-        n_runs = len(t.get("runs", [1, 1]))
-        ideal = st["executor_run_ms"] / 1000 / ncpus / n_runs
+        # compare both-runs wall against both-runs stage metrics — the
+        # official wall_s is min-of-runs, but stage metrics cover BOTH
+        # runs, and dividing them by n_runs while keeping the min wall
+        # understates (or negates) the gap whenever the runs are
+        # asymmetric (cold first run doing a build/backfill)
+        wall_both = sum(t.get("runs", [wall]))
+        ideal_both = st["executor_run_ms"] / 1000 / ncpus
         cpu_frac = (st["executor_cpu_ms"] / st["executor_run_ms"]
                     if st["executor_run_ms"] else None)
         rows.append({
             "query": name,
             "wall_s": wall,
-            "ideal_s": round(ideal, 3),
-            "sched_gap_s": round(wall - ideal, 3),
+            "wall_both_runs_s": round(wall_both, 3),
+            "ideal_both_runs_s": round(ideal_both, 3),
+            "sched_gap_s": round(wall_both - ideal_both, 3),
             "cpu_frac": round(cpu_frac, 3) if cpu_frac is not None else None,
-            "gc_s": round(st["jvm_gc_ms"] / 1000 / n_runs, 3),
-            "fetch_wait_s": round(
-                st["shuffle_fetch_wait_ms"] / 1000 / n_runs, 3),
+            "gc_s": round(st["jvm_gc_ms"] / 1000, 3),
+            "fetch_wait_s": round(st["shuffle_fetch_wait_ms"] / 1000, 3),
             "spill_mb": st["spill_mb"],
             "n_tasks": st["n_tasks"],
         })
         if len(rows) >= top_n:
             break
-    hdr = ("query", "wall_s", "ideal_s", "sched_gap_s", "cpu_frac",
-           "gc_s", "fetch_wait_s", "spill_mb", "n_tasks")
+    hdr = ("query", "wall_s", "wall_both_runs_s", "ideal_both_runs_s",
+           "sched_gap_s", "cpu_frac", "gc_s", "fetch_wait_s", "spill_mb",
+           "n_tasks")
     w = max(len(r["query"]) for r in rows) + 1 if rows else 10
     print(" ".join([hdr[0].ljust(w)] + [h.rjust(12) for h in hdr[1:]]),
           file=sys.stderr)
