@@ -766,11 +766,13 @@ def build_ivf_index(spark: SparkSession, sf_dir: str,
                             for c, v in cent_rows], "cid int, cvec array<double>")
      .coalesce(1).write.mode("overwrite")
      .parquet(os.path.join(index_path, "_centroids")))
-    # build-time per-cell stats sidecar (K rows): lets the staleness
-    # report price the stored side as a metadata read instead of a full
-    # re-score (r16).  Lands last — a crash here leaves a sidecar-less
-    # index the report rescans and the next build-gate miss rebuilds.
-    _write_ivf_stats(index_path, emb, cent_rows, "overwrite")
+    # build-time per-cell stats sidecar (K rows), computed from the
+    # JUST-WRITTEN files — they carry their cell in the partition path,
+    # so this is an O(n*dim) assigned-cell scoring pass, never a second
+    # argmax over the corpus (r16 review).  Lands last — a crash here
+    # leaves a sidecar-less index the report self-heals.
+    _write_ivf_stats(index_path, spark.read.parquet(index_path),
+                     cent_rows, "overwrite")
     _ilc.finish_build(index_path, IVF_INDEX_ROOT)
     return index_path
 
@@ -807,8 +809,11 @@ def append_to_ivf_index(spark: SparkSession, index_path: str,
      .write.mode("append").partitionBy("cell").parquet(index_path))
     # batch epoch appended to the stats sidecar AFTER the data lands —
     # a crash between the two undercounts the sidecar, which the
-    # report's row-count validity check detects (falls back to rescan)
-    _write_ivf_stats(index_path, batch_emb, cent_rows, "append")
+    # report's row-count validity check detects and repairs.  Scored
+    # assigned-cell (the batch re-assigns via _with_cell lineage — the
+    # one batch-sized argmax the append inherently needs)
+    _write_ivf_stats(index_path, _with_cell(batch_emb, cent_rows),
+                     cent_rows, "append")
     # keep the live index out of gc_index_root's stale set (LRU by mtime)
     _touch(os.path.join(index_path, "_SUCCESS"))
 
@@ -894,47 +899,27 @@ IVF_STATS = "_stats"
 
 
 def _label_cells(df: DataFrame, cent_rows) -> DataFrame:
-    """Per-vector (cell, cos6) assignment against a stored centroid set
-    — shared by the staleness reports' batch/rescan scoring AND the
-    build/append-time sidecar writes so the two can never disagree on a
-    single cell or rounded score.  Map-only since the r16 review: the
-    same literal greatest-over-(s, cid)-structs argmax as
-    ``_with_cell`` (pinned 6dp-equal to the oracle's crossJoin argmax),
-    keeping the winning score — no crossJoin, no shuffle, and one row
-    out per PHYSICAL row in, so the stats it feeds always agree with
-    the data files' footer row counts (the sidecar validity check).
-    Past the literal-K gate it falls back to the broadcast crossJoin
-    argmax, grouped on a per-physical-row id for the same row fidelity."""
-    import math
-
-    if len(cent_rows) > CELL_ASSIGN_LITERAL_MAX_K:
-        spark = df.sparkSession
-        sc = F.round(cosine(F.col("embedding"), F.col("cvec")), 6)
-        return (df.select(F.monotonically_increasing_id().alias("__rid"),
-                          "embedding")
-                .crossJoin(F.broadcast(spark.createDataFrame(
-                    [(int(c), [float(x) for x in v]) for c, v in cent_rows],
-                    "cid int, cvec array<double>")))
-                .groupBy("__rid")
-                .agg(F.max(F.struct(sc.alias("s"),
-                                    F.col("cid").alias("cid"))).alias("b"))
-                .select(F.col("b.cid").alias("cell"),
-                        F.col("b.s").alias("cos6")))
-    e = F.col("embedding")
-    norm = "__lab_norm_a"
-    scs = []
-    for cid, cvec_vals in cent_rows:
-        b_acc = 0.0
-        for x in cvec_vals:
-            b_acc += float(x) * float(x)
-        cvec = F.array(*[F.lit(float(x)) for x in cvec_vals])
-        s = F.round(dot(e, cvec) / (F.col(norm) * F.lit(math.sqrt(b_acc))), 6)
-        scs.append(F.struct(s.alias("s"), F.lit(int(cid)).alias("cid")))
-    best = F.greatest(*scs) if len(scs) > 1 else scs[0]
-    return (df.withColumn(norm, F.sqrt(dot(e, e)))
-            .withColumn("__b", best)
-            .select(F.col("__b.cid").alias("cell"),
-                    F.col("__b.s").alias("cos6")))
+    """Per-vector (cell, cos6) ARGMAX assignment against a stored
+    centroid set — the staleness report's scorer for rows that carry no
+    cell yet (the ingestion batch).  Broadcast crossJoin + hash-agg max
+    of the (score, cid) struct: tie-break (higher cid) matches
+    ``_with_cell``'s greatest-over-structs exactly, and the grouping
+    key is a per-PHYSICAL-row id (r16 review) so the stats it feeds
+    always agree with file-footer row accounting.  Rows already
+    carrying their cell never need this — :func:`_assigned_cell_stats`
+    scores them against their one assigned centroid, O(n*dim)."""
+    spark = df.sparkSession
+    sc = F.round(cosine(F.col("embedding"), F.col("cvec")), 6)
+    return (df.select(F.monotonically_increasing_id().alias("__rid"),
+                      "embedding")
+            .crossJoin(F.broadcast(spark.createDataFrame(
+                [(int(c), [float(x) for x in v]) for c, v in cent_rows],
+                "cid int, cvec array<double>")))
+            .groupBy("__rid")
+            .agg(F.max(F.struct(sc.alias("s"),
+                                F.col("cid").alias("cid"))).alias("b"))
+            .select(F.col("b.cid").alias("cell"),
+                    F.col("b.s").alias("cos6")))
 
 
 def _cell_stats(labeled: DataFrame) -> DataFrame:
@@ -951,31 +936,55 @@ def _cell_stats(labeled: DataFrame) -> DataFrame:
                  F.sum(qerr_micro).alias("qs")))
 
 
-def _write_ivf_stats(index_path: str, emb: DataFrame, cent_rows,
+def _assigned_cell_stats(assigned: DataFrame, cent_rows) -> DataFrame:
+    """Per-cell (cell, c, qs) for rows that ALREADY CARRY their cell
+    (the index's data files / a just-assigned batch): each row scores
+    against its one assigned centroid — the argmax winner's score
+    recomputed directly, O(n*dim) with a broadcast K-row join and a
+    map-side-combining K-partial rollup, no argmax over K anywhere
+    (r16 review: the build was scoring the corpus twice).  Same
+    round(cosine, 6) expression as :func:`_label_cells`, so assigned
+    and argmax scoring can never disagree on a value."""
+    spark = assigned.sparkSession
+    cent_df = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in cent_rows],
+        "cell int, cvec array<double>")
+    sc = F.round(cosine(F.col("embedding"), F.col("cvec")), 6)
+    qerr_micro = F.round((F.lit(1.0) - sc) * 1000000).cast("long")
+    return (assigned.select(F.col("cell").cast("int").alias("cell"),
+                            "embedding")
+            .join(F.broadcast(cent_df), "cell")
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("c"),
+                 F.sum(qerr_micro).alias("qs")))
+
+
+def _write_ivf_stats(index_path: str, assigned: DataFrame, cent_rows,
                      mode: str) -> None:
-    """Land the per-cell stats of one epoch's rows into the index's
-    ``_stats`` sidecar log (VERDICT r15 item 5): K-ish rows per epoch,
-    so the staleness report can read two tiny sidecars instead of
-    re-scoring the whole stored index per report.  ``mode="overwrite"``
-    at build, ``"append"`` per admitted batch — always AFTER the data
-    write, so a crash between the two leaves a sidecar that undercounts
-    and the report's row-count validity check falls back to the rescan
-    (correct, just slower) instead of trusting it."""
-    (_cell_stats(_label_cells(emb.select("vec_id", "embedding"), cent_rows))
+    """Land the per-cell stats of one epoch's CELL-ASSIGNED rows into
+    the index's ``_stats`` sidecar log (VERDICT r15 item 5): K-ish rows
+    per epoch, so the staleness report can read two tiny sidecars
+    instead of re-scoring the whole stored index per report.
+    ``mode="overwrite"`` at build, ``"append"`` per admitted batch —
+    always AFTER the data write, so a crash between the two leaves a
+    sidecar that undercounts and the report's row-count validity check
+    repairs it (self-heal in :func:`_ivf_stored_cell_stats`)."""
+    (_assigned_cell_stats(assigned, cent_rows)
      .coalesce(1).write.mode(mode)
      .parquet(os.path.join(index_path, IVF_STATS)))
 
 
 def _backfill_ivf_stats(spark: SparkSession, index_path: str) -> None:
-    """One-time sidecar upgrade for cached indexes built before the
-    stats sidecar existed (r16): re-score the stored rows with the
-    stored centroids ONCE and land the ``_stats`` log, so every later
-    staleness report is a metadata read.  Computed over the UNFILTERED
-    data files (plain read, not the tombstone-aware reader) — the
-    sidecar's invariant is "covers the data files exactly"; the
-    no-tombstones gate in :func:`_ivf_stored_cell_stats` handles
-    deletes.  Concurrent backfills converge (same content, overwrite);
-    a torn read during one falls back to the rescan."""
+    """Sidecar (re)generation from the data files — pre-sidecar cached
+    dirs, post-compaction repair, torn-append repair: the files carry
+    their cell in the partition path, so this is one O(n*dim)
+    assigned-cell scoring pass (:func:`_assigned_cell_stats`), never an
+    argmax re-scan.  Computed over the UNFILTERED data files (plain
+    read, not the tombstone-aware reader) — the sidecar's invariant is
+    "covers the data files exactly"; the no-tombstones gate in
+    :func:`_ivf_stored_cell_stats` handles deletes.  Concurrent
+    backfills converge (same content, overwrite); a torn read during
+    one falls back to the rescan."""
     if os.path.exists(os.path.join(index_path, IVF_STATS, "_SUCCESS")):
         return
     cent = spark.read.parquet(os.path.join(index_path, "_centroids"))
@@ -1030,9 +1039,11 @@ def _ivf_stored_cell_stats(spark: SparkSession, index_path: str,
         got = _from_sidecar()
         if got is not None:
             return got
-    idx = (index_rows(spark, index_path, id_col="vec_id")
-           .select("vec_id", "embedding"))
-    return _cell_stats(_label_cells(idx, cent_rows))
+    # tombstoned rescan: the surviving rows carry their cell in the
+    # partition path — assigned-cell scoring, no argmax (r16 review)
+    return _assigned_cell_stats(
+        index_rows(spark, index_path, id_col="vec_id")
+        .select("cell", "embedding"), cent_rows)
 
 
 def ivf_staleness_report(spark: SparkSession, index_path: str,
@@ -1160,7 +1171,9 @@ def retrain_ivf_index(spark: SparkSession, index_path: str,
         (spark.createDataFrame(cent, "cid int, cvec array<double>")
          .coalesce(1).write.mode("overwrite")
          .parquet(os.path.join(tmp, "_centroids")))
-        _write_ivf_stats(tmp, emb, cent, "overwrite")
+        # stats from the just-written replacement tree (cells ride the
+        # partition path — assigned-cell scoring, no second argmax)
+        _write_ivf_stats(tmp, spark.read.parquet(tmp), cent, "overwrite")
         _ilc.publish_swap(index_path)
         _touch(os.path.join(index_path, "_SUCCESS"))
     finally:
