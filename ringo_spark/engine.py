@@ -331,7 +331,8 @@ class Engine:
                           expected_version: int | None = None,
                           promote: tuple[str, str] | None = None,
                           schemas: dict[str, str] | None = None,
-                          windows: dict[str, list] | None = None) -> None:
+                          windows: dict[str, list] | None = None,
+                          absorbed: list | None = None) -> None:
         """Atomic pointer flip: tmp file + ``os.replace`` locally — the
         analogue of a single small-object PUT on S3/GCS (which IS atomic,
         unlike directory rename there).  The manifest maps each retained
@@ -396,6 +397,14 @@ class Engine:
                 # rows it carries — the replace-key for idempotent
                 # same-window fact reruns
                 record["windows"] = windows
+            if absorbed:
+                # windows merged into an un-replaceable dir by
+                # compact_fact (see there): a later append overlapping
+                # one of these is REFUSED — the per-dir swap that made
+                # same-window reruns idempotent no longer exists for
+                # them.  A true full refresh publishes absorbed=None,
+                # clearing the list (it recomputes everything).
+                record["absorbed"] = absorbed
             with open(tmp, "w") as fh:
                 json.dump(record, fh)
             os.replace(tmp, self._manifest_path(table))
@@ -458,6 +467,19 @@ class Engine:
         lo_ok = new_lo is None or (old_lo is not None and new_lo <= old_lo)
         hi_ok = new_hi is None or (old_hi is not None and old_hi <= new_hi)
         return lo_ok and hi_ok
+
+    @classmethod
+    def _window_overlaps(cls, new_window: tuple, old: list | None) -> bool:
+        """True when an incoming append's [lower, upper) window overlaps
+        a recorded stamp at all (None bounds read as ±infinity) — the
+        refuse-key for windows a compaction absorbed (r16 review)."""
+        if old is None:
+            return False
+        new_lo, new_hi = (cls._iso(b) for b in new_window)
+        old_lo, old_hi = old
+        before = new_hi is not None and old_lo is not None and new_hi <= old_lo
+        after = new_lo is not None and old_hi is not None and old_hi <= new_lo
+        return not (before or after)
 
     def _next_windows(self, m: dict | None,
                       versions: dict[str, list[str]],
@@ -677,7 +699,9 @@ class Engine:
             return []
         return sorted(int(v) for v in self._manifest_versions(m))
 
-    def _write_full(self, df: DataFrame, table: str, partition_by=()) -> None:
+    def _write_full(self, df: DataFrame, table: str, partition_by=(),
+                    absorbed: list | None = None,
+                    preserve_windows: bool = False) -> None:
         """Crash-safe full-refresh publication, per ``commit_mode``.
 
         rename: the previous live directory is renamed *aside* before
@@ -699,13 +723,17 @@ class Engine:
                 schemas = self._next_schemas(m, version, df.schema.json())
                 # a full refresh carries no window stamp (it covers
                 # everything); prior stamps prune to dirs some retained
-                # snapshot still references
+                # snapshot still references.  ``absorbed`` (compaction
+                # only) carries the merged-away window stamps forward as
+                # refuse-keys; a true full refresh passes None, clearing
+                # them.
                 wins = self._next_windows(m, versions)
                 try:
                     self._publish_manifest(table, version, versions,
                                            expected_version=version - 1,
                                            promote=(stage, dirname),
-                                           schemas=schemas, windows=wins)
+                                           schemas=schemas, windows=wins,
+                                           absorbed=absorbed)
                 except ManifestConflict:
                     continue       # re-read the advanced manifest, retry
                 self._gc_versions(table, versions,
@@ -727,9 +755,13 @@ class Engine:
         os.rename(staging, live)
         if os.path.exists(old):
             shutil.rmtree(old)
-        # a full refresh recomputes every window, so previously stamped
-        # appends no longer exist to double-count against
-        self._clear_rename_windows(table)
+        if not preserve_windows:
+            # a full refresh recomputes every window, so previously
+            # stamped appends no longer exist to double-count against.
+            # Compaction passes preserve_windows=True: it MERGES the
+            # stamped rows (they still exist), so the ledger must keep
+            # refusing their reruns (r16 review).
+            self._clear_rename_windows(table)
 
     def _write_append(self, df: DataFrame, table: str, partition_by=(),
                       window: tuple | None = None) -> None:
@@ -771,6 +803,7 @@ class Engine:
             if self._read_manifest(table) is None:
                 raise FileNotFoundError(f"no manifest for table {table!r}")
             stage = self._write_stage(df, table, partition_by)
+            legacy_schema_cache: dict = {}
             for _ in range(16):    # bounded CAS retry; no data rewrite
                 m = self._read_manifest(table)
                 version = m["version"] + 1
@@ -781,6 +814,21 @@ class Engine:
                 # lost-update the plain read-modify-write allowed
                 live_dirs = self._manifest_versions(m)[str(m["version"])]
                 if window is not None:
+                    # windows a compaction merged away have no dir to
+                    # swap — an overlapping rerun would silently double
+                    # those rows, so it is refused (the rename-mode
+                    # semantics; r16 review)
+                    hit = [s for s in m.get("absorbed", [])
+                           if self._window_overlaps(window, s)]
+                    if hit:
+                        lo, hi = (self._iso(b) for b in window)
+                        raise ValueError(
+                            f"{table}: append window [{lo}, {hi}) overlaps "
+                            f"{len(hit)} window(s) merged by compaction "
+                            f"(e.g. [{hit[0][0]}, {hit[0][1]})) — their "
+                            "rows no longer live in a swappable dir, so "
+                            "re-appending would double-count them.  "
+                            "Re-run as a full refresh")
                     stamps = m.get("windows", {})
                     live_dirs = [d for d in live_dirs
                                  if not self._window_covers(window,
@@ -800,13 +848,19 @@ class Engine:
                     # (old narrow appends + a wide refresh) — a single
                     # footer could record a narrowed schema and drop
                     # columns from all future reads.  The every-footer
-                    # cost is paid once: this publish records the
-                    # merged schema and the path never runs again.
-                    prev_schema = (self.spark.read
-                                   .option("mergeSchema", "true")
-                                   .parquet(*self._snapshot_paths(table,
-                                                                  m=m))
-                                   .schema.json())
+                    # cost is paid once per SNAPSHOT (cached across the
+                    # CAS retries of this call — N contending legacy
+                    # writers previously re-read every footer per lost
+                    # CAS, r16 review); the publish records the merged
+                    # schema and the path never runs again.
+                    snap = tuple(self._snapshot_paths(table, m=m))
+                    if legacy_schema_cache.get("paths") != snap:
+                        legacy_schema_cache["paths"] = snap
+                        legacy_schema_cache["schema"] = (
+                            self.spark.read
+                            .option("mergeSchema", "true")
+                            .parquet(*snap).schema.json())
+                    prev_schema = legacy_schema_cache["schema"]
                 schemas = self._next_schemas(
                     m, version, self._union_schema(prev_schema, df))
                 wins = self._next_windows(m, versions, dirname, window)
@@ -814,7 +868,8 @@ class Engine:
                     self._publish_manifest(table, version, versions,
                                            expected_version=version - 1,
                                            promote=(stage, dirname),
-                                           schemas=schemas, windows=wins)
+                                           schemas=schemas, windows=wins,
+                                           absorbed=m.get("absorbed"))
                 except ManifestConflict:
                     continue
                 self._gc_versions(table, versions,
@@ -851,6 +906,19 @@ class Engine:
     # a sidecar JSON keyed by table.  A full refresh clears the table's
     # stamps (it covers everything, same as manifest dropping old dirs).
 
+    @staticmethod
+    def _atomic_json(path: str, obj) -> None:
+        """Sidecar state files (watermarks, inflight journal, window
+        ledger) rewrite via tmp + os.replace — an in-place open('w')
+        truncate-then-write leaves partial JSON after a crash/disk-full,
+        and these files ARE the crash-recovery state (r16 review; the
+        manifest pointer and index_lifecycle.flip_pointer already used
+        this pattern)."""
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(obj, fh, indent=2)
+        os.replace(tmp, path)
+
     @property
     def _rename_windows_path(self) -> str:
         return os.path.join(self.storage, "_rename_windows.json")
@@ -865,14 +933,12 @@ class Engine:
         stamps = self._rename_window_stamps()
         stamps.setdefault(table, []).append(
             [self._iso(window[0]), self._iso(window[1])])
-        with open(self._rename_windows_path, "w") as fh:
-            json.dump(stamps, fh, indent=2)
+        self._atomic_json(self._rename_windows_path, stamps)
 
     def _clear_rename_windows(self, table: str) -> None:
         stamps = self._rename_window_stamps()
         if stamps.pop(table, None) is not None:
-            with open(self._rename_windows_path, "w") as fh:
-                json.dump(stamps, fh, indent=2)
+            self._atomic_json(self._rename_windows_path, stamps)
 
     # --- watermarks --------------------------------------------------------
 
@@ -894,8 +960,19 @@ class Engine:
             return
         wm = self.watermarks()
         wm[table] = upper.isoformat() if hasattr(upper, "isoformat") else str(upper)
-        with open(self._wm_path, "w") as fh:
-            json.dump(wm, fh, indent=2)
+        self._atomic_json(self._wm_path, wm)
+
+    def _commit_watermark(self, table: str, upper) -> None:
+        """Watermark update + inflight-marker clear in ONE atomic write
+        (r16 review): they live in the same file, and a crash between
+        two separate writes left a stale inflight marker that bricked
+        the next incremental run after a fully successful append."""
+        wm = self.watermarks()
+        if upper is not None:
+            wm[table] = (upper.isoformat()
+                         if hasattr(upper, "isoformat") else str(upper))
+        wm.get("__inflight__", {}).pop(table, None)
+        self._atomic_json(self._wm_path, wm)
 
     # Incremental fact appends are not atomic with the watermark update:
     # a crash between the append's job commit and _store_watermark would
@@ -927,8 +1004,7 @@ class Engine:
                 inf[table] = m["version"] if m else 0
             else:
                 inf[table] = True
-        with open(self._wm_path, "w") as fh:
-            json.dump(wm, fh, indent=2)
+        self._atomic_json(self._wm_path, wm)
 
     def _inflight_retry_is_safe(self, table: str,
                                 window: tuple | None = None) -> bool:
@@ -1003,7 +1079,12 @@ class Engine:
         stored watermark (the previous run's upper bound); pass
         ``resume=False`` to process an unbounded window instead (the
         streaming pipeline does — its micro-batches are already bounded)."""
-        if not hasattr(self, "_populated_this_run"):
+        # a DIRECT run_fact call repopulates dimensions: the memo only
+        # persists across the facts of one run() batch (r16 review — a
+        # long-lived Engine's second incremental run_fact previously
+        # skipped dimension population and misattributed new members to
+        # the missing-FK sentinel)
+        if not getattr(self, "_batch_dim_memo", False) or                 not hasattr(self, "_populated_this_run"):
             self._populated_this_run = set()
         from .extractor import extract_all_dimension_tables
 
@@ -1023,8 +1104,8 @@ class Engine:
                                 time_upper, time_lower)
             self._populated_this_run.add(dim_table.name)
         produced = self._run_fact_table(fact, mode, time_upper, time_lower)
-        self._store_watermark(produced, time_upper)
-        self._mark_inflight(produced, clear=True)   # append + watermark done
+        # watermark + inflight-clear as ONE atomic write (r16 review)
+        self._commit_watermark(produced, time_upper)
         return produced
 
     def _run_dimension(self, fact: Fact, dim_table: str, mode: PopulationMode,
@@ -1083,8 +1164,18 @@ class Engine:
             # window-stamped: a rerun of an already-committed window
             # REPLACES that window's dirs instead of double-counting
             # (manifest mode; see _write_append)
-            self._write_append(df, derived.name, partition_by,
-                               window=window)
+            try:
+                self._write_append(df, derived.name, partition_by,
+                                   window=window)
+            except ValueError:
+                # a window REFUSAL (rename-ledger cover / compaction-
+                # absorbed overlap) raises before anything lands in the
+                # live table — clearing the bracket keeps the next run's
+                # inflight check telling the truth (a stale marker here
+                # would surface as a spurious mid-append-crash error
+                # once the manifest version moves, e.g. via compaction)
+                self._mark_inflight(derived.name, clear=True)
+                raise
         else:
             self._write_full(df, derived.name, partition_by)
             self._mark_inflight(derived.name, clear=True)  # full run heals
@@ -1093,7 +1184,17 @@ class Engine:
     def run(self, mode: PopulationMode = PopulationMode.FULL, time_upper=None,
             time_lower=None) -> list[str]:
         """Populate every persistent fact (and all dimensions) in topo order."""
+        # one dim-population memo across THIS batch's facts (facts
+        # sharing a dim build it once); direct run_fact calls outside a
+        # batch reset it per call — see run_fact
         self._populated_this_run = set()
+        self._batch_dim_memo = True
+        try:
+            return self._run_batch(mode, time_upper, time_lower)
+        finally:
+            self._batch_dim_memo = False
+
+    def _run_batch(self, mode, time_upper, time_lower) -> list[str]:
         out = []
         for fact in self.env.facts:
             if fact.persistent:
@@ -1145,7 +1246,22 @@ class Engine:
         # live dir (our input) is replaced; re-applying the partitioning
         # keeps the day/tenant directory layout through compaction
         out, partition_by = self._with_fact_partitioning(fact, out)
-        self._write_full(out, derived.name, partition_by)
+        # compaction is NOT a full refresh: the windowed rows it merges
+        # still exist in the output, so the same-window rerun protection
+        # must survive it (r16 review — _write_full's default clears it,
+        # silently re-enabling double-counting appends).  Manifest mode
+        # carries every live dir's stamp (plus previously absorbed ones)
+        # forward as refuse-keys; rename mode keeps its ledger.
+        absorbed = None
+        if self.commit_mode == "manifest":
+            m = self._read_manifest(derived.name)
+            if m is not None:
+                live = self._manifest_versions(m)[str(m["version"])]
+                stamps = m.get("windows", {})
+                absorbed = list(m.get("absorbed", [])) +                     [stamps[d] for d in live if stamps.get(d)]
+                absorbed = absorbed or None
+        self._write_full(out, derived.name, partition_by,
+                         absorbed=absorbed, preserve_windows=True)
 
     # --- JDBC sink (Postgres-sink parity, Main.hs:35-83) -------------------
 

@@ -65,7 +65,13 @@ def source_fingerprint(sf_dir: str, table: str = "embeddings.parquet") -> str:
     src = os.path.join(sf_dir, table)
     parts = []
     if os.path.isdir(src):
-        for root, _, files in os.walk(src):
+        for root, dirs, files in os.walk(src):
+            # os.walk's subdir order is os.scandir order — arbitrary and
+            # host-dependent; unsorted it makes the fingerprint of a
+            # partitioned source filesystem-order-dependent, causing
+            # spurious cache misses and duplicate index builds (r16
+            # review).  Sorting dirs in place fixes the walk order.
+            dirs.sort()
             for f in sorted(files):
                 st = os.stat(os.path.join(root, f))
                 parts.append(f"{os.path.relpath(os.path.join(root, f), src)}"
@@ -88,10 +94,16 @@ def serve_cached(index_path: str, marker: str, force: bool = False) -> bool:
     """The build-once gate: True iff the index at ``index_path`` is
     complete (its ``marker`` file exists) and ``force`` is off — in
     which case the marker is touched (LRU liveness) and the caller
-    serves from cache instead of rebuilding."""
+    serves from cache instead of rebuilding.  The exists-then-touch
+    pair races a concurrent session's GC collecting a stale-by-hours
+    dir (r16 review): a marker that vanishes between the two reads as
+    a clean cache MISS (rebuild), not a crash."""
     m = os.path.join(index_path, marker)
     if not force and os.path.exists(m):
-        touch(m)
+        try:
+            touch(m)
+        except FileNotFoundError:
+            return False
         return True
     return False
 
@@ -137,9 +149,18 @@ def gc_index_root(root: str, keep: int | None = None,
     entries = []
     for d in os.listdir(root):
         p = os.path.join(root, d)
-        if (os.path.isdir(p) and p != protect
-                and now - os.path.getmtime(p) >= min_age_seconds):
-            entries.append((os.path.getmtime(p), p))
+        # a concurrent session's GC can remove an entry between listdir
+        # and stat (shared CI roots are a documented use) — a vanished
+        # dir is simply not a candidate, never a crash (r16 review; the
+        # same guard Engine._newest_mtime carries)
+        try:
+            if not os.path.isdir(p) or p == protect:
+                continue
+            mtime = os.path.getmtime(p)
+        except OSError:
+            continue
+        if now - mtime >= min_age_seconds:
+            entries.append((mtime, p))
     removed = []
     for _, p in sorted(entries)[:-keep] if keep else sorted(entries):
         shutil.rmtree(p, ignore_errors=True)

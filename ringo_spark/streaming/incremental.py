@@ -160,8 +160,9 @@ class StreamingPipeline:
         eng, fact = self.engine, self.fact
         eng.sources[fact.table_name] = batch_df
         # per-batch bounds: the whole batch (time filtering already happened
-        # upstream in the stream); use open bounds
-        eng._populated_this_run = set()
+        # upstream in the stream); use open bounds.  run_fact repopulates
+        # dimensions per direct call since r16 (the old private
+        # _populated_this_run reset workaround is no longer needed).
         eng.run_fact(fact, PopulationMode.INCREMENTAL,
                      time_upper=None, time_lower=None, resume=False)
 

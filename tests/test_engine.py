@@ -137,14 +137,14 @@ def test_resume_refuses_after_unclean_incremental_append(engine, monkeypatch):
     a full refresh heals."""
     engine.run(PopulationMode.FULL, T_ORDERS_MID)
 
-    orig = Engine._store_watermark
+    orig = Engine._commit_watermark
 
     def crashing_store(self, table, upper):
         if table.startswith("fact_"):
             raise RuntimeError("simulated crash before watermark")
         return orig(self, table, upper)
 
-    monkeypatch.setattr(Engine, "_store_watermark", crashing_store)
+    monkeypatch.setattr(Engine, "_commit_watermark", crashing_store)
     with pytest.raises(RuntimeError, match="simulated crash"):
         engine.run(PopulationMode.INCREMENTAL, T_FAR)
     monkeypatch.undo()
@@ -301,14 +301,14 @@ def test_manifest_append_crash_after_publish_heals_by_window_swap(
     eng = manifest_engine
     eng.run(PopulationMode.FULL, T_ORDERS_MID)
 
-    real_store = eng._store_watermark
+    real_store = eng._commit_watermark
 
     def crashing_store(table, upper):
         if table == "fact_orders_by_day":
             raise RuntimeError("simulated crash before watermark")
         return real_store(table, upper)
 
-    monkeypatch.setattr(eng, "_store_watermark", crashing_store)
+    monkeypatch.setattr(eng, "_commit_watermark", crashing_store)
     with pytest.raises(RuntimeError, match="simulated crash"):
         eng.run(PopulationMode.INCREMENTAL, T_FAR, T_ORDERS_MID)
     monkeypatch.undo()
@@ -998,3 +998,118 @@ def test_window_merge_model_based(spark, tmp_path):
             assert got == want, (ops, step, model)
 
     run()
+
+
+def test_compaction_preserves_same_window_rerun_protection(spark, tmp_path):
+    """r16 review finding 1: compaction merges the windowed dirs' rows,
+    so the same-window rerun protection must SURVIVE it.  Manifest
+    mode: the absorbed windows become refuse-keys (their dirs no longer
+    exist to swap, so an overlapping append would silently double-count
+    the merged rows); rename mode: the ledger is preserved.  A true
+    full refresh still clears both."""
+    from ringo_spark.testbed import EVENTS_ENV, EVENTS_FACT, T_EVENTS_MID
+
+    for mode in ("manifest", "rename"):
+        eng = Engine(spark, EVENTS_ENV, str(tmp_path / f"wh_{mode}"),
+                     commit_mode=mode)
+        eng.load_sources("/root/testdata/sf0.001")
+        eng.run(PopulationMode.FULL, T_EVENTS_MID)
+        eng.run(PopulationMode.INCREMENTAL, T_FAR, T_EVENTS_MID)
+        table = "fact_events_by_minute"
+        total = eng.read_table(table).agg(
+            {"event_count": "sum"}).collect()[0][0]
+
+        eng.compact_fact(EVENTS_FACT)
+        # rerun of the absorbed window must refuse, not double-count
+        with pytest.raises(ValueError,
+                           match="compaction" if mode == "manifest"
+                                 else "double-count"):
+            eng.run(PopulationMode.INCREMENTAL, T_FAR, T_EVENTS_MID)
+        assert eng.read_table(table).agg(
+            {"event_count": "sum"}).collect()[0][0] == total
+
+        # protection survives a further compaction too
+        eng.compact_fact(EVENTS_FACT)
+        with pytest.raises(ValueError):
+            eng.run(PopulationMode.INCREMENTAL, T_FAR, T_EVENTS_MID)
+
+        # a true full refresh recomputes everything and clears the keys
+        eng.run(PopulationMode.FULL, T_EVENTS_MID)
+        eng.run(PopulationMode.INCREMENTAL, T_FAR, T_EVENTS_MID)
+        assert eng.read_table(table).agg(
+            {"event_count": "sum"}).collect()[0][0] == total
+
+
+def test_direct_run_fact_repopulates_dimensions(spark, tmp_path):
+    """r16 review finding 2: a long-lived Engine's SECOND direct
+    run_fact call must repopulate dimensions — the memo only spans one
+    run() batch.  Previously the second window's new dimension members
+    were never appended and their fact rows fell to the missing-FK
+    sentinel."""
+    from pyspark.sql import functions as F
+
+    from ringo_spark.testbed import (
+        EVENTS_ENV, EVENTS_FACT, T_EVENTS_MID,
+    )
+
+    eng = Engine(spark, EVENTS_ENV, str(tmp_path / "wh"))
+    eng.load_sources("/root/testdata/sf0.001")
+    eng.run_fact(EVENTS_FACT, PopulationMode.FULL, T_EVENTS_MID)
+    n_types = eng.read_table("dim_event_type").count()
+
+    # window 2 carries a brand-new event_type
+    ev = eng.sources["events"]
+    late = ev.where(F.col("ts") >= T_EVENTS_MID) \
+             .withColumn("event_type", F.lit("r16_new_type"))
+    eng.register_source("events", ev.where(F.col("ts") < T_EVENTS_MID)
+                        .unionByName(late))
+    eng.run_fact(EVENTS_FACT, PopulationMode.INCREMENTAL, T_FAR,
+                 T_EVENTS_MID)
+    dim = eng.read_table("dim_event_type")
+    assert dim.where(F.col("event_type") == "r16_new_type").count() == 1
+    assert dim.count() == n_types + 1
+    # and the fact rows of window 2 resolve to it, never the -1 sentinel
+    new_id = dim.where(F.col("event_type") == "r16_new_type") \
+                .collect()[0]["id"]
+    fact = eng.read_table("fact_events_by_minute")
+    assert fact.where(F.col("event_type_id") == new_id).count() > 0
+    assert fact.where(F.col("event_type_id") == -1).count() == 0
+
+
+def test_sidecar_state_writes_are_atomic(spark, tmp_path, monkeypatch):
+    """r16 review finding 3/4: watermark / inflight / window-ledger
+    rewrites go through tmp + os.replace — a crash mid-write leaves the
+    PREVIOUS state readable, never torn JSON; and the post-append
+    watermark+inflight-clear commit is ONE write, so no crash window
+    exists between them."""
+    eng = Engine(spark, ORDERS_ENV, str(tmp_path / "wh"))
+    eng.load_sources("/root/testdata/sf0.001")
+    eng.run(PopulationMode.FULL, T_ORDERS_MID)
+    before = json.load(open(eng._wm_path))
+
+    real_dump = json.dump
+
+    def torn_dump(obj, fh, **kw):
+        fh.write('{"torn":')     # partial bytes, then die
+        raise RuntimeError("simulated crash mid-write")
+
+    monkeypatch.setattr(json, "dump", torn_dump)
+    with pytest.raises(RuntimeError, match="mid-write"):
+        eng._store_watermark("fact_orders_by_day", T_FAR)
+    monkeypatch.setattr(json, "dump", real_dump)
+    # the live file still parses and holds the previous state
+    assert json.load(open(eng._wm_path)) == before
+
+    # the append-success commit is a single atomic write
+    writes = []
+    real_atomic = eng._atomic_json
+    monkeypatch.setattr(
+        Engine, "_atomic_json",
+        staticmethod(lambda path, obj: (writes.append(path),
+                                        real_atomic(path, obj))[1]))
+    eng._mark_inflight("fact_orders_by_day")
+    writes.clear()
+    eng._commit_watermark("fact_orders_by_day", T_FAR)
+    assert len(writes) == 1
+    assert "fact_orders_by_day" not in eng._inflight()
+    assert eng.watermarks()["fact_orders_by_day"] == T_FAR.isoformat()
