@@ -41,6 +41,10 @@ from pyspark.sql import functions as F
 from .. import index_lifecycle as _ilc
 
 TOMBSTONES = "_tombstones"
+# the build-stats sidecar every persisted index writes (similarity's
+# IVF_STATS/LSH_STATS alias this) — named here so the compaction
+# exclusion below and the writers can never silently diverge
+STATS_SIDECAR = "_stats"
 
 
 def tombstone_docs(spark: SparkSession, index_path: str, ids,
@@ -180,27 +184,33 @@ def apply_tombstones_partitioned(spark: SparkSession, index_path: str,
                                    id_col)
         kept.write.mode("overwrite").partitionBy(partition_col) \
             .parquet(tmp)
+        # carry every sidecar (anything that isn't a partition dir, the
+        # log, or tmp's own files) into the replacement tree — EXCEPT
+        # the ``_stats`` build-stats log: its counts include the rows
+        # this compaction just removed, and a carried-over stale
+        # sidecar would fail the reports' row-count validity check
+        # forever.  Dropping it lets the next staleness report
+        # self-heal it from the compacted data
+        # (similarity._ivf_stored_cell_stats / _lsh_stored_bucket_stats).
+        # The copies happen BEFORE the fingerprint lands (r16 review):
+        # ``complete`` above must imply sidecars-fully-copied, or a
+        # copytree interrupted mid-copy would survive the rerun's
+        # exists-skip and publish a partial sidecar as live.
+        is_part = f"{partition_col}="
+        for d in os.listdir(root):
+            if d.startswith(is_part) or d == TOMBSTONES \
+                    or d == STATS_SIDECAR:
+                continue
+            s, t = os.path.join(root, d), os.path.join(tmp, d)
+            if os.path.exists(t):
+                continue
+            if os.path.isdir(s):
+                shutil.copytree(s, t)
+            else:
+                shutil.copy2(s, t)
+        # the fingerprint is the completeness marker — LAST
         with open(fp_file, "w") as fh:
             fh.write(fp)
-    # carry every sidecar (anything that isn't a partition dir, the
-    # log, or tmp's own files) into the replacement tree — EXCEPT the
-    # ``_stats`` build-stats log: its counts include the rows this
-    # compaction just removed, and a carried-over stale sidecar would
-    # fail the reports' row-count validity check forever (the backfill
-    # guard sees its _SUCCESS and never repairs).  Dropping it here
-    # lets the next staleness report self-heal it from the compacted
-    # data (similarity._ivf_stored_cell_stats / _lsh_stored_bucket_stats).
-    is_part = f"{partition_col}="
-    for d in os.listdir(root):
-        if d.startswith(is_part) or d == TOMBSTONES or d == "_stats":
-            continue
-        s, t = os.path.join(root, d), os.path.join(tmp, d)
-        if os.path.exists(t):
-            continue
-        if os.path.isdir(s):
-            shutil.copytree(s, t)
-        else:
-            shutil.copy2(s, t)
     _ilc.publish_swap(root)
 
 

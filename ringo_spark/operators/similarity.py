@@ -895,7 +895,7 @@ IVF_STALE_QERR_RATIO = 1.25
 IVF_STALE_SKEW = 4.0
 
 
-IVF_STATS = "_stats"
+from .deletion import STATS_SIDECAR as IVF_STATS  # one compaction-aware name
 
 
 def _label_cells(df: DataFrame, cent_rows) -> DataFrame:
@@ -1862,7 +1862,7 @@ def append_to_lsh_index(spark: SparkSession, index_path: str,
     _touch(os.path.join(index_path, "_SUCCESS"))
 
 
-LSH_STATS = "_stats"
+LSH_STATS = IVF_STATS    # same sidecar name; deletion.py excludes it on compaction
 
 
 def _write_lsh_stats(index_path: str, assigned: DataFrame,

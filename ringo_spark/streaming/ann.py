@@ -76,10 +76,15 @@ def streaming_vector_ingest(index_path: str, bits: int,
             b = (batch_df.select("vec_id", "embedding")
                  .withColumn("bucket",
                              _bucket_expr(F.col("embedding"), bits)))
-            batch_ids = [r.vec_id for r in b.select("vec_id").collect()]
+            # self-match exclusion as a broadcast ANTI-join, not an
+            # isin() literal list (r16 review): a backfill-sized
+            # trigger would otherwise embed 100k+ literals in the plan
+            # (driver memory + super-linear analysis cost) — the
+            # anti-join keeps the plan size constant in batch size
             idx = (index_rows(spark, index_path, id_col="vec_id")
                    .dropDuplicates(["vec_id"])          # retried admits
-                   .where(~F.col("vec_id").isin(batch_ids)))  # no self-match
+                   .join(F.broadcast(b.select("vec_id")),
+                         "vec_id", "left_anti"))
             cos = F.round(cosine(F.col("n.embedding"),
                                  F.col("c.embedding")), 6)
             hits = (idx.alias("c")

@@ -79,30 +79,76 @@ def streaming_cms_vocab(probe_tokens: list[str]):
     return batch_writer
 
 
+def _merge_partial_rows(jvm, rows):
+    """Driver-side fold of partial rows -> (merged_sketch|None, n_total,
+    exact_counts): cell-wise CountMinSketch.mergeInPlace over
+    identically-seeded sketches plus exact-count/token-total addition.
+    ONE implementation shared by compaction and snapshot (r16 review:
+    two copies of this loop had already drifted in structure), so the
+    pinned bit-identical-snapshot contract cannot silently diverge."""
+    merged, n_total = None, 0
+    exact: dict[str, int] = {}
+    for r in rows:
+        n_total += r.n_tokens or 0
+        for t, c in (r.probe_counts or {}).items():
+            exact[t] = exact.get(t, 0) + c
+        if r.sketch is None:     # an EMPTY micro-batch aggregates a null
+            continue             # sketch and zero counts — nothing to merge
+        s = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            jvm.java.io.ByteArrayInputStream(bytes(r.sketch)))
+        merged = s if merged is None else (merged.mergeInPlace(s) or merged)
+    return merged, n_total, exact
+
+
+def _base_state(parts_rows) -> tuple[int, object | None]:
+    """(folded_through, newest_base_row) from a sink's collected rows:
+    base rows live under NEGATIVE batch ids (trigger ids are >= 0, so a
+    retried trigger can never overwrite a base — r16 review) and carry
+    ``folded_through`` in-row; the newest base wins.  (-1, None) on a
+    never-compacted sink."""
+    up, base = -1, None
+    for r in parts_rows:
+        if (r.batch_id is not None and r.batch_id < 0
+                and r.asDict().get("folded_through") is not None
+                and r.folded_through > up):
+            up, base = int(r.folded_through), r
+    return up, base
+
+
+def _read_sink(spark: SparkSession, sink_path: str):
+    # mergeSchema: base rows carry the extra folded_through column that
+    # pre-compaction partials lack
+    return (spark.read.option("mergeSchema", "true").parquet(sink_path)
+            .collect())
+
+
 def compact_cms_sink(spark: SparkSession, sink_path: str,
                      up_to_batch_id: int) -> None:
-    """Fold every partial with ``batch_id <= up_to_batch_id`` into ONE
-    merged row stored under the partition ``batch_id=<up_to_batch_id>``
-    — the O(batches)→O(1) state compaction the module contract
-    promises.  Safe against concurrent retries of compacted batches:
-    the merged row lives under the HIGHEST compacted batch_id, so a
-    late retry of an older batch would recreate a partial that the next
-    compaction (or snapshot, which sums counters) simply re-absorbs —
-    counter addition makes double-merge the only hazard, and the
-    deleted source partitions cannot be double-merged.  Token totals
-    and probe counts sum; the sketch bytes merge cell-wise, so a
-    snapshot over the compacted sink is bit-identical (pytest-pinned).
+    """Fold the newest base row and every partial with
+    ``batch_id <= up_to_batch_id`` into ONE merged base row — the
+    O(batches)→O(1) state compaction the module contract promises.
 
-    Crash safety (write-then-delete, never delete-then-write): the
-    merged row lands DURABLY first in an underscore-hidden staging dir
-    (invisible to the snapshot's partition discovery; Spark's
-    ``_SUCCESS`` plus an ``_up_to`` marker prove completeness), and
-    only then are the folded ``batch_id=`` partials deleted and the
-    staging dir renamed into place.  A crash anywhere in that finish
-    window is recovered on the next call — a complete staging dir is
-    finished before anything else (deletes are idempotent; the rename
-    is last), so partial contributions can never be silently lost.  An
-    INCOMPLETE staging dir (no marker) is discarded and redone."""
+    Layout (r16 review — the old design stored the merged row under the
+    LIVE trigger id ``batch_id=up_to``, so a checkpoint-replayed
+    trigger's overwrite-by-batch_id DESTROYED the compacted prefix):
+
+    * the merged row lands under ``batch_id=-(up_to+1)`` — trigger ids
+      are >= 0, so no retried trigger can ever collide with a base —
+      and carries ``folded_through = up_to`` IN-ROW, so the single
+      rename that publishes the base atomically publishes which
+      partials it absorbed;
+    * snapshots skip partials with ``batch_id <= folded_through``
+      (a late retry of a folded trigger recreates its partial
+      harmlessly — it is ignored, then reclaimed);
+    * folded partials and superseded bases are deleted at the START of
+      the NEXT compaction call, never in the publish path: deletion is
+      pure space reclamation, so correctness never races it and an
+      in-flight snapshot gets a full compaction interval of grace.
+
+    Crash safety: the merged row lands DURABLY first in an
+    underscore-hidden staging dir (invisible to partition discovery;
+    ``_SUCCESS`` + ``_up_to`` prove completeness) and the publish is
+    one rename; an INCOMPLETE staging dir is discarded and redone."""
     import shutil
 
     from pyspark.sql import types as T
@@ -111,38 +157,34 @@ def compact_cms_sink(spark: SparkSession, sink_path: str,
     marker = os.path.join(stage, "_up_to")
 
     def _finish(up: int) -> None:
-        # staging holds the complete merged row for batches <= up:
-        # drop the folded partials (idempotent), land staging LAST
-        for d in os.listdir(sink_path):
-            if d.startswith("batch_id=") and \
-                    int(d.split("=", 1)[1]) <= up:
-                shutil.rmtree(os.path.join(sink_path, d),
-                              ignore_errors=True)
-        os.rename(stage, os.path.join(sink_path, f"batch_id={up}"))
+        # publish ONLY: deletions are deferred to the next call
+        final = os.path.join(sink_path, f"batch_id=-{up + 1}")
+        shutil.rmtree(final, ignore_errors=True)   # idempotent redo
+        os.rename(stage, final)
 
     from .. import index_lifecycle as _ilc
     _ilc.recover_staging(stage, "_up_to",
                          lambda: _finish(int(open(marker).read())))
 
-    parts = spark.read.parquet(sink_path)
-    old = [r for r in parts.select("batch_id").distinct().collect()
-           if r.batch_id <= up_to_batch_id]
-    if not old:
-        return
-    rows = (parts.where(F.col("batch_id") <= up_to_batch_id)
-            .drop("batch_id").collect())
-    jvm = spark._jvm
-    merged, n_total = None, 0
-    exact: dict[str, int] = {}
-    for r in rows:
-        n_total += r.n_tokens
-        for t, c in (r.probe_counts or {}).items():
-            exact[t] = exact.get(t, 0) + c
-        if r.sketch is None:
+    rows = _read_sink(spark, sink_path)
+    up_prev, base = _base_state(rows)
+    # deferred reclamation: partials the newest base already absorbed,
+    # and bases it superseded
+    for d in os.listdir(sink_path):
+        if not d.startswith("batch_id="):
             continue
-        s = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-            jvm.java.io.ByteArrayInputStream(bytes(r.sketch)))
-        merged = s if merged is None else (merged.mergeInPlace(s) or merged)
+        bid = int(d.split("=", 1)[1])
+        if (0 <= bid <= up_prev) or (bid < 0 and -bid - 1 < up_prev):
+            shutil.rmtree(os.path.join(sink_path, d), ignore_errors=True)
+    if up_to_batch_id <= up_prev:
+        return                      # nothing new to fold
+    fold = ([base] if base is not None else []) +         [r for r in rows
+         if r.batch_id is not None
+         and up_prev < r.batch_id <= up_to_batch_id]
+    if not [r for r in fold if r.batch_id is not None and r.batch_id >= 0]:
+        return                      # no unfolded partials in range
+    jvm = spark._jvm
+    merged, n_total, exact = _merge_partial_rows(jvm, fold)
     buf = jvm.java.io.ByteArrayOutputStream()
     if merged is not None:
         merged.writeTo(buf)
@@ -152,40 +194,38 @@ def compact_cms_sink(spark: SparkSession, sink_path: str,
         T.StructField("sketch", T.BinaryType()),
         T.StructField("probe_counts",
                       T.MapType(T.StringType(), T.LongType())),
+        T.StructField("folded_through", T.LongType()),
     ])
     compacted = spark.createDataFrame(
-        [(n_total, sketch_bytes, exact or None)], schema)
+        [(n_total, sketch_bytes, exact or None, up_to_batch_id)], schema)
     compacted.write.mode("overwrite").parquet(stage)
     with open(marker, "w") as fh:       # marker completes the staging;
-        fh.write(str(up_to_batch_id))   # only now may partials go
+        fh.write(str(up_to_batch_id))   # only now may the publish run
     _finish(up_to_batch_id)
 
 
 def cms_vocab_snapshot(spark: SparkSession, sink_path: str,
                        probe_tokens: list[str]) -> DataFrame:
-    """Merge every batch partial into the current corpus view: one row
-    per probe token with the exact streamed count, the merged-sketch
-    estimate, and the CMS guarantee verdict (estimate never BELOW the
-    exact count; overcount bounded by eps * total stream size).
+    """Merge every live batch partial (plus the newest compacted base)
+    into the current corpus view: one row per probe token with the
+    exact streamed count, the merged-sketch estimate, and the CMS
+    guarantee verdict (estimate never BELOW the exact count; overcount
+    bounded by eps * total stream size).
 
-    The merge is ``CountMinSketch.mergeInPlace`` — cell-wise counter
-    addition over identically-seeded sketches, so the result is
-    bit-identical to a single-pass aggregation over the union of the
-    batches (pinned by ``test_streaming_cms_vocab_matches_batch``).
-    Driver cost: O(batches) sketch reads, each a few KB."""
-    parts = spark.read.parquet(sink_path).collect()
-    jvm = spark._jvm
-    merged, n_total = None, 0
-    exact: dict[str, int] = {t: 0 for t in probe_tokens}
-    for r in parts:
-        if r.sketch is None:     # an EMPTY micro-batch aggregates a null
-            continue             # sketch and zero counts — nothing to merge
-        s = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-            jvm.java.io.ByteArrayInputStream(bytes(r.sketch)))
-        merged = s if merged is None else (merged.mergeInPlace(s) or merged)
-        n_total += r.n_tokens
-        for t, c in (r.probe_counts or {}).items():
-            exact[t] += c
+    Partials with ``batch_id <= base.folded_through`` are SKIPPED —
+    they are either awaiting deferred reclamation or a late trigger
+    retry recreated them, and their contribution already lives in the
+    base (r16 review: double-count hazard).  The merge is
+    ``CountMinSketch.mergeInPlace`` — cell-wise counter addition over
+    identically-seeded sketches, so the result is bit-identical to a
+    single-pass aggregation over the union of the batches (pinned by
+    ``test_streaming_cms_vocab_matches_batch``).  Driver cost:
+    O(batches) sketch reads, each a few KB."""
+    parts = _read_sink(spark, sink_path)
+    up, base = _base_state(parts)
+    live = ([base] if base is not None else []) +         [r for r in parts if r.batch_id is not None and r.batch_id > up]
+    merged, n_total, exact_got = _merge_partial_rows(spark._jvm, live)
+    exact = {t: exact_got.get(t, 0) for t in probe_tokens}
     rows = []
     for t in probe_tokens:
         est = merged.estimateCount(t) if merged is not None else 0

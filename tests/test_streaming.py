@@ -1077,17 +1077,35 @@ def test_streaming_cms_vocab_matches_batch(spark, tmp_path):
              cms_vocab_snapshot(spark, sink, probes).collect()}
     assert still == again
 
-    # compaction folds all partials into one row; the snapshot stays
-    # bit-identical and the sink is down to a single batch_id partition
+    # compaction folds all partials into one BASE row (negative batch
+    # id — trigger retries can never collide with it); the snapshot
+    # stays bit-identical
     from ringo_spark.streaming.vocab import compact_cms_sink
 
     compact_cms_sink(spark, sink, 9)
     compacted = {r.token: tuple(r) for r in
                  cms_vocab_snapshot(spark, sink, probes).collect()}
     assert compacted == again
-    ids = {r.batch_id for r in spark.read.parquet(sink)
+
+    # THE r16 review scenario: a checkpoint-replayed trigger re-executes
+    # a FOLDED batch after compaction — the recreated partial must be
+    # ignored (its contribution already lives in the base), never
+    # double-counted, and it must not destroy the base
+    writer(sink)(batch0, 0)
+    writer(sink)(docs.where(F.lit(False)), 9)   # folded tail id too
+    retried = {r.token: tuple(r) for r in
+               cms_vocab_snapshot(spark, sink, probes).collect()}
+    assert retried == again
+
+    # deferred reclamation: the NEXT compaction call deletes the folded
+    # partials (incl. retry leftovers) and leaves base + nothing else
+    compact_cms_sink(spark, sink, 9)
+    ids = {r.batch_id for r in spark.read
+           .option("mergeSchema", "true").parquet(sink)
            .select("batch_id").distinct().collect()}
-    assert ids == {9}
+    assert ids == {-10}
+    assert {r.token: tuple(r) for r in
+            cms_vocab_snapshot(spark, sink, probes).collect()} == again
 
 
 def test_streaming_weighted_reservoir_matches_batch(spark, tmp_path):
@@ -1182,21 +1200,25 @@ def test_compact_cms_sink_crash_recovery(spark, tmp_path, monkeypatch):
            cms_vocab_snapshot(spark, sink, probes).collect()}
     assert mid == want            # staging invisible: no double count
 
-    # window (b): rerun crashes after deleting ONE partial — the
-    # staging dir still holds every contribution
+    # window (b): the NEXT call's deferred reclamation crashes after
+    # deleting ONE folded partial — the published base still holds
+    # every contribution, so nothing is lost
     crash_after["left"] = 1
     monkeypatch.setattr(shutil, "rmtree", crashy)
     with pytest.raises(RuntimeError, match="injected"):
         compact_cms_sink(spark, sink, 2)
     monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+    assert {r.token: tuple(r) for r in
+            cms_vocab_snapshot(spark, sink, probes).collect()} == want
 
-    compact_cms_sink(spark, sink, 2)     # clean rerun finishes
+    compact_cms_sink(spark, sink, 2)     # clean rerun reclaims the rest
     got = {r.token: tuple(r) for r in
            cms_vocab_snapshot(spark, sink, probes).collect()}
     assert got == want
-    ids = {r.batch_id for r in spark.read.parquet(sink)
+    ids = {r.batch_id for r in spark.read
+           .option("mergeSchema", "true").parquet(sink)
            .select("batch_id").distinct().collect()}
-    assert ids == {2}
+    assert ids == {-3}
     assert not os.path.isdir(os.path.join(sink, "_compact_staging"))
 
 
