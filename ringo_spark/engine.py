@@ -701,7 +701,8 @@ class Engine:
 
     def _write_full(self, df: DataFrame, table: str, partition_by=(),
                     absorbed: list | None = None,
-                    preserve_windows: bool = False) -> None:
+                    preserve_windows: bool = False,
+                    expected_input_version: int | None = None) -> None:
         """Crash-safe full-refresh publication, per ``commit_mode``.
 
         rename: the previous live directory is renamed *aside* before
@@ -712,35 +713,29 @@ class Engine:
 
         manifest: the refresh lands in an immutable ``<table>__vN`` dir;
         the manifest pointer flips only after the write completes, then
-        stale versions are garbage-collected."""
+        stale versions are garbage-collected.
+
+        ``expected_input_version`` (compaction only, ADVICE r16): a full
+        refresh whose payload was DERIVED from a specific published
+        snapshot (compact_fact re-aggregates version V's rows) must not
+        publish over a manifest that advanced past V — the concurrent
+        commit's rows (and its window stamp) would silently vanish from
+        the compacted snapshot.  The CAS loop's own retry-on-conflict is
+        WRONG for such writers, so a version advance aborts with
+        ManifestConflict and the caller reruns over the new snapshot."""
         if self.commit_mode == "manifest":
             stage = self._write_stage(df, table, partition_by)
-            for _ in range(16):    # bounded CAS retry; no data rewrite
-                m = self._read_manifest(table)
-                version = (m["version"] if m else 0) + 1
-                dirname = f"{table}__v{version}"
-                versions = self._next_versions(m, version, [dirname])
-                schemas = self._next_schemas(m, version, df.schema.json())
-                # a full refresh carries no window stamp (it covers
-                # everything); prior stamps prune to dirs some retained
-                # snapshot still references.  ``absorbed`` (compaction
-                # only) carries the merged-away window stamps forward as
-                # refuse-keys; a true full refresh passes None, clearing
-                # them.
-                wins = self._next_windows(m, versions)
-                try:
-                    self._publish_manifest(table, version, versions,
-                                           expected_version=version - 1,
-                                           promote=(stage, dirname),
-                                           schemas=schemas, windows=wins,
-                                           absorbed=absorbed)
-                except ManifestConflict:
-                    continue       # re-read the advanced manifest, retry
-                self._gc_versions(table, versions,
-                                  published_version=version)
-                return
-            raise ManifestConflict(
-                f"{table}: full refresh lost the manifest CAS 16 times")
+            try:
+                self._full_manifest_cas(df, table, stage, absorbed,
+                                        expected_input_version)
+            except BaseException:
+                # same stage-leak rule as _write_append: any raise after
+                # the payload staged (version-advance abort, CAS
+                # exhaustion) must reclaim the staged copy (ADVICE r16)
+                shutil.rmtree(os.path.join(self.storage, stage),
+                              ignore_errors=True)
+                raise
+            return
         staging, live = self._path(table, True), self._path(table)
         old = live + "__old"
         w = df.write.mode("overwrite")
@@ -762,6 +757,51 @@ class Engine:
             # stamped rows (they still exist), so the ledger must keep
             # refusing their reruns (r16 review).
             self._clear_rename_windows(table)
+
+    def _full_manifest_cas(self, df: DataFrame, table: str, stage: str,
+                           absorbed: list | None,
+                           expected_input_version: int | None) -> None:
+        """The manifest-mode full-refresh publish: bounded CAS retry
+        promoting the already-staged payload (stage cleanup on raise is
+        the caller's job — see :meth:`_write_full`)."""
+        for _ in range(16):    # bounded CAS retry; no data rewrite
+            m = self._read_manifest(table)
+            if expected_input_version is not None and m is not None \
+                    and m["version"] != expected_input_version:
+                # derived-payload writer (compaction): someone committed
+                # since the input snapshot was read — retrying the CAS
+                # would publish a snapshot missing their rows and their
+                # window stamp (ADVICE r16 TOCTOU).  Abort; the caller
+                # reruns over the advanced snapshot.
+                raise ManifestConflict(
+                    f"{table}: manifest advanced to v{m['version']} "
+                    f"after the compaction read its input at "
+                    f"v{expected_input_version} — publishing would drop "
+                    "the concurrent commit's rows; rerun the compaction")
+            version = (m["version"] if m else 0) + 1
+            dirname = f"{table}__v{version}"
+            versions = self._next_versions(m, version, [dirname])
+            schemas = self._next_schemas(m, version, df.schema.json())
+            # a full refresh carries no window stamp (it covers
+            # everything); prior stamps prune to dirs some retained
+            # snapshot still references.  ``absorbed`` (compaction
+            # only) carries the merged-away window stamps forward as
+            # refuse-keys; a true full refresh passes None, clearing
+            # them.
+            wins = self._next_windows(m, versions)
+            try:
+                self._publish_manifest(table, version, versions,
+                                       expected_version=version - 1,
+                                       promote=(stage, dirname),
+                                       schemas=schemas, windows=wins,
+                                       absorbed=absorbed)
+            except ManifestConflict:
+                continue       # re-read the advanced manifest, retry
+            self._gc_versions(table, versions,
+                              published_version=version)
+            return
+        raise ManifestConflict(
+            f"{table}: full refresh lost the manifest CAS 16 times")
 
     def _write_append(self, df: DataFrame, table: str, partition_by=(),
                       window: tuple | None = None) -> None:
@@ -803,80 +843,20 @@ class Engine:
             if self._read_manifest(table) is None:
                 raise FileNotFoundError(f"no manifest for table {table!r}")
             stage = self._write_stage(df, table, partition_by)
-            legacy_schema_cache: dict = {}
-            for _ in range(16):    # bounded CAS retry; no data rewrite
-                m = self._read_manifest(table)
-                version = m["version"] + 1
-                dirname = f"{table}__v{version}"
-                # live_dirs is re-resolved per attempt: on a lost CAS the
-                # re-read picks up the OTHER writer's dirs, so both
-                # appends end up in the published snapshot — the exact
-                # lost-update the plain read-modify-write allowed
-                live_dirs = self._manifest_versions(m)[str(m["version"])]
-                if window is not None:
-                    # windows a compaction merged away have no dir to
-                    # swap — an overlapping rerun would silently double
-                    # those rows, so it is refused (the rename-mode
-                    # semantics; r16 review)
-                    hit = [s for s in m.get("absorbed", [])
-                           if self._window_overlaps(window, s)]
-                    if hit:
-                        lo, hi = (self._iso(b) for b in window)
-                        raise ValueError(
-                            f"{table}: append window [{lo}, {hi}) overlaps "
-                            f"{len(hit)} window(s) merged by compaction "
-                            f"(e.g. [{hit[0][0]}, {hit[0][1]})) — their "
-                            "rows no longer live in a swappable dir, so "
-                            "re-appending would double-count them.  "
-                            "Re-run as a full refresh")
-                    stamps = m.get("windows", {})
-                    live_dirs = [d for d in live_dirs
-                                 if not self._window_covers(window,
-                                                            stamps.get(d))]
-                versions = self._next_versions(m, version,
-                                               live_dirs + [dirname])
-                # evolved snapshot schema: previous + any appended columns
-                prev_schema = m.get("schemas", {}).get(str(m["version"]))
-                if prev_schema is None:
-                    # pre-schema manifest (published before schema
-                    # tracking existed): footer-infer the live
-                    # snapshot's schema so columns present in older
-                    # files but absent from this append survive the
-                    # union, and the type-conflict guard covers them.
-                    # mergeSchema because a legacy snapshot can span
-                    # MULTIPLE dirs with heterogeneous file schemas
-                    # (old narrow appends + a wide refresh) — a single
-                    # footer could record a narrowed schema and drop
-                    # columns from all future reads.  The every-footer
-                    # cost is paid once per SNAPSHOT (cached across the
-                    # CAS retries of this call — N contending legacy
-                    # writers previously re-read every footer per lost
-                    # CAS, r16 review); the publish records the merged
-                    # schema and the path never runs again.
-                    snap = tuple(self._snapshot_paths(table, m=m))
-                    if legacy_schema_cache.get("paths") != snap:
-                        legacy_schema_cache["paths"] = snap
-                        legacy_schema_cache["schema"] = (
-                            self.spark.read
-                            .option("mergeSchema", "true")
-                            .parquet(*snap).schema.json())
-                    prev_schema = legacy_schema_cache["schema"]
-                schemas = self._next_schemas(
-                    m, version, self._union_schema(prev_schema, df))
-                wins = self._next_windows(m, versions, dirname, window)
-                try:
-                    self._publish_manifest(table, version, versions,
-                                           expected_version=version - 1,
-                                           promote=(stage, dirname),
-                                           schemas=schemas, windows=wins,
-                                           absorbed=m.get("absorbed"))
-                except ManifestConflict:
-                    continue
-                self._gc_versions(table, versions,
-                                  published_version=version)
-                return
-            raise ManifestConflict(
-                f"{table}: append lost the manifest CAS 16 times")
+            try:
+                self._append_manifest_cas(df, table, stage, window)
+            except BaseException:
+                # a refused rerun (absorbed-window overlap) or CAS
+                # exhaustion raises AFTER the stage payload landed —
+                # without this, every refusal leaks a full copy of the
+                # append on disk until some later successful publish's
+                # _gc_versions ages it out (ADVICE r16).  A successful
+                # publish renamed the stage away, so the rmtree is a
+                # no-op there.
+                shutil.rmtree(os.path.join(self.storage, stage),
+                              ignore_errors=True)
+                raise
+            return
         if window is not None:
             stamps = self._rename_window_stamps().get(table, [])
             covered = [s for s in stamps if self._window_covers(window, s)]
@@ -899,6 +879,88 @@ class Engine:
             # the inflight journal (below), which already refuses a
             # rerun after a mid-append crash in rename mode.
             self._stamp_rename_window(table, window)
+
+    def _append_manifest_cas(self, df: DataFrame, table: str, stage: str,
+                             window: tuple | None) -> None:
+        """The manifest-mode append publish: bounded CAS retry promoting
+        the already-staged payload dir into the next snapshot.  Factored
+        out of :meth:`_write_append` so the caller can guarantee stage
+        cleanup on ANY raise (absorbed-window refusal, CAS exhaustion —
+        ADVICE r16: each leaked a full payload copy on disk)."""
+        legacy_schema_cache: dict = {}
+        for _ in range(16):    # bounded CAS retry; no data rewrite
+            m = self._read_manifest(table)
+            version = m["version"] + 1
+            dirname = f"{table}__v{version}"
+            # live_dirs is re-resolved per attempt: on a lost CAS the
+            # re-read picks up the OTHER writer's dirs, so both
+            # appends end up in the published snapshot — the exact
+            # lost-update the plain read-modify-write allowed
+            live_dirs = self._manifest_versions(m)[str(m["version"])]
+            if window is not None:
+                # windows a compaction merged away have no dir to
+                # swap — an overlapping rerun would silently double
+                # those rows, so it is refused (the rename-mode
+                # semantics; r16 review)
+                hit = [s for s in m.get("absorbed", [])
+                       if self._window_overlaps(window, s)]
+                if hit:
+                    lo, hi = (self._iso(b) for b in window)
+                    raise ValueError(
+                        f"{table}: append window [{lo}, {hi}) overlaps "
+                        f"{len(hit)} window(s) merged by compaction "
+                        f"(e.g. [{hit[0][0]}, {hit[0][1]})) — their "
+                        "rows no longer live in a swappable dir, so "
+                        "re-appending would double-count them.  "
+                        "Re-run as a full refresh")
+                stamps = m.get("windows", {})
+                live_dirs = [d for d in live_dirs
+                             if not self._window_covers(window,
+                                                        stamps.get(d))]
+            versions = self._next_versions(m, version,
+                                           live_dirs + [dirname])
+            # evolved snapshot schema: previous + any appended columns
+            prev_schema = m.get("schemas", {}).get(str(m["version"]))
+            if prev_schema is None:
+                # pre-schema manifest (published before schema
+                # tracking existed): footer-infer the live
+                # snapshot's schema so columns present in older
+                # files but absent from this append survive the
+                # union, and the type-conflict guard covers them.
+                # mergeSchema because a legacy snapshot can span
+                # MULTIPLE dirs with heterogeneous file schemas
+                # (old narrow appends + a wide refresh) — a single
+                # footer could record a narrowed schema and drop
+                # columns from all future reads.  The every-footer
+                # cost is paid once per SNAPSHOT (cached across the
+                # CAS retries of this call — N contending legacy
+                # writers previously re-read every footer per lost
+                # CAS, r16 review); the publish records the merged
+                # schema and the path never runs again.
+                snap = tuple(self._snapshot_paths(table, m=m))
+                if legacy_schema_cache.get("paths") != snap:
+                    legacy_schema_cache["paths"] = snap
+                    legacy_schema_cache["schema"] = (
+                        self.spark.read
+                        .option("mergeSchema", "true")
+                        .parquet(*snap).schema.json())
+                prev_schema = legacy_schema_cache["schema"]
+            schemas = self._next_schemas(
+                m, version, self._union_schema(prev_schema, df))
+            wins = self._next_windows(m, versions, dirname, window)
+            try:
+                self._publish_manifest(table, version, versions,
+                                       expected_version=version - 1,
+                                       promote=(stage, dirname),
+                                       schemas=schemas, windows=wins,
+                                       absorbed=m.get("absorbed"))
+            except ManifestConflict:
+                continue
+            self._gc_versions(table, versions,
+                              published_version=version)
+            return
+        raise ManifestConflict(
+            f"{table}: append lost the manifest CAS 16 times")
 
     # --- rename-mode window ledger -----------------------------------------
     # Manifest mode records per-dir window stamps inside the manifest;
@@ -1216,7 +1278,24 @@ class Engine:
 
         s = self.env.settings
         derived = extract_fact_table(self.env, fact)
-        df = self.read_table(derived.name)
+        # manifest mode: ONE manifest read anchors the whole compaction —
+        # the input rows, the absorbed refuse-keys, and the publish's
+        # expected version all come from the same snapshot.  A concurrent
+        # commit between this read and the publish makes _write_full
+        # abort (ManifestConflict) instead of publishing a snapshot
+        # missing that commit's rows and window stamp (ADVICE r16 TOCTOU;
+        # previously the CAS loop silently retried over the advance).
+        input_version: int | None = None
+        m0 = None
+        if self.commit_mode == "manifest":
+            m0 = self._read_manifest(derived.name)
+            if m0 is not None:
+                input_version = m0["version"]
+                df = self.read_table(derived.name, version=input_version)
+            else:
+                df = self.read_table(derived.name)
+        else:
+            df = self.read_table(derived.name)
         measure_aggs, measures = [], set()
         for fc in fact.columns:
             c, t = fc.target_column, fc.type
@@ -1253,15 +1332,15 @@ class Engine:
         # carries every live dir's stamp (plus previously absorbed ones)
         # forward as refuse-keys; rename mode keeps its ledger.
         absorbed = None
-        if self.commit_mode == "manifest":
-            m = self._read_manifest(derived.name)
-            if m is not None:
-                live = self._manifest_versions(m)[str(m["version"])]
-                stamps = m.get("windows", {})
-                absorbed = list(m.get("absorbed", [])) +                     [stamps[d] for d in live if stamps.get(d)]
-                absorbed = absorbed or None
+        if m0 is not None:
+            live = self._manifest_versions(m0)[str(m0["version"])]
+            stamps = m0.get("windows", {})
+            absorbed = (list(m0.get("absorbed", []))
+                        + [stamps[d] for d in live if stamps.get(d)])
+            absorbed = absorbed or None
         self._write_full(out, derived.name, partition_by,
-                         absorbed=absorbed, preserve_windows=True)
+                         absorbed=absorbed, preserve_windows=True,
+                         expected_input_version=input_version)
 
     # --- JDBC sink (Postgres-sink parity, Main.hs:35-83) -------------------
 

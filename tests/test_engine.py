@@ -1113,3 +1113,70 @@ def test_sidecar_state_writes_are_atomic(spark, tmp_path, monkeypatch):
     assert len(writes) == 1
     assert "fact_orders_by_day" not in eng._inflight()
     assert eng.watermarks()["fact_orders_by_day"] == T_FAR.isoformat()
+
+
+def test_refused_append_cleans_its_stage(spark, tmp_path):
+    """ADVICE r16: a manifest-mode append refused for overlapping a
+    compaction-absorbed window raises AFTER its payload staged — the
+    stage dir must be reclaimed on the raise, or every refused rerun
+    leaks a full copy of the append payload on disk (nothing GCs
+    unpromoted stages until some later successful publish)."""
+    from ringo_spark.testbed import EVENTS_ENV, EVENTS_FACT, T_EVENTS_MID
+
+    eng = Engine(spark, EVENTS_ENV, str(tmp_path / "wh"),
+                 commit_mode="manifest")
+    eng.load_sources("/root/testdata/sf0.001")
+    eng.run(PopulationMode.FULL, T_EVENTS_MID)
+    eng.run(PopulationMode.INCREMENTAL, T_FAR, T_EVENTS_MID)
+    eng.compact_fact(EVENTS_FACT)
+    for _ in range(2):    # every refused rerun, not just the first
+        with pytest.raises(ValueError, match="compaction"):
+            eng.run(PopulationMode.INCREMENTAL, T_FAR, T_EVENTS_MID)
+        leaked = [d for d in os.listdir(eng.storage) if "__stage_" in d]
+        assert leaked == []
+
+
+def test_compaction_aborts_when_manifest_advances(spark, tmp_path):
+    """ADVICE r16 TOCTOU: a windowed append that commits between
+    compact_fact's input read and its publish must ABORT the compaction
+    with ManifestConflict — a silent CAS retry would publish a snapshot
+    missing both the append's rows and its window refuse-key."""
+    from ringo_spark.engine import ManifestConflict
+    from ringo_spark.testbed import EVENTS_ENV, EVENTS_FACT, T_EVENTS_MID
+
+    table = "fact_events_by_minute"
+    eng = Engine(spark, EVENTS_ENV, str(tmp_path / "wh"),
+                 commit_mode="manifest")
+    eng.load_sources("/root/testdata/sf0.001")
+    eng.run(PopulationMode.FULL, T_EVENTS_MID)
+
+    other = Engine(spark, EVENTS_ENV, str(tmp_path / "wh"),
+                   commit_mode="manifest")
+    other.load_sources("/root/testdata/sf0.001")
+
+    real = Engine._write_stage
+    fired = []
+
+    def hijack(self, df, tbl, partition_by=()):
+        # the compaction has read its input manifest by the time it
+        # stages; commit a concurrent windowed append in that window
+        if self is eng and tbl == table and not fired:
+            fired.append(True)
+            other.run(PopulationMode.INCREMENTAL, T_FAR, T_EVENTS_MID)
+        return real(self, df, tbl, partition_by)
+
+    Engine._write_stage = hijack
+    try:
+        with pytest.raises(ManifestConflict, match="advanced"):
+            eng.compact_fact(EVENTS_FACT)
+    finally:
+        Engine._write_stage = real
+
+    # the concurrent append's rows survived, and nothing staged leaked
+    total = eng.read_table(table).agg(
+        {"event_count": "sum"}).collect()[0][0]
+    assert [d for d in os.listdir(eng.storage) if "__stage_" in d] == []
+    # the rerun (over the advanced snapshot) succeeds and loses nothing
+    eng.compact_fact(EVENTS_FACT)
+    assert eng.read_table(table).agg(
+        {"event_count": "sum"}).collect()[0][0] == total
