@@ -239,6 +239,92 @@ def publish_swap(live: str) -> None:
     shutil.rmtree(old)
 
 
+# --- batch-admission ledger ----------------------------------------------
+#
+# Index append paths (IVF / LSH / PQ) admit ingestion batches with
+# mode("append") parquet writes — physically at-most-once per CALL, but a
+# lost-ack RETRY of the same batch (the caller never saw the first call
+# finish) used to land its rows twice (VERDICT r16: the CMS sink's retry
+# data loss was the same class).  The ledger makes appends idempotent:
+# one content fingerprint per admitted batch, recorded as an empty file
+# under the index's ``_admitted/`` dir (underscore prefix: Spark data
+# discovery skips it; compaction's sidecar carry-over preserves it, so a
+# retry of a batch whose rows were later tombstoned+compacted away is
+# STILL refused — deletes are never resurrected by a replay).
+#
+# Two-phase protocol (single-writer per index, the append paths'
+# standing contract):
+#   intent (``<fp>.intent``) -> data + stats writes -> done (``<fp>``)
+# A retry that finds ``done`` is a no-op; one that finds a dangling
+# ``intent`` knows the prior attempt may have PARTIALLY landed and runs
+# the caller's repair path (anti-join against stored ids, then sidecar
+# rebuild) before committing.  ``done`` is created before the intent is
+# unlinked, so a crash between the two reads as done.
+
+ADMITTED = "_admitted"
+
+
+def batch_fingerprint(df, cols: list[str]) -> str:
+    """Order-independent content fingerprint of an ingestion batch —
+    count + decimal-summed xxhash64 over ``cols`` (decimal(38,0): two
+    random longs already overflow int64 under ANSI; the
+    deletion._tombstone_fingerprint lesson).  Content-sensitive, so two
+    different batches never alias as a retry; one tiny agg job over the
+    batch."""
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(*[F.col(c) for c in cols])
+              .cast("decimal(38,0)")).alias("h")).first()
+    return index_tag(f"{row.n}:{row.h}")
+
+
+def _admit_paths(index_path: str, fp: str) -> tuple[str, str]:
+    led = os.path.join(index_path, ADMITTED)
+    return os.path.join(led, fp), os.path.join(led, fp + ".intent")
+
+
+def admit_state(index_path: str, fp: str) -> str:
+    """'done' (batch fully admitted — retry is a no-op), 'torn' (a
+    prior attempt crashed mid-land — repair before committing), or
+    'new'."""
+    done, intent = _admit_paths(index_path, fp)
+    if os.path.exists(done):
+        return "done"
+    if os.path.exists(intent):
+        return "torn"
+    return "new"
+
+
+def admit_intent(index_path: str, fp: str) -> None:
+    done, intent = _admit_paths(index_path, fp)
+    os.makedirs(os.path.dirname(intent), exist_ok=True)
+    open(intent, "w").close()
+
+
+def admit_commit(index_path: str, fp: str) -> None:
+    done, intent = _admit_paths(index_path, fp)
+    open(done, "w").close()       # done FIRST; a crash here reads as done
+    try:
+        os.unlink(intent)
+    except FileNotFoundError:
+        pass
+
+
+def admits_in_flight(index_path: str) -> bool:
+    """True iff any batch admission has an intent without its done
+    marker — the guard destructive sidecar maintenance must honor (an
+    in-flight append has landed data files its stats epoch hasn't
+    covered yet; ADVICE r16)."""
+    led = os.path.join(index_path, ADMITTED)
+    if not os.path.isdir(led):
+        return False
+    names = set(os.listdir(led))
+    return any(n.endswith(".intent") and n[:-len(".intent")] not in names
+               for n in names)
+
+
 def recover_staging(stage: str, marker: str, finish) -> None:
     """The staged-rewrite recovery decision (the CMS-compaction crash
     protocol, ADVICE r13): a staging dir is COMPLETE iff both its

@@ -139,7 +139,8 @@ def _tombstone_fingerprint(tombs: DataFrame, id_col: str) -> str:
 
 def apply_tombstones_partitioned(spark: SparkSession, index_path: str,
                                  partition_col: str,
-                                 id_col: str = "doc_id") -> None:
+                                 id_col: str = "doc_id",
+                                 stats_rebuild=None) -> None:
     """Compaction for a PARTITIONED index root (LSH ``bucket=`` / IVF
     ``cell=`` directories): rewrite the data minus tombstoned ids with
     the same ``partitionBy`` layout into a complete ``__compact``
@@ -184,6 +185,15 @@ def apply_tombstones_partitioned(spark: SparkSession, index_path: str,
                                    id_col)
         kept.write.mode("overwrite").partitionBy(partition_col) \
             .parquet(tmp)
+        if stats_rebuild is not None:
+            # write a FRESH ``_stats`` sidecar into the replacement tree
+            # from the just-compacted rows (the live sidecar's counts
+            # include the removed rows, so it is never carried over) —
+            # before the fingerprint lands, so ``complete`` implies
+            # stats-rebuilt.  Without a callback the replacement ships
+            # sidecar-less and reports rescan until repair_*_stats runs
+            # (the read path is read-only by design, ADVICE r16).
+            stats_rebuild(spark, tmp)
         # carry every sidecar (anything that isn't a partition dir, the
         # log, or tmp's own files) into the replacement tree — EXCEPT
         # the ``_stats`` build-stats log: its counts include the rows

@@ -20,14 +20,13 @@ the canonical-owner rule under ascending micro-batches (the span
 twin's documented contract) — so the full emitted pair set closes the
 lifecycle: no near-dup pair with at least one streamed end escapes.
 
-Retry safety: a retried trigger re-appends its rows, so the index may
-physically hold duplicate (vec_id, ...) rows — every probe dedupes the
-corpus side by vec_id AND excludes the current batch's own ids, so the
-emitted hits are IDEMPOTENT (pytest-pinned); the physical duplicates
-are cleaned by the next compaction or rebucket (both already dedupe /
-rewrite from the tombstone-filtered row set).  Streaming admits should
-target a stream-owned index dir, not the shared query cache — batch
-query readers do not expect duplicate rows.
+Retry safety: since r17 the append path itself is EXACTLY-once per
+batch (the kernel's admission ledger refuses a lost-ack replay and
+completes a torn one — ``similarity._admit_batch``), so a retried
+trigger no longer lands duplicate (vec_id, ...) rows.  The probe keeps
+its corpus-side dedup by vec_id as defense in depth for pre-ledger
+indexes, and still excludes the current batch's own ids, so emitted
+hits are IDEMPOTENT (pytest-pinned) on every index vintage.
 
 Scale shape: the batch side is micro-batch-sized (its bucketed rows
 BROADCAST); the corpus side is the persisted ``bucket=`` index, so the

@@ -2151,13 +2151,18 @@ def test_bpe_merge_budget_gate_falls_back_to_distributed(
     assert {(r.w, r.sym_str, r.ns) for r in over_w.collect()} == under_map
 
 
-def test_stats_sidecar_self_heals_after_compaction(spark, tmp_path):
-    """r16 review finding: tombstone compaction must not carry the
-    pre-compaction ``_stats`` sidecar into the replacement tree (its
-    counts include the deleted rows), and the first stored-stats read
-    after compaction must REPAIR the sidecar from the compacted data —
-    once — instead of falling back to the full rescan on every future
-    report."""
+def test_stats_sidecar_lifecycle_after_compaction(spark, tmp_path):
+    """r16 found compaction must drop the pre-compaction ``_stats``
+    sidecar (its counts include the deleted rows); ADVICE r16 then
+    found the read-path self-heal that replaced it RACED in-flight
+    appends (data files land before their stats epoch — a concurrent
+    report's rmtree+rewrite interleaved with the epoch write).  The
+    r17 contract, pinned here: the production compaction wrapper
+    (``compact_ivf_index``) rebuilds the sidecar INSIDE the
+    replacement tree (no missing window at all); raw compaction ships
+    sidecar-less and every report falls back to a READ-ONLY rescan —
+    never writing — until the explicit ``repair_ivf_stats``
+    maintenance op runs."""
     import os
 
     from ringo_spark.operators import similarity as sim
@@ -2175,28 +2180,123 @@ def test_stats_sidecar_self_heals_after_compaction(spark, tmp_path):
     batch = emb.where(F.col("vec_id") >= half)
     before = sim.ivf_staleness_report(spark, p, batch).first()
 
-    tombstone_docs(spark, p, [0, 1, 2], id_col="vec_id")
-    apply_tombstones_partitioned(spark, p, "cell", id_col="vec_id")
-    # the stale sidecar must NOT survive the swap
-    assert not os.path.exists(os.path.join(p, "_stats"))
+    loud = lambda *a, **k: (_ for _ in ()).throw(       # noqa: E731
+        AssertionError("sidecar written on the read path"))
 
-    after = sim.ivf_staleness_report(spark, p, batch).first()
-    assert after.n_build == before.n_build - 3
-    # ... and the read repaired the sidecar: present, complete, and
-    # covering the compacted data files exactly
+    # production path: wrapper compaction leaves a COMPLETE sidecar
+    tombstone_docs(spark, p, [0, 1, 2], id_col="vec_id")
+    sim.compact_ivf_index(spark, p, id_col="vec_id")
     assert os.path.exists(os.path.join(p, "_stats", "_SUCCESS"))
     tbl = sim._read_stats_log(os.path.join(p, "_stats"))
     assert sum(tbl.column("c").to_pylist()) == sim._data_meta_rows(p)
-    # a repaired sidecar is trusted from here on (no rescan, no
-    # re-repair): pin by making any further backfill write loud
     real = sim._write_ivf_stats
-    sim._write_ivf_stats = lambda *a, **k: (_ for _ in ()).throw(
-        AssertionError("sidecar rewritten on a clean read"))
+    sim._write_ivf_stats = loud
+    try:
+        after = sim.ivf_staleness_report(spark, p, batch).first()
+    finally:
+        sim._write_ivf_stats = real
+    assert after.n_build == before.n_build - 3
+
+    # raw path: sidecar dropped, reports rescan READ-ONLY
+    tombstone_docs(spark, p, [3, 4], id_col="vec_id")
+    apply_tombstones_partitioned(spark, p, "cell", id_col="vec_id")
+    assert not os.path.exists(os.path.join(p, "_stats"))
+    sim._write_ivf_stats = loud
+    try:
+        raw = sim.ivf_staleness_report(spark, p, batch).first()
+    finally:
+        sim._write_ivf_stats = real
+    assert raw.n_build == before.n_build - 5
+    assert not os.path.exists(os.path.join(p, "_stats"))   # still absent
+
+    # explicit maintenance repair restores the sidecar exactly, and a
+    # repaired sidecar is trusted from here on (no rescan, no rewrite)
+    sim.repair_ivf_stats(spark, p)
+    assert os.path.exists(os.path.join(p, "_stats", "_SUCCESS"))
+    tbl = sim._read_stats_log(os.path.join(p, "_stats"))
+    assert sum(tbl.column("c").to_pylist()) == sim._data_meta_rows(p)
+    sim._write_ivf_stats = loud
     try:
         again = sim.ivf_staleness_report(spark, p, batch).first()
     finally:
         sim._write_ivf_stats = real
-    assert again == after
+    assert again == raw
+
+
+def test_report_is_readonly_during_inflight_append(spark, tmp_path):
+    """The ADVICE r16 race, pinned end-to-end: an append has landed its
+    data files but not yet its stats epoch (the in-flight window every
+    admit opens).  A concurrent staleness report must (a) not trust the
+    now-undercounting sidecar, (b) not WRITE anything (the old
+    destructive heal deleted the sidecar here and re-counted the
+    in-flight batch, double-counting it once the epoch landed), and
+    (c) the maintenance repair must REFUSE while the admission is in
+    flight.  After the append completes, the sidecar is exact and
+    trusted again."""
+    import os
+
+    from ringo_spark import index_lifecycle as _ilc
+    from ringo_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = emb.count()
+    half = n // 2
+    p = sim.build_ivf_index(
+        spark, SF, k=sim.auto_ivf_k(spark, half),
+        index_path=str(tmp_path / "idx"),
+        emb=emb.where(F.col("vec_id") < half))
+    batch = emb.where(F.col("vec_id") >= half)
+
+    # freeze the append mid-flight: data landed, epoch + commit not yet
+    real_write = sim._write_ivf_stats
+
+    class _Freeze(Exception):
+        pass
+
+    def crash_epoch(path, assigned, cent_rows, mode):
+        if mode == "append":
+            raise _Freeze()
+        return real_write(path, assigned, cent_rows, mode)
+
+    sim._write_ivf_stats = crash_epoch
+    try:
+        with pytest.raises(_Freeze):
+            sim.append_to_ivf_index(spark, p, batch)
+    finally:
+        sim._write_ivf_stats = real_write
+    assert _ilc.admits_in_flight(p)
+
+    # (a)+(b): concurrent report is correct (sees the landed rows via
+    # the rescan) and writes nothing
+    loud = lambda *a, **k: (_ for _ in ()).throw(       # noqa: E731
+        AssertionError("sidecar written during in-flight append"))
+    sim._write_ivf_stats = loud
+    try:
+        rep = sim.ivf_staleness_report(spark, p, batch).first()
+    finally:
+        sim._write_ivf_stats = real_write
+    assert rep.n_build == n        # build half + fully-landed batch
+    # the undercounting sidecar was left byte-untouched
+    tbl = sim._read_stats_log(os.path.join(p, "_stats"))
+    assert sum(tbl.column("c").to_pylist()) == half
+
+    # (c): maintenance repair refuses mid-flight
+    with pytest.raises(RuntimeError, match="in flight"):
+        sim.repair_ivf_stats(spark, p)
+
+    # the retry completes the admission: no duplicate rows, sidecar
+    # exact, ledger committed
+    assert sim.append_to_ivf_index(spark, p, batch) is True
+    assert not _ilc.admits_in_flight(p)
+    assert spark.read.parquet(p).count() == n
+    assert (spark.read.parquet(p).select("vec_id").distinct().count()
+            == n)
+    tbl = sim._read_stats_log(os.path.join(p, "_stats"))
+    assert sum(tbl.column("c").to_pylist()) == n
+
+    # and a LOST-ACK replay of the committed batch is a no-op
+    assert sim.append_to_ivf_index(spark, p, batch) is False
+    assert spark.read.parquet(p).count() == n
 
 
 def test_salt_expressions_stay_in_bucket_range(spark):
@@ -2221,3 +2321,71 @@ def test_salt_expressions_stay_in_bucket_range(spark):
     got = salted_broadcast_left_join(big, medium, on=["k"], buckets=12)
     assert got.where(F.col("attr").isNull()).count() == 0
     assert got.count() == 5000
+
+
+def test_lsh_append_ledger_torn_retry_and_no_resurrection(spark, tmp_path):
+    """The LSH side of the r17 admission ledger (VERDICT r16 item 2):
+    lost-ack replay is a no-op; a torn retry (data landed, stats epoch
+    crashed) completes without duplicating rows and leaves the sidecar
+    exact; and — because the ledger rides compaction's sidecar
+    carry-over — a replay AFTER its rows were tombstoned and compacted
+    away is still refused (deletes never resurrect)."""
+    import os
+
+    from ringo_spark import index_lifecycle as _ilc
+    from ringo_spark.operators import similarity as sim
+    from ringo_spark.operators.deletion import tombstone_docs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = emb.count()
+    corpus_dir = str(tmp_path / "corpus")
+    os.makedirs(corpus_dir)
+    emb.where(F.col("vec_id") < 400).write.parquet(
+        f"{corpus_dir}/embeddings.parquet")
+    p = sim.build_lsh_index(spark, corpus_dir, bits=sim.LSH_BITS,
+                            index_path=str(tmp_path / "lsh"))
+    batch = emb.where(F.col("vec_id") >= 400)
+
+    # torn first attempt: stats epoch crashes after the data lands
+    real = sim._write_lsh_stats
+
+    class _Freeze(Exception):
+        pass
+
+    def crash_epoch(path, assigned, mode):
+        if mode == "append":
+            raise _Freeze()
+        return real(path, assigned, mode)
+
+    sim._write_lsh_stats = crash_epoch
+    try:
+        with pytest.raises(_Freeze):
+            sim.append_to_lsh_index(spark, p, batch)
+    finally:
+        sim._write_lsh_stats = real
+    assert _ilc.admits_in_flight(p)
+
+    # retry completes: exact rows, exact sidecar, ledger committed
+    assert sim.append_to_lsh_index(spark, p, batch) is True
+    assert not _ilc.admits_in_flight(p)
+    assert spark.read.parquet(p).count() == n
+    assert spark.read.parquet(p).select("vec_id").distinct().count() == n
+    tbl = sim._read_stats_log(os.path.join(p, "_stats"))
+    assert sum(tbl.column("c").to_pylist()) == n
+
+    # lost-ack replay: refused
+    assert sim.append_to_lsh_index(spark, p, batch) is False
+    assert spark.read.parquet(p).count() == n
+
+    # delete three appended rows, compact through the wrapper (sidecar
+    # rebuilt inside the replacement), then replay the batch: STILL
+    # refused -- the ledger survived the swap, so the tombstoned rows
+    # stay dead instead of riding back in on a retry
+    dead = [r.vec_id for r in batch.select("vec_id").limit(3).collect()]
+    tombstone_docs(spark, p, dead, id_col="vec_id")
+    sim.compact_lsh_index(spark, p, id_col="vec_id")
+    assert os.path.exists(os.path.join(p, "_stats", "_SUCCESS"))
+    tbl = sim._read_stats_log(os.path.join(p, "_stats"))
+    assert sum(tbl.column("c").to_pylist()) == n - 3
+    assert sim.append_to_lsh_index(spark, p, batch) is False
+    assert spark.read.parquet(p).count() == n - 3

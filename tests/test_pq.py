@@ -163,3 +163,6 @@ def test_pq_append_routes_with_stored_artifacts(spark, tmp_path):
     # existing rows untouched (same codes for the original)
     orig = after.where(F.col("vec_id") == src.vec_id).first()
     assert list(orig.codes) == list(src.codes)
+    # lost-ack replay of the same batch: ledger-refused no-op (r17)
+    assert append_to_pq_index(spark, p, batch) is False
+    assert spark.read.parquet(p).count() == n0 + 1
