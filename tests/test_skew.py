@@ -101,3 +101,25 @@ def test_salted_count_distinct_is_exact(spark):
         ev, ["tenant"], {"n": F.count_distinct("event_type")},
         salt_col="event_type", buckets=4).collect()}
     assert salted == plain and plain
+
+
+def test_salt_expression_has_one_definition():
+    """VERDICT r16 item 4: the pmod-hash salt lives ONLY in
+    functions/skew.py's salt_expr — a copy-pasted fourth site could
+    silently regress the INT_MIN lesson the helper pins."""
+    import os
+
+    import ringo_spark
+
+    pkg = os.path.dirname(ringo_spark.__file__)
+    offenders = []
+    for root, _, files in os.walk(pkg):
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            path = os.path.join(root, f)
+            src = open(path).read()
+            if "pmod(F.hash" in src.replace(" ", "") and \
+                    not path.endswith(os.path.join("functions", "skew.py")):
+                offenders.append(path)
+    assert offenders == []
