@@ -319,6 +319,39 @@ def _stage_attribution(before: dict, after: dict) -> dict | None:
     }
 
 
+# --- CPU-growth gate (VERDICT r16 item 5) ------------------------------------
+# The adjudication rule ("CPU grew = code; flat CPU + uniform wall gap =
+# machine weather") is wired into the closing-bench path instead of
+# applied by hand: BENCH_BASELINE.json carries each pin's recorded
+# executor CPU (pin_cpu, ms, both-runs total — maintained by
+# tools/repin_bench.py), and any query whose measured CPU grows past
+# CPU_GROWTH_FACTOR x its pin CPU is flagged REGARDLESS of wall.
+
+CPU_GROWTH_FACTOR = 1.5
+# pins under this CPU are scheduler/JIT-jitter dominated (the sub-half
+# wall lesson, r15) — growth there is noise, not a code signal
+CPU_FLOOR_MS = 200.0
+
+
+def cpu_regression_flags(per_query_telemetry: dict, pin_cpu: dict,
+                         factor: float = CPU_GROWTH_FACTOR,
+                         floor_ms: float = CPU_FLOOR_MS) -> dict:
+    """Flag every query whose measured executor CPU (stage attribution,
+    both runs) exceeds ``factor`` x its pin's recorded CPU.  Returns
+    {name: {cpu_ms, pin_cpu_ms, ratio}} — empty when nothing grew."""
+    flags = {}
+    for name, t in per_query_telemetry.items():
+        cpu = (t.get("stages_both_runs") or {}).get("executor_cpu_ms")
+        pin = pin_cpu.get(name)
+        if cpu is None or not isinstance(pin, (int, float)) \
+                or pin < floor_ms:
+            continue
+        if cpu > factor * pin:
+            flags[name] = {"cpu_ms": cpu, "pin_cpu_ms": pin,
+                           "ratio": round(cpu / pin, 2)}
+    return flags
+
+
 def main():
     from ringo_spark.catalog import get_spark
 
@@ -392,6 +425,19 @@ def main():
     if os.path.exists(base_path):
         base = json.load(open(base_path))
         if base.get("sf") == out["sf"]:
+            # CPU-growth gate (like-for-like SF only — pin CPU scales
+            # with data size): flags ride the committed record and the
+            # compact line, so a code-caused regression is visible even
+            # when machine weather hides it in the wall numbers (and
+            # wall drift with flat CPU is adjudicated as weather,
+            # mechanically)
+            flags = cpu_regression_flags(telemetry,
+                                         base.get("pin_cpu", {}))
+            out["cpu_regressions"] = flags
+            if flags:
+                print(f"bench: CPU-growth gate TRIPPED (> "
+                      f"{CPU_GROWTH_FACTOR}x pin CPU): {flags}",
+                      file=sys.stderr)
             out["baseline_total"] = base["total"]
             # extra_pins: first measurements of queries added after the
             # round-1 baseline — deltas for them are round-over-round,
@@ -449,6 +495,7 @@ def main():
                    for k in ("load1_start", "load1_end")])
              if s is not None), default=None),
         "warm_secs": warm_secs,
+        "cpu_flags": len(out.get("cpu_regressions", {})),
         "detail_file": "BENCH_DETAIL.json",
     }
     if gate is not None:

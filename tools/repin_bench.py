@@ -41,9 +41,32 @@ SUBHALF_ENABLED = "--subhalf" in sys.argv
 
 def main(detail_files: list[str]) -> None:
     detail_files = [f for f in detail_files if f != "--subhalf"]
-    runs = [json.load(open(f))["queries"] for f in detail_files]
+    details = [json.load(open(f)) for f in detail_files]
+    runs = [d["queries"] for d in details]
     base = json.load(open(BASELINE))
     pins = base["extra_pins"]
+
+    # pin_cpu maintenance (VERDICT r16 item 5 — the CPU-growth gate's
+    # reference side): record each pin's executor CPU (ms, both-runs
+    # stage attribution) at the MAX over the closing runs (the
+    # looser-of-runs honest-pin rule).  First run seeds every query;
+    # afterwards only NEW_PINS / CODE_CHANGED update — an unchanged
+    # query's CPU pin must stay put so growth is visible against it.
+    pin_cpu = base.setdefault("pin_cpu", {})
+    cpu_by_query: dict[str, list[float]] = {}
+    for d in details:
+        for name, t in d.get("telemetry", {}).get("per_query", {}).items():
+            cpu = (t.get("stages_both_runs") or {}).get("executor_cpu_ms")
+            if cpu is not None:
+                cpu_by_query.setdefault(name, []).append(cpu)
+    cpu_updates = {}
+    for name, vals in sorted(cpu_by_query.items()):
+        if name not in pin_cpu or name in NEW_PINS or name in CODE_CHANGED:
+            new_cpu = round(max(vals), 1)
+            if pin_cpu.get(name) != new_cpu:
+                cpu_updates[name] = {"old": pin_cpu.get(name),
+                                     "new": new_cpu}
+                pin_cpu[name] = new_cpu
 
     repinned, skipped = {}, []
     for name, old in sorted(pins.items()):
@@ -85,7 +108,8 @@ def main(detail_files: list[str]) -> None:
         f"{ {n: v['pin'] for n, v in added.items()} }.")
     json.dump(base, open(BASELINE, "w"), indent=1, sort_keys=True)
     print(json.dumps({"repinned": repinned, "added": added,
-                      "unchanged_over_half": len(skipped)}, indent=1))
+                      "unchanged_over_half": len(skipped),
+                      "pin_cpu_updates": len(cpu_updates)}, indent=1))
 
 
 if __name__ == "__main__":
