@@ -103,53 +103,52 @@ from .text import (
 #     unverified, only un-hashed-by-the-driver that round.
 
 DRIVER_WINDOW: list[str] = [
-    # -- new r16 operator (first driver row): the salted hot-key JOIN
-    #    twin of tenant_rollup_skew_salted (VERDICT r15 item 4) --
+    # -- code changed in r17, kept/made driver-visible (the r05
+    #    precedent): the two skew rows' salt now routes through the
+    #    hoisted functions/skew.salt_expr (VERDICT r16 item 4); the two
+    #    staleness reports' stored-stats read path is strictly
+    #    READ-ONLY (ADVICE r16 item 1 -- rescan fallback, destructive
+    #    repair moved to maintenance entries); streaming_vector_ingest's
+    #    admit path now runs the exactly-once batch-admission ledger
+    #    (VERDICT r16 item 2).  streaming_cms_snapshot is restored per
+    #    ADVICE r16 item 4: its r16 compaction/base-row redesign was
+    #    rotated out contrary to the code-changed-stays-visible
+    #    precedent -- windowed now, one round late, recorded here --
     "events_skew_salted_join",
-    # -- code changed in r16, kept driver-visible (the r05 precedent):
-    #    the two staleness reports now read build-time _stats sidecars
-    #    instead of rescanning the stored index (VERDICT item 5); the
-    #    IVF/PQ cache gates require each sidecar's own _SUCCESS; the
-    #    index append paths coerce vector element types; the kernel's
-    #    recover_live refuses to promote an incomplete __compact
-    #    (deletion-compaction rows ride it) --
+    "tenant_rollup_skew_salted",
     "ann_index_staleness",
     "lsh_width_staleness",
-    "ann_ivf_pq",
-    "ann_pq_recall_bounds",
-    "ann_lsh_indexed",
-    "dedup_minhash_lsh_deleted",
-    "dedup_clusters_deleted",
-    # -- the pre-committed r16 rotation (CORRECTNESS_WINDOW.md), by
-    #    driver-record age, oldest first: the two stood down mid-r15
-    #    (r06 rows, waited longest), the r07-rowed trio, then the
-    #    r09/r10-rowed tail as slots allow.  fact_events_by_minute_approx
-    #    and ann_cosine_topk_arrow appear in the r16 tail list but stay
-    #    displaced: the standing oracle-only window rule
-    #    (test_every_windowed_query_has_an_oracle) outranks the rotation
-    #    note, and their *_bounds twins carry the real oracles --
-    "ann_cosine_topk_arrow_bounds",
-    "dedup_minhash_lsh_indexed",
-    "doc_chunk",
-    "training_prep",
-    "sample_cluster_split",
-    "q2_min_cost_region",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q16_supplier_part_counts",
-    "q20_surplus_suppliers",
-    "embed_quantize_recall_bounds",
-    "ann_hard_negatives",
-    "doc_entropy",
-    "segment_overlap_bounds",
-    "active_users_rolling",
-    "dedup_winnowing",
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_incremental",
-    "lang_id",
-    "join_inner_agg",
-    "quantiles",
+    "streaming_vector_ingest",
+    "streaming_cms_snapshot",
+    # -- the pre-committed r17 rotation (CORRECTNESS_WINDOW.md), by
+    #    driver-record age, oldest first: the r10-rowed remainder (the
+    #    freshness floor hits them at end-of-r17), then the head of the
+    #    r11-rowed cohort as the remaining 16 slots allow (its tail is
+    #    pre-committed to r18) --
+    "window_lag",
+    "set_ops",
+    "string_funcs",
+    "conditional_funcs",
+    "vocab_topk",
+    "lang_confusion",
+    "metrics_unpivot",
+    "scalar_subquery",
+    "dim_visitor_partitioned_ids",
+    "asof_join",
+    "date_funcs",
+    "json_funcs",
+    "embed_quantize",
+    "multimodal_resize",
+    "multimodal_frames",
+    "scd2_fact_incremental",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "doc_rolling_hash",
+    "token_count",
+    "doc_fingerprint",
+    "join_semi",
+    "join_anti",
     # -- core schema-level pipeline (driver-green r02-r04 + r07; pinned) --
     "dim_event_type",
     "fact_events_by_minute",
@@ -176,23 +175,48 @@ DRIVER_WINDOW: list[str] = [
 
 # Registered, locally cell-exact-verified every round, but outside the
 # driver's 50-row hash window this round.  Every with-oracle entry here
-# has at least one driver-green (hash_match=true) row (r02-r15) with
-# unchanged code paths since; the 2 no-oracle entries are ε-tolerance
+# has at least one driver-green (hash_match=true) row (r02-r16) with
+# unchanged code paths since; the 2 no-oracle entries are e-tolerance
 # pytest-covered by design AND have *_bounds twins carrying real oracles
-# (driver-green r06/r07).  Newly displaced: the r15 window's rotating
-# cohort (every entry got a fresh r15 driver row) — recency rotation per
-# the pre-committed r16 plan in CORRECTNESS_WINDOW.md.
+# (driver-green r06/r07 and re-rowed since).  Newly displaced: the r16
+# window's rotating cohort (every entry got a fresh r16 driver row) --
+# recency rotation per the pre-committed r17 plan in
+# CORRECTNESS_WINDOW.md.
 DISPLACED: list[str] = [
-    # -- newly displaced: the r15 window's rotating cohort (every entry
-    #    got a fresh r15 driver row; recency rotation per the
-    #    pre-committed r16 plan in CORRECTNESS_WINDOW.md) --
-    "tenant_rollup_skew_salted",
-    "streaming_vector_ingest",
+    # -- newly displaced: the r16 window's rotating cohort (fresh r16
+    #    driver rows; recency rotation per the pre-committed r17 plan) --
+    "ann_ivf_pq",
+    "ann_pq_recall_bounds",
+    "ann_lsh_indexed",
+    "dedup_minhash_lsh_deleted",
+    "dedup_clusters_deleted",
+    "ann_cosine_topk_arrow_bounds",
+    "dedup_minhash_lsh_indexed",
+    "doc_chunk",
+    "training_prep",
+    "sample_cluster_split",
+    "q2_min_cost_region",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_supplier_part_counts",
+    "q20_surplus_suppliers",
+    "embed_quantize_recall_bounds",
+    "ann_hard_negatives",
+    "doc_entropy",
+    "segment_overlap_bounds",
+    "active_users_rolling",
+    "dedup_winnowing",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_incremental",
+    "lang_id",
+    "join_inner_agg",
+    "quantiles",
+    # -- prior displaced cohorts (r08-r16 rows, order preserved) --
     "sessionize_native",
     "bpe_train",
     "bpe_apply",
     "bpe_fertility",
-    "streaming_cms_snapshot",
     "streaming_weighted_reservoir",
     "seq_pack",
     "profile_table",
@@ -209,9 +233,6 @@ DISPLACED: list[str] = [
     "doc_logprob",
     "dedup_minhash_lsh_capped",
     "dedup_clusters_indexed",
-    # -- displaced since r15 (fresh r14 rows; the six LSH/IVF
-    #    oracle-width rows were re-verified at sf0.1 in r14 and their
-    #    oracles are unchanged since) --
     "quality_source_percentile",
     "dedup_embedding_lsh",
     "dedup_embedding_clusters",
@@ -231,7 +252,6 @@ DISPLACED: list[str] = [
     "fact_events_hour_regrain",
     "fact_events_tenant_by_hour",
     "text_scrub",
-    # -- prior displaced cohorts (r08-r13 rows, order preserved) --
     "sample_weighted",
     "sample_weighted_stratified",
     "quality_gate_approx_bounds",
@@ -276,22 +296,6 @@ DISPLACED: list[str] = [
     "q14_promo_effect",
     "q17_small_quantity_revenue",
     "q19_discounted_revenue",
-    "dim_visitor_partitioned_ids",
-    "asof_join",
-    "date_funcs",
-    "json_funcs",
-    "embed_quantize",
-    "multimodal_resize",
-    "multimodal_frames",
-    "scd2_fact_incremental",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    "doc_rolling_hash",
-    "token_count",
-    "doc_fingerprint",
-    "join_semi",
-    "join_anti",
     "window_rank",
     "rollup_agg",
     "cube_agg",
@@ -299,14 +303,6 @@ DISPLACED: list[str] = [
     "range_join",
     "dedup_minhash_lsh_capped_indexed",
     "benchmark_contamination",
-    "window_lag",
-    "set_ops",
-    "string_funcs",
-    "conditional_funcs",
-    "vocab_topk",
-    "lang_confusion",
-    "metrics_unpivot",
-    "scalar_subquery",
     "fact_events_by_minute_approx",
     "ann_cosine_topk_arrow",
 ]

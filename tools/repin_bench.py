@@ -30,9 +30,15 @@ SUB_HALF = 0.5
 NEW_PINS = ["ann_index_staleness", "tenant_rollup_skew_salted",
             "lsh_width_staleness",
             "events_skew_salted_join"]       # r16: salted-join twin
-# r16: the two staleness reports read build-time sidecars (their pins
-# DROPPED, re-pinned individually per the honest-pin rule)
-CODE_CHANGED = ["ann_index_staleness", "lsh_width_staleness"]
+# r17: streaming_vector_ingest's admit path runs the exactly-once
+# admission ledger (one fingerprint agg per trigger on the first
+# lifecycle run) — and its r16 isin→anti-join plan change was omitted
+# from this list at the time (ADVICE r16 item 4; recorded here, re-pin
+# covers both changes).  The other r17 code-changed rows are
+# adjudicated NO-re-pin: salt_expr is the byte-identical expression
+# hoisted (skew rows), and the staleness reports' read-path change is
+# error-path-only (valid-sidecar hot path untouched).
+CODE_CHANGED = ["streaming_vector_ingest"]
 # The blanket sub-half median re-pass was the ONE-TIME r15 cleanup
 # (VERDICT r15: "future re-pins should be rare and individually
 # adjudicated") — it now requires --subhalf to run at all.
