@@ -316,6 +316,122 @@ def saltagg_scenario():
     shutil.rmtree(SCRATCH, ignore_errors=True)
 
 
+def saltjoin_scenario():
+    """Salted hot-key JOIN probe (r17, VERDICT r16 item 6): WHERE
+    `salted_broadcast_left_join` pays, measured — the join twin of the
+    saltagg lane.  Regime: a big skewed fact side (one tenant owning
+    ~50% of rows) joined to a MEDIUM dim side that exceeds the
+    broadcast gate (emulated here by disabling autoBroadcast + AQE's
+    own skew splitter, exactly the conditions the registered
+    `events_skew_salted_join` twin pins via medium_hint at test
+    scale).  Plain shuffle join keys on tenant alone, so the hot
+    tenant's entire row share lands on ONE join task (the straggler
+    partition); the salted form keys BOTH sides on (tenant, salt) —
+    the medium side exploded buckets ways — so the hot share spreads
+    over `buckets` tasks.  Reported: row-identical outputs, walls, and
+    per-stage max/median task spread; plus the AQE-ON reference wall
+    (at real scale AQE splits sort-merge skew on its own — the manual
+    salt's domain is hash joins, non-sort-merge shapes, and engines
+    without runtime replan)."""
+    from ringo_spark.catalog import get_spark
+    from ringo_spark.functions.skew import salted_broadcast_left_join
+
+    spark = get_spark("saltjoin-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    # k=64 (6.4M rows, hot task 3.2M) — at k=16 the ~60ms constant
+    # per-task overhead still dominated the straggler's 32x row share
+    # and the crossover was invisible (first probe run, kept in
+    # SCALE.md's honest-findings note)
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    n_ev = ev.count()
+    hot = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    big_parts = [
+        ev.select((F.col("event_id") + c * n_ev).alias("event_id"),
+                  *[col for col in ev.columns if col != "event_id"])
+        for c in range(k)]
+    skew_dir = os.path.join(SCRATCH, "skew")
+    (_replicate(big_parts)
+     .withColumn("user_id",
+                 F.when(F.col("event_id") % 2 == 0, F.lit(hot))
+                 .otherwise(F.col("user_id")))
+     .repartition(32).write.mode("overwrite")
+     .parquet(os.path.join(skew_dir, "events.parquet")))
+    big = (spark.read.parquet(os.path.join(skew_dir, "events.parquet"))
+           .select(F.coalesce(F.col("user_id"), F.lit(-1)).alias("tenant"),
+                   "event_id", "event_type"))
+    medium = (big.select("tenant").distinct()
+              .select("tenant",
+                      F.pmod(F.col("tenant"), F.lit(7)).alias("segment")))
+    medium.write.mode("overwrite").parquet(os.path.join(skew_dir, "dim"))
+    medium = spark.read.parquet(os.path.join(skew_dir, "dim"))
+    n = big.count()
+    n_hot = big.where(F.col("tenant") == hot).count()
+    print(f"corpus: {n} rows, hot tenant {hot} owns {n_hot} "
+          f"({n_hot/n:.0%}); medium dim {medium.count()} tenants")
+
+    agg = lambda j: (j.groupBy("segment")                    # noqa: E731
+                     .agg(F.count(F.lit(1)).alias("rows"),
+                          F.count_distinct("tenant").alias("tenants")))
+
+    def plain():
+        return agg(big.join(medium.hint("shuffle_hash"), "tenant",
+                            "left"))
+
+    def salted():
+        return agg(salted_broadcast_left_join(
+            big, medium, ["tenant"], buckets=16,
+            medium_hint="shuffle_hash"))
+
+    # the at-scale regime: medium exceeds the broadcast gate (emulated
+    # by disabling autoBroadcast — at probe scale the 1,501-row dim
+    # would otherwise broadcast and make BOTH plans skew-free)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    a = {tuple(r) for r in plain().collect()}
+    b = {tuple(r) for r in salted().collect()}
+    assert a == b, "salted join must be row-identical to the plain join"
+    print(f"equality: {len(a)} segments — identical under both plans")
+
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+    # Two regimes.  AQE ON (the engine default): since Spark 3.2 the
+    # runtime skew splitter covers shuffled-hash joins too, so the hot
+    # partition is split/coalesced on its own.  AQE OFF models the
+    # regimes the manual salt exists for: streaming micro-batch plans
+    # (no AQE), statically-planned stages, and engines without runtime
+    # replan — there the plain join's hot (tenant) partition is a real
+    # straggler and the salted (tenant, salt) key spreads it.
+    results = {}
+    for regime, aqe in (("AQE on", "true"), ("AQE off", "false")):
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        for label, fn in (("plain shuffle-hash join", plain),
+                          ("salted 16-bucket join", salted)):
+            fn().write.format("noop").mode("overwrite").save()  # JIT warm
+            s0 = _max_stage_id(spark)
+            t0 = time.time()
+            fn().write.format("noop").mode("overwrite").save()
+            results[(regime, label)] = wall = time.time() - t0
+            print(f"\n[{regime}] {label}: wall {wall:.2f}s")
+            print("| stage | max task | median task | spread | tasks |")
+            print("|---|---|---|---|---|")
+            for sid, mx, med, cnt in sorted(_task_time_spread(spark, s0)):
+                if mx < 20:
+                    continue                 # scheduler noise
+                print(f"| {sid} | {mx}ms | {med:.0f}ms | "
+                      f"{mx / max(med, 1):.1f}x | {cnt} |")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    po, so = (results[("AQE off", "plain shuffle-hash join")],
+              results[("AQE off", "salted 16-bucket join")])
+    print(f"\ncrossover (AQE off): salted/plain wall = {so/po:.2f}x "
+          f"(plain straggler vs salted spread); AQE-on reference: "
+          f"plain {results[('AQE on', 'plain shuffle-hash join')]:.2f}s, "
+          f"salted {results[('AQE on', 'salted 16-bucket join')]:.2f}s",
+          flush=True)
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
 def skewjoin_scenario():
     """Hot-FK probe for the parent-fact join (SCALE.md §3 claim 3): half
     of all lineitem rows point at ONE order key, so the sort-merge join's
@@ -1171,6 +1287,8 @@ if __name__ == "__main__":
         saltagg_scenario()
     elif len(sys.argv) > 1 and sys.argv[1] == "skewjoin":
         skewjoin_scenario()
+    elif len(sys.argv) > 1 and sys.argv[1] == "saltjoin":
+        saltjoin_scenario()
     elif len(sys.argv) > 1 and sys.argv[1] == "deep":
         deep_scenario()
     elif len(sys.argv) > 1 and sys.argv[1] == "ivf":
