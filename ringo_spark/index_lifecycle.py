@@ -297,19 +297,39 @@ def admit_state(index_path: str, fp: str) -> str:
     return "new"
 
 
-def admit_intent(index_path: str, fp: str) -> None:
+def admit_intent(index_path: str, fp: str, note: str = "") -> None:
+    """Record the intent, optionally carrying a small ``note`` payload
+    (the streaming span/near-dup sinks stamp each batch's assigned
+    monotone id here, so a torn retry reuses the SAME stamp instead of
+    allocating a new one and orphaning the first attempt's output)."""
     done, intent = _admit_paths(index_path, fp)
     os.makedirs(os.path.dirname(intent), exist_ok=True)
-    open(intent, "w").close()
+    tmp = intent + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(note)
+    os.replace(tmp, intent)
 
 
 def admit_commit(index_path: str, fp: str) -> None:
     done, intent = _admit_paths(index_path, fp)
-    open(done, "w").close()       # done FIRST; a crash here reads as done
     try:
-        os.unlink(intent)
+        # atomic promote, note preserved: after this the fp reads as
+        # done and the intent is gone in ONE operation (no both-exist
+        # crash window)
+        os.rename(intent, done)
     except FileNotFoundError:
-        pass
+        open(done, "w").close()   # intent-less commit (defensive)
+
+
+def admit_note(index_path: str, fp: str) -> str | None:
+    """The note recorded for ``fp`` (done wins over intent), or None if
+    the batch is unknown."""
+    done, intent = _admit_paths(index_path, fp)
+    for p in (done, intent):
+        if os.path.exists(p):
+            with open(p) as fh:
+                return fh.read()
+    return None
 
 
 def admits_in_flight(index_path: str) -> bool:

@@ -1615,14 +1615,20 @@ def doc_dedup_spans_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _spans_cleaned(base: DataFrame, removed: DataFrame) -> DataFrame:
+def _spans_cleaned(base: DataFrame, removed: DataFrame,
+                   ordered: bool = True) -> DataFrame:
     """Shared reconstruction for both span-removal operators: join the
     per-doc removal lists onto the (doc_id, __toks) frame and rebuild
     the cleaned token stream — kept chunks in order plus the tail
     beyond the last full chunk.  ONE implementation on purpose: a
     divergence in W arithmetic or the 1-based slice bounds between the
     batch and incremental paths would silently break their pinned
-    restriction equality (the _chunk_hashes rationale)."""
+    restriction equality (the _chunk_hashes rationale).
+
+    ``ordered=False`` skips the presentation orderBy — the streaming
+    sink writes batch-partitioned parquet whose row order is
+    irrelevant, and the global sort was a full extra exchange per
+    micro-batch (r17 review)."""
     W = DUP_CHUNK_TOKENS
     n = F.floor(F.size("__toks") / W).cast("int")
     idxs = F.when(n >= 1, F.sequence(F.lit(0), n - 1)) \
@@ -1637,16 +1643,16 @@ def _spans_cleaned(base: DataFrame, removed: DataFrame) -> DataFrame:
     kept_toks = F.flatten(F.transform(
         kept_idx, lambda i: F.slice("__toks", i * W + 1, W)))
     tail = F.slice("__toks", n * W + 1, F.size("__toks") - n * W)
-    return (base
-            .join(removed, "doc_id", "left")
-            .withColumn("rem", F.coalesce(
-                "rem", F.array().cast("array<int>")))
-            .select("doc_id",
-                    n.cast("long").alias("n_chunks"),
-                    F.size("rem").cast("long").alias("n_removed"),
-                    F.array_join(F.concat(kept_toks, tail), " ")
-                    .alias("cleaned_text"))
-            .orderBy("doc_id"))
+    out = (base
+           .join(removed, "doc_id", "left")
+           .withColumn("rem", F.coalesce(
+               "rem", F.array().cast("array<int>")))
+           .select("doc_id",
+                   n.cast("long").alias("n_chunks"),
+                   F.size("rem").cast("long").alias("n_removed"),
+                   F.array_join(F.concat(kept_toks, tail), " ")
+                   .alias("cleaned_text")))
+    return out.orderBy("doc_id") if ordered else out
 
 
 DOC_DEDUP_SPANS_SQL = f"""

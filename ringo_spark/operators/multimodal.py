@@ -185,9 +185,17 @@ def parse_wav_header(payload: bytes) -> tuple[int, int, int] | None:
     while pos + 8 <= len(payload):
         ctype, clen = struct.unpack("<4sI", payload[pos:pos + 8])
         if ctype == b"fmt " and clen >= 16:
+            # length fields are untrusted input (the PNG walk's rule):
+            # a chunk truncated mid-fmt would hand struct.unpack a
+            # short buffer and crash the whole Arrow batch with
+            # struct.error instead of the documented None skip
+            if pos + 16 > len(payload):
+                return None
             _fmt, ch, rate = struct.unpack("<HHI", payload[pos + 8:pos + 16])
         elif ctype == b"data":
-            data_len = clen
+            # clamp a declared length that runs past the payload — the
+            # sample count must never exceed the bytes that exist
+            data_len = min(clen, max(0, len(payload) - pos - 8))
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
     if rate is None or data_len is None:
         return None
@@ -664,6 +672,13 @@ def decode_wav_samples(payload: bytes) -> tuple[int, float, int, int]:
     while pos + 8 <= len(payload):
         ctype, clen = struct.unpack("<4sI", payload[pos:pos + 8])
         if ctype == b"data":
+            # untrusted length field (the PNG walk's rule): a declared
+            # size past the payload end would give struct.unpack a
+            # short slice and raise struct.error instead of the
+            # documented ValueError
+            if pos + 8 + clen > len(payload):
+                raise ValueError(
+                    f"data chunk length {clen} exceeds payload")
             samples = struct.unpack(
                 f"<{clen // 2}h", payload[pos + 8:pos + 8 + clen])
         pos += 8 + clen + (clen & 1)

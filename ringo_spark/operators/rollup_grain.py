@@ -324,7 +324,12 @@ def tenant_rollup_skew_salted_df(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     from ..functions.skew import salted_aggregate
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # load_catalog, not a bare read (r17 review): these two skew rows
+    # were the only registered queries bypassing it — on a
+    # nanos-timestamp events encoding a bare first read in a fresh
+    # session fails outright, and only an earlier query's load_catalog
+    # having mutated the shared session conf hid the dependency
+    ev = load_catalog(spark, sf_dir, [EVENTS])["events"]
     uid = F.coalesce(F.col("user_id"), F.lit(-1))
     df = ev.select(_skewed_tenant(uid).alias("tenant"), "event_id",
                    F.col("value").cast("decimal(18,2)").alias("v"))
@@ -380,9 +385,12 @@ TENANT_JOIN_SALT_BUCKETS = 8
 
 def events_skew_salted_join_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.skew import salted_broadcast_left_join
+    from ..testbed import CUSTOMER
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    # load_catalog, not bare reads (r17 review — see the salted
+    # aggregation twin above)
+    cat = load_catalog(spark, sf_dir, [EVENTS, CUSTOMER])
+    ev, cust = cat["events"], cat["customer"]
     uid = F.coalesce(F.col("user_id"), F.lit(-1))
     big = ev.select(_skewed_tenant(uid).alias("tenant"), "event_id",
                     F.col("value").cast("decimal(18,2)").alias("v"))

@@ -219,7 +219,13 @@ def sample_temperature_df(spark: SparkSession, sf_dir: str,
                      F.round(F.pow(F.col("n_min") / F.col("n_lang"),
                                    F.lit(1.0 - alpha)), 6)
                      .alias("keep_rate")))
-    return (docs.join(F.broadcast(rates), "lang")
+    # null-safe rate join (r17 review): a NULL lang forms its own
+    # counts group (and can even set n_min), but a plain equi-join
+    # never matches NULL — those docs were excluded outright, breaking
+    # the down-sampling-only contract for the null group
+    rates = rates.withColumnRenamed("lang", "r_lang")
+    return (docs.join(F.broadcast(rates),
+                      F.col("lang").eqNullSafe(F.col("r_lang")))
             .where(_bucket(F.col("doc_id"))
                    < F.col("keep_rate") * HASH_MOD)
             .select("doc_id", "lang", "keep_rate"))
@@ -233,8 +239,8 @@ rates AS (
          round(pow((SELECT min(n_lang) FROM counts) / CAST(n_lang AS DOUBLE),
                    1.0 - {TEMP_ALPHA}), 6) AS keep_rate
   FROM counts)
-SELECT doc_id, lang, keep_rate
-FROM documents JOIN rates USING (lang)
+SELECT doc_id, d.lang AS lang, keep_rate
+FROM documents d JOIN rates r ON d.lang IS NOT DISTINCT FROM r.lang
 WHERE {sql_phash("doc_id::VARCHAR", SPLIT_SEED)} % {HASH_MOD}
       < keep_rate * {HASH_MOD}
 """

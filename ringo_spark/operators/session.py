@@ -336,7 +336,9 @@ EVENT_FUNNEL_SQL = _funnel_sql()
 
 SESSION_QUERIES = {
     "sessionize": (sessionize_df, SESSIONIZE_SQL),
-    # the built-in session_window twin (native >= gap boundary)
+    # the built-in session_window twin (touching windows MERGE: a new
+    # session starts only STRICTLY past the gap — the r15 sf0.1 lesson,
+    # same rule as the lag-based form above)
     "sessionize_native": (sessionize_native_df, SESSIONIZE_NATIVE_SQL),
     # weekly activation cohorts: distinct (user, week) -> first-week
     # cohort -> offset rollup -> retention fraction

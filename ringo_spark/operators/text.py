@@ -171,6 +171,14 @@ QUALIFY q_pct_rank >= {QUALITY_PCT_FLOOR}
 
 QUALITY_GATE_ACCURACY = 1000             # GK sketch accuracy (eps = 1e-3)
 QUALITY_GATE_RANK_EPS = 3.0 / QUALITY_GATE_ACCURACY   # 3x published bound
+# The exact gate compares round(percent_rank, 6) >= FLOOR, and under
+# HALF_UP rounding (Spark and DuckDB agree for positives) that keeps
+# every rank with (r-1)/(n-1) >= FLOOR - 5e-7 — so the kept_exact
+# closed form must drop ceil((FLOOR - 5e-7)*(n-1)) ranks, not
+# ceil(FLOOR*(n-1)) (r17 review: identical for n-1 < 2e6, where no
+# representable rank lands inside the rounding window, but a mega
+# source past that silently diverged from the gate it pins)
+QUALITY_PCT_FLOOR_RND = QUALITY_PCT_FLOOR - 5e-7
 
 
 def quality_gate_approx_bounds_df(spark: SparkSession, sf_dir: str,
@@ -209,9 +217,9 @@ def quality_gate_approx_bounds_df(spark: SparkSession, sf_dir: str,
                        f"{QUALITY_GATE_ACCURACY})").alias("t_approx"),
                 F.sort_array(F.collect_list("q")).alias("vals")))
     n = F.col("n")
-    kept_exact = (n - F.ceil(F.lit(QUALITY_PCT_FLOOR) * (n - 1))) \
+    kept_exact = (n - F.ceil(F.lit(QUALITY_PCT_FLOOR_RND) * (n - 1))) \
         .cast("long")
-    cut_idx = (F.ceil(F.lit(QUALITY_PCT_FLOOR) * (n - 1)) + 1).cast("int")
+    cut_idx = (F.ceil(F.lit(QUALITY_PCT_FLOOR_RND) * (n - 1)) + 1).cast("int")
     lo = F.greatest(F.lit(1),
                     F.floor(F.lit(QUALITY_PCT_FLOOR - QUALITY_GATE_RANK_EPS)
                             * n).cast("int"))
@@ -250,8 +258,15 @@ def quality_source_gate_gk_df(spark: SparkSession, sf_dir: str,
     thresholds = (scored.groupBy("source")
                   .agg(F.expr(f"approx_percentile(quality_score, "
                               f"{probe_p}D, "
-                              f"{QUALITY_GATE_ACCURACY})").alias("t")))
-    return (scored.join(F.broadcast(thresholds), "source")
+                              f"{QUALITY_GATE_ACCURACY})").alias("t"))
+                  .withColumnRenamed("source", "t_source"))
+    # null-safe threshold join (r17 review): a NULL source forms its
+    # own group in groupBy AND its own window partition in the exact
+    # gate, but a plain equi-join never matches NULL — those docs
+    # silently vanished from the production gate and flipped the
+    # contract row red
+    return (scored.join(F.broadcast(thresholds),
+                        F.col("source").eqNullSafe(F.col("t_source")))
             .where(F.col("quality_score") >= F.col("t"))
             .select("doc_id", "source", "quality_score"))
 
@@ -291,7 +306,7 @@ def quality_source_gate_gk_contract_df(spark: SparkSession, sf_dir: str,
            .agg(F.count(F.lit(1)).alias("n"),
                 F.sort_array(F.collect_list("q")).alias("vals")))
     n = F.col("n")
-    kept_exact = (n - F.ceil(F.lit(QUALITY_PCT_FLOOR) * (n - 1))) \
+    kept_exact = (n - F.ceil(F.lit(QUALITY_PCT_FLOOR_RND) * (n - 1))) \
         .cast("long")
     lo = F.greatest(F.lit(1),
                     F.floor(F.lit(QUALITY_PCT_FLOOR - QUALITY_GATE_RANK_EPS)
@@ -305,13 +320,25 @@ def quality_source_gate_gk_contract_df(spark: SparkSession, sf_dir: str,
         "vals", lambda v: v >= F.element_at("vals", hi)))
     kept_max = F.size(F.filter(
         "vals", lambda v: v >= F.element_at("vals", lo)))
-    gk_cnt = gk.groupBy("source").agg(
+    # every per-source join below is null-safe (r17 review): NULL
+    # sources group/window fine but never match an equi-join key, so
+    # their contract booleans read kept_gk=0/kept_both=0 and go red
+    gk_cnt = (gk.groupBy("source").agg(
         F.count(F.lit(1)).alias("kept_gk"))
-    sub_cnt = (exact.join(gk, ["doc_id", "source"])
-               .groupBy("source")
+        .withColumnRenamed("source", "gk_source"))
+    gk2 = gk.select(F.col("doc_id").alias("g_doc"),
+                    F.col("source").alias("g_source"))
+    sub_cnt = (exact.withColumnRenamed("source", "e_source")
+               .join(gk2, (F.col("doc_id") == F.col("g_doc"))
+                     & F.col("e_source").eqNullSafe(F.col("g_source")))
+               .groupBy("e_source")
                .agg(F.count(F.lit(1)).alias("kept_both")))
-    return (agg.join(gk_cnt, "source", "left")
-            .join(sub_cnt, "source", "left")
+    return (agg.join(gk_cnt,
+                     F.col("source").eqNullSafe(F.col("gk_source")),
+                     "left")
+            .join(sub_cnt,
+                  F.col("source").eqNullSafe(F.col("e_source")),
+                  "left")
             .select(
                 "source", "n", kept_exact.alias("kept_exact"),
                 (F.coalesce("kept_both", F.lit(0)) == kept_exact)
@@ -327,7 +354,7 @@ WITH scored AS (
   SELECT source, round({sql_quality_score('text')}, 6) AS q
   FROM documents)
 SELECT source, count(*) AS n,
-       CAST(count(*) - ceil({QUALITY_PCT_FLOOR} * (count(*) - 1))
+       CAST(count(*) - ceil({QUALITY_PCT_FLOOR_RND} * (count(*) - 1))
             AS BIGINT) AS kept_exact,
        TRUE AS exact_subset_of_gk,
        TRUE AS gk_within_bracket
@@ -342,10 +369,10 @@ WITH scored AS (
   SELECT source, round({sql_quality_score('text')}, 6) AS q
   FROM documents)
 SELECT source, count(*) AS n,
-       CAST(count(*) - ceil({QUALITY_PCT_FLOOR} * (count(*) - 1))
+       CAST(count(*) - ceil({QUALITY_PCT_FLOOR_RND} * (count(*) - 1))
             AS BIGINT) AS kept_exact,
        list_sort(list(q))[
-           CAST(ceil({QUALITY_PCT_FLOOR} * (count(*) - 1)) + 1 AS INT)]
+           CAST(ceil({QUALITY_PCT_FLOOR_RND} * (count(*) - 1)) + 1 AS INT)]
          AS t_exact,
        TRUE AS within_rank_bounds
 FROM scored
@@ -551,7 +578,7 @@ def doc_rolling_hash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     the token-hash sequence, h = fold(h*B + t mod P).  Complements the
     order-insensitive sorted-set fingerprint — equal only for documents
     with identical token sequences."""
-    from .textfn import MINHASH_P, phash
+    from .textfn import phash
 
     hs = F.transform(tokens(F.col("text")),
                      lambda t: phash(t) % F.lit(ROLL_P))
@@ -1311,15 +1338,18 @@ def _merge_fold(syms, a: str, b: str):
 
 
 def _bpe_train_state(spark: SparkSession, sf_dir: str,
-                     n_merges: int = BPE_MERGES):
+                     n_merges: int = BPE_MERGES, vocab=None):
     """Run the training loop; return (merges, final_state).  ``merges``
     is [(rank, a, b, pair_count)] in learned order; ``final_state`` is
     the (w, c, syms) vocabulary after all merges.  The driver loop over
     an O(1) argmax collect per iteration is the honest cost model —
     each iteration's heavy work is one distributed vocab-sized
     aggregate; states are cached so iteration k never recomputes
-    iterations 1..k-1."""
-    state = _bpe_vocab_state(spark, sf_dir).cache()
+    iterations 1..k-1.  ``vocab``: an already-cached
+    :func:`_bpe_vocab_state` to reuse (the gated entry point computed
+    it for its count — recomputing would re-scan the corpus)."""
+    state = (vocab if vocab is not None
+             else _bpe_vocab_state(spark, sf_dir)).cache()
     cached = [state]
     merges = []
     for rank in range(1, n_merges + 1):
@@ -1461,10 +1491,15 @@ def train_bpe_merges(spark: SparkSession, sf_dir: str,
     produce the IDENTICAL merge list and word->symbols map (same
     argmax, same 'a b' tie-break, same greedy non-overlapping fold;
     pytest-pinned), so the gate is invisible in every artifact."""
-    vocab = _bpe_vocab_state(spark, sf_dir)
+    # cache the vocab aggregate: the gate's count() and the chosen
+    # path's first consumer would otherwise each re-run the dominant
+    # corpus-sized tokenize+explode+groupBy (r17 review — 2-3x the
+    # heaviest stage of every tokenizer cache-miss build)
+    vocab = _bpe_vocab_state(spark, sf_dir).cache()
     n_vocab = vocab.count()
     if n_vocab <= BPE_LOCAL_MAX_VOCAB_ROWS:
         wc = {r.w: r.c for r in vocab.select("w", "c").collect()}
+        vocab.unpersist()
         merges, state = bpe_train_merges_local(wc, n_merges,
                                                return_state=True)
         word_map = spark.createDataFrame(
@@ -1472,7 +1507,8 @@ def train_bpe_merges(spark: SparkSession, sf_dir: str,
              for w, syms in sorted(state.items())],
             "w string, sym_str string, ns int")
         return merges, word_map
-    merges, state = _bpe_train_state(spark, sf_dir, n_merges)
+    merges, state = _bpe_train_state(spark, sf_dir, n_merges,
+                                     vocab=vocab)
     word_map = state.select(
         "w", F.concat_ws(" ", "syms").alias("sym_str"),
         F.size("syms").alias("ns"))
@@ -1550,7 +1586,15 @@ def bpe_fertility_df(spark: SparkSession, sf_dir: str,
 def _bpe_sql_states(n_merges: int) -> tuple[str, str]:
     """The shared CTE chain: it0 (character state) .. it{n} (after n
     merges) with m{k} argmax CTEs — the oracle replays the exact loop,
-    merge application included, as n unrolled SQL iterations."""
+    merge application included, as n unrolled SQL iterations.
+
+    ``it{k}`` LEFT-joins its merge row (r17 review): when the corpus
+    exhausts its pair supply before n_merges, ``m{k}`` is EMPTY — a
+    cross join would then empty every later state (and the apply /
+    fertility oracles with it) while the Spark/local trainers break
+    out and keep the final state.  Under the left join the NULL m.a /
+    m.b make every fold branch fall to the pass-through arm, so the
+    state rides forward unchanged — exactly the trainers' break."""
     ctes = [f"""it0 AS (
   SELECT w, c,
          array_to_string([substr(w, i, 1)
@@ -1580,7 +1624,7 @@ def _bpe_sql_states(n_merges: int) -> tuple[str, str]:
                     ELSE left(acc, length(acc) - length(m.a) - 1)
                          || ' ' || m.a || m.b END
              ELSE acc || ' ' || s END) AS syms
-  FROM it{k - 1}, m{k} AS m)""")
+  FROM it{k - 1} LEFT JOIN m{k} AS m ON TRUE)""")
     merge_union = "\nUNION ALL\n".join(
         f"SELECT * FROM m{k}" for k in range(1, n_merges + 1))
     return "WITH " + ",\n".join(ctes), merge_union

@@ -2389,3 +2389,159 @@ def test_lsh_append_ledger_torn_retry_and_no_resurrection(spark, tmp_path):
     assert sum(tbl.column("c").to_pylist()) == n - 3
     assert sim.append_to_lsh_index(spark, p, batch) is False
     assert spark.read.parquet(p).count() == n - 3
+
+
+def _write_docs(spark, tmp_path, rows):
+    """documents.parquet fixture dir for null-handling pins (r17
+    review): (doc_id, source, lang, text) with nullable source/lang."""
+    import os
+
+    d = str(tmp_path / "sfnull")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet")
+    return d
+
+
+def test_quality_gate_keeps_null_source_docs(spark, tmp_path):
+    """r17 review finding 1: a NULL source forms its own group in the
+    exact percent-rank gate and in every per-source aggregate, but the
+    GK production gate's threshold equi-join silently dropped those
+    docs and flipped the contract row red.  Null-safe joins pin the
+    Spark side; the DuckDB oracle (GROUP BY keeps NULL) agrees."""
+    import duckdb
+
+    from ringo_spark.operators import text as txt
+
+    rows = [(i, None if i % 3 == 0 else f"src{i % 2}", "en",
+             f"doc text number {i} " + "filler " * (i % 7))
+            for i in range(60)]
+    d = _write_docs(spark, tmp_path, rows)
+
+    gate = txt.quality_source_gate_gk_df(spark, d).collect()
+    assert sum(1 for r in gate if r.source is None) > 0, \
+        "GK gate dropped every NULL-source doc"
+
+    got = [(r.source, r.n, r.kept_exact, r.exact_subset_of_gk,
+            r.gk_within_bracket)
+           for r in txt.quality_source_gate_gk_contract_df(spark, d)
+           .collect()]
+    assert any(r[0] is None for r in got)
+    assert all(r[3] and r[4] for r in got), got
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet/*.parquet')")
+    want = con.execute(txt.QUALITY_SOURCE_GATE_GK_SQL).fetchall()
+    assert sorted(got, key=lambda r: (r[0] is not None, r[0] or "")) == \
+        sorted([tuple(r) for r in want],
+               key=lambda r: (r[0] is not None, r[0] or ""))
+
+
+def test_sample_temperature_keeps_null_lang_group(spark, tmp_path):
+    """r17 review finding 6: docs with NULL lang got a computed keep
+    rate that was unreachable through the plain equi-join — they were
+    excluded outright, violating the down-sampling-only contract for
+    the null group.  Null-safe join on both engines, cell-compared."""
+    import duckdb
+
+    from ringo_spark.operators import sampling as smp
+
+    rows = [(i, "web", None if i % 4 == 0 else f"l{i % 3}", f"text {i}")
+            for i in range(80)]
+    d = _write_docs(spark, tmp_path, rows)
+    got = {(r.doc_id, r.lang, r.keep_rate)
+           for r in smp.sample_temperature_df(spark, d).collect()}
+    assert any(lang is None for _, lang, _ in got), \
+        "temperature sampler dropped the whole NULL-lang group"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet/*.parquet')")
+    want = {tuple(r) for r in
+            con.execute(smp.SAMPLE_TEMPERATURE_SQL).fetchall()}
+    assert got == want
+
+
+def test_bpe_oracle_survives_merge_exhaustion(spark, tmp_path):
+    """r17 review finding 2: a corpus whose pair supply runs dry before
+    n_merges empties the oracle's m{k} CTE — the old cross join then
+    emptied every later state and the apply/fertility oracles returned
+    zero rows, while the trainers break and keep the final state.  The
+    LEFT JOIN pass-through must keep both engines cell-identical."""
+    import duckdb
+
+    from ringo_spark.operators import text as txt
+
+    # two distinct words, one merge possible ("a b"), ask for 6
+    rows = [(i, "s", "en", "ab ab cd") for i in range(8)]
+    d = _write_docs(spark, tmp_path, rows)
+    n_merges = 6
+    merges, word_map = txt.train_bpe_merges(spark, d, n_merges)
+    assert 0 < len(merges) < n_merges        # exhaustion actually hit
+
+    got = sorted(
+        (r.doc_id, r.bpe_len, r.syms_hash)
+        for r in txt.bpe_apply_df(spark, d, n_merges).collect())
+    assert got, "Spark apply lost the corpus"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet/*.parquet')")
+    want = sorted(tuple(r) for r in
+                  con.execute(txt._bpe_apply_sql(n_merges)).fetchall())
+    assert got == want
+
+
+def test_wav_parsers_reject_truncated_chunks():
+    """r17 review finding 3: WAV chunk length fields are untrusted
+    input (the PNG walk's rule) — a payload truncated mid-fmt or a
+    data length past the end must hit the documented skip/ValueError
+    path, never struct.error (which kills the whole Arrow batch)."""
+    import struct
+
+    import pytest as _pytest
+
+    from ringo_spark.operators.multimodal import (
+        decode_wav_samples, encode_wav_pcm, parse_wav_header,
+    )
+
+    whole = encode_wav_pcm(3)
+    assert parse_wav_header(whole) is not None
+    # cut mid-fmt: header walk must return None, not raise
+    cut = whole[:12 + 8 + 10]           # RIFF+WAVE + fmt hdr + 10 bytes
+    assert parse_wav_header(cut) is None
+    # data chunk declaring more bytes than exist: clamp, never
+    # over-report samples
+    hdr = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000,
+                                   16000, 2, 16)
+           + b"data" + struct.pack("<I", 1 << 20) + b"\x00\x00" * 4)
+    rate, ch, data_len = parse_wav_header(hdr)
+    assert data_len == 8
+    # sample decode: ValueError (the PNG contract), not struct.error
+    with _pytest.raises(ValueError, match="exceeds payload"):
+        decode_wav_samples(hdr)
+
+
+def test_kept_exact_closed_form_matches_rounded_gate_at_scale(spark):
+    """r17 review finding 4: the exact gate keeps
+    round(percent_rank, 6) >= FLOOR, so for n-1 >= 2e6 some rank lands
+    inside the HALF_UP rounding window and the un-rounded closed form
+    n - ceil(FLOOR*(n-1)) under-counts.  Pin the rounding-aware form
+    against Spark's own round() semantics at a divergent n, and that
+    the old form really did diverge (the bug was real)."""
+    import math
+
+    n = 4_000_001                       # n-1 = 4e6: window width 2 ranks
+    df = spark.range(n).selectExpr(
+        f"round(id / CAST({n - 1} AS DOUBLE), 6) AS pr")
+    kept_gate = df.where("pr >= 0.25").count()
+    from ringo_spark.operators.text import (
+        QUALITY_PCT_FLOOR, QUALITY_PCT_FLOOR_RND,
+    )
+
+    kept_new = n - math.ceil(QUALITY_PCT_FLOOR_RND * (n - 1))
+    kept_old = n - math.ceil(QUALITY_PCT_FLOOR * (n - 1))
+    assert kept_gate == kept_new
+    assert kept_gate != kept_old        # the divergence the fix closes
