@@ -18,10 +18,26 @@ cheap map-only projections keep their zero-Exchange plans.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
+
+# logical nodes whose presence means the frame is NOT a bare scan: its
+# stage parallelism comes from shuffle.partitions, and — the real hazard
+# (r17 review) — counting its partitions via df.rdd would finalize the
+# AQE plan, EXECUTING every shuffle stage as a throwaway job before the
+# caller's own action re-plans and re-executes them
+_MULTI_STAGE = re.compile(
+    r"Join|Aggregate|Window|Sort|Repartition|Deduplicate|CoGroup|Distinct")
 
 
 def spread(df: DataFrame) -> DataFrame:
+    try:
+        tree = df._jdf.queryExecution().optimizedPlan().treeString()
+        if _MULTI_STAGE.search(tree):
+            return df
+    except Exception:
+        pass   # unknown plan shape: the partition probe below decides
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df

@@ -318,7 +318,10 @@ def admit_commit(index_path: str, fp: str) -> None:
         # crash window)
         os.rename(intent, done)
     except FileNotFoundError:
-        open(done, "w").close()   # intent-less commit (defensive)
+        # intent-less commit (defensive) — never truncate an existing
+        # done's note (a re-committed probe batch keeps its stamp)
+        if not os.path.exists(done):
+            open(done, "w").close()
 
 
 def admit_note(index_path: str, fp: str) -> str | None:

@@ -107,19 +107,36 @@ def _assert_small_scale(df: DataFrame, op: str, scale_path: str) -> DataFrame:
     row_multiplying = True      # unknown plan shape reads as multiplying
     try:
         tree = df._jdf.queryExecution().optimizedPlan().treeString()
+        # SUBSTRING match, not \b-anchored (r17 review): LateralJoin,
+        # Unpivot, FlatMapCoGroupsInPandas etc. multiply rows too, and
+        # a false positive here merely costs a count() — a false
+        # negative admits an over-bound frame to a quadratic baseline
         row_multiplying = any(
-            re.search(rf"\b{node}\b", tree)
-            for node in ("Join", "Generate", "Expand", "CoGroup"))
+            node in tree
+            for node in ("Join", "Generate", "Expand", "CoGroup",
+                         "Unpivot"))
     except Exception:
         pass
     try:
-        files = ([] if row_multiplying
-                 else [f for f in df.inputFiles() if ".parquet" in f])
-        if files:
+        files = [] if row_multiplying else list(df.inputFiles())
+        # ALL inputs must be local parquet (r17 review): a mixed
+        # parquet+csv union would silently sum only the parquet side
+        # and under-count; non-local / URL-encoded paths go to the
+        # estimate/count steps instead of mangled-string fallbacks
+        if files and all(".parquet" in f for f in files):
+            from urllib.parse import unquote, urlparse
+
             import pyarrow.parquet as pq
 
-            n = sum(pq.ParquetFile(f.replace("file:", "")).metadata.num_rows
-                    for f in files)
+            total = 0
+            for f in files:
+                u = urlparse(f)
+                if u.scheme not in ("", "file"):
+                    total = None
+                    break
+                total += pq.ParquetFile(
+                    unquote(u.path)).metadata.num_rows
+            n = total
     except Exception:
         n = None
     if n is None:
@@ -171,20 +188,34 @@ def _shingled(spark: SparkSession, sf_dir: str,
             .where(F.size("sh") > 0))
 
 
-def _band_rows(sigs: DataFrame) -> DataFrame:
+def _band_rows(sigs: DataFrame, bands: int = BANDS) -> DataFrame:
     """(doc_id, sig) -> (doc_id, band_key) rows: one row per (doc, band),
     band key = band index ':'-joined with that band's signature slice.
-    Only these two narrow columns ever enter the LSH shuffle."""
-    rows_per_band = NUM_PERM // BANDS
+    Only these two narrow columns ever enter the LSH shuffle.  ONE
+    implementation (r17 review): the recall-contract audit had its own
+    inline copy, which a key-format change would silently desync from
+    the production banding it claims to measure."""
+    rows_per_band = NUM_PERM // bands
     band_key = F.concat_ws(
         ":", F.col("b").cast("string"),
         *[F.get("sig", F.col("b") * rows_per_band + i).cast("string")
           for i in range(rows_per_band)])
     return (sigs
             .select("doc_id",
-                    F.explode(F.sequence(F.lit(0), F.lit(BANDS - 1))).alias("b"),
+                    F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("b"),
                     "sig")
             .select("doc_id", band_key.alias("band_key")))
+
+
+def sql_band_key(bands: int = BANDS) -> str:
+    """The DuckDB twin of :func:`_band_rows`' key expression, derived
+    from the SAME constants (r17 review: four oracles hard-coded the
+    rows-per-band as 2 — retuning NUM_PERM or BANDS would desync them
+    from the Spark side with a confusing pair-set diff)."""
+    rpb = NUM_PERM // bands
+    return " || ':' || ".join(
+        ["b::VARCHAR"] + [f"sig[{rpb}*b + {i + 1}]::VARCHAR"
+                          for i in range(rpb)])
 
 
 def _candidate_pairs(bands: DataFrame) -> DataFrame:
@@ -445,7 +476,7 @@ sigs AS (
   SELECT doc_id, sh, {sql_minhash_signature('sh', NUM_PERM)} AS sig FROM base),
 bands AS (
   SELECT doc_id, sh,
-         b::VARCHAR || ':' || sig[2*b + 1]::VARCHAR || ':' || sig[2*b + 2]::VARCHAR
+         {sql_band_key()}
            AS band_key
   FROM sigs, generate_series(0, {BANDS - 1}) g(b)),
 cand AS (
@@ -679,7 +710,7 @@ sigs AS (
   SELECT doc_id, sh, {sql_minhash_signature('sh', NUM_PERM)} AS sig FROM base),
 bands AS (
   SELECT doc_id, sh,
-         b::VARCHAR || ':' || sig[2*b + 1]::VARCHAR || ':' || sig[2*b + 2]::VARCHAR
+         {sql_band_key()}
            AS band_key
   FROM sigs, generate_series(0, {BANDS - 1}) g(b)
   QUALIFY count(*) OVER (PARTITION BY band_key) <= {BAND_BUCKET_CAP}),
@@ -707,9 +738,14 @@ def dedup_simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash fingerprint per document (frequency-weighted token
     sign bits).  Near-dup = small Hamming distance; the fingerprint itself
     is the oracle-checked output."""
+    from ..functions.spread import spread
+
     toks_h = F.transform(tokens(F.col("text")), lambda t: phash(t, 0))
-    return (_docs(spark, sf_dir)
-            .repartition(spark.sparkContext.defaultParallelism)
+    # spread, not unconditional repartition (r17 review): on a
+    # many-split real corpus the latter DOWN-shuffles raw text to
+    # defaultParallelism — the policy every other compute-bound lane
+    # here already follows
+    return (spread(_docs(spark, sf_dir))
             .select("doc_id", toks_h.alias("hs"))
             .select("doc_id", F.expr("""
 aggregate(sequence(0, 59), 0L, (acc, b) -> acc + IF(
@@ -875,7 +911,7 @@ sigs AS (
   SELECT doc_id, sh, {sql_minhash_signature('sh', NUM_PERM)} AS sig FROM base),
 bands AS (
   SELECT doc_id,
-         b::VARCHAR || ':' || sig[2*b + 1]::VARCHAR || ':' || sig[2*b + 2]::VARCHAR
+         {sql_band_key()}
            AS band_key
   FROM sigs, generate_series(0, {BANDS - 1}) g(b)),
 cand AS (
@@ -1239,8 +1275,10 @@ def dedup_winnowing_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the same one dedup_minhash_lsh uses — (doc_id, band_key) rows
     only, linear at 8x — and verification joins the tiny candidate list
     back to the fingerprint table for exact Jaccard."""
-    docs = _docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism)
+    from ..functions.spread import spread
+
+    # spread, not unconditional repartition — the simhash rationale
+    docs = spread(_docs(spark, sf_dir))
     n_grams = F.length("text") - WINNOW_K + 1
     grams = F.transform(
         F.sequence(F.lit(1), n_grams),
@@ -1292,7 +1330,7 @@ sigs AS (
   SELECT doc_id, fp, {_sql_minhash_over_ints('fp', NUM_PERM)} AS sig FROM fps),
 bands AS (
   SELECT doc_id, fp,
-         b::VARCHAR || ':' || sig[2*b + 1]::VARCHAR || ':' || sig[2*b + 2]::VARCHAR
+         {sql_band_key()}
            AS band_key
   FROM sigs, generate_series(0, {BANDS - 1}) g(b)),
 cand AS (
@@ -1375,21 +1413,14 @@ def dedup_lsh_recall_bounds_df(spark: SparkSession, sf_dir: str,
                           F.greatest("a_id", "b_id").alias("hi"))
                   .distinct())
 
-    # candidates: the production band layout at the requested band count
-    rows_per_band = NUM_PERM // bands
+    # candidates: the production band layout at the requested band
+    # count — THROUGH the shared helper, so the audit can never
+    # measure a different banding scheme than the path it pins
     sigs = (base
             .withColumn("hs", shingle_hashes(F.col("sh")))
             .select("doc_id",
                     minhash_signature(F.col("hs"), NUM_PERM).alias("sig")))
-    band_key = F.concat_ws(
-        ":", F.col("b").cast("string"),
-        *[F.get("sig", F.col("b") * rows_per_band + i).cast("string")
-          for i in range(rows_per_band)])
-    brows = (sigs
-             .select("doc_id",
-                     F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("b"),
-                     "sig")
-             .select("doc_id", band_key.alias("band_key")))
+    brows = _band_rows(sigs, bands=bands)
     a, b = brows.where(audit_filter).alias("a"), brows.alias("b")
     # audit band rows broadcast for the same reason: the corpus band
     # table never shuffles on the band key for the audit's sake
@@ -1413,10 +1444,7 @@ def dedup_lsh_recall_bounds_df(spark: SparkSession, sf_dir: str,
 
 def _lsh_recall_bounds_sql(bands: int = BANDS,
                            floor: float = LSH_RECALL_FLOOR) -> str:
-    rpb = NUM_PERM // bands
-    key = " || ':' || ".join(
-        ["b::VARCHAR"] + [f"sig[{rpb}*b + {i + 1}]::VARCHAR"
-                          for i in range(rpb)])
+    key = sql_band_key(bands)
     return f"""
 WITH {_SHINGLE_BASE_CTE.strip()},
 e AS (SELECT doc_id, unnest(sh) AS g FROM base),

@@ -84,12 +84,14 @@ def streaming_near_dedup(index_path: str,
             # checkpoint restarts at 0 and would OVERWRITE the prior
             # run's batch-0 output with unrelated rows.  The sink ledger
             # assigns each distinct batch CONTENT a monotone stamp;
-            # replays (same content) reuse their stamp — idempotent
-            # across retries AND checkpoint lineages.
+            # replays (same content) REUSE their stamp.  Unlike the
+            # span cleaner below, a committed replay is NOT skipped: a
+            # probe's verdict depends on index state (tombstoned corpus
+            # docs must stop matching), so re-probing the same arrivals
+            # must overwrite the stamp's partition with the FRESH
+            # verdict — pinned by the deletion suite's re-probe test.
             fp = _ilc.batch_fingerprint(
                 batch_df.select(id_col, text_col), [id_col, text_col])
-            if _ilc.admit_state(sink_path, fp) == "done":
-                return            # fully written by a prior run/attempt
             stamp = _next_stamp(sink_path, fp)
             # delete propagation: tombstoned corpus docs never match an
             # arrival (merge-on-read; operators/deletion.py)

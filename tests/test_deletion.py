@@ -85,9 +85,13 @@ def test_streaming_prober_forgets_tombstoned_corpus_doc(spark, tmp_path):
     victim = sorted(seen)[0]
 
     tombstone_docs(spark, p, [victim])
+    # re-probing the same arrivals (here under a different Spark
+    # batch_id — a fresh checkpoint lineage) reuses the batch's
+    # content stamp and REPLACES its sink partition with the fresh
+    # verdict (r17: stamps are content-keyed, not checkpoint-keyed)
     prober(sink)(docs.where(F.col("doc_id") >= INGESTED_BELOW), 1)
-    hits2 = spark.read.parquet(os.path.join(sink, "batch_id=1")).collect()
-    assert {tuple(r) for r in hits2} == {
+    hits2 = spark.read.parquet(sink).collect()
+    assert {(r.doc_new, r.doc_seen, r.jaccard) for r in hits2} == {
         (r.doc_new, r.doc_seen, r.jaccard) for r in hits
         if r.doc_seen != victim}
 

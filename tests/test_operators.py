@@ -2545,3 +2545,44 @@ def test_kept_exact_closed_form_matches_rounded_gate_at_scale(spark):
     kept_old = n - math.ceil(QUALITY_PCT_FLOOR * (n - 1))
     assert kept_gate == kept_new
     assert kept_gate != kept_old        # the divergence the fix closes
+
+
+def test_tokenizer_whitespace_class_is_engine_portable(spark, tmp_path):
+    """r17 review finding: Java regex reads \\s as including vertical
+    tab, RE2 (DuckDB) does not — a \\x0B in crawled text tokenized
+    differently per engine, silently breaking every dedup/text oracle.
+    Both sides now use one explicit class; pin with a VT document."""
+    import duckdb
+
+    from ringo_spark.operators.textfn import sql_tokens, tokens
+
+    rows = [(1, "web", "en", "a\x0bb c d e"),
+            (2, "web", "en", "plain text only")]
+    d = _write_docs(spark, tmp_path, rows)
+    got = {r.doc_id: list(r.t) for r in
+           spark.read.parquet(f"{d}/documents.parquet")
+           .select("doc_id", tokens(F.col("text")).alias("t")).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet/*.parquet')")
+    want = {r[0]: list(r[1]) for r in con.execute(
+        f"SELECT doc_id, {sql_tokens('text')} FROM documents").fetchall()}
+    assert got == want
+    assert got[1] == ["a", "b", "c", "d", "e"]   # VT splits on BOTH
+
+
+def test_spread_never_finalizes_multi_stage_plans(spark):
+    """r17 review finding: spread()'s partition probe (df.rdd) forces
+    AQE's final plan, EXECUTING the frame's shuffle stages as a
+    throwaway job.  Multi-stage frames must pass through untouched —
+    their parallelism comes from shuffle.partitions anyway."""
+    from ringo_spark.functions.spread import spread
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    collapsed = (docs.groupBy(F.md5("text").alias("h"))
+                 .agg(F.min("doc_id").alias("doc_id")))
+    assert spread(collapsed) is collapsed        # untouched, unprobed
+    joined = docs.join(collapsed.select("doc_id"), "doc_id")
+    assert spread(joined) is joined
+    # a bare scan still spreads (the single-file local corpus case)
+    assert spread(docs) is not None              # probe path still works
