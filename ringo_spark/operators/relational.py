@@ -434,7 +434,13 @@ def json_funcs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("k1").alias("k_sum"),
                  F.sum("k2").alias("k_sum_parsed"),
                  F.max("k1").alias("k_max"))
-            .withColumn("jdoc", F.to_json(F.struct("event_type", "k_max"))))
+            .withColumn("jdoc", F.to_json(
+                F.struct("event_type", "k_max"),
+                # keep null fields: Spark's default drops them while
+                # DuckDB's json_object always emits "k_max":null — a
+                # group with no extractable $.k would hash-mismatch
+                # (r17 review; both behaviors verified empirically)
+                {"ignoreNullFields": "false"})))
 
 
 JSON_FUNCS_SQL = """
@@ -798,10 +804,10 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "segment_overlap_bounds": (segment_overlap_bounds_df,
                                SEGMENT_OVERLAP_BOUNDS_SQL),
 }
-# NB: scd2_dim and timeseries_gapfill (defined below) are appended to
-# RELATIONAL_QUERIES after their definitions at the bottom of this module.
-# NB: scd2_dim (defined below) is appended to RELATIONAL_QUERIES after its
-# definition at the bottom of this module.
+# NB: the operators defined below (scd2_dim, timeseries_gapfill,
+# listagg, value_histogram, grouping_sets, map_funcs,
+# scd2_fact_incremental, ...) are appended to RELATIONAL_QUERIES after
+# their definitions at the bottom of this module.
 
 
 # --- SCD2 dimension history -------------------------------------------------
@@ -825,9 +831,10 @@ def scd2_dim_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                .withColumn("prev", F.lag("o_orderstatus").over(seq))
                .where(F.col("prev").isNull()
                       | (F.col("prev") != F.col("o_orderstatus"))))
-    vw = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # the interval close MUST use the same ordering as the change
+    # detection — reusing seq states that invariant in code
     return (changes
-            .withColumn("valid_to", F.lead("o_orderdate").over(vw))
+            .withColumn("valid_to", F.lead("o_orderdate").over(seq))
             .select("o_custkey",
                     F.col("o_orderstatus").alias("status"),
                     F.col("o_orderdate").alias("valid_from"),

@@ -251,6 +251,19 @@ WEIGHTED_K = 100         # sample size
 _U_DENOM = float(2 ** 60)  # phash is 60-bit; (h+1)/2^60 -> u in (0, 1]
 
 
+def aes_weight_key():
+    """THE Efraimidis-Spirakis key derivation — (weight, -ln(u)/w
+    key) over (doc_id, n_chars) — in ONE place (r17 review): the
+    streaming reservoir's contract is BIT-equality with these batch
+    samplers, and three hand-kept copies of the expression could
+    silently desync under a future seed/floor change."""
+    w = F.greatest(F.col("n_chars"), F.lit(1))
+    u = (phash(F.col("doc_id").cast("string"), WEIGHT_SEED) + 1) / _U_DENOM
+    return w, -F.ln(u) / w
+
+
+
+
 def sample_weighted_df(spark: SparkSession, sf_dir: str,
                        k: int = WEIGHTED_K) -> DataFrame:
     """Weighted sampling WITHOUT replacement — Efraimidis–Spirakis A-ES
@@ -273,9 +286,7 @@ def sample_weighted_df(spark: SparkSession, sf_dir: str,
     differences (~1e-16 relative) cannot reorder keys that live orders
     of magnitude apart, so the selected set and ranks are stable.
     """
-    w = F.greatest(F.col("n_chars"), F.lit(1))
-    u = (phash(F.col("doc_id").cast("string"), WEIGHT_SEED) + 1) / _U_DENOM
-    key = -F.ln(u) / w
+    w, key = aes_weight_key()
     top = (_docs(spark, sf_dir)
            .select("doc_id", w.alias("weight"), key.alias("k"))
            .orderBy("k", "doc_id")
@@ -318,9 +329,7 @@ def sample_weighted_stratified_df(spark: SparkSession, sf_dir: str,
     as the per-source quota, with the weighted key replacing hash
     order.  Deterministic: same portable hash, same cross-engine
     double-derivation argument as the global sampler."""
-    w = F.greatest(F.col("n_chars"), F.lit(1))
-    u = (phash(F.col("doc_id").cast("string"), WEIGHT_SEED) + 1) / _U_DENOM
-    key = -F.ln(u) / w
+    w, key = aes_weight_key()
     win = Window.partitionBy("source").orderBy("k", "doc_id")
     return (_docs(spark, sf_dir)
             .select("doc_id", "source", w.alias("weight"), key.alias("k"))

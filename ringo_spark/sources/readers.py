@@ -43,7 +43,12 @@ def read_source(
         df = spark.read.options(**options).format(fmt).load(path)
     elif fmt == "csv":
         options.setdefault("header", "true")
-        # schema applied up front: no inference pass over the data
+        # schema applied up front: no inference pass over the data.
+        # enforceSchema=false makes Spark CHECK the header against the
+        # declared column names instead of assigning values by position
+        # (r17 review: a reordered-column export was silently misread —
+        # wrong data cast into every column, no validation failure)
+        options.setdefault("enforceSchema", "false")
         df = (spark.read.options(**options)
               .schema(table_to_struct(table)).csv(path))
     elif fmt == "json":
@@ -57,6 +62,12 @@ def read_source(
         for k, v in options.items():
             reader = reader.option(k, v)
         if partition_column is not None:
+            if lower_bound is None or upper_bound is None:
+                # fail here, not as a NumberFormatException on the
+                # stringified 'None' deep inside the JDBC relation
+                raise ValueError(
+                    "jdbc partition_column requires lower_bound and "
+                    "upper_bound")
             reader = (reader.option("partitionColumn", partition_column)
                       .option("numPartitions", str(num_partitions))
                       .option("lowerBound", str(lower_bound))

@@ -29,16 +29,17 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import index_lifecycle as _ilc
-from ..operators.sampling import _U_DENOM, WEIGHT_SEED, WEIGHTED_K
+from ..operators.sampling import WEIGHTED_K, aes_weight_key
 from ..operators.textfn import phash
 
 _LATEST = "_LATEST"
 
 
 def _key_cols(df: DataFrame) -> DataFrame:
-    w = F.greatest(F.col("n_chars"), F.lit(1))
-    u = (phash(F.col("doc_id").cast("string"), WEIGHT_SEED) + 1) / _U_DENOM
-    return df.select("doc_id", w.alias("weight"), (-F.ln(u) / w).alias("k"))
+    # the SHARED batch key expression (r17 review) — bit-equality with
+    # sample_weighted_df is this row's whole contract
+    w, key = aes_weight_key()
+    return df.select("doc_id", w.alias("weight"), key.alias("k"))
 
 
 def streaming_weighted_reservoir(k: int = WEIGHTED_K):
@@ -70,12 +71,23 @@ def streaming_weighted_reservoir(k: int = WEIGHTED_K):
             # GC: without this, v<id> dirs accrue O(k x batches) on a
             # long-running deployment.  Keep the current version and
             # the one just superseded (in-flight readers may still
-            # hold it); everything older is unreachable — delete it.
+            # hold it); older unreachable dirs are removed only past
+            # the kernel's liveness age (r17 review: an immediate
+            # delete raced concurrent sessions sharing the sink root —
+            # the exact hazard gc_index_root's GC_MIN_AGE_SECONDS
+            # guards everywhere else — and a retried batch, whose
+            # prev == vdir, deleted the genuinely-previous version).
             import shutil
+            import time
+            cutoff = time.time() - _ilc.GC_MIN_AGE_SECONDS
             for d in os.listdir(reservoir_path):
-                if d.startswith("v") and d not in (vdir, prev):
-                    shutil.rmtree(os.path.join(reservoir_path, d),
-                                  ignore_errors=True)
+                full = os.path.join(reservoir_path, d)
+                try:
+                    if d.startswith("v") and d not in (vdir, prev) \
+                            and os.path.getmtime(full) < cutoff:
+                        shutil.rmtree(full, ignore_errors=True)
+                except OSError:
+                    continue   # a concurrent GC got it first
         return update
 
     return maker
@@ -116,9 +128,14 @@ def reservoir_snapshot(spark: SparkSession,
     """The current reservoir in the batch operator's output shape
     (doc_id, weight, sel_rank) — bit-comparable to
     ``sample_weighted_df`` after a full replay."""
-    cur = spark.read.parquet(os.path.join(
-        reservoir_path,
-        _ilc.read_pointer(os.path.join(reservoir_path, _LATEST))))
+    latest = _ilc.read_pointer(os.path.join(reservoir_path, _LATEST))
+    if latest is None:
+        # surface the real condition instead of os.path.join(None)'s
+        # TypeError (r17 review)
+        raise FileNotFoundError(
+            f"{reservoir_path}: no completed reservoir batch "
+            "(missing _LATEST pointer — empty sink)")
+    cur = spark.read.parquet(os.path.join(reservoir_path, latest))
     rk = Window.orderBy("k", "doc_id")    # k rows: single partition OK
     return (cur.select("doc_id", "weight",
                        F.row_number().over(rk).alias("sel_rank"))

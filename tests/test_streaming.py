@@ -1223,10 +1223,15 @@ def test_compact_cms_sink_crash_recovery(spark, tmp_path, monkeypatch):
 
 
 def test_reservoir_version_dirs_are_garbage_collected(spark, tmp_path):
-    """ADVICE r13: the reservoir sink must not grow O(k x batches) —
-    after each pointer flip only the current version and the one just
-    superseded (for in-flight readers) remain on disk, and the
-    reservoir content is unaffected by the GC."""
+    """ADVICE r13 + r17 review: the reservoir sink must not grow
+    O(k x batches), but unreachable version dirs are removed only past
+    the kernel's liveness age — an immediate delete raced concurrent
+    sessions sharing the sink root (and a retried batch deleted the
+    genuinely-previous version).  Recent dirs survive; aged ones are
+    collected on the next flip; content is unaffected either way."""
+    import time
+
+    from ringo_spark import index_lifecycle as _ilc
     from ringo_spark.operators.sampling import sample_weighted_df
     from ringo_spark.streaming.sampling import (
         reservoir_snapshot, streaming_weighted_reservoir,
@@ -1235,9 +1240,18 @@ def test_reservoir_version_dirs_are_garbage_collected(spark, tmp_path):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     res = str(tmp_path / "res-gc")
     updater = streaming_weighted_reservoir()
-    for i in range(4):
+    for i in range(3):
         updater(res)(docs.where(F.pmod(F.col("doc_id"), F.lit(4)) == i), i)
-
+    # liveness window: nothing is deleted while dirs are fresh
+    assert {d for d in os.listdir(res) if d.startswith("v")} \
+        == {"v0", "v1", "v2"}
+    # age everything past the window; the next flip collects the
+    # unreachable v0/v1 but keeps v2 (just-superseded, in-flight cover)
+    aged = time.time() - _ilc.GC_MIN_AGE_SECONDS - 10
+    for d in os.listdir(res):
+        if d.startswith("v"):
+            os.utime(os.path.join(res, d), (aged, aged))
+    updater(res)(docs.where(F.pmod(F.col("doc_id"), F.lit(4)) == 3), 3)
     vdirs = {d for d in os.listdir(res) if d.startswith("v")}
     assert vdirs == {"v2", "v3"}, vdirs
     got = [tuple(r) for r in reservoir_snapshot(spark, res).collect()]
