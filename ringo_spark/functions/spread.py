@@ -27,8 +27,11 @@ from pyspark.sql import DataFrame
 # (r17 review) — counting its partitions via df.rdd would finalize the
 # AQE plan, EXECUTING every shuffle stage as a throwaway job before the
 # caller's own action re-plans and re-executes them
+# Repartition/coalesce deliberately NOT listed: a caller-applied
+# repartition is cheap to probe and the partition count is exactly
+# what spread must inspect (coalesce(1) plans as logical Repartition)
 _MULTI_STAGE = re.compile(
-    r"Join|Aggregate|Window|Sort|Repartition|Deduplicate|CoGroup|Distinct")
+    r"Join|Aggregate|Window|Sort|Deduplicate|CoGroup|Distinct")
 
 
 def spread(df: DataFrame) -> DataFrame:
