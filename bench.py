@@ -197,12 +197,17 @@ RUNS_PER_QUERY = 2
 # (their deltas have no prior pin, so the driver record is their only
 # arbiter).  Everything else still lands in BENCH_DETAIL.json.
 COMPACT_EXTRA = [
-    # r16: the new salted-join twin (no prior pin) and the two staleness
-    # reports, now reading build-time sidecars instead of rescanning
-    # (VERDICT r15 item 5 — the pin should drop well under 1s)
-    "events_skew_salted_join",
-    "ann_index_staleness",
-    "lsh_width_staleness",
+    # r18: the one code-changed row (its admit path gained the ADVICE
+    # r17 index_lifecycle fixes) plus the queries the r17 VERDICT marked
+    # weak or asked adjudicated (CPU-tail + wall-drift suspects) — their
+    # timings ride the official compact line so the adjudication is
+    # visible in the driver record itself
+    "streaming_vector_ingest",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "tfidf_bm25",
+    "sessionize",
+    "fact_events_hour_regrain",
 ]
 
 # Hard ceiling for the stdout line: the driver's capture tail is 2000
@@ -228,6 +233,37 @@ def _warm_page_cache(sf_dir: str) -> float:
             except OSError:
                 pass
     return round(time.time() - t0, 3)
+
+
+def _provenance() -> dict:
+    """Stamp the record with what produced it (VERDICT r17 item 5: the
+    working tree's official record and the committed closing records are
+    different runs of the same code — a judge must be able to tell which
+    is which without forensics).  Carries the git SHA + dirty flag, the
+    closing-run ordinal (``RINGO_BENCH_RUN_ORDINAL``, e.g. ``"2/5"``,
+    set by the closing-bench loop; absent on the driver's own run), and
+    the wall-clock start.  The load window rides in ``telemetry``
+    (load1 before/after + per-query) as before."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prov: dict = {
+        "run_ordinal": os.environ.get("RINGO_BENCH_RUN_ORDINAL"),
+        "started_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    try:
+        sha = subprocess.run(["git", "rev-parse", "HEAD"], cwd=here,
+                             capture_output=True, text=True,
+                             timeout=10).stdout.strip()
+        dirty = subprocess.run(["git", "status", "--porcelain"], cwd=here,
+                               capture_output=True, text=True,
+                               timeout=10).stdout.strip() != ""
+        if sha:
+            prov["git_sha"] = sha
+            prov["git_dirty"] = dirty
+    except Exception:
+        pass  # no git on the box: the stamp degrades, never breaks a run
+    return prov
 
 
 def _load1() -> float | None:
@@ -358,6 +394,7 @@ def main():
     import __spark_entry__ as entrymod
 
     gate = _quiet_gate()
+    provenance = _provenance()
     load_start = _load1()
     warm_secs = _warm_page_cache(SF_DIR)
     spark = get_spark("ringo-bench", CPUS)
@@ -403,6 +440,7 @@ def main():
         "queries": timings,
         "sf": float(m.group(1).rstrip(".")) if m else None,
     }
+    out["provenance"] = provenance
     if skipped:
         out["skipped"] = skipped
     # contention + cache-state telemetry (VERDICT r10 item 1 / next-round
@@ -465,8 +503,11 @@ def main():
             out["baseline_comparable_total"] = round(
                 sum(t for n, t in timings.items() if n in base["queries"]), 3)
 
-    # full record -> committed file; compact record -> the one stdout line
-    detail_path = os.path.join(
+    # full record -> committed file; compact record -> the one stdout line.
+    # RINGO_BENCH_DETAIL_OUT redirects the full record so the closing-bench
+    # loop can commit each run's record side by side (VERDICT r17 item 1:
+    # the five-run minima adjudication must be checkable from the tree).
+    detail_path = os.environ.get("RINGO_BENCH_DETAIL_OUT") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
@@ -496,7 +537,13 @@ def main():
              if s is not None), default=None),
         "warm_secs": warm_secs,
         "cpu_flags": len(out.get("cpu_regressions", {})),
-        "detail_file": "BENCH_DETAIL.json",
+        "detail_file": os.path.basename(detail_path),
+        # provenance stamp (VERDICT r17 item 5): short SHA + dirty flag +
+        # closing-run ordinal, so the compact line itself says which run
+        # of which tree produced it
+        "git": (provenance.get("git_sha") or "")[:12] or None,
+        "dirty": provenance.get("git_dirty"),
+        "run": provenance.get("run_ordinal"),
     }
     if gate is not None:
         compact["quiet_gate_ok"] = gate["satisfied"]

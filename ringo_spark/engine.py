@@ -766,15 +766,20 @@ class Engine:
         the caller's job — see :meth:`_write_full`)."""
         for _ in range(16):    # bounded CAS retry; no data rewrite
             m = self._read_manifest(table)
-            if expected_input_version is not None and m is not None \
-                    and m["version"] != expected_input_version:
+            if expected_input_version is not None and \
+                    (m is None or m["version"] != expected_input_version):
                 # derived-payload writer (compaction): someone committed
-                # since the input snapshot was read — retrying the CAS
-                # would publish a snapshot missing their rows and their
-                # window stamp (ADVICE r16 TOCTOU).  Abort; the caller
-                # reruns over the advanced snapshot.
+                # (or dropped/recreated the table) since the input
+                # snapshot was read — retrying the CAS would publish a
+                # snapshot missing their rows and their window stamp
+                # (ADVICE r16 TOCTOU; the vanished-manifest arm is
+                # ADVICE r17: without it a derived payload silently
+                # published as v1 over the recreated table).  Abort;
+                # the caller reruns over the current snapshot.
+                now = f"v{m['version']}" if m is not None else \
+                    "a dropped/recreated manifest"
                 raise ManifestConflict(
-                    f"{table}: manifest advanced to v{m['version']} "
+                    f"{table}: manifest advanced to {now} "
                     f"after the compaction read its input at "
                     f"v{expected_input_version} — publishing would drop "
                     "the concurrent commit's rows; rerun the compaction")

@@ -26,18 +26,34 @@ from pyspark.sql import DataFrame
 # stage parallelism comes from shuffle.partitions, and — the real hazard
 # (r17 review) — counting its partitions via df.rdd would finalize the
 # AQE plan, EXECUTING every shuffle stage as a throwaway job before the
-# caller's own action re-plans and re-executes them
+# caller's own action re-plans and re-executes them.
 # Repartition/coalesce deliberately NOT listed: a caller-applied
 # repartition is cheap to probe and the partition count is exactly
-# what spread must inspect (coalesce(1) plans as logical Repartition)
-_MULTI_STAGE = re.compile(
-    r"Join|Aggregate|Window|Sort|Deduplicate|CoGroup|Distinct")
+# what spread must inspect (coalesce(1) plans as logical Repartition).
+# Matching is anchored to the NODE NAME position — the first token of
+# each treeString line, after the tree-drawing prefix (``+- ``/``:- ``/
+# ``:  ``) — because a substring match anywhere in the line
+# false-positives on CamelCase column/relation names in the node's
+# argument list and silently skips the up-repartition on a genuinely
+# bare scan (ADVICE r17).  startswith, not equality: variant nodes
+# (DeduplicateWithinWatermark, WindowGroupLimit) are the same families.
+_NODE_HEAD = re.compile(r"^[ :+|-]*([A-Za-z]\w*)")
+_MULTI_STAGE_HEADS = ("Join", "Aggregate", "Window", "Sort",
+                      "Deduplicate", "CoGroup", "Distinct")
+
+
+def _is_multi_stage(tree: str) -> bool:
+    for line in tree.splitlines():
+        m = _NODE_HEAD.match(line)
+        if m and m.group(1).startswith(_MULTI_STAGE_HEADS):
+            return True
+    return False
 
 
 def spread(df: DataFrame) -> DataFrame:
     try:
         tree = df._jdf.queryExecution().optimizedPlan().treeString()
-        if _MULTI_STAGE.search(tree):
+        if _is_multi_stage(tree):
             return df
     except Exception:
         pass   # unknown plan shape: the partition probe below decides

@@ -105,6 +105,14 @@ def serve_cached(index_path: str, marker: str, force: bool = False) -> bool:
         except FileNotFoundError:
             return False
         return True
+    if force:
+        # a force rebuild is about to overwrite the stored data, so
+        # prior batch admissions no longer describe it: a replay refused
+        # as 'done' against the REBUILT corpus would silently skip its
+        # work (the span cleaner leaked duplicate spans uncleaned and
+        # emitted no sink output — ADVICE r17).  Archive the ledger so
+        # replays re-run, keeping the stamp floor monotone.
+        archive_admissions(index_path)
     return False
 
 
@@ -318,10 +326,19 @@ def admit_commit(index_path: str, fp: str) -> None:
         # crash window)
         os.rename(intent, done)
     except FileNotFoundError:
-        # intent-less commit (defensive) — never truncate an existing
-        # done's note (a re-committed probe batch keeps its stamp)
+        # commit without a recorded intent: if the done marker already
+        # exists (a prior commit's rename won the race) the admit is
+        # already effective — never truncate its note (a re-committed
+        # probe batch keeps its stamp).  Otherwise FAIL LOUD: the old
+        # defensive empty-note done file desynced the stamp ledger
+        # (_next_stamp reads an empty note as unknown, so a replay of
+        # that batch minted a SECOND stamp and wrote a second sink
+        # partition — ADVICE r17).
         if not os.path.exists(done):
-            open(done, "w").close()
+            raise RuntimeError(
+                f"admit_commit({fp!r}) without a prior admit_intent — "
+                "refusing to mint an intent-less done marker (protocol "
+                "requires intent -> land -> commit)")
 
 
 def admit_note(index_path: str, fp: str) -> str | None:
@@ -333,6 +350,38 @@ def admit_note(index_path: str, fp: str) -> str | None:
             with open(p) as fh:
                 return fh.read()
     return None
+
+
+def archive_admissions(index_path: str) -> None:
+    """Retire the admission ledger when the data it describes is about
+    to be rebuilt from scratch (the ``serve_cached(force=True)`` path,
+    ADVICE r17): the live ``_admitted/`` dir is renamed aside to
+    ``_admitted.rebuilt.N`` (audit trail — archived batches' notes stay
+    inspectable), and a fresh ledger is seeded with a ``__floor`` entry
+    carrying the old top stamp so post-rebuild stamps stay MONOTONE —
+    an archived batch's stamp-keyed sink partition is never reused by a
+    different post-rebuild batch.  (``__floor`` participates naturally
+    in the stamp scan — it is just another int note — and its name can
+    never collide with a real fingerprint, which is always a hex tag.)
+    No-op when no ledger exists."""
+    led = os.path.join(index_path, ADMITTED)
+    if not os.path.isdir(led):
+        return
+    top = -1
+    for n in os.listdir(led):
+        try:
+            with open(os.path.join(led, n)) as fh:
+                top = max(top, int(fh.read()))
+        except (ValueError, OSError):
+            continue
+    k = 1
+    while os.path.exists(f"{led}.rebuilt.{k}"):
+        k += 1
+    os.rename(led, f"{led}.rebuilt.{k}")
+    if top >= 0:
+        os.makedirs(led, exist_ok=True)
+        with open(os.path.join(led, "__floor"), "w") as fh:
+            fh.write(str(top))
 
 
 def admits_in_flight(index_path: str) -> bool:

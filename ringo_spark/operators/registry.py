@@ -103,52 +103,45 @@ from .text import (
 #     unverified, only un-hashed-by-the-driver that round.
 
 DRIVER_WINDOW: list[str] = [
-    # -- code changed in r17, kept/made driver-visible (the r05
-    #    precedent): the two skew rows' salt now routes through the
-    #    hoisted functions/skew.salt_expr (VERDICT r16 item 4); the two
-    #    staleness reports' stored-stats read path is strictly
-    #    READ-ONLY (ADVICE r16 item 1 -- rescan fallback, destructive
-    #    repair moved to maintenance entries); streaming_vector_ingest's
-    #    admit path now runs the exactly-once batch-admission ledger
-    #    (VERDICT r16 item 2).  streaming_cms_snapshot is restored per
-    #    ADVICE r16 item 4: its r16 compaction/base-row redesign was
-    #    rotated out contrary to the code-changed-stays-visible
-    #    precedent -- windowed now, one round late, recorded here --
-    "events_skew_salted_join",
-    "tenant_rollup_skew_salted",
-    "ann_index_staleness",
-    "lsh_width_staleness",
+    # -- code changed in r18, kept driver-visible (the r05 precedent):
+    #    the batch-admission path it runs gained the ADVICE r17 fixes in
+    #    index_lifecycle.admit_commit (intent-less commits no longer
+    #    mint a second stamp on replay) --
     "streaming_vector_ingest",
-    "streaming_cms_snapshot",
-    # -- the pre-committed r17 rotation (CORRECTNESS_WINDOW.md), by
-    #    driver-record age, oldest first: the r10-rowed remainder (the
-    #    freshness floor hits them at end-of-r17), then the head of the
-    #    r11-rowed cohort as the remaining 16 slots allow (its tail is
-    #    pre-committed to r18) --
-    "window_lag",
-    "set_ops",
-    "string_funcs",
-    "conditional_funcs",
-    "vocab_topk",
-    "lang_confusion",
-    "metrics_unpivot",
-    "scalar_subquery",
-    "dim_visitor_partitioned_ids",
-    "asof_join",
-    "date_funcs",
-    "json_funcs",
-    "embed_quantize",
-    "multimodal_resize",
-    "multimodal_frames",
-    "scd2_fact_incremental",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    "doc_rolling_hash",
-    "token_count",
-    "doc_fingerprint",
-    "join_semi",
-    "join_anti",
+    # -- the pre-committed r18 rotation (CORRECTNESS_WINDOW.md), by
+    #    driver-record age, oldest first: FIRST the r11-rowed tail (the
+    #    freshness floor hits them at end-of-r18), then the r12-rowed
+    #    cohort, then the head of the r13-rowed cohort as the remaining
+    #    slots allow --
+    "window_rank",
+    "rollup_agg",
+    "cube_agg",
+    "topk",
+    "range_join",
+    "dedup_minhash_lsh_capped_indexed",
+    "benchmark_contamination",
+    "ann_lsh_bucketed12",
+    "doc_dup_chunk_fraction",
+    "doc_dup_chunk_fraction_incremental",
+    "text_repetition",
+    "multimodal_phash",
+    "q18_large_volume_customer",
+    "multimodal_phash_dups",
+    "q7_volume_shipping",
+    "window_stats",
+    "q4_order_priority",
+    "fact_events_by_minute_approx_bounds",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity",
+    "sample_cluster_split_indexed",
+    "quantiles_approx_bounds",
+    "q14_promo_effect",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "sample_weighted",
+    "sample_weighted_stratified",
     # -- core schema-level pipeline (driver-green r02-r04 + r07; pinned) --
     "dim_event_type",
     "fact_events_by_minute",
@@ -178,13 +171,44 @@ DRIVER_WINDOW: list[str] = [
 # has at least one driver-green (hash_match=true) row (r02-r16) with
 # unchanged code paths since; the 2 no-oracle entries are e-tolerance
 # pytest-covered by design AND have *_bounds twins carrying real oracles
-# (driver-green r06/r07 and re-rowed since).  Newly displaced: the r16
-# window's rotating cohort (every entry got a fresh r16 driver row) --
-# recency rotation per the pre-committed r17 plan in
+# (driver-green r06/r07 and re-rowed since).  Newly displaced: the r17
+# window's rotating cohort (every entry got a fresh r17 driver row) --
+# recency rotation per the pre-committed r18 plan in
 # CORRECTNESS_WINDOW.md.
 DISPLACED: list[str] = [
-    # -- newly displaced: the r16 window's rotating cohort (fresh r16
-    #    driver rows; recency rotation per the pre-committed r17 plan) --
+    # -- newly displaced: the r17 window's rotating cohort (fresh r17
+    #    driver rows; recency rotation per the pre-committed r18 plan;
+    #    streaming_vector_ingest stays windowed as code-changed) --
+    "events_skew_salted_join",
+    "tenant_rollup_skew_salted",
+    "ann_index_staleness",
+    "lsh_width_staleness",
+    "streaming_cms_snapshot",
+    "window_lag",
+    "set_ops",
+    "string_funcs",
+    "conditional_funcs",
+    "vocab_topk",
+    "lang_confusion",
+    "metrics_unpivot",
+    "scalar_subquery",
+    "dim_visitor_partitioned_ids",
+    "asof_join",
+    "date_funcs",
+    "json_funcs",
+    "embed_quantize",
+    "multimodal_resize",
+    "multimodal_frames",
+    "scd2_fact_incremental",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "doc_rolling_hash",
+    "token_count",
+    "doc_fingerprint",
+    "join_semi",
+    "join_anti",
+    # -- prior displaced cohorts (r08-r17 rows, order preserved) --
     "ann_ivf_pq",
     "ann_pq_recall_bounds",
     "ann_lsh_indexed",
@@ -212,7 +236,6 @@ DISPLACED: list[str] = [
     "lang_id",
     "join_inner_agg",
     "quantiles",
-    # -- prior displaced cohorts (r08-r16 rows, order preserved) --
     "sessionize_native",
     "bpe_train",
     "bpe_apply",
@@ -252,8 +275,6 @@ DISPLACED: list[str] = [
     "fact_events_hour_regrain",
     "fact_events_tenant_by_hour",
     "text_scrub",
-    "sample_weighted",
-    "sample_weighted_stratified",
     "quality_gate_approx_bounds",
     "zorder_layout",
     "bpe_pair_counts",
@@ -276,33 +297,6 @@ DISPLACED: list[str] = [
     "fact_orders_by_week",
     "user_value_ema",
     "sample_hash_split",
-    "ann_lsh_bucketed12",
-    "doc_dup_chunk_fraction",
-    "doc_dup_chunk_fraction_incremental",
-    "text_repetition",
-    "multimodal_phash",
-    "q18_large_volume_customer",
-    "multimodal_phash_dups",
-    "q7_volume_shipping",
-    "window_stats",
-    "q4_order_priority",
-    "fact_events_by_minute_approx_bounds",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q21_suppliers_kept_waiting",
-    "q22_global_sales_opportunity",
-    "sample_cluster_split_indexed",
-    "quantiles_approx_bounds",
-    "q14_promo_effect",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "window_rank",
-    "rollup_agg",
-    "cube_agg",
-    "topk",
-    "range_join",
-    "dedup_minhash_lsh_capped_indexed",
-    "benchmark_contamination",
     "fact_events_by_minute_approx",
     "ann_cosine_topk_arrow",
 ]

@@ -260,6 +260,24 @@ def streaming_span_dedup(index_path: str,
     DISTINCT-set probe (contrast ``append_to_minhash_index``, where a
     double-append self-pairs).
 
+    SINK CONTRACT (ADVICE r17): the sink is keyed by CONTENT, not by
+    trigger — a committed batch whose content arrives again produces NO
+    new sink partition for that trigger (its output already exists
+    under its original stamp; the old batch_id scheme emitted a
+    fully-cleaned duplicate instead).  Downstream consumers must read
+    the sink as a keyed table (key = doc_id within stamp partitions),
+    never count one output partition per trigger.  A genuine second
+    arrival of the same rows IS the same batch: its cleaned output is
+    the partition already written.  When the corpus index is force-
+    rebuilt, the admission ledger is archived with it
+    (``index_lifecycle.archive_admissions``), so post-rebuild replays
+    re-run against the rebuilt corpus rather than being refused as
+    'done' against hashes that no longer exist; the re-run lands under
+    a FRESH stamp (the archive seeds a monotone floor), so a consumer
+    that keeps the pre-rebuild sink must merge on the LATEST stamp per
+    doc_id — starting a fresh sink alongside the rebuilt index is the
+    simpler deployment.
+
     Scale shape per trigger: the corpus side is only its 16-byte hash
     column (never text); batch chunk rows shuffle on the hash (owner
     min + index probe) and the removal lists on doc_id — all

@@ -1180,3 +1180,40 @@ def test_compaction_aborts_when_manifest_advances(spark, tmp_path):
     eng.compact_fact(EVENTS_FACT)
     assert eng.read_table(table).agg(
         {"event_count": "sum"}).collect()[0][0] == total
+
+
+def test_compaction_aborts_when_manifest_vanishes(spark, tmp_path):
+    """ADVICE r17: the compaction TOCTOU guard only fired when the
+    re-read manifest existed — if the table was dropped/recreated
+    between the input read and the publish, the derived payload
+    silently published as v1 over the recreated table.  A vanished
+    manifest must abort with ManifestConflict exactly like an advanced
+    one."""
+    from ringo_spark.engine import ManifestConflict
+    from ringo_spark.testbed import EVENTS_ENV, EVENTS_FACT, T_EVENTS_MID
+
+    table = "fact_events_by_minute"
+    eng = Engine(spark, EVENTS_ENV, str(tmp_path / "wh"),
+                 commit_mode="manifest")
+    eng.load_sources("/root/testdata/sf0.001")
+    eng.run(PopulationMode.FULL, T_EVENTS_MID)
+
+    real = Engine._write_stage
+    fired = []
+
+    def hijack(self, df, tbl, partition_by=()):
+        # drop the manifest in the window between the compaction's
+        # input read and its publish (concurrent drop/recreate)
+        if self is eng and tbl == table and not fired:
+            fired.append(True)
+            os.unlink(eng._manifest_path(table))
+        return real(self, df, tbl, partition_by)
+
+    Engine._write_stage = hijack
+    try:
+        with pytest.raises(ManifestConflict, match="dropped"):
+            eng.compact_fact(EVENTS_FACT)
+    finally:
+        Engine._write_stage = real
+    # nothing staged leaked on the abort path
+    assert [d for d in os.listdir(eng.storage) if "__stage_" in d] == []

@@ -171,3 +171,55 @@ def test_kernel_adoption_no_module_local_swaps():
     assert not offenders, (
         "module-local rename/swap calls outside the kernel (route them "
         f"through ringo_spark/index_lifecycle.py): {offenders}")
+
+
+def test_admit_commit_without_intent_raises(tmp_path):
+    """ADVICE r17: the defensive intent-less commit minted an EMPTY-note
+    done file, which note readers (streaming _next_stamp) treat as
+    unknown — a replay of that batch then allocated a SECOND stamp and
+    wrote a second sink partition.  A commit with neither intent nor an
+    existing done is now a loud protocol violation; a re-commit after
+    the done landed stays a note-preserving no-op."""
+    root = str(tmp_path / "idx")
+    with pytest.raises(RuntimeError, match="admit_intent"):
+        ilc.admit_commit(root, "deadbeef")
+    assert ilc.admit_state(root, "deadbeef") == "new"   # nothing minted
+    ilc.admit_intent(root, "deadbeef", "7")
+    ilc.admit_commit(root, "deadbeef")
+    assert ilc.admit_state(root, "deadbeef") == "done"
+    assert ilc.admit_note(root, "deadbeef") == "7"
+    # re-commit (idempotent caller / raced rename): no-op, note intact
+    ilc.admit_commit(root, "deadbeef")
+    assert ilc.admit_note(root, "deadbeef") == "7"
+
+
+def test_archive_admissions_resets_ledger_with_monotone_floor(tmp_path):
+    """ADVICE r17: a force rebuild overwrites the stored corpus but used
+    to leave the admission ledger intact — replays of previously
+    admitted batches were refused as 'done' against data that no longer
+    existed.  serve_cached(force=True) now archives the ledger: the
+    batch reads as NEW again, the archive keeps the audit trail, and
+    the seeded __floor keeps post-rebuild stamps monotone."""
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    ilc.admit_intent(root, "aaaa", "0")
+    ilc.admit_commit(root, "aaaa")
+    ilc.admit_intent(root, "bbbb", "1")
+    ilc.admit_commit(root, "bbbb")
+    open(os.path.join(root, "_OK"), "w").close()
+    assert ilc.serve_cached(root, "_OK") is True       # cache hit first
+    assert ilc.serve_cached(root, "_OK", force=True) is False
+    assert ilc.admit_state(root, "aaaa") == "new"      # replay re-runs
+    arch = os.path.join(root, ilc.ADMITTED + ".rebuilt.1")
+    assert os.path.isdir(arch)
+    assert open(os.path.join(arch, "bbbb")).read() == "1"   # audit trail
+    # the fresh ledger's floor carries the old top stamp
+    assert open(os.path.join(root, ilc.ADMITTED, "__floor")).read() == "1"
+    # a second force rebuild archives again, floor carried forward
+    ilc.admit_intent(root, "cccc", "5")
+    ilc.admit_commit(root, "cccc")
+    assert ilc.serve_cached(root, "_OK", force=True) is False
+    assert os.path.isdir(os.path.join(root, ilc.ADMITTED + ".rebuilt.2"))
+    assert open(os.path.join(root, ilc.ADMITTED, "__floor")).read() == "5"
+    # no ledger at all: archive is a no-op
+    ilc.archive_admissions(str(tmp_path / "nothing"))

@@ -2586,3 +2586,29 @@ def test_spread_never_finalizes_multi_stage_plans(spark):
     assert spread(joined) is joined
     # a bare scan still spreads (the single-file local corpus case)
     assert spread(docs) is not None              # probe path still works
+
+
+def test_spread_matches_plan_nodes_not_substrings(spark):
+    """ADVICE r17: the multi-stage check matched node names as
+    substrings anywhere in the optimized plan's treeString, so CamelCase
+    column/relation names containing 'Sort'/'Join'/'Window' etc.
+    false-positived and silently skipped the up-repartition on a
+    genuinely bare scan.  The match is now anchored to the node-name
+    position (first token of each tree line)."""
+    from ringo_spark.functions.spread import _is_multi_stage, spread
+
+    target = spark.sparkContext.defaultParallelism
+    # a bare scan whose COLUMN names contain every trigger word: must
+    # still spread (the local corpus arrives as one row group)
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select(F.col("text").alias("SortKeyJoinWindowDistinct"),
+                    F.col("doc_id").alias("AggregateCoGroupDeduplicate")))
+    out = spread(docs)
+    assert out is not docs                      # not skipped
+    assert out.rdd.getNumPartitions() == target
+    # plan-level check, both directions, straight off treeStrings
+    bare = docs._jdf.queryExecution().optimizedPlan().treeString()
+    assert not _is_multi_stage(bare)
+    agged = (docs.groupBy("AggregateCoGroupDeduplicate")
+             .count()._jdf.queryExecution().optimizedPlan().treeString())
+    assert _is_multi_stage(agged)

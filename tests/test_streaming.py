@@ -1479,3 +1479,50 @@ def test_build_chunk_hash_index_is_build_once(spark, tmp_path):
     build_chunk_hash_index(corpus, idx, force=True)
     assert spark.read.parquet(
         os.path.join(idx, "chunks")).count() == base_rows
+
+
+def test_force_rebuild_replays_rerun_with_fresh_stamp(spark, tmp_path):
+    """ADVICE r17: a force=True corpus rebuild overwrites chunks/ — a
+    replay of a previously admitted batch must RE-RUN against the
+    rebuilt corpus (the stale 'done' used to refuse it: its spans
+    leaked through uncleaned and the batch emitted no sink output), and
+    the re-run lands under a FRESH monotone stamp so no prior sink
+    partition is ever reused by different content."""
+    import os
+
+    from ringo_spark import index_lifecycle as _ilc
+    from ringo_spark.operators.dedup import INGESTED_BELOW
+    from ringo_spark.streaming.dedup import (
+        _next_stamp, build_chunk_hash_index, streaming_span_dedup,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    idx = str(tmp_path / "chunkidx")
+    sink = str(tmp_path / "cleaned")
+    corpus = docs.where(F.col("doc_id") < INGESTED_BELOW)
+    build_chunk_hash_index(corpus, idx)
+    batch = docs.where(F.col("doc_id") >= INGESTED_BELOW).limit(5)
+    clean = streaming_span_dedup(idx)(sink)
+    clean(batch, batch_id=0)
+    fp = _ilc.batch_fingerprint(batch.select("doc_id", "text"),
+                                ["doc_id", "text"])
+    assert _ilc.admit_state(idx, fp) == "done"
+    assert os.path.isdir(os.path.join(sink, "batch_id=0"))
+
+    build_chunk_hash_index(corpus, idx, force=True)
+    # the replay is NOT refused against the rebuilt corpus...
+    assert _ilc.admit_state(idx, fp) == "new"
+    # ...and the archived ledger's floor keeps stamps monotone
+    assert _next_stamp(idx, fp) == 1
+    clean(batch, batch_id=0)
+    assert _ilc.admit_state(idx, fp) == "done"
+    p1 = os.path.join(sink, "batch_id=1")
+    assert os.path.isdir(p1)
+    # same corpus set after the rebuild => the re-run's cleaned rows
+    # equal the first run's, under the new stamp partition
+    cols = ["doc_id", "n_chunks", "n_removed", "cleaned_text"]
+    a = sorted(tuple(r) for r in spark.read.parquet(
+        os.path.join(sink, "batch_id=0")).select(*cols).collect())
+    b = sorted(tuple(r) for r in
+               spark.read.parquet(p1).select(*cols).collect())
+    assert a == b

@@ -1,0 +1,116 @@
+"""Cross-run bench minima — the committed evidence for CPU/wall drift
+adjudication (VERDICT r17 item 1: the five-run "minima flag nothing"
+claim must be checkable from the tree, not from uncommitted runs).
+
+Reads N per-run BENCH_DETAIL records (bench.py with
+``RINGO_BENCH_DETAIL_OUT=bench_runs/rK/runI.json`` and
+``RINGO_BENCH_RUN_ORDINAL=I/N``) and writes one minima record:
+
+* per query: min wall (of the per-run min-of-2 walls), min executor CPU
+  (of the per-run both-runs stage totals), the current pins, and the
+  min/pin ratios;
+* ``cpu_flags``: queries whose CPU MINIMUM exceeds ``--cpu-factor``
+  (default 1.3) x pin_cpu — the r17 protocol rule: single-run cpu
+  growth under co-scheduling is noise (executor CPU itself inflates
+  1.5-1.9x mid-run); only growth surviving the minimum across quiet
+  gated runs is code-caused;
+* ``wall_flags``: queries whose wall MINIMUM exceeds 2x their wall pin;
+* provenance of every input run (git SHA, ordinal, quiet gate, load).
+
+Usage: python tools/minima_bench.py bench_runs/r18/run*.json \
+           [--out BENCH_MINIMA.json] [--cpu-factor 1.3]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+CPU_FLOOR_MS = 200.0   # bench.py's jitter floor: sub-200ms pins are
+                       # scheduler/JIT dominated, growth there is noise
+
+
+def load_runs(paths: list[str]) -> list[dict]:
+    runs = []
+    for p in paths:
+        with open(p) as fh:
+            d = json.load(fh)
+        d["_path"] = os.path.basename(p)
+        runs.append(d)
+    return runs
+
+
+def minima(runs: list[dict], pins: dict, pin_cpu: dict,
+           cpu_factor: float = 1.3) -> dict:
+    names = sorted({n for r in runs for n in r.get("queries", {})})
+    per_query, cpu_flags, wall_flags = {}, {}, {}
+    for n in names:
+        walls = [r["queries"][n] for r in runs if n in r.get("queries", {})]
+        cpus = [
+            (r["telemetry"]["per_query"].get(n, {})
+             .get("stages_both_runs") or {}).get("executor_cpu_ms")
+            for r in runs
+        ]
+        cpus = [c for c in cpus if c is not None]
+        q = {"wall_min": min(walls), "n_runs": len(walls)}
+        if cpus:
+            q["cpu_min_ms"] = min(cpus)
+        pin = pins.get(n)
+        if isinstance(pin, (int, float)):
+            q["pin_wall"] = pin
+            q["wall_ratio"] = round(q["wall_min"] / pin, 2) if pin else None
+            if pin and q["wall_min"] > 2.0 * pin:
+                wall_flags[n] = q["wall_ratio"]
+        pc = pin_cpu.get(n)
+        if isinstance(pc, (int, float)) and cpus:
+            q["pin_cpu_ms"] = pc
+            q["cpu_ratio"] = round(q["cpu_min_ms"] / pc, 2) if pc else None
+            if pc >= CPU_FLOOR_MS and q["cpu_min_ms"] > cpu_factor * pc:
+                cpu_flags[n] = q["cpu_ratio"]
+        per_query[n] = q
+    return {"per_query": per_query, "cpu_flags": cpu_flags,
+            "wall_flags": wall_flags, "cpu_factor": cpu_factor,
+            "n_runs": len(runs),
+            "runs": [{
+                "path": r["_path"],
+                "provenance": r.get("provenance"),
+                "quiet_gate": r.get("telemetry", {}).get("quiet_gate"),
+                "load1_before": r.get("telemetry", {}).get(
+                    "load1_before_run"),
+                "load1_after": r.get("telemetry", {}).get(
+                    "load1_after_run"),
+                "total": r.get("value"),
+            } for r in runs]}
+
+
+def main(argv: list[str]) -> None:
+    out_path, cpu_factor, paths = "BENCH_MINIMA.json", 1.3, []
+    it = iter(argv)
+    for a in it:
+        if a == "--out":
+            out_path = next(it)
+        elif a == "--cpu-factor":
+            cpu_factor = float(next(it))
+        else:
+            paths.append(a)
+    if len(paths) < 2:
+        sys.exit("need >= 2 per-run BENCH_DETAIL records")
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = json.load(open(os.path.join(here, "BENCH_BASELINE.json")))
+    pins = {**base.get("queries", {}),
+            **{k: v for k, v in base.get("extra_pins", {}).items()
+               if not k.startswith("_")}}
+    rec = minima(load_runs(paths), pins, base.get("pin_cpu", {}),
+                 cpu_factor)
+    with open(out_path, "w") as fh:
+        json.dump(rec, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(f"{rec['n_runs']} runs -> {out_path}")
+    print(f"cpu_flags (min > {cpu_factor}x pin_cpu): "
+          f"{rec['cpu_flags'] or 'none'}")
+    print(f"wall_flags (min > 2x pin): {rec['wall_flags'] or 'none'}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
