@@ -332,7 +332,8 @@ class Engine:
                           promote: tuple[str, str] | None = None,
                           schemas: dict[str, str] | None = None,
                           windows: dict[str, list] | None = None,
-                          absorbed: list | None = None) -> None:
+                          absorbed: list | None = None,
+                          batch_tags: list | None = None) -> None:
         """Atomic pointer flip: tmp file + ``os.replace`` locally — the
         analogue of a single small-object PUT on S3/GCS (which IS atomic,
         unlike directory rename there).  The manifest maps each retained
@@ -405,6 +406,16 @@ class Engine:
                 # them.  A true full refresh publishes absorbed=None,
                 # clearing the list (it recomputes everything).
                 record["absorbed"] = absorbed
+            if batch_tags:
+                # content fingerprints of micro-batch appends already in
+                # this snapshot (see _write_append): recorded in the SAME
+                # atomic pointer flip as the data they describe, so a
+                # foreachBatch retry can never observe the data without
+                # its tag (or the tag without its data) — the
+                # exactly-once gate for streaming fact appends (r18).
+                # Compaction carries the list forward; a true full
+                # refresh publishes batch_tags=None, clearing it.
+                record["batch_tags"] = batch_tags
             with open(tmp, "w") as fh:
                 json.dump(record, fh)
             os.replace(tmp, self._manifest_path(table))
@@ -702,7 +713,8 @@ class Engine:
     def _write_full(self, df: DataFrame, table: str, partition_by=(),
                     absorbed: list | None = None,
                     preserve_windows: bool = False,
-                    expected_input_version: int | None = None) -> None:
+                    expected_input_version: int | None = None,
+                    batch_tag: str | None = None) -> None:
         """Crash-safe full-refresh publication, per ``commit_mode``.
 
         rename: the previous live directory is renamed *aside* before
@@ -727,7 +739,8 @@ class Engine:
             stage = self._write_stage(df, table, partition_by)
             try:
                 self._full_manifest_cas(df, table, stage, absorbed,
-                                        expected_input_version)
+                                        expected_input_version,
+                                        preserve_windows, batch_tag)
             except BaseException:
                 # same stage-leak rule as _write_append: any raise after
                 # the payload staged (version-advance abort, CAS
@@ -755,12 +768,24 @@ class Engine:
             # stamped appends no longer exist to double-count against.
             # Compaction passes preserve_windows=True: it MERGES the
             # stamped rows (they still exist), so the ledger must keep
-            # refusing their reruns (r16 review).
+            # refusing their reruns (r16 review).  Batch tags follow the
+            # same rule (compaction merges the tagged rows; a true full
+            # refresh replaces them).
             self._clear_rename_windows(table)
+            self._clear_batch_tags(table)
+        if batch_tag is not None:
+            # a streaming pipeline's FIRST micro-batch lands as a full
+            # write (table doesn't exist yet) — its tag must still be
+            # recorded or a later replay of that batch, arriving once the
+            # table exists, would take the append path untagged and
+            # double-count (r18)
+            self._stamp_batch_tag(table, batch_tag)
 
     def _full_manifest_cas(self, df: DataFrame, table: str, stage: str,
                            absorbed: list | None,
-                           expected_input_version: int | None) -> None:
+                           expected_input_version: int | None,
+                           preserve_windows: bool = False,
+                           batch_tag: str | None = None) -> None:
         """The manifest-mode full-refresh publish: bounded CAS retry
         promoting the already-staged payload (stage cleanup on raise is
         the caller's job — see :meth:`_write_full`)."""
@@ -794,12 +819,23 @@ class Engine:
             # refuse-keys; a true full refresh passes None, clearing
             # them.
             wins = self._next_windows(m, versions)
+            # batch tags follow the window rule: compaction
+            # (preserve_windows=True) merges the tagged rows, so their
+            # replay protection carries forward; a true full refresh
+            # replaces them and clears the list — unless this full write
+            # IS a tagged micro-batch (a streaming pipeline's first
+            # batch landing on a nonexistent table), which seeds it.
+            tags = (list(m.get("batch_tags", []))
+                    if preserve_windows and m is not None else [])
+            if batch_tag is not None and batch_tag not in tags:
+                tags.append(batch_tag)
             try:
                 self._publish_manifest(table, version, versions,
                                        expected_version=version - 1,
                                        promote=(stage, dirname),
                                        schemas=schemas, windows=wins,
-                                       absorbed=absorbed)
+                                       absorbed=absorbed,
+                                       batch_tags=tags or None)
             except ManifestConflict:
                 continue       # re-read the advanced manifest, retry
             self._gc_versions(table, versions,
@@ -809,8 +845,20 @@ class Engine:
             f"{table}: full refresh lost the manifest CAS 16 times")
 
     def _write_append(self, df: DataFrame, table: str, partition_by=(),
-                      window: tuple | None = None) -> None:
+                      window: tuple | None = None,
+                      batch_tag: str | None = None) -> None:
         """Append ``df`` as a new immutable dir of the live snapshot.
+
+        ``batch_tag`` (streaming micro-batches, r18): a content
+        fingerprint of the batch this append carries.  A tag already
+        recorded for the table means the batch is fully committed — the
+        append is a SKIPPED no-op (exactly-once across foreachBatch
+        retries and checkpoint-lineage resets, where unbounded windows
+        can't protect: they are refused as stamps below).  Manifest mode
+        records the tag in the SAME atomic pointer flip as the data;
+        rename mode stamps a sidecar after the files land (same crash
+        exposure as its window ledger, bracketed by the inflight
+        journal).
 
         ``window=(lower, upper)`` stamps the dir with the time window it
         carries and REPLACES any live dirs whose recorded window the new
@@ -837,6 +885,8 @@ class Engine:
         shape; see _run_fact_table)."""
         if window is not None and window[1] is None:
             window = None
+        if batch_tag is not None and batch_tag in self._recorded_tags(table):
+            return            # batch already committed: retry is a no-op
         if self.commit_mode == "manifest":
             # the append lands in its OWN immutable dir and the pointer
             # flip adds it to the snapshot's dir list — appends are as
@@ -849,7 +899,8 @@ class Engine:
                 raise FileNotFoundError(f"no manifest for table {table!r}")
             stage = self._write_stage(df, table, partition_by)
             try:
-                self._append_manifest_cas(df, table, stage, window)
+                self._append_manifest_cas(df, table, stage, window,
+                                          batch_tag)
             except BaseException:
                 # a refused rerun (absorbed-window overlap) or CAS
                 # exhaustion raises AFTER the stage payload landed —
@@ -884,9 +935,14 @@ class Engine:
             # the inflight journal (below), which already refuses a
             # rerun after a mid-append crash in rename mode.
             self._stamp_rename_window(table, window)
+        if batch_tag is not None:
+            # same land-then-stamp order and crash bracket as the window
+            # ledger above
+            self._stamp_batch_tag(table, batch_tag)
 
     def _append_manifest_cas(self, df: DataFrame, table: str, stage: str,
-                             window: tuple | None) -> None:
+                             window: tuple | None,
+                             batch_tag: str | None = None) -> None:
         """The manifest-mode append publish: bounded CAS retry promoting
         the already-staged payload dir into the next snapshot.  Factored
         out of :meth:`_write_append` so the caller can guarantee stage
@@ -895,6 +951,16 @@ class Engine:
         legacy_schema_cache: dict = {}
         for _ in range(16):    # bounded CAS retry; no data rewrite
             m = self._read_manifest(table)
+            if batch_tag is not None and batch_tag in m.get("batch_tags",
+                                                            []):
+                # a concurrent/prior writer committed this batch while we
+                # prepared (or the pre-stage check raced): nothing to
+                # publish — reclaim the staged payload HERE (the caller's
+                # cleanup only runs on raise; a silent return would leak
+                # a full copy on disk, the ADVICE r16 stage-leak class)
+                shutil.rmtree(os.path.join(self.storage, stage),
+                              ignore_errors=True)
+                return
             version = m["version"] + 1
             dirname = f"{table}__v{version}"
             # live_dirs is re-resolved per attempt: on a lost CAS the
@@ -953,12 +1019,16 @@ class Engine:
             schemas = self._next_schemas(
                 m, version, self._union_schema(prev_schema, df))
             wins = self._next_windows(m, versions, dirname, window)
+            tags = list(m.get("batch_tags", []))
+            if batch_tag is not None:
+                tags.append(batch_tag)
             try:
                 self._publish_manifest(table, version, versions,
                                        expected_version=version - 1,
                                        promote=(stage, dirname),
                                        schemas=schemas, windows=wins,
-                                       absorbed=m.get("absorbed"))
+                                       absorbed=m.get("absorbed"),
+                                       batch_tags=tags or None)
             except ManifestConflict:
                 continue
             self._gc_versions(table, versions,
@@ -1006,6 +1076,53 @@ class Engine:
         stamps = self._rename_window_stamps()
         if stamps.pop(table, None) is not None:
             self._atomic_json(self._rename_windows_path, stamps)
+
+    # --- micro-batch tag ledger (r18) ---------------------------------------
+    # Exactly-once for streaming fact appends: each micro-batch's content
+    # fingerprint is recorded with the data it produced (inside the
+    # manifest in manifest mode — atomic with the pointer flip; in this
+    # sidecar in rename mode), and _write_append skips a batch whose tag
+    # is already recorded.  Unbounded micro-batch windows are refused as
+    # window stamps (see _run_fact_table), so without tags a foreachBatch
+    # retry double-counted silently.
+
+    @property
+    def _batch_tags_path(self) -> str:
+        return os.path.join(self.storage, "_batch_tags.json")
+
+    def _recorded_tags(self, table: str) -> list:
+        if self.commit_mode == "manifest":
+            m = self._read_manifest(table)
+            return m.get("batch_tags", []) if m else []
+        if os.path.exists(self._batch_tags_path):
+            with open(self._batch_tags_path) as fh:
+                return json.load(fh).get(table, [])
+        return []
+
+    def _stamp_batch_tag(self, table: str, tag: str) -> None:
+        """Rename-mode sidecar stamp (manifest mode records tags inside
+        the manifest publish itself — never call this there for appends;
+        _write_full calls it for the rename-mode first-batch full write)."""
+        if self.commit_mode == "manifest":
+            return
+        tags = {}
+        if os.path.exists(self._batch_tags_path):
+            with open(self._batch_tags_path) as fh:
+                tags = json.load(fh)
+        per = tags.setdefault(table, [])
+        if tag not in per:
+            per.append(tag)
+            self._atomic_json(self._batch_tags_path, tags)
+
+    def _clear_batch_tags(self, table: str) -> None:
+        if self.commit_mode == "manifest":
+            return            # the full publish writes batch_tags itself
+        if not os.path.exists(self._batch_tags_path):
+            return
+        with open(self._batch_tags_path) as fh:
+            tags = json.load(fh)
+        if tags.pop(table, None) is not None:
+            self._atomic_json(self._batch_tags_path, tags)
 
     # --- watermarks --------------------------------------------------------
 
@@ -1074,12 +1191,19 @@ class Engine:
         self._atomic_json(self._wm_path, wm)
 
     def _inflight_retry_is_safe(self, table: str,
-                                window: tuple | None = None) -> bool:
+                                window: tuple | None = None,
+                                batch_tag: str | None = None) -> bool:
         """True when the interrupted append provably never published — or
         (window-stamped manifest appends, r12) when the rerun's window
         fully covers every dir the interrupted run DID publish, so the
         rerun atomically swaps the half-committed window out instead of
-        doubling it."""
+        doubling it — or (tagged micro-batches, r18) when the batch's
+        content tag is already recorded: the interrupted run provably
+        COMPLETED its append (tag and data commit together in manifest
+        mode), only the watermark commit was lost, and the retry's
+        _write_append will no-op-skip before this run re-commits it."""
+        if batch_tag is not None and batch_tag in self._recorded_tags(table):
+            return True
         marker = self._inflight().get(table)
         # bool is an int subclass: a rename-mode opaque `True` marker read
         # by a manifest-mode engine must NOT compare equal to version 1
@@ -1138,14 +1262,21 @@ class Engine:
         return df, partition_by
 
     def run_fact(self, fact: Fact, mode: PopulationMode, time_upper,
-                 time_lower=None, resume: bool = True) -> str:
+                 time_lower=None, resume: bool = True,
+                 batch_tag: str | None = None) -> str:
         """Populate one fact and every dimension it (recursively) needs;
         returns the extracted fact table name.
 
         Incremental runs with no explicit lower bound resume from the
         stored watermark (the previous run's upper bound); pass
         ``resume=False`` to process an unbounded window instead (the
-        streaming pipeline does — its micro-batches are already bounded)."""
+        streaming pipeline does — its micro-batches are already bounded).
+
+        ``batch_tag`` (streaming micro-batches): a content fingerprint of
+        the batch; a tag already recorded for the fact table makes the
+        append a no-op, so foreachBatch retries and checkpoint-lineage
+        replays are exactly-once (see :meth:`_write_append`).  Dimension
+        appends need no tag — their anti-join is replay-idempotent."""
         # a DIRECT run_fact call repopulates dimensions: the memo only
         # persists across the facts of one run() batch (r16 review — a
         # long-lived Engine's second incremental run_fact previously
@@ -1170,7 +1301,8 @@ class Engine:
             self._run_dimension(dim_fact, dim_table.name, mode,
                                 time_upper, time_lower)
             self._populated_this_run.add(dim_table.name)
-        produced = self._run_fact_table(fact, mode, time_upper, time_lower)
+        produced = self._run_fact_table(fact, mode, time_upper, time_lower,
+                                        batch_tag=batch_tag)
         # watermark + inflight-clear as ONE atomic write (r16 review)
         self._commit_watermark(produced, time_upper)
         return produced
@@ -1193,7 +1325,8 @@ class Engine:
         self._store_watermark(dim_table, time_upper)
 
     def _run_fact_table(self, fact: Fact, mode: PopulationMode,
-                        time_upper, time_lower) -> str:
+                        time_upper, time_lower,
+                        batch_tag: str | None = None) -> str:
         from .extractor import extract_all_dimension_tables
 
         derived = extract_fact_table(self.env, fact)
@@ -1219,7 +1352,8 @@ class Engine:
         if mode == PopulationMode.INCREMENTAL and self.table_exists(derived.name):
             if (derived.name in self._inflight()
                     and not self._inflight_retry_is_safe(derived.name,
-                                                         window)):
+                                                         window,
+                                                         batch_tag)):
                 raise RuntimeError(
                     f"previous incremental append to {derived.name} did not "
                     f"complete (crash between append and watermark update); "
@@ -1233,7 +1367,7 @@ class Engine:
             # (manifest mode; see _write_append)
             try:
                 self._write_append(df, derived.name, partition_by,
-                                   window=window)
+                                   window=window, batch_tag=batch_tag)
             except ValueError:
                 # a window REFUSAL (rename-ledger cover / compaction-
                 # absorbed overlap) raises before anything lands in the
@@ -1244,7 +1378,8 @@ class Engine:
                 self._mark_inflight(derived.name, clear=True)
                 raise
         else:
-            self._write_full(df, derived.name, partition_by)
+            self._write_full(df, derived.name, partition_by,
+                             batch_tag=batch_tag)
             self._mark_inflight(derived.name, clear=True)  # full run heals
         return derived.name
 

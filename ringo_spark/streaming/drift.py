@@ -69,9 +69,14 @@ def make_totals_kernel(expire: bool):
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            ts = [int(t) for t in pdf["t"]]
-            n += len(ts)
-            sn += sum(ts)
+            # null token counts (null text -> size(tokens(null)) is
+            # NULL): SQL count(*) includes the doc while sum(t) skips
+            # it, so fold them as count-1/contribute-0 — int(NaN) used
+            # to crash the kernel where the batch gate scored fine (r18
+            # review)
+            tvals = pdf["t"]
+            n += len(tvals)
+            sn += int(tvals.fillna(0).sum())
             if expire:
                 # Spark-computed epoch seconds, like the anomaly twin
                 # (pandas .timestamp() on tz-naive wall time would shift

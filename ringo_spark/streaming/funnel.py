@@ -89,10 +89,18 @@ def make_funnel_kernel(expire: bool):
 
         ts = list(state.get) if state.exists else [None] * _N
         last = None
-        for pdf in pdfs:
+        # CONCAT then sort: one micro-batch's rows for a key arrive as
+        # MULTIPLE Arrow chunks (maxRecordsPerBatch), and sorting each
+        # chunk separately only absorbed disorder WITHIN a chunk — a
+        # later chunk carrying earlier events broke the fold's in-batch
+        # ordering guarantee exactly like cross-batch disorder (r18
+        # review; the ema twin already concatenated)
+        rows = [pdf[["sec", "event_type"]] for pdf in pdfs if len(pdf)]
+        batch = pd.concat(rows) if rows else None
+        if batch is not None:
             # in-batch disorder is absorbed here; the cross-batch
             # ordering contract is the module docstring's
-            for sec, et in sorted(zip(pdf["sec"], pdf["event_type"])):
+            for sec, et in sorted(zip(batch["sec"], batch["event_type"])):
                 sec = int(sec)
                 i = _STEP_IDX.get(et)
                 if i is None:

@@ -15,8 +15,14 @@ Two entry points:
 - :class:`StreamingPipeline` — ``foreachBatch`` orchestration that also
   maintains dimension tables per micro-batch (anti-join append, the
   streaming twin of the reference's incremental dim refresh), then appends
-  the batch's rollup to the fact store.  foreachBatch gives exactly-once
-  table maintenance without custom state stores.
+  the batch's rollup to the fact store.  foreachBatch is AT-LEAST-once;
+  exactly-once comes from the engine's batch-tag ledger (r18): each
+  batch's content fingerprint is recorded atomically with its manifest
+  publish, so a retried or lineage-reset replay of a committed batch is
+  a no-op append (dimension appends are anti-join idempotent already).
+  Two genuinely distinct micro-batches with IDENTICAL content alias to
+  one tag — the standard content-stamp trade, same as every
+  content-stamped sink in this repo.
 
 Late data: bounded by ``withWatermark``; rows later than the delay are
 dropped by Spark (the batch engine's equivalent is simply re-running the
@@ -159,12 +165,22 @@ class StreamingPipeline:
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         eng, fact = self.engine, self.fact
         eng.sources[fact.table_name] = batch_df
+        # content tag, NOT batch_id: Spark batch ids are per-checkpoint
+        # (a fresh lineage restarts at 0 — the r17 streaming-dedup
+        # lesson), so the exactly-once key must be the batch's content.
+        # One tiny agg job per batch; the engine skips the fact append
+        # when the tag is already recorded (manifest mode records the
+        # tag in the same atomic pointer flip as the data).
+        from ..index_lifecycle import batch_fingerprint
+
+        tag = batch_fingerprint(batch_df, list(batch_df.columns))
         # per-batch bounds: the whole batch (time filtering already happened
         # upstream in the stream); use open bounds.  run_fact repopulates
         # dimensions per direct call since r16 (the old private
         # _populated_this_run reset workaround is no longer needed).
         eng.run_fact(fact, PopulationMode.INCREMENTAL,
-                     time_upper=None, time_lower=None, resume=False)
+                     time_upper=None, time_lower=None, resume=False,
+                     batch_tag=tag)
 
     def start(self, stream_df: DataFrame, checkpoint: str,
               trigger_once: bool = True):

@@ -70,8 +70,14 @@ def make_sessionize_kernel(expire: bool):
             start, last, n, vsum = None, None, 0, 0.0
 
         closed = []
-        for pdf in pdfs:
-            for sec, value in sorted(zip(pdf["sec"], pdf["value"])):
+        # CONCAT then sort: a micro-batch's rows for one key can span
+        # multiple Arrow chunks — per-chunk sorting left cross-chunk
+        # disorder unabsorbed, splitting sessions at chunk boundaries
+        # (r18 review; same fix as the funnel twin)
+        rows = [pdf[["sec", "value"]] for pdf in pdfs if len(pdf)]
+        if rows:
+            batch = pd.concat(rows)
+            for sec, value in sorted(zip(batch["sec"], batch["value"])):
                 sec = int(sec)
                 if last is not None and sec - last > SESSION_GAP_SECONDS:
                     closed.append((user_id, start, last, n, vsum))
@@ -80,7 +86,10 @@ def make_sessionize_kernel(expire: bool):
                     start = sec
                 last = sec
                 n += 1
-                vsum += float(value)
+                if not pd.isna(value):
+                    # SQL sum skips nulls; float(NaN) would poison vsum
+                    # where the batch twin's sum(value) ignores the row
+                    vsum += float(value)
         state.update((start, last, n, vsum))
         if expire:
             # flush when the watermark passes the gap after the last event

@@ -1526,3 +1526,190 @@ def test_force_rebuild_replays_rerun_with_fresh_stamp(spark, tmp_path):
     b = sorted(tuple(r) for r in
                spark.read.parquet(p1).select(*cols).collect())
     assert a == b
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for direct kernel unit tests."""
+
+    def __init__(self):
+        self.exists = False
+        self.hasTimedOut = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v, self.exists = v, True
+
+    def remove(self):
+        self._v, self.exists = None, False
+
+    def getCurrentWatermarkMs(self):
+        return 0
+
+    def setTimeoutTimestamp(self, ms):
+        pass
+
+
+def test_sessionize_kernel_absorbs_cross_chunk_disorder():
+    """r18 review: one micro-batch's rows for a key arrive as MULTIPLE
+    Arrow chunks; per-chunk sorting left cross-chunk disorder unabsorbed
+    and split sessions at chunk boundaries.  The kernel must fold the
+    whole batch in event-time order regardless of chunk layout."""
+    import pandas as pd
+
+    from ringo_spark.streaming.sessionize import make_sessionize_kernel
+
+    kern = make_sessionize_kernel(expire=False)
+    # chunk 2 carries EARLIER events than chunk 1; together they form ONE
+    # contiguous session (max gap 100s << 1800s)
+    c1 = pd.DataFrame({"sec": [5000, 5100], "value": [1.0, 1.0]})
+    c2 = pd.DataFrame({"sec": [4900, 4950], "value": [1.0, 1.0]})
+    st = _FakeState()
+    closed = list(kern((7,), iter([c1, c2]), st))
+    assert closed == []                      # nothing closed: one session
+    start, last, n, vsum = st.get
+    assert (start, last, n, vsum) == (4900, 5100, 4, 4.0)
+
+    # null values fold like SQL sum (skip), not NaN-poison
+    c3 = pd.DataFrame({"sec": [5200.0], "value": [float("nan")]})
+    list(kern((7,), iter([c3]), st))
+    assert st.get[3] == 4.0 and st.get[2] == 5
+
+
+def test_funnel_kernel_absorbs_cross_chunk_disorder():
+    """r18 review: same cross-chunk fix for the funnel kernel — a
+    predecessor step arriving in a LATER chunk of the same micro-batch
+    must still qualify followers from earlier chunks' later events."""
+    import pandas as pd
+
+    from ringo_spark.operators.session import FUNNEL_STEPS
+    from ringo_spark.streaming.funnel import make_funnel_kernel
+
+    s1, s2 = FUNNEL_STEPS[0], FUNNEL_STEPS[1]
+    kern = make_funnel_kernel(expire=False)
+    # chunk 1 has step-2 at t=200; chunk 2 has step-1 at t=100.  Global
+    # order qualifies step 2 (100 < 200); per-chunk order missed it.
+    c1 = pd.DataFrame({"sec": [200], "event_type": [s2]})
+    c2 = pd.DataFrame({"sec": [100], "event_type": [s1]})
+    st = _FakeState()
+    (out,) = list(kern((3,), iter([c1, c2]), st))
+    assert int(out["steps_reached"].iloc[0]) >= 2
+    assert st.get[0] == 100 and st.get[1] == 200
+
+
+def test_pipeline_batch_replay_is_exactly_once(spark, tmp_path):
+    """r18 review: foreachBatch is at-least-once, and micro-batch appends
+    are unstamped (unbounded windows are refused as window stamps), so a
+    retried or lineage-reset replay used to double-count the fact rows.
+    The engine's batch-tag ledger (content fingerprint recorded in the
+    same atomic manifest publish as the data) must make every replay a
+    no-op — including a replay of the FIRST batch, which landed as a
+    full write."""
+    cat = load_catalog(spark, SF, [EVENTS])
+    n = cat["events"].count()
+    b1 = cat["events"].limit(n // 2)
+    b2 = cat["events"].subtract(b1)
+
+    eng = Engine(spark, EVENTS_ENV, str(tmp_path / "wh"),
+                 commit_mode="manifest")
+    eng.load_sources(SF)
+    pipe = StreamingPipeline(eng, EVENTS_FACT)
+    table = "fact_events_by_minute"
+
+    pipe.process_batch(b1, 0)     # full write (table absent)
+    pipe.process_batch(b2, 1)     # tagged append
+    total = eng.read_table(table).agg(F.sum("event_count")).collect()[0][0]
+    assert total == n
+    import json as _json
+    m = _json.load(open(eng._manifest_path(table)))
+    v_before = m["version"]
+    assert len(m["batch_tags"]) == 2
+
+    # replay both batches under fresh (colliding) batch ids — a new
+    # checkpoint lineage restarts at 0 — both must be no-ops
+    pipe.process_batch(b2, 0)
+    pipe.process_batch(b1, 1)
+    m2 = _json.load(open(eng._manifest_path(table)))
+    assert m2["version"] == v_before            # nothing published
+    assert eng.read_table(table).agg(
+        F.sum("event_count")).collect()[0][0] == n
+    # no staged payload leaked from the skipped replays
+    assert [d for d in os.listdir(eng.storage) if "__stage_" in d] == []
+    # and the ledger still protects after compaction merges the dirs
+    eng.compact_fact(EVENTS_FACT)
+    pipe.process_batch(b2, 5)
+    assert eng.read_table(table).agg(
+        F.sum("event_count")).collect()[0][0] == n
+
+
+def test_pipeline_retry_after_lost_watermark_commit(spark, tmp_path):
+    """r18 review, the torn arm: a crash BETWEEN the append's manifest
+    publish and the watermark commit used to brick the next run (the
+    inflight journal refused: version advanced, no window to swap).
+    With the batch tag recorded atomically with the publish, the retry
+    is provably safe — the append no-op-skips and the watermark commit
+    heals the inflight marker."""
+    cat = load_catalog(spark, SF, [EVENTS])
+    n = cat["events"].count()
+    b1 = cat["events"].limit(n // 2)
+    b2 = cat["events"].subtract(b1)
+
+    eng = Engine(spark, EVENTS_ENV, str(tmp_path / "wh"),
+                 commit_mode="manifest")
+    eng.load_sources(SF)
+    pipe = StreamingPipeline(eng, EVENTS_FACT)
+    table = "fact_events_by_minute"
+    pipe.process_batch(b1, 0)
+
+    real = Engine._commit_watermark
+    boom = []
+
+    def crash_once(self, tbl, upper):
+        if not boom:
+            boom.append(True)
+            raise RuntimeError("injected crash before watermark commit")
+        return real(self, tbl, upper)
+
+    Engine._commit_watermark = crash_once
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            pipe.process_batch(b2, 1)          # append published, then crash
+        assert table in eng._inflight()        # torn marker left behind
+        pipe.process_batch(b2, 1)              # retry: skip + heal
+    finally:
+        Engine._commit_watermark = real
+    assert eng._inflight() == {}
+    assert eng.read_table(table).agg(
+        F.sum("event_count")).collect()[0][0] == n
+
+
+def test_pipeline_replay_is_noop_in_rename_mode(spark, tmp_path):
+    """Rename-mode twin: batch tags live in the _batch_tags.json sidecar
+    (no manifest to ride), stamped after the files land — a committed
+    batch's replay is skipped, and a true full refresh clears the
+    table's tags with its windows."""
+    cat = load_catalog(spark, SF, [EVENTS])
+    n = cat["events"].count()
+    b1 = cat["events"].limit(n // 2)
+    b2 = cat["events"].subtract(b1)
+
+    eng = Engine(spark, EVENTS_ENV, str(tmp_path / "wh"))
+    eng.load_sources(SF)
+    pipe = StreamingPipeline(eng, EVENTS_FACT)
+    table = "fact_events_by_minute"
+    pipe.process_batch(b1, 0)
+    pipe.process_batch(b2, 1)
+    assert eng.read_table(table).agg(
+        F.sum("event_count")).collect()[0][0] == n
+    pipe.process_batch(b1, 0)                  # replay: sidecar-skipped
+    pipe.process_batch(b2, 7)
+    assert eng.read_table(table).agg(
+        F.sum("event_count")).collect()[0][0] == n
+    assert len(eng._recorded_tags(table)) == 2
+    # a true full refresh recomputes everything -> tags cleared
+    eng.sources["events"] = cat["events"]
+    eng.run(PopulationMode.FULL, T_FAR)
+    assert eng._recorded_tags(table) == []

@@ -38,7 +38,19 @@ NEW_PINS = ["ann_index_staleness", "tenant_rollup_skew_salted",
 # adjudicated NO-re-pin: salt_expr is the byte-identical expression
 # hoisted (skew rows), and the staleness reports' read-path change is
 # error-path-only (valid-sidecar hot path untouched).
-CODE_CHANGED = ["streaming_vector_ingest"]
+# r18: NO wall re-pins — no new queries, and the round's code changes
+# are off every registered row's hot path (admit_commit's intent-less
+# arm is never taken by a healthy run; archive_admissions only fires
+# on force rebuilds, which no registered row performs; the engine
+# batch-tag ledger is StreamingPipeline-only — no registered query
+# constructs Engine; spread()'s anchored match changes no registered
+# plan, pinned by test_spread_matches_plan_nodes_not_substrings).
+# pin_cpu was re-seeded wholesale from 5-run quiet minima this round
+# (tools/minima_bench.py --reseed-pin-cpu, VERDICT r17 item 4) — this
+# tool's incremental pin_cpu maintenance applies on top for future
+# NEW_PINS/CODE_CHANGED entries.  streaming_vector_ingest (the r17
+# entry) keeps its r17 re-pin; the list is empty for r18.
+CODE_CHANGED: list[str] = []
 # The blanket sub-half median re-pass was the ONE-TIME r15 cleanup
 # (VERDICT r15: "future re-pins should be rare and individually
 # adjudicated") — it now requires --subhalf to run at all.
