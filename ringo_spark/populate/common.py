@@ -136,7 +136,16 @@ def time_filter(df: DataFrame, tcol: str, op: str, bound,
         else qcol(qualifier, tcol) >= F.lit(bound)
     raw_name = RAW_NS_PREFIX + tcol
     if raw_name in cols and isinstance(bound, dt.datetime):
-        ns = int(bound.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000) * 1000
+        # exact integer nanos: float timestamp()*1e6 truncates
+        # microsecond-precision bounds (.123456 -> .123455999...), and
+        # since this predicate is AND-ed with the cast-column one, a
+        # 1us-low raw bound silently DROPS rows the cast predicate
+        # includes (r18 review).  Whole seconds from the calendar
+        # fields, microseconds added as integers.
+        aware = bound if bound.tzinfo is not None \
+            else bound.replace(tzinfo=dt.timezone.utc)
+        whole = int(aware.replace(microsecond=0).timestamp())
+        ns = (whole * 1_000_000 + aware.microsecond) * 1000
         raw = qcol(qualifier, raw_name)
         expr = expr & (raw < F.lit(ns) if op == "<" else raw >= F.lit(ns))
     return expr

@@ -42,18 +42,29 @@ def _validate_table(tables: list[Table], table: Table) -> list[ValidationError]:
     return errors
 
 
-def _validate_fact(tables, facts, type_defaults: TypeDefaults, fact: Fact) -> list[ValidationError]:
+def _validate_fact(tables, facts, type_defaults: TypeDefaults, fact: Fact,
+                   _ancestry: frozenset[str] = frozenset()
+                   ) -> list[ValidationError]:
     table = next((t for t in tables if t.name == fact.table_name), None)
     if table is None:
         return [ValidationError("MissingTable", fact.table_name)]
     errors = _validate_table(tables, table)
 
+    ancestry = _ancestry | {fact.name}
     for pname in fact.parent_names:
+        if pname in ancestry:
+            # a parent cycle in the YAML input would otherwise recurse
+            # forever here (and later hang the extractor's parent
+            # unfold) — surface it as a validation error instead of a
+            # RecursionError crash (r18 review)
+            errors.append(ValidationError("FactCycle", fact.name, pname))
+            continue
         parent = next((f for f in facts if f.name == pname), None)
         if parent is None:
             errors.append(ValidationError("MissingFact", pname))
         else:
-            errors += _validate_fact(tables, facts, type_defaults, parent)
+            errors += _validate_fact(tables, facts, type_defaults, parent,
+                                     ancestry)
 
     for fc in fact.columns:
         src = fc.source_column_name()

@@ -378,3 +378,34 @@ def test_salt_gate_ignored_without_tenant_column(spark):
     assert "__salt" not in simple, simple
     assert sorted(map(tuple, gated.collect())) == \
         sorted(map(tuple, plain.collect()))
+
+
+def test_time_filter_raw_ns_bound_is_exact_at_microsecond_bounds(spark):
+    """r18 review: the raw-nanos shadow predicate computed its bound via
+    float timestamp()*1e6, which truncates microsecond-precision bounds
+    (.123456 -> .123455999...) — and because the raw predicate is AND-ed
+    with the cast-column one, a 1us-low bound silently DROPPED rows the
+    cast predicate includes.  The bound must be exact integer nanos."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from ringo_spark.catalog import RAW_NS_PREFIX
+    from ringo_spark.populate.common import time_filter
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    whole_s = int(base.replace(tzinfo=dt.timezone.utc).timestamp())
+    # a row 1ns BELOW the .123456s boundary: strictly inside op="<"
+    row_ns = (whole_s * 1_000_000 + 123_456) * 1000 - 1
+    us = F.expr(f"{RAW_NS_PREFIX}ts div 1000")   # integer div: float
+    # division of an 19-digit long loses the low digits
+    df = spark.createDataFrame(
+        [(row_ns,)], f"{RAW_NS_PREFIX}ts LONG").withColumn(
+        "ts", F.timestamp_micros(us))
+    bound = base.replace(microsecond=123_456)
+    assert df.where(time_filter(df, "ts", "<", bound)).count() == 1
+    # and the boundary row itself is excluded on BOTH predicates
+    at = df.withColumn(RAW_NS_PREFIX + "ts", F.lit(row_ns + 1)) \
+           .withColumn("ts", F.timestamp_micros(us))
+    assert at.where(time_filter(at, "ts", "<", bound)).count() == 0
+    assert at.where(time_filter(at, "ts", ">=", bound)).count() == 1

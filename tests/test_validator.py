@@ -99,3 +99,33 @@ def test_count_distinct_without_source_needs_pk():
     g = Fact("f", "t", [FactColumn("at", DimTime()),
                         FactColumn("uniq", FactCountDistinct("k"))])
     assert "MissingPrimaryKey" not in errs([tbl()], [g])      # explicit source
+
+
+def test_parent_fact_cycle_is_a_validation_error():
+    """r18 review: a parent cycle in the fact specs (A -> B -> A) used to
+    recurse forever in _validate_fact (RecursionError crash on malformed
+    YAML input) — and would later hang the extractor's parent unfold.
+    It must surface as a FactCycle validation error instead."""
+    from ringo_spark.model import (
+        Column, DimTime, Fact, FactColumn, FactCount, Nullable, PrimaryKey,
+        Settings, Table,
+    )
+    from ringo_spark.validator import validate_env
+
+    t = Table("ev", [
+        Column("id", "bigint", Nullable.NOT_NULL),
+        Column("ts", "timestamp without time zone", Nullable.NOT_NULL),
+    ], [PrimaryKey("id")])
+    cols = [FactColumn("ts", DimTime()), FactColumn("n", FactCount())]
+    fa = Fact("a", "ev", cols, parent_names=["b"])
+    fb = Fact("b", "ev", cols, parent_names=["a"])
+    env, errors = validate_env([t], [fa, fb], Settings(),
+                               {"timestamp": "'1970-01-01'"})
+    assert env is None
+    assert any(e.kind == "FactCycle" for e in errors)
+    # a SELF-parent is the degenerate cycle
+    fs = Fact("s", "ev", cols, parent_names=["s"])
+    env, errors = validate_env([t], [fs], Settings(),
+                               {"timestamp": "'1970-01-01'"})
+    assert env is None
+    assert any(e.kind == "FactCycle" for e in errors)
