@@ -1678,8 +1678,14 @@ def _spans_cleaned(base: DataFrame, removed: DataFrame,
            .select("doc_id",
                    n.cast("long").alias("n_chunks"),
                    F.size("rem").cast("long").alias("n_removed"),
-                   F.array_join(F.concat(kept_toks, tail), " ")
-                   .alias("cleaned_text")))
+                   # null-text docs: a NULL token array propagates NULL
+                   # through concat/array_join, but the operator contract
+                   # (the oracle's coalesce(..., '')) is an EMPTY cleaned
+                   # stream — the null-injected sweep caught the Spark
+                   # side missing the matching coalesce (r18)
+                   F.coalesce(
+                       F.array_join(F.concat(kept_toks, tail), " "),
+                       F.lit("")).alias("cleaned_text")))
     return out.orderBy("doc_id") if ordered else out
 
 

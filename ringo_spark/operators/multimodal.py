@@ -99,15 +99,21 @@ def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     PNG headers are parsed from the real bytes; anything else falls back
     to the labeled fake."""
     for pdf in batches:
-        payloads = pdf["payload"]
-        feats = []
-        for p in payloads:
+        ids, sizes, feats = [], [], []
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            if p is None:
+                # a NULL binary column is a doc with no stored media —
+                # the decode lane skips it (bytes(None) used to crash
+                # the whole Arrow batch; the r18 null-injected sweep)
+                continue
             p = bytes(p)
             wh = parse_png_header(p)
+            ids.append(doc_id)
+            sizes.append(len(p))
             feats.append((*wh, 1) if wh else _decode_fake(p))
         yield pd.DataFrame({
-            "doc_id": pdf["doc_id"],
-            "n_bytes": payloads.map(len).astype("int64"),
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "n_bytes": pd.Series(sizes, dtype="int64"),
             "width": pd.Series([f[0] for f in feats], dtype="int32"),
             "height": pd.Series([f[1] for f in feats], dtype="int32"),
             "n_frames": pd.Series([f[2] for f in feats], dtype="int32"),
@@ -130,7 +136,10 @@ SELECT doc_id,
        CAST((strlen(text) * 7) % 480 + 1 AS INT) AS height,
        1 AS n_frames
 FROM documents
+WHERE text IS NOT NULL
 """
+# WHERE text IS NOT NULL: a null-text doc synthesizes a NULL payload —
+# no stored media, no decode row (matching the kernel's skip; r18)
 
 
 # --- WAV (audio) lane -------------------------------------------------------
@@ -158,8 +167,14 @@ def wav_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = []
+            ids, payloads = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    # null-text doc: no PCM bytes to wrap — no payload
+                    # row (the encode used to crash the Arrow batch on
+                    # None.encode; the r18 null-injected sweep)
+                    continue
+                ids.append(doc_id)
                 data = text.encode("utf-8")
                 rate = 8000 + int(doc_id) % 8 * 1000
                 ch = int(doc_id) % 2 + 1
@@ -169,7 +184,8 @@ def wav_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                rate * block, block, 16)
                        + b"data" + struct.pack("<I", len(data)))
                 payloads.append(hdr + data)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "payload": payloads})
 
     return (spark.read.parquet(f"{sf_dir}/documents.parquet")
             .select("doc_id", "text").mapInPandas(encode, schema))
@@ -238,7 +254,10 @@ SELECT doc_id,
        CAST(doc_id % 2 + 1 AS INT) AS n_channels,
        (strlen(text) // ((doc_id % 2 + 1) * 2))::BIGINT AS n_samples
 FROM documents
+WHERE text IS NOT NULL
 """
+# WHERE text IS NOT NULL: matches the encode kernel's null-text skip
+# (no PCM bytes -> no payload row; r18 null-injected sweep)
 
 
 def nearest_resize(px: bytes, w: int, h: int, rw: int, rh: int) -> bytes:

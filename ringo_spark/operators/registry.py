@@ -108,6 +108,25 @@ DRIVER_WINDOW: list[str] = [
     #    index_lifecycle.admit_commit (intent-less commits no longer
     #    mint a second stamp on replay) --
     "streaming_vector_ingest",
+    # -- code/oracle changed in r18: the null-injected parity sweep
+    #    (tools/null_sweep.py, CORRECTNESS_NULLS_r18.json) found 13
+    #    queries whose null semantics diverged across engines; each got
+    #    a value-identical-on-null-free-data fix (coalesce/filter/
+    #    explicit null ordering) and stays driver-visible per the
+    #    changed-paths policy.  window_stats was already windowed via
+    #    the r12 rotate-back cohort below. --
+    "map_funcs",
+    "asof_join",
+    "string_funcs",
+    "metrics_unpivot",
+    "doc_rolling_hash",
+    "doc_fingerprint",
+    "doc_dedup_spans",
+    "doc_dedup_spans_incremental",
+    "multimodal_wav",
+    "multimodal_features",
+    "quality_source_percentile",
+    "quality_source_gate_gk",
     # -- the pre-committed r18 rotation (CORRECTNESS_WINDOW.md), by
     #    driver-record age, oldest first: FIRST the r11-rowed tail (the
     #    freshness floor hits them at end-of-r18), then the r12-rowed
@@ -130,18 +149,6 @@ DRIVER_WINDOW: list[str] = [
     "q7_volume_shipping",
     "window_stats",
     "q4_order_priority",
-    "fact_events_by_minute_approx_bounds",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q21_suppliers_kept_waiting",
-    "q22_global_sales_opportunity",
-    "sample_cluster_split_indexed",
-    "quantiles_approx_bounds",
-    "q14_promo_effect",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "sample_weighted",
-    "sample_weighted_stratified",
     # -- core schema-level pipeline (driver-green r02-r04 + r07; pinned) --
     "dim_event_type",
     "fact_events_by_minute",
@@ -186,14 +193,11 @@ DISPLACED: list[str] = [
     "streaming_cms_snapshot",
     "window_lag",
     "set_ops",
-    "string_funcs",
     "conditional_funcs",
     "vocab_topk",
     "lang_confusion",
-    "metrics_unpivot",
     "scalar_subquery",
     "dim_visitor_partitioned_ids",
-    "asof_join",
     "date_funcs",
     "json_funcs",
     "embed_quantize",
@@ -203,11 +207,24 @@ DISPLACED: list[str] = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q10_returned_items",
-    "doc_rolling_hash",
     "token_count",
-    "doc_fingerprint",
     "join_semi",
     "join_anti",
+    # -- popped mid-r18 by the null-sweep code-changed front-load (the
+    #    r06 precedent: changed paths outrank re-rows); r12/r13 driver
+    #    records, front of the r19 rotate-back queue --
+    "fact_events_by_minute_approx_bounds",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity",
+    "sample_cluster_split_indexed",
+    "quantiles_approx_bounds",
+    "q14_promo_effect",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "sample_weighted",
+    "sample_weighted_stratified",
     # -- prior displaced cohorts (r08-r17 rows, order preserved) --
     "ann_ivf_pq",
     "ann_pq_recall_bounds",
@@ -256,7 +273,6 @@ DISPLACED: list[str] = [
     "doc_logprob",
     "dedup_minhash_lsh_capped",
     "dedup_clusters_indexed",
-    "quality_source_percentile",
     "dedup_embedding_lsh",
     "dedup_embedding_clusters",
     "dedup_embedding_incremental",
@@ -265,10 +281,7 @@ DISPLACED: list[str] = [
     "ann_ivf",
     "ann_ivf_kmeans",
     "ann_ivf_recall_bounds",
-    "quality_source_gate_gk",
-    "multimodal_wav",
     "multimodal_wav_samples",
-    "multimodal_features",
     "user_value_ema_segmented",
     "sample_per_source_quota",
     "sample_mixture",
@@ -278,8 +291,6 @@ DISPLACED: list[str] = [
     "quality_gate_approx_bounds",
     "zorder_layout",
     "bpe_pair_counts",
-    "doc_dedup_spans",
-    "doc_dedup_spans_incremental",
     "text_quality_drift",
     "dedup_embedding",
     "dedup_ngram_jaccard",
@@ -288,7 +299,6 @@ DISPLACED: list[str] = [
     "listagg",
     "value_histogram",
     "grouping_sets",
-    "map_funcs",
     "vocab_topk_cms_bounds",
     "q1_pricing_summary",
     "q6_forecast_revenue",

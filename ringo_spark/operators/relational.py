@@ -242,9 +242,13 @@ SELECT p_partkey,
        length(p_name) AS name_len,
        replace(p_brand, '#', '_') AS brand_clean,
        len(string_split(p_name, ' ')) AS name_words,
-       p_brand || '|' || p_type AS brand_type
+       concat_ws('|', p_brand, p_type) AS brand_type
 FROM part
 """
+# brand_type via concat_ws on BOTH sides: `||` null-propagates while
+# concat_ws skips null operands — on a null p_type the two diverged
+# ('Brand#11' vs NULL; the null-injected sweep, r18).  Skip-null is the
+# operator's documented semantics.
 
 
 # --- date/time functions ----------------------------------------------------
@@ -372,7 +376,11 @@ def asof_join_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     day = F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long")
     probe = orders.select(F.col("o_custkey").alias("k"),
                           day.alias("t"), "o_orderkey")
+    # k IS NOT NULL on the ref side: ASOF JOIN equality never matches a
+    # null key, but the union+window trick groups null-k probes WITH
+    # null-k refs and would carry prices across them (r18 null sweep)
     ref = (orders.where(F.col("o_orderstatus") == "F")
+           .where(F.col("o_custkey").isNotNull())
            .select(F.col("o_custkey").alias("k"), day.alias("t"),
                    F.col("o_totalprice").cast("decimal(18,2)")
                    .alias("ref_price")))
@@ -386,16 +394,21 @@ def asof_join_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pre-aggregation shuffle; the whole as-of is ONE exchange on k
     w = (Window.partitionBy("k").orderBy("t", "tag", "ref_price")
          .rowsBetween(Window.unboundedPreceding, 0))
-    carried = (u.withColumn("asof_price",
-                            F.last("ref_price", ignorenulls=True).over(w))
-               .withColumn("asof_day",
-                           F.last(F.when(F.col("tag") == 0, F.col("t")),
-                                  ignorenulls=True).over(w)))
+    # carry the latest ref ROW as one struct, not last-non-null per
+    # column: an F order with a NULL price IS the as-of match (ASOF
+    # matches rows; the oracle's max() skips nulls only WITHIN a tied
+    # date) — per-column ignorenulls carried an OLDER price alongside
+    # the newer row's date, an inconsistent pair (r18 null sweep)
+    carried = u.withColumn(
+        "asof", F.last(F.when(F.col("tag") == 0,
+                              F.struct("t", "ref_price")),
+                       ignorenulls=True).over(w))
     return (carried.where(F.col("tag") == 1)
             .select(F.col("k").alias("o_custkey"), "o_orderkey",
                     F.col("t").alias("order_day"),
-                    F.col("asof_price").cast("double").alias("asof_price"),
-                    "asof_day"))
+                    F.col("asof.ref_price").cast("double")
+                    .alias("asof_price"),
+                    F.col("asof.t").alias("asof_day")))
 
 
 ASOF_JOIN_SQL = """
@@ -498,8 +511,13 @@ def window_stats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     elsewhere).  One shuffle on the partition key; output restricted to
     two priorities to keep the driver row compact."""
     o = _t(spark, sf_dir, "orders")
+    # explicit NULLS FIRST: it's Spark's ASC default but DuckDB defaults
+    # NULLS LAST, which re-ranks EVERY row of a partition containing a
+    # null price (the r18 null-injected sweep) — rank semantics must be
+    # pinned, not inherited
     w = Window.partitionBy("o_orderpriority").orderBy(
-        F.col("o_totalprice").cast("decimal(18,2)"), "o_orderkey")
+        F.col("o_totalprice").cast("decimal(18,2)").asc_nulls_first(),
+        "o_orderkey")
     return (o.where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
             .select(F.col("o_orderpriority").alias("pr"), "o_orderkey",
                     F.col("o_totalprice").cast("decimal(18,2)")
@@ -518,7 +536,8 @@ SELECT o_orderpriority AS pr, o_orderkey,
 FROM orders
 WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
 WINDOW w AS (PARTITION BY o_orderpriority
-             ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)
+             ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) NULLS FIRST,
+                      o_orderkey)
 """
 
 
@@ -1152,8 +1171,14 @@ def map_funcs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scalar lookups/cardinalities, not the raw map."""
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
+    # null statuses coalesce to the standard sentinel BEFORE becoming a
+    # map key: Spark hard-aborts on NULL_MAP_KEY where DuckDB would
+    # build the map — the null-injected sweep caught the crash (r18).
+    # No-op on data with the declared NOT NULL statuses.
     per = (orders.join(cust, orders.o_custkey == cust.c_custkey)
-           .groupBy("c_nationkey", "o_orderstatus")
+           .groupBy("c_nationkey",
+                    F.coalesce("o_orderstatus", F.lit("__UNKNOWN_VAL__"))
+                    .alias("o_orderstatus"))
            .agg(F.count(F.lit(1)).alias("n")))
     m = F.map_from_entries(
         F.array_sort(F.collect_list(F.struct("o_orderstatus", "n"))))
@@ -1170,7 +1195,9 @@ def map_funcs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MAP_FUNCS_SQL = """
 WITH per AS (
-  SELECT c_nationkey, o_orderstatus, count(*) AS n
+  SELECT c_nationkey,
+         coalesce(o_orderstatus, '__UNKNOWN_VAL__') AS o_orderstatus,
+         count(*) AS n
   FROM orders JOIN customer ON o_custkey = c_custkey
   GROUP BY 1, 2),
 m AS (

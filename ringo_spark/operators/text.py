@@ -144,8 +144,14 @@ def quality_source_percentile_df(spark: SparkSession,
     # doc — contradicting "keeps every source's best 75%" and the
     # kept_exact closed form (n - ceil(floor*(n-1)) == 1 at n == 1).
     # A singleton source keeps its doc unconditionally.
+    # scorable docs only (r18 null sweep): a null-text doc has a NULL
+    # quality score — it cannot be ranked, and the two engines disagree
+    # on where nulls sort in a window (Spark NULLS FIRST, DuckDB NULLS
+    # LAST), re-ranking the whole source.  The gate fails closed:
+    # unscorable docs are dropped before ranking, in both engines.
     return (_docs(spark, sf_dir)
             .select("doc_id", "source", q.alias("quality_score"))
+            .where(F.col("quality_score").isNotNull())
             .withColumn("q_pct_rank",
                         F.round(F.percent_rank().over(w), 6))
             .withColumn("_n", F.count(F.lit(1)).over(wn))
@@ -158,7 +164,8 @@ QUALITY_SOURCE_PERCENTILE_SQL = f"""
 WITH scored AS (
   SELECT doc_id, source,
          round({sql_quality_score('text')}, 6) AS quality_score
-  FROM documents)
+  FROM documents
+  WHERE round({sql_quality_score('text')}, 6) IS NOT NULL)
 SELECT doc_id, source, quality_score,
        round(percent_rank() OVER (
            PARTITION BY source
@@ -253,8 +260,12 @@ def quality_source_gate_gk_df(spark: SparkSession, sf_dir: str,
     `gate` wall-time lane.  ``probe_p`` exists for the contract row's
     falsifiability pin only."""
     q = F.round(quality_score_expr(), 6)
-    scored = _docs(spark, sf_dir).select("doc_id", "source",
-                                         q.alias("quality_score"))
+    # scorable docs only — same fail-closed rule as the exact gate
+    # (r18 null sweep): the sketch ignores nulls anyway, but n and the
+    # kept set must be defined over the same scorable population
+    scored = (_docs(spark, sf_dir)
+              .select("doc_id", "source", q.alias("quality_score"))
+              .where(F.col("quality_score").isNotNull()))
     thresholds = (scored.groupBy("source")
                   .agg(F.expr(f"approx_percentile(quality_score, "
                               f"{probe_p}D, "
@@ -302,6 +313,7 @@ def quality_source_gate_gk_contract_df(spark: SparkSession, sf_dir: str,
              .select("doc_id", "source"))
     agg = (_docs(spark, sf_dir)
            .select("source", q.alias("q"))
+           .where(F.col("q").isNotNull())   # scorable docs only (r18)
            .groupBy("source")
            .agg(F.count(F.lit(1)).alias("n"),
                 F.sort_array(F.collect_list("q")).alias("vals")))
@@ -352,7 +364,8 @@ def quality_source_gate_gk_contract_df(spark: SparkSession, sf_dir: str,
 QUALITY_SOURCE_GATE_GK_SQL = f"""
 WITH scored AS (
   SELECT source, round({sql_quality_score('text')}, 6) AS q
-  FROM documents)
+  FROM documents
+  WHERE round({sql_quality_score('text')}, 6) IS NOT NULL)
 SELECT source, count(*) AS n,
        CAST(count(*) - ceil({QUALITY_PCT_FLOOR_RND} * (count(*) - 1))
             AS BIGINT) AS kept_exact,
@@ -557,9 +570,14 @@ def doc_fingerprint_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive content fingerprint: md5 over the sorted distinct
     token set (robust to token shuffling, the classic near-dup probe)."""
     t = tokens(F.col("text"))
+    # null text -> NULL fingerprint (null-propagation, the SQL norm and
+    # the oracle's md5(NULL) behavior): concat_ws SKIPS null args, so the
+    # unguarded expression fingerprinted null text as md5('') — the
+    # null-injected sweep caught the divergence (r18)
     return _docs(spark, sf_dir).select(
         "doc_id",
-        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(t))))
+        F.when(F.col("text").isNotNull(),
+               F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(t)))))
         .alias("fingerprint"))
 
 
@@ -589,11 +607,13 @@ def doc_rolling_hash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DOC_ROLLING_HASH_SQL = f"""
 SELECT doc_id,
-       list_reduce(
-         list_prepend(0::BIGINT,
-           [{sql_phash('t')} % {ROLL_P}
-            for t in {sql_tokens('text')}]),
-         (acc, t) -> (acc * {ROLL_B} + t) % {ROLL_P}) AS rolling_hash
+       CASE WHEN text IS NULL THEN NULL
+            ELSE list_reduce(
+              list_prepend(0::BIGINT,
+                [{sql_phash('t')} % {ROLL_P}
+                 for t in {sql_tokens('text')}]),
+              (acc, t) -> (acc * {ROLL_B} + t) % {ROLL_P}) END
+         AS rolling_hash
 FROM documents
 """
 
@@ -739,13 +759,19 @@ def metrics_unpivot_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_UNPIVOT_COLS = ", ".join(_UNPIVOT_METRICS)
 
+# INCLUDE NULLS: Spark's unpivot emits a row for a null metric value
+# while DuckDB's UNPIVOT drops it by default — on null-injected data the
+# two row sets diverged (300 vs 270; the r18 null sweep).  A feature
+# store wants the null row (metric observed, value missing), so the
+# oracle opts in to match.
 METRICS_UNPIVOT_SQL = f"""
-SELECT doc_id, metric, value FROM (
-  UNPIVOT (SELECT doc_id,
-                  {", ".join(f"CAST({c} AS DOUBLE) AS {c}" for c in _UNPIVOT_METRICS)}
-           FROM ({TEXT_QUALITY_SQL}))
-  ON {_SQL_UNPIVOT_COLS}
-  INTO NAME metric VALUE value)
+WITH wide AS (
+  SELECT doc_id,
+         {", ".join(f"CAST({c} AS DOUBLE) AS {c}" for c in _UNPIVOT_METRICS)}
+  FROM ({TEXT_QUALITY_SQL})),
+long AS (
+  FROM wide UNPIVOT INCLUDE NULLS (value FOR metric IN ({_SQL_UNPIVOT_COLS})))
+SELECT doc_id, metric, value FROM long
 WHERE doc_id < 50
 """
 

@@ -49,8 +49,18 @@ NEW_PINS = ["ann_index_staleness", "tenant_rollup_skew_salted",
 # (tools/minima_bench.py --reseed-pin-cpu, VERDICT r17 item 4) — this
 # tool's incremental pin_cpu maintenance applies on top for future
 # NEW_PINS/CODE_CHANGED entries.  streaming_vector_ingest (the r17
-# entry) keeps its r17 re-pin; the list is empty for r18.
-CODE_CHANGED: list[str] = []
+# entry) keeps its r17 re-pin.
+# r18 CODE_CHANGED: the null-injected parity sweep's fixes touched
+# these pinned queries' expressions (coalesce sentinels, explicit null
+# ordering, struct-carried as-of rows, scorable-only quality gates,
+# null-payload kernel skips) — value-identical on null-free data, but
+# the plans changed, so they re-pin from the r18 closing runs.
+CODE_CHANGED: list[str] = [
+    "asof_join", "map_funcs", "string_funcs", "metrics_unpivot",
+    "multimodal_features", "doc_dedup_spans",
+    "doc_dedup_spans_incremental", "quality_source_percentile",
+    "quality_source_gate_gk",
+]
 # The blanket sub-half median re-pass was the ONE-TIME r15 cleanup
 # (VERDICT r15: "future re-pins should be rare and individually
 # adjudicated") — it now requires --subhalf to run at all.
