@@ -355,13 +355,27 @@ def _stage_attribution(before: dict, after: dict) -> dict | None:
     }
 
 
-# --- CPU-growth gate (VERDICT r16 item 5) ------------------------------------
+# --- CPU-growth gate (VERDICT r16 item 5; r19: index-state-aware) -----------
 # The adjudication rule ("CPU grew = code; flat CPU + uniform wall gap =
 # machine weather") is wired into the closing-bench path instead of
 # applied by hand: BENCH_BASELINE.json carries each pin's recorded
-# executor CPU (pin_cpu, ms, both-runs total — maintained by
-# tools/repin_bench.py), and any query whose measured CPU grows past
-# CPU_GROWTH_FACTOR x its pin CPU is flagged REGARDLESS of wall.
+# executor CPU (pin_cpu, ms — maintained by tools/repin_bench.py /
+# tools/minima_bench.py --reseed-pin-cpu), and any query whose measured
+# CPU grows past CPU_GROWTH_FACTOR x its pin CPU is flagged REGARDLESS
+# of wall.
+#
+# r19 protocol change (VERDICT r18 item 3): the gate compares WARM CPU —
+# the minimum single-run executor CPU across the query's timed runs —
+# against a pin_cpu seeded the same way.  The old both-runs total smeared
+# one-time persisted-index/sink builds into the gate: pins were measured
+# with every index already on disk (warm+warm) while the driver's
+# official run paid the cold build in run 1 (cold+warm), producing 8
+# structural false flags per official run (capped_indexed read 25.4x pin
+# with zero code change).  Run 2 of the same process serves the
+# just-built index exactly like the pin runs did, so min-per-run CPU is
+# the like-for-like number; the cold/warm state is stamped per query
+# (``cpu_run1_over_run2``) so a build-vs-serve smear is visible in the
+# committed record instead of in the gate.
 
 CPU_GROWTH_FACTOR = 1.5
 # pins under this CPU are scheduler/JIT-jitter dominated (the sub-half
@@ -369,15 +383,29 @@ CPU_GROWTH_FACTOR = 1.5
 CPU_FLOOR_MS = 200.0
 
 
+def warm_cpu_ms(t: dict) -> float | None:
+    """The query's warm executor CPU: min single-run CPU over its timed
+    runs (``stages_per_run``), i.e. the run that served every persisted
+    index/sink already built.  Falls back to the legacy both-runs total
+    for pre-r19 records (tools/minima_bench.py shares this fallback)."""
+    per_run = [(a or {}).get("executor_cpu_ms")
+               for a in t.get("stages_per_run") or []]
+    per_run = [c for c in per_run if c is not None]
+    if per_run:
+        return min(per_run)
+    return (t.get("stages_both_runs") or {}).get("executor_cpu_ms")
+
+
 def cpu_regression_flags(per_query_telemetry: dict, pin_cpu: dict,
                          factor: float = CPU_GROWTH_FACTOR,
                          floor_ms: float = CPU_FLOOR_MS) -> dict:
-    """Flag every query whose measured executor CPU (stage attribution,
-    both runs) exceeds ``factor`` x its pin's recorded CPU.  Returns
-    {name: {cpu_ms, pin_cpu_ms, ratio}} — empty when nothing grew."""
+    """Flag every query whose WARM executor CPU (min single-run stage
+    attribution — see the r19 protocol note above) exceeds ``factor`` x
+    its pin's recorded CPU.  Returns {name: {cpu_ms, pin_cpu_ms, ratio}}
+    — empty when nothing grew."""
     flags = {}
     for name, t in per_query_telemetry.items():
-        cpu = (t.get("stages_both_runs") or {}).get("executor_cpu_ms")
+        cpu = warm_cpu_ms(t)
         pin = pin_cpu.get(name)
         if cpu is None or not isinstance(pin, (int, float)) \
                 or pin < floor_ms:
@@ -417,18 +445,34 @@ def main():
     for name in names:
         runs = []
         l_start = _load1()
-        snap_before = _stage_snapshot(spark)
+        snaps = [_stage_snapshot(spark)]
         for _ in range(RUNS_PER_QUERY):
             t0 = time.time()
             df = qs[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             runs.append(round(time.time() - t0, 3))
+            snaps.append(_stage_snapshot(spark))
         timings[name] = min(runs)
         telemetry[name] = {"load1_start": l_start, "load1_end": _load1(),
                            "runs": runs}
-        # stage attribution covers BOTH runs (metrics are per-stage
-        # totals between the snapshots; wall fields above are per-run)
-        attr = _stage_attribution(snap_before, _stage_snapshot(spark))
+        # per-run stage attribution (r19, VERDICT r18 item 3): run 1 may
+        # pay a one-time persisted-index build, run 2 serves it warm —
+        # the CPU gate compares only the warm (min) run against pin_cpu.
+        per_run = [_stage_attribution(snaps[i], snaps[i + 1])
+                   for i in range(len(snaps) - 1)]
+        if any(a is not None for a in per_run):
+            telemetry[name]["stages_per_run"] = per_run
+            cpus = [(a or {}).get("executor_cpu_ms") for a in per_run]
+            if all(isinstance(c, (int, float)) for c in cpus) \
+                    and min(cpus) > 0:
+                # cold/warm stamp: >>1 means run 1 did one-time build
+                # work run 2 didn't (the 8-false-flags-per-official-run
+                # class this protocol change retires)
+                telemetry[name]["cpu_run1_over_run2"] = round(
+                    cpus[0] / cpus[-1], 2)
+        # combined attribution kept for tools/attribute_bench.py and
+        # cross-round comparability with pre-r19 records
+        attr = _stage_attribution(snaps[0], snaps[-1])
         if attr is not None:
             telemetry[name]["stages_both_runs"] = attr
         print(f"  {name}: {timings[name]}s", file=sys.stderr)

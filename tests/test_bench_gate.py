@@ -55,6 +55,35 @@ def test_gate_boundary_is_exactly_the_factor():
     assert at == {} and set(over) == {"q"}
 
 
+def test_gate_compares_warm_cpu_not_cold_build(rec=None):
+    """r19 (VERDICT r18 item 3): the gate reads the WARM CPU — the min
+    single-run attribution — so a one-time persisted-index build paid
+    in run 1 of the official record (cold 25x the warm serve in r18's
+    record) no longer flags.  A regression that persists into the warm
+    run still trips."""
+    pin_cpu = {"q_cold_build": 1000.0, "q_warm_regressed": 1000.0}
+    cold_build = {"stages_per_run": [
+        {"executor_cpu_ms": 25000.0}, {"executor_cpu_ms": 1100.0}],
+        "stages_both_runs": {"executor_cpu_ms": 26100.0}}
+    warm_regressed = {"stages_per_run": [
+        {"executor_cpu_ms": 2400.0}, {"executor_cpu_ms": 2100.0}],
+        "stages_both_runs": {"executor_cpu_ms": 4500.0}}
+    flags = cpu_regression_flags(
+        {"q_cold_build": cold_build, "q_warm_regressed": warm_regressed},
+        pin_cpu)
+    assert set(flags) == {"q_warm_regressed"}
+    assert flags["q_warm_regressed"]["cpu_ms"] == 2100.0
+
+
+def test_warm_cpu_falls_back_to_both_runs_for_legacy_records():
+    from bench import warm_cpu_ms
+
+    assert warm_cpu_ms(_telemetry(1234.0)) == 1234.0     # pre-r19 record
+    assert warm_cpu_ms({"stages_per_run": [None, None],
+                        "stages_both_runs": {"executor_cpu_ms": 7.0}}) == 7.0
+    assert warm_cpu_ms({}) is None
+
+
 def test_baseline_carries_pin_cpu_for_the_pinned_set():
     """The gate's reference side exists: every wall-pinned query with
     stage attribution in the committed detail record has a recorded

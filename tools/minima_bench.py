@@ -48,15 +48,31 @@ def load_runs(paths: list[str]) -> list[dict]:
     return runs
 
 
+def _warm_cpu(t: dict) -> float | None:
+    """Warm executor CPU of one query in one record: min single-run CPU
+    over ``stages_per_run`` (r19), falling back to the legacy both-runs
+    total for older records.  Mirrors bench.warm_cpu_ms."""
+    per_run = [(a or {}).get("executor_cpu_ms")
+               for a in t.get("stages_per_run") or []]
+    per_run = [c for c in per_run if c is not None]
+    if per_run:
+        return min(per_run)
+    return (t.get("stages_both_runs") or {}).get("executor_cpu_ms")
+
+
 def minima(runs: list[dict], pins: dict, pin_cpu: dict,
            cpu_factor: float = 1.3) -> dict:
     names = sorted({n for r in runs for n in r.get("queries", {})})
     per_query, cpu_flags, wall_flags = {}, {}, {}
     for n in names:
         walls = [r["queries"][n] for r in runs if n in r.get("queries", {})]
+        # r19 (VERDICT r18 item 3): CPU minima are over WARM per-run CPU
+        # (min single-run stage attribution — bench.warm_cpu_ms), so a
+        # one-time persisted-index build in a run's first pass never
+        # enters the pins or the flags.  Pre-r19 records fall back to
+        # the legacy both-runs total (bench.py keeps writing it).
         cpus = [
-            (r["telemetry"]["per_query"].get(n, {})
-             .get("stages_both_runs") or {}).get("executor_cpu_ms")
+            _warm_cpu(r["telemetry"]["per_query"].get(n, {}))
             for r in runs
         ]
         cpus = [c for c in cpus if c is not None]
@@ -135,13 +151,18 @@ def main(argv: list[str]) -> None:
                 pin_cpu[name] = cpu
                 n_changed += 1
         base["_comment_pin_cpu"] = (
-            "pin_cpu re-seeded (r18, VERDICT r17 item 4) at the per-query "
-            "executor-CPU MINIMUM across the quiet gated runs recorded in "
-            "BENCH_MINIMA.json / bench_runs/ — the prior pins came from a "
-            "single record measured at load1 1.8-4.  The cpu gate "
-            "(bench.py, 1.5x) flags single official runs against these "
-            "minima; adjudicate its flags with tools/minima_bench.py over "
-            "the round's committed closing runs, not by eye.")
+            "pin_cpu re-seeded (r19, VERDICT r18 items 3+6) at the "
+            "per-query WARM executor-CPU minimum — min single-run stage "
+            "attribution (bench.py stages_per_run) across the quiet gated "
+            "runs recorded in BENCH_MINIMA.json / bench_runs/.  Warm "
+            "means the run that served every persisted index/sink already "
+            "built (run 2 of a cold process), so the official driver "
+            "run's one-time index builds no longer smear the gate (the "
+            "r18 record's 8 structural cold-build false flags, worst "
+            "25.4x).  The cpu gate (bench.py, 1.5x) flags official runs "
+            "against these warm pins like-for-like; adjudicate surviving "
+            "flags with tools/minima_bench.py over the round's committed "
+            "closing runs, not by eye.")
         with open(base_path, "w") as fh:
             json.dump(base, fh, indent=1, sort_keys=True)
             fh.write("\n")

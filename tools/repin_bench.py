@@ -55,11 +55,19 @@ NEW_PINS = ["ann_index_staleness", "tenant_rollup_skew_salted",
 # ordering, struct-carried as-of rows, scorable-only quality gates,
 # null-payload kernel skips) — value-identical on null-free data, but
 # the plans changed, so they re-pin from the r18 closing runs.
+# r19 CODE_CHANGED (ROUND19_NOTES.md): the minhash index build's
+# deterministic file layout (|L2 tag — the indexed/deleted dedup rows
+# rebuild and then serve few-file scans; warm CPU expected to DROP)
+# and the ANN serve-path stored-artifact routing (_centroids reads;
+# _WIDTH sidecar) — plans changed, so these re-pin from the r19
+# closing runs.  pin_cpu was also re-seeded wholesale this round under
+# the new WARM (min-per-run) protocol (minima_bench --reseed-pin-cpu).
 CODE_CHANGED: list[str] = [
-    "asof_join", "map_funcs", "string_funcs", "metrics_unpivot",
-    "multimodal_features", "doc_dedup_spans",
-    "doc_dedup_spans_incremental", "quality_source_percentile",
-    "quality_source_gate_gk",
+    "dedup_minhash_lsh_indexed", "dedup_minhash_lsh_capped_indexed",
+    "dedup_clusters_indexed", "dedup_minhash_lsh_deleted",
+    "dedup_clusters_deleted", "ann_lsh_indexed", "lsh_width_staleness",
+    "ann_ivf_pq", "ann_pq_recall_bounds", "streaming_vector_ingest",
+    "ann_ivf_indexed", "sample_cluster_split_indexed",
 ]
 # The blanket sub-half median re-pass was the ONE-TIME r15 cleanup
 # (VERDICT r15: "future re-pins should be rare and individually
@@ -75,8 +83,9 @@ def main(detail_files: list[str]) -> None:
     pins = base["extra_pins"]
 
     # pin_cpu maintenance (VERDICT r16 item 5 — the CPU-growth gate's
-    # reference side): record each pin's executor CPU (ms, both-runs
-    # stage attribution) at the MAX over the closing runs (the
+    # reference side): record each pin's executor CPU (ms, WARM: min
+    # single-run stage attribution since r19, legacy both-runs total on
+    # older records) at the MAX over the closing runs (the
     # looser-of-runs honest-pin rule).  First run seeds every query;
     # afterwards only NEW_PINS / CODE_CHANGED update — an unchanged
     # query's CPU pin must stay put so growth is visible against it.
@@ -84,7 +93,11 @@ def main(detail_files: list[str]) -> None:
     cpu_by_query: dict[str, list[float]] = {}
     for d in details:
         for name, t in d.get("telemetry", {}).get("per_query", {}).items():
-            cpu = (t.get("stages_both_runs") or {}).get("executor_cpu_ms")
+            per_run = [(a or {}).get("executor_cpu_ms")
+                       for a in t.get("stages_per_run") or []]
+            per_run = [c for c in per_run if c is not None]
+            cpu = min(per_run) if per_run else \
+                (t.get("stages_both_runs") or {}).get("executor_cpu_ms")
             if cpu is not None:
                 cpu_by_query.setdefault(name, []).append(cpu)
     cpu_updates = {}
