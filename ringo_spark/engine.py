@@ -755,6 +755,18 @@ class Engine:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(staging)
+        if batch_tag is not None:
+            # inflight bracket around the tagged first-batch full write
+            # (ADVICE r18): the tag sidecar lands only AFTER the live
+            # rename below, so a crash in between left committed data
+            # with no recorded tag and no marker — a foreachBatch replay
+            # then took the append path untagged and double-counted.
+            # With the marker, the replay's _inflight_retry_is_safe
+            # refuses loudly (tag absent + opaque rename marker), and a
+            # replay after a crash that DID reach the stamp no-op-skips
+            # on the tag and heals the marker, exactly like the
+            # bracketed append path.
+            self._mark_inflight(table)
         self._recover_swap(table)     # heal a swap crashed before rename-in
         if os.path.exists(old):       # leftover from a crash mid-delete
             shutil.rmtree(old)
@@ -780,6 +792,7 @@ class Engine:
             # table exists, would take the append path untagged and
             # double-count (r18)
             self._stamp_batch_tag(table, batch_tag)
+            self._mark_inflight(table, clear=True)
 
     def _full_manifest_cas(self, df: DataFrame, table: str, stage: str,
                            absorbed: list | None,
@@ -829,6 +842,7 @@ class Engine:
                     if preserve_windows and m is not None else [])
             if batch_tag is not None and batch_tag not in tags:
                 tags.append(batch_tag)
+            tags = self._bound_tags(tags)
             try:
                 self._publish_manifest(table, version, versions,
                                        expected_version=version - 1,
@@ -1022,6 +1036,7 @@ class Engine:
             tags = list(m.get("batch_tags", []))
             if batch_tag is not None:
                 tags.append(batch_tag)
+            tags = self._bound_tags(tags)
             try:
                 self._publish_manifest(table, version, versions,
                                        expected_version=version - 1,
@@ -1086,6 +1101,24 @@ class Engine:
     # window stamps (see _run_fact_table), so without tags a foreachBatch
     # retry double-counted silently.
 
+    # Tag retention bound (ADVICE r18): without one, every micro-batch
+    # grew the ledger forever — manifest size and the per-append
+    # membership scan linear in stream lifetime.  The ledger keeps the
+    # newest BATCH_TAG_RETENTION tags (FIFO); the replay-protection
+    # window is therefore the last N batches, which covers the real
+    # replay sources — foreachBatch retries (always the current batch)
+    # and checkpoint-lineage resets replaying the recent source tail.  A
+    # fresh-checkpoint replay reaching further back than N committed
+    # batches is outside the ledger's protection and needs a full
+    # refresh, documented in StreamingPipeline.  At the default bound
+    # the ledger costs ~100 KB of manifest and a trivial linear scan.
+    BATCH_TAG_RETENTION = 4096
+
+    def _bound_tags(self, tags: list) -> list:
+        """Newest-N retention for the micro-batch tag ledger; tags are
+        appended in commit order, so the slice drops the oldest."""
+        return tags[-self.BATCH_TAG_RETENTION:]
+
     @property
     def _batch_tags_path(self) -> str:
         return os.path.join(self.storage, "_batch_tags.json")
@@ -1112,6 +1145,7 @@ class Engine:
         per = tags.setdefault(table, [])
         if tag not in per:
             per.append(tag)
+            tags[table] = self._bound_tags(per)
             self._atomic_json(self._batch_tags_path, tags)
 
     def _clear_batch_tags(self, table: str) -> None:

@@ -363,10 +363,24 @@ def archive_admissions(index_path: str) -> None:
     different post-rebuild batch.  (``__floor`` participates naturally
     in the stamp scan — it is just another int note — and its name can
     never collide with a real fingerprint, which is always a hex tag.)
-    No-op when no ledger exists."""
+    No-op when no ledger exists.
+
+    Refuses while a batch admission is in flight (ADVICE r18,
+    mirroring the guard every other destructive sidecar maintenance
+    honors): archiving mid-admission moves the writer's intent aside,
+    so its admit_commit would raise the misleading intent-less-commit
+    error and the batch's work would be recorded nowhere.  Let the
+    admission commit (or retry a crashed one — the torn-retry path
+    heals it) before force-rebuilding."""
     led = os.path.join(index_path, ADMITTED)
     if not os.path.isdir(led):
         return
+    if admits_in_flight(index_path):
+        raise RuntimeError(
+            f"{index_path}: a batch admission is in flight — archiving "
+            "the ledger now would orphan its intent and fail its "
+            "commit; let it commit (or retry the crashed batch, which "
+            "heals the dangling intent) before a force rebuild")
     top = -1
     for n in os.listdir(led):
         try:

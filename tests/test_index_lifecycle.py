@@ -223,3 +223,24 @@ def test_archive_admissions_resets_ledger_with_monotone_floor(tmp_path):
     assert open(os.path.join(root, ilc.ADMITTED, "__floor")).read() == "5"
     # no ledger at all: archive is a no-op
     ilc.archive_admissions(str(tmp_path / "nothing"))
+
+
+def test_archive_admissions_refuses_while_admission_in_flight(tmp_path):
+    """ADVICE r18: serve_cached(force=True) archived the ledger without
+    honoring the admits_in_flight guard every other destructive sidecar
+    maintenance uses — an in-flight admission's intent moved aside, so
+    its admit_commit raised the misleading intent-less error and the
+    batch's work was recorded nowhere.  The force path now refuses
+    until the admission commits (or a crashed batch's retry heals it)."""
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    open(os.path.join(root, "_OK"), "w").close()
+    ilc.admit_intent(root, "aaaa", "0")        # in flight: intent, no done
+    with pytest.raises(RuntimeError, match="in flight"):
+        ilc.serve_cached(root, "_OK", force=True)
+    # the ledger is untouched — the writer's commit still succeeds
+    ilc.admit_commit(root, "aaaa")
+    assert ilc.admit_state(root, "aaaa") == "done"
+    # with nothing in flight the force rebuild archives as before
+    assert ilc.serve_cached(root, "_OK", force=True) is False
+    assert os.path.isdir(os.path.join(root, ilc.ADMITTED + ".rebuilt.1"))

@@ -1713,3 +1713,76 @@ def test_pipeline_replay_is_noop_in_rename_mode(spark, tmp_path):
     eng.sources["events"] = cat["events"]
     eng.run(PopulationMode.FULL, T_FAR)
     assert eng._recorded_tags(table) == []
+
+
+def test_pipeline_first_batch_crash_before_tag_is_bracketed(spark, tmp_path):
+    """ADVICE r18: the rename-mode FIRST micro-batch lands as a full
+    write whose batch tag is stamped only after the live rename — a
+    crash in between left committed data with no tag and no marker, so
+    a foreachBatch replay took the append path untagged and silently
+    double-counted.  The tagged full write is now inflight-bracketed:
+    the crash leaves the marker, the replay refuses loudly (tag absent,
+    opaque rename marker), and a crash that DID reach the stamp heals
+    on replay exactly like the bracketed append path."""
+    cat = load_catalog(spark, SF, [EVENTS])
+    n = cat["events"].count()
+    b1 = cat["events"].limit(n // 2)
+
+    eng = Engine(spark, EVENTS_ENV, str(tmp_path / "wh"))   # rename mode
+    eng.load_sources(SF)
+    pipe = StreamingPipeline(eng, EVENTS_FACT)
+    table = "fact_events_by_minute"
+
+    real = Engine._stamp_batch_tag
+    boom = []
+
+    def crash_once(self, tbl, tag):
+        if not boom:
+            boom.append(True)
+            raise RuntimeError("injected crash before tag stamp")
+        return real(self, tbl, tag)
+
+    Engine._stamp_batch_tag = crash_once
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            pipe.process_batch(b1, 0)          # full write, then crash
+        # data is live (rename completed) but untagged — the bracket
+        # must have left the marker so the replay cannot double-count
+        assert eng.table_exists(table)
+        assert eng._recorded_tags(table) == []
+        assert table in eng._inflight()
+        with pytest.raises(RuntimeError, match="did not complete"):
+            pipe.process_batch(b1, 0)          # replay refused loudly
+        assert eng.read_table(table).agg(
+            F.sum("event_count")).collect()[0][0] == n // 2   # no double
+    finally:
+        Engine._stamp_batch_tag = real
+
+    # the other crash window — between the stamp and the bracket clear:
+    # replay is provably safe (tag recorded), no-op-skips, heals marker
+    eng2 = Engine(spark, EVENTS_ENV, str(tmp_path / "wh2"))
+    eng2.load_sources(SF)
+    pipe2 = StreamingPipeline(eng2, EVENTS_FACT)
+    pipe2.process_batch(b1, 0)
+    assert len(eng2._recorded_tags(table)) == 1
+    eng2._mark_inflight(table)                 # simulate crash pre-clear
+    pipe2.process_batch(b1, 0)                 # replay: skip + heal
+    assert eng2._inflight() == {}
+    assert eng2.read_table(table).agg(
+        F.sum("event_count")).collect()[0][0] == n // 2
+
+
+def test_batch_tag_ledger_retention_bound(spark, tmp_path):
+    """ADVICE r18: the tag ledger grew unboundedly — every micro-batch's
+    tag was carried through every later publish forever.  The ledger
+    now keeps the newest BATCH_TAG_RETENTION tags; replay protection
+    therefore covers the last N batches (foreachBatch retries and
+    recent lineage resets), and an older tag ages out FIFO."""
+    eng = Engine(spark, EVENTS_ENV, str(tmp_path / "wh"))   # rename mode
+    assert Engine.BATCH_TAG_RETENTION >= 1024   # real bound is generous
+    eng.BATCH_TAG_RETENTION = 3                 # instance-scoped shrink
+    for i in range(5):
+        eng._stamp_batch_tag("t", f"tag{i}")
+    assert eng._recorded_tags("t") == ["tag2", "tag3", "tag4"]
+    # _bound_tags is what both manifest publish arms apply
+    assert eng._bound_tags([f"x{i}" for i in range(7)]) == ["x4", "x5", "x6"]

@@ -10,7 +10,10 @@ deterministic null-injected twin of an sf dir and reruns the SAME
 registered queries against the SAME oracles on it:
 
 * every column keeps its values except a deterministic ~1-in-RATE slice
-  (keyed on ``hash(pk)+column-index``) which becomes NULL;
+  (keyed on ``hash(full row identity)+column-index`` — every
+  KEEP_NOT_NULL column combined, so the slice is per-ROW even on
+  tables whose first key component is low-cardinality) which becomes
+  NULL;
 * declared NOT-NULL columns (primary keys, the DimTime/watermark
   columns, join-identity keys) are never nulled — the engine's contract
   requires them, matching the reference's NOT NULL DDL;
@@ -69,7 +72,15 @@ def inject(sf_dir: str, out_dir: str, rate: int,
         cols = [r[0] for r in con.execute(
             f"DESCRIBE SELECT * FROM read_parquet('{glob}')").fetchall()]
         keep = KEEP_NOT_NULL.get(t, set())
-        pk = sorted(keep)[0] if keep else cols[0]
+        # full ROW identity, not the first key column alone (ADVICE
+        # r18): keying on one low-cardinality component (lineitem's
+        # l_linenumber has ~7 distinct values) nulled entire
+        # value-slices per column instead of ~1-in-rate independent
+        # rows.  Hashing every KEEP_NOT_NULL column combined makes the
+        # nulled slice per-row, as the docstring claims.
+        id_cols = sorted(keep) if keep else [cols[0]]
+        row_id = "hash(concat_ws('|', " + ", ".join(
+            f'CAST("{c}" AS VARCHAR)' for c in id_cols) + "))"
         sel = []
         for i, c in enumerate(cols):
             if c in keep or (c == "embedding" and not null_embeddings):
@@ -78,7 +89,7 @@ def inject(sf_dir: str, out_dir: str, rate: int,
                 # deterministic per (row, column) slice: no RNG, the
                 # injected dataset is identical on every run
                 sel.append(
-                    f'CASE WHEN (hash("{pk}") + {i}) % {rate} = 0 '
+                    f'CASE WHEN ({row_id} + {i}) % {rate} = 0 '
                     f'THEN NULL ELSE "{c}" END AS "{c}"')
         dst = os.path.join(out_dir, f"{t}.parquet")
         con.execute(
