@@ -327,6 +327,46 @@ from .. import index_lifecycle as _ilc
 
 MINHASH_INDEX_ROOT = _os.path.join(_ilc.repo_root(), ".minhash_index")
 
+# --- deterministic index file layout (r19) -----------------------------------
+# The build previously wrote bands/shingles with whatever partitioning
+# the build plan happened to have — AQE coalescing (which is load- and
+# plan-history-sensitive) decides that, so two builds of the SAME code
+# and data differed 32x in stored file count and ~10x in warm-serve
+# executor CPU (per-task constant overhead dominates at ~1k rows/file;
+# ROUND19_NOTES.md has the measured adjudication).  File count is now a
+# pure function of the corpus footer estimate (driver-side, no job):
+# contract corpora get one file per table, web-scale corpora get
+# bounded file sizes — the correct 100 TB behavior too, since a build's
+# file count should never depend on build-time machine weather.  The
+# layout version is folded into the index cache tag (|L2) so
+# stale-layout caches rebuild instead of serving forever.
+BAND_ROWS_PER_FILE = 2_000_000      # (doc_id, band_key) pairs — narrow
+SHINGLE_ROWS_PER_FILE = 200_000     # shingle-set rows are array-heavy
+INDEX_LAYOUT_VERSION = "L2"
+
+
+def _layout_files(n_rows: int | None, per_file: int) -> int:
+    """Target file count for ``n_rows`` at ``per_file`` rows/file; a
+    missing estimate degrades to one file (the contract-scale answer —
+    at web scale the footer estimate is always available)."""
+    import math as _math
+
+    if not n_rows or n_rows <= 0:
+        return 1
+    return max(1, _math.ceil(n_rows / per_file))
+
+
+def _docs_meta_rows(sf_dir: str) -> int | None:
+    """Footer row count of the documents table (exact upper bound for
+    the rep-collapsed build; driver-side, cached) — None when
+    unreadable."""
+    from .similarity import _parquet_meta_rows
+
+    try:
+        return _parquet_meta_rows(f"{sf_dir}/documents.parquet")
+    except Exception:
+        return None
+
 
 def build_minhash_index(spark: SparkSession, sf_dir: str,
                         index_path: str | None = None,
@@ -347,7 +387,8 @@ def build_minhash_index(spark: SparkSession, sf_dir: str,
         fp = _ilc.source_fingerprint(sf_dir, "documents.parquet")
         c = "c" if collapse else ""
         tag = _ilc.index_tag(
-            f"{_os.path.abspath(sf_dir)}|{NUM_PERM}|{BANDS}|{SHINGLE_N}|{fp}|{c}")
+            f"{_os.path.abspath(sf_dir)}|{NUM_PERM}|{BANDS}|{SHINGLE_N}|{fp}|{c}"
+            f"|{INDEX_LAYOUT_VERSION}")
         index_path = _os.path.join(MINHASH_INDEX_ROOT,
                                    f"p{NUM_PERM}b{BANDS}{c}-{tag}")
     if _ilc.serve_cached(index_path, "_INDEX_OK", force):
@@ -359,9 +400,19 @@ def build_minhash_index(spark: SparkSession, sf_dir: str,
             .select("doc_id",
                     minhash_signature(F.col("hs"), NUM_PERM).alias("sig")))
     bands = _band_rows(sigs)
-    bands.write.mode("overwrite").parquet(_os.path.join(index_path, "bands"))
-    shingled.write.mode("overwrite").parquet(
-        _os.path.join(index_path, "shingles"))
+    # deterministic file layout (see the r19 module comment above):
+    # size the writes from the corpus footer estimate instead of
+    # inheriting the build plan's AQE-decided partitioning.  bands are
+    # hash-split on band_key (bucket locality helps compression and
+    # keeps any one file from holding a whole hot bucket), shingles on
+    # doc_id (the verification joins' key).
+    n_docs = _docs_meta_rows(sf_dir)
+    (bands.repartition(_layout_files((n_docs or 0) * BANDS,
+                                     BAND_ROWS_PER_FILE), "band_key")
+     .write.mode("overwrite").parquet(_os.path.join(index_path, "bands")))
+    (shingled.repartition(_layout_files(n_docs, SHINGLE_ROWS_PER_FILE),
+                          "doc_id")
+     .write.mode("overwrite").parquet(_os.path.join(index_path, "shingles")))
     shingled.unpersist()
     _ilc.finish_build(index_path, MINHASH_INDEX_ROOT, marker="_INDEX_OK")
     return index_path
@@ -1011,8 +1062,13 @@ def build_cluster_table(spark: SparkSession, sf_dir: str,
     cpath = _os.path.join(p, "clusters")
     if _ilc.serve_cached(p, "_CLUSTERS_OK", force):
         return cpath
-    dedup_clusters_indexed_df(spark, sf_dir) \
-        .write.mode("overwrite").parquet(cpath)
+    # same deterministic layout rule as the band/shingle writes: the
+    # cluster table is at most one row per doc, so size its files from
+    # the same footer estimate
+    (dedup_clusters_indexed_df(spark, sf_dir)
+     .repartition(_layout_files(_docs_meta_rows(sf_dir),
+                                SHINGLE_ROWS_PER_FILE * 5), "doc_id")
+     .write.mode("overwrite").parquet(cpath))
     open(_os.path.join(p, "_CLUSTERS_OK"), "w").close()
     return cpath
 

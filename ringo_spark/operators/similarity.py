@@ -872,21 +872,31 @@ def ann_ivf_indexed_df(spark: SparkSession, sf_dir: str,
                        nprobe: int | None = None) -> DataFrame:
     """IVF query against the persisted partitioned index.
 
-    The probed cell list is resolved driver-side from the K collected
-    centroids (index metadata, not data) and becomes a static ``isin``
-    predicate, so the parquet scan reads ONLY the probed cell directories
-    (partition pruning) — no corpus-wide scan, no corpus shuffle.  Result
-    rows are identical to ``ann_ivf_df`` (same oracle SQL).
-    ``k``/``nprobe`` default to the same auto gate as ``ann_ivf_df``."""
+    The probed cell list is resolved driver-side from the index's OWN
+    stored ``_centroids`` sidecar (index metadata, not data) and becomes
+    a static ``isin`` predicate, so the parquet scan reads ONLY the
+    probed cell directories (partition pruning) — no corpus-wide scan,
+    no corpus shuffle.  r19: probes previously recomputed the first-k
+    corpus vectors as centroids — identical to the sidecar on a fresh
+    build (the build seeds first-k; float→double widening is exact), but
+    after :func:`retrain_ivf_index` rewrites the index geometry the
+    stored data is partitioned by RETRAINED cells, and first-k probes
+    would prune to cells the neighbors are no longer in — silent recall
+    loss with no error anywhere (pinned by
+    ``test_ivf_indexed_serves_retrained_geometry``).  The serve path
+    now always routes with the same artifacts the data was written
+    with, the rule every append path already follows.  Result rows are
+    identical to ``ann_ivf_df`` on the registered (fresh-build) query —
+    same oracle SQL.  ``k``/``nprobe`` default to the same auto gate as
+    ``ann_ivf_df``."""
     if k is None:
         k = _auto_ivf_k(spark, sf_dir)
     if nprobe is None:
         nprobe = _auto_nprobe(k, IVF_NPROBE)
     index_path = build_ivf_index(spark, sf_dir, k=k)
     emb = _emb(spark, sf_dir)
-    cent = (emb.where(F.col("vec_id") < k)
-            .select(F.col("vec_id").alias("cid"),
-                    F.col("embedding").alias("cvec")))
+    cent = (spark.read.parquet(os.path.join(index_path, "_centroids"))
+            .select("cid", "cvec"))
     q = emb.where(F.col("vec_id") < LSH_N_QUERIES) \
            .select(F.col("vec_id").alias("q_id"),
                    F.col("embedding").alias("q_emb"))
@@ -1904,6 +1914,31 @@ QUALIFY fused_rank <= {RRF_TOP_K}
 
 LSH_INDEX_ROOT = os.path.join(_ilc.repo_root(), ".lsh_index")
 
+# the build width persisted inside the index (r19): bucket assignment is
+# stateless, so the width is the ONE piece of state probe/append must
+# agree on — previously it lived only in the dir name's tag and the
+# caller's discipline, and append_to_lsh_index defaulted to the pinned
+# LSH_BITS: a caller that built at an auto-gated 12 bits and appended
+# at the default 8 silently routed every appended vector to buckets no
+# probe would ever read.  The sidecar makes the stored width readable
+# (append defaults to it) and a mismatched explicit width a loud error.
+LSH_WIDTH_FILE = "_WIDTH"
+
+
+def _write_lsh_width(index_path: str, bits: int) -> None:
+    with open(os.path.join(index_path, LSH_WIDTH_FILE), "w") as fh:
+        fh.write(str(int(bits)))
+
+
+def stored_lsh_bits(index_path: str) -> int | None:
+    """The width a persisted LSH index was built/rebucketed at, or None
+    for a pre-r19 dir (whose tag still encodes it caller-side)."""
+    try:
+        with open(os.path.join(index_path, LSH_WIDTH_FILE)) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return None
+
 
 def build_lsh_index(spark: SparkSession, sf_dir: str,
                     bits: int | None = None,
@@ -1925,6 +1960,8 @@ def build_lsh_index(spark: SparkSession, sf_dir: str,
         index_path = os.path.join(LSH_INDEX_ROOT, f"b{bits}-{tag}")
     if _ilc.serve_cached(index_path, "_SUCCESS", force):
         _backfill_lsh_stats(spark, index_path)
+        if stored_lsh_bits(index_path) is None:
+            _write_lsh_width(index_path, bits)   # pre-r19 dir: backfill
         return index_path
     bucketed = (_emb(spark, sf_dir)
                 .withColumn("bucket", _bucket_expr(F.col("embedding"), bits)))
@@ -1935,21 +1972,41 @@ def build_lsh_index(spark: SparkSession, sf_dir: str,
     # per-bucket occupancy sidecar (2^bits rows): the width-staleness
     # report reads this instead of re-scanning the index (r16)
     _write_lsh_stats(index_path, bucketed, "overwrite")
+    # the build width, readable by append/probe (r19 — see LSH_WIDTH_FILE);
+    # lands before the completeness marker like every sidecar
+    _write_lsh_width(index_path, bits)
     _ilc.finish_build(index_path, LSH_INDEX_ROOT)
     return index_path
 
 
 def append_to_lsh_index(spark: SparkSession, index_path: str,
-                        batch_emb: DataFrame, bits: int = LSH_BITS) -> bool:
+                        batch_emb: DataFrame, bits: int | None = None) -> bool:
     """Admit an ingestion batch into a persisted LSH index.  Bucket
-    assignment is a stateless sign-bit expression (same ``bits`` as the
-    build — the caller owns that invariant, it's encoded in the index
-    tag), so unlike IVF there is no stored state to read: map-only
-    assignment, one batch-sized shuffle, ``mode("append")``.
+    assignment is a stateless sign-bit expression, so unlike IVF the
+    only stored state is the WIDTH — ``bits=None`` (r19 default) reads
+    it from the index's ``_WIDTH`` sidecar, and an explicit ``bits``
+    that contradicts the sidecar raises instead of silently routing the
+    batch to buckets no probe reads (the pre-r19 default was the pinned
+    ``LSH_BITS`` regardless of the built width).  Map-only assignment,
+    one batch-sized shuffle, ``mode("append")``.
 
     EXACTLY-once per batch through the kernel's admission ledger — a
     lost-ack retry is a no-op, a torn retry completes without
     duplicating landed rows (:func:`_admit_batch`)."""
+    stored_bits = stored_lsh_bits(index_path)
+    if bits is None:
+        if stored_bits is None:
+            raise ValueError(
+                f"{index_path}: no _WIDTH sidecar (pre-r19 index) — pass "
+                "bits explicitly (the width the index was built at; it "
+                "is encoded in the dir tag)")
+        bits = stored_bits
+    elif stored_bits is not None and bits != stored_bits:
+        raise ValueError(
+            f"{index_path}: append at bits={bits} but the index was "
+            f"built at bits={stored_bits} — a mismatched width routes "
+            "the batch to buckets no probe reads; use bits=None (the "
+            "stored width) or rebucket_lsh_index first")
     # same admit-time type coercion as append_to_ivf_index: a
     # float/double mix across index files breaks later vectorized reads
     stored_t = spark.read.parquet(index_path).schema["embedding"].dataType
@@ -2148,6 +2205,7 @@ def rebucket_lsh_index(spark: SparkSession, index_path: str, new_bits: int,
                   F.pmod(F.col("vec_id"), F.lit(BUILD_WRITERS_PER_CELL)))
      .write.mode("overwrite").partitionBy("bucket").parquet(out_path))
     _write_lsh_stats(out_path, rebucketed, "overwrite")
+    _write_lsh_width(out_path, new_bits)   # the new index's stored width
     _touch(os.path.join(out_path, "_SUCCESS"))
     return out_path
 
@@ -2502,9 +2560,14 @@ def ann_ivf_pq_df(spark: SparkSession, sf_dir: str,
         os.path.join(index_path, "_codebooks")).collect()
     cb = {(r.m, r.cid): [float(x) for x in r.cvec] for r in cbrows}
     emb = _emb(spark, sf_dir)
-    cent = (emb.where(F.col("vec_id") < k)
-            .select(F.col("vec_id").alias("cid"),
-                    F.col("embedding").alias("cvec")))
+    # probes route with the index's stored _centroids, matching the
+    # codes' stored _codebooks read above — the r19 serve-path rule
+    # (see ann_ivf_indexed_df): every serve-time artifact comes from
+    # the index itself, so probe geometry can never desynchronize from
+    # the data's cell layout.  Identical to the first-k corpus vectors
+    # on a fresh build (the oracle's replay).
+    cent = (spark.read.parquet(os.path.join(index_path, "_centroids"))
+            .select("cid", "cvec"))
     q = emb.where(F.col("vec_id") < LSH_N_QUERIES) \
            .select(F.col("vec_id").alias("q_id"),
                    F.col("embedding").alias("q_emb"))

@@ -169,6 +169,9 @@ def streaming_vector_ingest_df(spark, sf_dir: str):
         (emb.where(F.col("vec_id") < half)
          .withColumn("bucket", _bucket_expr(F.col("embedding"), bits))
          .write.mode("overwrite").partitionBy("bucket").parquet(p))
+        from ..operators.similarity import _write_lsh_width
+
+        _write_lsh_width(p, bits)   # self-describing width (r19)
         ingest = streaming_vector_ingest(p, bits)
         for i in range(VEC_INGEST_SPLITS):
             lo, hi = half + i * w, min(n, half + (i + 1) * w)

@@ -2612,3 +2612,138 @@ def test_spread_matches_plan_nodes_not_substrings(spark):
     agged = (docs.groupBy("AggregateCoGroupDeduplicate")
              .count()._jdf.queryExecution().optimizedPlan().treeString())
     assert _is_multi_stage(agged)
+
+
+# --- r19 review fixes: serve-path artifacts + deterministic layout ----------
+
+
+def test_ivf_indexed_serves_retrained_geometry(spark, tmp_path):
+    """r19 similarity review: ann_ivf_indexed_df's probes previously
+    recomputed the first-k corpus vectors as centroids instead of
+    reading the index's stored _centroids — identical on a fresh build,
+    silently WRONG after retrain_ivf_index rewrites the geometry (the
+    data is partitioned by retrained cells; first-k probes prune to
+    cells the neighbors are no longer in).  The serve path must route
+    with the index's own stored artifacts."""
+    import os
+
+    from ringo_spark.operators.similarity import (
+        LSH_N_QUERIES, LSH_TOP_K, ann_ivf_indexed_df, build_ivf_index,
+        retrain_ivf_index,
+    )
+    from ringo_spark.operators.textfn import cosine
+    from pyspark.sql import Window
+
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    (spark.read.parquet(f"{SF}/embeddings.parquet")
+     .write.parquet(f"{corpus}/embeddings.parquet"))
+
+    p = build_ivf_index(spark, corpus, k=8)
+    retrain_ivf_index(spark, p, k=8)
+
+    cent = spark.read.parquet(os.path.join(p, "_centroids"))
+    emb = spark.read.parquet(f"{corpus}/embeddings.parquet")
+    first_k = {tuple(r.embedding) for r in
+               emb.where(F.col("vec_id") < 8).collect()}
+    stored = {tuple(r.cvec) for r in cent.collect()}
+    assert stored != first_k, "retrain must have moved the centroids"
+
+    got = ann_ivf_indexed_df(spark, corpus, k=8).collect()
+
+    # expected: the same probe+search algorithm run explicitly with the
+    # STORED centroids against the STORED (retrained) index layout
+    q = emb.where(F.col("vec_id") < LSH_N_QUERIES) \
+           .select(F.col("vec_id").alias("q_id"),
+                   F.col("embedding").alias("q_emb"))
+    qsim = F.round(cosine(F.col("q_emb"), F.col("cvec")), 6)
+    qw = Window.partitionBy("q_id").orderBy(F.desc("qs"), F.desc("cell"))
+    probes = (q.crossJoin(F.broadcast(cent))
+              .select("q_id", "q_emb", F.col("cid").alias("cell"),
+                      qsim.alias("qs"))
+              .withColumn("pr", F.row_number().over(qw))
+              .where(F.col("pr") <= 2)
+              .select("q_id", "q_emb", "cell"))
+    idx = (spark.read.parquet(p)
+           .select(F.col("vec_id").alias("n_id"),
+                   F.col("embedding").alias("n_emb"),
+                   F.col("cell").cast("long").alias("cell")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    want = (idx.join(F.broadcast(probes), "cell")
+            .where(F.col("q_id") != F.col("n_id"))
+            .select("q_id", "n_id",
+                    F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6)
+                    .alias("cosine"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= LSH_TOP_K)
+            .select("q_id", "n_id", "rank", "cosine")).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_lsh_append_width_defaults_to_stored_and_mismatch_raises(
+        spark, tmp_path):
+    """r19 similarity review: append_to_lsh_index defaulted to the
+    pinned LSH_BITS regardless of the built width — a 12-bit index
+    appended at the default 8 routed every appended vector to buckets
+    no probe reads.  The build now persists its width (_WIDTH);
+    append defaults to it and a contradicting explicit width raises."""
+    import os
+
+    from ringo_spark.operators.similarity import (
+        _bucket_expr, append_to_lsh_index, build_lsh_index,
+        stored_lsh_bits,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    emb.where(F.col("vec_id") < 400).write.parquet(
+        f"{corpus}/embeddings.parquet")
+
+    p = build_lsh_index(spark, corpus, bits=12)
+    assert stored_lsh_bits(p) == 12
+
+    batch = emb.where(F.col("vec_id") >= 400)
+    with pytest.raises(ValueError, match="built at bits=12"):
+        append_to_lsh_index(spark, p, batch, bits=8)
+
+    assert append_to_lsh_index(spark, p, batch) is True   # stored width
+    want = {(r.vec_id, r.bucket) for r in
+            emb.withColumn("bucket",
+                           _bucket_expr(F.col("embedding"), 12)).collect()}
+    got = {(r.vec_id, r.bucket) for r in spark.read.parquet(p).collect()}
+    assert got == want
+
+
+def test_minhash_index_layout_is_deterministic(spark, tmp_path):
+    """r19 bench adjudication (ROUND19_NOTES.md): the index build used
+    to write bands/shingles with whatever partitioning AQE left on the
+    build plan — two builds of the same code+data differed 32x in file
+    count and ~10x in warm-serve CPU.  File count is now a pure
+    function of the corpus footer estimate."""
+    import os
+
+    from ringo_spark.operators.dedup import (
+        BAND_ROWS_PER_FILE, BANDS, SHINGLE_ROWS_PER_FILE, _layout_files,
+        build_minhash_index,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    docs.write.parquet(f"{corpus}/documents.parquet")
+
+    p = build_minhash_index(spark, corpus)
+    n_docs = docs.count()
+
+    def files(sub):
+        return [f for r, _d, fs in os.walk(os.path.join(p, sub))
+                for f in fs if f.endswith(".parquet")]
+
+    assert len(files("bands")) == _layout_files(n_docs * BANDS,
+                                                BAND_ROWS_PER_FILE) == 1
+    assert len(files("shingles")) == _layout_files(
+        n_docs, SHINGLE_ROWS_PER_FILE) == 1
+    # sanity on the helper's scaling rule itself
+    assert _layout_files(2_000_001, 2_000_000) == 2
+    assert _layout_files(None, 100) == 1
