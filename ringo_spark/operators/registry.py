@@ -103,52 +103,64 @@ from .text import (
 #     unverified, only un-hashed-by-the-driver that round.
 
 DRIVER_WINDOW: list[str] = [
-    # -- code changed in r18, kept driver-visible (the r05 precedent):
-    #    the batch-admission path it runs gained the ADVICE r17 fixes in
-    #    index_lifecycle.admit_commit (intent-less commits no longer
-    #    mint a second stamp on replay) --
-    "streaming_vector_ingest",
-    # -- code/oracle changed in r18: the null-injected parity sweep
-    #    (tools/null_sweep.py, CORRECTNESS_NULLS_r18.json) found 13
-    #    queries whose null semantics diverged across engines; each got
-    #    a value-identical-on-null-free-data fix (coalesce/filter/
-    #    explicit null ordering) and stays driver-visible per the
-    #    changed-paths policy.  window_stats was already windowed via
-    #    the r12 rotate-back cohort below. --
-    "map_funcs",
-    "asof_join",
-    "string_funcs",
-    "metrics_unpivot",
-    "doc_rolling_hash",
-    "doc_fingerprint",
-    "doc_dedup_spans",
-    "doc_dedup_spans_incremental",
-    "multimodal_wav",
-    "multimodal_features",
-    "quality_source_percentile",
-    "quality_source_gate_gk",
-    # -- the pre-committed r18 rotation (CORRECTNESS_WINDOW.md), by
-    #    driver-record age, oldest first: FIRST the r11-rowed tail (the
-    #    freshness floor hits them at end-of-r18), then the r12-rowed
-    #    cohort, then the head of the r13-rowed cohort as the remaining
-    #    slots allow --
-    "window_rank",
-    "rollup_agg",
-    "cube_agg",
-    "topk",
-    "range_join",
+    # -- code changed in r19, kept/pulled driver-visible (the r05
+    #    precedent).  Two review-fix batches (ROUND19_NOTES.md): the
+    #    minhash index build writes its bands/shingles/cluster files at
+    #    a deterministic footer-estimate-derived count (tag bumped |L2,
+    #    so these rebuild) — dedup_minhash_lsh_indexed / capped_indexed /
+    #    clusters_indexed / the two _deleted rows run that build; the
+    #    ANN serve paths now route with the index's own stored
+    #    artifacts (_centroids sidecar; _WIDTH sidecar + append width
+    #    validation) — ann_lsh_indexed / lsh_width_staleness /
+    #    ann_ivf_pq / ann_pq_recall_bounds / streaming_vector_ingest
+    #    run those paths (ann_ivf_indexed too — pinned below). --
+    "dedup_minhash_lsh_indexed",
     "dedup_minhash_lsh_capped_indexed",
-    "benchmark_contamination",
-    "ann_lsh_bucketed12",
-    "doc_dup_chunk_fraction",
-    "doc_dup_chunk_fraction_incremental",
-    "text_repetition",
-    "multimodal_phash",
-    "q18_large_volume_customer",
-    "multimodal_phash_dups",
-    "q7_volume_shipping",
-    "window_stats",
-    "q4_order_priority",
+    "dedup_clusters_indexed",
+    "dedup_minhash_lsh_deleted",
+    "dedup_clusters_deleted",
+    "ann_lsh_indexed",
+    "lsh_width_staleness",
+    "ann_ivf_pq",
+    "ann_pq_recall_bounds",
+    "streaming_vector_ingest",
+    # -- the pre-committed r19 rotation (CORRECTNESS_WINDOW.md), floor-
+    #    critical first: the 10 r12-rowed entries popped by the mid-r18
+    #    null-sweep amendment — the freshness floor (FLOOR=7, current
+    #    round 20 after this submission) forces any of them left
+    #    unrowed into r20's window, so they row NOW --
+    "fact_events_by_minute_approx_bounds",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity",
+    "sample_cluster_split_indexed",
+    "quantiles_approx_bounds",
+    "q14_promo_effect",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    # -- then 20 of the 21-member r13-rowed cohort (the floor hits them
+    #    at end-of-r20, the final round): every member NOT seated here
+    #    MUST lead r20's rotation.  sample_hash_split is the one
+    #    deferral (heads DISPLACED / the r20 queue); any mid-r19
+    #    code-changed front-load pops this block's TAIL to r20, which
+    #    has the slack for it (r20 rotating slots ~30, queue ~1-5) --
+    "sample_weighted",
+    "sample_weighted_stratified",
+    "quality_gate_approx_bounds",
+    "zorder_layout",
+    "bpe_pair_counts",
+    "text_quality_drift",
+    "dedup_embedding",
+    "dedup_ngram_jaccard",
+    "dedup_lsh_recall_bounds",
+    "timeseries_gapfill",
+    # (the cohort's 10 newest rotate-backs — listagg value_histogram
+    #  grouping_sets vocab_topk_cms_bounds q1_pricing_summary
+    #  q6_forecast_revenue window_frames fact_events_by_second
+    #  fact_orders_by_week user_value_ema — popped back to DISPLACED by
+    #  the mid-r19 code-changed front-load above, per the r06
+    #  precedent; they lead the r20 rotation with sample_hash_split)
     # -- core schema-level pipeline (driver-green r02-r04 + r07; pinned) --
     "dim_event_type",
     "fact_events_by_minute",
@@ -175,21 +187,63 @@ DRIVER_WINDOW: list[str] = [
 
 # Registered, locally cell-exact-verified every round, but outside the
 # driver's 50-row hash window this round.  Every with-oracle entry here
-# has at least one driver-green (hash_match=true) row (r02-r16) with
+# has at least one driver-green (hash_match=true) row (r02-r18) with
 # unchanged code paths since; the 2 no-oracle entries are e-tolerance
 # pytest-covered by design AND have *_bounds twins carrying real oracles
-# (driver-green r06/r07 and re-rowed since).  Newly displaced: the r17
-# window's rotating cohort (every entry got a fresh r17 driver row) --
-# recency rotation per the pre-committed r18 plan in
+# (driver-green r06/r07 and re-rowed since).  Newly displaced: the r18
+# window's rotating cohort (every entry got a fresh r18 driver row) --
+# recency rotation per the pre-committed r19 plan in
 # CORRECTNESS_WINDOW.md.
 DISPLACED: list[str] = [
-    # -- newly displaced: the r17 window's rotating cohort (fresh r17
-    #    driver rows; recency rotation per the pre-committed r18 plan;
-    #    streaming_vector_ingest stays windowed as code-changed) --
+    # -- the r13-rowed deferrals (the floor hits them at end-of-r20):
+    #    sample_hash_split plus the 10 popped by the mid-r19
+    #    code-changed front-load — together they HEAD the pre-committed
+    #    r20 rotation --
+    "sample_hash_split",
+    "listagg",
+    "value_histogram",
+    "grouping_sets",
+    "vocab_topk_cms_bounds",
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "window_frames",
+    "fact_events_by_second",
+    "fact_orders_by_week",
+    "user_value_ema",
+    # -- newly displaced: the r18 window's rotating cohort (fresh r18
+    #    driver rows; recency rotation per the pre-committed r19 plan) --
+    "map_funcs",
+    "asof_join",
+    "string_funcs",
+    "metrics_unpivot",
+    "doc_rolling_hash",
+    "doc_fingerprint",
+    "doc_dedup_spans",
+    "doc_dedup_spans_incremental",
+    "multimodal_wav",
+    "multimodal_features",
+    "quality_source_percentile",
+    "quality_source_gate_gk",
+    "window_rank",
+    "rollup_agg",
+    "cube_agg",
+    "topk",
+    "range_join",
+    "benchmark_contamination",
+    "ann_lsh_bucketed12",
+    "doc_dup_chunk_fraction",
+    "doc_dup_chunk_fraction_incremental",
+    "text_repetition",
+    "multimodal_phash",
+    "q18_large_volume_customer",
+    "multimodal_phash_dups",
+    "q7_volume_shipping",
+    "window_stats",
+    "q4_order_priority",
+    # -- the r17 window's rotating cohort (fresh r17 driver rows) --
     "events_skew_salted_join",
     "tenant_rollup_skew_salted",
     "ann_index_staleness",
-    "lsh_width_staleness",
     "streaming_cms_snapshot",
     "window_lag",
     "set_ops",
@@ -210,29 +264,8 @@ DISPLACED: list[str] = [
     "token_count",
     "join_semi",
     "join_anti",
-    # -- popped mid-r18 by the null-sweep code-changed front-load (the
-    #    r06 precedent: changed paths outrank re-rows); r12/r13 driver
-    #    records, front of the r19 rotate-back queue --
-    "fact_events_by_minute_approx_bounds",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q21_suppliers_kept_waiting",
-    "q22_global_sales_opportunity",
-    "sample_cluster_split_indexed",
-    "quantiles_approx_bounds",
-    "q14_promo_effect",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "sample_weighted",
-    "sample_weighted_stratified",
     # -- prior displaced cohorts (r08-r17 rows, order preserved) --
-    "ann_ivf_pq",
-    "ann_pq_recall_bounds",
-    "ann_lsh_indexed",
-    "dedup_minhash_lsh_deleted",
-    "dedup_clusters_deleted",
     "ann_cosine_topk_arrow_bounds",
-    "dedup_minhash_lsh_indexed",
     "doc_chunk",
     "training_prep",
     "sample_cluster_split",
@@ -272,7 +305,6 @@ DISPLACED: list[str] = [
     "dedup_containment",
     "doc_logprob",
     "dedup_minhash_lsh_capped",
-    "dedup_clusters_indexed",
     "dedup_embedding_lsh",
     "dedup_embedding_clusters",
     "dedup_embedding_incremental",
@@ -288,25 +320,6 @@ DISPLACED: list[str] = [
     "fact_events_hour_regrain",
     "fact_events_tenant_by_hour",
     "text_scrub",
-    "quality_gate_approx_bounds",
-    "zorder_layout",
-    "bpe_pair_counts",
-    "text_quality_drift",
-    "dedup_embedding",
-    "dedup_ngram_jaccard",
-    "dedup_lsh_recall_bounds",
-    "timeseries_gapfill",
-    "listagg",
-    "value_histogram",
-    "grouping_sets",
-    "vocab_topk_cms_bounds",
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "window_frames",
-    "fact_events_by_second",
-    "fact_orders_by_week",
-    "user_value_ema",
-    "sample_hash_split",
     "fact_events_by_minute_approx",
     "ann_cosine_topk_arrow",
 ]
