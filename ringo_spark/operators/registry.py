@@ -113,7 +113,14 @@ DRIVER_WINDOW: list[str] = [
     #    artifacts (_centroids sidecar; _WIDTH sidecar + append width
     #    validation) — ann_lsh_indexed / lsh_width_staleness /
     #    ann_ivf_pq / ann_pq_recall_bounds / streaming_vector_ingest
-    #    run those paths (ann_ivf_indexed too — pinned below). --
+    #    run those paths (ann_ivf_indexed too — pinned below).
+    #    Third batch (the similarity.py full-module review, VERDICT r18
+    #    item 5): the IVF probe block is hoisted into _probe_cells
+    #    (ann_ivf / ann_ivf_kmeans / ann_ivf_recall_bounds /
+    #    ann_rank_fusion run it; the indexed/pq rows above do too), the
+    #    indexed serve derives nprobe from the STORED centroid count,
+    #    and ann_index_staleness resolves K through the exact-count
+    #    path (identical under driver conf; the code path changed). --
     "dedup_minhash_lsh_indexed",
     "dedup_minhash_lsh_capped_indexed",
     "dedup_clusters_indexed",
@@ -124,6 +131,11 @@ DRIVER_WINDOW: list[str] = [
     "ann_ivf_pq",
     "ann_pq_recall_bounds",
     "streaming_vector_ingest",
+    "ann_ivf",
+    "ann_ivf_kmeans",
+    "ann_ivf_recall_bounds",
+    "ann_rank_fusion",
+    "ann_index_staleness",
     # -- the pre-committed r19 rotation (CORRECTNESS_WINDOW.md), floor-
     #    critical first: the 10 r12-rowed entries popped by the mid-r18
     #    null-sweep amendment — the freshness floor (FLOOR=7, current
@@ -150,17 +162,14 @@ DRIVER_WINDOW: list[str] = [
     "quality_gate_approx_bounds",
     "zorder_layout",
     "bpe_pair_counts",
-    "text_quality_drift",
-    "dedup_embedding",
-    "dedup_ngram_jaccard",
-    "dedup_lsh_recall_bounds",
-    "timeseries_gapfill",
-    # (the cohort's 10 newest rotate-backs — listagg value_histogram
+    # (the cohort's 15 newest rotate-backs — listagg value_histogram
     #  grouping_sets vocab_topk_cms_bounds q1_pricing_summary
     #  q6_forecast_revenue window_frames fact_events_by_second
-    #  fact_orders_by_week user_value_ema — popped back to DISPLACED by
-    #  the mid-r19 code-changed front-load above, per the r06
-    #  precedent; they lead the r20 rotation with sample_hash_split)
+    #  fact_orders_by_week user_value_ema, then text_quality_drift
+    #  dedup_embedding dedup_ngram_jaccard dedup_lsh_recall_bounds
+    #  timeseries_gapfill — popped back to DISPLACED by the two mid-r19
+    #  code-changed front-loads above, per the r06 precedent; they lead
+    #  the r20 rotation with sample_hash_split)
     # -- core schema-level pipeline (driver-green r02-r04 + r07; pinned) --
     "dim_event_type",
     "fact_events_by_minute",
@@ -196,9 +205,9 @@ DRIVER_WINDOW: list[str] = [
 # CORRECTNESS_WINDOW.md.
 DISPLACED: list[str] = [
     # -- the r13-rowed deferrals (the floor hits them at end-of-r20):
-    #    sample_hash_split plus the 10 popped by the mid-r19
-    #    code-changed front-load — together they HEAD the pre-committed
-    #    r20 rotation --
+    #    sample_hash_split plus the 15 popped by the two mid-r19
+    #    code-changed front-loads — together they HEAD the
+    #    pre-committed r20 rotation --
     "sample_hash_split",
     "listagg",
     "value_histogram",
@@ -210,6 +219,11 @@ DISPLACED: list[str] = [
     "fact_events_by_second",
     "fact_orders_by_week",
     "user_value_ema",
+    "text_quality_drift",
+    "dedup_embedding",
+    "dedup_ngram_jaccard",
+    "dedup_lsh_recall_bounds",
+    "timeseries_gapfill",
     # -- newly displaced: the r18 window's rotating cohort (fresh r18
     #    driver rows; recency rotation per the pre-committed r19 plan) --
     "map_funcs",
@@ -243,7 +257,6 @@ DISPLACED: list[str] = [
     # -- the r17 window's rotating cohort (fresh r17 driver rows) --
     "events_skew_salted_join",
     "tenant_rollup_skew_salted",
-    "ann_index_staleness",
     "streaming_cms_snapshot",
     "window_lag",
     "set_ops",
@@ -297,7 +310,6 @@ DISPLACED: list[str] = [
     "q8_national_market_share",
     "q12_late_shipments",
     "sample_temperature",
-    "ann_rank_fusion",
     "doc_bigram_logprob",
     "retention_cohorts",
     "event_funnel",
@@ -310,9 +322,6 @@ DISPLACED: list[str] = [
     "dedup_embedding_incremental",
     "ann_lsh_bucketed",
     "ann_lsh_multiprobe",
-    "ann_ivf",
-    "ann_ivf_kmeans",
-    "ann_ivf_recall_bounds",
     "multimodal_wav_samples",
     "user_value_ema_segmented",
     "sample_per_source_quota",

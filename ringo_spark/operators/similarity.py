@@ -184,9 +184,16 @@ def _read_stats_log(stats_path: str):
             for f in sorted(files):
                 if f.endswith(".parquet"):
                     tables.append(pq.read_table(os.path.join(root, f)))
+        if not tables:
+            return None
+        # permissive promotion: epochs written by different plan shapes
+        # legitimately differ in footer NULLABILITY metadata (e.g. a
+        # cached lineage drops count(*)'s not-null flag — r19 review),
+        # and the strict concat threw OUTSIDE the old try, crashing the
+        # report path instead of falling back to the rescan
+        return pa.concat_tables(tables, promote_options="permissive")
     except Exception:
         return None
-    return pa.concat_tables(tables) if tables else None
 
 
 def corpus_rows_estimate(df: DataFrame, path: str | None = None) -> int | None:
@@ -405,16 +412,27 @@ IVF_MAX_AUTO_K = 1 << 20
 
 
 def auto_ivf_k(spark: SparkSession, n_rows,
-               floor_k: int = IVF_K) -> int:
+               floor_k: int = IVF_K, exact: bool = False) -> int:
     """``min(MAX_AUTO_K, max(floor, round(sqrt(N / divisor))))`` — the
     corpus-sized centroid count, clamped at the driver-memory ceiling
     (see IVF_MAX_AUTO_K).  ``ringo.ivfAutoK=false`` pins the floor;
     ``ringo.lshCorpusRows`` (the shared corpus-rows hook) overrides N.
-    ``n_rows`` may be an int or a lazy callable."""
+    ``n_rows`` may be an int or a lazy callable.
+
+    ``exact=True`` says ``n_rows`` is a MEASURED count, not an
+    estimate, and the ``lshCorpusRows`` override must not beat it (r19
+    review): the hook exists to stand in for a missing/stale footer
+    estimate, but :func:`retrain_ivf_index` counts the index's own
+    live rows and :func:`ann_index_staleness_df` counts its exact half
+    — with the hook set (external-rewrite pipelines), an
+    estimate-scoped override re-sizing a 10k-row retrain at 1e9 rows
+    produces a degenerate one-row-per-cell index, and the staleness
+    row diverges from its count(*)-derived oracle."""
     conf = spark.conf
     if str(conf.get(IVF_AUTO_K_CONF_KEY, "true")).lower() == "false":
         return floor_k
-    n = _resolve_corpus_rows(conf, n_rows)
+    n = (n_rows() if callable(n_rows) else n_rows) if exact \
+        else _resolve_corpus_rows(conf, n_rows)
     if not n or n <= 0:
         return floor_k
     div = max(1, int(conf.get(IVF_SQRT_DIVISOR_CONF_KEY,
@@ -494,14 +512,7 @@ def ann_ivf_df(spark: SparkSession, sf_dir: str, k: int | None = None,
     q = emb.where(F.col("vec_id") < LSH_N_QUERIES) \
            .select(F.col("vec_id").alias("q_id"),
                    F.col("embedding").alias("q_emb"))
-    qsim = F.round(cosine(F.col("q_emb"), F.col("cvec")), 6)
-    qw = Window.partitionBy("q_id").orderBy(F.desc("qs"), F.desc("cell"))
-    probes = (q.crossJoin(F.broadcast(cent))
-              .select("q_id", "q_emb", F.col("cid").alias("cell"),
-                      qsim.alias("qs"))
-              .withColumn("pr", F.row_number().over(qw))
-              .where(F.col("pr") <= nprobe)
-              .select("q_id", "q_emb", "cell"))
+    probes = _probe_cells(q, cent, nprobe)
 
     cand = (cells.join(emb, "vec_id")
             .select(F.col("vec_id").alias("n_id"),
@@ -700,6 +711,25 @@ def _with_cell(df: DataFrame, cent_rows, out: str = "cell") -> DataFrame:
             .drop(norm))
 
 
+def _probe_cells(q: DataFrame, cent: DataFrame, nprobe: int) -> DataFrame:
+    """Per-query probe list shared by EVERY IVF serve path (r19 review:
+    this block was copy-pasted four times with only the centroid source
+    varying, and the r19 serve-path fix had to patch two copies
+    individually): each query scores the K broadcast centroids with the
+    oracle's round(cosine, 6) trajectory and keeps its ``nprobe``
+    nearest cells, ties to the larger cell id.  ``q`` carries
+    (q_id, q_emb); ``cent`` carries (cid, cvec).  K rows per query —
+    metadata-scale, never corpus-scale."""
+    qsim = F.round(cosine(F.col("q_emb"), F.col("cvec")), 6)
+    qw = Window.partitionBy("q_id").orderBy(F.desc("qs"), F.desc("cell"))
+    return (q.crossJoin(F.broadcast(cent))
+            .select("q_id", "q_emb", F.col("cid").alias("cell"),
+                    qsim.alias("qs"))
+            .withColumn("pr", F.row_number().over(qw))
+            .where(F.col("pr") <= nprobe)
+            .select("q_id", "q_emb", "cell"))
+
+
 def _serve_cached_sidecars(index_path: str, sidecars: list[str],
                            force: bool) -> bool:
     """Cache gate for indexes whose build writes sidecar sub-dirs
@@ -777,6 +807,26 @@ def build_ivf_index(spark: SparkSession, sf_dir: str,
     return index_path
 
 
+def _carry_admission_ledger(index_path: str, out_path: str) -> None:
+    """Copy the ``_admitted/`` batch ledger (and its ``.rebuilt.N``
+    audit archives) into a replacement/successor index tree BEFORE it
+    goes live (r19 review): the exactly-once append contract says a
+    lost-ack replay of an already-admitted batch is refused FOREVER —
+    compaction (``apply_tombstones_partitioned``) carries every sidecar
+    for exactly this reason, but :func:`retrain_ivf_index` and
+    :func:`rebucket_lsh_index` shipped their successor trees
+    ledger-less, so a checkpoint-rollback replay against the new tree
+    re-admitted (duplicated) every row of its batch — including rows
+    whose ids had been tombstoned and compacted away ("deletes never
+    resurrect" violated)."""
+    for d in os.listdir(index_path):
+        if not d.startswith(_ilc.ADMITTED):
+            continue
+        s, t = os.path.join(index_path, d), os.path.join(out_path, d)
+        if os.path.isdir(s) and not os.path.exists(t):
+            shutil.copytree(s, t)
+
+
 def _admit_batch(spark: SparkSession, index_path: str, batch: DataFrame,
                  land_data, stats_epoch=None, repair_stats=None) -> bool:
     """The idempotent batch-admission protocol every index append path
@@ -845,26 +895,39 @@ def append_to_ivf_index(spark: SparkSession, index_path: str,
     batch_emb = batch_emb.select(
         "vec_id", F.col("embedding").cast(stored_t).alias("embedding"))
 
+    # the K-argmax assignment is the append's dominant cost — cache it
+    # across land_data and stats_epoch so the batch is assigned ONCE
+    # (r19 review: the stats epoch previously re-ran _with_cell from
+    # scratch, doubling per-batch ingest CPU at the production ~sqrt(N)
+    # K).  The cache populates during the data-write job; the stats
+    # epoch reads it back (on the torn-retry path stats_epoch never
+    # runs — repair_stats rebuilds from the data files instead).
+    assigned_cache: dict[str, DataFrame] = {}
+
     def land_data(b: DataFrame) -> None:
-        (_with_cell(b, cent_rows)
-         .repartition(F.col("cell"),
-                      F.pmod(F.col("vec_id"),
-                             F.lit(BUILD_WRITERS_PER_CELL)))
+        a = _with_cell(b, cent_rows).cache()
+        assigned_cache["df"] = a
+        (a.repartition(F.col("cell"),
+                       F.pmod(F.col("vec_id"),
+                              F.lit(BUILD_WRITERS_PER_CELL)))
          .write.mode("append").partitionBy("cell").parquet(index_path))
 
     def stats_epoch(b: DataFrame) -> None:
         # batch epoch appended to the stats sidecar AFTER the data
         # lands — a crash between the two leaves a dangling intent, and
         # the retry's repair rebuilds the sidecar from the data files.
-        # Scored assigned-cell (the batch re-assigns via _with_cell
-        # lineage — the one batch-sized argmax the append needs)
-        _write_ivf_stats(index_path, _with_cell(b, cent_rows),
+        _write_ivf_stats(index_path, assigned_cache["df"],
                          cent_rows, "append")
 
-    return _admit_batch(spark, index_path, batch_emb, land_data,
-                        stats_epoch,
-                        lambda: repair_ivf_stats(spark, index_path,
-                                                 _unsafe_in_flight=True))
+    try:
+        return _admit_batch(spark, index_path, batch_emb, land_data,
+                            stats_epoch,
+                            lambda: repair_ivf_stats(
+                                spark, index_path, _unsafe_in_flight=True))
+    finally:
+        a = assigned_cache.pop("df", None)
+        if a is not None:
+            a.unpersist()
 
 
 def ann_ivf_indexed_df(spark: SparkSession, sf_dir: str,
@@ -888,26 +951,25 @@ def ann_ivf_indexed_df(spark: SparkSession, sf_dir: str,
     with, the rule every append path already follows.  Result rows are
     identical to ``ann_ivf_df`` on the registered (fresh-build) query —
     same oracle SQL.  ``k``/``nprobe`` default to the same auto gate as
-    ``ann_ivf_df``."""
+    ``ann_ivf_df``; ``nprobe=None`` resolves against the STORED
+    centroid count, not the requested ``k`` (r19 review: after a
+    k-resizing :func:`retrain_ivf_index` the index holds more cells
+    than ``k``, and a request-derived nprobe would probe a collapsing
+    fraction of them — the same silent-recall-decay class as stale
+    probe geometry; on a fresh build the two counts are equal, so the
+    registered query and its oracle are unchanged)."""
     if k is None:
         k = _auto_ivf_k(spark, sf_dir)
-    if nprobe is None:
-        nprobe = _auto_nprobe(k, IVF_NPROBE)
     index_path = build_ivf_index(spark, sf_dir, k=k)
     emb = _emb(spark, sf_dir)
     cent = (spark.read.parquet(os.path.join(index_path, "_centroids"))
             .select("cid", "cvec"))
+    if nprobe is None:
+        nprobe = _auto_nprobe(cent.count(), IVF_NPROBE)
     q = emb.where(F.col("vec_id") < LSH_N_QUERIES) \
            .select(F.col("vec_id").alias("q_id"),
                    F.col("embedding").alias("q_emb"))
-    qsim = F.round(cosine(F.col("q_emb"), F.col("cvec")), 6)
-    qw = Window.partitionBy("q_id").orderBy(F.desc("qs"), F.desc("cell"))
-    probes = (q.crossJoin(F.broadcast(cent))
-              .select("q_id", "q_emb", F.col("cid").alias("cell"),
-                      qsim.alias("qs"))
-              .withColumn("pr", F.row_number().over(qw))
-              .where(F.col("pr") <= nprobe)
-              .select("q_id", "q_emb", "cell"))
+    probes = _probe_cells(q, cent, nprobe)
     probed_cells = sorted({r.cell for r in probes.select("cell").collect()})
 
     from .deletion import index_rows
@@ -1033,7 +1095,8 @@ def _write_ivf_stats(index_path: str, assigned: DataFrame, cent_rows,
      .parquet(os.path.join(index_path, IVF_STATS)))
 
 
-def _backfill_ivf_stats(spark: SparkSession, index_path: str) -> None:
+def _backfill_ivf_stats(spark: SparkSession, index_path: str,
+                        _unsafe_in_flight: bool = False) -> None:
     """Sidecar (re)generation from the data files — pre-sidecar cached
     dirs, post-compaction repair, torn-append repair: the files carry
     their cell in the partition path, so this is one O(n*dim)
@@ -1043,8 +1106,20 @@ def _backfill_ivf_stats(spark: SparkSession, index_path: str) -> None:
     "covers the data files exactly"; the no-tombstones gate in
     :func:`_ivf_stored_cell_stats` handles deletes.  Concurrent
     backfills converge (same content, overwrite); a torn read during
-    one falls back to the rescan."""
+    one falls back to the rescan.
+
+    Refuses to run (silently — this is an opportunistic serve-path
+    heal, not a maintenance op) while a batch admission is in flight
+    (r19 review): the in-flight batch's data files have landed but its
+    stats epoch hasn't, so a rewrite-from-data-files here counts the
+    batch once and the epoch then counts it AGAIN — the exact
+    double-count race ADVICE r16 removed from the report path.
+    Reports fall back to the rescan until the admission commits.
+    (``_unsafe_in_flight``: :func:`repair_ivf_stats`'s torn-retry
+    path IS the in-flight writer — its rebuild must run.)"""
     if os.path.exists(os.path.join(index_path, IVF_STATS, "_SUCCESS")):
+        return
+    if not _unsafe_in_flight and _ilc.admits_in_flight(index_path):
         return
     cent = spark.read.parquet(os.path.join(index_path, "_centroids"))
     cent_rows = [(r.cid, r.cvec) for r in cent.collect()]
@@ -1121,7 +1196,9 @@ def repair_ivf_stats(spark: SparkSession, index_path: str,
             "append (it repairs the sidecar itself) or re-run after it "
             "commits")
     shutil.rmtree(os.path.join(index_path, IVF_STATS), ignore_errors=True)
-    _backfill_ivf_stats(spark, index_path)
+    # repair adjudicated the in-flight question above (guard or the
+    # torn-retry writer's own flag) — the rebuild must run either way
+    _backfill_ivf_stats(spark, index_path, _unsafe_in_flight=True)
 
 
 def compact_ivf_index(spark: SparkSession, index_path: str,
@@ -1228,6 +1305,15 @@ def retrain_ivf_index(spark: SparkSession, index_path: str,
 
     _ilc.recover_live(index_path, require=True)
     _ilc.clear_swap_leftovers(index_path)
+    # destructive maintenance honors the admission guard like every
+    # other (archive_admissions, repair_*_stats — r19 review): an
+    # in-flight batch's rows may or may not make the training snapshot,
+    # and racing its stats epoch against the swap corrupts the sidecar
+    if _ilc.admits_in_flight(index_path):
+        raise RuntimeError(
+            f"{index_path}: a batch admission is in flight — retraining "
+            "now would race its landing rows and stats epoch; retry "
+            "after it commits")
     if iters is None:
         iters = IVF_KMEANS_ITERS
     emb = spread(index_rows(spark, index_path, id_col="vec_id")
@@ -1235,7 +1321,7 @@ def retrain_ivf_index(spark: SparkSession, index_path: str,
     try:
         n = emb.count()
         if k is None:
-            k = auto_ivf_k(spark, n)
+            k = auto_ivf_k(spark, n, exact=True)
         # strided seeds (see docstring): a deterministic HASH-modulo
         # filter + a k-row limit — a tiny sort of ~k rows, never a
         # global row_number.  Hashing (not ``vec_id % stride``) matters:
@@ -1286,6 +1372,7 @@ def retrain_ivf_index(spark: SparkSession, index_path: str,
         # stats from the just-written replacement tree (cells ride the
         # partition path — assigned-cell scoring, no second argmax)
         _write_ivf_stats(tmp, spark.read.parquet(tmp), cent, "overwrite")
+        _carry_admission_ledger(index_path, tmp)
         _ilc.publish_swap(index_path)
         _touch(os.path.join(index_path, "_SUCCESS"))
     finally:
@@ -1306,7 +1393,7 @@ def ann_index_staleness_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     n = emb.count()
     half = n // 2
-    k = auto_ivf_k(spark, half)
+    k = auto_ivf_k(spark, half, exact=True)
     tag = _ilc.index_tag(
         f"{os.path.abspath(sf_dir)}|stale|{k}|{half}|"
         f"{_source_fingerprint(sf_dir)}")
@@ -1661,14 +1748,7 @@ def ann_ivf_kmeans_df(spark: SparkSession, sf_dir: str,
     q = emb.where(F.col("vec_id") < LSH_N_QUERIES) \
            .select(F.col("vec_id").alias("q_id"),
                    F.col("embedding").alias("q_emb"))
-    qsim = F.round(cosine(F.col("q_emb"), F.col("cvec")), 6)
-    qw = Window.partitionBy("q_id").orderBy(F.desc("qs"), F.desc("cell"))
-    probes = (q.crossJoin(F.broadcast(cent_df))
-              .select("q_id", "q_emb", F.col("cid").alias("cell"),
-                      qsim.alias("qs"))
-              .withColumn("pr", F.row_number().over(qw))
-              .where(F.col("pr") <= nprobe)
-              .select("q_id", "q_emb", "cell"))
+    probes = _probe_cells(q, cent_df, nprobe)
     cand = (cells.join(F.broadcast(probes), "cell")
             .where(F.col("q_id") != F.col("vec_id")))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
@@ -1926,8 +2006,12 @@ LSH_WIDTH_FILE = "_WIDTH"
 
 
 def _write_lsh_width(index_path: str, bits: int) -> None:
-    with open(os.path.join(index_path, LSH_WIDTH_FILE), "w") as fh:
-        fh.write(str(int(bits)))
+    # kernel flip_pointer (tmp + rename), not truncate-in-place (r19
+    # review): a crash or a concurrent read mid-truncate would observe
+    # an EMPTY sidecar, which reads as "pre-r19 index" — for a
+    # rebucketed index (no backfill path) that error is permanent.
+    _ilc.flip_pointer(os.path.join(index_path, LSH_WIDTH_FILE),
+                      str(int(bits)))
 
 
 def stored_lsh_bits(index_path: str) -> int | None:
@@ -1954,14 +2038,34 @@ def build_lsh_index(spark: SparkSession, sf_dir: str,
     never disagree within one index lifecycle."""
     if bits is None:
         bits = _auto_ann_bits(spark, sf_dir)
+    tagged_path = index_path is None
     if index_path is None:
         tag = _ilc.index_tag(
             f"{os.path.abspath(sf_dir)}|{bits}|{_source_fingerprint(sf_dir)}")
         index_path = os.path.join(LSH_INDEX_ROOT, f"b{bits}-{tag}")
     if _ilc.serve_cached(index_path, "_SUCCESS", force):
         _backfill_lsh_stats(spark, index_path)
-        if stored_lsh_bits(index_path) is None:
-            _write_lsh_width(index_path, bits)   # pre-r19 dir: backfill
+        stored = stored_lsh_bits(index_path)
+        if stored is None:
+            # pre-r19 dir: backfill — but ONLY on the tag path, where
+            # ``bits`` is provably the build width (it is part of the
+            # dir tag).  For an explicit index_path the caller's bits
+            # are a claim, not evidence (r19 review: stamping them
+            # re-introduces, with a trusted signature, the silent
+            # wrong-width routing the sidecar exists to prevent) —
+            # leave the sidecar absent so append keeps demanding an
+            # explicit width.
+            if tagged_path:
+                _write_lsh_width(index_path, bits)
+        elif stored != bits:
+            # explicit-path cache hit at a contradicting width: the
+            # caller would get an index whose buckets its probes never
+            # read — same loud failure as append's width check
+            raise ValueError(
+                f"{index_path}: cached index was built at "
+                f"bits={stored} but bits={bits} was requested — pass "
+                "bits=None (the stored width), force=True to rebuild, "
+                "or rebucket_lsh_index to change width")
         return index_path
     bucketed = (_emb(spark, sf_dir)
                 .withColumn("bucket", _bucket_expr(F.col("embedding"), bits)))
@@ -2048,13 +2152,18 @@ def _write_lsh_stats(index_path: str, assigned: DataFrame,
      .parquet(os.path.join(index_path, LSH_STATS)))
 
 
-def _backfill_lsh_stats(spark: SparkSession, index_path: str) -> None:
+def _backfill_lsh_stats(spark: SparkSession, index_path: str,
+                        _unsafe_in_flight: bool = False) -> None:
     """One-time sidecar upgrade for cached LSH indexes built before the
     stats sidecar existed (r16) — the LSH twin of
     :func:`_backfill_ivf_stats`: one per-bucket count pass over the
     unfiltered data files, then every width report is a metadata
-    read."""
+    read.  Same silent in-flight-admission skip as the IVF twin (r19
+    review — a rewrite here would double-count the in-flight batch
+    once its stats epoch lands)."""
     if os.path.exists(os.path.join(index_path, LSH_STATS, "_SUCCESS")):
+        return
+    if not _unsafe_in_flight and _ilc.admits_in_flight(index_path):
         return
     _write_lsh_stats(index_path, spark.read.parquet(index_path),
                      "overwrite")
@@ -2108,7 +2217,8 @@ def repair_lsh_stats(spark: SparkSession, index_path: str,
             "append (it repairs the sidecar itself) or re-run after it "
             "commits")
     shutil.rmtree(os.path.join(index_path, LSH_STATS), ignore_errors=True)
-    _backfill_lsh_stats(spark, index_path)
+    # repair adjudicated the in-flight question above — see the IVF twin
+    _backfill_lsh_stats(spark, index_path, _unsafe_in_flight=True)
 
 
 def lsh_width_report(spark: SparkSession, index_path: str,
@@ -2194,6 +2304,14 @@ def rebucket_lsh_index(spark: SparkSession, index_path: str, new_bits: int,
     log)."""
     from .deletion import index_rows
 
+    # same admission guard as every destructive maintenance op (r19
+    # review): an in-flight batch's rows may be half-landed in the
+    # source index, and the successor would carry a torn snapshot
+    if _ilc.admits_in_flight(index_path):
+        raise RuntimeError(
+            f"{index_path}: a batch admission is in flight — "
+            "rebucketing now would snapshot a half-landed batch; retry "
+            "after it commits")
     if out_path is None:
         out_path = index_path.rstrip("/") + f"-rb{new_bits}"
     rebucketed = (index_rows(spark, index_path, id_col="vec_id")
@@ -2206,6 +2324,10 @@ def rebucket_lsh_index(spark: SparkSession, index_path: str, new_bits: int,
      .write.mode("overwrite").partitionBy("bucket").parquet(out_path))
     _write_lsh_stats(out_path, rebucketed, "overwrite")
     _write_lsh_width(out_path, new_bits)   # the new index's stored width
+    # the successor inherits the source's admitted-batch ledger so
+    # replays of batches the rebucket carried over stay refused —
+    # everything lands before the completeness marker
+    _carry_admission_ledger(index_path, out_path)
     _touch(os.path.join(out_path, "_SUCCESS"))
     return out_path
 
@@ -2549,12 +2671,12 @@ def ann_ivf_pq_df(spark: SparkSession, sf_dir: str,
     vectors fetched for shortlist rows only — a fixed R per query, so
     the refine cost does not grow with the corpus) and the exact top-5
     returned with both scores.  Probes resolve driver-side from the K
-    centroids (index metadata).  EAGER (training + index build run at
-    construction)."""
+    centroids (index metadata); ``nprobe=None`` resolves against the
+    STORED centroid count (see :func:`ann_ivf_indexed_df` — equal to
+    ``k`` on a fresh build, correct after a geometry rewrite).  EAGER
+    (training + index build run at construction)."""
     if k is None:
         k = _auto_ivf_k(spark, sf_dir)
-    if nprobe is None:
-        nprobe = _auto_nprobe(k, IVF_NPROBE)
     index_path = build_pq_index(spark, sf_dir, k=k)
     cbrows = spark.read.parquet(
         os.path.join(index_path, "_codebooks")).collect()
@@ -2568,17 +2690,12 @@ def ann_ivf_pq_df(spark: SparkSession, sf_dir: str,
     # on a fresh build (the oracle's replay).
     cent = (spark.read.parquet(os.path.join(index_path, "_centroids"))
             .select("cid", "cvec"))
+    if nprobe is None:
+        nprobe = _auto_nprobe(cent.count(), IVF_NPROBE)
     q = emb.where(F.col("vec_id") < LSH_N_QUERIES) \
            .select(F.col("vec_id").alias("q_id"),
                    F.col("embedding").alias("q_emb"))
-    qsim = F.round(cosine(F.col("q_emb"), F.col("cvec")), 6)
-    qw = Window.partitionBy("q_id").orderBy(F.desc("qs"), F.desc("cell"))
-    probes = (q.crossJoin(F.broadcast(cent))
-              .select("q_id", "q_emb", F.col("cid").alias("cell"),
-                      qsim.alias("qs"))
-              .withColumn("pr", F.row_number().over(qw))
-              .where(F.col("pr") <= nprobe)
-              .select("q_id", "q_emb", "cell"))
+    probes = _probe_cells(q, cent, nprobe)
     probed_cells = sorted({r.cell for r in probes.select("cell").collect()})
 
     from .deletion import index_rows

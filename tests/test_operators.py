@@ -2747,3 +2747,267 @@ def test_minhash_index_layout_is_deterministic(spark, tmp_path):
     # sanity on the helper's scaling rule itself
     assert _layout_files(2_000_001, 2_000_000) == 2
     assert _layout_files(None, 100) == 1
+
+
+# --- r19 similarity full-module review: lifecycle/serve fixes ----------------
+
+
+def _tmp_emb_corpus(spark, tmp_path, n_build=400):
+    """tmp-dir corpus split (build rows < n_build, batch rows >=) —
+    isolates the tag-derived index caches per test."""
+    import os
+
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    emb.where(F.col("vec_id") < n_build).write.parquet(
+        f"{corpus}/embeddings.parquet")
+    return corpus, emb.where(F.col("vec_id") >= n_build)
+
+
+def test_retrain_carries_admission_ledger(spark, tmp_path):
+    """r19 similarity review: retrain_ivf_index shipped its replacement
+    tree without the _admitted batch ledger (publish_swap rmtree'd the
+    old tree holding it), so a lost-ack replay of an already-admitted
+    batch against the retrained index re-landed every row — breaking
+    the exactly-once contract compaction explicitly preserves."""
+    from ringo_spark.operators.similarity import (
+        append_to_ivf_index, build_ivf_index, retrain_ivf_index,
+    )
+
+    corpus, batch = _tmp_emb_corpus(spark, tmp_path)
+    p = build_ivf_index(spark, corpus, k=4)
+    assert append_to_ivf_index(spark, p, batch) is True
+    n_before = spark.read.parquet(p).count()
+
+    retrain_ivf_index(spark, p, k=4)
+    # the replay of the admitted batch must STAY refused after retrain
+    assert append_to_ivf_index(spark, p, batch) is False
+    assert spark.read.parquet(p).count() == n_before
+
+
+def test_rebucket_carries_admission_ledger(spark, tmp_path):
+    """r19 similarity review: the rebucketed successor index shipped
+    ledger-less, so a checkpoint replay of a batch admitted to the OLD
+    index duplicated its rows in the new one."""
+    from ringo_spark.operators.similarity import (
+        append_to_lsh_index, build_lsh_index, rebucket_lsh_index,
+    )
+
+    corpus, batch = _tmp_emb_corpus(spark, tmp_path)
+    p = build_lsh_index(spark, corpus, bits=8)
+    assert append_to_lsh_index(spark, p, batch) is True
+    n = spark.read.parquet(p).count()
+
+    p2 = rebucket_lsh_index(spark, p, 10)
+    assert append_to_lsh_index(spark, p2, batch) is False   # replay refused
+    assert spark.read.parquet(p2).count() == n
+
+
+def test_retrain_and_rebucket_refuse_inflight_admission(spark, tmp_path):
+    """r19 similarity review: destructive index maintenance honors the
+    admission guard (archive_admissions / repair_*_stats precedent) —
+    a half-landed batch must not be snapshotted or raced."""
+    import ringo_spark.index_lifecycle as ilc
+    from ringo_spark.operators.similarity import (
+        build_ivf_index, build_lsh_index, rebucket_lsh_index,
+        retrain_ivf_index,
+    )
+
+    corpus, _batch = _tmp_emb_corpus(spark, tmp_path)
+    p = build_ivf_index(spark, corpus, k=4)
+    ilc.admit_intent(p, "deadbeef")
+    with pytest.raises(RuntimeError, match="in flight"):
+        retrain_ivf_index(spark, p, k=4)
+    ilc.admit_commit(p, "deadbeef")
+    retrain_ivf_index(spark, p, k=4)   # clears once committed
+
+    q = build_lsh_index(spark, corpus, bits=8)
+    ilc.admit_intent(q, "deadbeef")
+    with pytest.raises(RuntimeError, match="in flight"):
+        rebucket_lsh_index(spark, q, 10)
+    ilc.admit_commit(q, "deadbeef")
+    rebucket_lsh_index(spark, q, 10)
+
+
+def test_ivf_indexed_nprobe_follows_stored_centroid_count(spark, tmp_path):
+    """r19 similarity review: ann_ivf_indexed_df derived its default
+    nprobe from the REQUESTED k — after a k-resizing retrain the index
+    holds more cells and a request-derived nprobe probes a collapsing
+    fraction of them (silent recall decay).  The default now resolves
+    against the stored centroid count."""
+    import ringo_spark.operators.similarity as sim
+
+    corpus, _batch = _tmp_emb_corpus(spark, tmp_path)
+    p = sim.build_ivf_index(spark, corpus, k=4)
+    sim.retrain_ivf_index(spark, p, k=64)
+    assert spark.read.parquet(
+        f"{p}/_centroids").count() == 64
+
+    calls = []
+    real = sim._auto_nprobe
+
+    def spy(k, base):
+        calls.append((k, base))
+        return real(k, base)
+
+    sim._auto_nprobe = spy
+    try:
+        got = sim.ann_ivf_indexed_df(spark, corpus, k=4).collect()
+    finally:
+        sim._auto_nprobe = real
+    assert calls == [(64, sim.IVF_NPROBE)]   # stored count, not k=4
+    # behaviorally: equals an explicit serve at the stored-count nprobe
+    want = sim.ann_ivf_indexed_df(
+        spark, corpus, k=4, nprobe=real(64, sim.IVF_NPROBE)).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_lsh_width_backfill_only_on_tag_path(spark, tmp_path):
+    """r19 similarity review: the cached-serve branch stamped the
+    CALLER's bits as _WIDTH on a pre-r19 dir even for an explicit
+    index_path, where bits are a claim, not evidence — re-introducing
+    the silent wrong-width routing with a trusted signature.  Explicit
+    paths now stay unstamped (append keeps demanding the width), and a
+    cached explicit-path serve at a contradicting width raises."""
+    import os
+
+    from ringo_spark.operators.similarity import (
+        append_to_lsh_index, build_lsh_index, stored_lsh_bits,
+    )
+
+    corpus, batch = _tmp_emb_corpus(spark, tmp_path)
+    p = str(tmp_path / "explicit_idx")
+    build_lsh_index(spark, corpus, bits=12, index_path=p)
+    os.remove(os.path.join(p, "_WIDTH"))   # simulate a pre-r19 dir
+
+    # cached serve with a DIFFERENT claimed width: must not stamp it
+    assert build_lsh_index(spark, corpus, bits=8, index_path=p) == p
+    assert stored_lsh_bits(p) is None
+    with pytest.raises(ValueError, match="no _WIDTH sidecar"):
+        append_to_lsh_index(spark, p, batch)       # still demands bits
+    assert append_to_lsh_index(spark, p, batch, bits=12) is True
+
+    # a stamped explicit-path index + contradicting request: loud error
+    p2 = str(tmp_path / "explicit_idx2")
+    build_lsh_index(spark, corpus, bits=12, index_path=p2)
+    with pytest.raises(ValueError, match="built at bits=12"):
+        build_lsh_index(spark, corpus, bits=8, index_path=p2)
+
+    # the tag path still backfills (bits are part of the dir tag)
+    pt = build_lsh_index(spark, corpus, bits=9)
+    os.remove(os.path.join(pt, "_WIDTH"))
+    assert build_lsh_index(spark, corpus, bits=9) == pt
+    assert stored_lsh_bits(pt) == 9
+
+
+def test_lsh_width_write_is_atomic(tmp_path, monkeypatch):
+    """r19 similarity review: _write_lsh_width truncated the sidecar in
+    place — a crash mid-write left an EMPTY file that reads as
+    'pre-r19 index', permanently for a rebucketed index.  The write now
+    goes through the kernel's flip_pointer (tmp + rename): a crash
+    leaves the old value, never a torn file."""
+    import os
+
+    import ringo_spark.index_lifecycle as ilc
+    from ringo_spark.operators import similarity as sim
+
+    p = str(tmp_path)
+    sim._write_lsh_width(p, 12)
+    assert sim.stored_lsh_bits(p) == 12
+
+    def crash(_a, _b):
+        raise OSError("crash mid-publish")
+
+    monkeypatch.setattr(ilc.os, "replace", crash)
+    with pytest.raises(OSError):
+        sim._write_lsh_width(p, 8)
+    monkeypatch.undo()
+    assert sim.stored_lsh_bits(p) == 12   # old width intact, never torn
+    assert os.path.exists(os.path.join(p, "_WIDTH"))
+
+
+def test_auto_ivf_k_exact_ignores_corpus_rows_override(spark):
+    """r19 similarity review: the ringo.lshCorpusRows estimate override
+    beat callers passing MEASURED counts (retrain's live-row count, the
+    staleness row's exact half) — an external-pipeline override of 1e9
+    re-sized a 10k-row retrain into a degenerate one-row-per-cell index
+    and desynced the staleness row from its count(*)-derived oracle."""
+    import math
+
+    from ringo_spark.operators.similarity import (
+        IVF_MAX_AUTO_K, LSH_CORPUS_ROWS_CONF_KEY, auto_ivf_k,
+    )
+
+    spark.conf.set(LSH_CORPUS_ROWS_CONF_KEY, "1000000000")
+    try:
+        assert auto_ivf_k(spark, 800, exact=True) == 20   # sqrt(800/2)
+        assert auto_ivf_k(spark, 800) == min(
+            IVF_MAX_AUTO_K, round(math.sqrt(500000000)))  # estimate path
+    finally:
+        spark.conf.unset(LSH_CORPUS_ROWS_CONF_KEY)
+
+
+def test_ivf_append_assigns_cells_once(spark, tmp_path):
+    """r19 similarity review: append_to_ivf_index ran the batch's
+    K-argmax cell assignment twice (land_data + stats_epoch), doubling
+    per-batch ingest CPU at the production ~sqrt(N) K.  The assignment
+    is now cached across the two."""
+    import ringo_spark.operators.similarity as sim
+
+    corpus, batch = _tmp_emb_corpus(spark, tmp_path)
+    p = sim.build_ivf_index(spark, corpus, k=4)
+
+    calls = []
+    real = sim._with_cell
+
+    def spy(df, cent_rows, out="cell"):
+        calls.append(1)
+        return real(df, cent_rows, out)
+
+    sim._with_cell = spy
+    try:
+        assert sim.append_to_ivf_index(spark, p, batch) is True
+    finally:
+        sim._with_cell = real
+    assert len(calls) == 1
+    # and the stats sidecar still covers the data exactly
+    from ringo_spark.operators.similarity import _data_meta_rows, _read_stats_log
+    tbl = _read_stats_log(f"{p}/_stats")
+    assert sum(tbl.column("c").to_pylist()) == _data_meta_rows(p)
+
+
+def test_serve_backfill_skips_inflight_admission(spark, tmp_path):
+    """r19 similarity review: the cached-serve stats backfill is a
+    destructive sidecar write and ran with no admits_in_flight guard —
+    rewriting from data files that include an in-flight batch's landed
+    rows, which its pending stats epoch then counts AGAIN (the ADVICE
+    r16 double-count race, re-entered through the serve path).  The
+    serve-path heal now silently defers while an admission is in
+    flight; the torn-retry repair (which IS the writer) still runs."""
+    import os
+    import shutil
+
+    import ringo_spark.index_lifecycle as ilc
+    from ringo_spark.operators.similarity import (
+        build_ivf_index, build_lsh_index,
+    )
+
+    corpus, _batch = _tmp_emb_corpus(spark, tmp_path)
+    p = build_ivf_index(spark, corpus, k=4)
+    shutil.rmtree(os.path.join(p, "_stats"))
+    ilc.admit_intent(p, "feedface")
+    assert build_ivf_index(spark, corpus, k=4) == p        # cached serve
+    assert not os.path.exists(os.path.join(p, "_stats", "_SUCCESS"))
+    ilc.admit_commit(p, "feedface")
+    build_ivf_index(spark, corpus, k=4)
+    assert os.path.exists(os.path.join(p, "_stats", "_SUCCESS"))
+
+    q = build_lsh_index(spark, corpus, bits=8)
+    shutil.rmtree(os.path.join(q, "_stats"))
+    ilc.admit_intent(q, "feedface")
+    build_lsh_index(spark, corpus, bits=8)
+    assert not os.path.exists(os.path.join(q, "_stats", "_SUCCESS"))
+    ilc.admit_commit(q, "feedface")
+    build_lsh_index(spark, corpus, bits=8)
+    assert os.path.exists(os.path.join(q, "_stats", "_SUCCESS"))
