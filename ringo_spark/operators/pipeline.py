@@ -57,15 +57,27 @@ def corpus_curation_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("w"))
                .select("w.doc_id", "w.lang", "w.n_words", "w.q"))
 
-    # avg over an exact decimal sum: q is already rounded to 6 decimals, so
-    # summing as decimal(18,6) is order-independent (double sums are not)
-    q_sum = F.sum(F.col("q").cast("decimal(18,6)")).cast("double")
+    # avg over an exact integer-micro-unit sum, with the half-up
+    # rounding of the quotient ALSO done in exact integer arithmetic
+    # (r19 null sweep): q is 6dp, so sum(q*1e6) is an exact bigint in
+    # both engines — but the old round(double_sum/n, 6) could land the
+    # quotient exactly on a 7th-digit tie, where Spark rounds the
+    # decimal REPR (half-up) and DuckDB the binary value, a 1-ulp hash
+    # split.  floor((2a+n)/(2n)) is round-half-up of a/n for a,n >= 0
+    # in pure integers; micro/1e6 is then one correctly-rounded IEEE
+    # division, identical across engines.
     return (deduped
             .withColumn("split", split_expr(F.col("doc_id")))
             .groupBy("split", "lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_words").alias("total_tokens"),
-                 F.round(q_sum / F.count(F.lit(1)), 6).alias("avg_quality")))
+                 F.sum(F.round(F.col("q") * 1000000).cast("long"))
+                 .alias("__q_micro"))
+            .withColumn(
+                "avg_quality",
+                F.expr("(2 * __q_micro + n_docs) div (2 * n_docs)")
+                / F.lit(1000000.0))
+            .drop("__q_micro"))
 
 
 _SQL_LANGS = ", ".join(f"'{x}'" for x in KEEP_LANGS)
@@ -90,8 +102,8 @@ labeled AS (
   FROM deduped)
 SELECT split, lang, count(*) AS n_docs,
        CAST(sum(n_words) AS BIGINT) AS total_tokens,
-       round(CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
-         AS avg_quality
+       CAST((2 * sum(CAST(round(q * 1000000) AS BIGINT)) + count(*))
+            // (2 * count(*)) AS DOUBLE) / 1000000 AS avg_quality
 FROM labeled
 GROUP BY 1, 2
 """

@@ -216,8 +216,15 @@ def quality_gate_approx_bounds_df(spark: SparkSession, sf_dir: str,
     the boolean False on any non-trivial source (pytest-pinned) — i.e.
     the bracket is tight enough to actually catch a wrong threshold."""
     q = F.round(quality_score_expr(), 6)
+    # scorable docs only — the siblings' fail-closed rule (r18/r19 null
+    # sweeps): n and the rank indices must be defined over the SAME
+    # population the sketch and the collected value list see, and both
+    # approx_percentile and collect_list silently drop null scores — a
+    # null-text doc counted in n but absent from vals shifts every
+    # bracket index and flips within_rank_bounds with no real drift
     agg = (_docs(spark, sf_dir)
            .select("source", q.alias("q"))
+           .where(F.col("q").isNotNull())
            .groupBy("source")
            .agg(F.count(F.lit(1)).alias("n"),
                 F.expr(f"approx_percentile(q, {probe_p}D, "
@@ -380,7 +387,8 @@ ORDER BY source
 QUALITY_GATE_APPROX_BOUNDS_SQL = f"""
 WITH scored AS (
   SELECT source, round({sql_quality_score('text')}, 6) AS q
-  FROM documents)
+  FROM documents
+  WHERE {sql_quality_score('text')} IS NOT NULL)
 SELECT source, count(*) AS n,
        CAST(count(*) - ceil({QUALITY_PCT_FLOOR_RND} * (count(*) - 1))
             AS BIGINT) AS kept_exact,

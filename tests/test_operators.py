@@ -3011,3 +3011,54 @@ def test_serve_backfill_skips_inflight_admission(spark, tmp_path):
     ilc.admit_commit(q, "feedface")
     build_lsh_index(spark, corpus, bits=8)
     assert os.path.exists(os.path.join(q, "_stats", "_SUCCESS"))
+
+
+def test_corpus_curation_avg_rounds_ties_half_up(spark):
+    """r19 null sweep: avg_quality's old round(double_sum/n, 6) could
+    land the quotient exactly on a 7th-digit tie, where Spark rounds
+    the decimal repr (half-up) and DuckDB the binary double — a 1-ulp
+    hash split.  The average is now computed as round-half-up in exact
+    integer micro-units: floor((2a+n)/(2n)).  Pin the tie case."""
+    df = spark.createDataFrame(
+        [(0.000001,), (0.000002,)], "q double")
+    got = (df.agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum(F.round(F.col("q") * 1000000).cast("long"))
+                  .alias("__q_micro"))
+           .withColumn("avg",
+                       F.expr("(2 * __q_micro + n_docs) div (2 * n_docs)")
+                       / F.lit(1000000.0))
+           .collect()[0])
+    assert got.avg == 0.000002          # half-up of the exact 1.5 micro
+    import duckdb
+    want = duckdb.sql(
+        "SELECT CAST((2 * 3 + 2) // (2 * 2) AS DOUBLE) / 1000000"
+    ).fetchone()[0]
+    assert got.avg == want              # engine-identical integer path
+
+
+def test_quality_gate_bounds_population_is_scorable_docs(spark, tmp_path):
+    """r19 null sweep: quality_gate_approx_bounds counted ALL docs in n
+    (and derived every rank index from it) while approx_percentile and
+    collect_list silently drop null scores — a null-text doc shifted
+    the bracket indices and flipped within_rank_bounds with no real
+    sketch drift.  The population is now scorable docs only (the
+    fail-closed rule the percentile/GK siblings adopted in r18)."""
+    import os
+
+    from ringo_spark.operators.text import quality_gate_approx_bounds_df
+
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    (docs.withColumn("text",
+                     F.when(F.col("doc_id") % 7 == 0, F.lit(None))
+                     .otherwise(F.col("text")))
+     .write.parquet(f"{corpus}/documents.parquet"))
+
+    out = quality_gate_approx_bounds_df(spark, corpus).collect()
+    scorable = (spark.read.parquet(f"{corpus}/documents.parquet")
+                .where(F.col("text").isNotNull())
+                .groupBy("source").count())
+    want_n = {r.source: r["count"] for r in scorable.collect()}
+    assert {r.source: r.n for r in out} == want_n
+    assert all(r.within_rank_bounds for r in out)
