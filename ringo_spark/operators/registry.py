@@ -136,6 +136,13 @@ DRIVER_WINDOW: list[str] = [
     "ann_ivf_recall_bounds",
     "ann_rank_fusion",
     "ann_index_staleness",
+    # -- fourth batch (the r19 null sweeps at the per-row injection):
+    #    the exact integer micro-unit mean replaces the quotient-tie-
+    #    prone round(double_sum/n, 6) in both logprob rows (and in the
+    #    pinned corpus_curation; quality_gate_approx_bounds' scorable-
+    #    population fix is windowed above) --
+    "doc_logprob",
+    "doc_bigram_logprob",
     # -- the pre-committed r19 rotation (CORRECTNESS_WINDOW.md), floor-
     #    critical first: the 10 r12-rowed entries popped by the mid-r18
     #    null-sweep amendment — the freshness floor (FLOOR=7, current
@@ -160,16 +167,15 @@ DRIVER_WINDOW: list[str] = [
     "sample_weighted",
     "sample_weighted_stratified",
     "quality_gate_approx_bounds",
-    "zorder_layout",
-    "bpe_pair_counts",
-    # (the cohort's 15 newest rotate-backs — listagg value_histogram
+    # (the cohort's 17 newest rotate-backs — listagg value_histogram
     #  grouping_sets vocab_topk_cms_bounds q1_pricing_summary
     #  q6_forecast_revenue window_frames fact_events_by_second
     #  fact_orders_by_week user_value_ema, then text_quality_drift
     #  dedup_embedding dedup_ngram_jaccard dedup_lsh_recall_bounds
-    #  timeseries_gapfill — popped back to DISPLACED by the two mid-r19
-    #  code-changed front-loads above, per the r06 precedent; they lead
-    #  the r20 rotation with sample_hash_split)
+    #  timeseries_gapfill, then zorder_layout bpe_pair_counts — popped
+    #  back to DISPLACED by the mid-r19 code-changed front-loads above,
+    #  per the r06 precedent; they lead the r20 rotation with
+    #  sample_hash_split)
     # -- core schema-level pipeline (driver-green r02-r04 + r07; pinned) --
     "dim_event_type",
     "fact_events_by_minute",
@@ -224,6 +230,8 @@ DISPLACED: list[str] = [
     "dedup_ngram_jaccard",
     "dedup_lsh_recall_bounds",
     "timeseries_gapfill",
+    "zorder_layout",
+    "bpe_pair_counts",
     # -- newly displaced: the r18 window's rotating cohort (fresh r18
     #    driver rows; recency rotation per the pre-committed r19 plan) --
     "map_funcs",
@@ -310,12 +318,10 @@ DISPLACED: list[str] = [
     "q8_national_market_share",
     "q12_late_shipments",
     "sample_temperature",
-    "doc_bigram_logprob",
     "retention_cohorts",
     "event_funnel",
     "anomaly_zscore",
     "dedup_containment",
-    "doc_logprob",
     "dedup_minhash_lsh_capped",
     "dedup_embedding_lsh",
     "dedup_embedding_clusters",

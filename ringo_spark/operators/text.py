@@ -1015,12 +1015,17 @@ def doc_logprob_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (tok.join(vocab.crossJoin(F.broadcast(total)), "w")
               .groupBy("doc_id", "n_tokens")
               .agg(F.sum(nlp).alias("__sum_nlp")))
-    # cast the exact decimal sum to double BEFORE dividing: decimal
-    # division scale rules differ between engines, double division is
-    # the same IEEE op in both (the sum is ~11 significant digits, far
-    # inside exact double range)
-    mean_nlp = F.round(F.col("__sum_nlp").cast("double")
-                       / F.col("n_tokens"), 6)
+    # exact integer micro-unit mean with the quotient's half-up
+    # rounding done in pure integers (r19 null sweep, the
+    # corpus_curation fix): the decimal sum x 1e6 is an exact bigint in
+    # both engines, and floor((2a+n)/(2n)) is round-half-up of a/n —
+    # the old round(double_sum/n, 6) could land exactly on a 7th-digit
+    # tie, where Spark rounds the decimal repr and DuckDB the binary
+    # double (a 1-ulp hash split); micro/1e6 is one correctly-rounded
+    # IEEE division, identical across engines
+    mean_nlp = (F.expr("(2 * CAST(__sum_nlp * 1000000 AS BIGINT) "
+                       "+ n_tokens) div (2 * n_tokens)")
+                / F.lit(1000000.0))
     return scored.select(
         "doc_id", "n_tokens", mean_nlp.alias("mean_neg_logprob"),
         (mean_nlp > LOGPROB_HIGH).alias("is_surprising"))
@@ -1038,8 +1043,10 @@ scored AS (
   FROM tok JOIN vocab USING (w) CROSS JOIN tot
   GROUP BY doc_id, n_tokens)
 SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
-       round(CAST(sum_nlp AS DOUBLE) / n_tokens, 6) AS mean_neg_logprob,
-       round(CAST(sum_nlp AS DOUBLE) / n_tokens, 6) > {LOGPROB_HIGH}
+       CAST((2 * CAST(sum_nlp * 1000000 AS BIGINT) + n_tokens)
+            // (2 * n_tokens) AS DOUBLE) / 1000000 AS mean_neg_logprob,
+       CAST((2 * CAST(sum_nlp * 1000000 AS BIGINT) + n_tokens)
+            // (2 * n_tokens) AS DOUBLE) / 1000000 > {LOGPROB_HIGH}
          AS is_surprising
 FROM scored
 """
@@ -1146,8 +1153,11 @@ def doc_bigram_logprob_df(spark: SparkSession, sf_dir: str) -> DataFrame:
               .crossJoin(F.broadcast(total))
               .groupBy("doc_id", "n_bigrams")
               .agg(F.sum(nlp).alias("__sum_nlp")))
-    mean_nlp = F.round(F.col("__sum_nlp").cast("double")
-                       / F.col("n_bigrams"), 6)
+    # same exact integer micro-unit mean as doc_logprob (r19 null
+    # sweep: the round(double/n, 6) quotient-tie class)
+    mean_nlp = (F.expr("(2 * CAST(__sum_nlp * 1000000 AS BIGINT) "
+                       "+ n_bigrams) div (2 * n_bigrams)")
+                / F.lit(1000000.0))
     return scored.select(
         "doc_id", F.col("n_bigrams").cast("int").alias("n_bigrams"),
         mean_nlp.alias("mean_neg_logprob"),
@@ -1184,8 +1194,10 @@ scored AS (
   CROSS JOIN tot
   GROUP BY doc_id, n_bigrams)
 SELECT doc_id, CAST(n_bigrams AS INT) AS n_bigrams,
-       round(CAST(sum_nlp AS DOUBLE) / n_bigrams, 6) AS mean_neg_logprob,
-       round(CAST(sum_nlp AS DOUBLE) / n_bigrams, 6) > {BIGRAM_HIGH}
+       CAST((2 * CAST(sum_nlp * 1000000 AS BIGINT) + n_bigrams)
+            // (2 * n_bigrams) AS DOUBLE) / 1000000 AS mean_neg_logprob,
+       CAST((2 * CAST(sum_nlp * 1000000 AS BIGINT) + n_bigrams)
+            // (2 * n_bigrams) AS DOUBLE) / 1000000 > {BIGRAM_HIGH}
          AS is_surprising
 FROM scored
 """
