@@ -111,10 +111,15 @@ def _assert_small_scale(df: DataFrame, op: str, scale_path: str) -> DataFrame:
         # Unpivot, FlatMapCoGroupsInPandas etc. multiply rows too, and
         # a false positive here merely costs a count() — a false
         # negative admits an over-bound frame to a quadratic baseline
+        # Union is in the list not because it multiplies per row but
+        # because df.inputFiles() DEDUPLICATES paths: a self-union of
+        # one parquet reads the file set once, so the footer sum
+        # under-counts the frame 2x (r19 review) — route it to the
+        # estimate/count steps like any other exceeds-its-inputs shape
         row_multiplying = any(
             node in tree
             for node in ("Join", "Generate", "Expand", "CoGroup",
-                         "Unpivot"))
+                         "Unpivot", "Union"))
     except Exception:
         pass
     try:
@@ -393,6 +398,15 @@ def build_minhash_index(spark: SparkSession, sf_dir: str,
                                    f"p{NUM_PERM}b{BANDS}{c}-{tag}")
     if _ilc.serve_cached(index_path, "_INDEX_OK", force):
         return index_path
+    # a stale marker must not survive a crash mid-overwrite (the r17
+    # streaming chunk-index rule, r19 review): unlink BEFORE the
+    # rewrite, so a crash between the bands and shingles writes leaves
+    # an unmarked (rebuildable) dir instead of a torn index served as
+    # complete forever
+    try:
+        _os.remove(_os.path.join(index_path, "_INDEX_OK"))
+    except FileNotFoundError:
+        pass
     docs = _rep_docs(spark, sf_dir) if collapse else None
     shingled = _shingled(spark, sf_dir, docs=docs).persist()
     sigs = (shingled
@@ -419,19 +433,34 @@ def build_minhash_index(spark: SparkSession, sf_dir: str,
 
 
 def append_to_minhash_index(spark: SparkSession, index_path: str,
-                            batch_docs: DataFrame) -> None:
+                            batch_docs: DataFrame) -> bool:
     """Admit an ingestion batch into a persisted minhash index: the
     batch's band rows and shingle sets are APPENDED — the existing index
     never rewrites, so admission cost is O(batch), not O(corpus).  This
     is the steady-state lifecycle the incremental/streaming probes
     assume: probe the index (reject near-dups), then append the admitted
-    survivors.  Appending is idempotent-unsafe by design (append the
-    same doc twice and it will self-pair) — dedup first, exactly like
-    the probes do.
+    survivors.  Content duplicates remain the caller's job (append the
+    same text under two doc_ids and it will self-pair) — dedup first,
+    exactly like the probes do.
+
+    EXACTLY-once per batch via the kernel's admission ledger (r19
+    review — this was the one index append path without it; the
+    IVF/LSH vector appends gained theirs in r16): a lost-ack RETRY of
+    the same batch is a refused no-op (returns False), and a retry
+    after a mid-land crash appends only the rows each side is missing
+    — bands and shingles anti-join STORED doc_ids separately, which is
+    exact because a doc's band rows colocate in one append task
+    (narrow lineage from its one doc row), so per-side visibility is
+    all-or-nothing per doc.
 
     Equivalence: per-document signatures are independent, so an index
     built from the full corpus equals corpus-index + appended batches
     (pytest-pinned)."""
+    fp = _ilc.batch_fingerprint(batch_docs, ["doc_id", "text"])
+    state = _ilc.admit_state(index_path, fp)
+    if state == "done":
+        _ilc.touch(_os.path.join(index_path, "_INDEX_OK"))
+        return False
     shingled = (batch_docs
                 .select("doc_id", tokens(F.col("text")).alias("__toks"))
                 .select("doc_id",
@@ -441,14 +470,26 @@ def append_to_minhash_index(spark: SparkSession, index_path: str,
             .withColumn("hs", shingle_hashes(F.col("sh")))
             .select("doc_id",
                     minhash_signature(F.col("hs"), NUM_PERM).alias("sig")))
-    _band_rows(sigs).write.mode("append").parquet(
-        _os.path.join(index_path, "bands"))
-    shingled.write.mode("append").parquet(
-        _os.path.join(index_path, "shingles"))
+    bands = _band_rows(sigs)
+    bpath = _os.path.join(index_path, "bands")
+    spath = _os.path.join(index_path, "shingles")
+    if state == "torn":
+        bands = bands.join(
+            spark.read.parquet(bpath).select("doc_id").distinct(),
+            "doc_id", "left_anti")
+        shingled = shingled.join(
+            spark.read.parquet(spath).select("doc_id").distinct(),
+            "doc_id", "left_anti")
+    else:
+        _ilc.admit_intent(index_path, fp)
+    bands.write.mode("append").parquet(bpath)
+    shingled.write.mode("append").parquet(spath)
+    _ilc.admit_commit(index_path, fp)
     # appends land in subdirs, which leaves the index dir's own mtime at
     # build time — touch the marker so gc_index_root's LRU sees a LIVE,
     # append-maintained index as recently used and never collects it
     _ilc.touch(_os.path.join(index_path, "_INDEX_OK"))
+    return True
 
 
 def dedup_minhash_lsh_indexed_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -483,8 +524,12 @@ def dedup_minhash_lsh_deleted_df(spark: SparkSession,
     from .deletion import load_tombstones, tombstone_docs
 
     fp = _ilc.source_fingerprint(sf_dir, "documents.parquet")
+    # the layout version rides the tag exactly like the default path's
+    # (r19 review): a del index stored under the pre-deterministic
+    # layout must rebuild, not serve its machine-weather file count
     tag = _ilc.index_tag(
-        f"{_os.path.abspath(sf_dir)}|{NUM_PERM}|{BANDS}|{SHINGLE_N}|{fp}|del")
+        f"{_os.path.abspath(sf_dir)}|{NUM_PERM}|{BANDS}|{SHINGLE_N}|{fp}|del"
+        f"|{INDEX_LAYOUT_VERSION}")
     p = build_minhash_index(
         spark, sf_dir,
         index_path=_os.path.join(MINHASH_INDEX_ROOT, f"del-{tag}"))
@@ -1060,7 +1105,21 @@ def build_cluster_table(spark: SparkSession, sf_dir: str,
     invocation)."""
     p = build_minhash_index(spark, sf_dir)
     cpath = _os.path.join(p, "clusters")
-    if _ilc.serve_cached(p, "_CLUSTERS_OK", force):
+    if force:
+        # only the derived clusters/ subdir is rebuilt — do NOT route
+        # this through serve_cached(force=True): that archives the
+        # INDEX's batch-admission ledger, which describes the untouched
+        # bands/shingles (a forced cluster rebuild would wrongly reset
+        # append idempotency, and would refuse while an append is in
+        # flight).  Unlinking the marker up front also closes the
+        # stale-marker crash window: a crash mid-overwrite leaves an
+        # unmarked dir that rebuilds, never a torn (or pre-delete)
+        # cluster table served as complete (r19 review).
+        try:
+            _os.remove(_os.path.join(p, "_CLUSTERS_OK"))
+        except FileNotFoundError:
+            pass
+    elif _ilc.serve_cached(p, "_CLUSTERS_OK"):
         return cpath
     # same deterministic layout rule as the band/shingle writes: the
     # cluster table is at most one row per doc, so size its files from

@@ -143,6 +143,14 @@ DRIVER_WINDOW: list[str] = [
     #    population fix is windowed above) --
     "doc_logprob",
     "doc_bigram_logprob",
+    # -- fifth batch (the dedup.py full-module review): the quadratic-
+    #    baseline guard gained Union in its multiplying-node list
+    #    (self-union footer under-count) — these two run the guard;
+    #    the index-lifecycle fixes (stale-marker unlink, cluster-force
+    #    ledger scope, append admission ledger, del-tag layout version)
+    #    run inside the already-windowed indexed/deleted/cluster rows --
+    "dedup_embedding",
+    "dedup_ngram_jaccard",
     # -- the pre-committed r19 rotation (CORRECTNESS_WINDOW.md), floor-
     #    critical first: the 10 r12-rowed entries popped by the mid-r18
     #    null-sweep amendment — the freshness floor (FLOOR=7, current
@@ -164,18 +172,18 @@ DRIVER_WINDOW: list[str] = [
     #    deferral (heads DISPLACED / the r20 queue); any mid-r19
     #    code-changed front-load pops this block's TAIL to r20, which
     #    has the slack for it (r20 rotating slots ~30, queue ~1-5) --
-    "sample_weighted",
-    "sample_weighted_stratified",
     "quality_gate_approx_bounds",
-    # (the cohort's 17 newest rotate-backs — listagg value_histogram
+    # (the cohort's 19 newest rotate-backs — listagg value_histogram
     #  grouping_sets vocab_topk_cms_bounds q1_pricing_summary
     #  q6_forecast_revenue window_frames fact_events_by_second
     #  fact_orders_by_week user_value_ema, then text_quality_drift
     #  dedup_embedding dedup_ngram_jaccard dedup_lsh_recall_bounds
-    #  timeseries_gapfill, then zorder_layout bpe_pair_counts — popped
-    #  back to DISPLACED by the mid-r19 code-changed front-loads above,
-    #  per the r06 precedent; they lead the r20 rotation with
-    #  sample_hash_split)
+    #  timeseries_gapfill, then zorder_layout bpe_pair_counts, then
+    #  sample_weighted sample_weighted_stratified — popped back to
+    #  DISPLACED by the mid-r19 code-changed front-loads above, per the
+    #  r06 precedent; they lead the r20 rotation with sample_hash_split.
+    #  dedup_embedding and dedup_ngram_jaccard were popped by batch 3
+    #  and pulled back by batch 5 — net: windowed with fresh r19 rows)
     # -- core schema-level pipeline (driver-green r02-r04 + r07; pinned) --
     "dim_event_type",
     "fact_events_by_minute",
@@ -226,12 +234,12 @@ DISPLACED: list[str] = [
     "fact_orders_by_week",
     "user_value_ema",
     "text_quality_drift",
-    "dedup_embedding",
-    "dedup_ngram_jaccard",
     "dedup_lsh_recall_bounds",
     "timeseries_gapfill",
     "zorder_layout",
     "bpe_pair_counts",
+    "sample_weighted",
+    "sample_weighted_stratified",
     # -- newly displaced: the r18 window's rotating cohort (fresh r18
     #    driver rows; recency rotation per the pre-committed r19 plan) --
     "map_funcs",

@@ -3062,3 +3062,171 @@ def test_quality_gate_bounds_population_is_scorable_docs(spark, tmp_path):
     want_n = {r.source: r["count"] for r in scorable.collect()}
     assert {r.source: r.n for r in out} == want_n
     assert all(r.within_rank_bounds for r in out)
+
+
+# --- r19 dedup.py full-module review: lifecycle/guard fixes ------------------
+
+
+def _tmp_doc_corpus(spark, tmp_path, n_build=400):
+    """tmp-dir documents corpus split for index lifecycle tests."""
+    import os
+
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    docs.where(F.col("doc_id") < n_build).write.parquet(
+        f"{corpus}/documents.parquet")
+    return corpus, docs.where(F.col("doc_id") >= n_build)
+
+
+def test_minhash_force_rebuild_crash_leaves_no_stale_marker(
+        spark, tmp_path, monkeypatch):
+    """r19 dedup review: build_minhash_index(force=True) left the old
+    _INDEX_OK in place during the overwrite — a crash between the bands
+    and shingles writes served the torn index as complete forever.  The
+    marker is now unlinked before the rewrite (the r17 streaming
+    chunk-index rule)."""
+    import os
+
+    import ringo_spark.operators.dedup as dd
+
+    corpus, _batch = _tmp_doc_corpus(spark, tmp_path)
+    p = dd.build_minhash_index(spark, corpus)
+    assert os.path.exists(os.path.join(p, "_INDEX_OK"))
+
+    def boom(*_a, **_k):
+        raise RuntimeError("crash mid-rebuild")
+
+    monkeypatch.setattr(dd, "_shingled", boom)
+    with pytest.raises(RuntimeError, match="crash mid-rebuild"):
+        dd.build_minhash_index(spark, corpus, force=True)
+    # the torn rebuild must NOT look complete
+    assert not os.path.exists(os.path.join(p, "_INDEX_OK"))
+    monkeypatch.undo()
+    assert dd.build_minhash_index(spark, corpus) == p   # rebuilds clean
+    assert os.path.exists(os.path.join(p, "_INDEX_OK"))
+
+
+def test_cluster_force_rebuild_crash_and_ledger_scope(
+        spark, tmp_path, monkeypatch):
+    """r19 dedup review, two findings: (a) build_cluster_table's force
+    rebuild left _CLUSTERS_OK during the clusters overwrite — a crash
+    served the stale pre-delete table as complete (the documented GDPR
+    propagation path); (b) the force went through
+    serve_cached(force=True), which archives the INDEX's batch-
+    admission ledger even though bands/shingles are untouched."""
+    import os
+
+    import ringo_spark.index_lifecycle as ilc
+    import ringo_spark.operators.dedup as dd
+
+    corpus, _batch = _tmp_doc_corpus(spark, tmp_path)
+    cpath = dd.build_cluster_table(spark, corpus)
+    p = os.path.dirname(cpath)
+    assert os.path.exists(os.path.join(p, "_CLUSTERS_OK"))
+
+    # an admitted batch recorded against the INDEX must survive a
+    # forced CLUSTER rebuild (the ledger describes bands/shingles)
+    ilc.admit_intent(p, "cafebabe")
+    ilc.admit_commit(p, "cafebabe")
+
+    def boom(*_a, **_k):
+        raise RuntimeError("crash mid-cluster-rebuild")
+
+    monkeypatch.setattr(dd, "dedup_clusters_indexed_df", boom)
+    with pytest.raises(RuntimeError, match="crash mid-cluster-rebuild"):
+        dd.build_cluster_table(spark, corpus, force=True)
+    assert not os.path.exists(os.path.join(p, "_CLUSTERS_OK"))
+    monkeypatch.undo()
+    assert dd.build_cluster_table(spark, corpus) == cpath
+    assert os.path.exists(os.path.join(p, "_CLUSTERS_OK"))
+    # (b): the admission ledger was NOT archived by the cluster force
+    assert ilc.admit_state(p, "cafebabe") == "done"
+
+
+def test_minhash_append_is_exactly_once(spark, tmp_path):
+    """r19 dedup review: append_to_minhash_index was the one index
+    append path without the kernel's admission ledger — a lost-ack
+    retry of the same batch double-appended, and duplicate shingle rows
+    made _verify_pairs emit duplicated pairs.  A retry is now a refused
+    no-op and a torn retry lands only the missing rows."""
+    import os
+
+    import ringo_spark.index_lifecycle as ilc
+    import ringo_spark.operators.dedup as dd
+
+    corpus, batch = _tmp_doc_corpus(spark, tmp_path)
+    p = dd.build_minhash_index(spark, corpus)
+    nb = spark.read.parquet(os.path.join(p, "bands")).count()
+    ns = spark.read.parquet(os.path.join(p, "shingles")).count()
+
+    assert dd.append_to_minhash_index(spark, p, batch) is True
+    nb2 = spark.read.parquet(os.path.join(p, "bands")).count()
+    ns2 = spark.read.parquet(os.path.join(p, "shingles")).count()
+    assert nb2 > nb and ns2 > ns
+
+    # lost-ack retry: refused, nothing lands twice
+    assert dd.append_to_minhash_index(spark, p, batch) is False
+    assert spark.read.parquet(os.path.join(p, "bands")).count() == nb2
+    assert spark.read.parquet(os.path.join(p, "shingles")).count() == ns2
+
+    # torn retry (dangling intent, rows already landed): completes
+    # without duplicating — anti-join per side finds nothing missing
+    fp = ilc.batch_fingerprint(batch, ["doc_id", "text"])
+    ilc.archive_admissions(p)
+    ilc.admit_intent(p, fp)
+    assert dd.append_to_minhash_index(spark, p, batch) is True
+    assert spark.read.parquet(os.path.join(p, "bands")).count() == nb2
+    assert spark.read.parquet(os.path.join(p, "shingles")).count() == ns2
+    assert ilc.admit_state(p, fp) == "done"
+
+
+def test_deleted_index_tag_carries_layout_version(spark, tmp_path):
+    """r19 dedup review: the dedicated del-index tag omitted
+    INDEX_LAYOUT_VERSION, so a stale-layout del index would serve
+    forever while the default path rebuilt — the deleted-path bench
+    would keep measuring the machine-weather file layout the r19
+    deterministic-layout fix eliminated."""
+    import ringo_spark.operators.dedup as dd
+
+    corpus, _batch = _tmp_doc_corpus(spark, tmp_path)
+    import os
+
+    import ringo_spark.index_lifecycle as ilc
+
+    out = dd.dedup_minhash_lsh_deleted_df(spark, corpus)
+    assert out.count() >= 0   # builds + serves
+    # the served del dir's tag must be the layout-versioned one
+    fp = ilc.source_fingerprint(corpus, "documents.parquet")
+    base = (f"{os.path.abspath(corpus)}|{dd.NUM_PERM}|{dd.BANDS}|"
+            f"{dd.SHINGLE_N}|{fp}|del")
+    versioned = ilc.index_tag(base + f"|{dd.INDEX_LAYOUT_VERSION}")
+    assert os.path.isdir(os.path.join(dd.MINHASH_INDEX_ROOT,
+                                      f"del-{versioned}"))
+    # and it moves when the layout version does (stale layouts rebuild)
+    assert versioned != ilc.index_tag(base + "|L1")
+
+
+def test_assert_small_scale_self_union_is_not_footer_counted(
+        spark, tmp_path):
+    """r19 dedup review: Union was missing from the multiplying-node
+    list while df.inputFiles() deduplicates paths — a self-union's
+    footer sum under-counted the frame 2x and could admit an over-bound
+    frame to a quadratic baseline.  The union now routes to the
+    count() path, which rejects it."""
+    import ringo_spark.operators.dedup as dd
+
+    p = str(tmp_path / "wide.parquet")
+    # 60k rows x ~300 B of text: footer sum 60k (under the 100k cap),
+    # true union count 120k (over); wide rows keep the sizeInBytes
+    # free pass (64 B/row floor) from short-circuiting the count
+    (spark.range(60_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("x" * 290), F.col("id").cast("string"))
+        .alias("text"))
+     .write.parquet(p))
+    df = spark.read.parquet(p)
+    dd._assert_small_scale(df, "t", "alt")            # single scan: fine
+    u = df.union(df)                                   # 120k true rows
+    with pytest.raises(ValueError, match="quadratic exact baseline"):
+        dd._assert_small_scale(u, "t", "alt")
