@@ -61,3 +61,60 @@ def spread(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def _bytes_conf(val: str) -> int:
+    """Parse a Spark size conf value ('8m', '128m', '1g', plain bytes)."""
+    s = str(val).strip().lower()
+    mult = 1
+    for suf, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                   ("b", 1)):
+        if s.endswith(suf):
+            s, mult = s[: -len(suf)], m
+            break
+    return int(float(s)) * mult
+
+
+def spread_source(df: DataFrame, *source_paths: str) -> DataFrame:
+    """Widen a compute-bound frame whose parallelism is BOUNDED BY an
+    under-split source scan, decided entirely DRIVER-SIDE (no partition
+    probe — safe on multi-stage plans where ``spread``'s ``df.rdd``
+    probe would execute the AQE plan as a throwaway job, r17 review).
+
+    The bound argument: every narrow/broadcast-join descendant of a scan
+    has at most the scan's split count; AQE post-shuffle coalescing can
+    only shrink it further.  So when the *source files* of ``df`` pack
+    into fewer splits than the session's parallelism (split estimate =
+    ceil(bytes / maxPartitionBytes) per file, the scan packer's upper
+    bound), downstream map stages — shingling, signature building — are
+    provably under-parallelized and a round-robin widen is worth its
+    tiny shuffle.  On a many-split real corpus the estimate exceeds
+    parallelism and this is the identity: no down-shuffle, no plan
+    change, exactly like ``spread`` on a well-split scan."""
+    import math
+    import os
+
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        mpb = _bytes_conf(spark.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728"))
+    except Exception:
+        mpb = 128 << 20
+    splits = 0
+    for p in source_paths:
+        try:
+            if os.path.isdir(p):
+                for root, _dirs, files in os.walk(p):
+                    for f in files:
+                        if f.startswith(("_", ".")):
+                            continue
+                        splits += max(1, math.ceil(
+                            os.path.getsize(os.path.join(root, f)) / mpb))
+            else:
+                splits += max(1, math.ceil(os.path.getsize(p) / mpb))
+        except OSError:
+            return df   # unreadable source (remote FS): leave the plan alone
+        if splits >= target:
+            return df
+    return df.repartition(target)

@@ -177,20 +177,35 @@ def _shingled(spark: SparkSession, sf_dir: str,
     # CPU-bound, so widen under-split scans across cores first (spread
     # is conditional: on a many-split real corpus it is the identity —
     # the old unconditional repartition(cores) would have DOWN-shuffled
-    # a well-split corpus).
+    # a well-split corpus).  ``spread_source`` decides driver-side from
+    # the parquet footprint, so the docs-given (collapsed-reps) path —
+    # whose multi-stage plan ``spread`` must refuse to probe — widens
+    # too instead of inheriting the AQE-coalesced (often single)
+    # post-join partitioning for the heaviest map stage in the repo.
     #
     # Tokens are materialized in their OWN projection: shingles() refers
     # to its input three times (sequence bound, transform body, guard),
     # and CollapseProject won't inline a non-cheap split() used thrice —
     # inline, the split ran 3x per row (measured 3.6s -> 2.8s at sf0.1).
-    from ..functions.spread import spread
+    #
+    # The emptiness filter is applied BELOW the widening exchange as a
+    # token-count bound (r19 opt): ``size(sh) > 0`` above the exchange
+    # is pushed through it by the optimizer, which re-evaluates the
+    # whole shingle pipeline under the exchange — on an under-split
+    # scan that ran the entire corpus' shingling in ONE task (3.6s of
+    # the old 4.3s dedup_minhash_lsh wall) and then AGAIN distributed.
+    # ``size(tokens) >= n`` is the same predicate (shingles() yields a
+    # non-empty array iff the doc has >= n tokens) over the cheap
+    # split() only.
+    from ..functions.spread import spread_source
 
     if docs is None:
         docs = _docs(spark, sf_dir)
-    return (spread(docs)
+    kept = docs.where(F.size(tokens(F.col("text"))) >= SHINGLE_N)
+    return (spread_source(kept, f"{sf_dir}/documents.parquet")
             .select("doc_id", tokens(F.col("text")).alias("__toks"))
-            .select("doc_id", shingles(F.col("__toks"), SHINGLE_N).alias("sh"))
-            .where(F.size("sh") > 0))
+            .select("doc_id",
+                    shingles(F.col("__toks"), SHINGLE_N).alias("sh")))
 
 
 def _band_rows(sigs: DataFrame, bands: int = BANDS) -> DataFrame:
@@ -461,11 +476,15 @@ def append_to_minhash_index(spark: SparkSession, index_path: str,
     if state == "done":
         _ilc.touch(_os.path.join(index_path, "_INDEX_OK"))
         return False
+    # emptiness guard as a token-count bound BELOW the projection (r19
+    # opt, the dedup._shingled fix): ``size(sh) > 0`` above it is
+    # predicate-pushed under the Project and re-evaluates the shingle
+    # pipeline once in the pushed filter and again in the projection
     shingled = (batch_docs
+                .where(F.size(tokens(F.col("text"))) >= SHINGLE_N)
                 .select("doc_id", tokens(F.col("text")).alias("__toks"))
                 .select("doc_id",
-                        shingles(F.col("__toks"), SHINGLE_N).alias("sh"))
-                .where(F.size("sh") > 0))
+                        shingles(F.col("__toks"), SHINGLE_N).alias("sh")))
     sigs = (shingled
             .withColumn("hs", shingle_hashes(F.col("sh")))
             .select("doc_id",

@@ -38,6 +38,8 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.localrel import literal_df
+
 from .. import index_lifecycle as _ilc
 
 TOMBSTONES = "_tombstones"
@@ -53,7 +55,7 @@ def tombstone_docs(spark: SparkSession, index_path: str, ids,
     append to the tombstone log; no index data is touched.  Idempotent
     for readers (they distinct the log), so retrying a request is
     harmless."""
-    df = spark.createDataFrame([(int(i),) for i in ids],
+    df = literal_df(spark, [(int(i),) for i in ids],
                                f"{id_col} LONG")
     df.coalesce(1).write.mode("append").parquet(
         os.path.join(index_path, TOMBSTONES))
@@ -249,5 +251,5 @@ def delete_report(spark: SparkSession, index_path: str,
         masked = 0 if tombs is None else \
             total - subtract_tombstones(df, tombs, id_col).count()
         rows.append((sub, total, masked))
-    return spark.createDataFrame(
+    return literal_df(spark, 
         rows, "subdir string, total_rows long, masked_rows long")

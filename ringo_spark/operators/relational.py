@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.localrel import literal_df
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -344,7 +346,7 @@ def range_join_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import load_catalog
     from ..testbed import EVENTS
 
-    tiers = spark.createDataFrame(RANGE_TIERS, "lo INT, hi INT, tier STRING")
+    tiers = literal_df(spark, RANGE_TIERS, "lo INT, hi INT, tier STRING")
     ev = load_catalog(spark, sf_dir, [EVENTS])["events"].select(
         F.col("value").cast("decimal(18,2)").alias("value"))
     joined = ev.join(F.broadcast(tiers),

@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import index_lifecycle as _ilc
+from ..functions.localrel import literal_df
 from .textfn import cosine, dot, sql_cosine
 
 TOP_K = 10
@@ -660,7 +661,7 @@ def _with_cell_join(df: DataFrame, cent_rows, out: str = "cell",
     whose size is independent of K — at the production ~sqrt(N)
     centroid count this is the only viable shape."""
     spark = df.sparkSession
-    cent_df = spark.createDataFrame(
+    cent_df = literal_df(spark, 
         [(int(c), [float(x) for x in v]) for c, v in cent_rows],
         "cid int, cvec array<double>")
     s = F.round(cosine(F.col("embedding"), F.col("cvec")), 6)
@@ -687,7 +688,18 @@ def _with_cell(df: DataFrame, cent_rows, out: str = "cell") -> DataFrame:
     folds).  The round-6 trajectory the DuckDB oracle replays is
     unchanged.
 
-    Above CELL_ASSIGN_LITERAL_MAX_K the literal tree itself is the
+    r19 opt — the K-branch ``greatest(struct, ...)`` chain is gone: the
+    centroids now ride as ONE array-of-structs literal (ConstantFolding
+    collapses the all-literal CreateArray into a single Literal on the
+    first optimizer pass) and the argmax is
+    ``array_max(transform(lit_arr, score))``.  Same values — array_max
+    uses the identical lexicographic struct ordering greatest did (max
+    score, ties to max cid) — but the plan is O(1) in K instead of K
+    score-expression branches, which at K=16 x dim=64 cost seconds of
+    driver-side optimization per query and an interpreted
+    greatest-chain evaluation per row.
+
+    Above CELL_ASSIGN_LITERAL_MAX_K the literal array itself is the
     bottleneck and this switches to :func:`_with_cell_join` (same
     assignment, pytest-pinned equal; requires a ``vec_id`` column)."""
     import math
@@ -696,16 +708,20 @@ def _with_cell(df: DataFrame, cent_rows, out: str = "cell") -> DataFrame:
         return _with_cell_join(df, cent_rows, out)
     e = F.col("embedding")
     norm = f"__{out}_norm_a"
-    scs = []
+    cents = []
     for cid, cvec_vals in cent_rows:
         b_acc = 0.0
         for x in cvec_vals:
             b_acc += float(x) * float(x)
-        cvec = F.array(*[F.lit(float(x)) for x in cvec_vals])
-        s = F.round(dot(e, cvec) / (F.col(norm) * F.lit(math.sqrt(b_acc))), 6)
-        scs.append(F.struct(s.alias("s"), F.lit(int(cid)).alias("cid")))
-    cell = F.greatest(*scs).getField("cid") if len(scs) > 1 \
-        else scs[0].getField("cid")
+        cents.append(F.struct(
+            F.lit(int(cid)).alias("cid"),
+            F.array(*[F.lit(float(x)) for x in cvec_vals]).alias("cvec"),
+            F.lit(math.sqrt(b_acc)).alias("bnorm")))
+    score = lambda c: F.struct(  # noqa: E731
+        F.round(dot(e, c.getField("cvec"))
+                / (F.col(norm) * c.getField("bnorm")), 6).alias("s"),
+        c.getField("cid").alias("cid"))
+    cell = F.array_max(F.transform(F.array(*cents), score)).getField("cid")
     return (df.withColumn(norm, F.sqrt(dot(e, e)))
             .withColumn(out, cell)
             .drop(norm))
@@ -792,7 +808,7 @@ def build_ivf_index(spark: SparkSession, sf_dir: str,
     # persist the centroids INSIDE the index (underscore prefix: data
     # discovery ignores it) — appends must assign with the exact same
     # centroid set or cell routing silently diverges from the stored data
-    (spark.createDataFrame([(int(c), [float(x) for x in v])
+    (literal_df(spark, [(int(c), [float(x) for x in v])
                             for c, v in cent_rows], "cid int, cvec array<double>")
      .coalesce(1).write.mode("overwrite")
      .parquet(os.path.join(index_path, "_centroids")))
@@ -1033,7 +1049,7 @@ def _label_cells(df: DataFrame, cent_rows) -> DataFrame:
     sc = F.round(cosine(F.col("embedding"), F.col("cvec")), 6)
     return (df.select(F.monotonically_increasing_id().alias("__rid"),
                       "embedding")
-            .crossJoin(F.broadcast(spark.createDataFrame(
+            .crossJoin(F.broadcast(literal_df(spark, 
                 [(int(c), [float(x) for x in v]) for c, v in cent_rows],
                 "cid int, cvec array<double>")))
             .groupBy("__rid")
@@ -1067,7 +1083,7 @@ def _assigned_cell_stats(assigned: DataFrame, cent_rows) -> DataFrame:
     round(cosine, 6) expression as :func:`_label_cells`, so assigned
     and argmax scoring can never disagree on a value."""
     spark = assigned.sparkSession
-    cent_df = spark.createDataFrame(
+    cent_df = literal_df(spark, 
         [(int(c), [float(x) for x in v]) for c, v in cent_rows],
         "cell int, cvec array<double>")
     sc = F.round(cosine(F.col("embedding"), F.col("cvec")), 6)
@@ -1151,7 +1167,7 @@ def _ivf_stored_cell_stats(spark: SparkSession, index_path: str,
             agg[1] += int(qs)
         if sum(v[0] for v in per.values()) != _data_meta_rows(index_path):
             return None
-        return spark.createDataFrame(
+        return literal_df(spark, 
             [(cell, v[0], v[1]) for cell, v in sorted(per.items())],
             "cell int, c long, qs long")
 
@@ -1366,7 +1382,7 @@ def retrain_ivf_index(spark: SparkSession, index_path: str,
          .repartition(F.col("cell"),
                       F.pmod(F.col("vec_id"), F.lit(BUILD_WRITERS_PER_CELL)))
          .write.mode("overwrite").partitionBy("cell").parquet(tmp))
-        (spark.createDataFrame(cent, "cid int, cvec array<double>")
+        (literal_df(spark, cent, "cid int, cvec array<double>")
          .coalesce(1).write.mode("overwrite")
          .parquet(os.path.join(tmp, "_centroids")))
         # stats from the just-written replacement tree (cells ride the
@@ -1637,15 +1653,24 @@ IVF_KMEANS_ITERS = 2
 
 # Training-assignment strategy.  "join" scores against the centroids as
 # broadcast DATA and takes the per-vector argmax as a groupBy-max struct
-# that CARRIES the embedding (no join-back) — measured 2.1x faster than
-# the literal tree at sf0.1 even at the contract K=16 (8.7s -> 4.1s per
-# training run; interpreted higher-order folds dominate the literal
-# path's cost), and the only viable form past the K=64 literal gate.
-# Cost honesty: it adds one corpus-row-width shuffle (the vec_id argmax)
+# that CARRIES the embedding (no join-back) — the only viable form past
+# the K=64 literal gate, and re-confirmed fastest for the TRAINING loop
+# in the r19 optimization pass.  The literal form was re-tried twice in
+# r19: the greatest-chain regressed the query 5.7s -> 23s (K
+# score-expression branches inflate driver-side optimization by
+# seconds), and even the O(1)-plan array_max rewrite (now in
+# ``_with_cell``) is JIT-warm-up-bound — its per-iteration stage CPU
+# measured 17.2s / 5.8s / 0.7s over three repeats vs the join form's
+# stable 1.9-2.1s, so under the bench's min-of-2 protocol (and any
+# first-run-counts setting) the join form wins; the literal form only
+# pulls ahead on a long-lived session re-running the SAME expression.
+# The join form's former side costs are gone instead: its centroid
+# frame now builds Python-worker-free (functions/localrel.py).  Cost
+# honesty: it adds one corpus-row-width shuffle (the vec_id argmax)
 # per iteration on top of the update's cell shuffle, where the literal
-# form's assignment is map-only — on a network-bound cluster with small
-# K, set "literal" back.  Assignment VALUES are identical either way
-# (same round(cosine, 6); pytest-pinned), so the oracle-replayed
+# form's assignment is map-only — on a network-bound cluster with
+# small K, set "literal" back.  Assignment VALUES are identical either
+# way (same round(cosine, 6); pytest-pinned), so the oracle-replayed
 # trajectory does not depend on this switch.
 IVF_TRAIN_ASSIGN = "join"    # "join" | "literal"
 
@@ -1658,7 +1683,7 @@ def _train_cells(emb: DataFrame, cent) -> DataFrame:
     if IVF_TRAIN_ASSIGN == "literal":
         return _with_cell(emb, cent).select("cell", "embedding")
     spark = emb.sparkSession
-    cent_df = spark.createDataFrame(
+    cent_df = literal_df(spark, 
         [(int(c), [float(x) for x in v]) for c, v in cent],
         "cid int, cvec array<double>")
     s = F.round(cosine(F.col("embedding"), F.col("cvec")), 6)
@@ -1742,7 +1767,7 @@ def ann_ivf_kmeans_df(spark: SparkSession, sf_dir: str,
     emb = _emb(spark, sf_dir)
     assign = _with_cell_join if IVF_TRAIN_ASSIGN == "join" else _with_cell
     cells = assign(emb, cent).select("vec_id", "embedding", "cell")
-    cent_df = spark.createDataFrame(
+    cent_df = literal_df(spark, 
         [(cid, cvec) for cid, cvec in cent],
         "cid int, cvec array<double>")
     q = emb.where(F.col("vec_id") < LSH_N_QUERIES) \
@@ -2189,7 +2214,7 @@ def _lsh_stored_bucket_stats(spark: SparkSession,
             per[int(b)] = per.get(int(b), 0) + int(c)
         if sum(per.values()) != _data_meta_rows(index_path):
             return None
-        return spark.createDataFrame(
+        return literal_df(spark, 
             sorted(per.items()), "bucket int, c long")
 
     stats_path = os.path.join(index_path, LSH_STATS)
@@ -2512,7 +2537,7 @@ def train_pq_codebooks(spark: SparkSession, sf_dir: str) -> dict:
     init = _pq_subspace_rows(emb.where(F.col("vec_id") < PQ_K)).collect()
     cb = {(r.m, r.vec_id): [float(x) for x in r.sv] for r in init}
     for _ in range(PQ_ITERS):
-        cb_df = spark.createDataFrame(
+        cb_df = literal_df(spark, 
             [(m, c, v) for (m, c), v in sorted(cb.items())],
             "m int, cid int, cvec array<double>")
         assigned = (sub.join(F.broadcast(cb_df), "m")
@@ -2587,7 +2612,7 @@ def build_pq_index(spark: SparkSession, sf_dir: str,
                               force):
         return index_path
     cb = train_pq_codebooks(spark, sf_dir)
-    cb_df = spark.createDataFrame(
+    cb_df = literal_df(spark, 
         [(m, c, v) for (m, c), v in sorted(cb.items())],
         "m int, cid int, cvec array<double>")
     emb = _emb(spark, sf_dir)

@@ -7,6 +7,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.localrel import literal_df
+
 from .textfn import sql_phash, sql_shingles, sql_tokens, tokens
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in"]
@@ -811,30 +813,48 @@ def benchmark_contamination_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.spread import spread
     from .textfn import shingles
 
+    # The emptiness guard rides BELOW the spread exchange as a
+    # token-count bound (r19 opt, same fix as dedup._shingled): a
+    # ``size(sh) > 0`` filter above the exchange is pushed through it
+    # and re-evaluates the whole 5-gram shingling under the exchange —
+    # single-task on an under-split scan — then again distributed.
+    # ``size(tokens) >= n`` is the identical predicate over the cheap
+    # split() only.
     def _sh(docs):
         return (docs
                 .select("doc_id", tokens(F.col("text")).alias("__toks"))
                 .select("doc_id",
-                        shingles(F.col("__toks"), CONTAM_N).alias("sh"))
-                .where(F.size("sh") > 0))
+                        shingles(F.col("__toks"), CONTAM_N).alias("sh")))
 
-    # The two sides shingle from SEPARATE scans on purpose: the bench
-    # side keeps its doc_id filter AT the scan (a shared spread scan
-    # would put a round-robin exchange below the filter and shuffle the
-    # whole corpus just to find the benchmark docs), while the
-    # corpus-sized train side — where the 5-gram shingling + the
-    # 4k-shingle/doc explode are the cost — widens an under-split scan
-    # across cores first (identity on a real corpus).
+    def _kept(docs):
+        return docs.where(F.size(tokens(F.col("text"))) >= CONTAM_N)
+
+    # The two sides shingle from SEPARATE scans on purpose: each side
+    # keeps its doc_id filter AT the scan (a shared spread scan would
+    # put a round-robin exchange below the filters and shuffle the
+    # whole corpus undivided), then widens the under-split case ABOVE
+    # its filter (identity on a real corpus).  The bench side spreads
+    # too (r19 opt): its 5-gram shingling ran as ONE task — 5.4s of the
+    # old 6.6s wall — because the filtered scan stays at the scan's
+    # split count; the exchange above the filter moves only bench docs.
+    # explode_outer, NOT explode (r19 opt): a non-outer Generate makes
+    # the optimizer INFER ``size(sh) > 0`` below it
+    # (InferFiltersFromGenerate) and push that filter through the
+    # spread exchange — re-evaluating the whole shingle pipeline
+    # single-task under the exchange, exactly the duplication the
+    # ``_kept`` rewrite removed.  ``_kept`` already guarantees every
+    # row's sh is non-null and non-empty (>= CONTAM_N tokens), so the
+    # outer explode emits the identical rows.
     docs = _docs(spark, sf_dir)
-    bench = (_sh(docs.where(F.col("doc_id") < BENCHMARK_BELOW))
-             .select(F.explode("sh").alias("g")).distinct())
+    bench = (_sh(spread(_kept(docs.where(F.col("doc_id") < BENCHMARK_BELOW))))
+             .select(F.explode_outer("sh").alias("g")).distinct())
     # single shingling pass over the train side: n_shingles rides the
     # explode and the hit flag comes from a LEFT join (every exploded
     # row survives, so every train doc reaches the aggregate — no second
     # scan to recover zero-hit docs)
-    train = (_sh(spread(docs.where(F.col("doc_id") >= BENCHMARK_BELOW)))
+    train = (_sh(spread(_kept(docs.where(F.col("doc_id") >= BENCHMARK_BELOW))))
              .select("doc_id", F.size("sh").alias("n_shingles"),
-                     F.explode("sh").alias("g")))
+                     F.explode_outer("sh").alias("g")))
     counted = (train.join(F.broadcast(bench.withColumn("__hit", F.lit(1))),
                           "g", "left")
                .groupBy("doc_id", "n_shingles")
@@ -1252,7 +1272,7 @@ def vocab_topk_cms_bounds_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         est = cms.estimateCount(r.token)
         ok = bool(r.exact_count <= est <= r.exact_count + CMS_EPS * n)
         rows.append((r.token, r.exact_count, ok))
-    return spark.createDataFrame(
+    return literal_df(spark, 
         rows, "token string, exact_count long, within_cms_bounds boolean")
 
 
@@ -1448,7 +1468,7 @@ def build_bpe_tokenizer(spark: SparkSession, sf_dir: str,
     if _ilc.serve_cached(path, "_BPE_OK", force):
         return path
     merges, word_map = train_bpe_merges(spark, sf_dir, n_merges)
-    (spark.createDataFrame(
+    (literal_df(spark, 
         merges, "merge_rank int, a string, b string, pair_count long")
      .coalesce(1).write.mode("overwrite")
      .parquet(os.path.join(path, "merges")))
@@ -1548,7 +1568,7 @@ def train_bpe_merges(spark: SparkSession, sf_dir: str,
         vocab.unpersist()
         merges, state = bpe_train_merges_local(wc, n_merges,
                                                return_state=True)
-        word_map = spark.createDataFrame(
+        word_map = literal_df(spark, 
             [(w, " ".join(syms), len(syms))
              for w, syms in sorted(state.items())],
             "w string, sym_str string, ns int")

@@ -107,12 +107,16 @@ def streaming_near_dedup(index_path: str,
             # ONE action — unpersisted, the CPU-bound tokenize+shingle
             # ran twice per trigger (r17 review; build_minhash_index
             # persists for the same reason)
+            # emptiness guard as a token-count bound BELOW the
+            # projection (r19 opt, the dedup._shingled fix): the
+            # ``size(sh) > 0`` form is predicate-pushed under the
+            # Project and shingles every row twice
             shingled = (batch_df
+                        .where(F.size(tokens(F.col(text_col))) >= SHINGLE_N)
                         .select(F.col(id_col).alias("doc_id"),
                                 tokens(F.col(text_col)).alias("__toks"))
                         .select("doc_id",
                                 shingles(F.col("__toks"), SHINGLE_N).alias("sh"))
-                        .where(F.size("sh") > 0)
                         .persist())
             try:
                 sigs = (shingled

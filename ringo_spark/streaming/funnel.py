@@ -45,6 +45,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ..functions.localrel import literal_df
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..operators.session import FUNNEL_STEPS
@@ -162,7 +164,7 @@ def funnel_counts(updates: DataFrame) -> DataFrame:
                       .alias("step_idx"))
               .groupBy("step_idx")
               .agg(F.count(F.lit(1)).alias("users_reached")))
-    names = spark.createDataFrame(
+    names = literal_df(spark, 
         [(i + 1, s) for i, s in enumerate(FUNNEL_STEPS)],
         "step_idx int, step string")
     # left join from the step list: a step no user reached still emits

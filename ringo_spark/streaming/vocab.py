@@ -36,6 +36,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.localrel import literal_df
+
 from ..operators.text import CMS_CONFIDENCE, CMS_EPS, CMS_SEED
 from ..operators.textfn import tokens
 
@@ -231,9 +233,9 @@ def cms_vocab_snapshot(spark: SparkSession, sink_path: str,
         est = merged.estimateCount(t) if merged is not None else 0
         ok = bool(exact[t] <= est <= exact[t] + CMS_EPS * n_total)
         rows.append((t, exact[t], int(est), ok))
-    return spark.createDataFrame(
-        rows, "token string, exact_count long, cms_estimate long, "
-              "within_cms_bounds boolean")
+    return literal_df(
+        spark, rows, "token string, exact_count long, cms_estimate long, "
+                     "within_cms_bounds boolean")
 
 
 # --- registered driver row (r14, VERDICT r13 item 8) -------------------------
