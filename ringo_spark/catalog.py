@@ -82,10 +82,20 @@ def get_spark(app_name: str = "ringo-spark", cpus: str | int = "*") -> SparkSess
     aggregation) as a single task.  8m splits the file across cores —
     the local analogue of the many-split layout a real corpus has.  At
     cluster scale leave the default (or size to executor memory) via
-    SPARK_GRAFT_MAX_PARTITION_BYTES."""
+    SPARK_GRAFT_MAX_PARTITION_BYTES.
+
+    coalescePartitions.minPartitionSize (r19 opt, guide §2): with
+    parallelismFirst (default on), AQE coalesces small shuffles down to
+    ``max(bytes / minPartitionSize, parallelism)`` partitions — at the
+    default 1m floor a CPU-dense 9 MB exchange (dedup cluster
+    propagation, per-pair cosine verification) collapses to ~9 tasks on
+    32 cores.  256k keeps such stages at full width; on a real cluster
+    the shuffles that matter dwarf both floors, so the setting is inert
+    there (env-tunable like maxPartitionBytes)."""
     import os
 
     mpb = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m")
+    mps = os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "256k")
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -93,6 +103,8 @@ def get_spark(app_name: str = "ringo-spark", cpus: str | int = "*") -> SparkSess
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                mps)
         .config("spark.sql.files.maxPartitionBytes", mpb)
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -50,6 +50,17 @@ def _be32(col) -> F.Column:
     return F.unhex(F.lpad(F.hex(col.cast("bigint")), 8, "0"))
 
 
+# r19 opt note — the documents scan is deliberately NOT widened here:
+# a spread_source widening of the single-split scan was tried (more
+# Python-worker lanes for the mapInPandas chains) and measured WORSE on
+# every lane (fresh-JVM min-of-2: frames 2.83->3.68s, wav_samples
+# 0.96->2.27s) — at this corpus size the per-partition task/worker/Arrow
+# overhead of 32 lanes exceeds the serial Python compute, and on a real
+# many-split corpus the widening is the identity anyway (the scan
+# already has the lanes).  Kernels stay partitioning-independent, so
+# revisiting this needs only the measurement, not a correctness pass.
+
+
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media table with REAL PNG payloads built JVM-side: signature +
     IHDR (width/height derived deterministically from the text length,

@@ -278,12 +278,33 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _emb_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings corpus widened across cores when its scan is
+    under-split (r19 opt, guide §2): every corpus-side consumer here
+    runs dim-64 interpreted folds per row (cosine scoring, argmax cell
+    assignment, signature hashing) — pure CPU that nothing downstream
+    re-parallelizes now that the assignment paths are map-only, so an
+    under-split scan pins seconds of vector math to one core.
+    ``spread_source`` decides driver-side from the parquet footprint
+    and is the identity on a well-split corpus (no down-shuffle, no
+    plan change).  Query-side frames (a handful of filtered vectors)
+    keep the plain ``_emb`` scan — widening them would buy nothing and
+    cost an exchange."""
+    from ..functions.spread import spread_source
+
+    return spread_source(_emb(spark, sf_dir),
+                         f"{sf_dir}/embeddings.parquet")
+
+
 def ann_cosine_topk_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 cosine neighbors for the first 5 query vectors."""
-    emb = _emb(spark, sf_dir)
-    q = emb.where(F.col("vec_id") < N_QUERIES) \
-           .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
-    c = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"))
+    # corpus side from the widened scan (r19 opt, see _emb_wide): the
+    # Q x N cosine scoring is map-only CPU in the corpus scan stage;
+    # the query side keeps its filter at a plain scan
+    q = _emb(spark, sf_dir).where(F.col("vec_id") < N_QUERIES) \
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    c = _emb_wide(spark, sf_dir).select(F.col("vec_id").alias("n_id"),
+                                        F.col("embedding").alias("n_emb"))
     scored = (c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
               .select("q_id", "n_id",
                       F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6)
@@ -326,6 +347,10 @@ def ann_lsh_bucketed_df(spark: SparkSession, sf_dir: str,
     corpus size, which is what the static oracle SQL encodes)."""
     if bits is None:
         bits = _auto_ann_bits(spark, sf_dir)
+    # corpus side deliberately NOT widened (r19 opt, measured): the
+    # per-row work here is the bits-dot bucket hash plus cosine on the
+    # few IN-BUCKET matches only — in a warm session that is cheaper
+    # than the corpus-wide widening exchange (bench +0.27s when tried)
     emb = _emb(spark, sf_dir).withColumn(
         "bucket", _bucket_expr(F.col("embedding"), bits))
     q = emb.where(F.col("vec_id") < LSH_N_QUERIES) \
@@ -367,6 +392,7 @@ def ann_lsh_multiprobe_df(spark: SparkSession, sf_dir: str,
          .select(F.col("vec_id").alias("q_id"),
                  F.col("embedding").alias("q_emb"),
                  F.explode(probes).alias("bucket")))
+    # corpus side deliberately not widened (see ann_lsh_bucketed_df)
     c = emb.select(F.col("vec_id").alias("n_id"),
                    F.col("embedding").alias("n_emb"), "bucket")
     scored = (c.join(F.broadcast(q), ["bucket"])
@@ -499,25 +525,26 @@ def ann_ivf_df(spark: SparkSession, sf_dir: str, k: int | None = None,
     cent = (emb.where(F.col("vec_id") < k)
             .select(F.col("vec_id").alias("cid"),
                     F.col("embedding").alias("cvec")))
-    sim = F.round(cosine(F.col("embedding"), F.col("cvec")), 6)
-    scored_cells = (emb.crossJoin(F.broadcast(cent))
-                    .select("vec_id", F.struct(sim.alias("s"),
-                                               F.col("cid").alias("cid"))
-                            .alias("sc")))
-    # argmax(sim) with deterministic ties (max cid) via lexicographic
-    # struct max — map-side combine keeps the shuffle to one row per vector
-    cells = (scored_cells.groupBy("vec_id")
-             .agg(F.max("sc").alias("b"))
-             .select("vec_id", F.col("b.cid").alias("cell")))
+    # map-only argmax against the K centroids folded into ONE broadcast
+    # array-of-structs row (r19 opt, the _with_cell_join form): same
+    # round(cosine, 6) lexicographic (s, cid) max the groupBy-max-struct
+    # form computed (ties to max cid), but with NO N x K row explosion,
+    # NO corpus shuffle, and — because the assignment carries the
+    # embedding through — no cells-to-emb join-back either.  The corpus
+    # scan is widened first (see _emb_wide): the scoring is now pure
+    # map CPU that nothing downstream re-parallelizes.
+    cells = (_emb_wide(spark, sf_dir)
+             .crossJoin(F.broadcast(_cent_arr(cent)))
+             .withColumn("cell", _argmax_score("__cents").getField("cid"))
+             .drop("__cents"))
 
     q = emb.where(F.col("vec_id") < LSH_N_QUERIES) \
            .select(F.col("vec_id").alias("q_id"),
                    F.col("embedding").alias("q_emb"))
     probes = _probe_cells(q, cent, nprobe)
 
-    cand = (cells.join(emb, "vec_id")
-            .select(F.col("vec_id").alias("n_id"),
-                    F.col("embedding").alias("n_emb"), "cell")
+    cand = (cells.select(F.col("vec_id").alias("n_id"),
+                         F.col("embedding").alias("n_emb"), "cell")
             .join(F.broadcast(probes), "cell")
             .where(F.col("q_id") != F.col("n_id")))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
@@ -649,29 +676,52 @@ def _cell_expr(cent_rows) -> F.Column:
     return F.greatest(*scs).getField("cid") if len(scs) > 1 else scs[0].getField("cid")
 
 
+def _cent_arr(cent_df: DataFrame, arr_col: str = "__cents") -> DataFrame:
+    """The (cid, cvec) centroid relation folded to ONE broadcastable row
+    holding a cid-sorted ``array<struct<cid,cvec>>`` — the carrier of
+    the map-only argmax form (r19 opt).  Scoring rides a broadcast
+    nested-loop join against this single row plus an
+    ``array_max(transform(...))`` projection, so cell assignment needs
+    NO corpus shuffle, NO N x K row explosion, and no join-back — while
+    the centroid VALUES stay data, keeping the generated code identical
+    across Lloyd iterations (a literal expression tree recompiles
+    per new centroid set, seconds of Janino per iteration)."""
+    return cent_df.agg(F.sort_array(F.collect_list(
+        F.struct("cid", "cvec"))).alias(arr_col))
+
+
+def _argmax_score(arr_col: str, emb_col: str = "embedding"):
+    """``array_max`` over (round(cosine, 6), cid) structs — the same
+    lexicographic argmax (max score, ties to max cid) as ``greatest``
+    over structs / ``max(struct)`` in the other assignment forms
+    (equality pytest-pinned)."""
+    score = lambda c: F.struct(  # noqa: E731
+        F.round(cosine(F.col(emb_col), c.getField("cvec")), 6).alias("s"),
+        c.getField("cid").alias("cid"))
+    return F.array_max(F.transform(F.col(arr_col), score))
+
+
 def _with_cell_join(df: DataFrame, cent_rows, out: str = "cell",
                     id_col: str = "vec_id") -> DataFrame:
-    """Cell assignment for K past the literal gate: broadcast the K
-    centroids as DATA (not literals), score with the same
-    round(cosine, 6), take the per-``id_col`` argmax as a groupBy-max
-    of the (score, cid) struct — lexicographic max, so ties break to
-    max cid exactly like ``greatest`` over structs in the literal
-    forms (equality pytest-pinned).  Costs one corpus shuffle on
-    ``id_col`` (the groupBy) that the literal form avoids; buys a plan
-    whose size is independent of K — at the production ~sqrt(N)
-    centroid count this is the only viable shape."""
+    """Cell assignment for K past the literal gate: the K centroids ride
+    as broadcast DATA (not literals) folded into one array<struct> row
+    (:func:`_cent_arr`) and each row's cell is the
+    :func:`_argmax_score` projection — MAP-ONLY.  r19 opt: the old form
+    exploded N x K scored rows into a groupBy(``id_col``) struct-max (a
+    corpus-keyed shuffle into a sort aggregate, embedding-wide rows)
+    plus a join-back of the assignment; all three are gone.  Plan size
+    stays independent of K, and the generated code is independent of
+    the centroid VALUES (no per-iteration recompile).  ``id_col`` is
+    retained for API compatibility; the map-only form no longer needs
+    it."""
     spark = df.sparkSession
-    cent_df = literal_df(spark, 
+    cent_df = literal_df(spark,
         [(int(c), [float(x) for x in v]) for c, v in cent_rows],
         "cid int, cvec array<double>")
-    s = F.round(cosine(F.col("embedding"), F.col("cvec")), 6)
-    best = (df.select(id_col, "embedding")
-            .crossJoin(F.broadcast(cent_df))
-            .groupBy(id_col)
-            .agg(F.max(F.struct(s.alias("s"),
-                                F.col("cid").alias("cid"))).alias("__best"))
-            .select(id_col, F.col("__best.cid").alias(out)))
-    return df.join(best, id_col)
+    ac = f"__{out}_cents"
+    return (df.crossJoin(F.broadcast(_cent_arr(cent_df, ac)))
+            .withColumn(out, _argmax_score(ac).getField("cid"))
+            .drop(ac))
 
 
 def _with_cell(df: DataFrame, cent_rows, out: str = "cell") -> DataFrame:
@@ -801,7 +851,12 @@ def build_ivf_index(spark: SparkSession, sf_dir: str,
     if emb is None:
         emb = _emb(spark, sf_dir)
     cent_rows = _ivf_centroid_rows(emb, k)
-    (_with_cell(emb, cent_rows)
+    # widen an under-split scan before the map-only assignment (r19
+    # opt, see _emb_wide): the argmax CPU runs BELOW the writer
+    # repartition, which re-parallelizes only the write
+    from ..functions.spread import spread_source
+    (_with_cell(spread_source(emb, f"{sf_dir}/embeddings.parquet"),
+                cent_rows)
      .repartition(F.col("cell"),
                   F.pmod(F.col("vec_id"), F.lit(BUILD_WRITERS_PER_CELL)))
      .write.mode("overwrite").partitionBy("cell").parquet(index_path))
@@ -990,6 +1045,9 @@ def ann_ivf_indexed_df(spark: SparkSession, sf_dir: str,
 
     from .deletion import index_rows
 
+    # index scan deliberately not widened (r19 opt, measured): the
+    # pruned cells hold ~nprobe/K of the corpus and the widening
+    # exchange cost more than it spread (bench +0.15s when tried)
     idx = (index_rows(spark, index_path, id_col="vec_id")
            .where(F.col("cell").isin(probed_cells))
            .select(F.col("vec_id").alias("n_id"),
@@ -1038,23 +1096,23 @@ from .deletion import STATS_SIDECAR as IVF_STATS  # one compaction-aware name
 def _label_cells(df: DataFrame, cent_rows) -> DataFrame:
     """Per-vector (cell, cos6) ARGMAX assignment against a stored
     centroid set — the staleness report's scorer for rows that carry no
-    cell yet (the ingestion batch).  Broadcast crossJoin + hash-agg max
-    of the (score, cid) struct: tie-break (higher cid) matches
-    ``_with_cell``'s greatest-over-structs exactly, and the grouping
-    key is a per-PHYSICAL-row id (r16 review) so the stats it feeds
-    always agree with file-footer row accounting.  Rows already
-    carrying their cell never need this — :func:`_assigned_cell_stats`
-    scores them against their one assigned centroid, O(n*dim)."""
+    cell yet (the ingestion batch).  Map-only since the r19 opt (the
+    :func:`_with_cell_join` rewrite): one output row per PHYSICAL input
+    row falls out of the projection directly — the r16
+    monotonically_increasing_id + groupBy that enforced per-physical-row
+    grouping (so the stats it feeds agree with file-footer row
+    accounting) is no longer needed, and neither is its corpus shuffle.
+    Tie-break (higher cid) matches every other form (pytest-pinned).
+    Rows already carrying their cell never need this —
+    :func:`_assigned_cell_stats` scores them against their one assigned
+    centroid, O(n*dim)."""
     spark = df.sparkSession
-    sc = F.round(cosine(F.col("embedding"), F.col("cvec")), 6)
-    return (df.select(F.monotonically_increasing_id().alias("__rid"),
-                      "embedding")
-            .crossJoin(F.broadcast(literal_df(spark, 
-                [(int(c), [float(x) for x in v]) for c, v in cent_rows],
-                "cid int, cvec array<double>")))
-            .groupBy("__rid")
-            .agg(F.max(F.struct(sc.alias("s"),
-                                F.col("cid").alias("cid"))).alias("b"))
+    cent_df = literal_df(spark,
+        [(int(c), [float(x) for x in v]) for c, v in cent_rows],
+        "cid int, cvec array<double>")
+    return (df.select("embedding")
+            .crossJoin(F.broadcast(_cent_arr(cent_df)))
+            .select(_argmax_score("__cents").alias("b"))
             .select(F.col("b.cid").alias("cell"),
                     F.col("b.s").alias("cos6")))
 
@@ -1417,8 +1475,10 @@ def ann_index_staleness_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, k=k,
         index_path=os.path.join(IVF_INDEX_ROOT, f"stale-{tag}"),
         emb=emb.where(F.col("vec_id") < half))
-    return ivf_staleness_report(spark, p,
-                                emb.where(F.col("vec_id") >= half))
+    # ingestion side from the widened scan (r19 opt, see _emb_wide):
+    # its _label_cells scoring is a map-only projection now
+    return ivf_staleness_report(
+        spark, p, _emb_wide(spark, sf_dir).where(F.col("vec_id") >= half))
 
 
 ANN_INDEX_STALENESS_SQL = f"""
@@ -1503,7 +1563,10 @@ def ann_cosine_topk_arrow_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
             yield out[out.q_id != out.n_id]
 
-    scored = emb.select("vec_id", "embedding").mapInPandas(score, schema)
+    # widened scan below the Arrow worker (r19 opt, see _emb_wide): the
+    # numpy matmul parallelism equals the scan's split count
+    scored = (_emb_wide(spark, sf_dir).select("vec_id", "embedding")
+              .mapInPandas(score, schema))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= TOP_K)
@@ -1652,48 +1715,29 @@ ANN_LSH_MULTIPROBE_SQL = _lsh_multiprobe_sql(None)
 IVF_KMEANS_ITERS = 2
 
 # Training-assignment strategy.  "join" scores against the centroids as
-# broadcast DATA and takes the per-vector argmax as a groupBy-max struct
-# that CARRIES the embedding (no join-back) — the only viable form past
-# the K=64 literal gate, and re-confirmed fastest for the TRAINING loop
-# in the r19 optimization pass.  The literal form was re-tried twice in
-# r19: the greatest-chain regressed the query 5.7s -> 23s (K
-# score-expression branches inflate driver-side optimization by
-# seconds), and even the O(1)-plan array_max rewrite (now in
-# ``_with_cell``) is JIT-warm-up-bound — its per-iteration stage CPU
-# measured 17.2s / 5.8s / 0.7s over three repeats vs the join form's
-# stable 1.9-2.1s, so under the bench's min-of-2 protocol (and any
-# first-run-counts setting) the join form wins; the literal form only
-# pulls ahead on a long-lived session re-running the SAME expression.
-# The join form's former side costs are gone instead: its centroid
-# frame now builds Python-worker-free (functions/localrel.py).  Cost
-# honesty: it adds one corpus-row-width shuffle (the vec_id argmax)
-# per iteration on top of the update's cell shuffle, where the literal
-# form's assignment is map-only — on a network-bound cluster with
-# small K, set "literal" back.  Assignment VALUES are identical either
-# way (same round(cosine, 6); pytest-pinned), so the oracle-replayed
-# trajectory does not depend on this switch.
+# broadcast DATA — since the r19 map-only rewrite of _with_cell_join it
+# is a broadcast array-of-structs argmax projection: NO corpus shuffle
+# per iteration (the old groupBy-max-struct form shuffled N embedding-
+# wide rows into a sort aggregate per iteration), no join-back, and the
+# generated code is independent of the centroid VALUES so nothing
+# recompiles per Lloyd iteration.  The literal form ("literal") embeds
+# the centroids as expressions instead: same values (pytest-pinned),
+# but a new expression tree — and thus a Janino recompile — per
+# iteration (measured 17.2s / 5.8s / 0.7s CPU over three repeats vs
+# the data form's stable sub-2s), so "join" is the default everywhere.
+# Assignment VALUES are identical either way (same round(cosine, 6)),
+# so the oracle-replayed trajectory does not depend on this switch.
 IVF_TRAIN_ASSIGN = "join"    # "join" | "literal"
 
 
 def _train_cells(emb: DataFrame, cent) -> DataFrame:
     """(cell, embedding) rows for one Lloyd update, per
-    ``IVF_TRAIN_ASSIGN``.  The join form's max-struct carries the
-    embedding as a trailing field that never participates in the
-    comparison ((score, cid) is already unique per vector)."""
+    ``IVF_TRAIN_ASSIGN`` — both forms are map-only projections since
+    the r19 opt; they differ only in whether the centroids ride as
+    broadcast data or as literals."""
     if IVF_TRAIN_ASSIGN == "literal":
         return _with_cell(emb, cent).select("cell", "embedding")
-    spark = emb.sparkSession
-    cent_df = literal_df(spark, 
-        [(int(c), [float(x) for x in v]) for c, v in cent],
-        "cid int, cvec array<double>")
-    s = F.round(cosine(F.col("embedding"), F.col("cvec")), 6)
-    return (emb.crossJoin(F.broadcast(cent_df))
-            .groupBy("vec_id")
-            .agg(F.max(F.struct(s.alias("s"), F.col("cid").alias("cid"),
-                                F.col("embedding").alias("emb")))
-                 .alias("b"))
-            .select(F.col("b.cid").alias("cell"),
-                    F.col("b.emb").alias("embedding")))
+    return _with_cell_join(emb, cent).select("cell", "embedding")
 
 
 def train_ivf_centroids(spark: SparkSession, sf_dir: str, k: int = IVF_K,
@@ -1764,7 +1808,10 @@ def ann_ivf_kmeans_df(spark: SparkSession, sf_dir: str,
     if nprobe is None:
         nprobe = _auto_nprobe(k, IVF_NPROBE)
     cent = train_ivf_centroids(spark, sf_dir, k=k)
-    emb = _emb(spark, sf_dir)
+    # serve-side assignment + candidate scoring are map-only since the
+    # r19 rewrite — widen an under-split scan first (the single-split
+    # sf0.1 scan pinned ~3s of dim-64 folds to one core)
+    emb = _emb_wide(spark, sf_dir)
     assign = _with_cell_join if IVF_TRAIN_ASSIGN == "join" else _with_cell
     cells = assign(emb, cent).select("vec_id", "embedding", "cell")
     cent_df = literal_df(spark, 
@@ -1822,8 +1869,10 @@ def ann_ivf_recall_bounds_df(spark: SparkSession, sf_dir: str,
     q = emb.where(F.col("vec_id") < LSH_N_QUERIES) \
            .select(F.col("vec_id").alias("q_id"),
                    F.col("embedding").alias("q_emb"))
-    c = emb.select(F.col("vec_id").alias("n_id"),
-                   F.col("embedding").alias("n_emb"))
+    # brute-force side from the widened scan (r19 opt, see _emb_wide):
+    # Q x N map-only cosine CPU
+    c = _emb_wide(spark, sf_dir).select(F.col("vec_id").alias("n_id"),
+                                        F.col("embedding").alias("n_emb"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
     brute = (c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
              .select("q_id", "n_id",
@@ -2415,11 +2464,12 @@ def ann_hard_negatives_df(spark: SparkSession, sf_dir: str,
     Scale shape: identical to ann_cosine_topk — queries broadcast, one
     shuffle-free corpus scan, per-query top-k windows over
     candidate-sized rows; the exclusion is a scan-side predicate."""
-    emb = _emb(spark, sf_dir)
-    q = emb.where(F.col("vec_id") < LSH_N_QUERIES) \
-           .select(F.col("vec_id").alias("q_id"),
-                   F.col("embedding").alias("q_emb"))
-    scored = (emb.join(F.broadcast(q), F.col("q_id") != F.col("vec_id"))
+    q = _emb(spark, sf_dir).where(F.col("vec_id") < LSH_N_QUERIES) \
+        .select(F.col("vec_id").alias("q_id"),
+                F.col("embedding").alias("q_emb"))
+    # corpus side from the widened scan (r19 opt, see _emb_wide)
+    scored = (_emb_wide(spark, sf_dir)
+              .join(F.broadcast(q), F.col("q_id") != F.col("vec_id"))
               .select("q_id", F.col("vec_id").alias("n_id"),
                       F.round(cosine(F.col("q_emb"), F.col("embedding")), 6)
                       .alias("cosine")))
@@ -2525,6 +2575,47 @@ def _pq_subspace_rows(emb: DataFrame) -> DataFrame:
                     F.col("x.sv").alias("sv")))
 
 
+def _pq_cb_arr(cb_df: DataFrame, arr_col: str = "__cb",
+               ms_col: str = "__ms") -> DataFrame:
+    """The (m, cid, cvec) codebook relation folded to ONE broadcastable
+    row — an (m, cid)-sorted ``array<struct<m,cid,cvec>>`` plus the
+    sorted distinct subspace list — the carrier of the map-only PQ
+    argmin form (r19 opt, the :func:`_cent_arr` pattern)."""
+    return cb_df.agg(
+        F.sort_array(F.collect_list(
+            F.struct("m", "cid", "cvec"))).alias(arr_col),
+        F.array_sort(F.collect_set("m")).alias(ms_col))
+
+
+def _pq_codes_expr(emb_col: str = "embedding", arr_col: str = "__cb",
+                   ms_col: str = "__ms"):
+    """The m-ordered PQ code array for one embedding row as a single
+    projection over the folded codebook row (:func:`_pq_cb_arr`): per
+    subspace the lexicographic (round(L2^2, 6), cid) ``array_min`` —
+    identical values, tie-break, and code order to the old exploded
+    groupBy form."""
+    enc = lambda m: F.array_min(F.transform(  # noqa: E731
+        F.filter(F.col(arr_col), lambda c: c.getField("m") == m),
+        lambda c: F.struct(
+            _l2r(_subvec(F.col(emb_col), m),
+                 c.getField("cvec")).alias("d"),
+            c.getField("cid").alias("cid")))).getField("cid")
+    return F.transform(F.col(ms_col), enc)
+
+
+def _pq_argmin_code(sv_col: str, m_col: str, arr_col: str = "__cb"):
+    """Argmin codebook entry for one (subvector, m) row against the
+    folded codebook array: lexicographic ``array_min`` over
+    (round(L2^2, 6), cid) structs — identical values and tie-break
+    (min d, then min cid) to the old groupBy min-struct form."""
+    score = lambda c: F.struct(  # noqa: E731
+        _l2r(F.col(sv_col), c.getField("cvec")).alias("d"),
+        c.getField("cid").alias("cid"))
+    mine = F.filter(F.col(arr_col),
+                    lambda c: c.getField("m") == F.col(m_col))
+    return F.array_min(F.transform(mine, score)).getField("cid")
+
+
 def train_pq_codebooks(spark: SparkSession, sf_dir: str) -> dict:
     """{(m, cid): [floats]} after PQ_ITERS Lloyd rounds per subspace.
     Driver state is PQ_M x PQ_K codebook rows per iteration (the
@@ -2532,60 +2623,71 @@ def train_pq_codebooks(spark: SparkSession, sf_dir: str) -> dict:
     per-iteration work is one map-side-combined argmin aggregate over
     the subvector rows.  A code that attracts no vectors drops out
     (same semantics as the k-means cell CTEs)."""
-    emb = _emb(spark, sf_dir)
-    sub = _pq_subspace_rows(emb)
-    init = _pq_subspace_rows(emb.where(F.col("vec_id") < PQ_K)).collect()
-    cb = {(r.m, r.vec_id): [float(x) for x in r.sv] for r in init}
-    for _ in range(PQ_ITERS):
-        cb_df = literal_df(spark, 
-            [(m, c, v) for (m, c), v in sorted(cb.items())],
-            "m int, cid int, cvec array<double>")
-        assigned = (sub.join(F.broadcast(cb_df), "m")
-                    .groupBy("vec_id", "m")
-                    .agg(F.min(F.struct(
-                        _l2r(F.col("sv"), F.col("cvec")).alias("d"),
-                        F.col("cid").alias("cid"),
-                        F.col("sv").alias("sv"))).alias("b")))
-        upd = (assigned.select("m", F.col("b.cid").alias("cid"),
-                               F.col("b.sv").alias("sv"))
-               .groupBy("m", "cid")
-               .agg(*[F.round(F.avg(F.element_at("sv", j)), 6)
-                      .alias(f"c{j}") for j in range(1, PQ_DSUB + 1)])
-               .collect())
-        cb = {(r.m, r.cid): [r[f"c{j}"] for j in range(1, PQ_DSUB + 1)]
-              for r in upd}
+    # widen the under-split scan and cache across the Lloyd iterations
+    # (the train_ivf_centroids shape, r19 opt): the per-subvector
+    # argmin is map CPU that nothing downstream re-parallelizes now
+    # that the assignment is a projection
+    emb = _emb_wide(spark, sf_dir).cache()
+    try:
+        sub = _pq_subspace_rows(emb)
+        init = _pq_subspace_rows(
+            emb.where(F.col("vec_id") < PQ_K)).collect()
+        cb = {(r.m, r.vec_id): [float(x) for x in r.sv] for r in init}
+        for _ in range(PQ_ITERS):
+            cb_df = literal_df(spark,
+                [(m, c, v) for (m, c), v in sorted(cb.items())],
+                "m int, cid int, cvec array<double>")
+            # map-only argmin (r19 opt): the codebook rides as ONE
+            # broadcast array-of-structs row and each (vec_id, m) row's
+            # code is an array_min projection — the old broadcast-join +
+            # groupBy(vec_id, m) exploded N x M x K rows into a
+            # subvector-wide corpus shuffle per iteration.  Same
+            # lexicographic (d, cid) min (the old min-struct's trailing
+            # sv never participated: cid is unique per m), so the
+            # oracle-replayed trajectory is unchanged; the update's
+            # partial agg now combines map-side straight off the
+            # projection — the exchange carries M x K rows per mapper,
+            # never the corpus.
+            assigned = (sub.crossJoin(F.broadcast(_pq_cb_arr(cb_df)))
+                        .select("m",
+                                _pq_argmin_code("sv", "m").alias("cid"),
+                                "sv"))
+            upd = (assigned
+                   .groupBy("m", "cid")
+                   .agg(*[F.round(F.avg(F.element_at("sv", j)), 6)
+                          .alias(f"c{j}") for j in range(1, PQ_DSUB + 1)])
+                   .collect())
+            cb = {(r.m, r.cid): [r[f"c{j}"] for j in range(1, PQ_DSUB + 1)]
+                  for r in upd}
+    finally:
+        emb.unpersist()
     return cb
 
 
 def _pq_encode(emb: DataFrame, cb_df: DataFrame) -> DataFrame:
     """(vec_id, codes) — per subspace the argmin codebook entry,
-    assembled into an m-ordered code array (one broadcast join + one
-    map-side-combined argmin; the corpus never sorts)."""
-    return (_pq_subspace_rows(emb)
-            .join(F.broadcast(cb_df), "m")
-            .groupBy("vec_id", "m")
-            .agg(F.min(F.struct(
-                _l2r(F.col("sv"), F.col("cvec")).alias("d"),
-                F.col("cid").alias("cid"))).alias("b"))
-            .groupBy("vec_id")
-            .agg(F.transform(
-                F.array_sort(F.collect_list(
-                    F.struct("m", F.col("b.cid").alias("cid")))),
-                lambda s: s["cid"]).alias("codes")))
+    assembled into an m-ordered code array.  Map-only since the r19
+    opt: the codebook rides as ONE broadcast array row
+    (:func:`_pq_cb_arr`) and the whole code array is a single
+    ``transform`` over the sorted subspace list — the old form exploded
+    the corpus into N x M subvector rows, broadcast-joined K codebook
+    entries onto each, and re-grouped TWICE (argmin, then code-array
+    assembly: two corpus-keyed shuffles of subvector-wide rows).  Same
+    lexicographic (round(L2^2, 6), cid) argmin per subspace and the
+    same m-ascending code order, so stored codes are bit-identical."""
+    return (emb.crossJoin(F.broadcast(_pq_cb_arr(cb_df)))
+            .select("vec_id", _pq_codes_expr().alias("codes")))
 
 
 def _pq_assign_cells(df: DataFrame, cent: DataFrame) -> DataFrame:
     """(vec_id, cell) via the deterministic rounded-cosine argmax
     against the given centroids — shared by build and append so cell
-    routing can never diverge within one index lifecycle."""
-    sim = F.round(cosine(F.col("embedding"), F.col("cvec")), 6)
-    return (df.crossJoin(F.broadcast(cent))
-            .select("vec_id", F.struct(sim.alias("s"),
-                                       F.col("cid").alias("cid"))
-                    .alias("sc"))
-            .groupBy("vec_id")
-            .agg(F.max("sc").alias("b"))
-            .select("vec_id", F.col("b.cid").alias("cell")))
+    routing can never diverge within one index lifecycle.  Map-only
+    since the r19 opt (the :func:`_with_cell_join` form): same
+    lexicographic (s, cid) argmax, no corpus shuffle."""
+    return (df.crossJoin(F.broadcast(_cent_arr(cent)))
+            .select("vec_id",
+                    _argmax_score("__cents").getField("cid").alias("cell")))
 
 
 def build_pq_index(spark: SparkSession, sf_dir: str,
@@ -2615,12 +2717,19 @@ def build_pq_index(spark: SparkSession, sf_dir: str,
     cb_df = literal_df(spark, 
         [(m, c, v) for (m, c), v in sorted(cb.items())],
         "m int, cid int, cvec array<double>")
-    emb = _emb(spark, sf_dir)
-    cent = (emb.where(F.col("vec_id") < k)
+    cent = (_emb(spark, sf_dir).where(F.col("vec_id") < k)
             .select(F.col("vec_id").alias("cid"),
                     F.col("embedding").alias("cvec")))
-    cells = _pq_assign_cells(emb, cent)
-    (_pq_encode(emb, cb_df).join(cells, "vec_id")
+    # encode + cell-route fused into ONE map-only projection over the
+    # widened scan (r19 opt): both are broadcast-array argmin/argmax
+    # projections now, so the old encode-to-cells join on vec_id — a
+    # corpus shuffle — is gone; the only remaining exchange is the
+    # writer repartition that shapes the output files.
+    (_emb_wide(spark, sf_dir)
+     .crossJoin(F.broadcast(_pq_cb_arr(cb_df)))
+     .crossJoin(F.broadcast(_cent_arr(cent)))
+     .select("vec_id", _pq_codes_expr().alias("codes"),
+             _argmax_score("__cents").getField("cid").alias("cell"))
      .repartition(F.col("cell"),
                   F.pmod(F.col("vec_id"), F.lit(BUILD_WRITERS_PER_CELL)))
      .write.mode("overwrite").partitionBy("cell").parquet(index_path))
@@ -2725,6 +2834,9 @@ def ann_ivf_pq_df(spark: SparkSession, sf_dir: str,
 
     from .deletion import index_rows
 
+    # index scan deliberately not widened (r19 opt, measured): ADC is
+    # PQ_M table lookups per pruned-cell row — cheaper than the
+    # widening exchange in a warm session (see ann_ivf_indexed_df)
     idx = (index_rows(spark, index_path, id_col="vec_id")
            .where(F.col("cell").isin(probed_cells)))
     aw = Window.partitionBy("q_id").orderBy(F.desc("adc_cosine"),
@@ -2737,6 +2849,9 @@ def ann_ivf_pq_df(spark: SparkSession, sf_dir: str,
              .withColumn("arank", F.row_number().over(aw))
              .where(F.col("arank") <= rerank)
              .drop("arank"))
+    # rerank side deliberately NOT widened (r19 opt, measured): the
+    # refine computes cosine for only Q x R shortlist matches of the
+    # broadcast join — a corpus-wide widening exchange buys nothing
     nemb = _emb(spark, sf_dir).select(F.col("vec_id").alias("n_id"),
                                       F.col("embedding").alias("n_emb"))
     rw = Window.partitionBy("q_id").orderBy(F.desc("cosine"),
@@ -2774,8 +2889,10 @@ def ann_pq_recall_bounds_df(spark: SparkSession, sf_dir: str,
     q = emb.where(F.col("vec_id") < LSH_N_QUERIES) \
            .select(F.col("vec_id").alias("q_id"),
                    F.col("embedding").alias("q_emb"))
-    c = emb.select(F.col("vec_id").alias("n_id"),
-                   F.col("embedding").alias("n_emb"))
+    # brute-force side from the widened scan (r19 opt, see _emb_wide):
+    # Q x N map-only cosine CPU
+    c = _emb_wide(spark, sf_dir).select(F.col("vec_id").alias("n_id"),
+                                        F.col("embedding").alias("n_emb"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
     brute = (c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
              .select("q_id", "n_id",

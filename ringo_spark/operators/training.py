@@ -336,9 +336,15 @@ def embed_quantize_recall_bounds_df(spark: SparkSession, sf_dir: str,
     audit pattern — Q×N broadcast scans for ground truth and the
     quantized lane, never a production all-pairs path; dequantization
     itself is map-only."""
+    from ..functions.spread import spread_source
     from .textfn import cosine
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # both audit lanes are Q x N map-only cosine CPU on the corpus scan
+    # side — widen an under-split scan across cores first (r19 opt,
+    # guide §2; identity on a well-split corpus).  The query frame
+    # keeps the plain scan.
+    wide = spread_source(emb, f"{sf_dir}/embeddings.parquet")
     scale = F.round(F.array_max(F.transform(
         "embedding", lambda x: F.abs(x.cast("double")))), 6)
     deq_codes = F.transform(
@@ -347,7 +353,7 @@ def embed_quantize_recall_bounds_df(spark: SparkSession, sf_dir: str,
                           * levels + 0.5).cast("int")
         * F.col("scale") / levels)
     zeros = F.transform("embedding", lambda x: F.lit(0.0))
-    deq = (emb.withColumn("scale", scale)
+    deq = (wide.withColumn("scale", scale)
            .select("vec_id",
                    F.when(F.col("scale") > 0, deq_codes).otherwise(zeros)
                    .alias("demb")))
@@ -365,7 +371,7 @@ def embed_quantize_recall_bounds_df(spark: SparkSession, sf_dir: str,
                 .where(F.col("rnk") <= QUANT_RECALL_TOP_K)
                 .select("q_id", "n_id"))
 
-    exact_top = topk(emb, "embedding")
+    exact_top = topk(wide, "embedding")
     quant_top = topk(deq, "demb")
     hits = (exact_top.join(quant_top, ["q_id", "n_id"])
             .groupBy("q_id").agg(F.count(F.lit(1)).alias("h")))
