@@ -33,6 +33,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..catalog import read_parquet_stable as _rps
 
 from .textfn import (
     MINHASH_A, MINHASH_B, MINHASH_P, cosine, minhash_signature, phash,
@@ -60,7 +61,7 @@ def _ckpt(df: DataFrame) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _rps(spark, f"{sf_dir}/documents.parquet")
 
 
 # The two quadratic baselines below are exact small-scale oracles, not
@@ -1190,7 +1191,7 @@ def dedup_embedding_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     Small-scale oracle baseline: the `<` theta-join is all-pairs —
     guarded via _assert_small_scale."""
     emb = _assert_small_scale(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        _rps(spark, f"{sf_dir}/embeddings.parquet"),
         "dedup_embedding", "dedup.dedup_embedding_lsh")
     a, b = emb.alias("a"), emb.alias("b")
     cos = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
@@ -1259,7 +1260,7 @@ def dedup_embedding_lsh_df(spark: SparkSession, sf_dir: str,
 
     if bits is None:
         bits = _auto_dedup_bits(spark, sf_dir)
-    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = (_rps(spark, f"{sf_dir}/embeddings.parquet")
            .withColumn("bucket", _bucket_expr(F.col("embedding"), bits)))
     if probe_hamming1:
         probes = F.array(F.col("bucket"),
@@ -1346,7 +1347,7 @@ def dedup_embedding_incremental_df(spark: SparkSession, sf_dir: str,
 
     if bits is None:
         bits = _auto_dedup_bits(spark, sf_dir)
-    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = (_rps(spark, f"{sf_dir}/embeddings.parquet")
            .withColumn("bucket", _bucket_expr(F.col("embedding"), bits)))
     corpus = emb.where(F.col("vec_id") % EMB_INGEST_MOD != 0).alias("c")
     batch = emb.where(F.col("vec_id") % EMB_INGEST_MOD == 0).alias("n")

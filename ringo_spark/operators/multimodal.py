@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from ..catalog import read_parquet_stable as _rps
 
 FEATURE_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
@@ -78,7 +79,7 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         _be32(F.lit(0)),                # CRC placeholder (unvalidated)
         F.encode("text", "utf-8"),
     )
-    return (spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (_rps(spark, f"{sf_dir}/documents.parquet")
             .select("doc_id",
                     payload.alias("payload"),
                     F.lit("image/png").alias("media_type"),
@@ -198,7 +199,7 @@ def wav_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
                                 "payload": payloads})
 
-    return (spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (_rps(spark, f"{sf_dir}/documents.parquet")
             .select("doc_id", "text").mapInPandas(encode, schema))
 
 
@@ -430,7 +431,7 @@ def multimodal_frames_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     every Nth frame (length-skipping the rest), decode the sampled frames,
     reduce to per-frame stats with a closed-form oracle.  One output row
     per sampled frame; both kernels are map-only mapInPandas."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = _rps(spark, f"{sf_dir}/documents.parquet").select("doc_id")
     media = docs.mapInPandas(_video_encode_kernel, _PAYLOAD_SCHEMA)
     return media.mapInPandas(_frame_sample_kernel, FRAME_SCHEMA)
 
@@ -631,7 +632,7 @@ def _pixel_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def multimodal_pixels_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode -> decode round trip over real PNG bytes, reduced to
     channel statistics the oracle derives in closed form."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = _rps(spark, f"{sf_dir}/documents.parquet").select("doc_id")
     media = docs.mapInPandas(_encode_kernel, _PAYLOAD_SCHEMA)
     return media.mapInPandas(_pixel_kernel, PIXEL_SCHEMA)
 
@@ -745,7 +746,7 @@ def _wav_pcm_decode_kernel(batches: Iterator[pd.DataFrame]
 
 
 def multimodal_wav_samples_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = _rps(spark, f"{sf_dir}/documents.parquet").select("doc_id")
     media = docs.mapInPandas(_wav_pcm_encode_kernel, _PAYLOAD_SCHEMA)
     return media.mapInPandas(_wav_pcm_decode_kernel, WAV_SAMPLES_SCHEMA)
 
@@ -803,7 +804,7 @@ def multimodal_resize_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode -> decode -> nearest-resize -> re-encode -> re-decode round
     trip, reduced to statistics with a closed-form oracle.  Map-only
     mapInPandas chain: payload bytes never shuffle."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = _rps(spark, f"{sf_dir}/documents.parquet").select("doc_id")
     media = docs.mapInPandas(_encode_kernel, _PAYLOAD_SCHEMA)
     return media.mapInPandas(_resize_kernel, RESIZE_SCHEMA)
 
@@ -911,7 +912,7 @@ def _phash_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def multimodal_phash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real decode -> grid-sample -> threshold average hash per image;
     two map-only Arrow stages, payloads never shuffle."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = _rps(spark, f"{sf_dir}/documents.parquet").select("doc_id")
     media = docs.mapInPandas(_encode_kernel, _PAYLOAD_SCHEMA)
     return media.mapInPandas(_phash_kernel, PHASH_SCHEMA)
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from ..catalog import read_parquet_stable as _rps
 
 from .sampling import split_expr, sql_split
 from .text import quality_score_expr, sql_quality_score
@@ -36,7 +37,7 @@ KEEP_LANGS = ("en", "es", "fr")
 def corpus_curation_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(split, lang) corpus accounting after quality filter, language
     selection, exact dedup, and hash split."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rps(spark, f"{sf_dir}/documents.parquet")
     kept = (docs
             .withColumn("n_words", F.size(tokens(F.col("text"))))
             .withColumn("q", F.round(quality_score_expr(), 6))
@@ -138,7 +139,7 @@ def training_prep_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread the CPU-heavy token/shingle expressions across cores first
     # (single-file testdata -> few input splits; a no-op at real scale,
     # same rationale as dedup._shingled)
-    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = (_rps(spark, f"{sf_dir}/documents.parquet")
             .repartition(spark.sparkContext.defaultParallelism))
     base = docs.select("doc_id", "lang", "text",
                        tokens(F.col("text")).alias("toks"))

@@ -18,12 +18,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from ..catalog import read_parquet_stable as _rps
 
 from ..functions.localrel import literal_df
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _rps(spark, f"{sf_dir}/{name}.parquet")
 
 
 def _dec_sum(col: str, alias: str):

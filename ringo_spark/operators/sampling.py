@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from ..catalog import read_parquet_stable as _rps
 
 from .textfn import phash, sql_phash
 
@@ -33,7 +34,7 @@ DEFAULT_RATE = 0.1
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _rps(spark, f"{sf_dir}/documents.parquet")
 
 
 def _bucket(col) -> F.Column:

@@ -46,6 +46,7 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from ..catalog import read_parquet_stable as _rps
 
 from .. import index_lifecycle as _ilc
 from ..functions.localrel import literal_df
@@ -275,7 +276,7 @@ def bucket_coordinates(bits: int, dim: int = EMB_DIM) -> list[int]:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _rps(spark, f"{sf_dir}/embeddings.parquet")
 
 
 def _emb_wide(spark: SparkSession, sf_dir: str) -> DataFrame:

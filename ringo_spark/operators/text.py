@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..catalog import read_parquet_stable as _rps
 
 from ..functions.localrel import literal_df
 
@@ -28,7 +29,7 @@ BPE_ISH = "[a-z]+|[0-9]|[^a-z0-9\\s]"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _rps(spark, f"{sf_dir}/documents.parquet")
 
 
 def _count_in(toks, words) -> F.Column:

@@ -17,12 +17,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..catalog import read_parquet_stable as _rps
 
 from ..functions.broadcast_gate import broadcast_if_small
 
 
 def q1_pricing_summary_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _rps(spark, f"{sf_dir}/lineitem.parquet")
     qty = F.col("l_quantity").cast("decimal(18,2)")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     # factors kept narrow so the triple product stays under decimal
@@ -64,7 +65,7 @@ GROUP BY 1, 2
 
 
 def q6_forecast_revenue_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _rps(spark, f"{sf_dir}/lineitem.parquet")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(18,4)")
     return (li.where((F.col("l_shipdate") >= F.lit("1996-01-01"))
@@ -230,9 +231,9 @@ def q3_shipping_priority_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually small (size-gated — customer scales with SF); the
     orders⋈lineitem join is the one shuffle, top-k is
     TakeOrderedAndProject."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cust = _rps(spark, f"{sf_dir}/customer.parquet")
+    orders = _rps(spark, f"{sf_dir}/orders.parquet")
+    li = _rps(spark, f"{sf_dir}/lineitem.parquet")
     cutoff = F.lit("1998-03-15").cast("timestamp")
     return (li.where(F.col("l_shipdate") > cutoff)
             .join(orders.where(F.col("o_orderdate") < cutoff),
@@ -271,12 +272,12 @@ def q5_local_supplier_volume_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     hints are size-gated (above the gate the planner shuffles them — the
     orders⋈lineitem join is the one unavoidable fact-sized shuffle
     either way)."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    cust = _rps(spark, f"{sf_dir}/customer.parquet")
+    orders = _rps(spark, f"{sf_dir}/orders.parquet")
+    li = _rps(spark, f"{sf_dir}/lineitem.parquet")
+    supp = _rps(spark, f"{sf_dir}/supplier.parquet")
+    nation = _rps(spark, f"{sf_dir}/nation.parquet")
+    region = _rps(spark, f"{sf_dir}/region.parquet")
     nr = (nation.join(F.broadcast(region.where(F.col("r_name") == "ASIA")),
                       F.col("n_regionkey") == F.col("r_regionkey"))
           .select("n_nationkey", "n_name"))
@@ -318,10 +319,10 @@ GROUP BY n_name
 def q10_returned_items_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10 shape: top 20 customers by revenue lost to returns in one
     quarter, with their nation."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = _rps(spark, f"{sf_dir}/customer.parquet")
+    orders = _rps(spark, f"{sf_dir}/orders.parquet")
+    li = _rps(spark, f"{sf_dir}/lineitem.parquet")
+    nation = _rps(spark, f"{sf_dir}/nation.parquet")
     return (li.where(F.col("l_returnflag") == "R")
             .join(orders.where(
                 (F.col("o_orderdate") >= F.lit("1997-10-01"))
@@ -364,8 +365,8 @@ def q4_order_priority_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit/receipt dates, so the qualifying predicate is 'has a returned
     item'; the plan shape — pushed date filter, semi join on the FK, one
     agg shuffle — is the Q4 shape regardless.)"""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = _rps(spark, f"{sf_dir}/orders.parquet")
+    li = _rps(spark, f"{sf_dir}/lineitem.parquet")
     return (orders.where((F.col("o_orderdate") >= F.lit("1996-07-01"))
                          & (F.col("o_orderdate") < F.lit("1996-10-01")))
             .join(li.where(F.col("l_returnflag") == "R")
@@ -396,11 +397,11 @@ def q7_volume_shipping_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     applies as a residual on broadcast nation lookups (constant-sized,
     always safe); supplier/customer route through the size gate; the
     orders⋈lineitem join is the one fact shuffle."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = _rps(spark, f"{sf_dir}/customer.parquet")
+    orders = _rps(spark, f"{sf_dir}/orders.parquet")
+    li = _rps(spark, f"{sf_dir}/lineitem.parquet")
+    supp = _rps(spark, f"{sf_dir}/supplier.parquet")
+    nation = _rps(spark, f"{sf_dir}/nation.parquet")
     n1 = nation.select(F.col("n_nationkey").alias("n1_key"),
                        F.col("n_name").alias("supp_nation"))
     n2 = nation.select(F.col("n_nationkey").alias("n2_key"),
@@ -457,9 +458,9 @@ def q18_large_volume_customer_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     the qualifying keys (a tiny set — the threshold is deep in the tail),
     which BROADCASTS into the semi-join; the orders⋈lineitem join is the
     one fact shuffle; top-k is TakeOrderedAndProject."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cust = _rps(spark, f"{sf_dir}/customer.parquet")
+    orders = _rps(spark, f"{sf_dir}/orders.parquet")
+    li = _rps(spark, f"{sf_dir}/lineitem.parquet")
     qty = F.col("l_quantity").cast("decimal(18,2)")
     big = (li.groupBy("l_orderkey")
            .agg(F.sum(qty).alias("__q"))
@@ -504,8 +505,8 @@ def q13_customer_distribution_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     custkey; the first groupBy(c_custkey) reuses that exchange's
     partitioning (no second shuffle); the outer groupBy(c_count) is
     distinct-order-count-sized, i.e. tiny."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = _rps(spark, f"{sf_dir}/customer.parquet")
+    orders = _rps(spark, f"{sf_dir}/orders.parquet")
     per_cust = (cust.select("c_custkey")
                 .join(orders.where(F.col("o_orderpriority") != "1-URGENT")
                       .select("o_custkey", "o_orderkey"),
@@ -538,8 +539,8 @@ def q15_top_supplier_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     once; everything downstream is supplier-cardinality-sized.  The
     equality compares EXACT decimals (sum of decimal(28,6)) — comparing
     rounded doubles would make tie detection engine-dependent."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    li = _rps(spark, f"{sf_dir}/lineitem.parquet")
+    supp = _rps(spark, f"{sf_dir}/supplier.parquet")
     rev = (li.where((F.col("l_shipdate") >= F.lit("1996-01-01"))
                     & (F.col("l_shipdate") < F.lit("1996-04-01")))
            .groupBy(F.col("l_suppkey").alias("supplier_no"))
@@ -584,11 +585,11 @@ def q21_suppliers_kept_waiting_df(spark: SparkSession, sf_dir: str) -> DataFrame
     residual — equi hash joins, never a cartesian (plan-tested); the
     supplier/nation/region chain rides broadcast lookups exactly like
     Q5's."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    li = _rps(spark, f"{sf_dir}/lineitem.parquet")
+    orders = _rps(spark, f"{sf_dir}/orders.parquet")
+    supp = _rps(spark, f"{sf_dir}/supplier.parquet")
+    nation = _rps(spark, f"{sf_dir}/nation.parquet")
+    region = _rps(spark, f"{sf_dir}/region.parquet")
     l1 = (li.where(F.col("l_returnflag") == "R")
           .select("l_orderkey", "l_suppkey").alias("l1"))
     l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
@@ -658,8 +659,8 @@ def q22_global_sales_opportunity_df(spark: SparkSession, sf_dir: str) -> DataFra
     the threshold boundary.  Scale shape: the 1-row aggregate broadcasts
     into the filter; the anti join's order side carries its date filter
     down to the scan; one shuffle on custkey."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = _rps(spark, f"{sf_dir}/customer.parquet")
+    orders = _rps(spark, f"{sf_dir}/orders.parquet")
     bal = F.col("c_acctbal").cast("decimal(18,2)")
     sel = cust.where(F.col("c_nationkey").isin(*Q22_CODES))
     pos = (sel.where(F.col("c_acctbal") > 0)
@@ -700,8 +701,8 @@ def q14_promo_effect_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical doubles, so the division is the same IEEE operation in
     both engines (dividing raw decimals would hit engine-specific
     decimal-division scale rules)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = _rps(spark, f"{sf_dir}/lineitem.parquet")
+    part = _rps(spark, f"{sf_dir}/part.parquet")
     promo = F.when(F.col("p_type") == "PROMO", _revenue_cols()) \
              .otherwise(F.lit(0).cast("decimal(28,6)"))
     out = (li.where((F.col("l_shipdate") >= F.lit("1996-03-01"))
@@ -748,8 +749,8 @@ def q17_small_quantity_revenue_df(spark: SparkSession, sf_dir: str) -> DataFrame
     compares ``l_quantity * cnt * 5 < sum_qty`` in EXACT decimals — the
     algebraic form of ``q < 0.2 * avg`` that avoids an order-dependent
     double average on the boundary."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = _rps(spark, f"{sf_dir}/lineitem.parquet")
+    part = _rps(spark, f"{sf_dir}/part.parquet")
     qty = F.col("l_quantity").cast("decimal(18,2)")
     per_part = (li.groupBy(F.col("l_partkey").alias("pk"))
                 .agg(F.sum(qty).alias("sum_qty"),
@@ -811,8 +812,8 @@ def q12_late_shipments_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one equi-join on the FK (hash or SMJ — both sides
     fact-sized, the single unavoidable shuffle), conditional agg with
     map-side partials, 2-row final agg."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = _rps(spark, f"{sf_dir}/lineitem.parquet")
+    orders = _rps(spark, f"{sf_dir}/orders.parquet")
     lag = (F.unix_timestamp("l_shipdate")
            - F.unix_timestamp("o_orderdate"))
     hi = F.col("o_orderpriority").isin(*Q12_HIGH)
@@ -864,13 +865,13 @@ def q8_national_market_share_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort-merged at dim joins (plan-tested).  Share arithmetic follows
     the q14 discipline: numerator and denominator are exact decimal
     sums rounded to identical doubles BEFORE the one IEEE division."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
-    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    li = _rps(spark, f"{sf_dir}/lineitem.parquet")
+    part = _rps(spark, f"{sf_dir}/part.parquet")
+    supp = _rps(spark, f"{sf_dir}/supplier.parquet")
+    orders = _rps(spark, f"{sf_dir}/orders.parquet")
+    cust = _rps(spark, f"{sf_dir}/customer.parquet")
+    nation = _rps(spark, f"{sf_dir}/nation.parquet")
+    region = _rps(spark, f"{sf_dir}/region.parquet")
     n1 = (nation.join(F.broadcast(region.where(F.col("r_name") == Q8_REGION)),
                       F.col("n_regionkey") == F.col("r_regionkey"))
           .select(F.col("n_nationkey").alias("n1_key")))
@@ -944,8 +945,8 @@ def q19_discounted_revenue_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_partkey`` equi condition into a hash join and evaluate only the
     OR-of-ANDs as a residual (a naive planner degenerates to a nested
     loop; plan-tested not to)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = _rps(spark, f"{sf_dir}/lineitem.parquet")
+    part = _rps(spark, f"{sf_dir}/part.parquet")
     qty = F.col("l_quantity").cast("decimal(18,2)")
     bracket = None
     for brand, s_lo, s_hi, q_lo, q_hi in Q19_BRACKETS:
@@ -1041,11 +1042,11 @@ def q2_min_cost_region_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     so restricting parts early never changes a surviving group);
     top-100 is TakeOrderedAndProject with a unique
     (s_name, p_partkey) tie-break."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    region = spark.read.parquet(f"{sf_dir}/region.parquet")
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = _rps(spark, f"{sf_dir}/lineitem.parquet")
+    supp = _rps(spark, f"{sf_dir}/supplier.parquet")
+    nation = _rps(spark, f"{sf_dir}/nation.parquet")
+    region = _rps(spark, f"{sf_dir}/region.parquet")
+    part = _rps(spark, f"{sf_dir}/part.parquet")
     part_f = part.where(F.col("p_size").between(Q2_SIZE_LO, Q2_SIZE_HI)
                         & (F.col("p_type") == Q2_TYPE)) \
                  .select("p_partkey", "p_name")
@@ -1122,11 +1123,11 @@ def q9_product_profit_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     into lineitem (probe shrinks before any exchange), supplier is
     size-gated, nation broadcast; lineitem ⋈ orders is the single
     fact-sized shuffle; the rollup is partial+final on (nation, year)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
-    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = _rps(spark, f"{sf_dir}/lineitem.parquet")
+    part = _rps(spark, f"{sf_dir}/part.parquet")
+    supp = _rps(spark, f"{sf_dir}/supplier.parquet")
+    nation = _rps(spark, f"{sf_dir}/nation.parquet")
+    orders = _rps(spark, f"{sf_dir}/orders.parquet")
     cost = (F.col("p_retailprice").cast("decimal(12,2)")
             * F.col("l_quantity").cast("decimal(12,2)")) \
         .cast("decimal(25,4)") * F.lit(0.6).cast("decimal(2,1)")
@@ -1186,9 +1187,9 @@ def q11_important_stock_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregates THOSE group rows (parts-sized, not fact-sized) and
     joins back as a broadcast single row — the scalar subquery costs
     one extra reduce over group rows, never a second fact scan."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    li = _rps(spark, f"{sf_dir}/lineitem.parquet")
+    supp = _rps(spark, f"{sf_dir}/supplier.parquet")
+    nation = _rps(spark, f"{sf_dir}/nation.parquet")
     nat_supp = (supp.join(F.broadcast(
                               nation.where(F.col("n_name") == Q11_NATION)),
                           F.col("s_nationkey") == F.col("n_nationkey"))
@@ -1241,9 +1242,9 @@ def q16_supplier_part_counts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact shuffle (two narrow int64 columns); part and the (tiny)
     excluded-supplier list both broadcast; countDistinct re-shuffles
     only pair-table-sized rows on the 3-attribute group key."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
-    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    li = _rps(spark, f"{sf_dir}/lineitem.parquet")
+    part = _rps(spark, f"{sf_dir}/part.parquet")
+    supp = _rps(spark, f"{sf_dir}/supplier.parquet")
     ps = (li.select(F.col("l_partkey").alias("ps_partkey"),
                     F.col("l_suppkey").alias("ps_suppkey"))
           .distinct())
@@ -1298,10 +1299,10 @@ def q20_surplus_suppliers_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem (the single fact shuffle) with the part-name semi-join
     pushed BEFORE it; both IN memberships decorrelate to semi joins;
     supplier/nation broadcast."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
-    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    li = _rps(spark, f"{sf_dir}/lineitem.parquet")
+    part = _rps(spark, f"{sf_dir}/part.parquet")
+    supp = _rps(spark, f"{sf_dir}/supplier.parquet")
+    nation = _rps(spark, f"{sf_dir}/nation.parquet")
     qty = F.col("l_quantity").cast("decimal(18,2)")
     in_year = (F.col("l_shipdate") >= F.lit(Q20_YEAR_LO)) \
         & (F.col("l_shipdate") < F.lit(Q20_YEAR_HI))

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from ..catalog import read_parquet_stable as _rps
 
 from .textfn import sql_tokens, tokens
 
@@ -52,7 +53,7 @@ def text_scrub_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redact URLs, then emails, then phone numbers (that order: the URL
     pattern is greedy and must not see '<EMAIL>' placeholders).  Map-only:
     scales to any corpus size with zero shuffle."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rps(spark, f"{sf_dir}/documents.parquet")
     aug = _augmented_text()
     scrubbed = F.regexp_replace(
         F.regexp_replace(
@@ -104,7 +105,7 @@ def seq_pack_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     and any residual per-shard tail waste is bounded by k * context
     tokens, negligible against corpus size.  Documents longer than the
     context are capped (real pipelines chunk them upstream)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rps(spark, f"{sf_dir}/documents.parquet")
     n_tok = F.size(tokens(F.col("text")))
     capped = F.least(n_tok, F.lit(PACK_CONTEXT))
     shard = F.col("doc_id") % PACK_SHARDS
@@ -158,7 +159,7 @@ def doc_chunk_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pure map-side row expansion (transform + explode inside one
     projection) — no shuffle, no Python; output rows ∝ total tokens /
     stride."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rps(spark, f"{sf_dir}/documents.parquet")
     n_tok = F.size("__toks")
     n_chunks = F.when(n_tok <= CHUNK_SIZE, F.lit(1)).otherwise(
         F.ceil((n_tok - CHUNK_SIZE) / CHUNK_STRIDE) + 1)
@@ -210,7 +211,7 @@ def embed_quantize_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor(x / scale * 127 + 0.5) — identical IEEE-double expression order
     as the oracle so codes match bit-for-bit.  Map-only (4x storage cut
     for ANN indexes; dequantize is q * scale / 127)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _rps(spark, f"{sf_dir}/embeddings.parquet")
     # the scale is rounded BEFORE quantizing, so the published scale is
     # exactly the one the codes were computed with — dequantization
     # (q * scale / 127) reconstructs within half a step, test-pinned
@@ -275,7 +276,7 @@ def profile_table_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-distinct aggregate as a single scan with expand — at 100 TB you
     would swap ``countDistinct`` for ``approx_count_distinct`` (one pass,
     no expand); exact is kept here because the oracle is exact."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = _rps(spark, f"{sf_dir}/orders.parquet")
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in PROFILE_COLUMNS:
         aggs.append(F.count(c).alias(f"__present_{c}"))
@@ -339,7 +340,7 @@ def embed_quantize_recall_bounds_df(spark: SparkSession, sf_dir: str,
     from ..functions.spread import spread_source
     from .textfn import cosine
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _rps(spark, f"{sf_dir}/embeddings.parquet")
     # both audit lanes are Q x N map-only cosine CPU on the corpus scan
     # side — widen an under-split scan across cores first (r19 opt,
     # guide §2; identity on a well-split corpus).  The query frame

@@ -41,6 +41,7 @@ import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..catalog import read_parquet_stable as _rps
 
 from ..operators.dedup import COSINE_THRESHOLD
 from ..operators.textfn import cosine
@@ -148,7 +149,7 @@ def streaming_vector_ingest_df(spark, sf_dir: str):
     from ..operators.similarity import _bucket_expr
     from .vocab import _sink_root
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _rps(spark, f"{sf_dir}/embeddings.parquet")
     n = emb.count()
     half = n // 2
     w = math.ceil((n - half) / VEC_INGEST_SPLITS)

@@ -27,6 +27,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from ..catalog import read_parquet_stable as _rps
 
 from .. import index_lifecycle as _ilc
 from ..operators.sampling import WEIGHTED_K, aes_weight_key
@@ -113,7 +114,7 @@ def streaming_reservoir_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{os.path.abspath(sf_dir)}|reservoir|{RESERVOIR_SPLITS}|{fp}")
     from .vocab import _sink_root
     res = os.path.join(_sink_root(), f"res-{tag}")
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rps(spark, f"{sf_dir}/documents.parquet")
     updater = streaming_weighted_reservoir()
     for i in range(RESERVOIR_SPLITS):
         updater(res)(

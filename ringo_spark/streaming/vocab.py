@@ -35,6 +35,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..catalog import read_parquet_stable as _rps
 
 from ..functions.localrel import literal_df
 
@@ -263,7 +264,7 @@ def _sink_root() -> str:
 def _stream_probes(spark: SparkSession, sf_dir: str) -> list[str]:
     """Deterministic probe set: the exact top-N tokens by (count desc,
     token) — the oracle derives the same set."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rps(spark, f"{sf_dir}/documents.parquet")
     top = (docs.select(F.explode(tokens(F.col("text"))).alias("token"))
            .groupBy("token").agg(F.count(F.lit(1)).alias("c"))
            .orderBy(F.desc("c"), F.asc("token"))
@@ -281,7 +282,7 @@ def streaming_cms_snapshot_df(spark: SparkSession,
     fp = _ilc.source_fingerprint(sf_dir, "documents.parquet")
     tag = _ilc.index_tag(f"{os.path.abspath(sf_dir)}|cms|{STREAM_SPLITS}|{fp}")
     sink = os.path.join(_sink_root(), f"cms-{tag}")
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rps(spark, f"{sf_dir}/documents.parquet")
     writer = streaming_cms_vocab(probes)
     for i in range(STREAM_SPLITS):
         writer(sink)(
