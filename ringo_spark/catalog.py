@@ -103,8 +103,21 @@ def load_catalog(spark: SparkSession, sf_dir: str, tables) -> dict[str, DataFram
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     out = {}
     for t in tables:
-        df = read_parquet_stable(spark, f"{sf_dir}/{t.name}.parquet")
-        out[t.name] = cast_to_declared(df, t)
+        path = f"{sf_dir}/{t.name}.parquet"
+        raw = read_parquet_stable(spark, path)
+        df = cast_to_declared(raw, t)
+        # breadcrumbs for consumers that run CPU-dense map work over
+        # this frame (populate/fact.py): the source path feeds
+        # spread_source's driver-side split estimate, and the raw
+        # pre-cast frame lets the widener put the declared-schema casts
+        # ABOVE the round-robin exchange — the single-row-group local
+        # file decodes serially either way, but the decimal/timestamp
+        # casts then run at full width and the exchange carries the
+        # narrower raw types.  Plain Python attributes — never
+        # serialized, never part of the plan.
+        df._ringo_src_path = path
+        df._ringo_raw = (raw, t)
+        out[t.name] = df
     return out
 
 

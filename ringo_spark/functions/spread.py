@@ -75,7 +75,8 @@ def _bytes_conf(val: str) -> int:
     return int(float(s)) * mult
 
 
-def spread_source(df: DataFrame, *source_paths: str) -> DataFrame:
+def spread_source(df: DataFrame, *source_paths: str,
+                  bytes_per_task: int | None = None) -> DataFrame:
     """Widen a compute-bound frame whose parallelism is BOUNDED BY an
     under-split source scan, decided entirely DRIVER-SIDE (no partition
     probe — safe on multi-stage plans where ``spread``'s ``df.rdd``
@@ -90,12 +91,36 @@ def spread_source(df: DataFrame, *source_paths: str) -> DataFrame:
     provably under-parallelized and a round-robin widen is worth its
     tiny shuffle.  On a many-split real corpus the estimate exceeds
     parallelism and this is the identity: no down-shuffle, no plan
-    change, exactly like ``spread`` on a well-split scan."""
+    change, exactly like ``spread`` on a well-split scan.
+
+    ``bytes_per_task`` caps the widened width by the data itself:
+    target = min(parallelism, ceil(total_bytes / bytes_per_task)).  Use
+    it for MODERATE per-row compute (e.g. one scoring expression) where
+    full-parallelism round-robin would split a tiny local corpus into
+    partitions whose per-task scheduling overhead exceeds their work;
+    heavy decode/vector lanes keep the default full width.  At real
+    scale total_bytes/bytes_per_task exceeds parallelism and the cap
+    is inert."""
     import math
     import os
 
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
+    if bytes_per_task:
+        total = 0
+        for p in source_paths:
+            try:
+                if os.path.isdir(p):
+                    for root, _dirs, files in os.walk(p):
+                        for f in files:
+                            if not f.startswith(("_", ".")):
+                                total += os.path.getsize(
+                                    os.path.join(root, f))
+                else:
+                    total += os.path.getsize(p)
+            except OSError:
+                return df
+        target = max(1, min(target, math.ceil(total / bytes_per_task)))
     try:
         mpb = _bytes_conf(spark.conf.get(
             "spark.sql.files.maxPartitionBytes", "134217728"))

@@ -28,8 +28,32 @@ LANG_MARKERS = {
 BPE_ISH = "[a-z]+|[0-9]|[^a-z0-9\\s]"
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _rps(spark, f"{sf_dir}/documents.parquet")
+def _docs(spark: SparkSession, sf_dir: str, wide: bool = True) -> DataFrame:
+    """The documents scan, widened to a data-scaled width (r19 opt,
+    guide §2.6): every text-family query runs interpreted token/regex
+    expressions over the corpus, and the local single-row-group file
+    would run them all in ONE task.  The width cap (bytes_per_task)
+    keeps the tiny local corpus from splintering into pure-overhead
+    tasks; at real corpus sizes the widen is the identity.  Results are
+    partitioning-independent for every registered consumer (the DuckDB
+    oracle replays each with its own ordering; sketch-backed *_bounds
+    rows pin booleans whose margins are designed for merge-order
+    drift).
+
+    ``wide=False`` for builders whose DAG consumes the scan through
+    SEVERAL aggregate branches (tfidf/logprob LM shapes): each branch
+    re-executes the round-robin map stage, so the widen was measured a
+    net loss there (profiler min-of-3: tfidf_bm25 0.66->0.96s,
+    doc_bigram_logprob 1.79->2.35s) while the single-pass per-doc
+    shapes all won (text_quality 1.02->0.77s, doc_entropy
+    0.89->0.72s)."""
+    raw = _rps(spark, f"{sf_dir}/documents.parquet")
+    if not wide:
+        return raw
+    from ..functions.spread import spread_source
+
+    return spread_source(raw, f"{sf_dir}/documents.parquet",
+                         bytes_per_task=64 << 10)
 
 
 def _count_in(toks, words) -> F.Column:
@@ -116,8 +140,25 @@ FROM documents
 QUALITY_PCT_FLOOR = 0.25
 
 
+def _scored_docs(spark: SparkSession, sf_dir: str,
+                 ckpt: bool = False) -> DataFrame:
+    """The quality-gate family's scoring pass: (doc_id, source,
+    quality_score) for scorable docs, over the data-scaled-width
+    ``_docs`` scan (r19 opt, guide §2.6).  ``ckpt=True`` materializes
+    the scored rows for builders with several consumers."""
+    from .dedup import _ckpt
+
+    q = F.round(quality_score_expr(), 6)
+    scored = (_docs(spark, sf_dir)
+              .select("doc_id", "source", q.alias("quality_score"))
+              .where(F.col("quality_score").isNotNull()))
+    return _ckpt(scored) if ckpt else scored
+
+
 def quality_source_percentile_df(spark: SparkSession,
-                                 sf_dir: str) -> DataFrame:
+                                 sf_dir: str,
+                                 _scored: DataFrame | None = None
+                                 ) -> DataFrame:
     """Per-SOURCE quality filtering — the curation gate that drops each
     domain's own worst tail instead of applying one global threshold (a
     global cut silently deletes entire low-scoring-but-wanted sources;
@@ -139,7 +180,6 @@ def quality_source_percentile_df(spark: SparkSession,
     cell-for-cell."""
     from pyspark.sql import Window
 
-    q = F.round(quality_score_expr(), 6)
     w = Window.partitionBy("source").orderBy("quality_score", "doc_id")
     wn = Window.partitionBy("source")
     # n == 1 special case: percent_rank over a singleton window is 0 in
@@ -152,9 +192,8 @@ def quality_source_percentile_df(spark: SparkSession,
     # on where nulls sort in a window (Spark NULLS FIRST, DuckDB NULLS
     # LAST), re-ranking the whole source.  The gate fails closed:
     # unscorable docs are dropped before ranking, in both engines.
-    return (_docs(spark, sf_dir)
-            .select("doc_id", "source", q.alias("quality_score"))
-            .where(F.col("quality_score").isNotNull())
+    scored = _scored if _scored is not None else _scored_docs(spark, sf_dir)
+    return (scored
             .withColumn("q_pct_rank",
                         F.round(F.percent_rank().over(w), 6))
             .withColumn("_n", F.count(F.lit(1)).over(wn))
@@ -218,16 +257,14 @@ def quality_gate_approx_bounds_df(spark: SparkSession, sf_dir: str,
     sketch for a different percentile than the bracket checks must turn
     the boolean False on any non-trivial source (pytest-pinned) — i.e.
     the bracket is tight enough to actually catch a wrong threshold."""
-    q = F.round(quality_score_expr(), 6)
     # scorable docs only — the siblings' fail-closed rule (r18/r19 null
     # sweeps): n and the rank indices must be defined over the SAME
     # population the sketch and the collected value list see, and both
     # approx_percentile and collect_list silently drop null scores — a
     # null-text doc counted in n but absent from vals shifts every
     # bracket index and flips within_rank_bounds with no real drift
-    agg = (_docs(spark, sf_dir)
-           .select("source", q.alias("q"))
-           .where(F.col("q").isNotNull())
+    agg = (_scored_docs(spark, sf_dir)
+           .select("source", F.col("quality_score").alias("q"))
            .groupBy("source")
            .agg(F.count(F.lit(1)).alias("n"),
                 F.expr(f"approx_percentile(q, {probe_p}D, "
@@ -253,7 +290,8 @@ def quality_gate_approx_bounds_df(spark: SparkSession, sf_dir: str,
 
 
 def quality_source_gate_gk_df(spark: SparkSession, sf_dir: str,
-                              probe_p: float = QUALITY_PCT_FLOOR
+                              probe_p: float = QUALITY_PCT_FLOOR,
+                              _scored: DataFrame | None = None
                               ) -> DataFrame:
     """The PRODUCTION form of the per-source quality gate at mega-source
     scale: per-source thresholds from one map-side-mergeable GK sketch
@@ -269,13 +307,11 @@ def quality_source_gate_gk_df(spark: SparkSession, sf_dir: str,
     (:func:`quality_gate_approx_bounds_df`) and the scale probe's
     `gate` wall-time lane.  ``probe_p`` exists for the contract row's
     falsifiability pin only."""
-    q = F.round(quality_score_expr(), 6)
     # scorable docs only — same fail-closed rule as the exact gate
     # (r18 null sweep): the sketch ignores nulls anyway, but n and the
     # kept set must be defined over the same scorable population
-    scored = (_docs(spark, sf_dir)
-              .select("doc_id", "source", q.alias("quality_score"))
-              .where(F.col("quality_score").isNotNull()))
+    scored = (_scored if _scored is not None
+              else _scored_docs(spark, sf_dir))
     thresholds = (scored.groupBy("source")
                   .agg(F.expr(f"approx_percentile(quality_score, "
                               f"{probe_p}D, "
@@ -316,14 +352,20 @@ def quality_source_gate_gk_contract_df(spark: SparkSession, sf_dir: str,
     Probing the gate at a different percentile (``probe_p``) must flip
     both booleans on non-trivial sources (pytest-pinned), so sketch
     drift actually turns the driver row red."""
-    q = F.round(quality_score_expr(), 6)
-    gk = (quality_source_gate_gk_df(spark, sf_dir, probe_p=probe_p)
+    # One shared scored frame feeds all three lanes — the GK gate, the
+    # exact percent-rank gate, and the per-source value-list aggregate.
+    # Each lane re-evaluates it inline (no checkpoint: at the
+    # data-scaled width a scoring pass is a few concurrent ~100ms
+    # tasks, cheaper than a materialization barrier), but every lane
+    # is now wide instead of single-task (r19 opt, guide §2.6).
+    scored = _scored_docs(spark, sf_dir)
+    gk = (quality_source_gate_gk_df(spark, sf_dir, probe_p=probe_p,
+                                    _scored=scored)
           .select("doc_id", "source"))
-    exact = (quality_source_percentile_df(spark, sf_dir)
+    exact = (quality_source_percentile_df(spark, sf_dir, _scored=scored)
              .select("doc_id", "source"))
-    agg = (_docs(spark, sf_dir)
-           .select("source", q.alias("q"))
-           .where(F.col("q").isNotNull())   # scorable docs only (r18)
+    agg = (scored
+           .select("source", F.col("quality_score").alias("q"))
            .groupBy("source")
            .agg(F.count(F.lit(1)).alias("n"),
                 F.sort_array(F.collect_list("q")).alias("vals")))
@@ -665,7 +707,7 @@ def tfidf_bm25_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     relevant to a topic).  Corpus statistics (N, avgdl, per-term df) are
     tiny aggregates broadcast against a single token-explode pass; docs
     matching no term drop out via the inner join."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, wide=False)
     dl = docs.select("doc_id", F.size(tokens(F.col("text"))).alias("dl"))
     stats = F.broadcast(dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1024,7 +1066,7 @@ def doc_logprob_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimals and summed as an EXACT decimal before the final mean —
     double summation order never matters.
     """
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, wide=False)
     tok = (docs
            .select("doc_id", tokens(F.col("text")).alias("__toks"))
            .select("doc_id", F.size("__toks").alias("n_tokens"),
@@ -1151,7 +1193,7 @@ def doc_bigram_logprob_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape in both engines, each bigram's −ln p rounds to 6 decimals and
     sums as an EXACT decimal, and the mean divides as doubles only at
     the end (the doc_logprob discipline)."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, wide=False)
     t = (docs.select("doc_id", tokens(F.col("text")).alias("t"))
          .where(F.size("t") >= 2))
     n_bg = F.size("t") - 1

@@ -41,6 +41,8 @@ from ..model import (
     FactCountDistinct, FactMax, FactMin, FactSum, NoDimId, Nullable,
     PopulationMode, TenantId, ForeignKey,
 )
+from ..catalog import cast_to_declared
+from ..functions.spread import spread_source
 from .common import (
     coalesce_column, dim_column_mapping, fk_spark_type as _fk_spark_type,
     qcol, table_pk_column, time_bucket_expr,
@@ -107,7 +109,28 @@ def fact_population_df(
     all_dims = extract_all_dimension_tables(env, fact)
     f_table = env.find_table(fact.table_name)
     f_name = fact.table_name
-    df = catalog[f_name].alias(f_name)
+    src = catalog[f_name]
+    # Widen an under-split fact scan (r19 opt, guide §2.6): the whole
+    # map side of the grain rollup — parent-FK broadcast joins, grain
+    # expressions, partial aggregation — inherits the scan's split
+    # count, and a single-file local source runs it on 1-3 cores.
+    # spread_source is driver-side and identity on a well-split corpus;
+    # time filters are deterministic predicates, so Catalyst still
+    # pushes them below the round-robin exchange to the scan.  Widen the
+    # RAW pre-cast frame when the catalog provides it: the declared
+    # decimal/timestamp casts then run at full width above the exchange,
+    # which also carries the narrower raw types.
+    src_path = getattr(src, "_ringo_src_path", None)
+    if src_path:
+        raw_pair = getattr(src, "_ringo_raw", None)
+        if raw_pair is not None:
+            raw, raw_table = raw_pair
+            wide = spread_source(raw, src_path)
+            if wide is not raw:
+                src = cast_to_declared(wide, raw_table)
+        else:
+            src = spread_source(src, src_path)
+    df = src.alias(f_name)
 
     # --- parent-fact source joins (left outer on declared FKs) -------------
     parent_sources = []

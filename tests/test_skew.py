@@ -123,3 +123,64 @@ def test_salt_expression_has_one_definition():
                     not path.endswith(os.path.join("functions", "skew.py")):
                 offenders.append(path)
     assert offenders == []
+
+
+def test_spread_source_bytes_per_task_caps_width(spark, tmp_path):
+    """r19 opt: the data-scaled width cap — target partitions equal
+    min(parallelism, ceil(total_bytes / bytes_per_task)), so a tiny
+    file widens to a few tasks instead of splintering to full
+    parallelism, and a source already at or past the cap is untouched
+    (identity, no Exchange)."""
+    import math
+    import os
+
+    from ringo_spark.functions.spread import spread_source
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(20_000).selectExpr("id", "id * 2 AS v") \
+        .coalesce(1).write.mode("overwrite").parquet(p)
+    total = sum(os.path.getsize(os.path.join(r, f))
+                for r, _d, fs in os.walk(p) for f in fs
+                if not f.startswith(("_", ".")))
+    df = spark.read.parquet(p)
+    bpt = max(1, total // 3)          # expect ceil(total/bpt) in {3, 4}
+    out = spread_source(df, p, bytes_per_task=bpt)
+    expect = min(spark.sparkContext.defaultParallelism,
+                 math.ceil(total / bpt))
+    assert out.rdd.getNumPartitions() == expect
+    # cap larger than the file -> target 1 -> estimated splits (>= 1)
+    # already satisfy it -> identity
+    assert spread_source(df, p, bytes_per_task=total * 10) is df
+    # widened or not, the rows are the same
+    assert sorted(map(tuple, out.collect())) \
+        == sorted(map(tuple, df.collect()))
+
+
+def test_fact_widen_breadcrumb_equals_plain_population(spark):
+    """r19 opt: fact_population widens the fact source scan via the
+    catalog's _ringo_src_path/_ringo_raw breadcrumbs (round-robin
+    exchange + full-width declared casts).  The widened plan must equal
+    the plain one cell-for-cell — the breadcrumb changes the shuffle
+    layout, never the result."""
+    from ringo_spark.catalog import load_catalog
+
+    # the declared model lives in the testbed module
+    import ringo_spark.testbed as tb
+
+    SF = "/root/testdata/sf0.001"
+    wide = tb.fact_lineitem_by_day_df(spark, SF)
+
+    cat = load_catalog(spark, SF, [tb.LINEITEM, tb.ORDERS])
+    for frame in cat.values():           # strip the breadcrumbs
+        for attr in ("_ringo_src_path", "_ringo_raw"):
+            if hasattr(frame, attr):
+                delattr(frame, attr)
+    dims = tb._orders_dims(spark, SF)
+    dims["dim_line_status"] = tb.dim_line_status_df(spark, SF)
+    from ringo_spark.populate.fact import fact_population_df
+    plain = fact_population_df(tb.ORDERS_ENV, tb.LINEITEM_FACT, cat,
+                               dims=dims, time_upper=tb.T_FAR,
+                               count_distinct_mode="exact")
+    plain = plain.select(*wide.columns)
+    assert sorted(map(tuple, wide.collect())) \
+        == sorted(map(tuple, plain.collect()))
