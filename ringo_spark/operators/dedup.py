@@ -1049,6 +1049,16 @@ FROM verified WHERE round(jac, 6) >= {JACCARD_THRESHOLD}
 
 # --- near-dup clusters (connected components) -------------------------------
 
+# Driver-local union-find gate (r19 opt): at or below this many verified
+# pairs the component resolution runs on the driver (16 bytes/pair
+# collected, near-linear union-find, one Arrow literal relation back) —
+# the distributed pointer-jumping rounds are pure stage-scheduling
+# latency at such sizes.  Above it the unchanged distributed kernel
+# runs; a mass-duplication corpus at real scale lands there.  Bounded
+# driver memory: 100k pairs is ~10 MB with the label dict.
+CC_LOCAL_MAX_PAIRS = int(_os.environ.get(
+    "RINGO_CC_LOCAL_MAX_PAIRS", "100000"))
+
 
 def dedup_clusters_df(spark: SparkSession, sf_dir: str,
                       pairs_df: DataFrame | None = None) -> DataFrame:
@@ -1074,6 +1084,44 @@ def dedup_clusters_df(spark: SparkSession, sf_dir: str,
     if pairs_df is None:
         pairs_df = dedup_minhash_lsh_df(spark, sf_dir)
     pairs = pairs_df.select("doc_a", "doc_b")
+    # Size-gated driver-local components (r19 opt, guide §1.2/§2.4):
+    # the pair graph is tiny relative to the corpus by construction
+    # (banded candidates, verified), and each distributed propagation
+    # round costs a localCheckpoint job with ~6 kilobyte-sized
+    # exchanges — pure scheduling latency at small pair counts.  Below
+    # the gate, collect the pairs and run min-root union-find on the
+    # driver (the BPE trainer's size-gated local/distributed pattern;
+    # path-invariance pinned in tests).  Above it — a mass-duplication
+    # corpus at real scale — the distributed pointer-jumping loop below
+    # is unchanged.  The gate counts PAIRS (driver memory is bounded by
+    # 16 bytes/pair plus the label dict), env-tunable like the BPE one.
+    pairs = _ckpt(pairs)
+    if pairs.count() <= CC_LOCAL_MAX_PAIRS:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:        # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in pairs.collect():
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:                 # min doc_id stays the root
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        from ..functions.localrel import literal_df
+
+        rows = [(d, find(d)) for d in parent]
+        return literal_df(spark, rows,
+                          "doc_id bigint, cluster_id bigint")
     sym = (pairs.selectExpr("doc_a AS src", "doc_b AS dst")
            .union(pairs.selectExpr("doc_b AS src", "doc_a AS dst")))
     sym = sym.localCheckpoint(eager=True)          # reused every round

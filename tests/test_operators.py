@@ -3230,3 +3230,24 @@ def test_assert_small_scale_self_union_is_not_footer_counted(
     u = df.union(df)                                   # 120k true rows
     with pytest.raises(ValueError, match="quadratic exact baseline"):
         dd._assert_small_scale(u, "t", "alt")
+
+
+def test_cc_local_gate_path_invariance(spark):
+    """r19 opt: the size-gated driver-local union-find in
+    dedup_clusters_df returns EXACTLY the distributed pointer-jumping
+    kernel's labels (min doc_id per component) — the gate changes the
+    execution venue, never the result."""
+    import ringo_spark.operators.dedup as dd
+
+    SF = "/root/testdata/sf0.001"
+    pairs = dd.dedup_minhash_lsh_df(spark, SF)
+    local = {tuple(r) for r in
+             dd.dedup_clusters_df(spark, SF, pairs_df=pairs).collect()}
+    old = dd.CC_LOCAL_MAX_PAIRS
+    dd.CC_LOCAL_MAX_PAIRS = 0          # force the distributed kernel
+    try:
+        dist = {tuple(r) for r in
+                dd.dedup_clusters_df(spark, SF, pairs_df=pairs).collect()}
+    finally:
+        dd.CC_LOCAL_MAX_PAIRS = old
+    assert local == dist and local
