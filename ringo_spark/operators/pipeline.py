@@ -161,9 +161,14 @@ def training_prep_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-running the scan + tokenize + quality pass per branch (measured
     # 5.5s -> 2.6s at sf0.1).  Shares dedup's CHECKPOINT toggle so
     # tools/dump_plans can still render the full lineage.
+    # r19 opt (guide §2.3, project before the exchange): the
+    # materialized columns are pruned to exactly what the consumers
+    # read — doc_id, the md5 text hash (the dedup key; the raw text
+    # never leaves the scan stage), and the token array.
     from .dedup import _ckpt
 
-    kept = _ckpt(kept)
+    kept = _ckpt(kept.select(
+        "doc_id", F.md5("text").alias("__h"), "toks"))
 
     # decontamination: drop docs whose 5-gram overlap with the benchmark
     # set (docs below BENCHMARK_BELOW — NOT quality-filtered: the eval
@@ -187,9 +192,16 @@ def training_prep_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select("doc_id"))
     decon = kept.join(clean_ids, "doc_id", "left_semi")
 
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    deduped = (decon.withColumn("rk", F.row_number().over(w))
-               .where(F.col("rk") == 1))
+    # exact dedup: keep the lowest doc_id per distinct text.
+    # min(struct) instead of a row_number window (r19 opt — the
+    # corpus_curation shape): the aggregate reduces map-side and the
+    # exchange carries one winner row per distinct hash instead of
+    # every row sorted per key.  doc_id leads the struct and is unique,
+    # so min == the window's rk=1 row exactly (same oracle).
+    deduped = (decon.groupBy("__h")
+               .agg(F.min(F.struct("doc_id", "toks")).alias("w"))
+               .select(F.col("w.doc_id").alias("doc_id"),
+                       F.col("w.toks").alias("toks")))
 
     n_tok = F.size("toks")
     n_chunks = F.when(n_tok <= CHUNK_SIZE, F.lit(1)).otherwise(

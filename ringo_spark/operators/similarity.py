@@ -294,7 +294,8 @@ def _emb_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.spread import spread_source
 
     return spread_source(_emb(spark, sf_dir),
-                         f"{sf_dir}/embeddings.parquet")
+                         f"{sf_dir}/embeddings.parquet",
+                         bytes_per_task=48 << 10)
 
 
 def ann_cosine_topk_df(spark: SparkSession, sf_dir: str) -> DataFrame:
