@@ -680,9 +680,12 @@ FAMILY_SOURCES: dict[str, list[str]] = {
     "ann": ["ringo_spark/operators/similarity.py", _TEXTFN, _DELETION],
     # text executes similarity's index-lifecycle helpers since r14
     # (build_bpe_tokenizer: fingerprint/touch/GC) and, transitively,
-    # deletion (similarity's index readers)
+    # deletion (similarity's index readers); since the r19 opt it also
+    # executes dedup's _ckpt (the shared-scoring materializer in
+    # _scored_docs)
     "text": ["ringo_spark/operators/text.py", _TEXTFN,
-             "ringo_spark/operators/similarity.py", _DELETION],
+             "ringo_spark/operators/similarity.py", _DELETION,
+             "ringo_spark/operators/dedup.py"],
     "multimodal": ["ringo_spark/operators/multimodal.py"],
     "relational": ["ringo_spark/operators/relational.py", _TESTBED],
     # grain executes the skew helpers (salted rollup + salted join rows)
