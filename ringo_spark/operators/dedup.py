@@ -36,9 +36,9 @@ from pyspark.sql import functions as F
 from ..catalog import read_parquet_stable as _rps
 
 from .textfn import (
-    MINHASH_A, MINHASH_B, MINHASH_P, cosine, minhash_signature, phash,
-    shingle_hashes, shingles, sql_cosine, sql_minhash_signature, sql_phash,
-    sql_shingles, sql_tokens, tokens,
+    MINHASH_A, MINHASH_B, MINHASH_P, cosine_pre, minhash_signature,
+    phash, shingle_hashes, shingles, sql_cosine, sql_minhash_signature,
+    sql_phash, sql_shingles, sql_tokens, tokens, vnorm,
 )
 
 NUM_PERM = 12
@@ -1240,9 +1240,13 @@ def dedup_embedding_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarded via _assert_small_scale."""
     emb = _assert_small_scale(
         _rps(spark, f"{sf_dir}/embeddings.parquet"),
-        "dedup_embedding", "dedup.dedup_embedding_lsh")
+        "dedup_embedding", "dedup.dedup_embedding_lsh") \
+        .withColumn("__vn", vnorm(F.col("embedding")))
     a, b = emb.alias("a"), emb.alias("b")
-    cos = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    # per-side norms hoisted once per row (r19 opt batch 8) — same
+    # round-6 values as the in-line cosine (see textfn.cosine_pre)
+    cos = F.round(cosine_pre(F.col("a.embedding"), F.col("b.embedding"),
+                             F.col("a.__vn"), F.col("b.__vn")), 6)
     return (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
             .select(F.col("a.vec_id").alias("vec_a"),
                     F.col("b.vec_id").alias("vec_b"),
@@ -1309,17 +1313,20 @@ def dedup_embedding_lsh_df(spark: SparkSession, sf_dir: str,
     if bits is None:
         bits = _auto_dedup_bits(spark, sf_dir)
     emb = (_rps(spark, f"{sf_dir}/embeddings.parquet")
-           .withColumn("bucket", _bucket_expr(F.col("embedding"), bits)))
+           .withColumn("bucket", _bucket_expr(F.col("embedding"), bits))
+           .withColumn("__vn", vnorm(F.col("embedding"))))
     if probe_hamming1:
         probes = F.array(F.col("bucket"),
                          *[F.col("bucket").bitwiseXOR(F.lit(1 << j))
                            for j in range(bits)])
-        a = (emb.select("vec_id", "embedding",
+        a = (emb.select("vec_id", "embedding", "__vn",
                         F.explode(probes).alias("bucket")).alias("a"))
     else:
         a = emb.alias("a")
     b = emb.alias("b")
-    cos = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    # per-side norms hoisted once per row (r19 opt batch 8)
+    cos = F.round(cosine_pre(F.col("a.embedding"), F.col("b.embedding"),
+                             F.col("a.__vn"), F.col("b.__vn")), 6)
     out = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                   & (F.col("a.vec_id") < F.col("b.vec_id")))
            .select(F.col("a.vec_id").alias("vec_a"),
@@ -1396,10 +1403,13 @@ def dedup_embedding_incremental_df(spark: SparkSession, sf_dir: str,
     if bits is None:
         bits = _auto_dedup_bits(spark, sf_dir)
     emb = (_rps(spark, f"{sf_dir}/embeddings.parquet")
-           .withColumn("bucket", _bucket_expr(F.col("embedding"), bits)))
+           .withColumn("bucket", _bucket_expr(F.col("embedding"), bits))
+           .withColumn("__vn", vnorm(F.col("embedding"))))
     corpus = emb.where(F.col("vec_id") % EMB_INGEST_MOD != 0).alias("c")
     batch = emb.where(F.col("vec_id") % EMB_INGEST_MOD == 0).alias("n")
-    cos = F.round(cosine(F.col("n.embedding"), F.col("c.embedding")), 6)
+    # per-side norms hoisted once per row (r19 opt batch 8)
+    cos = F.round(cosine_pre(F.col("n.embedding"), F.col("c.embedding"),
+                             F.col("n.__vn"), F.col("c.__vn")), 6)
     return (corpus.join(F.broadcast(batch),
                         F.col("n.bucket") == F.col("c.bucket"))
             .select(F.col("n.vec_id").alias("vec_new"),

@@ -50,7 +50,7 @@ from ..catalog import read_parquet_stable as _rps
 
 from .. import index_lifecycle as _ilc
 from ..functions.localrel import literal_df
-from .textfn import cosine, dot, sql_cosine
+from .textfn import cosine, cosine_pre, dot, sql_cosine, vnorm
 
 TOP_K = 10
 N_QUERIES = 5
@@ -304,12 +304,18 @@ def ann_cosine_topk_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Q x N cosine scoring is map-only CPU in the corpus scan stage;
     # the query side keeps its filter at a plain scan
     q = _emb(spark, sf_dir).where(F.col("vec_id") < N_QUERIES) \
-        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+        .select(F.col("vec_id").alias("q_id"),
+                F.col("embedding").alias("q_emb"),
+                vnorm(F.col("embedding")).alias("__qn"))
+    # per-side norms hoisted (batch 8): each Q x N pair folds ONE dot
     c = _emb_wide(spark, sf_dir).select(F.col("vec_id").alias("n_id"),
-                                        F.col("embedding").alias("n_emb"))
+                                        F.col("embedding").alias("n_emb"),
+                                        vnorm(F.col("embedding"))
+                                        .alias("__nn"))
     scored = (c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
               .select("q_id", "n_id",
-                      F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6)
+                      F.round(cosine_pre(F.col("q_emb"), F.col("n_emb"),
+                                         F.col("__qn"), F.col("__nn")), 6)
                       .alias("cosine")))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -355,15 +361,20 @@ def ann_lsh_bucketed_df(spark: SparkSession, sf_dir: str,
     # than the corpus-wide widening exchange (bench +0.27s when tried)
     emb = _emb(spark, sf_dir).withColumn(
         "bucket", _bucket_expr(F.col("embedding"), bits))
+    # per-side norms hoisted (batch 8): computed once per corpus row,
+    # folded once per IN-BUCKET pair instead of three times
     q = emb.where(F.col("vec_id") < LSH_N_QUERIES) \
            .select(F.col("vec_id").alias("q_id"),
-                   F.col("embedding").alias("q_emb"), "bucket")
+                   F.col("embedding").alias("q_emb"), "bucket",
+                   vnorm(F.col("embedding")).alias("__qn"))
     c = emb.select(F.col("vec_id").alias("n_id"),
-                   F.col("embedding").alias("n_emb"), "bucket")
+                   F.col("embedding").alias("n_emb"), "bucket",
+                   vnorm(F.col("embedding")).alias("__nn"))
     scored = (c.join(F.broadcast(q), ["bucket"])
               .where(F.col("q_id") != F.col("n_id"))
               .select("q_id", "n_id",
-                      F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6)
+                      F.round(cosine_pre(F.col("q_emb"), F.col("n_emb"),
+                                         F.col("__qn"), F.col("__nn")), 6)
                       .alias("cosine")))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -393,14 +404,18 @@ def ann_lsh_multiprobe_df(spark: SparkSession, sf_dir: str,
     q = (emb.where(F.col("vec_id") < LSH_N_QUERIES)
          .select(F.col("vec_id").alias("q_id"),
                  F.col("embedding").alias("q_emb"),
-                 F.explode(probes).alias("bucket")))
-    # corpus side deliberately not widened (see ann_lsh_bucketed_df)
+                 F.explode(probes).alias("bucket"),
+                 vnorm(F.col("embedding")).alias("__qn")))
+    # corpus side deliberately not widened (see ann_lsh_bucketed_df);
+    # per-side norms hoisted (batch 8)
     c = emb.select(F.col("vec_id").alias("n_id"),
-                   F.col("embedding").alias("n_emb"), "bucket")
+                   F.col("embedding").alias("n_emb"), "bucket",
+                   vnorm(F.col("embedding")).alias("__nn"))
     scored = (c.join(F.broadcast(q), ["bucket"])
               .where(F.col("q_id") != F.col("n_id"))
               .select("q_id", "n_id",
-                      F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6)
+                      F.round(cosine_pre(F.col("q_emb"), F.col("n_emb"),
+                                         F.col("__qn"), F.col("__nn")), 6)
                       .alias("cosine")))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -534,24 +549,32 @@ def ann_ivf_df(spark: SparkSession, sf_dir: str, k: int | None = None,
     # NO corpus shuffle, and — because the assignment carries the
     # embedding through — no cells-to-emb join-back either.  The corpus
     # scan is widened first (see _emb_wide): the scoring is now pure
-    # map CPU that nothing downstream re-parallelizes.
+    # map CPU that nothing downstream re-parallelizes.  The row norm is
+    # hoisted ONCE per corpus row (batch 8) and reused by BOTH the
+    # argmax and the candidate scoring below.
     cells = (_emb_wide(spark, sf_dir)
+             .withColumn("__nn", vnorm(F.col("embedding")))
              .crossJoin(F.broadcast(_cent_arr(cent)))
-             .withColumn("cell", _argmax_score("__cents").getField("cid"))
+             .withColumn("cell",
+                         _argmax_score("__cents", norm_col="__nn")
+                         .getField("cid"))
              .drop("__cents"))
 
     q = emb.where(F.col("vec_id") < LSH_N_QUERIES) \
            .select(F.col("vec_id").alias("q_id"),
                    F.col("embedding").alias("q_emb"))
-    probes = _probe_cells(q, cent, nprobe)
+    # per-probe-row q norm (Q x nprobe rows — metadata scale)
+    probes = _probe_cells(q, cent, nprobe) \
+        .withColumn("__qn", vnorm(F.col("q_emb")))
 
     cand = (cells.select(F.col("vec_id").alias("n_id"),
-                         F.col("embedding").alias("n_emb"), "cell")
+                         F.col("embedding").alias("n_emb"), "cell", "__nn")
             .join(F.broadcast(probes), "cell")
             .where(F.col("q_id") != F.col("n_id")))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
     return (cand.select("q_id", "n_id",
-                        F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6)
+                        F.round(cosine_pre(F.col("q_emb"), F.col("n_emb"),
+                                           F.col("__qn"), F.col("__nn")), 6)
                         .alias("cosine"))
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= LSH_TOP_K)
@@ -687,19 +710,45 @@ def _cent_arr(cent_df: DataFrame, arr_col: str = "__cents") -> DataFrame:
     NO corpus shuffle, NO N x K row explosion, and no join-back — while
     the centroid VALUES stay data, keeping the generated code identical
     across Lloyd iterations (a literal expression tree recompiles
-    per new centroid set, seconds of Janino per iteration)."""
+    per new centroid set, seconds of Janino per iteration).
+
+    Each struct also carries the centroid's precomputed norm (``bnorm``
+    — the same ``sqrt(dot(cvec, cvec))`` fold :func:`cosine` runs,
+    evaluated ONCE per centroid here instead of once per (row,
+    centroid) in the scoring lambda; r19 opt batch 8, the
+    ``_with_cell`` norm-hoisting applied to the data form)."""
     return cent_df.agg(F.sort_array(F.collect_list(
-        F.struct("cid", "cvec"))).alias(arr_col))
+        F.struct("cid", "cvec", vnorm(F.col("cvec")).alias("bnorm"))))
+        .alias(arr_col))
 
 
-def _argmax_score(arr_col: str, emb_col: str = "embedding"):
+def _argmax_score(arr_col: str, emb_col: str = "embedding",
+                  norm_col: str | None = None):
     """``array_max`` over (round(cosine, 6), cid) structs — the same
     lexicographic argmax (max score, ties to max cid) as ``greatest``
     over structs / ``max(struct)`` in the other assignment forms
-    (equality pytest-pinned)."""
-    score = lambda c: F.struct(  # noqa: E731
-        F.round(cosine(F.col(emb_col), c.getField("cvec")), 6).alias("s"),
-        c.getField("cid").alias("cid"))
+    (equality pytest-pinned).
+
+    ``norm_col`` names a column holding the row's precomputed
+    :func:`vnorm` (r19 opt batch 8): higher-order folds are interpreted
+    and never CSE'd, so the in-line :func:`cosine` re-folds BOTH norms
+    inside every centroid branch — 3x the fundamental dot-product work.
+    With the row norm hoisted to its own projection and the centroid
+    norms riding the broadcast array (``bnorm``), only the K cross-dots
+    remain per row.  Values are bit-identical either way (same
+    sub-expressions evaluated once; pytest-pinned), so the oracle
+    trajectory is unchanged."""
+    if norm_col is None:
+        score = lambda c: F.struct(  # noqa: E731
+            F.round(cosine(F.col(emb_col), c.getField("cvec")), 6)
+            .alias("s"),
+            c.getField("cid").alias("cid"))
+    else:
+        score = lambda c: F.struct(  # noqa: E731
+            F.round(cosine_pre(F.col(emb_col), c.getField("cvec"),
+                               F.col(norm_col), c.getField("bnorm")), 6)
+            .alias("s"),
+            c.getField("cid").alias("cid"))
     return F.array_max(F.transform(F.col(arr_col), score))
 
 
@@ -721,9 +770,11 @@ def _with_cell_join(df: DataFrame, cent_rows, out: str = "cell",
         [(int(c), [float(x) for x in v]) for c, v in cent_rows],
         "cid int, cvec array<double>")
     ac = f"__{out}_cents"
-    return (df.crossJoin(F.broadcast(_cent_arr(cent_df, ac)))
-            .withColumn(out, _argmax_score(ac).getField("cid"))
-            .drop(ac))
+    an = f"__{out}_anorm"
+    return (df.withColumn(an, vnorm(F.col("embedding")))
+            .crossJoin(F.broadcast(_cent_arr(cent_df, ac)))
+            .withColumn(out, _argmax_score(ac, norm_col=an).getField("cid"))
+            .drop(ac, an))
 
 
 def _with_cell(df: DataFrame, cent_rows, out: str = "cell") -> DataFrame:
@@ -1054,12 +1105,15 @@ def ann_ivf_indexed_df(spark: SparkSession, sf_dir: str,
            .where(F.col("cell").isin(probed_cells))
            .select(F.col("vec_id").alias("n_id"),
                    F.col("embedding").alias("n_emb"),
-                   F.col("cell").cast("long").alias("cell")))
-    cand = (idx.join(F.broadcast(probes), "cell")
+                   F.col("cell").cast("long").alias("cell"),
+                   vnorm(F.col("embedding")).alias("__nn")))
+    cand = (idx.join(F.broadcast(probes.withColumn(
+                "__qn", vnorm(F.col("q_emb")))), "cell")
             .where(F.col("q_id") != F.col("n_id")))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
     return (cand.select("q_id", "n_id",
-                        F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6)
+                        F.round(cosine_pre(F.col("q_emb"), F.col("n_emb"),
+                                           F.col("__qn"), F.col("__nn")), 6)
                         .alias("cosine"))
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= LSH_TOP_K)
@@ -1113,8 +1167,9 @@ def _label_cells(df: DataFrame, cent_rows) -> DataFrame:
         [(int(c), [float(x) for x in v]) for c, v in cent_rows],
         "cid int, cvec array<double>")
     return (df.select("embedding")
+            .withColumn("__an", vnorm(F.col("embedding")))
             .crossJoin(F.broadcast(_cent_arr(cent_df)))
-            .select(_argmax_score("__cents").alias("b"))
+            .select(_argmax_score("__cents", norm_col="__an").alias("b"))
             .select(F.col("b.cid").alias("cell"),
                     F.col("b.s").alias("cos6")))
 
@@ -1143,13 +1198,16 @@ def _assigned_cell_stats(assigned: DataFrame, cent_rows) -> DataFrame:
     round(cosine, 6) expression as :func:`_label_cells`, so assigned
     and argmax scoring can never disagree on a value."""
     spark = assigned.sparkSession
-    cent_df = literal_df(spark, 
+    cent_df = literal_df(spark,
         [(int(c), [float(x) for x in v]) for c, v in cent_rows],
-        "cell int, cvec array<double>")
-    sc = F.round(cosine(F.col("embedding"), F.col("cvec")), 6)
+        "cell int, cvec array<double>") \
+        .withColumn("__bn", vnorm(F.col("cvec")))  # K rows, once
+    sc = F.round(cosine_pre(F.col("embedding"), F.col("cvec"),
+                            F.col("__an"), F.col("__bn")), 6)
     qerr_micro = F.round((F.lit(1.0) - sc) * 1000000).cast("long")
     return (assigned.select(F.col("cell").cast("int").alias("cell"),
                             "embedding")
+            .withColumn("__an", vnorm(F.col("embedding")))
             .join(F.broadcast(cent_df), "cell")
             .groupBy("cell")
             .agg(F.count(F.lit(1)).alias("c"),
@@ -1761,12 +1819,14 @@ def train_ivf_centroids(spark: SparkSession, sf_dir: str, k: int = IVF_K,
     trajectory and the whole trained index is oracle-checkable.  Cells
     that lose all members simply drop out (both engines agree)."""
     # cache across the Lloyd iterations (the standard iterative-training
-    # shape — MLlib does the same); released before returning.  spread
+    # shape — MLlib does the same); released before returning.  Widen
     # first: the cached partitioning is what every iteration's argmax
-    # runs on, and an under-split scan would pin all of them to one core
-    from ..functions.spread import spread
-
-    emb = spread(_emb(spark, sf_dir)).cache()
+    # runs on, and an under-split scan would pin all of them to one
+    # core.  _emb_wide (not the uncapped spread) since batch 8: its
+    # bytes_per_task cap keeps a tiny local corpus from splintering
+    # into per-task-overhead-dominated slivers — the batch-7 rationale,
+    # applied to the training cache too.
+    emb = _emb_wide(spark, sf_dir).cache()
     cent = [(int(cid), [float(x) for x in cvec])
             for cid, cvec in _ivf_centroid_rows(emb, k)]
     dim = len(cent[0][1])
@@ -1815,19 +1875,25 @@ def ann_ivf_kmeans_df(spark: SparkSession, sf_dir: str,
     # sf0.1 scan pinned ~3s of dim-64 folds to one core)
     emb = _emb_wide(spark, sf_dir)
     assign = _with_cell_join if IVF_TRAIN_ASSIGN == "join" else _with_cell
-    cells = assign(emb, cent).select("vec_id", "embedding", "cell")
-    cent_df = literal_df(spark, 
+    # corpus-side norm hoisted once per row for the candidate scoring
+    # (batch 8; the assignment hoists its own internally)
+    cells = (assign(emb, cent).select("vec_id", "embedding", "cell")
+             .withColumn("__nn", vnorm(F.col("embedding"))))
+    cent_df = literal_df(spark,
         [(cid, cvec) for cid, cvec in cent],
         "cid int, cvec array<double>")
     q = emb.where(F.col("vec_id") < LSH_N_QUERIES) \
            .select(F.col("vec_id").alias("q_id"),
                    F.col("embedding").alias("q_emb"))
-    probes = _probe_cells(q, cent_df, nprobe)
+    probes = _probe_cells(q, cent_df, nprobe) \
+        .withColumn("__qn", vnorm(F.col("q_emb")))
     cand = (cells.join(F.broadcast(probes), "cell")
             .where(F.col("q_id") != F.col("vec_id")))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
     return (cand.select("q_id", F.col("vec_id").alias("n_id"),
-                        F.round(cosine(F.col("q_emb"), F.col("embedding")), 6)
+                        F.round(cosine_pre(F.col("q_emb"),
+                                           F.col("embedding"),
+                                           F.col("__qn"), F.col("__nn")), 6)
                         .alias("cosine"))
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= LSH_TOP_K)
@@ -1870,15 +1936,20 @@ def ann_ivf_recall_bounds_df(spark: SparkSession, sf_dir: str,
     emb = _emb(spark, sf_dir)
     q = emb.where(F.col("vec_id") < LSH_N_QUERIES) \
            .select(F.col("vec_id").alias("q_id"),
-                   F.col("embedding").alias("q_emb"))
+                   F.col("embedding").alias("q_emb"),
+                   vnorm(F.col("embedding")).alias("__qn"))
     # brute-force side from the widened scan (r19 opt, see _emb_wide):
-    # Q x N map-only cosine CPU
+    # Q x N map-only cosine CPU — per-side norms hoisted (batch 8), so
+    # each pair folds ONE dot instead of three
     c = _emb_wide(spark, sf_dir).select(F.col("vec_id").alias("n_id"),
-                                        F.col("embedding").alias("n_emb"))
+                                        F.col("embedding").alias("n_emb"),
+                                        vnorm(F.col("embedding"))
+                                        .alias("__nn"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
     brute = (c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
              .select("q_id", "n_id",
-                     F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6)
+                     F.round(cosine_pre(F.col("q_emb"), F.col("n_emb"),
+                                        F.col("__qn"), F.col("__nn")), 6)
                      .alias("cosine"))
              .withColumn("rank", F.row_number().over(w))
              .where(F.col("rank") <= LSH_TOP_K)
@@ -2429,11 +2500,14 @@ def ann_lsh_indexed_df(spark: SparkSession, sf_dir: str,
            .where(F.col("bucket").isin(q_buckets))
            .select(F.col("vec_id").alias("n_id"),
                    F.col("embedding").alias("n_emb"),
-                   F.col("bucket").cast("int").alias("bucket")))
-    scored = (idx.join(F.broadcast(q), "bucket")
+                   F.col("bucket").cast("int").alias("bucket"),
+                   vnorm(F.col("embedding")).alias("__nn")))
+    scored = (idx.join(F.broadcast(q.withColumn(
+                  "__qn", vnorm(F.col("q_emb")))), "bucket")
               .where(F.col("q_id") != F.col("n_id"))
               .select("q_id", "n_id",
-                      F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6)
+                      F.round(cosine_pre(F.col("q_emb"), F.col("n_emb"),
+                                         F.col("__qn"), F.col("__nn")), 6)
                       .alias("cosine")))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -2468,12 +2542,17 @@ def ann_hard_negatives_df(spark: SparkSession, sf_dir: str,
     candidate-sized rows; the exclusion is a scan-side predicate."""
     q = _emb(spark, sf_dir).where(F.col("vec_id") < LSH_N_QUERIES) \
         .select(F.col("vec_id").alias("q_id"),
-                F.col("embedding").alias("q_emb"))
-    # corpus side from the widened scan (r19 opt, see _emb_wide)
+                F.col("embedding").alias("q_emb"),
+                vnorm(F.col("embedding")).alias("__qn"))
+    # corpus side from the widened scan (r19 opt, see _emb_wide);
+    # per-side norms hoisted (batch 8)
     scored = (_emb_wide(spark, sf_dir)
+              .withColumn("__nn", vnorm(F.col("embedding")))
               .join(F.broadcast(q), F.col("q_id") != F.col("vec_id"))
               .select("q_id", F.col("vec_id").alias("n_id"),
-                      F.round(cosine(F.col("q_emb"), F.col("embedding")), 6)
+                      F.round(cosine_pre(F.col("q_emb"),
+                                         F.col("embedding"),
+                                         F.col("__qn"), F.col("__nn")), 6)
                       .alias("cosine")))
     wq = Window.partitionBy("q_id")
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
@@ -2687,9 +2766,11 @@ def _pq_assign_cells(df: DataFrame, cent: DataFrame) -> DataFrame:
     routing can never diverge within one index lifecycle.  Map-only
     since the r19 opt (the :func:`_with_cell_join` form): same
     lexicographic (s, cid) argmax, no corpus shuffle."""
-    return (df.crossJoin(F.broadcast(_cent_arr(cent)))
+    return (df.withColumn("__an", vnorm(F.col("embedding")))
+            .crossJoin(F.broadcast(_cent_arr(cent)))
             .select("vec_id",
-                    _argmax_score("__cents").getField("cid").alias("cell")))
+                    _argmax_score("__cents", norm_col="__an")
+                    .getField("cid").alias("cell")))
 
 
 def build_pq_index(spark: SparkSession, sf_dir: str,
@@ -2728,10 +2809,12 @@ def build_pq_index(spark: SparkSession, sf_dir: str,
     # corpus shuffle — is gone; the only remaining exchange is the
     # writer repartition that shapes the output files.
     (_emb_wide(spark, sf_dir)
+     .withColumn("__an", vnorm(F.col("embedding")))
      .crossJoin(F.broadcast(_pq_cb_arr(cb_df)))
      .crossJoin(F.broadcast(_cent_arr(cent)))
      .select("vec_id", _pq_codes_expr().alias("codes"),
-             _argmax_score("__cents").getField("cid").alias("cell"))
+             _argmax_score("__cents", norm_col="__an")
+             .getField("cid").alias("cell"))
      .repartition(F.col("cell"),
                   F.pmod(F.col("vec_id"), F.lit(BUILD_WRITERS_PER_CELL)))
      .write.mode("overwrite").partitionBy("cell").parquet(index_path))
@@ -2890,15 +2973,20 @@ def ann_pq_recall_bounds_df(spark: SparkSession, sf_dir: str,
     emb = _emb(spark, sf_dir)
     q = emb.where(F.col("vec_id") < LSH_N_QUERIES) \
            .select(F.col("vec_id").alias("q_id"),
-                   F.col("embedding").alias("q_emb"))
+                   F.col("embedding").alias("q_emb"),
+                   vnorm(F.col("embedding")).alias("__qn"))
     # brute-force side from the widened scan (r19 opt, see _emb_wide):
-    # Q x N map-only cosine CPU
+    # Q x N map-only cosine CPU — per-side norms hoisted (batch 8), so
+    # each pair folds ONE dot instead of three
     c = _emb_wide(spark, sf_dir).select(F.col("vec_id").alias("n_id"),
-                                        F.col("embedding").alias("n_emb"))
+                                        F.col("embedding").alias("n_emb"),
+                                        vnorm(F.col("embedding"))
+                                        .alias("__nn"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
     brute = (c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
              .select("q_id", "n_id",
-                     F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6)
+                     F.round(cosine_pre(F.col("q_emb"), F.col("n_emb"),
+                                        F.col("__qn"), F.col("__nn")), 6)
                      .alias("cosine"))
              .withColumn("rank", F.row_number().over(w))
              .where(F.col("rank") <= LSH_TOP_K)

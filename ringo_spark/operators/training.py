@@ -338,7 +338,7 @@ def embed_quantize_recall_bounds_df(spark: SparkSession, sf_dir: str,
     quantized lane, never a production all-pairs path; dequantization
     itself is map-only."""
     from ..functions.spread import spread_source
-    from .textfn import cosine
+    from .textfn import cosine_pre, vnorm
 
     emb = _rps(spark, f"{sf_dir}/embeddings.parquet")
     # both audit lanes are Q x N map-only cosine CPU on the corpus scan
@@ -360,13 +360,18 @@ def embed_quantize_recall_bounds_df(spark: SparkSession, sf_dir: str,
                    .alias("demb")))
     q = emb.where(F.col("vec_id") < QUANT_RECALL_QUERIES) \
            .select(F.col("vec_id").alias("q_id"),
-                   F.col("embedding").alias("q_emb"))
+                   F.col("embedding").alias("q_emb"),
+                   vnorm(F.col("embedding")).alias("__qn"))
 
     def topk(corpus, vec_col):
+        # per-side norms hoisted once per row (r19 opt batch 8): each
+        # Q x N pair folds one dot instead of three
         w = Window.partitionBy("q_id").orderBy(F.desc("c"), F.asc("n_id"))
-        return (corpus.join(F.broadcast(q), F.col("q_id") != F.col("vec_id"))
+        return (corpus.withColumn("__cn", vnorm(F.col(vec_col)))
+                .join(F.broadcast(q), F.col("q_id") != F.col("vec_id"))
                 .select("q_id", F.col("vec_id").alias("n_id"),
-                        F.round(cosine(F.col("q_emb"), F.col(vec_col)), 6)
+                        F.round(cosine_pre(F.col("q_emb"), F.col(vec_col),
+                                           F.col("__qn"), F.col("__cn")), 6)
                         .alias("c"))
                 .withColumn("rnk", F.row_number().over(w))
                 .where(F.col("rnk") <= QUANT_RECALL_TOP_K)

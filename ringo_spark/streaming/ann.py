@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 from ..catalog import read_parquet_stable as _rps
 
 from ..operators.dedup import COSINE_THRESHOLD
-from ..operators.textfn import cosine
+from ..operators.textfn import cosine_pre, vnorm
 
 
 def streaming_vector_ingest(index_path: str, bits: int,
@@ -75,7 +75,8 @@ def streaming_vector_ingest(index_path: str, bits: int,
                 _ilc.touch(marker)  # LRU: a live stream's index is in use
             b = (batch_df.select("vec_id", "embedding")
                  .withColumn("bucket",
-                             _bucket_expr(F.col("embedding"), bits)))
+                             _bucket_expr(F.col("embedding"), bits))
+                 .withColumn("__vn", vnorm(F.col("embedding"))))
             # self-match exclusion as a broadcast ANTI-join, not an
             # isin() literal list (r16 review): a backfill-sized
             # trigger would otherwise embed 100k+ literals in the plan
@@ -84,9 +85,12 @@ def streaming_vector_ingest(index_path: str, bits: int,
             idx = (index_rows(spark, index_path, id_col="vec_id")
                    .dropDuplicates(["vec_id"])          # retried admits
                    .join(F.broadcast(b.select("vec_id")),
-                         "vec_id", "left_anti"))
-            cos = F.round(cosine(F.col("n.embedding"),
-                                 F.col("c.embedding")), 6)
+                         "vec_id", "left_anti")
+                   .withColumn("__vn", vnorm(F.col("embedding"))))
+            # per-side norms hoisted once per row (r19 opt batch 8)
+            cos = F.round(cosine_pre(F.col("n.embedding"),
+                                     F.col("c.embedding"),
+                                     F.col("n.__vn"), F.col("c.__vn")), 6)
             hits = (idx.alias("c")
                     .join(F.broadcast(b.alias("n")),
                           F.col("n.bucket") == F.col("c.bucket"))
