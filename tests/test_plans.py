@@ -705,3 +705,33 @@ def test_salted_join_spreads_hot_key(spark):
     assert "partial_count" in simple and "partial_sum" in simple, simple
     assert "BatchEvalPython" not in simple
     assert "ArrowEvalPython" not in simple
+
+
+def test_hoisted_norms_stay_out_of_scoring_lambdas(spark):
+    """r19 batch 8: the argmax/pair-scoring norms are hoisted to their
+    own per-row projections, and the win evaporates if CollapseProject
+    (or a future optimizer change) inlines the non-cheap sqrt(dot())
+    back into the per-centroid transform lambda — it would then
+    re-evaluate once per array ELEMENT despite a single syntactic
+    reference.  Pin the optimized plans: no SQRT inside any lambda
+    body, and the hoisted denominator (__qn * __nn) survives in the
+    pair lane."""
+    import re
+
+    from ringo_spark.operators.similarity import (
+        _with_cell_join, ann_cosine_topk_df,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cent = [(i, [float(j) for j in range(8)]) for i in range(4)]
+    for df in (_with_cell_join(emb, cent),
+               ann_cosine_topk_df(spark, SF)):
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        for m in re.finditer(r"lambdafunction\((.*)\)", opt):
+            assert "SQRT" not in m.group(1), (
+                "a norm fold was inlined into a scoring lambda — "
+                "re-evaluated per element, the pre-batch-8 cost")
+    opt = (ann_cosine_topk_df(spark, SF)
+           ._jdf.queryExecution().optimizedPlan().toString())
+    assert re.search(r"__qn#\d+ \* __nn#\d+", opt), (
+        "pair scoring lost the hoisted-norm denominator")
