@@ -723,37 +723,35 @@ def _cent_arr(cent_df: DataFrame, arr_col: str = "__cents") -> DataFrame:
 
 
 def _argmax_score(arr_col: str, emb_col: str = "embedding",
-                  norm_col: str | None = None):
+                  *, norm_col: str):
     """``array_max`` over (round(cosine, 6), cid) structs — the same
     lexicographic argmax (max score, ties to max cid) as ``greatest``
     over structs / ``max(struct)`` in the other assignment forms
     (equality pytest-pinned).
 
-    ``norm_col`` names a column holding the row's precomputed
-    :func:`vnorm` (r19 opt batch 8): higher-order folds are interpreted
-    and never CSE'd, so the in-line :func:`cosine` re-folds BOTH norms
-    inside every centroid branch — 3x the fundamental dot-product work.
-    With the row norm hoisted to its own projection and the centroid
-    norms riding the broadcast array (``bnorm``), only the K cross-dots
-    remain per row.  Values are bit-identical either way (same
-    sub-expressions evaluated once; pytest-pinned), so the oracle
-    trajectory is unchanged."""
-    if norm_col is None:
-        score = lambda c: F.struct(  # noqa: E731
-            F.round(cosine(F.col(emb_col), c.getField("cvec")), 6)
-            .alias("s"),
-            c.getField("cid").alias("cid"))
-    else:
-        score = lambda c: F.struct(  # noqa: E731
-            F.round(cosine_pre(F.col(emb_col), c.getField("cvec"),
-                               F.col(norm_col), c.getField("bnorm")), 6)
-            .alias("s"),
-            c.getField("cid").alias("cid"))
+    ``norm_col`` (REQUIRED — r20, ADVICE r19) names a column holding the
+    row's precomputed :func:`vnorm` (r19 opt batch 8): higher-order
+    folds are interpreted and never CSE'd, so an in-line :func:`cosine`
+    would re-fold BOTH norms inside every centroid branch — 3x the
+    fundamental dot-product work.  With the row norm hoisted to its own
+    projection and the centroid norms riding the broadcast array
+    (``bnorm``), only the K cross-dots remain per row.  Values are
+    bit-identical either way (same sub-expressions evaluated once;
+    pytest-pinned), so the oracle trajectory is unchanged.  The old
+    ``norm_col=None`` fallback silently reintroduced the per-centroid
+    re-fold for any future caller that omitted the argument — removed;
+    every caller hoists."""
+    score = lambda c: F.struct(  # noqa: E731
+        F.round(cosine_pre(F.col(emb_col), c.getField("cvec"),
+                           F.col(norm_col), c.getField("bnorm")), 6)
+        .alias("s"),
+        c.getField("cid").alias("cid"))
     return F.array_max(F.transform(F.col(arr_col), score))
 
 
 def _with_cell_join(df: DataFrame, cent_rows, out: str = "cell",
-                    id_col: str = "vec_id") -> DataFrame:
+                    id_col: str = "vec_id",
+                    keep_norm: str | None = None) -> DataFrame:
     """Cell assignment for K past the literal gate: the K centroids ride
     as broadcast DATA (not literals) folded into one array<struct> row
     (:func:`_cent_arr`) and each row's cell is the
@@ -764,17 +762,24 @@ def _with_cell_join(df: DataFrame, cent_rows, out: str = "cell",
     stays independent of K, and the generated code is independent of
     the centroid VALUES (no per-iteration recompile).  ``id_col`` is
     retained for API compatibility; the map-only form no longer needs
-    it."""
+    it.
+
+    ``keep_norm`` (r20, ADVICE r19): retain the row-norm projection the
+    assignment already computed under this output column name, so
+    callers that score candidates next (ann_ivf_kmeans_df) reuse it
+    instead of re-folding the identical dim-64 ``vnorm`` per corpus
+    row."""
     spark = df.sparkSession
     cent_df = literal_df(spark,
         [(int(c), [float(x) for x in v]) for c, v in cent_rows],
         "cid int, cvec array<double>")
     ac = f"__{out}_cents"
-    an = f"__{out}_anorm"
-    return (df.withColumn(an, vnorm(F.col("embedding")))
-            .crossJoin(F.broadcast(_cent_arr(cent_df, ac)))
-            .withColumn(out, _argmax_score(ac, norm_col=an).getField("cid"))
-            .drop(ac, an))
+    an = keep_norm or f"__{out}_anorm"
+    assigned = (df.withColumn(an, vnorm(F.col("embedding")))
+                .crossJoin(F.broadcast(_cent_arr(cent_df, ac)))
+                .withColumn(out,
+                            _argmax_score(ac, norm_col=an).getField("cid")))
+    return assigned.drop(ac) if keep_norm else assigned.drop(ac, an)
 
 
 def _with_cell(df: DataFrame, cent_rows, out: str = "cell") -> DataFrame:
@@ -1874,11 +1879,16 @@ def ann_ivf_kmeans_df(spark: SparkSession, sf_dir: str,
     # r19 rewrite — widen an under-split scan first (the single-split
     # sf0.1 scan pinned ~3s of dim-64 folds to one core)
     emb = _emb_wide(spark, sf_dir)
-    assign = _with_cell_join if IVF_TRAIN_ASSIGN == "join" else _with_cell
-    # corpus-side norm hoisted once per row for the candidate scoring
-    # (batch 8; the assignment hoists its own internally)
-    cells = (assign(emb, cent).select("vec_id", "embedding", "cell")
-             .withColumn("__nn", vnorm(F.col("embedding"))))
+    # corpus-side norm computed ONCE per row and shared between the
+    # cell assignment and the candidate scoring (r20, ADVICE r19: the
+    # r19 form re-folded the identical dim-64 vnorm per corpus row
+    # because _with_cell_join dropped the one it had just computed)
+    if IVF_TRAIN_ASSIGN == "join":
+        cells = _with_cell_join(emb, cent, keep_norm="__nn") \
+            .select("vec_id", "embedding", "cell", "__nn")
+    else:
+        cells = (_with_cell(emb, cent).select("vec_id", "embedding", "cell")
+                 .withColumn("__nn", vnorm(F.col("embedding"))))
     cent_df = literal_df(spark,
         [(cid, cvec) for cid, cvec in cent],
         "cid int, cvec array<double>")

@@ -715,20 +715,47 @@ def test_hoisted_norms_stay_out_of_scoring_lambdas(spark):
     re-evaluate once per array ELEMENT despite a single syntactic
     reference.  Pin the optimized plans: no SQRT inside any lambda
     body, and the hoisted denominator (__qn * __nn) survives in the
-    pair lane."""
+    pair lane.
+
+    Lambda bodies are extracted with BALANCED-paren matching (ADVICE
+    r19): the greedy ``lambdafunction\\((.*)\\)`` regex swallowed the
+    rest of the printed Project line, so a legitimate hoisted SQRT
+    projected AFTER a lambda on the same line false-failed the pin.
+    Coverage extended to an LSH lane and a seeded-IVF lane (ADVICE
+    r19).  The PQ serve path is deliberately NOT pinned SQRT-free: its
+    refine lane scores Q x R metadata-scale rows with the in-line
+    cosine (left un-hoisted by design, r19 batch 8)."""
     import re
 
     from ringo_spark.operators.similarity import (
-        _with_cell_join, ann_cosine_topk_df,
+        _with_cell_join, ann_cosine_topk_df, ann_ivf_df,
+        ann_lsh_bucketed_df,
     )
+
+    def lambda_bodies(plan: str) -> list[str]:
+        bodies = []
+        for m in re.finditer(r"lambdafunction\(", plan):
+            depth, i = 1, m.end()
+            while i < len(plan) and depth:
+                if plan[i] == "(":
+                    depth += 1
+                elif plan[i] == ")":
+                    depth -= 1
+                i += 1
+            bodies.append(plan[m.end():i - 1])
+        return bodies
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     cent = [(i, [float(j) for j in range(8)]) for i in range(4)]
     for df in (_with_cell_join(emb, cent),
-               ann_cosine_topk_df(spark, SF)):
+               ann_cosine_topk_df(spark, SF),
+               ann_lsh_bucketed_df(spark, SF),
+               ann_ivf_df(spark, SF)):
         opt = df._jdf.queryExecution().optimizedPlan().toString()
-        for m in re.finditer(r"lambdafunction\((.*)\)", opt):
-            assert "SQRT" not in m.group(1), (
+        bodies = lambda_bodies(opt)
+        assert bodies, "expected scoring lambdas in the optimized plan"
+        for body in bodies:
+            assert "SQRT" not in body, (
                 "a norm fold was inlined into a scoring lambda — "
                 "re-evaluated per element, the pre-batch-8 cost")
     opt = (ann_cosine_topk_df(spark, SF)
