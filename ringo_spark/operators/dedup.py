@@ -1240,8 +1240,32 @@ def dedup_embedding_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarded via _assert_small_scale."""
     emb = _assert_small_scale(
         _rps(spark, f"{sf_dir}/embeddings.parquet"),
-        "dedup_embedding", "dedup.dedup_embedding_lsh") \
-        .withColumn("__vn", vnorm(F.col("embedding")))
+        "dedup_embedding", "dedup.dedup_embedding_lsh")
+    # r20 (guide §4): when the guarded corpus also fits the Arrow
+    # kernel's bounded query-set gate, the C(N,2) pair scoring runs in
+    # the bit-exact numpy fold (functions/arrowkern.py) instead of ~N²/2
+    # interpreted dim-64 folds — with a conservative kernel-side
+    # pre-filter (threshold − 1e-5 on the RAW score; round-6 moves a
+    # value < 5e-7, so no hit can be lost) and the authoritative
+    # round-6 >= threshold filter staying a JVM expression.  Values are
+    # float-identical (tests/test_arrow_parity.py), so the oracle's
+    # pair set is unchanged.  Past the gate the JVM theta-join lane
+    # below is byte-identical to r19.
+    try:
+        from ..functions.arrowkern import brute_cosine_pairs, \
+            collect_query_vectors
+
+        q_rows = collect_query_vectors(emb, "vec_id", "embedding")
+        return (brute_cosine_pairs(emb, "vec_id", "embedding", q_rows,
+                                   min_raw_score=COSINE_THRESHOLD - 1e-5,
+                                   lt_only=True)
+                .select(F.col("q_id").alias("vec_a"),
+                        F.col("n_id").alias("vec_b"),
+                        F.round(F.col("__cos_raw"), 6).alias("cosine"))
+                .where(F.col("cosine") >= COSINE_THRESHOLD))
+    except ValueError:
+        pass   # corpus exceeds the kernel's bounded-audit gate
+    emb = emb.withColumn("__vn", vnorm(F.col("embedding")))
     a, b = emb.alias("a"), emb.alias("b")
     # per-side norms hoisted once per row (r19 opt batch 8) — same
     # round-6 values as the in-line cosine (see textfn.cosine_pre)

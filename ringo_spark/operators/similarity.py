@@ -279,6 +279,23 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rps(spark, f"{sf_dir}/embeddings.parquet")
 
 
+def _emb_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings corpus split for the Arrow-kernel lanes (r20).
+    The numpy kernel does ~50x more work per task-second than the
+    interpreted fold `_emb_wide` was capped for, and every mapInArrow
+    task pays a Python-worker round-trip (~quarter second on this box),
+    so the per-task byte floor is correspondingly larger: at 4 MB the
+    MB-scale local corpus stays ONE task (the kernel scores it in
+    milliseconds) while any real under-split corpus still fans out to
+    full parallelism — and on a well-split real scan this is the
+    identity, like every spread_source use."""
+    from ..functions.spread import spread_source
+
+    return spread_source(_emb(spark, sf_dir),
+                         f"{sf_dir}/embeddings.parquet",
+                         bytes_per_task=4 << 20)
+
+
 def _emb_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The embeddings corpus widened across cores when its scan is
     under-split (r19 opt, guide §2): every corpus-side consumer here
@@ -298,25 +315,34 @@ def _emb_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
                          bytes_per_task=48 << 10)
 
 
+def _brute_scored_pairs(spark: SparkSession, sf_dir: str,
+                        n_queries: int) -> DataFrame:
+    """Shared brute-force audit scorer: (q_id, n_id, cosine) for the
+    first ``n_queries`` query vectors against the whole corpus, q != n.
+
+    r20 (guide §4, VERDICT r19 item 3): the Q x N pair scoring runs in
+    the bit-exact Arrow/numpy kernel (functions/arrowkern.py — the
+    same left-to-right fold, float-for-float; parity pinned in
+    tests/test_arrow_parity.py) over the widened corpus scan, replacing
+    the interpreted per-pair dim-64 fold of the r19 JVM lane.  The
+    query set is the bounded audit contract (Q = 5..20 rows), collected
+    once at construction; round-6 stays a JVM expression, so the values
+    the DuckDB oracle replays are unchanged."""
+    from ..functions.arrowkern import brute_cosine_pairs, \
+        collect_query_vectors
+
+    q_rows = collect_query_vectors(
+        _emb(spark, sf_dir).where(F.col("vec_id") < n_queries),
+        "vec_id", "embedding")
+    return (brute_cosine_pairs(_emb_arrow(spark, sf_dir),
+                               "vec_id", "embedding", q_rows)
+            .select("q_id", "n_id",
+                    F.round(F.col("__cos_raw"), 6).alias("cosine")))
+
+
 def ann_cosine_topk_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 cosine neighbors for the first 5 query vectors."""
-    # corpus side from the widened scan (r19 opt, see _emb_wide): the
-    # Q x N cosine scoring is map-only CPU in the corpus scan stage;
-    # the query side keeps its filter at a plain scan
-    q = _emb(spark, sf_dir).where(F.col("vec_id") < N_QUERIES) \
-        .select(F.col("vec_id").alias("q_id"),
-                F.col("embedding").alias("q_emb"),
-                vnorm(F.col("embedding")).alias("__qn"))
-    # per-side norms hoisted (batch 8): each Q x N pair folds ONE dot
-    c = _emb_wide(spark, sf_dir).select(F.col("vec_id").alias("n_id"),
-                                        F.col("embedding").alias("n_emb"),
-                                        vnorm(F.col("embedding"))
-                                        .alias("__nn"))
-    scored = (c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
-              .select("q_id", "n_id",
-                      F.round(cosine_pre(F.col("q_emb"), F.col("n_emb"),
-                                         F.col("__qn"), F.col("__nn")), 6)
-                      .alias("cosine")))
+    scored = _brute_scored_pairs(spark, sf_dir, N_QUERIES)
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= TOP_K)
@@ -1945,29 +1971,19 @@ def ann_ivf_recall_bounds_df(spark: SparkSession, sf_dir: str,
         .select("q_id", "n_id")
     emb = _emb(spark, sf_dir)
     q = emb.where(F.col("vec_id") < LSH_N_QUERIES) \
-           .select(F.col("vec_id").alias("q_id"),
-                   F.col("embedding").alias("q_emb"),
-                   vnorm(F.col("embedding")).alias("__qn"))
-    # brute-force side from the widened scan (r19 opt, see _emb_wide):
-    # Q x N map-only cosine CPU — per-side norms hoisted (batch 8), so
-    # each pair folds ONE dot instead of three
-    c = _emb_wide(spark, sf_dir).select(F.col("vec_id").alias("n_id"),
-                                        F.col("embedding").alias("n_emb"),
-                                        vnorm(F.col("embedding"))
-                                        .alias("__nn"))
+           .select(F.col("vec_id").alias("q_id"))
+    # brute-force ground truth from the bit-exact Arrow kernel (r20;
+    # see _brute_scored_pairs) — Q x N scoring in numpy at the widened
+    # scan's parallelism, round-6 ranking unchanged
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
-    brute = (c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
-             .select("q_id", "n_id",
-                     F.round(cosine_pre(F.col("q_emb"), F.col("n_emb"),
-                                        F.col("__qn"), F.col("__nn")), 6)
-                     .alias("cosine"))
+    brute = (_brute_scored_pairs(spark, sf_dir, LSH_N_QUERIES)
              .withColumn("rank", F.row_number().over(w))
              .where(F.col("rank") <= LSH_TOP_K)
              .select("q_id", "n_id"))
     hits = (brute.join(ivf, ["q_id", "n_id"])
             .groupBy("q_id").agg(F.count(F.lit(1)).alias("h")))
     gw = Window.partitionBy()
-    return (q.select("q_id").join(hits, "q_id", "left")
+    return (q.join(hits, "q_id", "left")
             .select("q_id",
                     F.coalesce(F.col("h"), F.lit(0)).cast("long")
                     .alias("hits"))
@@ -2550,20 +2566,10 @@ def ann_hard_negatives_df(spark: SparkSession, sf_dir: str,
     Scale shape: identical to ann_cosine_topk — queries broadcast, one
     shuffle-free corpus scan, per-query top-k windows over
     candidate-sized rows; the exclusion is a scan-side predicate."""
-    q = _emb(spark, sf_dir).where(F.col("vec_id") < LSH_N_QUERIES) \
-        .select(F.col("vec_id").alias("q_id"),
-                F.col("embedding").alias("q_emb"),
-                vnorm(F.col("embedding")).alias("__qn"))
-    # corpus side from the widened scan (r19 opt, see _emb_wide);
-    # per-side norms hoisted (batch 8)
-    scored = (_emb_wide(spark, sf_dir)
-              .withColumn("__nn", vnorm(F.col("embedding")))
-              .join(F.broadcast(q), F.col("q_id") != F.col("vec_id"))
-              .select("q_id", F.col("vec_id").alias("n_id"),
-                      F.round(cosine_pre(F.col("q_emb"),
-                                         F.col("embedding"),
-                                         F.col("__qn"), F.col("__nn")), 6)
-                      .alias("cosine")))
+    # Q x N scoring in the bit-exact Arrow kernel (r20; see
+    # _brute_scored_pairs) — the exclusion band and top-k below need
+    # every pair's round-6 score, which the kernel emits unchanged
+    scored = _brute_scored_pairs(spark, sf_dir, LSH_N_QUERIES)
     wq = Window.partitionBy("q_id")
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
     return (scored
@@ -2982,29 +2988,19 @@ def ann_pq_recall_bounds_df(spark: SparkSession, sf_dir: str,
                        rerank=rerank).select("q_id", "n_id")
     emb = _emb(spark, sf_dir)
     q = emb.where(F.col("vec_id") < LSH_N_QUERIES) \
-           .select(F.col("vec_id").alias("q_id"),
-                   F.col("embedding").alias("q_emb"),
-                   vnorm(F.col("embedding")).alias("__qn"))
-    # brute-force side from the widened scan (r19 opt, see _emb_wide):
-    # Q x N map-only cosine CPU — per-side norms hoisted (batch 8), so
-    # each pair folds ONE dot instead of three
-    c = _emb_wide(spark, sf_dir).select(F.col("vec_id").alias("n_id"),
-                                        F.col("embedding").alias("n_emb"),
-                                        vnorm(F.col("embedding"))
-                                        .alias("__nn"))
+           .select(F.col("vec_id").alias("q_id"))
+    # brute-force ground truth from the bit-exact Arrow kernel (r20;
+    # see _brute_scored_pairs) — Q x N scoring in numpy at the widened
+    # scan's parallelism, round-6 ranking unchanged
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
-    brute = (c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
-             .select("q_id", "n_id",
-                     F.round(cosine_pre(F.col("q_emb"), F.col("n_emb"),
-                                        F.col("__qn"), F.col("__nn")), 6)
-                     .alias("cosine"))
+    brute = (_brute_scored_pairs(spark, sf_dir, LSH_N_QUERIES)
              .withColumn("rank", F.row_number().over(w))
              .where(F.col("rank") <= LSH_TOP_K)
              .select("q_id", "n_id"))
     hits = (brute.join(pq, ["q_id", "n_id"])
             .groupBy("q_id").agg(F.count(F.lit(1)).alias("h")))
     gw = Window.partitionBy()
-    return (q.select("q_id").join(hits, "q_id", "left")
+    return (q.join(hits, "q_id", "left")
             .select("q_id",
                     F.coalesce(F.col("h"), F.lit(0)).cast("long")
                     .alias("hits"))

@@ -337,15 +337,18 @@ def embed_quantize_recall_bounds_df(spark: SparkSession, sf_dir: str,
     audit pattern — Q×N broadcast scans for ground truth and the
     quantized lane, never a production all-pairs path; dequantization
     itself is map-only."""
+    from ..functions.arrowkern import brute_cosine_pairs, \
+        collect_query_vectors
     from ..functions.spread import spread_source
-    from .textfn import cosine_pre, vnorm
 
     emb = _rps(spark, f"{sf_dir}/embeddings.parquet")
-    # both audit lanes are Q x N map-only cosine CPU on the corpus scan
-    # side — widen an under-split scan across cores first (r19 opt,
-    # guide §2; identity on a well-split corpus).  The query frame
-    # keeps the plain scan.
-    wide = spread_source(emb, f"{sf_dir}/embeddings.parquet")
+    # both audit lanes score in the Arrow kernel (r20) — the per-task
+    # byte floor matches the kernel's throughput, not the interpreted
+    # fold's (see similarity._emb_arrow): the MB-scale local corpus
+    # stays one task, a real under-split corpus fans out, a well-split
+    # scan is untouched.  The query frame keeps the plain scan.
+    wide = spread_source(emb, f"{sf_dir}/embeddings.parquet",
+                         bytes_per_task=4 << 20)
     scale = F.round(F.array_max(F.transform(
         "embedding", lambda x: F.abs(x.cast("double")))), 6)
     deq_codes = F.transform(
@@ -359,20 +362,21 @@ def embed_quantize_recall_bounds_df(spark: SparkSession, sf_dir: str,
                    F.when(F.col("scale") > 0, deq_codes).otherwise(zeros)
                    .alias("demb")))
     q = emb.where(F.col("vec_id") < QUANT_RECALL_QUERIES) \
-           .select(F.col("vec_id").alias("q_id"),
-                   F.col("embedding").alias("q_emb"),
-                   vnorm(F.col("embedding")).alias("__qn"))
+           .select(F.col("vec_id").alias("q_id"))
+    # queries stay the EXACT vectors in both lanes (asymmetric serving
+    # shape); collected once at construction — the bounded audit set
+    q_rows = collect_query_vectors(
+        emb.where(F.col("vec_id") < QUANT_RECALL_QUERIES),
+        "vec_id", "embedding")
 
     def topk(corpus, vec_col):
-        # per-side norms hoisted once per row (r19 opt batch 8): each
-        # Q x N pair folds one dot instead of three
+        # Q x N scoring in the bit-exact Arrow kernel (r20, guide §4;
+        # functions/arrowkern.py): same left-to-right fold as the r19
+        # JVM expression float-for-float, round-6 ranking in the JVM
         w = Window.partitionBy("q_id").orderBy(F.desc("c"), F.asc("n_id"))
-        return (corpus.withColumn("__cn", vnorm(F.col(vec_col)))
-                .join(F.broadcast(q), F.col("q_id") != F.col("vec_id"))
-                .select("q_id", F.col("vec_id").alias("n_id"),
-                        F.round(cosine_pre(F.col("q_emb"), F.col(vec_col),
-                                           F.col("__qn"), F.col("__cn")), 6)
-                        .alias("c"))
+        return (brute_cosine_pairs(corpus, "vec_id", vec_col, q_rows)
+                .select("q_id", "n_id",
+                        F.round(F.col("__cos_raw"), 6).alias("c"))
                 .withColumn("rnk", F.row_number().over(w))
                 .where(F.col("rnk") <= QUANT_RECALL_TOP_K)
                 .select("q_id", "n_id"))

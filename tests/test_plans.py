@@ -728,8 +728,7 @@ def test_hoisted_norms_stay_out_of_scoring_lambdas(spark):
     import re
 
     from ringo_spark.operators.similarity import (
-        _with_cell_join, ann_cosine_topk_df, ann_ivf_df,
-        ann_lsh_bucketed_df,
+        _with_cell_join, ann_ivf_df, ann_lsh_bucketed_df,
     )
 
     def lambda_bodies(plan: str) -> list[str]:
@@ -745,10 +744,12 @@ def test_hoisted_norms_stay_out_of_scoring_lambdas(spark):
             bodies.append(plan[m.end():i - 1])
         return bodies
 
+    # ann_cosine_topk left this pin in r20: its pair scoring moved to
+    # the bit-exact Arrow kernel (no JVM scoring lambdas remain; plan
+    # shape pinned in tests/test_arrow_parity.py instead)
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     cent = [(i, [float(j) for j in range(8)]) for i in range(4)]
     for df in (_with_cell_join(emb, cent),
-               ann_cosine_topk_df(spark, SF),
                ann_lsh_bucketed_df(spark, SF),
                ann_ivf_df(spark, SF)):
         opt = df._jdf.queryExecution().optimizedPlan().toString()
@@ -758,7 +759,7 @@ def test_hoisted_norms_stay_out_of_scoring_lambdas(spark):
             assert "SQRT" not in body, (
                 "a norm fold was inlined into a scoring lambda — "
                 "re-evaluated per element, the pre-batch-8 cost")
-    opt = (ann_cosine_topk_df(spark, SF)
+    opt = (ann_lsh_bucketed_df(spark, SF)
            ._jdf.queryExecution().optimizedPlan().toString())
     assert re.search(r"__qn#\d+ \* __nn#\d+", opt), (
         "pair scoring lost the hoisted-norm denominator")
