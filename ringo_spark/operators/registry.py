@@ -103,109 +103,80 @@ from .text import (
 #     unverified, only un-hashed-by-the-driver that round.
 
 DRIVER_WINDOW: list[str] = [
-    # -- code changed in r19, kept/pulled driver-visible (the r05
-    #    precedent).  Two review-fix batches (ROUND19_NOTES.md): the
-    #    minhash index build writes its bands/shingles/cluster files at
-    #    a deterministic footer-estimate-derived count (tag bumped |L2,
-    #    so these rebuild) — dedup_minhash_lsh_indexed / capped_indexed /
-    #    clusters_indexed / the two _deleted rows run that build; the
-    #    ANN serve paths now route with the index's own stored
-    #    artifacts (_centroids sidecar; _WIDTH sidecar + append width
-    #    validation) — ann_lsh_indexed / lsh_width_staleness /
-    #    ann_ivf_pq / ann_pq_recall_bounds / streaming_vector_ingest
-    #    run those paths (ann_ivf_indexed too — pinned below).
-    #    Third batch (the similarity.py full-module review, VERDICT r18
-    #    item 5): the IVF probe block is hoisted into _probe_cells
-    #    (ann_ivf / ann_ivf_kmeans / ann_ivf_recall_bounds /
-    #    ann_rank_fusion run it; the indexed/pq rows above do too), the
-    #    indexed serve derives nprobe from the STORED centroid count,
-    #    and ann_index_staleness resolves K through the exact-count
-    #    path (identical under driver conf; the code path changed). --
-    "dedup_minhash_lsh_indexed",
-    "dedup_minhash_lsh_capped_indexed",
-    "dedup_clusters_indexed",
-    "dedup_minhash_lsh_deleted",
-    "dedup_clusters_deleted",
-    "ann_lsh_indexed",
-    "lsh_width_staleness",
-    "ann_ivf_pq",
-    "ann_pq_recall_bounds",
-    "streaming_vector_ingest",
-    "ann_ivf",
-    "ann_ivf_kmeans",
-    "ann_ivf_recall_bounds",
-    "ann_rank_fusion",
-    "ann_index_staleness",
-    # -- fourth batch (the r19 null sweeps at the per-row injection):
-    #    the exact integer micro-unit mean replaces the quotient-tie-
-    #    prone round(double_sum/n, 6) in both logprob rows (and in the
-    #    pinned corpus_curation; quality_gate_approx_bounds' scorable-
-    #    population fix is windowed above) --
-    "doc_logprob",
-    "doc_bigram_logprob",
-    # -- fifth batch (the dedup.py full-module review): the quadratic-
-    #    baseline guard gained Union in its multiplying-node list
-    #    (self-union footer under-count) — these two run the guard;
-    #    the index-lifecycle fixes (stale-marker unlink, cluster-force
-    #    ledger scope, append admission ledger, del-tag layout version)
-    #    run inside the already-windowed indexed/deleted/cluster rows --
+    # -- r20 (final round) window: executes the pre-committed r20
+    #    rotation (CORRECTNESS_WINDOW.md "Round-20 rotation plan").
+    #    Front-load (plan step 2, code changed in r20):
+    #    * the Arrow-kernel brute-force lanes (functions/arrowkern.py):
+    #      ann_cosine_topk, the arrow_bounds twin, ann_hard_negatives,
+    #      embed_quantize_recall_bounds, dedup_embedding, and the brute
+    #      ground-truth sides of ann_ivf_recall_bounds /
+    #      ann_pq_recall_bounds;
+    #    * the _argmax_score/_with_cell_join signature + keep_norm
+    #      reuse (ann_ivf_kmeans serves the retained norm; ann_ivf_pq /
+    #      ann_ivf_indexed / ann_rank_fusion run the same argmax form);
+    #    * the fact-populate changes (bytes_per_task widen cap +
+    #      degenerate exact count-distinct elision): every
+    #      fact_population_df caller with an oracle — the five fact
+    #      rows, the chain, scd2_fact_incremental, by_second/by_week,
+    #      hour_regrain, and the approx_bounds twin.
+    # --
+    "ann_cosine_topk",
+    "ann_cosine_topk_arrow_bounds",
+    "ann_hard_negatives",
+    "embed_quantize_recall_bounds",
     "dedup_embedding",
-    "dedup_ngram_jaccard",
-    # -- the pre-committed r19 rotation (CORRECTNESS_WINDOW.md), floor-
-    #    critical first: the 10 r12-rowed entries popped by the mid-r18
-    #    null-sweep amendment — the freshness floor (FLOOR=7, current
-    #    round 20 after this submission) forces any of them left
-    #    unrowed into r20's window, so they row NOW --
-    "fact_events_by_minute_approx_bounds",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q21_suppliers_kept_waiting",
-    "q22_global_sales_opportunity",
-    "sample_cluster_split_indexed",
-    "quantiles_approx_bounds",
-    "q14_promo_effect",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    # -- then 20 of the 21-member r13-rowed cohort (the floor hits them
-    #    at end-of-r20, the final round): every member NOT seated here
-    #    MUST lead r20's rotation.  sample_hash_split is the one
-    #    deferral (heads DISPLACED / the r20 queue); any mid-r19
-    #    code-changed front-load pops this block's TAIL to r20, which
-    #    has the slack for it (r20 rotating slots ~30, queue ~1-5) --
-    "quality_gate_approx_bounds",
-    # (the cohort's 19 newest rotate-backs — listagg value_histogram
-    #  grouping_sets vocab_topk_cms_bounds q1_pricing_summary
-    #  q6_forecast_revenue window_frames fact_events_by_second
-    #  fact_orders_by_week user_value_ema, then text_quality_drift
-    #  dedup_embedding dedup_ngram_jaccard dedup_lsh_recall_bounds
-    #  timeseries_gapfill, then zorder_layout bpe_pair_counts, then
-    #  sample_weighted sample_weighted_stratified — popped back to
-    #  DISPLACED by the mid-r19 code-changed front-loads above, per the
-    #  r06 precedent; they lead the r20 rotation with sample_hash_split.
-    #  dedup_embedding and dedup_ngram_jaccard were popped by batch 3
-    #  and pulled back by batch 5 — net: windowed with fresh r19 rows)
-    # -- core schema-level pipeline (driver-green r02-r04 + r07; pinned) --
-    "dim_event_type",
+    "ann_ivf_recall_bounds",
+    "ann_pq_recall_bounds",
+    "ann_ivf_kmeans",
+    "ann_ivf_pq",
+    "ann_ivf_indexed",
+    "ann_rank_fusion",
     "fact_events_by_minute",
-    "dim_event_type_incremental",
     "fact_events_by_minute_incremental",
+    "fact_orders_by_day",
+    "fact_lineitem_by_day",
+    "fact_lineitem_chain",
+    "scd2_fact_incremental",
+    "fact_events_by_second",
+    "fact_orders_by_week",
+    "fact_events_hour_regrain",
+    "fact_events_by_minute_approx_bounds",
+    # -- the pre-committed r20 mandatory rotate-backs: sample_hash_split
+    #    plus the r13-rowed entries popped from the r19 window by the
+    #    mid-r19 code-changed front-loads (the final round's only
+    #    floor-mandatory rows; fact_events_by_second / fact_orders_by_week
+    #    seat above as code-changed) --
+    "sample_hash_split",
+    "listagg",
+    "value_histogram",
+    "grouping_sets",
+    "vocab_topk_cms_bounds",
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "window_frames",
+    "user_value_ema",
+    "text_quality_drift",
+    "dedup_lsh_recall_bounds",
+    "timeseries_gapfill",
+    "zorder_layout",
+    "bpe_pair_counts",
+    "sample_weighted",
+    "sample_weighted_stratified",
+    # -- pinned core schema-level pipeline + one representative per
+    #    operator family (the standing pins; fact rows seat above) --
+    "dim_event_type",
+    "dim_event_type_incremental",
     "dim_order_status",
     "dim_order_priority",
-    "fact_orders_by_day",
     "dim_line_status",
-    "fact_lineitem_by_day",
-    # -- one representative per operator family (pinned) --
     "dedup_minhash_lsh",
     "dedup_clusters",
-    "ann_cosine_topk",
-    "ann_ivf_indexed",
     "text_quality",
     "tfidf_bm25",
     "multimodal_pixels",
     "corpus_curation",
     "sessionize",
     "scd2_dim",
-    "fact_lineitem_chain",
 ]
 
 # Registered, locally cell-exact-verified every round, but outside the
@@ -218,31 +189,34 @@ DRIVER_WINDOW: list[str] = [
 # recency rotation per the pre-committed r19 plan in
 # CORRECTNESS_WINDOW.md.
 DISPLACED: list[str] = [
-    # -- the r13-rowed deferrals (the floor hits them at end-of-r20):
-    #    sample_hash_split plus the 15 popped by the two mid-r19
-    #    code-changed front-loads — together they HEAD the
-    #    pre-committed r20 rotation --
-    "sample_hash_split",
-    "listagg",
-    "value_histogram",
-    "grouping_sets",
-    "vocab_topk_cms_bounds",
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "window_frames",
-    "fact_events_by_second",
-    "fact_orders_by_week",
-    "user_value_ema",
-    "text_quality_drift",
-    "dedup_lsh_recall_bounds",
-    "timeseries_gapfill",
-    "zorder_layout",
-    "bpe_pair_counts",
-    "sample_weighted",
-    "sample_weighted_stratified",
-    # -- newly displaced: the r18 window's rotating cohort (fresh r18
-    #    driver rows; recency rotation per the pre-committed r19 plan) --
+    # -- newly displaced: the r19 window's code-changed/rotating cohort
+    #    (every entry got a fresh r19 driver row; recency rotation per
+    #    the pre-committed r20 plan in CORRECTNESS_WINDOW.md) --
+    "dedup_minhash_lsh_indexed",
+    "dedup_minhash_lsh_capped_indexed",
+    "dedup_clusters_indexed",
+    "dedup_minhash_lsh_deleted",
+    "dedup_clusters_deleted",
+    "ann_lsh_indexed",
+    "lsh_width_staleness",
+    "streaming_vector_ingest",
+    "ann_ivf",
+    "ann_index_staleness",
+    "doc_logprob",
+    "doc_bigram_logprob",
+    "dedup_ngram_jaccard",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity",
+    "sample_cluster_split_indexed",
+    "quantiles_approx_bounds",
+    "q14_promo_effect",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "quality_gate_approx_bounds",
     "map_funcs",
+    # -- prior displaced cohorts (r08-r19 rows, order preserved) --
     "asof_join",
     "string_funcs",
     "metrics_unpivot",
@@ -270,7 +244,6 @@ DISPLACED: list[str] = [
     "q7_volume_shipping",
     "window_stats",
     "q4_order_priority",
-    # -- the r17 window's rotating cohort (fresh r17 driver rows) --
     "events_skew_salted_join",
     "tenant_rollup_skew_salted",
     "streaming_cms_snapshot",
@@ -286,15 +259,12 @@ DISPLACED: list[str] = [
     "embed_quantize",
     "multimodal_resize",
     "multimodal_frames",
-    "scd2_fact_incremental",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q10_returned_items",
     "token_count",
     "join_semi",
     "join_anti",
-    # -- prior displaced cohorts (r08-r17 rows, order preserved) --
-    "ann_cosine_topk_arrow_bounds",
     "doc_chunk",
     "training_prep",
     "sample_cluster_split",
@@ -303,8 +273,6 @@ DISPLACED: list[str] = [
     "q11_important_stock",
     "q16_supplier_part_counts",
     "q20_surplus_suppliers",
-    "embed_quantize_recall_bounds",
-    "ann_hard_negatives",
     "doc_entropy",
     "segment_overlap_bounds",
     "active_users_rolling",
@@ -340,7 +308,6 @@ DISPLACED: list[str] = [
     "user_value_ema_segmented",
     "sample_per_source_quota",
     "sample_mixture",
-    "fact_events_hour_regrain",
     "fact_events_tenant_by_hour",
     "text_scrub",
     "fact_events_by_minute_approx",
